@@ -1,0 +1,29 @@
+"""PySpark-native schema + constraint validation engine.
+
+A from-scratch re-expression of the capabilities of
+``JulianCataldo/remark-lint-frontmatter-schema`` (reference read-only at
+/root/reference, v3.15.4): a declarative JSON-Schema-style constraint DSL
+compiled on the driver into Spark SQL Column expressions (plus vectorized
+pandas/Arrow UDF checks for binary payloads), evaluated in ONE projection
+per scan, producing structured violation rows + per-partition verdicts.
+
+The reference validates one Markdown frontmatter object per file with Ajv
+(``index.ts:322-323``); this engine validates one table row per record at
+10^12-row scale. See SURVEY.md for the full operator mapping.
+"""
+
+from .plans.compiler import CompiledRuleset, compile_ruleset
+from .plans.bundler import bundle
+from .operators.validate import validate, ValidationResult
+from .session import get_spark
+
+__all__ = [
+    "CompiledRuleset",
+    "compile_ruleset",
+    "bundle",
+    "validate",
+    "ValidationResult",
+    "get_spark",
+]
+
+__version__ = "0.1.0"

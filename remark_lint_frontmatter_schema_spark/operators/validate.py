@@ -1,0 +1,144 @@
+"""The validation operator: one scan, all checks, no short-circuit.
+
+Reference semantics this preserves:
+
+* ``allErrors: true`` (``/root/reference/index.ts:312``) — every failing
+  keyword yields a violation; nothing stops at the first error. Here the
+  whole compiled ruleset is evaluated in ONE projection producing an
+  ``ARRAY<STRUCT<...>>`` per row, then exploded. One scan evaluates all
+  constraints: scan-bound at 10^12 rows, shuffle-free until the (tiny)
+  verdict aggregate.
+* zero messages == file passes (``README.md:449-454``) — per-row
+  ``passed`` and per-partition verdict rows.
+* violation record shape mirrors the VFileMessage JSON
+  (``README.md:564-608``): constraint_id/keyword/instance_path/
+  schema_path/message/actual/expected/severity.
+
+Scale notes: the violations array is built in chunks of
+``_CHUNK`` whens so a 500-constraint ruleset does not blow past
+whole-stage-codegen method limits; the chunks are concatenated — still one
+projection, one scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.compiler import Check, CompiledRuleset
+
+VIOLATION_FIELDS = (
+    "constraint_id", "keyword", "instance_path", "schema_path",
+    "message", "actual", "expected", "severity",
+)
+
+_CHUNK = 64  # whens per F.array chunk (codegen hugeMethodLimit headroom)
+
+
+def _violation_struct(c: Check) -> Column:
+    expected = (
+        F.array(*[F.lit(v) for v in c.expected]).cast("array<string>")
+        if c.expected else F.lit(None).cast("array<string>")
+    )
+    return F.when(
+        F.coalesce(c.violated, F.lit(False)),
+        F.struct(
+            F.lit(c.constraint_id).alias("constraint_id"),
+            F.lit(c.keyword).alias("keyword"),
+            F.lit(c.instance_path or "").alias("instance_path"),
+            F.lit(c.schema_path).alias("schema_path"),
+            F.lit(c.message).alias("message"),
+            c.actual.alias("actual"),
+            expected.alias("expected"),
+            F.lit(c.severity).alias("severity"),
+        ),
+    )  # otherwise NULL -> filtered out below
+
+
+def violations_array(compiled: CompiledRuleset) -> Column:
+    """ARRAY<STRUCT> of this row's violations (empty array == row passes)."""
+    if not compiled.checks:
+        return F.array().cast(
+            "array<struct<constraint_id:string,keyword:string,"
+            "instance_path:string,schema_path:string,message:string,"
+            "actual:string,expected:array<string>,severity:string>>"
+        )
+    chunks = []
+    for i in range(0, len(compiled.checks), _CHUNK):
+        arr = F.array(*[_violation_struct(c)
+                        for c in compiled.checks[i:i + _CHUNK]])
+        chunks.append(arr)
+    arr = chunks[0] if len(chunks) == 1 else F.concat(*chunks)
+    return F.filter(arr, lambda x: x.isNotNull())
+
+
+@dataclass
+class ValidationResult:
+    violations: DataFrame   # exploded violation rows
+    verdicts: DataFrame     # per-partition pass/fail aggregate
+    annotated: DataFrame    # input + _violations array + passed flag
+    compiled: CompiledRuleset
+
+
+def validate(
+    df: DataFrame,
+    compiled: CompiledRuleset,
+    *,
+    row_id: str,
+    partition_col: str | None = None,
+    ruleset_id_value: str | None = None,
+    applicability: Column | None = None,
+    run_id: str = "run_0",
+) -> ValidationResult:
+    """Validate ``df`` against a compiled ruleset.
+
+    ``applicability`` reproduces the reference's skip-guard: rows outside
+    the predicate produce no violations at all, like Markdown files without
+    frontmatter are skipped (``index.ts:352-356``).
+    """
+    ruleset_name = ruleset_id_value or compiled.name
+    if applicability is not None:
+        work = df.where(applicability)
+    else:
+        work = df
+
+    annotated = work.withColumn("_violations", violations_array(compiled)) \
+                    .withColumn("passed", F.size("_violations") == 0)
+
+    part = (F.col(partition_col).cast("string") if partition_col
+            else F.lit("all")).alias("partition_id")
+
+    # column pruning discipline: the violations projection only references
+    # columns the ruleset touches; select the minimum out of `annotated`
+    violations = (
+        annotated
+        .where(F.size("_violations") > 0)
+        .select(
+            F.col(row_id).cast("string").alias("row_id"),
+            part,
+            F.lit(ruleset_name).alias("ruleset_id"),
+            F.explode("_violations").alias("v"),
+        )
+        .select(
+            "row_id", "partition_id", "ruleset_id",
+            *[F.col(f"v.{f}").alias(f) for f in VIOLATION_FIELDS],
+        )
+    )
+
+    verdicts = (
+        annotated
+        .groupBy(part)
+        .agg(
+            F.lit(ruleset_name).alias("ruleset_id"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.size("_violations")).alias("n_violations"),
+            F.sum((~F.col("passed")).cast("long")).alias("n_failed_rows"),
+        )
+        .withColumn("passed", F.col("n_failed_rows") == 0)
+        .withColumn("run_id", F.lit(run_id))
+    )
+
+    return ValidationResult(violations=violations, verdicts=verdicts,
+                            annotated=annotated, compiled=compiled)

@@ -1,0 +1,576 @@
+"""Compile a JSON-Schema-shaped constraint document into Spark Columns.
+
+This is the engine's analog of the reference's Ajv JIT compile
+(``/root/reference/index.ts:322`` — ``ajv.compile(schema)`` generates a
+specialized validator function). Here the "specialized function" is a set
+of Catalyst Column expressions: one boolean ``violated`` expression per
+constraint plus fully-precomputed message metadata, later assembled into a
+single projection (see ``operators/validate.py``) so that **all checks run
+in one scan with no short-circuit** — the reference's ``allErrors: true``
+semantics (``index.ts:312``).
+
+Message fidelity mirrors ``pushErrors`` (``index.ts:105-119``):
+
+    reason = Capitalize(ajv_message) + [": `v1`, `v2`"] + [" • schemaRelPath"] + " • " + schemaPath
+
+Every message is schema-determined, so templates are baked at compile time
+(the reference recomputes them per error; at 10^12 rows they must be
+literals that Catalyst constant-folds).
+
+Unknown keywords warn-don't-fail, mirroring Ajv ``strict: false``
+(``index.ts:313``); they are collected into ``CompiledRuleset.unknown``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .bundler import RulesetCompileError, resolve_internal_ref
+from ..functions.formats import FORMAT_REGEX
+
+# JSON type name -> predicate over a Spark DataType: "statically satisfied"
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_NUMERIC = _INTEGRAL + (T.FloatType, T.DoubleType, T.DecimalType)
+
+_STATIC_TYPE_OK = {
+    "string": lambda t: isinstance(t, T.StringType),
+    "integer": lambda t: isinstance(t, _INTEGRAL),
+    "number": lambda t: isinstance(t, _NUMERIC),
+    "boolean": lambda t: isinstance(t, T.BooleanType),
+    "array": lambda t: isinstance(t, T.ArrayType),
+    "object": lambda t: isinstance(t, (T.StructType, T.MapType)),
+    "null": lambda t: False,
+}
+
+_KNOWN_KEYWORDS = {
+    "type", "enum", "const", "required", "maxLength", "minLength", "pattern",
+    "format", "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
+    "multipleOf", "properties", "items", "additionalProperties", "allOf",
+    "anyOf", "oneOf", "not", "$ref", "$schema", "$id", "$bundled_from",
+    "title", "description", "definitions", "$defs", "default", "examples",
+    "maxItems", "minItems",
+    # engine extension point (reference analog: custom Ajv keywords via
+    # ajvOptions, index.ts:49): named vectorized pandas-UDF check
+    "x-spark-check",
+}
+
+
+@dataclass(frozen=True)
+class Check:
+    """One compiled constraint — the unit that becomes a violation struct."""
+
+    constraint_id: str
+    keyword: str
+    instance_path: str   # Ajv instancePath, e.g. "/props/take" (index.ts:123)
+    schema_path: str     # two-part provenance "file.yaml#/ptr" (pipeline.ts:74-79)
+    message: str         # fully-assembled reason, reference format (index.ts:105-119)
+    violated: Column     # boolean Column: True => emit violation row
+    actual: Column       # offending value stringified (index.ts:139)
+    expected: tuple | None = None  # allowed values (enum/const, index.ts:168,173)
+    severity: str = "warning"
+
+
+@dataclass
+class CompiledRuleset:
+    name: str
+    checks: list = field(default_factory=list)
+    static_failures: list = field(default_factory=list)  # (path, keyword, why)
+    static_passes: list = field(default_factory=list)
+    unknown: list = field(default_factory=list)          # strict:false analog
+    columns_read: set = field(default_factory=set)       # for column pruning
+    ruleset_hash: str = ""
+
+    def summary(self) -> dict:
+        return {
+            "name": self.name,
+            "n_checks": len(self.checks),
+            "static_failures": self.static_failures,
+            "static_passes": self.static_passes,
+            "unknown_keywords": self.unknown,
+            "columns_read": sorted(self.columns_read),
+            "ruleset_hash": self.ruleset_hash,
+        }
+
+
+@dataclass
+class _Ctx:
+    """Compilation context for one schema node."""
+
+    col: Column | None          # Column expr for the instance at this node (None = root row)
+    dtype: T.DataType | None    # Spark type at this node (None = root / unknown)
+    instance_path: str          # "/codec"
+    schema_path: str            # "#/properties/codec"
+    schema_file: str            # provenance file prefix ("" on embed path, index.ts:181-183)
+    df_schema: T.StructType
+    root_schema: dict
+    out: CompiledRuleset
+    extra_checks: dict          # name -> callable(Column) -> Column for x-spark-check
+    silent: bool = False        # True while compiling anyOf/oneOf/not children
+
+
+def _cap(msg: str) -> str:
+    """Capitalize first letter (reference index.ts:106-109)."""
+    return msg[:1].upper() + msg[1:]
+
+
+def _reason(ajv_message: str, ctx: _Ctx, kw: str, expected=None) -> str:
+    """Assemble the reason string exactly as index.ts:105-119."""
+    expected_part = ""
+    if expected:
+        expected_part = ": " + ", ".join(f"`{v}`" for v in expected)
+    s_path = f" • {ctx.schema_file}" if ctx.schema_file else ""
+    schema_ptr = f"{ctx.schema_path}/{kw}"
+    return f"{_cap(ajv_message)}{expected_part}{s_path} • {schema_ptr}"
+
+
+def _schema_path(ctx: _Ctx, kw: str) -> str:
+    """Two-part schema provenance: 'file.yaml#/ptr/keyword' (pipeline.ts:74-79)."""
+    ptr = f"{ctx.schema_path}/{kw}"
+    return f"{ctx.schema_file}{ptr}" if ctx.schema_file else ptr
+
+
+def _actual_str(col: Column | None, dtype: T.DataType | None) -> Column:
+    """Stringify the incriminated value (index.ts:139 node.toString()).
+
+    Binary payloads are truncated to a hex prefix — never carry audio bytes
+    into the violations relation (payload discipline at 10^12 rows).
+    """
+    if col is None:
+        return F.lit(None).cast("string")
+    if isinstance(dtype, T.BinaryType):
+        return F.hex(F.substring(col, 1, 16))
+    return col.cast("string")
+
+
+def _add(ctx: _Ctx, kw: str, violated: Column, message: str,
+         expected=None, actual: Column | None = None,
+         instance_path: str | None = None) -> Column:
+    """Register a check (unless compiling silently) and return its predicate."""
+    ipath = ctx.instance_path if instance_path is None else instance_path
+    if not ctx.silent:
+        cid = f"{ctx.out.name}:{ipath or '/'}:{kw}"
+        # disambiguate duplicate ids (e.g. two allOf branches constraining same key)
+        existing = {c.constraint_id for c in ctx.out.checks}
+        if cid in existing:
+            i = 2
+            while f"{cid}#{i}" in existing:
+                i += 1
+            cid = f"{cid}#{i}"
+        ctx.out.checks.append(
+            Check(
+                constraint_id=cid,
+                keyword=kw,
+                instance_path=ipath,
+                schema_path=_schema_path(ctx, kw),
+                message=message,
+                violated=violated,
+                actual=actual if actual is not None else _actual_str(ctx.col, ctx.dtype),
+                expected=tuple(str(v) for v in expected) if expected else None,
+            )
+        )
+    return violated
+
+
+# ---------------------------------------------------------------------------
+# keyword compilers — each returns the `violated` Column it registered
+# ---------------------------------------------------------------------------
+
+def _present(ctx: _Ctx) -> Column:
+    """Instance exists at this path — Ajv skips value keywords on missing
+    properties (only `required` fires); NULL column == absent property."""
+    return ctx.col.isNotNull()
+
+
+def _type_check(ctx: _Ctx, json_type) -> None:
+    types = json_type if isinstance(json_type, list) else [json_type]
+    if ctx.col is None:  # root "type: object" — a row is always an object
+        if "object" in types:
+            ctx.out.static_passes.append((ctx.instance_path, "type"))
+            return
+    dtype = ctx.dtype
+    msg = _reason(f"must be {types[0] if len(types) == 1 else ','.join(types)}",
+                  ctx, "type")
+    ok_static = dtype is not None and any(
+        _STATIC_TYPE_OK.get(t, lambda _: False)(dtype) for t in types
+    )
+    if ok_static:
+        # "null" in JSON-Schema union adds nothing: absent == NULL already skips
+        ctx.out.static_passes.append((ctx.instance_path, "type"))
+        return
+    # dynamic check paths
+    if isinstance(dtype, T.StringType):
+        casts = []
+        for t in types:
+            if t == "integer":
+                casts.append(ctx.col.try_cast("bigint").isNotNull())
+            elif t == "number":
+                casts.append(ctx.col.try_cast("double").isNotNull())
+            elif t == "boolean":
+                casts.append(F.lower(ctx.col).isin("true", "false"))
+            elif t == "null":
+                casts.append(F.lit(False))
+        if casts:
+            ok = casts[0]
+            for c in casts[1:]:
+                ok = ok | c
+            _add(ctx, "type", _present(ctx) & ~ok, msg)
+            return
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)) and types == ["integer"]:
+        # JSON Schema: 1.0 is a valid integer (zero fractional part)
+        _add(ctx, "type", _present(ctx) & (ctx.col != F.floor(ctx.col)), msg)
+        return
+    # statically impossible (e.g. int column where string required):
+    # every present value violates
+    ctx.out.static_failures.append((ctx.instance_path, "type",
+                                    f"column type {dtype} never satisfies {types}"))
+    _add(ctx, "type", _present(ctx), msg)
+
+
+# keyword -> shape predicate; violations of these are "JSON schema malformed"
+# (the guard the reference hits when Ajv compile throws, index.ts:335-340)
+_NUM = (int, float)
+_KEYWORD_SHAPE = {
+    "enum": lambda v: isinstance(v, list) and len(v) > 0,
+    "required": lambda v: isinstance(v, list) and all(isinstance(p, str) for p in v),
+    "maxLength": lambda v: isinstance(v, int) and not isinstance(v, bool),
+    "minLength": lambda v: isinstance(v, int) and not isinstance(v, bool),
+    "pattern": lambda v: isinstance(v, str),
+    "format": lambda v: isinstance(v, str),
+    "minimum": lambda v: isinstance(v, _NUM) and not isinstance(v, bool),
+    "maximum": lambda v: isinstance(v, _NUM) and not isinstance(v, bool),
+    "exclusiveMinimum": lambda v: isinstance(v, _NUM) and not isinstance(v, bool),
+    "exclusiveMaximum": lambda v: isinstance(v, _NUM) and not isinstance(v, bool),
+    "multipleOf": lambda v: isinstance(v, _NUM) and not isinstance(v, bool) and v > 0,
+    "maxItems": lambda v: isinstance(v, int) and not isinstance(v, bool),
+    "minItems": lambda v: isinstance(v, int) and not isinstance(v, bool),
+    "properties": lambda v: isinstance(v, dict),
+    "allOf": lambda v: isinstance(v, list) and all(isinstance(s, dict) for s in v),
+    "anyOf": lambda v: isinstance(v, list) and len(v) > 0 and all(isinstance(s, dict) for s in v),
+    "oneOf": lambda v: isinstance(v, list) and len(v) > 0 and all(isinstance(s, dict) for s in v),
+    "not": lambda v: isinstance(v, dict),
+    "type": lambda v: isinstance(v, str) or (isinstance(v, list) and all(isinstance(t, str) for t in v)),
+}
+
+
+def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
+    """Compile every keyword of one schema node (no short-circuit)."""
+    for kw in schema:
+        if kw not in _KNOWN_KEYWORDS:
+            ctx.out.unknown.append((ctx.instance_path, kw))
+        elif kw in _KEYWORD_SHAPE and not _KEYWORD_SHAPE[kw](schema[kw]):
+            raise RulesetCompileError(
+                f"JSON schema malformed: bad value for {kw!r} at "
+                f"{ctx.instance_path or '/'}: {schema[kw]!r}")
+
+    if "$ref" in schema and isinstance(schema["$ref"], str):
+        sub = resolve_internal_ref(ctx.root_schema, schema["$ref"])
+        _compile_keywords(sub, ctx)
+
+    if "type" in schema:
+        _type_check(ctx, schema["type"])
+
+    if "enum" in schema and ctx.col is not None:
+        allowed = schema["enum"]
+        msg = _reason("must be equal to one of the allowed values",
+                      ctx, "enum", expected=allowed)
+        _add(ctx, "enum", _present(ctx) & ~ctx.col.isin(*allowed), msg,
+             expected=allowed)
+
+    if "const" in schema and ctx.col is not None:
+        v = schema["const"]
+        msg = _reason("must be equal to constant", ctx, "const", expected=[v])
+        _add(ctx, "const", _present(ctx) & (ctx.col != F.lit(v)), msg,
+             expected=[v])
+
+    if "maxLength" in schema and ctx.col is not None:
+        n = schema["maxLength"]
+        msg = _reason(f"must NOT have more than {n} characters", ctx, "maxLength")
+        _add(ctx, "maxLength", _present(ctx) & (F.length(ctx.col) > n), msg)
+
+    if "minLength" in schema and ctx.col is not None:
+        n = schema["minLength"]
+        msg = _reason(f"must NOT have fewer than {n} characters", ctx, "minLength")
+        _add(ctx, "minLength", _present(ctx) & (F.length(ctx.col) < n), msg)
+
+    if "pattern" in schema and ctx.col is not None:
+        p = schema["pattern"]
+        msg = _reason(f'must match pattern "{p}"', ctx, "pattern")
+        # Ajv `pattern` is an unanchored search; rlike has identical semantics
+        _add(ctx, "pattern", _present(ctx) & ~ctx.col.rlike(p), msg)
+
+    if "format" in schema and ctx.col is not None:
+        f = schema["format"]
+        if f in FORMAT_REGEX:
+            msg = _reason(f'must match format "{f}"', ctx, "format")
+            _add(ctx, "format", _present(ctx) & ~ctx.col.rlike(FORMAT_REGEX[f]), msg)
+        else:
+            ctx.out.unknown.append((ctx.instance_path, f"format:{f}"))
+
+    for kw, op, txt in (
+        ("minimum", lambda c, n: c < n, "must be >= {}"),
+        ("maximum", lambda c, n: c > n, "must be <= {}"),
+        ("exclusiveMinimum", lambda c, n: c <= n, "must be > {}"),
+        ("exclusiveMaximum", lambda c, n: c >= n, "must be < {}"),
+    ):
+        if kw in schema and ctx.col is not None:
+            n = schema[kw]
+            num = (ctx.col.try_cast("double")
+                   if isinstance(ctx.dtype, T.StringType) else ctx.col)
+            msg = _reason(txt.format(n), ctx, kw)
+            _add(ctx, kw, _present(ctx) & op(num, F.lit(n)), msg)
+
+    if "multipleOf" in schema and ctx.col is not None:
+        k = schema["multipleOf"]
+        num = (ctx.col.try_cast("double")
+               if isinstance(ctx.dtype, T.StringType) else ctx.col)
+        msg = _reason(f"must be multiple of {k}", ctx, "multipleOf")
+        _add(ctx, "multipleOf", _present(ctx) & (F.pmod(num, F.lit(k)) != 0), msg)
+
+    for kw, op, txt in (
+        ("maxItems", lambda c, n: F.size(c) > n, "must NOT have more than {} items"),
+        ("minItems", lambda c, n: F.size(c) < n, "must NOT have fewer than {} items"),
+    ):
+        if kw in schema and ctx.col is not None and isinstance(ctx.dtype, T.ArrayType):
+            n = schema[kw]
+            msg = _reason(txt.format(n), ctx, kw)
+            _add(ctx, kw, _present(ctx) & op(ctx.col, F.lit(n)), msg)
+
+    if "required" in schema:
+        for prop in schema["required"]:
+            child_col, child_t, exists = _child(ctx, prop)
+            msg = _reason(f"must have required property '{prop}'", ctx, "required")
+            if not exists:
+                # column absent from the table entirely: statically violated
+                ctx.out.static_failures.append(
+                    (ctx.instance_path, "required", f"no column for {prop!r}"))
+                violated = F.lit(True)
+            elif isinstance(ctx.dtype, T.MapType):
+                violated = ~F.map_contains_key(ctx.col, prop)
+                if ctx.col is not None:
+                    violated = ctx.col.isNotNull() & violated
+            else:
+                violated = child_col.isNull()
+                if ctx.col is not None:
+                    # nested object: required fires only when the object exists
+                    violated = ctx.col.isNotNull() & violated
+            # Ajv reports required at the *object's* path with param
+            # missingProperty (index.ts:175-177)
+            _add(ctx, "required", violated, msg,
+                 actual=F.lit(None).cast("string"))
+
+    if "properties" in schema:
+        for prop, sub in schema["properties"].items():
+            child_col, child_t, exists = _child(ctx, prop)
+            if not exists:
+                # property constrained but column missing: value keywords are
+                # vacuous on an absent property (Ajv semantics) — skip
+                ctx.out.static_passes.append(
+                    (f"{ctx.instance_path}/{prop}", "absent-column"))
+                continue
+            sub_ctx = _Ctx(
+                col=child_col, dtype=child_t,
+                instance_path=f"{ctx.instance_path}/{prop}",
+                schema_path=f"{ctx.schema_path}/properties/{prop}",
+                schema_file=_sub_file(ctx, sub),
+                df_schema=ctx.df_schema, root_schema=ctx.root_schema,
+                out=ctx.out, extra_checks=ctx.extra_checks, silent=ctx.silent,
+            )
+            _compile_keywords(sub, sub_ctx)
+
+    if "items" in schema and isinstance(schema["items"], dict) \
+            and ctx.col is not None and isinstance(ctx.dtype, T.ArrayType):
+        _items_check(ctx, schema["items"])
+
+    if schema.get("additionalProperties") is False:
+        _additional_properties(ctx, schema)
+
+    if "allOf" in schema:
+        for i, sub in enumerate(schema["allOf"]):
+            sub_ctx = _Ctx(
+                col=ctx.col, dtype=ctx.dtype,
+                instance_path=ctx.instance_path,
+                schema_path=f"{ctx.schema_path}/allOf/{i}",
+                schema_file=_sub_file(ctx, sub),
+                df_schema=ctx.df_schema, root_schema=ctx.root_schema,
+                out=ctx.out, extra_checks=ctx.extra_checks, silent=ctx.silent,
+            )
+            _compile_keywords(sub, sub_ctx)
+
+    if "anyOf" in schema:
+        vals = [_validity(sub, ctx, f"{ctx.schema_path}/anyOf/{i}")
+                for i, sub in enumerate(schema["anyOf"])]
+        any_ok = vals[0]
+        for v in vals[1:]:
+            any_ok = any_ok | v
+        msg = _reason("must match a schema in anyOf", ctx, "anyOf")
+        _add(ctx, "anyOf", ~any_ok, msg)
+
+    if "oneOf" in schema:
+        vals = [_validity(sub, ctx, f"{ctx.schema_path}/oneOf/{i}")
+                for i, sub in enumerate(schema["oneOf"])]
+        n_ok = sum((v.cast("int") for v in vals[1:]), vals[0].cast("int"))
+        msg = _reason("must match exactly one schema in oneOf", ctx, "oneOf")
+        _add(ctx, "oneOf", n_ok != 1, msg)
+
+    if "not" in schema:
+        ok = _validity(schema["not"], ctx, f"{ctx.schema_path}/not")
+        msg = _reason("must NOT be valid", ctx, "not")
+        _add(ctx, "not", ok, msg)
+
+    if "x-spark-check" in schema and ctx.col is not None:
+        name = schema["x-spark-check"]
+        fn = ctx.extra_checks.get(name)
+        if fn is None:
+            ctx.out.unknown.append((ctx.instance_path, f"x-spark-check:{name}"))
+        else:
+            msg = _reason(f'must pass check "{name}"', ctx, "x-spark-check")
+            _add(ctx, "x-spark-check", _present(ctx) & ~fn(ctx.col), msg)
+
+
+def _items_check(ctx: _Ctx, items_schema: dict) -> None:
+    """Array element checks via F.exists — one violation per array, not per
+    element (the reference emits per-element errors with /path/0 instance
+    paths; at table scale we aggregate to the array's path, actual carries
+    the whole array)."""
+    elem_t = ctx.dtype.elementType
+
+    def elem_violated(e: Column) -> Column:
+        probe = CompiledRuleset(name="_items")
+        ectx = _Ctx(col=e, dtype=elem_t, instance_path=ctx.instance_path,
+                    schema_path=f"{ctx.schema_path}/items",
+                    schema_file=ctx.schema_file, df_schema=ctx.df_schema,
+                    root_schema=ctx.root_schema, out=probe,
+                    extra_checks=ctx.extra_checks, silent=False)
+        _compile_keywords(items_schema, ectx)
+        if not probe.checks:
+            return F.lit(False)
+        bad = probe.checks[0].violated
+        for c in probe.checks[1:]:
+            bad = bad | c.violated
+        return bad
+
+    msg = _reason("must have valid items", ctx, "items")
+    _add(ctx, "items", _present(ctx) & F.exists(ctx.col, elem_violated), msg)
+
+
+def _additional_properties(ctx: _Ctx, schema: dict) -> None:
+    allowed = list(schema.get("properties", {}).keys())
+    msg = _reason("must NOT have additional properties", ctx,
+                  "additionalProperties")
+    if ctx.col is None:
+        # root object: properties are table columns — static set difference
+        extra = [f for f in ctx.df_schema.fieldNames() if f not in allowed]
+        if extra:
+            ctx.out.static_failures.append(
+                (ctx.instance_path, "additionalProperties",
+                 f"extra columns {extra}"))
+            _add(ctx, "additionalProperties", F.lit(True), msg,
+                 actual=F.lit(",".join(extra)))
+        else:
+            ctx.out.static_passes.append((ctx.instance_path,
+                                          "additionalProperties"))
+    elif isinstance(ctx.dtype, T.MapType):
+        extra_keys = F.array_except(F.map_keys(ctx.col),
+                                    F.array(*[F.lit(k) for k in allowed])
+                                    if allowed else F.array().cast("array<string>"))
+        _add(ctx, "additionalProperties",
+             _present(ctx) & (F.size(extra_keys) > 0), msg,
+             actual=F.concat_ws(",", extra_keys))
+    elif isinstance(ctx.dtype, T.StructType):
+        extra = [f for f in ctx.dtype.fieldNames() if f not in allowed]
+        if extra:
+            _add(ctx, "additionalProperties", _present(ctx), msg,
+                 actual=F.lit(",".join(extra)))
+
+
+def _validity(schema: dict, ctx: _Ctx, schema_path: str) -> Column:
+    """Full-node validity expression (for anyOf/oneOf/not composition)."""
+    probe = CompiledRuleset(name=ctx.out.name)
+    sub_ctx = _Ctx(col=ctx.col, dtype=ctx.dtype,
+                   instance_path=ctx.instance_path, schema_path=schema_path,
+                   schema_file=ctx.schema_file, df_schema=ctx.df_schema,
+                   root_schema=ctx.root_schema, out=probe,
+                   extra_checks=ctx.extra_checks, silent=False)
+    _compile_keywords(schema, sub_ctx)
+    ok = F.lit(True)
+    for c in probe.checks:
+        ok = ok & ~F.coalesce(c.violated, F.lit(False))
+    if probe.static_failures:
+        ok = F.lit(False)
+    return ok
+
+
+def _child(ctx: _Ctx, prop: str):
+    """Resolve a property name to (Column, DataType, exists) under ctx."""
+    if ctx.col is None:
+        if prop in ctx.df_schema.fieldNames():
+            f = ctx.df_schema[prop]
+            ctx.out.columns_read.add(prop)
+            return F.col(prop), f.dataType, True
+        return None, None, False
+    if isinstance(ctx.dtype, T.StructType):
+        if prop in ctx.dtype.fieldNames():
+            f = ctx.dtype[prop]
+            return ctx.col.getField(prop), f.dataType, True
+        return None, None, False
+    if isinstance(ctx.dtype, T.MapType):
+        return ctx.col.getItem(prop), ctx.dtype.valueType, True
+    return None, None, False
+
+
+def _sub_file(ctx: _Ctx, sub) -> str:
+    """Bundled external refs keep their file-path prefix in schemaPath
+    provenance (reference demo/pipeline.ts:74-79)."""
+    if isinstance(sub, dict) and "$bundled_from" in sub:
+        return sub["$bundled_from"]
+    return ctx.schema_file
+
+
+def compile_ruleset(
+    schema: dict,
+    df_schema: T.StructType,
+    *,
+    name: str = "ruleset",
+    schema_file: str = "",
+    extra_checks: dict | None = None,
+    exclude_columns: tuple = (),
+) -> CompiledRuleset:
+    """Compile a bundled JSON-Schema-shaped document against a table schema.
+
+    ``exclude_columns`` reproduces the reference's routing-key removal:
+    ``delete yamlJS.$schema`` (index.ts:300-302) runs only on the
+    file-association path, so callers pass ``("ruleset_id",)`` when the
+    ruleset was routed by column and ``()`` on the embed path (the quirk
+    where an embedded ``additionalProperties:false`` schema flags
+    ``$schema`` is thereby preserved).
+    """
+    if not isinstance(schema, dict):
+        raise RulesetCompileError(f"JSON schema malformed: {schema!r}")
+    if exclude_columns:
+        df_schema = T.StructType(
+            [f for f in df_schema.fields if f.name not in exclude_columns])
+    out = CompiledRuleset(name=name)
+    out.ruleset_hash = hashlib.sha256(
+        json.dumps(schema, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+    ctx = _Ctx(col=None, dtype=None, instance_path="", schema_path="#",
+               schema_file=schema_file, df_schema=df_schema,
+               root_schema=schema, out=out,
+               extra_checks=extra_checks or {})
+    try:
+        _compile_keywords(schema, ctx)
+    except RulesetCompileError:
+        raise
+    except Exception as exc:  # malformed schema -> guard, not crash (index.ts:335-340)
+        raise RulesetCompileError(f"JSON schema malformed: {exc}") from exc
+    return out
+
+
+_ = re  # silence unused import if format table is regex-free in future

@@ -1,0 +1,11 @@
+import pytest
+
+from remark_lint_frontmatter_schema_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(master="local[4]", app_name="rlfs-tests",
+                  shuffle_partitions=4)
+    yield s
+    s.stop()

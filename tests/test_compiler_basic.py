@@ -1,0 +1,131 @@
+"""Core keyword semantics: each check fires exactly where Ajv would.
+
+Fixture values transpose the reference demo corpus (see docstrings)."""
+
+import pyspark.sql.types as T
+import pytest
+
+from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+
+SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("sr_hz", T.IntegerType()),
+    T.StructField("dur_ms", T.IntegerType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("transcript", T.StringType()),
+    T.StructField("props", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("part", T.StringType()),
+])
+
+RULESET = {
+    "type": "object",
+    "properties": {
+        "codec": {"enum": ["pcm_s16le", "flac", "opus"]},
+        "sr_hz": {"type": "integer", "minimum": 8000, "maximum": 48000},
+        "dur_ms": {"minimum": 200, "maximum": 30000},
+        "transcript": {"type": "string", "maxLength": 40,
+                       "pattern": "^[A-Za-z0-9 ,.'?!-]+$"},
+        "props": {
+            "required": ["lang"],
+            "properties": {"take": {"type": "integer"},
+                           "lang": {"enum": ["en", "de", "fr"]}},
+        },
+    },
+    "required": ["clip_id", "transcript", "codec"],
+}
+
+
+def rows():
+    ok = ("c1", 16000, 500, "flac", "hello world", {"lang": "en", "take": "3"}, "p0")
+    return [
+        ok,
+        # enum violation — `category: Video game` analog
+        # (demo/content/creative-work/behind-the-gare-st-lazare__local-broken.md:6)
+        ("c2", 16000, 500, "divx", "hi", {"lang": "en"}, "p0"),
+        # required violation — missing `title` analog (page.schema.yaml:22-23)
+        ("c3", 16000, 500, "flac", None, {"lang": "en"}, "p0"),
+        # string-where-number — `complex.time: '1859'` analog
+        # (the-shipwreck__global-broken.md:6)
+        ("c4", 16000, 500, "flac", "ok", {"lang": "en", "take": "eighteen"}, "p1"),
+        # range + nested-required + pattern, several at once (allErrors)
+        ("c5", 3, -5, "flac", "bad\x07ctl", {"take": "1"}, "p1"),
+        # maxLength
+        ("c6", 16000, 500, "opus", "x" * 50, {"lang": "fr"}, "p1"),
+    ]
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    df = spark.createDataFrame(rows(), SCHEMA)
+    compiled = compile_ruleset(RULESET, df.schema, name="clip")
+    return validate(df, compiled, row_id="clip_id", partition_col="part")
+
+
+def _by_row(result):
+    out = {}
+    for r in result.violations.collect():
+        out.setdefault(r.row_id, []).append(r)
+    return out
+
+
+def test_valid_row_has_zero_violations(result):
+    # guten-nachte__local-correct.md analog: zero messages
+    assert "c1" not in _by_row(result)
+
+
+def test_enum(result):
+    v = [r for r in _by_row(result)["c2"] if r.keyword == "enum"
+         and r.instance_path == "/codec"]
+    assert len(v) == 1
+    assert v[0].actual == "divx"
+    assert v[0].expected == ["pcm_s16le", "flac", "opus"]
+    # message format per index.ts:105-119
+    assert v[0].message == ("Must be equal to one of the allowed values: "
+                            "`pcm_s16le`, `flac`, `opus` • #/properties/codec/enum")
+
+
+def test_required(result):
+    v = [r for r in _by_row(result)["c3"] if r.keyword == "required"]
+    assert len(v) == 1
+    assert "Must have required property 'transcript'" in v[0].message
+
+
+def test_type_on_map_value(result):
+    v = [r for r in _by_row(result)["c4"] if r.keyword == "type"]
+    assert len(v) == 1
+    assert v[0].instance_path == "/props/take"
+    assert v[0].actual == "eighteen"
+
+
+def test_all_errors_no_short_circuit(result):
+    # c5 violates minimum(sr), minimum(dur), pattern, nested required at once
+    kws = {(r.keyword, r.instance_path) for r in _by_row(result)["c5"]}
+    assert ("minimum", "/sr_hz") in kws
+    assert ("minimum", "/dur_ms") in kws
+    assert ("pattern", "/transcript") in kws
+    assert ("required", "/props") in kws
+
+
+def test_maxlength(result):
+    v = [r for r in _by_row(result)["c6"] if r.keyword == "maxLength"]
+    assert len(v) == 1
+    assert "Must NOT have more than 40 characters" in v[0].message
+
+
+def test_verdicts(result):
+    verdicts = {r.partition_id: r for r in result.verdicts.collect()}
+    assert verdicts["p0"].n_rows == 3
+    assert verdicts["p0"].n_failed_rows == 2
+    assert not verdicts["p0"].passed
+    assert verdicts["p1"].n_failed_rows == 3
+
+
+def test_static_type_pass_is_free(spark):
+    df = spark.createDataFrame(rows(), SCHEMA)
+    compiled = compile_ruleset(RULESET, df.schema, name="clip")
+    # sr_hz is already INT: type check must be statically satisfied, not a runtime check
+    assert ("/sr_hz", "type") in compiled.static_passes
+    assert all(c.keyword != "type" or c.instance_path != "/sr_hz"
+               for c in compiled.checks)
+    # only referenced columns are read (bytes-style pruning discipline)
+    assert "part" not in compiled.columns_read
