@@ -1,0 +1,188 @@
+"""Audio payload functions: synth, header sanity, PCM decode.
+
+The reference validates text frontmatter only; the binary-payload checks
+here are the north_star's graft ("codec-header sanity on bytes … vectorized
+pandas/Arrow UDF checks", BASELINE.json). Everything crossing the
+JVM<->Python boundary is an Arrow batch (pandas UDF / mapInPandas) — never
+a row-at-a-time Python UDF (input_hint: "no per-row Python").
+
+Header parsing is vectorized over the batch: fixed-offset byte slices via
+the pandas bytes accessor + one ``np.frombuffer`` per batch for the
+little-endian sample-rate words. No external audio libs (none in this
+sandbox): WAV containers are written/read with struct-level numpy code,
+which is also what keeps the decode deterministic for the SNR oracle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+# ---------------------------------------------------------------------------
+# synthesis (driver/executor side, deterministic)
+# ---------------------------------------------------------------------------
+
+_SNR_DB = 40.0  # generator mixes sine + noise at ~40 dB, so the ≥30 dB
+                # fidelity oracle has headroom (FIXTURES.md §1)
+
+
+def sine_signal(i: int, sr_hz: int, n_samples: int) -> np.ndarray:
+    """The clean reference signal for clip ``i`` (float in [-1, 1))."""
+    freq = 200.0 + (i % 800)
+    t = np.arange(n_samples, dtype=np.float64) / sr_hz
+    return 0.8 * np.sin(2 * np.pi * freq * t)
+
+
+def synth_pcm16(i: int, sr_hz: int, n_samples: int) -> np.ndarray:
+    """sine + white noise at ~40 dB SNR, quantized to int16. Seeded by i."""
+    sig = sine_signal(i, sr_hz, n_samples)
+    rng = np.random.default_rng(42 + i)
+    noise_rms = np.sqrt(np.mean(sig**2)) / (10 ** (_SNR_DB / 20))
+    noisy = sig + rng.normal(0.0, noise_rms, n_samples)
+    return np.clip(noisy * 32767.0, -32768, 32767).astype("<i2")
+
+
+def wav_bytes(samples: np.ndarray, sr_hz: int) -> bytes:
+    """Minimal RIFF/WAVE PCM16 mono container (44-byte canonical header)."""
+    data = samples.astype("<i2").tobytes()
+    n = len(data)
+    header = (
+        b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr_hz, sr_hz * 2, 2, 16)
+        + b"data" + struct.pack("<I", n)
+    )
+    return header + data
+
+
+def synth_wav(i: int, sr_hz: int, audio_ms: int) -> bytes:
+    n = max(1, int(sr_hz * audio_ms / 1000))
+    return wav_bytes(synth_pcm16(i, sr_hz, n), sr_hz)
+
+
+def flac_stub_bytes(i: int) -> bytes:
+    """Deterministic fake FLAC: correct magic, opaque body (no flac encoder
+    in this sandbox — the header check only needs the magic)."""
+    rng = np.random.default_rng(1042 + i)
+    return b"fLaC" + rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+
+
+def opus_stub_bytes(i: int) -> bytes:
+    """Deterministic fake Ogg/Opus: OggS page + OpusHead marker."""
+    rng = np.random.default_rng(2042 + i)
+    return (b"OggS" + bytes(22) + b"\x01\x00"
+            + b"OpusHead" + rng.integers(0, 256, 128, dtype=np.uint8).tobytes())
+
+
+def decode_wav_pcm16(b: bytes) -> tuple[int, np.ndarray]:
+    """Parse a canonical PCM16 WAV -> (sample_rate, float samples in [-1,1)).
+
+    Raises ValueError on malformed containers — callers turn that into a
+    ``decode`` violation row, never a job failure (the reference's
+    YAML-parse guard, /root/reference/index.ts:240-245)."""
+    if len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    sr = struct.unpack_from("<I", b, 24)[0]
+    if b[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    n = struct.unpack_from("<I", b, 40)[0]
+    raw = b[44:44 + n]
+    if len(raw) < n:
+        raise ValueError("truncated data chunk")
+    return sr, np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+
+
+def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
+    """SNR of decoded against the clean reference signal."""
+    m = min(len(reference), len(decoded))
+    if m == 0:
+        return float("-inf")
+    ref, dec = reference[:m], decoded[:m]
+    noise = dec - ref
+    p_sig = float(np.mean(ref**2))
+    p_noise = float(np.mean(noise**2))
+    if p_noise == 0:
+        return float("inf")
+    return 10.0 * np.log10(p_sig / p_noise)
+
+
+# ---------------------------------------------------------------------------
+# vectorized header checks (Arrow-batched; the U3 operator of SURVEY.md §2.8)
+# ---------------------------------------------------------------------------
+
+def _slice_eq(s: pd.Series, lo: int, hi: int, magic: bytes) -> pd.Series:
+    return s.str.slice(lo, hi) == magic
+
+
+def _le_u32(s: pd.Series, off: int) -> pd.Series:
+    """Vectorized little-endian u32 at byte offset ``off`` for each value.
+
+    One concatenated buffer + one np.frombuffer per batch; rows too short
+    yield -1 (caller treats as mismatch)."""
+    sl = s.str.slice(off, off + 4)
+    ok = sl.str.len() == 4
+    if not ok.any():
+        return pd.Series(-1, index=s.index)
+    joined = b"".join(sl[ok])
+    vals = np.frombuffer(joined, dtype="<u4").astype("int64")
+    out = pd.Series(-1, index=s.index, dtype="int64")
+    out[ok] = vals
+    return out
+
+
+def header_ok_batch(b: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.Series:
+    """True iff the byte payload's container matches the declared codec and,
+    for WAV, the fmt-chunk sample rate equals the ``sr_hz`` column."""
+    b = b.where(b.notna(), b"")
+    long_enough = b.str.len() >= 4
+    is_wav = long_enough & _slice_eq(b, 0, 4, b"RIFF") & _slice_eq(b, 8, 12, b"WAVE")
+    wav_sr = _le_u32(b, 24)
+    wav_ok = is_wav & (wav_sr == sr_hz.fillna(-2).astype("int64"))
+    flac_ok = long_enough & _slice_eq(b, 0, 4, b"fLaC")
+    opus_ok = (long_enough & _slice_eq(b, 0, 4, b"OggS")
+               & _slice_eq(b, 28, 36, b"OpusHead"))
+    out = pd.Series(False, index=b.index)
+    out[codec == "pcm_s16le"] = wav_ok[codec == "pcm_s16le"]
+    out[codec == "flac"] = flac_ok[codec == "flac"]
+    out[codec == "opus"] = opus_ok[codec == "opus"]
+    return out
+
+
+@pandas_udf(BooleanType())
+def codec_header_ok(b: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.Series:
+    return header_ok_batch(b, codec, sr_hz)
+
+
+def register_audio_checks() -> dict:
+    """Named vectorized checks for the DSL's ``x-spark-check`` extension
+    point (the reference's custom-Ajv-keyword analog, index.ts:49)."""
+    return {
+        "wav_riff_magic": lambda col: F.substring(col, 1, 4) == F.lit(b"RIFF"),
+    }
+
+
+def decode_stats_schema() -> str:
+    return ("clip_id string, decode_ok boolean, sr_hz_payload int, "
+            "n_samples long, rms double")
+
+
+def decode_stats_map_in_pandas(iterator):
+    """mapInPandas decoder: per-batch loop over binary payloads (binary
+    container parsing is inherently per-value, but it stays inside one Arrow
+    batch — no per-row Python UDF dispatch). Emits decode stats; malformed
+    payloads become decode_ok=false rows, never exceptions."""
+    for pdf in iterator:
+        rows = []
+        for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
+            try:
+                sr, samples = decode_wav_pcm16(bytes(b) if b is not None else b"")
+                rows.append((cid, True, sr, len(samples),
+                             float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0))
+            except ValueError:
+                rows.append((cid, False, None, None, None))
+        yield pd.DataFrame(rows, columns=["clip_id", "decode_ok",
+                                          "sr_hz_payload", "n_samples", "rms"])

@@ -16,6 +16,7 @@ into run-level artifacts instead of job crashes (reference guard:
 from __future__ import annotations
 
 import json
+import posixpath
 from pathlib import Path
 
 try:  # PyYAML is present in this sandbox; JSON-only fallback keeps imports safe
@@ -85,7 +86,7 @@ def _inline_refs(node, base: Path, depth: int):
             # can keep the two-part form (file + pointer), as the reference's
             # bundled refs do (demo/pipeline.ts:74-79)
             out = dict(sub)
-            out.setdefault("$bundled_from", ref_path)
+            out.setdefault("$bundled_from", posixpath.normpath(ref_path))
             extra = {k: v for k, v in node.items() if k != "$ref"}
             out.update(_inline_refs(extra, base, depth) if extra else {})
             return out
