@@ -1,0 +1,87 @@
+"""Distribution-drift detection: two-sample KS and PSI over histograms
+(SURVEY.md A7 + W1, north_star).
+
+Dataflow at 10^12 rows: one hash-aggregate builds fixed-bucket histograms
+per (side, bucket) — the only thing shuffled is the tiny histogram
+relation (n_sides * n_buckets rows). KS then needs cumulative sums, done
+with a window over the histogram relation (W1); PSI is a plain aggregate
+over bucket probability pairs. Everything downstream of the first groupBy
+is effectively driver-scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def histogram(df: DataFrame, value_col: str, side_col, *,
+              lo: float, hi: float, n_buckets: int = 50) -> DataFrame:
+    """Fixed-bucket histogram per side. ``side_col`` may be a column name or
+    Column expression (e.g. a boolean partition split)."""
+    side = F.col(side_col) if isinstance(side_col, str) else side_col
+    bucket = F.width_bucket(F.col(value_col).cast("double"),
+                            F.lit(float(lo)), F.lit(float(hi)),
+                            F.lit(n_buckets))
+    return (df.where(F.col(value_col).isNotNull())
+              .groupBy(side.cast("string").alias("side"),
+                       bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n")))
+
+
+def ks_statistic(hist: DataFrame, side_a: str, side_b: str) -> DataFrame:
+    """Two-sample KS from a histogram relation: max |CDF_a - CDF_b|.
+
+    Exact up to bucket resolution (both samples discretized to the same
+    buckets — the standard scalable approximation).
+    """
+    w = Window.partitionBy("side").orderBy("bucket") \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy("side")
+    cdf = hist.withColumn("cdf", F.sum("n").over(w) / F.sum("n").over(tot))
+    a = cdf.where(F.col("side") == side_a).select("bucket", F.col("cdf").alias("cdf_a"))
+    b = cdf.where(F.col("side") == side_b).select("bucket", F.col("cdf").alias("cdf_b"))
+    # full outer: a bucket empty on one side still advances the other CDF;
+    # forward-fill the missing CDF with the last seen value via a window
+    joined = a.join(b, "bucket", "full_outer")
+    wf = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
+                                              Window.currentRow)
+    filled = (joined
+              .withColumn("cdf_a", F.last("cdf_a", ignorenulls=True).over(wf))
+              .withColumn("cdf_b", F.last("cdf_b", ignorenulls=True).over(wf))
+              .fillna({"cdf_a": 0.0, "cdf_b": 0.0}))
+    return filled.agg(
+        F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))).alias("ks_stat"))
+
+
+def psi(hist: DataFrame, side_a: str, side_b: str,
+        *, epsilon: float = 1e-6) -> DataFrame:
+    """Population Stability Index over the same histogram relation."""
+    tot = Window.partitionBy("side")
+    p = hist.withColumn("p", F.col("n") / F.sum("n").over(tot))
+    a = p.where(F.col("side") == side_a).select("bucket", F.col("p").alias("p_a"))
+    b = p.where(F.col("side") == side_b).select("bucket", F.col("p").alias("p_b"))
+    joined = (a.join(b, "bucket", "full_outer")
+               .fillna({"p_a": 0.0, "p_b": 0.0})
+               .withColumn("p_a", F.greatest("p_a", F.lit(epsilon)))
+               .withColumn("p_b", F.greatest("p_b", F.lit(epsilon))))
+    return joined.agg(
+        F.sum((F.col("p_a") - F.col("p_b"))
+              * F.log(F.col("p_a") / F.col("p_b"))).alias("psi"))
+
+
+def drift_check(df: DataFrame, value_col: str, side_col, side_a: str,
+                side_b: str, *, lo: float, hi: float, n_buckets: int = 50,
+                ks_threshold: float = 0.1, psi_threshold: float = 0.2) -> dict:
+    """Run both tests; returns scalar verdict dict (driver-side, tiny)."""
+    hist = histogram(df, value_col, side_col, lo=lo, hi=hi,
+                     n_buckets=n_buckets).cache()
+    ks = ks_statistic(hist, side_a, side_b).collect()[0].ks_stat
+    p = psi(hist, side_a, side_b).collect()[0].psi
+    hist.unpersist()
+    return {
+        "ks_stat": float(ks) if ks is not None else None,
+        "psi": float(p) if p is not None else None,
+        "ks_drifted": ks is not None and ks > ks_threshold,
+        "psi_drifted": p is not None and p > psi_threshold,
+    }

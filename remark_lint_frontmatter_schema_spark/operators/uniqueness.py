@@ -1,0 +1,63 @@
+"""Key-uniqueness check with explicit skew handling (SURVEY.md A6).
+
+north_rule mandate: "clip_id uniqueness via salted hash-partitioned
+aggregation with explicit skew handling". The two-phase plan:
+
+  phase 1: groupBy(key, salt = pmod(xxhash64(key, seed), n_salts)).count()
+           — a hot key's rows split across n_salts reducers
+  phase 2: groupBy(key).sum(partial_count) — tiny relation (one row per
+           distinct (key, salt)), then filter cnt > 1
+
+Spark's hash aggregate already does map-side partial counts, which handles
+*moderate* skew; the explicit salt protects the pathological case where one
+key dominates entire partitions post-shuffle (the fixture's 1000x hot id).
+Duplicate keys become violation rows (``constraint_id='unique:<key>'``)
+shaped exactly like the DSL checks so sinks union cleanly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_keys(df: DataFrame, key: str, *, n_salts: int = 32,
+                   salted: bool = True) -> DataFrame:
+    """Keys appearing more than once, with their multiplicity."""
+    if salted:
+        partial = (
+            df.select(key)
+            .where(F.col(key).isNotNull())
+            .groupBy(F.col(key),
+                     F.pmod(F.xxhash64(F.col(key), F.lit(42)),
+                            F.lit(n_salts)).alias("_salt"))
+            .agg(F.count(F.lit(1)).alias("_partial"))
+        )
+        counts = partial.groupBy(key).agg(F.sum("_partial").alias("n_occurrences"))
+    else:
+        counts = (df.select(key).where(F.col(key).isNotNull())
+                  .groupBy(key).agg(F.count(F.lit(1)).alias("n_occurrences")))
+    return counts.where(F.col("n_occurrences") > 1)
+
+
+def uniqueness_violations(df: DataFrame, key: str, *,
+                          ruleset_name: str = "engine",
+                          n_salts: int = 32) -> DataFrame:
+    """Violation rows for duplicated keys, one per duplicate key value
+    (violation shape mirrors operators/validate.py VIOLATION_FIELDS)."""
+    dups = duplicate_keys(df, key, n_salts=n_salts)
+    return dups.select(
+        F.col(key).cast("string").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"unique:{key}").alias("constraint_id"),
+        F.lit("unique").alias("keyword"),
+        F.lit(f"/{key}").alias("instance_path"),
+        F.lit(f"#/x-unique/{key}").alias("schema_path"),
+        F.concat(F.lit(f"Must be unique: '{key}' occurs "),
+                 F.col("n_occurrences").cast("string"),
+                 F.lit(" times")).alias("message"),
+        F.col(key).cast("string").alias("actual"),
+        F.lit(None).cast("array<string>").alias("expected"),
+        F.lit("warning").alias("severity"),
+    )

@@ -1,0 +1,113 @@
+"""Stats / uniqueness / referential / drift operators over the clips
+fixture table and the driver testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from remark_lint_frontmatter_schema_spark.operators import (
+    drift, referential, stats, uniqueness)
+from remark_lint_frontmatter_schema_spark.sources import fixtures
+
+N = 2000
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    df = fixtures.generate_clips(spark, N, audio_ms=8, num_partitions=8)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def speakers(spark):
+    return fixtures.generate_speakers(spark)
+
+
+def test_column_stats_single_pass(clips):
+    s = stats.column_stats(clips, ["sr_hz", "dur_ms", "transcript"])
+    rows = {r.column: r for r in s.collect()}
+    assert rows["sr_hz"].n_rows == N
+    assert rows["sr_hz"].n_nulls == 0
+    assert int(rows["sr_hz"].min_value) == 3          # injected range_sr
+    assert int(rows["sr_hz"].max_value) == 48000
+    # 10 injected nulls (required_transcript class, 1 per 200)
+    assert rows["transcript"].n_nulls == N // 200
+    assert 0 < rows["transcript"].null_rate < 0.01
+    assert rows["dur_ms"].q_50 is not None
+
+
+def test_stats_per_partition(clips):
+    s = stats.column_stats(clips, ["dur_ms"], group_by="part_date")
+    rows = s.collect()
+    assert len(rows) == 8
+    # drift partition (last date) has visibly larger median
+    med = {r.partition_id: r.q_50 for r in rows}
+    assert med["2026-01-08"] > 1.3 * med["2026-01-01"]
+
+
+def test_tdigest_close_to_builtin(clips):
+    td = stats.tdigest_quantiles(clips, "dur_ms", quantiles=(0.5,))
+    [[exact]] = clips.selectExpr("percentile(dur_ms, 0.5)").collect()
+    assert abs(td[0.5] - exact) / exact < 0.15
+
+
+def test_uniqueness_salted_finds_dups_and_hot_key(clips):
+    dups = {r[0]: r[1] for r in
+            uniqueness.duplicate_keys(clips, "clip_id").collect()}
+    # hot key: n_hot = N//200 = 10 occurrences
+    assert dups[fixtures.HOT_CLIP_ID] == N // 200
+    # ~0.1% duplicated ids: rows i%1000==500 take clip_{i-1}
+    assert dups[f"clip_{499:010d}"] == 2
+    # salted and naive agree exactly
+    naive = {r[0]: r[1] for r in
+             uniqueness.duplicate_keys(clips, "clip_id", salted=False).collect()}
+    assert dups == naive
+
+
+def test_uniqueness_violation_rows(clips):
+    v = uniqueness.uniqueness_violations(clips, "clip_id").collect()
+    assert all(r.keyword == "unique" for r in v)
+    hot = [r for r in v if r.row_id == fixtures.HOT_CLIP_ID]
+    assert hot and "occurs 10 times" in hot[0].message
+
+
+def test_referential_exact_vs_bloom(clips, speakers):
+    exact = referential.dangling_keys(clips, "speaker_id", speakers,
+                                      "speaker_id")
+    bloomed = referential.dangling_keys(clips, "speaker_id", speakers,
+                                        "speaker_id", use_bloom=True)
+    e = {r.clip_id for r in exact.select("clip_id").collect()}
+    b = {r.clip_id for r in bloomed.select("clip_id").collect()}
+    assert e == b
+    assert len(e) == N // 200  # one dangling_speaker row per 200
+    # every dangling row is a ghost speaker
+    ghosts = clips.where("speaker_id like 'spk_ghost%'").count()
+    assert ghosts == len(e)
+
+
+def test_referential_violation_rows(clips, speakers):
+    v = referential.referential_violations(
+        clips, "speaker_id", speakers, "speaker_id", row_id="clip_id")
+    rows = v.collect()
+    assert len(rows) == N // 200
+    assert all(r.actual.startswith("spk_ghost") for r in rows)
+
+
+def test_drift_detects_shifted_partition(clips):
+    last = "2026-01-08"
+    side = F.when(F.col("part_date") == last, "b").otherwise("a")
+    res = drift.drift_check(clips.where("dur_ms > 0"), "dur_ms", side,
+                            "a", "b", lo=0, hi=50000, n_buckets=50)
+    assert res["ks_stat"] > 0.15
+    assert res["ks_drifted"]
+    assert res["psi"] > 0.2
+
+
+def test_drift_null_on_same_distribution(clips):
+    # two halves of the SAME distribution: no drift
+    side = F.when(F.pmod(F.xxhash64("clip_id"), F.lit(2)) == 0, "a").otherwise("b")
+    res = drift.drift_check(
+        clips.where("part_date < '2026-01-08' and dur_ms > 0"),
+        "dur_ms", side, "a", "b", lo=0, hi=50000)
+    assert res["ks_stat"] < 0.08
+    assert not res["psi_drifted"]
