@@ -1,10 +1,13 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry, per-operator queries, DuckDB oracles.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2;
+``oracle_sql()`` holds the ANSI-SQL equivalent DuckDB runs on the same
+parquet. Column names/aliases match exactly on both sides (driver compares
+row-count + schema + order-insensitive value hash). Doubles are rounded to
+5-6 dp on BOTH sides so only genuine semantic differences can mismatch.
+
+Non-SQL-expressible ops (MinHash-LSH, SimHash, IVF-ANN, approx sketches)
+have queries() entries without oracles -> rows-only checks by design.
 """
 
 from __future__ import annotations
@@ -12,27 +15,478 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+from remark_lint_frontmatter_schema_spark.operators import (
+    dedup, drift, referential, similarity, stats, text, uniqueness)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# flagship ruleset over `orders` (thresholds chosen to actually fire on the
+# clean TPC-H-ish data, so the oracle comparison is non-trivial)
+# ---------------------------------------------------------------------------
+
+ORDERS_RULESET = {
+    "type": "object",
+    "properties": {
+        "o_orderstatus": {"enum": ["O", "F"]},
+        "o_totalprice": {"exclusiveMinimum": 2000},
+        "o_orderpriority": {"pattern": "^[1-3]-"},
+    },
+    "required": ["o_custkey"],
+}
+
+_ORDERS_VIOL_SQL = """
+WITH v AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS row_id,
+         'orders:/o_orderstatus:enum' AS constraint_id,
+         'enum' AS keyword, '/o_orderstatus' AS instance_path,
+         'Must be equal to one of the allowed values: `O`, `F` • #/properties/o_orderstatus/enum' AS message,
+         o_orderstatus AS actual
+  FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F')
+  UNION ALL
+  SELECT CAST(o_orderkey AS VARCHAR),
+         'orders:/o_totalprice:exclusiveMinimum', 'exclusiveMinimum', '/o_totalprice',
+         'Must be > 2000 • #/properties/o_totalprice/exclusiveMinimum',
+         CAST(o_totalprice AS VARCHAR)
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice <= 2000
+  UNION ALL
+  SELECT CAST(o_orderkey AS VARCHAR),
+         'orders:/o_orderpriority:pattern', 'pattern', '/o_orderpriority',
+         'Must match pattern "^[1-3]-" • #/properties/o_orderpriority/pattern',
+         o_orderpriority
+  FROM orders WHERE o_orderpriority IS NOT NULL
+        AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+  UNION ALL
+  SELECT CAST(o_orderkey AS VARCHAR),
+         'orders:/:required', 'required', '',
+         'Must have required property ''o_custkey'' • #/required',
+         NULL
+  FROM orders WHERE o_custkey IS NULL
+)
+SELECT row_id, constraint_id, keyword, instance_path, message FROM v
+"""
+
+
+def _orders_validation(spark: SparkSession, sf_dir: str):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    compiled = compile_ruleset(ORDERS_RULESET, orders.schema, name="orders")
+    return validate(orders, compiled, row_id="o_orderkey",
+                    partition_col="o_orderstatus")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: declarative ruleset -> one-scan violations (sf0.001)."""
+    return _orders_validation(spark, SF_SMOKE).violations
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_validate_orders(spark, sf):
+    return _orders_validation(spark, sf).violations.select(
+        "row_id", "constraint_id", "keyword", "instance_path", "message")
+
+
+def q_verdict_orders(spark, sf):
+    return _orders_validation(spark, sf).verdicts.select(
+        "partition_id", "n_rows", "n_violations", "n_failed_rows", "passed")
+
+
+def q_stats_lineitem(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return li.groupBy(F.col("l_returnflag")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("n_nulls_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.countDistinct("l_partkey").alias("n_distinct_part"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+def q_unique_lineitem_orderkey(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return uniqueness.duplicate_keys(li, "l_orderkey")
+
+
+def q_ref_orders_customer(spark, sf):
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    dim = spark.read.parquet(f"{sf}/customer.parquet").where("c_acctbal >= 0")
+    return referential.dangling_keys(orders, "o_custkey", dim, "c_custkey") \
+        .select("o_orderkey", "o_custkey")
+
+
+def q_ref_orders_customer_bloom(spark, sf):
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    dim = spark.read.parquet(f"{sf}/customer.parquet").where("c_acctbal >= 0")
+    return referential.dangling_keys(orders, "o_custkey", dim, "c_custkey",
+                                     use_bloom=True) \
+        .select("o_orderkey", "o_custkey")
+
+
+def _events_hist(spark, sf):
+    ev = spark.read.parquet(f"{sf}/events.parquet") \
+        .where(F.col("event_type").isin("error", "purchase"))
+    return drift.histogram(ev, "value", "event_type", lo=0.0, hi=500.0,
+                           n_buckets=25)
+
+
+def q_hist_events(spark, sf):
+    return _events_hist(spark, sf).select("side", "bucket", "n")
+
+
+def q_drift_events_ks(spark, sf):
+    h = _events_hist(spark, sf)
+    return drift.ks_statistic(h, "error", "purchase") \
+        .select(F.round("ks_stat", 6).alias("ks_stat"))
+
+
+def q_drift_events_psi(spark, sf):
+    h = _events_hist(spark, sf)
+    return drift.psi(h, "error", "purchase") \
+        .select(F.round("psi", 6).alias("psi"))
+
+
+def q_topn_flag_violation_rate(spark, sf):
+    from pyspark.sql import Window
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    rates = li.groupBy("l_returnflag").agg(
+        F.round(F.avg((F.col("l_quantity") > 45).cast("double")), 6)
+        .alias("rate"))
+    return rates.withColumn(
+        "rnk", F.dense_rank().over(Window.orderBy(F.desc("rate"))))
+
+
+def q_text_stats_documents(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(c).alias("n_chars_c"),
+        text.token_count(c).alias("n_tokens"),
+        text.bpe_token_count(c).alias("n_tokens_bpe"),
+        F.round(text.stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(text.punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(text.quality_score(c), 6).alias("quality_score"),
+    )
+
+
+def q_langid_documents(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.select(
+        "doc_id", text.lang_guess(F.col("text")).alias("lang_guess"),
+        (text.lang_guess(F.col("text")) == F.col("lang")).alias("matches_label"))
+
+
+def q_fingerprint_documents(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.select("doc_id",
+                       text.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_dedup_exact_documents(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return dedup.exact_groups(docs, "text", "doc_id")
+
+
+def q_ann_cosine_topk(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.where("vec_id = 0").select("embedding").first().embedding]
+    return similarity.cosine_topk(emb, "embedding", "vec_id", qv, k=10,
+                                  exclude_id=0)
+
+
+def q_embed_sim_pairs(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return similarity.embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", block_col="label", threshold=0.30)
+
+
+def q_ngram_jaccard_documents(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                     block_col="lang", n=3, threshold=0.55)
+
+
+# --- rows-only (approx / hash-seeded: no faithful ANSI-SQL twin) -----------
+
+def q_minhash_dedup_documents(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+def q_simhash_pairs_documents(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return dedup.simhash_pairs(docs, "text", "doc_id", max_distance=6)
+
+
+def q_ann_ivf_topk(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.where("vec_id = 0").select("embedding").first().embedding]
+    return similarity.cosine_topk_ivf(emb, "embedding", "vec_id", qv, k=10,
+                                      n_cells=8, n_probe=4)
+
+
+def q_approx_stats_lineitem(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return stats.column_stats(li, ["l_quantity", "l_extendedprice"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_orders": q_validate_orders,
+        "verdict_orders": q_verdict_orders,
+        "stats_lineitem": q_stats_lineitem,
+        "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
+        "ref_orders_customer": q_ref_orders_customer,
+        "ref_orders_customer_bloom": q_ref_orders_customer_bloom,
+        "hist_events": q_hist_events,
+        "drift_events_ks": q_drift_events_ks,
+        "drift_events_psi": q_drift_events_psi,
+        "topn_flag_violation_rate": q_topn_flag_violation_rate,
+        "text_stats_documents": q_text_stats_documents,
+        "langid_documents": q_langid_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embed_sim_pairs": q_embed_sim_pairs,
+        "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "minhash_dedup_documents": q_minhash_dedup_documents,
+        "simhash_pairs_documents": q_simhash_pairs_documents,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "approx_stats_lineitem": q_approx_stats_lineitem,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+def _langid_oracle_sql() -> str:
+    """Generated from the same LANG_MARKERS constants as the Spark path."""
+    score_exprs = []
+    for lang, markers in text.LANG_MARKERS.items():
+        parts = [
+            f"CAST((length(padded) - length(replace(padded, ' {m} ', ''))) / {len(m) + 2} AS INT)"
+            for m in markers
+        ]
+        score_exprs.append(f"({' + '.join(parts)}) AS s_{lang}")
+    langs = list(text.LANG_MARKERS)
+    best = f"greatest({', '.join('s_' + lg for lg in langs)})"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lg} = best THEN '{lg}'" for lg in langs) + " END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {', '.join(score_exprs)}
+  FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded FROM documents) t
+), g AS (
+  SELECT doc_id, lang, {best} AS best,
+         {', '.join('s_' + lg for lg in langs)}
+  FROM scored
+)
+SELECT doc_id,
+       CASE WHEN best > 0 THEN {case} ELSE 'und' END AS lang_guess,
+       (CASE WHEN best > 0 THEN {case} ELSE 'und' END) = lang AS matches_label
+FROM g
+"""
+
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+
+_TEXT_STATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n_chars_c,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe
+  FROM documents
+), r AS (
+  SELECT doc_id, n_chars_c, len(toks) AS n_tokens, n_tokens_bpe,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> lower(x) IN ({_STOPWORDS_SQL}))) * 1.0 / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars_c > 0
+              THEN (n_chars_c - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / n_chars_c
+              ELSE 0.0 END AS p_ratio,
+         CASE WHEN len(toks) > 0 THEN n_chars_c * 1.0 / len(toks) ELSE 0.0 END AS mwl
+  FROM t
+)
+SELECT doc_id, n_chars_c, n_tokens, n_tokens_bpe,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(p_ratio, 6) AS punct_ratio,
+       round(
+         (CASE WHEN n_chars_c BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.3
+         + (CASE WHEN mwl >= 2.5 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+         + least(stop_ratio * 4, 1.0) * 0.3
+         + (1.0 - least(p_ratio * 5, 1.0)) * 0.2, 6) AS quality_score
+FROM r
+"""
+
+_HIST_EVENTS_CTE = """
+  SELECT event_type AS side,
+         CASE WHEN value IS NULL THEN NULL
+              WHEN value < 0 THEN 0
+              WHEN value >= 500 THEN 26
+              ELSE CAST(floor(value / 20) + 1 AS BIGINT) END AS bucket,
+         count(*) AS n
+  FROM events
+  WHERE event_type IN ('error', 'purchase') AND value IS NOT NULL
+  GROUP BY 1, 2
+"""
+
+_KS_SQL = f"""
+WITH h AS ({_HIST_EVENTS_CTE}),
+spine AS (SELECT s.side, b.bucket
+          FROM (SELECT DISTINCT side FROM h) s
+          CROSS JOIN (SELECT unnest(range(0, 27)) AS bucket) b),
+filled AS (SELECT sp.side, sp.bucket, coalesce(h.n, 0) AS n
+           FROM spine sp LEFT JOIN h ON h.side = sp.side AND h.bucket = sp.bucket),
+cdf AS (SELECT side, bucket,
+        sum(n) OVER (PARTITION BY side ORDER BY bucket) * 1.0
+          / sum(n) OVER (PARTITION BY side) AS cdf
+        FROM filled)
+SELECT round(max(abs(a.cdf - b.cdf)), 6) AS ks_stat
+FROM cdf a JOIN cdf b USING (bucket)
+WHERE a.side = 'error' AND b.side = 'purchase'
+"""
+
+_PSI_SQL = f"""
+WITH h AS ({_HIST_EVENTS_CTE}),
+p AS (SELECT side, bucket, n * 1.0 / sum(n) OVER (PARTITION BY side) AS p
+      FROM h),
+j AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+             greatest(coalesce(a.p, 0.0), 1e-6) AS p_a,
+             greatest(coalesce(b.p, 0.0), 1e-6) AS p_b
+      FROM (SELECT * FROM p WHERE side = 'error') a
+      FULL OUTER JOIN (SELECT * FROM p WHERE side = 'purchase') b
+      USING (bucket))
+SELECT round(sum((p_a - p_b) * ln(p_a / p_b)), 6) AS psi FROM j
+"""
+
+_COSINE_TOPK_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))), 5) AS score
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+_EMBED_PAIRS_SQL = """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+             5) AS score
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.30
+"""
+
+_NGRAM_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, length(text) - 1),
+                                      i -> text[i : i + 2])) AS s
+  FROM documents WHERE length(text) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.55
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "validate_orders": _ORDERS_VIOL_SQL,
+        "verdict_orders": """
+SELECT o_orderstatus AS partition_id,
+       count(*) AS n_rows,
+       CAST(sum(
+         CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END
+         + CASE WHEN o_totalprice IS NOT NULL AND o_totalprice <= 2000 THEN 1 ELSE 0 END
+         + CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-') THEN 1 ELSE 0 END
+         + CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       CAST(sum(CASE WHEN
+           (o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F'))
+           OR (o_totalprice IS NOT NULL AND o_totalprice <= 2000)
+           OR (o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-'))
+           OR o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failed_rows,
+       sum(CASE WHEN
+           (o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F'))
+           OR (o_totalprice IS NOT NULL AND o_totalprice <= 2000)
+           OR (o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-'))
+           OR o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM orders GROUP BY o_orderstatus
+""",
+        "stats_lineitem": """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls_qty,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty,
+       count(DISTINCT l_partkey) AS n_distinct_part,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+        "unique_lineitem_orderkey": """
+SELECT l_orderkey, count(*) AS n_occurrences
+FROM lineitem WHERE l_orderkey IS NOT NULL
+GROUP BY l_orderkey HAVING count(*) > 1
+""",
+        "ref_orders_customer": """
+SELECT o.o_orderkey, o.o_custkey
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal >= 0)
+""",
+        "ref_orders_customer_bloom": """
+SELECT o.o_orderkey, o.o_custkey
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal >= 0)
+""",
+        "hist_events": f"SELECT side, bucket, n FROM ({_HIST_EVENTS_CTE}) h",
+        "drift_events_ks": _KS_SQL,
+        "drift_events_psi": _PSI_SQL,
+        "topn_flag_violation_rate": """
+WITH r AS (
+  SELECT l_returnflag,
+         round(avg(CASE WHEN l_quantity > 45 THEN 1.0 ELSE 0.0 END), 6) AS rate
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, rate,
+       CAST(dense_rank() OVER (ORDER BY rate DESC) AS INT) AS rnk
+FROM r
+""",
+        "text_stats_documents": _TEXT_STATS_SQL,
+        "langid_documents": _langid_oracle_sql(),
+        "fingerprint_documents": """
+SELECT doc_id,
+       sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                  ' +', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+        "dedup_exact_documents": """
+SELECT sha256(text) AS text_sha, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY sha256(text)
+""",
+        "ann_cosine_topk": _COSINE_TOPK_SQL,
+        "embed_sim_pairs": _EMBED_PAIRS_SQL,
+        "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
+        # minhash/simhash/ivf/approx-stats: seeded-hash / approximate ->
+        # rows-only checks (documented in SURVEY.md §5)
+    }

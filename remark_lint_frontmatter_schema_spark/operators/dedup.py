@@ -1,0 +1,197 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+
+* exact — hash-groupBy on sha256(text): one shuffle of (hash, id) pairs
+  only, never the text bodies.
+* n-gram Jaccard — exact pairwise verification *within blocking keys*;
+  O(n^2) per block, so only usable after a blocker (LSH buckets, lang,
+  length band). The LSH path below is the 10^12-row front door.
+* MinHash+LSH — shingles -> k min-hashes (xxhash64 with k seeds, all
+  JVM-side) -> band hashes -> self-join per band bucket -> candidate pairs
+  -> exact Jaccard verify. The only shuffle carries (band_hash, id,
+  signature); bodies stay columnar at rest.
+* SimHash — 64 weighted bit votes over token hashes, one aggregate per
+  document, near-dup = Hamming distance <= d on the 64-bit key (bucketable
+  by hash bands of the simhash itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(text_sha, n_docs, keep_id): one row per distinct text; dedup keeps
+    the minimum id (deterministic survivor)."""
+    return (df.select(F.sha2(F.col(text_col), 256).alias("text_sha"),
+                      F.col(id_col))
+              .groupBy("text_sha")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.min(id_col).alias("keep_id")))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Survivors only — equivalent to keeping min(id) per identical text."""
+    groups = exact_groups(df, text_col, id_col)
+    return df.join(groups.select(F.col("keep_id").alias(id_col)), id_col,
+                   "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles + exact Jaccard (the verifier)
+# ---------------------------------------------------------------------------
+
+def char_shingles(col, n: int = 3):
+    c = F.col(col) if isinstance(col, str) else col
+    n_sh = F.greatest(F.length(c) - n + 1, F.lit(0))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n_sh), lambda i: c.substr(i, F.lit(n))))
+
+
+def jaccard(a, b):
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, *,
+                        block_col: str | None = None, n: int = 3,
+                        threshold: float = 0.6) -> DataFrame:
+    """Exact pairwise n-gram Jaccard within a blocking key. The self-join is
+    O(block^2) — ONLY for small blocks or LSH-bucket verification."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   *( [F.col(block_col).alias("blk")] if block_col else
+                      [F.lit(1).alias("blk")] ),
+                   char_shingles(text_col, n).alias("sh"))
+    a = sh.select(F.col("blk"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("blk"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (a.join(b, "blk")
+              .where(F.col("id_a") < F.col("id_b"))
+              .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+              .where(F.col("jaccard") >= threshold)
+              .select("id_a", "id_b", "jaccard"))
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (the scale path)
+# ---------------------------------------------------------------------------
+
+def minhash_signature(col, *, n_hashes: int = 64, shingle_n: int = 5):
+    """k min-hashes of the shingle set — all JVM expressions: xxhash64 with
+    k distinct seed columns, array_min per seed."""
+    sh = char_shingles(col, shingle_n)
+
+    def hash_fn(seed):
+        # single-param lambda on purpose: a second param would be parsed by
+        # F.transform as the array-index lambda variable
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    return F.array(*[F.array_min(F.transform(sh, hash_fn(i)))
+                     for i in range(n_hashes)])
+
+
+def lsh_candidates(df: DataFrame, text_col: str, id_col: str, *,
+                   n_hashes: int = 64, bands: int = 16,
+                   shingle_n: int = 5) -> DataFrame:
+    """Candidate near-dup pairs: equal band-hash in >=1 of ``bands`` bands.
+
+    rows_per_band = n_hashes/bands sets the similarity knee
+    (s-curve threshold ~ (1/bands)^(1/rows_per_band))."""
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    sig = df.select(F.col(id_col).alias("id"),
+                    minhash_signature(text_col, n_hashes=n_hashes,
+                                      shingle_n=shingle_n).alias("sig"))
+    banded = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)])
+                     .alias("bhash"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bhash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, ["band", "bhash"])
+             .where(F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+             .distinct())
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str, *,
+                        threshold: float = 0.6, n_hashes: int = 64,
+                        bands: int = 16, shingle_n: int = 5) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard."""
+    cands = lsh_candidates(df, text_col, id_col, n_hashes=n_hashes,
+                           bands=bands, shingle_n=shingle_n)
+    sh = df.select(F.col(id_col).alias("id"),
+                   char_shingles(text_col, shingle_n).alias("sh"))
+    return (cands
+            .join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+            .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+            .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(col) -> "F.Column":
+    """64-bit SimHash over whitespace tokens: per-bit weighted votes, all
+    via array expressions (no shuffle, no Python)."""
+    toks = tokens(col)
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote_fn(i):
+        # NB: pyspark HOF lambdas must have exactly (acc, x) params — a
+        # `i=i` default would be parsed as a third lambda variable
+        return lambda acc, x: acc + F.when(
+            F.shiftright(x, i).bitwiseAND(F.lit(1).cast("long")) == 1,
+            F.lit(1)).otherwise(F.lit(-1))
+
+    bits = []
+    for i in range(64):
+        votes = F.aggregate(h, F.lit(0), vote_fn(i))
+        bits.append(F.when(votes > 0,
+                           F.shiftleft(F.lit(1).cast("long"), i))
+                    .otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def hamming64(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(df: DataFrame, text_col: str, id_col: str, *,
+                  max_distance: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks
+    (a pair within distance d <= 3 shares at least one of 4 chunks —
+    pigeonhole), so no full cross-join ever happens."""
+    s = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sh"))
+    chunks = s.select("id", "sh", F.explode(F.array(*[
+        F.struct(F.lit(k).alias("chunk"),
+                 F.shiftright(F.col("sh"), k * 16).bitwiseAND(F.lit(0xFFFF))
+                 .alias("ckey"))
+        for k in range(4)
+    ])).alias("c")).select("id", "sh", "c.chunk", "c.ckey")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (a.join(b, ["chunk", "ckey"])
+             .where(F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"))
+             .where(F.col("hamming") <= max_distance)
+             .distinct())

@@ -1,0 +1,118 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk`` — brute-force exact top-k for one query vector: a single
+  scan with a JVM-side dot product (zip_with + aggregate), then a top-k
+  (TakeOrderedAndProject — no full sort). The correctness baseline.
+* ``cosine_topk_ivf`` — the scale path: IVF-style partition pruning. A
+  k-means-ish set of centroids (sampled deterministically) assigns every
+  vector to a cell; a query probes only the ``n_probe`` nearest cells, so
+  the scan touches cells/n_probe of the data. At 100 TB the cell id is a
+  partition column and pruning happens at the source.
+* ``embedding_near_dup_pairs`` — near-dup by cosine within a blocking key
+  (exact within block; compose with LSH/IVF blocks at scale).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
+                query: list[float], k: int = 10,
+                *, exclude_id=None) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query`` (tie-broken by id so
+    results are deterministic)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 5)
+        .alias("score"))
+    if exclude_id is not None:
+        scored = scored.where(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def assign_cells(df: DataFrame, vec_col: str, centroids: list[list[float]]):
+    """IVF cell assignment: argmin squared distance to each centroid — an
+    unrolled JVM expression per centroid (centroid count is small)."""
+    dists = []
+    for ci, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), carr,
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        dists.append(d.alias(f"_d{ci}"))
+    best = F.lit(0)
+    best_d = dists[0]
+    for ci in range(1, len(centroids)):
+        cond = dists[ci] < best_d
+        best = F.when(cond, F.lit(ci)).otherwise(best)
+        best_d = F.when(cond, dists[ci]).otherwise(best_d)
+    return df.withColumn("_cell", best)
+
+
+def sample_centroids(df: DataFrame, vec_col: str, id_col: str,
+                     n_cells: int) -> list[list[float]]:
+    """Deterministic centroid seed: the n_cells vectors with the smallest
+    xxhash64(id) — stable across runs, no RNG, one small collect."""
+    rows = (df.select(F.col(vec_col).alias("v"),
+                      F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+              .orderBy("h").limit(n_cells).collect())
+    return [[float(x) for x in r.v] for r in rows]
+
+
+def cosine_topk_ivf(df: DataFrame, vec_col: str, id_col: str,
+                    query: list[float], k: int = 10, *, n_cells: int = 16,
+                    n_probe: int = 4,
+                    centroids: list[list[float]] | None = None) -> DataFrame:
+    """Approximate top-k: probe only the n_probe cells nearest the query.
+
+    At warehouse scale the cell assignment is precomputed/persisted
+    (partition or bucket column) so the probe is a partition-pruned scan.
+    """
+    if centroids is None:
+        centroids = sample_centroids(df, vec_col, id_col, n_cells)
+
+    def sqdist(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    probe = sorted(range(len(centroids)),
+                   key=lambda ci: sqdist(centroids[ci], query))[:n_probe]
+    cells = assign_cells(df, vec_col, centroids)
+    pruned = cells.where(F.col("_cell").isin(*probe))
+    return cosine_topk(pruned.drop("_cell"), vec_col, id_col, query, k)
+
+
+def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str, *,
+                             block_col: str, threshold: float = 0.99) -> DataFrame:
+    """Exact cosine near-dup pairs within a blocking key."""
+    v = df.select(F.col(block_col).alias("blk"), F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("v"))
+    a = v.select("blk", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = v.select("blk", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (a.join(b, "blk")
+             .where(F.col("id_a") < F.col("id_b"))
+             .withColumn("score", F.round(cosine(F.col("v_a"), F.col("v_b")), 5))
+             .where(F.col("score") >= threshold)
+             .select("id_a", "id_b", "score"))
+
+
+_ = math

@@ -1,0 +1,91 @@
+"""Positive-case tests for near-dup and similarity operators (the driver
+testdata contains no near-duplicates, so these craft their own)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from remark_lint_frontmatter_schema_spark.operators import dedup, similarity
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the riverbank"),
+    (2, "the quick brown fox jumps over the lazy dog near the riverbanks"),  # near-dup of 1
+    (3, "completely different content about spark query planning and shuffles"),
+    (4, "completely different content about spark query planning and shuffle"),  # near-dup of 3
+    (5, "unrelated short text"),
+    (6, "the quick brown fox jumps over the lazy dog near the riverbank"),  # exact dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string").cache()
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_groups(docs, "text", "doc_id").collect()
+    dup = [g for g in groups if g.n_docs > 1]
+    assert len(dup) == 1 and dup[0].keep_id == 1
+    survivors = {r.doc_id for r in
+                 dedup.exact_dedup(docs, "text", "doc_id").collect()}
+    assert survivors == {1, 2, 3, 4, 5}
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {(r.id_a, r.id_b) for r in
+             dedup.minhash_dedup_pairs(docs, "text", "doc_id",
+                                       threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert (3, 4) in pairs
+    assert (1, 6) in pairs  # exact dup has jaccard 1.0
+    assert not any({a, b} == {1, 3} for a, b in pairs)
+
+
+def test_minhash_signature_varies_across_positions(spark):
+    # regression: all 64 positions were identical when the seed lambda
+    # accidentally captured the array-index lambda variable
+    df = spark.createDataFrame([("some reasonably long text value",)], "t string")
+    sig = df.select(dedup.minhash_signature("t").alias("s")).first().s
+    assert len(set(sig)) > 32
+
+
+def test_simhash_near_dups(docs):
+    pairs = {(r.id_a, r.id_b) for r in
+             dedup.simhash_pairs(docs, "text", "doc_id",
+                                 max_distance=3).collect()}
+    assert (1, 6) in pairs  # identical text -> distance 0
+    # relative ordering: near-dup pair is closer than unrelated pair
+    # (absolute simhash distances are noisy on ~12-token docs)
+    sh = {r.doc_id: r.sh for r in docs.select(
+        "doc_id", dedup.simhash("text").alias("sh")).collect()}
+
+    def ham(a, b):
+        return bin((sh[a] ^ sh[b]) & ((1 << 64) - 1)).count("1")
+
+    assert ham(1, 6) == 0
+    assert ham(1, 2) < ham(1, 3)
+    assert ham(3, 4) < ham(3, 5)
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                       threshold=0.6).collect()}
+    assert pairs[(1, 6)] == 1.0
+    assert pairs[(1, 2)] > 0.9
+
+
+def test_ivf_matches_bruteforce_on_easy_query(spark):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
+    q = vecs[5][1]
+    brute = [r.vec_id for r in
+             similarity.cosine_topk(df, "embedding", "vec_id", q, k=5).collect()]
+    assert brute[0] == 5  # the vector itself
+    approx = [r.vec_id for r in
+              similarity.cosine_topk_ivf(df, "embedding", "vec_id", q, k=5,
+                                         n_cells=4, n_probe=4).collect()]
+    # probing all cells == exact
+    assert approx == brute
+    _ = F

@@ -1,0 +1,73 @@
+"""Pre-driver gate: every queries() entry with an oracle must match DuckDB
+on row-count, column names, and order-insensitive values at sf0.01 —
+exactly what the driver's CORRECTNESS check does."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, int):
+        return int(v)
+    return str(v)
+
+
+def _rows(pdf):
+    return sorted(
+        tuple(_norm(v) for v in row)
+        for row in pdf[sorted(pdf.columns)].itertuples(index=False, name=None)
+    )
+
+
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    got = q(spark, SF).toPandas()
+    want = duck.execute(ORACLES[name]).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), \
+        f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"
+    assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    g, w = _rows(got), _rows(want)
+    mismatches = [(a, b) for a, b in zip(g, w) if a != b][:5]
+    assert g == w, f"{name}: first diffs {mismatches}"
+
+
+@pytest.mark.parametrize("name", sorted(set(entry_mod.queries()) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = entry_mod.queries()[name](spark, SF)
+    assert df.count() >= 0
+    assert df.columns
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert "constraint_id" in df.columns
