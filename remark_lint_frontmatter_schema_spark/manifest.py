@@ -1,0 +1,147 @@
+"""Checkpointed per-partition lineage + metrics manifest (north_rule T1).
+
+A rerun skips partitions already validated for the same (snapshot,
+ruleset_hash) — the scale analog of the reference's idempotent re-lint of
+unchanged files. The manifest is a small JSON document (one entry per
+partition per ruleset); at warehouse scale it would live in a table, but
+the contract is the same: filter the partition worklist BEFORE the scan,
+so pruning happens at the source (partition pruning on the anti-filtered
+partition values — the resume filter reaches the parquet reader).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STATUS_VALIDATED = "validated"
+STATUS_SKIPPED = "skipped"
+STATUS_CONFIG_ERROR = "config_error"
+
+
+def _key(snapshot_id: str, partition_id: str, ruleset_hash: str) -> str:
+    return f"{snapshot_id}|{partition_id}|{ruleset_hash}"
+
+
+@dataclass
+class Manifest:
+    path: str
+    entries: dict
+
+    @classmethod
+    def load(cls, path: str) -> "Manifest":
+        if os.path.exists(path):
+            with open(path) as fh:
+                return cls(path, json.load(fh))
+        return cls(path, {})
+
+    def save(self) -> None:
+        # atomic replace so a crashed run never leaves a torn manifest
+        d = os.path.dirname(os.path.abspath(self.path)) or "."
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".manifest")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(self.entries, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self.path)
+
+    def is_done(self, snapshot_id: str, partition_id: str,
+                ruleset_hash: str) -> bool:
+        e = self.entries.get(_key(snapshot_id, partition_id, ruleset_hash))
+        return bool(e) and e["status"] == STATUS_VALIDATED
+
+    def record(self, snapshot_id: str, partition_id: str, ruleset_hash: str,
+               status: str, metrics: dict | None = None) -> None:
+        self.entries[_key(snapshot_id, partition_id, ruleset_hash)] = {
+            "snapshot_id": snapshot_id,
+            "partition_id": partition_id,
+            "ruleset_hash": ruleset_hash,
+            "status": status,
+            "metrics": metrics or {},
+            "completed_at": time.time(),
+        }
+
+    def pending(self, snapshot_id: str, partitions: list[str],
+                ruleset_hash: str) -> list[str]:
+        return [p for p in partitions
+                if not self.is_done(snapshot_id, p, ruleset_hash)]
+
+
+def list_partitions(table_path: str, partition_col: str) -> list[str]:
+    """Partition values from the directory layout (Iceberg-manifest analog;
+    with a real catalog this is a metadata-table query, never a file scan)."""
+    prefix = f"{partition_col}="
+    return sorted(
+        d[len(prefix):] for d in os.listdir(table_path)
+        if d.startswith(prefix) and os.path.isdir(os.path.join(table_path, d))
+    )
+
+
+def run_with_resume(
+    spark,
+    table_path: str,
+    *,
+    partition_col: str,
+    compiled,
+    row_id: str,
+    manifest_path: str,
+    snapshot_id: str = "snap_0",
+    run_id: str = "run_0",
+    validate_fn=None,
+) -> dict:
+    """Validate only partitions not yet recorded as validated.
+
+    Returns {"validated": [...], "skipped": [...], "verdicts": DataFrame|None}.
+    ``validate_fn(df) -> ValidationResult`` defaults to the standard
+    one-projection validator.
+    """
+    from .operators.validate import validate as _validate
+
+    manifest = Manifest.load(manifest_path)
+    all_parts = list_partitions(table_path, partition_col)
+    todo = manifest.pending(snapshot_id, all_parts, compiled.ruleset_hash)
+    skipped = [p for p in all_parts if p not in todo]
+    if not todo:
+        return {"validated": [], "skipped": skipped, "verdicts": None}
+
+    df = spark.read.parquet(table_path).where(
+        F.col(partition_col).cast("string").isin(todo))
+    res = (validate_fn or (lambda d: _validate(
+        d, compiled, row_id=row_id, partition_col=partition_col,
+        run_id=run_id)))(df)
+    verdict_rows = res.verdicts.collect()
+    for v in verdict_rows:
+        manifest.record(
+            snapshot_id, v.partition_id, compiled.ruleset_hash,
+            STATUS_VALIDATED,
+            metrics={"n_rows": v.n_rows, "n_violations": v.n_violations,
+                     "n_failed_rows": v.n_failed_rows,
+                     "passed": bool(v.passed)})
+    # partitions with zero rows after filters still count as visited
+    for p in todo:
+        if not manifest.is_done(snapshot_id, p, compiled.ruleset_hash):
+            manifest.record(snapshot_id, p, compiled.ruleset_hash,
+                            STATUS_VALIDATED, metrics={"n_rows": 0})
+    manifest.save()
+    return {"validated": todo, "skipped": skipped, "verdicts": res.verdicts,
+            "verdict_rows": verdict_rows}
+
+
+def snapshot_id_for(table_path: str) -> str:
+    """Deterministic snapshot fingerprint of a partitioned-parquet table:
+    max mtime + file count (Iceberg snapshot-id stand-in for the sandbox)."""
+    latest, count = 0.0, 0
+    for root, _dirs, files in os.walk(table_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                count += 1
+                latest = max(latest, os.path.getmtime(os.path.join(root, f)))
+    return f"snap_{count}_{int(latest)}"
+
+
+_ = DataFrame

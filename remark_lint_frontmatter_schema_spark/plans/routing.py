@@ -1,0 +1,169 @@
+"""Ruleset routing: which ruleset applies to which rows.
+
+Reproduces the reference's schema-resolution precedence exactly
+(``/root/reference/index.ts``, §2.10 of SURVEY.md):
+
+1. explicit ``embed`` schema -> applies to ALL rows (``hasPropSchema``,
+   index.ts:206,274-275). On this path the routing column is NOT excluded
+   from validation — the reference only deletes the in-file ``$schema`` key
+   on the file-association path (index.ts:297-303), so an embedded
+   ``additionalProperties:false`` schema flags it. Quirk preserved.
+2. else per-row ``ruleset_col`` (the ``$schema`` key analog,
+   index.ts:221-239) — local association beats global patterns
+   (index.ts:250 ``!hasLocalAssoc`` guard).
+3. else glob patterns over the partition value (the ``settings.schemas``
+   map, index.ts:250-269; ``minimatch`` -> ``fnmatch``).
+4. else: no validation, no messages (index.ts:308).
+
+Each distinct routed ruleset becomes one compiled plan + one filtered pass
+(rulesets per run are few, like schemas per workspace); results are
+unioned. Routing failures degrade gracefully (G1-G3): unknown ruleset ids
+and compile errors become run-level error artifacts, never job crashes.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bundler import RulesetCompileError, RulesetLoadError, bundle, bundle_dict
+from .compiler import CompiledRuleset, compile_ruleset
+from ..operators.validate import ValidationResult, validate
+
+
+@dataclass
+class RoutedPass:
+    ruleset_name: str
+    compiled: CompiledRuleset
+    source: str                      # "embed" | "column" | "pattern"
+    result: ValidationResult
+
+
+@dataclass
+class RoutingReport:
+    passes: list = field(default_factory=list)        # RoutedPass
+    errors: list = field(default_factory=list)        # (ruleset_name, stage, msg)
+    unrouted_rows: DataFrame | None = None
+
+    @property
+    def violations(self) -> DataFrame | None:
+        dfs = [p.result.violations for p in self.passes]
+        if not dfs:
+            return None
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    @property
+    def verdicts(self) -> DataFrame | None:
+        dfs = [p.result.verdicts for p in self.passes]
+        if not dfs:
+            return None
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+
+def _load(registry: dict, name: str) -> dict:
+    doc = registry[name]
+    if isinstance(doc, str):
+        return bundle(doc)
+    return bundle_dict(doc)
+
+
+def route_and_validate(
+    df: DataFrame,
+    *,
+    row_id: str,
+    registry: dict | None = None,          # name -> schema dict | file path
+    embed: dict | None = None,             # precedence 1
+    ruleset_col: str | None = None,        # precedence 2
+    patterns: dict | None = None,          # precedence 3: name -> [globs]
+    partition_col: str | None = None,
+    run_id: str = "run_0",
+    extra_checks: dict | None = None,
+) -> RoutingReport:
+    report = RoutingReport()
+    registry = registry or {}
+
+    def add_pass(name: str, schema_doc: dict, source: str, applicability):
+        try:
+            compiled = compile_ruleset(
+                schema_doc, df.schema, name=name,
+                schema_file=(registry.get(name) if isinstance(
+                    registry.get(name), str) else "") or "",
+                extra_checks=extra_checks,
+                # routing-key removal only on the association paths — the
+                # embed path keeps it (index.ts:297-303)
+                exclude_columns=(() if source == "embed" or not ruleset_col
+                                 else (ruleset_col,)),
+            )
+        except (RulesetCompileError, RulesetLoadError) as exc:
+            # G2/G3: config error -> artifact, partitions skipped, no crash
+            report.errors.append((name, "compile", str(exc)))
+            return
+        res = validate(df, compiled, row_id=row_id,
+                       partition_col=partition_col,
+                       ruleset_id_value=name,
+                       applicability=applicability, run_id=run_id)
+        report.passes.append(RoutedPass(name, compiled, source, res))
+
+    if embed is not None:
+        add_pass("embed", bundle_dict(embed), "embed", None)
+        return report
+
+    routed_names: set[str] = set()
+    routed_pred = F.lit(False)
+
+    if ruleset_col is not None and ruleset_col in df.columns:
+        values = [r[0] for r in
+                  df.select(ruleset_col).where(F.col(ruleset_col).isNotNull())
+                    .distinct().collect()]
+        for name in sorted(values):
+            pred = F.col(ruleset_col) == name
+            if name not in registry:
+                # schema-load failure analog (index.ts:283-291)
+                report.errors.append((name, "load",
+                                      f"no ruleset registered for {name!r}"))
+                continue
+            try:
+                doc = _load(registry, name)
+            except (RulesetCompileError, RulesetLoadError) as exc:
+                report.errors.append((name, "load", str(exc)))
+                continue
+            add_pass(name, doc, "column", pred)
+            routed_names.add(name)
+            routed_pred = routed_pred | pred
+
+    if patterns and partition_col:
+        parts = [str(r[0]) for r in
+                 df.select(F.col(partition_col).cast("string"))
+                   .distinct().collect()]
+        for name, globs in patterns.items():
+            matched = sorted({p for p in parts
+                              for g in globs if fnmatch.fnmatch(p, g)})
+            if not matched:
+                continue
+            if name not in registry:
+                report.errors.append((name, "load",
+                                      f"no ruleset registered for {name!r}"))
+                continue
+            try:
+                doc = _load(registry, name)
+            except (RulesetCompileError, RulesetLoadError) as exc:
+                report.errors.append((name, "load", str(exc)))
+                continue
+            # global patterns apply only where no local association exists
+            # (index.ts:250 hasLocalAssoc guard)
+            pred = (F.col(partition_col).cast("string").isin(matched)
+                    & ~F.coalesce(routed_pred, F.lit(False)))
+            if ruleset_col is not None and ruleset_col in df.columns:
+                pred = pred & F.col(ruleset_col).isNull()
+            add_pass(f"{name}@pattern", doc, "pattern", pred)
+
+    return report

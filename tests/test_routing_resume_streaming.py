@@ -1,0 +1,149 @@
+"""Routing precedence (§2.10), resume manifest (T1), streaming mode (T2)."""
+
+import pytest
+
+from remark_lint_frontmatter_schema_spark import bundle, compile_ruleset
+from remark_lint_frontmatter_schema_spark.manifest import (
+    Manifest, list_partitions, run_with_resume, snapshot_id_for)
+from remark_lint_frontmatter_schema_spark.plans.routing import route_and_validate
+from remark_lint_frontmatter_schema_spark.sources import fixtures
+from remark_lint_frontmatter_schema_spark.streaming.incremental import validate_stream
+
+N = 400
+
+REGISTRY = {
+    "clip": "rulesets/clip.schema.yaml",
+    "strict": "rulesets/strict.schema.yaml",
+    "broken": "rulesets/broken.schema.yaml",
+}
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    df = fixtures.generate_clips(spark, N, audio_ms=8, num_partitions=4)
+    df.cache().count()
+    return df
+
+
+def test_column_routing(clips):
+    rep = route_and_validate(clips, row_id="clip_id", registry=REGISTRY,
+                             ruleset_col="ruleset_id",
+                             partition_col="part_date")
+    assert [p.ruleset_name for p in rep.passes] == ["clip"]
+    assert rep.passes[0].source == "column"
+    # no-frontmatter rows (ruleset_id null) -> not validated by any pass
+    v_ids = {r.row_id for r in rep.violations.collect()}
+    null_ids = {r.clip_id for r in
+                clips.where("ruleset_id is null").collect()}
+    assert not (v_ids & null_ids)
+
+
+def test_embed_beats_everything(clips):
+    rep = route_and_validate(
+        clips, row_id="clip_id",
+        embed={"properties": {"codec": {"const": "pcm_s16le"}}},
+        registry=REGISTRY, ruleset_col="ruleset_id",
+        partition_col="part_date",
+        patterns={"strict": ["*"]})
+    assert len(rep.passes) == 1
+    assert rep.passes[0].source == "embed"
+    # embed applies to ALL rows incl. ruleset_id-null ones
+    n_const = rep.violations.where("keyword = 'const'").count()
+    assert n_const > N // 2  # flac+opus rows
+
+
+def test_pattern_routing_excludes_locally_routed_rows(spark):
+    # rows WITHOUT ruleset_id fall back to pattern routing (index.ts:250)
+    df = fixtures.generate_clips(spark, N, audio_ms=8, num_partitions=2)
+    rep = route_and_validate(
+        df, row_id="clip_id", registry=REGISTRY, ruleset_col="ruleset_id",
+        partition_col="part_date",
+        patterns={"strict": ["2026-01-0*"]})
+    sources = {p.ruleset_name: p.source for p in rep.passes}
+    assert sources == {"clip": "column", "strict@pattern": "pattern"}
+    strict_pass = [p for p in rep.passes if p.source == "pattern"][0]
+    # pattern pass only saw the ruleset_id-null rows
+    n_rows = strict_pass.result.verdicts.agg({"n_rows": "sum"}).collect()[0][0]
+    assert n_rows == df.where("ruleset_id is null").count()
+
+
+def test_unknown_and_broken_rulesets_guarded(spark, clips):
+    from pyspark.sql import functions as F
+    df = clips.withColumn(
+        "ruleset_id",
+        F.when(F.col("ruleset_id").isNotNull(), "ghost_ruleset"))
+    rep = route_and_validate(df, row_id="clip_id", registry=REGISTRY,
+                             ruleset_col="ruleset_id")
+    assert not rep.passes
+    assert rep.errors and rep.errors[0][1] == "load"
+    # broken ruleset -> compile-stage artifact (G3), not an exception
+    df2 = clips.withColumn(
+        "ruleset_id", F.when(F.col("ruleset_id").isNotNull(), "broken"))
+    rep2 = route_and_validate(df2, row_id="clip_id", registry=REGISTRY,
+                              ruleset_col="ruleset_id")
+    assert not rep2.passes
+    assert any(stage == "load" or stage == "compile"
+               for _n, stage, _m in rep2.errors)
+
+
+def test_resume_skips_validated_partitions(spark, clips, tmp_path):
+    table = str(tmp_path / "clips_table")
+    fixtures.write_clips(clips, table)
+    parts = list_partitions(table, "part_date")
+    assert len(parts) == 8
+
+    compiled = compile_ruleset(bundle("rulesets/clip.schema.yaml"),
+                               clips.schema, name="clip",
+                               exclude_columns=("ruleset_id",))
+    mpath = str(tmp_path / "manifest.json")
+    snap = snapshot_id_for(table)
+
+    r1 = run_with_resume(spark, table, partition_col="part_date",
+                         compiled=compiled, row_id="clip_id",
+                         manifest_path=mpath, snapshot_id=snap)
+    assert sorted(r1["validated"]) == parts
+    # rerun: everything already validated
+    r2 = run_with_resume(spark, table, partition_col="part_date",
+                         compiled=compiled, row_id="clip_id",
+                         manifest_path=mpath, snapshot_id=snap)
+    assert r2["validated"] == [] and sorted(r2["skipped"]) == parts
+    # drop half the manifest -> only that half recomputed
+    m = Manifest.load(mpath)
+    for p in parts[:4]:
+        m.entries.pop(f"{snap}|{p}|{compiled.ruleset_hash}")
+    m.save()
+    r3 = run_with_resume(spark, table, partition_col="part_date",
+                         compiled=compiled, row_id="clip_id",
+                         manifest_path=mpath, snapshot_id=snap)
+    assert sorted(r3["validated"]) == parts[:4]
+    # new snapshot id -> full revalidation required
+    r4 = run_with_resume(spark, table, partition_col="part_date",
+                         compiled=compiled, row_id="clip_id",
+                         manifest_path=mpath, snapshot_id="snap_new")
+    assert sorted(r4["validated"]) == parts
+
+
+def test_streaming_incremental(spark, clips, tmp_path):
+    inp = str(tmp_path / "in")
+    clips.write.parquet(inp)
+    compiled = compile_ruleset(bundle("rulesets/clip.schema.yaml"),
+                               clips.schema, name="clip",
+                               exclude_columns=("ruleset_id",))
+    q = validate_stream(
+        spark, inp, clips.schema, compiled, row_id="clip_id",
+        partition_col="part_date",
+        violations_sink=str(tmp_path / "viol"),
+        verdicts_sink=str(tmp_path / "verd"),
+        checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    viol = spark.read.parquet(str(tmp_path / "viol"))
+    assert viol.count() > 0
+    assert set(viol.columns) >= {"row_id", "constraint_id", "keyword",
+                                 "message"}
+    # batch runs of the same plan produce the same violation keys as batch
+    batch_keys = {(r.row_id, r.constraint_id) for r in viol.collect()}
+    from remark_lint_frontmatter_schema_spark import validate as batch_validate
+    bres = batch_validate(clips, compiled, row_id="clip_id",
+                          partition_col="part_date")
+    expect = {(r.row_id, r.constraint_id) for r in bres.violations.collect()}
+    assert batch_keys == expect
