@@ -217,7 +217,7 @@ def q_ngram_jaccard_documents(spark, sf):
 
 def q_minhash_dedup_documents(spark, sf):
     docs = spark.read.parquet(f"{sf}/documents.parquet")
-    return dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
+    return dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.7)
 
 
 def q_simhash_pairs_documents(spark, sf):

@@ -1,0 +1,78 @@
+"""Headline-query benchmark (driver contract).
+
+Runs the engine's headline operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+ "sf": ...}.
+
+Each query is materialized with a noop-format write so the full projection
+executes (a bare count() would let Catalyst prune the violation structs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from remark_lint_frontmatter_schema_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entry_mod  # noqa: E402
+
+HEADLINE = [
+    "validate_orders",
+    "verdict_orders",
+    "stats_lineitem",
+    "unique_lineitem_orderkey",
+    "ref_orders_customer",
+    "ref_orders_customer_bloom",
+    "hist_events",
+    "drift_events_ks",
+    "drift_events_psi",
+    "text_stats_documents",
+    "langid_documents",
+    "fingerprint_documents",
+    "dedup_exact_documents",
+    "minhash_dedup_documents",
+    "ann_cosine_topk",
+    "approx_stats_lineitem",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(master=f"local[{cpus}]", app_name="rlfs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = entry_mod.queries()
+
+    # warm the JVM + file cache with one tiny action outside timing
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(qmap[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""Scaling-evidence runner (BASELINE.md protocol).
+
+The north_rule's two-cluster-size criterion (N and 4N executors, >=0.8
+throughput scaling efficiency) is evidenced in this sandbox by running the
+IDENTICAL validation job on the IDENTICAL pre-generated input at two
+parallelism levels (local[8] vs local[32]) and reporting
+efficiency = (thr_32 / thr_8) / 4.
+
+Usage:
+  python bench_scaling.py prepare --rows N --data-dir D   # once
+  spark-submit --py-files engine.zip bench_scaling.py run \\
+      --master local[8] --data-dir D                      # per level
+
+The measured job is the full validation pipeline over the clips table:
+compiled-ruleset one-projection pass (+ per-partition verdicts), codec
+header sanity (vectorized pandas UDF), salted uniqueness, referential
+anti-join against speakers, and dur_ms drift KS — i.e. everything the
+north_star names, in one run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from remark_lint_frontmatter_schema_spark import bundle, compile_ruleset, validate  # noqa: E402
+from remark_lint_frontmatter_schema_spark.functions import audio  # noqa: E402
+from remark_lint_frontmatter_schema_spark.operators import drift, referential, uniqueness  # noqa: E402
+from remark_lint_frontmatter_schema_spark.session import get_spark  # noqa: E402
+from remark_lint_frontmatter_schema_spark.sources import fixtures  # noqa: E402
+
+RULESET = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "rulesets", "clip.schema.yaml")
+
+
+def prepare(rows: int, data_dir: str, audio_ms: int) -> None:
+    spark = get_spark(app_name="rlfs-bench-prepare")
+    spark.sparkContext.setLogLevel("ERROR")
+    clips = fixtures.generate_clips(spark, rows, audio_ms=audio_ms,
+                                    num_partitions=64)
+    fixtures.write_clips(clips, os.path.join(data_dir, "clips"))
+    speakers = fixtures.generate_speakers(spark)
+    speakers.write.mode("overwrite").parquet(os.path.join(data_dir, "speakers"))
+    n = spark.read.parquet(os.path.join(data_dir, "clips")).count()
+    print(json.dumps({"prepared_rows": n, "data_dir": data_dir}))
+    spark.stop()
+
+
+def run(master: str, data_dir: str, with_binary: bool = True) -> dict:
+    cores = int(master.split("[")[1].rstrip("]")) if "[" in master else 8
+    spark = get_spark(master=master, app_name=f"rlfs-bench-{master}",
+                      shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    clips = spark.read.parquet(os.path.join(data_dir, "clips"))
+    speakers = spark.read.parquet(os.path.join(data_dir, "speakers"))
+    compiled = compile_ruleset(bundle(RULESET), clips.schema, name="clip",
+                               schema_file="clip.schema.yaml",
+                               exclude_columns=("ruleset_id",))
+    n_rows = clips.count()  # warms file listing + page cache metadata
+
+    t0 = time.perf_counter()
+    res = validate(clips, compiled, row_id="clip_id",
+                   partition_col="part_date",
+                   applicability=clips.ruleset_id.isNotNull())
+    n_viol = res.violations.count()
+    verd = res.verdicts.collect()
+
+    if with_binary:
+        hdr_bad = (clips.where("bytes is not null")
+                   .where(~audio.codec_header_ok("bytes", "codec", "sr_hz"))
+                   .count())
+    else:
+        hdr_bad = -1
+
+    n_dups = uniqueness.duplicate_keys(clips, "clip_id").count()
+    n_dangling = referential.dangling_keys(
+        clips, "speaker_id", speakers, "speaker_id").count()
+    last = "2026-01-08"
+    side = F.when(F.col("part_date") == F.lit(last).cast("date"), "b") \
+            .otherwise("a")
+    ks = drift.drift_check(clips.where("dur_ms > 0"), "dur_ms", side,
+                           "a", "b", lo=0, hi=50000)
+    elapsed = time.perf_counter() - t0
+
+    out = {
+        "master": master,
+        "n_rows": n_rows,
+        "elapsed_sec": round(elapsed, 2),
+        "clips_per_sec": round(n_rows / elapsed, 1),
+        "n_violations": n_viol,
+        "n_header_bad": hdr_bad,
+        "n_dup_keys": n_dups,
+        "n_dangling": n_dangling,
+        "ks_stat": round(ks["ks_stat"], 4),
+        "n_partition_verdicts": len(verd),
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["prepare", "run"])
+    ap.add_argument("--rows", type=int, default=4_000_000)
+    ap.add_argument("--audio-ms", type=int, default=40)
+    ap.add_argument("--data-dir", default="/root/repo/.bench/clips_bench")
+    ap.add_argument("--master", default="local[8]")
+    ap.add_argument("--no-binary", action="store_true")
+    args = ap.parse_args()
+    if args.mode == "prepare":
+        prepare(args.rows, args.data_dir, args.audio_ms)
+    else:
+        run(args.master, args.data_dir, with_binary=not args.no_binary)
+
+
+if __name__ == "__main__":
+    main()

