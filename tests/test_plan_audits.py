@@ -1,0 +1,94 @@
+"""Physical-plan audits: the optimizations SURVEY.md §4 promises must be
+visible in `.explain` output — these tests fail if a code change silently
+regresses pruning/broadcast/pushdown."""
+
+import pytest
+
+from remark_lint_frontmatter_schema_spark import bundle, compile_ruleset, validate
+from remark_lint_frontmatter_schema_spark.operators import referential
+from remark_lint_frontmatter_schema_spark.sources import fixtures
+
+
+@pytest.fixture(scope="module")
+def clips_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plan") / "clips")
+    fixtures.write_clips(
+        fixtures.generate_clips(spark, 400, audio_ms=8, num_partitions=2), p)
+    return p
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_expression_checks_never_read_bytes(spark, clips_path):
+    """R8: `bytes` must be pruned from the scan when no binary check is
+    active — at 10^12 rows reading the payload column is the whole cost."""
+    clips = spark.read.parquet(clips_path)
+    compiled = compile_ruleset(bundle("rulesets/clip.schema.yaml"),
+                               clips.schema, name="clip",
+                               exclude_columns=("ruleset_id",))
+    res = validate(clips, compiled, row_id="clip_id",
+                   partition_col="part_date")
+    plan = _plan(res.violations)
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln
+                  or "ReadSchema" in ln]
+    assert scan_lines, plan
+    assert "bytes" not in " ".join(scan_lines), \
+        f"bytes column not pruned:\n{' '.join(scan_lines)}"
+    # speaker_id / props unused by this projection? props IS used (nested
+    # checks); speaker_id must be pruned
+    assert "speaker_id" not in " ".join(scan_lines)
+
+
+def test_resume_filter_prunes_partitions(spark, clips_path):
+    """T1/R9: the resume anti-filter must reach the scan as partition
+    pruning (PartitionFilters), not a post-scan Filter."""
+    from pyspark.sql import functions as F
+    clips = spark.read.parquet(clips_path)
+    pruned = clips.where(F.col("part_date").cast("string") == "2026-01-01") \
+                  .select("clip_id")
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "part_date" in m.group(1), plan
+
+
+def test_referential_join_is_broadcast(spark, clips_path):
+    """J3: the dim side must broadcast — a shuffled anti-join of the fact
+    side is the scale failure mode."""
+    clips = spark.read.parquet(clips_path)
+    speakers = fixtures.generate_speakers(spark, 100)
+    d = referential.dangling_keys(clips, "speaker_id", speakers, "speaker_id")
+    plan = _plan(d)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_validation_is_single_projection_over_scan(spark, clips_path):
+    """R7: all checks in one projection — no joins/shuffles before the
+    violations explode."""
+    clips = spark.read.parquet(clips_path)
+    compiled = compile_ruleset(bundle("rulesets/clip.schema.yaml"),
+                               clips.schema, name="clip",
+                               exclude_columns=("ruleset_id",))
+    res = validate(clips, compiled, row_id="clip_id")
+    plan = _plan(res.violations)
+    assert "Exchange" not in plan, f"violations path must be shuffle-free:\n{plan}"
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_predicate_pushdown_reaches_parquet(spark, clips_path):
+    """R9: applicability predicates push to the reader (PushedFilters)."""
+    clips = spark.read.parquet(clips_path).where("sr_hz > 0") \
+        .select("clip_id", "sr_hz")
+    plan = _plan(clips)
+    assert "PushedFilters" in plan
+    import re
+    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert m and "sr_hz" in m.group(1), plan
