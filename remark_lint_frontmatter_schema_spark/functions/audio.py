@@ -157,11 +157,63 @@ def codec_header_ok(b: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.Seri
     return header_ok_batch(b, codec, sr_hz)
 
 
+HEADER_PREFIX_LEN = 64  # covers WAV 44-byte canonical header + OpusHead@28:36
+
+
+def codec_header_ok_col(bytes_col="bytes", codec_col="codec",
+                        sr_col="sr_hz"):
+    """The production form of the header check: slice the first 64 bytes
+    JVM-side, THEN cross to Python. The Arrow channel carries 64 B/row
+    instead of the whole payload — at 8M x ~900 B rows that is a 14x cut in
+    transfer volume, and the difference between a stage that anti-scales
+    (measured 15s@4 cores -> 22s@16) and one that scales."""
+    prefix = F.substring(F.col(bytes_col) if isinstance(bytes_col, str)
+                         else bytes_col, 1, HEADER_PREFIX_LEN)
+    return codec_header_ok(prefix,
+                           F.col(codec_col) if isinstance(codec_col, str) else codec_col,
+                           F.col(sr_col) if isinstance(sr_col, str) else sr_col)
+
+
+def _le_u32_expr(b, off0: int):
+    """Little-endian u32 at 0-based offset, pure JVM: byte-reverse via
+    substring concat, hex, base-16 conv."""
+    rev = F.concat(*[F.substring(b, off0 + i + 1, 1) for i in (3, 2, 1, 0)])
+    return F.conv(F.hex(rev), 16, 10).cast("long")
+
+
+def codec_header_ok_expr(bytes_col="bytes", codec_col="codec",
+                         sr_col="sr_hz"):
+    """Fully-JVM (whole-stage-codegen) variant of the header check — zero
+    Python in the plan. Same semantics as header_ok_batch."""
+    b = F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col
+    codec = F.col(codec_col) if isinstance(codec_col, str) else codec_col
+    sr = F.col(sr_col) if isinstance(sr_col, str) else sr_col
+    long_enough = F.length(b) >= 4
+    is_wav = (long_enough
+              & (F.substring(b, 1, 4) == F.lit(b"RIFF"))
+              & (F.substring(b, 9, 4) == F.lit(b"WAVE")))
+    wav_ok = is_wav & (_le_u32_expr(b, 24) == sr.cast("long"))
+    flac_ok = long_enough & (F.substring(b, 1, 4) == F.lit(b"fLaC"))
+    opus_ok = (long_enough & (F.substring(b, 1, 4) == F.lit(b"OggS"))
+               & (F.substring(b, 29, 8) == F.lit(b"OpusHead")))
+    return (F.when(codec == "pcm_s16le", wav_ok)
+             .when(codec == "flac", flac_ok)
+             .when(codec == "opus", opus_ok)
+             .otherwise(F.lit(False)))
+
+
 def register_audio_checks() -> dict:
     """Named vectorized checks for the DSL's ``x-spark-check`` extension
-    point (the reference's custom-Ajv-keyword analog, index.ts:49)."""
+    point (the reference's custom-Ajv-keyword analog, index.ts:49).
+
+    ``codec_header`` runs inside the same one-projection violations pass —
+    an ArrowEvalPython stage appears in the plan only when a ruleset
+    actually references it (binary checks stay behind this flag so
+    expression-only runs remain fully JVM codegen)."""
     return {
         "wav_riff_magic": lambda col: F.substring(col, 1, 4) == F.lit(b"RIFF"),
+        "codec_header": lambda col: codec_header_ok_col(col, "codec", "sr_hz"),
+        "codec_header_jvm": lambda col: codec_header_ok_expr(col, "codec", "sr_hz"),
     }
 
 
