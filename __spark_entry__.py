@@ -38,8 +38,7 @@ ORDERS_RULESET = {
     "required": ["o_custkey"],
 }
 
-_ORDERS_VIOL_SQL = """
-WITH v AS (
+_ORDERS_VIOL_CTE = """
   SELECT CAST(o_orderkey AS VARCHAR) AS row_id,
          'orders:/o_orderstatus:enum' AS constraint_id,
          'enum' AS keyword, '/o_orderstatus' AS instance_path,
@@ -65,7 +64,10 @@ WITH v AS (
          'Must have required property ''o_custkey'' • #/required',
          NULL
   FROM orders WHERE o_custkey IS NULL
-)
+"""
+
+_ORDERS_VIOL_SQL = f"""
+WITH v AS ({_ORDERS_VIOL_CTE})
 SELECT row_id, constraint_id, keyword, instance_path, message FROM v
 """
 
@@ -213,6 +215,92 @@ def q_ngram_jaccard_documents(spark, sf):
                                      block_col="lang", n=3, threshold=0.55)
 
 
+PROPS_RULESET = {
+    "type": "object",
+    "properties": {
+        "props_map": {
+            "type": "object",
+            "required": ["k"],
+            "properties": {"k": {"minimum": 10}},
+            "additionalProperties": False,
+        },
+    },
+}
+
+
+def q_validate_events_props(spark, sf):
+    """Semi-structured path (SURVEY §2.1 S2, §2.2 P9/P11): JSON string ->
+    map via from_json, then required / numeric-range / closed-map checks
+    against the dynamic MapType node."""
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id",
+        F.from_json("props", "map<string,string>").alias("props_map"))
+    compiled = compile_ruleset(PROPS_RULESET, ev.schema, name="events_props")
+    return validate(ev, compiled, row_id="event_id").violations.select(
+        "row_id", "constraint_id", "keyword", "instance_path", "message",
+        "actual")
+
+
+PART_RULESET = {
+    "type": "object",
+    "properties": {
+        "p_size": {"anyOf": [{"maximum": 10}, {"minimum": 40}]},
+        "p_type": {"oneOf": [{"pattern": "COPPER$"}, {"pattern": "^PROMO"}]},
+        "p_brand": {"not": {"enum": ["Brand#33"]}},
+    },
+}
+
+
+def q_validate_part_composition(spark, sf):
+    """Composition keywords (SURVEY §2.6 O3/O4): anyOf / oneOf / not with
+    Ajv presence semantics (absent property never fires a value keyword)."""
+    part = spark.read.parquet(f"{sf}/part.parquet")
+    compiled = compile_ruleset(PART_RULESET, part.schema, name="part_comp")
+    return validate(part, compiled, row_id="p_partkey").violations.select(
+        "row_id", "constraint_id", "keyword", "instance_path", "message")
+
+
+FORMATS_RULESET = {
+    "type": "object",
+    "properties": {
+        "event_date": {"format": "date"},
+        "event_uuid": {"format": "uuid"},
+    },
+}
+
+
+def _events_with_formats(spark, sf):
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit("2026-13-45"))
+         .otherwise(F.date_format("ts", "yyyy-MM-dd")).alias("event_date"),
+        F.when(F.col("event_id") % 11 == 0, F.lit("not-a-uuid"))
+         .otherwise(F.format_string("%08x-0000-4000-8000-%012x",
+                                    "event_id", "event_id"))
+         .alias("event_uuid"))
+
+
+def q_validate_events_formats(spark, sf):
+    """`format` keyword (SURVEY §2.2 P7) with the ajv-formats regexes."""
+    ev = _events_with_formats(spark, sf)
+    compiled = compile_ruleset(FORMATS_RULESET, ev.schema, name="events_fmt")
+    return validate(ev, compiled, row_id="event_id").violations.select(
+        "row_id", "constraint_id", "keyword", "instance_path", "message",
+        "actual")
+
+
+def q_violation_samples_orders(spark, sf):
+    """Per-constraint violation samples (SURVEY §2.6 O5): first K row_ids
+    per constraint via row_number — the manifest's evidence excerpt."""
+    from pyspark.sql import Window
+    viols = _orders_validation(spark, sf).violations
+    w = Window.partitionBy("constraint_id").orderBy("row_id")
+    return (viols.select("constraint_id", "row_id")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3))
+
+
 # --- rows-only (approx / hash-seeded: no faithful ANSI-SQL twin) -----------
 
 def q_minhash_dedup_documents(spark, sf):
@@ -257,6 +345,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embed_sim_pairs": q_embed_sim_pairs,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "validate_events_props": q_validate_events_props,
+        "validate_part_composition": q_validate_part_composition,
+        "validate_events_formats": q_validate_events_formats,
+        "violation_samples_orders": q_violation_samples_orders,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -408,6 +500,104 @@ WHERE len(list_intersect(a.s, b.s)) * 1.0
 """
 
 
+_PROPS_VIOL_SQL = """
+WITH p AS (
+  SELECT event_id, props, json_extract_string(props, '$.k') AS k FROM events
+), v AS (
+  SELECT CAST(event_id AS VARCHAR) AS row_id,
+         'events_props:/props_map:required' AS constraint_id,
+         'required' AS keyword, '/props_map' AS instance_path,
+         'Must have required property ''k'' • #/properties/props_map/required' AS message,
+         CAST(NULL AS VARCHAR) AS actual
+  FROM p WHERE props IS NOT NULL AND k IS NULL
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR),
+         'events_props:/props_map/k:minimum', 'minimum', '/props_map/k',
+         'Must be >= 10 • #/properties/props_map/properties/k/minimum',
+         k
+  FROM p WHERE k IS NOT NULL AND TRY_CAST(k AS DOUBLE) < 10
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR),
+         'events_props:/props_map:additionalProperties', 'additionalProperties',
+         '/props_map',
+         'Must NOT have additional properties • #/properties/props_map/additionalProperties',
+         array_to_string(list_filter(json_keys(props), x -> x <> 'k'), ',')
+  FROM p WHERE props IS NOT NULL
+        AND len(list_filter(json_keys(props), x -> x <> 'k')) > 0
+)
+SELECT row_id, constraint_id, keyword, instance_path, message, actual FROM v
+"""
+
+_PART_COMP_SQL = """
+WITH v AS (
+  SELECT CAST(p_partkey AS VARCHAR) AS row_id,
+         'part_comp:/p_size:anyOf' AS constraint_id,
+         'anyOf' AS keyword, '/p_size' AS instance_path,
+         'Must match a schema in anyOf • #/properties/p_size/anyOf' AS message
+  FROM part WHERE p_size IS NOT NULL AND NOT (p_size <= 10 OR p_size >= 40)
+  UNION ALL
+  SELECT CAST(p_partkey AS VARCHAR),
+         'part_comp:/p_type:oneOf', 'oneOf', '/p_type',
+         'Must match exactly one schema in oneOf • #/properties/p_type/oneOf'
+  FROM part WHERE p_type IS NOT NULL
+        AND (CAST(regexp_matches(p_type, 'COPPER$') AS INT)
+             + CAST(regexp_matches(p_type, '^PROMO') AS INT)) <> 1
+  UNION ALL
+  SELECT CAST(p_partkey AS VARCHAR),
+         'part_comp:/p_brand:not', 'not', '/p_brand',
+         'Must NOT be valid • #/properties/p_brand/not'
+  FROM part WHERE p_brand IS NOT NULL AND p_brand IN ('Brand#33')
+)
+SELECT row_id, constraint_id, keyword, instance_path, message FROM v
+"""
+
+
+def _formats_oracle_sql() -> str:
+    """Derived from the same FORMAT_REGEX constants as the Spark path."""
+    from remark_lint_frontmatter_schema_spark.functions.formats import FORMAT_REGEX
+    date_re = FORMAT_REGEX["date"]
+    uuid_re = FORMAT_REGEX["uuid"]
+    return f"""
+WITH e AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN '2026-13-45'
+              ELSE strftime(ts, '%Y-%m-%d') END AS event_date,
+         CASE WHEN event_id % 11 = 0 THEN 'not-a-uuid'
+              ELSE printf('%08x-0000-4000-8000-%012x', event_id, event_id)
+              END AS event_uuid
+  FROM events
+), v AS (
+  SELECT CAST(event_id AS VARCHAR) AS row_id,
+         'events_fmt:/event_date:format' AS constraint_id,
+         'format' AS keyword, '/event_date' AS instance_path,
+         'Must match format "date" • #/properties/event_date/format' AS message,
+         event_date AS actual
+  FROM e WHERE event_date IS NOT NULL
+        AND NOT regexp_matches(event_date, '{date_re}')
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR),
+         'events_fmt:/event_uuid:format', 'format', '/event_uuid',
+         'Must match format "uuid" • #/properties/event_uuid/format',
+         event_uuid
+  FROM e WHERE event_uuid IS NOT NULL
+        AND NOT regexp_matches(event_uuid, '{uuid_re}')
+)
+SELECT row_id, constraint_id, keyword, instance_path, message, actual FROM v
+"""
+
+
+_VIOL_SAMPLES_SQL = f"""
+WITH v AS ({_ORDERS_VIOL_CTE}),
+s AS (
+  SELECT constraint_id, row_id,
+         CAST(row_number() OVER (PARTITION BY constraint_id ORDER BY row_id)
+              AS INT) AS rn
+  FROM v
+)
+SELECT constraint_id, row_id, rn FROM s WHERE rn <= 3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "validate_orders": _ORDERS_VIOL_SQL,
@@ -487,6 +677,10 @@ FROM documents GROUP BY sha256(text)
         "ann_cosine_topk": _COSINE_TOPK_SQL,
         "embed_sim_pairs": _EMBED_PAIRS_SQL,
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
+        "validate_events_props": _PROPS_VIOL_SQL,
+        "validate_part_composition": _PART_COMP_SQL,
+        "validate_events_formats": _formats_oracle_sql(),
+        "violation_samples_orders": _VIOL_SAMPLES_SQL,
         # minhash/simhash/ivf/approx-stats: seeded-hash / approximate ->
         # rows-only checks (documented in SURVEY.md §5)
     }

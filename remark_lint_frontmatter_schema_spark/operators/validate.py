@@ -57,21 +57,48 @@ def _violation_struct(c: Check) -> Column:
     )  # otherwise NULL -> filtered out below
 
 
-def violations_array(compiled: CompiledRuleset) -> Column:
-    """ARRAY<STRUCT> of this row's violations (empty array == row passes)."""
+_EMPTY_ARR_TYPE = (
+    "array<struct<constraint_id:string,keyword:string,"
+    "instance_path:string,schema_path:string,message:string,"
+    "actual:string,expected:array<string>,severity:string>>"
+)
+
+
+def _raw_violations_array(compiled: CompiledRuleset) -> Column:
+    """ARRAY<STRUCT> with NULL slots for passing checks (not yet compacted).
+
+    Kept raw on purpose: higher-order functions (``F.filter`` with a
+    lambda) are CodegenFallback in Spark, which would drop the whole
+    validation Project out of whole-stage codegen. The hot path instead
+    explodes the raw array and filters NULL rows — both codegen-friendly —
+    and row-level violation counts come from :func:`n_violations_expr`.
+    """
     if not compiled.checks:
-        return F.array().cast(
-            "array<struct<constraint_id:string,keyword:string,"
-            "instance_path:string,schema_path:string,message:string,"
-            "actual:string,expected:array<string>,severity:string>>"
-        )
+        return F.array().cast(_EMPTY_ARR_TYPE)
     chunks = []
     for i in range(0, len(compiled.checks), _CHUNK):
         arr = F.array(*[_violation_struct(c)
                         for c in compiled.checks[i:i + _CHUNK]])
         chunks.append(arr)
-    arr = chunks[0] if len(chunks) == 1 else F.concat(*chunks)
-    return F.filter(arr, lambda x: x.isNotNull())
+    return chunks[0] if len(chunks) == 1 else F.concat(*chunks)
+
+
+def n_violations_expr(compiled: CompiledRuleset) -> Column:
+    """Per-row violation count as pure integer arithmetic (codegen-safe)."""
+    n = F.lit(0)
+    for c in compiled.checks:
+        n = n + F.coalesce(c.violated, F.lit(False)).cast("int")
+    return n
+
+
+def violations_array(compiled: CompiledRuleset) -> Column:
+    """ARRAY<STRUCT> of this row's violations (empty array == row passes).
+
+    Uses an HOF compaction — fine for the user-facing ``annotated``
+    surface, but the violations/verdicts hot paths avoid it (see
+    :func:`_raw_violations_array`).
+    """
+    return F.filter(_raw_violations_array(compiled), lambda x: x.isNotNull())
 
 
 @dataclass
@@ -104,23 +131,27 @@ def validate(
     else:
         work = df
 
+    nv = n_violations_expr(compiled)
     annotated = work.withColumn("_violations", violations_array(compiled)) \
-                    .withColumn("passed", F.size("_violations") == 0)
+                    .withColumn("passed", nv == 0)
 
     part = (F.col(partition_col).cast("string") if partition_col
             else F.lit("all")).alias("partition_id")
 
-    # column pruning discipline: the violations projection only references
-    # columns the ruleset touches; select the minimum out of `annotated`
+    # Hot path stays inside whole-stage codegen end-to-end: pre-filter on
+    # the arithmetic violation count (no HOF), explode the raw array (NULL
+    # slots for passing checks), drop NULL rows after the Generate. Column
+    # pruning discipline: only columns the ruleset touches are referenced.
     violations = (
-        annotated
-        .where(F.size("_violations") > 0)
+        work
+        .where(nv > 0)
         .select(
             F.col(row_id).cast("string").alias("row_id"),
             part,
             F.lit(ruleset_name).alias("ruleset_id"),
-            F.explode("_violations").alias("v"),
+            F.explode(_raw_violations_array(compiled)).alias("v"),
         )
+        .where(F.col("v").isNotNull())
         .select(
             "row_id", "partition_id", "ruleset_id",
             *[F.col(f"v.{f}").alias(f) for f in VIOLATION_FIELDS],
@@ -128,13 +159,14 @@ def validate(
     )
 
     verdicts = (
-        annotated
-        .groupBy(part)
+        work
+        .select(part, nv.alias("_nv"))
+        .groupBy("partition_id")
         .agg(
             F.lit(ruleset_name).alias("ruleset_id"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.size("_violations")).alias("n_violations"),
-            F.sum((~F.col("passed")).cast("long")).alias("n_failed_rows"),
+            F.sum(F.col("_nv").cast("long")).alias("n_violations"),
+            F.sum((F.col("_nv") > 0).cast("long")).alias("n_failed_rows"),
         )
         .withColumn("passed", F.col("n_failed_rows") == 0)
         .withColumn("run_id", F.lit(run_id))

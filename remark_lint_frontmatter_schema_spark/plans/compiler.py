@@ -259,6 +259,37 @@ _KEYWORD_SHAPE = {
 }
 
 
+def _shape_walk(schema: dict, path: str = "#") -> None:
+    """Meta-validate the whole schema tree BEFORE binding to columns.
+
+    Ajv compiles the full schema up front, so a malformed keyword fails
+    even inside a subtree the instance never reaches (e.g. a property
+    whose column is absent). The per-node checks in ``_compile_keywords``
+    can't see skipped subtrees, hence this pure pre-pass.
+    """
+    for kw, v in schema.items():
+        if kw in _KEYWORD_SHAPE and not _KEYWORD_SHAPE[kw](v):
+            raise RulesetCompileError(
+                f"JSON schema malformed: bad value for {kw!r} at {path}: {v!r}")
+    for prop, sub in (schema.get("properties") or {}).items():
+        if not isinstance(sub, dict):
+            raise RulesetCompileError(
+                f"JSON schema malformed: schema for property {prop!r} at "
+                f"{path} is not an object: {sub!r}")
+        _shape_walk(sub, f"{path}/properties/{prop}")
+    for key in ("allOf", "anyOf", "oneOf"):
+        for i, sub in enumerate(schema.get(key) or []):
+            _shape_walk(sub, f"{path}/{key}/{i}")
+    if isinstance(schema.get("items"), dict):
+        _shape_walk(schema["items"], f"{path}/items")
+    if isinstance(schema.get("not"), dict):
+        _shape_walk(schema["not"], f"{path}/not")
+    for key in ("definitions", "$defs"):
+        for name, sub in (schema.get(key) or {}).items():
+            if isinstance(sub, dict):
+                _shape_walk(sub, f"{path}/{key}/{name}")
+
+
 def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
     """Compile every keyword of one schema node (no short-circuit)."""
     for kw in schema:
@@ -403,6 +434,14 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
             )
             _compile_keywords(sub, sub_ctx)
 
+    # Composition keywords at a property node are guarded by presence:
+    # Ajv skips all value keywords on an absent property (only the parent's
+    # `required` fires), and an absent value makes every child schema
+    # vacuously valid — without the guard, oneOf (n_ok == len(children) != 1)
+    # and not would fire on NULLs.
+    def _guard(violated: Column) -> Column:
+        return violated if ctx.col is None else _present(ctx) & violated
+
     if "anyOf" in schema:
         vals = [_validity(sub, ctx, f"{ctx.schema_path}/anyOf/{i}")
                 for i, sub in enumerate(schema["anyOf"])]
@@ -410,19 +449,19 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
         for v in vals[1:]:
             any_ok = any_ok | v
         msg = _reason("must match a schema in anyOf", ctx, "anyOf")
-        _add(ctx, "anyOf", ~any_ok, msg)
+        _add(ctx, "anyOf", _guard(~any_ok), msg)
 
     if "oneOf" in schema:
         vals = [_validity(sub, ctx, f"{ctx.schema_path}/oneOf/{i}")
                 for i, sub in enumerate(schema["oneOf"])]
         n_ok = sum((v.cast("int") for v in vals[1:]), vals[0].cast("int"))
         msg = _reason("must match exactly one schema in oneOf", ctx, "oneOf")
-        _add(ctx, "oneOf", n_ok != 1, msg)
+        _add(ctx, "oneOf", _guard(n_ok != 1), msg)
 
     if "not" in schema:
         ok = _validity(schema["not"], ctx, f"{ctx.schema_path}/not")
         msg = _reason("must NOT be valid", ctx, "not")
-        _add(ctx, "not", ok, msg)
+        _add(ctx, "not", _guard(ok), msg)
 
     if "x-spark-check" in schema and ctx.col is not None:
         name = schema["x-spark-check"]
@@ -565,6 +604,7 @@ def compile_ruleset(
                root_schema=schema, out=out,
                extra_checks=extra_checks or {})
     try:
+        _shape_walk(schema)
         _compile_keywords(schema, ctx)
     except RulesetCompileError:
         raise
