@@ -361,14 +361,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def _langid_oracle_sql() -> str:
-    """Generated from the same LANG_MARKERS constants as the Spark path."""
+    """Generated from the same LANG_MARKERS constants as the Spark path
+    (token-membership counts over one whitespace tokenization)."""
     score_exprs = []
     for lang, markers in text.LANG_MARKERS.items():
-        parts = [
-            f"CAST((length(padded) - length(replace(padded, ' {m} ', ''))) / {len(m) + 2} AS INT)"
-            for m in markers
-        ]
-        score_exprs.append(f"({' + '.join(parts)}) AS s_{lang}")
+        mlist = ", ".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            f"CAST(len(list_filter(toks, x -> x IN ({mlist}))) AS INT) AS s_{lang}")
     langs = list(text.LANG_MARKERS)
     best = f"greatest({', '.join('s_' + lg for lg in langs)})"
     case = "CASE " + " ".join(
@@ -377,7 +376,9 @@ def _langid_oracle_sql() -> str:
 WITH scored AS (
   SELECT doc_id, lang,
          {', '.join(score_exprs)}
-  FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded FROM documents) t
+  FROM (SELECT doc_id, lang,
+               string_split_regex(lower(text), '\\s+') AS toks
+        FROM documents) t
 ), g AS (
   SELECT doc_id, lang, {best} AS best,
          {', '.join('s_' + lg for lg in langs)}

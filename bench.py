@@ -25,6 +25,8 @@ import __spark_entry__ as entry_mod  # noqa: E402
 HEADLINE = [
     "validate_orders",
     "verdict_orders",
+    "validate_events_props",
+    "validate_part_composition",
     "stats_lineitem",
     "unique_lineitem_orderkey",
     "ref_orders_customer",

@@ -40,11 +40,16 @@ RULESET = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "rulesets", "clip.schema.yaml")
 
 
-def prepare(rows: int, data_dir: str, audio_ms: int) -> None:
+def prepare(rows: int, data_dir: str, audio_ms: int,
+            partitions: int = 128) -> None:
+    # file count chosen so each file lands under
+    # spark.sql.files.maxPartitionBytes -> one uniform split per file, and
+    # the split count divides both parallelism levels (balanced waves at
+    # N and 4N; ragged 128m+remainder splits skew the 4N tail)
     spark = get_spark(app_name="rlfs-bench-prepare")
     spark.sparkContext.setLogLevel("ERROR")
     clips = fixtures.generate_clips(spark, rows, audio_ms=audio_ms,
-                                    num_partitions=64)
+                                    num_partitions=partitions)
     fixtures.write_clips(clips, os.path.join(data_dir, "clips"))
     speakers = fixtures.generate_speakers(spark)
     speakers.write.mode("overwrite").parquet(os.path.join(data_dir, "speakers"))
@@ -56,8 +61,12 @@ def prepare(rows: int, data_dir: str, audio_ms: int) -> None:
 def run(master: str, data_dir: str, with_binary: bool = True,
         reps: int = 5) -> dict:
     cores = int(master.split("[")[1].rstrip("]")) if "[" in master else 8
+    # heap scales with parallelism, mirroring a real cluster where a 4N-
+    # executor fleet has 4x the aggregate memory (local mode hosts every
+    # "executor" thread in the one driver JVM)
     spark = get_spark(master=master, app_name=f"rlfs-bench-{master}",
-                      shuffle_partitions=cores)
+                      shuffle_partitions=cores,
+                      extra_conf={"spark.driver.memory": f"{cores}g"})
     spark.sparkContext.setLogLevel("ERROR")
     clips = spark.read.parquet(os.path.join(data_dir, "clips"))
     speakers = spark.read.parquet(os.path.join(data_dir, "speakers"))
@@ -139,15 +148,16 @@ def run(master: str, data_dir: str, with_binary: bool = True,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", choices=["prepare", "run"])
-    ap.add_argument("--rows", type=int, default=4_000_000)
+    ap.add_argument("--rows", type=int, default=16_000_000)
     ap.add_argument("--audio-ms", type=int, default=40)
+    ap.add_argument("--partitions", type=int, default=128)
     ap.add_argument("--data-dir", default="/root/repo/.bench/clips_bench")
     ap.add_argument("--master", default="local[8]")
     ap.add_argument("--no-binary", action="store_true")
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
     if args.mode == "prepare":
-        prepare(args.rows, args.data_dir, args.audio_ms)
+        prepare(args.rows, args.data_dir, args.audio_ms, args.partitions)
     else:
         run(args.master, args.data_dir, with_binary=not args.no_binary,
             reps=args.reps)

@@ -42,35 +42,46 @@ def bpe_token_count(col) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_REGEX), F.lit(0)))
 
 
-def _occurrences(col: Column, needle: str) -> Column:
-    """Count of (non-overlapping) occurrences, via the length-delta trick —
-    identical integer semantics in any SQL engine, so oracle-safe."""
-    return ((F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
-            / len(needle)).cast("int")
-
-
 def lang_scores(col) -> dict[str, Column]:
-    c = F.concat(F.lit(" "), F.lower(F.col(col) if isinstance(col, str) else col),
-                 F.lit(" "))
-    out = {}
-    for lang, markers in LANG_MARKERS.items():
-        score = F.lit(0)
-        for m in markers:
-            score = score + _occurrences(c, f" {m} ")
-        out[lang] = score
-    return out
+    """Marker-token counts per language over ONE tokenization of the text.
+
+    Token-membership counting (split once, then per-language `isin` filters)
+    beats the padded-substring-replace formulation at scale: that one
+    re-copied the full document once per marker word (25 string scans/row);
+    this touches each token 25 times with tiny set probes.
+    """
+    toks = F.split(F.lower(F.col(col) if isinstance(col, str) else col),
+                   r"\s+")
+
+    def member_fn(markers):
+        # closure, not a default arg: pyspark HOF lambdas must have exactly
+        # one parameter (a second one is parsed as the array-index variable)
+        mk = tuple(markers)
+        return lambda t: t.isin(*mk)
+
+    return {
+        lang: F.size(F.filter(toks, member_fn(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
 
 
 def lang_guess(col) -> Column:
     """argmax over marker-word scores, deterministic tie-break by the
-    declaration order of LANG_MARKERS; 'und' when nothing scored."""
+    declaration order of LANG_MARKERS; 'und' when nothing scored.
+
+    The argmax is one `array_max` over (score, preference, lang) structs —
+    lexicographic struct ordering gives the tie-break for free and each
+    score expression is evaluated exactly once (a greatest+CASE chain would
+    replicate every score subtree several times)."""
     scores = lang_scores(col)
-    langs = list(scores)
-    best = F.greatest(*[scores[lg] for lg in langs])
-    guess = F.lit("und")
-    for lg in reversed(langs):  # earlier langs win ties -> apply last
-        guess = F.when(scores[lg] == best, F.lit(lg)).otherwise(guess)
-    return F.when(best > 0, guess).otherwise(F.lit("und"))
+    entries = [
+        F.struct(scores[lg].alias("s"), F.lit(-i).alias("p"),
+                 F.lit(lg).alias("lang"))
+        for i, lg in enumerate(scores)
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best.getField("s") > 0,
+                  best.getField("lang")).otherwise(F.lit("und"))
 
 
 def stopword_ratio(col) -> Column:
