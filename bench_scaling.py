@@ -101,18 +101,23 @@ def run(master: str, data_dir: str, with_binary: bool = True,
                 "ks_stat": round(ks["ks_stat"], 4),
                 "n_partition_verdicts": len(verd)}
 
-    # warm pass (untimed): spawns the Python workers, faults the input into
-    # the page cache, JITs codegen — at the 100 TB design point these are
-    # amortized over hours, so steady-state throughput is the honest metric
-    t0 = time.perf_counter()
-    results = pipeline()
-    warm_sec = time.perf_counter() - t0
-
     # headline metric (north_rule): constraint-eval throughput — the
-    # one-projection validation pass alone, min over reps
+    # one-projection validation pass alone, min over reps. Measured FIRST,
+    # before the full binary pipeline: the eval scan reads only the pruned
+    # non-binary columns, and running the bytes-reading pipeline first
+    # evicts exactly those pages from the OS cache / bloats the heap,
+    # which contaminated the eval reps with disk I/O (observed as 3x
+    # regressions at the higher parallelism level). Two untimed passes
+    # fault the eval's working set in and JIT the codegen.
     res = validate(clips, compiled, row_id="clip_id",
                    partition_col="part_date",
                    applicability=clips.ruleset_id.isNotNull())
+    t0 = time.perf_counter()
+    res.violations.count()
+    res.verdicts.collect()
+    warm_sec = time.perf_counter() - t0
+    res.violations.count()
+    res.verdicts.collect()
     eval_times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -120,6 +125,9 @@ def run(master: str, data_dir: str, with_binary: bool = True,
         res.verdicts.collect()
         eval_times.append(time.perf_counter() - t0)
 
+    # full pipeline (adds binary header check, uniqueness, referential,
+    # drift): first run untimed spawns Python workers + faults `bytes` in
+    results = pipeline()
     pipe_times = []
     for _ in range(max(2, reps // 2)):
         t0 = time.perf_counter()
