@@ -84,18 +84,38 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, *,
 # MinHash + LSH banding (the scale path)
 # ---------------------------------------------------------------------------
 
+_MH_PRIME = 4294967311  # smallest prime > 2^32 (classic minhash modulus)
+
+
+def _mh_coeffs(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a odd, a < 2^30 so that
+    a * base32 + b never overflows a signed 64-bit long — Spark 4 runs in
+    ANSI mode where long overflow throws instead of wrapping). The
+    ``mod _MH_PRIME`` in the stream is essential: without it min(a*x+b) is
+    monotonic in x and every stream would pick the same min-shingle."""
+    import random
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, 1 << 29) * 2 + 1, rnd.randrange(0, 1 << 30))
+            for _ in range(n_hashes)]
+
+
+def _mh_base32(col):
+    """One string hash per shingle, truncated to 32 bits; the k permuted
+    hash streams derive from it by multiply-add (k arithmetic ops per
+    shingle instead of k full string hashes)."""
+    return F.xxhash64(col).bitwiseAND(F.lit((1 << 32) - 1))
+
+
 def minhash_signature(col, *, n_hashes: int = 64, shingle_n: int = 5):
-    """k min-hashes of the shingle set — all JVM expressions: xxhash64 with
-    k distinct seed columns, array_min per seed."""
-    sh = char_shingles(col, shingle_n)
+    """k min-hashes of the shingle set — all JVM expressions: one xxhash64
+    per shingle, k universal-hash derivations, array_min per stream."""
+    base = F.transform(char_shingles(col, shingle_n), _mh_base32)
 
-    def hash_fn(seed):
-        # single-param lambda on purpose: a second param would be parsed by
-        # F.transform as the array-index lambda variable
-        return lambda s: F.xxhash64(s, F.lit(seed))
+    def perm_fn(a, b):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_PRIME))
 
-    return F.array(*[F.array_min(F.transform(sh, hash_fn(i)))
-                     for i in range(n_hashes)])
+    return F.array(*[F.array_min(F.transform(base, perm_fn(a, b)))
+                     for a, b in _mh_coeffs(n_hashes)])
 
 
 def minhash_signatures_df(df: DataFrame, text_col: str, id_col: str, *,
@@ -103,15 +123,18 @@ def minhash_signatures_df(df: DataFrame, text_col: str, id_col: str, *,
     """(id, h0..h{k-1}) signatures via explode + partial-aggregated mins.
 
     This is the scale plan: one explode of shingles (linear work, no array
-    materialization per hash), then ``min(xxhash64(shingle, seed_i))`` per
-    document — hash-aggregate with map-side combine, so the shuffle carries
-    one 64-long row per document, never the shingles. (The expression-only
-    ``minhash_signature`` inlines the shingle construction into each of the
-    64 array ops — measured 70x slower at 5k docs.)"""
+    materialization per hash), ONE xxhash64 per shingle, then
+    ``min(a_i * base + b_i)`` per document per stream — hash-aggregate with
+    map-side combine, so the shuffle carries one 64-long row per document,
+    never the shingles. (The expression-only ``minhash_signature`` inlines
+    the shingle construction into each of the 64 array ops — measured 70x
+    slower at 5k docs.)"""
     sh = df.select(F.col(id_col).alias("id"),
-                   F.explode(char_shingles(text_col, shingle_n)).alias("_sh"))
-    aggs = [F.min(F.xxhash64("_sh", F.lit(i))).alias(f"h{i}")
-            for i in range(n_hashes)]
+                   F.explode(char_shingles(text_col, shingle_n)).alias("_sh")) \
+           .select("id", _mh_base32(F.col("_sh")).alias("_base"))
+    aggs = [F.min(F.pmod(F.col("_base") * F.lit(a) + F.lit(b),
+                         F.lit(_MH_PRIME))).alias(f"h{i}")
+            for i, (a, b) in enumerate(_mh_coeffs(n_hashes))]
     return sh.groupBy("id").agg(*aggs)
 
 
