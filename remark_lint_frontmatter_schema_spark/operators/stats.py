@@ -42,43 +42,44 @@ def column_stats(
         columns = [f.name for f in df.schema.fields
                    if not isinstance(f.dataType, (T.BinaryType, T.MapType,
                                                   T.ArrayType, T.StructType))]
-    per_col = []
     by = [F.col(group_by).cast("string").alias("partition_id")] if group_by else []
-    for c in columns:
-        dtype = df.schema[c].dataType
-        numeric = isinstance(dtype, _NUMERIC)
-        aggs = [
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
-            F.min(c).cast("string").alias("min_value"),
-            F.max(c).cast("string").alias("max_value"),
-            F.approx_count_distinct(c).alias("approx_distinct"),
+
+    # ONE aggregate over ONE scan for every profiled column (a per-column
+    # groupBy + union would rescan the table N times — fatal at 100 TB);
+    # the wide agg row is then exploded into the long per-column form.
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n_rows")]
+    for i, c in enumerate(columns):
+        numeric = isinstance(df.schema[c].dataType, _NUMERIC)
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_{i}_nulls"),
+            F.min(c).cast("string").alias(f"_{i}_min"),
+            F.max(c).cast("string").alias(f"_{i}_max"),
+            F.approx_count_distinct(c).alias(f"_{i}_dist"),
+            (F.percentile_approx(c, list(quantiles), approx_accuracy)
+             .cast("array<double>") if numeric
+             else F.array(*[F.lit(None).cast("double") for _ in quantiles])
+             ).alias(f"_{i}_qs"),
         ]
-        if numeric:
-            aggs.append(
-                F.percentile_approx(c, list(quantiles), approx_accuracy)
-                .alias("_qs"))
-        agg = df.groupBy(*by).agg(*aggs).withColumn("column", F.lit(c))
-        if numeric:
-            for i, q in enumerate(quantiles):
-                agg = agg.withColumn(f"q_{int(q * 100)}",
-                                     F.col("_qs")[i].cast("double"))
-            agg = agg.drop("_qs")
-        else:
-            for q in quantiles:
-                agg = agg.withColumn(f"q_{int(q * 100)}",
-                                     F.lit(None).cast("double"))
-        sel = (["partition_id"] if group_by else []) + [
-            "column", "n_rows", "n_nulls",
-            (F.col("n_nulls") / F.col("n_rows")).alias("null_rate"),
-            "min_value", "max_value", "approx_distinct",
-            *[f"q_{int(q * 100)}" for q in quantiles],
-        ]
-        per_col.append(agg.select(*sel))
-    out = per_col[0]
-    for other in per_col[1:]:
-        out = out.unionByName(other)
-    return out
+    agg = df.groupBy(*by).agg(*aggs)
+
+    entries = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n_rows").alias("n_rows"),
+            F.col(f"_{i}_nulls").alias("n_nulls"),
+            (F.col(f"_{i}_nulls") / F.col("_n_rows")).alias("null_rate"),
+            F.col(f"_{i}_min").alias("min_value"),
+            F.col(f"_{i}_max").alias("max_value"),
+            F.col(f"_{i}_dist").alias("approx_distinct"),
+            *[F.col(f"_{i}_qs")[j].alias(f"q_{int(q * 100)}")
+              for j, q in enumerate(quantiles)],
+        )
+        for i, c in enumerate(columns)
+    ]
+    out_cols = (["partition_id"] if group_by else []) + ["_st.*"]
+    return (agg.select(*(["partition_id"] if group_by else []),
+                       F.explode(F.array(*entries)).alias("_st"))
+               .select(*out_cols))
 
 
 def numeric_profile(df: DataFrame, column: str) -> Column:
