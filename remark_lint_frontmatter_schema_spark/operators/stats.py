@@ -42,6 +42,11 @@ def column_stats(
         columns = [f.name for f in df.schema.fields
                    if not isinstance(f.dataType, (T.BinaryType, T.MapType,
                                                   T.ArrayType, T.StructType))]
+    if not columns:
+        raise ValueError(
+            "column_stats: no profilable columns (binary/map/array/struct "
+            "columns are excluded; pass `columns` explicitly)")
+    key = ["partition_id"] if group_by else []
     by = [F.col(group_by).cast("string").alias("partition_id")] if group_by else []
 
     # ONE aggregate over ONE scan for every profiled column (a per-column
@@ -76,10 +81,8 @@ def column_stats(
         )
         for i, c in enumerate(columns)
     ]
-    out_cols = (["partition_id"] if group_by else []) + ["_st.*"]
-    return (agg.select(*(["partition_id"] if group_by else []),
-                       F.explode(F.array(*entries)).alias("_st"))
-               .select(*out_cols))
+    return (agg.select(*key, F.explode(F.array(*entries)).alias("_st"))
+               .select(*key, "_st.*"))
 
 
 def numeric_profile(df: DataFrame, column: str) -> Column:
