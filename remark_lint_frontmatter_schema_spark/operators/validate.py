@@ -131,6 +131,7 @@ def validate(
     else:
         work = df
 
+    all_errors = compiled.options.get("all_errors", True)
     nv = n_violations_expr(compiled)
     annotated = work.withColumn("_violations", violations_array(compiled)) \
                     .withColumn("passed", nv == 0)
@@ -142,6 +143,15 @@ def validate(
     # the arithmetic violation count (no HOF), explode the raw array (NULL
     # slots for passing checks), drop NULL rows after the Generate. Column
     # pruning discipline: only columns the ruleset touches are referenced.
+    if all_errors:
+        # reference default (allErrors:true, index.ts:312): every failing
+        # keyword emits a row
+        exploded = F.explode(_raw_violations_array(compiled)).alias("v")
+    else:
+        # Ajv's non-allErrors mode: first violation per row only. The HOF
+        # compaction is acceptable here — it runs on violating rows only.
+        exploded = F.explode(
+            F.slice(violations_array(compiled), 1, 1)).alias("v")
     violations = (
         work
         .where(nv > 0)
@@ -149,7 +159,7 @@ def validate(
             F.col(row_id).cast("string").alias("row_id"),
             part,
             F.lit(ruleset_name).alias("ruleset_id"),
-            F.explode(_raw_violations_array(compiled)).alias("v"),
+            exploded,
         )
         .where(F.col("v").isNotNull())
         .select(
@@ -158,9 +168,12 @@ def validate(
         )
     )
 
+    # non-allErrors verdicts count at most one violation per row, matching
+    # the single-element Ajv error array in that mode
     verdicts = (
         work
-        .select(part, nv.alias("_nv"))
+        .select(part, (nv if all_errors else F.least(nv, F.lit(1)))
+                .alias("_nv"))
         .groupBy("partition_id")
         .agg(
             F.lit(ruleset_name).alias("ruleset_id"),

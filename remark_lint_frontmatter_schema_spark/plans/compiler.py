@@ -86,6 +86,7 @@ class CompiledRuleset:
     unknown: list = field(default_factory=list)          # strict:false analog
     columns_read: set = field(default_factory=set)       # for column pruning
     ruleset_hash: str = ""
+    options: dict = field(default_factory=dict)          # ajvOptions analog
 
     def summary(self) -> dict:
         return {
@@ -580,6 +581,7 @@ def compile_ruleset(
     schema_file: str = "",
     extra_checks: dict | None = None,
     exclude_columns: tuple = (),
+    options: dict | None = None,
 ) -> CompiledRuleset:
     """Compile a bundled JSON-Schema-shaped document against a table schema.
 
@@ -589,7 +591,20 @@ def compile_ruleset(
     ruleset was routed by column and ``()`` on the embed path (the quirk
     where an embedded ``additionalProperties:false`` schema flags
     ``$schema`` is thereby preserved).
+
+    ``options`` is the ``Settings.ajvOptions`` analog (index.ts:49,
+    310-317): ``strict`` (default False, like the reference's Ajv ctor
+    ``strict: false`` at index.ts:313) makes unknown keywords a compile
+    error instead of a collected warning; ``all_errors`` (default True,
+    index.ts:312) is consumed by :func:`operators.validate.validate` —
+    False keeps only the first violation per row, Ajv's non-allErrors
+    mode.
     """
+    options = options or {}
+    unknown_opts = set(options) - {"strict", "all_errors"}
+    if unknown_opts:
+        raise RulesetCompileError(
+            f"unknown engine options: {sorted(unknown_opts)}")
     if not isinstance(schema, dict):
         raise RulesetCompileError(f"JSON schema malformed: {schema!r}")
     if exclude_columns:
@@ -603,6 +618,7 @@ def compile_ruleset(
                schema_file=schema_file, df_schema=df_schema,
                root_schema=schema, out=out,
                extra_checks=extra_checks or {})
+    out.options = dict(options)
     try:
         _shape_walk(schema)
         _compile_keywords(schema, ctx)
@@ -610,6 +626,9 @@ def compile_ruleset(
         raise
     except Exception as exc:  # malformed schema -> guard, not crash (index.ts:335-340)
         raise RulesetCompileError(f"JSON schema malformed: {exc}") from exc
+    if options.get("strict") and out.unknown:
+        raise RulesetCompileError(
+            f"strict mode: unknown keywords {out.unknown!r}")
     return out
 
 

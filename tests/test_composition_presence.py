@@ -68,3 +68,32 @@ def test_malformed_subtree_under_absent_column_fails_compile(spark):
     ):
         with _pytest.raises(RulesetCompileError):
             compile_ruleset(bad, df.schema, name="bad")
+
+
+def test_ajv_options_analog(spark):
+    """`options` mirrors Settings.ajvOptions (index.ts:49): strict makes
+    unknown keywords fatal; all_errors=False keeps one violation per row."""
+    import pytest as _pytest
+    from remark_lint_frontmatter_schema_spark.plans.bundler import (
+        RulesetCompileError)
+    df = spark.createDataFrame([("a", None, "zz", "bad")],
+                               "id string, size int, kind string, brand string")
+    with _pytest.raises(RulesetCompileError):
+        compile_ruleset({"properties": {"kind": {"frobnicate": 1}}},
+                        df.schema, options={"strict": True})
+    with _pytest.raises(RulesetCompileError):
+        compile_ruleset({}, df.schema, options={"nope": 1})
+
+    multi = {"properties": {"kind": {"minLength": 3, "pattern": "^a"}},
+             "required": ["size"]}
+    c_all = compile_ruleset(multi, df.schema, name="m")
+    c_one = compile_ruleset(multi, df.schema, name="m",
+                            options={"all_errors": False})
+    res_all = validate(df, c_all, row_id="id")
+    res_one = validate(df, c_one, row_id="id")
+    assert res_all.violations.count() == 3
+    assert res_one.violations.count() == 1
+    v_all = res_all.verdicts.collect()[0]
+    v_one = res_one.verdicts.collect()[0]
+    assert v_all.n_violations == 3 and v_one.n_violations == 1
+    assert v_all.n_failed_rows == v_one.n_failed_rows == 1
