@@ -237,12 +237,30 @@ def _type_check(ctx: _Ctx, json_type) -> None:
 # keyword -> shape predicate; violations of these are "JSON schema malformed"
 # (the guard the reference hits when Ajv compile throws, index.ts:335-340)
 _NUM = (int, float)
+
+
+def _regex_ok(p) -> bool:
+    """Compile-time regex validation (Ajv fails compile on a bad regex,
+    index.ts:335-340 guard; without this the error surfaces as an executor
+    PatternSyntaxException mid-job). Python `re` is the checker while the
+    runtime engine is Java regex — the dialects diverge on exotica
+    (possessive quantifiers are Java-only), so this rejects a small set of
+    Java-valid patterns; that conservative trade is documented here."""
+    if not isinstance(p, str):
+        return False
+    try:
+        re.compile(p)
+        return True
+    except re.error:
+        return False
+
+
 _KEYWORD_SHAPE = {
     "enum": lambda v: isinstance(v, list) and len(v) > 0,
     "required": lambda v: isinstance(v, list) and all(isinstance(p, str) for p in v),
     "maxLength": lambda v: isinstance(v, int) and not isinstance(v, bool),
     "minLength": lambda v: isinstance(v, int) and not isinstance(v, bool),
-    "pattern": lambda v: isinstance(v, str),
+    "pattern": _regex_ok,
     "format": lambda v: isinstance(v, str),
     "minimum": lambda v: isinstance(v, _NUM) and not isinstance(v, bool),
     "maximum": lambda v: isinstance(v, _NUM) and not isinstance(v, bool),
@@ -632,4 +650,3 @@ def compile_ruleset(
     return out
 
 
-_ = re  # silence unused import if format table is regex-free in future

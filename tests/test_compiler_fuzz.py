@@ -1,0 +1,61 @@
+"""Compiler totality fuzz (hypothesis): for ANY JSON-ish schema document,
+``compile_ruleset`` either succeeds or raises ``RulesetCompileError`` —
+never a raw TypeError/AttributeError/analysis crash (the reference's
+compile guard, index.ts:335-340, reinterpreted as a total function).
+
+Driver-side only (expression construction, no job), so examples are cheap.
+"""
+
+import hypothesis.strategies as st
+import pyspark.sql.types as T
+from hypothesis import HealthCheck, given, settings
+
+from remark_lint_frontmatter_schema_spark import compile_ruleset
+from remark_lint_frontmatter_schema_spark.plans.bundler import (
+    RulesetCompileError)
+
+DF_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("s", T.StringType()),
+    T.StructField("n", T.IntegerType()),
+    T.StructField("arr", T.ArrayType(T.StringType())),
+    T.StructField("m", T.MapType(T.StringType(), T.StringType())),
+])
+
+_KEYWORDS = ["type", "enum", "const", "required", "maxLength", "minLength",
+             "pattern", "minimum", "maximum", "exclusiveMinimum",
+             "multipleOf", "maxItems", "minItems", "properties", "items",
+             "allOf", "anyOf", "oneOf", "not", "additionalProperties",
+             "format", "$ref", "frobnicate"]
+
+_scalars = st.one_of(
+    st.none(), st.booleans(), st.integers(-5, 100),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.sampled_from(["x", "^[a-z", "(?P<g>a)", "a*+", "#/properties/s",
+                     "#/nope", "string", "integer", "date", "bogus"]),
+)
+_values = st.recursive(
+    _scalars | st.lists(_scalars, max_size=3),
+    lambda kids: st.dictionaries(st.sampled_from(_KEYWORDS), kids, max_size=4)
+    | st.dictionaries(st.sampled_from(["s", "n", "arr", "m", "ghost"]),
+                      kids, max_size=3),
+    max_leaves=12,
+)
+_schemas = st.dictionaries(st.sampled_from(_KEYWORDS), _values, max_size=5)
+
+
+@given(schema=_schemas)
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_compile_is_total(spark, schema):
+    try:
+        compiled = compile_ruleset(schema, DF_SCHEMA, name="fuzz")
+        assert compiled.ruleset_hash
+    except RulesetCompileError:
+        pass
+
+
+def test_bad_regex_fails_compile(spark):
+    with __import__("pytest").raises(RulesetCompileError):
+        compile_ruleset({"properties": {"s": {"pattern": "^[a-z"}}},
+                        DF_SCHEMA)
