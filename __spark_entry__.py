@@ -290,6 +290,18 @@ def q_validate_events_formats(spark, sf):
         "actual")
 
 
+def q_profile_lineitem(spark, sf):
+    """Single-scan multi-column profiler (SURVEY §2.4 A3) — exact fields
+    only, long form; one FileScan for all profiled columns."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return stats.column_stats(
+        li, ["l_quantity", "l_extendedprice", "l_returnflag"],
+        group_by="l_linestatus",
+    ).select("partition_id", "column", "n_rows", "n_nulls",
+             F.round("null_rate", 6).alias("null_rate"),
+             "min_value", "max_value")
+
+
 def q_violation_samples_orders(spark, sf):
     """Per-constraint violation samples (SURVEY §2.6 O5): first K row_ids
     per constraint via row_number — the manifest's evidence excerpt."""
@@ -349,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_part_composition": q_validate_part_composition,
         "validate_events_formats": q_validate_events_formats,
         "violation_samples_orders": q_violation_samples_orders,
+        "profile_lineitem": q_profile_lineitem,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -682,6 +695,29 @@ FROM documents GROUP BY sha256(text)
         "validate_part_composition": _PART_COMP_SQL,
         "validate_events_formats": _formats_oracle_sql(),
         "violation_samples_orders": _VIOL_SAMPLES_SQL,
+        "profile_lineitem": """
+WITH cols("column") AS (VALUES ('l_quantity'), ('l_extendedprice'), ('l_returnflag'))
+SELECT l_linestatus AS partition_id, c."column" AS "column",
+       count(*) AS n_rows,
+       CAST(sum(CASE c."column"
+                WHEN 'l_quantity' THEN CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END
+                WHEN 'l_extendedprice' THEN CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END
+                ELSE CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END END) AS BIGINT) AS n_nulls,
+       round(sum(CASE c."column"
+                WHEN 'l_quantity' THEN CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END
+                WHEN 'l_extendedprice' THEN CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END
+                ELSE CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END END) * 1.0 / count(*), 6) AS null_rate,
+       CASE c."column"
+            WHEN 'l_quantity' THEN CAST(min(l_quantity) AS VARCHAR)
+            WHEN 'l_extendedprice' THEN CAST(min(l_extendedprice) AS VARCHAR)
+            ELSE min(l_returnflag) END AS min_value,
+       CASE c."column"
+            WHEN 'l_quantity' THEN CAST(max(l_quantity) AS VARCHAR)
+            WHEN 'l_extendedprice' THEN CAST(max(l_extendedprice) AS VARCHAR)
+            ELSE max(l_returnflag) END AS max_value
+FROM lineitem CROSS JOIN cols c
+GROUP BY l_linestatus, c."column"
+""",
         # minhash/simhash/ivf/approx-stats: seeded-hash / approximate ->
         # rows-only checks (documented in SURVEY.md §5)
     }

@@ -28,6 +28,7 @@ HEADLINE = [
     "validate_events_props",
     "validate_part_composition",
     "stats_lineitem",
+    "profile_lineitem",
     "unique_lineitem_orderkey",
     "ref_orders_customer",
     "ref_orders_customer_bloom",
