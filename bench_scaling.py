@@ -68,6 +68,17 @@ def run(master: str, data_dir: str, with_binary: bool = True,
                       shuffle_partitions=cores,
                       extra_conf={"spark.driver.memory": f"{cores}g"})
     spark.sparkContext.setLogLevel("ERROR")
+    # spark.driver.memory set via conf is only honored when this process
+    # launches the JVM (plain `python bench_scaling.py`); under
+    # spark-submit the driver JVM already exists, so the flag must be
+    # `--driver-memory <cores>g` on the submit command line. Verify the
+    # heap we actually got and warn loudly rather than OOM mysteriously.
+    max_heap_gb = (spark._jvm.java.lang.Runtime.getRuntime().maxMemory()
+                   / (1 << 30))
+    if max_heap_gb < 0.7 * cores:
+        print(f"WARNING: JVM max heap {max_heap_gb:.1f}g < {cores}g; "
+              f"under spark-submit pass --driver-memory {cores}g",
+              file=sys.stderr)
     clips = spark.read.parquet(os.path.join(data_dir, "clips"))
     speakers = spark.read.parquet(os.path.join(data_dir, "speakers"))
     compiled = compile_ruleset(bundle(RULESET), clips.schema, name="clip",
@@ -139,14 +150,21 @@ def run(master: str, data_dir: str, with_binary: bool = True,
         assert r == results, "nondeterministic pipeline results"
 
     # the mandated vectorized-pandas-UDF header form (64-byte JVM-side
-    # prefix slice feeding the Arrow channel), timed as its own metric
+    # prefix slice feeding the Arrow channel), timed as its own metric —
+    # same protocol as every other metric here: untimed warm pass (spawns
+    # the Python workers, opens the Arrow channel), then min over reps
     if with_binary:
-        t0 = time.perf_counter()
-        hdr_bad_udf = (clips.where("bytes is not null")
-                       .where(~audio.codec_header_ok_col()).count())
-        header_udf_sec = round(time.perf_counter() - t0, 2)
+        udf_bad = clips.where("bytes is not null") \
+                       .where(~audio.codec_header_ok_col())
+        hdr_bad_udf = udf_bad.count()  # warm
         assert hdr_bad_udf == results["n_header_bad"], \
             "UDF and JVM header checks disagree"
+        udf_times = []
+        for _ in range(max(2, reps // 2)):
+            t0 = time.perf_counter()
+            udf_bad.count()
+            udf_times.append(time.perf_counter() - t0)
+        header_udf_sec = round(min(udf_times), 2)
     else:
         header_udf_sec = -1.0
 

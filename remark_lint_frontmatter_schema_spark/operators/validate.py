@@ -133,7 +133,11 @@ def validate(
 
     all_errors = compiled.options.get("all_errors", True)
     nv = n_violations_expr(compiled)
-    annotated = work.withColumn("_violations", violations_array(compiled)) \
+    ann_arr = violations_array(compiled)
+    if not all_errors:
+        # the annotated surface honors the option too: one struct per row
+        ann_arr = F.slice(ann_arr, 1, 1)
+    annotated = work.withColumn("_violations", ann_arr) \
                     .withColumn("passed", nv == 0)
 
     part = (F.col(partition_col).cast("string") if partition_col

@@ -242,12 +242,24 @@ _NUM = (int, float)
 def _regex_ok(p) -> bool:
     """Compile-time regex validation (Ajv fails compile on a bad regex,
     index.ts:335-340 guard; without this the error surfaces as an executor
-    PatternSyntaxException mid-job). Python `re` is the checker while the
-    runtime engine is Java regex — the dialects diverge on exotica
-    (possessive quantifiers are Java-only), so this rejects a small set of
-    Java-valid patterns; that conservative trade is documented here."""
+    PatternSyntaxException mid-job). The check uses the JVM's own
+    ``java.util.regex.Pattern`` when a session is up (the authoritative
+    dialect, since ``rlike`` executes Java regex — Python ``re`` would
+    reject Java-valid patterns like ``\\p{Lu}+`` and accept Java-invalid
+    ones); falls back to Python ``re`` only when no JVM is available."""
     if not isinstance(p, str):
         return False
+    try:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+    except Exception:
+        spark = None
+    if spark is not None:
+        try:
+            spark._jvm.java.util.regex.Pattern.compile(p)  # noqa: SLF001
+            return True
+        except Exception:
+            return False
     try:
         re.compile(p)
         return True
@@ -299,10 +311,18 @@ def _shape_walk(schema: dict, path: str = "#") -> None:
     for key in ("allOf", "anyOf", "oneOf"):
         for i, sub in enumerate(schema.get(key) or []):
             _shape_walk(sub, f"{path}/{key}/{i}")
-    if isinstance(schema.get("items"), dict):
-        _shape_walk(schema["items"], f"{path}/items")
+    items = schema.get("items")
+    if isinstance(items, dict):
+        _shape_walk(items, f"{path}/items")
+    elif isinstance(items, list):  # tuple-form items (draft-07)
+        for i, sub in enumerate(items):
+            if isinstance(sub, dict):
+                _shape_walk(sub, f"{path}/items/{i}")
     if isinstance(schema.get("not"), dict):
         _shape_walk(schema["not"], f"{path}/not")
+    if isinstance(schema.get("additionalProperties"), dict):
+        _shape_walk(schema["additionalProperties"],
+                    f"{path}/additionalProperties")
     for key in ("definitions", "$defs"):
         for name, sub in (schema.get(key) or {}).items():
             if isinstance(sub, dict):
@@ -507,6 +527,9 @@ def _items_check(ctx: _Ctx, items_schema: dict) -> None:
                     root_schema=ctx.root_schema, out=probe,
                     extra_checks=ctx.extra_checks, silent=False)
         _compile_keywords(items_schema, ectx)
+        for u in probe.unknown:
+            if u not in ctx.out.unknown:
+                ctx.out.unknown.append(u)
         if not probe.checks:
             return F.lit(False)
         bad = probe.checks[0].violated
@@ -557,6 +580,12 @@ def _validity(schema: dict, ctx: _Ctx, schema_path: str) -> Column:
                    root_schema=ctx.root_schema, out=probe,
                    extra_checks=ctx.extra_checks, silent=False)
     _compile_keywords(schema, sub_ctx)
+    # the probe ruleset is discarded, but unknown keywords inside the
+    # branch must still surface (strict mode / warning collection — Ajv
+    # strict fails on unknowns anywhere in the tree)
+    for u in probe.unknown:
+        if u not in ctx.out.unknown:
+            ctx.out.unknown.append(u)
     ok = F.lit(True)
     for c in probe.checks:
         ok = ok & ~F.coalesce(c.violated, F.lit(False))

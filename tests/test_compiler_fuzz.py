@@ -59,3 +59,36 @@ def test_bad_regex_fails_compile(spark):
     with __import__("pytest").raises(RulesetCompileError):
         compile_ruleset({"properties": {"s": {"pattern": "^[a-z"}}},
                         DF_SCHEMA)
+
+
+def test_java_regex_dialect(spark):
+    """Regex validation uses the JVM dialect that rlike executes: Java-only
+    syntax compiles; Java-invalid patterns fail compile even when Python
+    `re` would accept them (code-review findings, 2026-08-17)."""
+    import pytest
+    # \p{Lu} is Java-valid (Python re rejects it) -> must compile
+    compile_ruleset({"properties": {"s": {"pattern": r"\p{Lu}+"}}}, DF_SCHEMA)
+    # (?P<g>...) is Python-only named-group syntax, invalid in Java
+    with pytest.raises(RulesetCompileError):
+        compile_ruleset({"properties": {"s": {"pattern": "(?P<g>a)"}}},
+                        DF_SCHEMA)
+
+
+def test_strict_sees_subtree_unknowns(spark):
+    import pytest
+    with pytest.raises(RulesetCompileError):
+        compile_ruleset({"properties": {"s": {"anyOf": [{"frobnicate": 1}]}}},
+                        DF_SCHEMA, options={"strict": True})
+    c = compile_ruleset({"properties": {"s": {"not": {"frobnicate": 1}}}},
+                        DF_SCHEMA)
+    assert any("frobnicate" in str(u) for u in c.unknown)
+
+
+def test_shape_walk_covers_additional_properties_and_tuple_items(spark):
+    import pytest
+    for bad in (
+        {"properties": {"m": {"additionalProperties": {"enum": []}}}},
+        {"properties": {"arr": {"items": [{"pattern": 123}]}}},
+    ):
+        with pytest.raises(RulesetCompileError):
+            compile_ruleset(bad, DF_SCHEMA)
