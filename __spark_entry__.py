@@ -23,6 +23,23 @@ from remark_lint_frontmatter_schema_spark.operators import (
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+
+def _load(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    """Read one testdata table, spreading single-split files across cores.
+
+    Every sandbox parquet is a single row group, so the scan is ONE task and
+    all downstream map work (projection, explode, partial aggregation) would
+    serialize on local[N]. Production tables arrive as many splits, making
+    this a no-op there — guarded on the scan's actual split count, so the
+    repartition (a tiny shuffle of a tiny file here) never fires on a
+    properly-split source.
+    """
+    df = spark.read.parquet(f"{sf}/{name}.parquet")
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(p, 16):
+        df = df.repartition(p)
+    return df
+
 # ---------------------------------------------------------------------------
 # flagship ruleset over `orders` (thresholds chosen to actually fire on the
 # clean TPC-H-ish data, so the oracle comparison is non-trivial)
@@ -73,7 +90,7 @@ SELECT row_id, constraint_id, keyword, instance_path, message FROM v
 
 
 def _orders_validation(spark: SparkSession, sf_dir: str):
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _load(spark, sf_dir, "orders")
     compiled = compile_ruleset(ORDERS_RULESET, orders.schema, name="orders")
     return validate(orders, compiled, row_id="o_orderkey",
                     partition_col="o_orderstatus")
@@ -99,7 +116,7 @@ def q_verdict_orders(spark, sf):
 
 
 def q_stats_lineitem(spark, sf):
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    li = _load(spark, sf, "lineitem")
     return li.groupBy(F.col("l_returnflag")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("l_quantity").isNull().cast("long")).alias("n_nulls_qty"),
@@ -111,27 +128,27 @@ def q_stats_lineitem(spark, sf):
 
 
 def q_unique_lineitem_orderkey(spark, sf):
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    li = _load(spark, sf, "lineitem")
     return uniqueness.duplicate_keys(li, "l_orderkey")
 
 
 def q_ref_orders_customer(spark, sf):
-    orders = spark.read.parquet(f"{sf}/orders.parquet")
-    dim = spark.read.parquet(f"{sf}/customer.parquet").where("c_acctbal >= 0")
+    orders = _load(spark, sf, "orders")
+    dim = _load(spark, sf, "customer").where("c_acctbal >= 0")
     return referential.dangling_keys(orders, "o_custkey", dim, "c_custkey") \
         .select("o_orderkey", "o_custkey")
 
 
 def q_ref_orders_customer_bloom(spark, sf):
-    orders = spark.read.parquet(f"{sf}/orders.parquet")
-    dim = spark.read.parquet(f"{sf}/customer.parquet").where("c_acctbal >= 0")
+    orders = _load(spark, sf, "orders")
+    dim = _load(spark, sf, "customer").where("c_acctbal >= 0")
     return referential.dangling_keys(orders, "o_custkey", dim, "c_custkey",
                                      use_bloom=True) \
         .select("o_orderkey", "o_custkey")
 
 
 def _events_hist(spark, sf):
-    ev = spark.read.parquet(f"{sf}/events.parquet") \
+    ev = _load(spark, sf, "events") \
         .where(F.col("event_type").isin("error", "purchase"))
     return drift.histogram(ev, "value", "event_type", lo=0.0, hi=500.0,
                            n_buckets=25)
@@ -155,7 +172,7 @@ def q_drift_events_psi(spark, sf):
 
 def q_topn_flag_violation_rate(spark, sf):
     from pyspark.sql import Window
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    li = _load(spark, sf, "lineitem")
     rates = li.groupBy("l_returnflag").agg(
         F.round(F.avg((F.col("l_quantity") > 45).cast("double")), 6)
         .alias("rate"))
@@ -164,7 +181,7 @@ def q_topn_flag_violation_rate(spark, sf):
 
 
 def q_text_stats_documents(spark, sf):
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _load(spark, sf, "documents")
     c = F.col("text")
     return docs.select(
         "doc_id",
@@ -178,25 +195,25 @@ def q_text_stats_documents(spark, sf):
 
 
 def q_langid_documents(spark, sf):
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _load(spark, sf, "documents")
     return docs.select(
         "doc_id", text.lang_guess(F.col("text")).alias("lang_guess"),
         (text.lang_guess(F.col("text")) == F.col("lang")).alias("matches_label"))
 
 
 def q_fingerprint_documents(spark, sf):
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _load(spark, sf, "documents")
     return docs.select("doc_id",
                        text.fingerprint(F.col("text")).alias("fingerprint"))
 
 
 def q_dedup_exact_documents(spark, sf):
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _load(spark, sf, "documents")
     return dedup.exact_groups(docs, "text", "doc_id")
 
 
 def q_ann_cosine_topk(spark, sf):
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _load(spark, sf, "embeddings")
     qv = [float(x) for x in
           emb.where("vec_id = 0").select("embedding").first().embedding]
     return similarity.cosine_topk(emb, "embedding", "vec_id", qv, k=10,
@@ -204,13 +221,13 @@ def q_ann_cosine_topk(spark, sf):
 
 
 def q_embed_sim_pairs(spark, sf):
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _load(spark, sf, "embeddings")
     return similarity.embedding_near_dup_pairs(
         emb, "embedding", "vec_id", block_col="label", threshold=0.30)
 
 
 def q_ngram_jaccard_documents(spark, sf):
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _load(spark, sf, "documents")
     return dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
                                      block_col="lang", n=3, threshold=0.55)
 
@@ -232,7 +249,7 @@ def q_validate_events_props(spark, sf):
     """Semi-structured path (SURVEY §2.1 S2, §2.2 P9/P11): JSON string ->
     map via from_json, then required / numeric-range / closed-map checks
     against the dynamic MapType node."""
-    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+    ev = _load(spark, sf, "events").select(
         "event_id",
         F.from_json("props", "map<string,string>").alias("props_map"))
     compiled = compile_ruleset(PROPS_RULESET, ev.schema, name="events_props")
@@ -254,7 +271,7 @@ PART_RULESET = {
 def q_validate_part_composition(spark, sf):
     """Composition keywords (SURVEY §2.6 O3/O4): anyOf / oneOf / not with
     Ajv presence semantics (absent property never fires a value keyword)."""
-    part = spark.read.parquet(f"{sf}/part.parquet")
+    part = _load(spark, sf, "part")
     compiled = compile_ruleset(PART_RULESET, part.schema, name="part_comp")
     return validate(part, compiled, row_id="p_partkey").violations.select(
         "row_id", "constraint_id", "keyword", "instance_path", "message")
@@ -270,7 +287,7 @@ FORMATS_RULESET = {
 
 
 def _events_with_formats(spark, sf):
-    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ev = _load(spark, sf, "events")
     return ev.select(
         "event_id",
         F.when(F.col("event_id") % 7 == 0, F.lit("2026-13-45"))
@@ -293,7 +310,7 @@ def q_validate_events_formats(spark, sf):
 def q_profile_lineitem(spark, sf):
     """Single-scan multi-column profiler (SURVEY §2.4 A3) — exact fields
     only, long form; one FileScan for all profiled columns."""
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    li = _load(spark, sf, "lineitem")
     return stats.column_stats(
         li, ["l_quantity", "l_extendedprice", "l_returnflag"],
         group_by="l_linestatus",
@@ -316,17 +333,17 @@ def q_violation_samples_orders(spark, sf):
 # --- rows-only (approx / hash-seeded: no faithful ANSI-SQL twin) -----------
 
 def q_minhash_dedup_documents(spark, sf):
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _load(spark, sf, "documents")
     return dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.7)
 
 
 def q_simhash_pairs_documents(spark, sf):
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _load(spark, sf, "documents")
     return dedup.simhash_pairs(docs, "text", "doc_id", max_distance=6)
 
 
 def q_ann_ivf_topk(spark, sf):
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _load(spark, sf, "embeddings")
     qv = [float(x) for x in
           emb.where("vec_id = 0").select("embedding").first().embedding]
     return similarity.cosine_topk_ivf(emb, "embedding", "vec_id", qv, k=10,
@@ -334,7 +351,7 @@ def q_ann_ivf_topk(spark, sf):
 
 
 def q_approx_stats_lineitem(spark, sf):
-    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    li = _load(spark, sf, "lineitem")
     return stats.column_stats(li, ["l_quantity", "l_extendedprice"])
 
 
