@@ -330,6 +330,51 @@ def q_violation_samples_orders(spark, sf):
             .where(F.col("rn") <= 3))
 
 
+EMB_RULESET = {
+    "type": "object",
+    "required": ["embedding"],
+    "properties": {
+        "embedding": {
+            "minItems": 64,
+            "maxItems": 64,
+            "uniqueItems": True,
+            "contains": {"minimum": 0.2},
+            "minContains": 2,
+            "maxContains": 6,
+        },
+    },
+}
+
+
+def q_validate_embeddings_array(spark, sf):
+    """Array keywords (uniqueItems / contains / min+maxContains / min+
+    maxItems) over the embedding vector column — one projection, no
+    Python."""
+    emb = _load(spark, sf, "embeddings")
+    compiled = compile_ruleset(EMB_RULESET, emb.schema, name="emb")
+    return validate(emb, compiled, row_id="vec_id").violations.select(
+        "row_id", "constraint_id", "keyword", "message")
+
+
+ORDERS_COND_RULESET = {
+    "if": {"properties": {"o_orderstatus": {"const": "F"}},
+           "required": ["o_orderstatus"]},
+    "then": {"properties": {"o_totalprice": {"maximum": 400000}}},
+    "else": {"properties": {"o_orderpriority": {"pattern": "^[1-3]-"}}},
+    "dependentRequired": {"o_orderkey": ["o_custkey"]},
+}
+
+
+def q_validate_orders_conditional(spark, sf):
+    """Conditional keywords (if/then/else) + dependentRequired at the row
+    level — compiled to pure boolean Column algebra over one scan."""
+    orders = _load(spark, sf, "orders")
+    compiled = compile_ruleset(ORDERS_COND_RULESET, orders.schema,
+                               name="ordcond")
+    return validate(orders, compiled, row_id="o_orderkey").violations.select(
+        "row_id", "constraint_id", "keyword", "message")
+
+
 # --- rows-only (approx / hash-seeded: no faithful ANSI-SQL twin) -----------
 
 def q_minhash_dedup_documents(spark, sf):
@@ -379,6 +424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_events_formats": q_validate_events_formats,
         "violation_samples_orders": q_violation_samples_orders,
         "profile_lineitem": q_profile_lineitem,
+        "validate_embeddings_array": q_validate_embeddings_array,
+        "validate_orders_conditional": q_validate_orders_conditional,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -712,6 +759,64 @@ FROM documents GROUP BY sha256(text)
         "validate_part_composition": _PART_COMP_SQL,
         "validate_events_formats": _formats_oracle_sql(),
         "violation_samples_orders": _VIOL_SAMPLES_SQL,
+        "validate_embeddings_array": """
+SELECT CAST(vec_id AS VARCHAR) AS row_id,
+       'emb:/embedding:contains' AS constraint_id,
+       'contains' AS keyword,
+       'Must contain at least 2 valid item(s) • #/properties/embedding/contains' AS message
+FROM embeddings
+WHERE embedding IS NOT NULL
+  AND len(list_filter(embedding, x -> x >= CAST(0.2 AS DOUBLE))) < 2
+UNION ALL
+SELECT CAST(vec_id AS VARCHAR),
+       'emb:/embedding:maxContains', 'maxContains',
+       'Must contain at most 6 valid item(s) • #/properties/embedding/maxContains'
+FROM embeddings
+WHERE embedding IS NOT NULL
+  AND len(list_filter(embedding, x -> x >= CAST(0.2 AS DOUBLE))) > 6
+UNION ALL
+SELECT CAST(vec_id AS VARCHAR),
+       'emb:/embedding:uniqueItems', 'uniqueItems',
+       'Must NOT have duplicate items • #/properties/embedding/uniqueItems'
+FROM embeddings
+WHERE embedding IS NOT NULL AND len(list_distinct(embedding)) < len(embedding)
+UNION ALL
+SELECT CAST(vec_id AS VARCHAR),
+       'emb:/embedding:minItems', 'minItems',
+       'Must NOT have fewer than 64 items • #/properties/embedding/minItems'
+FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) < 64
+UNION ALL
+SELECT CAST(vec_id AS VARCHAR),
+       'emb:/embedding:maxItems', 'maxItems',
+       'Must NOT have more than 64 items • #/properties/embedding/maxItems'
+FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 64
+UNION ALL
+SELECT CAST(vec_id AS VARCHAR),
+       'emb:/:required', 'required',
+       'Must have required property ''embedding'' • #/required'
+FROM embeddings WHERE embedding IS NULL
+""",
+        "validate_orders_conditional": """
+SELECT CAST(o_orderkey AS VARCHAR) AS row_id,
+       'ordcond:/:if' AS constraint_id, 'if' AS keyword,
+       'Must match "then" schema • #/if' AS message
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
+  AND o_totalprice > 400000
+UNION ALL
+SELECT CAST(o_orderkey AS VARCHAR),
+       'ordcond:/:if#2', 'if',
+       'Must match "else" schema • #/if'
+FROM orders
+WHERE (o_orderstatus IS NULL OR o_orderstatus <> 'F')
+  AND o_orderpriority IS NOT NULL
+  AND NOT regexp_matches(o_orderpriority, '^[1-3]-')
+UNION ALL
+SELECT CAST(o_orderkey AS VARCHAR),
+       'ordcond:/:dependentRequired', 'dependentRequired',
+       'Must have property o_custkey when property o_orderkey is present • #/dependentRequired'
+FROM orders WHERE o_orderkey IS NOT NULL AND o_custkey IS NULL
+""",
         "profile_lineitem": """
 WITH cols("column") AS (VALUES ('l_quantity'), ('l_extendedprice'), ('l_returnflag'))
 SELECT l_linestatus AS partition_id, c."column" AS "column",

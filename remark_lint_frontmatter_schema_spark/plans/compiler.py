@@ -56,6 +56,9 @@ _KNOWN_KEYWORDS = {
     "anyOf", "oneOf", "not", "$ref", "$schema", "$id", "$bundled_from",
     "title", "description", "definitions", "$defs", "default", "examples",
     "maxItems", "minItems",
+    "uniqueItems", "contains", "minContains", "maxContains",
+    "minProperties", "maxProperties", "dependentRequired", "dependencies",
+    "if", "then", "else", "propertyNames",
     # engine extension point (reference analog: custom Ajv keywords via
     # ajvOptions, index.ts:49): named vectorized pandas-UDF check
     "x-spark-check",
@@ -287,6 +290,24 @@ _KEYWORD_SHAPE = {
     "oneOf": lambda v: isinstance(v, list) and len(v) > 0 and all(isinstance(s, dict) for s in v),
     "not": lambda v: isinstance(v, dict),
     "type": lambda v: isinstance(v, str) or (isinstance(v, list) and all(isinstance(t, str) for t in v)),
+    "uniqueItems": lambda v: isinstance(v, bool),
+    "contains": lambda v: isinstance(v, dict),
+    "minContains": lambda v: isinstance(v, int) and not isinstance(v, bool) and v >= 0,
+    "maxContains": lambda v: isinstance(v, int) and not isinstance(v, bool) and v >= 0,
+    "minProperties": lambda v: isinstance(v, int) and not isinstance(v, bool) and v >= 0,
+    "maxProperties": lambda v: isinstance(v, int) and not isinstance(v, bool) and v >= 0,
+    "dependentRequired": lambda v: isinstance(v, dict) and all(
+        isinstance(r, list) and all(isinstance(p, str) for p in r)
+        for r in v.values()),
+    # draft-07 `dependencies`: array form (property deps) or dict form (schema deps)
+    "dependencies": lambda v: isinstance(v, dict) and all(
+        (isinstance(r, list) and all(isinstance(p, str) for p in r))
+        or isinstance(r, dict)
+        for r in v.values()),
+    "if": lambda v: isinstance(v, dict),
+    "then": lambda v: isinstance(v, dict),
+    "else": lambda v: isinstance(v, dict),
+    "propertyNames": lambda v: isinstance(v, dict),
 }
 
 
@@ -323,6 +344,12 @@ def _shape_walk(schema: dict, path: str = "#") -> None:
     if isinstance(schema.get("additionalProperties"), dict):
         _shape_walk(schema["additionalProperties"],
                     f"{path}/additionalProperties")
+    for key in ("contains", "if", "then", "else", "propertyNames"):
+        if isinstance(schema.get(key), dict):
+            _shape_walk(schema[key], f"{path}/{key}")
+    for dep, sub in (schema.get("dependencies") or {}).items():
+        if isinstance(sub, dict):
+            _shape_walk(sub, f"{path}/dependencies/{dep}")
     for key in ("definitions", "$defs"):
         for name, sub in (schema.get(key) or {}).items():
             if isinstance(sub, dict):
@@ -502,6 +529,94 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
         msg = _reason("must NOT be valid", ctx, "not")
         _add(ctx, "not", _guard(ok), msg)
 
+    if schema.get("uniqueItems") is True and ctx.col is not None \
+            and isinstance(ctx.dtype, T.ArrayType):
+        msg = _reason("must NOT have duplicate items", ctx, "uniqueItems")
+        _add(ctx, "uniqueItems",
+             _present(ctx) & (F.size(F.array_distinct(ctx.col))
+                              < F.size(ctx.col)), msg)
+
+    if "contains" in schema and ctx.col is not None \
+            and isinstance(ctx.dtype, T.ArrayType):
+        elem_ok = _element_validity_fn(ctx, schema["contains"],
+                                       f"{ctx.schema_path}/contains")
+        n_match = F.size(F.filter(ctx.col, elem_ok))
+        lo = schema.get("minContains", 1)
+        if lo > 0:
+            msg = _reason(f"must contain at least {lo} valid item(s)",
+                          ctx, "contains")
+            _add(ctx, "contains", _present(ctx) & (n_match < lo), msg)
+        if "maxContains" in schema:
+            hi = schema["maxContains"]
+            msg = _reason(f"must contain at most {hi} valid item(s)",
+                          ctx, "maxContains")
+            _add(ctx, "maxContains", _present(ctx) & (n_match > hi), msg)
+
+    for kw, cmp_fn, txt in (
+        ("minProperties", lambda n, k: n < k,
+         "must NOT have fewer than {} properties"),
+        ("maxProperties", lambda n, k: n > k,
+         "must NOT have more than {} properties"),
+    ):
+        if kw in schema:
+            k = schema[kw]
+            n_props = _property_count(ctx)
+            if n_props is None:
+                continue
+            msg = _reason(txt.format(k), ctx, kw)
+            violated = cmp_fn(n_props, F.lit(k))
+            if ctx.col is not None:
+                violated = _present(ctx) & violated
+            _add(ctx, kw, violated, msg)
+
+    # dependentRequired (2019-09) and the draft-07 `dependencies` spellings
+    for dep_kw in ("dependentRequired", "dependencies"):
+        for trigger, reqs in (schema.get(dep_kw) or {}).items():
+            t_col, _t, t_exists = _child(ctx, trigger)
+            if not t_exists:
+                ctx.out.static_passes.append(
+                    (f"{ctx.instance_path}/{trigger}", dep_kw))
+                continue
+            t_present = (F.map_contains_key(ctx.col, trigger)
+                         if isinstance(ctx.dtype, T.MapType)
+                         else t_col.isNotNull())
+            if isinstance(reqs, dict):  # dependencies schema form
+                dep_ok = _validity(reqs, ctx,
+                                   f"{ctx.schema_path}/{dep_kw}/{trigger}")
+                msg = _reason(f'must match "{trigger}" dependency schema',
+                              ctx, dep_kw)
+                _add(ctx, dep_kw, t_present & ~dep_ok, msg)
+                continue
+            for req in reqs:
+                r_col, _rt, r_exists = _child(ctx, req)
+                msg = _reason(
+                    f"must have property {req} when property {trigger} "
+                    f"is present", ctx, dep_kw)
+                if not r_exists:
+                    violated = t_present
+                elif isinstance(ctx.dtype, T.MapType):
+                    violated = t_present & ~F.map_contains_key(ctx.col, req)
+                else:
+                    violated = t_present & r_col.isNull()
+                _add(ctx, dep_kw, violated, msg,
+                     actual=F.lit(None).cast("string"))
+
+    if "if" in schema:
+        cond_ok = _validity(schema["if"], ctx, f"{ctx.schema_path}/if")
+        if "then" in schema:
+            then_ok = _validity(schema["then"], ctx,
+                                f"{ctx.schema_path}/then")
+            msg = _reason('must match "then" schema', ctx, "if")
+            _add(ctx, "if", _guard(cond_ok & ~then_ok), msg)
+        if "else" in schema:
+            else_ok = _validity(schema["else"], ctx,
+                                f"{ctx.schema_path}/else")
+            msg = _reason('must match "else" schema', ctx, "if")
+            _add(ctx, "if", _guard(~cond_ok & ~else_ok), msg)
+
+    if "propertyNames" in schema:
+        _property_names(ctx, schema["propertyNames"])
+
     if "x-spark-check" in schema and ctx.col is not None:
         name = schema["x-spark-check"]
         fn = ctx.extra_checks.get(name)
@@ -539,6 +654,134 @@ def _items_check(ctx: _Ctx, items_schema: dict) -> None:
 
     msg = _reason("must have valid items", ctx, "items")
     _add(ctx, "items", _present(ctx) & F.exists(ctx.col, elem_violated), msg)
+
+
+def _element_validity_fn(ctx: _Ctx, sub_schema: dict, schema_path: str):
+    """Return ``elem -> Column[bool]`` validity of one array element against
+    ``sub_schema`` (shared by ``contains``/``minContains``/``maxContains``).
+
+    NULL elements follow the engine's documented NULL==absent semantics:
+    value keywords are presence-guarded, so a NULL element is vacuously
+    valid (mirrors JSON Schema, where e.g. ``minimum`` ignores non-numbers).
+    """
+    elem_t = ctx.dtype.elementType
+
+    def elem_ok(e: Column) -> Column:
+        probe = CompiledRuleset(name="_contains")
+        ectx = _Ctx(col=e, dtype=elem_t, instance_path=ctx.instance_path,
+                    schema_path=schema_path, schema_file=ctx.schema_file,
+                    df_schema=ctx.df_schema, root_schema=ctx.root_schema,
+                    out=probe, extra_checks=ctx.extra_checks, silent=False)
+        _compile_keywords(sub_schema, ectx)
+        for u in probe.unknown:
+            if u not in ctx.out.unknown:
+                ctx.out.unknown.append(u)
+        ok = F.lit(True)
+        for c in probe.checks:
+            ok = ok & ~F.coalesce(c.violated, F.lit(False))
+        if probe.static_failures:
+            ok = F.lit(False)
+        return ok
+
+    return elem_ok
+
+
+def _property_count(ctx: _Ctx) -> Column | None:
+    """Number of present properties at this node (NULL == absent).
+
+    Root/struct: sum of non-NULL fields (root reads every column — noted in
+    columns_read so pruning stays honest). Map: entry count. Other types:
+    keyword is vacuous (None).
+    """
+    if ctx.col is None:
+        fields = ctx.df_schema.fieldNames()
+        ctx.out.columns_read.update(fields)
+        cols = [F.col(f).isNotNull().cast("int") for f in fields]
+    elif isinstance(ctx.dtype, T.StructType):
+        cols = [ctx.col.getField(f).isNotNull().cast("int")
+                for f in ctx.dtype.fieldNames()]
+    elif isinstance(ctx.dtype, T.MapType):
+        return F.size(ctx.col)
+    else:
+        return None
+    if not cols:
+        return F.lit(0)
+    n = cols[0]
+    for c in cols[1:]:
+        n = n + c
+    return n
+
+
+def _static_name_ok(name: str, sub: dict) -> bool:
+    """Evaluate the string-facing subset of keywords against a literal
+    property name (struct/root property names are schema-static)."""
+    if "pattern" in sub and not re.search(sub["pattern"], name):
+        return False
+    if "maxLength" in sub and len(name) > sub["maxLength"]:
+        return False
+    if "minLength" in sub and len(name) < sub["minLength"]:
+        return False
+    if "enum" in sub and name not in sub["enum"]:
+        return False
+    if "const" in sub and name != sub["const"]:
+        return False
+    if "format" in sub and sub["format"] in FORMAT_REGEX \
+            and not re.search(FORMAT_REGEX[sub["format"]], name):
+        return False
+    return True
+
+
+def _property_names(ctx: _Ctx, sub: dict) -> None:
+    """`propertyNames`: every property name satisfies ``sub``. Map keys are
+    data -> runtime forall over map_keys; struct/root names are static."""
+    msg = _reason("property name must be valid", ctx, "propertyNames")
+    for kw in sub:
+        if kw not in ("pattern", "maxLength", "minLength", "enum", "const",
+                      "format", "type"):
+            ctx.out.unknown.append(
+                (ctx.instance_path, f"propertyNames:{kw}"))
+    if ctx.col is not None and isinstance(ctx.dtype, T.MapType):
+        name_ctx = _Ctx(col=None, dtype=T.StringType(),
+                        instance_path=ctx.instance_path,
+                        schema_path=f"{ctx.schema_path}/propertyNames",
+                        schema_file=ctx.schema_file, df_schema=ctx.df_schema,
+                        root_schema=ctx.root_schema, out=ctx.out,
+                        extra_checks=ctx.extra_checks, silent=False)
+
+        def key_ok(k: Column) -> Column:
+            probe = CompiledRuleset(name="_pnames")
+            kctx = _Ctx(col=k, dtype=T.StringType(),
+                        instance_path=name_ctx.instance_path,
+                        schema_path=name_ctx.schema_path,
+                        schema_file=ctx.schema_file, df_schema=ctx.df_schema,
+                        root_schema=ctx.root_schema, out=probe,
+                        extra_checks=ctx.extra_checks, silent=False)
+            _compile_keywords(sub, kctx)
+            ok = F.lit(True)
+            for c in probe.checks:
+                ok = ok & ~F.coalesce(c.violated, F.lit(False))
+            return ok
+
+        bad = F.exists(F.map_keys(ctx.col), lambda k: ~key_ok(k))
+        _add(ctx, "propertyNames", _present(ctx) & bad, msg,
+             actual=F.concat_ws(",", F.filter(F.map_keys(ctx.col),
+                                              lambda k: ~key_ok(k))))
+        return
+    # static name sets: table columns at root, struct fields below
+    if ctx.col is None:
+        names = list(ctx.df_schema.fieldNames())
+    elif isinstance(ctx.dtype, T.StructType):
+        names = list(ctx.dtype.fieldNames())
+    else:
+        return
+    bad_names = [n for n in names if not _static_name_ok(n, sub)]
+    if bad_names:
+        ctx.out.static_failures.append(
+            (ctx.instance_path, "propertyNames", f"bad names {bad_names}"))
+        _add(ctx, "propertyNames", F.lit(True), msg,
+             actual=F.lit(",".join(bad_names)))
+    else:
+        ctx.out.static_passes.append((ctx.instance_path, "propertyNames"))
 
 
 def _additional_properties(ctx: _Ctx, schema: dict) -> None:

@@ -1,0 +1,222 @@
+"""Extended draft-07 / 2019-09 keywords: uniqueItems, contains
+(+min/maxContains), min/maxProperties, dependentRequired / dependencies,
+if/then/else, propertyNames — unit behavior plus a seeded jsonschema
+cross-oracle (SURVEY.md §5.2 item 2)."""
+
+import random
+
+import jsonschema
+import pyspark.sql.types as T
+import pytest
+
+from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+
+SCHEMA = T.StructType([
+    T.StructField("id", T.StringType(), False),
+    T.StructField("arr", T.ArrayType(T.IntegerType())),
+    T.StructField("m", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("a", T.StringType()),
+    T.StructField("b", T.StringType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("clerk", T.StringType()),
+])
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [tuple(r.get(f.name) for f in SCHEMA.fields) for r in rows], SCHEMA)
+
+
+def _failed_ids(spark, rows, ruleset):
+    df = _df(spark, rows)
+    compiled = compile_ruleset(ruleset, df.schema, name="ext")
+    res = validate(df, compiled, row_id="id")
+    return {r.id for r in res.annotated.where("NOT passed")
+            .select("id").collect()}
+
+
+def test_unique_items(spark):
+    rows = [
+        {"id": "dup", "arr": [1, 2, 2]},
+        {"id": "ok", "arr": [1, 2, 3]},
+        {"id": "absent"},
+    ]
+    failed = _failed_ids(spark, rows,
+                         {"properties": {"arr": {"uniqueItems": True}}})
+    assert failed == {"dup"}
+
+
+def test_contains_min_max(spark):
+    rs = {"properties": {"arr": {
+        "contains": {"minimum": 10}, "minContains": 2, "maxContains": 3}}}
+    rows = [
+        {"id": "zero", "arr": [1, 2]},          # 0 matches < 2
+        {"id": "one", "arr": [10, 1]},          # 1 match < 2
+        {"id": "ok2", "arr": [10, 11]},
+        {"id": "ok3", "arr": [10, 11, 12, 1]},
+        {"id": "four", "arr": [10, 11, 12, 13]},  # > maxContains
+        {"id": "absent"},
+    ]
+    assert _failed_ids(spark, rows, rs) == {"zero", "one", "four"}
+
+
+def test_min_max_properties_map(spark):
+    rs = {"properties": {"m": {"minProperties": 1, "maxProperties": 2}}}
+    rows = [
+        {"id": "empty", "m": {}},
+        {"id": "one", "m": {"k": "v"}},
+        {"id": "three", "m": {"a": "1", "b": "2", "c": "3"}},
+        {"id": "absent"},
+    ]
+    assert _failed_ids(spark, rows, rs) == {"empty", "three"}
+
+
+def test_min_properties_root(spark):
+    # root property count = non-NULL columns (NULL == absent)
+    rows = [
+        {"id": "justid"},
+        {"id": "two", "a": "x", "b": "y", "status": "F", "clerk": "c",
+         "arr": [1], "m": {"k": "v"}},
+    ]
+    assert _failed_ids(spark, rows, {"minProperties": 3}) == {"justid"}
+
+
+def test_dependent_required(spark):
+    rs = {"dependentRequired": {"a": ["b"]}}
+    rows = [
+        {"id": "viol", "a": "x"},
+        {"id": "ok", "a": "x", "b": "y"},
+        {"id": "vacuous", "b": "y"},
+        {"id": "none"},
+    ]
+    assert _failed_ids(spark, rows, rs) == {"viol"}
+
+
+def test_dependencies_array_and_schema_form(spark):
+    rows = [
+        {"id": "viol", "a": "x"},
+        {"id": "ok", "a": "x", "b": "y"},
+    ]
+    assert _failed_ids(spark, rows, {"dependencies": {"a": ["b"]}}) == {"viol"}
+    # schema form: when `a` present the object must satisfy the sub-schema
+    rs = {"dependencies": {"a": {"required": ["b"]}}}
+    assert _failed_ids(spark, rows, rs) == {"viol"}
+
+
+def test_if_then_else(spark):
+    rs = {"if": {"properties": {"status": {"const": "F"}}, "required": ["status"]},
+          "then": {"required": ["clerk"]},
+          "else": {"properties": {"a": {"maxLength": 2}}}}
+    rows = [
+        {"id": "then_viol", "status": "F"},
+        {"id": "then_ok", "status": "F", "clerk": "c1"},
+        {"id": "else_viol", "status": "O", "a": "toolong"},
+        {"id": "else_ok", "status": "O", "a": "ab"},
+    ]
+    assert _failed_ids(spark, rows, rs) == {"then_viol", "else_viol"}
+
+
+def test_property_names_map_and_static(spark):
+    rs = {"properties": {"m": {"propertyNames": {"pattern": "^[a-z]+$"}}}}
+    rows = [
+        {"id": "bad", "m": {"Bad_Key": "v"}},
+        {"id": "ok", "m": {"good": "v"}},
+    ]
+    assert _failed_ids(spark, rows, rs) == {"bad"}
+    # static (root) names: every column name matches -> compile-time pass
+    df = _df(spark, rows)
+    ok = compile_ruleset({"propertyNames": {"pattern": "^[a-z_]+$"}},
+                         df.schema, name="s")
+    assert ("", "propertyNames") in ok.static_passes and not ok.checks
+    bad = compile_ruleset({"propertyNames": {"maxLength": 2}},
+                          df.schema, name="s2")
+    assert bad.static_failures and bad.checks
+
+
+def test_keyword_messages_reference_format(spark):
+    df = _df(spark, [{"id": "r", "arr": [1, 1]}])
+    compiled = compile_ruleset(
+        {"properties": {"arr": {"uniqueItems": True}}}, df.schema, name="n")
+    (chk,) = compiled.checks
+    assert chk.message == ("Must NOT have duplicate items • "
+                           "#/properties/arr/uniqueItems")
+    assert chk.keyword == "uniqueItems"
+    assert chk.instance_path == "/arr"
+
+
+# ---------------------------------------------------------------------------
+# seeded cross-oracle vs the jsonschema package (2019-09 covers
+# dependentRequired + minContains/maxContains; if/then/else is draft-07+)
+# ---------------------------------------------------------------------------
+
+ORACLE_RULESET = {
+    "type": "object",
+    "required": ["id"],
+    "properties": {
+        "arr": {"uniqueItems": True, "contains": {"minimum": 5},
+                "minContains": 1, "maxContains": 2},
+        "m": {"minProperties": 1, "maxProperties": 2,
+              "propertyNames": {"pattern": "^[a-z]+$", "maxLength": 4}},
+        "a": {"minLength": 2},
+    },
+    "dependentRequired": {"a": ["b"]},
+    "if": {"properties": {"status": {"const": "F"}}, "required": ["status"]},
+    "then": {"required": ["clerk"]},
+    "else": {"properties": {"clerk": {"pattern": "^c"}}},
+}
+
+
+def _gen_row(rnd: random.Random, i: int) -> dict:
+    def maybe(v):
+        return None if rnd.random() < 0.3 else v
+
+    return {
+        "id": f"r{i}",
+        "arr": maybe(rnd.choice([[1, 2], [5, 6], [5, 5], [5, 6, 7],
+                                 [1, 1], [], [9]])),
+        "m": maybe(rnd.choice([{}, {"ab": "1"}, {"ab": "1", "cd": "2"},
+                               {"ab": "1", "cd": "2", "ef": "3"},
+                               {"BAD": "1"}, {"toolongkey": "1"}])),
+        "a": maybe(rnd.choice(["x", "xy", "xyz"])),
+        "b": maybe("set"),
+        "status": maybe(rnd.choice(["F", "O", "P"])),
+        "clerk": maybe(rnd.choice(["c9", "x9"])),
+    }
+
+
+def test_extended_keywords_match_jsonschema(spark):
+    rnd = random.Random(20260818)
+    rows = [_gen_row(rnd, i) for i in range(300)]
+    df = _df(spark, rows)
+    compiled = compile_ruleset(ORACLE_RULESET, df.schema, name="ext_oracle")
+    res = validate(df, compiled, row_id="id")
+    engine_passed = {r.id: r.passed
+                     for r in res.annotated.select("id", "passed").collect()}
+
+    validator = jsonschema.Draft201909Validator(ORACLE_RULESET)
+    n_fail = 0
+    for row in rows:
+        inst = {k: v for k, v in row.items() if v is not None}
+        oracle_ok = not list(validator.iter_errors(inst))
+        n_fail += not oracle_ok
+        assert engine_passed[row["id"]] == oracle_ok, (
+            f"verdict mismatch for {inst!r}: "
+            f"engine={engine_passed[row['id']]} jsonschema={oracle_ok}")
+    assert 0 < n_fail < len(rows)
+
+
+def test_malformed_extended_keywords_rejected(spark):
+    from remark_lint_frontmatter_schema_spark.plans.compiler import (
+        RulesetCompileError)
+    df_schema = SCHEMA
+    for bad in [
+        {"properties": {"arr": {"uniqueItems": "yes"}}},
+        {"properties": {"arr": {"contains": [1]}}},
+        {"properties": {"arr": {"minContains": -1}}},
+        {"properties": {"m": {"maxProperties": True}}},
+        {"dependentRequired": {"a": "b"}},
+        {"if": ["x"]},
+        {"propertyNames": "x"},
+    ]:
+        with pytest.raises(RulesetCompileError):
+            compile_ruleset(bad, df_schema, name="bad")
