@@ -182,16 +182,14 @@ def q_topn_flag_violation_rate(spark, sf):
 
 def q_text_stats_documents(spark, sf):
     docs = _load(spark, sf, "documents")
-    c = F.col("text")
-    return docs.select(
-        "doc_id",
-        F.length(c).alias("n_chars_c"),
-        text.token_count(c).alias("n_tokens"),
-        text.bpe_token_count(c).alias("n_tokens_bpe"),
-        F.round(text.stopword_ratio(c), 6).alias("stopword_ratio"),
-        F.round(text.punct_ratio(c), 6).alias("punct_ratio"),
-        F.round(text.quality_score(c), 6).alias("quality_score"),
-    )
+    return text.profile_columns(docs, "text", "doc_id", fields={
+        "n_chars_c": "n_chars",
+        "n_tokens": "n_tokens",
+        "n_tokens_bpe": "n_tokens_bpe",
+        "stopword_ratio": "stopword_ratio",
+        "punct_ratio": "punct_ratio",
+        "quality_score": "quality_score",
+    })
 
 
 def q_langid_documents(spark, sf):

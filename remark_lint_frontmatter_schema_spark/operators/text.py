@@ -134,17 +134,87 @@ def rolling_hash(col, *, window: int = 8, mod: int = (1 << 31) - 1) -> Column:
     return F.when(n_sh > 0, F.array_min(hashes)).otherwise(F.lit(None))
 
 
-def profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """One-pass text profile per document."""
+_PROFILE_FIELDS = ("n_chars", "n_tokens", "n_tokens_bpe", "stopword_ratio",
+                   "punct_ratio", "quality_score", "lang_guess", "fingerprint")
+
+
+def profile_columns(df: DataFrame, text_col: str, id_col: str,
+                    fields: dict[str, str] | None = None) -> DataFrame:
+    """Staged one-pass text profile: the whitespace tokenization is computed
+    ONCE in a lower projection and every metric derives from it.
+
+    Higher-order array functions are CodegenFallback (interpreted) in
+    Spark, so common-subexpression elimination never kicks in for them —
+    the naive formulation re-splits the document for token count, stopword
+    ratio, quality score and language ID separately (4+ full scans of every
+    string per row). The two-level Project keeps one materialized token
+    array per row; Catalyst's CollapseProject leaves multi-referenced
+    non-cheap aliases in place.
+
+    ``fields`` maps output-column name -> metric (default: all metrics
+    under their own names).
+    """
+    fields = fields or {f: f for f in _PROFILE_FIELDS}
+    bad = set(fields.values()) - set(_PROFILE_FIELDS)
+    if bad:
+        raise ValueError(f"unknown profile fields: {sorted(bad)}")
     c = F.col(text_col)
-    return df.select(
-        F.col(id_col),
-        F.length(c).alias("n_chars"),
-        token_count(c).alias("n_tokens"),
-        bpe_token_count(c).alias("n_tokens_bpe"),
-        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
-        F.round(punct_ratio(c), 6).alias("punct_ratio"),
-        F.round(quality_score(c), 6).alias("quality_score"),
-        lang_guess(c).alias("lang_guess"),
-        fingerprint(c).alias("fingerprint"),
+    staged = df.select(
+        F.col(id_col), c.alias("_text"),
+        tokens(c).alias("_toks"),
+    ).select(
+        F.col(id_col), F.col("_text"), F.col("_toks"),
+        F.transform(F.col("_toks"), lambda t: F.lower(t)).alias("_toksl"),
+        F.size(F.col("_toks")).alias("_ntok"),
+        F.length(F.col("_text")).alias("_nchr"),
     )
+    t, ntok, nchr = F.col("_text"), F.col("_ntok"), F.col("_nchr")
+    toksl = F.col("_toksl")
+
+    n_stop = F.size(F.filter(toksl, lambda x: x.isin(*EN_STOPWORDS)))
+    stop_ratio = F.when(ntok > 0, n_stop / ntok).otherwise(F.lit(0.0))
+    n_punct = nchr - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    p_ratio = F.when(nchr > 0, n_punct / nchr).otherwise(F.lit(0.0))
+
+    def member_fn(markers):
+        mk = tuple(markers)
+        return lambda x: x.isin(*mk)
+
+    entries = [
+        F.struct(F.size(F.filter(toksl, member_fn(markers))).alias("s"),
+                 F.lit(-i).alias("p"), F.lit(lg).alias("lang"))
+        for i, (lg, markers) in enumerate(LANG_MARKERS.items())
+    ]
+    best = F.array_max(F.array(*entries))
+    lang = F.when(best.getField("s") > 0,
+                  best.getField("lang")).otherwise(F.lit("und"))
+
+    len_ok = (nchr >= 20) & (nchr <= 10000)
+    mean_word_len = F.when(ntok > 0, nchr / ntok).otherwise(F.lit(0.0))
+    word_len_ok = (mean_word_len >= 2.5) & (mean_word_len <= 12.0)
+    quality = (
+        len_ok.cast("double") * 0.3
+        + word_len_ok.cast("double") * 0.2
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(p_ratio * 5, F.lit(1.0))) * 0.2
+    )
+
+    metric = {
+        "n_chars": nchr,
+        "n_tokens": ntok,
+        "n_tokens_bpe": F.size(F.regexp_extract_all(t, F.lit(BPE_REGEX),
+                                                    F.lit(0))),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "punct_ratio": F.round(p_ratio, 6),
+        "quality_score": F.round(quality, 6),
+        "lang_guess": lang,
+        "fingerprint": fingerprint(t),
+    }
+    return staged.select(
+        F.col(id_col),
+        *[metric[src].alias(out) for out, src in fields.items()])
+
+
+def profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One-pass text profile per document (all metrics)."""
+    return profile_columns(df, text_col, id_col)
