@@ -238,3 +238,105 @@ def decode_stats_map_in_pandas(iterator):
                 rows.append((cid, False, None, None, None))
         yield pd.DataFrame(rows, columns=["clip_id", "decode_ok",
                                           "sr_hz_payload", "n_samples", "rms"])
+
+
+# ---------------------------------------------------------------------------
+# audio feature extraction (training-data-pipeline ops over the payload)
+# ---------------------------------------------------------------------------
+
+def audio_features_schema() -> str:
+    return ("clip_id string, decode_ok boolean, dur_ms_payload int, "
+            "rms double, peak double, silence_ratio double, "
+            "dominant_hz double")
+
+
+def audio_features_map_in_pandas(frame_ms: int = 20,
+                                 silence_db: float = -40.0):
+    """mapInPandas feature extractor over WAV payloads: duration, RMS,
+    peak, frame-level silence ratio, and dominant frequency (rfft argmax).
+
+    All numpy-vectorized per clip inside one Arrow batch; malformed
+    payloads yield ``decode_ok=false`` feature rows (guard semantics of
+    ``/root/reference/index.ts:240-245``: data problems become rows, not
+    job failures). Map-only — the binary column is read once and never
+    shuffled; downstream joins use only these small typed rows.
+    """
+    silence_amp = 10 ** (silence_db / 20)
+
+    def fn(iterator):
+        for pdf in iterator:
+            rows = []
+            for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    sr, x = decode_wav_pcm16(bytes(b) if b is not None else b"")
+                    if sr <= 0 or not len(x):
+                        raise ValueError("empty")
+                except ValueError:
+                    rows.append((cid, False, None, None, None, None, None))
+                    continue
+                n = len(x)
+                dur_ms = int(round(n * 1000.0 / sr))
+                rms = float(np.sqrt(np.mean(x ** 2)))
+                peak = float(np.max(np.abs(x)))
+                flen = max(1, int(sr * frame_ms / 1000))
+                n_frames = n // flen
+                if n_frames:
+                    frames = x[: n_frames * flen].reshape(n_frames, flen)
+                    frame_rms = np.sqrt(np.mean(frames ** 2, axis=1))
+                    silence = float(np.mean(frame_rms < silence_amp))
+                else:
+                    silence = float(rms < silence_amp)
+                spec = np.abs(np.fft.rfft(x))
+                spec[0] = 0.0  # ignore DC
+                dom = float(np.argmax(spec) * sr / n) if len(spec) > 1 else 0.0
+                rows.append((cid, True, dur_ms, rms, peak, silence, dom))
+            yield pd.DataFrame(rows, columns=[
+                "clip_id", "decode_ok", "dur_ms_payload", "rms", "peak",
+                "silence_ratio", "dominant_hz"])
+
+    return fn
+
+
+def audio_features(clips, *, frame_ms: int = 20,
+                   silence_db: float = -40.0):
+    """clips(clip_id, bytes) -> feature DataFrame (map-only stage)."""
+    return clips.select("clip_id", "bytes").mapInPandas(
+        audio_features_map_in_pandas(frame_ms, silence_db),
+        schema=audio_features_schema())
+
+
+def duration_consistency_violations(clips, *, tolerance_ms: int = 5,
+                                    ruleset_name: str = "engine"):
+    """Cross-field invariant: payload-derived duration must match the
+    declared ``dur_ms`` metadata column within ``tolerance_ms``.
+
+    This is the engine's analog of a reference type-check catching
+    metadata that contradicts the document body: the declared value is
+    only trustworthy if the payload agrees. Decode failures surface as
+    ``decode`` violations (guard G1), mismatches as ``x-duration``.
+    """
+    feats = audio_features(clips)
+    joined = clips.select("clip_id", "dur_ms").join(feats, "clip_id")
+    bad = joined.where(
+        (~F.col("decode_ok"))
+        | (F.abs(F.col("dur_ms_payload") - F.col("dur_ms")) >
+           F.lit(tolerance_ms)))
+    return bad.select(
+        F.col("clip_id").cast("string").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.when(~F.col("decode_ok"), F.lit("decode:bytes"))
+         .otherwise(F.lit("x-duration:dur_ms")).alias("constraint_id"),
+        F.when(~F.col("decode_ok"), F.lit("decode"))
+         .otherwise(F.lit("x-duration")).alias("keyword"),
+        F.lit("/dur_ms").alias("instance_path"),
+        F.lit("#/x-duration").alias("schema_path"),
+        F.when(~F.col("decode_ok"),
+               F.lit("Must be a decodable audio payload"))
+         .otherwise(F.lit(
+             f"Must match payload duration within {tolerance_ms} ms"))
+         .alias("message"),
+        F.col("dur_ms").cast("string").alias("actual"),
+        F.lit(None).cast("array<string>").alias("expected"),
+        F.lit("warning").alias("severity"),
+    )

@@ -1,0 +1,82 @@
+"""Event-time windowed streaming aggregates with watermarked late-data
+handling.
+
+The reference has no streaming semantics (batch linter); this extends the
+incremental mode (T2, ``incremental.py``) with the standard Structured-
+Streaming shape a continuously-ingested clips table needs: per-window
+violation/quality counts with a watermark bounding state, so late rows
+inside the allowed lateness still update their window and older ones are
+dropped instead of growing state forever. At 10^12-row scale the windowed
+aggregate is the only stateful operator — everything upstream is the same
+stateless one-projection validation plan as batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.validate import n_violations_expr
+from ..plans.compiler import CompiledRuleset
+
+
+def windowed_verdict_counts(
+    stream_df: DataFrame,
+    compiled: CompiledRuleset,
+    *,
+    event_time_col: str,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """Streaming DataFrame -> per-event-time-window verdict counts.
+
+    Applies the compiled ruleset as a stateless projection (same Column
+    expressions as batch ``validate``), then a watermarked tumbling-window
+    aggregate: ``n_rows``, ``n_failed_rows``, ``n_violations`` per window.
+    Works identically on a batch DataFrame (Spark's unified semantics),
+    which is how the equivalence test pins the streaming output to the
+    batch oracle.
+    """
+    annotated = stream_df.withColumn(
+        "_n_viol", n_violations_expr(compiled))
+    if annotated.isStreaming:
+        annotated = annotated.withWatermark(event_time_col, watermark_delay)
+    return (annotated
+            .groupBy(F.window(F.col(event_time_col), window_duration)
+                     .alias("window"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum((F.col("_n_viol") > 0).cast("long"))
+                 .alias("n_failed_rows"),
+                 F.sum("_n_viol").alias("n_violations"))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    "n_rows", "n_failed_rows", "n_violations"))
+
+
+def run_windowed_stream(
+    spark,
+    input_path: str,
+    input_schema,
+    compiled: CompiledRuleset,
+    *,
+    event_time_col: str,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+    query_name: str = "windowed_verdicts",
+    checkpoint: str | None = None,
+):
+    """Drain a file-source stream through the windowed aggregate into a
+    memory sink (complete mode — the window relation is tiny: one row per
+    window, not per input row). Returns the started query; callers
+    ``awaitTermination`` then read ``spark.table(query_name)``."""
+    stream = (spark.readStream.schema(input_schema)
+              .option("maxFilesPerTrigger", "4")
+              .parquet(input_path))
+    agg = windowed_verdict_counts(
+        stream, compiled, event_time_col=event_time_col,
+        window_duration=window_duration, watermark_delay=watermark_delay)
+    writer = (agg.writeStream.format("memory").queryName(query_name)
+              .outputMode("complete").trigger(availableNow=True))
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

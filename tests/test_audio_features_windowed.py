@@ -1,0 +1,133 @@
+"""Audio feature extraction (mapInPandas), declared-vs-payload duration
+consistency, and the watermarked windowed streaming aggregate."""
+
+import datetime as dt
+
+import pyspark.sql.types as T
+import pytest
+from pyspark.sql import functions as F
+
+from remark_lint_frontmatter_schema_spark import compile_ruleset
+from remark_lint_frontmatter_schema_spark.functions import audio
+from remark_lint_frontmatter_schema_spark.streaming.windowed import (
+    run_windowed_stream, windowed_verdict_counts)
+
+CLIP_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("sr_hz", T.IntegerType()),
+    T.StructField("dur_ms", T.IntegerType()),
+])
+
+
+def _wav_row(i, sr=16000, ms=128, declared=None):
+    return (f"c{i}", audio.synth_wav(i, sr, ms), sr,
+            declared if declared is not None else ms)
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    rows = [_wav_row(i) for i in range(8)]
+    rows.append(("bad", b"RIFX not a wav", 16000, 128))
+    rows.append(("drift", audio.synth_wav(99, 16000, 100), 16000, 400))
+    return spark.createDataFrame(rows, CLIP_SCHEMA)
+
+
+def test_audio_features_decode_and_dominant_hz(clips):
+    feats = {r.clip_id: r for r in audio.audio_features(clips).collect()}
+    assert len(feats) == 10
+    assert not feats["bad"].decode_ok
+    assert feats["bad"].rms is None
+    for i in range(8):
+        r = feats[f"c{i}"]
+        assert r.decode_ok
+        assert abs(r.dur_ms_payload - 128) <= 1
+        # synth freq = 200 + (i % 800); rfft resolution = sr/n ~ 7.8 Hz
+        assert abs(r.dominant_hz - (200 + i % 800)) <= 8.0, r
+        assert 0.0 <= r.silence_ratio <= 0.05  # constant sine: not silent
+        assert 0.4 <= r.rms <= 0.7  # 0.8 amplitude sine -> rms ~ 0.566
+        assert r.peak <= 1.0
+
+
+def test_audio_features_silence_ratio(spark):
+    import numpy as np
+    sr = 16000
+    half = np.concatenate([
+        audio.synth_pcm16(0, sr, sr // 10),  # 100 ms tone
+        np.zeros(sr // 10, dtype="<i2"),     # 100 ms silence
+    ])
+    df = spark.createDataFrame(
+        [("h", audio.wav_bytes(half, sr), sr, 200)], CLIP_SCHEMA)
+    (r,) = audio.audio_features(df).collect()
+    assert 0.4 <= r.silence_ratio <= 0.6
+
+
+def test_duration_consistency_violations(clips):
+    v = audio.duration_consistency_violations(clips, tolerance_ms=5)
+    got = {r.row_id: (r.constraint_id, r.keyword) for r in v.collect()}
+    assert got == {
+        "bad": ("decode:bytes", "decode"),
+        "drift": ("x-duration:dur_ms", "x-duration"),
+    }
+    msgs = {r.row_id: r.message for r in v.collect()}
+    assert msgs["bad"] == "Must be a decodable audio payload"
+    assert "within 5 ms" in msgs["drift"]
+
+
+# ---------------------------------------------------------------------------
+# windowed streaming
+# ---------------------------------------------------------------------------
+
+EV_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+EV_RULESET = {"properties": {"value": {"minimum": 0, "maximum": 100}}}
+
+
+def _events(spark):
+    base = dt.datetime(2026, 3, 1, 12, 0, 0)
+    rows = [(i, base + dt.timedelta(seconds=13 * i),
+             float((i * 37) % 140) - (10.0 if i % 11 == 0 else 0.0))
+            for i in range(120)]
+    return spark.createDataFrame(rows, EV_SCHEMA)
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    ev = _events(spark)
+    # out-of-order arrival: write interleaved halves as separate files
+    p = str(tmp_path / "ev_in")
+    ev.where("event_id % 2 = 0").coalesce(1).write.parquet(p)
+    ev.where("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(p)
+
+    compiled = compile_ruleset(EV_RULESET, ev.schema, name="ev")
+    batch = {(r.window_start, r.window_end):
+             (r.n_rows, r.n_failed_rows, r.n_violations)
+             for r in windowed_verdict_counts(
+                 ev, compiled, event_time_col="ts").collect()}
+    assert sum(v[0] for v in batch.values()) == 120
+    assert any(v[1] > 0 for v in batch.values())
+
+    q = run_windowed_stream(
+        spark, p, EV_SCHEMA, compiled, event_time_col="ts",
+        checkpoint=str(tmp_path / "ckpt"), query_name="wtest")
+    q.awaitTermination(120)
+    got = {(r.window_start, r.window_end):
+           (r.n_rows, r.n_failed_rows, r.n_violations)
+           for r in spark.table("wtest").collect()}
+    assert got == batch
+
+
+def test_windowed_plan_has_watermark_and_stateful_agg(spark, tmp_path):
+    ev = _events(spark)
+    p = str(tmp_path / "ev_plan")
+    ev.coalesce(1).write.parquet(p)
+    compiled = compile_ruleset(EV_RULESET, ev.schema, name="ev")
+    stream = (spark.readStream.schema(EV_SCHEMA).parquet(p))
+    agg = windowed_verdict_counts(stream, compiled, event_time_col="ts",
+                                  watermark_delay="7 minutes")
+    assert agg.isStreaming
+    plan = agg._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan and "7 minutes" in plan
