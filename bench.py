@@ -7,9 +7,10 @@ Runs the engine's headline operators at $SPARK_GRAFT_SF_DIR (default
 
 Each query is materialized with a noop-format write so the full projection
 executes (a bare count() would let Catalyst prune the violation structs).
-Reported value is the best of $SPARK_GRAFT_BENCH_REPS (default 2) runs —
-steady-state throughput, what a long job sees after codegen/JIT warmup;
-first-run times are reported alongside as "cold_queries".
+Reported value is the best of $SPARK_GRAFT_BENCH_REPS (default 3) runs —
+steady-state throughput, what a long job sees after codegen/JIT warmup
+(and the only stable statistic on a noisy shared host); first-run times
+are reported alongside as "cold_queries".
 """
 
 from __future__ import annotations
@@ -76,7 +77,7 @@ def main() -> None:
     # Per-query: best of REPS runs (steady-state throughput — what a long
     # 100 TB job sees); the first, codegen-compile-heavy run is reported
     # separately as cold_queries.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
