@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
 from remark_lint_frontmatter_schema_spark.operators import (
-    dedup, drift, referential, similarity, stats, text, uniqueness)
+    curate, dedup, drift, referential, similarity, stats, text, uniqueness)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -373,6 +373,16 @@ def q_validate_orders_conditional(spark, sf):
         "row_id", "constraint_id", "keyword", "message")
 
 
+def q_curate_documents(spark, sf):
+    """Composed training-data curation (SURVEY §8 dedup+text rows): one
+    scan -> staged profile -> fingerprint-window dedup -> gate reasons."""
+    docs = _load(spark, sf, "documents")
+    return curate.curation_decisions(
+        docs, "text", "doc_id", min_quality=0.75, lang="en",
+    ).select("doc_id", "quality_score", "lang_guess", "fingerprint",
+             "reason", "kept")
+
+
 # --- rows-only (approx / hash-seeded: no faithful ANSI-SQL twin) -----------
 
 def q_minhash_dedup_documents(spark, sf):
@@ -424,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_lineitem": q_profile_lineitem,
         "validate_embeddings_array": q_validate_embeddings_array,
         "validate_orders_conditional": q_validate_orders_conditional,
+        "curate_documents": q_curate_documents,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -434,6 +445,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
+
+def _curate_oracle_sql(min_quality: float = 0.75, lang: str = "en") -> str:
+    """Composed from the same constants as the Spark path: quality CTE
+    (text_stats oracle), marker-count argmax (langid oracle), normalization
+    fingerprint, and a min-id window per fingerprint for dedup."""
+    score_exprs = []
+    for lg, markers in text.LANG_MARKERS.items():
+        mlist = ", ".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            f"len(list_filter(toksl, x -> x IN ({mlist}))) AS s_{lg}")
+    langs = list(text.LANG_MARKERS)
+    best = f"greatest({', '.join('s_' + lg for lg in langs)})"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs) + " END"
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n_chars_c,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+         list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                        x -> lower(x)) AS toksl
+  FROM documents
+), r AS (
+  SELECT doc_id, n_chars_c,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toksl, x -> x IN ({_STOPWORDS_SQL}))) * 1.0 / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars_c > 0
+              THEN (n_chars_c - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / n_chars_c
+              ELSE 0.0 END AS p_ratio,
+         CASE WHEN len(toks) > 0 THEN n_chars_c * 1.0 / len(toks) ELSE 0.0 END AS mwl,
+         {', '.join(score_exprs)},
+         sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                    ' +', ' ', 'g'))) AS fingerprint
+  FROM t
+), m AS (
+  SELECT doc_id, fingerprint,
+         round(
+           (CASE WHEN n_chars_c BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END) * 0.3
+           + (CASE WHEN mwl >= 2.5 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+           + least(stop_ratio * 4, 1.0) * 0.3
+           + (1.0 - least(p_ratio * 5, 1.0)) * 0.2, 6) AS quality_score,
+         CASE WHEN {best} > 0 THEN {case} ELSE 'und' END AS lang_guess,
+         min(doc_id) OVER (PARTITION BY fingerprint) AS keep_id
+  FROM r
+)
+SELECT doc_id, quality_score, lang_guess, fingerprint,
+       CASE WHEN doc_id <> keep_id THEN 'duplicate'
+            WHEN quality_score < {min_quality} THEN 'low_quality'
+            WHEN lang_guess <> '{lang}' THEN 'wrong_lang'
+            ELSE 'kept' END AS reason,
+       (doc_id = keep_id AND quality_score >= {min_quality}
+        AND lang_guess = '{lang}') AS kept
+FROM m
+"""
+
 
 def _langid_oracle_sql() -> str:
     """Generated from the same LANG_MARKERS constants as the Spark path
@@ -815,6 +881,7 @@ SELECT CAST(o_orderkey AS VARCHAR),
        'Must have property o_custkey when property o_orderkey is present • #/dependentRequired'
 FROM orders WHERE o_orderkey IS NOT NULL AND o_custkey IS NULL
 """,
+        "curate_documents": _curate_oracle_sql(),
         "profile_lineitem": """
 WITH cols("column") AS (VALUES ('l_quantity'), ('l_extendedprice'), ('l_returnflag'))
 SELECT l_linestatus AS partition_id, c."column" AS "column",

@@ -89,3 +89,40 @@ def test_ivf_matches_bruteforce_on_easy_query(spark):
     # probing all cells == exact
     assert approx == brute
     _ = F
+
+
+# ---------------------------------------------------------------------------
+# curation composition (dedup + quality + language gates)
+# ---------------------------------------------------------------------------
+
+def test_curation_decisions_gates_and_dedup(spark):
+    from remark_lint_frontmatter_schema_spark.operators import curate
+    good = ("the cat and the dog sat on a mat with a hat, that is it "
+            "for the story of it all")
+    rows = [
+        (1, good),
+        (2, "THE cat and the dog sat on a mat with a hat, that is it "
+            "for the story of it all"),   # formatting dup of 1 (fingerprint)
+        (3, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),  # low quality
+        (4, "der und die nicht das der und die nicht das der und die "
+            "nicht das der und die nicht"),  # German-looking
+        (5, good + " completely different tail of the tale here though"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    dec = {r.doc_id: r for r in curate.curation_decisions(
+        df, "text", "doc_id", min_quality=0.55, lang="en").collect()}
+    assert dec[1].reason == "kept" and dec[1].kept
+    assert dec[2].reason == "duplicate" and not dec[2].kept
+    assert dec[3].reason == "low_quality"
+    assert dec[4].reason == "wrong_lang"
+    assert dec[5].kept
+
+    survivors = {r.doc_id for r in curate.curate(
+        df, "text", "doc_id", min_quality=0.55, lang="en").collect()}
+    assert survivors == {1, 5}
+
+    # one shuffle only: plan has exactly one Exchange (the window on
+    # fingerprint); the semi-join reuses broadcast
+    plan = curate.curation_decisions(
+        df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
