@@ -131,3 +131,36 @@ def test_windowed_plan_has_watermark_and_stateful_agg(spark, tmp_path):
     assert agg.isStreaming
     plan = agg._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan and "7 minutes" in plan
+
+
+# ---------------------------------------------------------------------------
+# stateful streaming: cross-batch first-seen dedup (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+def test_first_seen_dedup_across_batches(spark, tmp_path):
+    from remark_lint_frontmatter_schema_spark.streaming.stateful import (
+        run_first_seen_stream)
+    schema = T.StructType([
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("batch_tag", T.StringType()),
+    ])
+    p = str(tmp_path / "fs_in")
+    spark.createDataFrame(
+        [("a", "b1"), ("b", "b1"), ("b", "b1")], schema) \
+        .coalesce(1).write.parquet(p)
+    import time
+    time.sleep(1.1)  # distinct file mtimes -> deterministic batch order
+    spark.createDataFrame(
+        [("b", "b2"), ("c", "b2"), ("a", "b2")], schema) \
+        .coalesce(1).write.mode("append").parquet(p)
+
+    q = run_first_seen_stream(spark, p, schema, "clip_id",
+                              checkpoint=str(tmp_path / "fs_ckpt"),
+                              query_name="fstest")
+    q.awaitTermination(120)
+    rows = spark.table("fstest").collect()
+    got = {r.clip_id: r.batch_tag for r in rows}
+    assert len(rows) == 3, rows            # each key exactly once
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"] == "b1" and got["b"] == "b1"  # first-batch wins
+    assert got["c"] == "b2"
