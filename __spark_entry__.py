@@ -461,9 +461,10 @@ def _curate_oracle_sql(min_quality: float = 0.75, lang: str = "en") -> str:
         f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs) + " END"
     return f"""
 WITH t AS (
-  SELECT doc_id, text, length(text) AS n_chars_c,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
-         list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+  SELECT doc_id, coalesce(text, '') AS text,
+         length(coalesce(text, '')) AS n_chars_c,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'), x -> x <> '') AS toks,
+         list_transform(list_filter(string_split_regex(coalesce(text, ''), '\\s+'), x -> x <> ''),
                         x -> lower(x)) AS toksl
   FROM documents
 ), r AS (
@@ -830,20 +831,24 @@ SELECT CAST(vec_id AS VARCHAR) AS row_id,
        'Must contain at least 2 valid item(s) • #/properties/embedding/contains' AS message
 FROM embeddings
 WHERE embedding IS NOT NULL
-  AND len(list_filter(embedding, x -> x >= CAST(0.2 AS DOUBLE))) < 2
+  AND len(list_filter(embedding, x -> x IS NULL OR x >= CAST(0.2 AS DOUBLE))) < 2
 UNION ALL
 SELECT CAST(vec_id AS VARCHAR),
        'emb:/embedding:maxContains', 'maxContains',
        'Must contain at most 6 valid item(s) • #/properties/embedding/maxContains'
 FROM embeddings
 WHERE embedding IS NOT NULL
-  AND len(list_filter(embedding, x -> x >= CAST(0.2 AS DOUBLE))) > 6
+  AND len(list_filter(embedding, x -> x IS NULL OR x >= CAST(0.2 AS DOUBLE))) > 6
 UNION ALL
 SELECT CAST(vec_id AS VARCHAR),
        'emb:/embedding:uniqueItems', 'uniqueItems',
        'Must NOT have duplicate items • #/properties/embedding/uniqueItems'
 FROM embeddings
-WHERE embedding IS NOT NULL AND len(list_distinct(embedding)) < len(embedding)
+WHERE embedding IS NOT NULL
+  -- Spark's array_distinct keeps one NULL; DuckDB's list_distinct drops all
+  AND len(list_distinct(embedding))
+      + CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN 1 ELSE 0 END
+      < len(embedding)
 UNION ALL
 SELECT CAST(vec_id AS VARCHAR),
        'emb:/embedding:minItems', 'minItems',

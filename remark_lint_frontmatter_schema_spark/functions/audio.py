@@ -244,14 +244,16 @@ def decode_stats_map_in_pandas(iterator):
 # audio feature extraction (training-data-pipeline ops over the payload)
 # ---------------------------------------------------------------------------
 
-def audio_features_schema() -> str:
-    return ("clip_id string, decode_ok boolean, dur_ms_payload int, "
+def audio_features_schema(passthrough_ddl: str = "") -> str:
+    base = ("clip_id string, decode_ok boolean, dur_ms_payload int, "
             "rms double, peak double, silence_ratio double, "
             "dominant_hz double")
+    return f"{base}, {passthrough_ddl}" if passthrough_ddl else base
 
 
 def audio_features_map_in_pandas(frame_ms: int = 20,
-                                 silence_db: float = -40.0):
+                                 silence_db: float = -40.0,
+                                 passthrough: tuple = ()):
     """mapInPandas feature extractor over WAV payloads: duration, RMS,
     peak, frame-level silence ratio, and dominant frequency (rfft argmax).
 
@@ -260,19 +262,24 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
     ``/root/reference/index.ts:240-245``: data problems become rows, not
     job failures). Map-only — the binary column is read once and never
     shuffled; downstream joins use only these small typed rows.
+    ``passthrough`` columns ride along unchanged so cross-field checks
+    (declared vs payload) need no second scan or join.
     """
     silence_amp = 10 ** (silence_db / 20)
 
     def fn(iterator):
         for pdf in iterator:
+            extras_cols = [pdf[c] for c in passthrough]
             rows = []
-            for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
+            for cid, b, *extras in zip(pdf["clip_id"], pdf["bytes"],
+                                       *extras_cols):
                 try:
                     sr, x = decode_wav_pcm16(bytes(b) if b is not None else b"")
                     if sr <= 0 or not len(x):
                         raise ValueError("empty")
                 except ValueError:
-                    rows.append((cid, False, None, None, None, None, None))
+                    rows.append((cid, False, None, None, None, None, None,
+                                 *extras))
                     continue
                 n = len(x)
                 dur_ms = int(round(n * 1000.0 / sr))
@@ -289,20 +296,28 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
                 spec = np.abs(np.fft.rfft(x))
                 spec[0] = 0.0  # ignore DC
                 dom = float(np.argmax(spec) * sr / n) if len(spec) > 1 else 0.0
-                rows.append((cid, True, dur_ms, rms, peak, silence, dom))
+                rows.append((cid, True, dur_ms, rms, peak, silence, dom,
+                             *extras))
             yield pd.DataFrame(rows, columns=[
                 "clip_id", "decode_ok", "dur_ms_payload", "rms", "peak",
-                "silence_ratio", "dominant_hz"])
+                "silence_ratio", "dominant_hz", *passthrough])
 
     return fn
 
 
 def audio_features(clips, *, frame_ms: int = 20,
-                   silence_db: float = -40.0):
-    """clips(clip_id, bytes) -> feature DataFrame (map-only stage)."""
-    return clips.select("clip_id", "bytes").mapInPandas(
-        audio_features_map_in_pandas(frame_ms, silence_db),
-        schema=audio_features_schema())
+                   silence_db: float = -40.0, passthrough: tuple = ()):
+    """clips(clip_id, bytes) -> feature DataFrame (map-only stage).
+
+    ``passthrough`` names extra clips columns carried into the output
+    unchanged (their types copied from the input schema) — lets callers
+    run cross-field payload checks without a join back to the table."""
+    pt_ddl = ", ".join(
+        f"{c} {clips.schema[c].dataType.simpleString()}" for c in passthrough)
+    return clips.select("clip_id", "bytes", *passthrough).mapInPandas(
+        audio_features_map_in_pandas(frame_ms, silence_db,
+                                     tuple(passthrough)),
+        schema=audio_features_schema(pt_ddl))
 
 
 def duration_consistency_violations(clips, *, tolerance_ms: int = 5,
@@ -314,10 +329,11 @@ def duration_consistency_violations(clips, *, tolerance_ms: int = 5,
     metadata that contradicts the document body: the declared value is
     only trustworthy if the payload agrees. Decode failures surface as
     ``decode`` violations (guard G1), mismatches as ``x-duration``.
+    Single map-only scan: ``dur_ms`` rides through the feature extractor
+    as a passthrough column — no join, no shuffle, no second read.
     """
-    feats = audio_features(clips)
-    joined = clips.select("clip_id", "dur_ms").join(feats, "clip_id")
-    bad = joined.where(
+    feats = audio_features(clips, passthrough=("dur_ms",))
+    bad = feats.where(
         (~F.col("decode_ok"))
         | (F.abs(F.col("dur_ms_payload") - F.col("dur_ms")) >
            F.lit(tolerance_ms)))

@@ -32,7 +32,13 @@ def curation_decisions(df: DataFrame, text_col: str, id_col: str, *,
     low_quality → wrong_lang → kept. ``kept`` is the conjunction, so the
     ordering only affects attribution, not the kept set.
     """
-    prof = profile_columns(df, text_col, id_col, fields={
+    # NULL text must fail the quality gate, not slide through it (NULL
+    # metrics make every `<` comparison NULL and the when-branches skip —
+    # fail-open). Scoring NULL as the empty string gives quality 0.2,
+    # lang 'und', the empty-string fingerprint — deterministic and
+    # identical to the SQL oracle's CASE...ELSE 0.0 arms.
+    scored = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    prof = profile_columns(scored, text_col, id_col, fields={
         "quality_score": "quality_score",
         "lang_guess": "lang_guess",
         "fingerprint": "fingerprint",

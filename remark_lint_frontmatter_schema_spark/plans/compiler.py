@@ -632,28 +632,37 @@ def _items_check(ctx: _Ctx, items_schema: dict) -> None:
     element (the reference emits per-element errors with /path/0 instance
     paths; at table scale we aggregate to the array's path, actual carries
     the whole array)."""
-    elem_t = ctx.dtype.elementType
-
-    def elem_violated(e: Column) -> Column:
-        probe = CompiledRuleset(name="_items")
-        ectx = _Ctx(col=e, dtype=elem_t, instance_path=ctx.instance_path,
-                    schema_path=f"{ctx.schema_path}/items",
-                    schema_file=ctx.schema_file, df_schema=ctx.df_schema,
-                    root_schema=ctx.root_schema, out=probe,
-                    extra_checks=ctx.extra_checks, silent=False)
-        _compile_keywords(items_schema, ectx)
-        for u in probe.unknown:
-            if u not in ctx.out.unknown:
-                ctx.out.unknown.append(u)
-        if not probe.checks:
-            return F.lit(False)
-        bad = probe.checks[0].violated
-        for c in probe.checks[1:]:
-            bad = bad | c.violated
-        return bad
-
+    elem_ok = _element_validity_fn(ctx, items_schema,
+                                   f"{ctx.schema_path}/items")
     msg = _reason("must have valid items", ctx, "items")
-    _add(ctx, "items", _present(ctx) & F.exists(ctx.col, elem_violated), msg)
+    _add(ctx, "items",
+         _present(ctx) & F.exists(ctx.col, lambda e: ~elem_ok(e)), msg)
+
+
+def _probe_validity(sub_schema: dict, ctx: _Ctx, *, col, dtype,
+                    schema_path: str) -> Column:
+    """Validity of the instance at (col, dtype) against ``sub_schema`` —
+    the one shared probe: compiles into a discarded ruleset, folds
+    ``~violated`` NULL-safely, and surfaces the probe's unknown keywords
+    AND column reads into the real ruleset (strict mode must see unknowns
+    anywhere in the tree; pruning to ``columns_read`` must stay sound for
+    columns referenced only inside if/then/else/dependencies branches)."""
+    probe = CompiledRuleset(name=ctx.out.name)
+    sub_ctx = _Ctx(col=col, dtype=dtype, instance_path=ctx.instance_path,
+                   schema_path=schema_path, schema_file=ctx.schema_file,
+                   df_schema=ctx.df_schema, root_schema=ctx.root_schema,
+                   out=probe, extra_checks=ctx.extra_checks, silent=False)
+    _compile_keywords(sub_schema, sub_ctx)
+    for u in probe.unknown:
+        if u not in ctx.out.unknown:
+            ctx.out.unknown.append(u)
+    ctx.out.columns_read.update(probe.columns_read)
+    ok = F.lit(True)
+    for c in probe.checks:
+        ok = ok & ~F.coalesce(c.violated, F.lit(False))
+    if probe.static_failures:
+        ok = F.lit(False)
+    return ok
 
 
 def _element_validity_fn(ctx: _Ctx, sub_schema: dict, schema_path: str):
@@ -665,25 +674,8 @@ def _element_validity_fn(ctx: _Ctx, sub_schema: dict, schema_path: str):
     valid (mirrors JSON Schema, where e.g. ``minimum`` ignores non-numbers).
     """
     elem_t = ctx.dtype.elementType
-
-    def elem_ok(e: Column) -> Column:
-        probe = CompiledRuleset(name="_contains")
-        ectx = _Ctx(col=e, dtype=elem_t, instance_path=ctx.instance_path,
-                    schema_path=schema_path, schema_file=ctx.schema_file,
-                    df_schema=ctx.df_schema, root_schema=ctx.root_schema,
-                    out=probe, extra_checks=ctx.extra_checks, silent=False)
-        _compile_keywords(sub_schema, ectx)
-        for u in probe.unknown:
-            if u not in ctx.out.unknown:
-                ctx.out.unknown.append(u)
-        ok = F.lit(True)
-        for c in probe.checks:
-            ok = ok & ~F.coalesce(c.violated, F.lit(False))
-        if probe.static_failures:
-            ok = F.lit(False)
-        return ok
-
-    return elem_ok
+    return lambda e: _probe_validity(sub_schema, ctx, col=e, dtype=elem_t,
+                                     schema_path=schema_path)
 
 
 def _property_count(ctx: _Ctx) -> Column | None:
@@ -712,10 +704,47 @@ def _property_count(ctx: _Ctx) -> Column | None:
     return n
 
 
+# the keyword subset propertyNames enforces — identical on BOTH the runtime
+# (map-key) and static (struct/root name) paths, so one ruleset cannot give
+# different verdicts depending on node type. `type` is handled specially:
+# property names are always strings (JSON Schema core), so type:"string" is
+# vacuous and any type excluding "string" fails every name.
+_PNAME_KEYWORDS = ("pattern", "maxLength", "minLength", "enum", "const",
+                   "format")
+
+
+def _pname_type_ok(sub: dict) -> bool:
+    types = sub.get("type")
+    if types is None:
+        return True
+    tl = types if isinstance(types, list) else [types]
+    return "string" in tl
+
+
+def _java_regex_search(pattern: str, s: str) -> bool:
+    """Unanchored regex search in the JVM's own dialect — the authoritative
+    one, since runtime checks execute via ``rlike`` (java.util.regex).
+    Falls back to Python ``re`` only when no JVM is up (same policy as
+    :func:`_regex_ok`)."""
+    try:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+    except Exception:
+        spark = None
+    if spark is not None:
+        p = spark._jvm.java.util.regex.Pattern.compile(pattern)  # noqa: SLF001
+        return bool(p.matcher(s).find())
+    return re.search(pattern, s) is not None
+
+
 def _static_name_ok(name: str, sub: dict) -> bool:
-    """Evaluate the string-facing subset of keywords against a literal
-    property name (struct/root property names are schema-static)."""
-    if "pattern" in sub and not re.search(sub["pattern"], name):
+    """Evaluate the supported keyword subset against a literal property
+    name (struct/root property names are schema-static). Regexes run in
+    the JVM dialect so the static path agrees with the map-key ``rlike``
+    path."""
+    if not _pname_type_ok(sub):
+        return False
+    if "pattern" in sub and not _java_regex_search(sub["pattern"], name):
         return False
     if "maxLength" in sub and len(name) > sub["maxLength"]:
         return False
@@ -726,41 +755,34 @@ def _static_name_ok(name: str, sub: dict) -> bool:
     if "const" in sub and name != sub["const"]:
         return False
     if "format" in sub and sub["format"] in FORMAT_REGEX \
-            and not re.search(FORMAT_REGEX[sub["format"]], name):
+            and not _java_regex_search(FORMAT_REGEX[sub["format"]], name):
         return False
     return True
 
 
 def _property_names(ctx: _Ctx, sub: dict) -> None:
     """`propertyNames`: every property name satisfies ``sub``. Map keys are
-    data -> runtime forall over map_keys; struct/root names are static."""
+    data -> runtime forall over map_keys; struct/root names are static.
+    Both paths enforce exactly ``_PNAME_KEYWORDS`` (+ the string-type
+    rule)."""
     msg = _reason("property name must be valid", ctx, "propertyNames")
     for kw in sub:
-        if kw not in ("pattern", "maxLength", "minLength", "enum", "const",
-                      "format", "type"):
+        if kw not in _PNAME_KEYWORDS + ("type",):
             ctx.out.unknown.append(
                 (ctx.instance_path, f"propertyNames:{kw}"))
     if ctx.col is not None and isinstance(ctx.dtype, T.MapType):
-        name_ctx = _Ctx(col=None, dtype=T.StringType(),
-                        instance_path=ctx.instance_path,
-                        schema_path=f"{ctx.schema_path}/propertyNames",
-                        schema_file=ctx.schema_file, df_schema=ctx.df_schema,
-                        root_schema=ctx.root_schema, out=ctx.out,
-                        extra_checks=ctx.extra_checks, silent=False)
+        sub_eff = {k: v for k, v in sub.items() if k in _PNAME_KEYWORDS}
+        if not _pname_type_ok(sub):
+            # no string can satisfy: any non-empty map violates
+            _add(ctx, "propertyNames",
+                 _present(ctx) & (F.size(ctx.col) > 0), msg,
+                 actual=F.concat_ws(",", F.map_keys(ctx.col)))
+            return
 
         def key_ok(k: Column) -> Column:
-            probe = CompiledRuleset(name="_pnames")
-            kctx = _Ctx(col=k, dtype=T.StringType(),
-                        instance_path=name_ctx.instance_path,
-                        schema_path=name_ctx.schema_path,
-                        schema_file=ctx.schema_file, df_schema=ctx.df_schema,
-                        root_schema=ctx.root_schema, out=probe,
-                        extra_checks=ctx.extra_checks, silent=False)
-            _compile_keywords(sub, kctx)
-            ok = F.lit(True)
-            for c in probe.checks:
-                ok = ok & ~F.coalesce(c.violated, F.lit(False))
-            return ok
+            return _probe_validity(
+                sub_eff, ctx, col=k, dtype=T.StringType(),
+                schema_path=f"{ctx.schema_path}/propertyNames")
 
         bad = F.exists(F.map_keys(ctx.col), lambda k: ~key_ok(k))
         _add(ctx, "propertyNames", _present(ctx) & bad, msg,
@@ -815,26 +837,9 @@ def _additional_properties(ctx: _Ctx, schema: dict) -> None:
 
 
 def _validity(schema: dict, ctx: _Ctx, schema_path: str) -> Column:
-    """Full-node validity expression (for anyOf/oneOf/not composition)."""
-    probe = CompiledRuleset(name=ctx.out.name)
-    sub_ctx = _Ctx(col=ctx.col, dtype=ctx.dtype,
-                   instance_path=ctx.instance_path, schema_path=schema_path,
-                   schema_file=ctx.schema_file, df_schema=ctx.df_schema,
-                   root_schema=ctx.root_schema, out=probe,
-                   extra_checks=ctx.extra_checks, silent=False)
-    _compile_keywords(schema, sub_ctx)
-    # the probe ruleset is discarded, but unknown keywords inside the
-    # branch must still surface (strict mode / warning collection — Ajv
-    # strict fails on unknowns anywhere in the tree)
-    for u in probe.unknown:
-        if u not in ctx.out.unknown:
-            ctx.out.unknown.append(u)
-    ok = F.lit(True)
-    for c in probe.checks:
-        ok = ok & ~F.coalesce(c.violated, F.lit(False))
-    if probe.static_failures:
-        ok = F.lit(False)
-    return ok
+    """Full-node validity expression (for anyOf/oneOf/not/if composition)."""
+    return _probe_validity(schema, ctx, col=ctx.col, dtype=ctx.dtype,
+                           schema_path=schema_path)
 
 
 def _child(ctx: _Ctx, prop: str):

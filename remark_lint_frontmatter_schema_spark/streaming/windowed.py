@@ -64,11 +64,18 @@ def run_windowed_stream(
     watermark_delay: str = "2 minutes",
     query_name: str = "windowed_verdicts",
     checkpoint: str | None = None,
+    output_mode: str = "update",
 ):
     """Drain a file-source stream through the windowed aggregate into a
-    memory sink (complete mode — the window relation is tiny: one row per
-    window, not per input row). Returns the started query; callers
-    ``awaitTermination`` then read ``spark.table(query_name)``."""
+    memory sink. Returns the started query; callers ``awaitTermination``
+    then read ``spark.table(query_name)``.
+
+    Output mode matters for the state-retention promise: in ``update``
+    (default) and ``append`` modes the watermark evicts window state and
+    drops too-late rows; ``complete`` mode retains every window's state
+    forever (watermark inert) — acceptable only for bounded drains and
+    tests, never a continuous production stream.
+    """
     stream = (spark.readStream.schema(input_schema)
               .option("maxFilesPerTrigger", "4")
               .parquet(input_path))
@@ -76,7 +83,7 @@ def run_windowed_stream(
         stream, compiled, event_time_col=event_time_col,
         window_duration=window_duration, watermark_delay=watermark_delay)
     writer = (agg.writeStream.format("memory").queryName(query_name)
-              .outputMode("complete").trigger(availableNow=True))
+              .outputMode(output_mode).trigger(availableNow=True))
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()

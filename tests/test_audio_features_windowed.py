@@ -112,7 +112,8 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
 
     q = run_windowed_stream(
         spark, p, EV_SCHEMA, compiled, event_time_col="ts",
-        checkpoint=str(tmp_path / "ckpt"), query_name="wtest")
+        checkpoint=str(tmp_path / "ckpt"), query_name="wtest",
+        output_mode="complete")  # bounded drain: one final row per window
     q.awaitTermination(120)
     got = {(r.window_start, r.window_end):
            (r.n_rows, r.n_failed_rows, r.n_violations)
@@ -164,3 +165,9 @@ def test_first_seen_dedup_across_batches(spark, tmp_path):
     assert set(got) == {"a", "b", "c"}
     assert got["a"] == "b1" and got["b"] == "b1"  # first-batch wins
     assert got["c"] == "b2"
+
+
+def test_duration_consistency_is_single_map_stage(clips):
+    plan = audio.duration_consistency_violations(clips)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan

@@ -126,3 +126,16 @@ def test_curation_decisions_gates_and_dedup(spark):
     plan = curate.curation_decisions(
         df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_curation_null_text_fails_quality_gate(spark):
+    from remark_lint_frontmatter_schema_spark.operators import curate
+    df = spark.createDataFrame(
+        [(1, None), (2, "the cat and the dog sat on a mat with a hat, "
+                        "that is it for the story")],
+        ["doc_id", "text"])
+    dec = {r.doc_id: r for r in curate.curation_decisions(
+        df, "text", "doc_id", min_quality=0.5, lang=None).collect()}
+    assert dec[1].reason == "low_quality" and not dec[1].kept
+    assert dec[1].quality_score is not None
+    assert dec[2].kept

@@ -220,3 +220,45 @@ def test_malformed_extended_keywords_rejected(spark):
     ]:
         with pytest.raises(RulesetCompileError):
             compile_ruleset(bad, df_schema, name="bad")
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions
+# ---------------------------------------------------------------------------
+
+def test_property_names_java_regex_dialect(spark):
+    # \p{Lu} is Java-regex-valid (Python re rejects the escape): the static
+    # path must evaluate in the JVM dialect, same as the map-key rlike path
+    rs = {"propertyNames": {"pattern": "^[a-z]+\\p{Lu}?[a-z_]*$"}}
+    compiled = compile_ruleset(rs, SCHEMA, name="jre")
+    assert ("", "propertyNames") in compiled.static_passes, (
+        compiled.static_failures)
+
+
+def test_property_names_type_rule_symmetric(spark):
+    # property names are always strings: type:'integer' fails every name,
+    # identically on the static (struct/root) and runtime (map) paths
+    bad_static = compile_ruleset({"propertyNames": {"type": "integer"}},
+                                 SCHEMA, name="pn1")
+    assert bad_static.static_failures
+    rows = [{"id": "m1", "m": {"12": "v"}}, {"id": "empty", "m": {}}]
+    failed = _failed_ids(
+        spark, rows,
+        {"properties": {"m": {"propertyNames": {"type": "integer"}}}})
+    assert failed == {"m1"}  # numeric-looking key is still a string name
+
+
+def test_conditional_branches_tracked_in_columns_read(spark):
+    rs = {"if": {"properties": {"status": {"const": "F"}},
+                 "required": ["status"]},
+          "then": {"properties": {"clerk": {"pattern": "^c"}}},
+          "dependencies": {"a": {"required": ["b"]}}}
+    compiled = compile_ruleset(rs, SCHEMA, name="cr")
+    assert {"status", "clerk", "a", "b"} <= compiled.columns_read
+    # pruning to columns_read must be sufficient to evaluate the plan
+    from remark_lint_frontmatter_schema_spark import validate
+    df = _df(spark, [{"id": "r1", "status": "F", "clerk": "x9"}])
+    pruned = df.select("id", *sorted(compiled.columns_read))
+    res = validate(pruned, compile_ruleset(rs, pruned.schema, name="cr2"),
+                   row_id="id")
+    assert res.violations.count() == 1  # then-branch fires on clerk 'x9'
