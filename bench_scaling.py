@@ -59,7 +59,7 @@ def prepare(rows: int, data_dir: str, audio_ms: int,
 
 
 def run(master: str, data_dir: str, with_binary: bool = True,
-        reps: int = 5) -> dict:
+        reps: int = 5, eval_only: bool = False) -> dict:
     cores = int(master.split("[")[1].rstrip("]")) if "[" in master else 8
     # heap scales with parallelism, mirroring a real cluster where a 4N-
     # executor fleet has 4x the aggregate memory (local mode hosts every
@@ -139,6 +139,23 @@ def run(master: str, data_dir: str, with_binary: bool = True,
         res.verdicts.collect()
         eval_times.append(time.perf_counter() - t0)
 
+    if eval_only:
+        # eval-only mode: for interleaved A/B/A/B noise-controlled pairs —
+        # skip the pipeline and UDF stages entirely so consecutive levels
+        # measure under near-identical page-cache/heap conditions
+        eval_best = min(eval_times)
+        out = {
+            "master": master,
+            "n_rows": n_rows,
+            "constraint_eval_sec": round(eval_best, 2),
+            "validated_clips_per_sec": round(n_rows / eval_best, 1),
+            "cold_sec": round(warm_sec, 2),
+            "eval_runs_sec": [round(x, 2) for x in eval_times],
+        }
+        print(json.dumps(out))
+        spark.stop()
+        return out
+
     # full pipeline (adds binary header check, uniqueness, referential,
     # drift): first run untimed spawns Python workers + faults `bytes` in
     results = pipeline()
@@ -196,13 +213,14 @@ def main() -> None:
     ap.add_argument("--data-dir", default="/root/repo/.bench/clips_bench")
     ap.add_argument("--master", default="local[8]")
     ap.add_argument("--no-binary", action="store_true")
+    ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
     if args.mode == "prepare":
         prepare(args.rows, args.data_dir, args.audio_ms, args.partitions)
     else:
         run(args.master, args.data_dir, with_binary=not args.no_binary,
-            reps=args.reps)
+            reps=args.reps, eval_only=args.eval_only)
 
 
 if __name__ == "__main__":
