@@ -26,7 +26,10 @@ _KEYWORDS = ["type", "enum", "const", "required", "maxLength", "minLength",
              "pattern", "minimum", "maximum", "exclusiveMinimum",
              "multipleOf", "maxItems", "minItems", "properties", "items",
              "allOf", "anyOf", "oneOf", "not", "additionalProperties",
-             "format", "$ref", "frobnicate"]
+             "format", "$ref", "frobnicate",
+             "uniqueItems", "contains", "minContains", "maxContains",
+             "minProperties", "maxProperties", "dependentRequired",
+             "dependencies", "if", "then", "else", "propertyNames"]
 
 _scalars = st.one_of(
     st.none(), st.booleans(), st.integers(-5, 100),
