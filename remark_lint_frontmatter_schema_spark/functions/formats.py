@@ -19,4 +19,29 @@ FORMAT_REGEX = {
     "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
     "ipv4": r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$",
     "hostname": r"^(?=.{1,253}\.?$)[a-zA-Z0-9](?:[a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?(?:\.[a-zA-Z0-9](?:[a-zA-Z0-9-]{0,61}[a-zA-Z0-9])?)*\.?$",
+    # RFC 4291 textual forms: full, ::-compressed, and IPv4-mapped tails
+    "ipv6": (
+        r"^(([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}"
+        r"|([0-9a-fA-F]{1,4}:){1,7}:"
+        r"|([0-9a-fA-F]{1,4}:){1,6}:[0-9a-fA-F]{1,4}"
+        r"|([0-9a-fA-F]{1,4}:){1,5}(:[0-9a-fA-F]{1,4}){1,2}"
+        r"|([0-9a-fA-F]{1,4}:){1,4}(:[0-9a-fA-F]{1,4}){1,3}"
+        r"|([0-9a-fA-F]{1,4}:){1,3}(:[0-9a-fA-F]{1,4}){1,4}"
+        r"|([0-9a-fA-F]{1,4}:){1,2}(:[0-9a-fA-F]{1,4}){1,5}"
+        r"|[0-9a-fA-F]{1,4}:(:[0-9a-fA-F]{1,4}){1,6}"
+        r"|:((:[0-9a-fA-F]{1,4}){1,7}|:)"
+        r"|::([fF]{4}:)?((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+        r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d))$"
+    ),
+    # ISO 8601 duration (ajv-formats shape: weeks XOR the Y/M/D/T parts;
+    # lookaheads forbid bare "P" / dangling "T")
+    "duration": (
+        r"^P(?!$)(\d+W|(\d+Y)?(\d+M)?(\d+D)?"
+        r"(T(?=\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?)$"
+    ),
+    "json-pointer": r"^(/([^/~]|~[01])*)*$",
+    "relative-json-pointer": r"^(0|[1-9]\d*)(#|(/([^/~]|~[01])*)*)$",
+    # uri-reference: any uri or relative reference without spaces/fragments
+    # beyond one '#' (structural check, as ajv's is regex-based too)
+    "uri-reference": r"^[^\s\\#]*(#[^\s\\#]*)?$",
 }

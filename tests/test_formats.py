@@ -1,0 +1,51 @@
+"""Format-regex semantics (ajv-formats parity examples), evaluated in the
+JVM regex dialect — the one `rlike` executes at runtime."""
+
+import pytest
+
+from remark_lint_frontmatter_schema_spark.functions.formats import FORMAT_REGEX
+
+CASES = {
+    "date": (["2026-02-28", "1999-12-31"], ["2026-13-01", "2026-00-10",
+                                            "26-01-01", "2026-01-32"]),
+    "time": (["23:59:59", "00:00:00.123", "10:20:30Z", "10:20:30+05:30"],
+             ["24:00:00", "10:61:00", "1:2:3"]),
+    "date-time": (["2026-01-02T03:04:05Z", "2026-01-02 03:04:05+01:00"],
+                  ["2026-01-02", "03:04:05Z", "2026-01-02T25:00:00Z"]),
+    "email": (["a@b.co", "first.last+tag@sub.example.org"],
+              ["no-at-sign", "a@", "@b.co", "a@-bad.com"]),
+    "uri": (["https://example.com/x?y=1", "urn:isbn:0451450523"],
+            ["not a uri", "//missing-scheme", "ht tp://x"]),
+    "uuid": (["123e4567-e89b-42d3-a456-426614174000"],
+             ["123e4567e89b42d3a456426614174000", "xyz-4567"]),
+    "ipv4": (["127.0.0.1", "255.255.255.255"],
+             ["256.1.1.1", "1.2.3", "1.2.3.4.5"]),
+    "hostname": (["example.com", "a-b.c-d.org", "localhost"],
+                 ["-bad.com", "bad-.com", "ex ample.com"]),
+    "ipv6": (["::1", "2001:db8::8a2e:370:7334", "1:2:3:4:5:6:7:8",
+              "fe80::", "::ffff:192.168.0.1"],
+             ["12345::", "1::2::3", "1:2:3:4:5:6:7:8:9", "g::1"]),
+    "duration": (["P3Y6M4DT12H30M5S", "P2W", "PT0.5S", "P1D"],
+                 ["P", "PT", "P1W2D", "P1S", "3Y"]),
+    "json-pointer": (["", "/foo/bar~0", "/a~1b/0"],
+                     ["foo", "/~2", "/a~"]),
+    "relative-json-pointer": (["0#", "1/foo", "0", "12/a~1b"],
+                              ["#", "01/foo", "-1/x", "1#/x"]),
+    "uri-reference": (["/path/to?x=1", "fragment#only", "", "../rel"],
+                      ["a b", "two#hash#marks", "back\\slash"]),
+}
+
+
+@pytest.mark.parametrize("fmt", sorted(CASES))
+def test_format_examples(spark, fmt):
+    pattern = spark._jvm.java.util.regex.Pattern.compile(FORMAT_REGEX[fmt])
+    good, bad = CASES[fmt]
+    for v in good:
+        assert pattern.matcher(v).find(), f"{fmt}: {v!r} should match"
+    for v in bad:
+        assert not pattern.matcher(v).find(), f"{fmt}: {v!r} should NOT match"
+
+
+def test_all_formats_compile_in_jvm(spark):
+    for fmt, rx in FORMAT_REGEX.items():
+        spark._jvm.java.util.regex.Pattern.compile(rx)
