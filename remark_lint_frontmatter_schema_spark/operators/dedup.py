@@ -140,15 +140,27 @@ def minhash_signatures_df(df: DataFrame, text_col: str, id_col: str, *,
 
 def lsh_candidates(df: DataFrame, text_col: str, id_col: str, *,
                    n_hashes: int = 64, bands: int = 8,
-                   shingle_n: int = 5) -> DataFrame:
+                   shingle_n: int = 5, reuse: bool = True) -> DataFrame:
     """Candidate near-dup pairs: equal band-hash in >=1 of ``bands`` bands.
 
     rows_per_band = n_hashes/bands sets the similarity knee
-    (s-curve threshold ~ (1/bands)^(1/rows_per_band))."""
+    (s-curve threshold ~ (1/bands)^(1/rows_per_band)).
+
+    ``reuse`` persists the signature relation (spill-to-disk) before the
+    banded self-join: Spark does not reuse structurally-aliased self-join
+    subtrees, so without it BOTH sides recompute the full explode +
+    64-min aggregation — the dominant cost. Signatures are tiny relative
+    to text (id + 64 longs/doc; ~0.5 KB/doc at any scale), and at the
+    10^12-row design point the same relation would be checkpointed to a
+    table between stages anyway.
+    """
     assert n_hashes % bands == 0
     r = n_hashes // bands
     sig = minhash_signatures_df(df, text_col, id_col, n_hashes=n_hashes,
                                 shingle_n=shingle_n)
+    if reuse:
+        from pyspark import StorageLevel
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     banded = sig.select(
         "id",
         F.explode(F.array(*[
@@ -168,12 +180,19 @@ def lsh_candidates(df: DataFrame, text_col: str, id_col: str, *,
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str, *,
                         threshold: float = 0.7, n_hashes: int = 64,
-                        bands: int = 8, shingle_n: int = 5) -> DataFrame:
-    """LSH candidates verified with exact shingle Jaccard."""
+                        bands: int = 8, shingle_n: int = 5,
+                        reuse: bool = True) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard.
+
+    ``reuse`` (see :func:`lsh_candidates`) also persists the shingle-set
+    relation consumed by both sides of the verify join."""
     cands = lsh_candidates(df, text_col, id_col, n_hashes=n_hashes,
-                           bands=bands, shingle_n=shingle_n)
+                           bands=bands, shingle_n=shingle_n, reuse=reuse)
     sh = df.select(F.col(id_col).alias("id"),
                    char_shingles(text_col, shingle_n).alias("sh"))
+    if reuse:
+        from pyspark import StorageLevel
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     return (cands
             .join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
             .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
