@@ -63,13 +63,19 @@ def jaccard(a, b):
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, *,
                         block_col: str | None = None, n: int = 3,
-                        threshold: float = 0.6) -> DataFrame:
+                        threshold: float = 0.6,
+                        reuse: bool = True) -> DataFrame:
     """Exact pairwise n-gram Jaccard within a blocking key. The self-join is
-    O(block^2) — ONLY for small blocks or LSH-bucket verification."""
+    O(block^2) — ONLY for small blocks or LSH-bucket verification.
+    ``reuse`` persists the shingle relation so the self-join's two sides
+    don't each recompute it (see :func:`lsh_candidates`)."""
     sh = df.select(F.col(id_col).alias("id"),
                    *( [F.col(block_col).alias("blk")] if block_col else
                       [F.lit(1).alias("blk")] ),
                    char_shingles(text_col, n).alias("sh"))
+    if reuse:
+        from pyspark import StorageLevel
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     a = sh.select(F.col("blk"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("blk"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = (a.join(b, "blk")

@@ -102,10 +102,16 @@ def cosine_topk_ivf(df: DataFrame, vec_col: str, id_col: str,
 
 
 def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str, *,
-                             block_col: str, threshold: float = 0.99) -> DataFrame:
-    """Exact cosine near-dup pairs within a blocking key."""
+                             block_col: str, threshold: float = 0.99,
+                             reuse: bool = True) -> DataFrame:
+    """Exact cosine near-dup pairs within a blocking key. ``reuse``
+    persists the casted-vector relation so the self-join's two sides read
+    the source once (Spark does not dedupe aliased self-join subtrees)."""
     v = df.select(F.col(block_col).alias("blk"), F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
+    if reuse:
+        from pyspark import StorageLevel
+        v = v.persist(StorageLevel.MEMORY_AND_DISK)
     a = v.select("blk", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     b = v.select("blk", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     return (a.join(b, "blk")
