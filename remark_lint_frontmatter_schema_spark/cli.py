@@ -1,0 +1,137 @@
+"""Command-line lint runner — the engine's analog of the reference's
+remark-cli entry point (``pnpm remark .``, README.md:297-307).
+
+Maps the reference's CLI lifecycle onto a Spark batch job:
+
+* config discovery: ``--config`` or a ``.sparklintrc.yaml`` found by
+  walking up from the input path (the findUp walk, index.ts:72-89);
+* ruleset association: ``--embed`` > per-row ``--ruleset-col`` > glob
+  ``patterns`` from config (precedence of index.ts §2.10);
+* validate: the one-projection compiled pass per routed ruleset;
+* report: vfile-reporter-style text summary (README.md:444-454) or JSON;
+* sinks: optional violations/verdicts parquet appends;
+* exit code: 0 on success; with ``--frail`` (remark's flag of the same
+  name) exit 1 when any violation or config error surfaced.
+
+Run with ``spark-submit --py-files engine.zip -m`` or plain
+``python -m remark_lint_frontmatter_schema_spark.cli``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+CONFIG_BASENAME = ".sparklintrc.yaml"
+
+
+def find_config(start: str) -> str | None:
+    """Walk up from ``start`` looking for .sparklintrc.yaml (findUp
+    analog, index.ts:72-89)."""
+    d = os.path.abspath(start)
+    if os.path.isfile(d):
+        d = os.path.dirname(d)
+    while True:
+        cand = os.path.join(d, CONFIG_BASENAME)
+        if os.path.exists(cand):
+            return cand
+        parent = os.path.dirname(d)
+        if parent == d:
+            return None
+        d = parent
+
+
+def load_config(path: str) -> dict:
+    import yaml
+    with open(path) as fh:
+        cfg = yaml.safe_load(fh) or {}
+    base = os.path.dirname(os.path.abspath(path))
+    reg = {}
+    for name, p in (cfg.get("registry") or {}).items():
+        reg[name] = p if os.path.isabs(p) else os.path.join(base, p)
+    cfg["registry"] = reg
+    return cfg
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="spark-lint", description=__doc__.splitlines()[0])
+    ap.add_argument("input", help="parquet table path")
+    ap.add_argument("--row-id", required=True)
+    ap.add_argument("--partition-col")
+    ap.add_argument("--config", help=f"routing config YAML "
+                                     f"(default: walk up for {CONFIG_BASENAME})")
+    ap.add_argument("--embed", help="single ruleset file applied to all rows")
+    ap.add_argument("--ruleset-col")
+    ap.add_argument("--report", choices=["text", "json", "none"],
+                    default="text")
+    ap.add_argument("--violations-out")
+    ap.add_argument("--verdicts-out")
+    ap.add_argument("--frail", action="store_true",
+                    help="exit 1 when any violation or config error")
+    ap.add_argument("--run-id", default="run_0")
+    ap.add_argument("--master", default=None)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .session import get_spark
+    from .plans.bundler import bundle
+    from .plans.routing import route_and_validate
+    from . import sinks
+
+    spark = get_spark(**({"master": args.master} if args.master else {}))
+    df = spark.read.parquet(args.input)
+
+    embed = bundle(args.embed) if args.embed else None
+    registry, patterns, ruleset_col = {}, None, args.ruleset_col
+    if embed is None:
+        cfg_path = args.config or find_config(args.input)
+        if cfg_path:
+            cfg = load_config(cfg_path)
+            registry = cfg.get("registry", {})
+            patterns = cfg.get("patterns") or None
+            ruleset_col = ruleset_col or cfg.get("ruleset_col")
+
+    report = route_and_validate(
+        df, row_id=args.row_id, registry=registry, embed=embed,
+        ruleset_col=ruleset_col, patterns=patterns,
+        partition_col=args.partition_col, run_id=args.run_id)
+
+    violations, verdicts = report.violations, report.verdicts
+    n_viol = violations.count() if violations is not None else 0
+
+    if args.violations_out and violations is not None:
+        sinks.write_violations(violations, args.violations_out,
+                               run_id=args.run_id)
+    if args.verdicts_out and verdicts is not None:
+        sinks.write_verdicts(verdicts, args.verdicts_out)
+
+    if args.report == "text":
+        if violations is not None:
+            print(sinks.render_report(violations))
+        for name, stage, msg in report.errors:
+            print(f"config error [{stage}] {name}: {msg}", file=sys.stderr)
+    elif args.report == "json":
+        out = {
+            "n_violations": int(n_viol),
+            "passes": [{"ruleset": p.ruleset_name, "source": p.source}
+                       for p in report.passes],
+            "errors": [{"ruleset": n, "stage": s, "message": m}
+                       for n, s, m in report.errors],
+        }
+        if verdicts is not None:
+            out["verdicts"] = [r.asDict() for r in verdicts.collect()]
+        print(json.dumps(out, default=str))
+
+    if args.frail and (n_viol > 0 or report.errors):
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

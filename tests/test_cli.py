@@ -1,0 +1,78 @@
+"""CLI lint runner: config discovery, routing, report, sinks, exit codes
+(the reference's `pnpm remark .` lifecycle, README.md:297-307)."""
+
+import json
+import os
+
+import pytest
+
+from remark_lint_frontmatter_schema_spark import cli
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "O", 10.0, "clip"), (2, "X", -5.0, "clip"), (3, "O", 3.0, None)],
+        ["id", "status", "price", "ruleset_id"])
+    p = str(tmp_path / "t")
+    df.write.parquet(p)
+    return p
+
+
+@pytest.fixture()
+def config_dir(tmp_path):
+    (tmp_path / "clip.schema.yaml").write_text(
+        "properties:\n  status:\n    enum: [O, F]\n"
+        "  price:\n    minimum: 0\n")
+    (tmp_path / cli.CONFIG_BASENAME).write_text(
+        "registry:\n  clip: clip.schema.yaml\nruleset_col: ruleset_id\n")
+    return tmp_path
+
+
+def test_cli_discovers_config_and_reports(table, config_dir, capsys):
+    rc = cli.main([table, "--row-id", "id", "--report", "json"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    # row 2 violates enum + minimum; row 3 is unrouted (ruleset_id NULL)
+    assert out["n_violations"] == 2
+    assert out["passes"] == [{"ruleset": "clip", "source": "column"}]
+    assert not out["errors"]
+
+
+def test_cli_frail_exit_code(table, config_dir):
+    assert cli.main([table, "--row-id", "id", "--report", "none",
+                     "--frail"]) == 1
+
+
+def test_cli_embed_and_sinks(spark, table, tmp_path, capsys):
+    embed = tmp_path / "embed.yaml"
+    embed.write_text("properties:\n  price:\n    maximum: 5\n")
+    vout = str(tmp_path / "viols")
+    rc = cli.main([table, "--row-id", "id", "--embed", str(embed),
+                   "--violations-out", vout, "--report", "text"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "warning" in text
+    written = spark.read.parquet(vout)
+    assert written.count() == 1  # price 10.0 > 5 (row 1 only)
+    assert written.where("run_id = 'run_0'").count() == 1
+
+
+def test_cli_config_error_surfaces(table, tmp_path, capsys):
+    cfg = tmp_path / "cfg.yaml"
+    (tmp_path / "bad.yaml").write_text("properties:\n  status:\n"
+                                       "    pattern: '['\n")
+    cfg.write_text("registry:\n  clip: bad.yaml\nruleset_col: ruleset_id\n")
+    rc = cli.main([table, "--row-id", "id", "--config", str(cfg),
+                   "--report", "json", "--frail"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 1
+    assert out["errors"] and out["errors"][0]["stage"] == "compile"
+
+
+def test_find_config_walks_up(tmp_path):
+    deep = tmp_path / "a" / "b" / "c"
+    os.makedirs(deep)
+    assert cli.find_config(str(deep)) is None
+    (tmp_path / cli.CONFIG_BASENAME).write_text("{}")
+    assert cli.find_config(str(deep)) == str(tmp_path / cli.CONFIG_BASENAME)
