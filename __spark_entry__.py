@@ -373,6 +373,30 @@ def q_validate_orders_conditional(spark, sf):
         "row_id", "constraint_id", "keyword", "message")
 
 
+EVENTS_WINDOW_RULESET = {
+    "properties": {
+        "value": {"maximum": 400},
+        "event_type": {"enum": ["error", "view", "purchase", "click",
+                                "signup"]},
+    },
+    "required": ["user_id"],
+}
+
+
+def q_windowed_verdicts_events(spark, sf):
+    """Event-time tumbling-window verdict counts (streaming/windowed.py run
+    in its batch form — Spark's unified semantics make the same plan the
+    streaming micro-batch plan)."""
+    from remark_lint_frontmatter_schema_spark.streaming.windowed import (
+        windowed_verdict_counts)
+    ev = _load(spark, sf, "events").select("event_id", "ts", "user_id",
+                                           "value", "event_type")
+    compiled = compile_ruleset(EVENTS_WINDOW_RULESET, ev.schema,
+                               name="evwin")
+    return windowed_verdict_counts(ev, compiled, event_time_col="ts",
+                                   window_duration="1 day")
+
+
 def q_curate_documents(spark, sf):
     """Composed training-data curation (SURVEY §8 dedup+text rows): one
     scan -> staged profile -> fingerprint-window dedup -> gate reasons."""
@@ -435,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_embeddings_array": q_validate_embeddings_array,
         "validate_orders_conditional": q_validate_orders_conditional,
         "curate_documents": q_curate_documents,
+        "windowed_verdicts_events": q_windowed_verdicts_events,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -887,6 +912,23 @@ SELECT CAST(o_orderkey AS VARCHAR),
 FROM orders WHERE o_orderkey IS NOT NULL AND o_custkey IS NULL
 """,
         "curate_documents": _curate_oracle_sql(),
+        "windowed_verdicts_events": """
+WITH v AS (
+  SELECT ts,
+         (CASE WHEN value IS NOT NULL AND value > 400 THEN 1 ELSE 0 END
+        + CASE WHEN event_type IS NOT NULL
+               AND event_type NOT IN ('error','view','purchase','click','signup')
+               THEN 1 ELSE 0 END
+        + CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS nv
+  FROM events
+)
+SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+       time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS window_end,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed_rows,
+       CAST(sum(nv) AS BIGINT) AS n_violations
+FROM v GROUP BY 1, 2
+""",
         "profile_lineitem": """
 WITH cols("column") AS (VALUES ('l_quantity'), ('l_extendedprice'), ('l_returnflag'))
 SELECT l_linestatus AS partition_id, c."column" AS "column",
