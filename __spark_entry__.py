@@ -373,6 +373,20 @@ def q_validate_orders_conditional(spark, sf):
         "row_id", "constraint_id", "keyword", "message")
 
 
+def q_stats_rollup_lineitem(spark, sf):
+    """Hierarchical stats via ROLLUP (SURVEY §2.4 A8): per
+    (returnflag, linestatus), per returnflag subtotal, and grand total in
+    one grouping-sets aggregate — a single shuffle, Catalyst expands the
+    grouping sets map-side."""
+    li = _load(spark, sf, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                   F.round(F.avg("l_extendedprice"), 4).alias("avg_price"))
+              .select("l_returnflag", "l_linestatus", "n_rows", "sum_qty",
+                      "avg_price"))
+
+
 EVENTS_WINDOW_RULESET = {
     "properties": {
         "value": {"maximum": 400},
@@ -460,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_orders_conditional": q_validate_orders_conditional,
         "curate_documents": q_curate_documents,
         "windowed_verdicts_events": q_windowed_verdicts_events,
+        "stats_rollup_lineitem": q_stats_rollup_lineitem,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -912,6 +927,14 @@ SELECT CAST(o_orderkey AS VARCHAR),
 FROM orders WHERE o_orderkey IS NOT NULL AND o_custkey IS NULL
 """,
         "curate_documents": _curate_oracle_sql(),
+        "stats_rollup_lineitem": """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_extendedprice), 4) AS avg_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
         "windowed_verdicts_events": """
 WITH v AS (
   SELECT ts,
