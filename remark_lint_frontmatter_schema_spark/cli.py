@@ -13,8 +13,10 @@ Maps the reference's CLI lifecycle onto a Spark batch job:
 * exit code: 0 on success; with ``--frail`` (remark's flag of the same
   name) exit 1 when any violation or config error surfaced.
 
-Run with ``spark-submit --py-files engine.zip -m`` or plain
-``python -m remark_lint_frontmatter_schema_spark.cli``.
+Run with ``python -m remark_lint_frontmatter_schema_spark.cli`` (set
+``PYTHONPATH`` to the repo), or under spark-submit via a one-line wrapper
+script that calls :func:`main` (spark-submit takes a script path, not
+``-m``): ``spark-submit --py-files engine.zip lint.py <args>``.
 """
 
 from __future__ import annotations
@@ -103,7 +105,18 @@ def main(argv: list[str] | None = None) -> int:
         partition_col=args.partition_col, run_id=args.run_id)
 
     violations, verdicts = report.violations, report.verdicts
-    n_viol = violations.count() if violations is not None else 0
+
+    # The violations relation can be consumed up to three times (count,
+    # sink write, report render) — persist it once instead of re-running
+    # the full validation plan per consumer, and skip the count entirely
+    # when nothing needs it (--report none without --frail).
+    n_consumers = sum((args.report != "none", bool(args.violations_out),
+                       args.frail or args.report == "json"))
+    if violations is not None and n_consumers > 1:
+        violations = violations.persist()
+    n_viol = 0
+    if violations is not None and (args.frail or args.report == "json"):
+        n_viol = violations.count()
 
     if args.violations_out and violations is not None:
         sinks.write_violations(violations, args.violations_out,
@@ -128,6 +141,8 @@ def main(argv: list[str] | None = None) -> int:
             out["verdicts"] = [r.asDict() for r in verdicts.collect()]
         print(json.dumps(out, default=str))
 
+    if violations is not None and n_consumers > 1:
+        violations.unpersist()
     if args.frail and (n_viol > 0 or report.errors):
         return 1
     return 0

@@ -23,6 +23,31 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
+
+def _persist(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _track(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Attach the persisted intermediates to the returned DataFrame so
+    callers can free them with :func:`release` (persist-then-unpersist is
+    the repo convention, see drift.py; the returned plan is lazy so the
+    operator itself cannot know when the caller is done)."""
+    existing = []
+    for c in cached:
+        existing.extend(getattr(c, "_rlfs_persisted", []))
+    result._rlfs_persisted = existing + [
+        c for c in cached if c.is_cached]  # noqa: SLF001
+    return result
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist the intermediate relations a reuse=True operator cached
+    for ``df``. No-op for DataFrames without cached intermediates."""
+    for d in getattr(df, "_rlfs_persisted", []):
+        d.unpersist()
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -74,8 +99,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, *,
                       [F.lit(1).alias("blk")] ),
                    char_shingles(text_col, n).alias("sh"))
     if reuse:
-        from pyspark import StorageLevel
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sh = _persist(sh)
     a = sh.select(F.col("blk"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("blk"), F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = (a.join(b, "blk")
@@ -83,7 +107,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, *,
               .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
               .where(F.col("jaccard") >= threshold)
               .select("id_a", "id_b", "jaccard"))
-    return pairs
+    return _track(pairs, sh)
 
 
 # ---------------------------------------------------------------------------
@@ -165,8 +189,7 @@ def lsh_candidates(df: DataFrame, text_col: str, id_col: str, *,
     sig = minhash_signatures_df(df, text_col, id_col, n_hashes=n_hashes,
                                 shingle_n=shingle_n)
     if reuse:
-        from pyspark import StorageLevel
-        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+        sig = _persist(sig)
     banded = sig.select(
         "id",
         F.explode(F.array(*[
@@ -178,10 +201,12 @@ def lsh_candidates(df: DataFrame, text_col: str, id_col: str, *,
     ).select("id", "bb.band", "bb.bhash")
     a = banded.alias("a")
     b = banded.alias("b")
-    return (a.join(b, ["band", "bhash"])
-             .where(F.col("a.id") < F.col("b.id"))
-             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-             .distinct())
+    cands = (a.join(b, ["band", "bhash"])
+              .where(F.col("a.id") < F.col("b.id"))
+              .select(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+              .distinct())
+    return _track(cands, sig)
 
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str, *,
@@ -197,14 +222,14 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str, *,
     sh = df.select(F.col(id_col).alias("id"),
                    char_shingles(text_col, shingle_n).alias("sh"))
     if reuse:
-        from pyspark import StorageLevel
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    return (cands
-            .join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-            .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
-            .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
-            .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+        sh = _persist(sh)
+    pairs = (cands
+             .join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+             .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+             .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+             .where(F.col("jaccard") >= threshold)
+             .select("id_a", "id_b", "jaccard"))
+    return _track(pairs, cands, sh)
 
 
 # ---------------------------------------------------------------------------

@@ -107,18 +107,19 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str, *,
     """Exact cosine near-dup pairs within a blocking key. ``reuse``
     persists the casted-vector relation so the self-join's two sides read
     the source once (Spark does not dedupe aliased self-join subtrees)."""
+    from .dedup import _persist, _track
     v = df.select(F.col(block_col).alias("blk"), F.col(id_col).alias("id"),
                   F.col(vec_col).cast("array<double>").alias("v"))
     if reuse:
-        from pyspark import StorageLevel
-        v = v.persist(StorageLevel.MEMORY_AND_DISK)
+        v = _persist(v)
     a = v.select("blk", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     b = v.select("blk", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    return (a.join(b, "blk")
+    pairs = (a.join(b, "blk")
              .where(F.col("id_a") < F.col("id_b"))
              .withColumn("score", F.round(cosine(F.col("v_a"), F.col("v_b")), 5))
              .where(F.col("score") >= threshold)
              .select("id_a", "id_b", "score"))
+    return _track(pairs, v)
 
 
 _ = math

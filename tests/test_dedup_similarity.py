@@ -139,3 +139,19 @@ def test_curation_null_text_fails_quality_gate(spark):
     assert dec[1].reason == "low_quality" and not dec[1].kept
     assert dec[1].quality_score is not None
     assert dec[2].kept
+
+
+def test_release_unpersists_reuse_caches(spark):
+    from remark_lint_frontmatter_schema_spark.operators import dedup
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with some shared text body") for i in range(20)],
+        ["doc_id", "text"])
+    pairs = dedup.minhash_dedup_pairs(df, "text", "doc_id", threshold=0.5)
+    pairs.count()
+    cached = pairs._rlfs_persisted
+    assert len(cached) == 2  # signatures + shingles
+    assert all(c.is_cached for c in cached)
+    dedup.release(pairs)
+    assert all(not c.is_cached for c in cached)
+    # no-op on untracked frames
+    dedup.release(df)

@@ -23,10 +23,16 @@ CASES = {
     "hostname": (["example.com", "a-b.c-d.org", "localhost"],
                  ["-bad.com", "bad-.com", "ex ample.com"]),
     "ipv6": (["::1", "2001:db8::8a2e:370:7334", "1:2:3:4:5:6:7:8",
-              "fe80::", "::ffff:192.168.0.1"],
-             ["12345::", "1::2::3", "1:2:3:4:5:6:7:8:9", "g::1"]),
-    "duration": (["P3Y6M4DT12H30M5S", "P2W", "PT0.5S", "P1D"],
-                 ["P", "PT", "P1W2D", "P1S", "3Y"]),
+              "fe80::", "::ffff:192.168.0.1",
+              # IPv4-embedded forms at every compression point (RFC 4291)
+              "1:2:3:4:5:6:1.2.3.4", "64:ff9b::192.0.2.33",
+              "fe80::1.2.3.4", "::ffff:0:255.255.255.255",
+              "fe80::1%eth0"],
+             ["12345::", "1::2::3", "1:2:3:4:5:6:7:8:9", "g::1",
+              "1:2:3:4:5:6:7:1.2.3.4", "::1.2.3.256"]),
+    # ajv-formats duration: integer components only (no fractional seconds)
+    "duration": (["P3Y6M4DT12H30M5S", "P2W", "PT5S", "P1D"],
+                 ["P", "PT", "P1W2D", "P1S", "3Y", "PT0.5S"]),
     "json-pointer": (["", "/foo/bar~0", "/a~1b/0"],
                      ["foo", "/~2", "/a~"]),
     "relative-json-pointer": (["0#", "1/foo", "0", "12/a~1b"],
