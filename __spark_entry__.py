@@ -441,6 +441,14 @@ def q_ann_ivf_topk(spark, sf):
                                       n_cells=8, n_probe=4)
 
 
+def q_embed_lsh_pairs(spark, sf):
+    """Random-hyperplane LSH bucketing + exact cosine verify (seeded
+    hyperplanes -> no faithful SQL twin; rows-only check)."""
+    emb = _load(spark, sf, "embeddings")
+    return similarity.embedding_lsh_pairs(emb, "embedding", "vec_id",
+                                          n_bits=10, threshold=0.30)
+
+
 def q_approx_stats_lineitem(spark, sf):
     li = _load(spark, sf, "lineitem")
     return stats.column_stats(li, ["l_quantity", "l_extendedprice"])
@@ -478,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "embed_lsh_pairs": q_embed_lsh_pairs,
         "approx_stats_lineitem": q_approx_stats_lineitem,
     }
 

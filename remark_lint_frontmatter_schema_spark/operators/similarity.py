@@ -123,3 +123,63 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str, *,
 
 
 _ = math
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH (SimHash for vectors) — the bucketed scale path for
+# embedding near-dup when no natural blocking key exists
+# ---------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-Gaussian hyperplanes (Box-Muller over a seeded
+    LCG — stdlib-only, stable across runs/processes)."""
+    import math as _m
+    import random as _r
+    rnd = _r.Random(seed)
+    return [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+
+
+def hyperplane_signature(vec_col, planes: list[list[float]]):
+    """n_bits sign bits packed into one long — pure JVM expressions (one
+    dot product per plane, shift-or pack)."""
+    v = F.col(vec_col).cast("array<double>") if isinstance(vec_col, str) \
+        else vec_col
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        parr = F.array(*[F.lit(float(x)) for x in p])
+        bit = (_dot(v, parr) >= 0).cast("long")
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
+def embedding_lsh_pairs(df: DataFrame, vec_col: str, id_col: str, *,
+                        n_bits: int = 12, threshold: float = 0.85,
+                        dim: int | None = None,
+                        seed: int = 42) -> DataFrame:
+    """Near-dup pairs via random-hyperplane LSH buckets + exact verify.
+
+    Vectors with identical n_bits sign-signatures land in one bucket
+    (collision probability (1 - theta/pi)^n_bits — high for near-parallel
+    vectors); the exact cosine runs only within buckets. The bucket join
+    shuffles (id, vector) once on the signature — at 10^12 rows the
+    signature is a persisted bucketing column and the join is co-located.
+    Recall can be raised by unioning several seeds (standard multi-table
+    LSH); one table is the single-scan default.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_bits, seed)
+    from .dedup import _persist, _track
+    sig = df.select(F.col(id_col).alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("v"),
+                    hyperplane_signature(vec_col, planes).alias("bucket"))
+    sig = _persist(sig)
+    a = sig.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = sig.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = (a.join(b, "bucket")
+              .where(F.col("id_a") < F.col("id_b"))
+              .withColumn("score", F.round(cosine(F.col("v_a"),
+                                                  F.col("v_b")), 5))
+              .where(F.col("score") >= threshold)
+              .select("id_a", "id_b", "score"))
+    return _track(pairs, sig)

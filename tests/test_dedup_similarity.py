@@ -155,3 +155,37 @@ def test_release_unpersists_reuse_caches(spark):
     assert all(not c.is_cached for c in cached)
     # no-op on untracked frames
     dedup.release(df)
+
+
+def test_embedding_lsh_pairs_recall_vs_exact(spark):
+    """LSH-bucketed near-dup must find the exact blocked pairs for
+    near-parallel vectors (high-threshold regime where LSH recall is
+    near 1) and never emit a pair below threshold."""
+    import math
+    import random
+    from remark_lint_frontmatter_schema_spark.operators import similarity
+    rnd = random.Random(7)
+    base = [[rnd.gauss(0, 1) for _ in range(16)] for _ in range(12)]
+    rows = []
+    vid = 0
+    for b in base:
+        for k in range(2):  # two near-identical copies of each base vector
+            v = [x + rnd.gauss(0, 0.001) for x in b]
+            rows.append((vid, v, 0))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    exact = {(r.id_a, r.id_b) for r in similarity.embedding_near_dup_pairs(
+        df, "embedding", "vec_id", block_col="label",
+        threshold=0.999).collect()}
+    got_df = similarity.embedding_lsh_pairs(
+        df, "embedding", "vec_id", n_bits=10, threshold=0.999)
+    got = {(r.id_a, r.id_b): r.score for r in got_df.collect()}
+    # the 12 twin pairs are the expected positives
+    twins = {(2 * i, 2 * i + 1) for i in range(12)}
+    assert twins <= exact
+    assert set(got) <= exact          # no false positives vs exact verify
+    assert len(twins & set(got)) >= 10  # near-1 recall for near-parallel
+    assert all(s >= 0.999 for s in got.values())
+    from remark_lint_frontmatter_schema_spark.operators import dedup
+    dedup.release(got_df)
