@@ -129,3 +129,32 @@ def test_static_type_pass_is_free(spark):
                for c in compiled.checks)
     # only referenced columns are read (bytes-style pruning discipline)
     assert "part" not in compiled.columns_read
+
+
+def test_large_ruleset_end_to_end(spark, tmp_path):
+    """500-constraint ruleset over a 250-column table: compiles, chunks
+    past codegen method limits, and evaluates in one pass (SURVEY §7 hard
+    part (b)). The input MUST be a materialized table: validating 250
+    *derived* columns in the same projection makes CollapseProject inline
+    each derivation into every referencing check (tree blowup) — which is
+    exactly why the engine validates scans, not expression pyramids."""
+    from pyspark.sql import functions as F
+    n = 250
+    p = str(tmp_path / "wide")
+    spark.range(0, 100).select(
+        F.col("id"),
+        *[(F.col("id") + j).cast("string").alias(f"c{j}") for j in range(n)]
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    props = {f"c{i}": {"minimum": i, "maxLength": 10} for i in range(n)}
+    compiled = compile_ruleset({"properties": props}, df.schema, name="big")
+    assert len(compiled.checks) == 2 * n
+    res = validate(df, compiled, row_id="id")
+    # c_j = id + j >= j always; maxLength 10 never exceeded -> clean
+    assert res.violations.count() == 0
+    # minimum i+1 leaves every column of row id=0 short by exactly 1
+    props2 = {f"c{i}": {"minimum": i + 1} for i in range(n)}
+    compiled2 = compile_ruleset({"properties": props2}, df.schema,
+                                name="big2")
+    res2 = validate(df.where("id = 0"), compiled2, row_id="id")
+    assert res2.violations.count() == n
