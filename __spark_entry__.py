@@ -373,6 +373,33 @@ def q_validate_orders_conditional(spark, sf):
         "row_id", "constraint_id", "keyword", "message")
 
 
+LINEITEM_DECL_RULESET = {
+    "properties": {
+        "l_orderkey": {"x-unique": True},
+        "l_suppkey": {"x-ref": {"dim": "supplier_pos", "key": "s_suppkey"}},
+        "l_quantity": {"minimum": 1, "maximum": 49},
+    },
+}
+
+
+def q_validate_lineitem_declarative(spark, sf):
+    """The full north_star check set from ONE declarative document:
+    row expressions + x-unique (salted aggregate) + x-ref (broadcast
+    anti-join), unioned into one violations relation
+    (operators/table_checks.py)."""
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    li = _load(spark, sf, "lineitem").withColumn(
+        "li_id", F.concat_ws("-", "l_orderkey", "l_linenumber"))
+    supp = _load(spark, sf, "supplier").where("s_acctbal >= 0")
+    compiled = compile_ruleset(LINEITEM_DECL_RULESET, li.schema,
+                               name="lifull")
+    res = validate_with_table_checks(
+        li, compiled, row_id="li_id", dims={"supplier_pos": supp})
+    return res.violations.select("row_id", "constraint_id", "keyword",
+                                 "message")
+
+
 def q_stats_rollup_lineitem(spark, sf):
     """Hierarchical stats via ROLLUP (SURVEY §2.4 A8): per
     (returnflag, linestatus), per returnflag subtotal, and grand total in
@@ -483,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_documents": q_curate_documents,
         "windowed_verdicts_events": q_windowed_verdicts_events,
         "stats_rollup_lineitem": q_stats_rollup_lineitem,
+        "validate_lineitem_declarative": q_validate_lineitem_declarative,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -936,6 +964,31 @@ SELECT CAST(o_orderkey AS VARCHAR),
 FROM orders WHERE o_orderkey IS NOT NULL AND o_custkey IS NULL
 """,
         "curate_documents": _curate_oracle_sql(),
+        "validate_lineitem_declarative": """
+SELECT concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR)) AS row_id,
+       'lifull:/l_quantity:minimum' AS constraint_id, 'minimum' AS keyword,
+       'Must be >= 1 • #/properties/l_quantity/minimum' AS message
+FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity < 1
+UNION ALL
+SELECT concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR)),
+       'lifull:/l_quantity:maximum', 'maximum',
+       'Must be <= 49 • #/properties/l_quantity/maximum'
+FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity > 49
+UNION ALL
+SELECT CAST(l_orderkey AS VARCHAR),
+       'unique:l_orderkey', 'unique',
+       'Must be unique: ''l_orderkey'' occurs ' || CAST(cnt AS VARCHAR) || ' times'
+FROM (SELECT l_orderkey, count(*) AS cnt FROM lineitem
+      WHERE l_orderkey IS NOT NULL GROUP BY 1 HAVING count(*) > 1)
+UNION ALL
+SELECT concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR)),
+       'ref:l_suppkey->s_suppkey', 'ref',
+       'Must reference an existing ''s_suppkey'''
+FROM lineitem l
+WHERE l.l_suppkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM supplier s
+                  WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal >= 0)
+""",
         "stats_rollup_lineitem": """
 SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows,

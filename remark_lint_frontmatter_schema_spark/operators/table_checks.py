@@ -1,0 +1,70 @@
+"""Run a compiled ruleset's table-level declarations (x-unique / x-ref)
+and union them with the row-level violations — the full north_star check
+set (expressions + codec UDFs + uniqueness + referential) driven by ONE
+declarative document.
+
+Row-level checks stay in the one-projection scan (operators/validate.py);
+each table check is its own relational pass (salted aggregate / broadcast
+anti-join) whose violation rows share the exact row-relation shape, so the
+union is a plain ``unionByName``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from ..plans.compiler import CompiledRuleset
+from .referential import referential_violations
+from .uniqueness import uniqueness_violations
+from .validate import ValidationResult, validate
+
+
+@dataclass
+class TableValidationResult:
+    row: ValidationResult
+    table_violations: DataFrame | None   # union of x-unique / x-ref passes
+    violations: DataFrame                # row ∪ table
+
+
+def validate_with_table_checks(
+    df: DataFrame,
+    compiled: CompiledRuleset,
+    *,
+    row_id: str,
+    dims: dict[str, DataFrame] | None = None,
+    partition_col: str | None = None,
+    run_id: str = "run_0",
+) -> TableValidationResult:
+    """validate() plus every declared table check.
+
+    ``dims`` maps the dim names referenced by ``x-ref`` declarations to
+    DataFrames. A declaration naming a missing dim raises KeyError at plan
+    time (config error — the G2 guard belongs to the routing layer which
+    catches compile/lookup failures into its error report).
+    """
+    dims = dims or {}
+    row_res = validate(df, compiled, row_id=row_id,
+                       partition_col=partition_col, run_id=run_id)
+    extras: list[DataFrame] = []
+    for kind, column, params in compiled.table_checks:
+        if kind == "unique":
+            extras.append(uniqueness_violations(
+                df, column, ruleset_name=compiled.name))
+        elif kind == "ref":
+            extras.append(referential_violations(
+                df, column, dims[params["dim"]], params["key"],
+                row_id=row_id, ruleset_name=compiled.name,
+                use_bloom=params["bloom"]))
+    table_v = None
+    if extras:
+        table_v = extras[0]
+        for e in extras[1:]:
+            table_v = table_v.unionByName(e)
+    all_v = row_res.violations
+    if table_v is not None:
+        all_v = all_v.unionByName(
+            table_v.select(*row_res.violations.columns))
+    return TableValidationResult(row=row_res, table_violations=table_v,
+                                 violations=all_v)

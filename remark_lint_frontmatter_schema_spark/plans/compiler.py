@@ -59,9 +59,11 @@ _KNOWN_KEYWORDS = {
     "uniqueItems", "contains", "minContains", "maxContains",
     "minProperties", "maxProperties", "dependentRequired", "dependencies",
     "if", "then", "else", "propertyNames",
-    # engine extension point (reference analog: custom Ajv keywords via
-    # ajvOptions, index.ts:49): named vectorized pandas-UDF check
-    "x-spark-check",
+    # engine extension points (reference analog: custom Ajv keywords via
+    # ajvOptions, index.ts:49): named vectorized pandas-UDF check, plus
+    # table-level declarations (uniqueness / referential) that compile into
+    # CompiledRuleset.table_checks and run as separate relational passes
+    "x-spark-check", "x-unique", "x-ref",
 }
 
 
@@ -88,6 +90,10 @@ class CompiledRuleset:
     static_passes: list = field(default_factory=list)
     unknown: list = field(default_factory=list)          # strict:false analog
     columns_read: set = field(default_factory=set)       # for column pruning
+    # table-level declarations (x-unique / x-ref): not row expressions —
+    # they need aggregates/joins, so validate() ignores them and
+    # operators.table_checks runs them as separate relational passes
+    table_checks: list = field(default_factory=list)     # (kind, column, params)
     ruleset_hash: str = ""
     options: dict = field(default_factory=dict)          # ajvOptions analog
 
@@ -308,6 +314,9 @@ _KEYWORD_SHAPE = {
     "then": lambda v: isinstance(v, dict),
     "else": lambda v: isinstance(v, dict),
     "propertyNames": lambda v: isinstance(v, dict),
+    "x-unique": lambda v: isinstance(v, bool),
+    "x-ref": lambda v: isinstance(v, dict) and isinstance(v.get("dim"), str)
+    and isinstance(v.get("key"), str),
 }
 
 
@@ -616,6 +625,27 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
 
     if "propertyNames" in schema:
         _property_names(ctx, schema["propertyNames"])
+
+    # table-level declarations: only meaningful on top-level columns
+    # (instance_path "/col") — aggregates/joins have no analog for nested
+    # struct fields, so deeper uses surface as unknown keywords
+    is_top = ctx.instance_path.count("/") == 1 and ctx.col is not None
+    if schema.get("x-unique") is True and not ctx.silent:
+        if is_top:
+            ctx.out.table_checks.append(
+                ("unique", ctx.instance_path[1:], {}))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-unique"))
+
+    if "x-ref" in schema and not ctx.silent:
+        if is_top:
+            p = schema["x-ref"]
+            ctx.out.table_checks.append(
+                ("ref", ctx.instance_path[1:],
+                 {"dim": p["dim"], "key": p["key"],
+                  "bloom": bool(p.get("bloom", False))}))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-ref"))
 
     if "x-spark-check" in schema and ctx.col is not None:
         name = schema["x-spark-check"]

@@ -111,3 +111,53 @@ def test_drift_null_on_same_distribution(clips):
         "dur_ms", side, "a", "b", lo=0, hi=50000)
     assert res["ks_stat"] < 0.08
     assert not res["psi_drifted"]
+
+
+# ---------------------------------------------------------------------------
+# declarative table-level checks (x-unique / x-ref in the DSL)
+# ---------------------------------------------------------------------------
+
+def test_declarative_table_checks_union(spark):
+    import pytest
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    fact = spark.createDataFrame(
+        [("a", 1, 5), ("b", 1, 60), ("c", 2, 5), ("c", 3, 5)],
+        ["rid", "fk", "qty"])
+    dim = spark.createDataFrame([(1,), (9,)], ["dk"])
+    rs = {"properties": {
+        "rid": {"x-unique": True},
+        "fk": {"x-ref": {"dim": "d", "key": "dk"}},
+        "qty": {"maximum": 50},
+    }}
+    compiled = compile_ruleset(rs, fact.schema, name="tc")
+    assert sorted(k for k, _, _ in compiled.table_checks) == ["ref", "unique"]
+    res = validate_with_table_checks(fact, compiled, row_id="rid",
+                                     dims={"d": dim})
+    got = {(r.constraint_id, r.row_id) for r in res.violations.collect()}
+    assert got == {
+        ("tc:/qty:maximum", "b"),          # row expression
+        ("unique:rid", "c"),               # duplicate key
+        ("ref:fk->dk", "c"),               # fk 2 and 3 dangle
+        ("ref:fk->dk", "c"),               # (set collapses; both rows 'c')
+    } or got == {("tc:/qty:maximum", "b"), ("unique:rid", "c"),
+                 ("ref:fk->dk", "c")}
+    # dangling rows counted exactly: two 'c' rows with fk 2 and 3
+    assert res.table_violations.where("keyword = 'ref'").count() == 2
+    # missing dim is a config error at plan time
+    with pytest.raises(KeyError):
+        validate_with_table_checks(fact, compiled, row_id="rid", dims={})
+
+
+def test_nested_x_unique_is_unknown(spark):
+    import pyspark.sql.types as T
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("m", T.MapType(T.StringType(), T.StringType())),
+    ])
+    rs = {"properties": {"m": {"properties": {"k": {"x-unique": True}}}}}
+    compiled = compile_ruleset(rs, schema, name="nested")
+    assert not compiled.table_checks
+    assert ("/m/k", "x-unique") in compiled.unknown
