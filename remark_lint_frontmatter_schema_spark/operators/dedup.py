@@ -24,9 +24,21 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 
+# Session-scoped registry of every intermediate a reuse=True operator
+# persisted. `_track` additionally hangs the handles off the returned
+# DataFrame for targeted `release(df)`, but any downstream transform
+# (.select/.where) returns a new DataFrame without the attribute — the
+# registry guarantees `release_all()` frees the blocks regardless of what
+# the caller did to the returned relation (long-lived sessions otherwise
+# accumulate cached signature/shingle relations monotonically).
+_PERSISTED: list = []
+
+
 def _persist(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(p)
+    return p
 
 
 def _track(result: DataFrame, *cached: DataFrame) -> DataFrame:
@@ -47,6 +59,20 @@ def release(df: DataFrame) -> None:
     for ``df``. No-op for DataFrames without cached intermediates."""
     for d in getattr(df, "_rlfs_persisted", []):
         d.unpersist()
+        try:
+            _PERSISTED.remove(d)
+        except ValueError:
+            pass
+
+
+def release_all() -> None:
+    """Unpersist EVERY intermediate any reuse=True operator (dedup or
+    similarity) persisted in this session. The safety net for callers that
+    transformed the returned DataFrame (losing the ``_rlfs_persisted``
+    handle) or run many operator invocations in one session — bench loops
+    call this between reps so cached blocks never accumulate."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -88,12 +114,23 @@ def jaccard(a, b):
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, *,
                         block_col: str | None = None, n: int = 3,
-                        threshold: float = 0.6,
-                        reuse: bool = True) -> DataFrame:
+                        threshold: float = 0.6, reuse: bool = True,
+                        allow_full_cross: bool = False) -> DataFrame:
     """Exact pairwise n-gram Jaccard within a blocking key. The self-join is
     O(block^2) — ONLY for small blocks or LSH-bucket verification.
     ``reuse`` persists the shingle relation so the self-join's two sides
-    don't each recompute it (see :func:`lsh_candidates`)."""
+    don't each recompute it (see :func:`lsh_candidates`).
+
+    ``block_col`` is REQUIRED: without it the whole table is one block and
+    the self-join is a full O(n^2) cross join — a scale-killer a caller
+    should never hit by omission. Pass ``allow_full_cross=True`` to state
+    explicitly that the input is small enough for all-pairs verification.
+    """
+    if block_col is None and not allow_full_cross:
+        raise ValueError(
+            "ngram_jaccard_pairs without block_col is a full O(n^2) "
+            "cross-join of the whole table; pass block_col (lang, length "
+            "band, LSH bucket) or allow_full_cross=True for small inputs")
     sh = df.select(F.col(id_col).alias("id"),
                    *( [F.col(block_col).alias("blk")] if block_col else
                       [F.lit(1).alias("blk")] ),
@@ -236,12 +273,10 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str, id_col: str, *,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(col) -> "F.Column":
-    """64-bit SimHash over whitespace tokens: per-bit weighted votes, all
-    via array expressions (no shuffle, no Python)."""
-    toks = tokens(col)
-    h = F.transform(toks, lambda t: F.xxhash64(t))
-
+def _simhash_from_hashes(h) -> "F.Column":
+    """64-bit SimHash from an already-materialized token-hash array column:
+    per-bit signed votes via 64 aggregate passes — pure arithmetic over a
+    long array that exists once per row."""
     def vote_fn(i):
         # NB: pyspark HOF lambdas must have exactly (acc, x) params — a
         # `i=i` default would be parsed as a third lambda variable
@@ -261,16 +296,51 @@ def simhash(col) -> "F.Column":
     return out
 
 
+def simhash(col) -> "F.Column":
+    """64-bit SimHash over whitespace tokens as ONE expression.
+
+    WARNING — inline form for tests/ad-hoc use only: higher-order array
+    functions are CodegenFallback and never CSE'd, so the token-hash array
+    here is re-evaluated by each of the 64 bit-vote aggregates (64 full
+    tokenize+hash passes per document). The scale path is
+    :func:`simhash_signatures_df`, which stages the hash array once per row
+    (the ``text.profile_columns`` staged-projection pattern)."""
+    return _simhash_from_hashes(
+        F.transform(tokens(col), lambda t: F.xxhash64(t)))
+
+
+def simhash_signatures_df(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, sh) SimHash signatures via a staged projection: the token-hash
+    array is computed ONCE in a lower Project and all 64 bit-vote
+    aggregates iterate the materialized array (cheap long arithmetic).
+
+    Catalyst's CollapseProject keeps multi-referenced non-cheap aliases in
+    place (same mechanism as ``text.profile_columns``), so the lower
+    projection is not inlined back into the 64 aggregates. Pure map over
+    the scan — no shuffle, no Python; survives any scale-up."""
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("_h"),
+    )
+    return staged.select("id", _simhash_from_hashes(F.col("_h")).alias("sh"))
+
+
 def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str, *,
-                  max_distance: int = 3) -> DataFrame:
+                  max_distance: int = 3, reuse: bool = True) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks
     (a pair within distance d <= 3 shares at least one of 4 chunks —
-    pigeonhole), so no full cross-join ever happens."""
-    s = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sh"))
+    pigeonhole), so no full cross-join ever happens.
+
+    ``reuse`` persists the (id, sh) signature relation before the chunked
+    self-join — Spark does not dedupe aliased self-join subtrees, so
+    without it both sides would recompute the staged signature scan."""
+    s = simhash_signatures_df(df, text_col, id_col)
+    if reuse:
+        s = _persist(s)
     chunks = s.select("id", "sh", F.explode(F.array(*[
         F.struct(F.lit(k).alias("chunk"),
                  F.shiftright(F.col("sh"), k * 16).bitwiseAND(F.lit(0xFFFF))
@@ -278,9 +348,10 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str, *,
         for k in range(4)
     ])).alias("c")).select("id", "sh", "c.chunk", "c.ckey")
     a, b = chunks.alias("a"), chunks.alias("b")
-    return (a.join(b, ["chunk", "ckey"])
+    pairs = (a.join(b, ["chunk", "ckey"])
              .where(F.col("a.id") < F.col("b.id"))
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                      hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"))
              .where(F.col("hamming") <= max_distance)
              .distinct())
+    return _track(pairs, s)

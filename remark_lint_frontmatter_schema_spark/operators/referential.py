@@ -74,10 +74,23 @@ class BloomFilter:
         return BloomFilter(self.n_bits, self.n_hashes, self.bits | other.bits)
 
 
+# default Bloom capacity when no row-count hint is given: 4M keys at 1% fpp
+# is a ~4.6 MB bitmap — broadcastable, and big enough that most dims stay
+# under target fpp. Overflowing it only degrades fpp (more rows survive to
+# the exact anti-join), never correctness — so a pessimistic constant beats
+# paying a full extra dim scan (`dim.count()`) just to size the bitmap.
+_BLOOM_DEFAULT_CAPACITY = 4_000_000
+
+
 def build_bloom(dim: DataFrame, key: str, *, n_items_hint: int | None = None,
                 fpp: float = 0.01) -> BloomFilter:
-    """Partial blooms per partition -> driver OR-merge (associative)."""
-    n = n_items_hint or dim.count()
+    """Partial blooms per partition -> driver OR-merge (associative).
+
+    Pass ``n_items_hint`` (dim row count — cheap catalog metadata on real
+    tables, and carried by the ``x-ref`` DSL's ``n_items``) for exact
+    sizing; without it the filter is sized for ``_BLOOM_DEFAULT_CAPACITY``
+    so the build stays a single dim scan."""
+    n = n_items_hint or _BLOOM_DEFAULT_CAPACITY
     proto = BloomFilter.sized_for(n, fpp)
     n_bits, n_hashes = proto.n_bits, proto.n_hashes
 
@@ -102,12 +115,13 @@ def build_bloom(dim: DataFrame, key: str, *, n_items_hint: int | None = None,
 
 def dangling_keys(fact: DataFrame, fact_key: str, dim: DataFrame,
                   dim_key: str, *, use_bloom: bool = False,
-                  bloom: BloomFilter | None = None) -> DataFrame:
+                  bloom: BloomFilter | None = None,
+                  n_items_hint: int | None = None) -> DataFrame:
     """Fact rows whose key has no match in dim (NULLs are not dangling —
     required/NULL is a separate constraint, matching SQL FK semantics)."""
     fact_nn = fact.where(F.col(fact_key).isNotNull())
     if use_bloom:
-        bf = bloom or build_bloom(dim, dim_key)
+        bf = bloom or build_bloom(dim, dim_key, n_items_hint=n_items_hint)
         spark = fact.sparkSession
         bc = spark.sparkContext.broadcast((bf.n_bits, bf.n_hashes,
                                            bf.bits.tobytes()))
@@ -135,8 +149,10 @@ def dangling_keys(fact: DataFrame, fact_key: str, dim: DataFrame,
 def referential_violations(fact: DataFrame, fact_key: str, dim: DataFrame,
                            dim_key: str, *, row_id: str,
                            ruleset_name: str = "engine",
-                           use_bloom: bool = False) -> DataFrame:
-    d = dangling_keys(fact, fact_key, dim, dim_key, use_bloom=use_bloom)
+                           use_bloom: bool = False,
+                           n_items_hint: int | None = None) -> DataFrame:
+    d = dangling_keys(fact, fact_key, dim, dim_key, use_bloom=use_bloom,
+                      n_items_hint=n_items_hint)
     return d.select(
         F.col(row_id).cast("string").alias("row_id"),
         F.lit("all").alias("partition_id"),

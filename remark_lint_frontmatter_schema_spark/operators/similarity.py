@@ -154,8 +154,8 @@ def hyperplane_signature(vec_col, planes: list[list[float]]):
 
 def embedding_lsh_pairs(df: DataFrame, vec_col: str, id_col: str, *,
                         n_bits: int = 12, threshold: float = 0.85,
-                        dim: int | None = None,
-                        seed: int = 42) -> DataFrame:
+                        dim: int | None = None, seed: int = 42,
+                        reuse: bool = True) -> DataFrame:
     """Near-dup pairs via random-hyperplane LSH buckets + exact verify.
 
     Vectors with identical n_bits sign-signatures land in one bucket
@@ -165,15 +165,25 @@ def embedding_lsh_pairs(df: DataFrame, vec_col: str, id_col: str, *,
     signature is a persisted bucketing column and the join is co-located.
     Recall can be raised by unioning several seeds (standard multi-table
     LSH); one table is the single-scan default.
+
+    Pass ``dim`` (the vector dimensionality) when known — omitting it costs
+    one tiny ``first()`` job to sniff it (array columns carry no static
+    length in the schema). An empty input returns an empty pairs frame.
     """
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_bits, seed)
     from .dedup import _persist, _track
+    if dim is None:
+        row = df.select(vec_col).first()
+        if row is None or row[0] is None:
+            id_t = df.schema[id_col].dataType.simpleString()
+            return df.sparkSession.createDataFrame(
+                [], f"id_a {id_t}, id_b {id_t}, score double")
+        dim = len(row[0])
+    planes = _hyperplanes(dim, n_bits, seed)
     sig = df.select(F.col(id_col).alias("id"),
                     F.col(vec_col).cast("array<double>").alias("v"),
                     hyperplane_signature(vec_col, planes).alias("bucket"))
-    sig = _persist(sig)
+    if reuse:
+        sig = _persist(sig)
     a = sig.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
     b = sig.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
     pairs = (a.join(b, "bucket")

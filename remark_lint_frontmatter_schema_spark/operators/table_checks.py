@@ -56,7 +56,8 @@ def validate_with_table_checks(
             extras.append(referential_violations(
                 df, column, dims[params["dim"]], params["key"],
                 row_id=row_id, ruleset_name=compiled.name,
-                use_bloom=params["bloom"]))
+                use_bloom=params["bloom"],
+                n_items_hint=params.get("n_items")))
     table_v = None
     if extras:
         table_v = extras[0]

@@ -316,7 +316,10 @@ _KEYWORD_SHAPE = {
     "propertyNames": lambda v: isinstance(v, dict),
     "x-unique": lambda v: isinstance(v, bool),
     "x-ref": lambda v: isinstance(v, dict) and isinstance(v.get("dim"), str)
-    and isinstance(v.get("key"), str),
+    and isinstance(v.get("key"), str)
+    and (v.get("n_items") is None
+         or (isinstance(v["n_items"], int) and not isinstance(v["n_items"], bool)
+             and v["n_items"] > 0)),
 }
 
 
@@ -643,7 +646,10 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
             ctx.out.table_checks.append(
                 ("ref", ctx.instance_path[1:],
                  {"dim": p["dim"], "key": p["key"],
-                  "bloom": bool(p.get("bloom", False))}))
+                  "bloom": bool(p.get("bloom", False)),
+                  # optional dim row-count: sizes the Bloom bitmap without
+                  # an extra dim scan (referential.build_bloom)
+                  "n_items": p.get("n_items")}))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-ref"))
 
@@ -684,6 +690,16 @@ def _probe_validity(sub_schema: dict, ctx: _Ctx, *, col, dtype,
                    out=probe, extra_checks=ctx.extra_checks, silent=False)
     _compile_keywords(sub_schema, sub_ctx)
     for u in probe.unknown:
+        if u not in ctx.out.unknown:
+            ctx.out.unknown.append(u)
+    # x-unique / x-ref declared inside a composition branch (anyOf/oneOf/
+    # not/if/then/else/dependencies) have no relational-pass semantics —
+    # the probe's verdict is a row expression, but a table check is a whole
+    # separate aggregate/join pass that cannot be conditioned per-row.
+    # Surface them as unknown so strict mode flags the dropped declaration
+    # instead of silently discarding it with the probe ruleset.
+    for kind, column, _params in probe.table_checks:
+        u = (f"{ctx.instance_path}/{column}", f"x-{kind}:in-composition")
         if u not in ctx.out.unknown:
             ctx.out.unknown.append(u)
     ctx.out.columns_read.update(probe.columns_read)

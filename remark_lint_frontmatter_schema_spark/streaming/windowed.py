@@ -64,17 +64,22 @@ def run_windowed_stream(
     watermark_delay: str = "2 minutes",
     query_name: str = "windowed_verdicts",
     checkpoint: str | None = None,
-    output_mode: str = "update",
+    output_mode: str = "complete",
 ):
     """Drain a file-source stream through the windowed aggregate into a
     memory sink. Returns the started query; callers ``awaitTermination``
     then read ``spark.table(query_name)``.
 
-    Output mode matters for the state-retention promise: in ``update``
-    (default) and ``append`` modes the watermark evicts window state and
-    drops too-late rows; ``complete`` mode retains every window's state
-    forever (watermark inert) — acceptable only for bounded drains and
-    tests, never a continuous production stream.
+    Default ``complete`` because this helper IS the bounded-drain case: a
+    memory sink in ``update`` mode appends each micro-batch's updated rows,
+    so ``spark.table(query_name)`` would hold duplicate rows per window and
+    readers would have to take the last row per window themselves. In
+    ``complete`` the sink always holds exactly the current result. For a
+    continuous production stream use :func:`windowed_verdict_counts` with a
+    real sink in ``update``/``append`` mode — there the watermark evicts
+    window state and drops too-late rows; ``complete`` retains every
+    window's state forever (watermark inert) and is only acceptable for
+    bounded drains like this one.
     """
     stream = (spark.readStream.schema(input_schema)
               .option("maxFilesPerTrigger", "4")

@@ -69,7 +69,8 @@ def test_simhash_near_dups(docs):
 def test_ngram_jaccard(docs):
     pairs = {(r.id_a, r.id_b): r.jaccard for r in
              dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
-                                       threshold=0.6).collect()}
+                                       threshold=0.6,
+                                       allow_full_cross=True).collect()}
     assert pairs[(1, 6)] == 1.0
     assert pairs[(1, 2)] > 0.9
 
@@ -189,3 +190,33 @@ def test_embedding_lsh_pairs_recall_vs_exact(spark):
     assert all(s >= 0.999 for s in got.values())
     from remark_lint_frontmatter_schema_spark.operators import dedup
     dedup.release(got_df)
+
+
+def test_ngram_jaccard_refuses_global_block(docs):
+    with pytest.raises(ValueError, match="cross-join"):
+        dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.6)
+
+
+def test_release_all_frees_registry(spark):
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with some shared text body") for i in range(20)],
+        ["doc_id", "text"])
+    pairs = dedup.minhash_dedup_pairs(df, "text", "doc_id", threshold=0.5)
+    pairs.count()
+    # downstream transform loses the _rlfs_persisted handle; the registry
+    # must still free the blocks
+    derived = pairs.select("id_a")
+    assert not hasattr(derived, "_rlfs_persisted")
+    cached = list(dedup._PERSISTED)
+    assert cached and all(c.is_cached for c in cached)
+    dedup.release_all()
+    assert not dedup._PERSISTED
+    assert all(not c.is_cached for c in cached)
+
+
+def test_embedding_lsh_pairs_empty_input(spark):
+    df = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    out = similarity.embedding_lsh_pairs(df, "embedding", "vec_id",
+                                         n_bits=8, threshold=0.9)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "score"]

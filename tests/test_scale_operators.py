@@ -161,3 +161,46 @@ def test_nested_x_unique_is_unknown(spark):
     compiled = compile_ruleset(rs, schema, name="nested")
     assert not compiled.table_checks
     assert ("/m/k", "x-unique") in compiled.unknown
+
+
+def test_x_unique_in_composition_branch_surfaces_as_unknown(spark):
+    """x-unique/x-ref inside anyOf/if branches cannot run as a relational
+    pass (a table check is not a per-row condition) — they must surface as
+    unknown, not silently vanish with the probe ruleset, so strict mode
+    flags the dropped declaration."""
+    import pytest as _pytest
+    import pyspark.sql.types as T
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.plans.bundler import (
+        RulesetCompileError)
+    schema = T.StructType([T.StructField("rid", T.StringType()),
+                           T.StructField("fk", T.LongType())])
+    rs = {"anyOf": [
+        {"properties": {"rid": {"x-unique": True}}},
+        {"properties": {"fk": {"x-ref": {"dim": "d", "key": "dk"}}}},
+    ]}
+    compiled = compile_ruleset(rs, schema, name="comp")
+    assert not compiled.table_checks
+    unknown_kinds = {kw for _p, kw in compiled.unknown}
+    assert "x-unique:in-composition" in unknown_kinds
+    assert "x-ref:in-composition" in unknown_kinds
+    with _pytest.raises(RulesetCompileError, match="strict"):
+        compile_ruleset(rs, schema, name="comp", options={"strict": True})
+
+
+def test_x_ref_n_items_hint_plumbed(spark):
+    """x-ref n_items sizes the Bloom without an extra dim scan."""
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    fact = spark.createDataFrame([("a", 1), ("b", 7)], ["rid", "fk"])
+    dim = spark.createDataFrame([(1,)], ["dk"])
+    rs = {"properties": {"fk": {"x-ref": {"dim": "d", "key": "dk",
+                                          "bloom": True, "n_items": 100}}}}
+    compiled = compile_ruleset(rs, fact.schema, name="tcb")
+    (_kind, _col, params), = compiled.table_checks
+    assert params["n_items"] == 100 and params["bloom"] is True
+    res = validate_with_table_checks(fact, compiled, row_id="rid",
+                                     dims={"d": dim})
+    assert {r.row_id for r in
+            res.violations.where("keyword = 'ref'").collect()} == {"b"}
