@@ -305,6 +305,66 @@ def q_validate_events_formats(spark, sf):
         "actual")
 
 
+PATTERN_PROPS_RULESET = {
+    "type": "object",
+    "properties": {
+        "pm": {
+            "type": "object",
+            "patternProperties": {"^x_": {"pattern": "^[0-9]+$"}},
+            "additionalProperties": {"maxLength": 8},
+        },
+    },
+}
+
+
+def _events_with_pattern_map(spark, sf):
+    """Deterministic map column with pattern-named keys (the events table's
+    own props map carries a single key; this exercises name matching)."""
+    ev = _load(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.create_map(
+            F.lit("x_code"), F.col("event_id").cast("string"),
+            F.lit("x_flag"), F.when(F.col("event_id") % 5 == 0,
+                                    F.lit("bad!")).otherwise(F.lit("7")),
+            F.lit("note"), F.when(F.col("event_id") % 3 == 0,
+                                  F.lit("averylongnote"))
+                            .otherwise(F.lit("ok")),
+        ).alias("pm"))
+
+
+def q_validate_events_pattern_props(spark, sf):
+    """`patternProperties` + dict-form `additionalProperties` on a dynamic
+    MapType node (SURVEY §2.2; Ajv compiles both at
+    /root/reference/index.ts:322): keys matching ^x_ need digit values,
+    unmatched keys fall to the additionalProperties value schema."""
+    ev = _events_with_pattern_map(spark, sf)
+    compiled = compile_ruleset(PATTERN_PROPS_RULESET, ev.schema,
+                               name="events_pp")
+    return validate(ev, compiled, row_id="event_id").violations.select(
+        "row_id", "constraint_id", "keyword", "instance_path", "message",
+        "actual")
+
+
+EMB_TUPLE_RULESET = {
+    "properties": {
+        "embedding": {
+            "items": [{"minimum": -0.1}, {"maximum": 0.1},
+                      {"exclusiveMinimum": -0.2}],
+        },
+    },
+}
+
+
+def q_validate_embeddings_tuple(spark, sf):
+    """Tuple-form (positional) `items` over the embedding array — each
+    position gets its own check, reported at /embedding/{i}."""
+    emb = _load(spark, sf, "embeddings")
+    compiled = compile_ruleset(EMB_TUPLE_RULESET, emb.schema, name="embt")
+    return validate(emb, compiled, row_id="vec_id").violations.select(
+        "row_id", "constraint_id", "keyword", "instance_path", "message")
+
+
 def q_profile_lineitem(spark, sf):
     """Single-scan multi-column profiler (SURVEY §2.4 A3) — exact fields
     only, long form; one FileScan for all profiled columns."""
@@ -503,6 +563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_events_props": q_validate_events_props,
         "validate_part_composition": q_validate_part_composition,
         "validate_events_formats": q_validate_events_formats,
+        "validate_events_pattern_props": q_validate_events_pattern_props,
+        "validate_embeddings_tuple": q_validate_embeddings_tuple,
         "violation_samples_orders": q_violation_samples_orders,
         "profile_lineitem": q_profile_lineitem,
         "validate_embeddings_array": q_validate_embeddings_array,
@@ -900,6 +962,43 @@ FROM documents GROUP BY sha256(text)
         "validate_events_props": _PROPS_VIOL_SQL,
         "validate_part_composition": _PART_COMP_SQL,
         "validate_events_formats": _formats_oracle_sql(),
+        "validate_events_pattern_props": """
+SELECT CAST(event_id AS VARCHAR) AS row_id,
+       'events_pp:/pm:patternProperties' AS constraint_id,
+       'patternProperties' AS keyword, '/pm' AS instance_path,
+       'Properties matching pattern "^x_" must be valid • #/properties/pm/patternProperties' AS message,
+       'x_flag' AS actual
+FROM events WHERE event_id % 5 = 0
+UNION ALL
+SELECT CAST(event_id AS VARCHAR),
+       'events_pp:/pm:additionalProperties', 'additionalProperties', '/pm',
+       'Additional properties must be valid • #/properties/pm/additionalProperties',
+       'note'
+FROM events WHERE event_id % 3 = 0
+""",
+        "validate_embeddings_tuple": """
+SELECT CAST(vec_id AS VARCHAR) AS row_id,
+       'embt:/embedding/0:items' AS constraint_id, 'items' AS keyword,
+       '/embedding/0' AS instance_path,
+       'Must have valid item at position 0 • #/properties/embedding/items' AS message
+FROM embeddings
+WHERE embedding IS NOT NULL AND len(embedding) > 0
+  AND embedding[1] < CAST(-0.1 AS DOUBLE)
+UNION ALL
+SELECT CAST(vec_id AS VARCHAR),
+       'embt:/embedding/1:items', 'items', '/embedding/1',
+       'Must have valid item at position 1 • #/properties/embedding/items'
+FROM embeddings
+WHERE embedding IS NOT NULL AND len(embedding) > 1
+  AND embedding[2] > CAST(0.1 AS DOUBLE)
+UNION ALL
+SELECT CAST(vec_id AS VARCHAR),
+       'embt:/embedding/2:items', 'items', '/embedding/2',
+       'Must have valid item at position 2 • #/properties/embedding/items'
+FROM embeddings
+WHERE embedding IS NOT NULL AND len(embedding) > 2
+  AND embedding[3] <= CAST(-0.2 AS DOUBLE)
+""",
         "violation_samples_orders": _VIOL_SAMPLES_SQL,
         "validate_embeddings_array": """
 SELECT CAST(vec_id AS VARCHAR) AS row_id,

@@ -54,4 +54,71 @@ FORMAT_REGEX = {
     # uri-reference: any uri or relative reference without spaces/fragments
     # beyond one '#' (structural check, as ajv's is regex-based too)
     "uri-reference": r"^[^\s\\#]*(#[^\s\\#]*)?$",
+    # RFC 6570 URI template — the ajv-formats URITEMPLATE pattern (its /i
+    # flag becomes Java's inline (?i))
+    "uri-template": (
+        r"(?i)^(?:(?:[^\x00-\x20\"'<>%\\^`{|}]|%[0-9a-f]{2})|"
+        r"\{[+#./;?&=,!@|]?(?:[a-z0-9_]|%[0-9a-f]{2})+"
+        r"(?::[1-9][0-9]{0,3}|\*)?"
+        r"(?:,(?:[a-z0-9_]|%[0-9a-f]{2})+(?::[1-9][0-9]{0,3}|\*)?)*\})*$"
+    ),
+    # base64 content (ajv-formats BYTE, multiline collapsed to one line)
+    "byte": (r"^(?:[A-Za-z0-9+/]{4})*"
+             r"(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"),
+}
+
+# numeric formats (ajv-formats registers these with type: "number"): value
+# must be integral and inside the two's-complement range. Compiled as pure
+# Column range/floor expressions over numeric columns (plans/compiler.py).
+FORMAT_NUMERIC_RANGE = {
+    "int32": (-(1 << 31), (1 << 31) - 1),
+    "int64": (-(1 << 63), (1 << 63) - 1),
+}
+
+
+def regex_format_ok(col):
+    """Validity of the VALUE as a regular expression (ajv-formats
+    ``regex``, registered by the reference at
+    /root/reference/index.ts:16,318 — there it probes ``new RegExp(str)``).
+
+    Pattern validity is not itself regex-expressible, and Spark's ``rlike``
+    with a per-row pattern *throws* on an invalid pattern instead of
+    returning false — so this is an Arrow-batched pandas UDF probing
+    ``re.compile`` per distinct value (memoized per batch). Dialect note:
+    the probe speaks Python ``re`` (ajv speaks JS RegExp, the engine's
+    runtime checks speak java.util.regex) — each implementation of this
+    format checks validity in its own dialect; ours is documented as
+    Python's. UDF => off the pure-JVM hot path, which is why the compiler
+    gates it behind the ``udf_formats`` option.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _ok(s: pd.Series) -> pd.Series:
+        import re as _re
+        cache: dict = {}
+
+        def chk(v):
+            if v is None:
+                return None
+            hit = cache.get(v)
+            if hit is None:
+                try:
+                    _re.compile(v)
+                    hit = True
+                except _re.error:
+                    hit = False
+                cache[v] = hit
+            return hit
+
+        return s.map(chk)
+
+    return _ok(col)
+
+
+# formats whose check needs a vectorized Python probe (not a JVM regex);
+# compiled only when the `udf_formats` engine option is on
+FORMAT_UDF_CHECKERS = {
+    "regex": regex_format_ok,
 }

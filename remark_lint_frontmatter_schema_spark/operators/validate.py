@@ -27,7 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.compiler import Check, CompiledRuleset
+from ..plans.compiler import Check, CompiledRuleset, balanced_reduce
 
 VIOLATION_FIELDS = (
     "constraint_id", "keyword", "instance_path", "schema_path",
@@ -84,11 +84,17 @@ def _raw_violations_array(compiled: CompiledRuleset) -> Column:
 
 
 def n_violations_expr(compiled: CompiledRuleset) -> Column:
-    """Per-row violation count as pure integer arithmetic (codegen-safe)."""
-    n = F.lit(0)
-    for c in compiled.checks:
-        n = n + F.coalesce(c.violated, F.lit(False)).cast("int")
-    return n
+    """Per-row violation count as pure integer arithmetic (codegen-safe).
+
+    Balanced-tree sum, not a left-deep chain: codegen recursion depth is
+    log2(n_checks), so a 500-constraint ruleset cannot blow the executor
+    thread stack (see ``plans.compiler.balanced_reduce``)."""
+    if not compiled.checks:
+        return F.lit(0)
+    return balanced_reduce(
+        lambda a, b: a + b,
+        [F.coalesce(c.violated, F.lit(False)).cast("int")
+         for c in compiled.checks])
 
 
 def violations_array(compiled: CompiledRuleset) -> Column:

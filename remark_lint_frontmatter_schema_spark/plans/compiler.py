@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .bundler import RulesetCompileError, resolve_internal_ref
-from ..functions.formats import FORMAT_REGEX
+from ..functions.formats import (FORMAT_NUMERIC_RANGE, FORMAT_REGEX,
+                                 FORMAT_UDF_CHECKERS)
 
 # JSON type name -> predicate over a Spark DataType: "statically satisfied"
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
@@ -52,7 +53,8 @@ _STATIC_TYPE_OK = {
 _KNOWN_KEYWORDS = {
     "type", "enum", "const", "required", "maxLength", "minLength", "pattern",
     "format", "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
-    "multipleOf", "properties", "items", "additionalProperties", "allOf",
+    "multipleOf", "properties", "patternProperties", "items",
+    "additionalItems", "additionalProperties", "allOf",
     "anyOf", "oneOf", "not", "$ref", "$schema", "$id", "$bundled_from",
     "title", "description", "definitions", "$defs", "default", "examples",
     "maxItems", "minItems",
@@ -123,6 +125,22 @@ class _Ctx:
     out: CompiledRuleset
     extra_checks: dict          # name -> callable(Column) -> Column for x-spark-check
     silent: bool = False        # True while compiling anyOf/oneOf/not children
+
+
+def balanced_reduce(op, cols: list):
+    """Fold ``cols`` with ``op`` as a BALANCED tree, not a left-deep chain.
+
+    Catalyst codegen recurses once per tree level; a 500-term ``a+b+c+...``
+    chain is ~500 frames deep and intermittently blows the executor thread
+    stack (observed as StackOverflowError in BinaryArithmetic codegen on
+    the 500-constraint stress test). Balanced pairing makes the depth
+    log2(n) (~9 for 500 terms) — same result, codegen-safe at any ruleset
+    width."""
+    assert cols
+    while len(cols) > 1:
+        cols = [op(cols[i], cols[i + 1]) if i + 1 < len(cols) else cols[i]
+                for i in range(0, len(cols), 2)]
+    return cols[0]
 
 
 def _cap(msg: str) -> str:
@@ -291,6 +309,11 @@ _KEYWORD_SHAPE = {
     "maxItems": lambda v: isinstance(v, int) and not isinstance(v, bool),
     "minItems": lambda v: isinstance(v, int) and not isinstance(v, bool),
     "properties": lambda v: isinstance(v, dict),
+    "patternProperties": lambda v: isinstance(v, dict) and all(
+        _regex_ok(p) and isinstance(s, dict) for p, s in v.items()),
+    "items": lambda v: isinstance(v, dict) or (
+        isinstance(v, list) and all(isinstance(s, dict) for s in v)),
+    "additionalItems": lambda v: isinstance(v, (bool, dict)),
     "allOf": lambda v: isinstance(v, list) and all(isinstance(s, dict) for s in v),
     "anyOf": lambda v: isinstance(v, list) and len(v) > 0 and all(isinstance(s, dict) for s in v),
     "oneOf": lambda v: isinstance(v, list) and len(v) > 0 and all(isinstance(s, dict) for s in v),
@@ -341,6 +364,11 @@ def _shape_walk(schema: dict, path: str = "#") -> None:
                 f"JSON schema malformed: schema for property {prop!r} at "
                 f"{path} is not an object: {sub!r}")
         _shape_walk(sub, f"{path}/properties/{prop}")
+    for pat, sub in (schema.get("patternProperties") or {}).items():
+        if isinstance(sub, dict):
+            _shape_walk(sub, f"{path}/patternProperties/{pat}")
+    if isinstance(schema.get("additionalItems"), dict):
+        _shape_walk(schema["additionalItems"], f"{path}/additionalItems")
     for key in ("allOf", "anyOf", "oneOf"):
         for i, sub in enumerate(schema.get(key) or []):
             _shape_walk(sub, f"{path}/{key}/{i}")
@@ -416,9 +444,27 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
 
     if "format" in schema and ctx.col is not None:
         f = schema["format"]
+        msg = _reason(f'must match format "{f}"', ctx, "format")
         if f in FORMAT_REGEX:
-            msg = _reason(f'must match format "{f}"', ctx, "format")
             _add(ctx, "format", _present(ctx) & ~ctx.col.rlike(FORMAT_REGEX[f]), msg)
+        elif f in FORMAT_NUMERIC_RANGE and isinstance(ctx.dtype, _NUMERIC):
+            # ajv-formats type:"number" formats — integral + in-range
+            lo, hi = FORMAT_NUMERIC_RANGE[f]
+            bad = (ctx.col < F.lit(lo)) | (ctx.col > F.lit(hi))
+            if not isinstance(ctx.dtype, _INTEGRAL):
+                bad = bad | (ctx.col != F.floor(ctx.col))
+            _add(ctx, "format", _present(ctx) & bad, msg)
+        elif f in FORMAT_UDF_CHECKERS:
+            # vectorized Python probe (e.g. `regex` = re.compile validity):
+            # an Arrow-batched pandas UDF in an otherwise pure-JVM
+            # projection — opt-in via the udf_formats engine option
+            if ctx.out.options.get("udf_formats"):
+                ok = FORMAT_UDF_CHECKERS[f](ctx.col)
+                _add(ctx, "format",
+                     _present(ctx) & ~F.coalesce(ok, F.lit(False)), msg)
+            else:
+                ctx.out.unknown.append(
+                    (ctx.instance_path, f"format:{f}:requires-udf_formats"))
         else:
             ctx.out.unknown.append((ctx.instance_path, f"format:{f}"))
 
@@ -493,11 +539,19 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
             )
             _compile_keywords(sub, sub_ctx)
 
-    if "items" in schema and isinstance(schema["items"], dict) \
-            and ctx.col is not None and isinstance(ctx.dtype, T.ArrayType):
-        _items_check(ctx, schema["items"])
+    if "patternProperties" in schema:
+        _pattern_properties(ctx, schema["patternProperties"])
 
-    if schema.get("additionalProperties") is False:
+    if "items" in schema and ctx.col is not None \
+            and isinstance(ctx.dtype, T.ArrayType):
+        if isinstance(schema["items"], dict):
+            _items_check(ctx, schema["items"])
+        elif isinstance(schema["items"], list):
+            _tuple_items_check(ctx, schema["items"],
+                               schema.get("additionalItems"))
+
+    if schema.get("additionalProperties") is False \
+            or isinstance(schema.get("additionalProperties"), dict):
         _additional_properties(ctx, schema)
 
     if "allOf" in schema:
@@ -532,7 +586,8 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
     if "oneOf" in schema:
         vals = [_validity(sub, ctx, f"{ctx.schema_path}/oneOf/{i}")
                 for i, sub in enumerate(schema["oneOf"])]
-        n_ok = sum((v.cast("int") for v in vals[1:]), vals[0].cast("int"))
+        n_ok = balanced_reduce(lambda a, b: a + b,
+                               [v.cast("int") for v in vals])
         msg = _reason("must match exactly one schema in oneOf", ctx, "oneOf")
         _add(ctx, "oneOf", _guard(n_ok != 1), msg)
 
@@ -675,6 +730,111 @@ def _items_check(ctx: _Ctx, items_schema: dict) -> None:
          _present(ctx) & F.exists(ctx.col, lambda e: ~elem_ok(e)), msg)
 
 
+def _tuple_items_check(ctx: _Ctx, items_list: list, additional) -> None:
+    """Tuple-form (positional) ``items`` + draft-07 ``additionalItems``.
+
+    Each position i gets its own check against ``items[i]`` (Ajv reports
+    per-element errors at ``/path/i``; same here via the instance path),
+    firing only when the array actually has an element at that position —
+    a shorter array is valid positionally (minItems is the length
+    constraint). ``additionalItems: false`` caps the length at
+    ``len(items)``; a schema validates every element beyond the tuple
+    prefix. Previously this form compiled to nothing, silently — a
+    positional schema was vacuously valid with no ``unknown`` record.
+    """
+    elem_t = ctx.dtype.elementType
+    n = len(items_list)
+    for i, sub in enumerate(items_list):
+        # try_element_at: ANSI mode's element_at throws on short arrays;
+        # the size guard below makes the NULL unreachable anyway
+        elem = F.try_element_at(ctx.col, F.lit(i + 1))
+        ok = _probe_validity(sub, ctx, col=elem, dtype=elem_t,
+                             schema_path=f"{ctx.schema_path}/items/{i}")
+        msg = _reason(f"must have valid item at position {i}", ctx, "items")
+        _add(ctx, "items",
+             _present(ctx) & (F.size(ctx.col) > i) & ~ok, msg,
+             actual=_actual_str(elem, elem_t),
+             instance_path=f"{ctx.instance_path}/{i}")
+    if additional is False:
+        msg = _reason(f"must NOT have more than {n} items", ctx,
+                      "additionalItems")
+        _add(ctx, "additionalItems",
+             _present(ctx) & (F.size(ctx.col) > n), msg)
+    elif isinstance(additional, dict):
+        elem_ok = _element_validity_fn(ctx, additional,
+                                       f"{ctx.schema_path}/additionalItems")
+        tail = F.when(F.size(ctx.col) > n,
+                      F.slice(ctx.col, n + 1, F.size(ctx.col) - n)) \
+                .otherwise(F.array().cast(ctx.dtype))
+        msg = _reason("must have valid additional items", ctx,
+                      "additionalItems")
+        _add(ctx, "additionalItems",
+             _present(ctx) & F.exists(tail, lambda e: ~elem_ok(e)), msg)
+
+
+def _pattern_properties(ctx: _Ctx, pp: dict) -> None:
+    """``patternProperties``: every property whose NAME matches a pattern
+    (unanchored search, Ajv semantics) must have a value valid under that
+    pattern's schema.
+
+    Struct/root nodes have schema-static property names, so matching runs
+    at compile time in the JVM regex dialect (the same dialect ``rlike``
+    uses at runtime) and each matching property compiles like a normal
+    ``properties`` entry — full per-keyword checks and messages. Map nodes
+    have data-dependent keys: one aggregated check per pattern via a
+    runtime forall over ``map_entries`` (matching keys with invalid values
+    are listed in ``actual``).
+    """
+    if ctx.col is None or isinstance(ctx.dtype, T.StructType):
+        names = (ctx.df_schema.fieldNames() if ctx.col is None
+                 else ctx.dtype.fieldNames())
+        for pattern, sub in pp.items():
+            matched = [nm for nm in names
+                       if _java_regex_search(pattern, nm)]
+            if not matched:
+                ctx.out.static_passes.append(
+                    (ctx.instance_path, f"patternProperties:{pattern}"))
+            for nm in matched:
+                child_col, child_t, _exists = _child(ctx, nm)
+                sub_ctx = _Ctx(
+                    col=child_col, dtype=child_t,
+                    instance_path=f"{ctx.instance_path}/{nm}",
+                    schema_path=f"{ctx.schema_path}/patternProperties/{pattern}",
+                    schema_file=_sub_file(ctx, sub),
+                    df_schema=ctx.df_schema, root_schema=ctx.root_schema,
+                    out=ctx.out, extra_checks=ctx.extra_checks,
+                    silent=ctx.silent,
+                )
+                _compile_keywords(sub, sub_ctx)
+        return
+    if isinstance(ctx.dtype, T.MapType):
+        val_t = ctx.dtype.valueType
+
+        def bad_entry_fn(pat, sub_schema):
+            # closure, not default args: pyspark HOF lambdas must have
+            # exactly one parameter (extra params are parsed as the
+            # array-index variable / rejected)
+            def f(e):
+                ok = _probe_validity(
+                    sub_schema, ctx, col=e.getField("value"), dtype=val_t,
+                    schema_path=f"{ctx.schema_path}/patternProperties/{pat}")
+                return e.getField("key").rlike(pat) & ~ok
+            return f
+
+        for pattern, sub in pp.items():
+            bad = F.filter(F.map_entries(ctx.col), bad_entry_fn(pattern, sub))
+            msg = _reason(
+                f'properties matching pattern "{pattern}" must be valid',
+                ctx, "patternProperties")
+            _add(ctx, "patternProperties",
+                 _present(ctx) & (F.size(bad) > 0), msg,
+                 actual=F.concat_ws(
+                     ",", F.transform(bad, lambda e: e.getField("key"))))
+        return
+    # other node types: property keywords are vacuous (no properties)
+    ctx.out.static_passes.append((ctx.instance_path, "patternProperties"))
+
+
 def _probe_validity(sub_schema: dict, ctx: _Ctx, *, col, dtype,
                     schema_path: str) -> Column:
     """Validity of the instance at (col, dtype) against ``sub_schema`` —
@@ -744,10 +904,7 @@ def _property_count(ctx: _Ctx) -> Column | None:
         return None
     if not cols:
         return F.lit(0)
-    n = cols[0]
-    for c in cols[1:]:
-        n = n + c
-    return n
+    return balanced_reduce(lambda a, b: a + b, cols)
 
 
 # the keyword subset propertyNames enforces — identical on BOTH the runtime
@@ -853,33 +1010,88 @@ def _property_names(ctx: _Ctx, sub: dict) -> None:
 
 
 def _additional_properties(ctx: _Ctx, schema: dict) -> None:
+    """``additionalProperties``: a property is *additional* when its name
+    is neither in ``properties`` nor matched by any ``patternProperties``
+    regex (JSON Schema core). ``false`` forbids additional properties;
+    a schema validates their values (previously the dict form compiled to
+    nothing, silently)."""
+    ap = schema.get("additionalProperties")
     allowed = list(schema.get("properties", {}).keys())
+    patterns = list(schema.get("patternProperties", {}).keys())
     msg = _reason("must NOT have additional properties", ctx,
                   "additionalProperties")
-    if ctx.col is None:
-        # root object: properties are table columns — static set difference
-        extra = [f for f in ctx.df_schema.fieldNames() if f not in allowed]
-        if extra:
+
+    def is_extra_name(nm: str) -> bool:
+        return nm not in allowed and not any(
+            _java_regex_search(p, nm) for p in patterns)
+
+    # static name sets: table columns at root, struct fields below
+    if ctx.col is None or isinstance(ctx.dtype, T.StructType):
+        names = (ctx.df_schema.fieldNames() if ctx.col is None
+                 else ctx.dtype.fieldNames())
+        extra = [f for f in names if is_extra_name(f)]
+        if isinstance(ap, dict):
+            # schema form: each extra property compiles against `ap`, same
+            # shape as a patternProperties static match
+            for nm in extra:
+                child_col, child_t, _exists = _child(ctx, nm)
+                sub_ctx = _Ctx(
+                    col=child_col, dtype=child_t,
+                    instance_path=f"{ctx.instance_path}/{nm}",
+                    schema_path=f"{ctx.schema_path}/additionalProperties",
+                    schema_file=_sub_file(ctx, ap),
+                    df_schema=ctx.df_schema, root_schema=ctx.root_schema,
+                    out=ctx.out, extra_checks=ctx.extra_checks,
+                    silent=ctx.silent,
+                )
+                _compile_keywords(ap, sub_ctx)
+            if not extra:
+                ctx.out.static_passes.append((ctx.instance_path,
+                                              "additionalProperties"))
+            return
+        if not extra:
+            ctx.out.static_passes.append((ctx.instance_path,
+                                          "additionalProperties"))
+            return
+        if ctx.col is None:
             ctx.out.static_failures.append(
                 (ctx.instance_path, "additionalProperties",
                  f"extra columns {extra}"))
             _add(ctx, "additionalProperties", F.lit(True), msg,
                  actual=F.lit(",".join(extra)))
         else:
-            ctx.out.static_passes.append((ctx.instance_path,
-                                          "additionalProperties"))
-    elif isinstance(ctx.dtype, T.MapType):
-        extra_keys = F.array_except(F.map_keys(ctx.col),
-                                    F.array(*[F.lit(k) for k in allowed])
-                                    if allowed else F.array().cast("array<string>"))
+            _add(ctx, "additionalProperties", _present(ctx), msg,
+                 actual=F.lit(",".join(extra)))
+        return
+
+    if isinstance(ctx.dtype, T.MapType):
+        def key_extra(k):
+            e = ~k.isin(*allowed) if allowed else F.lit(True)
+            for p in patterns:
+                e = e & ~k.rlike(p)
+            return e
+
+        if isinstance(ap, dict):
+            val_t = ctx.dtype.valueType
+
+            def entry_bad(e):
+                ok = _probe_validity(
+                    ap, ctx, col=e.getField("value"), dtype=val_t,
+                    schema_path=f"{ctx.schema_path}/additionalProperties")
+                return key_extra(e.getField("key")) & ~ok
+
+            bad = F.filter(F.map_entries(ctx.col), entry_bad)
+            msg = _reason("additional properties must be valid", ctx,
+                          "additionalProperties")
+            _add(ctx, "additionalProperties",
+                 _present(ctx) & (F.size(bad) > 0), msg,
+                 actual=F.concat_ws(
+                     ",", F.transform(bad, lambda e: e.getField("key"))))
+            return
+        extra_keys = F.filter(F.map_keys(ctx.col), key_extra)
         _add(ctx, "additionalProperties",
              _present(ctx) & (F.size(extra_keys) > 0), msg,
              actual=F.concat_ws(",", extra_keys))
-    elif isinstance(ctx.dtype, T.StructType):
-        extra = [f for f in ctx.dtype.fieldNames() if f not in allowed]
-        if extra:
-            _add(ctx, "additionalProperties", _present(ctx), msg,
-                 actual=F.lit(",".join(extra)))
 
 
 def _validity(schema: dict, ctx: _Ctx, schema_path: str) -> Column:
@@ -942,7 +1154,7 @@ def compile_ruleset(
     mode.
     """
     options = options or {}
-    unknown_opts = set(options) - {"strict", "all_errors"}
+    unknown_opts = set(options) - {"strict", "all_errors", "udf_formats"}
     if unknown_opts:
         raise RulesetCompileError(
             f"unknown engine options: {sorted(unknown_opts)}")

@@ -55,3 +55,83 @@ def test_format_examples(spark, fmt):
 def test_all_formats_compile_in_jvm(spark):
     for fmt, rx in FORMAT_REGEX.items():
         spark._jvm.java.util.regex.Pattern.compile(rx)
+
+
+# ---------------------------------------------------------------------------
+# round 2: uri-template / byte regexes, int32/int64 numeric formats, and the
+# UDF-backed `regex` format (opt-in)
+# ---------------------------------------------------------------------------
+
+CASES_R2 = {
+    "uri-template": (["http://example.com/{id}", "/users{?page,limit}",
+                      "{+path}/here", "plain/path"],
+                     ["{unclosed", "bad {id*2}", "{}"]),
+    "byte": (["TWFu", "TWE=", "TQ==", ""],
+             ["TWFu=", "T!Fu", "=TWFu"]),
+}
+
+
+@pytest.mark.parametrize("fmt", sorted(CASES_R2))
+def test_format_examples_r2(spark, fmt):
+    pattern = spark._jvm.java.util.regex.Pattern.compile(FORMAT_REGEX[fmt])
+    good, bad = CASES_R2[fmt]
+    for v in good:
+        assert pattern.matcher(v).find(), f"{fmt}: {v!r} should match"
+    for v in bad:
+        assert not pattern.matcher(v).find(), f"{fmt}: {v!r} should NOT match"
+
+
+def test_int32_int64_formats(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+    df = spark.createDataFrame(
+        [("1", 5, 1.0), ("2", 2**31 - 1, 2.5), ("3", 2**31, 1e20),
+         ("4", -2**31 - 1, -9.3e18)],
+        "id string, n long, d double")
+    rs = {"properties": {"n": {"format": "int32"}, "d": {"format": "int64"}}}
+    compiled = compile_ruleset(rs, df.schema, name="numfmt")
+    got = {(r.row_id, r.instance_path) for r in
+           validate(df, compiled, row_id="id").violations.collect()}
+    # n: 2^31 and -2^31-1 out of int32 range; d: 2.5 non-integral,
+    # 1e20 and -9.3e18 out of int64 range (min is ~-9.22e18)
+    assert got == {("3", "/n"), ("4", "/n"), ("2", "/d"), ("3", "/d"),
+                   ("4", "/d")}
+
+
+def test_regex_format_requires_opt_in(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+    df = spark.createDataFrame(
+        [("1", "^a+$"), ("2", "[unclosed"), ("3", "(?P<x>ab)"), ("4", "*bad"),
+         ("5", None)],
+        "id string, pat string")
+    rs = {"properties": {"pat": {"format": "regex"}}}
+    # off by default: collected as unknown, no check compiled
+    c0 = compile_ruleset(rs, df.schema, name="refmt")
+    assert not c0.checks
+    assert ("/pat", "format:regex:requires-udf_formats") in c0.unknown
+    # opted in: pandas-UDF probe, invalid patterns flagged, NULL skipped
+    c1 = compile_ruleset(rs, df.schema, name="refmt",
+                         options={"udf_formats": True})
+    assert len(c1.checks) == 1 and not c1.unknown
+    got = {r.row_id for r in
+           validate(df, c1, row_id="id").violations.collect()}
+    assert got == {"2", "4"}
+
+
+def test_regex_format_matches_jsonschema_checker(spark):
+    """The documented dialect is Python re — exactly what the jsonschema
+    package's FormatChecker probes for 'regex', so verdicts must agree."""
+    import jsonschema
+    from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+    pats = ["^a+$", "[unclosed", "(?:x)*", "a{2,1}", "(?P<n>y)", "\\k<n>",
+            "a**", "[a-z]+", "(", ")"]
+    df = spark.createDataFrame([(str(i), p) for i, p in enumerate(pats)],
+                               "id string, pat string")
+    rs = {"properties": {"pat": {"format": "regex"}}}
+    compiled = compile_ruleset(rs, df.schema, name="refmt2",
+                               options={"udf_formats": True})
+    res = validate(df, compiled, row_id="id")
+    engine_ok = {r.id: r.passed
+                 for r in res.annotated.select("id", "passed").collect()}
+    checker = jsonschema.FormatChecker(["regex"])
+    for i, p in enumerate(pats):
+        assert engine_ok[str(i)] == checker.conforms(p, "regex"), p

@@ -103,3 +103,112 @@ def test_engine_verdicts_match_jsonschema(spark):
             f"jsonschema={oracle_ok}")
     # the corpus must exercise both outcomes to be meaningful
     assert 0 < n_fail < len(rows)
+
+
+# ---------------------------------------------------------------------------
+# round 2 keywords: patternProperties, tuple-form items, additionalItems,
+# dict-form additionalProperties
+# ---------------------------------------------------------------------------
+
+SCHEMA2 = T.StructType([
+    T.StructField("id", T.StringType(), False),
+    T.StructField("m", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("arr", T.ArrayType(T.StringType())),
+    T.StructField("arr2", T.ArrayType(T.IntegerType())),
+])
+
+RULESET2 = {
+    "type": "object",
+    "properties": {
+        "m": {
+            "properties": {"lang": {"enum": ["en", "de"]}},
+            "patternProperties": {"^x_": {"pattern": "^[0-9]+$"},
+                                  "_id$": {"minLength": 3}},
+            "additionalProperties": {"maxLength": 2},
+        },
+        "arr": {"items": [{"enum": ["a", "b"]}, {"maxLength": 2}],
+                "additionalItems": {"maxLength": 1}},
+        "arr2": {"items": [{"minimum": 0}, {"maximum": 10}],
+                 "additionalItems": False},
+    },
+}
+
+_MAPS = [
+    {"lang": "en"}, {"lang": "fr"},
+    {"x_a": "123"}, {"x_a": "12b"},
+    {"a_id": "abcd"}, {"a_id": "ab"},
+    {"x_b_id": "12"},          # matches both patterns: needs digits AND len>=3
+    {"x_b_id": "123"},
+    {"free": "ok"}, {"free": "toolong"},
+    {"lang": "en", "x_a": "9", "free": "y"},
+    {},
+]
+
+_ARRS = [["a"], ["b", "xy"], ["c"], ["a", "toolong"], ["a", "xy", "z"],
+         ["a", "xy", "zz"], [], ["b", "xy", "q", "r"]]
+_ARR2S = [[0], [0, 5], [-1, 5], [0, 11], [0, 5, 9], [], [3]]
+
+
+def _gen_row2(rnd: random.Random, i: int) -> dict:
+    def maybe(v):
+        return None if rnd.random() < 0.2 else v
+    return {
+        "id": f"r{i}",
+        "m": maybe(rnd.choice(_MAPS)),
+        "arr": maybe(rnd.choice(_ARRS)),
+        "arr2": maybe(rnd.choice(_ARR2S)),
+    }
+
+
+def test_pattern_props_tuple_items_match_jsonschema(spark):
+    rnd = random.Random(20260818)
+    rows = [_gen_row2(rnd, i) for i in range(300)]
+    df = spark.createDataFrame(
+        [tuple(r[f.name] for f in SCHEMA2.fields) for r in rows], SCHEMA2)
+    compiled = compile_ruleset(RULESET2, df.schema, name="prop2")
+    res = validate(df, compiled, row_id="id")
+    engine_passed = {r.id: r.passed
+                     for r in res.annotated.select("id", "passed").collect()}
+    validator = jsonschema.Draft7Validator(RULESET2)
+    n_fail = 0
+    for row in rows:
+        inst = {k: v for k, v in row.items() if v is not None}
+        oracle_ok = not list(validator.iter_errors(inst))
+        n_fail += not oracle_ok
+        assert engine_passed[row["id"]] == oracle_ok, (
+            f"verdict mismatch for {inst!r}: engine={engine_passed[row['id']]}"
+            f" jsonschema={oracle_ok}")
+    assert 0 < n_fail < len(rows)
+
+
+def test_pattern_properties_static_names(spark):
+    """Struct/root property names are schema-static: patternProperties
+    compiles per matching name like a properties entry."""
+    df = spark.createDataFrame(
+        [("1", "ok", "yes"), ("2", "toolooong", "yes"), ("3", "ok", "nope!")],
+        ["id", "x_alpha", "x_beta"])
+    rs = {"patternProperties": {"^x_": {"maxLength": 4}}}
+    compiled = compile_ruleset(rs, df.schema, name="pp")
+    got = {(r.row_id, r.instance_path) for r in
+           validate(df, compiled, row_id="id").violations.collect()}
+    assert got == {("2", "/x_alpha"), ("3", "/x_beta")}
+    # schema provenance carries the pattern
+    assert any("/patternProperties/^x_/" in c.schema_path
+               for c in compiled.checks)
+
+
+def test_tuple_items_no_silent_vacuous_pass(spark):
+    """Regression: tuple-form items used to compile to nothing, silently."""
+    df = spark.createDataFrame(
+        [("1", ["a", "bb"]), ("2", ["z", "bb"]), ("3", ["a"]),
+         ("4", ["a", "bb", "c", "d"])],
+        ["id", "arr"])
+    rs = {"properties": {"arr": {"items": [{"enum": ["a", "b"]},
+                                           {"maxLength": 2}],
+                                 "additionalItems": False}}}
+    compiled = compile_ruleset(rs, df.schema, name="ti")
+    assert len(compiled.checks) == 3  # two positions + additionalItems cap
+    got = {(r.row_id, r.keyword, r.instance_path) for r in
+           validate(df, compiled, row_id="id").violations.collect()}
+    assert got == {("2", "items", "/arr/0"),
+                   ("4", "additionalItems", "/arr")}
