@@ -51,12 +51,36 @@ def load_document(path: str | Path) -> dict:
     return doc
 
 
-def bundle(path: str | Path, _depth: int = 0) -> dict:
+def _is_remote(ref: str) -> bool:
+    return ref.startswith("http://") or ref.startswith("https://")
+
+
+def _parse_text(text: str, name: str) -> dict:
+    """Parse fetched ruleset text (YAML when available, JSON fallback)."""
+    try:
+        if _yaml is not None:
+            doc = _yaml.safe_load(text)
+        else:  # pragma: no cover
+            doc = json.loads(text)
+    except Exception as exc:
+        raise RulesetLoadError(
+            f"YAML schema file load/parse: {name} — {exc}") from exc
+    if not isinstance(doc, dict):
+        raise RulesetLoadError(
+            f"YAML schema file load/parse: {name} — not a mapping")
+    return doc
+
+
+def bundle(path: str | Path, _depth: int = 0, *, fetch=None) -> dict:
     """Load a ruleset file and inline every external ``$ref``.
 
-    Only file-relative refs are supported (no network in this sandbox; the
-    reference also supports http(s) refs via json-schema-ref-parser —
-    ``demo/pipeline.ts:15`` — which would slot in here).
+    File-relative refs are read from disk; http(s) refs are resolved via
+    ``fetch`` — an injectable ``Callable[[str], str]`` returning the
+    document text (the reference resolves remote refs through
+    json-schema-ref-parser, ``index.ts:278-282``; live example
+    ``demo/pipeline.ts:15``). No fetcher + a remote ref is a load error
+    (G2 guard: the routing layer turns it into a run artifact, not a
+    crash) — this sandbox has no network, so the default stays offline.
     External refs are *inlined* (bundle semantics, not dereference-by-name;
     the reference deliberately chose bundling, CHANGELOG v3.14.0).
     """
@@ -64,35 +88,71 @@ def bundle(path: str | Path, _depth: int = 0) -> dict:
         raise RulesetCompileError(f"$ref nesting too deep at {path}")
     base = Path(path).parent
     doc = load_document(path)
-    return _inline_refs(doc, base, _depth)
+    return _inline_refs(doc, base, _depth, fetch)
 
 
-def bundle_dict(doc: dict, base_dir: str | Path = ".") -> dict:
+def bundle_dict(doc: dict, base_dir: str | Path = ".", *, fetch=None) -> dict:
     """Bundle an already-parsed schema dict (the ``embed`` path,
     reference ``Settings.embed`` at index.ts:44)."""
-    return _inline_refs(doc, Path(base_dir), 0)
+    return _inline_refs(doc, Path(base_dir), 0, fetch)
 
 
-def _inline_refs(node, base: Path, depth: int):
+def _bundle_remote(url: str, depth: int, fetch) -> dict:
+    """Fetch + parse + recursively bundle a remote ruleset. Refs inside the
+    fetched document resolve against the URL (relative -> urljoin), so a
+    remote schema tree bundles exactly like a local one."""
+    if depth > 16:
+        raise RulesetCompileError(f"$ref nesting too deep at {url}")
+    if fetch is None:
+        raise RulesetLoadError(
+            f"remote $ref {url!r} needs a fetcher: pass "
+            "fetch=Callable[[str], str] to bundle()/bundle_dict()")
+    try:
+        text = fetch(url)
+    except Exception as exc:
+        raise RulesetLoadError(
+            f"YAML schema file load/parse: {url} — {exc}") from exc
+    doc = _parse_text(text, url)
+    return _inline_refs(doc, url, depth, fetch)
+
+
+def _join_ref(base, ref_path: str):
+    """Resolve a ref target against the enclosing document's base — a
+    directory Path for local documents, the document URL for remote ones."""
+    if isinstance(base, str):  # base is a URL
+        from urllib.parse import urljoin
+        return urljoin(base, ref_path)
+    return base / ref_path
+
+
+def _inline_refs(node, base, depth: int, fetch=None):
     if isinstance(node, dict):
         ref = node.get("$ref")
         if isinstance(ref, str) and not ref.startswith("#"):
-            # external file ref: bundle it in place, keep provenance
+            # external ref (file or http(s)): bundle it in place
             ref_path, _, frag = ref.partition("#")
-            sub = bundle(base / ref_path, depth + 1)
+            if _is_remote(ref_path) or isinstance(base, str):
+                url = ref_path if _is_remote(ref_path) \
+                    else _join_ref(base, ref_path)
+                sub = _bundle_remote(url, depth + 1, fetch)
+                provenance = url
+            else:
+                sub = bundle(_join_ref(base, ref_path), depth + 1,
+                             fetch=fetch)
+                provenance = posixpath.normpath(ref_path)
             if frag:
                 sub = _resolve_pointer(sub, frag)
             # record where this subtree came from so schema_path provenance
             # can keep the two-part form (file + pointer), as the reference's
             # bundled refs do (demo/pipeline.ts:74-79)
             out = dict(sub)
-            out.setdefault("$bundled_from", posixpath.normpath(ref_path))
+            out.setdefault("$bundled_from", provenance)
             extra = {k: v for k, v in node.items() if k != "$ref"}
-            out.update(_inline_refs(extra, base, depth) if extra else {})
+            out.update(_inline_refs(extra, base, depth, fetch) if extra else {})
             return out
-        return {k: _inline_refs(v, base, depth) for k, v in node.items()}
+        return {k: _inline_refs(v, base, depth, fetch) for k, v in node.items()}
     if isinstance(node, list):
-        return [_inline_refs(v, base, depth) for v in node]
+        return [_inline_refs(v, base, depth, fetch) for v in node]
     return node
 
 

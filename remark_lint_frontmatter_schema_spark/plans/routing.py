@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import fnmatch
 from dataclasses import dataclass, field
+from pathlib import Path
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -69,11 +70,24 @@ class RoutingReport:
         return out
 
 
-def _load(registry: dict, name: str) -> dict:
+def _load(registry: dict, name: str, fetch=None) -> dict:
     doc = registry[name]
     if isinstance(doc, str):
-        return bundle(doc)
-    return bundle_dict(doc)
+        return bundle(doc, fetch=fetch)
+    return bundle_dict(doc, fetch=fetch)
+
+
+def _resolve_schema_path(name: str, schema_dirs) -> Path | None:
+    """Two-step path resolution for a path-valued ruleset column: first
+    directory wins by existence probe. Mirrors the reference's ``$schema``
+    handling (``index.ts:227-238``, CHANGELOG v3.13.0): a relative path is
+    tried against the file's own directory first, then the workspace root.
+    Callers pass ``schema_dirs=(config_dir, workspace_root)``."""
+    for d in schema_dirs:
+        cand = Path(d) / name
+        if cand.exists():
+            return cand
+    return None
 
 
 def route_and_validate(
@@ -87,16 +101,21 @@ def route_and_validate(
     partition_col: str | None = None,
     run_id: str = "run_0",
     extra_checks: dict | None = None,
+    schema_dirs: tuple = (),               # path-valued ruleset_col resolution
+    fetch=None,                            # remote $ref fetcher (bundler)
 ) -> RoutingReport:
     report = RoutingReport()
     registry = registry or {}
 
-    def add_pass(name: str, schema_doc: dict, source: str, applicability):
+    def add_pass(name: str, schema_doc: dict, source: str, applicability,
+                 schema_file: str | None = None):
+        if schema_file is None:
+            schema_file = (registry.get(name) if isinstance(
+                registry.get(name), str) else "") or ""
         try:
             compiled = compile_ruleset(
                 schema_doc, df.schema, name=name,
-                schema_file=(registry.get(name) if isinstance(
-                    registry.get(name), str) else "") or "",
+                schema_file=schema_file,
                 extra_checks=extra_checks,
                 # routing-key removal only on the association paths — the
                 # embed path keeps it (index.ts:297-303)
@@ -114,7 +133,7 @@ def route_and_validate(
         report.passes.append(RoutedPass(name, compiled, source, res))
 
     if embed is not None:
-        add_pass("embed", bundle_dict(embed), "embed", None)
+        add_pass("embed", bundle_dict(embed, fetch=fetch), "embed", None)
         return report
 
     routed_names: set[str] = set()
@@ -127,12 +146,28 @@ def route_and_validate(
         for name in sorted(values):
             pred = F.col(ruleset_col) == name
             if name not in registry:
-                # schema-load failure analog (index.ts:283-291)
-                report.errors.append((name, "load",
-                                      f"no ruleset registered for {name!r}"))
+                # path-valued $schema quirk: a non-registered value may be
+                # a FILE PATH, resolved against schema_dirs in order
+                # (config dir first, workspace root fallback — existence
+                # probe, index.ts:227-238 / CHANGELOG v3.13.0)
+                resolved = _resolve_schema_path(name, schema_dirs)
+                if resolved is None:
+                    # schema-load failure analog (index.ts:283-291)
+                    report.errors.append(
+                        (name, "load",
+                         f"no ruleset registered for {name!r}"))
+                    continue
+                try:
+                    doc = bundle(resolved, fetch=fetch)
+                except (RulesetCompileError, RulesetLoadError) as exc:
+                    report.errors.append((name, "load", str(exc)))
+                    continue
+                add_pass(name, doc, "column", pred, schema_file=name)
+                routed_names.add(name)
+                routed_pred = routed_pred | pred
                 continue
             try:
-                doc = _load(registry, name)
+                doc = _load(registry, name, fetch)
             except (RulesetCompileError, RulesetLoadError) as exc:
                 report.errors.append((name, "load", str(exc)))
                 continue
@@ -154,7 +189,7 @@ def route_and_validate(
                                       f"no ruleset registered for {name!r}"))
                 continue
             try:
-                doc = _load(registry, name)
+                doc = _load(registry, name, fetch)
             except (RulesetCompileError, RulesetLoadError) as exc:
                 report.errors.append((name, "load", str(exc)))
                 continue

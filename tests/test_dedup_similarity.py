@@ -220,3 +220,43 @@ def test_embedding_lsh_pairs_empty_input(spark):
                                          n_bits=8, threshold=0.9)
     assert out.count() == 0
     assert out.columns == ["id_a", "id_b", "score"]
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    """Quantitative recall pin (the hyperplane-LSH test's analog for text
+    MinHash): on a corpus with known near-dup pairs above the LSH s-curve
+    knee (r=8, b=8 -> knee ~0.77), banded MinHash + exact verify must
+    recover nearly all exact-Jaccard pairs. Fully deterministic: seeded
+    corpus, seeded minhash coefficients, exact verify."""
+    import random as _r
+    import string
+    rnd = _r.Random(11)
+
+    def word():
+        return "".join(rnd.choices(string.ascii_lowercase, k=6))
+
+    rows, did = [], 0
+    n_pairs = 24
+    for b in range(n_pairs):
+        words = [word() for _ in range(40)]
+        rows.append((did, " ".join(words))); did += 1
+        w2 = list(words)
+        # 1-word edit -> shingle Jaccard ~0.92 (well above the knee)
+        w2[rnd.randrange(len(w2))] = word()
+        rows.append((did, " ".join(w2))); did += 1
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    exact = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id", n=5, threshold=0.8,
+        allow_full_cross=True).collect()}
+    twins = {(2 * b, 2 * b + 1) for b in range(n_pairs)}
+    assert twins <= exact          # corpus built what it claims
+
+    got = {(r.id_a, r.id_b): r.jaccard for r in dedup.minhash_dedup_pairs(
+        df, "text", "doc_id", threshold=0.8, n_hashes=64, bands=8,
+        shingle_n=5).collect()}
+    # exact verify inside the operator -> no false positives possible
+    assert set(got) <= exact
+    recall = len(set(got) & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall} below bound; missed: {exact - set(got)}"
+    dedup.release_all()

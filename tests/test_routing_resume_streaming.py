@@ -147,3 +147,100 @@ def test_streaming_incremental(spark, clips, tmp_path):
                           partition_col="part_date")
     expect = {(r.row_id, r.constraint_id) for r in bres.violations.collect()}
     assert batch_keys == expect
+
+
+# ---------------------------------------------------------------------------
+# round 2: remote $ref fetcher + path-valued $schema routing
+# ---------------------------------------------------------------------------
+
+def test_remote_ref_bundles_via_fetcher(tmp_path):
+    """http(s) $refs resolve through an injectable fetch(url) -> str, with
+    the URL kept as $bundled_from provenance (reference: remote refs via
+    json-schema-ref-parser, index.ts:278-282 / demo/pipeline.ts:15)."""
+    from remark_lint_frontmatter_schema_spark.plans.bundler import (
+        RulesetLoadError, bundle, bundle_dict)
+    remote_docs = {
+        "https://example.org/schemas/base.yaml": (
+            "type: object\n"
+            "properties:\n"
+            "  codec:\n"
+            "    $ref: ./codec.yaml\n"),
+        "https://example.org/schemas/codec.yaml": (
+            "enum: [pcm16, opus]\n"),
+    }
+    fetched = []
+
+    def fake_fetch(url):
+        fetched.append(url)
+        return remote_docs[url]
+
+    doc = bundle_dict(
+        {"allOf": [{"$ref": "https://example.org/schemas/base.yaml"}]},
+        fetch=fake_fetch)
+    branch = doc["allOf"][0]
+    assert branch["$bundled_from"] == "https://example.org/schemas/base.yaml"
+    # relative ref inside the remote doc resolved against the URL
+    codec = branch["properties"]["codec"]
+    assert codec["enum"] == ["pcm16", "opus"]
+    assert codec["$bundled_from"] == "https://example.org/schemas/codec.yaml"
+    assert fetched == ["https://example.org/schemas/base.yaml",
+                       "https://example.org/schemas/codec.yaml"]
+
+    # a local file can also point at a remote ref
+    p = tmp_path / "root.yaml"
+    p.write_text("properties:\n  c:\n    $ref: "
+                 "'https://example.org/schemas/codec.yaml'\n")
+    doc2 = bundle(p, fetch=fake_fetch)
+    assert doc2["properties"]["c"]["enum"] == ["pcm16", "opus"]
+
+    # no fetcher -> load error (routing turns this into an artifact)
+    with pytest.raises(RulesetLoadError, match="needs a fetcher"):
+        bundle(p)
+
+
+def test_remote_ref_error_becomes_routing_artifact(clips):
+    """A column-routed ruleset whose bundle hits an unfetchable remote ref
+    degrades to a load-error artifact, never a crash (G2/G3)."""
+    reg = dict(REGISTRY)
+    reg["clip"] = {"allOf": [{"$ref": "https://nowhere.invalid/x.yaml"}]}
+    rep = route_and_validate(clips, row_id="clip_id", registry=reg,
+                             ruleset_col="ruleset_id")
+    assert any(name == "clip" and stage == "load" and "fetcher" in msg
+               for name, stage, msg in rep.errors)
+
+
+def test_path_valued_schema_routing(spark, tmp_path):
+    """ruleset_col values that are FILE PATHS resolve relative to the
+    config dir first, workspace root as fallback (existence probe) —
+    the reference's two-step $schema resolution (index.ts:227-238,
+    CHANGELOG v3.13.0)."""
+    cfg = tmp_path / "cfg"
+    root = tmp_path / "root"
+    (cfg / "schemas").mkdir(parents=True)
+    (root / "schemas").mkdir(parents=True)
+    # same relative path exists in BOTH dirs: config dir must win
+    (cfg / "schemas" / "a.yaml").write_text(
+        "properties:\n  v:\n    maximum: 10\n")
+    (root / "schemas" / "a.yaml").write_text(
+        "properties:\n  v:\n    maximum: 99999\n")
+    # this one exists only under the workspace root: fallback must find it
+    (root / "schemas" / "b.yaml").write_text(
+        "properties:\n  v:\n    minimum: 100\n")
+    df = spark.createDataFrame(
+        [("r1", 50, "schemas/a.yaml"), ("r2", 50, "schemas/b.yaml"),
+         ("r3", 50, "schemas/missing.yaml")],
+        ["rid", "v", "ruleset_id"])
+    rep = route_and_validate(df, row_id="rid", ruleset_col="ruleset_id",
+                             schema_dirs=(str(cfg), str(root)))
+    viol = {(r.row_id, r.keyword) for r in rep.violations.collect()}
+    # config-dir a.yaml (maximum 10) fired; root a.yaml (maximum 99999)
+    # would not have
+    assert viol == {("r1", "maximum"), ("r2", "minimum")}
+    # provenance carries the path-valued ruleset id
+    paths = {p.ruleset_name for p in rep.passes}
+    assert paths == {"schemas/a.yaml", "schemas/b.yaml"}
+    assert any("schemas/a.yaml" in c.schema_path
+               for p in rep.passes for c in p.compiled.checks)
+    # unresolvable path -> load artifact
+    assert any(name == "schemas/missing.yaml" and stage == "load"
+               for name, stage, _ in rep.errors)
