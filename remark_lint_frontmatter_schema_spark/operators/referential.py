@@ -74,23 +74,48 @@ class BloomFilter:
         return BloomFilter(self.n_bits, self.n_hashes, self.bits | other.bits)
 
 
-# default Bloom capacity when no row-count hint is given: 4M keys at 1% fpp
-# is a ~4.6 MB bitmap — broadcastable, and big enough that most dims stay
-# under target fpp. Overflowing it only degrades fpp (more rows survive to
-# the exact anti-join), never correctness — so a pessimistic constant beats
-# paying a full extra dim scan (`dim.count()`) just to size the bitmap.
+# fallback Bloom capacity when neither a hint nor plan stats are available:
+# 4M keys at 1% fpp is a ~4.6 MB bitmap — broadcastable, and overflowing it
+# only degrades fpp (more rows survive to the exact anti-join), never
+# correctness.
 _BLOOM_DEFAULT_CAPACITY = 4_000_000
+
+
+def _estimate_rows(dim: DataFrame) -> int | None:
+    """Row-count estimate from Catalyst plan statistics — metadata only,
+    NO extra scan (rowCount when the catalog has it, else
+    sizeInBytes/64B-per-row). Accuracy only sizes the bitmap: under-
+    estimation degrades fpp gracefully (bloom is a prefilter, the exact
+    anti-join decides), over-estimation wastes some broadcast bytes."""
+    try:
+        stats = dim._jdf.queryExecution().optimizedPlan().stats()  # noqa: SLF001
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return max(1, int(str(rc.get())))
+        return max(1, int(str(stats.sizeInBytes())) // 64)
+    except Exception:
+        return None
 
 
 def build_bloom(dim: DataFrame, key: str, *, n_items_hint: int | None = None,
                 fpp: float = 0.01) -> BloomFilter:
     """Partial blooms per partition -> driver OR-merge (associative).
 
-    Pass ``n_items_hint`` (dim row count — cheap catalog metadata on real
-    tables, and carried by the ``x-ref`` DSL's ``n_items``) for exact
-    sizing; without it the filter is sized for ``_BLOOM_DEFAULT_CAPACITY``
-    so the build stays a single dim scan."""
-    n = n_items_hint or _BLOOM_DEFAULT_CAPACITY
+    Sizing never costs a scan: an explicit ``n_items_hint`` (dim row count
+    — cheap catalog metadata on real tables, carried by the ``x-ref``
+    DSL's ``n_items``) wins; else Catalyst plan statistics estimate it
+    (×2 safety margin); else a pessimistic 4M default. A right-sized
+    bitmap matters beyond broadcast bytes: membership probes on a small
+    dim's bitmap stay in L1/L2 instead of random-accessing megabytes."""
+    if n_items_hint:
+        n = n_items_hint
+    else:
+        est = _estimate_rows(dim)
+        # clamp: plans without real stats report sizeInBytes near
+        # Long.MaxValue — the estimate may only SHRINK the bitmap below
+        # the pessimistic cap, never grow it (big dims just degrade fpp)
+        n = min(est * 2, _BLOOM_DEFAULT_CAPACITY) if est \
+            else _BLOOM_DEFAULT_CAPACITY
     proto = BloomFilter.sized_for(n, fpp)
     n_bits, n_hashes = proto.n_bits, proto.n_hashes
 

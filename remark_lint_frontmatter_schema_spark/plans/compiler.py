@@ -1071,6 +1071,19 @@ def _additional_properties(ctx: _Ctx, schema: dict) -> None:
                 e = e & ~k.rlike(p)
             return e
 
+        if ap is False and not patterns:
+            # fast path: array_except is a regular codegen-able expression;
+            # the F.filter lambda below is CodegenFallback and would drop
+            # the whole validation projection out of whole-stage codegen
+            # (measured 2.3x on the events-props suite query)
+            extra_keys = F.array_except(
+                F.map_keys(ctx.col),
+                F.array(*[F.lit(k) for k in allowed])
+                if allowed else F.array().cast("array<string>"))
+            _add(ctx, "additionalProperties",
+                 _present(ctx) & (F.size(extra_keys) > 0), msg,
+                 actual=F.concat_ws(",", extra_keys))
+            return
         if isinstance(ap, dict):
             val_t = ctx.dtype.valueType
 
