@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="exit 1 when any violation or config error")
     ap.add_argument("--run-id", default="run_0")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--schema-dirs",
+                    help="comma-separated dirs for resolving path-valued "
+                         "--ruleset-col values (default: config dir, then "
+                         "the input's dir — the reference's two-step "
+                         "$schema resolution, index.ts:227-238)")
     return ap
 
 
@@ -91,6 +96,7 @@ def main(argv: list[str] | None = None) -> int:
 
     embed = bundle(args.embed) if args.embed else None
     registry, patterns, ruleset_col = {}, None, args.ruleset_col
+    cfg_path = None
     if embed is None:
         cfg_path = args.config or find_config(args.input)
         if cfg_path:
@@ -99,10 +105,22 @@ def main(argv: list[str] | None = None) -> int:
             patterns = cfg.get("patterns") or None
             ruleset_col = ruleset_col or cfg.get("ruleset_col")
 
+    if args.schema_dirs:
+        schema_dirs = tuple(d for d in args.schema_dirs.split(",") if d)
+    else:
+        # config dir first, workspace (input) dir fallback — the
+        # reference's two-step $schema path resolution
+        input_dir = args.input if os.path.isdir(args.input) \
+            else os.path.dirname(os.path.abspath(args.input))
+        schema_dirs = tuple(dict.fromkeys(
+            ([os.path.dirname(os.path.abspath(cfg_path))] if cfg_path
+             else []) + [input_dir]))
+
     report = route_and_validate(
         df, row_id=args.row_id, registry=registry, embed=embed,
         ruleset_col=ruleset_col, patterns=patterns,
-        partition_col=args.partition_col, run_id=args.run_id)
+        partition_col=args.partition_col, run_id=args.run_id,
+        schema_dirs=schema_dirs)
 
     violations, verdicts = report.violations, report.verdicts
 

@@ -7,6 +7,15 @@ Row-level checks stay in the one-projection scan (operators/validate.py);
 each table check is its own relational pass (salted aggregate / broadcast
 anti-join) whose violation rows share the exact row-relation shape, so the
 union is a plain ``unionByName``.
+
+Scan accounting at the 100 TB design point: row-validate + each x-unique +
+each x-ref re-reads the fact — but every extra pass is column-pruned to a
+single key column (verified in tests/test_plan_audits.py), so the extra
+cost is one column's bytes per declared table check, not the table. If
+even that matters, persist/checkpoint the pruned key projection once and
+feed it to both passes; fusing them into the row scan is deliberately NOT
+done — a groupBy/join fused into the validation projection would force the
+whole row payload through the shuffle.
 """
 
 from __future__ import annotations

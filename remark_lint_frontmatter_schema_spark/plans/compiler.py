@@ -54,9 +54,13 @@ _KNOWN_KEYWORDS = {
     "type", "enum", "const", "required", "maxLength", "minLength", "pattern",
     "format", "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
     "multipleOf", "properties", "patternProperties", "items",
-    "additionalItems", "additionalProperties", "allOf",
+    "additionalItems", "prefixItems", "additionalProperties", "allOf",
     "anyOf", "oneOf", "not", "$ref", "$schema", "$id", "$bundled_from",
     "title", "description", "definitions", "$defs", "default", "examples",
+    # annotation-only keywords (Ajv collects, never validates): known so
+    # strict mode doesn't false-flag documented schemas
+    "$comment", "readOnly", "writeOnly", "deprecated",
+    "contentEncoding", "contentMediaType",
     "maxItems", "minItems",
     "uniqueItems", "contains", "minContains", "maxContains",
     "minProperties", "maxProperties", "dependentRequired", "dependencies",
@@ -313,6 +317,8 @@ _KEYWORD_SHAPE = {
         _regex_ok(p) and isinstance(s, dict) for p, s in v.items()),
     "items": lambda v: isinstance(v, dict) or (
         isinstance(v, list) and all(isinstance(s, dict) for s in v)),
+    "prefixItems": lambda v: isinstance(v, list) and all(
+        isinstance(s, dict) for s in v),
     "additionalItems": lambda v: isinstance(v, (bool, dict)),
     "allOf": lambda v: isinstance(v, list) and all(isinstance(s, dict) for s in v),
     "anyOf": lambda v: isinstance(v, list) and len(v) > 0 and all(isinstance(s, dict) for s in v),
@@ -379,6 +385,9 @@ def _shape_walk(schema: dict, path: str = "#") -> None:
         for i, sub in enumerate(items):
             if isinstance(sub, dict):
                 _shape_walk(sub, f"{path}/items/{i}")
+    for i, sub in enumerate(schema.get("prefixItems") or []):
+        if isinstance(sub, dict):
+            _shape_walk(sub, f"{path}/prefixItems/{i}")
     if isinstance(schema.get("not"), dict):
         _shape_walk(schema["not"], f"{path}/not")
     if isinstance(schema.get("additionalProperties"), dict):
@@ -542,7 +551,16 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
     if "patternProperties" in schema:
         _pattern_properties(ctx, schema["patternProperties"])
 
-    if "items" in schema and ctx.col is not None \
+    if "prefixItems" in schema and ctx.col is not None \
+            and isinstance(ctx.dtype, T.ArrayType):
+        # 2020-12 positional form: `items` (dict) is the TAIL schema when
+        # prefixItems is present (same role additionalItems plays in
+        # draft-07); compiled through the shared tuple path
+        tail = schema["items"] if isinstance(schema.get("items"), dict) \
+            else schema.get("additionalItems")
+        _tuple_items_check(ctx, schema["prefixItems"], tail,
+                           kw="prefixItems")
+    elif "items" in schema and ctx.col is not None \
             and isinstance(ctx.dtype, T.ArrayType):
         if isinstance(schema["items"], dict):
             _items_check(ctx, schema["items"])
@@ -730,8 +748,11 @@ def _items_check(ctx: _Ctx, items_schema: dict) -> None:
          _present(ctx) & F.exists(ctx.col, lambda e: ~elem_ok(e)), msg)
 
 
-def _tuple_items_check(ctx: _Ctx, items_list: list, additional) -> None:
+def _tuple_items_check(ctx: _Ctx, items_list: list, additional,
+                       kw: str = "items") -> None:
     """Tuple-form (positional) ``items`` + draft-07 ``additionalItems``.
+    Also serves 2020-12 ``prefixItems`` (``kw="prefixItems"``, with dict
+    ``items`` as the tail schema).
 
     Each position i gets its own check against ``items[i]`` (Ajv reports
     per-element errors at ``/path/i``; same here via the instance path),
@@ -749,9 +770,9 @@ def _tuple_items_check(ctx: _Ctx, items_list: list, additional) -> None:
         # the size guard below makes the NULL unreachable anyway
         elem = F.try_element_at(ctx.col, F.lit(i + 1))
         ok = _probe_validity(sub, ctx, col=elem, dtype=elem_t,
-                             schema_path=f"{ctx.schema_path}/items/{i}")
-        msg = _reason(f"must have valid item at position {i}", ctx, "items")
-        _add(ctx, "items",
+                             schema_path=f"{ctx.schema_path}/{kw}/{i}")
+        msg = _reason(f"must have valid item at position {i}", ctx, kw)
+        _add(ctx, kw,
              _present(ctx) & (F.size(ctx.col) > i) & ~ok, msg,
              actual=_actual_str(elem, elem_t),
              instance_path=f"{ctx.instance_path}/{i}")

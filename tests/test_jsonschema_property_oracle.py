@@ -212,3 +212,29 @@ def test_tuple_items_no_silent_vacuous_pass(spark):
            validate(df, compiled, row_id="id").violations.collect()}
     assert got == {("2", "items", "/arr/0"),
                    ("4", "additionalItems", "/arr")}
+
+
+def test_prefix_items_2020_12(spark):
+    """2020-12 positional form: prefixItems + dict `items` as tail schema,
+    sharing the tuple compile path; verdicts pinned to jsonschema's
+    Draft202012Validator."""
+    rs = {"properties": {"arr": {"prefixItems": [{"enum": ["a", "b"]},
+                                                 {"maxLength": 2}],
+                                 "items": {"maxLength": 1}}}}
+    rows = [("0", ["a"]), ("1", ["z"]), ("2", ["a", "xyz"]),
+            ("3", ["b", "xy", "q"]), ("4", ["b", "xy", "qq"]), ("5", None)]
+    df = spark.createDataFrame(rows, "id string, arr array<string>")
+    compiled = compile_ruleset(rs, df.schema, name="pfx")
+    res = validate(df, compiled, row_id="id")
+    engine_ok = {r.id: r.passed
+                 for r in res.annotated.select("id", "passed").collect()}
+    validator = jsonschema.Draft202012Validator(rs)
+    for rid, arr in rows:
+        inst = {} if arr is None else {"arr": arr}
+        assert engine_ok[rid] == (not list(validator.iter_errors(inst))), rid
+    # annotation keywords stay out of `unknown` (strict-safe)
+    c2 = compile_ruleset(
+        {"$comment": "x", "readOnly": True, "contentEncoding": "base64",
+         "properties": {"arr": {"deprecated": True}}},
+        df.schema, name="ann", options={"strict": True})
+    assert not c2.unknown
