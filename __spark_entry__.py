@@ -170,6 +170,17 @@ def q_drift_events_psi(spark, sf):
         .select(F.round("psi", 6).alias("psi"))
 
 
+def q_drift_events_windowed_psi(spark, sf):
+    """Continuous drift monitoring (SURVEY W1 extension): per-day PSI of
+    the value distribution vs the previous day — one histogram aggregate,
+    window-vs-previous join on the tiny histogram relation."""
+    ev = _load(spark, sf, "events")
+    out = drift.windowed_psi(ev, "value", "ts", lo=0.0, hi=500.0,
+                             n_buckets=25, window_duration="1 day")
+    return out.select(F.to_date("window_start").cast("string").alias("day"),
+                      F.round("psi", 6).alias("psi"))
+
+
 def q_topn_flag_violation_rate(spark, sf):
     from pyspark.sql import Window
     li = _load(spark, sf, "lineitem")
@@ -552,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_events": q_hist_events,
         "drift_events_ks": q_drift_events_ks,
         "drift_events_psi": q_drift_events_psi,
+        "drift_events_windowed_psi": q_drift_events_windowed_psi,
         "topn_flag_violation_rate": q_topn_flag_violation_rate,
         "text_stats_documents": q_text_stats_documents,
         "langid_documents": q_langid_documents,
@@ -935,6 +947,35 @@ WHERE o.o_custkey IS NOT NULL
         "hist_events": f"SELECT side, bucket, n FROM ({_HIST_EVENTS_CTE}) h",
         "drift_events_ks": _KS_SQL,
         "drift_events_psi": _PSI_SQL,
+        "drift_events_windowed_psi": """
+WITH h AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS ws,
+         CASE WHEN value < 0 THEN 0
+              WHEN value >= 500 THEN 26
+              ELSE CAST(floor(value / 20) + 1 AS BIGINT) END AS bucket,
+         count(*) AS n
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), p AS (
+  SELECT ws, bucket, n * 1.0 / sum(n) OVER (PARTITION BY ws) AS p FROM h
+), pairs AS (
+  SELECT coalesce(c.ws, pv.ws + INTERVAL '1 day') AS ws,
+         coalesce(c.p, 0.0) AS p_cur,
+         coalesce(pv.p, 0.0) AS p_prev
+  FROM p c
+  FULL OUTER JOIN p pv
+    ON c.ws = pv.ws + INTERVAL '1 day' AND c.bucket = pv.bucket
+), valid AS (
+  SELECT ws FROM h GROUP BY ws
+  HAVING ws - INTERVAL '1 day' IN (SELECT DISTINCT ws FROM h)
+)
+SELECT CAST(CAST(ws AS DATE) AS VARCHAR) AS day,
+       round(sum((greatest(p_cur, 1e-6) - greatest(p_prev, 1e-6))
+                 * ln(greatest(p_cur, 1e-6) / greatest(p_prev, 1e-6))), 6)
+       AS psi
+FROM pairs WHERE ws IN (SELECT ws FROM valid)
+GROUP BY 1
+""",
         "topn_flag_violation_rate": """
 WITH r AS (
   SELECT l_returnflag,

@@ -70,6 +70,52 @@ def psi(hist: DataFrame, side_a: str, side_b: str,
               * F.log(F.col("p_a") / F.col("p_b"))).alias("psi"))
 
 
+def windowed_psi(df: DataFrame, value_col: str, time_col: str, *,
+                 lo: float, hi: float, n_buckets: int = 25,
+                 window_duration: str = "1 day",
+                 epsilon: float = 1e-6) -> DataFrame:
+    """Per-event-time-window PSI against the PREVIOUS window — continuous
+    drift monitoring over a tumbling-window histogram stream.
+
+    Scale shape: ONE hash-aggregate builds (window, bucket) counts — the
+    only shuffle that touches row-scale data; everything after (per-window
+    normalization, the window-vs-previous-window join, the PSI fold) runs
+    on the tiny histogram relation (n_windows * n_buckets rows). The first
+    window (no predecessor) is omitted rather than compared against an
+    all-epsilon phantom. Works identically on a batch frame or a windowed
+    streaming aggregate's sink (Spark's unified semantics).
+    """
+    step = F.expr(f"INTERVAL {window_duration}")
+    bucket = F.width_bucket(F.col(value_col).cast("double"),
+                            F.lit(float(lo)), F.lit(float(hi)),
+                            F.lit(n_buckets))
+    h = (df.where(F.col(value_col).isNotNull())
+           .groupBy(F.window(F.col(time_col), window_duration)
+                    .getField("start").alias("ws"),
+                    bucket.alias("bucket"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = Window.partitionBy("ws")
+    p = h.withColumn("p", F.col("n") / F.sum("n").over(tot))
+    cur = p.select("ws", "bucket", F.col("p").alias("p_cur"))
+    prev = p.select((F.col("ws") + step).alias("ws"), "bucket",
+                    F.col("p").alias("p_prev"))
+    # full outer per (window, bucket): a bucket empty on one side still
+    # contributes (its probability floors at epsilon)
+    joined = (cur.join(prev, ["ws", "bucket"], "full_outer")
+                 .fillna({"p_cur": 0.0, "p_prev": 0.0}))
+    # keep only windows that exist in the data AND have a predecessor
+    wins = h.select("ws").distinct()
+    valid = wins.join(wins.select((F.col("ws") + step).alias("ws")),
+                      "ws", "left_semi")
+    return (joined.join(valid, "ws", "left_semi")
+            .withColumn("p_cur", F.greatest("p_cur", F.lit(epsilon)))
+            .withColumn("p_prev", F.greatest("p_prev", F.lit(epsilon)))
+            .groupBy(F.col("ws").alias("window_start"))
+            .agg(F.sum((F.col("p_cur") - F.col("p_prev"))
+                       * F.log(F.col("p_cur") / F.col("p_prev")))
+                 .alias("psi")))
+
+
 def drift_check(df: DataFrame, value_col: str, side_col, side_a: str,
                 side_b: str, *, lo: float, hi: float, n_buckets: int = 50,
                 ks_threshold: float = 0.1, psi_threshold: float = 0.2) -> dict:

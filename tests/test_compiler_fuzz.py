@@ -29,7 +29,9 @@ _KEYWORDS = ["type", "enum", "const", "required", "maxLength", "minLength",
              "format", "$ref", "frobnicate",
              "uniqueItems", "contains", "minContains", "maxContains",
              "minProperties", "maxProperties", "dependentRequired",
-             "dependencies", "if", "then", "else", "propertyNames"]
+             "dependencies", "if", "then", "else", "propertyNames",
+             "patternProperties", "additionalItems", "prefixItems",
+             "$comment", "readOnly", "contentEncoding"]
 
 _scalars = st.one_of(
     st.none(), st.booleans(), st.integers(-5, 100),

@@ -204,3 +204,26 @@ def test_x_ref_n_items_hint_plumbed(spark):
                                      dims={"d": dim})
     assert {r.row_id for r in
             res.violations.where("keyword = 'ref'").collect()} == {"b"}
+
+
+def test_windowed_psi_detects_day_shift(spark):
+    """Per-window PSI vs previous window: a deliberate day-3 distribution
+    shift must spike while stable day-pairs stay near zero; the first
+    window emits no row (no predecessor)."""
+    import datetime
+    from remark_lint_frontmatter_schema_spark.operators import drift
+    rows = []
+    base = datetime.datetime(2026, 1, 1)
+    for day in range(4):
+        for i in range(400):
+            # days 0-2: uniform over [0,100); day 3: shifted to [200,300)
+            v = (i % 100) + (200 if day == 3 else 0)
+            rows.append((base + datetime.timedelta(days=day, seconds=i),
+                         float(v)))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {str(r.window_start.date()): r.psi
+           for r in drift.windowed_psi(df, "value", "ts", lo=0.0, hi=400.0,
+                                       n_buckets=20).collect()}
+    assert set(out) == {"2026-01-02", "2026-01-03", "2026-01-04"}
+    assert out["2026-01-02"] < 0.01 and out["2026-01-03"] < 0.01
+    assert out["2026-01-04"] > 5.0  # disjoint supports -> huge PSI
