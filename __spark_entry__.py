@@ -471,6 +471,31 @@ def q_validate_lineitem_declarative(spark, sf):
                                  "message")
 
 
+EVENTS_DRIFT_RULESET = {
+    "properties": {
+        "value": {"x-drift": {"partition_col": "event_type",
+                              "side_a": "error", "side_b": "purchase",
+                              "lo": 0, "hi": 500, "n_buckets": 25,
+                              "ks_threshold": 0.01,
+                              "psi_threshold": 0.01}},
+    },
+}
+
+
+def q_validate_events_drift_declarative(spark, sf):
+    """x-drift declarative table check (north_star drift detection driven
+    from the same JSON-Schema-style document as row checks): one run-level
+    violation row when KS or PSI crosses its declared threshold."""
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    ev = _load(spark, sf, "events")
+    compiled = compile_ruleset(EVENTS_DRIFT_RULESET, ev.schema,
+                               name="evdrift")
+    res = validate_with_table_checks(ev, compiled, row_id="event_id")
+    return res.violations.select("row_id", "constraint_id", "keyword",
+                                 "instance_path", "message", "actual")
+
+
 def q_stats_rollup_lineitem(spark, sf):
     """Hierarchical stats via ROLLUP (SURVEY §2.4 A8): per
     (returnflag, linestatus), per returnflag subtotal, and grand total in
@@ -585,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_verdicts_events": q_windowed_verdicts_events,
         "stats_rollup_lineitem": q_stats_rollup_lineitem,
         "validate_lineitem_declarative": q_validate_lineitem_declarative,
+        "validate_events_drift_declarative": q_validate_events_drift_declarative,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1104,6 +1130,17 @@ SELECT CAST(o_orderkey AS VARCHAR),
 FROM orders WHERE o_orderkey IS NOT NULL AND o_custkey IS NULL
 """,
         "curate_documents": _curate_oracle_sql(),
+        "validate_events_drift_declarative": f"""
+WITH k AS ({_KS_SQL}), p AS ({_PSI_SQL})
+SELECT 'error~purchase' AS row_id,
+       'drift:value' AS constraint_id,
+       'drift' AS keyword,
+       '/value' AS instance_path,
+       'Distribution drift on ''value'' (error vs purchase): ks>0.01 or psi>0.01' AS message,
+       'ks=' || CAST(k.ks_stat AS VARCHAR) || ' psi=' || CAST(p.psi AS VARCHAR) AS actual
+FROM k, p
+WHERE k.ks_stat > 0.01 OR p.psi > 0.01
+""",
         "validate_lineitem_declarative": """
 SELECT concat(CAST(l_orderkey AS VARCHAR), '-', CAST(l_linenumber AS VARCHAR)) AS row_id,
        'lifull:/l_quantity:minimum' AS constraint_id, 'minimum' AS keyword,

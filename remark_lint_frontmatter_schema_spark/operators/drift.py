@@ -116,6 +116,47 @@ def windowed_psi(df: DataFrame, value_col: str, time_col: str, *,
                  .alias("psi")))
 
 
+def drift_violations(df: DataFrame, value_col: str, *, partition_col: str,
+                     side_a: str, side_b: str, lo: float, hi: float,
+                     n_buckets: int = 25, ks_threshold: float = 0.1,
+                     psi_threshold: float = 0.2,
+                     ruleset_name: str = "engine") -> DataFrame:
+    """Lazy violation-row form of :func:`drift_check` for the ``x-drift``
+    declarative table check: at most ONE run-level violation row (shaped
+    like operators/validate.py VIOLATION_FIELDS so it unions with row
+    checks), emitted when either statistic crosses its threshold.
+
+    KS and PSI each consume the histogram aggregate; kept lazy (no
+    persist/collect) so the declarative plan composes — two passes over a
+    single-column histogram-sized relation, the base scan still reads only
+    ``(value_col, partition_col)``.
+    """
+    hist = histogram(df, value_col, partition_col, lo=lo, hi=hi,
+                     n_buckets=n_buckets)
+    ks = ks_statistic(hist, str(side_a), str(side_b))
+    p = psi(hist, str(side_a), str(side_b))
+    j = ks.crossJoin(p).select(F.round("ks_stat", 6).alias("ks_stat"),
+                               F.round("psi", 6).alias("psi"))
+    drifted = j.where((F.col("ks_stat") > ks_threshold)
+                      | (F.col("psi") > psi_threshold))
+    return drifted.select(
+        F.lit(f"{side_a}~{side_b}").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"drift:{value_col}").alias("constraint_id"),
+        F.lit("drift").alias("keyword"),
+        F.lit(f"/{value_col}").alias("instance_path"),
+        F.lit(f"#/x-drift/{value_col}").alias("schema_path"),
+        F.lit(f"Distribution drift on '{value_col}' "
+              f"({side_a} vs {side_b}): ks>{ks_threshold} "
+              f"or psi>{psi_threshold}").alias("message"),
+        F.concat(F.lit("ks="), F.col("ks_stat").cast("string"),
+                 F.lit(" psi="), F.col("psi").cast("string")).alias("actual"),
+        F.lit(None).cast("array<string>").alias("expected"),
+        F.lit("warning").alias("severity"),
+    )
+
+
 def drift_check(df: DataFrame, value_col: str, side_col, side_a: str,
                 side_b: str, *, lo: float, hi: float, n_buckets: int = 50,
                 ks_threshold: float = 0.1, psi_threshold: float = 0.2) -> dict:

@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 
 from ..plans.compiler import CompiledRuleset
+from .drift import drift_violations
 from .referential import referential_violations
 from .uniqueness import uniqueness_violations
 from .validate import ValidationResult, validate
@@ -67,6 +68,9 @@ def validate_with_table_checks(
                 row_id=row_id, ruleset_name=compiled.name,
                 use_bloom=params["bloom"],
                 n_items_hint=params.get("n_items")))
+        elif kind == "drift":
+            extras.append(drift_violations(
+                df, column, ruleset_name=compiled.name, **params))
     table_v = None
     if extras:
         table_v = extras[0]

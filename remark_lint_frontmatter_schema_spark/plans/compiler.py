@@ -67,9 +67,10 @@ _KNOWN_KEYWORDS = {
     "if", "then", "else", "propertyNames",
     # engine extension points (reference analog: custom Ajv keywords via
     # ajvOptions, index.ts:49): named vectorized pandas-UDF check, plus
-    # table-level declarations (uniqueness / referential) that compile into
-    # CompiledRuleset.table_checks and run as separate relational passes
-    "x-spark-check", "x-unique", "x-ref",
+    # table-level declarations (uniqueness / referential / drift) that
+    # compile into CompiledRuleset.table_checks and run as separate
+    # relational passes
+    "x-spark-check", "x-unique", "x-ref", "x-drift",
 }
 
 
@@ -349,6 +350,11 @@ _KEYWORD_SHAPE = {
     and (v.get("n_items") is None
          or (isinstance(v["n_items"], int) and not isinstance(v["n_items"], bool)
              and v["n_items"] > 0)),
+    "x-drift": lambda v: isinstance(v, dict)
+    and isinstance(v.get("partition_col"), str)
+    and v.get("side_a") is not None and v.get("side_b") is not None
+    and isinstance(v.get("lo"), _NUM) and not isinstance(v.get("lo"), bool)
+    and isinstance(v.get("hi"), _NUM) and not isinstance(v.get("hi"), bool),
 }
 
 
@@ -725,6 +731,21 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
                   "n_items": p.get("n_items")}))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-ref"))
+
+    if "x-drift" in schema and not ctx.silent:
+        if is_top:
+            p = schema["x-drift"]
+            ctx.out.table_checks.append(
+                ("drift", ctx.instance_path[1:], {
+                    "partition_col": p["partition_col"],
+                    "side_a": p["side_a"], "side_b": p["side_b"],
+                    "lo": float(p["lo"]), "hi": float(p["hi"]),
+                    "n_buckets": int(p.get("n_buckets", 25)),
+                    "ks_threshold": float(p.get("ks_threshold", 0.1)),
+                    "psi_threshold": float(p.get("psi_threshold", 0.2)),
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-drift"))
 
     if "x-spark-check" in schema and ctx.col is not None:
         name = schema["x-spark-check"]

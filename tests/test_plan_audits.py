@@ -92,3 +92,40 @@ def test_predicate_pushdown_reaches_parquet(spark, clips_path):
     import re
     m = re.search(r"PushedFilters: \[(.*?)\]", plan)
     assert m and "sr_hz" in m.group(1), plan
+
+
+def test_simhash_signatures_hash_array_staged_once(spark):
+    """Regression guard for the staged SimHash plan: the token-hash array
+    must appear ONCE in the optimized plan (lower projection), not be
+    re-inlined into each of the 64 bit-vote aggregates by CollapseProject
+    (the 64x tokenize+hash trap, fixed round 2)."""
+    from remark_lint_frontmatter_schema_spark.operators import dedup
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    plan = dedup.simhash_signatures_df(df, "text", "doc_id") \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("xxhash64") == 1, plan
+
+
+def test_map_additional_properties_keeps_codegen_fast_path(spark):
+    """additionalProperties:false on a map with no patternProperties must
+    compile to array_except (codegen-able), not an F.filter lambda
+    (CodegenFallback — measured 2.3x slower on the suite query); with
+    patternProperties in play the filter form is required."""
+    import pyspark.sql.types as T
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    sch = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("m", T.MapType(T.StringType(), T.StringType())),
+    ])
+    c1 = compile_ruleset(
+        {"properties": {"m": {"properties": {"k": {}},
+                              "additionalProperties": False}}},
+        sch, name="fast")
+    (chk,) = c1.checks
+    assert "array_except" in str(chk.violated._jc)
+    c2 = compile_ruleset(
+        {"properties": {"m": {"patternProperties": {"^x_": {}},
+                              "additionalProperties": False}}},
+        sch, name="slow")
+    ap = [c for c in c2.checks if c.keyword == "additionalProperties"][0]
+    assert "array_except" not in str(ap.violated._jc)

@@ -227,3 +227,43 @@ def test_windowed_psi_detects_day_shift(spark):
     assert set(out) == {"2026-01-02", "2026-01-03", "2026-01-04"}
     assert out["2026-01-02"] < 0.01 and out["2026-01-03"] < 0.01
     assert out["2026-01-04"] > 5.0  # disjoint supports -> huge PSI
+
+
+def test_x_drift_declarative(spark):
+    """x-drift in the DSL: emits one run-level violation row when the
+    declared distribution split crosses a threshold, nothing when the
+    sides agree; nested x-drift surfaces as unknown."""
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    rows = ([("a", float(i % 50)) for i in range(400)]
+            + [("b", float(i % 50) + 40.0) for i in range(400)]
+            + [("c", float(i % 50)) for i in range(400)])
+    df = spark.createDataFrame(rows, "side string, v double") \
+              .withColumn("rid", F.monotonically_increasing_id())
+    rs_hit = {"properties": {"v": {"x-drift": {
+        "partition_col": "side", "side_a": "a", "side_b": "b",
+        "lo": 0, "hi": 100, "n_buckets": 20}}}}
+    compiled = compile_ruleset(rs_hit, df.schema, name="dr")
+    assert compiled.table_checks == [("drift", "v", {
+        "partition_col": "side", "side_a": "a", "side_b": "b",
+        "lo": 0.0, "hi": 100.0, "n_buckets": 20,
+        "ks_threshold": 0.1, "psi_threshold": 0.2})]
+    got = validate_with_table_checks(df, compiled, row_id="rid") \
+        .violations.collect()
+    assert len(got) == 1 and got[0].keyword == "drift"
+    assert got[0].actual.startswith("ks=")
+    # identical distributions -> no violation
+    rs_ok = {"properties": {"v": {"x-drift": {
+        "partition_col": "side", "side_a": "a", "side_b": "c",
+        "lo": 0, "hi": 100, "n_buckets": 20}}}}
+    c2 = compile_ruleset(rs_ok, df.schema, name="dr2")
+    assert validate_with_table_checks(df, c2, row_id="rid") \
+        .violations.count() == 0
+    # nested -> unknown, not silently dropped
+    c3 = compile_ruleset(
+        {"properties": {"m": {"properties": {"v": {"x-drift": {
+            "partition_col": "side", "side_a": "a", "side_b": "b",
+            "lo": 0, "hi": 1}}}}}},
+        df.schema, name="dr3")
+    assert not c3.table_checks
