@@ -85,15 +85,37 @@ def windowed_psi(df: DataFrame, value_col: str, time_col: str, *,
     all-epsilon phantom. Works identically on a batch frame or a windowed
     streaming aggregate's sink (Spark's unified semantics).
     """
-    step = F.expr(f"INTERVAL {window_duration}")
+    h = windowed_histogram(df, value_col, time_col, lo=lo, hi=hi,
+                           n_buckets=n_buckets,
+                           window_duration=window_duration)
+    return psi_vs_previous_window(h, window_duration=window_duration,
+                                  epsilon=epsilon)
+
+
+def windowed_histogram(df: DataFrame, value_col: str, time_col: str, *,
+                       lo: float, hi: float, n_buckets: int = 25,
+                       window_duration: str = "1 day") -> DataFrame:
+    """(ws, bucket, n) tumbling-window histogram — the partial-count unit
+    both the batch and the streaming (foreachBatch-appended) drift paths
+    produce; counts are additive, so appended partials merge with a plain
+    sum."""
     bucket = F.width_bucket(F.col(value_col).cast("double"),
                             F.lit(float(lo)), F.lit(float(hi)),
                             F.lit(n_buckets))
-    h = (df.where(F.col(value_col).isNotNull())
-           .groupBy(F.window(F.col(time_col), window_duration)
-                    .getField("start").alias("ws"),
-                    bucket.alias("bucket"))
-           .agg(F.count(F.lit(1)).alias("n")))
+    return (df.where(F.col(value_col).isNotNull())
+              .groupBy(F.window(F.col(time_col), window_duration)
+                       .getField("start").alias("ws"),
+                       bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n")))
+
+
+def psi_vs_previous_window(h: DataFrame, *, window_duration: str = "1 day",
+                           epsilon: float = 1e-6) -> DataFrame:
+    """Per-window PSI vs the previous window over a (ws, bucket, n)
+    histogram relation (possibly accumulated partials — they are summed
+    first). Everything here runs on histogram-sized data."""
+    step = F.expr(f"INTERVAL {window_duration}")
+    h = h.groupBy("ws", "bucket").agg(F.sum("n").alias("n"))
     tot = Window.partitionBy("ws")
     p = h.withColumn("p", F.col("n") / F.sum("n").over(tot))
     cur = p.select("ws", "bucket", F.col("p").alias("p_cur"))

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.drift import psi_vs_previous_window, windowed_histogram
 from ..operators.validate import n_violations_expr
 from ..plans.compiler import CompiledRuleset
 
@@ -92,3 +93,54 @@ def run_windowed_stream(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def run_drift_stream(
+    spark,
+    input_path: str,
+    input_schema,
+    *,
+    value_col: str,
+    time_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 25,
+    window_duration: str = "1 day",
+    hist_sink: str,
+    checkpoint: str,
+):
+    """Continuous drift monitoring over a file-source stream: each
+    micro-batch reduces to PARTIAL (ws, bucket, n) histogram counts
+    (``operators.drift.windowed_histogram``) appended to ``hist_sink`` —
+    counts are additive, so partials from any number of batches merge with
+    a plain sum at read time. State is bounded by the histogram size, not
+    the row count, and the exactly-once append comes from the checkpointed
+    foreachBatch sink (same pattern as ``incremental.validate_stream``).
+
+    Returns the started query (availableNow trigger — drain then stop).
+    Read the monitor with :func:`drift_psi_from_sink`.
+    """
+    stream = (spark.readStream.schema(input_schema)
+              .option("maxFilesPerTrigger", "4")
+              .parquet(input_path))
+
+    def process_batch(batch_df, batch_id: int):
+        h = windowed_histogram(batch_df, value_col, time_col, lo=lo, hi=hi,
+                               n_buckets=n_buckets,
+                               window_duration=window_duration)
+        h.write.mode("append").parquet(hist_sink)
+
+    return (stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())
+
+
+def drift_psi_from_sink(spark, hist_sink: str, *,
+                        window_duration: str = "1 day",
+                        epsilon: float = 1e-6):
+    """Per-window PSI vs previous window over the accumulated histogram
+    partials a drift stream appended — identical numerics to the batch
+    ``drift.windowed_psi`` on the same rows (pinned by test)."""
+    h = spark.read.parquet(hist_sink)
+    return psi_vs_previous_window(h, window_duration=window_duration,
+                                  epsilon=epsilon)

@@ -171,3 +171,41 @@ def test_duration_consistency_is_single_map_stage(clips):
     plan = audio.duration_consistency_violations(clips)._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_streaming_drift_matches_batch(spark, tmp_path):
+    """Streaming drift (foreachBatch partial histograms -> sink -> PSI)
+    must agree exactly with batch windowed_psi on the same rows, with the
+    injected day-3 shift visible through the streaming path."""
+    import datetime
+    from pyspark.sql import functions as F
+    from remark_lint_frontmatter_schema_spark.operators import drift
+    from remark_lint_frontmatter_schema_spark.streaming.windowed import (
+        drift_psi_from_sink, run_drift_stream)
+    base = datetime.datetime(2026, 3, 1)
+    rows = []
+    for day in range(4):
+        for i in range(300):
+            v = float((i % 80) + (150 if day == 3 else 0))
+            rows.append((base + datetime.timedelta(days=day, seconds=i), v))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    src = str(tmp_path / "src")
+    # several files so the stream takes multiple micro-batches
+    df.repartition(8).write.parquet(src)
+
+    q = run_drift_stream(
+        spark, src, df.schema, value_col="value", time_col="ts",
+        lo=0.0, hi=300.0, n_buckets=30,
+        hist_sink=str(tmp_path / "hist"),
+        checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {str(r.window_start.date()): r.psi
+           for r in drift_psi_from_sink(
+               spark, str(tmp_path / "hist")).collect()}
+    want = {str(r.window_start.date()): r.psi
+            for r in drift.windowed_psi(df, "value", "ts", lo=0.0, hi=300.0,
+                                        n_buckets=30).collect()}
+    assert got == want                      # exact numeric agreement
+    assert got["2026-03-04"] > 1.0          # the shift is visible
+    assert got["2026-03-02"] < 0.01
