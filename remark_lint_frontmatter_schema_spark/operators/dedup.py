@@ -100,10 +100,16 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def char_shingles(col, n: int = 3):
+    """Distinct character n-grams; texts shorter than ``n`` (and NULL)
+    yield the EMPTY set. The guard matters: ``sequence(1, 0)`` is the
+    descending array [1, 0] (not empty), and ``substr`` treats position 0
+    like 1 — without the guard every short/empty/NULL text got one bogus
+    shingle, so e.g. two NULL-text docs compared as Jaccard-1 near-dups."""
     c = F.col(col) if isinstance(col, str) else col
     n_sh = F.greatest(F.length(c) - n + 1, F.lit(0))
-    return F.array_distinct(
+    arr = F.array_distinct(
         F.transform(F.sequence(F.lit(1), n_sh), lambda i: c.substr(i, F.lit(n))))
+    return F.when(n_sh > 0, arr).otherwise(F.array().cast("array<string>"))
 
 
 def jaccard(a, b):

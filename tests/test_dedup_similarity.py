@@ -260,3 +260,22 @@ def test_minhash_recall_vs_exact_jaccard(spark):
     recall = len(set(got) & exact) / len(exact)
     assert recall >= 0.9, f"recall {recall} below bound; missed: {exact - set(got)}"
     dedup.release_all()
+
+
+def test_short_and_null_texts_have_empty_shingle_sets(spark):
+    """Regression: sequence(1,0) is [1,0] (descending) and substr treats
+    position 0 as 1, so short/empty/NULL texts used to get one bogus
+    shingle — two NULL-text docs compared as Jaccard-1 near-dups."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "ab"), (4, "ab"), (5, "abcdef")],
+        "doc_id int, text string")
+    sizes = {r.doc_id: r.n for r in df.select(
+        "doc_id", F.size(dedup.char_shingles("text", 3)).alias("n")).collect()}
+    assert sizes == {1: 0, 2: 0, 3: 0, 4: 0, 5: 4}
+    # no pairs among empty/NULL/short docs (empty sets never match)
+    pairs = dedup.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.1,
+                                      allow_full_cross=True).collect()
+    assert pairs == []
+    # minhash path: empty-shingle docs simply produce no signature
+    sigs = dedup.minhash_signatures_df(df, "text", "doc_id")
+    assert {r.id for r in sigs.collect()} == {5}
