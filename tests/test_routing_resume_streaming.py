@@ -244,3 +244,38 @@ def test_path_valued_schema_routing(spark, tmp_path):
     # unresolvable path -> load artifact
     assert any(name == "schemas/missing.yaml" and stage == "load"
                for name, stage, _ in rep.errors)
+
+
+def test_single_pass_routing_matches_multi_pass(clips):
+    """Fused routing (all rulesets' checks guarded into ONE projection /
+    one scan) must produce exactly the multi-pass violations and
+    per-(partition, ruleset) verdicts."""
+    from remark_lint_frontmatter_schema_spark.plans.routing import (
+        route_and_validate_single_pass)
+    multi = route_and_validate(clips, row_id="clip_id", registry=REGISTRY,
+                               ruleset_col="ruleset_id",
+                               partition_col="part_date")
+    fused = route_and_validate_single_pass(
+        clips, row_id="clip_id", registry=REGISTRY,
+        ruleset_col="ruleset_id", partition_col="part_date")
+    assert sorted(fused["routed"]) == sorted(
+        p.ruleset_name for p in multi.passes)
+    assert fused["errors"] == multi.errors
+
+    def viol_set(df):
+        return {(r.row_id, r.ruleset_id, r.constraint_id, r.message,
+                 r.actual) for r in df.collect()}
+
+    assert viol_set(fused["violations"]) == viol_set(multi.violations)
+
+    def verdict_set(df):
+        return {(r.partition_id, r.ruleset_id, r.n_rows, r.n_violations,
+                 r.n_failed_rows, r.passed) for r in df.collect()}
+
+    assert verdict_set(fused["verdicts"]) == verdict_set(multi.verdicts)
+    # and it is genuinely one scan: a single FileScan/LocalTableScan in
+    # the fused violations plan vs one per routed ruleset in multi-pass
+    fused_plan = fused["violations"]._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    n_scans = fused_plan.count("Relation") + fused_plan.count("LogicalRDD")
+    assert n_scans == 1, fused_plan
