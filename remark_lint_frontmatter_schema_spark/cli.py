@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "--ruleset-col values (default: config dir, then "
                          "the input's dir — the reference's two-step "
                          "$schema resolution, index.ts:227-238)")
+    ap.add_argument("--single-pass", action="store_true",
+                    help="fuse all routed rulesets into one scan "
+                         "(route_and_validate_single_pass); identical "
+                         "output, R scans -> 1. No effect with --embed.")
     return ap
 
 
@@ -116,13 +120,29 @@ def main(argv: list[str] | None = None) -> int:
             ([os.path.dirname(os.path.abspath(cfg_path))] if cfg_path
              else []) + [input_dir]))
 
-    report = route_and_validate(
-        df, row_id=args.row_id, registry=registry, embed=embed,
-        ruleset_col=ruleset_col, patterns=patterns,
-        partition_col=args.partition_col, run_id=args.run_id,
-        schema_dirs=schema_dirs)
+    if args.single_pass and embed is None:
+        from .plans.routing import route_and_validate_single_pass
 
-    violations, verdicts = report.violations, report.verdicts
+        fused = route_and_validate_single_pass(
+            df, row_id=args.row_id, registry=registry,
+            ruleset_col=ruleset_col, patterns=patterns,
+            partition_col=args.partition_col, run_id=args.run_id,
+            schema_dirs=schema_dirs)
+        violations, verdicts = fused["violations"], fused["verdicts"]
+
+        class _FusedReport:
+            errors = fused["errors"]
+            passes = [type("P", (), {"ruleset_name": n, "source": "fused"})()
+                      for n in fused["routed"]]
+
+        report = _FusedReport()
+    else:
+        report = route_and_validate(
+            df, row_id=args.row_id, registry=registry, embed=embed,
+            ruleset_col=ruleset_col, patterns=patterns,
+            partition_col=args.partition_col, run_id=args.run_id,
+            schema_dirs=schema_dirs)
+        violations, verdicts = report.violations, report.verdicts
 
     # The violations relation can be consumed up to three times (count,
     # sink write, report render) — persist it once instead of re-running
