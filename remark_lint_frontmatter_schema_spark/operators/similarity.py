@@ -79,6 +79,61 @@ def sample_centroids(df: DataFrame, vec_col: str, id_col: str,
     return [[float(x) for x in r.v] for r in rows]
 
 
+def farthest_point_centroids(df: DataFrame, vec_col: str, id_col: str,
+                             n_cells: int, *,
+                             sample_n: int = 4096) -> list[list[float]]:
+    """Greedy k-center (farthest-point) seeding over a deterministic
+    hash-ordered sample — the k-means++-style spread guarantee without
+    RNG: plain hash sampling can drop two seeds in one cluster and leave
+    another cluster seedless, which Lloyd iterations cannot repair. One
+    small collect (<= sample_n rows); the greedy loop is driver-side
+    numpy over the sample."""
+    import numpy as np
+    rows = (df.select(F.col(vec_col).cast("array<double>").alias("v"),
+                      F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+              .orderBy("h", "v").limit(sample_n).collect())
+    pts = np.array([r.v for r in rows], dtype=np.float64)
+    if len(pts) == 0:
+        return []
+    n = min(n_cells, len(pts))
+    chosen = [0]
+    d = ((pts - pts[0]) ** 2).sum(axis=1)
+    for _ in range(n - 1):
+        i = int(np.argmax(d))
+        chosen.append(i)
+        d = np.minimum(d, ((pts - pts[i]) ** 2).sum(axis=1))
+    return [[float(x) for x in pts[i]] for i in chosen]
+
+
+def kmeans_centroids(df: DataFrame, vec_col: str, id_col: str,
+                     n_cells: int, *, dim: int, n_iter: int = 2) -> list[list[float]]:
+    """Lloyd-refined IVF centroids, fully distributed and deterministic.
+
+    Seeded from :func:`farthest_point_centroids` (deterministic greedy
+    k-center — hash sampling alone can double-seed one cluster and miss
+    another, unrecoverable by Lloyd), then
+    ``n_iter`` rounds of assign + per-cell mean. The mean is ``dim``
+    ``avg(element_at(vec, i))`` aggregates — no explode, so each round is
+    one scan + a shuffle of ``n_cells x dim`` partial sums (map-side
+    combined). Empty cells keep their previous centroid. Refined cells
+    tighten the IVF partition pruning: fewer probes reach the same recall,
+    so the scan fraction per query drops.
+    """
+    cents = farthest_point_centroids(df, vec_col, id_col, n_cells)
+    v = F.col(vec_col).cast("array<double>")
+    for _ in range(n_iter):
+        assigned = assign_cells(df, vec_col, cents)
+        rows = (assigned
+                .groupBy("_cell")
+                .agg(*[F.avg(F.element_at(v, i + 1)).alias(f"c{i}")
+                       for i in range(dim)])
+                .collect())
+        by_cell = {r._cell: [float(r[f"c{i}"]) for i in range(dim)]
+                   for r in rows}
+        cents = [by_cell.get(ci, cents[ci]) for ci in range(len(cents))]
+    return cents
+
+
 def cosine_topk_ivf(df: DataFrame, vec_col: str, id_col: str,
                     query: list[float], k: int = 10, *, n_cells: int = 16,
                     n_probe: int = 4,

@@ -279,3 +279,38 @@ def test_short_and_null_texts_have_empty_shingle_sets(spark):
     # minhash path: empty-shingle docs simply produce no signature
     sigs = dedup.minhash_signatures_df(df, "text", "doc_id")
     assert {r.id for r in sigs.collect()} == {5}
+
+
+def test_kmeans_centroids_improve_ivf_pruning(spark):
+    """Lloyd-refined centroids on clustered data: every cluster gets its
+    own cell, so a 1-probe IVF query returns exactly the brute-force
+    top-k; deterministic (hash-seeded, no RNG)."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    centers = rng.normal(0, 5, (4, 8))
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(50):
+            rows.append((vid, [float(x) for x in c + rng.normal(0, 0.05, 8)]))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = similarity.kmeans_centroids(df, "embedding", "vec_id", 4,
+                                        dim=8, n_iter=3)
+    assert len(cents) == 4
+    # refined centroids separate the 4 true clusters: assignment is pure
+    cells = similarity.assign_cells(df, "embedding", cents) \
+        .select("vec_id", "_cell").collect()
+    by_cluster = {}
+    for r in cells:
+        by_cluster.setdefault(r.vec_id // 50, set()).add(r._cell)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert len(set().union(*by_cluster.values())) == 4
+    # 1-probe IVF == brute force for an in-cluster query
+    q = [float(x) for x in centers[0]]
+    brute = [r.vec_id for r in similarity.cosine_topk(
+        df, "embedding", "vec_id", q, k=10).collect()]
+    ivf = [r.vec_id for r in similarity.cosine_topk_ivf(
+        df, "embedding", "vec_id", q, k=10, centroids=cents,
+        n_probe=1).collect()]
+    assert ivf == brute
