@@ -170,6 +170,14 @@ def q_drift_events_psi(spark, sf):
         .select(F.round("psi", 6).alias("psi"))
 
 
+def q_drift_events_chi2(spark, sf):
+    """Chi-square drift statistic over the same histogram relation as
+    KS/PSI (contingency form; count-scaled complement to both)."""
+    h = _events_hist(spark, sf)
+    return drift.chi_square(h, "error", "purchase") \
+        .select(F.round("chi2", 4).alias("chi2"))
+
+
 def q_drift_events_windowed_psi(spark, sf):
     """Continuous drift monitoring (SURVEY W1 extension): per-day PSI of
     the value distribution vs the previous day — one histogram aggregate,
@@ -588,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_events": q_hist_events,
         "drift_events_ks": q_drift_events_ks,
         "drift_events_psi": q_drift_events_psi,
+        "drift_events_chi2": q_drift_events_chi2,
         "drift_events_windowed_psi": q_drift_events_windowed_psi,
         "topn_flag_violation_rate": q_topn_flag_violation_rate,
         "text_stats_documents": q_text_stats_documents,
@@ -973,6 +982,17 @@ WHERE o.o_custkey IS NOT NULL
         "hist_events": f"SELECT side, bucket, n FROM ({_HIST_EVENTS_CTE}) h",
         "drift_events_ks": _KS_SQL,
         "drift_events_psi": _PSI_SQL,
+        "drift_events_chi2": f"""
+WITH h AS ({_HIST_EVENTS_CTE}),
+e AS (
+  SELECT side, bucket, n,
+         sum(n) OVER (PARTITION BY bucket) * sum(n) OVER (PARTITION BY side)
+           * 1.0 / sum(n) OVER () AS expected
+  FROM h
+)
+SELECT round(sum((n - expected) * (n - expected) / expected), 4) AS chi2
+FROM e
+""",
         "drift_events_windowed_psi": """
 WITH h AS (
   SELECT time_bucket(INTERVAL '1 day', ts) AS ws,

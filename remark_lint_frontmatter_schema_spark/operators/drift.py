@@ -70,6 +70,25 @@ def psi(hist: DataFrame, side_a: str, side_b: str,
               * F.log(F.col("p_a") / F.col("p_b"))).alias("psi"))
 
 
+def chi_square(hist: DataFrame, side_a: str, side_b: str) -> DataFrame:
+    """Two-sample chi-square statistic over the shared histogram relation:
+    sum over buckets of (n_a - E_a)^2/E_a + (n_b - E_b)^2/E_b with
+    E_side = row_total * side_total / grand_total (standard contingency
+    form). Complements KS (shape shifts) and PSI (probability ratios)
+    with a count-scaled test; like them it runs entirely on the tiny
+    histogram relation."""
+    ab = hist.where(F.col("side").isin(side_a, side_b))
+    tot_side = Window.partitionBy("side")
+    tot_bucket = Window.partitionBy("bucket")
+    tot_all = Window.partitionBy()
+    e = ab.withColumn(
+        "expected",
+        F.sum("n").over(tot_bucket) * F.sum("n").over(tot_side)
+        / F.sum("n").over(tot_all))
+    return e.agg(F.sum((F.col("n") - F.col("expected")) ** 2
+                       / F.col("expected")).alias("chi2"))
+
+
 def windowed_psi(df: DataFrame, value_col: str, time_col: str, *,
                  lo: float, hi: float, n_buckets: int = 25,
                  window_duration: str = "1 day",

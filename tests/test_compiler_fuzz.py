@@ -31,7 +31,8 @@ _KEYWORDS = ["type", "enum", "const", "required", "maxLength", "minLength",
              "minProperties", "maxProperties", "dependentRequired",
              "dependencies", "if", "then", "else", "propertyNames",
              "patternProperties", "additionalItems", "prefixItems",
-             "$comment", "readOnly", "contentEncoding"]
+             "$comment", "readOnly", "contentEncoding",
+             "x-unique", "x-ref", "x-drift", "x-spark-check"]
 
 _scalars = st.one_of(
     st.none(), st.booleans(), st.integers(-5, 100),
