@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 
 from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
 from remark_lint_frontmatter_schema_spark.operators import (
-    curate, dedup, drift, referential, similarity, stats, text, uniqueness)
+    curate, dedup, drift, referential, sampling, similarity, stats, text,
+    uniqueness)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -542,6 +543,31 @@ def q_windowed_verdicts_events(spark, sf):
                                    window_duration="1 day")
 
 
+def q_sample_documents(spark, sf):
+    """Deterministic hash-threshold sampling (operators/sampling.py):
+    membership = sha256(id) prefix below threshold — pure map, identical
+    rows on every run."""
+    docs = _load(spark, sf, "documents")
+    return sampling.hash_sample(docs, "doc_id", 0.25).select("doc_id")
+
+
+def q_stratified_documents(spark, sf):
+    """Deterministic n-per-stratum sample (hash-rank within language)."""
+    docs = _load(spark, sf, "documents")
+    return sampling.stratified_topn(docs, "lang", "doc_id", 40) \
+        .select("doc_id", "lang")
+
+
+def q_budget_documents(spark, sf):
+    """Token-budget curation: keep docs in deterministic hash order while
+    cumulative length stays within budget — scalable prefix sum (range
+    partitions + offset join, no global single-task window)."""
+    docs = _load(spark, sf, "documents").select(
+        "doc_id", F.length("text").alias("w"))
+    return sampling.take_until_budget(docs, "w", "doc_id", 60000.0,
+                                     n_partitions=8).select("doc_id")
+
+
 def q_curate_documents(spark, sf):
     """Composed training-data curation (SURVEY §8 dedup+text rows): one
     scan -> staged profile -> fingerprint-window dedup -> gate reasons."""
@@ -616,6 +642,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_embeddings_array": q_validate_embeddings_array,
         "validate_orders_conditional": q_validate_orders_conditional,
         "curate_documents": q_curate_documents,
+        "sample_documents": q_sample_documents,
+        "stratified_documents": q_stratified_documents,
+        "budget_documents": q_budget_documents,
         "windowed_verdicts_events": q_windowed_verdicts_events,
         "stats_rollup_lineitem": q_stats_rollup_lineitem,
         "validate_lineitem_declarative": q_validate_lineitem_declarative,
@@ -1150,6 +1179,30 @@ SELECT CAST(o_orderkey AS VARCHAR),
 FROM orders WHERE o_orderkey IS NOT NULL AND o_custkey IS NULL
 """,
         "curate_documents": _curate_oracle_sql(),
+        "sample_documents": """
+SELECT doc_id FROM documents
+WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+""",
+        "stratified_documents": """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 40
+""",
+        "budget_documents": """
+SELECT doc_id FROM (
+  SELECT doc_id,
+         sum(length(text)) OVER (
+           ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM documents
+) WHERE cum <= 60000
+""",
         "validate_events_drift_declarative": f"""
 WITH k AS ({_KS_SQL}), p AS ({_PSI_SQL})
 SELECT 'error~purchase' AS row_id,

@@ -1,0 +1,121 @@
+"""Deterministic sampling / mixing / budget-cap operators for
+training-data curation (SURVEY §8 family; no reference analog — the
+north-star pipeline needs them at 10^12 rows).
+
+Everything here is DETERMINISTIC — no RNG, no sampling seed state: order
+and membership derive from sha2 of the row id, so reruns, retries and
+audits reproduce byte-identical samples (the same property the dedup
+survivor rule has via min(id)).
+
+Scale notes per operator:
+
+* ``hash_sample`` — pure map (one filter on a hash prefix), no shuffle.
+* ``stratified_topn`` — one shuffle on the stratum key; a pathologically
+  hot stratum serializes its own rank window, so the per-stratum work is
+  bounded with a pre-filter (see the function docstring).
+* ``take_until_budget`` — a scalable prefix sum: range-repartition by the
+  hash order, per-partition partial totals (tiny collect), broadcast the
+  offsets back, window only WITHIN partitions. The naive formulation
+  (``Window.orderBy`` with no partition) drags every row into a single
+  task — the classic global-window scale-killer this avoids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 8 hex chars = 32 bits of sha2 — plenty of resolution for a fraction
+_HEX_DIGITS = 8
+_HEX_SPACE = 16 ** _HEX_DIGITS
+
+
+def _order_key(id_col: str):
+    """Deterministic uniform order key: hex prefix of sha256(id). String
+    comparison == numeric comparison on a fixed-width hex prefix, and
+    sha256 exists verbatim in DuckDB, so oracles reproduce the exact
+    sample."""
+    return F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1,
+                       _HEX_DIGITS)
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose sha256(id)
+    prefix falls below the threshold. Pure map — no shuffle, no state;
+    the SAME rows are kept on every run and on every overlapping dataset
+    (consistent sampling across tables sharing ids)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    t = int(fraction * _HEX_SPACE)
+    if t >= _HEX_SPACE:
+        return df
+    # fixed-width threshold: the prefix is exactly _HEX_DIGITS chars, so
+    # the comparison string must be too (a longer zero-padded string
+    # breaks lexicographic ordering)
+    threshold = format(t, f"0{_HEX_DIGITS}x")
+    return df.where(_order_key(id_col) < threshold)
+
+
+def stratified_topn(df: DataFrame, strata_col: str, id_col: str,
+                    n_per_stratum: int) -> DataFrame:
+    """Deterministic n-per-stratum sample: hash-rank within each stratum,
+    keep rank <= n. One shuffle on the stratum key; only the (tiny)
+    projected sort keys move per row. Skew note: a pathologically hot
+    stratum ranks on one reducer — when stratum sizes are known (catalog
+    stats), pre-filter with :func:`hash_sample` at ~4x the implied
+    fraction first so the exact rank sees a bounded candidate set; the
+    rank still decides, so the composition stays exact-deterministic.
+    """
+    w = Window.partitionBy(strata_col).orderBy("_ok", id_col)
+    pre = df.withColumn("_ok", _order_key(id_col))
+    return (pre.withColumn("_rk", F.row_number().over(w))
+               .where(F.col("_rk") <= n_per_stratum)
+               .drop("_ok", "_rk"))
+
+
+def take_until_budget(df: DataFrame, weight_col: str, id_col: str,
+                      budget: float, *, n_partitions: int = 64) -> DataFrame:
+    """Keep rows, in deterministic hash order, while the cumulative
+    ``weight_col`` stays within ``budget`` (token-budget curation: "give
+    me ~10B tokens of this corpus, reproducibly").
+
+    Scalable prefix sum: range-repartition on the hash order key (global
+    order across partitions, rows only within), per-partition totals via
+    one tiny aggregate, driver computes exclusive offsets (n_partitions
+    numbers), broadcast-joined back; the running sum then needs a window
+    only WITHIN each partition. No single-task global window at any row
+    count. A row with NULL weight counts as 0.
+    """
+    keyed = (df.withColumn("_ok", _order_key(id_col))
+               .repartitionByRange(n_partitions, F.col("_ok"), F.col(id_col))
+               .withColumn("_pid", F.spark_partition_id()))
+    from pyspark import StorageLevel
+    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        totals = {r._pid: r.tot for r in
+                  keyed.groupBy("_pid")
+                       .agg(F.sum(F.coalesce(F.col(weight_col), F.lit(0)))
+                            .alias("tot")).collect()}
+        offsets, acc = [], 0.0
+        for pid in sorted(totals):
+            offsets.append((pid, float(acc)))
+            acc += float(totals[pid])
+        spark = df.sparkSession
+        off_df = F.broadcast(
+            spark.createDataFrame(offsets, ["_pid", "_offset"]))
+        w = Window.partitionBy("_pid").orderBy("_ok", id_col)
+        out = (keyed.join(off_df, "_pid")
+               .withColumn("_cum", F.col("_offset")
+                           + F.sum(F.coalesce(F.col(weight_col), F.lit(0)))
+                           .over(w))
+               .where(F.col("_cum") <= budget)
+               .drop("_pid", "_ok", "_offset", "_cum"))
+        # materialization note: `keyed` stays persisted for the lifetime of
+        # the returned (lazy) plan; register for release like dedup ops
+        from .dedup import _PERSISTED
+        if keyed not in _PERSISTED:
+            _PERSISTED.append(keyed)
+        return out
+    except Exception:
+        keyed.unpersist()
+        raise

@@ -1,0 +1,68 @@
+"""Deterministic sampling / budget-cap operators (operators/sampling.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from remark_lint_frontmatter_schema_spark.operators import dedup, sampling
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"lang{i % 3}", 10 + (i * 7) % 90) for i in range(500)]
+    df = spark.createDataFrame(rows, "id int, lang string, w int")
+    df.cache().count()
+    return df
+
+
+def test_hash_sample_deterministic_and_proportional(docs):
+    a = {r.id for r in sampling.hash_sample(docs, "id", 0.3).collect()}
+    b = {r.id for r in sampling.hash_sample(docs, "id", 0.3).collect()}
+    assert a == b                       # rerun-identical
+    assert 0.2 < len(a) / 500 < 0.4     # ~fraction
+    # nested property: a smaller fraction is a SUBSET of a larger one
+    small = {r.id for r in sampling.hash_sample(docs, "id", 0.1).collect()}
+    assert small <= a
+    assert sampling.hash_sample(docs, "id", 1.0).count() == 500
+    assert sampling.hash_sample(docs, "id", 0.0).count() == 0
+    with pytest.raises(ValueError):
+        sampling.hash_sample(docs, "id", 1.5)
+
+
+def test_stratified_topn_quota_and_determinism(docs):
+    out = sampling.stratified_topn(docs, "lang", "id", 25)
+    per = {r.lang: r.n for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {"lang0": 25, "lang1": 25, "lang2": 25}
+    again = sampling.stratified_topn(docs, "lang", "id", 25)
+    assert {r.id for r in out.collect()} == {r.id for r in again.collect()}
+    # quota above stratum size: whole stratum survives
+    assert sampling.stratified_topn(docs, "lang", "id", 1000).count() == 500
+
+
+def test_take_until_budget_invariants(docs):
+    budget = 3000.0
+    out = sampling.take_until_budget(docs, "w", "id", budget, n_partitions=8)
+    rows = out.collect()
+    total = sum(r.w for r in rows)
+    assert 0 < total <= budget
+    # maximal prefix: adding the next doc in hash order would exceed budget
+    kept = {r.id for r in rows}
+    import hashlib
+
+    def ok(i):
+        return hashlib.sha256(str(i).encode()).hexdigest()[:8]
+    ordered = sorted(docs.select("id", "w").collect(),
+                     key=lambda r: (ok(r.id), r.id))
+    cum = 0.0
+    expect = set()
+    for r in ordered:
+        cum += r.w
+        if cum > budget:
+            break
+        expect.add(r.id)
+    assert kept == expect               # exact agreement with serial prefix
+    # partition-count independence: same result with different layout
+    out2 = sampling.take_until_budget(docs, "w", "id", budget,
+                                      n_partitions=3)
+    assert {r.id for r in out2.collect()} == kept
+    dedup.release_all()
