@@ -543,6 +543,13 @@ def q_windowed_verdicts_events(spark, sf):
                                    window_duration="1 day")
 
 
+def q_repetition_documents(spark, sf):
+    """Gopher-style repetition filters (dup-line/dup-word/top-word
+    fractions) — staged single-tokenization projection."""
+    docs = _load(spark, sf, "documents")
+    return text.repetition_scores(docs, "text", "doc_id")
+
+
 def q_sample_documents(spark, sf):
     """Deterministic hash-threshold sampling (operators/sampling.py):
     membership = sha256(id) prefix below threshold — pure map, identical
@@ -642,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_embeddings_array": q_validate_embeddings_array,
         "validate_orders_conditional": q_validate_orders_conditional,
         "curate_documents": q_curate_documents,
+        "repetition_documents": q_repetition_documents,
         "sample_documents": q_sample_documents,
         "stratified_documents": q_stratified_documents,
         "budget_documents": q_budget_documents,
@@ -1179,6 +1187,31 @@ SELECT CAST(o_orderkey AS VARCHAR),
 FROM orders WHERE o_orderkey IS NOT NULL AND o_custkey IS NULL
 """,
         "curate_documents": _curate_oracle_sql(),
+        "repetition_documents": """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), chr(10)), x -> x <> '')
+           AS lines,
+         list_transform(
+           list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                       x -> x <> ''),
+           x -> lower(x)) AS toksl
+  FROM documents
+)
+SELECT doc_id,
+       round(CASE WHEN len(lines) > 0
+             THEN 1.0 - len(list_distinct(lines)) * 1.0 / len(lines)
+             ELSE 0.0 END, 6) AS dup_line_frac,
+       round(CASE WHEN len(toksl) > 0
+             THEN 1.0 - len(list_distinct(toksl)) * 1.0 / len(toksl)
+             ELSE 0.0 END, 6) AS dup_word_frac,
+       round(CASE WHEN len(toksl) > 0
+             THEN list_max(list_transform(list_distinct(toksl),
+                  w -> len(list_filter(toksl, x -> x = w)))) * 1.0
+                  / len(toksl)
+             ELSE 0.0 END, 6) AS top_word_frac
+FROM t
+""",
         "sample_documents": """
 SELECT doc_id FROM documents
 WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'

@@ -134,6 +134,66 @@ def rolling_hash(col, *, window: int = 8, mod: int = (1 << 31) - 1) -> Column:
     return F.when(n_sh > 0, F.array_min(hashes)).otherwise(F.lit(None))
 
 
+def dup_line_fraction(col) -> Column:
+    """Fraction of non-unique lines (Gopher-style repetition filter):
+    1 - distinct/total over newline-split lines; 0 for empty/NULL text."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(F.split(c, r"\n"), lambda x: x != "")
+    n = F.size(lines)
+    return F.when(n > 0,
+                  1.0 - F.size(F.array_distinct(lines)) / n) \
+            .otherwise(F.lit(0.0))
+
+
+def dup_word_fraction(col) -> Column:
+    """Fraction of non-unique whitespace tokens; 0 for empty/NULL text."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(n > 0,
+                  1.0 - F.size(F.array_distinct(toks)) / n) \
+            .otherwise(F.lit(0.0))
+
+
+def top_word_fraction(col) -> Column:
+    """Share of the single most frequent token (lowercased) — the
+    degenerate-repetition signal ("buy buy buy ..."). Expression-only:
+    count occurrences of each DISTINCT token via a filter probe —
+    O(n_tokens * n_distinct) comparisons per document, fine for
+    document-sized inputs (hundreds of tokens) and still a pure map; 0
+    for empty/NULL text."""
+    toksl = F.transform(tokens(col), lambda t: F.lower(t))
+    n = F.size(toksl)
+    top = F.array_max(F.transform(F.array_distinct(toksl),
+                                  lambda w: F.size(
+                                      F.filter(toksl, lambda x: x == w))))
+    return F.when(n > 0, top / n).otherwise(F.lit(0.0))
+
+
+def repetition_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document repetition metrics in one staged projection (the
+    tokenization is materialized once, same CollapseProject mechanics as
+    :func:`profile_columns`)."""
+    c = F.col(text_col)
+    staged = df.select(
+        F.col(id_col), c.alias("_text"),
+        F.transform(tokens(c), lambda t: F.lower(t)).alias("_toksl"),
+    )
+    toksl = F.col("_toksl")
+    n = F.size(toksl)
+    dup_words = F.when(n > 0, 1.0 - F.size(F.array_distinct(toksl)) / n) \
+                 .otherwise(F.lit(0.0))
+    top = F.array_max(F.transform(F.array_distinct(toksl),
+                                  lambda w: F.size(
+                                      F.filter(toksl, lambda x: x == w))))
+    top_frac = F.when(n > 0, top / n).otherwise(F.lit(0.0))
+    return staged.select(
+        F.col(id_col),
+        F.round(dup_line_fraction(F.col("_text")), 6).alias("dup_line_frac"),
+        F.round(dup_words, 6).alias("dup_word_frac"),
+        F.round(top_frac, 6).alias("top_word_frac"),
+    )
+
+
 _PROFILE_FIELDS = ("n_chars", "n_tokens", "n_tokens_bpe", "stopword_ratio",
                    "punct_ratio", "quality_score", "lang_guess", "fingerprint")
 

@@ -314,3 +314,19 @@ def test_kmeans_centroids_improve_ivf_pruning(spark):
         df, "embedding", "vec_id", q, k=10, centroids=cents,
         n_probe=1).collect()]
     assert ivf == brute
+
+
+def test_repetition_scores(spark):
+    from remark_lint_frontmatter_schema_spark.operators import text
+    df = spark.createDataFrame([
+        (1, "a b c d e"),                        # no repetition
+        (2, "buy buy buy buy now"),              # top word dominates
+        (3, "x y\nx y\nz"),                      # duplicate lines
+        (4, ""), (5, None),
+    ], "doc_id int, text string")
+    got = {r.doc_id: (r.dup_line_frac, r.dup_word_frac, r.top_word_frac)
+           for r in text.repetition_scores(df, "text", "doc_id").collect()}
+    assert got[1] == (0.0, 0.0, 0.2)
+    assert got[2][1] == 0.6 and got[2][2] == 0.8
+    assert round(got[3][0], 6) == round(1 - 2 / 3, 6)
+    assert got[4] == (0.0, 0.0, 0.0) and got[5] == (0.0, 0.0, 0.0)
