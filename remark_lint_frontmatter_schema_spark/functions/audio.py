@@ -247,7 +247,7 @@ def decode_stats_map_in_pandas(iterator):
 def audio_features_schema(passthrough_ddl: str = "") -> str:
     base = ("clip_id string, decode_ok boolean, dur_ms_payload int, "
             "rms double, peak double, silence_ratio double, "
-            "dominant_hz double")
+            "dominant_hz double, clipping_ratio double")
     return f"{base}, {passthrough_ddl}" if passthrough_ddl else base
 
 
@@ -255,7 +255,9 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
                                  silence_db: float = -40.0,
                                  passthrough: tuple = ()):
     """mapInPandas feature extractor over WAV payloads: duration, RMS,
-    peak, frame-level silence ratio, and dominant frequency (rfft argmax).
+    peak, frame-level silence ratio, dominant frequency (rfft argmax),
+    and clipping ratio (fraction of samples at >= 99.9% full scale — the
+    standard hot-recording / truncated-gain defect signal).
 
     All numpy-vectorized per clip inside one Arrow batch; malformed
     payloads yield ``decode_ok=false`` feature rows (guard semantics of
@@ -279,7 +281,7 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
                         raise ValueError("empty")
                 except ValueError:
                     rows.append((cid, False, None, None, None, None, None,
-                                 *extras))
+                                 None, *extras))
                     continue
                 n = len(x)
                 dur_ms = int(round(n * 1000.0 / sr))
@@ -296,11 +298,13 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
                 spec = np.abs(np.fft.rfft(x))
                 spec[0] = 0.0  # ignore DC
                 dom = float(np.argmax(spec) * sr / n) if len(spec) > 1 else 0.0
+                clip_frac = float(np.mean(np.abs(x) >= 0.999))
                 rows.append((cid, True, dur_ms, rms, peak, silence, dom,
-                             *extras))
+                             clip_frac, *extras))
             yield pd.DataFrame(rows, columns=[
                 "clip_id", "decode_ok", "dur_ms_payload", "rms", "peak",
-                "silence_ratio", "dominant_hz", *passthrough])
+                "silence_ratio", "dominant_hz", "clipping_ratio",
+                *passthrough])
 
     return fn
 

@@ -209,3 +209,25 @@ def test_streaming_drift_matches_batch(spark, tmp_path):
     assert got == want                      # exact numeric agreement
     assert got["2026-03-04"] > 1.0          # the shift is visible
     assert got["2026-03-02"] < 0.01
+
+
+def test_audio_clipping_ratio(spark):
+    """Clipping detector: a saturated square wave reads ~1.0, a clean
+    half-scale sine ~0.0."""
+    import numpy as np
+    from remark_lint_frontmatter_schema_spark.functions import audio as au
+    sr = 16000
+    n = sr // 10
+    # wav_bytes takes int16 samples; full-scale square vs half-scale sine
+    square = (np.sign(np.sin(2 * np.pi * 440 * np.arange(n) / sr))
+              * 32767).astype("<i2")
+    sine = (0.5 * np.sin(2 * np.pi * 440 * np.arange(n) / sr)
+            * 32767).astype("<i2")
+    df = spark.createDataFrame(
+        [("sq", bytearray(au.wav_bytes(square, sr))),
+         ("si", bytearray(au.wav_bytes(sine, sr)))],
+        "clip_id string, bytes binary")
+    got = {r.clip_id: r.clipping_ratio
+           for r in au.audio_features(df).collect()}
+    assert got["sq"] > 0.95
+    assert got["si"] == 0.0
