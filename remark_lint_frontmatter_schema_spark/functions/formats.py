@@ -67,6 +67,11 @@ FORMAT_REGEX = {
              r"(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$"),
 }
 
+# ajv-formats v3 renamed time/date-time to iso-time/iso-date-time (keeping
+# the old names); same regexes
+FORMAT_REGEX["iso-time"] = FORMAT_REGEX["time"]
+FORMAT_REGEX["iso-date-time"] = FORMAT_REGEX["date-time"]
+
 # numeric formats (ajv-formats registers these with type: "number"): value
 # must be integral and inside the two's-complement range. Compiled as pure
 # Column range/floor expressions over numeric columns (plans/compiler.py).
@@ -74,6 +79,15 @@ FORMAT_NUMERIC_RANGE = {
     "int32": (-(1 << 31), (1 << 31) - 1),
     "int64": (-(1 << 63), (1 << 63) - 1),
 }
+
+# formats ajv-formats registers as unconditionally true (annotation-like:
+# `binary`/`password` mark OpenAPI intent, `byte` strictness lives in the
+# regex table above) — compile to a static pass, not an unknown warning
+FORMAT_ALWAYS_OK = {"binary", "password"}
+
+# `float`/`double`: ajv-formats checks finiteness (NaN/Inf fail); for
+# floating columns that's isnan/infinity probes, for other numerics vacuous
+FORMAT_FINITE = {"float", "double"}
 
 
 def regex_format_ok(col):

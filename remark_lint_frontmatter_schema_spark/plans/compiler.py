@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .bundler import RulesetCompileError, resolve_internal_ref
-from ..functions.formats import (FORMAT_NUMERIC_RANGE, FORMAT_REGEX,
+from ..functions.formats import (FORMAT_ALWAYS_OK, FORMAT_FINITE,
+                                 FORMAT_NUMERIC_RANGE, FORMAT_REGEX,
                                  FORMAT_UDF_CHECKERS)
 
 # JSON type name -> predicate over a Spark DataType: "statically satisfied"
@@ -469,6 +470,19 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
             if not isinstance(ctx.dtype, _INTEGRAL):
                 bad = bad | (ctx.col != F.floor(ctx.col))
             _add(ctx, "format", _present(ctx) & bad, msg)
+        elif f in FORMAT_ALWAYS_OK:
+            # ajv-formats registers these as unconditionally valid
+            ctx.out.static_passes.append((ctx.instance_path, f"format:{f}"))
+        elif f in FORMAT_FINITE:
+            if isinstance(ctx.dtype, (T.FloatType, T.DoubleType)):
+                bad = F.isnan(ctx.col) | (F.abs(ctx.col) == float("inf"))
+                _add(ctx, "format", _present(ctx) & bad, msg)
+            elif isinstance(ctx.dtype, _NUMERIC):
+                # integral/decimal values are always finite
+                ctx.out.static_passes.append(
+                    (ctx.instance_path, f"format:{f}"))
+            else:
+                ctx.out.unknown.append((ctx.instance_path, f"format:{f}"))
         elif f in FORMAT_UDF_CHECKERS:
             # vectorized Python probe (e.g. `regex` = re.compile validity):
             # an Arrow-batched pandas UDF in an otherwise pure-JVM

@@ -135,3 +135,22 @@ def test_regex_format_matches_jsonschema_checker(spark):
     checker = jsonschema.FormatChecker(["regex"])
     for i, p in enumerate(pats):
         assert engine_ok[str(i)] == checker.conforms(p, "regex"), p
+
+
+def test_finite_always_ok_and_alias_formats(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+    df = spark.createDataFrame(
+        [("1", 1.5), ("2", float("nan")), ("3", float("inf")), ("4", None)],
+        "id string, d double")
+    rs = {"properties": {"d": {"format": "double"}}}
+    compiled = compile_ruleset(rs, df.schema, name="fin")
+    got = {r.row_id for r in
+           validate(df, compiled, row_id="id").violations.collect()}
+    assert got == {"2", "3"}  # NaN and Inf fail; NULL skipped
+    # binary/password: unconditionally valid, never unknown
+    c2 = compile_ruleset({"properties": {"id": {"format": "password"}}},
+                         df.schema, name="pw", options={"strict": True})
+    assert not c2.checks and not c2.unknown
+    # iso-* aliases share the original regexes
+    assert FORMAT_REGEX["iso-time"] == FORMAT_REGEX["time"]
+    assert FORMAT_REGEX["iso-date-time"] == FORMAT_REGEX["date-time"]
