@@ -129,3 +129,24 @@ def test_map_additional_properties_keeps_codegen_fast_path(spark):
         sch, name="slow")
     ap = [c for c in c2.checks if c.keyword == "additionalProperties"][0]
     assert "array_except" not in str(ap.violated._jc)
+
+
+def test_budget_sampling_prunes_columns(spark, tmp_path):
+    """take_until_budget must not widen the scan: only the id, weight and
+    order-key source columns reach the parquet reader, even through the
+    repartitionByRange + offset-join plan."""
+    from pyspark.sql import functions as F
+    from remark_lint_frontmatter_schema_spark.operators import dedup, sampling
+    p = str(tmp_path / "docs")
+    spark.range(0, 1000).select(
+        F.col("id"), F.concat(F.lit("text"), F.col("id")).alias("text"),
+        F.lit("en").alias("lang"), F.lit("junkjunk").alias("wide_col"),
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = sampling.take_until_budget(
+        df.select("id", F.length("text").alias("w")), "w", "id", 500.0,
+        n_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "wide_col" not in plan and "lang" not in plan, plan
+    out.count()
+    dedup.release_all()
