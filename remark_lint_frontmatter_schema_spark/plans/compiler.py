@@ -71,7 +71,7 @@ _KNOWN_KEYWORDS = {
     # table-level declarations (uniqueness / referential / drift) that
     # compile into CompiledRuleset.table_checks and run as separate
     # relational passes
-    "x-spark-check", "x-unique", "x-ref", "x-drift",
+    "x-spark-check", "x-unique", "x-ref", "x-drift", "x-severity",
 }
 
 
@@ -131,6 +131,7 @@ class _Ctx:
     out: CompiledRuleset
     extra_checks: dict          # name -> callable(Column) -> Column for x-spark-check
     silent: bool = False        # True while compiling anyOf/oneOf/not children
+    severity: str = "warning"   # x-severity, inherited down the node tree
 
 
 def balanced_reduce(op, cols: list):
@@ -207,6 +208,7 @@ def _add(ctx: _Ctx, kw: str, violated: Column, message: str,
                 violated=violated,
                 actual=actual if actual is not None else _actual_str(ctx.col, ctx.dtype),
                 expected=tuple(str(v) for v in expected) if expected else None,
+                severity=ctx.severity,
             )
         )
     return violated
@@ -346,6 +348,7 @@ _KEYWORD_SHAPE = {
     "else": lambda v: isinstance(v, dict),
     "propertyNames": lambda v: isinstance(v, dict),
     "x-unique": lambda v: isinstance(v, bool),
+    "x-severity": lambda v: v in ("error", "warning", "info"),
     "x-ref": lambda v: isinstance(v, dict) and isinstance(v.get("dim"), str)
     and isinstance(v.get("key"), str)
     and (v.get("n_items") is None
@@ -421,6 +424,12 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
             raise RulesetCompileError(
                 f"JSON schema malformed: bad value for {kw!r} at "
                 f"{ctx.instance_path or '/'}: {schema[kw]!r}")
+
+    if "x-severity" in schema:
+        # severity annotation: applies to every check compiled at this
+        # node and below (engine extension; the reference's messages are
+        # uniformly warnings — remark-lint message() semantics)
+        ctx.severity = schema["x-severity"]
 
     if "$ref" in schema and isinstance(schema["$ref"], str):
         sub = resolve_internal_ref(ctx.root_schema, schema["$ref"])
@@ -565,6 +574,7 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
                 schema_file=_sub_file(ctx, sub),
                 df_schema=ctx.df_schema, root_schema=ctx.root_schema,
                 out=ctx.out, extra_checks=ctx.extra_checks, silent=ctx.silent,
+                severity=ctx.severity,
             )
             _compile_keywords(sub, sub_ctx)
 
@@ -601,6 +611,7 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
                 schema_file=_sub_file(ctx, sub),
                 df_schema=ctx.df_schema, root_schema=ctx.root_schema,
                 out=ctx.out, extra_checks=ctx.extra_checks, silent=ctx.silent,
+                severity=ctx.severity,
             )
             _compile_keywords(sub, sub_ctx)
 
@@ -859,7 +870,7 @@ def _pattern_properties(ctx: _Ctx, pp: dict) -> None:
                     schema_file=_sub_file(ctx, sub),
                     df_schema=ctx.df_schema, root_schema=ctx.root_schema,
                     out=ctx.out, extra_checks=ctx.extra_checks,
-                    silent=ctx.silent,
+                    silent=ctx.silent, severity=ctx.severity,
                 )
                 _compile_keywords(sub, sub_ctx)
         return
@@ -1098,7 +1109,7 @@ def _additional_properties(ctx: _Ctx, schema: dict) -> None:
                     schema_file=_sub_file(ctx, ap),
                     df_schema=ctx.df_schema, root_schema=ctx.root_schema,
                     out=ctx.out, extra_checks=ctx.extra_checks,
-                    silent=ctx.silent,
+                    silent=ctx.silent, severity=ctx.severity,
                 )
                 _compile_keywords(ap, sub_ctx)
             if not extra:

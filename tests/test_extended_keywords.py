@@ -262,3 +262,34 @@ def test_conditional_branches_tracked_in_columns_read(spark):
     res = validate(pruned, compile_ruleset(rs, pruned.schema, name="cr2"),
                    row_id="id")
     assert res.violations.count() == 1  # then-branch fires on clerk 'x9'
+
+
+def test_x_severity_annotation(spark):
+    """x-severity sets the severity of checks at a node and inherits into
+    nested properties; sibling nodes keep the default."""
+    from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+    df = spark.createDataFrame(
+        [("1", 5, "x", {"k": "bad"})],
+        "id string, n int, s string, m map<string,string>")
+    rs = {
+        "properties": {
+            "n": {"x-severity": "error", "minimum": 10},
+            "s": {"maxLength": 0},
+            "m": {"x-severity": "info",
+                  "properties": {"k": {"enum": ["good"]}}},
+        },
+    }
+    compiled = compile_ruleset(rs, df.schema, name="sev",
+                               options={"strict": True})  # known keyword
+    sev = {c.instance_path: c.severity for c in compiled.checks}
+    assert sev == {"/n": "error", "/s": "warning", "/m/k": "info"}
+    got = {r.instance_path: r.severity
+           for r in validate(df, compiled, row_id="id").violations.collect()}
+    assert got == {"/n": "error", "/s": "warning", "/m/k": "info"}
+    # malformed severity fails compile
+    import pytest as _p
+    from remark_lint_frontmatter_schema_spark.plans.bundler import (
+        RulesetCompileError)
+    with _p.raises(RulesetCompileError):
+        compile_ruleset({"properties": {"n": {"x-severity": "loud"}}},
+                        df.schema, name="bad")
