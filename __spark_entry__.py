@@ -1021,11 +1021,20 @@ WHERE o.o_custkey IS NOT NULL
         "drift_events_psi": _PSI_SQL,
         "drift_events_chi2": f"""
 WITH h AS ({_HIST_EVENTS_CTE}),
+grid AS (
+  SELECT b.bucket, s.side
+  FROM (SELECT DISTINCT bucket FROM h) b
+  CROSS JOIN (SELECT DISTINCT side FROM h) s
+),
+full_h AS (
+  SELECT g.side, g.bucket, coalesce(h.n, 0) AS n
+  FROM grid g LEFT JOIN h ON h.side = g.side AND h.bucket = g.bucket
+),
 e AS (
   SELECT side, bucket, n,
          sum(n) OVER (PARTITION BY bucket) * sum(n) OVER (PARTITION BY side)
            * 1.0 / sum(n) OVER () AS expected
-  FROM h
+  FROM full_h
 )
 SELECT round(sum((n - expected) * (n - expected) / expected), 4) AS chi2
 FROM e

@@ -63,6 +63,9 @@ def generate(spark, out_dir: str) -> None:
         "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
         "part": ["p_partkey"],
         "events": ["event_id", "user_id"],
+        # supplier must remap with lineitem.l_suppkey or the FK structure
+        # the docstring promises is broken (~all lineitem rows dangling)
+        "supplier": ["s_suppkey"],
     }
     for name, keys in rel.items():
         df = explode_reps(src(name), REPS_REL)
@@ -95,8 +98,8 @@ def generate(spark, out_dir: str) -> None:
         *[c for c in src("embeddings").columns
           if c not in ("vec_id", "embedding")]), "embeddings", files=16)
 
-    # small dims copied as-is
-    for name in ("region", "nation", "supplier"):
+    # small dims with no remapped FK pointing at them copied as-is
+    for name in ("region", "nation"):
         write(src(name), name, files=1)
 
 
@@ -128,8 +131,9 @@ def main() -> None:
         for r in range(reps):
             t0 = time.perf_counter()
             bench_mod.materialize(qmap[name](spark, args.dir))
-            release_all()
             dt = time.perf_counter() - t0
+            # outside the timed region, matching bench.py's JSON contract
+            release_all()
             if r == 0:
                 cold[name] = round(dt, 3)
             best = min(best, dt)

@@ -78,10 +78,18 @@ def chi_square(hist: DataFrame, side_a: str, side_b: str) -> DataFrame:
     with a count-scaled test; like them it runs entirely on the tiny
     histogram relation."""
     ab = hist.where(F.col("side").isin(side_a, side_b))
+    # materialize ZERO cells: a bucket observed on only one side still
+    # contributes (0 - E)^2/E = E on the missing side — dropping it
+    # understates chi2 exactly when drift is strongest (fully disjoint
+    # supports would lose ~half the statistic)
+    grid = (ab.select("bucket").distinct()
+              .crossJoin(ab.select("side").distinct()))
+    full = (grid.join(ab, ["side", "bucket"], "left")
+                .fillna({"n": 0}))
     tot_side = Window.partitionBy("side")
     tot_bucket = Window.partitionBy("bucket")
     tot_all = Window.partitionBy()
-    e = ab.withColumn(
+    e = full.withColumn(
         "expected",
         F.sum("n").over(tot_bucket) * F.sum("n").over(tot_side)
         / F.sum("n").over(tot_all))

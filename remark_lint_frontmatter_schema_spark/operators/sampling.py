@@ -100,6 +100,11 @@ def take_until_budget(df: DataFrame, weight_col: str, id_col: str,
         for pid in sorted(totals):
             offsets.append((pid, float(acc)))
             acc += float(totals[pid])
+        if not offsets:
+            # empty input: no partitions, nothing to keep — and
+            # createDataFrame([]) cannot infer a schema
+            keyed.unpersist()
+            return df.where(F.lit(False))
         spark = df.sparkSession
         off_df = F.broadcast(
             spark.createDataFrame(offsets, ["_pid", "_offset"]))

@@ -227,8 +227,11 @@ def embedding_lsh_pairs(df: DataFrame, vec_col: str, id_col: str, *,
     """
     from .dedup import _persist, _track
     if dim is None:
-        row = df.select(vec_col).first()
-        if row is None or row[0] is None:
+        # probe a NON-NULL vector: sniffing the physically-first row would
+        # silently return an empty result when row 1's vector is NULL but
+        # the rest are valid
+        row = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+        if row is None:
             id_t = df.schema[id_col].dataType.simpleString()
             return df.sparkSession.createDataFrame(
                 [], f"id_a {id_t}, id_b {id_t}, score double")

@@ -358,7 +358,12 @@ _KEYWORD_SHAPE = {
     and isinstance(v.get("partition_col"), str)
     and v.get("side_a") is not None and v.get("side_b") is not None
     and isinstance(v.get("lo"), _NUM) and not isinstance(v.get("lo"), bool)
-    and isinstance(v.get("hi"), _NUM) and not isinstance(v.get("hi"), bool),
+    and isinstance(v.get("hi"), _NUM) and not isinstance(v.get("hi"), bool)
+    # optional knobs must coerce cleanly — a bad type must fail compile
+    # (G2 artifact), not raise a raw ValueError mid-routing
+    and all(v.get(k) is None
+            or (isinstance(v[k], _NUM) and not isinstance(v[k], bool))
+            for k in ("n_buckets", "ks_threshold", "psi_threshold")),
 }
 
 
@@ -432,8 +437,12 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
         ctx.severity = schema["x-severity"]
 
     if "$ref" in schema and isinstance(schema["$ref"], str):
+        from dataclasses import replace as _dc_replace
         sub = resolve_internal_ref(ctx.root_schema, schema["$ref"])
-        _compile_keywords(sub, ctx)
+        # shallow ctx copy: keywords inside the $ref'd subtree (notably
+        # x-severity) must not leak into the referring node's remaining
+        # keywords via the shared mutable ctx
+        _compile_keywords(sub, _dc_replace(ctx))
 
     if "type" in schema:
         _type_check(ctx, schema["type"])

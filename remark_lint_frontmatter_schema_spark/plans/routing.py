@@ -82,10 +82,22 @@ def _resolve_schema_path(name: str, schema_dirs) -> Path | None:
     directory wins by existence probe. Mirrors the reference's ``$schema``
     handling (``index.ts:227-238``, CHANGELOG v3.13.0): a relative path is
     tried against the file's own directory first, then the workspace root.
-    Callers pass ``schema_dirs=(config_dir, workspace_root)``."""
+    Callers pass ``schema_dirs=(config_dir, workspace_root)``.
+
+    Containment: the column value is DATA — untrusted rows must not name
+    arbitrary driver files. Absolute paths are rejected outright, and the
+    resolved real path must stay inside its schema_dir (symlink/``..``
+    escapes resolve outside and are skipped)."""
+    import os
+    if not schema_dirs or os.path.isabs(name):
+        return None
     for d in schema_dirs:
         cand = Path(d) / name
-        if cand.exists():
+        if not cand.exists():
+            continue
+        base = os.path.realpath(d)
+        real = os.path.realpath(cand)
+        if real == base or real.startswith(base + os.sep):
             return cand
     return None
 
@@ -308,9 +320,10 @@ def route_and_validate_single_pass(
                     & ~F.coalesce(routed_pred, F.lit(False)))
             if ruleset_col is not None and ruleset_col in df.columns:
                 pred = pred & F.col(ruleset_col).isNull()
-            try_compile(f"{name}@pattern", doc, pred,
-                        (registry.get(name) if isinstance(
-                            registry.get(name), str) else "") or "")
+            # schema_file "" to match the multi-pass path byte-for-byte:
+            # add_pass resolves registry.get("name@pattern") -> None -> ""
+            # and schema_file is embedded in every violation message
+            try_compile(f"{name}@pattern", doc, pred, "")
 
     if not routes:
         return {"violations": None, "verdicts": None, "errors": errors,

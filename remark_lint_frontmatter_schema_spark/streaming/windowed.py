@@ -111,11 +111,17 @@ def run_drift_stream(
 ):
     """Continuous drift monitoring over a file-source stream: each
     micro-batch reduces to PARTIAL (ws, bucket, n) histogram counts
-    (``operators.drift.windowed_histogram``) appended to ``hist_sink`` —
+    (``operators.drift.windowed_histogram``) written to ``hist_sink`` —
     counts are additive, so partials from any number of batches merge with
     a plain sum at read time. State is bounded by the histogram size, not
-    the row count, and the exactly-once append comes from the checkpointed
-    foreachBatch sink (same pattern as ``incremental.validate_stream``).
+    the row count.
+
+    Idempotence: foreachBatch is at-least-once (a batch that wrote but
+    crashed before the checkpoint commit re-runs on restart), so a plain
+    append would double-count the retried batch's partials forever. Each
+    batch therefore OVERWRITES its own ``_batch=<id>`` partition (dynamic
+    partition overwrite) — a retry replaces its previous output instead of
+    duplicating it, which is the standard idempotent-foreachBatch recipe.
 
     Returns the started query (availableNow trigger — drain then stop).
     Read the monitor with :func:`drift_psi_from_sink`.
@@ -128,7 +134,11 @@ def run_drift_stream(
         h = windowed_histogram(batch_df, value_col, time_col, lo=lo, hi=hi,
                                n_buckets=n_buckets,
                                window_duration=window_duration)
-        h.write.mode("append").parquet(hist_sink)
+        (h.withColumn("_batch", F.lit(int(batch_id)))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch")
+          .parquet(hist_sink))
 
     return (stream.writeStream.foreachBatch(process_batch)
             .option("checkpointLocation", checkpoint)
@@ -139,8 +149,8 @@ def drift_psi_from_sink(spark, hist_sink: str, *,
                         window_duration: str = "1 day",
                         epsilon: float = 1e-6):
     """Per-window PSI vs previous window over the accumulated histogram
-    partials a drift stream appended — identical numerics to the batch
+    partials a drift stream wrote — identical numerics to the batch
     ``drift.windowed_psi`` on the same rows (pinned by test)."""
-    h = spark.read.parquet(hist_sink)
+    h = spark.read.parquet(hist_sink).select("ws", "bucket", "n")
     return psi_vs_previous_window(h, window_duration=window_duration,
                                   epsilon=epsilon)

@@ -330,3 +330,15 @@ def test_repetition_scores(spark):
     assert got[2][1] == 0.6 and got[2][2] == 0.8
     assert round(got[3][0], 6) == round(1 - 2 / 3, 6)
     assert got[4] == (0.0, 0.0, 0.0) and got[5] == (0.0, 0.0, 0.0)
+
+
+def test_embedding_lsh_pairs_null_first_vector(spark):
+    """dim sniffing must skip NULL vectors — a NULL in the physically
+    first row must not collapse the result to empty."""
+    rows = [(0, None)] + [(i, [1.0, 2.0, 3.0, 4.0]) for i in (1, 2)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>") \
+              .coalesce(1)
+    got = similarity.embedding_lsh_pairs(df, "embedding", "vec_id",
+                                         n_bits=6, threshold=0.99).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+    dedup.release_all()

@@ -293,3 +293,17 @@ def test_x_severity_annotation(spark):
     with _p.raises(RulesetCompileError):
         compile_ruleset({"properties": {"n": {"x-severity": "loud"}}},
                         df.schema, name="bad")
+
+
+def test_x_severity_does_not_leak_from_ref(spark):
+    """x-severity inside a $ref'd subtree must not bleed into the
+    referring node's sibling keywords via the shared compile context."""
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    df_schema = spark.createDataFrame([("1", 5)], "id string, n int").schema
+    rs = {
+        "$defs": {"a": {"x-severity": "error", "minimum": 0}},
+        "properties": {"n": {"$ref": "#/$defs/a", "maximum": 99}},
+    }
+    compiled = compile_ruleset(rs, df_schema, name="refsev")
+    sev = {c.keyword: c.severity for c in compiled.checks}
+    assert sev == {"minimum": "error", "maximum": "warning"}

@@ -279,3 +279,49 @@ def test_single_pass_routing_matches_multi_pass(clips):
         .optimizedPlan().toString()
     n_scans = fused_plan.count("Relation") + fused_plan.count("LogicalRDD")
     assert n_scans == 1, fused_plan
+
+
+def test_path_routing_rejects_escape_and_absolute(spark, tmp_path):
+    """Path-valued ruleset values are DATA: absolute paths and ../
+    escapes must not resolve to driver files outside schema_dirs."""
+    import os
+    inside = tmp_path / "schemas"
+    inside.mkdir()
+    (inside / "ok.yaml").write_text("properties:\n  v:\n    maximum: 1\n")
+    outside = tmp_path / "outside.yaml"
+    outside.write_text("properties:\n  v:\n    maximum: 99\n")
+    df = spark.createDataFrame(
+        [("r1", 5, "ok.yaml"),
+         ("r2", 5, str(outside)),            # absolute path
+         ("r3", 5, "../outside.yaml")],      # traversal escape
+        ["rid", "v", "ruleset_id"])
+    rep = route_and_validate(df, row_id="rid", ruleset_col="ruleset_id",
+                             schema_dirs=(str(inside),))
+    assert {p.ruleset_name for p in rep.passes} == {"ok.yaml"}
+    bad = {name for name, stage, _m in rep.errors if stage == "load"}
+    assert bad == {str(outside), "../outside.yaml"}
+    assert os.path.exists(outside)  # (file was there; refusal was policy)
+
+
+def test_single_pass_matches_multi_pass_with_patterns(spark, tmp_path):
+    """Fused routing equivalence must hold on the PATTERN route too,
+    including the schema_file embedded in messages."""
+    from remark_lint_frontmatter_schema_spark.plans.routing import (
+        route_and_validate_single_pass)
+    sch = tmp_path / "part.yaml"
+    sch.write_text("properties:\n  v:\n    maximum: 10\n")
+    df = spark.createDataFrame(
+        [("r1", 50, "p1", None), ("r2", 5, "p2", None),
+         ("r3", 50, "p1", "inline")],
+        ["rid", "v", "part", "ruleset_id"])
+    reg = {"pat": str(sch),
+           "inline": {"properties": {"v": {"minimum": 100}}}}
+    kw = dict(row_id="rid", registry=reg, ruleset_col="ruleset_id",
+              patterns={"pat": ["p*"]}, partition_col="part")
+    multi = route_and_validate(df, **kw)
+    fused = route_and_validate_single_pass(df, **kw)
+    mv = {(r.row_id, r.ruleset_id, r.constraint_id, r.message)
+          for r in multi.violations.collect()}
+    fv = {(r.row_id, r.ruleset_id, r.constraint_id, r.message)
+          for r in fused["violations"].collect()}
+    assert mv == fv and mv  # non-trivial and identical incl. messages

@@ -66,3 +66,10 @@ def test_take_until_budget_invariants(docs):
                                       n_partitions=3)
     assert {r.id for r in out2.collect()} == kept
     dedup.release_all()
+
+
+def test_take_until_budget_empty_input(spark):
+    df = spark.createDataFrame([], "id int, w int")
+    out = sampling.take_until_budget(df, "w", "id", 100.0, n_partitions=4)
+    assert out.count() == 0
+    assert out.columns == ["id", "w"]

@@ -267,3 +267,31 @@ def test_x_drift_declarative(spark):
             "lo": 0, "hi": 1}}}}}},
         df.schema, name="dr3")
     assert not c3.table_checks
+
+
+def test_chi_square_counts_zero_cells(spark):
+    """Disjoint supports: chi2 must include the (0 - E)^2/E mass of
+    buckets absent on one side — for a 2xN table with fully disjoint
+    supports chi2 equals the grand total N_a + N_b."""
+    from remark_lint_frontmatter_schema_spark.operators import drift
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [1, 2, 3] * 10]
+        + [("b", float(v)) for v in [7, 8, 9] * 10],
+        "side string, v double")
+    h = drift.histogram(df, "v", "side", lo=0.0, hi=10.0, n_buckets=10)
+    chi2 = drift.chi_square(h, "a", "b").first().chi2
+    assert abs(chi2 - 60.0) < 1e-9  # 30 + 30 rows, fully disjoint
+
+
+def test_x_drift_bad_knob_fails_compile(spark):
+    import pytest as _p
+    import pyspark.sql.types as T
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.plans.bundler import (
+        RulesetCompileError)
+    schema = T.StructType([T.StructField("v", T.DoubleType()),
+                           T.StructField("side", T.StringType())])
+    with _p.raises(RulesetCompileError):
+        compile_ruleset({"properties": {"v": {"x-drift": {
+            "partition_col": "side", "side_a": "a", "side_b": "b",
+            "lo": 0, "hi": 1, "n_buckets": "wide"}}}}, schema, name="bad")
