@@ -543,6 +543,13 @@ def q_windowed_verdicts_events(spark, sf):
                                    window_duration="1 day")
 
 
+def q_pii_scan_documents(spark, sf):
+    """PII-candidate counts per document (email/ipv4/phone regex counts,
+    pure JVM regexp_count projections)."""
+    docs = _load(spark, sf, "documents")
+    return text.pii_scan(docs, "text", "doc_id")
+
+
 def q_repetition_documents(spark, sf):
     """Gopher-style repetition filters (dup-line/dup-word/top-word
     fractions) — staged single-tokenization projection."""
@@ -649,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_embeddings_array": q_validate_embeddings_array,
         "validate_orders_conditional": q_validate_orders_conditional,
         "curate_documents": q_curate_documents,
+        "pii_scan_documents": q_pii_scan_documents,
         "repetition_documents": q_repetition_documents,
         "sample_documents": q_sample_documents,
         "stratified_documents": q_stratified_documents,
@@ -1196,6 +1204,22 @@ SELECT CAST(o_orderkey AS VARCHAR),
 FROM orders WHERE o_orderkey IS NOT NULL AND o_custkey IS NULL
 """,
         "curate_documents": _curate_oracle_sql(),
+        "pii_scan_documents": """
+SELECT doc_id,
+       len(regexp_extract_all(coalesce(text, ''),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(coalesce(text, ''),
+           '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ipv4,
+       len(regexp_extract_all(coalesce(text, ''),
+           '\\+?\\d[\\d\\- ]{7,14}\\d')) AS n_phone,
+       (len(regexp_extract_all(coalesce(text, ''),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
+        OR len(regexp_extract_all(coalesce(text, ''),
+           '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) > 0
+        OR len(regexp_extract_all(coalesce(text, ''),
+           '\\+?\\d[\\d\\- ]{7,14}\\d')) > 0) AS has_pii
+FROM documents
+""",
         "repetition_documents": """
 WITH t AS (
   SELECT doc_id,

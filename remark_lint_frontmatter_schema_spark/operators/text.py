@@ -122,6 +122,37 @@ def fingerprint(col) -> Column:
     return F.sha2(norm, 256)
 
 
+# Unanchored PII-ish detectors for curation scans. Deliberately simple
+# alternation-free regexes so every engine (Java rlike, DuckDB RE2)
+# counts identical occurrences; precision tuning belongs to the caller's
+# patterns argument, not this default set.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d\- ]{7,14}\d",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str, id_col: str,
+             patterns: dict[str, str] | None = None) -> DataFrame:
+    """Per-document PII-candidate counts (one column per pattern) plus a
+    ``has_pii`` flag — pure JVM ``regexp_count`` projections over one
+    scan; the standard pre-training privacy-filter feature."""
+    patterns = patterns or PII_PATTERNS
+    c = F.col(text_col)
+    counts = [F.coalesce(F.regexp_count(c, F.lit(rx)), F.lit(0))
+              .alias(f"n_{name}")
+              for name, rx in patterns.items()]
+    out = df.select(F.col(id_col), *counts)
+    flag = balanced_or([F.col(f"n_{name}") > 0 for name in patterns])
+    return out.withColumn("has_pii", flag)
+
+
+def balanced_or(cols: list) -> Column:
+    from ..plans.compiler import balanced_reduce
+    return balanced_reduce(lambda a, b: a | b, cols)
+
+
 def rolling_hash(col, *, window: int = 8, mod: int = (1 << 31) - 1) -> Column:
     """Content-defined rolling fingerprint set: polynomial hash of each
     ``window``-gram, keep the minimum (a 1-element winnowing sketch) —

@@ -342,3 +342,21 @@ def test_embedding_lsh_pairs_null_first_vector(spark):
                                          n_bits=6, threshold=0.99).collect()
     assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
     dedup.release_all()
+
+
+def test_pii_scan_detects_and_counts(spark):
+    from remark_lint_frontmatter_schema_spark.operators import text
+    df = spark.createDataFrame([
+        (1, "contact me at jane.doe+x@example.org or bob@test.io"),
+        (2, "server at 192.168.0.1 and 10.0.0.255 ."),
+        (3, "call +1 555-123-4567 today"),
+        (4, "clean text with no identifiers"),
+        (5, None),
+    ], "doc_id int, text string")
+    got = {r.doc_id: (r.n_email, r.n_ipv4, r.n_phone, r.has_pii)
+           for r in text.pii_scan(df, "text", "doc_id").collect()}
+    assert got[1][0] == 2 and got[1][3] is True
+    assert got[2][1] == 2 and got[2][3] is True
+    assert got[3][2] >= 1 and got[3][3] is True
+    assert got[4] == (0, 0, 0, False)
+    assert got[5] == (0, 0, 0, False)
