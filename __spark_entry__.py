@@ -1095,7 +1095,7 @@ FROM documents
 """,
         "dedup_exact_documents": """
 SELECT sha256(text) AS text_sha, count(*) AS n_docs, min(doc_id) AS keep_id
-FROM documents GROUP BY sha256(text)
+FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
 """,
         "ann_cosine_topk": _COSINE_TOPK_SQL,
         "embed_sim_pairs": _EMBED_PAIRS_SQL,

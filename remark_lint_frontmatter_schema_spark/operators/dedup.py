@@ -79,9 +79,16 @@ def release_all() -> None:
 # ---------------------------------------------------------------------------
 
 def exact_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(text_sha, n_docs, keep_id): one row per distinct text; dedup keeps
-    the minimum id (deterministic survivor)."""
-    return (df.select(F.sha2(F.col(text_col), 256).alias("text_sha"),
+    """(text_sha, n_docs, keep_id): one row per distinct NON-NULL text;
+    dedup keeps the minimum id (deterministic survivor).
+
+    NULL-text rows are excluded: sha2(NULL) is NULL, so an unfiltered
+    groupBy would collapse every NULL-text document into one group and
+    dedup would discard all but one — but NULL texts are ABSENT content,
+    not identical content (same policy as char_shingles, where NULL texts
+    never near-dup each other)."""
+    return (df.where(F.col(text_col).isNotNull())
+              .select(F.sha2(F.col(text_col), 256).alias("text_sha"),
                       F.col(id_col))
               .groupBy("text_sha")
               .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -89,10 +96,12 @@ def exact_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Survivors only — equivalent to keeping min(id) per identical text."""
+    """Survivors only — min(id) per identical non-NULL text; NULL-text
+    rows all survive (absent content is never a duplicate)."""
     groups = exact_groups(df, text_col, id_col)
-    return df.join(groups.select(F.col("keep_id").alias(id_col)), id_col,
+    kept = df.join(groups.select(F.col("keep_id").alias(id_col)), id_col,
                    "left_semi")
+    return kept.unionByName(df.where(F.col(text_col).isNull()))
 
 
 # ---------------------------------------------------------------------------

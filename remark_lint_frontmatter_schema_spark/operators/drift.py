@@ -50,8 +50,16 @@ def ks_statistic(hist: DataFrame, side_a: str, side_b: str) -> DataFrame:
               .withColumn("cdf_a", F.last("cdf_a", ignorenulls=True).over(wf))
               .withColumn("cdf_b", F.last("cdf_b", ignorenulls=True).over(wf))
               .fillna({"cdf_a": 0.0, "cdf_b": 0.0}))
-    return filled.agg(
-        F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))).alias("ks_stat"))
+    # fail EXPLICIT on a missing/typo'd side: a present side's CDF reaches
+    # 1.0, an absent side stays all-zero — without the guard a misspelled
+    # side label returns a confident ks=1.0 instead of signalling the
+    # config error (same guard in psi/chi_square: NULL, never a made-up 0)
+    agg = filled.agg(
+        F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))).alias("_ks"),
+        F.max("cdf_a").alias("_ma"), F.max("cdf_b").alias("_mb"))
+    return agg.select(
+        F.when((F.col("_ma") > 0) & (F.col("_mb") > 0), F.col("_ks"))
+         .alias("ks_stat"))
 
 
 def psi(hist: DataFrame, side_a: str, side_b: str,
@@ -65,9 +73,15 @@ def psi(hist: DataFrame, side_a: str, side_b: str,
                .fillna({"p_a": 0.0, "p_b": 0.0})
                .withColumn("p_a", F.greatest("p_a", F.lit(epsilon)))
                .withColumn("p_b", F.greatest("p_b", F.lit(epsilon))))
-    return joined.agg(
+    # missing-side guard (see ks_statistic): a present side's max bucket
+    # probability is >= 1/n_buckets >> epsilon; all-epsilon means absent
+    agg = joined.agg(
         F.sum((F.col("p_a") - F.col("p_b"))
-              * F.log(F.col("p_a") / F.col("p_b"))).alias("psi"))
+              * F.log(F.col("p_a") / F.col("p_b"))).alias("_psi"),
+        F.max("p_a").alias("_ma"), F.max("p_b").alias("_mb"))
+    return agg.select(
+        F.when((F.col("_ma") > epsilon) & (F.col("_mb") > epsilon),
+               F.col("_psi")).alias("psi"))
 
 
 def chi_square(hist: DataFrame, side_a: str, side_b: str) -> DataFrame:
@@ -93,8 +107,13 @@ def chi_square(hist: DataFrame, side_a: str, side_b: str) -> DataFrame:
         "expected",
         F.sum("n").over(tot_bucket) * F.sum("n").over(tot_side)
         / F.sum("n").over(tot_all))
-    return e.agg(F.sum((F.col("n") - F.col("expected")) ** 2
-                       / F.col("expected")).alias("chi2"))
+    # missing-side guard (see ks_statistic): with one side the statistic
+    # degenerates to a confident 0.0 — report NULL instead
+    agg = e.agg(F.sum((F.col("n") - F.col("expected")) ** 2
+                      / F.col("expected")).alias("_chi2"),
+                F.countDistinct("side").alias("_ns"))
+    return agg.select(F.when(F.col("_ns") == 2, F.col("_chi2"))
+                      .alias("chi2"))
 
 
 def windowed_psi(df: DataFrame, value_col: str, time_col: str, *,
@@ -169,7 +188,8 @@ def drift_violations(df: DataFrame, value_col: str, *, partition_col: str,
                      side_a: str, side_b: str, lo: float, hi: float,
                      n_buckets: int = 25, ks_threshold: float = 0.1,
                      psi_threshold: float = 0.2,
-                     ruleset_name: str = "engine") -> DataFrame:
+                     ruleset_name: str = "engine",
+                     severity: str = "warning") -> DataFrame:
     """Lazy violation-row form of :func:`drift_check` for the ``x-drift``
     declarative table check: at most ONE run-level violation row (shaped
     like operators/validate.py VIOLATION_FIELDS so it unions with row
@@ -186,23 +206,33 @@ def drift_violations(df: DataFrame, value_col: str, *, partition_col: str,
     p = psi(hist, str(side_a), str(side_b))
     j = ks.crossJoin(p).select(F.round("ks_stat", 6).alias("ks_stat"),
                                F.round("psi", 6).alias("psi"))
+    # NULL stats mean a declared side is absent from the data (typo'd
+    # label, empty split) — that is a CONFIG defect, surfaced as its own
+    # violation row rather than silently passing (fail-closed)
+    missing = F.col("ks_stat").isNull() | F.col("psi").isNull()
     drifted = j.where((F.col("ks_stat") > ks_threshold)
-                      | (F.col("psi") > psi_threshold))
+                      | (F.col("psi") > psi_threshold) | missing)
     return drifted.select(
         F.lit(f"{side_a}~{side_b}").alias("row_id"),
         F.lit("all").alias("partition_id"),
         F.lit(ruleset_name).alias("ruleset_id"),
         F.lit(f"drift:{value_col}").alias("constraint_id"),
-        F.lit("drift").alias("keyword"),
+        F.when(missing, F.lit("drift-config")).otherwise(F.lit("drift"))
+         .alias("keyword"),
         F.lit(f"/{value_col}").alias("instance_path"),
         F.lit(f"#/x-drift/{value_col}").alias("schema_path"),
-        F.lit(f"Distribution drift on '{value_col}' "
-              f"({side_a} vs {side_b}): ks>{ks_threshold} "
-              f"or psi>{psi_threshold}").alias("message"),
-        F.concat(F.lit("ks="), F.col("ks_stat").cast("string"),
-                 F.lit(" psi="), F.col("psi").cast("string")).alias("actual"),
+        F.when(missing,
+               F.lit(f"Drift sides '{side_a}'/'{side_b}' not both present "
+                     f"in '{partition_col}'"))
+         .otherwise(F.lit(f"Distribution drift on '{value_col}' "
+                          f"({side_a} vs {side_b}): ks>{ks_threshold} "
+                          f"or psi>{psi_threshold}")).alias("message"),
+        F.when(missing, F.lit("sides missing"))
+         .otherwise(F.concat(F.lit("ks="), F.col("ks_stat").cast("string"),
+                             F.lit(" psi="), F.col("psi").cast("string")))
+         .alias("actual"),
         F.lit(None).cast("array<string>").alias("expected"),
-        F.lit("warning").alias("severity"),
+        F.lit(severity).alias("severity"),
     )
 
 
@@ -215,6 +245,10 @@ def drift_check(df: DataFrame, value_col: str, side_col, side_a: str,
     ks = ks_statistic(hist, side_a, side_b).collect()[0].ks_stat
     p = psi(hist, side_a, side_b).collect()[0].psi
     hist.unpersist()
+    if ks is None or p is None:
+        raise ValueError(
+            f"drift sides {side_a!r}/{side_b!r} not both present in the "
+            f"data — check the side labels/split")
     return {
         "ks_stat": float(ks) if ks is not None else None,
         "psi": float(p) if p is not None else None,

@@ -145,6 +145,14 @@ def dangling_keys(fact: DataFrame, fact_key: str, dim: DataFrame,
     """Fact rows whose key has no match in dim (NULLs are not dangling —
     required/NULL is a separate constraint, matching SQL FK semantics)."""
     fact_nn = fact.where(F.col(fact_key).isNotNull())
+    if use_bloom and (fact.schema[fact_key].dataType
+                      != dim.schema[dim_key].dataType):
+        # the Bloom hashes pandas string renderings, which differ across
+        # types ('5.0' for a double vs '5' for a long) while Spark's join
+        # coerces and matches — Bloom-negative rows would be declared
+        # dangling with no exact check. Mixed-type keys take the exact
+        # anti-join; align the key types to use the Bloom strategy.
+        use_bloom = False
     if use_bloom:
         bf = bloom or build_bloom(dim, dim_key, n_items_hint=n_items_hint)
         spark = fact.sparkSession
@@ -175,7 +183,8 @@ def referential_violations(fact: DataFrame, fact_key: str, dim: DataFrame,
                            dim_key: str, *, row_id: str,
                            ruleset_name: str = "engine",
                            use_bloom: bool = False,
-                           n_items_hint: int | None = None) -> DataFrame:
+                           n_items_hint: int | None = None,
+                           severity: str = "warning") -> DataFrame:
     d = dangling_keys(fact, fact_key, dim, dim_key, use_bloom=use_bloom,
                       n_items_hint=n_items_hint)
     return d.select(
@@ -189,5 +198,5 @@ def referential_violations(fact: DataFrame, fact_key: str, dim: DataFrame,
         F.lit(f"Must reference an existing '{dim_key}'").alias("message"),
         F.col(fact_key).cast("string").alias("actual"),
         F.lit(None).cast("array<string>").alias("expected"),
-        F.lit("warning").alias("severity"),
+        F.lit(severity).alias("severity"),
     )

@@ -61,13 +61,15 @@ def validate_with_table_checks(
     for kind, column, params in compiled.table_checks:
         if kind == "unique":
             extras.append(uniqueness_violations(
-                df, column, ruleset_name=compiled.name))
+                df, column, ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "ref":
             extras.append(referential_violations(
                 df, column, dims[params["dim"]], params["key"],
                 row_id=row_id, ruleset_name=compiled.name,
                 use_bloom=params["bloom"],
-                n_items_hint=params.get("n_items")))
+                n_items_hint=params.get("n_items"),
+                severity=params.get("severity", "warning")))
         elif kind == "drift":
             extras.append(drift_violations(
                 df, column, ruleset_name=compiled.name, **params))

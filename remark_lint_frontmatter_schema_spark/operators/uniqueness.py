@@ -42,7 +42,8 @@ def duplicate_keys(df: DataFrame, key: str, *, n_salts: int = 32,
 
 def uniqueness_violations(df: DataFrame, key: str, *,
                           ruleset_name: str = "engine",
-                          n_salts: int = 32) -> DataFrame:
+                          n_salts: int = 32,
+                          severity: str = "warning") -> DataFrame:
     """Violation rows for duplicated keys, one per duplicate key value
     (violation shape mirrors operators/validate.py VIOLATION_FIELDS)."""
     dups = duplicate_keys(df, key, n_salts=n_salts)
@@ -59,5 +60,5 @@ def uniqueness_violations(df: DataFrame, key: str, *,
                  F.lit(" times")).alias("message"),
         F.col(key).cast("string").alias("actual"),
         F.lit(None).cast("array<string>").alias("expected"),
-        F.lit("warning").alias("severity"),
+        F.lit(severity).alias("severity"),
     )

@@ -226,13 +226,20 @@ def _present(ctx: _Ctx) -> Column:
 
 def _type_check(ctx: _Ctx, json_type) -> None:
     types = json_type if isinstance(json_type, list) else [json_type]
-    if ctx.col is None:  # root "type: object" — a row is always an object
-        if "object" in types:
-            ctx.out.static_passes.append((ctx.instance_path, "type"))
-            return
-    dtype = ctx.dtype
     msg = _reason(f"must be {types[0] if len(types) == 1 else ','.join(types)}",
                   ctx, "type")
+    if ctx.col is None:  # root node — a row is always an object
+        if "object" in types:
+            ctx.out.static_passes.append((ctx.instance_path, "type"))
+        else:
+            # a well-formed but unsatisfiable root type (e.g. "string"):
+            # statically violated for every row, never a compile crash
+            ctx.out.static_failures.append(
+                (ctx.instance_path, "type",
+                 f"root is always an object, never {types}"))
+            _add(ctx, "type", F.lit(True), msg)
+        return
+    dtype = ctx.dtype
     ok_static = dtype is not None and any(
         _STATIC_TYPE_OK.get(t, lambda _: False)(dtype) for t in types
     )
@@ -258,8 +265,14 @@ def _type_check(ctx: _Ctx, json_type) -> None:
                 ok = ok | c
             _add(ctx, "type", _present(ctx) & ~ok, msg)
             return
-    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)) and types == ["integer"]:
-        # JSON Schema: 1.0 is a valid integer (zero fractional part)
+    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)) \
+            and "integer" in types:
+        # JSON Schema: 1.0 is a valid integer (zero fractional part).
+        # `in` not `==`: a union like ["integer", "null"] or
+        # ["integer", "string"] on a float column reduces to the integer
+        # check (a number can never satisfy the non-numeric alternatives,
+        # "null" is the presence guard) — the == spelling sent unions to
+        # the always-violated fallthrough
         _add(ctx, "type", _present(ctx) & (ctx.col != F.floor(ctx.col)), msg)
         return
     # statically impossible (e.g. int column where string required):
@@ -549,10 +562,14 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
             child_col, child_t, exists = _child(ctx, prop)
             msg = _reason(f"must have required property '{prop}'", ctx, "required")
             if not exists:
-                # column absent from the table entirely: statically violated
+                # property absent from the schema entirely: statically
+                # violated — but only when the enclosing object EXISTS
+                # (Ajv skips the whole subschema on an absent object; an
+                # unguarded lit(True) fired on NULL parents too)
                 ctx.out.static_failures.append(
                     (ctx.instance_path, "required", f"no column for {prop!r}"))
-                violated = F.lit(True)
+                violated = F.lit(True) if ctx.col is None \
+                    else ctx.col.isNotNull()
             elif isinstance(ctx.dtype, T.MapType):
                 violated = ~F.map_contains_key(ctx.col, prop)
                 if ctx.col is not None:
@@ -749,7 +766,8 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
     if schema.get("x-unique") is True and not ctx.silent:
         if is_top:
             ctx.out.table_checks.append(
-                ("unique", ctx.instance_path[1:], {}))
+                ("unique", ctx.instance_path[1:],
+                 {"severity": ctx.severity}))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-unique"))
 
@@ -762,7 +780,8 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
                   "bloom": bool(p.get("bloom", False)),
                   # optional dim row-count: sizes the Bloom bitmap without
                   # an extra dim scan (referential.build_bloom)
-                  "n_items": p.get("n_items")}))
+                  "n_items": p.get("n_items"),
+                  "severity": ctx.severity}))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-ref"))
 
@@ -777,6 +796,7 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
                     "n_buckets": int(p.get("n_buckets", 25)),
                     "ks_threshold": float(p.get("ks_threshold", 0.1)),
                     "psi_threshold": float(p.get("psi_threshold", 0.2)),
+                    "severity": ctx.severity,
                 }))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-drift"))
@@ -920,6 +940,10 @@ def _probe_validity(sub_schema: dict, ctx: _Ctx, *, col, dtype,
     anywhere in the tree; pruning to ``columns_read`` must stay sound for
     columns referenced only inside if/then/else/dependencies branches)."""
     probe = CompiledRuleset(name=ctx.out.name)
+    # inherit engine options: udf_formats-gated formats inside a
+    # composition branch must compile (not fall to unknown/vacuous) when
+    # the caller enabled them
+    probe.options = ctx.out.options
     sub_ctx = _Ctx(col=col, dtype=dtype, instance_path=ctx.instance_path,
                    schema_path=schema_path, schema_file=ctx.schema_file,
                    df_schema=ctx.df_schema, root_schema=ctx.root_schema,
@@ -1079,7 +1103,9 @@ def _property_names(ctx: _Ctx, sub: dict) -> None:
     if bad_names:
         ctx.out.static_failures.append(
             (ctx.instance_path, "propertyNames", f"bad names {bad_names}"))
-        _add(ctx, "propertyNames", F.lit(True), msg,
+        # fires only when the struct exists (NULL parent == absent object)
+        _add(ctx, "propertyNames",
+             F.lit(True) if ctx.col is None else _present(ctx), msg,
              actual=F.lit(",".join(bad_names)))
     else:
         ctx.out.static_passes.append((ctx.instance_path, "propertyNames"))

@@ -102,6 +102,87 @@ def _resolve_schema_path(name: str, schema_dirs) -> Path | None:
     return None
 
 
+
+
+def _resolve_routes(df: DataFrame, *, registry: dict,
+                    ruleset_col: str | None, patterns: dict | None,
+                    partition_col: str | None, schema_dirs, fetch,
+                    errors: list) -> list:
+    """Shared route resolution for both routing executors: returns
+    ``[(name, doc, source, pred, schema_file)]`` with load failures
+    recorded into ``errors``. Column routes resolve registry-first, then
+    the path-valued two-step probe; pattern routes apply only where no
+    local association exists (index.ts:250 hasLocalAssoc guard).
+    Extracting this keeps the per-pass and fused executors structurally
+    identical instead of test-pinned copies."""
+    routes: list = []
+    routed_pred = F.lit(False)
+
+    if ruleset_col is not None and ruleset_col in df.columns:
+        values = [r[0] for r in
+                  df.select(ruleset_col).where(F.col(ruleset_col).isNotNull())
+                    .distinct().collect()]
+        for name in sorted(values):
+            pred = F.col(ruleset_col) == name
+            if name in registry:
+                try:
+                    doc = _load(registry, name, fetch)
+                except (RulesetCompileError, RulesetLoadError) as exc:
+                    errors.append((name, "load", str(exc)))
+                    continue
+                sf = (registry.get(name) if isinstance(
+                    registry.get(name), str) else "") or ""
+            else:
+                # path-valued $schema quirk: a non-registered value may be
+                # a FILE PATH, resolved against schema_dirs in order
+                # (config dir first, workspace root fallback — existence
+                # probe, index.ts:227-238 / CHANGELOG v3.13.0)
+                resolved = _resolve_schema_path(name, schema_dirs)
+                if resolved is None:
+                    # schema-load failure analog (index.ts:283-291)
+                    errors.append((name, "load",
+                                   f"no ruleset registered for {name!r}"))
+                    continue
+                try:
+                    doc = bundle(resolved, fetch=fetch)
+                except (RulesetCompileError, RulesetLoadError) as exc:
+                    errors.append((name, "load", str(exc)))
+                    continue
+                sf = name
+            routes.append((name, doc, "column", pred, sf))
+            routed_pred = routed_pred | pred
+
+    if patterns and partition_col:
+        parts = [str(r[0]) for r in
+                 df.select(F.col(partition_col).cast("string"))
+                   .distinct().collect()]
+        for name, globs in patterns.items():
+            matched = sorted({pv for pv in parts
+                              for g in globs if fnmatch.fnmatch(pv, g)})
+            if not matched:
+                continue
+            if name not in registry:
+                errors.append((name, "load",
+                               f"no ruleset registered for {name!r}"))
+                continue
+            try:
+                doc = _load(registry, name, fetch)
+            except (RulesetCompileError, RulesetLoadError) as exc:
+                errors.append((name, "load", str(exc)))
+                continue
+            # global patterns apply only where no local association exists
+            pred = (F.col(partition_col).cast("string").isin(matched)
+                    & ~F.coalesce(routed_pred, F.lit(False)))
+            if ruleset_col is not None and ruleset_col in df.columns:
+                pred = pred & F.col(ruleset_col).isNull()
+            # schema_file "" matches the historical add_pass resolution
+            # (registry.get("name@pattern") -> None -> ""); schema_file is
+            # embedded in every violation message
+            routes.append((f"{name}@pattern", doc, "pattern", pred, ""))
+
+    return routes
+
+
 def route_and_validate(
     df: DataFrame,
     *,
@@ -148,70 +229,11 @@ def route_and_validate(
         add_pass("embed", bundle_dict(embed, fetch=fetch), "embed", None)
         return report
 
-    routed_names: set[str] = set()
-    routed_pred = F.lit(False)
-
-    if ruleset_col is not None and ruleset_col in df.columns:
-        values = [r[0] for r in
-                  df.select(ruleset_col).where(F.col(ruleset_col).isNotNull())
-                    .distinct().collect()]
-        for name in sorted(values):
-            pred = F.col(ruleset_col) == name
-            if name not in registry:
-                # path-valued $schema quirk: a non-registered value may be
-                # a FILE PATH, resolved against schema_dirs in order
-                # (config dir first, workspace root fallback — existence
-                # probe, index.ts:227-238 / CHANGELOG v3.13.0)
-                resolved = _resolve_schema_path(name, schema_dirs)
-                if resolved is None:
-                    # schema-load failure analog (index.ts:283-291)
-                    report.errors.append(
-                        (name, "load",
-                         f"no ruleset registered for {name!r}"))
-                    continue
-                try:
-                    doc = bundle(resolved, fetch=fetch)
-                except (RulesetCompileError, RulesetLoadError) as exc:
-                    report.errors.append((name, "load", str(exc)))
-                    continue
-                add_pass(name, doc, "column", pred, schema_file=name)
-                routed_names.add(name)
-                routed_pred = routed_pred | pred
-                continue
-            try:
-                doc = _load(registry, name, fetch)
-            except (RulesetCompileError, RulesetLoadError) as exc:
-                report.errors.append((name, "load", str(exc)))
-                continue
-            add_pass(name, doc, "column", pred)
-            routed_names.add(name)
-            routed_pred = routed_pred | pred
-
-    if patterns and partition_col:
-        parts = [str(r[0]) for r in
-                 df.select(F.col(partition_col).cast("string"))
-                   .distinct().collect()]
-        for name, globs in patterns.items():
-            matched = sorted({p for p in parts
-                              for g in globs if fnmatch.fnmatch(p, g)})
-            if not matched:
-                continue
-            if name not in registry:
-                report.errors.append((name, "load",
-                                      f"no ruleset registered for {name!r}"))
-                continue
-            try:
-                doc = _load(registry, name, fetch)
-            except (RulesetCompileError, RulesetLoadError) as exc:
-                report.errors.append((name, "load", str(exc)))
-                continue
-            # global patterns apply only where no local association exists
-            # (index.ts:250 hasLocalAssoc guard)
-            pred = (F.col(partition_col).cast("string").isin(matched)
-                    & ~F.coalesce(routed_pred, F.lit(False)))
-            if ruleset_col is not None and ruleset_col in df.columns:
-                pred = pred & F.col(ruleset_col).isNull()
-            add_pass(f"{name}@pattern", doc, "pattern", pred)
+    for name, doc, source, pred, sf in _resolve_routes(
+            df, registry=registry, ruleset_col=ruleset_col,
+            patterns=patterns, partition_col=partition_col,
+            schema_dirs=schema_dirs, fetch=fetch, errors=report.errors):
+        add_pass(name, doc, source, pred, schema_file=sf)
 
     return report
 
@@ -236,11 +258,18 @@ def route_and_validate_single_pass(
     design point that multiplier is the whole bill, so this variant guards
     every compiled check with its route's applicability predicate
     (``pred & violated``) and evaluates the union of all rulesets' checks in
-    a single projection; per-row ruleset attribution is a CASE over the
-    (disjoint, by routing precedence) predicates. Violations and verdicts
-    match the multi-pass output exactly (pinned by test); verdicts are per
-    (partition, ruleset). ``embed`` has no routing predicate and therefore
-    no fusion benefit — use ``route_and_validate``.
+    a single projection. Route resolution is the SHARED ``_resolve_routes``
+    (identical precedence, errors, schema-file provenance as multi-pass).
+
+    Per-violation ruleset attribution comes from the check's own
+    constraint-id prefix (``{name}:{path}:{kw}``), so it stays correct even
+    when routes OVERLAP (two glob patterns matching one partition — each
+    route's violations carry its own name, exactly like multi-pass).
+    Verdicts aggregate per (partition, ruleset) from a per-route
+    applicability explode — one scan, explode factor = n_routes (small).
+    Route names must not contain ':' (enforced) for the prefix split.
+    ``embed`` has no routing predicate and therefore no fusion benefit —
+    use ``route_and_validate``.
 
     Returns a dict: ``{"violations": DF, "verdicts": DF, "errors": [...],
     "routed": [names]}``.
@@ -250,80 +279,29 @@ def route_and_validate_single_pass(
     from ..operators.validate import (VIOLATION_FIELDS,
                                       _raw_violations_array,
                                       n_violations_expr)
-    from .compiler import CompiledRuleset
 
     registry = registry or {}
     errors: list = []
     routes: list = []  # (name, compiled, pred)
 
-    def try_compile(name, doc, pred, schema_file=""):
+    for name, doc, _source, pred, sf in _resolve_routes(
+            df, registry=registry, ruleset_col=ruleset_col,
+            patterns=patterns, partition_col=partition_col,
+            schema_dirs=schema_dirs, fetch=fetch, errors=errors):
+        if ":" in name:
+            raise ValueError(
+                f"route name {name!r} contains ':' — fused attribution "
+                "splits on the constraint-id prefix; use "
+                "route_and_validate for such names")
         try:
             compiled = compile_ruleset(
-                doc, df.schema, name=name, schema_file=schema_file,
+                doc, df.schema, name=name, schema_file=sf,
                 extra_checks=extra_checks,
                 exclude_columns=(ruleset_col,) if ruleset_col else ())
         except (RulesetCompileError, RulesetLoadError) as exc:
             errors.append((name, "compile", str(exc)))
-            return
+            continue
         routes.append((name, compiled, pred))
-
-    routed_pred = F.lit(False)
-    if ruleset_col is not None and ruleset_col in df.columns:
-        values = [r[0] for r in
-                  df.select(ruleset_col).where(F.col(ruleset_col).isNotNull())
-                    .distinct().collect()]
-        for name in sorted(values):
-            pred = F.col(ruleset_col) == name
-            if name in registry:
-                try:
-                    doc = _load(registry, name, fetch)
-                except (RulesetCompileError, RulesetLoadError) as exc:
-                    errors.append((name, "load", str(exc)))
-                    continue
-                sf = (registry.get(name) if isinstance(registry.get(name), str)
-                      else "") or ""
-                try_compile(name, doc, pred, sf)
-            else:
-                resolved = _resolve_schema_path(name, schema_dirs)
-                if resolved is None:
-                    errors.append((name, "load",
-                                   f"no ruleset registered for {name!r}"))
-                    continue
-                try:
-                    doc = bundle(resolved, fetch=fetch)
-                except (RulesetCompileError, RulesetLoadError) as exc:
-                    errors.append((name, "load", str(exc)))
-                    continue
-                try_compile(name, doc, pred, name)
-            routed_pred = routed_pred | pred
-
-    if patterns and partition_col:
-        parts = [str(r[0]) for r in
-                 df.select(F.col(partition_col).cast("string"))
-                   .distinct().collect()]
-        import fnmatch as _fn
-        for name, globs in patterns.items():
-            matched = sorted({p for p in parts
-                              for g in globs if _fn.fnmatch(p, g)})
-            if not matched:
-                continue
-            if name not in registry:
-                errors.append((name, "load",
-                               f"no ruleset registered for {name!r}"))
-                continue
-            try:
-                doc = _load(registry, name, fetch)
-            except (RulesetCompileError, RulesetLoadError) as exc:
-                errors.append((name, "load", str(exc)))
-                continue
-            pred = (F.col(partition_col).cast("string").isin(matched)
-                    & ~F.coalesce(routed_pred, F.lit(False)))
-            if ruleset_col is not None and ruleset_col in df.columns:
-                pred = pred & F.col(ruleset_col).isNull()
-            # schema_file "" to match the multi-pass path byte-for-byte:
-            # add_pass resolves registry.get("name@pattern") -> None -> ""
-            # and schema_file is embedded in every violation message
-            try_compile(f"{name}@pattern", doc, pred, "")
 
     if not routes:
         return {"violations": None, "verdicts": None, "errors": errors,
@@ -331,14 +309,12 @@ def route_and_validate_single_pass(
 
     # fuse: every check guarded by its route's predicate; one projection
     merged = CompiledRuleset(name="fused")
+    route_nv = []  # (name, pred, per-route violation count expr)
     for name, compiled, pred in routes:
         for c in compiled.checks:
             merged.checks.append(_dc_replace(
                 c, violated=pred & F.coalesce(c.violated, F.lit(False))))
-
-    rid = F.lit(None).cast("string")
-    for name, _compiled, pred in reversed(routes):
-        rid = F.when(pred, F.lit(name)).otherwise(rid)
+        route_nv.append((name, pred, n_violations_expr(compiled)))
 
     nv = n_violations_expr(merged)
     part = (F.col(partition_col).cast("string") if partition_col
@@ -346,19 +322,30 @@ def route_and_validate_single_pass(
     violations = (
         df.where(nv > 0)
           .select(F.col(row_id).cast("string").alias("row_id"), part,
-                  rid.alias("ruleset_id"),
                   F.explode(_raw_violations_array(merged)).alias("v"))
           .where(F.col("v").isNotNull())
-          .select("row_id", "partition_id", "ruleset_id",
+          .select("row_id", "partition_id",
+                  # attribution from the emitting check itself — correct
+                  # under overlapping routes, unlike a per-row CASE
+                  F.substring_index(F.col("v.constraint_id"), ":", 1)
+                   .alias("ruleset_id"),
                   *[F.col(f"v.{f}").alias(f) for f in VIOLATION_FIELDS])
     )
+    # per-route applicability explode: a row under k overlapping routes
+    # contributes one verdict row per route, matching multi-pass exactly
+    route_entries = F.array(*[
+        F.struct(F.lit(name).alias("rid"),
+                 F.coalesce(pred, F.lit(False)).alias("applies"),
+                 rnv.alias("nv"))
+        for name, pred, rnv in route_nv
+    ])
     verdicts = (
-        df.select(part, rid.alias("ruleset_id"), nv.alias("_nv"))
-          .where(F.col("ruleset_id").isNotNull())
-          .groupBy("partition_id", "ruleset_id")
+        df.select(part, F.explode(route_entries).alias("r"))
+          .where(F.col("r.applies"))
+          .groupBy("partition_id", F.col("r.rid").alias("ruleset_id"))
           .agg(F.count(F.lit(1)).alias("n_rows"),
-               F.sum(F.col("_nv").cast("long")).alias("n_violations"),
-               F.sum((F.col("_nv") > 0).cast("long")).alias("n_failed_rows"))
+               F.sum(F.col("r.nv").cast("long")).alias("n_violations"),
+               F.sum((F.col("r.nv") > 0).cast("long")).alias("n_failed_rows"))
           .withColumn("passed", F.col("n_failed_rows") == 0)
           .withColumn("run_id", F.lit(run_id))
     )

@@ -158,3 +158,64 @@ def test_large_ruleset_end_to_end(spark, tmp_path):
                                 name="big2")
     res2 = validate(df.where("id = 0"), compiled2, row_id="id")
     assert res2.violations.count() == n
+
+
+def test_type_union_integer_on_float_column(spark):
+    """["integer", "null"] on a double column must accept whole values
+    (Ajv: 1.0 is a valid integer) — the union spelling used to fall to
+    always-violated."""
+    df = spark.createDataFrame([("1", 3.0), ("2", 3.5), ("3", None)],
+                               "id string, d double")
+    rs = {"properties": {"d": {"type": ["integer", "null"]}}}
+    compiled = compile_ruleset(rs, df.schema, name="tu")
+    got = {r.row_id for r in
+           validate(df, compiled, row_id="id").violations.collect()}
+    assert got == {"2"}
+    import jsonschema
+    v = jsonschema.Draft7Validator(rs)
+    assert not list(v.iter_errors({"d": 3.0}))
+    assert list(v.iter_errors({"d": 3.5}))
+
+
+def test_required_missing_field_guarded_by_parent_presence(spark):
+    """required for a field absent from a nested struct fires only when
+    the struct itself exists (Ajv skips subschemas of absent objects)."""
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("meta", T.StructType([T.StructField("y", T.IntegerType())])),
+    ])
+    df = spark.createDataFrame([("1", {"y": 1}), ("2", None)], schema)
+    rs = {"properties": {"meta": {"required": ["x"]}}}
+    compiled = compile_ruleset(rs, df.schema, name="req")
+    got = {r.row_id for r in
+           validate(df, compiled, row_id="id").violations.collect()}
+    assert got == {"1"}  # struct present but field missing; NULL skipped
+
+
+def test_root_non_object_type_compiles_statically_violated(spark):
+    """{"type": "string"} at root is well-formed JSON Schema (a row is
+    never a string): statically violated per row, not a compile crash."""
+    df = spark.createDataFrame([("1",)], "id string")
+    compiled = compile_ruleset({"type": "string"}, df.schema, name="rt")
+    assert compiled.static_failures
+    assert validate(df, compiled, row_id="id").violations.count() == 1
+
+
+def test_probe_inherits_udf_formats_option(spark):
+    """udf_formats-gated formats inside anyOf must compile when the
+    option is on (the probe used to drop options -> vacuous branch +
+    spurious strict failure)."""
+    df = spark.createDataFrame(
+        [("1", "[bad"), ("2", "ok.*"), ("3", "also(ok)")],
+        "id string, pat string")
+    rs = {"properties": {"pat": {"anyOf": [{"format": "regex"},
+                                           {"maxLength": 3}]}}}
+    compiled = compile_ruleset(rs, df.schema, name="pf",
+                               options={"strict": True, "udf_formats": True})
+    assert not compiled.unknown
+    got = {r.row_id for r in
+           validate(df, compiled, row_id="id").violations.collect()}
+    # "[bad": invalid regex AND longer than 3 -> violates anyOf;
+    # "ok.*" (valid regex) and "also(ok)" (valid regex) pass
+    assert got == {"1"}

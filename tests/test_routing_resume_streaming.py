@@ -325,3 +325,38 @@ def test_single_pass_matches_multi_pass_with_patterns(spark, tmp_path):
     fv = {(r.row_id, r.ruleset_id, r.constraint_id, r.message)
           for r in fused["violations"].collect()}
     assert mv == fv and mv  # non-trivial and identical incl. messages
+
+
+def test_single_pass_matches_multi_pass_overlapping_patterns(spark):
+    """Two glob patterns matching the SAME partition: multi-pass validates
+    those rows under both rulesets; fused must attribute each violation to
+    its own route and emit both verdict groups (was unpinned before —
+    per-row CASE attribution collapsed them onto the first route)."""
+    from remark_lint_frontmatter_schema_spark.plans.routing import (
+        route_and_validate_single_pass)
+    df = spark.createDataFrame(
+        [("r1", 50, "p1"), ("r2", 5, "p1"), ("r3", 50, "p2")],
+        ["rid", "v", "part"])
+    reg = {"a": {"properties": {"v": {"maximum": 10}}},
+           "b": {"properties": {"v": {"minimum": 100}}}}
+    kw = dict(row_id="rid", registry=reg,
+              patterns={"a": ["p*"], "b": ["p1"]}, partition_col="part")
+    multi = route_and_validate(df, **kw)
+    fused = route_and_validate_single_pass(df, **kw)
+    mv = {(r.row_id, r.ruleset_id, r.constraint_id)
+          for r in multi.violations.collect()}
+    fv = {(r.row_id, r.ruleset_id, r.constraint_id)
+          for r in fused["violations"].collect()}
+    assert mv == fv
+    # both routes produced violations on the shared partition
+    assert {rid for _r, rid, _c in fv} == {"a@pattern", "b@pattern"}
+
+    def vset(rows):
+        return {(r.partition_id, r.ruleset_id, r.n_rows, r.n_violations,
+                 r.n_failed_rows, r.passed) for r in rows}
+
+    assert vset(fused["verdicts"].collect()) == vset(
+        multi.verdicts.collect())
+    # p1 rows are counted under BOTH rulesets' verdicts
+    assert {(p, rid) for p, rid, *_ in vset(fused["verdicts"].collect())} \
+        >= {("p1", "a@pattern"), ("p1", "b@pattern"), ("p2", "a@pattern")}

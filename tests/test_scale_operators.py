@@ -248,7 +248,8 @@ def test_x_drift_declarative(spark):
     assert compiled.table_checks == [("drift", "v", {
         "partition_col": "side", "side_a": "a", "side_b": "b",
         "lo": 0.0, "hi": 100.0, "n_buckets": 20,
-        "ks_threshold": 0.1, "psi_threshold": 0.2})]
+        "ks_threshold": 0.1, "psi_threshold": 0.2,
+        "severity": "warning"})]
     got = validate_with_table_checks(df, compiled, row_id="rid") \
         .violations.collect()
     assert len(got) == 1 and got[0].keyword == "drift"
@@ -295,3 +296,76 @@ def test_x_drift_bad_knob_fails_compile(spark):
         compile_ruleset({"properties": {"v": {"x-drift": {
             "partition_col": "side", "side_a": "a", "side_b": "b",
             "lo": 0, "hi": 1, "n_buckets": "wide"}}}}, schema, name="bad")
+
+
+def test_bloom_disabled_on_key_type_mismatch(spark):
+    """Mixed-type fact/dim keys: pandas string-hash renderings differ
+    ('5.0' vs '5') while Spark's join coerces — the bloom path must fall
+    back to the exact join instead of declaring false danglings."""
+    from remark_lint_frontmatter_schema_spark.operators import referential
+    fact = spark.createDataFrame([("a", 5.0), ("b", 7.0)],
+                                 "rid string, fk double")
+    dim = spark.createDataFrame([(5,)], "dk long")
+    got = {r.rid for r in referential.dangling_keys(
+        fact, "fk", dim, "dk", use_bloom=True).collect()}
+    exact = {r.rid for r in referential.dangling_keys(
+        fact, "fk", dim, "dk", use_bloom=False).collect()}
+    assert got == exact == {"b"}
+
+
+def test_exact_dedup_null_text_all_survive(spark):
+    """NULL texts are absent content, not identical content: exact dedup
+    must keep every NULL-text doc (sha2(NULL) used to collapse them all
+    into one group and drop all but min id)."""
+    from remark_lint_frontmatter_schema_spark.operators import dedup
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, None)],
+        "doc_id int, text string")
+    survivors = {r.doc_id for r in
+                 dedup.exact_dedup(df, "text", "doc_id").collect()}
+    assert survivors == {1, 3, 4, 5}
+    groups = dedup.exact_groups(df, "text", "doc_id").collect()
+    assert len(groups) == 1 and groups[0].n_docs == 2
+
+
+def test_drift_stats_null_on_missing_side(spark):
+    """A typo'd side label must surface, not produce a confident verdict:
+    ks/psi/chi2 return NULL, drift_check raises, x-drift emits a
+    drift-config violation."""
+    import pytest as _p
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators import drift
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    df = spark.createDataFrame(
+        [("a", float(i % 10)) for i in range(50)]
+        + [("b", float(i % 10) + 3) for i in range(50)],
+        "side string, v double") \
+        .withColumn("rid", F.monotonically_increasing_id())
+    h = drift.histogram(df, "v", "side", lo=0.0, hi=20.0, n_buckets=10)
+    assert drift.ks_statistic(h, "a", "TYPO").first().ks_stat is None
+    assert drift.psi(h, "a", "TYPO").first().psi is None
+    assert drift.chi_square(h, "a", "TYPO").first().chi2 is None
+    # correct sides still compute
+    assert drift.ks_statistic(h, "a", "b").first().ks_stat > 0
+    with _p.raises(ValueError, match="not both present"):
+        drift.drift_check(df, "v", "side", "a", "TYPO", lo=0.0, hi=20.0)
+    rs = {"properties": {"v": {"x-drift": {
+        "partition_col": "side", "side_a": "a", "side_b": "TYPO",
+        "lo": 0, "hi": 20}}}}
+    compiled = compile_ruleset(rs, df.schema, name="typo")
+    got = validate_with_table_checks(df, compiled, row_id="rid") \
+        .violations.collect()
+    assert len(got) == 1 and got[0].keyword == "drift-config"
+
+
+def test_x_severity_reaches_table_checks(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    df = spark.createDataFrame([("a", 1), ("a", 2)], ["rid", "n"])
+    rs = {"properties": {"rid": {"x-severity": "error", "x-unique": True}}}
+    compiled = compile_ruleset(rs, df.schema, name="sev")
+    (r,) = validate_with_table_checks(df, compiled, row_id="rid") \
+        .violations.collect()
+    assert r.keyword == "unique" and r.severity == "error"
