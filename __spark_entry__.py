@@ -19,8 +19,8 @@ from pyspark.sql import functions as F
 
 from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
 from remark_lint_frontmatter_schema_spark.operators import (
-    curate, dedup, drift, referential, sampling, similarity, stats, text,
-    uniqueness)
+    clusters, curate, dedup, drift, referential, sampling, similarity,
+    stats, text, uniqueness)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -248,6 +248,29 @@ def q_ngram_jaccard_documents(spark, sf):
     docs = _load(spark, sf, "documents")
     return dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
                                      block_col="lang", n=3, threshold=0.55)
+
+
+def q_dedup_clusters_documents(spark, sf):
+    """Near-dup CLUSTERS (not just pairs): connected components over the
+    oracle-verified jaccard pair graph via alternating large-star /
+    small-star rounds, every document labeled (singletons included)."""
+    docs = _load(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                      block_col="lang", n=3, threshold=0.55)
+    out = clusters.duplicate_clusters(docs, pairs, "doc_id")
+    dedup.release_all()
+    return out
+
+
+def q_cluster_dedup_documents(spark, sf):
+    """Survivor set: one canonical representative per near-dup cluster."""
+    docs = _load(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                      block_col="lang", n=3, threshold=0.55)
+    out = clusters.cluster_dedup(docs, pairs, "doc_id").select(
+        "doc_id", "lang")
+    dedup.release_all()
+    return out
 
 
 PROPS_RULESET = {
@@ -646,6 +669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embed_sim_pairs": q_embed_sim_pairs,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
+        "cluster_dedup_documents": q_cluster_dedup_documents,
         "validate_events_props": q_validate_events_props,
         "validate_part_composition": q_validate_part_composition,
         "validate_events_formats": q_validate_events_formats,
@@ -871,6 +896,40 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE len(list_intersect(a.s, b.s)) * 1.0
       / len(list_distinct(list_concat(a.s, b.s))) >= 0.55
+"""
+
+# connected components as a recursive CTE: reach(node, r) closes over the
+# symmetric pair graph; component id = min reachable node — the same
+# "minimum node id of the component" contract the star-rounds converge to
+_CLUSTER_COMP_SQL = f"""
+WITH RECURSIVE pr AS ({_NGRAM_JACCARD_SQL}),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION
+  SELECT id_b, id_a FROM pr
+),
+reach(node, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node
+),
+comp AS (SELECT node, min(r) AS comp_id FROM reach GROUP BY node)
+"""
+
+_CLUSTERS_SQL = _CLUSTER_COMP_SQL + """
+, labeled AS (
+  SELECT d.doc_id, coalesce(c.comp_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labeled
+"""
+
+_CLUSTER_DEDUP_SQL = _CLUSTER_COMP_SQL + """
+SELECT d.doc_id, d.lang
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+WHERE c.node IS NULL OR c.comp_id = d.doc_id
 """
 
 
@@ -1100,6 +1159,8 @@ FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
         "ann_cosine_topk": _COSINE_TOPK_SQL,
         "embed_sim_pairs": _EMBED_PAIRS_SQL,
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
+        "dedup_clusters_documents": _CLUSTERS_SQL,
+        "cluster_dedup_documents": _CLUSTER_DEDUP_SQL,
         "validate_events_props": _PROPS_VIOL_SQL,
         "validate_part_composition": _PART_COMP_SQL,
         "validate_events_formats": _formats_oracle_sql(),
