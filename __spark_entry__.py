@@ -250,6 +250,32 @@ def q_ngram_jaccard_documents(spark, sf):
                                      block_col="lang", n=3, threshold=0.55)
 
 
+CONTENT_RULESET = {
+    "type": "object",
+    "properties": {
+        "text": {
+            "type": "string",
+            # duplicate-content declaration -> exact sha256 dedup pass
+            "x-dedup": {"id": "doc_id"},
+            # declared-vs-detected language consistency (row expression)
+            "x-langid": {"declared": "lang", "min_tokens": 5},
+        },
+    },
+}
+
+
+def q_validate_documents_content(spark, sf):
+    """Content-integrity DSL: x-dedup (exact duplicate pass) + x-langid
+    (declared-vs-detected language row check) from ONE declarative doc."""
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    docs = _load(spark, sf, "documents")
+    compiled = compile_ruleset(CONTENT_RULESET, docs.schema,
+                               name="documents")
+    res = validate_with_table_checks(docs, compiled, row_id="doc_id")
+    return res.violations.select("row_id", "keyword", "message", "actual")
+
+
 def q_dedup_clusters_documents(spark, sf):
     """Near-dup CLUSTERS (not just pairs): connected components over the
     oracle-verified jaccard pair graph via alternating large-star /
@@ -671,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "cluster_dedup_documents": q_cluster_dedup_documents,
+        "validate_documents_content": q_validate_documents_content,
         "validate_events_props": q_validate_events_props,
         "validate_part_composition": q_validate_part_composition,
         "validate_events_formats": q_validate_events_formats,
@@ -786,6 +813,59 @@ SELECT doc_id,
        CASE WHEN best > 0 THEN {case} ELSE 'und' END AS lang_guess,
        (CASE WHEN best > 0 THEN {case} ELSE 'und' END) = lang AS matches_label
 FROM g
+"""
+
+
+def _content_viol_sql() -> str:
+    """Oracle for ``validate_documents_content``: x-langid mismatches
+    (same LANG_MARKERS scoring as the Spark expression) UNION x-dedup
+    exact-sha256 non-canonical duplicates."""
+    score_exprs = []
+    for lang, markers in text.LANG_MARKERS.items():
+        mlist = ", ".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            f"CAST(len(list_filter(toks, x -> x IN ({mlist}))) AS INT) AS s_{lang}")
+    langs = list(text.LANG_MARKERS)
+    best = f"greatest({', '.join('s_' + lg for lg in langs)})"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lg} = best THEN '{lg}'" for lg in langs) + " END"
+    langid_msg = ('Must match declared language in "lang"'
+                  " • #/properties/text/x-langid")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_toks,
+         {', '.join(score_exprs)}
+  FROM (SELECT doc_id, lang, text,
+               string_split_regex(lower(text), '\\s+') AS toks
+        FROM documents) t
+), g AS (
+  SELECT doc_id, lang, text, n_toks, {best} AS best,
+         {', '.join('s_' + lg for lg in langs)}
+  FROM scored
+), guesses AS (
+  SELECT doc_id, lang, text, n_toks,
+         CASE WHEN best > 0 THEN {case} ELSE 'und' END AS guess
+  FROM g
+), keyed AS (
+  SELECT doc_id, sha256(text) AS sha FROM documents WHERE text IS NOT NULL
+), grp AS (
+  SELECT sha, count(*) AS n, min(doc_id) AS keep
+  FROM keyed GROUP BY sha HAVING count(*) > 1
+)
+SELECT CAST(doc_id AS VARCHAR) AS row_id, 'x-langid' AS keyword,
+       '{langid_msg}' AS message, guess AS actual
+FROM guesses
+WHERE text IS NOT NULL AND lang IS NOT NULL AND n_toks >= 5
+      AND guess <> 'und' AND guess <> lang
+UNION ALL
+SELECT CAST(k.doc_id AS VARCHAR), 'dedup',
+       'Must be unique content (exact sha256 match): duplicate of `'
+         || CAST(g2.keep AS VARCHAR) || '`',
+       CAST(g2.keep AS VARCHAR)
+FROM keyed k JOIN grp g2 ON k.sha = g2.sha
+WHERE k.doc_id <> g2.keep
 """
 
 
@@ -1161,6 +1241,7 @@ FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
         "dedup_clusters_documents": _CLUSTERS_SQL,
         "cluster_dedup_documents": _CLUSTER_DEDUP_SQL,
+        "validate_documents_content": _content_viol_sql(),
         "validate_events_props": _PROPS_VIOL_SQL,
         "validate_part_composition": _PART_COMP_SQL,
         "validate_events_formats": _formats_oracle_sql(),

@@ -160,6 +160,66 @@ def duplicate_clusters(df: DataFrame, pairs: DataFrame, id_col: str, *,
         id_col, "cluster_id", "cluster_size")
 
 
+def dedup_violations(df: DataFrame, text_col: str, id_col: str, *,
+                     method: str = "exact", ruleset_name: str = "engine",
+                     severity: str = "warning", block_col: str | None = None,
+                     n: int = 3, threshold: float = 0.55,
+                     allow_full_cross: bool = False,
+                     max_iter: int = 25) -> DataFrame:
+    """Violation rows for duplicate *content* — the ``x-dedup`` table check
+    (shape mirrors ``operators/validate.py`` VIOLATION_FIELDS, same as
+    ``uniqueness_violations``). One row per NON-canonical duplicate; the
+    canonical survivor (minimum id of the sha-group / near-dup cluster)
+    never violates, so ``anti-join(violations)`` is exactly the dedup.
+
+    ``method="exact"``: sha256 groups; the shuffle carries (sha, id) pairs
+    only, never text. ``method="jaccard"``: char-n-gram Jaccard pairs
+    (blocked on ``block_col``) closed into connected components — transitive
+    near-duplication resolved to one survivor per cluster.
+    """
+    from . import dedup as _dedup
+
+    if method == "exact":
+        keyed = (df.where(F.col(text_col).isNotNull())
+                   .select(F.sha2(F.col(text_col), 256).alias("_sha"),
+                           F.col(id_col)))
+        groups = (keyed.groupBy("_sha")
+                       .agg(F.count(F.lit(1)).alias("_n"),
+                            F.min(id_col).alias("_keep"))
+                       .where(F.col("_n") > 1))
+        dup = (keyed.join(groups, "_sha")
+                    .where(F.col(id_col) != F.col("_keep")))
+        detail = "exact sha256 match"
+    elif method == "jaccard":
+        pairs = _dedup.ngram_jaccard_pairs(
+            df, text_col, id_col, block_col=block_col, n=n,
+            threshold=threshold, allow_full_cross=allow_full_cross)
+        comp = connected_components(pairs, max_iter=max_iter)
+        _dedup.release(pairs)  # comp is checkpointed; pairs no longer needed
+        dup = (comp.where(F.col("node") != F.col("component"))
+                   .select(F.col("node").alias(id_col),
+                           F.col("component").alias("_keep")))
+        detail = f"{n}-gram Jaccard >= {threshold}"
+    else:
+        raise ValueError(f"unknown x-dedup method {method!r}")
+
+    return dup.select(
+        F.col(id_col).cast("string").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"dedup:{text_col}").alias("constraint_id"),
+        F.lit("dedup").alias("keyword"),
+        F.lit(f"/{text_col}").alias("instance_path"),
+        F.lit(f"#/x-dedup/{text_col}").alias("schema_path"),
+        F.concat(F.lit(f"Must be unique content ({detail}): duplicate of "
+                       "`"),
+                 F.col("_keep").cast("string"), F.lit("`")).alias("message"),
+        F.col("_keep").cast("string").alias("actual"),
+        F.lit(None).cast("array<string>").alias("expected"),
+        F.lit(severity).alias("severity"),
+    )
+
+
 def cluster_dedup(df: DataFrame, pairs: DataFrame, id_col: str, *,
                   id_a: str = "id_a", id_b: str = "id_b",
                   max_iter: int = 25) -> DataFrame:

@@ -1,7 +1,7 @@
-"""Run a compiled ruleset's table-level declarations (x-unique / x-ref)
-and union them with the row-level violations — the full north_star check
-set (expressions + codec UDFs + uniqueness + referential) driven by ONE
-declarative document.
+"""Run a compiled ruleset's table-level declarations (x-unique / x-ref /
+x-drift / x-dedup) and union them with the row-level violations — the full
+north_star check set (expressions + codec UDFs + uniqueness + referential +
+drift + duplicate-content) driven by ONE declarative document.
 
 Row-level checks stay in the one-projection scan (operators/validate.py);
 each table check is its own relational pass (salted aggregate / broadcast
@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 
 from ..plans.compiler import CompiledRuleset
+from .clusters import dedup_violations
 from .drift import drift_violations
 from .referential import referential_violations
 from .uniqueness import uniqueness_violations
@@ -73,6 +74,12 @@ def validate_with_table_checks(
         elif kind == "drift":
             extras.append(drift_violations(
                 df, column, ruleset_name=compiled.name, **params))
+        elif kind == "dedup":
+            extras.append(dedup_violations(
+                df, column, params["id"], method=params["method"],
+                ruleset_name=compiled.name, block_col=params.get("block"),
+                n=params["n"], threshold=params["threshold"],
+                severity=params.get("severity", "warning")))
     table_v = None
     if extras:
         table_v = extras[0]

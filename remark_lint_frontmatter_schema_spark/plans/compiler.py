@@ -72,6 +72,7 @@ _KNOWN_KEYWORDS = {
     # compile into CompiledRuleset.table_checks and run as separate
     # relational passes
     "x-spark-check", "x-unique", "x-ref", "x-drift", "x-severity",
+    "x-dedup", "x-langid",
 }
 
 
@@ -367,6 +368,22 @@ _KEYWORD_SHAPE = {
     and (v.get("n_items") is None
          or (isinstance(v["n_items"], int) and not isinstance(v["n_items"], bool)
              and v["n_items"] > 0)),
+    "x-dedup": lambda v: isinstance(v, dict)
+    and isinstance(v.get("id"), str)
+    and v.get("method", "exact") in ("exact", "jaccard")
+    and (v.get("block") is None or isinstance(v["block"], str))
+    and (v.get("threshold") is None
+         or (isinstance(v["threshold"], _NUM)
+             and not isinstance(v["threshold"], bool)))
+    and (v.get("n") is None
+         or (isinstance(v["n"], int) and not isinstance(v["n"], bool)
+             and v["n"] > 0)),
+    "x-langid": lambda v: isinstance(v, dict)
+    and isinstance(v.get("declared"), str)
+    and (v.get("min_tokens") is None
+         or (isinstance(v["min_tokens"], int)
+             and not isinstance(v["min_tokens"], bool)
+             and v["min_tokens"] >= 0)),
     "x-drift": lambda v: isinstance(v, dict)
     and isinstance(v.get("partition_col"), str)
     and v.get("side_a") is not None and v.get("side_b") is not None
@@ -800,6 +817,52 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
                 }))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-drift"))
+
+    if "x-dedup" in schema and not ctx.silent:
+        # duplicate-content declaration: exact sha256 groups or n-gram
+        # Jaccard near-dup clusters (operators/clusters.dedup_violations);
+        # a separate relational pass like x-unique, so top-level only
+        if is_top:
+            p = schema["x-dedup"]
+            ctx.out.table_checks.append(
+                ("dedup", ctx.instance_path[1:], {
+                    "id": p["id"],
+                    "method": p.get("method", "exact"),
+                    "block": p.get("block"),
+                    "n": int(p.get("n", 3)),
+                    "threshold": float(p.get("threshold", 0.55)),
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-dedup"))
+
+    if "x-langid" in schema and ctx.col is not None:
+        # declared-vs-detected language consistency: a pure row expression
+        # (marker-token argmax, operators/text.lang_guess) so it rides the
+        # one-projection scan — no extra pass
+        from ..operators import text as _text
+
+        p = schema["x-langid"]
+        declared = p["declared"]
+        if declared not in ctx.df_schema.fieldNames():
+            # declared column absent from the table: can't evaluate —
+            # surfaced, never silently vacuous
+            ctx.out.unknown.append(
+                (ctx.instance_path, f"x-langid:{declared}"))
+        else:
+            if not ctx.silent:
+                ctx.out.columns_read.add(declared)
+            dcol = F.col(declared)
+            guess = _text.lang_guess(ctx.col)
+            min_toks = int(p.get("min_tokens", 5))
+            violated = (_present(ctx) & dcol.isNotNull()
+                        & (_text.token_count(ctx.col) >= min_toks)
+                        & (guess != F.lit("und"))
+                        & (guess != dcol))
+            msg = _reason(
+                f'must match declared language in "{declared}"', ctx,
+                "x-langid")
+            _add(ctx, "x-langid", violated, msg, actual=guess)
 
     if "x-spark-check" in schema and ctx.col is not None:
         name = schema["x-spark-check"]

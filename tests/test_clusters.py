@@ -128,3 +128,124 @@ def test_no_persist_registry_leak(spark):
     pairs = _pairs_df(spark, [("a", "b"), ("b", "c")])
     clusters.connected_components(pairs).count()
     assert len(dedup._PERSISTED) == before
+
+
+# --- x-dedup / x-langid DSL integration ------------------------------------
+
+def _docs_df(spark):
+    return spark.createDataFrame(
+        [("a", "the quick brown fox jumps over the lazy dog today", "en"),
+         ("b", "the quick brown fox jumps over the lazy dog today", "en"),
+         ("c", "the quick brown fox jumps over the lazy dog zzzzz", "en"),
+         ("d", "der schnelle braune fuchs springt und der hund ist faul", "en"),
+         ("e", "le renard brun rapide saute et le chien est paresseux", "fr"),
+         ("f", None, "en")],
+        "doc_id string, text string, lang string")
+
+
+def _compile(spark, schema_for_text):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    df = _docs_df(spark)
+    return df, compile_ruleset(
+        {"type": "object", "properties": {"text": schema_for_text}},
+        df.schema, name="docs")
+
+
+def test_dedup_violations_exact(spark):
+    got = clusters.dedup_violations(_docs_df(spark), "text", "doc_id")
+    rows = {r.row_id: r for r in got.collect()}
+    # only the NON-canonical twin violates; NULL text is never a duplicate
+    assert set(rows) == {"b"}
+    assert rows["b"].actual == "a"
+    assert rows["b"].message == (
+        "Must be unique content (exact sha256 match): duplicate of `a`")
+    assert rows["b"].keyword == "dedup"
+
+
+def test_dedup_violations_jaccard_transitive(spark):
+    # a~b exact, b~c near (one token differs): one cluster {a,b,c};
+    # survivors = min id only
+    got = clusters.dedup_violations(
+        _docs_df(spark), "text", "doc_id", method="jaccard",
+        block_col="lang", threshold=0.5)
+    assert {r.row_id for r in got.collect()} == {"b", "c"}
+
+
+def test_dedup_violations_jaccard_requires_block(spark):
+    with pytest.raises(ValueError, match="block_col"):
+        clusters.dedup_violations(_docs_df(spark), "text", "doc_id",
+                                  method="jaccard").collect()
+
+
+def test_x_dedup_compiles_to_table_check(spark):
+    df, compiled = _compile(spark, {
+        "type": "string", "x-dedup": {"id": "doc_id", "method": "jaccard",
+                                      "block": "lang", "threshold": 0.5}})
+    assert compiled.table_checks == [
+        ("dedup", "text", {"id": "doc_id", "method": "jaccard",
+                           "block": "lang", "n": 3, "threshold": 0.5,
+                           "severity": "warning"})]
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    res = validate_with_table_checks(df, compiled, row_id="doc_id")
+    assert {r.row_id for r in res.violations.collect()} == {"b", "c"}
+
+
+def test_x_dedup_nested_is_unknown(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    df = _docs_df(spark)
+    schema = {"type": "object", "properties": {"text": {
+        "type": "string",
+        "anyOf": [{"x-dedup": {"id": "doc_id"}}, {"minLength": 1}]}}}
+    compiled = compile_ruleset(schema, df.schema, name="docs")
+    assert not compiled.table_checks
+    # surfaced via the composition-probe path as a dropped declaration
+    assert any(kw.startswith("x-dedup") for _p, kw in compiled.unknown)
+
+
+def test_x_langid_flags_mismatch_only(spark):
+    df, compiled = _compile(spark, {
+        "type": "string", "x-langid": {"declared": "lang", "min_tokens": 3}})
+    from remark_lint_frontmatter_schema_spark import validate
+    res = validate(df, compiled, row_id="doc_id")
+    rows = {r.row_id: r for r in res.violations.collect()}
+    # d: German text declared en -> violation with detected lang as actual;
+    # e: French declared fr -> consistent; f: NULL text -> skipped
+    assert set(rows) == {"d"}
+    assert rows["d"].actual == "de"
+    assert rows["d"].keyword == "x-langid"
+    assert "lang" in compiled.columns_read
+
+
+def test_x_langid_min_tokens_guard(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+    df = spark.createDataFrame([("a", "der und", "en")],
+                               "doc_id string, text string, lang string")
+    rs = {"type": "object", "properties": {"text": {
+        "type": "string", "x-langid": {"declared": "lang",
+                                       "min_tokens": 5}}}}
+    compiled = compile_ruleset(rs, df.schema, name="docs")
+    assert validate(df, compiled, row_id="doc_id").violations.count() == 0
+
+
+def test_x_langid_missing_declared_column_surfaces(spark):
+    df, compiled = _compile(spark, {
+        "type": "string", "x-langid": {"declared": "no_such_col"}})
+    assert any(kw == "x-langid:no_such_col" for _p, kw in compiled.unknown)
+    assert not any(c.keyword == "x-langid" for c in compiled.checks)
+
+
+def test_x_dedup_x_langid_malformed_rejected(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.plans.compiler import (
+        RulesetCompileError)
+    df = _docs_df(spark)
+    for bad in ({"x-dedup": {"method": "exact"}},          # id missing
+                {"x-dedup": {"id": "doc_id", "method": "nope"}},
+                {"x-langid": {}},                           # declared missing
+                {"x-langid": {"declared": "lang", "min_tokens": -1}}):
+        with pytest.raises(RulesetCompileError):
+            compile_ruleset(
+                {"type": "object",
+                 "properties": {"text": {"type": "string", **bad}}},
+                df.schema, name="docs")
