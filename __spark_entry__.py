@@ -653,6 +653,20 @@ def q_simhash_pairs_documents(spark, sf):
     return dedup.simhash_pairs(docs, "text", "doc_id", max_distance=6)
 
 
+def q_minhash_cluster_documents(spark, sf):
+    """The 100 TB near-dup path end-to-end: MinHash+LSH banded candidate
+    pairs (bucketed, no all-pairs) -> connected components -> survivor set.
+    Seeded-hash signatures have no faithful SQL twin (rows-only check);
+    the component algebra itself is oracle-backed via
+    ``dedup_clusters_documents``."""
+    docs = _load(spark, sf, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.7)
+    out = clusters.cluster_dedup(docs, pairs, "doc_id").select(
+        "doc_id", "lang")
+    dedup.release_all()
+    return out
+
+
 def q_ann_ivf_topk(spark, sf):
     emb = _load(spark, sf, "embeddings")
     qv = [float(x) for x in
@@ -718,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_lineitem_declarative": q_validate_lineitem_declarative,
         "validate_events_drift_declarative": q_validate_events_drift_declarative,
         "minhash_dedup_documents": q_minhash_dedup_documents,
+        "minhash_cluster_documents": q_minhash_cluster_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embed_lsh_pairs": q_embed_lsh_pairs,

@@ -46,6 +46,7 @@ HEADLINE = [
     "fingerprint_documents",
     "dedup_exact_documents",
     "minhash_dedup_documents",
+    "minhash_cluster_documents",
     "simhash_pairs_documents",
     "ann_cosine_topk",
     "approx_stats_lineitem",

@@ -324,6 +324,42 @@ def audio_features(clips, *, frame_ms: int = 20,
         schema=audio_features_schema(pt_ddl))
 
 
+def speaking_rate_violations(clips, *, transcript_col: str = "transcript",
+                             dur_col: str = "dur_ms",
+                             lo: float = 1.0, hi: float = 40.0,
+                             ruleset_name: str = "engine"):
+    """Cross-field plausibility: transcript length vs declared duration.
+
+    Human speech transcribes to roughly 8-25 characters/second; a clip
+    whose transcript implies a rate far outside ``[lo, hi]`` has a wrong
+    transcript, a wrong ``dur_ms``, or a truncated payload — the
+    audio-tier analog of the reference catching frontmatter that
+    contradicts the document body. Pure JVM Column arithmetic over the
+    metadata columns (``bytes`` is never read): rides a single
+    column-pruned scan, violation shape shared with the row validator.
+    NULL transcript/duration and non-positive durations are skipped —
+    those are ``required``/``minimum`` checks' business, not a rate.
+    """
+    t, d = F.col(transcript_col), F.col(dur_col)
+    rate = F.length(t) / (d / F.lit(1000.0))
+    bad = clips.where(t.isNotNull() & d.isNotNull() & (d > 0)
+                      & ((rate < lo) | (rate > hi)))
+    return bad.select(
+        F.col("clip_id").cast("string").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"rate:{transcript_col}").alias("constraint_id"),
+        F.lit("x-rate").alias("keyword"),
+        F.lit(f"/{transcript_col}").alias("instance_path"),
+        F.lit("#/x-rate").alias("schema_path"),
+        F.lit(f"Must have plausible speaking rate ({lo}-{hi} chars/sec "
+              f"against `{dur_col}`)").alias("message"),
+        F.round(rate, 2).cast("string").alias("actual"),
+        F.lit(None).cast("array<string>").alias("expected"),
+        F.lit("warning").alias("severity"),
+    )
+
+
 def duration_consistency_violations(clips, *, tolerance_ms: int = 5,
                                     ruleset_name: str = "engine"):
     """Cross-field invariant: payload-derived duration must match the

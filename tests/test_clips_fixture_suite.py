@@ -162,3 +162,34 @@ def test_header_check_vectorized(spark, clips):
     # and at least the two injected header defects are caught
     assert len(bad) >= 2
     _ = F
+
+
+def test_speaking_rate_violations(spark):
+    import pyspark.sql.functions as F
+    rows = [
+        ("ok", "hello there this is fine", 2000),      # 12 chars/sec
+        ("fast", "x" * 900, 1000),                     # 900 chars/sec
+        ("slow", "hi", 60000),                         # 0.03 chars/sec
+        ("null_t", None, 2000),
+        ("null_d", "some words here", None),
+        ("zero_d", "some words here", 0),
+    ]
+    df = spark.createDataFrame(rows,
+                               "clip_id string, transcript string, dur_ms int")
+    got = {r.row_id: r for r in
+           audio.speaking_rate_violations(df).collect()}
+    # only implausible rates violate; NULL/zero durations are other
+    # keywords' business
+    assert set(got) == {"fast", "slow"}
+    assert got["fast"].keyword == "x-rate"
+    assert float(got["fast"].actual) == 900.0
+    assert "1.0-40.0 chars/sec" in got["fast"].message
+
+
+def test_speaking_rate_clean_on_fixture_valid_rows(spark, clips):
+    # fixture transcripts are synthesized at plausible lengths for their
+    # durations; the defect classes do not target rate, so wide bounds
+    # must pass everything with a non-null transcript and duration
+    v = audio.speaking_rate_violations(
+        clips, lo=0.01, hi=10000.0)
+    assert v.count() == 0
