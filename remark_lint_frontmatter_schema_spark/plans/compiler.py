@@ -72,7 +72,7 @@ _KNOWN_KEYWORDS = {
     # compile into CompiledRuleset.table_checks and run as separate
     # relational passes
     "x-spark-check", "x-unique", "x-ref", "x-drift", "x-severity",
-    "x-dedup", "x-langid",
+    "x-dedup", "x-langid", "x-rate",
 }
 
 
@@ -384,6 +384,13 @@ _KEYWORD_SHAPE = {
          or (isinstance(v["min_tokens"], int)
              and not isinstance(v["min_tokens"], bool)
              and v["min_tokens"] >= 0)),
+    "x-rate": lambda v: isinstance(v, dict)
+    and isinstance(v.get("duration"), str)
+    and all(v.get(k) is None
+            or (isinstance(v[k], _NUM) and not isinstance(v[k], bool))
+            for k in ("lo", "hi"))
+    and (v.get("lo") is None or v.get("hi") is None
+         or float(v["lo"]) < float(v["hi"])),
     "x-drift": lambda v: isinstance(v, dict)
     and isinstance(v.get("partition_col"), str)
     and v.get("side_a") is not None and v.get("side_b") is not None
@@ -863,6 +870,31 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
                 f'must match declared language in "{declared}"', ctx,
                 "x-langid")
             _add(ctx, "x-langid", violated, msg, actual=guess)
+
+    if "x-rate" in schema and ctx.col is not None:
+        # transcript-vs-duration plausibility (the audio-tier cross-field
+        # check, functions/audio.speaking_rate_violations as a DSL row
+        # expression): chars/sec of this string column against a declared
+        # millisecond duration column must land in [lo, hi]
+        p = schema["x-rate"]
+        dur_name = p["duration"]
+        if dur_name not in ctx.df_schema.fieldNames():
+            ctx.out.unknown.append(
+                (ctx.instance_path, f"x-rate:{dur_name}"))
+        else:
+            if not ctx.silent:
+                ctx.out.columns_read.add(dur_name)
+            lo = float(p.get("lo", 1.0))
+            hi = float(p.get("hi", 40.0))
+            dur = F.col(dur_name)
+            rate = F.length(ctx.col) / (dur / F.lit(1000.0))
+            violated = (_present(ctx) & dur.isNotNull() & (dur > 0)
+                        & ((rate < lo) | (rate > hi)))
+            msg = _reason(
+                f'must have plausible speaking rate ({lo}-{hi} chars/sec '
+                f'against "{dur_name}")', ctx, "x-rate")
+            _add(ctx, "x-rate", violated, msg,
+                 actual=F.round(rate, 2).cast("string"))
 
     if "x-spark-check" in schema and ctx.col is not None:
         name = schema["x-spark-check"]

@@ -193,3 +193,44 @@ def test_speaking_rate_clean_on_fixture_valid_rows(spark, clips):
     v = audio.speaking_rate_violations(
         clips, lo=0.01, hi=10000.0)
     assert v.count() == 0
+
+
+def test_x_rate_dsl_keyword(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+    df = spark.createDataFrame(
+        [("ok", "hello there this is fine", 2000),
+         ("fast", "x" * 900, 1000),
+         ("null_d", "some words here", None)],
+        "clip_id string, transcript string, dur_ms int")
+    rs = {"type": "object", "properties": {"transcript": {
+        "type": "string", "x-rate": {"duration": "dur_ms", "lo": 1,
+                                     "hi": 40}}}}
+    compiled = compile_ruleset(rs, df.schema, name="clips")
+    assert "dur_ms" in compiled.columns_read
+    rows = {r.row_id: r for r in
+            validate(df, compiled, row_id="clip_id").violations.collect()}
+    assert set(rows) == {"fast"}
+    assert rows["fast"].keyword == "x-rate"
+    assert float(rows["fast"].actual) == 900.0
+    assert 'against "dur_ms"' in rows["fast"].message
+
+
+def test_x_rate_missing_duration_column_surfaces(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.plans.compiler import (
+        RulesetCompileError as RCE)
+    df = spark.createDataFrame([("a", "t")],
+                               "clip_id string, transcript string")
+    rs = {"type": "object", "properties": {"transcript": {
+        "type": "string", "x-rate": {"duration": "nope"}}}}
+    compiled = compile_ruleset(rs, df.schema, name="clips")
+    assert any(kw == "x-rate:nope" for _p, kw in compiled.unknown)
+    assert not any(c.keyword == "x-rate" for c in compiled.checks)
+    # malformed shapes fail compile
+    import pytest as _pt
+    for bad in ({"x-rate": {}}, {"x-rate": {"duration": "dur_ms",
+                                            "lo": 40, "hi": 1}}):
+        with _pt.raises(RCE):
+            compile_ruleset({"type": "object", "properties": {
+                "transcript": {"type": "string", **bad}}},
+                df.schema, name="clips")
