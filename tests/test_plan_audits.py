@@ -150,3 +150,42 @@ def test_budget_sampling_prunes_columns(spark, tmp_path):
     assert "wide_col" not in plan and "lang" not in plan, plan
     out.count()
     dedup.release_all()
+
+
+def test_exact_dedup_violations_shuffle_carries_hash_not_text(spark, tmp_path):
+    """x-dedup exact: the aggregate/join must exchange (sha, id) pairs
+    only — the text column is consumed map-side by sha2 and must not
+    appear in any Exchange input."""
+    from remark_lint_frontmatter_schema_spark.operators import clusters
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(str(i), f"body {i % 3} with some longer content here", "en")
+         for i in range(50)],
+        "doc_id string, text string, lang string").write.parquet(p)
+    docs = spark.read.parquet(p)
+    v = clusters.dedup_violations(docs, "text", "doc_id")
+    plan = _plan(v)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # every exchange's child output should be hash+id, never the raw text
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text#" not in ln, ln
+    # scan reads only the two columns the check needs
+    scan = " ".join(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "lang" not in scan
+
+
+def test_star_rounds_have_no_cartesian_or_full_rows(spark):
+    """Connected components: each star round is groupBy-min + equi-join on
+    node ids — no cartesian product, no nested-loop join, ever."""
+    from remark_lint_frontmatter_schema_spark.operators.clusters import (
+        _large_star, _small_star)
+    e = spark.createDataFrame([(f"a{i}", f"a{i+1}") for i in range(20)],
+                              "src string, dst string")
+    for stage in (_large_star(e), _small_star(e)):
+        plan = _plan(stage)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        # min-neighbor must partial-aggregate map-side (skew safety for
+        # huge-degree nodes)
+        assert "partial_min" in plan or "partial_merge" in plan, plan
