@@ -39,6 +39,57 @@ class TableValidationResult:
     violations: DataFrame                # row ∪ table
 
 
+def table_check_violations(
+    df: DataFrame,
+    compiled: CompiledRuleset,
+    *,
+    row_id: str,
+    dims: dict[str, DataFrame] | None = None,
+    on_missing_dim=None,
+) -> DataFrame | None:
+    """Union of every declared table check's violation rows (None if the
+    ruleset declares none). The shared engine behind
+    :func:`validate_with_table_checks` and the routing layer.
+
+    ``on_missing_dim`` — called with the dim name when an ``x-ref``
+    declaration references a dim not provided in ``dims``; the check is
+    skipped (the routing layer records an error artifact, G2-style).
+    Without the callback a missing dim raises KeyError at plan time.
+    """
+    dims = dims or {}
+    extras: list[DataFrame] = []
+    for kind, column, params in compiled.table_checks:
+        if kind == "unique":
+            extras.append(uniqueness_violations(
+                df, column, ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
+        elif kind == "ref":
+            if params["dim"] not in dims and on_missing_dim is not None:
+                on_missing_dim(params["dim"])
+                continue
+            extras.append(referential_violations(
+                df, column, dims[params["dim"]], params["key"],
+                row_id=row_id, ruleset_name=compiled.name,
+                use_bloom=params["bloom"],
+                n_items_hint=params.get("n_items"),
+                severity=params.get("severity", "warning")))
+        elif kind == "drift":
+            extras.append(drift_violations(
+                df, column, ruleset_name=compiled.name, **params))
+        elif kind == "dedup":
+            extras.append(dedup_violations(
+                df, column, params["id"], method=params["method"],
+                ruleset_name=compiled.name, block_col=params.get("block"),
+                n=params["n"], threshold=params["threshold"],
+                severity=params.get("severity", "warning")))
+    if not extras:
+        return None
+    table_v = extras[0]
+    for e in extras[1:]:
+        table_v = table_v.unionByName(e)
+    return table_v
+
+
 def validate_with_table_checks(
     df: DataFrame,
     compiled: CompiledRuleset,
@@ -55,36 +106,9 @@ def validate_with_table_checks(
     time (config error — the G2 guard belongs to the routing layer which
     catches compile/lookup failures into its error report).
     """
-    dims = dims or {}
     row_res = validate(df, compiled, row_id=row_id,
                        partition_col=partition_col, run_id=run_id)
-    extras: list[DataFrame] = []
-    for kind, column, params in compiled.table_checks:
-        if kind == "unique":
-            extras.append(uniqueness_violations(
-                df, column, ruleset_name=compiled.name,
-                severity=params.get("severity", "warning")))
-        elif kind == "ref":
-            extras.append(referential_violations(
-                df, column, dims[params["dim"]], params["key"],
-                row_id=row_id, ruleset_name=compiled.name,
-                use_bloom=params["bloom"],
-                n_items_hint=params.get("n_items"),
-                severity=params.get("severity", "warning")))
-        elif kind == "drift":
-            extras.append(drift_violations(
-                df, column, ruleset_name=compiled.name, **params))
-        elif kind == "dedup":
-            extras.append(dedup_violations(
-                df, column, params["id"], method=params["method"],
-                ruleset_name=compiled.name, block_col=params.get("block"),
-                n=params["n"], threshold=params["threshold"],
-                severity=params.get("severity", "warning")))
-    table_v = None
-    if extras:
-        table_v = extras[0]
-        for e in extras[1:]:
-            table_v = table_v.unionByName(e)
+    table_v = table_check_violations(df, compiled, row_id=row_id, dims=dims)
     all_v = row_res.violations
     if table_v is not None:
         all_v = all_v.unionByName(

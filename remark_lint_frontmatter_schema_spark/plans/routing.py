@@ -41,6 +41,9 @@ class RoutedPass:
     compiled: CompiledRuleset
     source: str                      # "embed" | "column" | "pattern"
     result: ValidationResult
+    # x-unique / x-ref / x-drift / x-dedup passes declared by this route's
+    # ruleset, scoped to the route's applicable rows (None if none declared)
+    table_violations: DataFrame | None = None
 
 
 @dataclass
@@ -54,6 +57,9 @@ class RoutingReport:
         dfs = [p.result.violations for p in self.passes]
         if not dfs:
             return None
+        cols = dfs[0].columns
+        dfs += [p.table_violations.select(*cols) for p in self.passes
+                if p.table_violations is not None]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
@@ -196,6 +202,7 @@ def route_and_validate(
     extra_checks: dict | None = None,
     schema_dirs: tuple = (),               # path-valued ruleset_col resolution
     fetch=None,                            # remote $ref fetcher (bundler)
+    dims: dict | None = None,              # x-ref dim name -> DataFrame
 ) -> RoutingReport:
     report = RoutingReport()
     registry = registry or {}
@@ -223,7 +230,21 @@ def route_and_validate(
                        partition_col=partition_col,
                        ruleset_id_value=name,
                        applicability=applicability, run_id=run_id)
-        report.passes.append(RoutedPass(name, compiled, source, res))
+        tv = None
+        if compiled.table_checks:
+            # table-level declarations run scoped to the route's applicable
+            # rows; a missing x-ref dim becomes an error artifact (G2), not
+            # a crash and never a silent drop
+            from ..operators.table_checks import table_check_violations
+            scope = (df.where(applicability) if applicability is not None
+                     else df)
+            tv = table_check_violations(
+                scope, compiled, row_id=row_id, dims=dims,
+                on_missing_dim=lambda d, _n=name: report.errors.append(
+                    (_n, "table-check",
+                     f"x-ref dim {d!r} not provided to route_and_validate")))
+        report.passes.append(RoutedPass(name, compiled, source, res,
+                                        table_violations=tv))
 
     if embed is not None:
         add_pass("embed", bundle_dict(embed, fetch=fetch), "embed", None)
@@ -250,6 +271,7 @@ def route_and_validate_single_pass(
     extra_checks: dict | None = None,
     schema_dirs: tuple = (),
     fetch=None,
+    dims: dict | None = None,
 ):
     """Fused routing: ALL routed rulesets evaluated in ONE scan.
 
@@ -349,5 +371,21 @@ def route_and_validate_single_pass(
           .withColumn("passed", F.col("n_failed_rows") == 0)
           .withColumn("run_id", F.lit(run_id))
     )
+    # table-level declarations cannot fuse into the row projection (each is
+    # its own aggregate/join pass) but must not silently drop: run them
+    # scoped to their route's predicate and union into the violations
+    for name, compiled, pred in routes:
+        if not compiled.table_checks:
+            continue
+        from ..operators.table_checks import table_check_violations
+        tv = table_check_violations(
+            df.where(pred), compiled, row_id=row_id, dims=dims,
+            on_missing_dim=lambda d, _n=name: errors.append(
+                (_n, "table-check",
+                 f"x-ref dim {d!r} not provided to "
+                 "route_and_validate_single_pass")))
+        if tv is not None:
+            violations = violations.unionByName(
+                tv.select(*violations.columns))
     return {"violations": violations, "verdicts": verdicts,
             "errors": errors, "routed": [n for n, _c, _p in routes]}

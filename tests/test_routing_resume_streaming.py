@@ -360,3 +360,55 @@ def test_single_pass_matches_multi_pass_overlapping_patterns(spark):
     # p1 rows are counted under BOTH rulesets' verdicts
     assert {(p, rid) for p, rid, *_ in vset(fused["verdicts"].collect())} \
         >= {("p1", "a@pattern"), ("p1", "b@pattern"), ("p2", "a@pattern")}
+
+
+def test_routed_table_checks_run_and_scope(spark):
+    """x-unique / x-dedup declared by a routed ruleset must execute (not
+    silently drop) and must be scoped to the route's applicable rows."""
+    df = spark.createDataFrame(
+        [("a", "rs", "same text body here"),
+         ("b", "rs", "same text body here"),
+         ("c", "rs", "unique body"),
+         ("x", None, "same text body here"),   # unrouted: outside scope
+         ("y", "rs", "same text body here")],
+        "doc_id string, ruleset_id string, text string")
+    reg = {"rs": {"type": "object", "properties": {
+        "doc_id": {"type": "string", "x-unique": True},
+        "text": {"type": "string", "x-dedup": {"id": "doc_id"}}}}}
+    rep = route_and_validate(df, row_id="doc_id", registry=reg,
+                             ruleset_col="ruleset_id")
+    assert rep.passes[0].table_violations is not None
+    rows = rep.violations.collect()
+    dedup_rows = {r.row_id for r in rows if r.keyword == "dedup"}
+    # x (unrouted) is out of scope: neither a violator nor the canonical
+    assert dedup_rows == {"b", "y"}
+    assert not any(r.keyword == "unique" for r in rows)  # ids are unique
+
+
+def test_routed_missing_ref_dim_is_artifact_not_crash(spark):
+    df = spark.createDataFrame([("a", "rs", "k1")],
+                               "doc_id string, ruleset_id string, fk string")
+    reg = {"rs": {"type": "object", "properties": {
+        "fk": {"type": "string",
+               "x-ref": {"dim": "dim_table", "key": "k"}}}}}
+    rep = route_and_validate(df, row_id="doc_id", registry=reg,
+                             ruleset_col="ruleset_id")
+    assert any(stage == "table-check" and "dim_table" in msg
+               for _n, stage, msg in rep.errors)
+    rep.violations.count()  # plan still materializes
+
+
+def test_fused_routing_runs_table_checks(spark):
+    from remark_lint_frontmatter_schema_spark.plans.routing import (
+        route_and_validate_single_pass)
+    df = spark.createDataFrame(
+        [("a", "rs", "same text body here"),
+         ("b", "rs", "same text body here"),
+         ("x", None, "same text body here")],
+        "doc_id string, ruleset_id string, text string")
+    reg = {"rs": {"type": "object", "properties": {
+        "text": {"type": "string", "x-dedup": {"id": "doc_id"}}}}}
+    fused = route_and_validate_single_pass(
+        df, row_id="doc_id", registry=reg, ruleset_col="ruleset_id")
+    rows = fused["violations"].collect()
+    assert {r.row_id for r in rows if r.keyword == "dedup"} == {"b"}
