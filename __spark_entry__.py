@@ -299,6 +299,19 @@ def q_cluster_dedup_documents(spark, sf):
     return out
 
 
+def q_embed_cluster_dedup(spark, sf):
+    """Embedding-space cluster dedup: the oracle-verified blocked cosine
+    pairs closed into components, one survivor per cluster — semantic
+    near-dup removal over `array<float>` vectors."""
+    emb = _load(spark, sf, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", block_col="label", threshold=0.30)
+    out = clusters.cluster_dedup(emb, pairs, "vec_id").select(
+        "vec_id", "label")
+    dedup.release_all()
+    return out
+
+
 PROPS_RULESET = {
     "type": "object",
     "properties": {
@@ -712,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "cluster_dedup_documents": q_cluster_dedup_documents,
         "validate_documents_content": q_validate_documents_content,
+        "embed_cluster_dedup": q_embed_cluster_dedup,
         "validate_events_props": q_validate_events_props,
         "validate_part_composition": q_validate_part_composition,
         "validate_events_formats": q_validate_events_formats,
@@ -976,6 +990,26 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.e, b.e)
       / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.30
+"""
+
+# embedding-space variant of the cluster oracle: same recursive closure
+# over the blocked-cosine pair graph
+_EMBED_CLUSTER_DEDUP_SQL = f"""
+WITH RECURSIVE pr AS ({_EMBED_PAIRS_SQL}),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION
+  SELECT id_b, id_a FROM pr
+),
+reach(node, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node
+),
+comp AS (SELECT node, min(r) AS comp_id FROM reach GROUP BY node)
+SELECT v.vec_id, v.label
+FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.node
+WHERE c.node IS NULL OR c.comp_id = v.vec_id
 """
 
 _NGRAM_JACCARD_SQL = """
@@ -1257,6 +1291,7 @@ FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
         "dedup_clusters_documents": _CLUSTERS_SQL,
         "cluster_dedup_documents": _CLUSTER_DEDUP_SQL,
         "validate_documents_content": _content_viol_sql(),
+        "embed_cluster_dedup": _EMBED_CLUSTER_DEDUP_SQL,
         "validate_events_props": _PROPS_VIOL_SQL,
         "validate_part_composition": _PART_COMP_SQL,
         "validate_events_formats": _formats_oracle_sql(),
