@@ -19,8 +19,8 @@ from pyspark.sql import functions as F
 
 from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
 from remark_lint_frontmatter_schema_spark.operators import (
-    clusters, curate, dedup, drift, referential, sampling, similarity,
-    stats, text, uniqueness)
+    clusters, curate, decontaminate, dedup, drift, referential, sampling,
+    similarity, stats, text, uniqueness)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -297,6 +297,17 @@ def q_cluster_dedup_documents(spark, sf):
         "doc_id", "lang")
     dedup.release_all()
     return out
+
+
+def q_decontaminate_documents(spark, sf):
+    """Benchmark decontamination: word-5-gram overlap of the corpus
+    against a held-out benchmark slice (broadcast shingle-hash join,
+    operators/decontaminate.py)."""
+    docs = _load(spark, sf, "documents")
+    bench = docs.where("doc_id % 29 = 0")
+    corpus = docs.where("doc_id % 29 != 0")
+    return decontaminate.contamination_pairs(
+        corpus, bench, "text", "doc_id", bench_id_col="doc_id", n=5)
 
 
 def q_embed_cluster_dedup(spark, sf):
@@ -726,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_dedup_documents": q_cluster_dedup_documents,
         "validate_documents_content": q_validate_documents_content,
         "embed_cluster_dedup": q_embed_cluster_dedup,
+        "decontaminate_documents": q_decontaminate_documents,
         "validate_events_props": q_validate_events_props,
         "validate_part_composition": q_validate_part_composition,
         "validate_events_formats": q_validate_events_formats,
@@ -1012,6 +1024,29 @@ FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.node
 WHERE c.node IS NULL OR c.comp_id = v.vec_id
 """
 
+# word-5-gram overlap between the benchmark slice (doc_id % 29 = 0) and
+# the rest of the corpus — string-shingle intersection (the Spark side
+# joins on xxhash64 of the same shingles; identical pairs absent a 64-bit
+# collision)
+_DECONTAMINATE_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x <> ''), x -> lower(x)) AS toks
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 3),
+                                      i -> array_to_string(toks[i:i+4], ' ')))
+           AS s
+  FROM t WHERE len(toks) >= 5
+)
+SELECT c.doc_id, b.doc_id AS bench_id,
+       CAST(len(list_intersect(c.s, b.s)) AS BIGINT) AS n_shared
+FROM sh c JOIN sh b ON b.doc_id % 29 = 0 AND c.doc_id % 29 <> 0
+WHERE len(list_intersect(c.s, b.s)) >= 1
+"""
+
 _NGRAM_JACCARD_SQL = """
 WITH sh AS (
   SELECT doc_id, lang,
@@ -1292,6 +1327,7 @@ FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
         "cluster_dedup_documents": _CLUSTER_DEDUP_SQL,
         "validate_documents_content": _content_viol_sql(),
         "embed_cluster_dedup": _EMBED_CLUSTER_DEDUP_SQL,
+        "decontaminate_documents": _DECONTAMINATE_SQL,
         "validate_events_props": _PROPS_VIOL_SQL,
         "validate_part_composition": _PART_COMP_SQL,
         "validate_events_formats": _formats_oracle_sql(),

@@ -1,0 +1,88 @@
+"""Benchmark decontamination: remove training documents that overlap an
+evaluation set.
+
+The standard LLM-pipeline guard (word-n-gram overlap against held-out
+benchmarks — the GPT-3/PaLM-style 8-13-gram rule): a training document
+sharing >= ``min_shared`` distinct word n-grams with any benchmark
+document is contaminated and must be dropped (or flagged for audit with
+its matching benchmark attribution).
+
+Scale design (100 TB corpus, benchmark sets are small by nature):
+
+* The benchmark side reduces to its DISTINCT shingle-hash set once —
+  typically 10^5-10^7 longs — and BROADCASTS. The corpus is then a single
+  map-side pass: explode its shingle hashes, hash-join against the
+  broadcast set, partial-count survivors per document. No corpus shuffle
+  carries text; the only wide exchange is (doc_id, n_shared) counts.
+* Joining on ``xxhash64`` of the shingle (8 bytes) instead of the shingle
+  string keeps the broadcast and the probe rows fixed-width; a 64-bit
+  collision would need ~10^9 distinct shingles to become likely
+  (birthday bound), far above any benchmark's size.
+* Attribution (WHICH benchmark doc matched) joins the same broadcast with
+  (hash, bench_id) retained — still benchmark-sized.
+
+Reference parity: the reference has no corpus-level stage (single-file
+unit of work, ``/root/reference/index.ts:201-320``); this module is part
+of the LLM-training-data operator family layered on the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def word_shingle_hashes(col, n: int = 8) -> Column:
+    """Distinct ``xxhash64`` hashes of word n-grams (lowercased,
+    whitespace-tokenized). Texts with fewer than ``n`` tokens (or NULL)
+    yield the empty set — a short text can never contaminate."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    n_sh = F.greatest(F.size(toks) - n + 1, F.lit(0))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))))
+    return F.when(n_sh > 0, F.array_distinct(sh)) \
+            .otherwise(F.array().cast("array<bigint>"))
+
+
+def contamination_pairs(df: DataFrame, bench: DataFrame, text_col: str,
+                        id_col: str, *, bench_text_col: str | None = None,
+                        bench_id_col: str | None = None, n: int = 8,
+                        min_shared: int = 1) -> DataFrame:
+    """(id, bench_id, n_shared) for every (document, benchmark-doc) pair
+    sharing at least ``min_shared`` distinct word n-grams.
+
+    The benchmark's exploded (hash, bench_id) relation is broadcast; the
+    corpus side is one scan -> explode -> broadcast-hash-join ->
+    partial-count aggregate.
+    """
+    bench_text_col = bench_text_col or text_col
+    bench_id_col = bench_id_col or id_col
+    b = (bench.select(F.col(bench_id_col).alias("bench_id"),
+                      F.explode(word_shingle_hashes(
+                          F.col(bench_text_col), n)).alias("h"))
+              .distinct())
+    d = df.select(F.col(id_col).alias("id"),
+                  F.explode(word_shingle_hashes(F.col(text_col), n))
+                   .alias("h"))
+    return (d.join(F.broadcast(b), "h")
+             .groupBy("id", "bench_id")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .where(F.col("n_shared") >= min_shared)
+             .select(F.col("id").alias(id_col), "bench_id", "n_shared"))
+
+
+def decontaminate(df: DataFrame, bench: DataFrame, text_col: str,
+                  id_col: str, *, bench_text_col: str | None = None,
+                  bench_id_col: str | None = None, n: int = 8,
+                  min_shared: int = 1) -> DataFrame:
+    """The corpus minus every contaminated document (anti-join against the
+    distinct contaminated-id set — the benchmark relation never touches
+    the surviving rows' payload)."""
+    bad = contamination_pairs(
+        df, bench, text_col, id_col, bench_text_col=bench_text_col,
+        bench_id_col=bench_id_col, n=n, min_shared=min_shared
+    ).select(id_col).distinct()
+    return df.join(bad, id_col, "left_anti")

@@ -1,0 +1,92 @@
+"""Benchmark decontamination (operators/decontaminate.py): word-n-gram
+overlap against a small broadcast benchmark set."""
+
+from pyspark.sql import functions as F
+
+from remark_lint_frontmatter_schema_spark.operators import decontaminate
+
+
+def _dfs(spark):
+    docs = spark.createDataFrame(
+        [("d1", "the quick brown fox jumps over the lazy dog"),
+         ("d2", "a completely different sentence about weather patterns"),
+         ("d3", "THE QUICK BROWN FOX jumps over something else entirely"),
+         ("d4", None),
+         ("d5", "too short")],
+        "doc_id string, text string")
+    bench = spark.createDataFrame(
+        [("b1", "quiz question: the quick brown fox jumps over what"),
+         ("b2", "unrelated benchmark prompt with unique vocabulary")],
+        "bench_id string, text string")
+    return docs, bench
+
+
+def test_contamination_pairs_and_case_insensitivity(spark):
+    docs, bench = _dfs(spark)
+    got = {(r.doc_id, r.bench_id): r.n_shared for r in
+           decontaminate.contamination_pairs(
+               docs, bench, "text", "doc_id", bench_id_col="bench_id",
+               n=5).collect()}
+    # d1 shares the 5-grams of "the quick brown fox jumps" + "quick brown
+    # fox jumps over" with b1; d3 matches case-insensitively
+    assert ("d1", "b1") in got and got[("d1", "b1")] == 2
+    assert ("d3", "b1") in got and got[("d3", "b1")] == 2
+    assert not any(b == "b2" for _d, b in got)
+
+
+def test_decontaminate_drops_only_contaminated(spark):
+    docs, bench = _dfs(spark)
+    kept = {r.doc_id for r in decontaminate.decontaminate(
+        docs, bench, "text", "doc_id", bench_id_col="bench_id",
+        n=5).collect()}
+    # NULL and short texts can never contaminate and must survive
+    assert kept == {"d2", "d4", "d5"}
+
+
+def test_min_shared_threshold(spark):
+    docs, bench = _dfs(spark)
+    got = decontaminate.contamination_pairs(
+        docs, bench, "text", "doc_id", bench_id_col="bench_id",
+        n=5, min_shared=3)
+    assert got.count() == 0  # max overlap is 2 shingles
+
+
+def test_matches_python_reference(spark):
+    import random
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+
+    def sent(k):
+        return " ".join(rnd.choice(vocab) for _ in range(k))
+
+    docs = [(f"d{i}", sent(rnd.randint(3, 25))) for i in range(60)]
+    bench = [(f"b{i}", sent(rnd.randint(5, 15))) for i in range(8)]
+    n = 4
+
+    def shingles(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    expect = {}
+    for did, dt in docs:
+        for bid, bt in bench:
+            k = len(shingles(dt) & shingles(bt))
+            if k >= 1:
+                expect[(did, bid)] = k
+
+    ddf = spark.createDataFrame(docs, "doc_id string, text string")
+    bdf = spark.createDataFrame(bench, "bench_id string, text string")
+    got = {(r.doc_id, r.bench_id): r.n_shared for r in
+           decontaminate.contamination_pairs(
+               ddf, bdf, "text", "doc_id", bench_id_col="bench_id",
+               n=n).collect()}
+    assert got == expect
+
+
+def test_broadcast_plan(spark):
+    docs, bench = _dfs(spark)
+    pairs = decontaminate.contamination_pairs(
+        docs, bench, "text", "doc_id", bench_id_col="bench_id", n=5)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
