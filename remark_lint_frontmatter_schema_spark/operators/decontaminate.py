@@ -74,6 +74,39 @@ def contamination_pairs(df: DataFrame, bench: DataFrame, text_col: str,
              .select(F.col("id").alias(id_col), "bench_id", "n_shared"))
 
 
+def contamination_violations(df: DataFrame, bench: DataFrame,
+                             text_col: str, id_col: str, *,
+                             bench_text_col: str | None = None,
+                             bench_id_col: str | None = None,
+                             n: int = 8, min_shared: int = 1,
+                             ruleset_name: str = "engine",
+                             severity: str = "warning") -> DataFrame:
+    """Violation rows for the ``x-decontaminate`` table check — one per
+    (document, benchmark-doc) overlap, shape mirrors
+    ``operators/validate.py`` VIOLATION_FIELDS (``actual`` carries the
+    matched benchmark id; the shared-shingle count is in the message)."""
+    pairs = contamination_pairs(
+        df, bench, text_col, id_col, bench_text_col=bench_text_col,
+        bench_id_col=bench_id_col, n=n, min_shared=min_shared)
+    return pairs.select(
+        F.col(id_col).cast("string").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"decontaminate:{text_col}").alias("constraint_id"),
+        F.lit("decontaminate").alias("keyword"),
+        F.lit(f"/{text_col}").alias("instance_path"),
+        F.lit(f"#/x-decontaminate/{text_col}").alias("schema_path"),
+        F.concat(F.lit("Must not overlap the benchmark set: shares "),
+                 F.col("n_shared").cast("string"),
+                 F.lit(f" {n}-gram(s) with `"),
+                 F.col("bench_id").cast("string"),
+                 F.lit("`")).alias("message"),
+        F.col("bench_id").cast("string").alias("actual"),
+        F.lit(None).cast("array<string>").alias("expected"),
+        F.lit(severity).alias("severity"),
+    )
+
+
 def decontaminate(df: DataFrame, bench: DataFrame, text_col: str,
                   id_col: str, *, bench_text_col: str | None = None,
                   bench_id_col: str | None = None, n: int = 8,

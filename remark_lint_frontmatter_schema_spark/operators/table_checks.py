@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 
 from ..plans.compiler import CompiledRuleset
 from .clusters import dedup_violations
+from .decontaminate import contamination_violations
 from .drift import drift_violations
 from .referential import referential_violations
 from .uniqueness import uniqueness_violations
@@ -51,10 +52,11 @@ def table_check_violations(
     ruleset declares none). The shared engine behind
     :func:`validate_with_table_checks` and the routing layer.
 
-    ``on_missing_dim`` — called with the dim name when an ``x-ref``
-    declaration references a dim not provided in ``dims``; the check is
-    skipped (the routing layer records an error artifact, G2-style).
-    Without the callback a missing dim raises KeyError at plan time.
+    ``on_missing_dim`` — called with the dim name when an ``x-ref`` or
+    ``x-decontaminate`` declaration references a dim/benchmark not
+    provided in ``dims``; the check is skipped (the routing layer records
+    an error artifact, G2-style). Without the callback a missing dim
+    raises KeyError at plan time.
     """
     dims = dims or {}
     extras: list[DataFrame] = []
@@ -81,6 +83,17 @@ def table_check_violations(
                 df, column, params["id"], method=params["method"],
                 ruleset_name=compiled.name, block_col=params.get("block"),
                 n=params["n"], threshold=params["threshold"],
+                severity=params.get("severity", "warning")))
+        elif kind == "decontaminate":
+            if params["bench"] not in dims and on_missing_dim is not None:
+                on_missing_dim(params["bench"])
+                continue
+            extras.append(contamination_violations(
+                df, dims[params["bench"]], column, params["id"],
+                bench_text_col=params.get("bench_text_col"),
+                bench_id_col=params.get("bench_id_col"),
+                n=params["n"], min_shared=params["min_shared"],
+                ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
     if not extras:
         return None

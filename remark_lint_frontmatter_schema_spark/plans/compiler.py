@@ -72,7 +72,7 @@ _KNOWN_KEYWORDS = {
     # compile into CompiledRuleset.table_checks and run as separate
     # relational passes
     "x-spark-check", "x-unique", "x-ref", "x-drift", "x-severity",
-    "x-dedup", "x-langid", "x-rate",
+    "x-dedup", "x-langid", "x-rate", "x-decontaminate",
 }
 
 
@@ -391,6 +391,13 @@ _KEYWORD_SHAPE = {
             for k in ("lo", "hi"))
     and (v.get("lo") is None or v.get("hi") is None
          or float(v["lo"]) < float(v["hi"])),
+    "x-decontaminate": lambda v: isinstance(v, dict)
+    and isinstance(v.get("id"), str)
+    and isinstance(v.get("bench"), str)
+    and all(v.get(k) is None
+            or (isinstance(v[k], int) and not isinstance(v[k], bool)
+                and v[k] > 0)
+            for k in ("n", "min_shared")),
     "x-drift": lambda v: isinstance(v, dict)
     and isinstance(v.get("partition_col"), str)
     and v.get("side_a") is not None and v.get("side_b") is not None
@@ -842,6 +849,24 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
                 }))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-dedup"))
+
+    if "x-decontaminate" in schema and not ctx.silent:
+        # benchmark-overlap declaration: like x-ref, names a dim (the
+        # benchmark table) resolved from the dims dict at run time
+        if is_top:
+            p = schema["x-decontaminate"]
+            ctx.out.table_checks.append(
+                ("decontaminate", ctx.instance_path[1:], {
+                    "id": p["id"],
+                    "bench": p["bench"],
+                    "bench_text_col": p.get("bench_text_col"),
+                    "bench_id_col": p.get("bench_id_col"),
+                    "n": int(p.get("n", 8)),
+                    "min_shared": int(p.get("min_shared", 1)),
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-decontaminate"))
 
     if "x-langid" in schema and ctx.col is not None:
         # declared-vs-detected language consistency: a pure row expression

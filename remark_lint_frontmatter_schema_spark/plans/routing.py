@@ -242,7 +242,7 @@ def route_and_validate(
                 scope, compiled, row_id=row_id, dims=dims,
                 on_missing_dim=lambda d, _n=name: report.errors.append(
                     (_n, "table-check",
-                     f"x-ref dim {d!r} not provided to route_and_validate")))
+                     f"dim {d!r} not provided to route_and_validate")))
         report.passes.append(RoutedPass(name, compiled, source, res,
                                         table_violations=tv))
 
@@ -382,7 +382,7 @@ def route_and_validate_single_pass(
             df.where(pred), compiled, row_id=row_id, dims=dims,
             on_missing_dim=lambda d, _n=name: errors.append(
                 (_n, "table-check",
-                 f"x-ref dim {d!r} not provided to "
+                 f"dim {d!r} not provided to "
                  "route_and_validate_single_pass")))
         if tv is not None:
             violations = violations.unionByName(

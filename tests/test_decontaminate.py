@@ -90,3 +90,50 @@ def test_broadcast_plan(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_x_decontaminate_dsl(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    docs, bench = _dfs(spark)
+    rs = {"type": "object", "properties": {"text": {
+        "type": "string",
+        "x-decontaminate": {"id": "doc_id", "bench": "eval_set", "n": 5}}}}
+    compiled = compile_ruleset(rs, docs.schema, name="docs")
+    assert compiled.table_checks[0][0] == "decontaminate"
+    res = validate_with_table_checks(
+        docs, compiled, row_id="doc_id", dims={"eval_set": bench.withColumnRenamed("bench_id", "doc_id")})
+    rows = [r for r in res.violations.collect()
+            if r.keyword == "decontaminate"]
+    assert {r.row_id for r in rows} == {"d1", "d3"}
+    assert all(r.actual == "b1" for r in rows)
+    assert "5-gram" in rows[0].message
+
+
+def test_x_decontaminate_missing_bench_is_routing_artifact(spark):
+    from remark_lint_frontmatter_schema_spark.plans.routing import (
+        route_and_validate)
+    docs, _bench = _dfs(spark)
+    docs = docs.withColumn("ruleset_id", F.lit("rs"))
+    reg = {"rs": {"type": "object", "properties": {"text": {
+        "x-decontaminate": {"id": "doc_id", "bench": "eval_set"}}}}}
+    rep = route_and_validate(docs, row_id="doc_id", registry=reg,
+                             ruleset_col="ruleset_id")
+    assert any(stage == "table-check" and "eval_set" in msg
+               for _n, stage, msg in rep.errors)
+
+
+def test_x_decontaminate_malformed_rejected(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.plans.compiler import (
+        RulesetCompileError)
+    import pytest as _pt
+    docs, _ = _dfs(spark)
+    for bad in ({"x-decontaminate": {"bench": "b"}},        # id missing
+                {"x-decontaminate": {"id": "doc_id", "bench": "b",
+                                     "n": 0}}):
+        with _pt.raises(RulesetCompileError):
+            compile_ruleset({"type": "object", "properties": {
+                "text": {"type": "string", **bad}}},
+                docs.schema, name="docs")
