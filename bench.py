@@ -45,6 +45,8 @@ HEADLINE = [
     "langid_documents",
     "fingerprint_documents",
     "dedup_exact_documents",
+    "decontaminate_documents",
+    "validate_documents_content",
     "minhash_dedup_documents",
     "minhash_cluster_documents",
     "simhash_pairs_documents",
