@@ -200,6 +200,57 @@ def minhash_signature(col, *, n_hashes: int = 64, shingle_n: int = 5):
                      for a, b in _mh_coeffs(n_hashes)])
 
 
+def minhash_signature_staged(df: DataFrame, text_col: str, id_col: str, *,
+                             n_hashes: int = 64, shingle_n: int = 5,
+                             extra_cols: list[str] | None = None) -> DataFrame:
+    """(id, h0..h{k-1}) signatures as a PURE MAP — no shuffle, no groupBy.
+
+    The shingle-hash array is materialized ONCE in a lower projection (the
+    ``simhash_signatures_df`` staged pattern: CollapseProject keeps
+    multi-referenced non-cheap aliases in place), then the k min-streams are
+    ``array_min(transform(_base, a*h+b mod P))`` over the existing long
+    array — linear arithmetic, not k re-shingles (the trap the inline
+    ``minhash_signature`` expression falls into).
+
+    Use this where a stateless per-row plan is required — Structured
+    Streaming stages ahead of a stateful operator (a streaming groupBy would
+    itself be a stateful aggregation and cannot precede
+    ``applyInPandasWithState`` in append mode) — or wherever avoiding the
+    explode shuffle beats the explode form's smaller per-row working set.
+    Batch callers keep :func:`minhash_signatures_df` (explode + map-side
+    combined partial mins), whose shuffle carries one 64-long row per doc.
+    """
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in (extra_cols or [])],
+        F.transform(char_shingles(text_col, shingle_n), _mh_base32)
+        .alias("_base"),
+    )
+    sig_cols = [
+        F.array_min(F.transform(
+            F.col("_base"),
+            (lambda a_, b_: lambda h: F.pmod(h * F.lit(a_) + F.lit(b_),
+                                             F.lit(_MH_PRIME)))(a, b)))
+        .alias(f"h{i}")
+        for i, (a, b) in enumerate(_mh_coeffs(n_hashes))
+    ]
+    return staged.select("id", *(extra_cols or []), *sig_cols)
+
+
+def band_hashes(n_hashes: int, bands: int):
+    """The band-hash explode column shared by batch LSH and the streaming
+    first-seen bucketer: ``explode(array(struct(band, xxhash64(h_slice))))``
+    over an (id, h0..h{k-1}) signature relation."""
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    return F.explode(F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)])
+                 .alias("bhash"))
+        for b in range(bands)
+    ]))
+
+
 def minhash_signatures_df(df: DataFrame, text_col: str, id_col: str, *,
                           n_hashes: int = 64, shingle_n: int = 5) -> DataFrame:
     """(id, h0..h{k-1}) signatures via explode + partial-aggregated mins.
@@ -237,20 +288,12 @@ def lsh_candidates(df: DataFrame, text_col: str, id_col: str, *,
     table between stages anyway.
     """
     assert n_hashes % bands == 0
-    r = n_hashes // bands
     sig = minhash_signatures_df(df, text_col, id_col, n_hashes=n_hashes,
                                 shingle_n=shingle_n)
     if reuse:
         sig = _persist(sig)
-    banded = sig.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)])
-                     .alias("bhash"))
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select("id", "bb.band", "bb.bhash")
+    banded = (sig.select("id", band_hashes(n_hashes, bands).alias("bb"))
+                 .select("id", "bb.band", "bb.bhash"))
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (a.join(b, ["band", "bhash"])

@@ -360,3 +360,36 @@ def test_pii_scan_detects_and_counts(spark):
     assert got[3][2] >= 1 and got[3][3] is True
     assert got[4] == (0, 0, 0, False)
     assert got[5] == (0, 0, 0, False)
+
+
+def test_staged_signature_matches_explode_signature(spark):
+    """minhash_signature_staged (pure-map, streaming path) must produce
+    byte-identical signatures to minhash_signatures_df (explode +
+    partial-agg, batch path) — same coefficients, same shingles, just a
+    different physical plan."""
+    from remark_lint_frontmatter_schema_spark.operators import dedup
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with some shared prefix text " * 3)
+         for i in range(20)] + [(99, "tiny")],
+        "doc_id long, text string")
+    a = {r["id"]: tuple(r[f"h{k}"] for k in range(16)) for r in
+         dedup.minhash_signatures_df(df, "text", "doc_id",
+                                     n_hashes=16).collect()}
+    b = {r["id"]: tuple(r[f"h{k}"] for k in range(16)) for r in
+         dedup.minhash_signature_staged(df, "text", "doc_id",
+                                        n_hashes=16).collect()}
+    # the explode form drops zero-shingle docs (nothing to explode); the
+    # staged form keeps them with empty-array mins (NULL) — compare on the
+    # intersection and pin the difference explicitly
+    assert set(a) == set(b) - {99}
+    for k in a:
+        assert a[k] == b[k], k
+    assert all(v is None for v in b[99])
+
+
+def test_staged_signature_is_map_only(spark):
+    from remark_lint_frontmatter_schema_spark.operators import dedup
+    df = spark.createDataFrame([(1, "abcdefghij")], "doc_id long, text string")
+    plan = dedup.minhash_signature_staged(df, "text", "doc_id")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan
