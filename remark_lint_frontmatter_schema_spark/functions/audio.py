@@ -324,6 +324,117 @@ def audio_features(clips, *, frame_ms: int = 20,
         schema=audio_features_schema(pt_ddl))
 
 
+# ---------------------------------------------------------------------------
+# acoustic fingerprint + audio near-dup (the audio analog of text SimHash)
+# ---------------------------------------------------------------------------
+
+FP_BANDS = 16
+_FP_F_LO, _FP_F_HI = 100.0, 3800.0  # sr-invariant: below Nyquist of 8 kHz
+
+
+def spectral_descriptors(x: np.ndarray, sr: int, *, frame_ms: int = 64,
+                         hop_ms: int = 32) -> np.ndarray:
+    """Per-frame 16-bit spectral occupancy words (uint16 array, one per
+    frame): bit b is set iff log-spaced band b's energy exceeds the frame's
+    uniform share (total/16).
+
+    Occupancy-vs-uniform-share is chosen over the chromaprint-style
+    band-difference derivative because it is stable for bands far below
+    the signal (noise-floor bands sit orders of magnitude under the
+    uniform share, so their bits never flip with re-noising), and the band
+    edges are ABSOLUTE Hz — the descriptor is invariant to sample rate,
+    so an 8 kHz re-encode of a 16 kHz clip fingerprints the same."""
+    flen = max(16, int(sr * frame_ms / 1000))
+    hop = max(8, int(sr * hop_ms / 1000))
+    if len(x) < flen:
+        return np.empty(0, dtype=np.uint16)
+    n_frames = 1 + (len(x) - flen) // hop
+    idx = np.arange(flen)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx] * np.hanning(flen)[None, :]
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    freqs = np.fft.rfftfreq(flen, 1.0 / sr)
+    edges = np.geomspace(_FP_F_LO, _FP_F_HI, FP_BANDS + 1)
+    band = np.searchsorted(edges, freqs, side="right") - 1
+    in_range = (band >= 0) & (band < FP_BANDS)
+    energy = np.zeros((n_frames, FP_BANDS))
+    np.add.at(energy.T, band[in_range], spec[:, in_range].T)
+    occupied = energy > (energy.sum(axis=1, keepdims=True) / FP_BANDS)
+    return (occupied.astype(np.uint16)
+            << np.arange(FP_BANDS, dtype=np.uint16)[None, :]).sum(
+        axis=1, dtype=np.uint16)
+
+
+def _splitmix64(v: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants): one
+    well-mixed 64-bit hash per frame word so SimHash votes are unbiased."""
+    with np.errstate(over="ignore"):
+        z = v.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def fingerprint_from_descriptors(words: np.ndarray) -> int | None:
+    """64-bit clip fingerprint: SimHash over the frame descriptor words
+    (majority bit-vote across the frames' splitmix64 hashes). Stationary
+    content -> one dominant word -> its hash wins every vote; a re-noised
+    or re-sampled copy flips few frames, so the vote margins — and the
+    fingerprint — survive (small Hamming distance)."""
+    if not len(words):
+        return None
+    h = _splitmix64(words)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    fp = np.uint64(0)
+    for i in np.nonzero(votes > 0)[0]:
+        fp |= np.uint64(1) << np.uint64(i)
+    return int(fp.astype(np.int64))
+
+
+def audio_fingerprints(clips, *, frame_ms: int = 64, hop_ms: int = 32):
+    """clips(clip_id, bytes) -> (clip_id, decode_ok, fp) — map-only Arrow
+    stage; ``fp`` is NULL for undecodable or sub-frame-length payloads.
+    The binary column is read once, never shuffled; downstream near-dup
+    blocking joins touch only (clip_id, fp)."""
+    schema = "clip_id string, decode_ok boolean, fp long"
+
+    def fn(iterator):
+        for pdf in iterator:
+            rows = []
+            for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    sr, x = decode_wav_pcm16(bytes(b) if b is not None else b"")
+                    if sr <= 0:
+                        raise ValueError("bad sr")
+                except ValueError:
+                    rows.append((cid, False, None))
+                    continue
+                words = spectral_descriptors(x, sr, frame_ms=frame_ms,
+                                             hop_ms=hop_ms)
+                rows.append((cid, True, fingerprint_from_descriptors(words)))
+            yield pd.DataFrame(rows, columns=["clip_id", "decode_ok", "fp"])
+
+    return clips.select("clip_id", "bytes").mapInPandas(fn, schema=schema)
+
+
+def audio_neardup_pairs(clips, *, max_distance: int = 3,
+                        frame_ms: int = 64, hop_ms: int = 32,
+                        reuse: bool = True):
+    """Near-duplicate audio pairs (re-encodes, re-noisings, resamples of
+    the same recording): spectral fingerprints -> 16-bit-chunk Hamming
+    blocking (:func:`...operators.dedup.hamming_pairs` — the same
+    pigeonhole bucketer text SimHash uses, so no cross-join; the persisted
+    signature relation means the decode+FFT pass runs ONCE, not once per
+    self-join side). Undecodable / too-short clips have NULL fingerprints
+    and never pair."""
+    from ..operators.dedup import hamming_pairs
+    fps = (audio_fingerprints(clips, frame_ms=frame_ms, hop_ms=hop_ms)
+           .where(F.col("fp").isNotNull()))
+    return hamming_pairs(fps, sig_col="fp", id_col="clip_id",
+                         max_distance=max_distance, reuse=reuse)
+
+
 def speaking_rate_violations(clips, *, transcript_col: str = "transcript",
                              dur_col: str = "dur_ms",
                              lo: float = 1.0, hi: float = 40.0,

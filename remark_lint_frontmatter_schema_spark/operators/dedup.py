@@ -387,16 +387,25 @@ def hamming64(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_pairs(df: DataFrame, text_col: str, id_col: str, *,
-                  max_distance: int = 3, reuse: bool = True) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on 16-bit chunks
-    (a pair within distance d <= 3 shares at least one of 4 chunks —
-    pigeonhole), so no full cross-join ever happens.
+def hamming_pairs(sigs: DataFrame, *, sig_col: str = "sh",
+                  id_col: str = "id", max_distance: int = 3,
+                  reuse: bool = True) -> DataFrame:
+    """Pairs within Hamming distance ``max_distance`` over ANY 64-bit
+    signature column (text SimHash, audio spectral fingerprint, …),
+    blocked on 16-bit chunks: a pair within d <= 3 shares at least one of
+    4 chunks (pigeonhole), so no full cross-join ever happens. For d > 3
+    the pigeonhole guarantee needs more/narrower chunks — refused rather
+    than silently missing pairs.
 
-    ``reuse`` persists the (id, sh) signature relation before the chunked
+    ``reuse`` persists the signature relation before the chunked
     self-join — Spark does not dedupe aliased self-join subtrees, so
-    without it both sides would recompute the staged signature scan."""
-    s = simhash_signatures_df(df, text_col, id_col)
+    without it both sides would recompute the upstream signature plan
+    (for audio fingerprints that would be TWO full decode+FFT passes)."""
+    if max_distance > 3:
+        raise ValueError(
+            "16-bit x4 chunk blocking only guarantees recall for "
+            "max_distance <= 3; use more bands for larger radii")
+    s = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sh"))
     if reuse:
         s = _persist(s)
     chunks = s.select("id", "sh", F.explode(F.array(*[
@@ -413,3 +422,11 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str, *,
              .where(F.col("hamming") <= max_distance)
              .distinct())
     return _track(pairs, s)
+
+
+def simhash_pairs(df: DataFrame, text_col: str, id_col: str, *,
+                  max_distance: int = 3, reuse: bool = True) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance — the text instantiation
+    of :func:`hamming_pairs` over :func:`simhash_signatures_df`."""
+    return hamming_pairs(simhash_signatures_df(df, text_col, id_col),
+                         max_distance=max_distance, reuse=reuse)

@@ -1,0 +1,68 @@
+"""Acoustic fingerprint + audio near-dup: re-noised / resampled copies of
+a recording must pair within Hamming distance 3; different recordings must
+not pair; undecodable payloads never pair."""
+
+import numpy as np
+
+from remark_lint_frontmatter_schema_spark.functions import audio
+
+
+def _tone_wav(freq: float, sr: int, ms: int, seed: int, snr_db: float = 40.0):
+    n = int(sr * ms / 1000)
+    t = np.arange(n) / sr
+    sig = 0.8 * np.sin(2 * np.pi * freq * t)
+    rng = np.random.default_rng(seed)
+    noise_rms = np.sqrt(np.mean(sig**2)) / (10 ** (snr_db / 20))
+    x = np.clip((sig + rng.normal(0, noise_rms, n)) * 32767, -32768, 32767)
+    return audio.wav_bytes(x.astype("<i2"), sr)
+
+
+def test_fingerprint_deterministic_and_band_sensitive():
+    a = _tone_wav(250, 16000, 400, seed=1)
+    sr, x = audio.decode_wav_pcm16(a)
+    w1 = audio.spectral_descriptors(x, sr)
+    w2 = audio.spectral_descriptors(x, sr)
+    assert len(w1) > 5 and (w1 == w2).all()
+    fp1 = audio.fingerprint_from_descriptors(w1)
+    _, y = audio.decode_wav_pcm16(_tone_wav(1400, 16000, 400, seed=1))
+    fp2 = audio.fingerprint_from_descriptors(audio.spectral_descriptors(y, sr))
+    assert fp1 != fp2
+    assert bin((fp1 ^ fp2) & (2**64 - 1)).count("1") > 3  # far apart
+
+
+def test_fingerprint_invariant_to_renoise_and_resample():
+    sr_a, xa = audio.decode_wav_pcm16(_tone_wav(440, 16000, 400, seed=1))
+    sr_b, xb = audio.decode_wav_pcm16(_tone_wav(440, 16000, 400, seed=2))
+    sr_c, xc = audio.decode_wav_pcm16(_tone_wav(440, 8000, 400, seed=3))
+    fa = audio.fingerprint_from_descriptors(audio.spectral_descriptors(xa, sr_a))
+    fb = audio.fingerprint_from_descriptors(audio.spectral_descriptors(xb, sr_b))
+    fc = audio.fingerprint_from_descriptors(audio.spectral_descriptors(xc, sr_c))
+    def ham(p, q):
+        return bin((p ^ q) & (2**64 - 1)).count("1")
+    assert ham(fa, fb) <= 3   # re-noised copy
+    assert ham(fa, fc) <= 3   # 8 kHz resample (absolute-Hz bands)
+
+
+def test_audio_neardup_pairs_end_to_end(spark):
+    rows = [
+        ("a1", _tone_wav(440, 16000, 400, seed=1)),
+        ("a2", _tone_wav(440, 16000, 400, seed=2)),   # re-noise of a1
+        ("a3", _tone_wav(440, 8000, 400, seed=3)),    # resample of a1
+        ("b1", _tone_wav(1400, 16000, 400, seed=4)),  # different recording
+        ("c1", b"not audio at all"),                  # undecodable
+        ("d1", None),                                 # NULL payload
+    ]
+    clips = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    got = audio.audio_neardup_pairs(clips).collect()
+    from remark_lint_frontmatter_schema_spark.operators.dedup import release_all
+    release_all()
+    pairs = {tuple(sorted((r.id_a, r.id_b))) for r in got}
+    assert ("a1", "a2") in pairs and ("a1", "a3") in pairs, pairs
+    flagged = {x for p in pairs for x in p}
+    assert "b1" not in flagged and "c1" not in flagged and "d1" not in flagged
+
+
+def test_fingerprint_nulls_for_short_or_bad_payloads():
+    assert audio.fingerprint_from_descriptors(np.empty(0, np.uint16)) is None
+    sr, x = audio.decode_wav_pcm16(_tone_wav(440, 16000, 400, seed=1))
+    assert len(audio.spectral_descriptors(x[:100], sr)) == 0
