@@ -325,6 +325,89 @@ def audio_features(clips, *, frame_ms: int = 20,
 
 
 # ---------------------------------------------------------------------------
+# energy-VAD segmentation (the audio splitter a training pipeline feeds on)
+# ---------------------------------------------------------------------------
+
+def detect_voiced_runs(frame_rms: np.ndarray, silence_amp: float,
+                       min_gap_frames: int, min_seg_frames: int
+                       ) -> list[tuple[int, int]]:
+    """Voiced [start, end) frame runs: frames above the silence floor,
+    gaps shorter than ``min_gap_frames`` bridged (a breath pause is not a
+    segment boundary), runs shorter than ``min_seg_frames`` dropped
+    (clicks are not speech). Pure numpy edge detection, no Python loop
+    over frames — the only loop is over the (few) runs."""
+    v = (frame_rms >= silence_amp).astype(np.int8)
+    edges = np.diff(np.concatenate(([0], v, [0])))
+    starts = np.nonzero(edges == 1)[0]
+    ends = np.nonzero(edges == -1)[0]
+    merged: list[tuple[int, int]] = []
+    for s, e in zip(starts, ends):
+        if merged and s - merged[-1][1] < min_gap_frames:
+            merged[-1] = (merged[-1][0], int(e))
+        else:
+            merged.append((int(s), int(e)))
+    return [(s, e) for s, e in merged if e - s >= min_seg_frames]
+
+
+def voiced_segments(clips, *, frame_ms: int = 20, silence_db: float = -40.0,
+                    min_gap_ms: int = 60, min_seg_ms: int = 40):
+    """clips(clip_id, bytes) -> one row per voiced segment:
+    (clip_id, seg_idx, start_ms, end_ms, rms) — an energy-gated VAD, the
+    segmentation primitive for splitting long recordings into
+    training-sized utterances.
+
+    A flatMap-shaped ``mapInPandas`` stage: the binary column is decoded
+    once per clip inside one Arrow batch, segments come out as small typed
+    rows (the payload never leaves the stage, never shuffles). Undecodable
+    or all-silent clips yield ZERO rows — decode failures are the decode
+    guard's business (``duration_consistency_violations``), not the
+    splitter's. At 100 TB this is a pure map with output a few hundred
+    bytes per clip; downstream slicing re-reads payloads only for rows a
+    trainer actually selects."""
+    silence_amp = 10 ** (silence_db / 20)
+    schema = ("clip_id string, seg_idx int, start_ms int, end_ms int, "
+              "rms double")
+    gap_f = max(1, min_gap_ms // frame_ms)
+    seg_f = max(1, min_seg_ms // frame_ms)
+
+    def fn(iterator):
+        for pdf in iterator:
+            rows = []
+            for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    sr, x = decode_wav_pcm16(bytes(b) if b is not None else b"")
+                    if sr <= 0:
+                        raise ValueError("bad sr")
+                except ValueError:
+                    continue
+                flen = max(1, int(sr * frame_ms / 1000))
+                n_frames = len(x) // flen
+                if not n_frames:
+                    continue
+                frames = x[: n_frames * flen].reshape(n_frames, flen)
+                frame_rms = np.sqrt(np.mean(frames ** 2, axis=1))
+                for k, (s, e) in enumerate(detect_voiced_runs(
+                        frame_rms, silence_amp, gap_f, seg_f)):
+                    seg_rms = float(np.sqrt(np.mean(frame_rms[s:e] ** 2)))
+                    rows.append((cid, k, s * frame_ms, e * frame_ms,
+                                 seg_rms))
+            yield pd.DataFrame(rows, columns=[
+                "clip_id", "seg_idx", "start_ms", "end_ms", "rms"])
+
+    return clips.select("clip_id", "bytes").mapInPandas(fn, schema=schema)
+
+
+def normalization_gain_col(target_db: float = -20.0, rms_col: str = "rms"):
+    """Loudness-normalization gain (dB) to bring a clip's RMS to
+    ``target_db`` dBFS — a Column over :func:`audio_features` output
+    (pure JVM arithmetic; NULL for silent/undecodable rows where rms
+    is NULL or 0, which have no defined gain)."""
+    rms = F.col(rms_col)
+    return F.when(rms > 0,
+                  F.round(F.lit(target_db) - 20.0 * F.log10(rms), 2))
+
+
+# ---------------------------------------------------------------------------
 # acoustic fingerprint + audio near-dup (the audio analog of text SimHash)
 # ---------------------------------------------------------------------------
 

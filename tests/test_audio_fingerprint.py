@@ -66,3 +66,45 @@ def test_fingerprint_nulls_for_short_or_bad_payloads():
     assert audio.fingerprint_from_descriptors(np.empty(0, np.uint16)) is None
     sr, x = audio.decode_wav_pcm16(_tone_wav(440, 16000, 400, seed=1))
     assert len(audio.spectral_descriptors(x[:100], sr)) == 0
+
+
+def _gapped_wav(sr=16000):
+    """100 ms tone, 100 ms silence (wider than the 60 ms bridge), 150 ms
+    tone: expected segments [0,100) and [200,350) ms."""
+    t = lambda ms: np.arange(int(sr * ms / 1000)) / sr
+    tone = lambda ms, f: 0.5 * np.sin(2 * np.pi * f * t(ms))
+    x = np.concatenate([tone(100, 440), np.zeros(int(sr * 0.1)),
+                        tone(150, 440)])
+    return audio.wav_bytes((x * 32767).astype("<i2"), sr)
+
+
+def test_voiced_segments_split_on_silence(spark):
+    clips = spark.createDataFrame(
+        [("g1", _gapped_wav()), ("bad", b"junk"), ("nul", None)],
+        "clip_id string, bytes binary")
+    rows = sorted(audio.voiced_segments(clips).collect(),
+                  key=lambda r: r.seg_idx)
+    assert [r.clip_id for r in rows] == ["g1", "g1"]
+    (s0, s1) = rows
+    assert abs(s0.start_ms - 0) <= 20 and abs(s0.end_ms - 100) <= 20
+    assert abs(s1.start_ms - 200) <= 20 and abs(s1.end_ms - 350) <= 20
+    assert s0.rms > 0.2 and s1.rms > 0.2
+
+
+def test_voiced_segments_bridge_short_gaps():
+    # 5 voiced frames, 2-frame gap (< 3-frame bridge), 5 voiced frames
+    fr = np.array([1, 1, 1, 1, 1, 0, 0, 1, 1, 1, 1, 1], dtype=float)
+    runs = audio.detect_voiced_runs(fr, 0.5, min_gap_frames=3,
+                                    min_seg_frames=2)
+    assert runs == [(0, 12)]
+    # same gap with bridge=2 splits; 1-frame run is dropped
+    fr2 = np.array([1, 0, 0, 1, 1, 1], dtype=float)
+    assert audio.detect_voiced_runs(fr2, 0.5, 2, 2) == [(3, 6)]
+
+
+def test_normalization_gain(spark):
+    df = spark.createDataFrame([(0.1,), (0.0,), (None,)], "rms double")
+    got = [r[0] for r in df.select(
+        audio.normalization_gain_col(-20.0)).collect()]
+    assert got[0] == 0.0          # -20 dBFS == rms 0.1 exactly
+    assert got[1] is None and got[2] is None
