@@ -171,6 +171,7 @@ def dedup_violations(df: DataFrame, text_col: str, id_col: str, *,
                      method: str = "exact", ruleset_name: str = "engine",
                      severity: str = "warning", block_col: str | None = None,
                      n: int = 3, threshold: float = 0.55,
+                     max_distance: int = 3,
                      allow_full_cross: bool = False,
                      max_iter: int = 25) -> DataFrame:
     """Violation rows for duplicate *content* — the ``x-dedup`` table check
@@ -183,6 +184,10 @@ def dedup_violations(df: DataFrame, text_col: str, id_col: str, *,
     only, never text. ``method="jaccard"``: char-n-gram Jaccard pairs
     (blocked on ``block_col``) closed into connected components — transitive
     near-duplication resolved to one survivor per cluster.
+    ``method="acoustic"``: ``text_col`` is a BINARY audio column — spectral
+    fingerprints within Hamming ``max_distance`` (functions/audio.py),
+    closed into components the same way; undecodable payloads never
+    violate (their fingerprints are NULL).
     """
     from . import dedup as _dedup
 
@@ -207,6 +212,18 @@ def dedup_violations(df: DataFrame, text_col: str, id_col: str, *,
                    .select(F.col("node").alias(id_col),
                            F.col("component").alias("_keep")))
         detail = f"{n}-gram Jaccard >= {threshold}"
+    elif method == "acoustic":
+        from ..functions.audio import audio_neardup_pairs
+        pairs = audio_neardup_pairs(
+            df.select(F.col(id_col).cast("string").alias("clip_id"),
+                      F.col(text_col).alias("bytes")),
+            max_distance=max_distance)
+        comp = connected_components(pairs, max_iter=max_iter)
+        _dedup.release(pairs)
+        dup = (comp.where(F.col("node") != F.col("component"))
+                   .select(F.col("node").alias(id_col),
+                           F.col("component").alias("_keep")))
+        detail = f"acoustic fingerprint Hamming <= {max_distance}"
     else:
         raise ValueError(f"unknown x-dedup method {method!r}")
 

@@ -83,6 +83,7 @@ def table_check_violations(
                 df, column, params["id"], method=params["method"],
                 ruleset_name=compiled.name, block_col=params.get("block"),
                 n=params["n"], threshold=params["threshold"],
+                max_distance=params.get("max_distance", 3),
                 severity=params.get("severity", "warning")))
         elif kind == "decontaminate":
             if params["bench"] not in dims and on_missing_dim is not None:

@@ -370,14 +370,18 @@ _KEYWORD_SHAPE = {
              and v["n_items"] > 0)),
     "x-dedup": lambda v: isinstance(v, dict)
     and isinstance(v.get("id"), str)
-    and v.get("method", "exact") in ("exact", "jaccard")
+    and v.get("method", "exact") in ("exact", "jaccard", "acoustic")
     and (v.get("block") is None or isinstance(v["block"], str))
     and (v.get("threshold") is None
          or (isinstance(v["threshold"], _NUM)
              and not isinstance(v["threshold"], bool)))
     and (v.get("n") is None
          or (isinstance(v["n"], int) and not isinstance(v["n"], bool)
-             and v["n"] > 0)),
+             and v["n"] > 0))
+    and (v.get("max_distance") is None
+         or (isinstance(v["max_distance"], int)
+             and not isinstance(v["max_distance"], bool)
+             and 0 <= v["max_distance"] <= 3)),
     "x-langid": lambda v: isinstance(v, dict)
     and isinstance(v.get("declared"), str)
     and (v.get("min_tokens") is None
@@ -833,8 +837,9 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
             ctx.out.unknown.append((ctx.instance_path, "x-drift"))
 
     if "x-dedup" in schema and not ctx.silent:
-        # duplicate-content declaration: exact sha256 groups or n-gram
-        # Jaccard near-dup clusters (operators/clusters.dedup_violations);
+        # duplicate-content declaration: exact sha256 groups, n-gram
+        # Jaccard near-dup clusters, or acoustic-fingerprint clusters over
+        # a binary audio column (operators/clusters.dedup_violations);
         # a separate relational pass like x-unique, so top-level only
         if is_top:
             p = schema["x-dedup"]
@@ -845,6 +850,7 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
                     "block": p.get("block"),
                     "n": int(p.get("n", 3)),
                     "threshold": float(p.get("threshold", 0.55)),
+                    "max_distance": int(p.get("max_distance", 3)),
                     "severity": ctx.severity,
                 }))
         else:

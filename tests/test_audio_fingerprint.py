@@ -108,3 +108,57 @@ def test_normalization_gain(spark):
         audio.normalization_gain_col(-20.0)).collect()]
     assert got[0] == 0.0          # -20 dBFS == rms 0.1 exactly
     assert got[1] is None and got[2] is None
+
+
+def _acoustic_clips(spark):
+    return spark.createDataFrame(
+        [("a1", _tone_wav(440, 16000, 400, seed=1)),
+         ("a2", _tone_wav(440, 16000, 400, seed=2)),   # re-noise of a1
+         ("a3", _tone_wav(440, 8000, 400, seed=3)),    # resample of a1
+         ("b1", _tone_wav(1400, 16000, 400, seed=4)),
+         ("c1", b"junk"), ("d1", None)],
+        "clip_id string, bytes binary")
+
+
+def test_dedup_violations_acoustic_transitive(spark):
+    from remark_lint_frontmatter_schema_spark.operators import clusters
+    got = clusters.dedup_violations(_acoustic_clips(spark), "bytes",
+                                    "clip_id", method="acoustic")
+    rows = {r.row_id: r for r in got.collect()}
+    # {a1,a2,a3} is one cluster, survivor = min id a1; b1/c1/d1 clean
+    assert set(rows) == {"a2", "a3"}
+    assert rows["a2"].actual == "a1"
+    assert "acoustic fingerprint Hamming <= 3" in rows["a2"].message
+
+
+def test_x_dedup_acoustic_dsl_end_to_end(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    df = _acoustic_clips(spark)
+    compiled = compile_ruleset(
+        {"type": "object", "properties": {"bytes": {
+            "x-dedup": {"id": "clip_id", "method": "acoustic",
+                        "max_distance": 2}}}},
+        df.schema, name="clips")
+    assert compiled.table_checks[0][2]["method"] == "acoustic"
+    assert compiled.table_checks[0][2]["max_distance"] == 2
+    res = validate_with_table_checks(df, compiled, row_id="clip_id")
+    assert {r.row_id for r in res.violations.collect()} == {"a2", "a3"}
+
+
+def test_x_dedup_rejects_bad_max_distance(spark):
+    import pytest
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.plans.bundler import (
+        RulesetCompileError)
+    df = _acoustic_clips(spark)
+    # distance 9 exceeds what 16-bit x4 chunk blocking can guarantee —
+    # malformed declaration fails at compile (Ajv up-front semantics),
+    # matching hamming_pairs' own runtime refusal
+    with pytest.raises(RulesetCompileError, match="x-dedup"):
+        compile_ruleset(
+            {"type": "object", "properties": {"bytes": {
+                "x-dedup": {"id": "clip_id", "method": "acoustic",
+                            "max_distance": 9}}}},
+            df.schema, name="clips")

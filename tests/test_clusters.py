@@ -184,7 +184,7 @@ def test_x_dedup_compiles_to_table_check(spark):
     assert compiled.table_checks == [
         ("dedup", "text", {"id": "doc_id", "method": "jaccard",
                            "block": "lang", "n": 3, "threshold": 0.5,
-                           "severity": "warning"})]
+                           "max_distance": 3, "severity": "warning"})]
     from remark_lint_frontmatter_schema_spark.operators.table_checks import (
         validate_with_table_checks)
     res = validate_with_table_checks(df, compiled, row_id="doc_id")

@@ -189,3 +189,25 @@ def test_star_rounds_have_no_cartesian_or_full_rows(spark):
         # min-neighbor must partial-aggregate map-side (skew safety for
         # huge-degree nodes)
         assert "partial_min" in plan or "partial_merge" in plan, plan
+
+
+def test_audio_neardup_blocks_instead_of_cross_join(spark):
+    """The acoustic near-dup self-join must be chunk-bucketed (equi-join on
+    (chunk, ckey)), never a cross product, and its fingerprint input must
+    be the persisted relation so decode+FFT runs once, not per side."""
+    from remark_lint_frontmatter_schema_spark.functions import audio
+    from remark_lint_frontmatter_schema_spark.operators import dedup
+
+    clips = spark.createDataFrame(
+        [("x", audio.synth_wav(1, 16000, 400))],
+        "clip_id string, bytes binary")
+    pairs = audio.audio_neardup_pairs(clips)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    dedup.release_all()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # both join sides read the persisted fingerprint relation — decode+FFT
+    # executes once regardless of how the plan PRINTS (InMemoryTableScan's
+    # repr includes the cached child's MapInPandas, so counting that string
+    # would double-count a single execution)
+    assert plan.count("InMemoryTableScan") >= 2, plan
