@@ -244,16 +244,22 @@ def decode_stats_map_in_pandas(iterator):
 # audio feature extraction (training-data-pipeline ops over the payload)
 # ---------------------------------------------------------------------------
 
-def audio_features_schema(passthrough_ddl: str = "") -> str:
+def audio_features_schema(passthrough_ddl: str = "",
+                          with_fingerprint: bool = False) -> str:
     base = ("clip_id string, decode_ok boolean, dur_ms_payload int, "
             "rms double, peak double, silence_ratio double, "
             "dominant_hz double, clipping_ratio double")
+    if with_fingerprint:
+        base += ", fp long"
     return f"{base}, {passthrough_ddl}" if passthrough_ddl else base
 
 
 def audio_features_map_in_pandas(frame_ms: int = 20,
                                  silence_db: float = -40.0,
-                                 passthrough: tuple = ()):
+                                 passthrough: tuple = (),
+                                 with_fingerprint: bool = False,
+                                 fp_frame_ms: int = 64,
+                                 fp_hop_ms: int = 32):
     """mapInPandas feature extractor over WAV payloads: duration, RMS,
     peak, frame-level silence ratio, dominant frequency (rfft argmax),
     and clipping ratio (fraction of samples at >= 99.9% full scale — the
@@ -266,6 +272,12 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
     shuffled; downstream joins use only these small typed rows.
     ``passthrough`` columns ride along unchanged so cross-field checks
     (declared vs payload) need no second scan or join.
+
+    ``with_fingerprint`` appends the spectral fingerprint (``fp``, see
+    :func:`spectral_descriptors`) computed from the SAME decoded samples —
+    one payload decode powers both the quality features and the acoustic
+    dedup signature, so a composed curation pipeline reads ``bytes``
+    exactly once.
     """
     silence_amp = 10 ** (silence_db / 20)
 
@@ -275,13 +287,16 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
             rows = []
             for cid, b, *extras in zip(pdf["clip_id"], pdf["bytes"],
                                        *extras_cols):
+                fail = ((cid, False, None, None, None, None, None, None,
+                         None, *extras) if with_fingerprint else
+                        (cid, False, None, None, None, None, None, None,
+                         *extras))
                 try:
                     sr, x = decode_wav_pcm16(bytes(b) if b is not None else b"")
                     if sr <= 0 or not len(x):
                         raise ValueError("empty")
                 except ValueError:
-                    rows.append((cid, False, None, None, None, None, None,
-                                 None, *extras))
+                    rows.append(fail)
                     continue
                 n = len(x)
                 dur_ms = int(round(n * 1000.0 / sr))
@@ -299,29 +314,41 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
                 spec[0] = 0.0  # ignore DC
                 dom = float(np.argmax(spec) * sr / n) if len(spec) > 1 else 0.0
                 clip_frac = float(np.mean(np.abs(x) >= 0.999))
+                fp_cols = ()
+                if with_fingerprint:
+                    fp_cols = (fingerprint_from_descriptors(
+                        spectral_descriptors(x, sr, frame_ms=fp_frame_ms,
+                                             hop_ms=fp_hop_ms)),)
                 rows.append((cid, True, dur_ms, rms, peak, silence, dom,
-                             clip_frac, *extras))
+                             clip_frac, *fp_cols, *extras))
             yield pd.DataFrame(rows, columns=[
                 "clip_id", "decode_ok", "dur_ms_payload", "rms", "peak",
                 "silence_ratio", "dominant_hz", "clipping_ratio",
-                *passthrough])
+                *(("fp",) if with_fingerprint else ()), *passthrough])
 
     return fn
 
 
 def audio_features(clips, *, frame_ms: int = 20,
-                   silence_db: float = -40.0, passthrough: tuple = ()):
+                   silence_db: float = -40.0, passthrough: tuple = (),
+                   with_fingerprint: bool = False,
+                   fp_frame_ms: int = 64, fp_hop_ms: int = 32):
     """clips(clip_id, bytes) -> feature DataFrame (map-only stage).
 
     ``passthrough`` names extra clips columns carried into the output
     unchanged (their types copied from the input schema) — lets callers
-    run cross-field payload checks without a join back to the table."""
+    run cross-field payload checks without a join back to the table.
+    ``with_fingerprint`` adds the acoustic dedup signature from the same
+    decode (see :func:`audio_features_map_in_pandas`)."""
     pt_ddl = ", ".join(
         f"{c} {clips.schema[c].dataType.simpleString()}" for c in passthrough)
     return clips.select("clip_id", "bytes", *passthrough).mapInPandas(
         audio_features_map_in_pandas(frame_ms, silence_db,
-                                     tuple(passthrough)),
-        schema=audio_features_schema(pt_ddl))
+                                     tuple(passthrough),
+                                     with_fingerprint=with_fingerprint,
+                                     fp_frame_ms=fp_frame_ms,
+                                     fp_hop_ms=fp_hop_ms),
+        schema=audio_features_schema(pt_ddl, with_fingerprint))
 
 
 # ---------------------------------------------------------------------------

@@ -392,27 +392,39 @@ def hamming_pairs(sigs: DataFrame, *, sig_col: str = "sh",
                   reuse: bool = True) -> DataFrame:
     """Pairs within Hamming distance ``max_distance`` over ANY 64-bit
     signature column (text SimHash, audio spectral fingerprint, …),
-    blocked on 16-bit chunks: a pair within d <= 3 shares at least one of
-    4 chunks (pigeonhole), so no full cross-join ever happens. For d > 3
-    the pigeonhole guarantee needs more/narrower chunks — refused rather
-    than silently missing pairs.
+    blocked on equal-width chunks of the signature: a pair within
+    distance d differs in at most d chunks, so with MORE than d chunks it
+    shares at least one (pigeonhole) — no full cross-join ever happens,
+    and recall inside the radius is exact, not probabilistic.
+
+    Chunk count scales with the radius: 4x16-bit for d <= 3, 8x8-bit for
+    d <= 7 (the widest radius 64 bits supports with non-degenerate keys;
+    larger is refused rather than silently losing pairs). The trade-off is
+    explicit: 8-bit keys have 256 buckets per chunk, so random signatures
+    collide in SOME chunk with probability ~8/256 — callers wanting d > 3
+    on very large corpora should verify bucket sizes (the same discipline
+    as LSH band tuning).
 
     ``reuse`` persists the signature relation before the chunked
     self-join — Spark does not dedupe aliased self-join subtrees, so
     without it both sides would recompute the upstream signature plan
     (for audio fingerprints that would be TWO full decode+FFT passes)."""
-    if max_distance > 3:
+    if max_distance > 7:
         raise ValueError(
-            "16-bit x4 chunk blocking only guarantees recall for "
-            "max_distance <= 3; use more bands for larger radii")
+            "chunk blocking over a 64-bit signature supports "
+            "max_distance <= 7 (8 chunks of 8 bits); larger radii need a "
+            "longer signature")
+    n_chunks = 4 if max_distance <= 3 else 8
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
     s = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sh"))
     if reuse:
         s = _persist(s)
     chunks = s.select("id", "sh", F.explode(F.array(*[
         F.struct(F.lit(k).alias("chunk"),
-                 F.shiftright(F.col("sh"), k * 16).bitwiseAND(F.lit(0xFFFF))
+                 F.shiftright(F.col("sh"), k * width).bitwiseAND(F.lit(mask))
                  .alias("ckey"))
-        for k in range(4)
+        for k in range(n_chunks)
     ])).alias("c")).select("id", "sh", "c.chunk", "c.ckey")
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (a.join(b, ["chunk", "ckey"])

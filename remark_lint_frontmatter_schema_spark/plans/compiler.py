@@ -381,7 +381,7 @@ _KEYWORD_SHAPE = {
     and (v.get("max_distance") is None
          or (isinstance(v["max_distance"], int)
              and not isinstance(v["max_distance"], bool)
-             and 0 <= v["max_distance"] <= 3)),
+             and 0 <= v["max_distance"] <= 7)),
     "x-langid": lambda v: isinstance(v, dict)
     and isinstance(v.get("declared"), str)
     and (v.get("min_tokens") is None

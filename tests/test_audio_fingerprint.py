@@ -153,9 +153,9 @@ def test_x_dedup_rejects_bad_max_distance(spark):
     from remark_lint_frontmatter_schema_spark.plans.bundler import (
         RulesetCompileError)
     df = _acoustic_clips(spark)
-    # distance 9 exceeds what 16-bit x4 chunk blocking can guarantee —
-    # malformed declaration fails at compile (Ajv up-front semantics),
-    # matching hamming_pairs' own runtime refusal
+    # distance 9 exceeds what chunk blocking over a 64-bit signature can
+    # guarantee (8 chunks -> d <= 7) — malformed declaration fails at
+    # compile (Ajv up-front semantics), matching hamming_pairs' refusal
     with pytest.raises(RulesetCompileError, match="x-dedup"):
         compile_ruleset(
             {"type": "object", "properties": {"bytes": {

@@ -393,3 +393,22 @@ def test_staged_signature_is_map_only(spark):
     plan = dedup.minhash_signature_staged(df, "text", "doc_id")._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_hamming_pairs_wide_radius_recall(spark):
+    """A distance-6 pair whose differing bits touch ALL four 16-bit chunks
+    is invisible to 4-chunk blocking — the 8x8-bit escalation must find it
+    (this was a silent recall hole: simhash_pairs_documents ran d=6 over
+    4 chunks before hamming_pairs scaled chunks with the radius)."""
+    from remark_lint_frontmatter_schema_spark.operators import dedup
+    a = 0
+    b = (1 << 0) | (1 << 1) | (1 << 16) | (1 << 17) | (1 << 32) | (1 << 48)
+    sigs = spark.createDataFrame([("x", a), ("y", b)], "id string, sh long")
+    got = dedup.hamming_pairs(sigs, max_distance=6, reuse=False).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got] == [("x", "y", 6)]
+    # the same pair at d<=3 blocking: correctly absent (outside radius)
+    none = dedup.hamming_pairs(sigs, max_distance=3, reuse=False).collect()
+    assert none == []
+    import pytest
+    with pytest.raises(ValueError, match="max_distance <= 7"):
+        dedup.hamming_pairs(sigs, max_distance=8)
