@@ -104,23 +104,36 @@ def run_neardup_stream(spark, input_path: str, input_schema, *,
                        text_col: str, id_col: str,
                        query_name: str = "neardup",
                        checkpoint: str | None = None,
+                       sink_path: str | None = None,
                        n_hashes: int = 64, bands: int = 8,
                        shingle_n: int = 5,
                        max_files_per_trigger: int = 1):
     """Drain a file-source document stream through the incremental LSH
-    bucketer into an append-mode memory sink. ``maxFilesPerTrigger=1``
-    makes each input file one micro-batch, so cross-batch detection is
-    actually exercised (file order = ingest order). Returns the query;
-    read ``spark.table(query_name)`` after ``awaitTermination``.
+    bucketer. ``maxFilesPerTrigger=1`` makes each input file one
+    micro-batch, so cross-batch detection is actually exercised (file
+    order = ingest order). Returns the query.
+
+    Sink: with ``sink_path``, an append-mode parquet FILE sink — the
+    recoverable form; stopping and restarting against the same
+    ``checkpoint`` resumes the bucket state and skips already-committed
+    batches (memory sinks refuse checkpoint recovery by design, so a
+    restartable deployment must use a file/table sink). Without
+    ``sink_path``, a memory sink for bounded drains — read
+    ``spark.table(query_name)`` after ``awaitTermination``.
     """
     stream = (spark.readStream.schema(input_schema)
               .option("maxFilesPerTrigger", str(max_files_per_trigger))
               .parquet(input_path))
-    writer = (neardup_candidates(stream, text_col, id_col,
-                                 n_hashes=n_hashes, bands=bands,
-                                 shingle_n=shingle_n)
-              .writeStream.format("memory").queryName(query_name)
-              .outputMode("append").trigger(availableNow=True))
+    cands = neardup_candidates(stream, text_col, id_col,
+                               n_hashes=n_hashes, bands=bands,
+                               shingle_n=shingle_n)
+    if sink_path:
+        writer = (cands.writeStream.format("parquet")
+                  .option("path", sink_path).queryName(query_name)
+                  .outputMode("append").trigger(availableNow=True))
+    else:
+        writer = (cands.writeStream.format("memory").queryName(query_name)
+                  .outputMode("append").trigger(availableNow=True))
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()

@@ -87,3 +87,35 @@ def test_neardup_stream_subset_of_batch_candidates(spark, tmp_path):
     assert stream_pairs <= batch_pairs, (stream_pairs, batch_pairs)
     # 7 duplicates 2's text exactly and arrives later -> must be caught
     assert (2, 7) in stream_pairs, stream_pairs
+
+
+def test_neardup_state_survives_restart(spark, tmp_path):
+    """The bucket store must persist across query restarts via the
+    checkpoint: batch 1 is drained by query #1 (availableNow terminates
+    it), then a NEW query on the same checkpoint sees batch 2 — the
+    cross-batch pair must still be found against state recovered from the
+    state store, and batch 1 must not be reprocessed. Uses the parquet
+    file sink: memory sinks refuse checkpoint recovery by design."""
+    from remark_lint_frontmatter_schema_spark.streaming.neardup import (
+        run_neardup_stream)
+
+    p = str(tmp_path / "docs_rs")
+    ckpt = str(tmp_path / "rs_ckpt")
+    sink = str(tmp_path / "rs_out")
+    spark.createDataFrame([(1, BASE), (2, OTHER1)], SCHEMA) \
+        .coalesce(1).write.parquet(p)
+    q1 = run_neardup_stream(spark, p, SCHEMA, text_col="text",
+                            id_col="doc_id", query_name="rs1",
+                            checkpoint=ckpt, sink_path=sink)
+    q1.awaitTermination(180)
+    assert spark.read.parquet(sink).count() == 0  # nothing duplicated yet
+
+    spark.createDataFrame([(3, NEAR)], SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(p)
+    q2 = run_neardup_stream(spark, p, SCHEMA, text_col="text",
+                            id_col="doc_id", query_name="rs2",
+                            checkpoint=ckpt, sink_path=sink)
+    q2.awaitTermination(180)
+    out = spark.read.parquet(sink)
+    pairs = {(r.id, r.dup_of) for r in out.collect()}
+    assert pairs == {("3", "1")}, pairs
