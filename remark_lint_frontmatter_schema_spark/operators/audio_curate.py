@@ -18,6 +18,10 @@ binary payload:
 
 At 10^12 clips the only shuffles carry (clip_id, fp) chunks and the
 (id, id) component edges — a few hundred bytes per clip, never audio.
+The persisted feature relation is MEMORY_AND_DISK here (local-mode
+substitute); at the top design point it would be written once to a table
+between the decode stage and the dedup/decision consumers — same
+structure, durable instead of executor-cached.
 """
 
 from __future__ import annotations
