@@ -214,6 +214,7 @@ def register_audio_checks() -> dict:
         "wav_riff_magic": lambda col: F.substring(col, 1, 4) == F.lit(b"RIFF"),
         "codec_header": lambda col: codec_header_ok_col(col, "codec", "sr_hz"),
         "codec_header_jvm": lambda col: codec_header_ok_expr(col, "codec", "sr_hz"),
+        "voiced_content": lambda col: has_voiced_content(col),
     }
 
 
@@ -422,6 +423,35 @@ def voiced_segments(clips, *, frame_ms: int = 20, silence_db: float = -40.0,
                 "clip_id", "seg_idx", "start_ms", "end_ms", "rms"])
 
     return clips.select("clip_id", "bytes").mapInPandas(fn, schema=schema)
+
+
+@pandas_udf(BooleanType())
+def has_voiced_content(b: pd.Series) -> pd.Series:
+    """Vectorized check: payload decodes AND contains at least one voiced
+    run at the default VAD gates — the ``voiced_content`` entry of
+    :func:`register_audio_checks` (an all-silent or undecodable clip is
+    useless as speech training data). Arrow-batched like every binary
+    check; rides the one-projection violations pass when a ruleset
+    references it."""
+    silence_amp = 10 ** (-40.0 / 20)
+    out = []
+    for v in b:
+        try:
+            sr, x = decode_wav_pcm16(bytes(v) if v is not None else b"")
+            if sr <= 0:
+                raise ValueError("bad sr")
+        except ValueError:
+            out.append(False)
+            continue
+        flen = max(1, int(sr * 20 / 1000))
+        n_frames = len(x) // flen
+        if not n_frames:
+            out.append(False)
+            continue
+        frame_rms = np.sqrt(np.mean(
+            x[: n_frames * flen].reshape(n_frames, flen) ** 2, axis=1))
+        out.append(bool(detect_voiced_runs(frame_rms, silence_amp, 3, 2)))
+    return pd.Series(out, index=b.index)
 
 
 def normalization_gain_col(target_db: float = -20.0, rms_col: str = "rms"):

@@ -162,3 +162,22 @@ def test_x_dedup_rejects_bad_max_distance(spark):
                 "x-dedup": {"id": "clip_id", "method": "acoustic",
                             "max_distance": 9}}}},
             df.schema, name="clips")
+
+
+def test_voiced_content_dsl_check(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+    silent = audio.wav_bytes(np.zeros(8000, dtype="<i2"), 16000)
+    clips = spark.createDataFrame(
+        [("ok", _tone_wav(440, 16000, 400, seed=1)),
+         ("mute", silent), ("junk", b"xx"), ("nul", None)],
+        "clip_id string, bytes binary")
+    compiled = compile_ruleset(
+        {"properties": {"bytes": {"x-spark-check": "voiced_content"}}},
+        clips.schema, extra_checks=audio.register_audio_checks(),
+        name="vad")
+    res = validate(clips, compiled, row_id="clip_id")
+    bad = {r.row_id for r in res.violations.collect()
+           if "voiced_content" in r.message}
+    # NULL bytes are presence-guarded like every keyword (JSON Schema
+    # semantics: absent values are `required`'s business, not the check's)
+    assert bad == {"mute", "junk"}, bad
