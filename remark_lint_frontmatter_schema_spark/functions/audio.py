@@ -454,6 +454,65 @@ def has_voiced_content(b: pd.Series) -> pd.Series:
     return pd.Series(out, index=b.index)
 
 
+def slice_segments(clips, *, frame_ms: int = 20, silence_db: float = -40.0,
+                   min_gap_ms: int = 60, min_seg_ms: int = 40,
+                   normalize_db: float | None = None):
+    """clips(clip_id, bytes) -> one WAV payload PER VOICED SEGMENT:
+    (clip_id, seg_idx, start_ms, end_ms, sr_hz, bytes) — the materializing
+    form of :func:`voiced_segments`, emitting training-sized utterance
+    clips cut at the same VAD boundaries (decode once, slice samples,
+    re-encode the canonical PCM16 container).
+
+    ``normalize_db`` additionally applies loudness normalization to each
+    segment (gain to the target RMS dBFS, clipped at full scale) — the
+    materialized twin of :func:`normalization_gain_col`.
+
+    Scale shape: map-only like the detector, but the OUTPUT carries
+    payloads (~input bytes total), so this belongs at the point in the
+    pipeline where the sliced corpus is being written, not as a probe.
+    Undecodable / all-silent clips emit zero rows (same policy as
+    :func:`voiced_segments`)."""
+    silence_amp = 10 ** (silence_db / 20)
+    schema = ("clip_id string, seg_idx int, start_ms int, end_ms int, "
+              "sr_hz int, bytes binary")
+    gap_f = max(1, min_gap_ms // frame_ms)
+    seg_f = max(1, min_seg_ms // frame_ms)
+
+    def fn(iterator):
+        for pdf in iterator:
+            rows = []
+            for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    sr, x = decode_wav_pcm16(bytes(b) if b is not None else b"")
+                    if sr <= 0:
+                        raise ValueError("bad sr")
+                except ValueError:
+                    continue
+                flen = max(1, int(sr * frame_ms / 1000))
+                n_frames = len(x) // flen
+                if not n_frames:
+                    continue
+                frames = x[: n_frames * flen].reshape(n_frames, flen)
+                frame_rms = np.sqrt(np.mean(frames ** 2, axis=1))
+                for k, (s, e) in enumerate(detect_voiced_runs(
+                        frame_rms, silence_amp, gap_f, seg_f)):
+                    seg = x[s * flen: e * flen]
+                    if normalize_db is not None:
+                        rms = float(np.sqrt(np.mean(seg ** 2)))
+                        if rms > 0:
+                            seg = np.clip(
+                                seg * (10 ** (normalize_db / 20) / rms),
+                                -1.0, 1.0)
+                    pcm = np.clip(seg * 32767.0, -32768, 32767).astype("<i2")
+                    rows.append((cid, k, s * frame_ms, e * frame_ms, sr,
+                                 wav_bytes(pcm, sr)))
+            yield pd.DataFrame(rows, columns=[
+                "clip_id", "seg_idx", "start_ms", "end_ms", "sr_hz",
+                "bytes"])
+
+    return clips.select("clip_id", "bytes").mapInPandas(fn, schema=schema)
+
+
 def normalization_gain_col(target_db: float = -20.0, rms_col: str = "rms"):
     """Loudness-normalization gain (dB) to bring a clip's RMS to
     ``target_db`` dBFS — a Column over :func:`audio_features` output

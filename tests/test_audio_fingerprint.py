@@ -181,3 +181,26 @@ def test_voiced_content_dsl_check(spark):
     # NULL bytes are presence-guarded like every keyword (JSON Schema
     # semantics: absent values are `required`'s business, not the check's)
     assert bad == {"mute", "junk"}, bad
+
+
+def test_slice_segments_roundtrip_and_normalize(spark):
+    clips = spark.createDataFrame(
+        [("g1", _gapped_wav()), ("bad", b"junk")],
+        "clip_id string, bytes binary")
+    segs = {(r.clip_id, r.seg_idx): r for r in
+            audio.slice_segments(clips, normalize_db=-20.0).collect()}
+    assert set(segs) == {("g1", 0), ("g1", 1)}
+    for (cid, k), r in segs.items():
+        sr, x = audio.decode_wav_pcm16(bytes(r.bytes))  # valid container
+        assert sr == 16000 and r.sr_hz == 16000
+        # payload length matches the segment window
+        assert abs(len(x) / sr * 1000 - (r.end_ms - r.start_ms)) < 1
+        # normalized to -20 dBFS RMS (0.1), within clip headroom
+        rms = float(np.sqrt(np.mean(x ** 2)))
+        assert abs(rms - 0.1) < 0.01, rms
+    # sliced content is the original window: segment 1 starts at the
+    # second tone (200 ms in), so its samples correlate with a 440 Hz tone
+    _, x1 = audio.decode_wav_pcm16(bytes(segs[("g1", 1)].bytes))
+    spec = np.abs(np.fft.rfft(x1))
+    peak_hz = np.argmax(spec) * 16000 / len(x1)
+    assert abs(peak_hz - 440) < 15, peak_hz
