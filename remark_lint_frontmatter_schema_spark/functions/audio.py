@@ -59,6 +59,28 @@ def wav_bytes(samples: np.ndarray, sr_hz: int) -> bytes:
     return header + data
 
 
+def wav_bytes_multi(channels: np.ndarray, sr_hz: int,
+                    extra_chunks: bytes = b"") -> bytes:
+    """RIFF/WAVE PCM16 writer for (n_samples, n_channels) int16 arrays,
+    with optional extra chunks injected between ``fmt `` and ``data`` —
+    the fixture generator for the non-canonical containers
+    :func:`_parse_wav_pcm16` must accept (stereo corpora, editors that
+    write LIST/INFO metadata)."""
+    if channels.ndim == 1:
+        channels = channels[:, None]
+    n_ch = channels.shape[1]
+    data = np.ascontiguousarray(channels.astype("<i2")).tobytes()
+    n = len(data)
+    block = 2 * n_ch
+    body = (
+        b"fmt " + struct.pack("<IHHIIHH", 16, 1, n_ch, sr_hz,
+                              sr_hz * block, block, 16)
+        + extra_chunks
+        + b"data" + struct.pack("<I", n) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
 def synth_wav(i: int, sr_hz: int, audio_ms: int) -> bytes:
     n = max(1, int(sr_hz * audio_ms / 1000))
     return wav_bytes(synth_pcm16(i, sr_hz, n), sr_hz)
@@ -78,22 +100,60 @@ def opus_stub_bytes(i: int) -> bytes:
             + b"OpusHead" + rng.integers(0, 256, 128, dtype=np.uint8).tobytes())
 
 
-def decode_wav_pcm16(b: bytes) -> tuple[int, np.ndarray]:
-    """Parse a canonical PCM16 WAV -> (sample_rate, float samples in [-1,1)).
+def _parse_wav_pcm16(b: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF chunk walker -> (sample_rate, n_channels, mono float samples).
+
+    Accepts any chunk layout (``fmt ``/``data`` in any order, LIST/fact/
+    cue chunks skipped, odd-size pad bytes honored per RIFF) and any PCM16
+    channel count — multi-channel payloads are downmixed to mono by
+    channel mean, the canonical training-corpus representation. Only
+    format 1 (integer PCM) at 16 bits is audio this engine decodes; other
+    encodings raise like any other malformed container.
 
     Raises ValueError on malformed containers — callers turn that into a
     ``decode`` violation row, never a job failure (the reference's
     YAML-parse guard, /root/reference/index.ts:240-245)."""
-    if len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
-    sr = struct.unpack_from("<I", b, 24)[0]
-    if b[36:40] != b"data":
+    pos, end = 12, len(b)
+    sr = n_ch = None
+    raw = None
+    while pos + 8 <= end:
+        cid = b[pos:pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        body = pos + 8
+        if cid == b"fmt ":
+            if size < 16 or body + 16 > end:
+                raise ValueError("truncated fmt chunk")
+            fmt_tag, n_ch, sr, _, _, bits = struct.unpack_from(
+                "<HHIIHH", b, body)
+            if fmt_tag != 1 or bits != 16 or n_ch < 1:
+                raise ValueError("not integer PCM16")
+        elif cid == b"data":
+            raw = b[body: body + size]
+            if len(raw) < size:
+                raise ValueError("truncated data chunk")
+        pos = body + size + (size & 1)  # RIFF pads odd chunks to even
+    if sr is None:
+        raise ValueError("missing fmt chunk")
+    if raw is None:
         raise ValueError("missing data chunk")
-    n = struct.unpack_from("<I", b, 40)[0]
-    raw = b[44:44 + n]
-    if len(raw) < n:
-        raise ValueError("truncated data chunk")
-    return sr, np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+    frame_bytes = 2 * n_ch
+    x = np.frombuffer(raw[: (len(raw) // frame_bytes) * frame_bytes],
+                      dtype="<i2").astype(np.float64) / 32767.0
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return sr, n_ch, x
+
+
+def decode_wav_pcm16(b: bytes) -> tuple[int, np.ndarray]:
+    """Parse a PCM16 WAV -> (sample_rate, mono float samples in [-1,1)).
+
+    The decode entry point every payload operator uses; see
+    :func:`_parse_wav_pcm16` for the container grammar (chunk walk,
+    multi-channel downmix) and the malformed-input policy."""
+    sr, _, x = _parse_wav_pcm16(b)
+    return sr, x
 
 
 def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
@@ -108,6 +168,42 @@ def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
     if p_noise == 0:
         return float("inf")
     return 10.0 * np.log10(p_sig / p_noise)
+
+
+def resample_sinc(x: np.ndarray, sr_in: int, sr_out: int, *,
+                  taps: int = 32) -> np.ndarray:
+    """Windowed-sinc sample-rate conversion (Hann window, per-output-sample
+    weight normalization), fully vectorized numpy — the canonicalization
+    primitive that brings a mixed-rate corpus to one training rate.
+
+    The sinc cutoff is ``min(sr_in, sr_out)/2``, so downsampling applies
+    the anti-alias low-pass a naive interpolator skips; weight rows are
+    renormalized to sum 1, which preserves DC exactly and keeps the edge
+    samples (where the tap window is truncated) unbiased. Cost and memory
+    are O(n_out x taps) — at training-clip lengths (seconds) that is a
+    few MB per payload inside one Arrow batch, never a shuffle."""
+    if len(x) == 0:
+        return x.astype(np.float64, copy=True)
+    if sr_in == sr_out:
+        return x.astype(np.float64, copy=True)
+    if sr_in <= 0 or sr_out <= 0:
+        raise ValueError("sample rates must be positive")
+    ratio = sr_out / sr_in
+    n_out = max(1, int(round(len(x) * ratio)))
+    t = np.arange(n_out, dtype=np.float64) / ratio   # output pos, input units
+    base = np.floor(t).astype(np.int64)
+    half = taps // 2
+    k = np.arange(-half + 1, half + 1)
+    idx = base[:, None] + k[None, :]
+    valid = (idx >= 0) & (idx < len(x))
+    idx = np.clip(idx, 0, len(x) - 1)
+    u = k[None, :] - (t - base)[:, None]             # tap offset from t
+    fc = min(1.0, ratio)                             # of input Nyquist
+    w = fc * np.sinc(fc * u) * (0.5 + 0.5 * np.cos(np.pi * u / half))
+    w = np.where(valid, w, 0.0)
+    s = w.sum(axis=1, keepdims=True)
+    w = np.divide(w, s, out=np.zeros_like(w), where=s != 0)
+    return (x[idx] * w).sum(axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -509,6 +605,52 @@ def slice_segments(clips, *, frame_ms: int = 20, silence_db: float = -40.0,
             yield pd.DataFrame(rows, columns=[
                 "clip_id", "seg_idx", "start_ms", "end_ms", "sr_hz",
                 "bytes"])
+
+    return clips.select("clip_id", "bytes").mapInPandas(fn, schema=schema)
+
+
+def canonicalize_clips(clips, *, target_sr: int = 16000,
+                       normalize_db: float | None = None, taps: int = 32):
+    """clips(clip_id, bytes) -> canonical training payloads: mono PCM16 WAV
+    at ``target_sr`` — (clip_id, src_sr_hz, src_channels, sr_hz, n_samples,
+    bytes). The normalization stage every mixed-provenance corpus needs
+    before training: decode once (chunk-walking parser, so editor-written
+    LIST/fact chunks and stereo payloads are accepted), downmix to mono,
+    windowed-sinc resample (:func:`resample_sinc`, anti-aliased), optional
+    RMS loudness normalization to ``normalize_db`` dBFS, re-encode the
+    44-byte canonical container.
+
+    Scale shape: map-only, one Arrow stage, payload never shuffles —
+    same contract as :func:`slice_segments`; this is the writer-side stage
+    of a canonicalization pass, so output bytes ~ input bytes. Undecodable
+    payloads emit zero rows (the validation pass, not the canonicalizer,
+    is where they are reported — same policy as slice_segments)."""
+    schema = ("clip_id string, src_sr_hz int, src_channels int, "
+              "sr_hz int, n_samples long, bytes binary")
+
+    def fn(iterator):
+        for pdf in iterator:
+            rows = []
+            for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    sr, n_ch, x = _parse_wav_pcm16(
+                        bytes(b) if b is not None else b"")
+                    if sr <= 0:
+                        raise ValueError("bad sr")
+                except ValueError:
+                    continue
+                y = resample_sinc(x, sr, target_sr, taps=taps)
+                if normalize_db is not None:
+                    rms = float(np.sqrt(np.mean(y ** 2))) if len(y) else 0.0
+                    if rms > 0:
+                        y = np.clip(
+                            y * (10 ** (normalize_db / 20) / rms), -1.0, 1.0)
+                pcm = np.clip(y * 32767.0, -32768, 32767).astype("<i2")
+                rows.append((cid, sr, n_ch, target_sr, len(pcm),
+                             wav_bytes(pcm, target_sr)))
+            yield pd.DataFrame(rows, columns=[
+                "clip_id", "src_sr_hz", "src_channels", "sr_hz",
+                "n_samples", "bytes"])
 
     return clips.select("clip_id", "bytes").mapInPandas(fn, schema=schema)
 

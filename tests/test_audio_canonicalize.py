@@ -1,0 +1,155 @@
+"""Canonicalization stage: chunk-walking WAV decode (stereo / extra
+chunks), windowed-sinc resampling fidelity, and the composed
+canonicalize_clips operator — the mixed-provenance-corpus normalization
+pass (mono 16 kHz PCM16) a training pipeline runs before ingestion."""
+
+import numpy as np
+import pytest
+
+from remark_lint_frontmatter_schema_spark.functions import audio
+
+
+def _tone(freq, sr, ms, amp=0.5):
+    t = np.arange(int(sr * ms / 1000), dtype=np.float64) / sr
+    return amp * np.sin(2 * np.pi * freq * t)
+
+
+def _pcm(x):
+    return np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+
+
+# ---------------------------------------------------------------------------
+# chunk-walking parser
+# ---------------------------------------------------------------------------
+
+def test_parser_accepts_extra_chunks_identically():
+    x = _tone(440, 16000, 100)
+    canonical = audio.wav_bytes(_pcm(x), 16000)
+    info_body = b"INFO" + b"IART" + (4).to_bytes(4, "little") + b"ab\x00\x00"
+    info = b"LIST" + len(info_body).to_bytes(4, "little") + info_body
+    padded = audio.wav_bytes_multi(_pcm(x), 16000, extra_chunks=info)
+    sr_a, xa = audio.decode_wav_pcm16(canonical)
+    sr_b, xb = audio.decode_wav_pcm16(padded)
+    assert sr_a == sr_b == 16000
+    np.testing.assert_array_equal(xa, xb)
+
+
+def test_parser_honors_odd_chunk_padding():
+    # a 3-byte chunk must be followed by one pad byte before `data`
+    x = _tone(300, 8000, 50)
+    odd = b"junk" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    b = audio.wav_bytes_multi(_pcm(x), 8000, extra_chunks=odd)
+    sr, got = audio.decode_wav_pcm16(b)
+    assert sr == 8000 and len(got) == len(x)
+
+
+def test_stereo_downmix_is_channel_mean():
+    left = _tone(440, 16000, 100)
+    right = np.zeros_like(left)
+    stereo = audio.wav_bytes_multi(
+        np.stack([_pcm(left), _pcm(right)], axis=1), 16000)
+    sr, got = audio.decode_wav_pcm16(stereo)
+    assert sr == 16000
+    # mean(L, 0) == L/2, up to int16 quantization
+    assert audio.snr_db(left / 2, got) >= 40.0
+    # opposite-phase channels cancel to silence
+    anti = audio.wav_bytes_multi(
+        np.stack([_pcm(left), _pcm(-left)], axis=1), 16000)
+    _, z = audio.decode_wav_pcm16(anti)
+    assert float(np.max(np.abs(z))) < 1e-4
+
+
+def test_parser_rejects_malformed_still():
+    with pytest.raises(ValueError):
+        audio.decode_wav_pcm16(b"RIFF\x00\x00\x00\x00WAVE")  # no chunks
+    with pytest.raises(ValueError):
+        audio.decode_wav_pcm16(b"not audio at all")
+    # truncated data chunk (declared size > available bytes)
+    good = audio.wav_bytes(_pcm(_tone(440, 16000, 50)), 16000)
+    with pytest.raises(ValueError):
+        audio.decode_wav_pcm16(good[:-10])
+    # non-PCM format tag
+    bad_fmt = bytearray(good)
+    bad_fmt[20] = 3  # IEEE float tag
+    with pytest.raises(ValueError):
+        audio.decode_wav_pcm16(bytes(bad_fmt))
+
+
+# ---------------------------------------------------------------------------
+# windowed-sinc resampler
+# ---------------------------------------------------------------------------
+
+def test_resample_length_and_identity():
+    x = _tone(440, 16000, 100)
+    assert audio.resample_sinc(x, 16000, 16000) is not x
+    np.testing.assert_array_equal(audio.resample_sinc(x, 16000, 16000), x)
+    y = audio.resample_sinc(x, 16000, 8000)
+    assert len(y) == round(len(x) * 8000 / 16000)
+
+
+def test_resample_tone_fidelity_down_and_up():
+    # passband tone survives rate conversion: compare against the
+    # analytically generated target-rate tone (edges trimmed — the tap
+    # window is truncated there by construction)
+    for sr_in, sr_out in [(22050, 16000), (8000, 16000), (44100, 16000)]:
+        n_ms = 200
+        x = _tone(420, sr_in, n_ms)
+        y = audio.resample_sinc(x, sr_in, sr_out)
+        ref = _tone(420, sr_out, n_ms)
+        m = min(len(y), len(ref))
+        trim = 64
+        got = audio.snr_db(ref[trim:m - trim], y[trim:m - trim])
+        assert got >= 35.0, (sr_in, sr_out, got)
+
+
+def test_resample_preserves_dc_exactly():
+    x = np.full(1000, 0.25)
+    y = audio.resample_sinc(x, 22050, 16000)
+    np.testing.assert_allclose(y, 0.25, atol=1e-9)
+
+
+def test_resample_antialiases_above_target_nyquist():
+    # 6 kHz tone downsampled 22050 -> 8000: above the 4 kHz target
+    # Nyquist, so an anti-aliased resampler must attenuate it, not fold it
+    x = _tone(6000, 22050, 200)
+    y = audio.resample_sinc(x, 22050, 8000)
+    in_rms = float(np.sqrt(np.mean(x ** 2)))
+    out_rms = float(np.sqrt(np.mean(y ** 2)))
+    assert out_rms < 0.2 * in_rms  # >= 14 dB down
+
+
+def test_resample_empty_and_bad_rates():
+    assert len(audio.resample_sinc(np.empty(0), 16000, 8000)) == 0
+    with pytest.raises(ValueError):
+        audio.resample_sinc(np.ones(10), 0, 8000)
+
+
+# ---------------------------------------------------------------------------
+# composed canonicalize_clips (Spark, map-only)
+# ---------------------------------------------------------------------------
+
+def test_canonicalize_clips_end_to_end(spark):
+    mono_22k = audio.wav_bytes(_pcm(_tone(420, 22050, 200)), 22050)
+    mono_8k = audio.wav_bytes(_pcm(_tone(420, 8000, 200)), 8000)
+    stereo_16k = audio.wav_bytes_multi(
+        np.stack([_pcm(_tone(420, 16000, 200, amp=0.4))] * 2, axis=1), 16000)
+    rows = [("a", mono_22k), ("b", mono_8k), ("c", stereo_16k),
+            ("bad", audio.flac_stub_bytes(1)), ("nul", None)]
+    clips = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    out = {r.clip_id: r for r in audio.canonicalize_clips(
+        clips, target_sr=16000, normalize_db=-20.0).collect()}
+
+    # undecodable payloads emit zero rows (slice_segments policy)
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"].src_sr_hz == 22050 and out["c"].src_channels == 2
+    for r in out.values():
+        assert r.sr_hz == 16000
+        sr, x = audio.decode_wav_pcm16(bytes(r.bytes))
+        assert sr == 16000 and len(x) == r.n_samples
+        # loudness normalized to -20 dBFS
+        rms_db = 20 * np.log10(float(np.sqrt(np.mean(x ** 2))))
+        assert abs(rms_db - (-20.0)) < 0.5
+        # content preserved: spectral peak still at the tone frequency
+        spec = np.abs(np.fft.rfft(x))
+        peak_hz = np.argmax(spec) * 16000 / len(x)
+        assert abs(peak_hz - 420) < 25, (r.clip_id, peak_hz)
