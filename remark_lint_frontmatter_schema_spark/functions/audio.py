@@ -864,3 +864,69 @@ def duration_consistency_violations(clips, *, tolerance_ms: int = 5,
         F.lit(None).cast("array<string>").alias("expected"),
         F.lit("warning").alias("severity"),
     )
+
+
+def transcript_conflict_violations(clips, *, max_distance: int = 2,
+                                   transcript_col: str = "transcript",
+                                   frame_ms: int = 64, hop_ms: int = 32,
+                                   reuse: bool = True,
+                                   ruleset_name: str = "engine",
+                                   severity: str = "warning"):
+    """Label-conflict detection: two clips whose AUDIO is an acoustic
+    near-duplicate (spectral fingerprint within ``max_distance``) but
+    whose transcripts normalize DIFFERENTLY carry contradictory labels —
+    at least one transcription is wrong, the highest-value QA signal a
+    speech corpus validator can emit (duplicate audio with matching
+    labels is mere redundancy; with conflicting labels it is noise that
+    trains against itself). Both members get a violation row naming the
+    other, since the evidence cannot say which label is right.
+
+    Scale shape: pairs come from the pigeonhole-blocked fingerprint
+    self-join (:func:`audio_neardup_pairs` — never a cross join, payload
+    decoded once); the conflict filter then joins only (clip_id, 32-byte
+    normalized-transcript hash), so transcripts and audio never shuffle.
+    Formatting-only transcript variants (case, punctuation, spacing) are
+    NOT conflicts — comparison is on :func:`...operators.text.normalized`
+    form. NULL or empty-normalized transcripts are skipped (``required``
+    / ``minLength``'s business, and absent evidence is not a conflict —
+    the NULL-text policy of the dedup family).
+
+    Precision caveat: the 64-bit occupancy fingerprint has low entropy
+    for spectrally SPARSE payloads (pure tones, DTMF, sine sweeps), where
+    unrelated clips can collide within small Hamming radii and surface as
+    spurious conflicts; on such corpora keep ``max_distance`` at 0-1.
+    Speech/music occupancy patterns are rich enough for the default."""
+    from ..operators.text import normalized
+    pairs = audio_neardup_pairs(clips, max_distance=max_distance,
+                                frame_ms=frame_ms, hop_ms=hop_ms,
+                                reuse=reuse)
+    labels = (clips.select(F.col("clip_id"),
+                           normalized(F.col(transcript_col)).alias("_nt"))
+              .where(F.col("_nt").isNotNull() & (F.col("_nt") != ""))
+              .select("clip_id", F.sha2(F.col("_nt"), 256).alias("tfp")))
+    conflicts = (pairs
+                 .join(labels.select(F.col("clip_id").alias("id_a"),
+                                     F.col("tfp").alias("tfp_a")), "id_a")
+                 .join(labels.select(F.col("clip_id").alias("id_b"),
+                                     F.col("tfp").alias("tfp_b")), "id_b")
+                 .where(F.col("tfp_a") != F.col("tfp_b")))
+    both = conflicts.select(
+        F.col("id_a").alias("rid"), F.col("id_b").alias("other"), "hamming"
+    ).unionByName(conflicts.select(
+        F.col("id_b").alias("rid"), F.col("id_a").alias("other"), "hamming"))
+    return both.select(
+        F.col("rid").cast("string").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"label-conflict:{transcript_col}").alias("constraint_id"),
+        F.lit("x-label-conflict").alias("keyword"),
+        F.lit(f"/{transcript_col}").alias("instance_path"),
+        F.lit("#/x-label-conflict").alias("schema_path"),
+        F.concat(
+            F.lit("Must not contradict the transcript of acoustic "
+                  "near-duplicate `"),
+            F.col("other"), F.lit("`")).alias("message"),
+        F.col("hamming").cast("string").alias("actual"),
+        F.lit(None).cast("array<string>").alias("expected"),
+        F.lit(severity).alias("severity"),
+    )

@@ -23,6 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..plans.compiler import CompiledRuleset
 from .clusters import dedup_violations
@@ -84,6 +85,17 @@ def table_check_violations(
                 ruleset_name=compiled.name, block_col=params.get("block"),
                 n=params["n"], threshold=params["threshold"],
                 max_distance=params.get("max_distance", 3),
+                severity=params.get("severity", "warning")))
+        elif kind == "label_conflict":
+            from ..functions.audio import transcript_conflict_violations
+            extras.append(transcript_conflict_violations(
+                df.select(
+                    F.col(params["id"]).cast("string").alias("clip_id"),
+                    F.col(column).alias("bytes"),
+                    F.col(params["transcript"])),
+                transcript_col=params["transcript"],
+                max_distance=params["max_distance"],
+                ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
         elif kind == "decontaminate":
             if params["bench"] not in dims and on_missing_dim is not None:

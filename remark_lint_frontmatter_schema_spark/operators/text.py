@@ -112,14 +112,20 @@ def quality_score(col) -> Column:
     )
 
 
-def fingerprint(col) -> Column:
-    """Normalization fingerprint: sha256 of lowercased text with
-    punctuation stripped and whitespace collapsed — near-dup key for
-    formatting-only variants."""
+def normalized(col) -> Column:
+    """Canonical text form: lowercased, punctuation stripped, whitespace
+    collapsed — the shared normalization under :func:`fingerprint` and
+    the transcript label-conflict check (formatting-only variants
+    normalize equal)."""
     c = F.col(col) if isinstance(col, str) else col
-    norm = F.trim(F.regexp_replace(
+    return F.trim(F.regexp_replace(
         F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", ""), r" +", " "))
-    return F.sha2(norm, 256)
+
+
+def fingerprint(col) -> Column:
+    """Normalization fingerprint: sha256 of :func:`normalized` text —
+    near-dup key for formatting-only variants."""
+    return F.sha2(normalized(col), 256)
 
 
 # Unanchored PII-ish detectors for curation scans. Deliberately simple

@@ -72,7 +72,7 @@ _KNOWN_KEYWORDS = {
     # compile into CompiledRuleset.table_checks and run as separate
     # relational passes
     "x-spark-check", "x-unique", "x-ref", "x-drift", "x-severity",
-    "x-dedup", "x-langid", "x-rate", "x-decontaminate",
+    "x-dedup", "x-langid", "x-rate", "x-decontaminate", "x-label-conflict",
 }
 
 
@@ -402,6 +402,13 @@ _KEYWORD_SHAPE = {
             or (isinstance(v[k], int) and not isinstance(v[k], bool)
                 and v[k] > 0)
             for k in ("n", "min_shared")),
+    "x-label-conflict": lambda v: isinstance(v, dict)
+    and isinstance(v.get("id"), str)
+    and isinstance(v.get("transcript"), str)
+    and (v.get("max_distance") is None
+         or (isinstance(v["max_distance"], int)
+             and not isinstance(v["max_distance"], bool)
+             and 0 <= v["max_distance"] <= 7)),
     "x-drift": lambda v: isinstance(v, dict)
     and isinstance(v.get("partition_col"), str)
     and v.get("side_a") is not None and v.get("side_b") is not None
@@ -873,6 +880,22 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
                 }))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-decontaminate"))
+
+    if "x-label-conflict" in schema and not ctx.silent:
+        # transcript-vs-acoustic-near-dup consistency: declared on the
+        # binary audio column, names the id and transcript columns; a
+        # separate relational pass (fingerprint self-join) like x-dedup
+        if is_top:
+            p = schema["x-label-conflict"]
+            ctx.out.table_checks.append(
+                ("label_conflict", ctx.instance_path[1:], {
+                    "id": p["id"],
+                    "transcript": p["transcript"],
+                    "max_distance": int(p.get("max_distance", 2)),
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-label-conflict"))
 
     if "x-langid" in schema and ctx.col is not None:
         # declared-vs-detected language consistency: a pure row expression
