@@ -75,6 +75,14 @@ def run(master: str, reps: int = 4) -> dict:
                 .agg(F.count("*").alias("n_segs"),
                      F.countDistinct("clip_id").alias("n_clips")))
 
+    def canon_agg():
+        # decode -> downmix -> sinc resample to 16 kHz -> re-encode; the
+        # agg reads bytes length so the encode stage is genuinely forced
+        return (audio.canonicalize_clips(clips, target_sr=16000)
+                .agg(F.count("*").alias("n"),
+                     F.sum("n_samples").alias("total_samples"),
+                     F.sum(F.length("bytes")).alias("total_bytes")))
+
     def best_of(make_agg, label):
         # a FRESH DataFrame per rep: re-collecting one plan object lets
         # Spark reuse the map stage's shuffle files across jobs, so every
@@ -90,6 +98,7 @@ def run(master: str, reps: int = 4) -> dict:
 
     fp_best, fp_times, fp_res = best_of(fp_agg, "fingerprint")
     seg_best, seg_times, seg_res = best_of(seg_agg, "segments")
+    can_best, can_times, can_res = best_of(canon_agg, "canonicalize")
 
     out = {
         "master": master,
@@ -103,6 +112,12 @@ def run(master: str, reps: int = 4) -> dict:
         "segments_clips_per_sec": round(n_rows / seg_best, 1),
         "segments_runs_sec": seg_times,
         "n_segments": seg_res.n_segs,
+        "canonicalize_sec": round(can_best, 2),
+        "canonicalize_clips_per_sec": round(n_rows / can_best, 1),
+        "canonicalize_runs_sec": can_times,
+        "n_canonical": can_res.n,
+        "canonical_samples": can_res.total_samples,
+        "canonical_bytes": can_res.total_bytes,
     }
     print(json.dumps(out))
     spark.stop()

@@ -124,6 +124,37 @@ def test_resample_empty_and_bad_rates():
         audio.resample_sinc(np.ones(10), 0, 8000)
 
 
+def test_resample_properties_random_inputs():
+    # property sweep (deterministic seed): any signal, any rate pair from
+    # the realistic domain -> exact length formula, bounded output, and
+    # constant signals stay constant (weight normalization). The bound is
+    # a blow-up guard at the sinc Lebesgue-constant level (~log taps):
+    # negative lobes mean interpolation may legitimately overshoot
+    # max|x|, especially on few-sample inputs where edge rows renormalize
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    rates = st.sampled_from([8000, 11025, 16000, 22050, 24000, 44100, 48000])
+
+    @settings(max_examples=60, deadline=None)
+    @given(sr_in=rates, sr_out=rates,
+           n=st.integers(min_value=1, max_value=4000),
+           seed=st.integers(min_value=0, max_value=2**31))
+    def prop(sr_in, sr_out, n, seed):
+        x = np.random.default_rng(seed).uniform(-1, 1, n)
+        y = audio.resample_sinc(x, sr_in, sr_out)
+        if sr_in == sr_out:
+            np.testing.assert_array_equal(y, x)
+        else:
+            assert len(y) == max(1, round(n * sr_out / sr_in))
+        assert np.all(np.isfinite(y))
+        assert float(np.max(np.abs(y), initial=0.0)) <= 3.0
+        c = audio.resample_sinc(np.full(n, 0.5), sr_in, sr_out)
+        np.testing.assert_allclose(c, 0.5, atol=1e-9)
+
+    prop()
+
+
 # ---------------------------------------------------------------------------
 # composed canonicalize_clips (Spark, map-only)
 # ---------------------------------------------------------------------------
