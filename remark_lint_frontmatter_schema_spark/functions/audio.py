@@ -337,6 +337,7 @@ def register_audio_checks() -> dict:
         "codec_header": lambda col: codec_header_ok_col(col, "codec", "sr_hz"),
         "codec_header_jvm": lambda col: codec_header_ok_expr(col, "codec", "sr_hz"),
         "voiced_content": lambda col: has_voiced_content(col),
+        "canonical_wav": lambda col: canonical_wav_expr(col),
     }
 
 
@@ -679,6 +680,75 @@ def canonicalize_clips(clips, *, target_sr: int = 16000,
                 "n_samples", "bytes"])
 
     return clips.select("clip_id", "bytes").mapInPandas(fn, schema=schema)
+
+
+def augment_speed(clips, *, factors=(0.9, 1.1), taps: int = 32):
+    """Speed-perturbation augmentation (the sox-``speed`` recipe used for
+    3-way speech-training augmentation): resample the waveform by
+    ``1/factor`` and keep the declared rate, so playback runs ``factor``×
+    faster with pitch scaled accordingly. Emits one row per
+    (clip, factor) — originals are not re-emitted; union the source for
+    the classic 0.9/1.0/1.1 set.
+
+    Map-only like :func:`canonicalize_clips` (same writer-stage contract:
+    output bytes ~ input bytes × len(factors); payload never shuffles).
+    Undecodable payloads emit zero rows. Factors must be positive;
+    factor 1.0 is a copy (still re-encoded to canonical layout)."""
+    if any(f <= 0 for f in factors):
+        raise ValueError("speed factors must be positive")
+    schema = ("clip_id string, factor double, sr_hz int, n_samples long, "
+              "bytes binary")
+
+    def fn(iterator):
+        for pdf in iterator:
+            rows = []
+            for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    sr, x = decode_wav_pcm16(bytes(b) if b is not None else b"")
+                    if sr <= 0:
+                        raise ValueError("bad sr")
+                except ValueError:
+                    continue
+                for f in factors:
+                    y = resample_sinc(x, sr, max(1, int(round(sr / f))),
+                                      taps=taps)
+                    pcm = np.clip(y * 32767.0, -32768, 32767).astype("<i2")
+                    rows.append((cid, float(f), sr, len(pcm),
+                                 wav_bytes(pcm, sr)))
+            yield pd.DataFrame(rows, columns=[
+                "clip_id", "factor", "sr_hz", "n_samples", "bytes"])
+
+    return clips.select("clip_id", "bytes").mapInPandas(fn, schema=schema)
+
+
+def _le_u16_expr(b, off0: int):
+    """Little-endian u16 at 0-based offset, pure JVM (the 2-byte sibling
+    of :func:`_le_u32_expr`)."""
+    rev = F.concat(F.substring(b, off0 + 2, 1), F.substring(b, off0 + 1, 1))
+    return F.conv(F.hex(rev), 16, 10).cast("int")
+
+
+def canonical_wav_expr(bytes_col="bytes", sr: int = 16000):
+    """Pure-JVM (whole-stage-codegen) check that a payload is in canonical
+    training form — the exact 44-byte container :func:`canonicalize_clips`
+    emits: RIFF/WAVE magic, ``fmt `` at offset 12 (size 16, format 1,
+    mono, 16-bit), declared rate == ``sr``, ``data`` at offset 36 with
+    size equal to the remaining bytes. A ruleset gates ingestion on this
+    AFTER canonicalization, with zero Python in the plan — the fast
+    declarative twin of re-decoding."""
+    b = F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col
+    return (
+        (F.length(b) >= 44)
+        & (F.substring(b, 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(b, 9, 8) == F.lit(b"WAVEfmt "))
+        & (_le_u32_expr(b, 16) == 16)          # fmt chunk size
+        & (_le_u16_expr(b, 20) == 1)           # integer PCM
+        & (_le_u16_expr(b, 22) == 1)           # mono
+        & (_le_u32_expr(b, 24) == F.lit(sr))
+        & (_le_u16_expr(b, 34) == 16)          # bits/sample
+        & (F.substring(b, 37, 4) == F.lit(b"data"))
+        & (_le_u32_expr(b, 40) == (F.length(b) - 44).cast("long"))
+    )
 
 
 def normalization_gain_col(target_db: float = -20.0, rms_col: str = "rms"):

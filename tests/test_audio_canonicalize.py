@@ -159,6 +159,73 @@ def test_resample_properties_random_inputs():
 # composed canonicalize_clips (Spark, map-only)
 # ---------------------------------------------------------------------------
 
+def test_augment_speed_shifts_pitch_and_duration(spark):
+    from pyspark.sql import functions as F
+    x = _tone(440, 16000, 400)
+    clips = spark.createDataFrame(
+        [("a", audio.wav_bytes(_pcm(x), 16000)),
+         ("bad", audio.flac_stub_bytes(2))],
+        "clip_id string, bytes binary")
+    out = {r.factor: r for r in audio.augment_speed(
+        clips, factors=(0.9, 1.0, 1.1)).collect()}
+    assert set(out) == {0.9, 1.0, 1.1}   # undecodable emits nothing
+    n0 = len(x)
+    for f, r in out.items():
+        assert r.sr_hz == 16000
+        # duration scales by 1/factor
+        assert abs(r.n_samples - n0 / f) <= n0 * 0.01 + 2
+        sr, y = audio.decode_wav_pcm16(bytes(r.bytes))
+        # pitch scales by factor: dominant bin of the perturbed clip
+        spec = np.abs(np.fft.rfft(y))
+        peak_hz = np.argmax(spec) * 16000 / len(y)
+        assert abs(peak_hz - 440 * f) < 15, (f, peak_hz)
+    with pytest.raises(ValueError):
+        audio.augment_speed(clips, factors=(0.0,))
+
+
+def test_canonical_wav_expr_jvm_check(spark):
+    from pyspark.sql import functions as F
+    good = audio.wav_bytes(_pcm(_tone(440, 16000, 100)), 16000)
+    wrong_sr = audio.wav_bytes(_pcm(_tone(440, 22050, 100)), 22050)
+    stereo = audio.wav_bytes_multi(
+        np.stack([_pcm(_tone(440, 16000, 100))] * 2, 1), 16000)
+    info_body = b"INFO" + b"IART" + (4).to_bytes(4, "little") + b"ab\x00\x00"
+    padded = audio.wav_bytes_multi(
+        _pcm(_tone(440, 16000, 100)), 16000,
+        extra_chunks=b"LIST" + len(info_body).to_bytes(4, "little") + info_body)
+    rows = [("good", good), ("wrong_sr", wrong_sr), ("stereo", stereo),
+            ("padded", padded), ("trunc", good[:-8]),
+            ("flac", audio.flac_stub_bytes(1)), ("nul", None)]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    checked = df.select("clip_id", audio.canonical_wav_expr().alias("ok"))
+    got = {r.clip_id: r.ok for r in checked.collect()}
+    # decodable-but-not-canonical payloads (other rate, stereo, extra
+    # chunks) fail: this check asserts the exact canonical layout
+    assert got == {"good": True, "wrong_sr": False, "stereo": False,
+                   "padded": False, "trunc": False, "flac": False,
+                   "nul": None}
+    # canonicalize output always passes its own canonical check
+    canon = audio.canonicalize_clips(df.where("clip_id in ('wrong_sr','stereo','padded')"))
+    assert canon.select(F.min(audio.canonical_wav_expr())).collect()[0][0]
+    # zero Python in the plan: pure JVM expression
+    plan = checked._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_canonical_wav_dsl_named_check(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+    good = audio.wav_bytes(_pcm(_tone(440, 16000, 100)), 16000)
+    raw = audio.wav_bytes(_pcm(_tone(440, 22050, 100)), 22050)
+    df = spark.createDataFrame([("g", good), ("r", raw)],
+                               "clip_id string, bytes binary")
+    compiled = compile_ruleset(
+        {"properties": {"bytes": {"x-spark-check": "canonical_wav"}}},
+        df.schema, extra_checks=audio.register_audio_checks(),
+        name="canon")
+    res = validate(df, compiled, row_id="clip_id")
+    assert {r.row_id for r in res.violations.collect()} == {"r"}
+
+
 def test_canonicalize_clips_end_to_end(spark):
     mono_22k = audio.wav_bytes(_pcm(_tone(420, 22050, 200)), 22050)
     mono_8k = audio.wav_bytes(_pcm(_tone(420, 8000, 200)), 8000)
