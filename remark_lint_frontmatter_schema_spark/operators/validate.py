@@ -97,6 +97,20 @@ def n_violations_expr(compiled: CompiledRuleset) -> Column:
          for c in compiled.checks])
 
 
+def n_blocking_expr(compiled: CompiledRuleset,
+                    fail_severities=("error",)) -> Column:
+    """Per-row count of violations whose severity gates ingestion — the
+    severity-aware sibling of :func:`n_violations_expr` (check severities
+    are compile-time constants, so the non-blocking checks simply drop
+    out of the sum; same balanced-tree codegen discipline)."""
+    checks = [c for c in compiled.checks if c.severity in fail_severities]
+    if not checks:
+        return F.lit(0)
+    return balanced_reduce(
+        lambda a, b: a + b,
+        [F.coalesce(c.violated, F.lit(False)).cast("int") for c in checks])
+
+
 def violations_array(compiled: CompiledRuleset) -> Column:
     """ARRAY<STRUCT> of this row's violations (empty array == row passes).
 

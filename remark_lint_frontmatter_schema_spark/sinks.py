@@ -24,6 +24,56 @@ def write_verdicts(verdicts: DataFrame, path: str) -> None:
     verdicts.write.mode("append").parquet(path)
 
 
+def write_split(df: DataFrame, compiled, *, path: str,
+                run_id: str = "run_0",
+                fail_severities=("error",)) -> dict:
+    """Ingestion split: ONE scan, ONE write — every row lands under
+    ``{path}/run_id=…/accepted=true|false``, routed by a severity-aware
+    gate (a row is accepted when it has no violation at a severity in
+    ``fail_severities``; warnings-only rows pass an ``("error",)`` gate).
+    Quarantined rows keep their full ``_violations`` array, so the
+    quarantine partition is self-describing — no join back to a
+    violations table to learn why a row was held.
+
+    Scale shape: the gate is the same one-projection constraint eval as
+    ``validate`` (``n_blocking_expr`` — compile-time-constant severities,
+    balanced-tree codegen) feeding ``partitionBy``, so clean corpus and
+    quarantine are partitions of a single write job: the input is read
+    once, nothing is shuffled, and downstream readers partition-prune to
+    the side they want. The ``_violations`` compaction is an HOF (drops
+    the projection out of whole-stage codegen — ``array_compact``
+    desugars to the same lambda filter, verified): the accepted price of
+    a self-describing quarantine on an IO-bound writer stage; gate-only
+    callers who don't need the arrays should write ``accepted`` from the
+    codegen-clean ``n_blocking_expr`` alone. Row-level checks only —
+    table-level declarations (x-unique/x-ref/…) are relational passes
+    with no per-row residue; run them via ``validate_with_table_checks``
+    and gate on verdicts.
+
+    Returns per-side row counts (a parquet-footer count over the
+    just-written output — metadata, not a data rescan). Note ``accepted``
+    comes back as a partition column whose type ('true'/'false' string vs
+    boolean) follows ``spark.sql.sources.partitionColumnTypeInference``;
+    the returned counts normalize either way."""
+    from .operators.validate import n_blocking_expr, violations_array
+
+    annotated = (df.withColumn("_violations", violations_array(compiled))
+                   .withColumn("accepted",
+                               n_blocking_expr(compiled, fail_severities)
+                               == 0)
+                   .withColumn("run_id", F.lit(run_id)))
+    (annotated.write.mode("append")
+     .partitionBy("run_id", "accepted").parquet(path))
+    spark = df.sparkSession
+    counts = {str(r.accepted).lower(): r.n for r in
+              (spark.read.parquet(path)
+               .where(F.col("run_id") == run_id)
+               .groupBy("accepted")
+               .agg(F.count(F.lit(1)).alias("n")).collect())}
+    return {"accepted": counts.get("true", 0),
+            "quarantined": counts.get("false", 0)}
+
+
 def render_report(violations: DataFrame, *, max_rows: int = 50) -> str:
     """vfile-reporter-style console report: sorted, with summary count.
 
