@@ -211,3 +211,63 @@ def test_audio_neardup_blocks_instead_of_cross_join(spark):
     # repr includes the cached child's MapInPandas, so counting that string
     # would double-count a single execution)
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_label_conflict_joins_hashes_never_payloads(spark):
+    """The label-conflict plan must stay bucket-blocked (no cross join)
+    and its transcript comparison must join 32-byte sha2 hashes — neither
+    `bytes` nor `transcript` may appear in any Exchange."""
+    from remark_lint_frontmatter_schema_spark.functions import audio
+    from remark_lint_frontmatter_schema_spark.operators import dedup
+
+    clips = spark.createDataFrame(
+        [("x", audio.synth_wav(1, 16000, 400), "hello")],
+        "clip_id string, bytes binary, transcript string")
+    v = audio.transcript_conflict_violations(clips)
+    plan = _plan(v)
+    dedup.release_all()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    exchanges = [ln for ln in plan.splitlines()
+                 if "Exchange" in ln or "Broadcast" in ln]
+    joined = " ".join(exchanges)
+    assert "bytes" not in joined and "transcript#" not in joined, joined
+
+
+def test_canonicalize_and_augment_prune_to_id_and_bytes(spark, clips_path):
+    """The canonicalization/augmentation writer stages must read exactly
+    (clip_id, bytes) — metadata columns pruned from the scan — and stay
+    map-only (no Exchange anywhere in the plan)."""
+    from remark_lint_frontmatter_schema_spark.functions import audio
+
+    clips = spark.read.parquet(clips_path)
+    for stage in (audio.canonicalize_clips(clips),
+                  audio.augment_speed(clips, factors=(1.1,))):
+        plan = _plan(stage)
+        scan = " ".join(ln for ln in plan.splitlines()
+                        if "ReadSchema" in ln or "FileScan" in ln)
+        assert "bytes" in scan and "clip_id" in scan, scan
+        for col in ("transcript", "sr_hz", "dur_ms", "codec", "speaker_id"):
+            assert col not in scan, (col, scan)
+        assert "Exchange" not in plan, plan
+
+
+def test_split_gate_is_codegen_projection(spark, clips_path):
+    """write_split's routing gate (n_blocking_expr) must compile into the
+    whole-stage-codegen projection — no Python, no HOF in the gate."""
+    from pyspark.sql import functions as F
+    from remark_lint_frontmatter_schema_spark.operators.validate import (
+        n_blocking_expr)
+
+    clips = spark.read.parquet(clips_path)
+    compiled = compile_ruleset(bundle("rulesets/clip.schema.yaml"),
+                               clips.schema, name="clip",
+                               exclude_columns=("ruleset_id",))
+    gated = clips.select(
+        "clip_id", (n_blocking_expr(compiled, ("error", "warning")) == 0)
+        .alias("accepted"))
+    plan = _plan(gated)
+    assert "EvalPython" not in plan
+    assert "lambdafunction" not in plan
+    # `*(n)` prefixes mark whole-stage-codegen nodes in this plan repr
+    assert plan.lstrip().startswith("*("), plan
