@@ -637,7 +637,8 @@ def slice_segments(clips, *, frame_ms: int = 20, silence_db: float = -40.0,
 
 
 def canonicalize_clips(clips, *, target_sr: int = 16000,
-                       normalize_db: float | None = None, taps: int = 32):
+                       normalize_db: float | None = None, taps: int = 32,
+                       passthrough: tuple = ()):
     """clips(clip_id, bytes) -> canonical training payloads: mono PCM16 WAV
     at ``target_sr`` — (clip_id, src_sr_hz, src_channels, sr_hz, n_samples,
     bytes). The normalization stage every mixed-provenance corpus needs
@@ -651,14 +652,24 @@ def canonicalize_clips(clips, *, target_sr: int = 16000,
     same contract as :func:`slice_segments`; this is the writer-side stage
     of a canonicalization pass, so output bytes ~ input bytes. Undecodable
     payloads emit zero rows (the validation pass, not the canonicalizer,
-    is where they are reported — same policy as slice_segments)."""
+    is where they are reported — same policy as slice_segments).
+
+    ``passthrough`` names extra clips columns (transcript, partition
+    date, …) carried into the output unchanged — the corpus writer keeps
+    its labels without a join back to the source table."""
+    pt = tuple(passthrough)
+    pt_ddl = ", ".join(
+        f"{c} {clips.schema[c].dataType.simpleString()}" for c in pt)
     schema = ("clip_id string, src_sr_hz int, src_channels int, "
               "sr_hz int, n_samples long, bytes binary")
+    if pt_ddl:
+        schema = f"{schema}, {pt_ddl}"
 
     def fn(iterator):
         for pdf in iterator:
             rows = []
-            for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
+            for cid, b, *extra in zip(pdf["clip_id"], pdf["bytes"],
+                                      *[pdf[c] for c in pt]):
                 try:
                     sr, n_ch, x = _parse_wav_pcm16(
                         bytes(b) if b is not None else b"")
@@ -674,12 +685,12 @@ def canonicalize_clips(clips, *, target_sr: int = 16000,
                             y * (10 ** (normalize_db / 20) / rms), -1.0, 1.0)
                 pcm = np.clip(y * 32767.0, -32768, 32767).astype("<i2")
                 rows.append((cid, sr, n_ch, target_sr, len(pcm),
-                             wav_bytes(pcm, target_sr)))
+                             wav_bytes(pcm, target_sr), *extra))
             yield pd.DataFrame(rows, columns=[
                 "clip_id", "src_sr_hz", "src_channels", "sr_hz",
-                "n_samples", "bytes"])
+                "n_samples", "bytes", *pt])
 
-    return clips.select("clip_id", "bytes").mapInPandas(fn, schema=schema)
+    return clips.select("clip_id", "bytes", *pt).mapInPandas(fn, schema=schema)
 
 
 def augment_speed(clips, *, factors=(0.9, 1.1), taps: int = 32):

@@ -21,8 +21,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 STATUS_VALIDATED = "validated"
+STATUS_INGESTED = "ingested"   # validated + split + canonicalized
 STATUS_SKIPPED = "skipped"
 STATUS_CONFIG_ERROR = "config_error"
+_DONE_STATUSES = (STATUS_VALIDATED, STATUS_INGESTED)
 
 
 def _key(snapshot_id: str, partition_id: str, ruleset_hash: str) -> str:
@@ -53,7 +55,7 @@ class Manifest:
     def is_done(self, snapshot_id: str, partition_id: str,
                 ruleset_hash: str) -> bool:
         e = self.entries.get(_key(snapshot_id, partition_id, ruleset_hash))
-        return bool(e) and e["status"] == STATUS_VALIDATED
+        return bool(e) and e["status"] in _DONE_STATUSES
 
     def record(self, snapshot_id: str, partition_id: str, ruleset_hash: str,
                status: str, metrics: dict | None = None) -> None:

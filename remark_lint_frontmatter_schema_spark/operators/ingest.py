@@ -1,0 +1,114 @@
+"""Resumable corpus ingest: gate -> split -> canonicalize -> manifest.
+
+The production composition of the engine's pieces, batch form: pending
+partitions (per-partition lineage manifest, north_rule T1) are read once,
+routed by the severity-aware gate into accepted/quarantine partitions of
+one write (``sinks.write_split``), and the accepted side is re-encoded to
+the canonical training form (mono / ``target_sr`` / PCM16,
+``functions.audio.canonicalize_clips``) with its labels carried through
+the Arrow stage — no join back. A rerun skips partitions the manifest
+already records as ingested; a crash mid-run re-ingests only the
+partitions whose entries were never written (the split/corpus writes are
+append-mode and run_id-partitioned, so re-running a partition is
+idempotent at the read layer: readers filter to the run_ids the manifest
+names).
+
+Scan accounting at the design point: the gate pass reads the columns the
+ruleset touches (payload column only if a binary check is active —
+plan-audited in tests/test_plan_audits.py), the split write carries full
+rows once, and the canonicalization pass re-reads the accepted
+partition's (clip_id, bytes, passthrough) — two payload reads total,
+each map-only; nothing payload-sized ever shuffles.
+
+The reference analog is the lint -> fix -> commit loop run per changed
+file (/root/reference/README.md workflow); here the unit is an Iceberg
+partition and the artifacts are tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .. import sinks
+from ..functions.audio import canonicalize_clips
+from ..manifest import STATUS_INGESTED, Manifest, list_partitions
+
+
+def ingest_corpus(
+    spark,
+    table_path: str,
+    compiled,
+    *,
+    partition_col: str,
+    row_id: str = "clip_id",
+    out_path: str,
+    manifest_path: str,
+    snapshot_id: str = "snap_0",
+    run_id: str = "ingest_0",
+    fail_severities=("error",),
+    target_sr: int = 16000,
+    normalize_db: float | None = None,
+    passthrough: tuple = ("transcript",),
+) -> dict:
+    """Ingest every pending partition of ``table_path``; returns
+    ``{"ingested": [...], "skipped": [...], "accepted": n,
+    "quarantined": n}``.
+
+    Artifacts under ``out_path``: ``split/`` (full rows,
+    run_id/accepted-partitioned — the quarantine lives here,
+    self-describing) and ``corpus/`` (canonical payloads + passthrough
+    labels, partitioned by ``partition_col`` and run_id).
+
+    ``corpus`` row count <= ``accepted``: gate-accepted clips whose
+    payload is not decodable WAV (e.g. flac/opus passing a header-only
+    ruleset) emit no canonical row — route them through a transcoder
+    first, or add a decode check (``x-spark-check: voiced_content`` or
+    a duration-consistency gate) so they quarantine instead.
+    """
+    manifest = Manifest.load(manifest_path)
+    all_parts = list_partitions(table_path, partition_col)
+    todo = manifest.pending(snapshot_id, all_parts, compiled.ruleset_hash)
+    skipped = [p for p in all_parts if p not in todo]
+    if not todo:
+        return {"ingested": [], "skipped": skipped,
+                "accepted": 0, "quarantined": 0}
+
+    part_str = F.col(partition_col).cast("string")
+    df = spark.read.parquet(table_path).where(part_str.isin(todo))
+
+    split_path = f"{out_path}/split"
+    counts = sinks.write_split(df, compiled, path=split_path,
+                               run_id=run_id,
+                               fail_severities=fail_severities)
+
+    accepted = (spark.read.parquet(split_path)
+                .where(F.col("run_id") == run_id)
+                .where(F.col("accepted").cast("boolean"))
+                .where(part_str.isin(todo)))
+    corpus = canonicalize_clips(
+        accepted, target_sr=target_sr, normalize_db=normalize_db,
+        passthrough=tuple(c for c in passthrough if c != partition_col)
+        + (partition_col,))
+    (corpus.withColumn("run_id", F.lit(run_id))
+     .write.mode("append").partitionBy(partition_col, "run_id")
+     .parquet(f"{out_path}/corpus"))
+
+    # per-partition lineage: accepted/quarantined from the split footers
+    # (metadata counts, not a rescan of payloads)
+    per_part = {r.p: r for r in
+                (spark.read.parquet(split_path)
+                 .where(F.col("run_id") == run_id)
+                 .groupBy(part_str.alias("p"))
+                 .agg(F.count(F.lit(1)).alias("n_rows"),
+                      F.sum(F.col("accepted").cast("boolean").cast("long"))
+                      .alias("n_accepted")).collect())}
+    for p in todo:
+        r = per_part.get(p)
+        n_rows = r.n_rows if r else 0
+        n_acc = int(r.n_accepted) if r else 0
+        manifest.record(
+            snapshot_id, p, compiled.ruleset_hash, STATUS_INGESTED,
+            metrics={"n_rows": n_rows, "n_accepted": n_acc,
+                     "n_quarantined": n_rows - n_acc, "run_id": run_id})
+    manifest.save()
+    return {"ingested": todo, "skipped": skipped, **counts}
