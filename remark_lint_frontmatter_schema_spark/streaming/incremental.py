@@ -53,3 +53,64 @@ def validate_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def ingest_stream(
+    spark: SparkSession,
+    input_path: str,
+    input_schema,
+    compiled: CompiledRuleset,
+    *,
+    out_path: str,
+    checkpoint: str,
+    fail_severities=("error",),
+    target_sr: int = 16000,
+    normalize_db: float | None = None,
+    passthrough: tuple = ("transcript",),
+    max_files_per_trigger: int = 16,
+    trigger_available_now: bool = True,
+):
+    """Streaming twin of ``operators.ingest.ingest_corpus``: each
+    micro-batch is gated by ``sinks.write_split`` (quarantine
+    self-describing under ``{out_path}/split``) and its accepted rows are
+    canonicalized into ``{out_path}/corpus`` — continuous corpus
+    construction from a landing directory (production: Iceberg
+    incremental reads, same foreachBatch body).
+
+    Exactly-once at the batch level comes from the stream checkpoint: a
+    replayed batch re-appends under the same ``batch_N`` run_id, so
+    readers that dedupe on (run_id, clip_id) — or the downstream exact
+    dedup pass — see one copy. Batch-local, shuffle-free, payloads never
+    leave their map stage; the per-partition lineage manifest remains the
+    batch-mode resume tool (the checkpoint IS the stream's lineage)."""
+    from pyspark.sql import functions as F
+
+    from .. import sinks
+    from ..functions.audio import canonicalize_clips
+    from ..operators.validate import n_blocking_expr
+
+    stream = (spark.readStream.schema(input_schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_path))
+
+    def process_batch(batch_df, batch_id: int):
+        run_id = f"batch_{batch_id}"
+        sinks.write_split(batch_df, compiled, path=f"{out_path}/split",
+                          run_id=run_id, fail_severities=fail_severities)
+        # same gate recomputed on the batch (micro-batch files are local
+        # and the gate is a codegen projection — cheaper than reading the
+        # split back and with no first-batch path-existence edge)
+        accepted = batch_df.where(
+            n_blocking_expr(compiled, fail_severities) == 0)
+        corpus = canonicalize_clips(
+            accepted, target_sr=target_sr,
+            normalize_db=normalize_db, passthrough=tuple(passthrough))
+        (corpus.withColumn("run_id", F.lit(run_id))
+         .write.mode("append").partitionBy("run_id")
+         .parquet(f"{out_path}/corpus"))
+
+    writer = (stream.writeStream.foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

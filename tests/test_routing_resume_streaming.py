@@ -412,3 +412,40 @@ def test_fused_routing_runs_table_checks(spark):
         df, row_id="doc_id", registry=reg, ruleset_col="ruleset_id")
     rows = fused["violations"].collect()
     assert {r.row_id for r in rows if r.keyword == "dedup"} == {"b"}
+
+
+def test_streaming_ingest_builds_canonical_corpus(spark, clips, tmp_path):
+    from pyspark.sql import functions as F
+    from remark_lint_frontmatter_schema_spark.functions import audio
+    from remark_lint_frontmatter_schema_spark.operators.validate import (
+        n_blocking_expr)
+    from remark_lint_frontmatter_schema_spark.streaming.incremental import (
+        ingest_stream)
+
+    inp = str(tmp_path / "in")
+    clips.write.parquet(inp)
+    compiled = compile_ruleset(bundle("rulesets/clip.schema.yaml"),
+                               clips.schema, name="clip",
+                               exclude_columns=("ruleset_id",))
+    out = str(tmp_path / "out")
+    q = ingest_stream(spark, inp, clips.schema, compiled, out_path=out,
+                      checkpoint=str(tmp_path / "ckpt"),
+                      fail_severities=("error", "warning"),
+                      max_files_per_trigger=2)
+    q.awaitTermination(120)
+
+    # split holds every input row; quarantine self-describes
+    split = spark.read.parquet(f"{out}/split")
+    assert split.count() == clips.count()
+    quar = split.where(~F.col("accepted").cast("boolean"))
+    assert quar.where(F.size("_violations") == 0).count() == 0
+    # accepted set matches the batch gate exactly
+    n_acc_batch = clips.where(
+        n_blocking_expr(compiled, ("error", "warning")) == 0).count()
+    assert split.where(F.col("accepted").cast("boolean")).count() == n_acc_batch
+    # corpus: canonical, labeled, spread over the stream's micro-batches
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert corpus.count() > 0
+    assert corpus.select(F.min(audio.canonical_wav_expr())).collect()[0][0]
+    assert corpus.where(F.col("transcript").isNull()).count() == 0
+    assert corpus.select("run_id").distinct().count() > 1  # >1 micro-batch
