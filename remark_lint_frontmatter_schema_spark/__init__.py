@@ -15,6 +15,9 @@ The reference validates one Markdown frontmatter object per file with Ajv
 from .plans.compiler import CompiledRuleset, compile_ruleset
 from .plans.bundler import bundle
 from .operators.validate import validate, ValidationResult
+from .operators.table_checks import validate_with_table_checks
+from .operators.ingest import ingest_corpus
+from .sinks import write_split
 from .session import get_spark
 
 __all__ = [
@@ -23,6 +26,9 @@ __all__ = [
     "bundle",
     "validate",
     "ValidationResult",
+    "validate_with_table_checks",
+    "ingest_corpus",
+    "write_split",
     "get_spark",
 ]
 

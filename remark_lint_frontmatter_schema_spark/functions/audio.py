@@ -693,6 +693,58 @@ def canonicalize_clips(clips, *, target_sr: int = 16000,
     return clips.select("clip_id", "bytes", *pt).mapInPandas(fn, schema=schema)
 
 
+def transcode_payload(b: bytes, codec: str) -> bytes:
+    """Decode a non-WAV payload and re-encode it as canonical PCM16 WAV —
+    the single seam :func:`transcode_clips` routes compressed codecs
+    through. WAV passes straight to the chunk-walking parser (re-encoded
+    canonical); flac/opus need a codec library (soundfile/ffmpeg), not
+    present in this sandbox — STUB, same policy as
+    ``multimodal.decode_image``. Production swaps this one function;
+    the Spark plumbing around it is live and tested."""
+    if codec == "pcm_s16le":
+        sr, x = decode_wav_pcm16(b)
+        return wav_bytes(
+            np.clip(x * 32767.0, -32768, 32767).astype("<i2"), sr)
+    raise NotImplementedError(
+        f"transcoding codec {codec!r} requires soundfile/ffmpeg "
+        "(not in sandbox); production swaps transcode_payload")
+
+
+def transcode_clips(clips, *, codec_col: str = "codec",
+                    on_error: str = "skip"):
+    """clips(clip_id, bytes, codec) -> (clip_id, codec, transcode_ok,
+    bytes) with every payload re-encoded as canonical-container WAV via
+    :func:`transcode_payload` — the stage that feeds compressed-codec
+    corpora into :func:`canonicalize_clips` (see the ``ingest_corpus``
+    caveat: header-gated flac/opus clips need this first).
+
+    ``on_error='skip'`` drops undecodable/unsupported payloads (zero
+    rows, slice_segments policy); ``'keep'`` emits them with
+    ``transcode_ok=false`` and NULL bytes so the caller can count or
+    quarantine them. Map-only Arrow stage; payloads never shuffle."""
+    if on_error not in ("skip", "keep"):
+        raise ValueError("on_error must be 'skip' or 'keep'")
+    schema = "clip_id string, codec string, transcode_ok boolean, bytes binary"
+
+    def fn(iterator):
+        for pdf in iterator:
+            rows = []
+            for cid, b, codec in zip(pdf["clip_id"], pdf["bytes"],
+                                     pdf[codec_col]):
+                try:
+                    out = transcode_payload(
+                        bytes(b) if b is not None else b"", str(codec))
+                    rows.append((cid, codec, True, out))
+                except (ValueError, NotImplementedError):
+                    if on_error == "keep":
+                        rows.append((cid, codec, False, None))
+            yield pd.DataFrame(rows, columns=[
+                "clip_id", "codec", "transcode_ok", "bytes"])
+
+    return clips.select("clip_id", "bytes", codec_col).mapInPandas(
+        fn, schema=schema)
+
+
 def augment_speed(clips, *, factors=(0.9, 1.1), taps: int = 32):
     """Speed-perturbation augmentation (the sox-``speed`` recipe used for
     3-way speech-training augmentation): resample the waveform by

@@ -251,3 +251,36 @@ def test_canonicalize_clips_end_to_end(spark):
         spec = np.abs(np.fft.rfft(x))
         peak_hz = np.argmax(spec) * 16000 / len(x)
         assert abs(peak_hz - 420) < 25, (r.clip_id, peak_hz)
+
+
+def test_transcode_clips_plumbing(spark):
+    """The transcoder stage: WAV re-encodes to canonical (stereo+chunky
+    containers normalized), unsupported codecs follow the on_error
+    policy, and the stub seam raises exactly for codecs needing a
+    library."""
+    from pyspark.sql import functions as F
+    chunky = audio.wav_bytes_multi(
+        np.stack([_pcm(_tone(440, 22050, 100))] * 2, 1), 22050,
+        extra_chunks=b"junk" + (4).to_bytes(4, "little") + b"abcd")
+    rows = [("wav", chunky, "pcm_s16le"),
+            ("flac", audio.flac_stub_bytes(1), "flac"),
+            ("opus", audio.opus_stub_bytes(1), "opus"),
+            ("junk", b"xx", "pcm_s16le")]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+
+    skipped = audio.transcode_clips(df, on_error="skip").collect()
+    assert [r.clip_id for r in skipped] == ["wav"]
+    # output is exactly canonical (mono, 44-byte layout) at the SOURCE rate
+    out = spark.createDataFrame(skipped)
+    assert out.select(F.min(audio.canonical_wav_expr(sr=22050))).collect()[0][0]
+
+    kept = {r.clip_id: r for r in
+            audio.transcode_clips(df, on_error="keep").collect()}
+    assert kept["wav"].transcode_ok and kept["wav"].bytes is not None
+    for cid in ("flac", "opus", "junk"):
+        assert not kept[cid].transcode_ok and kept[cid].bytes is None
+
+    with pytest.raises(NotImplementedError):
+        audio.transcode_payload(audio.flac_stub_bytes(1), "flac")
+    with pytest.raises(ValueError):
+        audio.transcode_clips(df, on_error="explode")
