@@ -1052,6 +1052,7 @@ def transcript_conflict_violations(clips, *, max_distance: int = 2,
     unrelated clips can collide within small Hamming radii and surface as
     spurious conflicts; on such corpora keep ``max_distance`` at 0-1.
     Speech/music occupancy patterns are rich enough for the default."""
+    from ..operators.dedup import _track
     from ..operators.text import normalized
     pairs = audio_neardup_pairs(clips, max_distance=max_distance,
                                 frame_ms=frame_ms, hop_ms=hop_ms,
@@ -1070,7 +1071,7 @@ def transcript_conflict_violations(clips, *, max_distance: int = 2,
         F.col("id_a").alias("rid"), F.col("id_b").alias("other"), "hamming"
     ).unionByName(conflicts.select(
         F.col("id_b").alias("rid"), F.col("id_a").alias("other"), "hamming"))
-    return both.select(
+    out = both.select(
         F.col("rid").cast("string").alias("row_id"),
         F.lit("all").alias("partition_id"),
         F.lit(ruleset_name).alias("ruleset_id"),
@@ -1086,3 +1087,6 @@ def transcript_conflict_violations(clips, *, max_distance: int = 2,
         F.lit(None).cast("array<string>").alias("expected"),
         F.lit(severity).alias("severity"),
     )
+    # carry the persisted fingerprint relation's handle so release(df)
+    # works on the violations (release_all remains the session safety net)
+    return _track(out, pairs)
