@@ -84,6 +84,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fuse all routed rulesets into one scan "
                          "(route_and_validate_single_pass); identical "
                          "output, R scans -> 1. No effect with --embed.")
+    ap.add_argument("--ingest-out",
+                    help="switch to ingest mode (requires --embed, "
+                         "--partition-col, --manifest): gate -> split -> "
+                         "canonicalize -> lineage manifest; artifacts "
+                         "under this path (operators/ingest.py)")
+    ap.add_argument("--manifest", help="lineage manifest JSON (ingest mode)")
+    ap.add_argument("--target-sr", type=int, default=16000)
+    ap.add_argument("--fail-severities", default="error",
+                    help="comma list; severities that quarantine a row")
+    ap.add_argument("--passthrough", default="transcript",
+                    help="comma list of label columns carried into corpus")
     return ap
 
 
@@ -99,6 +110,27 @@ def main(argv: list[str] | None = None) -> int:
     df = spark.read.parquet(args.input)
 
     embed = bundle(args.embed) if args.embed else None
+
+    if args.ingest_out:
+        if embed is None or not args.partition_col or not args.manifest:
+            print("--ingest-out requires --embed, --partition-col and "
+                  "--manifest", file=sys.stderr)
+            return 2
+        from .operators.ingest import ingest_corpus
+        from .plans.compiler import compile_ruleset
+        compiled = compile_ruleset(
+            embed, df.schema,
+            name=os.path.splitext(os.path.basename(args.embed))[0],
+            exclude_columns=(args.ruleset_col,) if args.ruleset_col else ())
+        res = ingest_corpus(
+            spark, args.input, compiled,
+            partition_col=args.partition_col, row_id=args.row_id,
+            out_path=args.ingest_out, manifest_path=args.manifest,
+            run_id=args.run_id, target_sr=args.target_sr,
+            fail_severities=tuple(args.fail_severities.split(",")),
+            passthrough=tuple(c for c in args.passthrough.split(",") if c))
+        print(json.dumps(res))
+        return 1 if (args.frail and res["quarantined"]) else 0
     registry, patterns, ruleset_col = {}, None, args.ruleset_col
     cfg_path = None
     if embed is None:

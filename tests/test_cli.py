@@ -93,3 +93,47 @@ def test_cli_single_pass_matches_default(table, config_dir, capsys):
     v_fused = {(v["partition_id"], v["ruleset_id"], v["n_violations"])
                for v in fused["verdicts"]}
     assert v_fused == v_base
+
+
+def test_cli_ingest_mode(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+    from remark_lint_frontmatter_schema_spark.functions import audio
+    from remark_lint_frontmatter_schema_spark.sources import fixtures
+
+    table = str(tmp_path / "clips")
+    fixtures.write_clips(
+        fixtures.generate_clips(spark, 200, audio_ms=40, num_partitions=2),
+        table)
+    embed = tmp_path / "gate.schema.yaml"
+    embed.write_text(
+        "type: object\nproperties:\n  codec:\n"
+        "    enum: [pcm_s16le, flac, opus]\n  sr_hz:\n    minimum: 8000\n")
+    out, man = str(tmp_path / "out"), str(tmp_path / "man.json")
+
+    rc = cli.main([table, "--row-id", "clip_id",
+                   "--partition-col", "part_date",
+                   "--embed", str(embed), "--ingest-out", out,
+                   "--manifest", man, "--ruleset-col", "ruleset_id",
+                   "--fail-severities", "error,warning"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["accepted"] + res["quarantined"] == 200
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert corpus.select(F.min(audio.canonical_wav_expr())).collect()[0][0]
+    assert os.path.exists(man)
+    # rerun: manifest short-circuits, nothing re-ingested
+    rc2 = cli.main([table, "--row-id", "clip_id",
+                    "--partition-col", "part_date",
+                    "--embed", str(embed), "--ingest-out", out,
+                    "--manifest", man, "--ruleset-col", "ruleset_id"])
+    assert rc2 == 0
+    res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res2["ingested"] == []
+
+
+def test_cli_ingest_mode_requires_args(spark, tmp_path, capsys):
+    df = spark.createDataFrame([(1,)], ["id"])
+    p = str(tmp_path / "x")
+    df.write.parquet(p)
+    rc = cli.main([p, "--row-id", "id", "--ingest-out", str(tmp_path / "o")])
+    assert rc == 2
