@@ -73,7 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--verdicts-out")
     ap.add_argument("--frail", action="store_true",
                     help="exit 1 when any violation or config error")
-    ap.add_argument("--run-id", default="run_0")
+    ap.add_argument("--run-id", default=None,
+                    help="run attribution id (validate mode default: "
+                         "run_0; ingest mode default: a fresh unique id "
+                         "per invocation, so append-mode artifacts and "
+                         "counts never bleed across runs)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--schema-dirs",
                     help="comma-separated dirs for resolving path-valued "
@@ -100,6 +104,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    val_run_id = args.run_id or "run_0"
 
     from .session import get_spark
     from .plans.bundler import bundle
@@ -158,7 +163,7 @@ def main(argv: list[str] | None = None) -> int:
         fused = route_and_validate_single_pass(
             df, row_id=args.row_id, registry=registry,
             ruleset_col=ruleset_col, patterns=patterns,
-            partition_col=args.partition_col, run_id=args.run_id,
+            partition_col=args.partition_col, run_id=val_run_id,
             schema_dirs=schema_dirs)
         violations, verdicts = fused["violations"], fused["verdicts"]
 
@@ -172,7 +177,7 @@ def main(argv: list[str] | None = None) -> int:
         report = route_and_validate(
             df, row_id=args.row_id, registry=registry, embed=embed,
             ruleset_col=ruleset_col, patterns=patterns,
-            partition_col=args.partition_col, run_id=args.run_id,
+            partition_col=args.partition_col, run_id=val_run_id,
             schema_dirs=schema_dirs)
         violations, verdicts = report.violations, report.verdicts
 
@@ -190,7 +195,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.violations_out and violations is not None:
         sinks.write_violations(violations, args.violations_out,
-                               run_id=args.run_id)
+                               run_id=val_run_id)
     if args.verdicts_out and verdicts is not None:
         sinks.write_verdicts(verdicts, args.verdicts_out)
 

@@ -49,6 +49,14 @@ def synth_pcm16(i: int, sr_hz: int, n_samples: int) -> np.ndarray:
     return np.clip(noisy * 32767.0, -32768, 32767).astype("<i2")
 
 
+def _to_pcm16(x: np.ndarray) -> np.ndarray:
+    """Quantize float samples in [-1, 1] to little-endian int16 — the one
+    place the clip bounds / truncation-toward-zero policy lives; every
+    re-encode stage (canonicalize, transcode, augment, segment slicing)
+    must quantize identically or near-dup fingerprints drift."""
+    return np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+
+
 def wav_bytes(samples: np.ndarray, sr_hz: int) -> bytes:
     """Minimal RIFF/WAVE PCM16 mono container (44-byte canonical header)."""
     data = samples.astype("<i2").tobytes()
@@ -626,7 +634,7 @@ def slice_segments(clips, *, frame_ms: int = 20, silence_db: float = -40.0,
                             seg = np.clip(
                                 seg * (10 ** (normalize_db / 20) / rms),
                                 -1.0, 1.0)
-                    pcm = np.clip(seg * 32767.0, -32768, 32767).astype("<i2")
+                    pcm = _to_pcm16(seg)
                     rows.append((cid, k, s * frame_ms, e * frame_ms, sr,
                                  wav_bytes(pcm, sr)))
             yield pd.DataFrame(rows, columns=[
@@ -638,7 +646,7 @@ def slice_segments(clips, *, frame_ms: int = 20, silence_db: float = -40.0,
 
 def canonicalize_clips(clips, *, target_sr: int = 16000,
                        normalize_db: float | None = None, taps: int = 32,
-                       passthrough: tuple = ()):
+                       passthrough: tuple = (), id_col: str = "clip_id"):
     """clips(clip_id, bytes) -> canonical training payloads: mono PCM16 WAV
     at ``target_sr`` — (clip_id, src_sr_hz, src_channels, sr_hz, n_samples,
     bytes). The normalization stage every mixed-provenance corpus needs
@@ -656,8 +664,16 @@ def canonicalize_clips(clips, *, target_sr: int = 16000,
 
     ``passthrough`` names extra clips columns (transcript, partition
     date, …) carried into the output unchanged — the corpus writer keeps
-    its labels without a join back to the source table."""
+    its labels without a join back to the source table. ``id_col`` names
+    the source id column (output always calls it ``clip_id``). Unknown
+    passthrough/id columns fail fast with ValueError — at plan time on
+    the driver, never as a mid-write executor KeyError."""
     pt = tuple(passthrough)
+    missing = [c for c in (id_col, *pt) if c not in clips.columns]
+    if missing:
+        raise ValueError(
+            f"canonicalize_clips: column(s) {missing} not in input "
+            f"(has {clips.columns}); check id_col/passthrough")
     pt_ddl = ", ".join(
         f"{c} {clips.schema[c].dataType.simpleString()}" for c in pt)
     schema = ("clip_id string, src_sr_hz int, src_channels int, "
@@ -683,14 +699,15 @@ def canonicalize_clips(clips, *, target_sr: int = 16000,
                     if rms > 0:
                         y = np.clip(
                             y * (10 ** (normalize_db / 20) / rms), -1.0, 1.0)
-                pcm = np.clip(y * 32767.0, -32768, 32767).astype("<i2")
+                pcm = _to_pcm16(y)
                 rows.append((cid, sr, n_ch, target_sr, len(pcm),
                              wav_bytes(pcm, target_sr), *extra))
             yield pd.DataFrame(rows, columns=[
                 "clip_id", "src_sr_hz", "src_channels", "sr_hz",
                 "n_samples", "bytes", *pt])
 
-    return clips.select("clip_id", "bytes", *pt).mapInPandas(fn, schema=schema)
+    return clips.select(F.col(id_col).alias("clip_id"), "bytes",
+                        *pt).mapInPandas(fn, schema=schema)
 
 
 def transcode_payload(b: bytes, codec: str) -> bytes:
@@ -704,7 +721,7 @@ def transcode_payload(b: bytes, codec: str) -> bytes:
     if codec == "pcm_s16le":
         sr, x = decode_wav_pcm16(b)
         return wav_bytes(
-            np.clip(x * 32767.0, -32768, 32767).astype("<i2"), sr)
+            _to_pcm16(x), sr)
     raise NotImplementedError(
         f"transcoding codec {codec!r} requires soundfile/ffmpeg "
         "(not in sandbox); production swaps transcode_payload")
@@ -775,7 +792,7 @@ def augment_speed(clips, *, factors=(0.9, 1.1), taps: int = 32):
                 for f in factors:
                     y = resample_sinc(x, sr, max(1, int(round(sr / f))),
                                       taps=taps)
-                    pcm = np.clip(y * 32767.0, -32768, 32767).astype("<i2")
+                    pcm = _to_pcm16(y)
                     rows.append((cid, float(f), sr, len(pcm),
                                  wav_bytes(pcm, sr)))
             yield pd.DataFrame(rows, columns=[

@@ -53,9 +53,15 @@ class Manifest:
         os.replace(tmp, self.path)
 
     def is_done(self, snapshot_id: str, partition_id: str,
-                ruleset_hash: str) -> bool:
+                ruleset_hash: str,
+                done_statuses: tuple = _DONE_STATUSES) -> bool:
+        """``done_statuses`` scopes "done" to the flow asking: the
+        validation flow accepts validated OR ingested (ingest implies
+        validation), but the ingest flow must pass ``(STATUS_INGESTED,)``
+        — a merely-validated partition still needs its split/corpus
+        artifacts written."""
         e = self.entries.get(_key(snapshot_id, partition_id, ruleset_hash))
-        return bool(e) and e["status"] in _DONE_STATUSES
+        return bool(e) and e["status"] in done_statuses
 
     def record(self, snapshot_id: str, partition_id: str, ruleset_hash: str,
                status: str, metrics: dict | None = None) -> None:
@@ -69,9 +75,11 @@ class Manifest:
         }
 
     def pending(self, snapshot_id: str, partitions: list[str],
-                ruleset_hash: str) -> list[str]:
+                ruleset_hash: str,
+                done_statuses: tuple = _DONE_STATUSES) -> list[str]:
         return [p for p in partitions
-                if not self.is_done(snapshot_id, p, ruleset_hash)]
+                if not self.is_done(snapshot_id, p, ruleset_hash,
+                                    done_statuses)]
 
 
 def list_partitions(table_path: str, partition_col: str) -> list[str]:

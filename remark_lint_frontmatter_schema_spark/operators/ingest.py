@@ -7,11 +7,15 @@ one write (``sinks.write_split``), and the accepted side is re-encoded to
 the canonical training form (mono / ``target_sr`` / PCM16,
 ``functions.audio.canonicalize_clips``) with its labels carried through
 the Arrow stage — no join back. A rerun skips partitions the manifest
-already records as ingested; a crash mid-run re-ingests only the
-partitions whose entries were never written (the split/corpus writes are
-append-mode and run_id-partitioned, so re-running a partition is
-idempotent at the read layer: readers filter to the run_ids the manifest
-names).
+already records as INGESTED (merely-validated partitions still need
+their artifacts, so the ingest flow scopes "done" to
+``STATUS_INGESTED``); a crash mid-run re-ingests only the partitions
+whose entries were never written. Idempotency lives at the read layer:
+every invocation writes under a fresh unique run_id (unless the caller
+pins one), the manifest entry records which run_id produced each
+partition, and corpus/split readers filter to the manifest-named
+run_ids — rows a crashed attempt left behind sit under a run_id the
+manifest never references, so they are invisible, not double-counted.
 
 Scan accounting at the design point: the gate pass reads the columns the
 ruleset touches (payload column only if a binary check is active —
@@ -44,7 +48,7 @@ def ingest_corpus(
     out_path: str,
     manifest_path: str,
     snapshot_id: str = "snap_0",
-    run_id: str = "ingest_0",
+    run_id: str | None = None,
     fail_severities=("error",),
     target_sr: int = 16000,
     normalize_db: float | None = None,
@@ -65,16 +69,26 @@ def ingest_corpus(
     first, or add a decode check (``x-spark-check: voiced_content`` or
     a duration-consistency gate) so they quarantine instead.
     """
+    import uuid
+
+    if run_id is None:
+        run_id = f"ingest_{uuid.uuid4().hex[:12]}"
     manifest = Manifest.load(manifest_path)
     all_parts = list_partitions(table_path, partition_col)
-    todo = manifest.pending(snapshot_id, all_parts, compiled.ruleset_hash)
+    todo = manifest.pending(snapshot_id, all_parts, compiled.ruleset_hash,
+                            done_statuses=(STATUS_INGESTED,))
     skipped = [p for p in all_parts if p not in todo]
     if not todo:
         return {"ingested": [], "skipped": skipped,
-                "accepted": 0, "quarantined": 0}
+                "accepted": 0, "quarantined": 0, "run_id": run_id}
 
     part_str = F.col(partition_col).cast("string")
     df = spark.read.parquet(table_path).where(part_str.isin(todo))
+    missing = [c for c in (row_id, *passthrough) if c not in df.columns]
+    if missing:  # fail before any artifact is written, not mid-pipeline
+        raise ValueError(
+            f"ingest_corpus: column(s) {missing} not in {table_path} "
+            f"(has {df.columns}); check row_id/passthrough")
 
     split_path = f"{out_path}/split"
     counts = sinks.write_split(df, compiled, path=split_path,
@@ -87,6 +101,7 @@ def ingest_corpus(
                 .where(part_str.isin(todo)))
     corpus = canonicalize_clips(
         accepted, target_sr=target_sr, normalize_db=normalize_db,
+        id_col=row_id,
         passthrough=tuple(c for c in passthrough if c != partition_col)
         + (partition_col,))
     (corpus.withColumn("run_id", F.lit(run_id))

@@ -25,8 +25,9 @@ def write_verdicts(verdicts: DataFrame, path: str) -> None:
 
 
 def write_split(df: DataFrame, compiled, *, path: str,
-                run_id: str = "run_0",
-                fail_severities=("error",)) -> dict:
+                run_id: str | None = None,
+                fail_severities=("error",),
+                count: bool = True) -> dict | None:
     """Ingestion split: ONE scan, ONE write — every row lands under
     ``{path}/run_id=…/accepted=true|false``, routed by a severity-aware
     gate (a row is accepted when it has no violation at a severity in
@@ -50,13 +51,28 @@ def write_split(df: DataFrame, compiled, *, path: str,
     with no per-row residue; run them via ``validate_with_table_checks``
     and gate on verdicts.
 
+    ``run_id`` defaults to a fresh unique id per call — the read-back
+    counts and downstream run_id-filtered readers then see exactly this
+    invocation's rows even though the write is append-mode (a crashed or
+    repeated run's rows sit under a run_id nobody references). Pass an
+    explicit run_id only to deliberately merge invocations under one id
+    (streaming replays do: same batch_N on re-delivery).
+
     Returns per-side row counts (a parquet-footer count over the
-    just-written output — metadata, not a data rescan). Note ``accepted``
-    comes back as a partition column whose type ('true'/'false' string vs
-    boolean) follows ``spark.sql.sources.partitionColumnTypeInference``;
-    the returned counts normalize either way."""
+    just-written output — metadata, not a data rescan), plus the
+    ``run_id`` used. ``count=False`` skips the read-back entirely and
+    returns ``{"run_id": ...}`` — the right mode for per-micro-batch
+    callers, where re-listing an ever-growing output tree every trigger
+    is a monotonic latency leak. Note ``accepted`` comes back as a
+    partition column whose type ('true'/'false' string vs boolean)
+    follows ``spark.sql.sources.partitionColumnTypeInference``; the
+    returned counts normalize either way."""
+    import uuid
+
     from .operators.validate import n_blocking_expr, violations_array
 
+    if run_id is None:
+        run_id = f"run_{uuid.uuid4().hex[:12]}"
     annotated = (df.withColumn("_violations", violations_array(compiled))
                    .withColumn("accepted",
                                n_blocking_expr(compiled, fail_severities)
@@ -64,6 +80,8 @@ def write_split(df: DataFrame, compiled, *, path: str,
                    .withColumn("run_id", F.lit(run_id)))
     (annotated.write.mode("append")
      .partitionBy("run_id", "accepted").parquet(path))
+    if not count:
+        return {"run_id": run_id}
     spark = df.sparkSession
     counts = {str(r.accepted).lower(): r.n for r in
               (spark.read.parquet(path)
@@ -71,7 +89,8 @@ def write_split(df: DataFrame, compiled, *, path: str,
                .groupBy("accepted")
                .agg(F.count(F.lit(1)).alias("n")).collect())}
     return {"accepted": counts.get("true", 0),
-            "quarantined": counts.get("false", 0)}
+            "quarantined": counts.get("false", 0),
+            "run_id": run_id}
 
 
 def render_report(violations: DataFrame, *, max_rows: int = 50) -> str:

@@ -95,8 +95,11 @@ def ingest_stream(
 
     def process_batch(batch_df, batch_id: int):
         run_id = f"batch_{batch_id}"
+        # count=False: the read-back count re-lists the whole (growing)
+        # split tree — a monotonic per-trigger latency leak on a stream
         sinks.write_split(batch_df, compiled, path=f"{out_path}/split",
-                          run_id=run_id, fail_severities=fail_severities)
+                          run_id=run_id, fail_severities=fail_severities,
+                          count=False)
         # same gate recomputed on the batch (micro-batch files are local
         # and the gate is a codegen projection — cheaper than reading the
         # split back and with no first-batch path-existence edge)

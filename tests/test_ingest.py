@@ -89,3 +89,87 @@ def test_ingest_resumes_only_pending_partitions(spark, table, compiled,
                  spark.read.parquet(f"{out}/corpus")
                  .select("part_date").distinct().collect()}
     assert str(parts[0]) not in {str(p) for p in got_parts}
+
+def test_ingest_custom_row_id_and_missing_passthrough(spark, table, compiled,
+                                                      tmp_path):
+    """row_id is honored (not a hardcoded clip_id), and an unknown
+    passthrough column fails fast BEFORE any artifact is written."""
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "manifest.json")
+    with pytest.raises(ValueError, match="no_such_label"):
+        ingest_corpus(spark, table, compiled,
+                      partition_col="part_date", row_id="clip_id",
+                      out_path=out, manifest_path=man,
+                      passthrough=("no_such_label",))
+    import os
+    assert not os.path.exists(out)  # fail-fast: nothing half-written
+
+    # rename the id column: ingest must follow row_id, output is clip_id
+    renamed = str(tmp_path / "renamed")
+    (spark.read.parquet(table).withColumnRenamed("clip_id", "utt_id")
+     .write.partitionBy("part_date").parquet(renamed))
+    rdf = spark.read.parquet(renamed)
+    rcompiled = compile_ruleset(bundle("rulesets/clip.schema.yaml"),
+                                rdf.schema, name="clip",
+                                exclude_columns=("ruleset_id",))
+    res = ingest_corpus(spark, renamed, rcompiled,
+                        partition_col="part_date", row_id="utt_id",
+                        out_path=out, manifest_path=man)
+    assert res["accepted"] > 0
+    corpus = spark.read.parquet(f"{out}/corpus")
+    assert "clip_id" in corpus.columns and corpus.count() > 0
+
+
+def test_ingest_not_skipped_by_validation_only_manifest(spark, table,
+                                                        compiled, tmp_path):
+    """A partition the VALIDATION flow marked done still needs ingest:
+    the ingest flow scopes 'done' to STATUS_INGESTED."""
+    from remark_lint_frontmatter_schema_spark.manifest import (
+        STATUS_VALIDATED, list_partitions)
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "manifest.json")
+    parts = list_partitions(table, "part_date")
+    m = Manifest.load(man)
+    for p in parts:
+        m.record("snap_0", p, compiled.ruleset_hash, STATUS_VALIDATED)
+    m.save()
+    res = ingest_corpus(spark, table, compiled,
+                        partition_col="part_date", row_id="clip_id",
+                        out_path=out, manifest_path=man)
+    assert set(res["ingested"]) == set(parts)  # validated != ingested
+    assert spark.read.parquet(f"{out}/corpus").count() > 0
+
+
+def test_ingest_crash_rerun_is_invisible_at_read_layer(spark, table,
+                                                       compiled, tmp_path):
+    """A crashed attempt leaves rows under a run_id the manifest never
+    names; the re-run (fresh auto run_id) completes, and readers that
+    filter to manifest-named run_ids see exactly one copy per clip."""
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "manifest.json")
+    # simulate a crash: split written, then the run dies pre-manifest
+    df = spark.read.parquet(table)
+    from remark_lint_frontmatter_schema_spark import sinks
+    sinks.write_split(df, compiled, path=f"{out}/split")  # orphan run
+
+    res = ingest_corpus(spark, table, compiled,
+                        partition_col="part_date", row_id="clip_id",
+                        out_path=out, manifest_path=man)
+    m = Manifest.load(man)
+    named = {e["metrics"]["run_id"] for e in m.entries.values()}
+    assert named == {res["run_id"]}
+    # per-partition metrics counted only this run's rows (not run+orphan)
+    total = sum(e["metrics"]["n_rows"] for e in m.entries.values())
+    assert total == 600
+    back = spark.read.parquet(f"{out}/split")
+    good = back.where(F.col("run_id").isin(list(named)))
+    assert good.count() == 600          # exactly one copy per source row
+    assert back.count() == 1200         # the orphan's rows exist on disk…
+    # …but carry a run_id no manifest entry names, so filtered readers
+    # never see them; per-id multiplicity matches the source exactly
+    # (the fixture dups ~0.1% of ids on purpose)
+    src_counts = {r.clip_id: r["count"] for r in
+                  df.groupBy("clip_id").count().collect()}
+    good_counts = {r.clip_id: r["count"] for r in
+                   good.groupBy("clip_id").count().collect()}
+    assert good_counts == src_counts

@@ -58,7 +58,7 @@ def test_write_split_routes_by_severity_gate(spark, tmp_path):
     p = str(tmp_path / "split")
     counts = sinks.write_split(df, compiled, path=p, run_id="r1",
                                fail_severities=("error",))
-    assert counts == {"accepted": 2, "quarantined": 1}
+    assert counts == {"accepted": 2, "quarantined": 1, "run_id": "r1"}
     back = spark.read.parquet(p)
     acc = {r.clip_id for r in back.where(F.col("accepted").cast("boolean")).collect()}
     quar = [r for r in back.where(~F.col("accepted").cast("boolean")).collect()]
@@ -73,7 +73,7 @@ def test_write_split_routes_by_severity_gate(spark, tmp_path):
     # a stricter gate quarantines warnings too, appended as a new run
     counts2 = sinks.write_split(df, compiled, path=p, run_id="r2",
                                 fail_severities=("error", "warning"))
-    assert counts2 == {"accepted": 1, "quarantined": 2}
+    assert counts2 == {"accepted": 1, "quarantined": 2, "run_id": "r2"}
     # r1 untouched (run_id partition isolation)
     r1 = spark.read.parquet(p).where("run_id = 'r1'")
     assert r1.where(F.col("accepted").cast("boolean")).count() == 2
