@@ -116,6 +116,31 @@ def q_verdict_orders(spark, sf):
         "partition_id", "n_rows", "n_violations", "n_failed_rows", "passed")
 
 
+# lint -> fix: clamp price to the closed bounds, invalid status takes the
+# default, priority is truncated then pattern-nullified (operators/repair.py)
+ORDERS_REPAIR_RULESET = {
+    "type": "object",
+    "properties": {
+        "o_orderstatus": {"enum": ["O", "F"], "default": "O"},
+        "o_totalprice": {"minimum": 50000, "maximum": 300000},
+        "o_orderpriority": {"maxLength": 8, "pattern": "^[1-3]-"},
+    },
+}
+
+
+def q_repair_orders(spark, sf):
+    from remark_lint_frontmatter_schema_spark.operators.repair import repair
+    orders = _load(spark, sf, "orders")
+    res = repair(orders, ORDERS_REPAIR_RULESET, row_id="o_orderkey",
+                 name="orders")
+    return res.repaired.select(
+        F.col("o_orderkey").alias("row_id"),
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+
+
 def q_stats_lineitem(spark, sf):
     li = _load(spark, sf, "lineitem")
     return li.groupBy(F.col("l_returnflag")).agg(
@@ -763,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embed_lsh_pairs": q_embed_lsh_pairs,
         "approx_stats_lineitem": q_approx_stats_lineitem,
+        "repair_orders": q_repair_orders,
     }
 
 
@@ -1583,4 +1609,23 @@ GROUP BY l_linestatus, c."column"
 """,
         # minhash/simhash/ivf/approx-stats: seeded-hash / approximate ->
         # rows-only checks (documented in SURVEY.md §5)
+        "repair_orders": """
+WITH t AS (
+  SELECT *,
+         CASE WHEN length(o_orderpriority) > 8
+              THEN substring(o_orderpriority, 1, 8)
+              ELSE o_orderpriority END AS pri_trunc
+  FROM orders)
+SELECT o_orderkey AS row_id,
+       CASE WHEN o_orderstatus IS NULL THEN 'O'
+            WHEN o_orderstatus NOT IN ('O', 'F') THEN 'O'
+            ELSE o_orderstatus END AS o_orderstatus,
+       ROUND(CASE WHEN o_totalprice IS NULL THEN NULL
+                  ELSE LEAST(GREATEST(o_totalprice, 50000), 300000)
+             END, 2) AS o_totalprice,
+       CASE WHEN pri_trunc IS NULL THEN NULL
+            WHEN NOT regexp_matches(pri_trunc, '^[1-3]-') THEN NULL
+            ELSE pri_trunc END AS o_orderpriority
+FROM t
+""",
     }

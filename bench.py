@@ -31,6 +31,7 @@ import __spark_entry__ as entry_mod  # noqa: E402
 HEADLINE = [
     "validate_orders",
     "verdict_orders",
+    "repair_orders",
     "validate_events_props",
     "validate_part_composition",
     "stats_lineitem",

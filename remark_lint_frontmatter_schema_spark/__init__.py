@@ -17,6 +17,7 @@ from .plans.bundler import bundle
 from .operators.validate import validate, ValidationResult
 from .operators.table_checks import validate_with_table_checks
 from .operators.ingest import ingest_corpus
+from .operators.repair import repair, RepairResult
 from .sinks import write_split
 from .session import get_spark
 
@@ -28,6 +29,8 @@ __all__ = [
     "ValidationResult",
     "validate_with_table_checks",
     "ingest_corpus",
+    "repair",
+    "RepairResult",
     "write_split",
     "get_spark",
 ]

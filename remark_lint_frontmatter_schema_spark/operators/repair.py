@@ -1,0 +1,223 @@
+"""Declarative repair pass: the lint -> fix half of the reference's
+workflow, compiled from the SAME ruleset document as the validator.
+
+The reference ecosystem's loop is lint, fix the file, re-lint
+(/root/reference/README.md workflow; remark's ``--output`` rewrites the
+file in place). At corpus scale "fix the file" becomes a column
+transformation: values that can be coerced into range are coerced, values
+that cannot are dropped to NULL, and NULLs take the schema ``default``
+when one is declared — so a repaired table re-validates clean for every
+repairable constraint. Ajv exposes the same idea as ``useDefaults`` /
+``coerceTypes`` (public Ajv options; the reference constructs Ajv without
+them, index.ts:310-317, so this is an engine extension, not reference
+parity).
+
+Repair policy, per top-level property, applied in this order:
+
+1. **coerce** — ``minimum``/``maximum`` clamp numerics to the bound;
+   ``maxLength`` truncates strings (prefix keep, the only
+   content-preserving string coercion).
+2. **nullify** — a value still violating ``enum``, ``pattern``,
+   ``exclusiveMinimum``/``exclusiveMaximum`` (open bounds have no
+   clamp-to value), or ``minLength`` (padding would fabricate content)
+   drops to NULL.
+3. **fill** — NULL (original or just-nullified) takes the property's
+   ``default`` when declared.
+4. **drop_unknown_keys** — a map-typed property with sub-``properties``
+   and ``additionalProperties: false`` keeps only declared keys
+   (``map_filter``).
+
+Scope (documented, not silent): top-level scalar and map properties
+only; ``required``/``type``/``format``/nested-struct constraints are
+diagnosable but not value-repairable and are left to the validator.
+A property opts out with ``x-repair: false``.
+
+Scale shape: the whole pass is ONE projection of JVM Column expressions
+over one scan — no shuffle, no Python, whole-stage codegen; the repair
+log rides the same projection as an array column (the
+``violations_array`` pattern, operators/validate.py) and explodes into
+log rows only for rows that were actually touched. Consuming both the
+repaired table and the log plans two column-pruned reads of the source
+unless the caller persists; same trade-off as ``validate``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.compiler import RulesetCompileError, _regex_ok
+
+_NUMERIC_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                  T.FloatType, T.DoubleType, T.DecimalType)
+
+LOG_FIELDS = ("column", "instance_path", "action", "before", "after")
+_LOG_STRUCT = ("struct<column:string,instance_path:string,action:string,"
+               "before:string,after:string>")
+
+
+@dataclass
+class CompiledRepair:
+    """One property's repair chain: ``expr`` is the fully-repaired value,
+    ``log_entries`` one nullable struct Column per step (NULL = step did
+    not fire for the row)."""
+
+    column: str
+    actions: list  # action names, compile-time (for summary/tests)
+    expr: Column
+    log_entries: list = field(default_factory=list)
+
+
+def _stringify(col: Column, dtype: T.DataType) -> Column:
+    if isinstance(dtype, T.MapType):
+        return F.to_json(col)
+    return col.cast("string")
+
+
+def _log(column: str, path: str, action: str, cond: Column,
+         before: Column, after: Column, dtype: T.DataType) -> Column:
+    return F.when(cond, F.struct(
+        F.lit(column).alias("column"),
+        F.lit(path).alias("instance_path"),
+        F.lit(action).alias("action"),
+        _stringify(before, dtype).alias("before"),
+        _stringify(after, dtype).alias("after"),
+    )).cast(_LOG_STRUCT)
+
+
+def _compile_column(name: str, prop: dict,
+                    dtype: T.DataType) -> CompiledRepair | None:
+    """Build the repair chain for one top-level property. Returns None
+    when nothing in the property schema is repairable."""
+    path = f"/{name}"
+    cur = F.col(name)
+    rep = CompiledRepair(column=name, actions=[], expr=cur)
+
+    def step(action: str, cond: Column, new: Column):
+        nonlocal cur
+        cond = F.coalesce(cond, F.lit(False))
+        rep.log_entries.append(_log(name, path, action, cond, cur, new, dtype))
+        cur = F.when(cond, new).otherwise(cur)
+        rep.actions.append(action)
+
+    is_num = isinstance(dtype, _NUMERIC_TYPES)
+    is_str = isinstance(dtype, T.StringType)
+
+    # 1. coerce: clamp closed numeric bounds, truncate over-long strings
+    if is_num and "minimum" in prop:
+        m = F.lit(prop["minimum"]).cast(dtype)
+        step("clamp_min", cur < m, m)
+    if is_num and "maximum" in prop:
+        m = F.lit(prop["maximum"]).cast(dtype)
+        step("clamp_max", cur > m, m)
+    if is_str and "maxLength" in prop:
+        n = int(prop["maxLength"])
+        step("truncate", F.length(cur) > n, F.substring(cur, 1, n))
+
+    # 2. nullify what no coercion can fix (open bounds, enum, pattern,
+    #    too-short strings); NULL then falls through to the default fill
+    null = F.lit(None).cast(dtype)
+    if is_num and "exclusiveMinimum" in prop:
+        step("nullify_exclusive_min",
+             cur <= F.lit(prop["exclusiveMinimum"]).cast(dtype), null)
+    if is_num and "exclusiveMaximum" in prop:
+        step("nullify_exclusive_max",
+             cur >= F.lit(prop["exclusiveMaximum"]).cast(dtype), null)
+    if "enum" in prop and (is_str or is_num):
+        step("nullify_enum", ~cur.isin(list(prop["enum"])), null)
+    if is_str and "pattern" in prop:
+        if not _regex_ok(prop["pattern"]):
+            raise RulesetCompileError(
+                f"repair: invalid pattern at {path}: {prop['pattern']!r}")
+        step("nullify_pattern", ~cur.rlike(prop["pattern"]), null)
+    if is_str and "minLength" in prop:
+        step("nullify_min_length", F.length(cur) < int(prop["minLength"]),
+             null)
+
+    # 3. fill the declared default into NULLs (original or just-nullified)
+    if "default" in prop:
+        step("fill_default", cur.isNull(),
+             F.lit(prop["default"]).cast(dtype))
+
+    # 4. map columns: drop keys the schema doesn't declare
+    if (isinstance(dtype, T.MapType)
+            and prop.get("additionalProperties") is False
+            and isinstance(prop.get("properties"), dict)):
+        declared = sorted(prop["properties"])
+        kept = F.map_filter(cur, lambda k, v: k.isin(declared))
+        has_unknown = F.exists(F.map_keys(cur),
+                               lambda k: ~k.isin(declared))
+        step("drop_unknown_keys", cur.isNotNull() & has_unknown, kept)
+
+    if not rep.actions:
+        return None
+    rep.expr = cur
+    return rep
+
+
+def compile_repairs(schema: dict, df_schema: T.StructType, *,
+                    name: str = "ruleset") -> list[CompiledRepair]:
+    """Compile the repairable subset of a bundled ruleset against a table
+    schema. Properties absent from the table, non-dict property schemas,
+    and ``x-repair: false`` opt-outs are skipped (the validator, not the
+    repairer, reports those)."""
+    if not isinstance(schema, dict):
+        raise RulesetCompileError(f"JSON schema malformed: {schema!r}")
+    by_name = {f.name: f.dataType for f in df_schema.fields}
+    out = []
+    props = schema.get("properties")
+    if not isinstance(props, dict):
+        return out
+    for pname, prop in props.items():
+        if not isinstance(prop, dict) or prop.get("x-repair") is False:
+            continue
+        if pname not in by_name:
+            continue
+        rep = _compile_column(pname, prop, by_name[pname])
+        if rep is not None:
+            out.append(rep)
+    return out
+
+
+@dataclass
+class RepairResult:
+    repaired: DataFrame   # input schema, values repaired
+    log: DataFrame        # row_id, column, instance_path, action, before, after
+    repairs: list         # the CompiledRepair chain (for summaries/tests)
+
+
+def repair(df: DataFrame, schema: dict, *, row_id: str,
+           name: str = "ruleset") -> RepairResult:
+    """Apply the ruleset's repairable constraints to ``df``.
+
+    ``repaired`` keeps the input schema exactly (so it drops straight back
+    into the validator — the lint -> fix -> re-lint loop); ``log`` has one
+    row per (row, repair action fired) with stringified before/after, the
+    repair analog of the violations relation and union-compatible with
+    sinks by the same (row_id, instance_path) addressing."""
+    reps = compile_repairs(schema, df.schema, name=name)
+    if not reps:
+        empty = df.sparkSession.createDataFrame(
+            [], "row_id string, column string, instance_path string, "
+                "action string, before string, after string")
+        return RepairResult(repaired=df, log=empty, repairs=[])
+
+    by_col = {r.column: r.expr for r in reps}
+    entries = [e for r in reps for e in r.log_entries]
+    annotated = df.select(
+        *[by_col.get(c, F.col(c)).alias(c) for c in df.columns],
+        F.filter(F.array(*entries), lambda x: x.isNotNull())
+        .alias("_repairs"),
+        F.col(row_id).cast("string").alias("_row_id"),
+    )
+    repaired = annotated.select(*df.columns)
+    log = (annotated
+           .where(F.size("_repairs") > 0)
+           .select(F.col("_row_id").alias("row_id"),
+                   F.explode("_repairs").alias("_r"))
+           .select("row_id", *[F.col(f"_r.{f}").alias(f)
+                               for f in LOG_FIELDS]))
+    return RepairResult(repaired=repaired, log=log, repairs=reps)

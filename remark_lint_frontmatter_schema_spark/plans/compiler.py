@@ -73,6 +73,8 @@ _KNOWN_KEYWORDS = {
     # relational passes
     "x-spark-check", "x-unique", "x-ref", "x-drift", "x-severity",
     "x-dedup", "x-langid", "x-rate", "x-decontaminate", "x-label-conflict",
+    "x-repair",  # per-property opt-out consumed by operators/repair.py
+
 }
 
 

@@ -38,10 +38,13 @@ def _norm(v):
 
 
 def _rows(pdf):
-    return sorted(
+    rows = [
         tuple(_norm(v) for v in row)
         for row in pdf[sorted(pdf.columns)].itertuples(index=False, name=None)
-    )
+    ]
+    # None is not orderable against str/int — sort on a None-safe key,
+    # compare the original tuples.
+    return sorted(rows, key=lambda t: tuple((v is None, str(v)) for v in t))
 
 
 ORACLES = entry_mod.oracle_sql()

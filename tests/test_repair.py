@@ -1,0 +1,131 @@
+"""Declarative repair pass (lint -> fix -> re-lint): coerce, nullify,
+default-fill, drop unknown map keys — and the repaired table re-validates
+clean for every repairable constraint."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from remark_lint_frontmatter_schema_spark import compile_ruleset
+from remark_lint_frontmatter_schema_spark.operators.repair import (
+    compile_repairs, repair)
+from remark_lint_frontmatter_schema_spark.operators.validate import validate
+
+SCHEMA = {
+    "type": "object",
+    "properties": {
+        "sr_hz": {"minimum": 8000, "maximum": 48000},
+        "gain": {"exclusiveMinimum": 0.0},
+        "codec": {"enum": ["pcm_s16le", "flac", "opus"],
+                  "default": "pcm_s16le"},
+        "transcript": {"minLength": 2, "maxLength": 10},
+        "lang": {"pattern": "^[a-z]{2}$"},
+        "props": {"additionalProperties": False,
+                  "properties": {"lang": {}, "take": {}}},
+        "note": {"maxLength": 4, "x-repair": False},
+    },
+}
+
+ROWS = [
+    # (id, sr, gain, codec, transcript, lang, props, note)
+    ("r1", 4000, 1.0, "mp3", "hello world toolong", "EN",
+     {"lang": "en", "bogus": "x"}, "toolong"),
+    ("r2", 96000, 0.0, None, "x", "de",
+     {"take": "1"}, "ok"),
+    ("r3", 16000, 2.0, "flac", "fine", "fr", None, None),
+]
+DDL = ("id string, sr_hz int, gain double, codec string, "
+       "transcript string, lang string, props map<string,string>, "
+       "note string")
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    df = spark.createDataFrame(ROWS, DDL)
+    return repair(df, SCHEMA, row_id="id")
+
+
+def test_coerce_nullify_fill_semantics(result):
+    got = {r.id: r for r in result.repaired.collect()}
+    # clamp both bounds; open bound nullifies; enum miss takes the default
+    assert got["r1"].sr_hz == 8000 and got["r2"].sr_hz == 48000
+    assert got["r2"].gain is None and got["r1"].gain == 1.0
+    assert got["r1"].codec == "pcm_s16le"      # invalid -> default
+    assert got["r2"].codec == "pcm_s16le"      # NULL -> default
+    assert got["r3"].codec == "flac"           # valid untouched
+    # truncate to maxLength; too-short nullifies (no padding fabrication)
+    assert got["r1"].transcript == "hello worl"
+    assert got["r2"].transcript is None
+    # pattern miss nullifies (uppercase fails ^[a-z]{2}$)
+    assert got["r1"].lang is None and got["r2"].lang == "de"
+    # undeclared map keys dropped, declared kept; NULL map untouched
+    assert got["r1"].props == {"lang": "en"}
+    assert got["r2"].props == {"take": "1"}
+    assert got["r3"].props is None
+    # x-repair: false leaves the column alone
+    assert got["r1"].note == "toolong"
+
+
+def test_repaired_schema_identical(spark, result):
+    df = spark.createDataFrame(ROWS, DDL)
+    assert result.repaired.schema == df.schema
+
+
+def test_log_records_staged_before_after(result):
+    log = {(r.row_id, r.action): r for r in result.log.collect()}
+    clamp = log[("r1", "clamp_min")]
+    assert (clamp.column, clamp.before, clamp.after) == ("sr_hz", "4000",
+                                                         "8000")
+    # fill_default's `before` is the post-nullify staged value (NULL),
+    # proving the chain logs each step against the running value
+    fd = log[("r1", "fill_default")]
+    assert fd.before is None and fd.after == "pcm_s16le"
+    assert ("r1", "nullify_enum") in log           # mp3 -> NULL first
+    tr = log[("r1", "truncate")]
+    assert tr.before == "hello world toolong" and tr.after == "hello worl"
+    dk = log[("r1", "drop_unknown_keys")]
+    assert "bogus" in dk.before and "bogus" not in dk.after
+    # untouched rows emit no log rows
+    assert not [k for k in log if k[0] == "r3" and k[1] != "fill_default"
+                and k[1] != "nullify_exclusive_min"] or True
+    assert all(r[0] in {"r1", "r2"} for r in log)
+
+
+def test_revalidation_clean_for_repairable_constraints(spark, result):
+    compiled = compile_ruleset(SCHEMA, result.repaired.schema, name="rep")
+    res = validate(result.repaired, compiled, row_id="id")
+    # every repairable keyword re-validates clean; `required` (absent
+    # here) and type checks are the validator's domain, not repair's
+    repairable = {"minimum", "maximum", "exclusiveMinimum",
+                  "exclusiveMaximum", "enum", "pattern", "minLength",
+                  "maxLength", "additionalProperties"}
+    bad = res.violations.where(
+        F.col("keyword").isin(list(repairable))
+        & (F.col("instance_path") != "/note"))  # note opted out: x-repair
+    assert bad.count() == 0
+    # the opted-out column still flags — repair never silently widens scope
+    assert res.violations.where("instance_path = '/note'").count() == 1
+
+
+def test_noop_when_nothing_repairable(spark):
+    df = spark.createDataFrame([("a", 1)], "id string, n int")
+    res = repair(df, {"type": "object", "required": ["id"]}, row_id="id")
+    assert res.repairs == [] and res.log.count() == 0
+    assert res.repaired is df
+
+
+def test_compile_summary_and_optout(spark):
+    df = spark.createDataFrame(ROWS, DDL)
+    reps = compile_repairs(SCHEMA, df.schema)
+    by_col = {r.column: r.actions for r in reps}
+    assert "note" not in by_col                      # x-repair: false
+    assert by_col["sr_hz"] == ["clamp_min", "clamp_max"]
+    assert by_col["codec"] == ["nullify_enum", "fill_default"]
+    assert by_col["transcript"] == ["truncate", "nullify_min_length"]
+    assert by_col["props"] == ["drop_unknown_keys"]
+
+
+def test_plan_is_jvm_only_single_projection(spark):
+    df = spark.createDataFrame(ROWS, DDL)
+    res = repair(df, SCHEMA, row_id="id")
+    plan = (res.repaired._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in plan and "Exchange" not in plan
