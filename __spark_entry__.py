@@ -141,6 +141,16 @@ def q_repair_orders(spark, sf):
     )
 
 
+def q_outliers_events(spark, sf):
+    """Robust modified-z outliers on events.value (operators/outliers.py):
+    median/MAD from two single-column aggregates broadcast back onto a
+    pruned (id, value) projection — nothing but the 1-row stats shuffles."""
+    from remark_lint_frontmatter_schema_spark.operators.outliers import (
+        outlier_scores)
+    ev = _load(spark, sf, "events")
+    return outlier_scores(ev, "value", row_id="event_id", k=3.5)
+
+
 def q_stats_lineitem(spark, sf):
     li = _load(spark, sf, "lineitem")
     return li.groupBy(F.col("l_returnflag")).agg(
@@ -789,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_pairs": q_embed_lsh_pairs,
         "approx_stats_lineitem": q_approx_stats_lineitem,
         "repair_orders": q_repair_orders,
+        "outliers_events": q_outliers_events,
     }
 
 
@@ -1609,6 +1620,19 @@ GROUP BY l_linestatus, c."column"
 """,
         # minhash/simhash/ivf/approx-stats: seeded-hash / approximate ->
         # rows-only checks (documented in SURVEY.md §5)
+        "outliers_events": """
+WITH s AS (SELECT median(value) AS med FROM events),
+m AS (SELECT median(abs(value - s.med)) AS mad, any_value(s.med) AS med
+      FROM events, s)
+SELECT CAST(event_id AS VARCHAR) AS row_id,
+       value,
+       ROUND(CASE WHEN m.mad > 0
+                  THEN 0.6745 * abs(value - m.med) / m.mad END, 6) AS z
+FROM events, m
+WHERE value IS NOT NULL
+  AND CASE WHEN m.mad > 0 THEN 0.6745 * abs(value - m.med) / m.mad > 3.5
+           ELSE value != m.med END
+""",
         "repair_orders": """
 WITH t AS (
   SELECT *,

@@ -40,6 +40,7 @@ HEADLINE = [
     "ref_orders_customer",
     "ref_orders_customer_bloom",
     "hist_events",
+    "outliers_events",
     "drift_events_ks",
     "drift_events_psi",
     "text_stats_documents",

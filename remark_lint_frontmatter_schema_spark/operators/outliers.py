@@ -1,0 +1,107 @@
+"""Robust univariate outlier detection (median/MAD modified z-score).
+
+The reference's ruleset can only bound a value with static ``minimum``/
+``maximum`` — at corpus scale the interesting defect is the value that is
+legal but *wrong for this dataset* (a 96 kHz clip in a 16 kHz corpus, a
+3-hour duration among 10-second clips). The standard robust test is the
+modified z-score (Iglewicz & Hoaglin 1993, public method):
+
+    z = 0.6745 * (x - median) / MAD,    outlier iff |z| > k  (k = 3.5)
+
+median/MAD instead of mean/stddev because both have a 50% breakdown
+point — the outliers being hunted cannot drag the threshold.
+
+Plan shape (three passes, each column-pruned to ONE numeric column):
+
+  1. ``median(x)``                      -> 1-row relation
+  2. ``median(abs(x - med))``           -> 1-row relation (needs pass 1)
+  3. filter ``|z| > k``                 -> violation rows
+
+The 1-row stats relations join back via broadcast nested-loop (Spark
+auto-broadcasts a 1-row side), so nothing shuffles — the only costs are
+the scans, and the medians. Exact ``percentile`` is a full sort of one
+column; at the 10^12-row design point pass ``approx=True`` to use
+``approx_percentile`` (GK sketch, mergeable, one aggregation — no sort),
+which moves the threshold by at most ``accuracy``-bounded rank error;
+exact is the default because the small-SF oracle compares values.
+
+``MAD == 0`` (majority-constant column) degenerates z to infinity for
+any deviation; the check then flags exactly the values different from
+the median (fail-closed, documented), matching the common "MAD fallback"
+guidance rather than dividing by zero.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MZ = 0.6745  # standard-normal consistency constant (P75 of |N(0,1)|)
+
+
+def robust_stats(df: DataFrame, value_col: str, *, approx: bool = False,
+                 accuracy: int = 10000) -> DataFrame:
+    """1-row relation ``(med double, mad double)`` for ``value_col``.
+
+    Lazy — composes into downstream plans as a broadcast side; no
+    driver collect. Two single-column scans (median, then MAD).
+    """
+    x = F.col(value_col).cast("double")
+    med = df.select(x.alias("_x")).agg(
+        (F.percentile_approx(F.col("_x"), F.lit(0.5), F.lit(accuracy))
+         if approx else F.percentile(F.col("_x"), F.lit(0.5)))
+        .alias("med"))
+    dev = F.abs(F.col("_x") - F.col("med"))
+    mad = (df.select(x.alias("_x")).crossJoin(F.broadcast(med))
+           .agg(F.first("med").alias("med"),
+                (F.percentile_approx(dev, F.lit(0.5), F.lit(accuracy))
+                 if approx else F.percentile(dev, F.lit(0.5)))
+                .alias("mad")))
+    return mad
+
+
+def outlier_scores(df: DataFrame, value_col: str, *, row_id: str,
+                   k: float = 3.5, approx: bool = False,
+                   accuracy: int = 10000) -> DataFrame:
+    """Rows whose modified z-score exceeds ``k``:
+    ``(row_id, value double, z double)``. NULL values are skipped
+    (NULL == absent, the engine's presence-guard semantics)."""
+    stats = robust_stats(df, value_col, approx=approx, accuracy=accuracy)
+    v = F.col("value")
+    z = F.when(F.col("mad") > 0,
+               F.lit(_MZ) * F.abs(v - F.col("med")) / F.col("mad"))
+    is_out = F.when(F.col("mad") > 0, z > F.lit(float(k))) \
+              .otherwise(v != F.col("med"))
+    return (df.select(F.col(row_id).cast("string").alias("row_id"),
+                      F.col(value_col).cast("double").alias("value"))
+            .where(F.col("value").isNotNull())
+            .crossJoin(F.broadcast(stats))
+            .where(is_out)
+            .select("row_id", "value", F.round(z, 6).alias("z")))
+
+
+def outlier_violations(df: DataFrame, value_col: str, *, row_id: str,
+                       k: float = 3.5, approx: bool = False,
+                       accuracy: int = 10000,
+                       ruleset_name: str = "engine",
+                       severity: str = "warning") -> DataFrame:
+    """Violation rows for the ``x-outlier`` declarative table check,
+    shaped like operators/validate.py VIOLATION_FIELDS so they union
+    with the row-level checks."""
+    scored = outlier_scores(df, value_col, row_id=row_id, k=k,
+                            approx=approx, accuracy=accuracy)
+    return scored.select(
+        F.col("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"outlier:{value_col}").alias("constraint_id"),
+        F.lit("outlier").alias("keyword"),
+        F.lit(f"/{value_col}").alias("instance_path"),
+        F.lit(f"#/x-outlier/{value_col}").alias("schema_path"),
+        F.concat(F.lit(f"Robust outlier on `{value_col}`: |z| = "),
+                 F.coalesce(F.col("z").cast("string"), F.lit("inf")),
+                 F.lit(f" exceeds {k}")).alias("message"),
+        F.col("value").cast("string").alias("actual"),
+        F.lit(None).cast("array<string>").alias("expected"),
+        F.lit(severity).alias("severity"),
+    )

@@ -76,6 +76,12 @@ def table_check_violations(
                 use_bloom=params["bloom"],
                 n_items_hint=params.get("n_items"),
                 severity=params.get("severity", "warning")))
+        elif kind == "outlier":
+            from .outliers import outlier_violations
+            extras.append(outlier_violations(
+                df, column, row_id=params["id"], k=params["k"],
+                approx=params["approx"], ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "drift":
             extras.append(drift_violations(
                 df, column, ruleset_name=compiled.name, **params))

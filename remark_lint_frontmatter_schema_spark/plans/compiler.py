@@ -74,6 +74,7 @@ _KNOWN_KEYWORDS = {
     "x-spark-check", "x-unique", "x-ref", "x-drift", "x-severity",
     "x-dedup", "x-langid", "x-rate", "x-decontaminate", "x-label-conflict",
     "x-repair",  # per-property opt-out consumed by operators/repair.py
+    "x-outlier",
 
 }
 
@@ -364,6 +365,11 @@ _KEYWORD_SHAPE = {
     "else": lambda v: isinstance(v, dict),
     "propertyNames": lambda v: isinstance(v, dict),
     "x-unique": lambda v: isinstance(v, bool),
+    "x-outlier": lambda v: isinstance(v, dict) and isinstance(v.get("id"), str)
+    and (v.get("k") is None
+         or (isinstance(v["k"], _NUM) and not isinstance(v["k"], bool)
+             and v["k"] > 0))
+    and (v.get("approx") is None or isinstance(v["approx"], bool)),
     "x-severity": lambda v: v in ("error", "warning", "info"),
     "x-ref": lambda v: isinstance(v, dict) and isinstance(v.get("dim"), str)
     and isinstance(v.get("key"), str)
@@ -828,6 +834,22 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
                   "severity": ctx.severity}))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-ref"))
+
+    if "x-outlier" in schema and not ctx.silent:
+        # robust distributional outlier (median/MAD modified z-score,
+        # operators/outliers.py) — a relational pass like x-drift, so
+        # top-level numeric columns only
+        if is_top:
+            p = schema["x-outlier"]
+            ctx.out.table_checks.append(
+                ("outlier", ctx.instance_path[1:], {
+                    "id": p["id"],
+                    "k": float(p.get("k", 3.5)),
+                    "approx": bool(p.get("approx", False)),
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-outlier"))
 
     if "x-drift" in schema and not ctx.silent:
         if is_top:

@@ -1,0 +1,117 @@
+"""Robust outlier detection (operators/outliers.py): median/MAD modified
+z-score, its x-outlier DSL binding, and the degenerate-MAD fallback."""
+
+import numpy as np
+import pytest
+
+from remark_lint_frontmatter_schema_spark import compile_ruleset
+from remark_lint_frontmatter_schema_spark.operators import outliers
+from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+    validate_with_table_checks)
+from remark_lint_frontmatter_schema_spark.plans.compiler import (
+    RulesetCompileError)
+
+
+def _df(spark, values):
+    return spark.createDataFrame(
+        [(str(i), v) for i, v in enumerate(values)], "id string, x double")
+
+
+def test_scores_match_numpy_reference(spark):
+    vals = [9.0, 10.0, 10.5, 11.0, 10.2, 9.8, 10.1, 9.9, 500.0, 10.3]
+    got = {r.row_id: r.z for r in outliers.outlier_scores(
+        _df(spark, vals), "x", row_id="id").collect()}
+    arr = np.array(vals)
+    med = np.median(arr)
+    mad = np.median(np.abs(arr - med))
+    z = 0.6745 * np.abs(arr - med) / mad
+    want = {str(i): z[i] for i in np.nonzero(z > 3.5)[0]}
+    assert set(got) == set(want) == {"8"}
+    for k in got:
+        assert got[k] == pytest.approx(want[k], rel=1e-6)
+
+
+def test_mad_zero_flags_exactly_non_median_values(spark):
+    # constant column with one deviant: MAD = 0, z degenerates — the
+    # documented fallback flags exactly the values != median, NULL z
+    vals = [5.0] * 9 + [6.0]
+    rows = outliers.outlier_scores(_df(spark, vals), "x", row_id="id") \
+        .collect()
+    assert {r.row_id for r in rows} == {"9"}
+    assert rows[0].z is None
+
+
+def test_nulls_are_skipped_not_flagged(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0), ("b", None), ("c", 10.1), ("d", 9.9), ("e", 99.0)],
+        "id string, x double")
+    ids = {r.row_id for r in
+           outliers.outlier_scores(df, "x", row_id="id").collect()}
+    assert "b" not in ids and ids == {"e"}
+
+
+def test_approx_mode_agrees_on_clear_outlier(spark):
+    vals = [10.0 + 0.01 * i for i in range(50)] + [1e6]
+    exact = {r.row_id for r in outliers.outlier_scores(
+        _df(spark, vals), "x", row_id="id").collect()}
+    approx = {r.row_id for r in outliers.outlier_scores(
+        _df(spark, vals), "x", row_id="id", approx=True).collect()}
+    assert "50" in exact and "50" in approx
+
+
+def test_x_outlier_dsl_end_to_end(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0), ("b", 10.2), ("c", 9.8), ("d", 10.1),
+         ("e", 9.9), ("f", 10.3), ("g", 777.0)],
+        "id string, x double")
+    ruleset = {"type": "object", "properties": {
+        "x": {"type": "number", "x-outlier": {"id": "id", "k": 3.5}}}}
+    compiled = compile_ruleset(ruleset, df.schema)
+    assert ("outlier", "x", {"id": "id", "k": 3.5, "approx": False,
+                             "severity": "warning"}) \
+        in [(k, c, p) for k, c, p in compiled.table_checks]
+    res = validate_with_table_checks(df, compiled, row_id="id")
+    v = res.table_violations.collect()
+    assert len(v) == 1 and v[0].row_id == "g"
+    assert v[0].keyword == "outlier"
+    assert v[0].constraint_id == "outlier:x"
+    assert v[0].schema_path == "#/x-outlier/x"
+    assert "Robust outlier on `x`" in v[0].message
+    assert v[0].actual == "777.0"
+    # unions with row-level violations
+    assert res.violations.count() == 1
+
+
+def test_nested_x_outlier_surfaces_as_unknown(spark):
+    df = spark.createDataFrame([("a", (1.0,))],
+                               "id string, s struct<y double>")
+    ruleset = {"type": "object", "properties": {
+        "s": {"properties": {
+            "y": {"x-outlier": {"id": "id"}}}}}}
+    compiled = compile_ruleset(ruleset, df.schema)
+    assert not compiled.table_checks
+    assert ("/s/y", "x-outlier") in compiled.unknown
+
+
+def test_malformed_x_outlier_fails_compile(spark):
+    df = _df(spark, [1.0])
+    for bad in ({"k": 3.5},                    # missing id
+                {"id": "id", "k": -1},         # non-positive k
+                {"id": "id", "k": True},       # bool masquerading as num
+                {"id": "id", "approx": "yes"}):
+        with pytest.raises(RulesetCompileError):
+            compile_ruleset({"properties": {"x": {"x-outlier": bad}}},
+                            df.schema)
+
+
+def test_stats_plan_prunes_to_value_column(spark, tmp_path):
+    # pruning is only observable on a file source (LocalTableScan keeps
+    # every attribute) — assert the parquet ReadSchema omits the payload
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [("a", 1.0, "payload")], "id string, x double, big string") \
+        .write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = outliers.robust_stats(df, "x")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "big" not in plan
