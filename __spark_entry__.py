@@ -151,6 +151,21 @@ def q_outliers_events(spark, sf):
     return outlier_scores(ev, "value", row_id="event_id", k=3.5)
 
 
+def q_content_json_events(spark, sf):
+    """contentMediaType application/json checker (functions/content.py)
+    over events.props, plus the same probe on a truncated copy (drops the
+    closing brace) so the parity check exercises both verdicts."""
+    from remark_lint_frontmatter_schema_spark.functions.content import (
+        json_ok)
+    ev = _load(spark, sf, "events")
+    p = F.col("props")
+    mangled = F.expr("substr(props, 1, length(props) - 1)")
+    return ev.select(
+        F.col("event_id").cast("string").alias("row_id"),
+        F.when(p.isNotNull(), json_ok(p)).alias("props_ok"),
+        F.when(p.isNotNull(), json_ok(mangled)).alias("mangled_ok"))
+
+
 def q_stats_lineitem(spark, sf):
     li = _load(spark, sf, "lineitem")
     return li.groupBy(F.col("l_returnflag")).agg(
@@ -800,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_stats_lineitem": q_approx_stats_lineitem,
         "repair_orders": q_repair_orders,
         "outliers_events": q_outliers_events,
+        "content_json_events": q_content_json_events,
     }
 
 
@@ -1620,6 +1636,14 @@ GROUP BY l_linestatus, c."column"
 """,
         # minhash/simhash/ivf/approx-stats: seeded-hash / approximate ->
         # rows-only checks (documented in SURVEY.md §5)
+        "content_json_events": """
+SELECT CAST(event_id AS VARCHAR) AS row_id,
+       CASE WHEN props IS NOT NULL THEN json_valid(props) END AS props_ok,
+       CASE WHEN props IS NOT NULL
+            THEN json_valid(substr(props, 1, length(props) - 1))
+       END AS mangled_ok
+FROM events
+""",
         "outliers_events": """
 WITH s AS (SELECT median(value) AS med FROM events),
 m AS (SELECT median(abs(value - s.med)) AS mad, any_value(s.med) AS med

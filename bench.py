@@ -41,6 +41,7 @@ HEADLINE = [
     "ref_orders_customer_bloom",
     "hist_events",
     "outliers_events",
+    "content_json_events",
     "drift_events_ks",
     "drift_events_psi",
     "text_stats_documents",

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .bundler import RulesetCompileError, resolve_internal_ref
+from ..functions import content as _content
 from ..functions.formats import (FORMAT_ALWAYS_OK, FORMAT_FINITE,
                                  FORMAT_NUMERIC_RANGE, FORMAT_REGEX,
                                  FORMAT_UDF_CHECKERS)
@@ -53,6 +54,7 @@ _STATIC_TYPE_OK = {
 
 _KNOWN_KEYWORDS = {
     "type", "enum", "const", "required", "maxLength", "minLength", "pattern",
+    "contentEncoding", "contentMediaType",
     "format", "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
     "multipleOf", "properties", "patternProperties", "items",
     "additionalItems", "prefixItems", "additionalProperties", "allOf",
@@ -325,6 +327,8 @@ _KEYWORD_SHAPE = {
     "maxLength": lambda v: isinstance(v, int) and not isinstance(v, bool),
     "minLength": lambda v: isinstance(v, int) and not isinstance(v, bool),
     "pattern": _regex_ok,
+    "contentEncoding": lambda v: isinstance(v, str),
+    "contentMediaType": lambda v: isinstance(v, str),
     "format": lambda v: isinstance(v, str),
     "minimum": lambda v: isinstance(v, _NUM) and not isinstance(v, bool),
     "maximum": lambda v: isinstance(v, _NUM) and not isinstance(v, bool),
@@ -577,6 +581,48 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
                     (ctx.instance_path, f"format:{f}:requires-udf_formats"))
         else:
             ctx.out.unknown.append((ctx.instance_path, f"format:{f}"))
+
+    # draft-07 content keywords — ASSERTED, a documented deviation from
+    # Ajv's annotate-only default (functions/content.py module docstring);
+    # unverifiable encodings/types fall to `unknown`, never vacuous-pass
+    if "contentEncoding" in schema and ctx.col is not None:
+        enc = schema["contentEncoding"]
+        if (isinstance(ctx.dtype, T.StringType)
+                and enc in _content.SUPPORTED_ENCODINGS):
+            msg = _reason(f'must be {enc} encoded', ctx, "contentEncoding")
+            _add(ctx, "contentEncoding",
+                 _present(ctx) & ~_content.base64_ok(ctx.col), msg)
+        else:
+            ctx.out.unknown.append(
+                (ctx.instance_path, f"contentEncoding:{enc}"))
+
+    if "contentMediaType" in schema and ctx.col is not None:
+        mt = schema["contentMediaType"]
+        enc = schema.get("contentEncoding")
+        msg = _reason(f'must be media type "{mt}"', ctx,
+                      "contentMediaType")
+        ok = None
+        if isinstance(ctx.dtype, T.BinaryType):
+            # binary instance: sniff the payload's own magic bytes
+            ok = _content.magic_ok(ctx.col, mt)
+        elif isinstance(ctx.dtype, T.StringType) and enc == "base64":
+            if mt == "application/json":
+                # full decode is unavoidable for JSON; the CASE guard
+                # keeps unbase64 off malformed payloads
+                ok = F.when(
+                    _content.base64_ok(ctx.col),
+                    _content.json_ok(F.unbase64(ctx.col).cast("string")))
+            else:
+                ok = _content.magic_ok(_content.b64_probe(ctx.col), mt)
+        elif isinstance(ctx.dtype, T.StringType) and enc is None \
+                and mt == "application/json":
+            ok = _content.json_ok(ctx.col)
+        if ok is not None:
+            _add(ctx, "contentMediaType",
+                 _present(ctx) & ~F.coalesce(ok, F.lit(False)), msg)
+        else:
+            ctx.out.unknown.append(
+                (ctx.instance_path, f"contentMediaType:{mt}"))
 
     for kw, op, txt in (
         ("minimum", lambda c, n: c < n, "must be >= {}"),
