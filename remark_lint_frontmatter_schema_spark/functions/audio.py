@@ -377,13 +377,56 @@ def decode_stats_map_in_pandas(iterator):
 # ---------------------------------------------------------------------------
 
 def audio_features_schema(passthrough_ddl: str = "",
-                          with_fingerprint: bool = False) -> str:
+                          with_fingerprint: bool = False,
+                          with_spectral: bool = False) -> str:
     base = ("clip_id string, decode_ok boolean, dur_ms_payload int, "
             "rms double, peak double, silence_ratio double, "
             "dominant_hz double, clipping_ratio double")
     if with_fingerprint:
         base += ", fp long"
+    if with_spectral:
+        base += (", centroid_hz double, bandwidth_hz double, "
+                 "rolloff95_hz double, flatness double")
     return f"{base}, {passthrough_ddl}" if passthrough_ddl else base
+
+
+def spectral_shape(x: np.ndarray, sr: int, *, frame_ms: int = 32
+                   ) -> tuple[float, float, float, float] | None:
+    """Spectral-shape summary of one clip from a Welch-style mean power
+    spectrum (Hann window, 50% overlap): the four standard public
+    descriptors used for audio quality triage —
+
+    - centroid_hz  = power-weighted mean frequency ("brightness")
+    - bandwidth_hz = power-weighted std-dev around the centroid
+    - rolloff95_hz = frequency below which 95% of the power sits
+    - flatness     = geometric/arithmetic power mean (0 = pure tone,
+                     -> 1 = white noise); the tone-vs-noise separator
+
+    Returns None for empty or all-silent input (no spectrum to shape —
+    callers surface NULLs, matching the engine's NULL == absent rule).
+    DC is zeroed so a recording offset doesn't read as energy at 0 Hz.
+    """
+    if not len(x):
+        return None
+    flen = min(len(x), max(32, int(sr * frame_ms / 1000)))
+    hop = max(1, flen // 2)
+    n_frames = 1 + (len(x) - flen) // hop
+    idx = np.arange(flen)[None, :] + hop * np.arange(n_frames)[:, None]
+    spec = np.abs(np.fft.rfft(x[idx] * np.hanning(flen)[None, :],
+                              axis=1)) ** 2
+    p = spec.mean(axis=0)
+    p[0] = 0.0
+    total = float(p.sum())
+    if total <= 0.0:
+        return None
+    freqs = np.fft.rfftfreq(flen, 1.0 / sr)
+    centroid = float((freqs * p).sum() / total)
+    bandwidth = float(np.sqrt((p * (freqs - centroid) ** 2).sum() / total))
+    rolloff = float(freqs[np.searchsorted(np.cumsum(p), 0.95 * total)])
+    nz = p[1:]
+    flatness = float(np.exp(np.mean(np.log(nz + 1e-20)))
+                     / (np.mean(nz) + 1e-20))
+    return centroid, bandwidth, rolloff, flatness
 
 
 def audio_features_map_in_pandas(frame_ms: int = 20,
@@ -391,7 +434,8 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
                                  passthrough: tuple = (),
                                  with_fingerprint: bool = False,
                                  fp_frame_ms: int = 64,
-                                 fp_hop_ms: int = 32):
+                                 fp_hop_ms: int = 32,
+                                 with_spectral: bool = False):
     """mapInPandas feature extractor over WAV payloads: duration, RMS,
     peak, frame-level silence ratio, dominant frequency (rfft argmax),
     and clipping ratio (fraction of samples at >= 99.9% full scale — the
@@ -409,9 +453,11 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
     :func:`spectral_descriptors`) computed from the SAME decoded samples —
     one payload decode powers both the quality features and the acoustic
     dedup signature, so a composed curation pipeline reads ``bytes``
-    exactly once.
+    exactly once. ``with_spectral`` likewise appends the four
+    :func:`spectral_shape` descriptors from the same decode.
     """
     silence_amp = 10 ** (silence_db / 20)
+    n_fail = 6 + (1 if with_fingerprint else 0) + (4 if with_spectral else 0)
 
     def fn(iterator):
         for pdf in iterator:
@@ -419,10 +465,7 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
             rows = []
             for cid, b, *extras in zip(pdf["clip_id"], pdf["bytes"],
                                        *extras_cols):
-                fail = ((cid, False, None, None, None, None, None, None,
-                         None, *extras) if with_fingerprint else
-                        (cid, False, None, None, None, None, None, None,
-                         *extras))
+                fail = (cid, False, *([None] * n_fail), *extras)
                 try:
                     sr, x = decode_wav_pcm16(bytes(b) if b is not None else b"")
                     if sr <= 0 or not len(x):
@@ -451,12 +494,17 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
                     fp_cols = (fingerprint_from_descriptors(
                         spectral_descriptors(x, sr, frame_ms=fp_frame_ms,
                                              hop_ms=fp_hop_ms)),)
+                sp_cols = ()
+                if with_spectral:
+                    sp_cols = spectral_shape(x, sr) or (None,) * 4
                 rows.append((cid, True, dur_ms, rms, peak, silence, dom,
-                             clip_frac, *fp_cols, *extras))
+                             clip_frac, *fp_cols, *sp_cols, *extras))
             yield pd.DataFrame(rows, columns=[
                 "clip_id", "decode_ok", "dur_ms_payload", "rms", "peak",
                 "silence_ratio", "dominant_hz", "clipping_ratio",
-                *(("fp",) if with_fingerprint else ()), *passthrough])
+                *(("fp",) if with_fingerprint else ()),
+                *(("centroid_hz", "bandwidth_hz", "rolloff95_hz",
+                   "flatness") if with_spectral else ()), *passthrough])
 
     return fn
 
@@ -464,14 +512,16 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
 def audio_features(clips, *, frame_ms: int = 20,
                    silence_db: float = -40.0, passthrough: tuple = (),
                    with_fingerprint: bool = False,
-                   fp_frame_ms: int = 64, fp_hop_ms: int = 32):
+                   fp_frame_ms: int = 64, fp_hop_ms: int = 32,
+                   with_spectral: bool = False):
     """clips(clip_id, bytes) -> feature DataFrame (map-only stage).
 
     ``passthrough`` names extra clips columns carried into the output
     unchanged (their types copied from the input schema) — lets callers
     run cross-field payload checks without a join back to the table.
-    ``with_fingerprint`` adds the acoustic dedup signature from the same
-    decode (see :func:`audio_features_map_in_pandas`)."""
+    ``with_fingerprint`` adds the acoustic dedup signature and
+    ``with_spectral`` the four spectral-shape descriptors, both from the
+    same decode (see :func:`audio_features_map_in_pandas`)."""
     pt_ddl = ", ".join(
         f"{c} {clips.schema[c].dataType.simpleString()}" for c in passthrough)
     return clips.select("clip_id", "bytes", *passthrough).mapInPandas(
@@ -479,8 +529,10 @@ def audio_features(clips, *, frame_ms: int = 20,
                                      tuple(passthrough),
                                      with_fingerprint=with_fingerprint,
                                      fp_frame_ms=fp_frame_ms,
-                                     fp_hop_ms=fp_hop_ms),
-        schema=audio_features_schema(pt_ddl, with_fingerprint))
+                                     fp_hop_ms=fp_hop_ms,
+                                     with_spectral=with_spectral),
+        schema=audio_features_schema(pt_ddl, with_fingerprint,
+                                     with_spectral=with_spectral))
 
 
 # ---------------------------------------------------------------------------
