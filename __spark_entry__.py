@@ -151,6 +151,18 @@ def q_outliers_events(spark, sf):
     return outlier_scores(ev, "value", row_id="event_id", k=3.5)
 
 
+def q_outliers_events_by_type(spark, sf):
+    """Per-group robust outliers: events.value scored against its own
+    event_type's median/MAD — flags values legal globally but anomalous
+    for their category. Stats relation is per-group (driver-scale) and
+    broadcast back onto the pruned fact."""
+    from remark_lint_frontmatter_schema_spark.operators.outliers import (
+        outlier_scores)
+    ev = _load(spark, sf, "events")
+    return outlier_scores(ev, "value", row_id="event_id", k=3.5,
+                          group_col="event_type")
+
+
 def q_content_json_events(spark, sf):
     """contentMediaType application/json checker (functions/content.py)
     over events.props, plus the same probe on a truncated copy (drops the
@@ -816,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_orders": q_repair_orders,
         "outliers_events": q_outliers_events,
         "content_json_events": q_content_json_events,
+        "outliers_events_by_type": q_outliers_events_by_type,
     }
 
 
@@ -1636,6 +1649,27 @@ GROUP BY l_linestatus, c."column"
 """,
         # minhash/simhash/ivf/approx-stats: seeded-hash / approximate ->
         # rows-only checks (documented in SURVEY.md §5)
+        "outliers_events_by_type": """
+WITH med AS (
+  SELECT event_type, median(value) AS med
+  FROM events GROUP BY event_type),
+mad AS (
+  SELECT e.event_type,
+         median(abs(e.value - med.med)) AS mad,
+         any_value(med.med) AS med
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type)
+SELECT CAST(e.event_id AS VARCHAR) AS row_id,
+       e.event_type,
+       e.value,
+       ROUND(CASE WHEN m.mad > 0
+                  THEN 0.6745 * abs(e.value - m.med) / m.mad END, 6) AS z
+FROM events e JOIN mad m USING (event_type)
+WHERE e.value IS NOT NULL
+  AND CASE WHEN m.mad > 0
+           THEN 0.6745 * abs(e.value - m.med) / m.mad > 3.5
+           ELSE e.value != m.med END
+""",
         "content_json_events": """
 SELECT CAST(event_id AS VARCHAR) AS row_id,
        CASE WHEN props IS NOT NULL THEN json_valid(props) END AS props_ok,

@@ -42,6 +42,7 @@ HEADLINE = [
     "hist_events",
     "outliers_events",
     "content_json_events",
+    "outliers_events_by_type",
     "drift_events_ks",
     "drift_events_psi",
     "text_stats_documents",

@@ -39,60 +39,89 @@ from pyspark.sql import functions as F
 _MZ = 0.6745  # standard-normal consistency constant (P75 of |N(0,1)|)
 
 
-def robust_stats(df: DataFrame, value_col: str, *, approx: bool = False,
+def robust_stats(df: DataFrame, value_col: str, *,
+                 group_col: str | None = None, approx: bool = False,
                  accuracy: int = 10000) -> DataFrame:
-    """1-row relation ``(med double, mad double)`` for ``value_col``.
+    """Stats relation for ``value_col``: 1 row ``(med, mad)``, or one row
+    per group ``(group_col, med, mad)`` when grouped.
 
     Lazy — composes into downstream plans as a broadcast side; no
-    driver collect. Two single-column scans (median, then MAD).
+    driver collect. Two pruned scans (median, then MAD). Grouped stats
+    assume driver-scale group cardinality (categories/partitions, not
+    keys) — the relation is broadcast back onto the fact, so a
+    million-group call belongs in a different plan (sort-merge), not
+    this one.
     """
+    def _p50(c: Column) -> Column:
+        return (F.percentile_approx(c, F.lit(0.5), F.lit(accuracy))
+                if approx else F.percentile(c, F.lit(0.5)))
+
     x = F.col(value_col).cast("double")
-    med = df.select(x.alias("_x")).agg(
-        (F.percentile_approx(F.col("_x"), F.lit(0.5), F.lit(accuracy))
-         if approx else F.percentile(F.col("_x"), F.lit(0.5)))
-        .alias("med"))
+    if group_col is None:
+        med = df.select(x.alias("_x")).agg(_p50(F.col("_x")).alias("med"))
+        dev = F.abs(F.col("_x") - F.col("med"))
+        return (df.select(x.alias("_x")).crossJoin(F.broadcast(med))
+                .agg(F.first("med").alias("med"), _p50(dev).alias("mad")))
+    g = F.col(group_col)
+    med = (df.select(g.alias(group_col), x.alias("_x"))
+           .groupBy(group_col).agg(_p50(F.col("_x")).alias("med")))
     dev = F.abs(F.col("_x") - F.col("med"))
-    mad = (df.select(x.alias("_x")).crossJoin(F.broadcast(med))
-           .agg(F.first("med").alias("med"),
-                (F.percentile_approx(dev, F.lit(0.5), F.lit(accuracy))
-                 if approx else F.percentile(dev, F.lit(0.5)))
-                .alias("mad")))
-    return mad
+    return (df.select(g.alias(group_col), x.alias("_x"))
+            .join(F.broadcast(med), group_col)
+            .groupBy(group_col).agg(_p50(dev).alias("mad"),
+                                    F.first("med").alias("med"))
+            .select(group_col, "med", "mad"))
 
 
 def outlier_scores(df: DataFrame, value_col: str, *, row_id: str,
-                   k: float = 3.5, approx: bool = False,
+                   k: float = 3.5, group_col: str | None = None,
+                   approx: bool = False,
                    accuracy: int = 10000) -> DataFrame:
     """Rows whose modified z-score exceeds ``k``:
-    ``(row_id, value double, z double)``. NULL values are skipped
-    (NULL == absent, the engine's presence-guard semantics)."""
-    stats = robust_stats(df, value_col, approx=approx, accuracy=accuracy)
+    ``(row_id[, group_col], value double, z double)``. With ``group_col``
+    the median/MAD are per group — "legal globally, anomalous for THIS
+    category" (a 48 kHz clip in the telephone-speech split). NULL values
+    are skipped (NULL == absent, the engine's presence-guard semantics);
+    NULL groups are skipped with them (no stats to compare against)."""
+    stats = robust_stats(df, value_col, group_col=group_col,
+                         approx=approx, accuracy=accuracy)
     v = F.col("value")
     z = F.when(F.col("mad") > 0,
                F.lit(_MZ) * F.abs(v - F.col("med")) / F.col("mad"))
     is_out = F.when(F.col("mad") > 0, z > F.lit(float(k))) \
               .otherwise(v != F.col("med"))
-    return (df.select(F.col(row_id).cast("string").alias("row_id"),
+    base_cols = [F.col(row_id).cast("string").alias("row_id")]
+    out_cols = ["row_id"]
+    if group_col is not None:
+        base_cols.append(F.col(group_col))
+        out_cols.append(group_col)
+    fact = (df.select(*base_cols,
                       F.col(value_col).cast("double").alias("value"))
-            .where(F.col("value").isNotNull())
-            .crossJoin(F.broadcast(stats))
-            .where(is_out)
-            .select("row_id", "value", F.round(z, 6).alias("z")))
+            .where(F.col("value").isNotNull()))
+    joined = (fact.crossJoin(F.broadcast(stats)) if group_col is None
+              else fact.join(F.broadcast(stats), group_col))
+    return joined.where(is_out).select(
+        *out_cols, "value", F.round(z, 6).alias("z"))
 
 
 def outlier_violations(df: DataFrame, value_col: str, *, row_id: str,
-                       k: float = 3.5, approx: bool = False,
+                       k: float = 3.5, group_col: str | None = None,
+                       approx: bool = False,
                        accuracy: int = 10000,
                        ruleset_name: str = "engine",
                        severity: str = "warning") -> DataFrame:
     """Violation rows for the ``x-outlier`` declarative table check,
     shaped like operators/validate.py VIOLATION_FIELDS so they union
-    with the row-level checks."""
+    with the row-level checks. Grouped checks carry the group value as
+    ``partition_id`` (the per-partition verdict addressing)."""
     scored = outlier_scores(df, value_col, row_id=row_id, k=k,
-                            approx=approx, accuracy=accuracy)
+                            group_col=group_col, approx=approx,
+                            accuracy=accuracy)
+    part = (F.lit("all") if group_col is None
+            else F.col(group_col).cast("string"))
     return scored.select(
         F.col("row_id"),
-        F.lit("all").alias("partition_id"),
+        part.alias("partition_id"),
         F.lit(ruleset_name).alias("ruleset_id"),
         F.lit(f"outlier:{value_col}").alias("constraint_id"),
         F.lit("outlier").alias("keyword"),

@@ -80,7 +80,8 @@ def table_check_violations(
             from .outliers import outlier_violations
             extras.append(outlier_violations(
                 df, column, row_id=params["id"], k=params["k"],
-                approx=params["approx"], ruleset_name=compiled.name,
+                group_col=params.get("by"), approx=params["approx"],
+                ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
         elif kind == "drift":
             extras.append(drift_violations(

@@ -373,7 +373,8 @@ _KEYWORD_SHAPE = {
     and (v.get("k") is None
          or (isinstance(v["k"], _NUM) and not isinstance(v["k"], bool)
              and v["k"] > 0))
-    and (v.get("approx") is None or isinstance(v["approx"], bool)),
+    and (v.get("approx") is None or isinstance(v["approx"], bool))
+    and (v.get("by") is None or isinstance(v["by"], str)),
     "x-severity": lambda v: v in ("error", "warning", "info"),
     "x-ref": lambda v: isinstance(v, dict) and isinstance(v.get("dim"), str)
     and isinstance(v.get("key"), str)
@@ -891,6 +892,7 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
                 ("outlier", ctx.instance_path[1:], {
                     "id": p["id"],
                     "k": float(p.get("k", 3.5)),
+                    "by": p.get("by"),
                     "approx": bool(p.get("approx", False)),
                     "severity": ctx.severity,
                 }))

@@ -67,8 +67,8 @@ def test_x_outlier_dsl_end_to_end(spark):
     ruleset = {"type": "object", "properties": {
         "x": {"type": "number", "x-outlier": {"id": "id", "k": 3.5}}}}
     compiled = compile_ruleset(ruleset, df.schema)
-    assert ("outlier", "x", {"id": "id", "k": 3.5, "approx": False,
-                             "severity": "warning"}) \
+    assert ("outlier", "x", {"id": "id", "k": 3.5, "by": None,
+                             "approx": False, "severity": "warning"}) \
         in [(k, c, p) for k, c, p in compiled.table_checks]
     res = validate_with_table_checks(df, compiled, row_id="id")
     v = res.table_violations.collect()
@@ -80,6 +80,39 @@ def test_x_outlier_dsl_end_to_end(spark):
     assert v[0].actual == "777.0"
     # unions with row-level violations
     assert res.violations.count() == 1
+
+
+def test_grouped_scores_use_per_group_stats(spark):
+    # 20.0 is a global inlier (group B's range) but a gross outlier
+    # within group A; grouped stats must flag it, global must not
+    rows = ([("a%d" % i, "A", 1.0 + 0.01 * i) for i in range(8)]
+            + [("ax", "A", 20.0)]
+            + [("b%d" % i, "B", 20.0 + 0.01 * i) for i in range(8)])
+    df = spark.createDataFrame(rows, "id string, grp string, x double")
+    grouped = {r.row_id for r in outliers.outlier_scores(
+        df, "x", row_id="id", group_col="grp").collect()}
+    global_ = {r.row_id for r in outliers.outlier_scores(
+        df, "x", row_id="id").collect()}
+    assert "ax" in grouped
+    assert "ax" not in global_
+    # NULL group rows are skipped, not crashed on
+    with_null = df.union(spark.createDataFrame(
+        [("n1", None, 999.0)], df.schema))
+    got = {r.row_id for r in outliers.outlier_scores(
+        with_null, "x", row_id="id", group_col="grp").collect()}
+    assert "n1" not in got
+
+
+def test_grouped_dsl_carries_group_as_partition_id(spark):
+    rows = ([("a%d" % i, "A", 1.0 + 0.01 * i) for i in range(8)]
+            + [("ax", "A", 20.0)]
+            + [("b%d" % i, "B", 20.0 + 0.01 * i) for i in range(8)])
+    df = spark.createDataFrame(rows, "id string, grp string, x double")
+    compiled = compile_ruleset({"properties": {
+        "x": {"x-outlier": {"id": "id", "by": "grp"}}}}, df.schema)
+    v = validate_with_table_checks(df, compiled, row_id="id") \
+        .table_violations.collect()
+    assert [(r.row_id, r.partition_id) for r in v] == [("ax", "A")]
 
 
 def test_nested_x_outlier_surfaces_as_unknown(spark):
