@@ -88,6 +88,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="fuse all routed rulesets into one scan "
                          "(route_and_validate_single_pass); identical "
                          "output, R scans -> 1. No effect with --embed.")
+    ap.add_argument("--fix-out",
+                    help="repair mode (remark's --output rewrite, the "
+                         "lint -> fix -> re-lint loop; requires --embed): "
+                         "apply the ruleset's repairable constraints "
+                         "(operators/repair.py), write the repaired table "
+                         "here, then lint the repaired copy — the report "
+                         "shows only what repair could not fix")
+    ap.add_argument("--repair-log-out",
+                    help="with --fix-out: parquet sink for the repair log "
+                         "(row_id, column, action, before, after)")
     ap.add_argument("--ingest-out",
                     help="switch to ingest mode (requires --embed, "
                          "--partition-col, --manifest): gate -> split -> "
@@ -136,6 +146,18 @@ def main(argv: list[str] | None = None) -> int:
             passthrough=tuple(c for c in args.passthrough.split(",") if c))
         print(json.dumps(res))
         return 1 if (args.frail and res["quarantined"]) else 0
+    if args.fix_out:
+        if embed is None:
+            print("--fix-out requires --embed", file=sys.stderr)
+            return 2
+        from .operators.repair import repair
+        rep = repair(df, embed, row_id=args.row_id)
+        rep.repaired.write.parquet(args.fix_out)
+        if args.repair_log_out:
+            rep.log.write.parquet(args.repair_log_out)
+        # re-lint the materialized repaired copy (one scan, no recompute)
+        df = spark.read.parquet(args.fix_out)
+
     registry, patterns, ruleset_col = {}, None, args.ruleset_col
     cfg_path = None
     if embed is None:

@@ -137,3 +137,33 @@ def test_cli_ingest_mode_requires_args(spark, tmp_path, capsys):
     df.write.parquet(p)
     rc = cli.main([p, "--row-id", "id", "--ingest-out", str(tmp_path / "o")])
     assert rc == 2
+
+
+def test_cli_fix_mode_repairs_then_relints(spark, table, tmp_path, capsys):
+    # status enum+default and price bounds are repairable -> the re-lint
+    # of the repaired copy is clean and --frail exits 0
+    embed = tmp_path / "fix.yaml"
+    embed.write_text(
+        "properties:\n"
+        "  status:\n    enum: [O, F]\n    default: F\n"
+        "  price:\n    minimum: 0\n    maximum: 100\n")
+    fixed = str(tmp_path / "fixed")
+    log = str(tmp_path / "rlog")
+    rc = cli.main([table, "--row-id", "id", "--embed", str(embed),
+                   "--fix-out", fixed, "--repair-log-out", log,
+                   "--report", "json", "--frail"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert out["n_violations"] == 0
+    repaired = {r.id: r for r in spark.read.parquet(fixed).collect()}
+    assert repaired[2].status == "F" and repaired[2].price == 0.0
+    actions = {(r.row_id, r.action)
+               for r in spark.read.parquet(log).collect()}
+    assert ("2", "nullify_enum") in actions
+    assert ("2", "fill_default") in actions
+    assert ("2", "clamp_min") in actions
+
+
+def test_cli_fix_mode_requires_embed(table, capsys, tmp_path):
+    assert cli.main([table, "--row-id", "id",
+                     "--fix-out", str(tmp_path / "x")]) == 2
