@@ -345,6 +345,7 @@ def register_audio_checks() -> dict:
         "codec_header": lambda col: codec_header_ok_col(col, "codec", "sr_hz"),
         "codec_header_jvm": lambda col: codec_header_ok_expr(col, "codec", "sr_hz"),
         "voiced_content": lambda col: has_voiced_content(col),
+        "tonal_content": lambda col: has_tonal_content(col),
         "canonical_wav": lambda col: canonical_wav_expr(col),
     }
 
@@ -634,6 +635,28 @@ def has_voiced_content(b: pd.Series) -> pd.Series:
         frame_rms = np.sqrt(np.mean(
             x[: n_frames * flen].reshape(n_frames, flen) ** 2, axis=1))
         out.append(bool(detect_voiced_runs(frame_rms, silence_amp, 3, 2)))
+    return pd.Series(out, index=b.index)
+
+
+@pandas_udf(BooleanType())
+def has_tonal_content(b: pd.Series) -> pd.Series:
+    """Vectorized check: payload decodes AND its spectral flatness stays
+    below 0.35 — the ``tonal_content`` registry entry. Flatness -> 1 means
+    a noise-like spectrum (dead mic, static, dropout fill); speech and
+    music sit well under the gate (harmonic structure), so a clip failing
+    it carries no trainable acoustic content. Same Arrow-batch shape as
+    ``voiced_content``; silence (no spectrum at all) also fails."""
+    out = []
+    for v in b:
+        try:
+            sr, x = decode_wav_pcm16(bytes(v) if v is not None else b"")
+            if sr <= 0:
+                raise ValueError("bad sr")
+        except ValueError:
+            out.append(False)
+            continue
+        shape = spectral_shape(x, sr)
+        out.append(shape is not None and shape[3] < 0.35)
     return pd.Series(out, index=b.index)
 
 

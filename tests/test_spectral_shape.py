@@ -64,3 +64,21 @@ def test_features_without_spectral_keep_old_schema(spark):
         "clip_id string, bytes binary")
     cols = audio.audio_features(clips).columns
     assert "centroid_hz" not in cols and "fp" not in cols
+
+
+def test_tonal_content_named_check(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+    rng = np.random.default_rng(3)
+    rows = [("tone", audio.wav_bytes(audio._to_pcm16(_tone(800)), 16000)),
+            ("noise", audio.wav_bytes(
+                audio._to_pcm16(rng.normal(0, 0.2, 16000).clip(-1, 1)),
+                16000)),
+            ("silent", audio.wav_bytes(np.zeros(8000, dtype="<i2"), 16000)),
+            ("corrupt", b"RIFFxxxx")]
+    clips = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    compiled = compile_ruleset(
+        {"properties": {"bytes": {"x-spark-check": "tonal_content"}}},
+        clips.schema, extra_checks=audio.register_audio_checks())
+    res = validate(clips, compiled, row_id="clip_id")
+    assert ({r.row_id for r in res.violations.collect()}
+            == {"noise", "silent", "corrupt"})
