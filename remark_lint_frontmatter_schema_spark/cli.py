@@ -152,9 +152,11 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         from .operators.repair import repair
         rep = repair(df, embed, row_id=args.row_id)
-        rep.repaired.write.parquet(args.fix_out)
+        # overwrite: remark's --output rewrites in place; the iterate-on-
+        # ruleset loop re-runs the same command against the same path
+        rep.repaired.write.mode("overwrite").parquet(args.fix_out)
         if args.repair_log_out:
-            rep.log.write.parquet(args.repair_log_out)
+            rep.log.write.mode("overwrite").parquet(args.repair_log_out)
         # re-lint the materialized repaired copy (one scan, no recompute)
         df = spark.read.parquet(args.fix_out)
 

@@ -411,11 +411,8 @@ def spectral_shape(x: np.ndarray, sr: int, *, frame_ms: int = 32
         return None
     flen = min(len(x), max(32, int(sr * frame_ms / 1000)))
     hop = max(1, flen // 2)
-    n_frames = 1 + (len(x) - flen) // hop
-    idx = np.arange(flen)[None, :] + hop * np.arange(n_frames)[:, None]
-    spec = np.abs(np.fft.rfft(x[idx] * np.hanning(flen)[None, :],
-                              axis=1)) ** 2
-    p = spec.mean(axis=0)
+    p = _framed_power_spectrum(
+        x, flen, hop, np.hanning(flen)).mean(axis=0)
     p[0] = 0.0
     total = float(p.sum())
     if total <= 0.0:
@@ -924,6 +921,16 @@ FP_BANDS = 16
 _FP_F_LO, _FP_F_HI = 100.0, 3800.0  # sr-invariant: below Nyquist of 8 kHz
 
 
+def _framed_power_spectrum(x: np.ndarray, flen: int, hop: int,
+                           window: np.ndarray) -> np.ndarray:
+    """Windowed frame gather + |rfft|^2 power spectrum, one row per frame
+    — the shared scaffolding under spectral_shape (quality descriptors)
+    and spectral_descriptors (fingerprint words)."""
+    n_frames = 1 + (len(x) - flen) // hop
+    idx = np.arange(flen)[None, :] + hop * np.arange(n_frames)[:, None]
+    return np.abs(np.fft.rfft(x[idx] * window[None, :], axis=1)) ** 2
+
+
 @lru_cache(maxsize=64)
 def _fp_basis(sr: int, flen: int):
     """Per-(sr, frame-length) constants for the fingerprint: Hann window
@@ -958,10 +965,7 @@ def spectral_descriptors(x: np.ndarray, sr: int, *, frame_ms: int = 64,
     if len(x) < flen:
         return np.empty(0, dtype=np.uint16)
     window, one_hot = _fp_basis(sr, flen)
-    n_frames = 1 + (len(x) - flen) // hop
-    idx = np.arange(flen)[None, :] + hop * np.arange(n_frames)[:, None]
-    frames = x[idx] * window[None, :]
-    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    spec = _framed_power_spectrum(x, flen, hop, window)
     energy = spec @ one_hot
     occupied = energy > (energy.sum(axis=1, keepdims=True) / FP_BANDS)
     return (occupied.astype(np.uint16)

@@ -28,9 +28,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# RFC 4648 base64: 4-char groups, optional 1-2 '=' padding tail
-BASE64_RE = (r"^(?:[A-Za-z0-9+/]{4})*"
-             r"(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$")
+# RFC 4648 base64: 4-char groups, optional 1-2 '=' padding tail.
+# \A/\z anchors, not ^/$: java.util.regex lets $ match before a trailing
+# newline, which would bless "QUJD\n" as valid base64
+BASE64_RE = (r"\A(?:[A-Za-z0-9+/]{4})*"
+             r"(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?\z")
 
 SUPPORTED_ENCODINGS = ("base64",)
 

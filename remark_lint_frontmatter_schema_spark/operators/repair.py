@@ -43,6 +43,7 @@ unless the caller persists; same trade-off as ``validate``.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -105,14 +106,27 @@ def _compile_column(name: str, prop: dict,
 
     is_num = isinstance(dtype, _NUMERIC_TYPES)
     is_str = isinstance(dtype, T.StringType)
+    is_integral = isinstance(dtype, (T.ByteType, T.ShortType,
+                                     T.IntegerType, T.LongType))
 
-    # 1. coerce: clamp closed numeric bounds, truncate over-long strings
+    def _bound(raw, *, up: bool):
+        """Clamp target as a typed literal. A fractional bound on an
+        integral column takes the nearest in-range integer (ceil for
+        minimum, floor for maximum) — casting would truncate 0.5 -> 0
+        and 'repair' to a still-violating value."""
+        if is_integral:
+            raw = math.ceil(raw) if up else math.floor(raw)
+        return F.lit(raw).cast(dtype)
+
+    # 1. coerce: clamp closed numeric bounds, truncate over-long strings.
+    #    Comparisons use the RAW (double-promoted) bound, never the cast
+    #    one, so integral columns compare against 0.5, not trunc(0.5)
     if is_num and "minimum" in prop:
-        m = F.lit(prop["minimum"]).cast(dtype)
-        step("clamp_min", cur < m, m)
+        step("clamp_min", cur < F.lit(prop["minimum"]),
+             _bound(prop["minimum"], up=True))
     if is_num and "maximum" in prop:
-        m = F.lit(prop["maximum"]).cast(dtype)
-        step("clamp_max", cur > m, m)
+        step("clamp_max", cur > F.lit(prop["maximum"]),
+             _bound(prop["maximum"], up=False))
     if is_str and "maxLength" in prop:
         n = int(prop["maxLength"])
         step("truncate", F.length(cur) > n, F.substring(cur, 1, n))
@@ -122,10 +136,10 @@ def _compile_column(name: str, prop: dict,
     null = F.lit(None).cast(dtype)
     if is_num and "exclusiveMinimum" in prop:
         step("nullify_exclusive_min",
-             cur <= F.lit(prop["exclusiveMinimum"]).cast(dtype), null)
+             cur <= F.lit(prop["exclusiveMinimum"]), null)
     if is_num and "exclusiveMaximum" in prop:
         step("nullify_exclusive_max",
-             cur >= F.lit(prop["exclusiveMaximum"]).cast(dtype), null)
+             cur >= F.lit(prop["exclusiveMaximum"]), null)
     if "enum" in prop and (is_str or is_num):
         step("nullify_enum", ~cur.isin(list(prop["enum"])), null)
     if is_str and "pattern" in prop:
@@ -158,8 +172,8 @@ def _compile_column(name: str, prop: dict,
     return rep
 
 
-def compile_repairs(schema: dict, df_schema: T.StructType, *,
-                    name: str = "ruleset") -> list[CompiledRepair]:
+def compile_repairs(schema: dict,
+                    df_schema: T.StructType) -> list[CompiledRepair]:
     """Compile the repairable subset of a bundled ruleset against a table
     schema. Properties absent from the table, non-dict property schemas,
     and ``x-repair: false`` opt-outs are skipped (the validator, not the
@@ -185,7 +199,8 @@ def compile_repairs(schema: dict, df_schema: T.StructType, *,
 @dataclass
 class RepairResult:
     repaired: DataFrame   # input schema, values repaired
-    log: DataFrame        # row_id, column, instance_path, action, before, after
+    log: DataFrame        # row_id, ruleset_id, column, instance_path,
+                          # action, before, after
     repairs: list         # the CompiledRepair chain (for summaries/tests)
 
 
@@ -198,11 +213,12 @@ def repair(df: DataFrame, schema: dict, *, row_id: str,
     row per (row, repair action fired) with stringified before/after, the
     repair analog of the violations relation and union-compatible with
     sinks by the same (row_id, instance_path) addressing."""
-    reps = compile_repairs(schema, df.schema, name=name)
+    reps = compile_repairs(schema, df.schema)
     if not reps:
         empty = df.sparkSession.createDataFrame(
-            [], "row_id string, column string, instance_path string, "
-                "action string, before string, after string")
+            [], "row_id string, ruleset_id string, column string, "
+                "instance_path string, action string, before string, "
+                "after string")
         return RepairResult(repaired=df, log=empty, repairs=[])
 
     by_col = {r.column: r.expr for r in reps}
@@ -218,6 +234,6 @@ def repair(df: DataFrame, schema: dict, *, row_id: str,
            .where(F.size("_repairs") > 0)
            .select(F.col("_row_id").alias("row_id"),
                    F.explode("_repairs").alias("_r"))
-           .select("row_id", *[F.col(f"_r.{f}").alias(f)
-                               for f in LOG_FIELDS]))
+           .select("row_id", F.lit(name).alias("ruleset_id"),
+                   *[F.col(f"_r.{f}").alias(f) for f in LOG_FIELDS]))
     return RepairResult(repaired=repaired, log=log, repairs=reps)

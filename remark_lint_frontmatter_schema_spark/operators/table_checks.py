@@ -79,7 +79,7 @@ def table_check_violations(
         elif kind == "outlier":
             from .outliers import outlier_violations
             extras.append(outlier_violations(
-                df, column, row_id=params["id"], k=params["k"],
+                df, column, row_id=params["id"] or row_id, k=params["k"],
                 group_col=params.get("by"), approx=params["approx"],
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))

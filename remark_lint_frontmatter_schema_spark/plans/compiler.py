@@ -369,7 +369,8 @@ _KEYWORD_SHAPE = {
     "else": lambda v: isinstance(v, dict),
     "propertyNames": lambda v: isinstance(v, dict),
     "x-unique": lambda v: isinstance(v, bool),
-    "x-outlier": lambda v: isinstance(v, dict) and isinstance(v.get("id"), str)
+    "x-outlier": lambda v: isinstance(v, dict)
+    and (v.get("id") is None or isinstance(v["id"], str))
     and (v.get("k") is None
          or (isinstance(v["k"], _NUM) and not isinstance(v["k"], bool)
              and v["k"] > 0))
@@ -885,13 +886,17 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
     if "x-outlier" in schema and not ctx.silent:
         # robust distributional outlier (median/MAD modified z-score,
         # operators/outliers.py) — a relational pass like x-drift, so
-        # top-level numeric columns only
-        if is_top:
+        # top-level NUMERIC columns only: a non-numeric column would
+        # cast-to-double to all-NULL and vacuously pass, so it falls to
+        # unknown instead (strict mode flags it)
+        if is_top and isinstance(ctx.dtype, _NUMERIC):
             p = schema["x-outlier"]
             ctx.out.table_checks.append(
                 ("outlier", ctx.instance_path[1:], {
-                    "id": p["id"],
-                    "k": float(p.get("k", 3.5)),
+                    # id defaults to the caller's row_id at run time;
+                    # explicit-null k (YAML `k:`) takes the default too
+                    "id": p.get("id"),
+                    "k": float(p["k"]) if p.get("k") is not None else 3.5,
                     "by": p.get("by"),
                     "approx": bool(p.get("approx", False)),
                     "severity": ctx.severity,

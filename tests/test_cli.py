@@ -162,6 +162,12 @@ def test_cli_fix_mode_repairs_then_relints(spark, table, tmp_path, capsys):
     assert ("2", "nullify_enum") in actions
     assert ("2", "fill_default") in actions
     assert ("2", "clamp_min") in actions
+    # remark's --output rewrites in place: a second identical run must
+    # overwrite both sinks, not crash on the existing paths
+    rc2 = cli.main([table, "--row-id", "id", "--embed", str(embed),
+                    "--fix-out", fixed, "--repair-log-out", log,
+                    "--report", "none"])
+    assert rc2 == 0
 
 
 def test_cli_fix_mode_requires_embed(table, capsys, tmp_path):

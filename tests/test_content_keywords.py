@@ -109,3 +109,13 @@ def test_message_shape(spark):
     msg = res.violations.collect()[0].message
     assert msg == ("Must be base64 encoded • "
                    "#/properties/p/contentEncoding")
+
+
+def test_trailing_newline_is_not_valid_base64(spark):
+    # java regex lets $ match before a final \n — the anchors must be \z
+    bad = _violating_ids(
+        spark, [("nl", "QUJDRA==\n"), ("ok", "QUJDRA==")],
+        "id string, payload string",
+        {"properties": {"payload": {"contentEncoding": "base64"}}},
+        "contentEncoding")
+    assert bad == {"nl"}

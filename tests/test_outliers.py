@@ -115,6 +115,28 @@ def test_grouped_dsl_carries_group_as_partition_id(spark):
     assert [(r.row_id, r.partition_id) for r in v] == [("ax", "A")]
 
 
+def test_id_defaults_to_caller_row_id_and_null_k_to_default(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0), ("b", 10.2), ("c", 9.8), ("d", 10.1),
+         ("e", 9.9), ("f", 10.3), ("g", 777.0)],
+        "id string, x double")
+    # id omitted and k explicitly null (YAML `k:`) -> caller row_id, k=3.5
+    compiled = compile_ruleset({"properties": {
+        "x": {"x-outlier": {"k": None}}}}, df.schema)
+    assert compiled.table_checks[0][2]["k"] == 3.5
+    v = validate_with_table_checks(df, compiled, row_id="id") \
+        .table_violations.collect()
+    assert [r.row_id for r in v] == ["g"]
+
+
+def test_non_numeric_x_outlier_falls_to_unknown(spark):
+    df = spark.createDataFrame([("a", "en")], "id string, lang string")
+    compiled = compile_ruleset({"properties": {
+        "lang": {"x-outlier": {"id": "id"}}}}, df.schema)
+    assert not compiled.table_checks
+    assert ("/lang", "x-outlier") in compiled.unknown
+
+
 def test_nested_x_outlier_surfaces_as_unknown(spark):
     df = spark.createDataFrame([("a", (1.0,))],
                                "id string, s struct<y double>")
@@ -128,7 +150,7 @@ def test_nested_x_outlier_surfaces_as_unknown(spark):
 
 def test_malformed_x_outlier_fails_compile(spark):
     df = _df(spark, [1.0])
-    for bad in ({"k": 3.5},                    # missing id
+    for bad in ({"id": 7},                     # non-string id
                 {"id": "id", "k": -1},         # non-positive k
                 {"id": "id", "k": True},       # bool masquerading as num
                 {"id": "id", "approx": "yes"}):

@@ -85,8 +85,6 @@ def test_log_records_staged_before_after(result):
     dk = log[("r1", "drop_unknown_keys")]
     assert "bogus" in dk.before and "bogus" not in dk.after
     # untouched rows emit no log rows
-    assert not [k for k in log if k[0] == "r3" and k[1] != "fill_default"
-                and k[1] != "nullify_exclusive_min"] or True
     assert all(r[0] in {"r1", "r2"} for r in log)
 
 
@@ -129,3 +127,21 @@ def test_plan_is_jvm_only_single_projection(spark):
     res = repair(df, SCHEMA, row_id="id")
     plan = (res.repaired._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in plan and "Exchange" not in plan
+
+
+def test_fractional_bounds_on_integral_column(spark):
+    # minimum 0.5 on an int column must clamp to ceil(0.5)=1 (casting the
+    # bound would truncate to 0 and 'repair' to a still-violating value);
+    # exclusiveMaximum 2.5 must keep the legal value 2
+    df = spark.createDataFrame(
+        [("a", -3), ("b", 0), ("c", 1), ("d", 2), ("e", 3)],
+        "id string, n int")
+    schema = {"properties": {"n": {"minimum": 0.5, "exclusiveMaximum": 2.5}}}
+    res = repair(df, schema, row_id="id")
+    got = {r.id: r.n for r in res.repaired.collect()}
+    assert got == {"a": 1, "b": 1, "c": 1, "d": 2, "e": None}
+    assert res.repaired.schema == df.schema
+    # re-lint is clean for the repairable keywords
+    compiled = compile_ruleset(schema, df.schema)
+    assert validate(res.repaired, compiled, row_id="id") \
+        .violations.count() == 0
