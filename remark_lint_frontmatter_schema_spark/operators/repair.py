@@ -23,13 +23,19 @@ Repair policy, per top-level property, applied in this order:
    drops to NULL.
 3. **fill** — NULL (original or just-nullified) takes the property's
    ``default`` when declared.
-4. **drop_unknown_keys** — a map-typed property with sub-``properties``
+4. **array coercions** — ``uniqueItems: true`` dedupes
+   (``array_distinct``, first occurrence kept), ``maxItems`` truncates
+   (prefix keep); dedupe runs first so distinct content survives when it
+   alone satisfies the length bound. ``minItems``/``contains`` are not
+   repairable (padding would fabricate elements).
+5. **drop_unknown_keys** — a map-typed property with sub-``properties``
    and ``additionalProperties: false`` keeps only declared keys
    (``map_filter``).
 
-Scope (documented, not silent): top-level scalar and map properties
-only; ``required``/``type``/``format``/nested-struct constraints are
-diagnosable but not value-repairable and are left to the validator.
+Scope (documented, not silent): top-level scalar, array, and map
+properties only; ``required``/``type``/``format``/nested-struct
+constraints are diagnosable but not value-repairable and are left to
+the validator.
 A property opts out with ``x-repair: false``.
 
 Scale shape: the whole pass is ONE projection of JVM Column expressions
@@ -73,7 +79,7 @@ class CompiledRepair:
 
 
 def _stringify(col: Column, dtype: T.DataType) -> Column:
-    if isinstance(dtype, T.MapType):
+    if isinstance(dtype, (T.MapType, T.ArrayType)):
         return F.to_json(col)
     return col.cast("string")
 
@@ -156,7 +162,21 @@ def _compile_column(name: str, prop: dict,
         step("fill_default", cur.isNull(),
              F.lit(prop["default"]).cast(dtype))
 
-    # 4. map columns: drop keys the schema doesn't declare
+    # 4. array columns: dedupe uniqueItems violations (first occurrence
+    #    kept, order preserved — array_distinct semantics), then truncate
+    #    over-long arrays (prefix keep, mirroring maxLength). Dedupe runs
+    #    first: it can bring the array under maxItems without dropping
+    #    distinct content. minItems/contains are NOT repairable (padding
+    #    would fabricate elements).
+    if isinstance(dtype, T.ArrayType):
+        if prop.get("uniqueItems") is True:
+            deduped = F.array_distinct(cur)
+            step("dedupe_items", F.size(deduped) < F.size(cur), deduped)
+        if "maxItems" in prop:
+            n = int(prop["maxItems"])
+            step("truncate_items", F.size(cur) > n, F.slice(cur, 1, n))
+
+    # 5. map columns: drop keys the schema doesn't declare
     if (isinstance(dtype, T.MapType)
             and prop.get("additionalProperties") is False
             and isinstance(prop.get("properties"), dict)):

@@ -145,3 +145,23 @@ def test_fractional_bounds_on_integral_column(spark):
     compiled = compile_ruleset(schema, df.schema)
     assert validate(res.repaired, compiled, row_id="id") \
         .violations.count() == 0
+
+
+def test_array_repairs_dedupe_then_truncate(spark):
+    df = spark.createDataFrame(
+        [("a", [1, 2, 2, 3, 1]),        # dupes; distinct fits maxItems
+         ("b", [1, 2, 3, 4, 5]),        # too long, no dupes -> truncated
+         ("c", [7, 8]),                 # already clean
+         ("d", None)],
+        "id string, tags array<int>")
+    schema = {"properties": {"tags": {"uniqueItems": True, "maxItems": 4}}}
+    res = repair(df, schema, row_id="id")
+    got = {r.id: r.tags for r in res.repaired.collect()}
+    assert got == {"a": [1, 2, 3], "b": [1, 2, 3, 4], "c": [7, 8],
+                   "d": None}
+    actions = {(r.row_id, r.action) for r in res.log.collect()}
+    assert actions == {("a", "dedupe_items"), ("b", "truncate_items")}
+    # re-lint is clean
+    compiled = compile_ruleset(schema, df.schema)
+    assert validate(res.repaired, compiled, row_id="id") \
+        .violations.count() == 0
