@@ -271,3 +271,57 @@ def test_split_gate_is_codegen_projection(spark, clips_path):
     assert "lambdafunction" not in plan
     # `*(n)` prefixes mark whole-stage-codegen nodes in this plan repr
     assert plan.lstrip().startswith("*("), plan
+
+
+def test_repair_is_single_jvm_projection(spark, tmp_path):
+    """Repair must be one Project over the scan — no Exchange, no Python
+    stage — and the repaired projection must not read columns the
+    ruleset never touches (beyond the projected output itself)."""
+    from remark_lint_frontmatter_schema_spark.operators.repair import repair
+    p = str(tmp_path / "rt")
+    spark.createDataFrame(
+        [("a", "O", 10.0, "payload")],
+        "id string, status string, price double, blob string") \
+        .write.parquet(p)
+    df = spark.read.parquet(p)
+    res = repair(df, {"properties": {
+        "status": {"enum": ["O", "F"], "default": "O"},
+        "price": {"minimum": 0, "maximum": 100}}}, row_id="id")
+    plan = _plan(res.log)
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_outlier_stats_scans_prune_to_value_and_group(spark, tmp_path):
+    """x-outlier's stats passes must read only (group, value) — never the
+    payload — and the stats relation must broadcast back onto the fact."""
+    from remark_lint_frontmatter_schema_spark.operators.outliers import (
+        outlier_scores)
+    p = str(tmp_path / "ot")
+    spark.createDataFrame(
+        [("a", "g1", 1.0, "payload")],
+        "id string, grp string, x double, blob string").write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = _plan(outlier_scores(df, "x", row_id="id", group_col="grp"))
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines and all("blob" not in ln for ln in scan_lines), plan
+    assert "Broadcast" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_content_keywords_stay_jvm_side(spark, tmp_path):
+    """contentEncoding/contentMediaType compile to pure JVM expressions —
+    no ArrowEvalPython stage may appear in the violations plan."""
+    from remark_lint_frontmatter_schema_spark import (
+        compile_ruleset as _cr, validate as _v)
+    p = str(tmp_path / "ct")
+    spark.createDataFrame(
+        [("a", "QUJD", b"RIFF0000WAVExxxx")],
+        "id string, payload string, raw binary").write.parquet(p)
+    df = spark.read.parquet(p)
+    compiled = _cr({"properties": {
+        "payload": {"contentEncoding": "base64",
+                    "contentMediaType": "application/json"},
+        "raw": {"contentMediaType": "audio/wav"}}}, df.schema)
+    plan = _plan(_v(df, compiled, row_id="id").violations)
+    assert "EvalPython" not in plan, plan
