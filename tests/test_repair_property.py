@@ -82,3 +82,15 @@ def test_repair_invariants_on_seeded_random_rows(spark):
     # (3) no vacuous log rows: every step changed the (stringified) value
     for r in res.log.collect():
         assert r.before != r.after, r
+
+
+def test_repair_is_idempotent(spark):
+    # a second pass over already-repaired data must change nothing and
+    # log nothing — the fixed point of the lint -> fix loop
+    df = spark.createDataFrame(_rows(), SCHEMA)
+    once = repair(df, RULESET, row_id="id")
+    twice = repair(once.repaired, RULESET, row_id="id")
+    assert twice.log.count() == 0
+    a = {r.id: r for r in once.repaired.collect()}
+    b = {r.id: r for r in twice.repaired.collect()}
+    assert a == b
