@@ -32,7 +32,9 @@ _KEYWORDS = ["type", "enum", "const", "required", "maxLength", "minLength",
              "dependencies", "if", "then", "else", "propertyNames",
              "patternProperties", "additionalItems", "prefixItems",
              "$comment", "readOnly", "contentEncoding",
-             "x-unique", "x-ref", "x-drift", "x-spark-check"]
+             "contentMediaType", "default",
+             "x-unique", "x-ref", "x-drift", "x-spark-check",
+             "x-outlier", "x-repair", "x-severity"]
 
 _scalars = st.one_of(
     st.none(), st.booleans(), st.integers(-5, 100),
