@@ -19,11 +19,19 @@ Plan shape (three passes, each column-pruned to ONE numeric column):
 
 The 1-row stats relations join back via broadcast nested-loop (Spark
 auto-broadcasts a 1-row side), so nothing shuffles — the only costs are
-the scans, and the medians. Exact ``percentile`` is a full sort of one
-column; at the 10^12-row design point pass ``approx=True`` to use
-``approx_percentile`` (GK sketch, mergeable, one aggregation — no sort),
-which moves the threshold by at most ``accuracy``-bounded rank error;
-exact is the default because the small-SF oracle compares values.
+the scans, and the medians.
+
+Exact vs approx, MEASURED on 64M rows (dur_ms, local[32], warm):
+exact ``percentile`` 5.4 s; ``approx_percentile`` 49 s at accuracy
+10000, 6 s at 1000, 2.4 s at 100. Exact aggregates a per-partition
+value->count map, so it is the FAST path whenever the column's distinct
+cardinality is bounded (durations, rates, sizes) — its risk is memory,
+not time: at 10^12 rows of high-cardinality doubles that map is
+unbounded, and ``approx=True`` (GK sketch: mergeable, bounded memory,
+rank error <= 1/accuracy) is the safe path. Default accuracy 1000
+(0.1% rank error — far tighter than any sane k) costs about the same
+as exact; 10000 pays ~9x for precision an outlier gate cannot use.
+Exact is the default because the small-SF oracle compares values.
 
 ``MAD == 0`` (majority-constant column) degenerates z to infinity for
 any deviation; the check then flags exactly the values different from
@@ -33,7 +41,7 @@ guidance rather than dividing by zero.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _MZ = 0.6745  # standard-normal consistency constant (P75 of |N(0,1)|)
@@ -41,7 +49,7 @@ _MZ = 0.6745  # standard-normal consistency constant (P75 of |N(0,1)|)
 
 def robust_stats(df: DataFrame, value_col: str, *,
                  group_col: str | None = None, approx: bool = False,
-                 accuracy: int = 10000) -> DataFrame:
+                 accuracy: int = 1000) -> DataFrame:
     """Stats relation for ``value_col``: 1 row ``(med, mad)``, or one row
     per group ``(group_col, med, mad)`` when grouped.
 
@@ -76,7 +84,7 @@ def robust_stats(df: DataFrame, value_col: str, *,
 def outlier_scores(df: DataFrame, value_col: str, *, row_id: str,
                    k: float = 3.5, group_col: str | None = None,
                    approx: bool = False,
-                   accuracy: int = 10000) -> DataFrame:
+                   accuracy: int = 1000) -> DataFrame:
     """Rows whose modified z-score exceeds ``k``:
     ``(row_id[, group_col], value double, z double)``. With ``group_col``
     the median/MAD are per group — "legal globally, anomalous for THIS
@@ -107,7 +115,7 @@ def outlier_scores(df: DataFrame, value_col: str, *, row_id: str,
 def outlier_violations(df: DataFrame, value_col: str, *, row_id: str,
                        k: float = 3.5, group_col: str | None = None,
                        approx: bool = False,
-                       accuracy: int = 10000,
+                       accuracy: int = 1000,
                        ruleset_name: str = "engine",
                        severity: str = "warning") -> DataFrame:
     """Violation rows for the ``x-outlier`` declarative table check,
