@@ -117,3 +117,52 @@ def ingest_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def repair_stream(
+    spark: SparkSession,
+    input_path: str,
+    input_schema,
+    ruleset: dict,
+    *,
+    row_id: str,
+    repaired_sink: str,
+    log_sink: str,
+    checkpoint: str,
+    name: str = "ruleset",
+    max_files_per_trigger: int = 16,
+    trigger_available_now: bool = True,
+):
+    """Streaming twin of the CLI's ``--fix-out`` mode: each micro-batch
+    runs the one-projection repair pass (operators/repair.py), appends
+    the repaired rows partitioned by ``run_id = batch_N`` and the repair
+    log alongside — continuous lint -> fix over a landing directory
+    (production: Iceberg incremental reads, same foreachBatch body).
+
+    Exactly-once at the batch level comes from the stream checkpoint, as
+    in :func:`ingest_stream`: a replayed batch re-appends under the same
+    ``batch_N`` partition, so (run_id, row_id) dedup sees one copy. The
+    repair projection is batch-local and shuffle-free."""
+    from pyspark.sql import functions as F
+
+    from ..operators.repair import repair
+
+    stream = (spark.readStream.schema(input_schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_path))
+
+    def process_batch(batch_df, batch_id: int):
+        run_id = f"batch_{batch_id}"
+        res = repair(batch_df, ruleset, row_id=row_id, name=name)
+        (res.repaired.withColumn("run_id", F.lit(run_id))
+         .write.mode("append").partitionBy("run_id")
+         .parquet(repaired_sink))
+        (res.log.withColumn("run_id", F.lit(run_id))
+         .write.mode("append").partitionBy("run_id")
+         .parquet(log_sink))
+
+    writer = (stream.writeStream.foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

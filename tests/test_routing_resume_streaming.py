@@ -449,3 +449,36 @@ def test_streaming_ingest_builds_canonical_corpus(spark, clips, tmp_path):
     assert corpus.select(F.min(audio.canonical_wav_expr())).collect()[0][0]
     assert corpus.where(F.col("transcript").isNull()).count() == 0
     assert corpus.select("run_id").distinct().count() > 1  # >1 micro-batch
+
+
+def test_streaming_repair(spark, tmp_path):
+    """repair_stream: batch repair semantics per micro-batch, repaired
+    rows + log appended under run_id=batch_N, stream equals batch."""
+    from remark_lint_frontmatter_schema_spark import repair as batch_repair
+    from remark_lint_frontmatter_schema_spark.streaming.incremental import (
+        repair_stream)
+
+    df = spark.createDataFrame(
+        [("a", "O", 10.0), ("b", "X", -5.0), ("c", "O", 250.0)],
+        "id string, status string, price double")
+    inp = str(tmp_path / "rin")
+    df.write.parquet(inp)
+    ruleset = {"properties": {
+        "status": {"enum": ["O", "F"], "default": "F"},
+        "price": {"minimum": 0, "maximum": 100}}}
+    q = repair_stream(spark, inp, df.schema, ruleset, row_id="id",
+                      repaired_sink=str(tmp_path / "fixed"),
+                      log_sink=str(tmp_path / "rlog"),
+                      checkpoint=str(tmp_path / "rckpt"))
+    q.awaitTermination(120)
+    fixed = spark.read.parquet(str(tmp_path / "fixed"))
+    log = spark.read.parquet(str(tmp_path / "rlog"))
+    got = {r.id: (r.status, r.price) for r in fixed.collect()}
+    bres = batch_repair(df, ruleset, row_id="id")
+    expect = {r.id: (r.status, r.price) for r in bres.repaired.collect()}
+    assert got == expect
+    assert set(log.columns) >= {"row_id", "ruleset_id", "action",
+                                "before", "after", "run_id"}
+    stream_actions = {(r.row_id, r.action) for r in log.collect()}
+    batch_actions = {(r.row_id, r.action) for r in bres.log.collect()}
+    assert stream_actions == batch_actions
