@@ -141,6 +141,19 @@ def q_repair_orders(spark, sf):
     )
 
 
+def q_repair_log_orders(spark, sf):
+    """Aggregated repair log — one row per (column, action) with the
+    fire count; the DuckDB twin re-derives each count from first
+    principles, cross-checking the log relation itself."""
+    from remark_lint_frontmatter_schema_spark.operators.repair import repair
+    orders = _load(spark, sf, "orders")
+    res = repair(orders, ORDERS_REPAIR_RULESET, row_id="o_orderkey",
+                 name="orders")
+    return (res.log.groupBy("column", "action")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("column", "action", "n"))
+
+
 def q_outliers_events(spark, sf):
     """Robust modified-z outliers on events.value (operators/outliers.py):
     median/MAD from two single-column aggregates broadcast back onto a
@@ -827,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_stats_lineitem": q_approx_stats_lineitem,
         "repair_orders": q_repair_orders,
         "outliers_events": q_outliers_events,
+        "repair_log_orders": q_repair_log_orders,
         "content_json_events": q_content_json_events,
         "outliers_events_by_type": q_outliers_events_by_type,
     }
@@ -1677,6 +1691,32 @@ SELECT CAST(event_id AS VARCHAR) AS row_id,
             THEN json_valid(substr(props, 1, length(props) - 1))
        END AS mangled_ok
 FROM events
+""",
+        "repair_log_orders": """
+WITH c AS (
+  SELECT 'o_orderstatus' AS col, 'nullify_enum' AS action, count(*) AS n
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O', 'F')
+  UNION ALL
+  SELECT 'o_orderstatus', 'fill_default', count(*) FROM orders
+  WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F')
+  UNION ALL
+  SELECT 'o_totalprice', 'clamp_min', count(*) FROM orders
+  WHERE o_totalprice < 50000
+  UNION ALL
+  SELECT 'o_totalprice', 'clamp_max', count(*) FROM orders
+  WHERE o_totalprice > 300000
+  UNION ALL
+  SELECT 'o_orderpriority', 'truncate', count(*) FROM orders
+  WHERE length(o_orderpriority) > 8
+  UNION ALL
+  SELECT 'o_orderpriority', 'nullify_pattern', count(*) FROM orders
+  WHERE o_orderpriority IS NOT NULL
+    AND NOT regexp_matches(
+          CASE WHEN length(o_orderpriority) > 8
+               THEN substring(o_orderpriority, 1, 8)
+               ELSE o_orderpriority END, '^[1-3]-'))
+SELECT col AS "column", action, n FROM c WHERE n > 0
 """,
         "outliers_events": """
 WITH s AS (SELECT median(value) AS med FROM events),

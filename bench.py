@@ -32,6 +32,7 @@ HEADLINE = [
     "validate_orders",
     "verdict_orders",
     "repair_orders",
+    "repair_log_orders",
     "validate_events_props",
     "validate_part_composition",
     "stats_lineitem",
