@@ -146,20 +146,6 @@ def main(argv: list[str] | None = None) -> int:
             passthrough=tuple(c for c in args.passthrough.split(",") if c))
         print(json.dumps(res))
         return 1 if (args.frail and res["quarantined"]) else 0
-    if args.fix_out:
-        if embed is None:
-            print("--fix-out requires --embed", file=sys.stderr)
-            return 2
-        from .operators.repair import repair
-        rep = repair(df, embed, row_id=args.row_id)
-        # overwrite: remark's --output rewrites in place; the iterate-on-
-        # ruleset loop re-runs the same command against the same path
-        rep.repaired.write.mode("overwrite").parquet(args.fix_out)
-        if args.repair_log_out:
-            rep.log.write.mode("overwrite").parquet(args.repair_log_out)
-        # re-lint the materialized repaired copy (one scan, no recompute)
-        df = spark.read.parquet(args.fix_out)
-
     registry, patterns, ruleset_col = {}, None, args.ruleset_col
     cfg_path = None
     if embed is None:
@@ -180,6 +166,29 @@ def main(argv: list[str] | None = None) -> int:
         schema_dirs = tuple(dict.fromkeys(
             ([os.path.dirname(os.path.abspath(cfg_path))] if cfg_path
              else []) + [input_dir]))
+
+    if args.fix_out:
+        # remark's --output rewrite: repair (embedded ruleset, or each
+        # row under its ROUTED ruleset), write the fixed table, then
+        # lint the materialized repaired copy — the report shows only
+        # what repair could not fix. Overwrite mode: the
+        # iterate-on-ruleset loop re-runs against the same path.
+        from .operators.repair import repair, route_and_repair
+        if embed is not None:
+            rep = repair(df, embed, row_id=args.row_id, name="embed")
+            fix_errors = []
+        else:
+            rr = route_and_repair(
+                df, row_id=args.row_id, registry=registry,
+                ruleset_col=ruleset_col, patterns=patterns,
+                partition_col=args.partition_col, schema_dirs=schema_dirs)
+            rep, fix_errors = rr, rr.errors
+        rep.repaired.write.mode("overwrite").parquet(args.fix_out)
+        if args.repair_log_out:
+            rep.log.write.mode("overwrite").parquet(args.repair_log_out)
+        for name, stage, msg in fix_errors:
+            print(f"repair error [{stage}] {name}: {msg}", file=sys.stderr)
+        df = spark.read.parquet(args.fix_out)
 
     if args.single_pass and embed is None:
         from .plans.routing import route_and_validate_single_pass

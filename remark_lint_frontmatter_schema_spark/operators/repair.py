@@ -61,9 +61,10 @@ from ..plans.compiler import RulesetCompileError, _regex_ok
 _NUMERIC_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                   T.FloatType, T.DoubleType, T.DecimalType)
 
-LOG_FIELDS = ("column", "instance_path", "action", "before", "after")
-_LOG_STRUCT = ("struct<column:string,instance_path:string,action:string,"
-               "before:string,after:string>")
+LOG_FIELDS = ("ruleset_id", "column", "instance_path", "action",
+              "before", "after")
+_LOG_STRUCT = ("struct<ruleset_id:string,column:string,instance_path:string,"
+               "action:string,before:string,after:string>")
 
 
 @dataclass
@@ -85,8 +86,10 @@ def _stringify(col: Column, dtype: T.DataType) -> Column:
 
 
 def _log(column: str, path: str, action: str, cond: Column,
-         before: Column, after: Column, dtype: T.DataType) -> Column:
+         before: Column, after: Column, dtype: T.DataType,
+         ruleset: str) -> Column:
     return F.when(cond, F.struct(
+        F.lit(ruleset).alias("ruleset_id"),
         F.lit(column).alias("column"),
         F.lit(path).alias("instance_path"),
         F.lit(action).alias("action"),
@@ -95,8 +98,8 @@ def _log(column: str, path: str, action: str, cond: Column,
     )).cast(_LOG_STRUCT)
 
 
-def _compile_column(name: str, prop: dict,
-                    dtype: T.DataType) -> CompiledRepair | None:
+def _compile_column(name: str, prop: dict, dtype: T.DataType,
+                    ruleset: str = "ruleset") -> CompiledRepair | None:
     """Build the repair chain for one top-level property. Returns None
     when nothing in the property schema is repairable."""
     path = f"/{name}"
@@ -106,7 +109,8 @@ def _compile_column(name: str, prop: dict,
     def step(action: str, cond: Column, new: Column):
         nonlocal cur
         cond = F.coalesce(cond, F.lit(False))
-        rep.log_entries.append(_log(name, path, action, cond, cur, new, dtype))
+        rep.log_entries.append(
+            _log(name, path, action, cond, cur, new, dtype, ruleset))
         cur = F.when(cond, new).otherwise(cur)
         rep.actions.append(action)
 
@@ -192,8 +196,8 @@ def _compile_column(name: str, prop: dict,
     return rep
 
 
-def compile_repairs(schema: dict,
-                    df_schema: T.StructType) -> list[CompiledRepair]:
+def compile_repairs(schema: dict, df_schema: T.StructType, *,
+                    ruleset_name: str = "ruleset") -> list[CompiledRepair]:
     """Compile the repairable subset of a bundled ruleset against a table
     schema. Properties absent from the table, non-dict property schemas,
     and ``x-repair: false`` opt-outs are skipped (the validator, not the
@@ -210,7 +214,8 @@ def compile_repairs(schema: dict,
             continue
         if pname not in by_name:
             continue
-        rep = _compile_column(pname, prop, by_name[pname])
+        rep = _compile_column(pname, prop, by_name[pname],
+                              ruleset=ruleset_name)
         if rep is not None:
             out.append(rep)
     return out
@@ -233,7 +238,7 @@ def repair(df: DataFrame, schema: dict, *, row_id: str,
     row per (row, repair action fired) with stringified before/after, the
     repair analog of the violations relation and union-compatible with
     sinks by the same (row_id, instance_path) addressing."""
-    reps = compile_repairs(schema, df.schema)
+    reps = compile_repairs(schema, df.schema, ruleset_name=name)
     if not reps:
         empty = df.sparkSession.createDataFrame(
             [], "row_id string, ruleset_id string, column string, "
@@ -254,6 +259,90 @@ def repair(df: DataFrame, schema: dict, *, row_id: str,
            .where(F.size("_repairs") > 0)
            .select(F.col("_row_id").alias("row_id"),
                    F.explode("_repairs").alias("_r"))
-           .select("row_id", F.lit(name).alias("ruleset_id"),
-                   *[F.col(f"_r.{f}").alias(f) for f in LOG_FIELDS]))
+           .select("row_id", *[F.col(f"_r.{f}").alias(f)
+                               for f in LOG_FIELDS]))
     return RepairResult(repaired=repaired, log=log, repairs=reps)
+
+
+@dataclass
+class RoutedRepairResult:
+    repaired: DataFrame
+    log: DataFrame        # row_id, ruleset_id, column, ..., before, after
+    routed: list          # ruleset names that contributed repairs
+    errors: list          # (name, stage, message) — G2-style artifacts
+
+
+def route_and_repair(df: DataFrame, *, row_id: str,
+                     registry: dict | None = None,
+                     embed: dict | None = None,
+                     ruleset_col: str | None = None,
+                     patterns: dict | None = None,
+                     partition_col: str | None = None,
+                     schema_dirs: tuple = (),
+                     fetch=None) -> RoutedRepairResult:
+    """Routed lint -> fix: every row is repaired under the SAME ruleset
+    the validator would route it to (remark's ``--output`` fixes each
+    file under its own ``$schema``; precedence embed > column > glob,
+    plans/routing.py). Still ONE projection: the routes' predicates are
+    disjoint by construction, so each output column is a
+    ``CASE route_pred -> that route's repair chain`` and unrouted rows
+    pass through unchanged. Log entries are predicate-guarded and carry
+    the route's name as ``ruleset_id``. Load/compile failures become
+    error artifacts (G2) — their routes simply don't repair."""
+    from ..plans.routing import _resolve_routes
+    from ..plans.bundler import bundle_dict, RulesetLoadError
+
+    errors: list = []
+    if embed is not None:
+        res = repair(df, bundle_dict(embed, fetch=fetch), row_id=row_id,
+                     name="embed")
+        return RoutedRepairResult(res.repaired, res.log, ["embed"], errors)
+
+    routes = _resolve_routes(
+        df, registry=registry or {}, ruleset_col=ruleset_col,
+        patterns=patterns, partition_col=partition_col,
+        schema_dirs=schema_dirs, fetch=fetch, errors=errors)
+
+    per_route: list = []  # (name, pred, [CompiledRepair])
+    for name, doc, _source, pred, _sf in routes:
+        try:
+            reps = compile_repairs(doc, df.schema, ruleset_name=name)
+        except RulesetCompileError as exc:
+            errors.append((name, "compile", str(exc)))
+            continue
+        # never repair the routing key itself out from under the router
+        reps = [r for r in reps if r.column != ruleset_col]
+        if reps:
+            per_route.append((name, pred, reps))
+
+    if not per_route:
+        empty = df.sparkSession.createDataFrame(
+            [], "row_id string, ruleset_id string, column string, "
+                "instance_path string, action string, before string, "
+                "after string")
+        return RoutedRepairResult(df, empty, [], errors)
+
+    by_col: dict = {}
+    entries: list = []
+    for name, pred, reps in per_route:
+        for r in reps:
+            prev = by_col.get(r.column, F.col(r.column))
+            by_col[r.column] = F.when(pred, r.expr).otherwise(prev)
+            entries.extend(
+                F.when(pred, e).cast(_LOG_STRUCT) for e in r.log_entries)
+
+    annotated = df.select(
+        *[by_col.get(c, F.col(c)).alias(c) for c in df.columns],
+        F.filter(F.array(*entries), lambda x: x.isNotNull())
+        .alias("_repairs"),
+        F.col(row_id).cast("string").alias("_row_id"),
+    )
+    repaired = annotated.select(*df.columns)
+    log = (annotated
+           .where(F.size("_repairs") > 0)
+           .select(F.col("_row_id").alias("row_id"),
+                   F.explode("_repairs").alias("_r"))
+           .select("row_id", *[F.col(f"_r.{f}").alias(f)
+                               for f in LOG_FIELDS]))
+    return RoutedRepairResult(repaired, log,
+                              [n for n, _p, _r in per_route], errors)

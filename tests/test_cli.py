@@ -170,6 +170,22 @@ def test_cli_fix_mode_repairs_then_relints(spark, table, tmp_path, capsys):
     assert rc2 == 0
 
 
-def test_cli_fix_mode_requires_embed(table, capsys, tmp_path):
-    assert cli.main([table, "--row-id", "id",
-                     "--fix-out", str(tmp_path / "x")]) == 2
+def test_cli_fix_mode_routes_without_embed(spark, table, config_dir,
+                                           tmp_path, capsys):
+    # no --embed: each row is repaired under its ROUTED ruleset (row 3
+    # is unrouted -> untouched), then the repaired copy is re-linted
+    fixed = str(tmp_path / "routed_fixed")
+    log = str(tmp_path / "routed_log")
+    rc = cli.main([table, "--row-id", "id", "--fix-out", fixed,
+                   "--repair-log-out", log, "--report", "json",
+                   "--frail"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["n_violations"] == 0
+    repaired = {r.id: r for r in spark.read.parquet(fixed).collect()}
+    assert repaired[2].status is None      # enum nullified, no default
+    assert repaired[2].price == 0.0        # clamped to minimum
+    assert repaired[3].price == 3.0        # unrouted row untouched
+    log_rows = {(r.row_id, r.ruleset_id, r.action)
+                for r in spark.read.parquet(log).collect()}
+    assert log_rows == {("2", "clip", "nullify_enum"),
+                        ("2", "clip", "clamp_min")}

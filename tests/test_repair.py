@@ -165,3 +165,55 @@ def test_array_repairs_dedupe_then_truncate(spark):
     compiled = compile_ruleset(schema, df.schema)
     assert validate(res.repaired, compiled, row_id="id") \
         .violations.count() == 0
+
+
+def test_route_and_repair_fixes_each_row_under_its_own_ruleset(spark):
+    from remark_lint_frontmatter_schema_spark.operators.repair import (
+        route_and_repair)
+    df = spark.createDataFrame(
+        [("1", "strict", 500.0, "x"),    # strict: price <= 100 -> clamp
+         ("2", "lax", 500.0, "x"),       # lax: price <= 1000 -> untouched
+         ("3", None, 500.0, "zzzz"),     # unrouted -> untouched
+         ("4", "strict", 50.0, "toolong")],  # strict: maxLength 4
+        "id string, ruleset_id string, price double, tag string")
+    registry = {
+        "strict": {"properties": {"price": {"maximum": 100},
+                                  "tag": {"maxLength": 4}}},
+        "lax": {"properties": {"price": {"maximum": 1000}}},
+    }
+    res = route_and_repair(df, row_id="id", registry=registry,
+                           ruleset_col="ruleset_id")
+    assert sorted(res.routed) == ["lax", "strict"]
+    assert not res.errors
+    got = {r.id: (r.price, r.tag) for r in res.repaired.collect()}
+    assert got == {"1": (100.0, "x"), "2": (500.0, "x"),
+                   "3": (500.0, "zzzz"), "4": (50.0, "tool")}
+    log = {(r.row_id, r.ruleset_id, r.action) for r in res.log.collect()}
+    assert log == {("1", "strict", "clamp_max"),
+                   ("4", "strict", "truncate")}
+    # routing key never repaired even if a ruleset constrains it
+    registry["strict"]["properties"]["ruleset_id"] = {"maxLength": 1}
+    res2 = route_and_repair(df, row_id="id", registry=registry,
+                            ruleset_col="ruleset_id")
+    assert {r.ruleset_id for r in res2.repaired.collect()} \
+        == {"strict", "lax", None}
+
+
+def test_route_and_repair_bad_route_becomes_error_artifact(spark):
+    from remark_lint_frontmatter_schema_spark.operators.repair import (
+        route_and_repair)
+    df = spark.createDataFrame(
+        [("1", "good", 500.0, "x"), ("2", "broken", 500.0, "x")],
+        "id string, ruleset_id string, price double, tag string")
+    registry = {
+        "good": {"properties": {"price": {"maximum": 100}}},
+        "broken": {"properties": {"tag": {"pattern": "(("}}},
+    }
+    res = route_and_repair(df, row_id="id", registry=registry,
+                           ruleset_col="ruleset_id")
+    # the broken route repairs nothing but surfaces as an artifact;
+    # the good route still fixed its row
+    got = {r.id: r.price for r in res.repaired.collect()}
+    assert got == {"1": 100.0, "2": 500.0}
+    assert res.routed == ["good"]
+    assert any(n == "broken" for n, _s, _m in res.errors)
