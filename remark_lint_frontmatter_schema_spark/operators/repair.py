@@ -98,21 +98,21 @@ def _log(column: str, path: str, action: str, cond: Column,
     )).cast(_LOG_STRUCT)
 
 
-def _compile_column(name: str, prop: dict, dtype: T.DataType,
-                    ruleset: str = "ruleset") -> CompiledRepair | None:
-    """Build the repair chain for one top-level property. Returns None
-    when nothing in the property schema is repairable."""
-    path = f"/{name}"
-    cur = F.col(name)
-    rep = CompiledRepair(column=name, actions=[], expr=cur)
+def _compile_value(cur: Column, prop: dict, dtype: T.DataType, *,
+                   path: str, column: str, ruleset: str):
+    """Repair chain for the value expression ``cur`` of type ``dtype`` —
+    shared by top-level columns and (recursively) struct fields.
+    Returns ``(repaired_expr, log_entries, actions)``."""
+    entries: list = []
+    actions: list = []
 
     def step(action: str, cond: Column, new: Column):
         nonlocal cur
         cond = F.coalesce(cond, F.lit(False))
-        rep.log_entries.append(
-            _log(name, path, action, cond, cur, new, dtype, ruleset))
+        entries.append(
+            _log(column, path, action, cond, cur, new, dtype, ruleset))
         cur = F.when(cond, new).otherwise(cur)
-        rep.actions.append(action)
+        actions.append(action)
 
     is_num = isinstance(dtype, _NUMERIC_TYPES)
     is_str = isinstance(dtype, T.StringType)
@@ -161,8 +161,10 @@ def _compile_column(name: str, prop: dict, dtype: T.DataType,
         step("nullify_min_length", F.length(cur) < int(prop["minLength"]),
              null)
 
-    # 3. fill the declared default into NULLs (original or just-nullified)
-    if "default" in prop:
+    # 3. fill the declared default into NULLs (original or just-nullified);
+    #    scalar/array literals only — a dict default has no Spark literal
+    if "default" in prop and not isinstance(dtype,
+                                            (T.MapType, T.StructType)):
         step("fill_default", cur.isNull(),
              F.lit(prop["default"]).cast(dtype))
 
@@ -190,10 +192,42 @@ def _compile_column(name: str, prop: dict, dtype: T.DataType,
                                lambda k: ~k.isin(declared))
         step("drop_unknown_keys", cur.isNotNull() & has_unknown, kept)
 
-    if not rep.actions:
+    # 6. struct columns: recurse into declared sub-properties and rebuild
+    #    the struct field-by-field (withField — a NULL struct stays NULL,
+    #    matching the validator's presence-guard: no parent, no repair).
+    #    The reference's frontmatter is nested YAML (its demo schema
+    #    constrains `complex.time`), so nested fixes are first-class.
+    if (isinstance(dtype, T.StructType)
+            and isinstance(prop.get("properties"), dict)):
+        by_f = {f.name: f.dataType for f in dtype.fields}
+        for fname, fprop in prop["properties"].items():
+            if (not isinstance(fprop, dict)
+                    or fprop.get("x-repair") is False
+                    or fname not in by_f):
+                continue
+            sub_expr, sub_entries, sub_actions = _compile_value(
+                cur.getField(fname), fprop, by_f[fname],
+                path=f"{path}/{fname}", column=column, ruleset=ruleset)
+            if sub_actions:
+                cur = cur.withField(fname, sub_expr)
+                entries.extend(sub_entries)
+                actions.extend(sub_actions)
+
+    return cur, entries, actions
+
+
+def _compile_column(name: str, prop: dict, dtype: T.DataType,
+                    ruleset: str = "ruleset") -> CompiledRepair | None:
+    """Build the repair chain for one top-level property. Returns None
+    when nothing in the property schema (or its nested struct fields) is
+    repairable."""
+    expr, entries, actions = _compile_value(
+        F.col(name), prop, dtype, path=f"/{name}", column=name,
+        ruleset=ruleset)
+    if not actions:
         return None
-    rep.expr = cur
-    return rep
+    return CompiledRepair(column=name, actions=actions, expr=expr,
+                          log_entries=entries)
 
 
 def compile_repairs(schema: dict, df_schema: T.StructType, *,

@@ -217,3 +217,44 @@ def test_route_and_repair_bad_route_becomes_error_artifact(spark):
     assert got == {"1": 100.0, "2": 500.0}
     assert res.routed == ["good"]
     assert any(n == "broken" for n, _s, _m in res.errors)
+
+
+def test_nested_struct_fields_repair_via_withfield(spark):
+    df = spark.createDataFrame(
+        [("a", (500.0, "Xy", "k")),   # price clamps, code truncates
+         ("b", (50.0, "z", "k")),     # clean
+         ("c", None)],                # NULL struct: no parent, no repair
+        "id string, meta struct<price:double,code:string,keep:string>")
+    schema = {"properties": {"meta": {"properties": {
+        "price": {"maximum": 100},
+        "code": {"maxLength": 1},
+    }}}}
+    res = repair(df, schema, row_id="id")
+    assert res.repaired.schema == df.schema
+    got = {r.id: r.meta for r in res.repaired.collect()}
+    assert got["a"].price == 100.0 and got["a"].code == "X"
+    assert got["a"].keep == "k"           # undeclared field untouched
+    assert got["b"] == (50.0, "z", "k")
+    assert got["c"] is None
+    log = {(r.row_id, r.instance_path, r.action)
+           for r in res.log.collect()}
+    assert log == {("a", "/meta/price", "clamp_max"),
+                   ("a", "/meta/code", "truncate")}
+    # re-lint clean on the nested constraints
+    compiled = compile_ruleset(schema, df.schema)
+    assert validate(res.repaired, compiled, row_id="id") \
+        .violations.count() == 0
+
+
+def test_doubly_nested_struct_repair(spark):
+    df = spark.createDataFrame(
+        [("a", ((150.0,),))],
+        "id string, s struct<inner:struct<v:double>>")
+    schema = {"properties": {"s": {"properties": {
+        "inner": {"properties": {"v": {"maximum": 10}}}}}}}
+    res = repair(df, schema, row_id="id")
+    row = res.repaired.collect()[0]
+    assert row.s.inner.v == 10.0
+    entries = res.log.collect()
+    assert [(r.instance_path, r.action) for r in entries] \
+        == [("/s/inner/v", "clamp_max")]
