@@ -104,6 +104,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "canonicalize -> lineage manifest; artifacts "
                          "under this path (operators/ingest.py)")
     ap.add_argument("--manifest", help="lineage manifest JSON (ingest mode)")
+    ap.add_argument("--ingest-fix", action="store_true",
+                    help="ingest mode: repair the --embed ruleset's "
+                         "repairable constraints BEFORE the gate (fix "
+                         "what you can, quarantine the rest); repair log "
+                         "lands under {ingest-out}/repair_log")
     ap.add_argument("--target-sr", type=int, default=16000)
     ap.add_argument("--fail-severities", default="error",
                     help="comma list; severities that quarantine a row")
@@ -143,7 +148,8 @@ def main(argv: list[str] | None = None) -> int:
             out_path=args.ingest_out, manifest_path=args.manifest,
             run_id=args.run_id, target_sr=args.target_sr,
             fail_severities=tuple(args.fail_severities.split(",")),
-            passthrough=tuple(c for c in args.passthrough.split(",") if c))
+            passthrough=tuple(c for c in args.passthrough.split(",") if c),
+            repair_ruleset=embed if args.ingest_fix else None)
         print(json.dumps(res))
         return 1 if (args.frail and res["quarantined"]) else 0
     registry, patterns, ruleset_col = {}, None, args.ruleset_col

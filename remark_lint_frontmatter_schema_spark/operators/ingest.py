@@ -53,6 +53,7 @@ def ingest_corpus(
     target_sr: int = 16000,
     normalize_db: float | None = None,
     passthrough: tuple = ("transcript",),
+    repair_ruleset: dict | None = None,
 ) -> dict:
     """Ingest every pending partition of ``table_path``; returns
     ``{"ingested": [...], "skipped": [...], "accepted": n,
@@ -62,6 +63,16 @@ def ingest_corpus(
     run_id/accepted-partitioned — the quarantine lives here,
     self-describing) and ``corpus/`` (canonical payloads + passthrough
     labels, partitioned by ``partition_col`` and run_id).
+
+    ``repair_ruleset`` — fix what you can, quarantine the rest: the
+    ruleset document's repairable constraints (operators/repair.py) are
+    applied BEFORE the gate, so a row whose only defects are repairable
+    (out-of-range metadata, over-long transcript, invalid enum with a
+    default) is corrected and accepted instead of quarantined; the
+    repair log lands under ``{out_path}/repair_log`` partitioned by
+    run_id, same append/read-layer idempotency as the other artifacts.
+    Unrepairable violations still quarantine. Typically the same
+    document the gate was compiled from.
 
     ``corpus`` row count <= ``accepted``: gate-accepted clips whose
     payload is not decodable WAV (e.g. flac/opus passing a header-only
@@ -89,6 +100,14 @@ def ingest_corpus(
         raise ValueError(
             f"ingest_corpus: column(s) {missing} not in {table_path} "
             f"(has {df.columns}); check row_id/passthrough")
+
+    if repair_ruleset is not None:
+        from .repair import repair as _repair
+        rep = _repair(df, repair_ruleset, row_id=row_id, name="ingest-fix")
+        (rep.log.withColumn("run_id", F.lit(run_id))
+         .write.mode("append").partitionBy("run_id")
+         .parquet(f"{out_path}/repair_log"))
+        df = rep.repaired
 
     split_path = f"{out_path}/split"
     counts = sinks.write_split(df, compiled, path=split_path,

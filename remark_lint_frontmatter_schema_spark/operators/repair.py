@@ -230,18 +230,42 @@ def _compile_column(name: str, prop: dict, dtype: T.DataType,
                           log_entries=entries)
 
 
+def _flatten_properties(doc, acc: dict) -> None:
+    """Merge ``properties`` from the document and every (arbitrarily
+    nested) ``allOf`` branch — the repair analog of the validator's
+    flattened-allOf compilation, so a bundled composed ruleset (the
+    reference's allOf + $ref layout) repairs the same constraints it
+    validates. Same-property branches shallow-merge; same-keyword
+    conflicts take the later branch (degenerate schema)."""
+    if not isinstance(doc, dict):
+        return
+    p = doc.get("properties")
+    if isinstance(p, dict):
+        for k, v in p.items():
+            if (k in acc and isinstance(acc[k], dict)
+                    and isinstance(v, dict)):
+                acc[k] = {**acc[k], **v}
+            else:
+                acc[k] = v
+    branches = doc.get("allOf")
+    if isinstance(branches, list):
+        for b in branches:
+            _flatten_properties(b, acc)
+
+
 def compile_repairs(schema: dict, df_schema: T.StructType, *,
                     ruleset_name: str = "ruleset") -> list[CompiledRepair]:
     """Compile the repairable subset of a bundled ruleset against a table
     schema. Properties absent from the table, non-dict property schemas,
     and ``x-repair: false`` opt-outs are skipped (the validator, not the
-    repairer, reports those)."""
+    repairer, reports those); ``allOf`` branches are flattened."""
     if not isinstance(schema, dict):
         raise RulesetCompileError(f"JSON schema malformed: {schema!r}")
     by_name = {f.name: f.dataType for f in df_schema.fields}
     out = []
-    props = schema.get("properties")
-    if not isinstance(props, dict):
+    props: dict = {}
+    _flatten_properties(schema, props)
+    if not props:
         return out
     for pname, prop in props.items():
         if not isinstance(prop, dict) or prop.get("x-repair") is False:

@@ -173,3 +173,32 @@ def test_ingest_crash_rerun_is_invisible_at_read_layer(spark, table,
     good_counts = {r.clip_id: r["count"] for r in
                    good.groupBy("clip_id").count().collect()}
     assert good_counts == src_counts
+
+
+def test_ingest_repair_first_accepts_fixable_rows(spark, table, compiled,
+                                                  tmp_path):
+    """repair_ruleset: rows whose only defects are repairable (sr/dur
+    out of declared bounds) are fixed and accepted instead of
+    quarantined; the repair log is an artifact like the others."""
+    out_a = str(tmp_path / "plain")
+    out_b = str(tmp_path / "fixed")
+    doc = bundle("rulesets/clip.schema.yaml")
+    kwargs = dict(partition_col="part_date", row_id="clip_id",
+                  fail_severities=("error", "warning"))
+    plain = ingest_corpus(spark, table, compiled, out_path=out_a,
+                          manifest_path=str(tmp_path / "m1.json"),
+                          run_id="p1", **kwargs)
+    fixed = ingest_corpus(spark, table, compiled, out_path=out_b,
+                          manifest_path=str(tmp_path / "m2.json"),
+                          run_id="f1", repair_ruleset=doc, **kwargs)
+    # repair can only move rows from quarantine to accepted
+    assert fixed["accepted"] > plain["accepted"]
+    assert fixed["accepted"] + fixed["quarantined"] == 600
+    log = spark.read.parquet(f"{out_b}/repair_log")
+    assert log.count() > 0
+    assert {"row_id", "action", "before", "after", "run_id"} \
+        <= set(log.columns)
+    # the accepted split rows re-validate clean on the repaired bounds
+    acc = (spark.read.parquet(f"{out_b}/split")
+           .where(F.col("accepted").cast("boolean")))
+    assert acc.where("sr_hz < 8000 or sr_hz > 48000").count() == 0
