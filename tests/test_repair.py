@@ -258,3 +258,20 @@ def test_doubly_nested_struct_repair(spark):
     entries = res.log.collect()
     assert [(r.instance_path, r.action) for r in entries] \
         == [("/s/inner/v", "clamp_max")]
+
+
+def test_wide_ruleset_repair_executes(spark):
+    # 100 columns x (clamp_min + clamp_max) = 200 chained steps + 200
+    # log-entry structs in one projection — must survive codegen limits
+    # (whole-stage fallback is acceptable; failure to execute is not)
+    n_cols = 100
+    cols = ", ".join(f"c{i} double" for i in range(n_cols))
+    row = tuple([float(i) for i in range(n_cols)])
+    df = spark.createDataFrame([("a", *row)], f"id string, {cols}")
+    schema = {"properties": {
+        f"c{i}": {"minimum": 10, "maximum": 50} for i in range(n_cols)}}
+    res = repair(df, schema, row_id="id")
+    got = res.repaired.collect()[0]
+    assert got["c0"] == 10.0 and got["c99"] == 50.0 and got["c30"] == 30.0
+    # 10..50 untouched; below clamps up, above clamps down
+    assert res.log.count() == 10 + 49  # c0-c9 clamp_min, c51-c99 clamp_max
