@@ -17,7 +17,7 @@ from .plans.bundler import bundle
 from .operators.validate import validate, ValidationResult
 from .operators.table_checks import validate_with_table_checks
 from .operators.ingest import ingest_corpus
-from .operators.repair import repair, RepairResult
+from .operators.repair import (repair, RepairResult, route_and_repair, RoutedRepairResult)
 from .sinks import write_split
 from .session import get_spark
 
@@ -31,6 +31,8 @@ __all__ = [
     "ingest_corpus",
     "repair",
     "RepairResult",
+    "route_and_repair",
+    "RoutedRepairResult",
     "write_split",
     "get_spark",
 ]
