@@ -348,7 +348,7 @@ def route_and_repair(df: DataFrame, *, row_id: str,
     the route's name as ``ruleset_id``. Load/compile failures become
     error artifacts (G2) — their routes simply don't repair."""
     from ..plans.routing import _resolve_routes
-    from ..plans.bundler import bundle_dict, RulesetLoadError
+    from ..plans.bundler import bundle_dict
 
     errors: list = []
     if embed is not None:
