@@ -1,5 +1,6 @@
 """Declarative repair pass (lint -> fix -> re-lint): coerce, nullify,
-default-fill, drop unknown map keys — and the repaired table re-validates
+default-fill, drop unknown map keys, dedupe/truncate arrays, recurse
+into struct fields, route per-row — and the repaired table re-validates
 clean for every repairable constraint."""
 
 import pytest
