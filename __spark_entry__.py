@@ -116,6 +116,34 @@ def q_verdict_orders(spark, sf):
         "partition_id", "n_rows", "n_violations", "n_failed_rows", "passed")
 
 
+# footer-statistics pruning (operators/stats_prune.py): integer bounds +
+# required are decided per FILE from parquet row-group min/max/null_count
+# (the Iceberg manifest-stats move); files the footers cannot clear get the
+# ordinary one-projection scan. At this SF the table is one file, so the
+# value proven here is end-to-end parity of the pruned code path; the
+# actual file-skipping is pinned by tests/test_stats_prune.py on a
+# multi-file table.
+LINEITEM_PRUNE_RULESET = {
+    "type": "object",
+    "required": ["l_orderkey"],
+    "properties": {
+        "l_linenumber": {"type": "integer", "minimum": 1, "maximum": 5},
+        "l_suppkey": {"type": "integer", "minimum": 10},
+    },
+}
+
+
+def q_validate_lineitem_pruned(spark, sf):
+    from remark_lint_frontmatter_schema_spark.operators.stats_prune import (
+        validate_with_stats_pruning,
+    )
+    out = validate_with_stats_pruning(
+        spark, f"{sf}/lineitem.parquet", LINEITEM_PRUNE_RULESET,
+        row_id="l_orderkey", name="pruned")
+    return out["result"].violations.select(
+        "row_id", "constraint_id", "keyword", "instance_path", "message")
+
+
 # lint -> fix: clamp price to the closed bounds, invalid status takes the
 # default, priority is truncated then pattern-nullified (operators/repair.py)
 ORDERS_REPAIR_RULESET = {
@@ -790,6 +818,7 @@ def q_approx_stats_lineitem(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders": q_validate_orders,
+        "validate_lineitem_pruned": q_validate_lineitem_pruned,
         "verdict_orders": q_verdict_orders,
         "stats_lineitem": q_stats_lineitem,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
@@ -1278,6 +1307,28 @@ SELECT constraint_id, row_id, rn FROM s WHERE rn <= 3
 def oracle_sql() -> dict[str, str]:
     return {
         "validate_orders": _ORDERS_VIOL_SQL,
+        "validate_lineitem_pruned": """
+SELECT CAST(l_orderkey AS VARCHAR) AS row_id,
+       'pruned:/l_linenumber:maximum' AS constraint_id,
+       'maximum' AS keyword, '/l_linenumber' AS instance_path,
+       'Must be <= 5 • #/properties/l_linenumber/maximum' AS message
+FROM lineitem WHERE l_linenumber IS NOT NULL AND l_linenumber > 5
+UNION ALL
+SELECT CAST(l_orderkey AS VARCHAR),
+       'pruned:/l_linenumber:minimum', 'minimum', '/l_linenumber',
+       'Must be >= 1 • #/properties/l_linenumber/minimum'
+FROM lineitem WHERE l_linenumber IS NOT NULL AND l_linenumber < 1
+UNION ALL
+SELECT CAST(l_orderkey AS VARCHAR),
+       'pruned:/l_suppkey:minimum', 'minimum', '/l_suppkey',
+       'Must be >= 10 • #/properties/l_suppkey/minimum'
+FROM lineitem WHERE l_suppkey IS NOT NULL AND l_suppkey < 10
+UNION ALL
+SELECT CAST(l_orderkey AS VARCHAR),
+       'pruned:/:required', 'required', '',
+       'Must have required property ''l_orderkey'' • #/required'
+FROM lineitem WHERE l_orderkey IS NULL
+""",
         "verdict_orders": """
 SELECT o_orderstatus AS partition_id,
        count(*) AS n_rows,

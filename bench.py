@@ -31,6 +31,7 @@ import __spark_entry__ as entry_mod  # noqa: E402
 HEADLINE = [
     "validate_orders",
     "verdict_orders",
+    "validate_lineitem_pruned",
     "repair_orders",
     "repair_log_orders",
     "validate_events_props",
