@@ -92,6 +92,30 @@ def list_partitions(table_path: str, partition_col: str) -> list[str]:
     )
 
 
+def partition_fingerprint(table_path: str, partition_col: str,
+                          value: str) -> str:
+    """Content fingerprint of ONE partition: a hash over the sorted
+    (relative path, size, mtime_ns) of its data files — the per-partition
+    analog of an Iceberg snapshot diff. Unlike :func:`snapshot_id_for`
+    (one id for the whole table, so any write invalidates every
+    partition), a partition keeps its fingerprint until *its own* files
+    change; with a real catalog this is the partition's manifest-entry
+    digest, no filesystem walk needed."""
+    import hashlib
+
+    pdir = os.path.join(table_path, f"{partition_col}={value}")
+    items = []
+    for root, _dirs, files in os.walk(pdir):
+        for f in files:
+            if f.endswith(".parquet"):
+                full = os.path.join(root, f)
+                st = os.stat(full)
+                items.append((os.path.relpath(full, pdir),
+                              st.st_size, st.st_mtime_ns))
+    h = hashlib.sha256(repr(sorted(items)).encode()).hexdigest()[:16]
+    return f"fp_{h}"
+
+
 def run_with_resume(
     spark,
     table_path: str,
@@ -103,18 +127,33 @@ def run_with_resume(
     snapshot_id: str = "snap_0",
     run_id: str = "run_0",
     validate_fn=None,
+    per_partition_snapshots: bool = False,
 ) -> dict:
     """Validate only partitions not yet recorded as validated.
 
     Returns {"validated": [...], "skipped": [...], "verdicts": DataFrame|None}.
     ``validate_fn(df) -> ValidationResult`` defaults to the standard
     one-projection validator.
+
+    ``per_partition_snapshots=True`` keys each partition by its own
+    content fingerprint (:func:`partition_fingerprint`) instead of the
+    table-wide ``snapshot_id``: a rerun after ONE partition changed
+    re-validates exactly that partition, where the table-level id would
+    re-validate everything (it changes whenever anything changes). The
+    manifest stays append-only — a changed partition gets a new entry
+    under its new fingerprint; the old entry remains as lineage.
     """
     from .operators.validate import validate as _validate
 
     manifest = Manifest.load(manifest_path)
     all_parts = list_partitions(table_path, partition_col)
-    todo = manifest.pending(snapshot_id, all_parts, compiled.ruleset_hash)
+    if per_partition_snapshots:
+        snap_of = {p: partition_fingerprint(table_path, partition_col, p)
+                   for p in all_parts}
+    else:
+        snap_of = {p: snapshot_id for p in all_parts}
+    todo = [p for p in all_parts
+            if not manifest.is_done(snap_of[p], p, compiled.ruleset_hash)]
     skipped = [p for p in all_parts if p not in todo]
     if not todo:
         return {"validated": [], "skipped": skipped, "verdicts": None}
@@ -127,15 +166,15 @@ def run_with_resume(
     verdict_rows = res.verdicts.collect()
     for v in verdict_rows:
         manifest.record(
-            snapshot_id, v.partition_id, compiled.ruleset_hash,
-            STATUS_VALIDATED,
+            snap_of.get(v.partition_id, snapshot_id), v.partition_id,
+            compiled.ruleset_hash, STATUS_VALIDATED,
             metrics={"n_rows": v.n_rows, "n_violations": v.n_violations,
                      "n_failed_rows": v.n_failed_rows,
                      "passed": bool(v.passed)})
     # partitions with zero rows after filters still count as visited
     for p in todo:
-        if not manifest.is_done(snapshot_id, p, compiled.ruleset_hash):
-            manifest.record(snapshot_id, p, compiled.ruleset_hash,
+        if not manifest.is_done(snap_of[p], p, compiled.ruleset_hash):
+            manifest.record(snap_of[p], p, compiled.ruleset_hash,
                             STATUS_VALIDATED, metrics={"n_rows": 0})
     manifest.save()
     return {"validated": todo, "skipped": skipped, "verdicts": res.verdicts,

@@ -123,6 +123,50 @@ def test_resume_skips_validated_partitions(spark, clips, tmp_path):
     assert sorted(r4["validated"]) == parts
 
 
+def test_per_partition_fingerprint_revalidates_only_changed(
+        spark, clips, tmp_path):
+    """Snapshot-diff resume: mutating ONE partition re-validates exactly
+    that partition, where the table-level snapshot id (which changes on
+    any write) would re-validate all of them."""
+    import glob
+    import os
+
+    table = str(tmp_path / "clips_fp_table")
+    fixtures.write_clips(clips, table)
+    parts = list_partitions(table, "part_date")
+
+    compiled = compile_ruleset(bundle("rulesets/clip.schema.yaml"),
+                               clips.schema, name="clip",
+                               exclude_columns=("ruleset_id",))
+    mpath = str(tmp_path / "manifest_fp.json")
+
+    kw = dict(partition_col="part_date", compiled=compiled,
+              row_id="clip_id", manifest_path=mpath,
+              per_partition_snapshots=True)
+    r1 = run_with_resume(spark, table, **kw)
+    assert sorted(r1["validated"]) == parts
+    r2 = run_with_resume(spark, table, **kw)
+    assert r2["validated"] == [] and sorted(r2["skipped"]) == parts
+
+    # rewrite one partition (append a file => its fingerprint changes)
+    target = parts[3]
+    pdir = os.path.join(table, f"part_date={target}")
+    src = glob.glob(os.path.join(pdir, "*.parquet"))[0]
+    with open(src, "rb") as fh:
+        payload = fh.read()
+    with open(os.path.join(pdir, "part-compacted.parquet"), "wb") as fh:
+        fh.write(payload)
+
+    r3 = run_with_resume(spark, table, **kw)
+    assert r3["validated"] == [target]
+    assert sorted(r3["skipped"]) == [p for p in parts if p != target]
+    # and it is idempotent again afterwards
+    r4 = run_with_resume(spark, table, **kw)
+    assert r4["validated"] == []
+    # the table-level id, by contrast, went stale for EVERY partition
+    assert snapshot_id_for(table) != "snap_0"
+
+
 def test_streaming_incremental(spark, clips, tmp_path):
     inp = str(tmp_path / "in")
     clips.write.parquet(inp)
