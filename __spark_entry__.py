@@ -353,6 +353,19 @@ def q_ngram_jaccard_documents(spark, sf):
                                      block_col="lang", n=3, threshold=0.55)
 
 
+def q_edit_sim_documents(spark, sf):
+    """Near-dup verification by edit distance: the lang-blocked Jaccard
+    candidates re-graded with Levenshtein on a bounded text prefix
+    (operators/dedup.edit_distance_pairs) — separates reorderings
+    (Jaccard-high, edit-low) from insertions (the reverse)."""
+    docs = _load(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                      block_col="lang", n=3, threshold=0.55)
+    return (dedup.edit_distance_pairs(pairs, docs, "text", "doc_id",
+                                      prefix_len=256)
+            .select("id_a", "id_b", "jaccard", "dist", "edit_sim"))
+
+
 CONTENT_RULESET = {
     "type": "object",
     "properties": {
@@ -837,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embed_sim_pairs": q_embed_sim_pairs,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "edit_sim_documents": q_edit_sim_documents,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "cluster_dedup_documents": q_cluster_dedup_documents,
         "validate_documents_content": q_validate_documents_content,
@@ -1454,6 +1468,18 @@ FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
         "ann_cosine_topk": _COSINE_TOPK_SQL,
         "embed_sim_pairs": _EMBED_PAIRS_SQL,
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
+        "edit_sim_documents": f"""
+WITH pr AS ({_NGRAM_JACCARD_SQL}),
+t AS (SELECT doc_id, substring(text, 1, 256) AS tt
+      FROM documents WHERE text IS NOT NULL)
+SELECT pr.id_a, pr.id_b, pr.jaccard,
+       levenshtein(a.tt, b.tt) AS dist,
+       round(1 - levenshtein(a.tt, b.tt) * 1.0
+             / greatest(length(a.tt), length(b.tt)), 6) AS edit_sim
+FROM pr
+JOIN t a ON a.doc_id = pr.id_a
+JOIN t b ON b.doc_id = pr.id_b
+""",
         "dedup_clusters_documents": _CLUSTERS_SQL,
         "cluster_dedup_documents": _CLUSTER_DEDUP_SQL,
         "validate_documents_content": _content_viol_sql(),

@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_exact_documents",
     "decontaminate_documents",
     "validate_documents_content",
+    "edit_sim_documents",
     "minhash_dedup_documents",
     "minhash_cluster_documents",
     "simhash_pairs_documents",

@@ -162,6 +162,41 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, *,
     return _track(pairs, sh)
 
 
+def edit_distance_pairs(pairs: DataFrame, df: DataFrame, text_col: str,
+                        id_col: str, *, prefix_len: int = 256) -> DataFrame:
+    """Verify candidate near-dup ``pairs`` (``id_a``, ``id_b`` + any
+    carry-through columns) with character-level edit distance: appends
+    ``dist`` (Levenshtein on the first ``prefix_len`` chars, pure JVM
+    ``F.levenshtein``) and ``edit_sim`` (1 - dist / longer-prefix-length).
+
+    Edit similarity grades what set-based Jaccard cannot see — shingle
+    sets ignore ORDER, so "the dog bit the man" and "the man bit the dog"
+    are Jaccard-identical but edit-distant; conversely a single long
+    insertion tanks Jaccard while edit_sim stays high. Running both on
+    the same candidate pairs separates reorderings from insertions.
+
+    Scale shape: texts join ONLY onto the already-blocked candidate
+    pairs, truncated to ``prefix_len`` chars before the shuffle, so the
+    payload per pair is bounded; Levenshtein's O(prefix_len^2) worst
+    case is a constant, not a function of document size. NULL-text
+    members drop out (absent evidence — the family's NULL policy)."""
+    t = (df.where(F.col(text_col).isNotNull())
+           .select(F.col(id_col).alias("_eid"),
+                   F.substring(F.col(text_col), 1, prefix_len).alias("_t")))
+    out = (pairs
+           .join(t.select(F.col("_eid").alias("id_a"),
+                          F.col("_t").alias("_ta")), "id_a")
+           .join(t.select(F.col("_eid").alias("id_b"),
+                          F.col("_t").alias("_tb")), "id_b")
+           .withColumn("dist", F.levenshtein("_ta", "_tb"))
+           .withColumn(
+               "edit_sim",
+               F.round(1 - F.col("dist")
+                       / F.greatest(F.length("_ta"), F.length("_tb")), 6))
+           .drop("_ta", "_tb"))
+    return _track(out, pairs)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding (the scale path)
 # ---------------------------------------------------------------------------

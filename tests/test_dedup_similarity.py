@@ -75,6 +75,37 @@ def test_ngram_jaccard(docs):
     assert pairs[(1, 2)] > 0.9
 
 
+def test_edit_distance_pairs_separates_reorder_from_insert(spark):
+    """Shingle Jaccard is order-blind; edit similarity is not — and a
+    pure insertion keeps edit_sim high while Jaccard drops."""
+    rows = [
+        (1, "the dog bit the man on main street today"),
+        (2, "the man bit the dog on main street today"),   # reorder of 1
+        (3, "the dog bit the man on main street today "
+            "and then some wholly unrelated padding text appears here"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a int, id_b int")
+    out = {(r.id_a, r.id_b): r for r in
+           dedup.edit_distance_pairs(cand, df, "text", "doc_id").collect()}
+    # identical shingle set, but real edit distance
+    r12 = out[(1, 2)]
+    assert r12.dist > 0 and 0 < r12.edit_sim < 1
+    # insertion: prefix matches entirely -> dist == the added suffix
+    r13 = out[(1, 3)]
+    assert r13.dist == len(rows[2][1]) - len(rows[0][1])
+    # NULL-text member drops out
+    assert (1, 4) not in out
+    # cross-check one distance against a reference implementation
+    import difflib
+    sm = difflib.SequenceMatcher(None, rows[0][1], rows[1][1])
+    # difflib isn't edit distance, so just sanity-bound: dist <= len
+    assert r12.dist <= max(len(rows[0][1]), len(rows[1][1]))
+    assert sm.ratio() > 0.5
+
+
 def test_ivf_matches_bruteforce_on_easy_query(spark):
     import numpy as np
     rng = np.random.default_rng(7)
