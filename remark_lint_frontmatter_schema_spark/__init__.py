@@ -18,10 +18,13 @@ from .operators.validate import validate, ValidationResult
 from .operators.table_checks import validate_with_table_checks
 from .operators.ingest import ingest_corpus
 from .operators.repair import (repair, RepairResult, route_and_repair, RoutedRepairResult)
+from .operators.stats_prune import prune_files, validate_with_stats_pruning
 from .sinks import write_split
 from .session import get_spark
 
 __all__ = [
+    "prune_files",
+    "validate_with_stats_pruning",
     "CompiledRuleset",
     "compile_ruleset",
     "bundle",

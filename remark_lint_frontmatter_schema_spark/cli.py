@@ -109,6 +109,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "repairable constraints BEFORE the gate (fix "
                          "what you can, quarantine the rest); repair log "
                          "lands under {ingest-out}/repair_log")
+    ap.add_argument("--prune-stats", action="store_true",
+                    help="with --embed: decide integer-bounds/required "
+                         "checks per FILE from parquet footer statistics "
+                         "and scan only unproven files "
+                         "(operators/stats_prune.py); identical "
+                         "violations, fewer bytes read. No effect unless "
+                         "the whole ruleset is footer-decidable.")
     ap.add_argument("--target-sr", type=int, default=16000)
     ap.add_argument("--fail-severities", default="error",
                     help="comma list; severities that quarantine a row")
@@ -196,7 +203,33 @@ def main(argv: list[str] | None = None) -> int:
             print(f"repair error [{stage}] {name}: {msg}", file=sys.stderr)
         df = spark.read.parquet(args.fix_out)
 
-    if args.single_pass and embed is None:
+    if args.prune_stats:
+        if embed is None:
+            print("--prune-stats requires --embed (per-row routed "
+                  "rulesets cannot be decided per file)", file=sys.stderr)
+            return 2
+        from .operators.stats_prune import validate_with_stats_pruning
+
+        table_for_scan = args.fix_out if args.fix_out else args.input
+        pruned = validate_with_stats_pruning(
+            spark, table_for_scan, embed, row_id=args.row_id,
+            name=os.path.splitext(os.path.basename(args.embed))[0],
+            partition_col=args.partition_col, run_id=val_run_id)
+        violations = pruned["result"].violations
+        verdicts = pruned["result"].verdicts
+        summ = pruned["report"].summary()
+        print(f"footer-stats pruning: skipped "
+              f"{len(pruned['skipped_files'])}/{summ['n_files']} files "
+              f"({pruned['rows_skipped']} rows proven clean by metadata)",
+              file=sys.stderr)
+
+        class _PrunedReport:
+            errors = []
+            passes = [type("P", (), {"ruleset_name": os.path.basename(
+                args.embed), "source": "embed+footer-stats"})()]
+
+        report = _PrunedReport()
+    elif args.single_pass and embed is None:
         from .plans.routing import route_and_validate_single_pass
 
         fused = route_and_validate_single_pass(

@@ -1123,7 +1123,10 @@ def transcript_conflict_violations(clips, *, max_distance: int = 2,
                                    frame_ms: int = 64, hop_ms: int = 32,
                                    reuse: bool = True,
                                    ruleset_name: str = "engine",
-                                   severity: str = "warning"):
+                                   severity: str = "warning",
+                                   grade_with_edit_sim: bool = False,
+                                   contradiction_below: float = 0.5,
+                                   prefix_len: int = 256):
     """Label-conflict detection: two clips whose AUDIO is an acoustic
     near-duplicate (spectral fingerprint within ``max_distance``) but
     whose transcripts normalize DIFFERENTLY carry contradictory labels —
@@ -1147,7 +1150,17 @@ def transcript_conflict_violations(clips, *, max_distance: int = 2,
     for spectrally SPARSE payloads (pure tones, DTMF, sine sweeps), where
     unrelated clips can collide within small Hamming radii and surface as
     spurious conflicts; on such corpora keep ``max_distance`` at 0-1.
-    Speech/music occupancy patterns are rich enough for the default."""
+    Speech/music occupancy patterns are rich enough for the default.
+
+    ``grade_with_edit_sim=True`` distinguishes contradiction from ASR
+    noise: conflicting pairs get a normalized-transcript edit similarity
+    (Levenshtein on the first ``prefix_len`` chars — the
+    ``dedup.edit_distance_pairs`` measure) and a pair below
+    ``contradiction_below`` escalates to severity ``error`` ("different
+    content": at least one label is WRONG), while a near-miss stays at
+    ``severity`` ("same utterance, noisy transcription" — fix, don't
+    drop). The extra shuffle carries bounded prefixes for CONFLICTING
+    pairs only; the detection join still moves 32-byte hashes."""
     from ..operators.dedup import _track
     from ..operators.text import normalized
     pairs = audio_neardup_pairs(clips, max_distance=max_distance,
@@ -1156,17 +1169,32 @@ def transcript_conflict_violations(clips, *, max_distance: int = 2,
     labels = (clips.select(F.col("clip_id"),
                            normalized(F.col(transcript_col)).alias("_nt"))
               .where(F.col("_nt").isNotNull() & (F.col("_nt") != ""))
-              .select("clip_id", F.sha2(F.col("_nt"), 256).alias("tfp")))
-    conflicts = (pairs
-                 .join(labels.select(F.col("clip_id").alias("id_a"),
-                                     F.col("tfp").alias("tfp_a")), "id_a")
-                 .join(labels.select(F.col("clip_id").alias("id_b"),
-                                     F.col("tfp").alias("tfp_b")), "id_b")
+              .select("clip_id", F.sha2(F.col("_nt"), 256).alias("tfp"),
+                      F.substring(F.col("_nt"), 1, prefix_len).alias("_np")))
+    lab_a = labels.select(F.col("clip_id").alias("id_a"),
+                          F.col("tfp").alias("tfp_a"),
+                          F.col("_np").alias("_np_a"))
+    lab_b = labels.select(F.col("clip_id").alias("id_b"),
+                          F.col("tfp").alias("tfp_b"),
+                          F.col("_np").alias("_np_b"))
+    if not grade_with_edit_sim:
+        lab_a, lab_b = lab_a.drop("_np_a"), lab_b.drop("_np_b")
+    conflicts = (pairs.join(lab_a, "id_a").join(lab_b, "id_b")
                  .where(F.col("tfp_a") != F.col("tfp_b")))
+    sev = F.lit(severity)
+    carry = ["hamming"]
+    if grade_with_edit_sim:
+        conflicts = conflicts.withColumn(
+            "edit_sim",
+            F.round(1 - F.levenshtein("_np_a", "_np_b")
+                    / F.greatest(F.length("_np_a"), F.length("_np_b")), 6))
+        sev = (F.when(F.col("edit_sim") < contradiction_below,
+                      F.lit("error")).otherwise(F.lit(severity)))
+        carry.append("edit_sim")
     both = conflicts.select(
-        F.col("id_a").alias("rid"), F.col("id_b").alias("other"), "hamming"
+        F.col("id_a").alias("rid"), F.col("id_b").alias("other"), *carry
     ).unionByName(conflicts.select(
-        F.col("id_b").alias("rid"), F.col("id_a").alias("other"), "hamming"))
+        F.col("id_b").alias("rid"), F.col("id_a").alias("other"), *carry))
     out = both.select(
         F.col("rid").cast("string").alias("row_id"),
         F.lit("all").alias("partition_id"),
@@ -1177,11 +1205,13 @@ def transcript_conflict_violations(clips, *, max_distance: int = 2,
         F.lit("#/x-label-conflict").alias("schema_path"),
         F.concat(
             F.lit("Must not contradict the transcript of acoustic "
-                  "near-duplicate `"),
-            F.col("other"), F.lit("`")).alias("message"),
+                  "near-duplicate `"), F.col("other"), F.lit("`"),
+            *((F.lit(" (edit_sim "), F.col("edit_sim").cast("string"),
+               F.lit(")"))
+              if grade_with_edit_sim else ())).alias("message"),
         F.col("hamming").cast("string").alias("actual"),
         F.lit(None).cast("array<string>").alias("expected"),
-        F.lit(severity).alias("severity"),
+        sev.alias("severity"),
     )
     # carry the persisted fingerprint relation's handle so release(df)
     # works on the violations (release_all remains the session safety net)

@@ -189,3 +189,37 @@ def test_cli_fix_mode_routes_without_embed(spark, table, config_dir,
                 for r in spark.read.parquet(log).collect()}
     assert log_rows == {("2", "clip", "nullify_enum"),
                         ("2", "clip", "clamp_min")}
+
+
+def test_cli_prune_stats_skips_proven_files(tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = tmp_path / "ptab"
+    t.mkdir()
+    pq.write_table(pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "sr": pa.array([16000, 22050, 44100], pa.int64()),
+    }), t / "clean.parquet")
+    pq.write_table(pa.table({
+        "id": pa.array([4, 5], pa.int64()),
+        "sr": pa.array([96000, 8000], pa.int64()),
+    }), t / "dirty.parquet")
+    embed = tmp_path / "bounds.yaml"
+    embed.write_text(
+        "required: [id]\nproperties:\n  sr:\n    minimum: 8000\n"
+        "    maximum: 48000\n")
+
+    rc = cli.main([str(t), "--row-id", "id", "--embed", str(embed),
+                   "--prune-stats", "--report", "json"])
+    cap = capsys.readouterr()
+    out = json.loads(cap.out)
+    assert rc == 0
+    assert out["n_violations"] == 1  # sr=96000
+    assert out["passes"][0]["source"] == "embed+footer-stats"
+    assert "skipped 1/2 files (3 rows proven clean" in cap.err
+
+
+def test_cli_prune_stats_requires_embed(table, config_dir, capsys):
+    assert cli.main([table, "--row-id", "id", "--prune-stats",
+                     "--report", "none"]) == 2

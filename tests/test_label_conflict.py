@@ -64,6 +64,32 @@ def test_conflicts_found_and_normalization_respected(clips):
     assert rows["a3"].severity == "warning"
 
 
+def test_edit_sim_grading_escalates_contradictions(clips):
+    """Graded mode: 'hello world' vs 'goodbye world' is 7 edits over 13
+    chars (edit_sim 0.4615) — below the default 0.5 knee, so the
+    conflict escalates to error; lowering the knee under the measured
+    similarity keeps it a warning. The message carries the measured
+    similarity either way."""
+    v = transcript_conflict_violations(clips, max_distance=3,
+                                       grade_with_edit_sim=True)
+    rows = v.collect()
+    assert rows and all("(edit_sim " in r.message for r in rows)
+    sims = {float(r.message.split("(edit_sim ")[1].rstrip(")"))
+            for r in rows}
+    assert all(0 < s_ < 1 for s_ in sims)
+    # levenshtein('hello world', 'goodbye world') = 7 -> 1 - 7/13
+    assert any(abs(s_ - 0.461538) < 1e-4 for s_ in sims)
+    assert {r.severity for r in rows} == {"error"}
+    # knee below the measured similarity: ASR-noise band, stays warning
+    v2 = transcript_conflict_violations(clips, max_distance=3,
+                                        grade_with_edit_sim=True,
+                                        contradiction_below=0.3)
+    assert {r.severity for r in v2.collect()} == {"warning"}
+    # ungraded call unchanged (no edit_sim in messages)
+    v3 = transcript_conflict_violations(clips, max_distance=3)
+    assert all("edit_sim" not in r.message for r in v3.collect())
+
+
 def test_matching_labels_and_null_transcripts_never_conflict(clips):
     v = transcript_conflict_violations(clips, max_distance=3)
     ids = {r.row_id for r in v.collect()}
