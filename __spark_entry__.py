@@ -354,15 +354,24 @@ def q_ngram_jaccard_documents(spark, sf):
 
 
 def q_edit_sim_documents(spark, sf):
-    """Near-dup verification by edit distance: the lang-blocked Jaccard
-    candidates re-graded with Levenshtein on a bounded text prefix
+    """Near-dup verification by edit distance: Jaccard candidates
+    re-graded with Levenshtein on a bounded text prefix
     (operators/dedup.edit_distance_pairs) — separates reorderings
-    (Jaccard-high, edit-low) from insertions (the reverse)."""
-    docs = _load(spark, sf, "documents")
+    (Jaccard-high, edit-low) from insertions (the reverse).
+
+    Blocking is (lang, length//32): the O(block^2) verifier join must
+    never see a whole-language block (2k docs at sf0.1 = 2.1M candidate
+    comparisons; the length band cuts that ~10x). Near-dups have
+    near-equal lengths, so the band costs little recall — and at the
+    top design point candidates come from LSH buckets
+    (minhash_dedup_documents), not from any quadratic block."""
+    docs = _load(spark, sf, "documents").withColumn(
+        "_blk", F.concat_ws("|", "lang",
+                            F.floor(F.length("text") / 32).cast("string")))
     pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
-                                      block_col="lang", n=3, threshold=0.55)
+                                      block_col="_blk", n=3, threshold=0.55)
     return (dedup.edit_distance_pairs(pairs, docs, "text", "doc_id",
-                                      prefix_len=256)
+                                      prefix_len=64)
             .select("id_a", "id_b", "jaccard", "dist", "edit_sim"))
 
 
@@ -1468,9 +1477,24 @@ FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
         "ann_cosine_topk": _COSINE_TOPK_SQL,
         "embed_sim_pairs": _EMBED_PAIRS_SQL,
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
-        "edit_sim_documents": f"""
-WITH pr AS ({_NGRAM_JACCARD_SQL}),
-t AS (SELECT doc_id, substring(text, 1, 256) AS tt
+        "edit_sim_documents": """
+WITH sh AS (
+  SELECT doc_id,
+         lang || '|' || CAST(CAST(floor(length(text) / 32.0) AS BIGINT)
+                             AS VARCHAR) AS blk,
+         list_distinct(list_transform(range(1, length(text) - 1),
+                                      i -> text[i : i + 2])) AS s
+  FROM documents WHERE length(text) >= 3
+),
+pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.s, b.s)) * 1.0
+               / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.55
+),
+t AS (SELECT doc_id, substring(text, 1, 64) AS tt
       FROM documents WHERE text IS NOT NULL)
 SELECT pr.id_a, pr.id_b, pr.jaccard,
        levenshtein(a.tt, b.tt) AS dist,

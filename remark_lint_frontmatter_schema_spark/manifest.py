@@ -128,6 +128,7 @@ def run_with_resume(
     run_id: str = "run_0",
     validate_fn=None,
     per_partition_snapshots: bool = False,
+    ruleset_doc: dict | None = None,
 ) -> dict:
     """Validate only partitions not yet recorded as validated.
 
@@ -142,6 +143,13 @@ def run_with_resume(
     re-validate everything (it changes whenever anything changes). The
     manifest stays append-only — a changed partition gets a new entry
     under its new fingerprint; the old entry remains as lineage.
+
+    ``ruleset_doc`` (the raw bundled ruleset dict) enables the
+    footer-statistics layer: pending partitions whose every file is
+    proven clean by parquet row-group stats (operators/stats_prune)
+    are recorded as validated — metrics from the footers, zero data
+    read — and only the residue is scanned. Returned under
+    ``"proven"`` (also included in ``"validated"``).
     """
     from .operators.validate import validate as _validate
 
@@ -155,8 +163,49 @@ def run_with_resume(
     todo = [p for p in all_parts
             if not manifest.is_done(snap_of[p], p, compiled.ruleset_hash)]
     skipped = [p for p in all_parts if p not in todo]
+
+    # footer-stats layer (stats_prune): a pending partition whose every
+    # file is PROVEN clean by parquet row-group statistics is recorded as
+    # validated with footer-derived metrics and never scanned. Composed
+    # with the fingerprint layer this is the full lakehouse path: the
+    # snapshot diff picks what is pending, the manifest stats clear most
+    # of it, Spark scans only the residue. Only legal when the whole
+    # ruleset is footer-decidable (PruneReport.skippable).
+    proven: list = []
+    if ruleset_doc is not None and todo:
+        import hashlib
+
+        from .operators.stats_prune import prune_files
+        doc_hash = hashlib.sha256(
+            json.dumps(ruleset_doc, sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]
+        if doc_hash != compiled.ruleset_hash:
+            raise ValueError(
+                "ruleset_doc is not the document `compiled` was built "
+                "from — footer proofs would assert a different ruleset "
+                f"({doc_hash} != {compiled.ruleset_hash})")
+        still = []
+        for p in todo:
+            pdir = os.path.join(table_path, f"{partition_col}={p}")
+            report = prune_files(pdir, ruleset_doc)
+            if (report.skippable and report.decisions
+                    and all(d.clean for d in report.decisions)):
+                n = sum(d.n_rows for d in report.decisions)
+                manifest.record(
+                    snap_of[p], p, compiled.ruleset_hash, STATUS_VALIDATED,
+                    metrics={"n_rows": n, "n_violations": 0,
+                             "n_failed_rows": 0, "passed": True,
+                             "proven_by": "footer-stats"})
+                proven.append(p)
+            else:
+                still.append(p)
+        todo = still
+
     if not todo:
-        return {"validated": [], "skipped": skipped, "verdicts": None}
+        if proven:
+            manifest.save()
+        return {"validated": proven, "skipped": skipped, "verdicts": None,
+                "proven": proven}
 
     df = spark.read.parquet(table_path).where(
         F.col(partition_col).cast("string").isin(todo))
@@ -177,8 +226,9 @@ def run_with_resume(
             manifest.record(snap_of[p], p, compiled.ruleset_hash,
                             STATUS_VALIDATED, metrics={"n_rows": 0})
     manifest.save()
-    return {"validated": todo, "skipped": skipped, "verdicts": res.verdicts,
-            "verdict_rows": verdict_rows}
+    return {"validated": proven + todo, "skipped": skipped,
+            "verdicts": res.verdicts, "verdict_rows": verdict_rows,
+            "proven": proven}
 
 
 def snapshot_id_for(table_path: str) -> str:

@@ -526,3 +526,47 @@ def test_streaming_repair(spark, tmp_path):
     stream_actions = {(r.row_id, r.action) for r in log.collect()}
     batch_actions = {(r.row_id, r.action) for r in bres.log.collect()}
     assert stream_actions == batch_actions
+
+
+def test_resume_with_footer_proofs_skips_clean_partitions(spark, tmp_path):
+    """The composed lakehouse path: fingerprints pick pending partitions,
+    parquet footer stats prove most of them clean with zero data read,
+    and only the residue is scanned."""
+    import pytest as _pytest
+
+    table = str(tmp_path / "ftab")
+    rows = [(i, 100 + i % 50, ["a", "b", "c"][i % 3]) for i in range(300)]
+    rows.append((9999, -5, "c"))  # one out-of-bounds row in partition c
+    df = spark.createDataFrame(rows, "id long, v long, pt string")
+    df.write.partitionBy("pt").parquet(table)
+
+    doc = {"type": "object", "required": ["id"],
+           "properties": {"v": {"minimum": -1, "maximum": 1000}}}
+    compiled = compile_ruleset(doc, df.schema, name="bounds")
+    kw = dict(partition_col="pt", compiled=compiled, row_id="id",
+              manifest_path=str(tmp_path / "fman.json"),
+              per_partition_snapshots=True, ruleset_doc=doc)
+
+    r1 = run_with_resume(spark, table, **kw)
+    # a and b proven by footers alone; c holds the violation -> scanned
+    assert sorted(r1["proven"]) == ["a", "b"]
+    assert sorted(r1["validated"]) == ["a", "b", "c"]
+    assert [v.partition_id for v in r1["verdict_rows"]] == ["c"]
+    assert not r1["verdict_rows"][0].passed
+
+    # footer-derived metrics landed in the manifest for proven partitions
+    m = Manifest.load(kw["manifest_path"])
+    proven_entries = [e for e in m.entries.values()
+                      if e["metrics"].get("proven_by") == "footer-stats"]
+    assert {e["partition_id"] for e in proven_entries} == {"a", "b"}
+    assert all(e["metrics"]["n_rows"] == 100 for e in proven_entries)
+
+    # idempotent rerun: nothing pending at all
+    r2 = run_with_resume(spark, table, **kw)
+    assert r2["validated"] == [] and sorted(r2["skipped"]) == ["a", "b", "c"]
+
+    # a mismatched doc must refuse rather than assert the wrong ruleset
+    with _pytest.raises(ValueError, match="ruleset_doc"):
+        run_with_resume(spark, table, **{
+            **kw, "manifest_path": str(tmp_path / "other.json"),
+            "ruleset_doc": {"properties": {"v": {"minimum": 0}}}})
