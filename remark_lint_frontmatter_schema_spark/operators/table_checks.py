@@ -102,6 +102,8 @@ def table_check_violations(
                     F.col(params["transcript"])),
                 transcript_col=params["transcript"],
                 max_distance=params["max_distance"],
+                grade_with_edit_sim=params.get("grade", False),
+                contradiction_below=params.get("contradiction_below", 0.5),
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
         elif kind == "decontaminate":

@@ -193,17 +193,24 @@ def validate(
     )
 
     # non-allErrors verdicts count at most one violation per row, matching
-    # the single-element Ajv error array in that mode
+    # the single-element Ajv error array in that mode. The severity split
+    # (the reference's vfile-reporter "N warnings, M errors" tally) always
+    # counts every fired check: it is a data-quality measure, independent
+    # of the all_errors REPORTING truncation.
+    ne = n_blocking_expr(compiled, ("error",))
     verdicts = (
         work
         .select(part, (nv if all_errors else F.least(nv, F.lit(1)))
-                .alias("_nv"))
+                .alias("_nv"),
+                ne.alias("_ne"), (nv - ne).alias("_nw"))
         .groupBy("partition_id")
         .agg(
             F.lit(ruleset_name).alias("ruleset_id"),
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col("_nv").cast("long")).alias("n_violations"),
             F.sum((F.col("_nv") > 0).cast("long")).alias("n_failed_rows"),
+            F.sum(F.col("_ne").cast("long")).alias("n_errors"),
+            F.sum(F.col("_nw").cast("long")).alias("n_warnings"),
         )
         .withColumn("passed", F.col("n_failed_rows") == 0)
         .withColumn("run_id", F.lit(run_id))

@@ -422,7 +422,12 @@ _KEYWORD_SHAPE = {
     and (v.get("max_distance") is None
          or (isinstance(v["max_distance"], int)
              and not isinstance(v["max_distance"], bool)
-             and 0 <= v["max_distance"] <= 7)),
+             and 0 <= v["max_distance"] <= 7))
+    and isinstance(v.get("grade", False), bool)
+    and (v.get("contradiction_below") is None
+         or (isinstance(v["contradiction_below"], (int, float))
+             and not isinstance(v["contradiction_below"], bool)
+             and 0 <= v["contradiction_below"] <= 1)),
     "x-drift": lambda v: isinstance(v, dict)
     and isinstance(v.get("partition_col"), str)
     and v.get("side_a") is not None and v.get("side_b") is not None
@@ -969,6 +974,11 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
                     "id": p["id"],
                     "transcript": p["transcript"],
                     "max_distance": int(p.get("max_distance", 2)),
+                    # edit-similarity grading: contradiction (below the
+                    # knee) escalates to error, ASR noise stays warning
+                    "grade": bool(p.get("grade", False)),
+                    "contradiction_below": float(
+                        p.get("contradiction_below", 0.5)),
                     "severity": ctx.severity,
                 }))
         else:

@@ -118,6 +118,25 @@ def test_verdicts(result):
     assert verdicts["p0"].n_failed_rows == 2
     assert not verdicts["p0"].passed
     assert verdicts["p1"].n_failed_rows == 3
+    # severity tally (vfile-reporter "N warnings, M errors"): default
+    # severity is warning, so every violation lands in n_warnings
+    for v in verdicts.values():
+        assert v.n_errors + v.n_warnings == v.n_violations
+        assert v.n_errors == 0
+
+
+def test_verdict_severity_split(spark):
+    df = spark.createDataFrame(
+        [(1, -5, "x"), (2, 3, "toolongvalue"), (3, 4, "ok")],
+        "id int, v int, s string")
+    compiled = compile_ruleset(
+        {"properties": {
+            "v": {"minimum": 0, "x-severity": "error"},
+            "s": {"maxLength": 5},
+        }}, df.schema, name="sev")
+    res = validate(df, compiled, row_id="id")
+    v = res.verdicts.collect()[0]
+    assert (v.n_errors, v.n_warnings, v.n_violations) == (1, 1, 2)
 
 
 def test_static_type_pass_is_free(spark):

@@ -115,6 +115,34 @@ def test_x_label_conflict_dsl_end_to_end(spark, clips):
                for r in res.violations.collect())
 
 
+def test_x_label_conflict_dsl_grading(spark, clips):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    compiled = compile_ruleset(
+        {"properties": {"bytes": {
+            "x-label-conflict": {"id": "clip_id",
+                                 "transcript": "transcript",
+                                 "max_distance": 3, "grade": True}}}},
+        clips.schema, name="clips")
+    res = validate_with_table_checks(clips, compiled, row_id="clip_id")
+    rows = res.violations.collect()
+    # hello/goodbye world: edit_sim 0.4615 < 0.5 knee -> escalated
+    assert rows and {r.severity for r in rows} == {"error"}
+    assert all("(edit_sim " in r.message for r in rows)
+    # an out-of-range knee is a compile-time refusal
+    from remark_lint_frontmatter_schema_spark.plans.bundler import (
+        RulesetCompileError)
+    import pytest as _pytest
+    with _pytest.raises(RulesetCompileError, match="x-label-conflict"):
+        compile_ruleset(
+            {"properties": {"bytes": {
+                "x-label-conflict": {"id": "clip_id",
+                                     "transcript": "transcript",
+                                     "contradiction_below": 1.5}}}},
+            clips.schema, name="clips")
+
+
 def test_x_label_conflict_rejects_bad_shape(spark, clips):
     from remark_lint_frontmatter_schema_spark import compile_ruleset
     from remark_lint_frontmatter_schema_spark.plans.bundler import (
