@@ -99,7 +99,13 @@ def render_report(violations: DataFrame, *, max_rows: int = 50) -> str:
     Only ever renders a LIMITed sample — the full relation stays
     distributed; the summary count is an aggregate, not a collect.
     """
-    n_total = violations.count()
+    tallies = violations.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("severity") == "error").cast("long")).alias("ne"),
+    ).collect()[0]
+    n_total = tallies.n or 0
+    n_err = int(tallies.ne or 0)
+    n_warn = n_total - n_err
     rows = (violations
             .orderBy("partition_id", "row_id", "instance_path",
                      "constraint_id")
@@ -113,11 +119,22 @@ def render_report(violations: DataFrame, *, max_rows: int = 50) -> str:
             lines.append(unit)
             current = unit
         loc = r.instance_path or "/"
-        lines.append(f"  {loc:24s} warning  {r.message}")
+        lines.append(f"  {loc:24s} {r.severity:7s}  {r.message}")
     shown = len(rows)
     lines.append("")
     suffix = "" if shown == n_total else f" (showing first {shown})"
-    lines.append(f"⚠ {n_total} warning{'s' if n_total != 1 else ''}{suffix}")
+
+    def _plural(n, word):
+        return f"{n} {word}{'s' if n != 1 else ''}"
+
+    # vfile-reporter summary: warnings-only keeps the ⚠ banner; any
+    # error escalates to "✖ N problems (X errors, Y warnings)"
+    if n_err:
+        lines.append(f"✖ {_plural(n_total, 'problem')} "
+                     f"({_plural(n_err, 'error')}, "
+                     f"{_plural(n_warn, 'warning')}){suffix}")
+    else:
+        lines.append(f"⚠ {_plural(n_total, 'warning')}{suffix}")
     return "\n".join(lines)
 
 

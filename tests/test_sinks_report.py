@@ -24,6 +24,21 @@ def test_report_renders_with_summary(result):
     assert "Must " in rep
 
 
+def test_report_escalates_to_problems_banner(spark):
+    """Any error-severity violation flips the summary to the vfile
+    '✖ N problems (X errors, Y warnings)' form."""
+    from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+    df = spark.createDataFrame(
+        [(1, -5, "toolongvalue"), (2, 3, "ok")], "id int, v int, s string")
+    compiled = compile_ruleset(
+        {"properties": {"v": {"minimum": 0, "x-severity": "error"},
+                        "s": {"maxLength": 5}}}, df.schema, name="sev")
+    rep = sinks.render_report(validate(df, compiled, row_id="id").violations)
+    last = rep.splitlines()[-1]
+    assert last == "✖ 2 problems (1 error, 1 warning)"
+    assert "  error " in rep and "  warning" in rep.replace(last, "")
+
+
 def test_violation_sink_roundtrip(result, tmp_path):
     p = str(tmp_path / "viol")
     sinks.write_violations(result.violations, p, run_id="r1")
