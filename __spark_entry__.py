@@ -824,6 +824,31 @@ def q_ann_ivf_topk(spark, sf):
                                       n_cells=8, n_probe=4)
 
 
+def q_ann_pq_topk(spark, sf):
+    """Product-quantization ADC top-k (operators/similarity.py): codes
+    are m bytes/vector vs 256 B of float32 — the memory-bound ANN scale
+    path. Codebooks train on a bounded driver sample (seeded
+    farthest-point + Lloyd -> no faithful SQL twin; rows-only check)."""
+    emb = _load(spark, sf, "embeddings")
+    # L2-normalize first: ADC is L2 distance, and on unit vectors L2
+    # rank == cosine rank (the operator contract: callers own
+    # normalization)
+    v = F.col("embedding").cast("array<double>")
+    n = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                           F.lit(0.0), lambda a, x: a + x))
+    emb = emb.select("vec_id",
+                     F.transform(v, lambda x: x / n).alias("embedding"))
+    q0 = [float(x) for x in
+          emb.where("vec_id = 0").select("embedding").first().embedding]
+    # m=16 x 64 codes: 16 B/vector, and ADC top-10 recovered 10/10 of
+    # the exact cosine top-30 on this corpus (8x16 read 4/10 — too
+    # coarse for structureless vectors; measured in BASELINE.md)
+    books = similarity.pq_train(emb, "embedding", "vec_id",
+                                dim=64, m=16, n_codes=64)
+    codes = similarity.pq_encode(emb, "embedding", "vec_id", books)
+    return similarity.pq_topk(codes, books, q0, k=10, id_col="vec_id")
+
+
 def q_embed_lsh_pairs(spark, sf):
     """Random-hyperplane LSH bucketing + exact cosine verify (seeded
     hyperplanes -> no faithful SQL twin; rows-only check)."""
@@ -888,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_cluster_documents": q_minhash_cluster_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
         "embed_lsh_pairs": q_embed_lsh_pairs,
         "approx_stats_lineitem": q_approx_stats_lineitem,
         "repair_orders": q_repair_orders,

@@ -58,6 +58,7 @@ HEADLINE = [
     "minhash_cluster_documents",
     "simhash_pairs_documents",
     "ann_cosine_topk",
+    "ann_pq_topk",
     "approx_stats_lineitem",
 ]
 

