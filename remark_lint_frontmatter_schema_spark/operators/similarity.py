@@ -332,7 +332,8 @@ def pq_train(df: DataFrame, vec_col: str, id_col: str, *, dim: int,
 
 
 def pq_encode(df: DataFrame, vec_col: str, id_col: str,
-              codebooks: list[list[list[float]]]) -> DataFrame:
+              codebooks: list[list[list[float]]], *,
+              passthrough: tuple = ()) -> DataFrame:
     """Encode each vector to its PQ code: ``(id_col, codes array<int>)``.
 
     One Arrow-batched map stage (pandas UDF): per batch, each subspace's
@@ -367,6 +368,7 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str,
 
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         _enc(F.col(vec_col).cast("array<double>")).alias("codes"))
 
 
@@ -395,3 +397,33 @@ def pq_topk(codes_df: DataFrame, codebooks: list[list[list[float]]],
     if exclude_id is not None:
         scored = scored.where(F.col(id_col) != exclude_id)
     return scored.orderBy(F.asc("adc"), F.col(id_col)).limit(k)
+
+
+def pq_encode_ivf(df: DataFrame, vec_col: str, id_col: str,
+                  codebooks: list[list[list[float]]],
+                  centroids: list[list[float]]) -> DataFrame:
+    """IVFADC index relation: ``(id_col, _cell int, codes array<int>)``
+    — the composition a 10^12-vector deployment persists, partitioned by
+    ``_cell``. One scan builds both: the coarse cell (JVM argmin over
+    ``centroids``, :func:`assign_cells`) and the PQ code (Arrow-batched,
+    :func:`pq_encode`); raw vectors are read once and stay cold."""
+    cells = assign_cells(df, vec_col, centroids)
+    return pq_encode(cells, vec_col, id_col, codebooks,
+                     passthrough=("_cell",))
+
+
+def pq_topk_ivf(enc_df: DataFrame, codebooks: list[list[list[float]]],
+                centroids: list[list[float]], query: list[float],
+                k: int = 10, *, n_probe: int = 2, id_col: str,
+                exclude_id=None) -> DataFrame:
+    """IVFADC query: probe the ``n_probe`` cells nearest the query
+    (driver arithmetic over the small centroid list), then ADC-rank only
+    those cells' codes. At the design point ``_cell`` is a partition
+    column, so the probe filter prunes at the source and the scan reads
+    ``n_probe/n_cells`` of the m-byte code column — the two approximations
+    (cell recall, code quantization) compose and are bounded separately."""
+    dists = [sum((a - b) ** 2 for a, b in zip(query, c)) for c in centroids]
+    probe = sorted(range(len(centroids)), key=lambda i: dists[i])[:n_probe]
+    return pq_topk(enc_df.where(F.col("_cell").isin(probe)),
+                   codebooks, query, k, id_col=id_col,
+                   exclude_id=exclude_id)

@@ -491,3 +491,39 @@ def test_pq_adc_matches_bruteforce_on_clustered_data(spark):
         df, "embedding", "vec_id", q, k=50, exclude_id=7).collect()}
     overlap = len(approx & exact50) / 10
     assert overlap >= 0.8, f"PQ top-10 vs exact top-50 overlap {overlap}"
+
+
+def test_ivfadc_composes_cell_pruning_with_adc(spark):
+    """IVFADC: probing every cell must equal plain ADC over all codes
+    (the composition adds pruning, not a third approximation); a 1-probe
+    query stays inside the query's own cluster."""
+    import numpy as np
+
+    from remark_lint_frontmatter_schema_spark.operators.similarity import (
+        farthest_point_centroids, pq_encode_ivf, pq_topk, pq_topk_ivf,
+        pq_train)
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(0, 1, (4, 16))
+    vecs = []
+    for i in range(200):
+        v = centers[i % 4] + rng.normal(0, 0.1, 16)
+        vecs.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
+
+    books = pq_train(df, "embedding", "vec_id", dim=16, m=4, n_codes=16)
+    cents = farthest_point_centroids(df, "embedding", "vec_id", 4)
+    enc = pq_encode_ivf(df, "embedding", "vec_id", books, cents)
+    assert set(enc.columns) == {"vec_id", "_cell", "codes"}
+
+    q = vecs[10][1]
+    all_probe = [r.vec_id for r in pq_topk_ivf(
+        enc, books, cents, q, k=10, n_probe=4, id_col="vec_id").collect()]
+    plain = [r.vec_id for r in pq_topk(
+        enc, books, q, k=10, id_col="vec_id").collect()]
+    assert all_probe == plain
+
+    one_probe = {r.vec_id for r in pq_topk_ivf(
+        enc, books, cents, q, k=10, n_probe=1, id_col="vec_id").collect()}
+    cluster = {i for i in range(200) if i % 4 == 10 % 4}
+    assert one_probe <= cluster
