@@ -109,6 +109,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "repairable constraints BEFORE the gate (fix "
                          "what you can, quarantine the rest); repair log "
                          "lands under {ingest-out}/repair_log")
+    ap.add_argument("--resume-manifest",
+                    help="validate mode (requires --embed and "
+                         "--partition-col): per-partition fingerprint "
+                         "resume — only partitions whose files changed "
+                         "since the manifest entry re-validate; combine "
+                         "with --prune-stats to clear pending partitions "
+                         "from parquet footers with zero data read "
+                         "(manifest.run_with_resume)")
     ap.add_argument("--prune-stats", action="store_true",
                     help="with --embed: decide integer-bounds/required "
                          "checks per FILE from parquet footer statistics "
@@ -202,6 +210,33 @@ def main(argv: list[str] | None = None) -> int:
         for name, stage, msg in fix_errors:
             print(f"repair error [{stage}] {name}: {msg}", file=sys.stderr)
         df = spark.read.parquet(args.fix_out)
+
+    if args.resume_manifest:
+        if embed is None or not args.partition_col:
+            print("--resume-manifest requires --embed and "
+                  "--partition-col", file=sys.stderr)
+            return 2
+        from .manifest import run_with_resume
+        from .plans.compiler import compile_ruleset as _compile
+        compiled = _compile(
+            embed, df.schema,
+            name=os.path.splitext(os.path.basename(args.embed))[0])
+        out = run_with_resume(
+            spark, args.input, partition_col=args.partition_col,
+            compiled=compiled, row_id=args.row_id,
+            manifest_path=args.resume_manifest, run_id=val_run_id,
+            per_partition_snapshots=True,
+            ruleset_doc=embed if args.prune_stats else None)
+        verdict_rows = out.get("verdict_rows", [])
+        summary = {
+            "validated": out["validated"],
+            "skipped": out["skipped"],
+            "proven_by_footer_stats": out.get("proven", []),
+            "verdicts": [r.asDict() for r in verdict_rows],
+        }
+        print(json.dumps(summary, default=str))
+        failed = any(not r.passed for r in verdict_rows)
+        return 1 if (args.frail and failed) else 0
 
     if args.prune_stats:
         if embed is None:

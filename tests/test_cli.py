@@ -223,3 +223,38 @@ def test_cli_prune_stats_skips_proven_files(tmp_path, capsys):
 def test_cli_prune_stats_requires_embed(table, config_dir, capsys):
     assert cli.main([table, "--row-id", "id", "--prune-stats",
                      "--report", "none"]) == 2
+
+
+def test_cli_resume_manifest_with_footer_proofs(spark, tmp_path, capsys):
+    t = str(tmp_path / "rtab")
+    rows = [(i, 100 + i % 40, ["a", "b"][i % 2]) for i in range(200)]
+    rows.append((777, 9999, "b"))  # out-of-bounds row in partition b
+    spark.createDataFrame(rows, "id long, v long, pt string") \
+        .write.partitionBy("pt").parquet(t)
+    embed = tmp_path / "rb.yaml"
+    embed.write_text("required: [id]\nproperties:\n  v:\n"
+                     "    minimum: 0\n    maximum: 1000\n")
+    man = str(tmp_path / "rman.json")
+
+    argv = [t, "--row-id", "id", "--embed", str(embed),
+            "--partition-col", "pt", "--resume-manifest", man,
+            "--prune-stats"]
+    rc = cli.main(argv)
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert out["proven_by_footer_stats"] == ["a"]   # clean by footers
+    assert sorted(out["validated"]) == ["a", "b"]
+    assert [v["partition_id"] for v in out["verdicts"]] == ["b"]
+    assert not out["verdicts"][0]["passed"]
+
+    # rerun: everything already recorded; --frail still exits 0 (nothing
+    # re-validated, no failing verdict THIS run)
+    rc2 = cli.main(argv + ["--frail"])
+    out2 = json.loads(capsys.readouterr().out)
+    assert rc2 == 0 and out2["validated"] == []
+    assert sorted(out2["skipped"]) == ["a", "b"]
+
+
+def test_cli_resume_manifest_requires_args(table, tmp_path, capsys):
+    assert cli.main([table, "--row-id", "id",
+                     "--resume-manifest", str(tmp_path / "m.json")]) == 2
