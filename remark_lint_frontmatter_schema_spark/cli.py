@@ -204,7 +204,12 @@ def main(argv: list[str] | None = None) -> int:
                 ruleset_col=ruleset_col, patterns=patterns,
                 partition_col=args.partition_col, schema_dirs=schema_dirs)
             rep, fix_errors = rr, rr.errors
-        rep.repaired.write.mode("overwrite").parquet(args.fix_out)
+        w = rep.repaired.write.mode("overwrite")
+        if args.resume_manifest and args.partition_col:
+            # the resume layer lists partition dirs and fingerprints them
+            # per partition — the repaired copy must keep the layout
+            w = w.partitionBy(args.partition_col)
+        w.parquet(args.fix_out)
         if args.repair_log_out:
             rep.log.write.mode("overwrite").parquet(args.repair_log_out)
         for name, stage, msg in fix_errors:
@@ -218,11 +223,14 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         from .manifest import run_with_resume
         from .plans.compiler import compile_ruleset as _compile
+        # after --fix-out the repaired copy is the table of record: it is
+        # what must be validated and what the manifest fingerprints
+        resume_table = args.fix_out if args.fix_out else args.input
         compiled = _compile(
-            embed, df.schema,
+            embed, spark.read.parquet(resume_table).schema,
             name=os.path.splitext(os.path.basename(args.embed))[0])
         out = run_with_resume(
-            spark, args.input, partition_col=args.partition_col,
+            spark, resume_table, partition_col=args.partition_col,
             compiled=compiled, row_id=args.row_id,
             manifest_path=args.resume_manifest, run_id=val_run_id,
             per_partition_snapshots=True,
@@ -260,8 +268,10 @@ def main(argv: list[str] | None = None) -> int:
 
         class _PrunedReport:
             errors = []
-            passes = [type("P", (), {"ruleset_name": os.path.basename(
-                args.embed), "source": "embed+footer-stats"})()]
+            passes = [type("P", (), {
+                "ruleset_name": os.path.splitext(
+                    os.path.basename(args.embed))[0],
+                "source": "embed+footer-stats"})()]
 
         report = _PrunedReport()
     elif args.single_pass and embed is None:

@@ -1184,10 +1184,9 @@ def transcript_conflict_violations(clips, *, max_distance: int = 2,
     sev = F.lit(severity)
     carry = ["hamming"]
     if grade_with_edit_sim:
+        from ..operators.dedup import edit_similarity
         conflicts = conflicts.withColumn(
-            "edit_sim",
-            F.round(1 - F.levenshtein("_np_a", "_np_b")
-                    / F.greatest(F.length("_np_a"), F.length("_np_b")), 6))
+            "edit_sim", edit_similarity("_np_a", "_np_b"))
         sev = (F.when(F.col("edit_sim") < contradiction_below,
                       F.lit("error")).otherwise(F.lit(severity)))
         carry.append("edit_sim")

@@ -173,12 +173,9 @@ def run_with_resume(
     # ruleset is footer-decidable (PruneReport.skippable).
     proven: list = []
     if ruleset_doc is not None and todo:
-        import hashlib
-
         from .operators.stats_prune import prune_files
-        doc_hash = hashlib.sha256(
-            json.dumps(ruleset_doc, sort_keys=True, default=str).encode()
-        ).hexdigest()[:16]
+        from .plans.compiler import ruleset_hash
+        doc_hash = ruleset_hash(ruleset_doc)
         if doc_hash != compiled.ruleset_hash:
             raise ValueError(
                 "ruleset_doc is not the document `compiled` was built "

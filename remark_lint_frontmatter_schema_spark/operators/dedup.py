@@ -162,6 +162,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, *,
     return _track(pairs, sh)
 
 
+def edit_similarity(a, b, *, decimals: int = 6):
+    """THE engine's edit-similarity measure: 1 - levenshtein / longer
+    length, rounded. One definition — :func:`edit_distance_pairs` and
+    the audio label-conflict grading both compare against it, so the
+    formula must not fork."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.round(
+        1 - F.levenshtein(a, b) / F.greatest(F.length(a), F.length(b)),
+        decimals)
+
+
 def edit_distance_pairs(pairs: DataFrame, df: DataFrame, text_col: str,
                         id_col: str, *, prefix_len: int = 256) -> DataFrame:
     """Verify candidate near-dup ``pairs`` (``id_a``, ``id_b`` + any
@@ -189,10 +201,7 @@ def edit_distance_pairs(pairs: DataFrame, df: DataFrame, text_col: str,
            .join(t.select(F.col("_eid").alias("id_b"),
                           F.col("_t").alias("_tb")), "id_b")
            .withColumn("dist", F.levenshtein("_ta", "_tb"))
-           .withColumn(
-               "edit_sim",
-               F.round(1 - F.col("dist")
-                       / F.greatest(F.length("_ta"), F.length("_tb")), 6))
+           .withColumn("edit_sim", edit_similarity("_ta", "_tb"))
            .drop("_ta", "_tb"))
     return _track(out, pairs)
 

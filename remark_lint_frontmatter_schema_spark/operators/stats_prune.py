@@ -65,6 +65,7 @@ from dataclasses import dataclass, field
 import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from ..plans.compiler import compile_ruleset
 from .validate import ValidationResult, validate
@@ -247,9 +248,14 @@ def _table_files(table_path: str) -> list:
 
 
 def _decide_file(path: str, decidable: list,
-                 arrow_schema: pa.Schema) -> FileDecision:
-    md = pq.read_metadata(path)
-    file_schema = pq.ParquetFile(path).schema_arrow
+                 arrow_schema: pa.Schema,
+                 pf: pq.ParquetFile | None = None) -> FileDecision:
+    # one footer open serves both the stats and the schema — the
+    # metadata pass IS the thing this module optimizes, don't read it
+    # twice per file
+    pf = pf or pq.ParquetFile(path)
+    md = pf.metadata
+    file_schema = pf.schema_arrow
     unproven: list = []
     # column-chunk index by dotted path (stable across row groups)
     idx: dict = {}
@@ -298,9 +304,12 @@ def prune_files(table_path: str, schema: dict) -> PruneReport:
     files = _table_files(table_path)
     if not files:
         return PruneReport([], [], [])
-    arrow_schema = pq.ParquetFile(files[0]).schema_arrow
+    pf0 = pq.ParquetFile(files[0])
+    arrow_schema = pf0.schema_arrow
     decidable, scan_only = analyze_ruleset(schema, arrow_schema)
-    decisions = [_decide_file(p, decidable, arrow_schema) for p in files]
+    decisions = [_decide_file(files[0], decidable, arrow_schema, pf=pf0)]
+    decisions += [_decide_file(p, decidable, arrow_schema)
+                  for p in files[1:]]
     return PruneReport(decidable, scan_only, decisions)
 
 
@@ -354,11 +363,48 @@ def validate_with_stats_pruning(
     result: ValidationResult = validate(
         df, compiled, row_id=row_id, partition_col=partition_col,
         run_id=run_id)
+
+    # verdicts must account for EVERY row, including footer-proven files
+    # the scan never read — otherwise a fully-proven partition vanishes
+    # from the verdict relation and row counts stop reconciling against
+    # the source. Proven files contribute footer-derived rows (zero
+    # violations by proof); union + re-aggregate merges them with the
+    # scanned residue's verdicts.
+    skipped_set = set(skipped)
+    proven = [d for d in report.decisions if d.path in skipped_set]
+    if proven:
+        marker = f"{partition_col}=" if partition_col else None
+
+        def _part_of(path: str) -> str:
+            if marker:
+                for seg in path.split(os.sep):
+                    if seg.startswith(marker):
+                        return seg[len(marker):]
+            return "all"
+
+        spark_s = df.sparkSession
+        extra = spark_s.createDataFrame(
+            [(_part_of(d.path), compiled.name, d.n_rows, 0, 0, 0, 0,
+              True, run_id) for d in proven],
+            "partition_id string, ruleset_id string, n_rows long, "
+            "n_violations long, n_failed_rows long, n_errors long, "
+            "n_warnings long, passed boolean, run_id string")
+        verdicts = (result.verdicts.unionByName(extra)
+                    .groupBy("partition_id", "ruleset_id", "run_id")
+                    .agg(F.sum("n_rows").alias("n_rows"),
+                         F.sum("n_violations").alias("n_violations"),
+                         F.sum("n_failed_rows").alias("n_failed_rows"),
+                         F.sum("n_errors").alias("n_errors"),
+                         F.sum("n_warnings").alias("n_warnings"))
+                    .withColumn("passed", F.col("n_failed_rows") == 0)
+                    .select(*result.verdicts.columns))
+        result = ValidationResult(
+            violations=result.violations, verdicts=verdicts,
+            annotated=result.annotated, compiled=result.compiled)
     return {
         "result": result,
         "report": report,
         "scanned_files": scanned,
         "skipped_files": skipped,
-        "rows_skipped": sum(d.n_rows for d in report.decisions
-                            if d.path in set(skipped)),
+        "rows_skipped": sum(d.n_rows for d in proven),
     }

@@ -196,13 +196,16 @@ def validate(
     # the single-element Ajv error array in that mode. The severity split
     # (the reference's vfile-reporter "N warnings, M errors" tally) always
     # counts every fired check: it is a data-quality measure, independent
-    # of the all_errors REPORTING truncation.
+    # of the all_errors REPORTING truncation. n_warnings counts ONLY
+    # severity "warning" — x-severity also allows "info", which belongs
+    # in n_violations but in neither bucket (vfile tallies infos apart).
     ne = n_blocking_expr(compiled, ("error",))
+    nw = n_blocking_expr(compiled, ("warning",))
     verdicts = (
         work
         .select(part, (nv if all_errors else F.least(nv, F.lit(1)))
                 .alias("_nv"),
-                ne.alias("_ne"), (nv - ne).alias("_nw"))
+                ne.alias("_ne"), nw.alias("_nw"))
         .groupBy("partition_id")
         .agg(
             F.lit(ruleset_name).alias("ruleset_id"),

@@ -969,16 +969,20 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
         # separate relational pass (fingerprint self-join) like x-dedup
         if is_top:
             p = schema["x-label-conflict"]
+            # explicit nulls pass the shape check (None is "use the
+            # default"), and dict.get does NOT apply its default for
+            # present-but-null keys — coerce explicitly
+            md = p.get("max_distance")
+            cb = p.get("contradiction_below")
             ctx.out.table_checks.append(
                 ("label_conflict", ctx.instance_path[1:], {
                     "id": p["id"],
                     "transcript": p["transcript"],
-                    "max_distance": int(p.get("max_distance", 2)),
+                    "max_distance": 2 if md is None else int(md),
                     # edit-similarity grading: contradiction (below the
                     # knee) escalates to error, ASR noise stays warning
                     "grade": bool(p.get("grade", False)),
-                    "contradiction_below": float(
-                        p.get("contradiction_below", 0.5)),
+                    "contradiction_below": 0.5 if cb is None else float(cb),
                     "severity": ctx.severity,
                 }))
         else:
@@ -1477,6 +1481,17 @@ def _sub_file(ctx: _Ctx, sub) -> str:
     return ctx.schema_file
 
 
+def ruleset_hash(schema: dict) -> str:
+    """Canonical content hash of a ruleset document — THE identity the
+    resume manifest keys on and that ``run_with_resume`` uses to verify
+    a ``ruleset_doc`` matches its compiled form. One definition: any
+    change to the recipe invalidates manifests, so both sites must move
+    together."""
+    return hashlib.sha256(
+        json.dumps(schema, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+
+
 def compile_ruleset(
     schema: dict,
     df_schema: T.StructType,
@@ -1515,9 +1530,7 @@ def compile_ruleset(
         df_schema = T.StructType(
             [f for f in df_schema.fields if f.name not in exclude_columns])
     out = CompiledRuleset(name=name)
-    out.ruleset_hash = hashlib.sha256(
-        json.dumps(schema, sort_keys=True, default=str).encode()
-    ).hexdigest()[:16]
+    out.ruleset_hash = ruleset_hash(schema)
     ctx = _Ctx(col=None, dtype=None, instance_path="", schema_path="#",
                schema_file=schema_file, df_schema=df_schema,
                root_schema=schema, out=out,

@@ -300,6 +300,7 @@ def route_and_validate_single_pass(
 
     from ..operators.validate import (VIOLATION_FIELDS,
                                       _raw_violations_array,
+                                      n_blocking_expr,
                                       n_violations_expr)
 
     registry = registry or {}
@@ -336,7 +337,9 @@ def route_and_validate_single_pass(
         for c in compiled.checks:
             merged.checks.append(_dc_replace(
                 c, violated=pred & F.coalesce(c.violated, F.lit(False))))
-        route_nv.append((name, pred, n_violations_expr(compiled)))
+        route_nv.append((name, pred, n_violations_expr(compiled),
+                         n_blocking_expr(compiled, ("error",)),
+                         n_blocking_expr(compiled, ("warning",))))
 
     nv = n_violations_expr(merged)
     part = (F.col(partition_col).cast("string") if partition_col
@@ -358,16 +361,22 @@ def route_and_validate_single_pass(
     route_entries = F.array(*[
         F.struct(F.lit(name).alias("rid"),
                  F.coalesce(pred, F.lit(False)).alias("applies"),
-                 rnv.alias("nv"))
-        for name, pred, rnv in route_nv
+                 rnv.alias("nv"), rne.alias("ne"), rnw.alias("nw"))
+        for name, pred, rnv, rne, rnw in route_nv
     ])
+    # column set and order mirror operators.validate verdicts exactly —
+    # both relations land in the same append-mode verdict sinks, and a
+    # schema fork there makes spark.read's sampled-footer inference
+    # nondeterministic
     verdicts = (
         df.select(part, F.explode(route_entries).alias("r"))
           .where(F.col("r.applies"))
           .groupBy("partition_id", F.col("r.rid").alias("ruleset_id"))
           .agg(F.count(F.lit(1)).alias("n_rows"),
                F.sum(F.col("r.nv").cast("long")).alias("n_violations"),
-               F.sum((F.col("r.nv") > 0).cast("long")).alias("n_failed_rows"))
+               F.sum((F.col("r.nv") > 0).cast("long")).alias("n_failed_rows"),
+               F.sum(F.col("r.ne").cast("long")).alias("n_errors"),
+               F.sum(F.col("r.nw").cast("long")).alias("n_warnings"))
           .withColumn("passed", F.col("n_failed_rows") == 0)
           .withColumn("run_id", F.lit(run_id))
     )

@@ -102,10 +102,11 @@ def render_report(violations: DataFrame, *, max_rows: int = 50) -> str:
     tallies = violations.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col("severity") == "error").cast("long")).alias("ne"),
+        F.sum((F.col("severity") == "warning").cast("long")).alias("nw"),
     ).collect()[0]
     n_total = tallies.n or 0
     n_err = int(tallies.ne or 0)
-    n_warn = n_total - n_err
+    n_warn = int(tallies.nw or 0)  # info rows count in n_total only
     rows = (violations
             .orderBy("partition_id", "row_id", "instance_path",
                      "constraint_id")

@@ -258,3 +258,35 @@ def test_cli_resume_manifest_with_footer_proofs(spark, tmp_path, capsys):
 def test_cli_resume_manifest_requires_args(table, tmp_path, capsys):
     assert cli.main([table, "--row-id", "id",
                      "--resume-manifest", str(tmp_path / "m.json")]) == 2
+
+
+def test_cli_fix_out_composes_with_resume_manifest(spark, tmp_path, capsys):
+    """--fix-out + --resume-manifest: the REPAIRED copy is the table of
+    record — it is written partitioned, validated, and fingerprinted in
+    the manifest (not the unrepaired input)."""
+    t = str(tmp_path / "frtab")
+    rows = [(i, -5 if i % 10 == 0 else 50, ["a", "b"][i % 2])
+            for i in range(100)]
+    spark.createDataFrame(rows, "id long, v long, pt string") \
+        .write.partitionBy("pt").parquet(t)
+    embed = tmp_path / "fr.yaml"
+    embed.write_text("required: [id]\nproperties:\n  v:\n    minimum: 0\n"
+                     "    maximum: 1000\n    default: 0\n")
+    fixed = str(tmp_path / "fixed")
+
+    rc = cli.main([t, "--row-id", "id", "--embed", str(embed),
+                   "--partition-col", "pt", "--fix-out", fixed,
+                   "--resume-manifest", str(tmp_path / "frman.json"),
+                   "--prune-stats"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    # repair clamped every v into bounds, so the repaired copy is
+    # footer-proven clean everywhere — zero scan, no failing verdicts
+    assert sorted(out["proven_by_footer_stats"]) == ["a", "b"]
+    assert out["verdicts"] == []
+    # the repaired copy kept the partition layout the resume layer needs
+    import os
+    assert sorted(d for d in os.listdir(fixed) if d.startswith("pt=")) \
+        == ["pt=a", "pt=b"]
+    # and the fixed table really is clean
+    assert spark.read.parquet(fixed).where("v < 0").count() == 0

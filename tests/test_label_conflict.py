@@ -171,3 +171,20 @@ def test_x_label_conflict_nested_goes_unknown(spark):
         df.schema, name="clips")
     assert not compiled.table_checks
     assert any(kw == "x-label-conflict" for _, kw in compiled.unknown)
+
+
+def test_x_label_conflict_accepts_explicit_nulls(spark, clips):
+    # YAML `max_distance: null` / `contradiction_below: null` means "use
+    # the default" — dict.get does not apply defaults for present-but-
+    # null keys, so the compiler must coerce, not crash
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    compiled = compile_ruleset(
+        {"properties": {"bytes": {
+            "x-label-conflict": {"id": "clip_id",
+                                 "transcript": "transcript",
+                                 "max_distance": None,
+                                 "contradiction_below": None}}}},
+        clips.schema, name="clips")
+    params = compiled.table_checks[0][2]
+    assert params["max_distance"] == 2
+    assert params["contradiction_below"] == 0.5

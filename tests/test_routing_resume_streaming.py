@@ -314,9 +314,14 @@ def test_single_pass_routing_matches_multi_pass(clips):
 
     def verdict_set(df):
         return {(r.partition_id, r.ruleset_id, r.n_rows, r.n_violations,
-                 r.n_failed_rows, r.passed) for r in df.collect()}
+                 r.n_failed_rows, r.n_errors, r.n_warnings, r.passed)
+                for r in df.collect()}
 
     assert verdict_set(fused["verdicts"]) == verdict_set(multi.verdicts)
+    # schema parity is part of the contract: both relations land in the
+    # same append-mode verdict sinks, where a column fork makes read-back
+    # schema inference nondeterministic
+    assert fused["verdicts"].columns == multi.verdicts.columns
     # and it is genuinely one scan: a single FileScan/LocalTableScan in
     # the fused violations plan vs one per routed ruleset in multi-pass
     fused_plan = fused["violations"]._jdf.queryExecution() \

@@ -137,6 +137,29 @@ def test_pruned_violations_match_full_scan(spark, table):
     scanned = set(out["result"].annotated.inputFiles())
     assert not any(f.endswith("clean.parquet") for f in scanned)
 
+    # verdicts account for EVERY row, including the footer-proven file
+    # the scan never touched (50 proven + 3 + 2 scanned)
+    v = out["result"].verdicts.collect()
+    assert len(v) == 1
+    assert (v[0].n_rows, v[0].n_violations, v[0].passed) == (55, 3, False)
+
+
+def test_fully_proven_table_still_yields_verdicts(spark, tmp_path):
+    t = tmp_path / "allclean"
+    t.mkdir()
+    pq.write_table(pa.table({
+        "clip_id": pa.array(["a", "b"], pa.string()),
+        "sr_hz": pa.array([16000, 22050], pa.int32()),
+        "dur_ms": pa.array([10, 20], pa.int32()),
+    }), t / "f.parquet")
+    out = validate_with_stats_pruning(
+        spark, str(t), BOUNDS_RULESET, row_id="clip_id", name="bounds")
+    assert out["scanned_files"] == [] and out["rows_skipped"] == 2
+    v = out["result"].verdicts.collect()
+    assert len(v) == 1
+    assert (v[0].n_rows, v[0].n_violations, bool(v[0].passed)) == (2, 0, True)
+    assert out["result"].violations.count() == 0
+
 
 def test_nulls_in_bounded_column_still_provably_clean(tmp_path):
     # NULL passes presence-guarded bounds; min/max stats exclude nulls,
