@@ -182,6 +182,19 @@ def q_repair_log_orders(spark, sf):
             .select("column", "action", "n"))
 
 
+def q_footer_profile_lineitem(spark, sf):
+    """Metadata-only column profile (operators/stats_prune.footer_profile):
+    per-integer-column n_rows/null_count/min/max aggregated from parquet
+    row-group statistics — ZERO data read. The oracle is a full-scan
+    aggregate: footer math must equal the scan exactly."""
+    from remark_lint_frontmatter_schema_spark.operators.stats_prune import (
+        footer_profile,
+    )
+    return footer_profile(
+        spark, f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"])
+
+
 def q_outliers_events(spark, sf):
     """Robust modified-z outliers on events.value (operators/outliers.py):
     median/MAD from two single-column aggregates broadcast back onto a
@@ -866,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders": q_validate_orders,
         "validate_lineitem_pruned": q_validate_lineitem_pruned,
+        "footer_profile_lineitem": q_footer_profile_lineitem,
         "verdict_orders": q_verdict_orders,
         "stats_lineitem": q_stats_lineitem,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
@@ -1356,6 +1370,23 @@ SELECT constraint_id, row_id, rn FROM s WHERE rn <= 3
 def oracle_sql() -> dict[str, str]:
     return {
         "validate_orders": _ORDERS_VIOL_SQL,
+        "footer_profile_lineitem": """
+SELECT col AS "column", n_rows, null_count, min_value, max_value FROM (
+  SELECT 'l_orderkey' AS col, count(*) AS n_rows,
+         count(*) - count(l_orderkey) AS null_count,
+         min(l_orderkey) AS min_value, max(l_orderkey) AS max_value
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', count(*), count(*) - count(l_partkey),
+         min(l_partkey), max(l_partkey) FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', count(*), count(*) - count(l_suppkey),
+         min(l_suppkey), max(l_suppkey) FROM lineitem
+  UNION ALL
+  SELECT 'l_linenumber', count(*), count(*) - count(l_linenumber),
+         min(l_linenumber), max(l_linenumber) FROM lineitem
+)
+""",
         "validate_lineitem_pruned": """
 SELECT CAST(l_orderkey AS VARCHAR) AS row_id,
        'pruned:/l_linenumber:maximum' AS constraint_id,

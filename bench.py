@@ -32,6 +32,7 @@ HEADLINE = [
     "validate_orders",
     "verdict_orders",
     "validate_lineitem_pruned",
+    "footer_profile_lineitem",
     "repair_orders",
     "repair_log_orders",
     "validate_events_props",

@@ -408,3 +408,60 @@ def validate_with_stats_pruning(
         "skipped_files": skipped,
         "rows_skipped": sum(d.n_rows for d in proven),
     }
+
+
+def footer_profile(spark: SparkSession, table_path: str,
+                   columns: list | None = None) -> "object":
+    """Metadata-only column profile: ``(column, n_rows, null_count,
+    min, max)`` per column, aggregated across every file's row-group
+    statistics — ZERO data read. The 100 TB move: global min = min of
+    chunk minima, null_count = sum of chunk null_counts, so a profile
+    that would scan terabytes is a footer walk (on Iceberg, a manifest
+    query).
+
+    Integer columns only, same soundness rule as the prune proofs
+    (float stats drop NaN; string min/max are writer-truncatable) —
+    which also makes the result EXACTLY equal to a full-scan
+    min/max/count aggregate, asserted by the driver oracle
+    ``footer_profile_lineitem``. Columns whose stats are absent in any
+    chunk (or non-integer) are omitted rather than guessed. Returns a
+    Spark DataFrame so it composes with the relational surface."""
+    files = _table_files(table_path)
+    acc: dict = {}
+    for path in files:
+        pf = pq.ParquetFile(path)
+        md, schema = pf.metadata, pf.schema_arrow
+        idx = {}
+        if md.num_row_groups:
+            rg0 = md.row_group(0)
+            idx = {rg0.column(j).path_in_schema: j
+                   for j in range(rg0.num_columns)}
+        for name, j in idx.items():
+            if columns is not None and name not in columns:
+                continue
+            t = _resolve(schema, name)
+            if t is None or not _is_integer(t):
+                continue
+            for g in range(md.num_row_groups):
+                c = md.row_group(g).column(j)
+                s = c.statistics
+                if (s is None or not s.has_min_max
+                        or not s.has_null_count):
+                    acc[name] = None  # incomplete stats: omit, not guess
+                    break
+                cur = acc.get(name)
+                if cur is None and name in acc:
+                    break  # already marked incomplete
+                n = c.num_values  # parquet num_values INCLUDES nulls
+                if cur is None:
+                    acc[name] = [n, s.null_count, s.min, s.max]
+                else:
+                    cur[0] += n
+                    cur[1] += s.null_count
+                    cur[2] = min(cur[2], s.min)
+                    cur[3] = max(cur[3], s.max)
+    rows = [(k, v[0], v[1], int(v[2]), int(v[3]))
+            for k, v in sorted(acc.items()) if v is not None]
+    return spark.createDataFrame(
+        rows, "column string, n_rows long, null_count long, "
+              "min_value long, max_value long")

@@ -199,3 +199,33 @@ def test_required_on_missing_column_is_scan_only(table):
     assert not report.skippable
     assert any(kw == "required" and "not in file footer" in why
                for _p, kw, why in report.scan_only)
+
+
+def test_footer_profile_matches_scan(spark, table, tmp_path):
+    from remark_lint_frontmatter_schema_spark.operators.stats_prune import (
+        footer_profile,
+    )
+    prof = {r.column: r for r in footer_profile(spark, table).collect()}
+    # integer columns only — clip_id (string) omitted, not guessed
+    assert set(prof) == {"sr_hz", "dur_ms"}
+    import pyspark.sql.functions as f
+    full = spark.read.parquet(table).agg(
+        f.count(f.lit(1)).alias("n"),
+        f.sum(f.col("sr_hz").isNull().cast("long")).alias("nn"),
+        f.min("sr_hz").alias("mn"), f.max("sr_hz").alias("mx")).collect()[0]
+    r = prof["sr_hz"]
+    assert (r.n_rows, r.null_count, r.min_value, r.max_value) == \
+        (full.n, full.nn, full.mn, full.mx)
+
+    # null-bearing column: counts reconcile exactly
+    p2 = tmp_path / "np"
+    p2.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+    pq2.write_table(pa.table({
+        "v": pa.array([1, None, 3, None], pa.int64())}), p2 / "a.parquet")
+    pq2.write_table(pa.table({
+        "v": pa.array([7, 8], pa.int64())}), p2 / "b.parquet")
+    r2 = footer_profile(spark, str(p2)).collect()[0]
+    assert (r2.n_rows, r2.null_count, r2.min_value, r2.max_value) \
+        == (6, 2, 1, 8)
