@@ -325,3 +325,48 @@ def test_content_keywords_stay_jvm_side(spark, tmp_path):
         "raw": {"contentMediaType": "audio/wav"}}}, df.schema)
     plan = _plan(_v(df, compiled, row_id="id").violations)
     assert "EvalPython" not in plan, plan
+
+
+def test_edit_distance_truncates_before_the_join(spark):
+    """edit_distance_pairs must shuffle BOUNDED prefixes: the substring
+    sits below the join exchange (in the text-side projection), so a
+    10 MB document never crosses the wire — and the join itself carries
+    no raw text column."""
+    from remark_lint_frontmatter_schema_spark.operators import dedup
+    docs = spark.createDataFrame(
+        [(1, "alpha " * 200), (2, "alpha " * 199 + "beta ")],
+        "doc_id int, text string")
+    cand = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    out = dedup.edit_distance_pairs(cand, docs, "text", "doc_id",
+                                    prefix_len=64)
+    opt = _optimized(out)
+    # the optimized plan's text-side projections substring at the source
+    proj_lines = [ln for ln in opt.splitlines() if "substring" in ln]
+    assert proj_lines, opt
+    assert all("levenshtein" not in ln for ln in proj_lines)
+    # raw `text` never appears as a join output (only the _t prefixes)
+    join_lines = [ln for ln in opt.splitlines() if "Join" in ln]
+    assert join_lines and all("text#" not in ln for ln in join_lines), opt
+
+
+def test_pq_adc_scan_is_pure_jvm(spark):
+    """pq_topk's ADC scan must be a JVM projection over the code column:
+    no Python/Arrow stage (the pandas UDF belongs to ENCODE only) and a
+    TakeOrderedAndProject instead of a full sort."""
+    from remark_lint_frontmatter_schema_spark.operators import similarity
+    codes = spark.createDataFrame(
+        [(i, [i % 4, (i + 1) % 4]) for i in range(50)],
+        "vec_id int, codes array<int>")
+    books = [[[0.0, 0.0], [1.0, 1.0], [2.0, 2.0], [3.0, 3.0]]] * 2
+    out = similarity.pq_topk(codes, books, [0.5, 0.5, 1.5, 1.5], k=5,
+                             id_col="vec_id")
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, \
+        plan
+    # encode, by contrast, IS the Arrow stage
+    enc_plan = _plan(similarity.pq_encode(
+        spark.createDataFrame([(1, [0.1, 0.2, 0.3, 0.4])],
+                              "vec_id int, embedding array<float>"),
+        "embedding", "vec_id", books))
+    assert "ArrowEvalPython" in enc_plan, enc_plan
