@@ -297,19 +297,48 @@ def _decide_file(path: str, decidable: list,
                         clean=not unproven, unproven=unproven)
 
 
-def prune_files(table_path: str, schema: dict) -> PruneReport:
+def prune_files(table_path: str, schema: dict, *,
+                spark: SparkSession | None = None,
+                distribute_above: int = 64) -> PruneReport:
     """Footer-only pass over every parquet file under ``table_path``:
     which files are provably clean for the ruleset's decidable checks,
-    and which checks need a scan no footer can replace."""
+    and which checks need a scan no footer can replace.
+
+    Pass ``spark`` to DISTRIBUTE the footer walk: the per-file decision
+    is a pure function of (path, proofs, schema), so above
+    ``distribute_above`` files it fans out as an RDD map — a serial
+    driver loop over a million footers would make the metadata pass the
+    new bottleneck of the thing it optimizes. (On Iceberg the stats live
+    in the manifest and this whole walk is a catalog query; the decision
+    logic is identical.) Decisions are byte-identical either way,
+    asserted in tests."""
     files = _table_files(table_path)
     if not files:
         return PruneReport([], [], [])
     pf0 = pq.ParquetFile(files[0])
     arrow_schema = pf0.schema_arrow
     decidable, scan_only = analyze_ruleset(schema, arrow_schema)
-    decisions = [_decide_file(files[0], decidable, arrow_schema, pf=pf0)]
-    decisions += [_decide_file(p, decidable, arrow_schema)
-                  for p in files[1:]]
+    if spark is not None and len(files) > distribute_above:
+        schema_bytes = arrow_schema.serialize().to_pybytes()
+
+        def _decide_part(paths):
+            import pyarrow as _pa
+            ref = _pa.ipc.read_schema(_pa.py_buffer(schema_bytes))
+            for p in paths:
+                yield _decide_file(p, decidable, ref)
+
+        sc = spark.sparkContext
+        n_slices = max(1, min(len(files) // 16,
+                              sc.defaultParallelism * 2))
+        decisions = sorted(
+            sc.parallelize(files, n_slices).mapPartitions(
+                _decide_part).collect(),
+            key=lambda d: d.path)
+    else:
+        decisions = [_decide_file(files[0], decidable, arrow_schema,
+                                  pf=pf0)]
+        decisions += [_decide_file(p, decidable, arrow_schema)
+                      for p in files[1:]]
     return PruneReport(decidable, scan_only, decisions)
 
 
@@ -338,7 +367,7 @@ def validate_with_stats_pruning(
     rows were proven violation-free by metadata alone (their per-file
     row counts also come from the footers — zero data read).
     """
-    report = prune_files(table_path, schema)
+    report = prune_files(table_path, schema, spark=spark)
     all_files = [d.path for d in report.decisions]
     if report.skippable:
         scanned = [d.path for d in report.decisions if not d.clean]

@@ -229,3 +229,23 @@ def test_footer_profile_matches_scan(spark, table, tmp_path):
     r2 = footer_profile(spark, str(p2)).collect()[0]
     assert (r2.n_rows, r2.null_count, r2.min_value, r2.max_value) \
         == (6, 2, 1, 8)
+
+
+def test_distributed_prune_matches_serial(spark, tmp_path):
+    """The RDD-distributed footer walk must produce byte-identical
+    decisions to the serial driver loop (pure function of path+proofs)."""
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(80):
+        bad = i % 7 == 0
+        _write(d / f"f{i:03d}.parquet",
+               [(f"c{i}", 96000 if bad else 16000, 100)])
+    ruleset = {"required": ["clip_id"],
+               "properties": {"sr_hz": {"minimum": 8000, "maximum": 48000}}}
+    serial = prune_files(str(d), ruleset)
+    dist = prune_files(str(d), ruleset, spark=spark, distribute_above=10)
+    assert [(x.path, x.n_rows, x.clean, x.unproven)
+            for x in serial.decisions] == \
+           [(x.path, x.n_rows, x.clean, x.unproven)
+            for x in dist.decisions]
+    assert sum(not x.clean for x in dist.decisions) == 12  # ceil(80/7)
