@@ -487,6 +487,53 @@ def q_validate_events_props(spark, sf):
         "actual")
 
 
+VARIANT_RULESET = {
+    "type": "object",
+    "properties": {
+        "props_v": {
+            "type": "object",
+            "required": ["k", "name"],
+            "properties": {
+                "k": {"type": "integer", "minimum": 0, "maximum": 60},
+                "name": {"type": "string", "maxLength": 8},
+            },
+            "additionalProperties": False,
+        },
+    },
+}
+
+
+def q_validate_events_variant(spark, sf):
+    """Spark-4 VariantType-native semi-structured path (plans/variant.py):
+    ``parse_json`` keeps each value's own JSON type, so `type: integer`
+    fires on the JSON string "10" and on 12.5, JSON null is present-but-
+    not-a-number, and a missing key fires `required` — exact Ajv
+    semantics the from_json map<string,string> route (S2) coerces away.
+    The heterogeneous document is derived deterministically from event_id
+    (the table's own props column is homogeneous); the DuckDB oracle
+    rebuilds it and checks types with an independent JSON implementation
+    (json_type)."""
+    ev = _load(spark, sf, "events")
+    k = F.pmod(F.col("event_id"), F.lit(100)).cast("bigint")
+    m = F.pmod(F.col("event_id"), F.lit(7))
+    js = (
+        F.when(m == 0, F.format_string('{"k": %d, "name": "ok"}', k))
+         .when(m == 1, F.format_string('{"k": "%d", "name": "ok"}', k))
+         .when(m == 2, F.lit('{"k": null, "name": "ok"}'))
+         .when(m == 3, F.lit('{"name": "ok"}'))
+         .when(m == 4, F.format_string('{"k": %d.5, "name": "ok"}', k))
+         .when(m == 5, F.format_string(
+             '{"k": %d, "name": "toolong_name_xx"}', k))
+         .otherwise(F.format_string(
+             '{"k": %d, "name": "ok", "z": true}', k)))
+    doc = ev.select("event_id", F.parse_json(js).alias("props_v"))
+    compiled = compile_ruleset(VARIANT_RULESET, doc.schema,
+                               name="events_variant")
+    return validate(doc, compiled, row_id="event_id").violations.select(
+        "row_id", "constraint_id", "keyword", "instance_path", "message",
+        "actual")
+
+
 PART_RULESET = {
     "type": "object",
     "properties": {
@@ -905,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cluster_dedup": q_embed_cluster_dedup,
         "decontaminate_documents": q_decontaminate_documents,
         "validate_events_props": q_validate_events_props,
+        "validate_events_variant": q_validate_events_variant,
         "validate_part_composition": q_validate_part_composition,
         "validate_events_formats": q_validate_events_formats,
         "validate_events_pattern_props": q_validate_events_pattern_props,
@@ -1297,6 +1345,73 @@ WITH p AS (
 SELECT row_id, constraint_id, keyword, instance_path, message, actual FROM v
 """
 
+_VARIANT_VIOL_SQL = """
+WITH src AS (
+  SELECT event_id,
+         CASE event_id % 7
+           WHEN 0 THEN printf('{"k": %d, "name": "ok"}', event_id % 100)
+           WHEN 1 THEN printf('{"k": "%d", "name": "ok"}', event_id % 100)
+           WHEN 2 THEN '{"k": null, "name": "ok"}'
+           WHEN 3 THEN '{"name": "ok"}'
+           WHEN 4 THEN printf('{"k": %d.5, "name": "ok"}', event_id % 100)
+           WHEN 5 THEN printf('{"k": %d, "name": "toolong_name_xx"}',
+                              event_id % 100)
+           ELSE printf('{"k": %d, "name": "ok", "z": true}', event_id % 100)
+         END::JSON AS js
+  FROM events
+), typed AS (
+  SELECT event_id, js,
+         json_type(js, '$.k') AS kt,
+         js->>'$.k' AS ks,
+         TRY_CAST(js->>'$.k' AS DOUBLE) AS kd,
+         js->>'$.name' AS name
+  FROM src
+), v AS (
+  -- type integer: integral tag, or a float with zero fraction (Ajv)
+  SELECT CAST(event_id AS VARCHAR) AS row_id,
+         'events_variant:/props_v/k:type' AS constraint_id,
+         'type' AS keyword, '/props_v/k' AS instance_path,
+         'Must be integer • #/properties/props_v/properties/k/type' AS message,
+         CASE WHEN kt = 'NULL' THEN 'null' ELSE ks END AS actual
+  FROM typed
+  WHERE kt IS NOT NULL
+        AND NOT (kt IN ('UBIGINT', 'BIGINT')
+                 OR (kt = 'DOUBLE' AND kd = floor(kd)))
+  UNION ALL
+  -- required fires on a MISSING key only; a present JSON null satisfies it
+  SELECT CAST(event_id AS VARCHAR),
+         'events_variant:/props_v:required', 'required', '/props_v',
+         'Must have required property ''k'' • #/properties/props_v/required',
+         CAST(NULL AS VARCHAR)
+  FROM typed WHERE kt IS NULL
+  UNION ALL
+  -- numeric bound applies to JSON numbers only (never the string "10")
+  SELECT CAST(event_id AS VARCHAR),
+         'events_variant:/props_v/k:maximum', 'maximum', '/props_v/k',
+         'Must be <= 60 • #/properties/props_v/properties/k/maximum',
+         ks
+  FROM typed WHERE kt IN ('UBIGINT', 'BIGINT', 'DOUBLE') AND kd > 60
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR),
+         'events_variant:/props_v/name:maxLength', 'maxLength',
+         '/props_v/name',
+         'Must NOT have more than 8 characters • #/properties/props_v/properties/name/maxLength',
+         name
+  FROM typed
+  WHERE json_type(js, '$.name') = 'VARCHAR' AND length(name) > 8
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR),
+         'events_variant:/props_v:additionalProperties',
+         'additionalProperties', '/props_v',
+         'Must NOT have additional properties • #/properties/props_v/additionalProperties',
+         array_to_string(list_filter(json_keys(js),
+                                     x -> x NOT IN ('k', 'name')), ',')
+  FROM typed
+  WHERE len(list_filter(json_keys(js), x -> x NOT IN ('k', 'name'))) > 0
+)
+SELECT row_id, constraint_id, keyword, instance_path, message, actual FROM v
+"""
+
 _PART_COMP_SQL = """
 WITH v AS (
   SELECT CAST(p_partkey AS VARCHAR) AS row_id,
@@ -1567,6 +1682,7 @@ JOIN t b ON b.doc_id = pr.id_b
         "embed_cluster_dedup": _EMBED_CLUSTER_DEDUP_SQL,
         "decontaminate_documents": _DECONTAMINATE_SQL,
         "validate_events_props": _PROPS_VIOL_SQL,
+        "validate_events_variant": _VARIANT_VIOL_SQL,
         "validate_part_composition": _PART_COMP_SQL,
         "validate_events_formats": _formats_oracle_sql(),
         "validate_events_pattern_props": """

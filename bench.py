@@ -36,6 +36,7 @@ HEADLINE = [
     "repair_orders",
     "repair_log_orders",
     "validate_events_props",
+    "validate_events_variant",
     "validate_part_composition",
     "stats_lineitem",
     "profile_lineitem",

@@ -26,13 +26,14 @@ from __future__ import annotations
 import hashlib
 import json
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as _dc_replace
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .bundler import RulesetCompileError, resolve_internal_ref
+from . import variant as _vr
 from ..functions import content as _content
 from ..functions.formats import (FORMAT_ALWAYS_OK, FORMAT_FINITE,
                                  FORMAT_NUMERIC_RANGE, FORMAT_REGEX,
@@ -187,7 +188,29 @@ def _actual_str(col: Column | None, dtype: T.DataType | None) -> Column:
         return F.lit(None).cast("string")
     if isinstance(dtype, T.BinaryType):
         return F.hex(F.substring(col, 1, 16))
+    if _vr.is_variant(dtype):
+        # bare value for scalars, JSON text for object/array; a present
+        # JSON null renders as "null" (Ajv's node.toString()), not SQL NULL
+        return F.when(_vr.is_json_null(col), F.lit("null")) \
+                .otherwise(_vr.as_string(col))
+    if isinstance(dtype, (T.MapType, T.ArrayType)) and _has_variant(dtype):
+        # variant object/array VIEWS: cast-to-string has no variant path,
+        # to_json does
+        return F.to_json(col)
     return col.cast("string")
+
+
+def _has_variant(dtype: T.DataType) -> bool:
+    """Variant anywhere inside a (possibly nested) complex type."""
+    if _vr.is_variant(dtype):
+        return True
+    if isinstance(dtype, T.ArrayType):
+        return _has_variant(dtype.elementType)
+    if isinstance(dtype, T.MapType):
+        return _has_variant(dtype.keyType) or _has_variant(dtype.valueType)
+    if isinstance(dtype, T.StructType):
+        return any(_has_variant(f.dataType) for f in dtype.fields)
+    return False
 
 
 def _add(ctx: _Ctx, kw: str, violated: Column, message: str,
@@ -280,6 +303,23 @@ def _type_check(ctx: _Ctx, json_type) -> None:
         # "null" is the presence guard) — the == spelling sent unions to
         # the always-violated fallthrough
         _add(ctx, "type", _present(ctx) & (ctx.col != F.floor(ctx.col)), msg)
+        return
+    if _vr.is_variant(dtype):
+        # variant keeps the value's own JSON type per row
+        # (schema_of_variant tag), so this is the one column kind where
+        # `type` has exact Ajv semantics dynamically: "10" is a string,
+        # 10 is a number/integer, JSON null is type "null" (present)
+        oks = [ok for t in types if (ok := _vr.type_ok(ctx.col, t)) is not None]
+        if not oks:
+            ctx.out.static_failures.append(
+                (ctx.instance_path, "type",
+                 f"no JSON type in {types} is testable"))
+            _add(ctx, "type", _present(ctx), msg)
+            return
+        any_ok = oks[0]
+        for o in oks[1:]:
+            any_ok = any_ok | o
+        _add(ctx, "type", _present(ctx) & ~any_ok, msg)
         return
     # statically impossible (e.g. int column where string required):
     # every present value violates
@@ -494,8 +534,181 @@ def _shape_walk(schema: dict, path: str = "#") -> None:
                 _shape_walk(sub, f"{path}/{key}/{name}")
 
 
-def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
+# keyword routing for Spark-4 VariantType nodes (plans/variant.py):
+# scalars compile against per-row JSON type tags; object/array keywords
+# reuse the generic MapType/ArrayType machinery through typed views;
+# composition re-enters the generic body on the variant column itself
+_VARIANT_ARRAY_KWS = frozenset((
+    "items", "additionalItems", "prefixItems", "maxItems", "minItems",
+    "contains", "minContains", "maxContains"))
+_VARIANT_OBJECT_KWS = frozenset((
+    "required", "properties", "patternProperties", "additionalProperties",
+    "minProperties", "maxProperties", "propertyNames", "dependentRequired",
+    "dependencies"))
+_VARIANT_PASSTHROUGH_KWS = frozenset((
+    "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
+    # user callable receives the variant Column itself
+    "x-spark-check"))
+# known keywords with no variant compile: surfaced in `unknown` (strict
+# mode flags them), never a silent vacuous pass. uniqueItems needs value
+# equality and Catalyst defines no ordering on VARIANT; content keywords
+# and the relational x- declarations are typed-column operators.
+_VARIANT_UNSUPPORTED_KWS = frozenset((
+    "uniqueItems", "contentEncoding", "contentMediaType",
+    "x-unique", "x-ref", "x-drift", "x-dedup", "x-langid", "x-rate",
+    "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier"))
+
+
+def _compile_variant_node(schema: dict, ctx: _Ctx) -> None:
+    """One schema node bound to a VariantType column.
+
+    The value's own JSON type survives per row, so this path has exact
+    Ajv type semantics (``type: "number"`` fires on the JSON string
+    ``"10"``) — the fidelity the ``from_json``-to-map path coerces away.
+    Null-vs-missing is exact too: a missing property is SQL NULL (value
+    keywords vacuous, ``required`` fires), JSON ``null`` is a present
+    VOID variant (``required`` satisfied, ``type`` fires).
+    """
+    for kw in schema:
+        if kw not in _KNOWN_KEYWORDS:
+            ctx.out.unknown.append((ctx.instance_path, kw))
+        elif kw in _KEYWORD_SHAPE and not _KEYWORD_SHAPE[kw](schema[kw]):
+            raise RulesetCompileError(
+                f"JSON schema malformed: bad value for {kw!r} at "
+                f"{ctx.instance_path or '/'}: {schema[kw]!r}")
+        elif kw in _VARIANT_UNSUPPORTED_KWS:
+            ctx.out.unknown.append((ctx.instance_path, f"{kw}:variant"))
+    if "x-severity" in schema:
+        ctx.severity = schema["x-severity"]
+    if "$ref" in schema and isinstance(schema["$ref"], str):
+        sub = resolve_internal_ref(ctx.root_schema, schema["$ref"])
+        _compile_keywords(sub, _dc_replace(ctx))
+    _variant_scalar_checks(schema, ctx)
+    arr = {k: v for k, v in schema.items() if k in _VARIANT_ARRAY_KWS}
+    if arr:
+        # array<variant> view: NULL for non-arrays, so array keywords are
+        # vacuous there (JSON Schema semantics); element probes recurse
+        # back through the variant entry
+        _compile_keywords(arr, _dc_replace(
+            ctx, col=_vr.as_array(ctx.col),
+            dtype=T.ArrayType(_vr.VariantType())))
+    obj = {k: v for k, v in schema.items() if k in _VARIANT_OBJECT_KWS}
+    if obj:
+        # map<string,variant> view: keeps a JSON-null field as a PRESENT
+        # entry, so map_contains_key == Ajv `required`; property values
+        # are variants that recurse back through the variant entry
+        _compile_keywords(obj, _dc_replace(
+            ctx, col=_vr.as_object(ctx.col),
+            dtype=T.MapType(T.StringType(), _vr.VariantType())))
+    comp = {k: v for k, v in schema.items() if k in _VARIANT_PASSTHROUGH_KWS}
+    if comp:
+        # composition probes need the variant column itself; the flag
+        # suppresses re-entry for THIS node only — probe recursion into
+        # sub-schemas comes back through the variant entry as usual
+        _compile_keywords(comp, _dc_replace(ctx), _variant_entry_done=True)
+
+
+def _variant_scalar_checks(schema: dict, ctx: _Ctx) -> None:
+    """Scalar keywords on a variant node — every check is a pure-JVM
+    Catalyst expression over the variant binary; messages byte-match the
+    typed-column compilers so report fidelity is path-independent."""
+    col = ctx.col
+    if "type" in schema:
+        _type_check(ctx, schema["type"])
+
+    if "enum" in schema:
+        allowed = schema["enum"]
+        eqs = [_vr.value_eq(col, v) for v in allowed]
+        if any(e is None for e in eqs):
+            # object/array enum members: JSON equality is key-order
+            # insensitive, a serialized compare would not be — surface
+            ctx.out.unknown.append(
+                (ctx.instance_path, "enum:variant-composite-literal"))
+        else:
+            ok = eqs[0]
+            for e in eqs[1:]:
+                ok = ok | e
+            msg = _reason("must be equal to one of the allowed values",
+                          ctx, "enum", expected=allowed)
+            _add(ctx, "enum", _present(ctx) & ~ok, msg, expected=allowed)
+
+    if "const" in schema:
+        v = schema["const"]
+        eq = _vr.value_eq(col, v)
+        if eq is None:
+            ctx.out.unknown.append(
+                (ctx.instance_path, "const:variant-composite-literal"))
+        else:
+            msg = _reason("must be equal to constant", ctx, "const",
+                          expected=[v])
+            _add(ctx, "const", _present(ctx) & ~eq, msg, expected=[v])
+
+    # string keywords: Ajv applies them to string instances only — the
+    # per-row STRING tag is the guard (a number is vacuously valid); the
+    # unguarded string VIEW would coerce numbers ("10" vs 10)
+    s = _vr.as_string(col)
+    is_str = _vr.is_string(col)
+    if "maxLength" in schema:
+        n = schema["maxLength"]
+        msg = _reason(f"must NOT have more than {n} characters", ctx,
+                      "maxLength")
+        _add(ctx, "maxLength",
+             _present(ctx) & is_str & (F.length(s) > n), msg)
+    if "minLength" in schema:
+        n = schema["minLength"]
+        msg = _reason(f"must NOT have fewer than {n} characters", ctx,
+                      "minLength")
+        _add(ctx, "minLength",
+             _present(ctx) & is_str & (F.length(s) < n), msg)
+    if "pattern" in schema:
+        p = schema["pattern"]
+        msg = _reason(f'must match pattern "{p}"', ctx, "pattern")
+        _add(ctx, "pattern", _present(ctx) & is_str & ~s.rlike(p), msg)
+    if "format" in schema:
+        f = schema["format"]
+        msg = _reason(f'must match format "{f}"', ctx, "format")
+        if f in FORMAT_REGEX:
+            _add(ctx, "format",
+                 _present(ctx) & is_str & ~s.rlike(FORMAT_REGEX[f]), msg)
+        elif f in FORMAT_ALWAYS_OK:
+            ctx.out.static_passes.append((ctx.instance_path, f"format:{f}"))
+        else:
+            # numeric-range / finite / UDF formats stay typed-column-only
+            ctx.out.unknown.append(
+                (ctx.instance_path, f"format:{f}:variant"))
+
+    # numeric keywords: guarded by the numeric tag (Ajv: non-numbers are
+    # vacuously valid; the double view alone would coerce "10" and true)
+    d = _vr.as_double(col)
+    is_num = _vr.is_numeric(col)
+    for kw, op, txt in (
+        ("minimum", lambda c, n: c < n, "must be >= {}"),
+        ("maximum", lambda c, n: c > n, "must be <= {}"),
+        ("exclusiveMinimum", lambda c, n: c <= n, "must be > {}"),
+        ("exclusiveMaximum", lambda c, n: c >= n, "must be < {}"),
+    ):
+        if kw in schema:
+            n = schema[kw]
+            msg = _reason(txt.format(n), ctx, kw)
+            _add(ctx, kw, _present(ctx) & is_num & op(d, F.lit(n)), msg)
+    if "multipleOf" in schema:
+        k = schema["multipleOf"]
+        msg = _reason(f"must be multiple of {k}", ctx, "multipleOf")
+        _add(ctx, "multipleOf",
+             _present(ctx) & is_num & (F.pmod(d, F.lit(k)) != 0), msg)
+
+
+def _compile_keywords(schema: dict, ctx: _Ctx, *,
+                      _variant_entry_done: bool = False) -> None:
     """Compile every keyword of one schema node (no short-circuit)."""
+    if (not _variant_entry_done and ctx.col is not None
+            and _vr.is_variant(ctx.dtype)):
+        # Spark-4 VariantType node: scalar keywords compile against
+        # per-row JSON type tags; object/array keywords reuse this very
+        # body through map<string,variant> / array<variant> views
+        # (plans/variant.py module docstring)
+        _compile_variant_node(schema, ctx)
+        return
     for kw in schema:
         if kw not in _KNOWN_KEYWORDS:
             ctx.out.unknown.append((ctx.instance_path, kw))
@@ -511,7 +724,6 @@ def _compile_keywords(schema: dict, ctx: _Ctx) -> None:
         ctx.severity = schema["x-severity"]
 
     if "$ref" in schema and isinstance(schema["$ref"], str):
-        from dataclasses import replace as _dc_replace
         sub = resolve_internal_ref(ctx.root_schema, schema["$ref"])
         # shallow ctx copy: keywords inside the $ref'd subtree (notably
         # x-severity) must not leak into the referring node's remaining
