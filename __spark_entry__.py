@@ -217,6 +217,40 @@ def q_outliers_events_by_type(spark, sf):
                           group_col="event_type")
 
 
+_MONO_COLS = ("row_id", "partition_id", "ruleset_id", "constraint_id",
+              "keyword", "instance_path", "schema_path", "message",
+              "severity")
+
+
+def q_monotonic_events_by_user(spark, sf):
+    """x-monotonic grouped path (operators/sequence.py): per user_id,
+    `value` must be non-decreasing over event_id order — fires ~5k times
+    at sf0.01, so the oracle comparison is non-trivial (the generated ts
+    column IS monotone per user and would match vacuously). One shuffle on
+    the group key; only (id, value, order, group) ever shuffle. `actual`
+    is excluded to keep double stringification out of the hash; pair
+    identity is in row_id."""
+    from remark_lint_frontmatter_schema_spark.operators.sequence import (
+        monotonic_violations)
+    ev = _load(spark, sf, "events")
+    return monotonic_violations(
+        ev, "value", order_by="event_id", row_id="event_id",
+        by="user_id").select(*_MONO_COLS)
+
+
+def q_monotonic_events_global(spark, sf):
+    """x-monotonic global path: bucketed total order (repartitionByRange +
+    within-bucket windows + an n_buckets-row boundary pass) instead of the
+    single-task global window — the oracle IS that global window in DuckDB,
+    so this pins the bucketed plan to the naive semantics exactly."""
+    from remark_lint_frontmatter_schema_spark.operators.sequence import (
+        monotonic_violations)
+    ev = _load(spark, sf, "events")
+    return monotonic_violations(
+        ev, "value", order_by="event_id", row_id="event_id",
+        n_buckets=8).select(*_MONO_COLS)
+
+
 def q_content_json_events(spark, sf):
     """contentMediaType application/json checker (functions/content.py)
     over events.props, plus the same probe on a truncated copy (drops the
@@ -980,6 +1014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_stats_lineitem": q_approx_stats_lineitem,
         "repair_orders": q_repair_orders,
         "outliers_events": q_outliers_events,
+        "monotonic_events_by_user": q_monotonic_events_by_user,
+        "monotonic_events_global": q_monotonic_events_global,
         "repair_log_orders": q_repair_log_orders,
         "content_json_events": q_content_json_events,
         "outliers_events_by_type": q_outliers_events_by_type,
@@ -1991,6 +2027,44 @@ WITH c AS (
                THEN substring(o_orderpriority, 1, 8)
                ELSE o_orderpriority END, '^[1-3]-'))
 SELECT col AS "column", action, n FROM c WHERE n > 0
+""",
+        "monotonic_events_by_user": """
+WITH seq AS (
+  SELECT event_id,
+         lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev,
+         value
+  FROM events
+  WHERE value IS NOT NULL AND event_id IS NOT NULL
+)
+SELECT CAST(event_id AS VARCHAR) AS row_id,
+       'all' AS partition_id,
+       'engine' AS ruleset_id,
+       'monotonic:value' AS constraint_id,
+       'x-monotonic' AS keyword,
+       '/value' AS instance_path,
+       '#/x-monotonic/value' AS schema_path,
+       'Must be non-decreasing over ''event_id'' within ''user_id''' AS message,
+       'warning' AS severity
+FROM seq WHERE prev IS NOT NULL AND NOT (value >= prev)
+""",
+        "monotonic_events_global": """
+WITH seq AS (
+  SELECT event_id,
+         lag(value) OVER (ORDER BY event_id) AS prev,
+         value
+  FROM events
+  WHERE value IS NOT NULL AND event_id IS NOT NULL
+)
+SELECT CAST(event_id AS VARCHAR) AS row_id,
+       'all' AS partition_id,
+       'engine' AS ruleset_id,
+       'monotonic:value' AS constraint_id,
+       'x-monotonic' AS keyword,
+       '/value' AS instance_path,
+       '#/x-monotonic/value' AS schema_path,
+       'Must be non-decreasing over ''event_id''' AS message,
+       'warning' AS severity
+FROM seq WHERE prev IS NOT NULL AND NOT (value >= prev)
 """,
         "outliers_events": """
 WITH s AS (SELECT median(value) AS med FROM events),

@@ -47,6 +47,8 @@ HEADLINE = [
     "outliers_events",
     "content_json_events",
     "outliers_events_by_type",
+    "monotonic_events_by_user",
+    "monotonic_events_global",
     "drift_events_ks",
     "drift_events_psi",
     "text_stats_documents",

@@ -19,6 +19,7 @@ from .operators.table_checks import validate_with_table_checks
 from .operators.ingest import ingest_corpus
 from .operators.repair import (repair, RepairResult, route_and_repair, RoutedRepairResult)
 from .operators.stats_prune import prune_files, validate_with_stats_pruning
+from .operators.sequence import monotonic_violations
 from .sinks import write_split
 from .session import get_spark
 
@@ -36,6 +37,7 @@ __all__ = [
     "RepairResult",
     "route_and_repair",
     "RoutedRepairResult",
+    "monotonic_violations",
     "write_split",
     "get_spark",
 ]

@@ -1,0 +1,132 @@
+"""Sequence/ordering validation: a column must be monotone over an
+ordering key, optionally within groups (``x-monotonic`` in the DSL).
+
+The constraint class event/audio tables actually need: "per user, event
+time never goes backwards", "per speaker, clip sequence numbers strictly
+increase", "the global ingest watermark is non-decreasing over file id".
+JSON Schema has no row-relating keyword (Ajv's unit of work is a single
+document — the reference validates one file at a time,
+``/root/reference/index.ts:201-320``), so this is a table-level
+declaration like ``x-unique``/``x-drift``, compiled into
+``CompiledRuleset.table_checks`` and run as its own relational pass.
+
+Semantics: rows where ``column`` or ``order_by`` is NULL are absent from
+the sequence (the engine's NULL == absent rule); among the remaining
+rows, ordered by ``order_by`` (within each ``by`` group when given), each
+adjacent pair must satisfy the direction predicate. A violation is
+attributed to the LATER row of the failing pair, with ``actual`` carrying
+``"prev -> cur"``. Deterministic verdicts require ``order_by`` to be
+unique within its group (ties make "previous row" undefined); the events
+driver query orders by the table's unique id.
+
+Scale design:
+
+* **Grouped** (``by`` given): one shuffle on the group key, then a
+  per-group window — the window sorts each group in its reducer, so a
+  pathologically hot group serializes its own sort (same bound as
+  ``sampling.stratified_topn``; pre-filter hot groups there if that
+  matters). The shuffle carries (row_id, column, order_by, by) only —
+  never payload columns.
+* **Global** (``by`` omitted): the naive ``Window.orderBy(...)`` with no
+  partition drags every row into ONE task — the classic global-window
+  scale-killer. Instead: ``repartitionByRange(n_buckets, order_by)``
+  (range partitioner keeps equal keys together and buckets balanced),
+  within-bucket windows keyed on ``spark_partition_id()``, plus a
+  boundary pass over the n_buckets-row summary relation (last value of
+  bucket p vs first value of bucket p+1). Every adjacent pair in the
+  total order is checked exactly once — within a bucket or at a
+  boundary — so the violation set equals the single-task global window's
+  byte-for-byte, at any bucket count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DIRECTIONS = ("non-decreasing", "increasing", "non-increasing", "decreasing")
+
+# cur-vs-prev "pair is fine" predicates
+_OK = {
+    "non-decreasing": lambda cur, prev: cur >= prev,
+    "increasing": lambda cur, prev: cur > prev,
+    "non-increasing": lambda cur, prev: cur <= prev,
+    "decreasing": lambda cur, prev: cur < prev,
+}
+
+
+def _pairs_grouped(df: DataFrame, column: str, order_by: str, by: str,
+                   row_id: str) -> DataFrame:
+    w = Window.partitionBy(by).orderBy(order_by)
+    return (df.select(row_id, column, order_by, by)
+              .where(F.col(column).isNotNull()
+                     & F.col(order_by).isNotNull())
+              .select(row_id, column,
+                      F.lag(column).over(w).alias("_prev")))
+
+
+def _pairs_global(df: DataFrame, column: str, order_by: str, row_id: str,
+                  n_buckets: int) -> DataFrame:
+    slim = (df.select(row_id, column, order_by)
+              .where(F.col(column).isNotNull()
+                     & F.col(order_by).isNotNull())
+              .repartitionByRange(n_buckets, F.col(order_by))
+              .withColumn("_bkt", F.spark_partition_id()))
+    w = Window.partitionBy("_bkt").orderBy(order_by)
+    within = slim.select(row_id, column,
+                         F.lag(column).over(w).alias("_prev"))
+    # bucket summary: n_buckets rows — the cross-bucket adjacencies.
+    # min_by/max_by give the first/last row in order_by order per bucket;
+    # the tiny window over bucket ids pairs bucket p's last value with
+    # bucket p+1's first row (attribution target).
+    summary = slim.groupBy("_bkt").agg(
+        F.min_by(row_id, order_by).alias("_first_row"),
+        F.min_by(column, order_by).alias("_first_val"),
+        F.max_by(column, order_by).alias("_last_val"))
+    bw = Window.orderBy("_bkt")  # n_buckets rows: single-task is the point
+    boundary = summary.select(
+        F.col("_first_row").alias(row_id),
+        F.col("_first_val").alias(column),
+        F.lag("_last_val").over(bw).alias("_prev"))
+    return within.unionByName(boundary)
+
+
+def monotonic_violations(
+    df: DataFrame,
+    column: str,
+    *,
+    order_by: str,
+    row_id: str,
+    by: str | None = None,
+    direction: str = "non-decreasing",
+    n_buckets: int = 64,
+    ruleset_name: str = "engine",
+    severity: str = "warning",
+) -> DataFrame:
+    """Violation rows (operators/validate.py VIOLATION_FIELDS shape) for
+    adjacent-pair ordering failures; unions cleanly with DSL checks."""
+    if direction not in _OK:
+        raise ValueError(f"direction must be one of {DIRECTIONS}, "
+                         f"got {direction!r}")
+    if by is not None:
+        pairs = _pairs_grouped(df, column, order_by, by, row_id)
+    else:
+        pairs = _pairs_global(df, column, order_by, row_id, n_buckets)
+    ok = _OK[direction](F.col(column), F.col("_prev"))
+    bad = pairs.where(F.col("_prev").isNotNull() & ~ok)
+    scope = f" within '{by}'" if by else ""
+    return bad.select(
+        F.col(row_id).cast("string").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"monotonic:{column}").alias("constraint_id"),
+        F.lit("x-monotonic").alias("keyword"),
+        F.lit(f"/{column}").alias("instance_path"),
+        F.lit(f"#/x-monotonic/{column}").alias("schema_path"),
+        F.lit(f"Must be {direction} over '{order_by}'{scope}")
+         .alias("message"),
+        F.concat(F.col("_prev").cast("string"), F.lit(" -> "),
+                 F.col(column).cast("string")).alias("actual"),
+        F.lit(None).cast("array<string>").alias("expected"),
+        F.lit(severity).alias("severity"),
+    )

@@ -83,6 +83,15 @@ def table_check_violations(
                 group_col=params.get("by"), approx=params["approx"],
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
+        elif kind == "monotonic":
+            from .sequence import monotonic_violations
+            extras.append(monotonic_violations(
+                df, column, order_by=params["order_by"],
+                row_id=params.get("id") or row_id,
+                by=params.get("by"), direction=params["direction"],
+                n_buckets=params["n_buckets"],
+                ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "drift":
             extras.append(drift_violations(
                 df, column, ruleset_name=compiled.name, **params))

@@ -78,7 +78,7 @@ _KNOWN_KEYWORDS = {
     "x-dedup", "x-langid", "x-rate", "x-decontaminate", "x-label-conflict",
     "x-repair",  # per-property opt-out consumed by operators/repair.py
     "x-outlier",
-
+    "x-monotonic",
 }
 
 
@@ -417,6 +417,17 @@ _KEYWORD_SHAPE = {
     and (v.get("approx") is None or isinstance(v["approx"], bool))
     and (v.get("by") is None or isinstance(v["by"], str)),
     "x-severity": lambda v: v in ("error", "warning", "info"),
+    "x-monotonic": lambda v: isinstance(v, dict)
+    and isinstance(v.get("order_by"), str)
+    and (v.get("by") is None or isinstance(v["by"], str))
+    and (v.get("id") is None or isinstance(v["id"], str))
+    # explicit null (YAML `direction:`) means "use the default"
+    and (v.get("direction") is None or v["direction"] in (
+        "non-decreasing", "increasing", "non-increasing", "decreasing"))
+    and (v.get("n_buckets") is None
+         or (isinstance(v["n_buckets"], int)
+             and not isinstance(v["n_buckets"], bool)
+             and v["n_buckets"] > 0)),
     "x-ref": lambda v: isinstance(v, dict) and isinstance(v.get("dim"), str)
     and isinstance(v.get("key"), str)
     and (v.get("n_items") is None
@@ -556,7 +567,8 @@ _VARIANT_PASSTHROUGH_KWS = frozenset((
 _VARIANT_UNSUPPORTED_KWS = frozenset((
     "uniqueItems", "contentEncoding", "contentMediaType",
     "x-unique", "x-ref", "x-drift", "x-dedup", "x-langid", "x-rate",
-    "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier"))
+    "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
+    "x-monotonic"))
 
 
 def _compile_variant_node(schema: dict, ctx: _Ctx) -> None:
@@ -1120,6 +1132,26 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 }))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-outlier"))
+
+    if "x-monotonic" in schema and not ctx.silent:
+        # adjacent-pair ordering constraint (operators/sequence.py): the
+        # column must be monotone over an order key, optionally per group
+        # — a relational (window) pass like x-drift, so top-level only;
+        # JSON Schema has no row-relating keyword (the reference validates
+        # one document at a time, index.ts:201-320)
+        if is_top:
+            p = schema["x-monotonic"]
+            ctx.out.table_checks.append(
+                ("monotonic", ctx.instance_path[1:], {
+                    "order_by": p["order_by"],
+                    "by": p.get("by"),
+                    "direction": p.get("direction") or "non-decreasing",
+                    "n_buckets": int(p.get("n_buckets") or 64),
+                    "id": p.get("id"),
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-monotonic"))
 
     if "x-drift" in schema and not ctx.silent:
         if is_top:
