@@ -251,6 +251,18 @@ def q_monotonic_events_global(spark, sf):
         n_buckets=8).select(*_MONO_COLS)
 
 
+def q_chunk_documents(spark, sf):
+    """Token-window chunking (operators/chunking.py): documents split into
+    <=64-token chunks with 8-token overlap, tail window landing on the last
+    token. Map-only — zero shuffles at any scale; the token array is staged
+    below the Generate so the regex split runs once per document."""
+    from remark_lint_frontmatter_schema_spark.operators.chunking import (
+        chunk_documents)
+    docs = _load(spark, sf, "documents")
+    return chunk_documents(docs, "text", "doc_id",
+                           max_tokens=64, overlap=8)
+
+
 def q_content_json_events(spark, sf):
     """contentMediaType application/json checker (functions/content.py)
     over events.props, plus the same probe on a truncated copy (drops the
@@ -1015,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_orders": q_repair_orders,
         "outliers_events": q_outliers_events,
         "monotonic_events_by_user": q_monotonic_events_by_user,
+        "chunk_documents": q_chunk_documents,
         "monotonic_events_global": q_monotonic_events_global,
         "repair_log_orders": q_repair_log_orders,
         "content_json_events": q_content_json_events,
@@ -2027,6 +2040,27 @@ WITH c AS (
                THEN substring(o_orderpriority, 1, 8)
                ELSE o_orderpriority END, '^[1-3]-'))
 SELECT col AS "column", action, n FROM c WHERE n > 0
+""",
+        "chunk_documents": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+  FROM documents
+  WHERE text IS NOT NULL AND regexp_matches(text, '\S')
+), sized AS (
+  SELECT doc_id, tk,
+         CASE WHEN len(tk) <= 64 THEN 1
+              ELSE 1 + CAST(ceil((len(tk) - 64) / 56.0) AS INT)
+         END AS n_chunks
+  FROM toks
+), exploded AS (
+  SELECT doc_id, tk, CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_idx
+  FROM sized
+)
+SELECT doc_id, chunk_idx,
+       len(tk[chunk_idx*56+1 : chunk_idx*56+64]) AS n_tokens,
+       array_to_string(tk[chunk_idx*56+1 : chunk_idx*56+64], ' ') AS chunk
+FROM exploded
 """,
         "monotonic_events_by_user": """
 WITH seq AS (

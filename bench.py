@@ -51,6 +51,7 @@ HEADLINE = [
     "monotonic_events_global",
     "drift_events_ks",
     "drift_events_psi",
+    "chunk_documents",
     "text_stats_documents",
     "langid_documents",
     "fingerprint_documents",
