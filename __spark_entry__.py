@@ -251,6 +251,20 @@ def q_monotonic_events_global(spark, sf):
         n_buckets=8).select(*_MONO_COLS)
 
 
+def q_mix_documents(spark, sf):
+    """Deterministic corpus mixing (sampling.mix_to_weights): largest
+    subset with exact 40/30/20/10 source composition; per-source hash-first
+    membership so the oracle reproduces the exact rows. One tiny
+    count, one rank-window shuffle on (id, source, order key)."""
+    from remark_lint_frontmatter_schema_spark.operators.sampling import (
+        mix_to_weights)
+    docs = _load(spark, sf, "documents")
+    out = mix_to_weights(docs, "source", "doc_id",
+                         {"src0": 0.4, "src1": 0.3,
+                          "src2": 0.2, "src3": 0.1})
+    return out.select("doc_id", "source")
+
+
 def q_chunk_documents(spark, sf):
     """Token-window chunking (operators/chunking.py): documents split into
     <=64-token chunks with 8-token overlap, tail window landing on the last
@@ -1028,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_events": q_outliers_events,
         "monotonic_events_by_user": q_monotonic_events_by_user,
         "chunk_documents": q_chunk_documents,
+        "mix_documents": q_mix_documents,
         "monotonic_events_global": q_monotonic_events_global,
         "repair_log_orders": q_repair_log_orders,
         "content_json_events": q_content_json_events,
@@ -2040,6 +2055,27 @@ WITH c AS (
                THEN substring(o_orderpriority, 1, 8)
                ELSE o_orderpriority END, '^[1-3]-'))
 SELECT col AS "column", action, n FROM c WHERE n > 0
+""",
+        "mix_documents": """
+WITH wts AS (
+  SELECT * FROM (VALUES ('src0', 0.4), ('src1', 0.3),
+                        ('src2', 0.2), ('src3', 0.1)) AS t(source, w)
+), c AS (
+  SELECT d.source, w, count(*) AS n
+  FROM documents d JOIN wts USING (source)
+  GROUP BY d.source, w
+), t AS (
+  SELECT min(n / w) AS feasible FROM c
+), ranked AS (
+  SELECT doc_id, d.source, w,
+         row_number() OVER (PARTITION BY d.source
+             ORDER BY substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8),
+                      doc_id) AS rk
+  FROM documents d JOIN wts USING (source)
+)
+SELECT doc_id, source
+FROM ranked, t
+WHERE rk <= CAST(floor(w * feasible) AS BIGINT)
 """,
         "chunk_documents": r"""
 WITH toks AS (

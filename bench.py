@@ -52,6 +52,7 @@ HEADLINE = [
     "drift_events_ks",
     "drift_events_psi",
     "chunk_documents",
+    "mix_documents",
     "text_stats_documents",
     "langid_documents",
     "fingerprint_documents",

@@ -73,6 +73,54 @@ def stratified_topn(df: DataFrame, strata_col: str, id_col: str,
                .drop("_ok", "_rk"))
 
 
+def mix_to_weights(df: DataFrame, source_col: str, id_col: str,
+                   weights: dict[str, float]) -> DataFrame:
+    """Deterministic corpus mixing: keep the largest subset whose source
+    composition matches ``weights`` exactly (training mixtures like
+    "50% web, 30% books, 20% code" built from skewed raw corpora).
+
+    The feasible mixture size is ``T = min_s(n_s / w_s)`` (the scarcest
+    source relative to its target share caps the total); each source then
+    contributes its ``floor(w_s * T)`` hash-first rows, so membership is
+    reproducible run-over-run AND monotone under corpus growth for the
+    unsaturated sources (same sha2 order as :func:`hash_sample`).
+
+    Sources absent from ``weights`` (or weighted 0) are dropped. Weights
+    are normalized to sum 1; a weighted source missing from the data makes
+    the mixture infeasible (T = 0 — everything is dropped) rather than
+    silently rescaling, because a silently-shifted mixture is the worse
+    failure for a training run.
+
+    Scale: one tiny groupBy(source).count() (driver-scale relation), then
+    one shuffle on the source key for the per-source rank window — only
+    (id, source, order key) wide. A pathologically hot source serializes
+    its own rank window (same bound as :func:`stratified_topn`).
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty {source: weight} map")
+    if any((not isinstance(w, (int, float))) or isinstance(w, bool) or w < 0
+           for w in weights.values()):
+        raise ValueError(f"weights must be non-negative numbers: {weights}")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    norm = {s: w / total_w for s, w in weights.items() if w > 0}
+    counts = {r[0]: r[1] for r in
+              df.where(F.col(source_col).isin(*norm))
+                .groupBy(source_col).count().collect()}
+    feasible = min((counts.get(s, 0) / w for s, w in norm.items()))
+    caps = {s: int(w * feasible) for s, w in norm.items()}
+    spark = df.sparkSession
+    cap_df = F.broadcast(spark.createDataFrame(
+        list(caps.items()), f"{source_col} string, _cap long"))
+    w_rank = Window.partitionBy(source_col).orderBy("_ok", id_col)
+    return (df.join(cap_df, source_col)
+              .withColumn("_ok", _order_key(id_col))
+              .withColumn("_rk", F.row_number().over(w_rank))
+              .where(F.col("_rk") <= F.col("_cap"))
+              .drop("_ok", "_rk", "_cap"))
+
+
 def take_until_budget(df: DataFrame, weight_col: str, id_col: str,
                       budget: float, *, n_partitions: int = 64) -> DataFrame:
     """Keep rows, in deterministic hash order, while the cumulative

@@ -73,3 +73,59 @@ def test_take_until_budget_empty_input(spark):
     out = sampling.take_until_budget(df, "w", "id", 100.0, n_partitions=4)
     assert out.count() == 0
     assert out.columns == ["id", "w"]
+
+
+def test_mix_to_weights_exact_composition(docs):
+    # lang0/1/2 have ~167 rows each; targets 1/2, 1/3, 1/6 -> feasible
+    # T = min(n_s/w_s) binds on lang0: T = n0/0.5
+    out = sampling.mix_to_weights(docs, "lang", "id",
+                                  {"lang0": 3, "lang1": 2, "lang2": 1})
+    n = {r.lang: r.cnt for r in out.groupBy("lang")
+         .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    counts = {r.lang: r.cnt for r in docs.groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    feasible = min(counts[s] / w for s, w in
+                   {"lang0": 0.5, "lang1": 1 / 3, "lang2": 1 / 6}.items())
+    assert n == {"lang0": int(0.5 * feasible),
+                 "lang1": int(feasible / 3),
+                 "lang2": int(feasible / 6)}
+    # deterministic: rerun-identical membership
+    again = sampling.mix_to_weights(docs, "lang", "id",
+                                    {"lang0": 3, "lang1": 2, "lang2": 1})
+    assert {r.id for r in out.collect()} == {r.id for r in again.collect()}
+
+
+def test_mix_to_weights_drops_unweighted_and_saturates_scarce(docs):
+    # only lang0 weighted -> whole lang0 survives, everything else dropped
+    out = sampling.mix_to_weights(docs, "lang", "id", {"lang0": 1.0})
+    got = out.select("lang").distinct().collect()
+    assert [r.lang for r in got] == ["lang0"]
+    assert out.count() == docs.where(F.col("lang") == "lang0").count()
+
+
+def test_mix_to_weights_missing_source_is_infeasible(docs):
+    # a weighted source absent from the data -> T = 0, empty mixture
+    # (never a silently-shifted composition)
+    out = sampling.mix_to_weights(docs, "lang", "id",
+                                  {"lang0": 1, "nope": 1})
+    assert out.count() == 0
+
+
+def test_mix_to_weights_subset_of_itself_under_growth(docs):
+    # unsaturated sources contribute hash-FIRST rows: shrinking the corpus
+    # shrinks each source's contribution to a prefix of the larger run
+    small = docs.where(F.col("id") < 250)
+    w = {"lang0": 1, "lang1": 1, "lang2": 1}
+    big_ids = {r.id for r in
+               sampling.mix_to_weights(docs, "lang", "id", w).collect()}
+    small_out = sampling.mix_to_weights(small, "lang", "id", w)
+    # same per-source hash order: every kept small-corpus row that also
+    # ranks within the big corpus's caps appears there too; spot-check via
+    # count monotonicity
+    assert small_out.count() <= len(big_ids)
+
+
+def test_mix_to_weights_bad_args(docs):
+    for bad in ({}, {"lang0": -1}, {"lang0": 0}, {"lang0": True}):
+        with pytest.raises(ValueError):
+            sampling.mix_to_weights(docs, "lang", "id", bad)
