@@ -406,6 +406,28 @@ def q_dedup_exact_documents(spark, sf):
     return dedup.exact_groups(docs, "text", "doc_id")
 
 
+def q_dup_ngram_documents(spark, sf):
+    """Cross-document duplicated-ngram fraction (Lee et al. 2022): per doc,
+    the share of its distinct word 5-grams that occur in at least one other
+    document. Only (id, xxhash64(shingle)) pairs shuffle — the oracle
+    computes the same fraction over the raw shingle strings (the fraction
+    is hash-invariant absent collisions)."""
+    docs = _load(spark, sf, "documents")
+    return dedup.cross_doc_dup_fraction(docs, "text", "doc_id", n=5)
+
+
+def q_dedup_lines_documents(spark, sf):
+    """Corpus-level line dedup (C4/RefinedWeb boilerplate removal) over a
+    deterministic multi-line view of the corpus (newline inserted after
+    every 4th word — the flat synthetic docs carry no newlines); lines
+    repeated across the corpus drop from every document, short lines are
+    protected, documents are reassembled in line order."""
+    docs = _load(spark, sf, "documents").withColumn(
+        "text", F.regexp_replace("text", r"((?:\S+ ){3}\S+) ", "$1\n"))
+    return dedup.dedup_lines(docs, "text", "doc_id",
+                             min_count=2, min_line_chars=12)
+
+
 def q_ann_cosine_topk(spark, sf):
     emb = _load(spark, sf, "embeddings")
     qv = [float(x) for x in
@@ -1006,6 +1028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_sim_pairs": q_embed_sim_pairs,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "edit_sim_documents": q_edit_sim_documents,
+        "dup_ngram_documents": q_dup_ngram_documents,
+        "dedup_lines_documents": q_dedup_lines_documents,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "cluster_dedup_documents": q_cluster_dedup_documents,
         "validate_documents_content": q_validate_documents_content,
@@ -1329,6 +1353,68 @@ SELECT c.doc_id, b.doc_id AS bench_id,
        CAST(len(list_intersect(c.s, b.s)) AS BIGINT) AS n_shared
 FROM sh c JOIN sh b ON b.doc_id % 29 = 0 AND c.doc_id % 29 <> 0
 WHERE len(list_intersect(c.s, b.s)) >= 1
+"""
+
+_DUP_NGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) u
+  WHERE len(t) >= 5
+),
+c AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
+p AS (SELECT doc_id, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_shingles
+      FROM sh JOIN c USING (g) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_shingles, 0) AS n_shingles,
+       coalesce(p.n_dup_shingles, 0) AS n_dup_shingles,
+       CASE WHEN coalesce(p.n_shingles, 0) > 0
+            THEN round(p.n_dup_shingles * 1.0 / p.n_shingles, 6) END
+         AS dup_frac
+FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+_DEDUP_LINES_SQL = r"""
+WITH src AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:\S+ ){3}\S+) ', '\1' || chr(10), 'g')
+           AS t2
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line
+  FROM (SELECT doc_id, string_split(t2, chr(10)) AS l
+        FROM src WHERE t2 IS NOT NULL) s
+),
+c AS (
+  SELECT lower(trim(line)) AS k, count(*) AS n
+  FROM lines WHERE length(trim(line)) >= 12 GROUP BY k
+),
+tagged AS (
+  SELECT l.doc_id, l.pos, l.line, coalesce(c.n, 0) >= 2 AS dropped
+  FROM lines l LEFT JOIN c
+    ON length(trim(l.line)) >= 12 AND lower(trim(l.line)) = c.k
+),
+reb AS (
+  SELECT doc_id, count(*) AS n_lines,
+         CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+         string_agg(CASE WHEN NOT dropped THEN line END, chr(10)
+                    ORDER BY pos) AS joined
+  FROM tagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(r.joined, '') END AS text_clean,
+       coalesce(r.n_lines, 0) AS n_lines,
+       coalesce(r.n_dropped, 0) AS n_dropped
+FROM documents d LEFT JOIN reb r USING (doc_id)
 """
 
 _NGRAM_JACCARD_SQL = """
@@ -1713,6 +1799,8 @@ FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
         "ann_cosine_topk": _COSINE_TOPK_SQL,
         "embed_sim_pairs": _EMBED_PAIRS_SQL,
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
+        "dup_ngram_documents": _DUP_NGRAM_SQL,
+        "dedup_lines_documents": _DEDUP_LINES_SQL,
         "edit_sim_documents": """
 WITH sh AS (
   SELECT doc_id,

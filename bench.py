@@ -57,6 +57,8 @@ HEADLINE = [
     "langid_documents",
     "fingerprint_documents",
     "dedup_exact_documents",
+    "dup_ngram_documents",
+    "dedup_lines_documents",
     "decontaminate_documents",
     "validate_documents_content",
     "edit_sim_documents",

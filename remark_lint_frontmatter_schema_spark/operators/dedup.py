@@ -486,3 +486,164 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str, *,
     of :func:`hamming_pairs` over :func:`simhash_signatures_df`."""
     return hamming_pairs(simhash_signatures_df(df, text_col, id_col),
                          max_distance=max_distance, reuse=reuse)
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplication metrics (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better": a document's training value
+# degrades with the fraction of its n-gram spans that also occur elsewhere
+# in the corpus — the whole-doc near-dup passes above miss partial overlap)
+# ---------------------------------------------------------------------------
+
+def word_shingles(tokens_col, n: int = 5):
+    """Distinct word n-grams (space-joined) over an ALREADY-MATERIALIZED
+    token array column. Texts with fewer than ``n`` tokens yield the empty
+    set (same guard rationale as :func:`char_shingles`: ``sequence(1, 0)``
+    is [1, 0], not empty). Takes the token array, not the text, so callers
+    stage the tokenization once — referencing ``tokens(text)`` here would
+    re-split the text per shingle (HOF lambdas are never CSE'd)."""
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    n_sh = F.greatest(F.size(t) - n + 1, F.lit(0))
+    arr = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n))))
+    return F.when(n_sh > 0, arr).otherwise(F.array().cast("array<string>"))
+
+
+def cross_doc_dup_fraction(df: DataFrame, text_col: str, id_col: str, *,
+                           n: int = 5, reuse: bool = True) -> DataFrame:
+    """Per-document fraction of word n-grams that occur in at least one
+    OTHER document: (id, n_shingles, n_dup_shingles, dup_frac).
+
+    Shuffle accounting (the reason this survives 10^12 rows): the exploded
+    relation carries only (id, xxhash64(shingle)) 16-byte pairs — never the
+    shingle strings, never the text. Two shuffles on the hash (global
+    occurrence count + join-back) and one on the id (per-doc fold); all
+    three are partial-aggregated map-side. The join-back side is the
+    (hash, n_docs) count relation — commonly much smaller than the exploded
+    pairs and AQE-broadcastable per partition at moderate scale.
+
+    A shingle counts as duplicated when it appears in >= 2 documents;
+    within-document repeats are collapsed first (``word_shingles`` is
+    distinct per doc), so a doc repeating its own phrase is NOT penalized —
+    that is :func:`~..text.dup_word_fraction`'s job. Documents with fewer
+    than ``n`` tokens (or NULL text) return n_shingles = 0 and a NULL
+    ``dup_frac`` (nothing measurable, distinct from "0.0 = all unique").
+    """
+    staged = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_t"))
+    sh = staged.select(
+        "id", F.explode(word_shingles("_t", n)).alias("g")
+    ).select("id", F.xxhash64("g").alias("h"))
+    # sh feeds BOTH the global count and the join-back side; without the
+    # persist Spark re-tokenizes and re-shingles the whole corpus for each
+    # (same self-reuse trap as lsh_candidates' signature relation)
+    if reuse:
+        sh = _persist(sh)
+    # distinct-per-doc already guaranteed by word_shingles' array_distinct,
+    # so count(*) per hash == number of documents containing the shingle
+    counts = sh.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (sh.join(counts, "h")
+                 .groupBy("id")
+                 .agg(F.count(F.lit(1)).alias("n_shingles"),
+                      F.sum((F.col("n_docs") > 1).cast("long"))
+                       .alias("n_dup_shingles")))
+    base = df.select(F.col(id_col).alias("id"))
+    out = (base.join(per_doc, "id", "left")
+               .select(F.col("id").alias(id_col),
+                       F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+                       F.coalesce("n_dup_shingles", F.lit(0))
+                        .alias("n_dup_shingles"))
+               .withColumn(
+                   "dup_frac",
+                   F.when(F.col("n_shingles") > 0,
+                          F.round(F.col("n_dup_shingles")
+                                  / F.col("n_shingles"), 6))))
+    return _track(out, sh)
+
+
+# ---------------------------------------------------------------------------
+# corpus-level line dedup (C4 / RefinedWeb: boilerplate lines — nav bars,
+# cookie banners, license footers — repeat across MANY pages; drop every
+# occurrence of a line whose corpus-wide count crosses a threshold and
+# reassemble the documents)
+# ---------------------------------------------------------------------------
+
+def line_counts(df: DataFrame, text_col: str, *,
+                min_line_chars: int = 16) -> DataFrame:
+    """(line_hash, n_occurrences) across the corpus for every ELIGIBLE
+    line. The count key is xxhash64(lower(trim(line))) — case/margin
+    variants of a boilerplate line collapse — and only lines with at least
+    ``min_line_chars`` trimmed characters are counted: short generic lines
+    ("Introduction", list bullets) repeat naturally and dropping them would
+    shred ordinary documents. Only 8-byte hashes shuffle."""
+    line = F.col("_line")
+    return (df.select(F.explode(F.split(F.col(text_col), "\n"))
+                       .alias("_line"))
+              .where(F.length(F.trim(line)) >= min_line_chars)
+              .select(F.xxhash64(F.lower(F.trim(line))).alias("line_hash"))
+              .groupBy("line_hash")
+              .agg(F.count(F.lit(1)).alias("n_occurrences")))
+
+
+def dedup_lines(df: DataFrame, text_col: str, id_col: str, *,
+                min_count: int = 2, min_line_chars: int = 16,
+                broadcast_hot: bool = True, reuse: bool = True) -> DataFrame:
+    """Corpus-level line dedup: rewrite each document with every line whose
+    corpus-wide occurrence count >= ``min_count`` removed (ALL occurrences
+    drop, C4-style — a boilerplate line is noise in every copy). Returns
+    (id, text_clean, n_lines, n_dropped); NULL-text documents pass through
+    with NULL text_clean and zero counts.
+
+    Lines shorter than ``min_line_chars`` (trimmed) are never dropped (see
+    :func:`line_counts`). Scale shape: the count pass shuffles 8-byte
+    hashes only; the rewrite necessarily moves the surviving line text
+    twice (join-back on line_hash, reassembly fold on id) — inherent to
+    rewriting documents, and the payload is lines, never whole documents,
+    until the final fold. The (hash, count) relation joined back is
+    filtered to n_occurrences >= min_count first, so the common case
+    broadcast-joins: only boilerplate hashes ship to executors. Set
+    ``broadcast_hot=False`` when the boilerplate set itself is too large to
+    broadcast (a pathological corpus) — the join falls back to a shuffle.
+    """
+    lines = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    # the exploded relation feeds both the count pass and the rewrite —
+    # persist so the corpus is read and split exactly once
+    if reuse:
+        lines = _persist(lines)
+    key = F.xxhash64(F.lower(F.trim(F.col("line"))))
+    eligible = F.length(F.trim(F.col("line"))) >= min_line_chars
+    hot = (lines.where(eligible)
+                .select(key.alias("line_hash"))
+                .groupBy("line_hash")
+                .agg(F.count(F.lit(1)).alias("n_occurrences"))
+                .where(F.col("n_occurrences") >= min_count))
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    tagged = (lines.withColumn("_key",
+                               F.when(eligible, key))
+                   .join(hot,
+                         F.col("_key") == F.col("line_hash"), "left")
+                   .withColumn("_drop", F.col("line_hash").isNotNull()))
+    rebuilt = (tagged.groupBy("id")
+               .agg(F.count(F.lit(1)).alias("n_lines"),
+                    F.sum(F.col("_drop").cast("long")).alias("n_dropped"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.when(~F.col("_drop"),
+                                       F.struct("pos", "line")))),
+                            lambda s: s["line"]),
+                        "\n").alias("text_clean")))
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(text_col).isNull().alias("_null_text"))
+    out = (base.join(rebuilt, "id", "left")
+               .select(F.col("id").alias(id_col),
+                       F.when(~F.col("_null_text"),
+                              F.coalesce("text_clean", F.lit("")))
+                        .alias("text_clean"),
+                       F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+                       F.coalesce("n_dropped", F.lit(0)).alias("n_dropped")))
+    return _track(out, lines)

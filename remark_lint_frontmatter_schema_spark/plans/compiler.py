@@ -916,7 +916,14 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
             child_col, child_t, exists = _child(ctx, prop)
             if not exists:
                 # property constrained but column missing: value keywords are
-                # vacuous on an absent property (Ajv semantics) — skip
+                # vacuous on an absent property (Ajv semantics) — skip. But
+                # unknown keywords must still surface (a typo'd keyword is a
+                # schema bug whether or not the column exists today; Ajv
+                # strict flags it at compile time, data-independent)
+                for kw in sub if isinstance(sub, dict) else ():
+                    if kw not in _KNOWN_KEYWORDS:
+                        ctx.out.unknown.append(
+                            (f"{ctx.instance_path}/{prop}", kw))
                 ctx.out.static_passes.append(
                     (f"{ctx.instance_path}/{prop}", "absent-column"))
                 continue

@@ -238,3 +238,16 @@ def test_probe_inherits_udf_formats_option(spark):
     # "[bad": invalid regex AND longer than 3 -> violates anyOf;
     # "ok.*" (valid regex) and "also(ok)" (valid regex) pass
     assert got == {"1"}
+
+
+def test_unknown_keyword_surfaces_under_absent_column(spark):
+    """A typo'd keyword is a schema bug whether or not the column exists:
+    the absent-column skip path must still collect unknown keywords
+    (Ajv strict flags them at compile time, data-independently)."""
+    df = spark.createDataFrame([("1",)], "id string")
+    rs = {"properties": {"ghost": {"frobnicate": 1, "maxLength": 3}}}
+    compiled = compile_ruleset(rs, df.schema, name="absent-unknown")
+    assert ("/ghost", "frobnicate") in compiled.unknown
+    # the known keyword stays vacuous (absent property), recorded honestly
+    assert ("/ghost", "absent-column") in compiled.static_passes
+    assert validate(df, compiled, row_id="id").violations.count() == 0
