@@ -228,6 +228,93 @@ def run_with_resume(
             "proven": proven}
 
 
+def metric_regressions(manifest: Manifest, *, ruleset_hash: str | None = None,
+                       row_drop_ratio: float = 0.5,
+                       viol_rate_jump: float = 0.10) -> list[dict]:
+    """Run-over-run anomaly detection on the metrics manifest: for each
+    (partition_id, ruleset_hash) with at least two recorded runs (distinct
+    snapshots/fingerprints), compare the LATEST entry against the previous
+    one and flag
+
+    * ``row_count_drop``   — n_rows fell below ``row_drop_ratio`` × previous
+      (a partition that shrank by half did not merely "change"; upstream
+      data loss is the most common silent pipeline failure),
+    * ``violation_rate_jump`` — n_violations/n_rows rose by more than
+      ``viol_rate_jump`` absolute over the previous run,
+    * ``pass_regression``  — previously passed, now failed.
+
+    Driver-side pure python over the (tiny) manifest — one entry per
+    partition per run, no Spark job; the scale analog reads the same
+    history from a manifest *table* with one window query. Returns a list
+    of dicts (kind, partition_id, ruleset_hash, current, previous,
+    message); feed :func:`regressions_to_violations` to emit them in the
+    standard violations schema alongside row-level checks.
+    """
+    hist: dict = {}
+    for e in manifest.entries.values():
+        if e["status"] not in _DONE_STATUSES:
+            continue
+        if ruleset_hash is not None and e["ruleset_hash"] != ruleset_hash:
+            continue
+        hist.setdefault((e["partition_id"], e["ruleset_hash"]), []).append(e)
+    out: list[dict] = []
+    for (pid, rh), entries in sorted(hist.items()):
+        if len(entries) < 2:
+            continue
+        entries.sort(key=lambda e: e["completed_at"])
+        prev, cur = entries[-2]["metrics"], entries[-1]["metrics"]
+
+        def _emit(kind: str, message: str) -> None:
+            out.append({"kind": kind, "partition_id": pid,
+                        "ruleset_hash": rh, "current": cur, "previous": prev,
+                        "message": message})
+
+        p_rows, c_rows = prev.get("n_rows", 0), cur.get("n_rows", 0)
+        if p_rows > 0 and c_rows < row_drop_ratio * p_rows:
+            _emit("row_count_drop",
+                  f"Partition `{pid}` rows fell {p_rows} -> {c_rows} "
+                  f"(below {row_drop_ratio:g}x of previous run)")
+        p_rate = (prev.get("n_violations", 0) / p_rows) if p_rows else 0.0
+        c_rate = (cur.get("n_violations", 0) / c_rows) if c_rows else 0.0
+        if c_rate - p_rate > viol_rate_jump:
+            _emit("violation_rate_jump",
+                  f"Partition `{pid}` violation rate rose "
+                  f"{p_rate:.4f} -> {c_rate:.4f} "
+                  f"(> +{viol_rate_jump:g} over previous run)")
+        if prev.get("passed") is True and cur.get("passed") is False:
+            _emit("pass_regression",
+                  f"Partition `{pid}` passed the previous run and fails "
+                  f"the latest one")
+    return out
+
+
+_VIOLATIONS_DDL = (
+    "row_id string, partition_id string, ruleset_id string, "
+    "constraint_id string, keyword string, instance_path string, "
+    "schema_path string, message string, actual string, "
+    "expected array<string>, severity string"
+)
+
+
+def regressions_to_violations(spark, regressions: list[dict],
+                              ruleset_id: str):
+    """Regression dicts -> a DataFrame in the engine's standard violations
+    schema (row_id NULL — these are partition-level findings), so manifest
+    anomalies ride the same sinks/reports as row-level checks."""
+    rows = [
+        (None, r["partition_id"], ruleset_id,
+         f"{ruleset_id}:manifest:{r['kind']}",
+         "x-manifest", "",
+         f"#/x-manifest/{r['kind']}",
+         r["message"],
+         str(r["current"].get("n_rows")),
+         [str(r["previous"].get("n_rows"))],
+         "warning")
+        for r in regressions
+    ]
+    return spark.createDataFrame(rows, _VIOLATIONS_DDL)
+
+
 def snapshot_id_for(table_path: str) -> str:
     """Deterministic snapshot fingerprint of a partitioned-parquet table:
     max mtime + file count (Iceberg snapshot-id stand-in for the sandbox)."""
