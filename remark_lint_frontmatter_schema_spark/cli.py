@@ -236,13 +236,24 @@ def main(argv: list[str] | None = None) -> int:
             per_partition_snapshots=True,
             ruleset_doc=embed if args.prune_stats else None)
         verdict_rows = out.get("verdict_rows", [])
+        # run-over-run anomalies: the manifest now holds this run's entries
+        # next to earlier fingerprints — flag volume drops / rate jumps /
+        # pass regressions between consecutive runs of each partition
+        from .manifest import Manifest, metric_regressions
+        regressions = metric_regressions(
+            Manifest.load(args.resume_manifest),
+            ruleset_hash=compiled.ruleset_hash)
         summary = {
             "validated": out["validated"],
             "skipped": out["skipped"],
             "proven_by_footer_stats": out.get("proven", []),
             "verdicts": [r.asDict() for r in verdict_rows],
+            "regressions": regressions,
         }
         print(json.dumps(summary, default=str))
+        for r in regressions:
+            print(f"manifest regression [{r['kind']}] {r['message']}",
+                  file=sys.stderr)
         failed = any(not r.passed for r in verdict_rows)
         return 1 if (args.frail and failed) else 0
 

@@ -290,3 +290,41 @@ def test_cli_fix_out_composes_with_resume_manifest(spark, tmp_path, capsys):
         == ["pt=a", "pt=b"]
     # and the fixed table really is clean
     assert spark.read.parquet(fixed).where("v < 0").count() == 0
+
+
+def test_cli_resume_manifest_reports_run_over_run_regressions(
+        spark, tmp_path, capsys):
+    """Rerun after a partition shrank and went dirty: the resume layer
+    re-validates exactly that partition (fingerprint change) and the
+    summary carries the manifest regressions between the two runs."""
+    t = str(tmp_path / "regtab")
+    rows = [(i, 50, ["a", "b"][i % 2]) for i in range(200)]
+    spark.createDataFrame(rows, "id long, v long, pt string") \
+        .write.partitionBy("pt").parquet(t)
+    embed = tmp_path / "reg.yaml"
+    embed.write_text("required: [id]\nproperties:\n  v:\n"
+                     "    minimum: 0\n    maximum: 1000\n")
+    man = str(tmp_path / "regman.json")
+    argv = [t, "--row-id", "id", "--embed", str(embed),
+            "--partition-col", "pt", "--resume-manifest", man]
+
+    assert cli.main(argv) == 0
+    first = json.loads(capsys.readouterr().out)
+    assert first["regressions"] == []          # no history yet
+
+    # partition b shrinks 100 -> 20 rows and gains violations
+    import shutil
+    shutil.rmtree(os.path.join(t, "pt=b"))
+    bad = [(1000 + i, -1 if i % 2 else 10, "b") for i in range(20)]
+    spark.createDataFrame(bad, "id long, v long, pt string") \
+        .write.mode("append").partitionBy("pt").parquet(t)
+
+    assert cli.main(argv) == 0
+    err = capsys.readouterr()
+    out2 = json.loads(err.out)
+    assert out2["validated"] == ["b"] and out2["skipped"] == ["a"]
+    kinds = {r["kind"] for r in out2["regressions"]}
+    assert kinds == {"row_count_drop", "violation_rate_jump",
+                     "pass_regression"}
+    assert all(r["partition_id"] == "b" for r in out2["regressions"])
+    assert "manifest regression [row_count_drop]" in err.err
