@@ -37,6 +37,27 @@ VIOLATION_FIELDS = (
 _CHUNK = 64  # whens per F.array chunk (codegen hugeMethodLimit headroom)
 
 
+def stage_columns(df, compiled: CompiledRuleset):
+    """Project ``compiled.staged`` below the checks projection.
+
+    Variant expressions are CodegenFallback — a checks projection that
+    inlines them re-walks the variant binary once per keyword in
+    interpreted mode. The compiler stages each variant node's value/tag/
+    string/double views once (plans/compiler.py); every consumer of
+    ``compiled.checks`` / the ``*_expr`` builders MUST apply this first.
+    Entries may reference earlier entries, hence the sequential selects
+    (CollapseProject keeps multi-referenced non-cheap aliases in place).
+    No-op (same DataFrame) for rulesets with nothing staged.
+    """
+    for col_name, expr in getattr(compiled, "staged", ()) or ():
+        df = df.select("*", expr.alias(col_name))
+    return df
+
+
+def staged_names(compiled: CompiledRuleset) -> list[str]:
+    return [n for n, _ in (getattr(compiled, "staged", ()) or ())]
+
+
 def _violation_struct(c: Check) -> Column:
     expected = (
         F.array(*[F.lit(v) for v in c.expected]).cast("array<string>")
@@ -150,6 +171,7 @@ def validate(
         work = df.where(applicability)
     else:
         work = df
+    work = stage_columns(work, compiled)
 
     all_errors = compiled.options.get("all_errors", True)
     nv = n_violations_expr(compiled)
@@ -158,7 +180,8 @@ def validate(
         # the annotated surface honors the option too: one struct per row
         ann_arr = F.slice(ann_arr, 1, 1)
     annotated = work.withColumn("_violations", ann_arr) \
-                    .withColumn("passed", nv == 0)
+                    .withColumn("passed", nv == 0) \
+                    .drop(*staged_names(compiled))
 
     part = (F.col(partition_col).cast("string") if partition_col
             else F.lit("all")).alias("partition_id")
@@ -176,9 +199,18 @@ def validate(
         # compaction is acceptable here — it runs on violating rows only.
         exploded = F.explode(
             F.slice(violations_array(compiled), 1, 1)).alias("v")
+    # The nv>0 prefilter skips array construction on passing rows — but
+    # ONLY for unstaged rulesets: filter pushdown substitutes Project
+    # aliases unconditionally (unlike CollapseProject), so with staged
+    # variant views the whole interpreted expression would be inlined into
+    # the scan's DataFilters — evaluated on the (possibly single-split)
+    # scan task BEFORE any repartition, then re-evaluated above for the
+    # explode. Without the prefilter the explode emits one NULL slot per
+    # passing check and the post-Generate filter drops them — map-only,
+    # parallel, each slot a staged-attribute reference.
+    viol_src = work.where(nv > 0) if not compiled.staged else work
     violations = (
-        work
-        .where(nv > 0)
+        viol_src
         .select(
             F.col(row_id).cast("string").alias("row_id"),
             part,

@@ -79,6 +79,7 @@ _KNOWN_KEYWORDS = {
     "x-repair",  # per-property opt-out consumed by operators/repair.py
     "x-outlier",
     "x-monotonic",
+    "x-dup-ngram",
 }
 
 
@@ -109,6 +110,11 @@ class CompiledRuleset:
     # they need aggregates/joins, so validate() ignores them and
     # operators.table_checks runs them as separate relational passes
     table_checks: list = field(default_factory=list)     # (kind, column, params)
+    # (name, Column) pairs to project BELOW the checks projection (see
+    # operators.validate.stage_columns): variant expressions are
+    # CodegenFallback — interpreted — so tag/string/double views of each
+    # variant node are computed once here instead of once per keyword
+    staged: list = field(default_factory=list)
     ruleset_hash: str = ""
     options: dict = field(default_factory=dict)          # ajvOptions analog
 
@@ -139,6 +145,15 @@ class _Ctx:
     extra_checks: dict          # name -> callable(Column) -> Column for x-spark-check
     silent: bool = False        # True while compiling anyOf/oneOf/not children
     severity: str = "warning"   # x-severity, inherited down the node tree
+    # staging registrar `(hint, Column) -> Column` writing into
+    # out.staged, or None where staging is illegal (inside HOF lambdas,
+    # probe rulesets — their checks are folded into one expression and
+    # the probe's staged list would be discarded)
+    stage: object = None
+    # per-variant-node staged views {"t": tag, "s": string, "d": double,
+    # "actual": rendered actual} — set by _compile_variant_node, consumed
+    # by _variant_scalar_checks / _type_check / _add
+    vstage: dict | None = None
 
 
 def balanced_reduce(op, cols: list):
@@ -235,7 +250,9 @@ def _add(ctx: _Ctx, kw: str, violated: Column, message: str,
                 schema_path=_schema_path(ctx, kw),
                 message=message,
                 violated=violated,
-                actual=actual if actual is not None else _actual_str(ctx.col, ctx.dtype),
+                actual=actual if actual is not None
+                else (ctx.vstage["actual"] if ctx.vstage is not None
+                      else _actual_str(ctx.col, ctx.dtype)),
                 expected=tuple(str(v) for v in expected) if expected else None,
                 severity=ctx.severity,
             )
@@ -309,7 +326,10 @@ def _type_check(ctx: _Ctx, json_type) -> None:
         # (schema_of_variant tag), so this is the one column kind where
         # `type` has exact Ajv semantics dynamically: "10" is a string,
         # 10 is a number/integer, JSON null is type "null" (present)
-        oks = [ok for t in types if (ok := _vr.type_ok(ctx.col, t)) is not None]
+        vs = ctx.vstage or {}
+        oks = [ok for t in types
+               if (ok := _vr.type_ok(ctx.col, t, t=vs.get("t"),
+                                     d=vs.get("d"))) is not None]
         if not oks:
             ctx.out.static_failures.append(
                 (ctx.instance_path, "type",
@@ -433,6 +453,15 @@ _KEYWORD_SHAPE = {
     and (v.get("n_items") is None
          or (isinstance(v["n_items"], int) and not isinstance(v["n_items"], bool)
              and v["n_items"] > 0)),
+    "x-dup-ngram": lambda v: isinstance(v, dict)
+    and isinstance(v.get("id"), str)
+    and (v.get("n") is None
+         or (isinstance(v["n"], int) and not isinstance(v["n"], bool)
+             and v["n"] > 0))
+    and (v.get("max_frac") is None
+         or (isinstance(v["max_frac"], _NUM)
+             and not isinstance(v["max_frac"], bool)
+             and 0 <= v["max_frac"] < 1)),
     "x-dedup": lambda v: isinstance(v, dict)
     and isinstance(v.get("id"), str)
     and v.get("method", "exact") in ("exact", "jaccard", "acoustic")
@@ -568,7 +597,7 @@ _VARIANT_UNSUPPORTED_KWS = frozenset((
     "uniqueItems", "contentEncoding", "contentMediaType",
     "x-unique", "x-ref", "x-drift", "x-dedup", "x-langid", "x-rate",
     "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
-    "x-monotonic"))
+    "x-monotonic", "x-dup-ngram"))
 
 
 def _compile_variant_node(schema: dict, ctx: _Ctx) -> None:
@@ -592,6 +621,22 @@ def _compile_variant_node(schema: dict, ctx: _Ctx) -> None:
             ctx.out.unknown.append((ctx.instance_path, f"{kw}:variant"))
     if "x-severity" in schema:
         ctx.severity = schema["x-severity"]
+
+    # Stage this node's expensive views once (variant expressions are
+    # CodegenFallback; without staging every keyword re-walks the binary —
+    # the SimHash/text-profile inlining trap, plans/variant.py docstring).
+    # Only at row-level contexts: inside HOF lambdas / probes stage is None.
+    if ctx.stage is not None and ctx.col is not None and ctx.vstage is None:
+        hint = ctx.instance_path or "root"
+        vcol = ctx.stage(hint, ctx.col)
+        t_st = ctx.stage(f"{hint}.tag", _vr.tag(vcol))
+        s_st = ctx.stage(f"{hint}.str", _vr.as_string(vcol))
+        d_st = ctx.stage(f"{hint}.dbl", _vr.as_double(vcol))
+        act = F.when(t_st == "VOID", F.lit("null")).otherwise(s_st)
+        ctx = _dc_replace(ctx, col=vcol,
+                          vstage={"t": t_st, "s": s_st, "d": d_st,
+                                  "actual": act})
+
     if "$ref" in schema and isinstance(schema["$ref"], str):
         sub = resolve_internal_ref(ctx.root_schema, schema["$ref"])
         _compile_keywords(sub, _dc_replace(ctx))
@@ -601,16 +646,24 @@ def _compile_variant_node(schema: dict, ctx: _Ctx) -> None:
         # array<variant> view: NULL for non-arrays, so array keywords are
         # vacuous there (JSON Schema semantics); element probes recurse
         # back through the variant entry
+        arr_view = _vr.as_array(ctx.col)
+        if ctx.stage is not None:
+            arr_view = ctx.stage(f"{ctx.instance_path or 'root'}.arr",
+                                 arr_view)
         _compile_keywords(arr, _dc_replace(
-            ctx, col=_vr.as_array(ctx.col),
+            ctx, col=arr_view, vstage=None,
             dtype=T.ArrayType(_vr.VariantType())))
     obj = {k: v for k, v in schema.items() if k in _VARIANT_OBJECT_KWS}
     if obj:
         # map<string,variant> view: keeps a JSON-null field as a PRESENT
         # entry, so map_contains_key == Ajv `required`; property values
         # are variants that recurse back through the variant entry
+        obj_view = _vr.as_object(ctx.col)
+        if ctx.stage is not None:
+            obj_view = ctx.stage(f"{ctx.instance_path or 'root'}.obj",
+                                 obj_view)
         _compile_keywords(obj, _dc_replace(
-            ctx, col=_vr.as_object(ctx.col),
+            ctx, col=obj_view, vstage=None,
             dtype=T.MapType(T.StringType(), _vr.VariantType())))
     comp = {k: v for k, v in schema.items() if k in _VARIANT_PASSTHROUGH_KWS}
     if comp:
@@ -625,12 +678,14 @@ def _variant_scalar_checks(schema: dict, ctx: _Ctx) -> None:
     Catalyst expression over the variant binary; messages byte-match the
     typed-column compilers so report fidelity is path-independent."""
     col = ctx.col
+    vs = ctx.vstage or {}
+    vt, vss, vd = vs.get("t"), vs.get("s"), vs.get("d")
     if "type" in schema:
         _type_check(ctx, schema["type"])
 
     if "enum" in schema:
         allowed = schema["enum"]
-        eqs = [_vr.value_eq(col, v) for v in allowed]
+        eqs = [_vr.value_eq(col, v, t=vt, s=vss, d=vd) for v in allowed]
         if any(e is None for e in eqs):
             # object/array enum members: JSON equality is key-order
             # insensitive, a serialized compare would not be — surface
@@ -646,7 +701,7 @@ def _variant_scalar_checks(schema: dict, ctx: _Ctx) -> None:
 
     if "const" in schema:
         v = schema["const"]
-        eq = _vr.value_eq(col, v)
+        eq = _vr.value_eq(col, v, t=vt, s=vss, d=vd)
         if eq is None:
             ctx.out.unknown.append(
                 (ctx.instance_path, "const:variant-composite-literal"))
@@ -658,8 +713,8 @@ def _variant_scalar_checks(schema: dict, ctx: _Ctx) -> None:
     # string keywords: Ajv applies them to string instances only — the
     # per-row STRING tag is the guard (a number is vacuously valid); the
     # unguarded string VIEW would coerce numbers ("10" vs 10)
-    s = _vr.as_string(col)
-    is_str = _vr.is_string(col)
+    s = vss if vss is not None else _vr.as_string(col)
+    is_str = _vr.is_string(col, vt)
     if "maxLength" in schema:
         n = schema["maxLength"]
         msg = _reason(f"must NOT have more than {n} characters", ctx,
@@ -691,8 +746,8 @@ def _variant_scalar_checks(schema: dict, ctx: _Ctx) -> None:
 
     # numeric keywords: guarded by the numeric tag (Ajv: non-numbers are
     # vacuously valid; the double view alone would coerce "10" and true)
-    d = _vr.as_double(col)
-    is_num = _vr.is_numeric(col)
+    d = vd if vd is not None else _vr.as_double(col)
+    is_num = _vr.is_numeric(col, vt)
     for kw, op, txt in (
         ("minimum", lambda c, n: c < n, "must be >= {}"),
         ("maximum", lambda c, n: c > n, "must be <= {}"),
@@ -934,7 +989,7 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 schema_file=_sub_file(ctx, sub),
                 df_schema=ctx.df_schema, root_schema=ctx.root_schema,
                 out=ctx.out, extra_checks=ctx.extra_checks, silent=ctx.silent,
-                severity=ctx.severity,
+                severity=ctx.severity, stage=ctx.stage,
             )
             _compile_keywords(sub, sub_ctx)
 
@@ -971,7 +1026,7 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 schema_file=_sub_file(ctx, sub),
                 df_schema=ctx.df_schema, root_schema=ctx.root_schema,
                 out=ctx.out, extra_checks=ctx.extra_checks, silent=ctx.silent,
-                severity=ctx.severity,
+                severity=ctx.severity, stage=ctx.stage, vstage=ctx.vstage,
             )
             _compile_keywords(sub, sub_ctx)
 
@@ -1195,6 +1250,23 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 }))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-dedup"))
+
+    if "x-dup-ngram" in schema and not ctx.silent:
+        # cross-corpus partial-overlap declaration (operators/dedup.
+        # cross_doc_dup_fraction): flags documents whose duplicated
+        # word-n-gram fraction exceeds max_frac — a relational pass like
+        # x-dedup, so top-level only
+        if is_top:
+            p = schema["x-dup-ngram"]
+            ctx.out.table_checks.append(
+                ("dup_ngram", ctx.instance_path[1:], {
+                    "id": p["id"],
+                    "n": int(p.get("n", 5)),
+                    "max_frac": float(p.get("max_frac", 0.5)),
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-dup-ngram"))
 
     if "x-decontaminate" in schema and not ctx.silent:
         # benchmark-overlap declaration: like x-ref, names a dim (the
@@ -1450,7 +1522,10 @@ def _probe_validity(sub_schema: dict, ctx: _Ctx, *, col, dtype,
     # Surface them as unknown so strict mode flags the dropped declaration
     # instead of silently discarding it with the probe ruleset.
     for kind, column, _params in probe.table_checks:
-        u = (f"{ctx.instance_path}/{column}", f"x-{kind}:in-composition")
+        # kind is the internal dispatch name; the DSL keyword spells it
+        # with dashes (x-dup-ngram, x-label-conflict)
+        u = (f"{ctx.instance_path}/{column}",
+             f"x-{kind.replace('_', '-')}:in-composition")
         if u not in ctx.out.unknown:
             ctx.out.unknown.append(u)
     ctx.out.columns_read.update(probe.columns_read)
@@ -1771,7 +1846,8 @@ def compile_ruleset(
     mode.
     """
     options = options or {}
-    unknown_opts = set(options) - {"strict", "all_errors", "udf_formats"}
+    unknown_opts = set(options) - {"strict", "all_errors", "udf_formats",
+                                   "stage_variant"}
     if unknown_opts:
         raise RulesetCompileError(
             f"unknown engine options: {sorted(unknown_opts)}")
@@ -1782,10 +1858,21 @@ def compile_ruleset(
             [f for f in df_schema.fields if f.name not in exclude_columns])
     out = CompiledRuleset(name=name)
     out.ruleset_hash = ruleset_hash(schema)
+    stage = None
+    if options.get("stage_variant", True):
+        # short name-hash suffix: sanitized/truncated names of two routed
+        # rulesets must never collide in the fused relation's columns
+        prefix = (re.sub(r"\W+", "_", name)[:24] + "_"
+                  + hashlib.sha256(name.encode()).hexdigest()[:4])
+
+        def stage(hint: str, expr: Column) -> Column:  # noqa: F811
+            col_name = f"_vst_{prefix}_{len(out.staged)}"
+            out.staged.append((col_name, expr))
+            return F.col(col_name)
     ctx = _Ctx(col=None, dtype=None, instance_path="", schema_path="#",
                schema_file=schema_file, df_schema=df_schema,
                root_schema=schema, out=out,
-               extra_checks=extra_checks or {})
+               extra_checks=extra_checks or {}, stage=stage)
     out.options = dict(options)
     try:
         _shape_walk(schema)

@@ -337,15 +337,26 @@ def route_and_validate_single_pass(
         for c in compiled.checks:
             merged.checks.append(_dc_replace(
                 c, violated=pred & F.coalesce(c.violated, F.lit(False))))
+        # staged names are unique per ruleset (the registrar prefixes the
+        # route name), so the fused relation carries every route's staged
+        # columns side by side; rows routed elsewhere compute them too —
+        # wasted-but-safe (variant views of any value are total)
+        merged.staged.extend(compiled.staged)
         route_nv.append((name, pred, n_violations_expr(compiled),
                          n_blocking_expr(compiled, ("error",)),
                          n_blocking_expr(compiled, ("warning",))))
 
+    from ..operators.validate import stage_columns
+    df = stage_columns(df, merged)
     nv = n_violations_expr(merged)
     part = (F.col(partition_col).cast("string") if partition_col
             else F.lit("all")).alias("partition_id")
+    # no nv>0 prefilter when staged columns exist: filter pushdown would
+    # inline the staged variant views into the scan (see
+    # operators/validate.py violations branch)
+    viol_src = df.where(nv > 0) if not merged.staged else df
     violations = (
-        df.where(nv > 0)
+        viol_src
           .select(F.col(row_id).cast("string").alias("row_id"), part,
                   F.explode(_raw_violations_array(merged)).alias("v"))
           .where(F.col("v").isNotNull())

@@ -76,42 +76,56 @@ def tag(col: Column) -> Column:
     return F.schema_of_variant(col)
 
 
-def is_string(col: Column) -> Column:
-    return tag(col) == "STRING"
+# Every predicate takes an optional precomputed tag/view column. Variant
+# expressions are CodegenFallback (the whole projection interprets), so a
+# ruleset with k keyword checks would otherwise walk the variant binary
+# O(k) times per row; the compiler stages tag/string/double ONCE in a
+# lower projection (CompiledRuleset.staged) and passes the staged
+# attributes here — measured 3x on the driver's variant query.
+
+def is_string(col: Column, t: Column | None = None) -> Column:
+    t = tag(col) if t is None else t
+    return t == "STRING"
 
 
-def is_boolean(col: Column) -> Column:
-    return tag(col) == "BOOLEAN"
+def is_boolean(col: Column, t: Column | None = None) -> Column:
+    t = tag(col) if t is None else t
+    return t == "BOOLEAN"
 
 
-def is_object(col: Column) -> Column:
-    return tag(col).startswith("OBJECT")
+def is_object(col: Column, t: Column | None = None) -> Column:
+    t = tag(col) if t is None else t
+    return t.startswith("OBJECT")
 
 
-def is_array(col: Column) -> Column:
-    return tag(col).startswith("ARRAY")
+def is_array(col: Column, t: Column | None = None) -> Column:
+    t = tag(col) if t is None else t
+    return t.startswith("ARRAY")
 
 
-def is_json_null(col: Column) -> Column:
+def is_json_null(col: Column, t: Column | None = None) -> Column:
     """JSON ``null`` — present, tag VOID (distinct from SQL NULL = missing)."""
+    if t is not None:
+        return t == "VOID"
     return F.is_variant_null(col)
 
 
-def is_numeric(col: Column) -> Column:
+def is_numeric(col: Column, t: Column | None = None) -> Column:
     """JSON number: ints tag as BIGINT/DECIMAL(p,0), decimals as
     DECIMAL(p,s), scientific notation as DOUBLE."""
-    t = tag(col)
+    t = tag(col) if t is None else t
     return (t.isin(*_INT_TAGS, *_FLOAT_TAGS)) | t.startswith("DECIMAL")
 
 
-def is_integer(col: Column) -> Column:
+def is_integer(col: Column, t: Column | None = None,
+               d: Column | None = None) -> Column:
     """JSON Schema integer: any number with zero fractional part (6.0 and
     1e3 are integers). ``parse_json`` normalizes trailing zeros (``6.00``
     tags DECIMAL(1,0)) but scientific notation lands as DOUBLE, so the
     uniform test is floor-equality on the double view (documented
     precision caveat above 2^53, same as Ajv's JS-number semantics)."""
-    d = as_double(col)
-    return is_numeric(col) & (d == F.floor(d))
+    d = as_double(col) if d is None else d
+    return is_numeric(col, t) & (d == F.floor(d))
 
 
 # ---------------------------------------------------------------------------
@@ -160,7 +174,9 @@ def child(col: Column, prop: str) -> Column:
 # JSON-value equality (enum / const)
 # ---------------------------------------------------------------------------
 
-def value_eq(col: Column, v) -> Column | None:
+def value_eq(col: Column, v, *, t: Column | None = None,
+             s: Column | None = None, d: Column | None = None) \
+        -> Column | None:
     """Typed equality of a variant against a Python JSON literal.
 
     Variant has no Catalyst ordering (``=`` on variant is an analysis
@@ -169,32 +185,35 @@ def value_eq(col: Column, v) -> Column | None:
     enum members) — the caller records those as ``unknown`` rather than
     guessing a canonical form (JSON object equality is key-order
     insensitive; a serialized compare would not be)."""
+    sv = as_string(col) if s is None else s
+    dv = as_double(col) if d is None else d
     if isinstance(v, bool):  # before int: bool is an int subclass
-        return is_boolean(col) & (as_string(col) == ("true" if v else "false"))
+        return is_boolean(col, t) & (sv == ("true" if v else "false"))
     if isinstance(v, (int, float)):
-        return is_numeric(col) & (as_double(col) == float(v))
+        return is_numeric(col, t) & (dv == float(v))
     if isinstance(v, str):
-        return is_string(col) & (as_string(col) == v)
+        return is_string(col, t) & (sv == v)
     if v is None:
-        return is_json_null(col)
+        return is_json_null(col, t)
     return None
 
 
-def type_ok(col: Column, t: str) -> Column | None:
+def type_ok(col: Column, name: str, *, t: Column | None = None,
+            d: Column | None = None) -> Column | None:
     """JSON-Schema ``type`` test on a variant value; None for names the
     spec does not define (shape-walk rejects those upstream)."""
-    if t == "string":
-        return is_string(col)
-    if t == "number":
-        return is_numeric(col)
-    if t == "integer":
-        return is_integer(col)
-    if t == "boolean":
-        return is_boolean(col)
-    if t == "object":
-        return is_object(col)
-    if t == "array":
-        return is_array(col)
-    if t == "null":
-        return is_json_null(col)
+    if name == "string":
+        return is_string(col, t)
+    if name == "number":
+        return is_numeric(col, t)
+    if name == "integer":
+        return is_integer(col, t, d)
+    if name == "boolean":
+        return is_boolean(col, t)
+    if name == "object":
+        return is_object(col, t)
+    if name == "array":
+        return is_array(col, t)
+    if name == "null":
+        return is_json_null(col, t)
     return None

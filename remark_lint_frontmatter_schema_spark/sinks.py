@@ -69,15 +69,18 @@ def write_split(df: DataFrame, compiled, *, path: str,
     returned counts normalize either way."""
     import uuid
 
-    from .operators.validate import n_blocking_expr, violations_array
+    from .operators.validate import (n_blocking_expr, stage_columns,
+                                     staged_names, violations_array)
 
     if run_id is None:
         run_id = f"run_{uuid.uuid4().hex[:12]}"
-    annotated = (df.withColumn("_violations", violations_array(compiled))
-                   .withColumn("accepted",
-                               n_blocking_expr(compiled, fail_severities)
-                               == 0)
-                   .withColumn("run_id", F.lit(run_id)))
+    annotated = (stage_columns(df, compiled)
+                 .withColumn("_violations", violations_array(compiled))
+                 .withColumn("accepted",
+                             n_blocking_expr(compiled, fail_severities)
+                             == 0)
+                 .drop(*staged_names(compiled))
+                 .withColumn("run_id", F.lit(run_id)))
     (annotated.write.mode("append")
      .partitionBy("run_id", "accepted").parquet(path))
     if not count:

@@ -103,8 +103,10 @@ def ingest_stream(
         # same gate recomputed on the batch (micro-batch files are local
         # and the gate is a codegen projection — cheaper than reading the
         # split back and with no first-batch path-existence edge)
-        accepted = batch_df.where(
-            n_blocking_expr(compiled, fail_severities) == 0)
+        from ..operators.validate import stage_columns, staged_names
+        accepted = stage_columns(batch_df, compiled).where(
+            n_blocking_expr(compiled, fail_severities) == 0) \
+            .drop(*staged_names(compiled))
         corpus = canonicalize_clips(
             accepted, target_sr=target_sr,
             normalize_db=normalize_db, passthrough=tuple(passthrough))

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.drift import psi_vs_previous_window, windowed_histogram
-from ..operators.validate import n_violations_expr
+from ..operators.validate import n_violations_expr, stage_columns
 from ..plans.compiler import CompiledRuleset
 
 
@@ -38,7 +38,7 @@ def windowed_verdict_counts(
     which is how the equivalence test pins the streaming output to the
     batch oracle.
     """
-    annotated = stream_df.withColumn(
+    annotated = stage_columns(stream_df, compiled).withColumn(
         "_n_viol", n_violations_expr(compiled))
     if annotated.isStreaming:
         annotated = annotated.withWatermark(event_time_col, watermark_delay)

@@ -235,3 +235,44 @@ def test_variant_plan_is_map_only_jvm(spark):
         .annotated._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_variant_staging_parity_and_plan(spark):
+    """The staged compile (default) and the inline compile
+    (stage_variant=False) must emit byte-identical violations; the staged
+    plan's check expressions reference only staged attributes (no inline
+    schema_of_variant re-walks), and the heavy staged views must NOT be
+    pushed down into the scan's DataFilters (the nv>0 prefilter is
+    dropped for staged rulesets precisely to prevent that)."""
+    rnd = random.Random(7)
+    rows = [(f"r{i}", json.dumps(_gen_doc(rnd))) for i in range(300)]
+    df = _variant_df(spark, rows)
+    c_staged = compile_ruleset(RULESET, df.schema, name="vstage")
+    c_inline = compile_ruleset(RULESET, df.schema, name="vstage",
+                               options={"stage_variant": False})
+    assert c_staged.staged and not c_inline.staged
+    cols = ["row_id", "constraint_id", "keyword", "instance_path",
+            "message", "actual"]
+    key = lambda r: tuple((v is None, str(v)) for v in r)  # noqa: E731
+    a = sorted((tuple(r) for r in validate(df, c_staged, row_id="id")
+                .violations.select(cols).collect()), key=key)
+    b = sorted((tuple(r) for r in validate(df, c_inline, row_id="id")
+                .violations.select(cols).collect()), key=key)
+    assert a == b and len(a) > 50
+    # scalar checks of the staged compile read staged attributes only
+    # (array-element probes inside HOF lambdas cannot stage — lambda
+    # variables are not row-level columns — and legitimately re-derive
+    # tags per element)
+    scalar_kws = {"type", "enum", "const", "minimum", "maximum",
+                  "exclusiveMinimum", "exclusiveMaximum", "multipleOf",
+                  "minLength", "maxLength", "pattern", "required"}
+    for c in c_staged.checks:
+        if c.keyword in scalar_kws and "/tags" not in c.instance_path:
+            assert "schema_of_variant" not in str(c.violated), \
+                c.constraint_id
+    # staged views never land in the scan (pushdown regression)
+    plan = validate(df, c_staged, row_id="id") \
+        .violations._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Scan" in line and "DataFilters" in line:
+            assert "SchemaOfVariant" not in line
