@@ -561,6 +561,35 @@ def cross_doc_dup_fraction(df: DataFrame, text_col: str, id_col: str, *,
     return _track(out, sh)
 
 
+def dup_ngram_violations(df: DataFrame, text_col: str, id_col: str, *,
+                         n: int = 5, max_frac: float = 0.5,
+                         ruleset_name: str = "engine",
+                         severity: str = "warning") -> DataFrame:
+    """Violation rows for the ``x-dup-ngram`` table check: documents whose
+    :func:`cross_doc_dup_fraction` exceeds ``max_frac`` (shape mirrors
+    VIOLATION_FIELDS, same as the other table checks). Unlike ``x-dedup``
+    this flags PARTIAL overlap — a document may be no one's duplicate yet
+    still be mostly stitched from spans that exist elsewhere."""
+    scored = cross_doc_dup_fraction(df, text_col, id_col, n=n)
+    return (scored.where(F.col("dup_frac") > max_frac)
+            .select(
+                F.col(id_col).cast("string").alias("row_id"),
+                F.lit("all").alias("partition_id"),
+                F.lit(ruleset_name).alias("ruleset_id"),
+                F.lit(f"dup-ngram:{text_col}").alias("constraint_id"),
+                F.lit("dup-ngram").alias("keyword"),
+                F.lit(f"/{text_col}").alias("instance_path"),
+                F.lit(f"#/x-dup-ngram/{text_col}").alias("schema_path"),
+                F.concat(
+                    F.lit(f"Must have <= {max_frac:g} duplicated {n}-gram "
+                          "fraction across the corpus: got "),
+                    F.col("dup_frac").cast("string")).alias("message"),
+                F.col("dup_frac").cast("string").alias("actual"),
+                F.array(F.lit(f"<= {max_frac:g}")).alias("expected"),
+                F.lit(severity).alias("severity"),
+            ))
+
+
 # ---------------------------------------------------------------------------
 # corpus-level line dedup (C4 / RefinedWeb: boilerplate lines — nav bars,
 # cookie banners, license footers — repeat across MANY pages; drop every

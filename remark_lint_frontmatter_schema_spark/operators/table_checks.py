@@ -102,6 +102,13 @@ def table_check_violations(
                 n=params["n"], threshold=params["threshold"],
                 max_distance=params.get("max_distance", 3),
                 severity=params.get("severity", "warning")))
+        elif kind == "dup_ngram":
+            from .dedup import dup_ngram_violations
+            extras.append(dup_ngram_violations(
+                df, column, params["id"], n=params["n"],
+                max_frac=params["max_frac"],
+                ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "label_conflict":
             from ..functions.audio import transcript_conflict_violations
             extras.append(transcript_conflict_violations(

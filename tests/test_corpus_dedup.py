@@ -136,3 +136,48 @@ def test_dedup_lines_shuffle_fallback_matches_broadcast(spark):
         df, "text", "doc_id", min_count=2,
         broadcast_hot=False).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# x-dup-ngram DSL
+# ---------------------------------------------------------------------------
+
+def test_x_dup_ngram_end_to_end(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    df = spark.createDataFrame(CD_DOCS, "doc_id int, text string")
+    compiled = compile_ruleset(
+        {"type": "object", "properties": {"text": {
+            "type": "string",
+            "x-dup-ngram": {"id": "doc_id", "n": 5, "max_frac": 0.5}}}},
+        df.schema, name="docs")
+    assert compiled.table_checks == [
+        ("dup_ngram", "text", {"id": "doc_id", "n": 5, "max_frac": 0.5,
+                               "severity": "warning"})]
+    res = validate_with_table_checks(df, compiled, row_id="doc_id")
+    rows = {r.row_id: r for r in res.violations.collect()}
+    # docs 1 and 4 are exact dups (frac 1.0 > 0.5); doc 2 shares one
+    # 5-gram of four (0.25); 3/7 unique; 5/6 unmeasurable -> never flag
+    assert set(rows) == {"1", "4"}
+    assert rows["1"].keyword == "dup-ngram"
+    assert rows["1"].actual == "1.0"
+    assert "duplicated 5-gram" in rows["1"].message
+
+
+def test_x_dup_ngram_nested_unknown_and_malformed(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.plans.compiler import (
+        RulesetCompileError)
+    df = spark.createDataFrame(CD_DOCS, "doc_id int, text string")
+    nested = {"type": "object", "properties": {"text": {
+        "anyOf": [{"x-dup-ngram": {"id": "doc_id"}}, {"minLength": 1}]}}}
+    compiled = compile_ruleset(nested, df.schema, name="docs")
+    assert any(kw.startswith("x-dup-ngram") for _p, kw in compiled.unknown)
+    for bad in ({"x-dup-ngram": {"n": 5}},                      # id missing
+                {"x-dup-ngram": {"id": "doc_id", "max_frac": 1.5}},
+                {"x-dup-ngram": {"id": "doc_id", "n": 0}}):
+        with pytest.raises(RulesetCompileError):
+            compile_ruleset(
+                {"type": "object", "properties": {"text": bad}},
+                df.schema, name="docs")
