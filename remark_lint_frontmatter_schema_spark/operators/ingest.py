@@ -54,6 +54,7 @@ def ingest_corpus(
     normalize_db: float | None = None,
     passthrough: tuple = ("transcript",),
     repair_ruleset: dict | None = None,
+    dedupe_against_corpus: bool = False,
 ) -> dict:
     """Ingest every pending partition of ``table_path``; returns
     ``{"ingested": [...], "skipped": [...], "accepted": n,
@@ -101,6 +102,33 @@ def ingest_corpus(
             f"ingest_corpus: column(s) {missing} not in {table_path} "
             f"(has {df.columns}); check row_id/passthrough")
 
+    # cross-run id uniqueness: a clip_id already in the corpus (ingested
+    # by ANY earlier run) must not be re-ingested — re-sent batches and
+    # upstream replays are routine at ingest scale. The anti-join reads
+    # ONE pruned column of the existing corpus; the session's runtime
+    # bloom-filter join conf prefilters the big side. Duplicates are
+    # recorded (an artifact + a manifest metric), never silently dropped.
+    n_dup_by_part: dict = {}
+    if dedupe_against_corpus:
+        from pyspark.errors import AnalysisException
+        try:
+            existing = (spark.read.parquet(f"{out_path}/corpus")
+                        .select(F.col(row_id)).distinct())
+        except AnalysisException:
+            existing = None  # first run: no corpus yet
+        if existing is not None:
+            dups = (df.join(existing, row_id, "left_semi")
+                      .select(F.col(row_id), part_str.alias("_p")))
+            (dups.withColumn("run_id", F.lit(run_id))
+             .write.mode("append").partitionBy("run_id")
+             .parquet(f"{out_path}/dup_ids"))
+            n_dup_by_part = {r._p: r.n for r in
+                             (spark.read.parquet(f"{out_path}/dup_ids")
+                              .where(F.col("run_id") == run_id)
+                              .groupBy("_p")
+                              .agg(F.count(F.lit(1)).alias("n")).collect())}
+            df = df.join(existing, row_id, "left_anti")
+
     if repair_ruleset is not None:
         from .repair import repair as _repair
         rep = _repair(df, repair_ruleset, row_id=row_id, name="ingest-fix")
@@ -143,6 +171,8 @@ def ingest_corpus(
         manifest.record(
             snapshot_id, p, compiled.ruleset_hash, STATUS_INGESTED,
             metrics={"n_rows": n_rows, "n_accepted": n_acc,
-                     "n_quarantined": n_rows - n_acc, "run_id": run_id})
+                     "n_quarantined": n_rows - n_acc,
+                     "n_dup_skipped": int(n_dup_by_part.get(p, 0)),
+                     "run_id": run_id})
     manifest.save()
     return {"ingested": todo, "skipped": skipped, **counts}

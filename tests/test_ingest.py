@@ -202,3 +202,55 @@ def test_ingest_repair_first_accepts_fixable_rows(spark, table, compiled,
     acc = (spark.read.parquet(f"{out_b}/split")
            .where(F.col("accepted").cast("boolean")))
     assert acc.where("sr_hz < 8000 or sr_hz > 48000").count() == 0
+
+
+def test_ingest_dedupe_against_corpus(spark, table, compiled, tmp_path):
+    """Cross-run id uniqueness: a second batch re-sending clips already in
+    the corpus ingests only the genuinely new ids; the replayed ids land
+    in the dup_ids artifact and the manifest metrics, never the corpus."""
+    out = str(tmp_path / "out")
+    man = str(tmp_path / "manifest.json")
+    ingest_corpus(spark, table, compiled,
+                  partition_col="part_date", row_id="clip_id",
+                  out_path=out, manifest_path=man, run_id="r1",
+                  fail_severities=("error", "warning"))
+    corpus_ids = {r.clip_id for r in
+                  spark.read.parquet(f"{out}/corpus")
+                  .select("clip_id").collect()}
+    assert corpus_ids
+
+    # second batch: same rows shifted to new partitions; half keep their
+    # ids (replay), half are renamed (genuinely new)
+    t2 = str(tmp_path / "clips2")
+    df = spark.read.parquet(table).withColumn(
+        "part_date", F.date_add("part_date", 30))
+    df = df.withColumn(
+        "clip_id",
+        F.when(F.xxhash64("clip_id") % 2 == 0,
+               F.concat(F.lit("new_"), "clip_id")).otherwise(F.col("clip_id")))
+    df.write.partitionBy("part_date").parquet(t2)
+
+    res2 = ingest_corpus(spark, t2, compiled,
+                         partition_col="part_date", row_id="clip_id",
+                         out_path=out, manifest_path=str(tmp_path / "m2.json"),
+                         run_id="r2", fail_severities=("error", "warning"),
+                         dedupe_against_corpus=True)
+    assert res2["ingested"]
+
+    dup_rows = (spark.read.parquet(f"{out}/dup_ids")
+                .where(F.col("run_id") == "r2").collect())
+    replayed = {r.clip_id for r in
+                spark.read.parquet(t2).select("clip_id").collect()
+                if not r.clip_id.startswith("new_")}
+    # exactly the replayed ids ALREADY IN THE CORPUS are skipped —
+    # run-1-quarantined ids are not in the corpus and may retry
+    assert {r[0] for r in dup_rows} == replayed & corpus_ids
+    # the corpus never gains a duplicate id
+    c = spark.read.parquet(f"{out}/corpus")
+    assert c.count() == c.select("clip_id").distinct().count()
+    # and the new ids did ingest
+    assert c.where(F.col("clip_id").startswith("new_")).count() > 0
+    # manifest metrics account for the skips
+    m2 = Manifest.load(str(tmp_path / "m2.json"))
+    assert sum(e["metrics"]["n_dup_skipped"]
+               for e in m2.entries.values()) == len(dup_rows)
