@@ -68,6 +68,7 @@ _KNOWN_KEYWORDS = {
     "maxItems", "minItems",
     "uniqueItems", "contains", "minContains", "maxContains",
     "minProperties", "maxProperties", "dependentRequired", "dependencies",
+    "dependentSchemas", "unevaluatedProperties",
     "if", "then", "else", "propertyNames",
     # engine extension points (reference analog: custom Ajv keywords via
     # ajvOptions, index.ts:49): named vectorized pandas-UDF check, plus
@@ -424,6 +425,9 @@ _KEYWORD_SHAPE = {
         (isinstance(r, list) and all(isinstance(p, str) for p in r))
         or isinstance(r, dict)
         for r in v.values()),
+    "dependentSchemas": lambda v: isinstance(v, dict) and all(
+        isinstance(r, dict) for r in v.values()),
+    "unevaluatedProperties": lambda v: isinstance(v, (bool, dict)),
     "if": lambda v: isinstance(v, dict),
     "then": lambda v: isinstance(v, dict),
     "else": lambda v: isinstance(v, dict),
@@ -565,9 +569,13 @@ def _shape_walk(schema: dict, path: str = "#") -> None:
     for key in ("contains", "if", "then", "else", "propertyNames"):
         if isinstance(schema.get(key), dict):
             _shape_walk(schema[key], f"{path}/{key}")
-    for dep, sub in (schema.get("dependencies") or {}).items():
-        if isinstance(sub, dict):
-            _shape_walk(sub, f"{path}/dependencies/{dep}")
+    for dep_kw in ("dependencies", "dependentSchemas"):
+        for dep, sub in (schema.get(dep_kw) or {}).items():
+            if isinstance(sub, dict):
+                _shape_walk(sub, f"{path}/{dep_kw}/{dep}")
+    if isinstance(schema.get("unevaluatedProperties"), dict):
+        _shape_walk(schema["unevaluatedProperties"],
+                    f"{path}/unevaluatedProperties")
     for key in ("definitions", "$defs"):
         for name, sub in (schema.get(key) or {}).items():
             if isinstance(sub, dict):
@@ -584,7 +592,7 @@ _VARIANT_ARRAY_KWS = frozenset((
 _VARIANT_OBJECT_KWS = frozenset((
     "required", "properties", "patternProperties", "additionalProperties",
     "minProperties", "maxProperties", "propertyNames", "dependentRequired",
-    "dependencies"))
+    "dependencies", "dependentSchemas", "unevaluatedProperties"))
 _VARIANT_PASSTHROUGH_KWS = frozenset((
     "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
     # user callable receives the variant Column itself
@@ -1017,6 +1025,9 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
             or isinstance(schema.get("additionalProperties"), dict):
         _additional_properties(ctx, schema)
 
+    if "unevaluatedProperties" in schema:
+        _unevaluated_properties(ctx, schema)
+
     if "allOf" in schema:
         for i, sub in enumerate(schema["allOf"]):
             sub_ctx = _Ctx(
@@ -1100,8 +1111,8 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 violated = _present(ctx) & violated
             _add(ctx, kw, violated, msg)
 
-    # dependentRequired (2019-09) and the draft-07 `dependencies` spellings
-    for dep_kw in ("dependentRequired", "dependencies"):
+    # dependentRequired/dependentSchemas (2019-09) + draft-07 `dependencies`
+    for dep_kw in ("dependentRequired", "dependencies", "dependentSchemas"):
         for trigger, reqs in (schema.get(dep_kw) or {}).items():
             t_col, _t, t_exists = _child(ctx, trigger)
             if not t_exists:
@@ -1675,6 +1686,185 @@ def _property_names(ctx: _Ctx, sub: dict) -> None:
              actual=F.lit(",".join(bad_names)))
     else:
         ctx.out.static_passes.append((ctx.instance_path, "propertyNames"))
+
+
+def _covers_name_static(schema: dict, nm: str) -> bool:
+    """`nm` is covered by this node's own properties/patternProperties."""
+    if nm in (schema.get("properties") or {}):
+        return True
+    return any(_java_regex_search(p, nm)
+               for p in (schema.get("patternProperties") or {}))
+
+
+def _in_place_branches(ctx: _Ctx, schema: dict) -> list:
+    """(sub_schema, schema_path, extra_cond|None) for every in-place
+    applicator whose annotations can mark properties *evaluated*
+    (2019-09): $ref, allOf/anyOf/oneOf members, if/then/else (then/else
+    gated on the if outcome), dependentSchemas / dict-form dependencies
+    (gated on trigger presence). `not` contributes no annotations."""
+    out = []
+    if isinstance(schema.get("$ref"), str):
+        out.append((resolve_internal_ref(ctx.root_schema, schema["$ref"]),
+                    f"{ctx.schema_path}/$ref", None))
+    for kw in ("allOf", "anyOf", "oneOf"):
+        for i, sub in enumerate(schema.get(kw) or []):
+            if isinstance(sub, dict):
+                out.append((sub, f"{ctx.schema_path}/{kw}/{i}", None))
+    if isinstance(schema.get("if"), dict):
+        if_ok = _validity(schema["if"], ctx, f"{ctx.schema_path}/if")
+        out.append((schema["if"], f"{ctx.schema_path}/if", None))
+        if isinstance(schema.get("then"), dict):
+            out.append((schema["then"], f"{ctx.schema_path}/then", if_ok))
+        if isinstance(schema.get("else"), dict):
+            out.append((schema["else"], f"{ctx.schema_path}/else", ~if_ok))
+    for kw in ("dependentSchemas", "dependencies"):
+        for trigger, sub in (schema.get(kw) or {}).items():
+            if not isinstance(sub, dict):
+                continue
+            t_col, _t, t_exists = _child(ctx, trigger)
+            if not t_exists:
+                continue  # never applied
+            t_present = (F.map_contains_key(ctx.col, trigger)
+                         if isinstance(ctx.dtype, T.MapType)
+                         else t_col.isNotNull())
+            out.append((sub, f"{ctx.schema_path}/{kw}/{trigger}",
+                        t_present))
+    return out
+
+
+def _evaluated_cond(ctx: _Ctx, schema: dict, nm: str, *, _top: bool = False):
+    """True | Column | None: is property `nm` *evaluated* at this node
+    (2019-09 annotation semantics — an applicator branch contributes its
+    coverage only when that branch VALIDATES). None = never evaluated."""
+    covered = (_covers_name_static(schema, nm)
+               or "additionalProperties" in schema
+               or (not _top and "unevaluatedProperties" in schema))
+    if covered:
+        return True
+    conds = []
+    for sub, path, extra in _in_place_branches(ctx, schema):
+        c = _evaluated_cond(ctx, sub, nm)
+        if c is None:
+            continue
+        ok = _validity(sub, ctx, path)
+        cond = ok if c is True else (ok & c)
+        if extra is not None:
+            cond = cond & extra
+        conds.append(cond)
+    if not conds:
+        return None
+    return balanced_reduce(lambda a, b: a | b, conds)
+
+
+def _key_evaluated_fn(ctx: _Ctx, schema: dict, *, _top: bool = False):
+    """Runtime-key twin of :func:`_evaluated_cond` for map-typed nodes:
+    returns ``f(key_col) -> Column``, True (all keys evaluated) or None
+    (never). Branch-validity Columns are row-level outer references —
+    legal inside the HOF lambda the caller builds."""
+    if ("additionalProperties" in schema
+            or (not _top and "unevaluatedProperties" in schema)):
+        return True
+    names = list((schema.get("properties") or {}).keys())
+    pats = list((schema.get("patternProperties") or {}).keys())
+    parts = []  # (True | f(k), validity Column | None)
+    if names or pats:
+        def local(k, names=tuple(names), pats=tuple(pats)):
+            c = k.isin(*names) if names else F.lit(False)
+            for p in pats:
+                c = c | k.rlike(p)
+            return c
+        parts.append((local, None))
+    for sub, path, extra in _in_place_branches(ctx, schema):
+        f = _key_evaluated_fn(ctx, sub)
+        if f is None:
+            continue
+        ok = _validity(sub, ctx, path)
+        if extra is not None:
+            ok = ok & extra
+        parts.append((f, ok))
+    if not parts:
+        return None
+
+    def combined(k):
+        c = F.lit(False)
+        for f, ok in parts:
+            cov = F.lit(True) if f is True else f(k)
+            c = c | (cov if ok is None else (ok & cov))
+        return c
+    return combined
+
+
+def _unevaluated_properties(ctx: _Ctx, schema: dict) -> None:
+    """2019-09 ``unevaluatedProperties``: like additionalProperties but
+    seeing THROUGH in-place applicators — a property declared by a
+    validating allOf/anyOf/oneOf/then/else/$ref branch counts as
+    evaluated. ``false`` forbids unevaluated properties; a schema
+    validates their values; ``true`` is vacuous."""
+    up = schema["unevaluatedProperties"]
+    msg = _reason("must NOT have unevaluated properties", ctx,
+                  "unevaluatedProperties")
+    if up is True:
+        ctx.out.static_passes.append(
+            (ctx.instance_path, "unevaluatedProperties"))
+        return
+
+    if ctx.col is None or isinstance(ctx.dtype, T.StructType):
+        names = (ctx.df_schema.fieldNames() if ctx.col is None
+                 else ctx.dtype.fieldNames())
+        any_check = False
+        for nm in names:
+            cond = _evaluated_cond(ctx, schema, nm, _top=True)
+            if cond is True:
+                continue
+            any_check = True
+            child_col, child_t, _e = _child(ctx, nm)
+            present = child_col.isNotNull()
+            if ctx.col is not None:
+                present = ctx.col.isNotNull() & present
+            uneval = (present if cond is None
+                      else present & ~F.coalesce(cond, F.lit(False)))
+            if isinstance(up, dict):
+                ok = _probe_validity(
+                    up, ctx, col=child_col, dtype=child_t,
+                    schema_path=f"{ctx.schema_path}/unevaluatedProperties")
+                violated = uneval & ~ok
+            else:
+                violated = uneval
+            _add(ctx, "unevaluatedProperties", violated, msg,
+                 actual=F.lit(nm))
+        if not any_check:
+            ctx.out.static_passes.append(
+                (ctx.instance_path, "unevaluatedProperties"))
+        return
+
+    if isinstance(ctx.dtype, T.MapType):
+        fcomb = _key_evaluated_fn(ctx, schema, _top=True)
+        if fcomb is True:
+            ctx.out.static_passes.append(
+                (ctx.instance_path, "unevaluatedProperties"))
+            return
+        val_t = ctx.dtype.valueType
+
+        def bad(e):
+            u = (F.lit(True) if fcomb is None
+                 else ~F.coalesce(fcomb(e.getField("key")), F.lit(False)))
+            if isinstance(up, dict):
+                ok = _probe_validity(
+                    up, ctx, col=e.getField("value"), dtype=val_t,
+                    schema_path=f"{ctx.schema_path}/unevaluatedProperties")
+                return u & ~ok
+            return u
+
+        bad_keys = F.transform(F.filter(F.map_entries(ctx.col), bad),
+                               lambda e: e.getField("key"))
+        _add(ctx, "unevaluatedProperties",
+             _present(ctx) & (F.size(bad_keys) > 0), msg,
+             actual=F.concat_ws(",", bad_keys))
+        return
+
+    # non-object node: vacuous (JSON Schema object keywords)
+    ctx.out.static_passes.append(
+        (ctx.instance_path, "unevaluatedProperties"))
 
 
 def _additional_properties(ctx: _Ctx, schema: dict) -> None:

@@ -238,3 +238,111 @@ def test_prefix_items_2020_12(spark):
          "properties": {"arr": {"deprecated": True}}},
         df.schema, name="ann", options={"strict": True})
     assert not c2.unknown
+
+
+# ---------------------------------------------------------------------------
+# 2019-09 unevaluatedProperties + dependentSchemas (annotation semantics:
+# an applicator branch marks its properties evaluated ONLY when it
+# validates) — oracle is jsonschema's Draft201909Validator
+# ---------------------------------------------------------------------------
+
+SCHEMA3 = T.StructType([
+    T.StructField("id", T.StringType(), False),
+    T.StructField("a", T.StringType()),
+    T.StructField("b", T.StringType()),
+    T.StructField("c", T.StringType()),
+    T.StructField("m", T.MapType(T.StringType(), T.StringType())),
+])
+
+RULESET3 = {
+    "type": "object",
+    "allOf": [{"properties": {"a": {"maxLength": 4}}}],
+    "anyOf": [
+        {"properties": {"b": {"pattern": "^x"}}, "required": ["b"]},
+        {"properties": {"c": {"minLength": 2}}, "required": ["c"]},
+    ],
+    "properties": {
+        "id": {},
+        "m": {
+            "properties": {"lang": {"enum": ["en", "de"]}},
+            "dependentSchemas": {
+                "region": {"properties": {"lang": {"const": "de"}},
+                           "required": ["lang"]},
+            },
+            "anyOf": [
+                {"properties": {"x": {"maxLength": 2}}, "required": ["x"]},
+                {"properties": {"region": {"minLength": 2}},
+                 "required": ["region"]},
+            ],
+            "unevaluatedProperties": False,
+        },
+    },
+    "unevaluatedProperties": False,
+}
+
+_MAPS3 = [
+    {"lang": "en", "x": "ab"},          # anyOf[0] valid -> x evaluated
+    {"lang": "en", "x": "toolong"},     # anyOf[0] invalid -> x unevaluated
+    {"lang": "de", "region": "eu"},     # dependentSchemas + anyOf[1]
+    {"lang": "en", "region": "eu"},     # dependentSchemas fails (lang!=de)
+    {"lang": "fr", "x": "a"},           # enum fails, x still evaluated
+    {"x": "ab", "zz": "1"},             # zz never evaluated
+    {"region": "e"},                    # anyOf[1] invalid (too short)
+    {},
+]
+
+
+def _gen_row3(rnd: random.Random, i: int) -> dict:
+    def maybe(v, p=0.6):
+        return None if rnd.random() > p else v
+    return {
+        "id": f"r{i}",
+        "a": maybe(rnd.choice(["ok", "toolongg", "abcd"])),
+        "b": maybe(rnd.choice(["xb", "zz", "x"])),
+        "c": maybe(rnd.choice(["cc", "c", "see"])),
+        "m": maybe(rnd.choice(_MAPS3)),
+    }
+
+
+def test_unevaluated_properties_match_jsonschema_201909(spark):
+    rnd = random.Random(20260818)
+    rows = [_gen_row3(rnd, i) for i in range(400)]
+    df = spark.createDataFrame(
+        [tuple(r[f.name] for f in SCHEMA3.fields) for r in rows], SCHEMA3)
+    compiled = compile_ruleset(RULESET3, df.schema, name="uneval")
+    assert not compiled.unknown
+    res = validate(df, compiled, row_id="id")
+    engine_passed = {r.id: r.passed
+                     for r in res.annotated.select("id", "passed").collect()}
+    validator = jsonschema.Draft201909Validator(RULESET3)
+    n_fail = 0
+    for row in rows:
+        inst = {k: v for k, v in row.items() if v is not None}
+        oracle_ok = not list(validator.iter_errors(inst))
+        n_fail += not oracle_ok
+        assert engine_passed[row["id"]] == oracle_ok, (
+            f"verdict mismatch for {inst!r}: "
+            f"engine={engine_passed[row['id']]} jsonschema={oracle_ok}")
+    assert 0 < n_fail < len(rows)
+
+
+def test_unevaluated_properties_schema_form_and_static_pass(spark):
+    df = spark.createDataFrame([("1", "aa", "long-enough-value")],
+                               "id string, a string, b string")
+    # schema form: unevaluated values must satisfy the schema
+    rs = {"properties": {"id": {}, "a": {"maxLength": 4}},
+          "unevaluatedProperties": {"minLength": 5}}
+    compiled = compile_ruleset(rs, df.schema, name="uev")
+    assert validate(df, compiled, row_id="id").violations.count() == 0
+    rs2 = {"properties": {"id": {}, "a": {"maxLength": 4}},
+           "unevaluatedProperties": {"minLength": 50}}
+    got = validate(df, compile_ruleset(rs2, df.schema, name="uev2"),
+                   row_id="id").violations.collect()
+    assert [(r.keyword, r.actual) for r in got] == \
+        [("unevaluatedProperties", "b")]
+    # everything declared -> compiles to a static pass, zero runtime checks
+    rs3 = {"properties": {"id": {}, "a": {}, "b": {}},
+           "unevaluatedProperties": False}
+    c3 = compile_ruleset(rs3, df.schema, name="uev3")
+    assert ("", "unevaluatedProperties") in c3.static_passes
+    assert all(ch.keyword != "unevaluatedProperties" for ch in c3.checks)
