@@ -428,6 +428,42 @@ def q_dedup_lines_documents(spark, sf):
                              min_count=2, min_line_chars=12)
 
 
+UNEVAL_RULESET = {"type": "object", "properties": {"m": {
+    "properties": {"lang": {"enum": ["en", "de"]}},
+    "anyOf": [
+        {"properties": {"x": {"maxLength": 2}}, "required": ["x"]},
+        {"properties": {"region": {"minLength": 2}}, "required": ["region"]},
+    ],
+    "unevaluatedProperties": False,
+}}}
+
+
+def q_validate_events_unevaluated(spark, sf):
+    """2019-09 unevaluatedProperties with exact annotation semantics: a
+    property declared by an anyOf branch counts as evaluated ONLY when
+    that branch validates (residue 1's over-long `x` fails its branch, so
+    `x` is unevaluated even though a branch names it). The heterogeneous
+    map is derived deterministically from event_id; the oracle enumerates
+    the per-residue violations in closed form."""
+    ev = _load(spark, sf, "events")
+    m5 = F.pmod("event_id", F.lit(5))
+    m = (F.when(m5 == 0, F.create_map(F.lit("lang"), F.lit("en"),
+                                      F.lit("x"), F.lit("ab")))
+          .when(m5 == 1, F.create_map(F.lit("lang"), F.lit("en"),
+                                      F.lit("x"), F.lit("toolongg")))
+          .when(m5 == 2, F.create_map(F.lit("lang"), F.lit("de"),
+                                      F.lit("region"), F.lit("eu")))
+          .when(m5 == 3, F.create_map(F.lit("lang"), F.lit("fr"),
+                                      F.lit("zz"), F.lit("1")))
+          .otherwise(F.create_map(F.lit("lang"), F.lit("en"))))
+    doc = ev.select("event_id", m.alias("m"))
+    compiled = compile_ruleset(UNEVAL_RULESET, doc.schema,
+                               name="events_uneval")
+    return validate(doc, compiled, row_id="event_id").violations.select(
+        "row_id", "constraint_id", "keyword", "instance_path", "message",
+        "actual")
+
+
 def q_ann_cosine_topk(spark, sf):
     emb = _load(spark, sf, "embeddings")
     qv = [float(x) for x in
@@ -1030,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_sim_documents": q_edit_sim_documents,
         "dup_ngram_documents": q_dup_ngram_documents,
         "dedup_lines_documents": q_dedup_lines_documents,
+        "validate_events_unevaluated": q_validate_events_unevaluated,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "cluster_dedup_documents": q_cluster_dedup_documents,
         "validate_documents_content": q_validate_documents_content,
@@ -1353,6 +1390,34 @@ SELECT c.doc_id, b.doc_id AS bench_id,
        CAST(len(list_intersect(c.s, b.s)) AS BIGINT) AS n_shared
 FROM sh c JOIN sh b ON b.doc_id % 29 = 0 AND c.doc_id % 29 <> 0
 WHERE len(list_intersect(c.s, b.s)) >= 1
+"""
+
+_UNEVAL_SQL = r"""
+WITH ids AS (SELECT event_id, event_id % 5 AS r FROM events),
+v(r, constraint_id, keyword, instance_path, message, actual) AS (
+  VALUES
+  (1, 'events_uneval:/m:anyOf', 'anyOf', '/m',
+   'Must match a schema in anyOf ' || chr(8226) || ' #/properties/m/anyOf',
+   '{lang -> en, x -> toolongg}'),
+  (1, 'events_uneval:/m:unevaluatedProperties', 'unevaluatedProperties',
+   '/m', 'Must NOT have unevaluated properties ' || chr(8226)
+   || ' #/properties/m/unevaluatedProperties', 'x'),
+  (3, 'events_uneval:/m/lang:enum', 'enum', '/m/lang',
+   'Must be equal to one of the allowed values: `en`, `de` ' || chr(8226)
+   || ' #/properties/m/properties/lang/enum', 'fr'),
+  (3, 'events_uneval:/m:anyOf', 'anyOf', '/m',
+   'Must match a schema in anyOf ' || chr(8226) || ' #/properties/m/anyOf',
+   '{lang -> fr, zz -> 1}'),
+  (3, 'events_uneval:/m:unevaluatedProperties', 'unevaluatedProperties',
+   '/m', 'Must NOT have unevaluated properties ' || chr(8226)
+   || ' #/properties/m/unevaluatedProperties', 'zz'),
+  (4, 'events_uneval:/m:anyOf', 'anyOf', '/m',
+   'Must match a schema in anyOf ' || chr(8226) || ' #/properties/m/anyOf',
+   '{lang -> en}')
+)
+SELECT CAST(ids.event_id AS VARCHAR) AS row_id, v.constraint_id, v.keyword,
+       v.instance_path, v.message, v.actual
+FROM ids JOIN v USING (r)
 """
 
 _DUP_NGRAM_SQL = r"""
@@ -1800,6 +1865,7 @@ FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
         "embed_sim_pairs": _EMBED_PAIRS_SQL,
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
         "dup_ngram_documents": _DUP_NGRAM_SQL,
+        "validate_events_unevaluated": _UNEVAL_SQL,
         "dedup_lines_documents": _DEDUP_LINES_SQL,
         "edit_sim_documents": """
 WITH sh AS (

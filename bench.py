@@ -37,6 +37,7 @@ HEADLINE = [
     "repair_log_orders",
     "validate_events_props",
     "validate_events_variant",
+    "validate_events_unevaluated",
     "validate_part_composition",
     "stats_lineitem",
     "profile_lineitem",
