@@ -68,7 +68,7 @@ _KNOWN_KEYWORDS = {
     "maxItems", "minItems",
     "uniqueItems", "contains", "minContains", "maxContains",
     "minProperties", "maxProperties", "dependentRequired", "dependencies",
-    "dependentSchemas", "unevaluatedProperties",
+    "dependentSchemas", "unevaluatedProperties", "unevaluatedItems",
     "if", "then", "else", "propertyNames",
     # engine extension points (reference analog: custom Ajv keywords via
     # ajvOptions, index.ts:49): named vectorized pandas-UDF check, plus
@@ -428,6 +428,7 @@ _KEYWORD_SHAPE = {
     "dependentSchemas": lambda v: isinstance(v, dict) and all(
         isinstance(r, dict) for r in v.values()),
     "unevaluatedProperties": lambda v: isinstance(v, (bool, dict)),
+    "unevaluatedItems": lambda v: isinstance(v, (bool, dict)),
     "if": lambda v: isinstance(v, dict),
     "then": lambda v: isinstance(v, dict),
     "else": lambda v: isinstance(v, dict),
@@ -573,9 +574,9 @@ def _shape_walk(schema: dict, path: str = "#") -> None:
         for dep, sub in (schema.get(dep_kw) or {}).items():
             if isinstance(sub, dict):
                 _shape_walk(sub, f"{path}/{dep_kw}/{dep}")
-    if isinstance(schema.get("unevaluatedProperties"), dict):
-        _shape_walk(schema["unevaluatedProperties"],
-                    f"{path}/unevaluatedProperties")
+    for kw in ("unevaluatedProperties", "unevaluatedItems"):
+        if isinstance(schema.get(kw), dict):
+            _shape_walk(schema[kw], f"{path}/{kw}")
     for key in ("definitions", "$defs"):
         for name, sub in (schema.get(key) or {}).items():
             if isinstance(sub, dict):
@@ -588,7 +589,7 @@ def _shape_walk(schema: dict, path: str = "#") -> None:
 # composition re-enters the generic body on the variant column itself
 _VARIANT_ARRAY_KWS = frozenset((
     "items", "additionalItems", "prefixItems", "maxItems", "minItems",
-    "contains", "minContains", "maxContains"))
+    "contains", "minContains", "maxContains", "unevaluatedItems"))
 _VARIANT_OBJECT_KWS = frozenset((
     "required", "properties", "patternProperties", "additionalProperties",
     "minProperties", "maxProperties", "propertyNames", "dependentRequired",
@@ -1027,6 +1028,9 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
 
     if "unevaluatedProperties" in schema:
         _unevaluated_properties(ctx, schema)
+
+    if "unevaluatedItems" in schema:
+        _unevaluated_items(ctx, schema)
 
     if "allOf" in schema:
         for i, sub in enumerate(schema["allOf"]):
@@ -1792,6 +1796,83 @@ def _key_evaluated_fn(ctx: _Ctx, schema: dict, *, _top: bool = False):
             c = c | (cov if ok is None else (ok & cov))
         return c
     return combined
+
+
+_COV_ALL = 1 << 30  # "covers every index" sentinel (arrays are far smaller)
+
+
+def _item_coverage(ctx: _Ctx, schema: dict, *, _top: bool = False):
+    """Array-item evaluation coverage of one node (2019-09 annotations):
+    returns ``(cov_len_exprs, elem_preds)`` where ``cov_len_exprs`` are
+    int Columns (indexes below their max are evaluated; branch
+    contributions collapse to -1 when the branch fails) and
+    ``elem_preds`` are ``fn(elem) -> Column`` for per-element coverage
+    from ``contains`` (conditioned on branch validity by construction)."""
+    covs, preds = [], []
+    local = 0
+    its = schema.get("items")
+    if isinstance(its, dict) or isinstance(schema.get("additionalItems"),
+                                           dict) \
+            or (not _top and "unevaluatedItems" in schema):
+        local = _COV_ALL
+    elif isinstance(its, list):
+        local = len(its)
+    if isinstance(schema.get("prefixItems"), list):
+        local = max(local, len(schema["prefixItems"]))
+    if local:
+        covs.append(F.lit(local))
+    if isinstance(schema.get("contains"), dict):
+        fn = _element_validity_fn(ctx, schema["contains"],
+                                  f"{ctx.schema_path}/contains")
+        preds.append(fn)
+    for sub, path, extra in _in_place_branches(ctx, schema):
+        sub_covs, sub_preds = _item_coverage(ctx, sub)
+        if not sub_covs and not sub_preds:
+            continue
+        ok = _validity(sub, ctx, path)
+        if extra is not None:
+            ok = ok & extra
+        for c in sub_covs:
+            covs.append(F.when(ok, c).otherwise(F.lit(-1)))
+        for fn in sub_preds:
+            preds.append((lambda f, o: lambda e: o & f(e))(fn, ok))
+    return covs, preds
+
+
+def _unevaluated_items(ctx: _Ctx, schema: dict) -> None:
+    """2019-09 ``unevaluatedItems``: indexes below a validating branch's
+    prefix/items coverage (or matching a ``contains`` schema) are
+    evaluated; the rest must be absent (``false``) or match the given
+    schema. Non-array nodes are vacuous."""
+    ui = schema["unevaluatedItems"]
+    msg = _reason("must NOT have unevaluated items", ctx,
+                  "unevaluatedItems")
+    if ui is True or ctx.col is None \
+            or not isinstance(ctx.dtype, T.ArrayType):
+        ctx.out.static_passes.append(
+            (ctx.instance_path, "unevaluatedItems"))
+        return
+    covs, preds = _item_coverage(ctx, schema, _top=True)
+    max_cov = (balanced_reduce(F.greatest, covs) if len(covs) > 1
+               else (covs[0] if covs else F.lit(0)))
+
+    def uneval(x, i):
+        u = i >= max_cov
+        for fn in preds:
+            u = u & ~F.coalesce(fn(x), F.lit(False))
+        return u
+
+    if isinstance(ui, dict):
+        sub_ok = _element_validity_fn(ctx, ui,
+                                      f"{ctx.schema_path}/unevaluatedItems")
+
+        def bad(x, i):
+            return uneval(x, i) & ~F.coalesce(sub_ok(x), F.lit(False))
+    else:
+        bad = uneval
+    n_bad = F.size(F.filter(ctx.col, bad))
+    _add(ctx, "unevaluatedItems", _present(ctx) & (n_bad > 0), msg,
+         actual=n_bad.cast("string"))
 
 
 def _unevaluated_properties(ctx: _Ctx, schema: dict) -> None:

@@ -346,3 +346,74 @@ def test_unevaluated_properties_schema_form_and_static_pass(spark):
     c3 = compile_ruleset(rs3, df.schema, name="uev3")
     assert ("", "unevaluatedProperties") in c3.static_passes
     assert all(ch.keyword != "unevaluatedProperties" for ch in c3.checks)
+
+
+# ---------------------------------------------------------------------------
+# 2019-09 unevaluatedItems: tuple-prefix coverage through validating
+# branches + contains-matched elements
+# ---------------------------------------------------------------------------
+
+SCHEMA4 = T.StructType([
+    T.StructField("id", T.StringType(), False),
+    T.StructField("arr", T.ArrayType(T.StringType())),
+])
+
+RULESET4 = {
+    "properties": {
+        "id": {},
+        "arr": {
+            "anyOf": [
+                {"items": [{"enum": ["a"]}, {"enum": ["b"]}]},
+                {"items": [{"enum": ["x"]}]},
+                {"contains": {"const": "z"}},
+            ],
+            "unevaluatedItems": False,
+        },
+    },
+}
+
+_POOL4 = ["a", "b", "x", "z", "q"]
+
+
+def test_unevaluated_items_match_jsonschema_201909(spark):
+    rnd = random.Random(20260819)
+    rows = [(f"r{i}",
+             None if rnd.random() < 0.1
+             else [rnd.choice(_POOL4) for _ in range(rnd.randint(0, 4))])
+            for i in range(400)]
+    df = spark.createDataFrame(rows, SCHEMA4)
+    compiled = compile_ruleset(RULESET4, df.schema, name="ui")
+    assert not compiled.unknown
+    res = validate(df, compiled, row_id="id")
+    engine_passed = {r.id: r.passed
+                     for r in res.annotated.select("id", "passed").collect()}
+    validator = jsonschema.Draft201909Validator(RULESET4)
+    n_fail = 0
+    for rid, arr in rows:
+        inst = {"id": rid} if arr is None else {"id": rid, "arr": arr}
+        oracle_ok = not list(validator.iter_errors(inst))
+        n_fail += not oracle_ok
+        assert engine_passed[rid] == oracle_ok, (
+            f"verdict mismatch for {inst!r}: engine={engine_passed[rid]} "
+            f"jsonschema={oracle_ok}")
+    assert 0 < n_fail < len(rows)
+
+
+def test_unevaluated_items_schema_form_and_vacuous(spark):
+    df = spark.createDataFrame(
+        [("1", ["a", "b", "cc"]), ("2", ["a", "b", "c", "dd"])],
+        "id string, arr array<string>")
+    rs = {"properties": {"id": {}, "arr": {
+        "items": [{"enum": ["a"]}, {"enum": ["b"]}],
+        "unevaluatedItems": {"maxLength": 1},
+    }}}
+    got = validate(df, compile_ruleset(rs, df.schema, name="uis"),
+                   row_id="id").violations.collect()
+    # row 1: tail ["cc"] has one over-long element; row 2: ["c","dd"] has
+    # one over-long element -> one violation row each, counting the bad
+    assert sorted((r.row_id, r.keyword, r.actual) for r in got) == [
+        ("1", "unevaluatedItems", "1"), ("2", "unevaluatedItems", "1")]
+    # non-array node: vacuous static pass
+    rs2 = {"properties": {"id": {"unevaluatedItems": False}}}
+    c2 = compile_ruleset(rs2, df.schema, name="uis2")
+    assert ("/id", "unevaluatedItems") in c2.static_passes
