@@ -428,6 +428,30 @@ def q_dedup_lines_documents(spark, sf):
                              min_count=2, min_line_chars=12)
 
 
+def q_validate_embeddings_quality(spark, sf):
+    """x-embedding quality invariants (dim / finite / nonzero /
+    normalized) over a deterministically-corrupted view of the embeddings
+    table: vec_id%7==1 truncated to 32 dims, ==2 gets a NaN element, ==3
+    becomes the zero vector. Norm checks gate on finiteness (NaN
+    comparison semantics differ across engines); the oracle recomputes
+    every statistic from the same corruption in SQL."""
+    emb = _load(spark, sf, "embeddings")
+    m7 = F.pmod("vec_id", F.lit(7))
+    e = (F.when(m7 == 1, F.slice("embedding", 1, 32))
+          .when(m7 == 2, F.concat(
+              F.array(F.lit(float("nan")).cast("float")),
+              F.slice("embedding", 2, 63)))
+          .when(m7 == 3, F.array_repeat(F.lit(0.0).cast("float"), 64))
+          .otherwise(F.col("embedding")))
+    doc = emb.select("vec_id", e.alias("embedding"))
+    rs = {"properties": {"embedding": {"x-embedding": {
+        "dim": 64, "finite": True, "nonzero": True,
+        "normalized": True, "norm_tol": 0.001}}}}
+    compiled = compile_ruleset(rs, doc.schema, name="emb_quality")
+    return validate(doc, compiled, row_id="vec_id").violations.select(
+        "row_id", "constraint_id", "keyword", "message", "actual")
+
+
 UNEVAL_RULESET = {"type": "object", "properties": {"m": {
     "properties": {"lang": {"enum": ["en", "de"]}},
     "anyOf": [
@@ -1067,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_documents": q_dup_ngram_documents,
         "dedup_lines_documents": q_dedup_lines_documents,
         "validate_events_unevaluated": q_validate_events_unevaluated,
+        "validate_embeddings_quality": q_validate_embeddings_quality,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "cluster_dedup_documents": q_cluster_dedup_documents,
         "validate_documents_content": q_validate_documents_content,
@@ -1390,6 +1415,55 @@ SELECT c.doc_id, b.doc_id AS bench_id,
        CAST(len(list_intersect(c.s, b.s)) AS BIGINT) AS n_shared
 FROM sh c JOIN sh b ON b.doc_id % 29 = 0 AND c.doc_id % 29 <> 0
 WHERE len(list_intersect(c.s, b.s)) >= 1
+"""
+
+_EMB_QUALITY_SQL = r"""
+WITH src AS (
+  SELECT vec_id,
+    CASE WHEN vec_id % 7 = 1 THEN embedding[1:32]
+         WHEN vec_id % 7 = 2 THEN list_concat(['NaN'::FLOAT],
+                                              embedding[2:64])
+         WHEN vec_id % 7 = 3 THEN list_transform(range(64),
+                                                 x -> CAST(0.0 AS FLOAT))
+         ELSE embedding END AS e
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, len(e) AS n,
+         len(list_filter(e, x -> isnan(x) OR isinf(x))) AS n_bad,
+         list_sum(list_transform(e,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS s2
+  FROM src
+),
+b AS (SELECT chr(8226) AS dot)
+SELECT CAST(vec_id AS VARCHAR) AS row_id,
+       'emb_quality:/embedding:x-embedding-dim' AS constraint_id,
+       'x-embedding-dim' AS keyword,
+       'Must have embedding dimension 64 ' || dot
+         || ' #/properties/embedding/x-embedding' AS message,
+       CAST(n AS VARCHAR) AS actual
+FROM m, b WHERE n != 64
+UNION ALL
+SELECT CAST(vec_id AS VARCHAR),
+       'emb_quality:/embedding:x-embedding-finite', 'x-embedding-finite',
+       'Must contain only finite values ' || dot
+         || ' #/properties/embedding/x-embedding',
+       CAST(n_bad AS VARCHAR) || ' non-finite'
+FROM m, b WHERE n_bad > 0
+UNION ALL
+SELECT CAST(vec_id AS VARCHAR),
+       'emb_quality:/embedding:x-embedding-nonzero', 'x-embedding-nonzero',
+       'Must not be the zero vector ' || dot
+         || ' #/properties/embedding/x-embedding',
+       '0.0'
+FROM m, b WHERE n_bad = 0 AND s2 = 0
+UNION ALL
+SELECT CAST(vec_id AS VARCHAR),
+       'emb_quality:/embedding:x-embedding-norm', 'x-embedding-norm',
+       'Must be L2-normalized (|norm-1| <= 0.001) ' || dot
+         || ' #/properties/embedding/x-embedding',
+       CAST(round(sqrt(s2), 6) AS VARCHAR)
+FROM m, b WHERE n_bad = 0 AND abs(sqrt(s2) - 1.0) > 0.001
 """
 
 _UNEVAL_SQL = r"""
@@ -1866,6 +1940,7 @@ FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
         "dup_ngram_documents": _DUP_NGRAM_SQL,
         "validate_events_unevaluated": _UNEVAL_SQL,
+        "validate_embeddings_quality": _EMB_QUALITY_SQL,
         "dedup_lines_documents": _DEDUP_LINES_SQL,
         "edit_sim_documents": """
 WITH sh AS (

@@ -38,6 +38,7 @@ HEADLINE = [
     "validate_events_props",
     "validate_events_variant",
     "validate_events_unevaluated",
+    "validate_embeddings_quality",
     "validate_part_composition",
     "stats_lineitem",
     "profile_lineitem",

@@ -81,6 +81,7 @@ _KNOWN_KEYWORDS = {
     "x-outlier",
     "x-monotonic",
     "x-dup-ngram",
+    "x-embedding",
 }
 
 
@@ -429,6 +430,15 @@ _KEYWORD_SHAPE = {
         isinstance(r, dict) for r in v.values()),
     "unevaluatedProperties": lambda v: isinstance(v, (bool, dict)),
     "unevaluatedItems": lambda v: isinstance(v, (bool, dict)),
+    "x-embedding": lambda v: isinstance(v, dict)
+    and (v.get("dim") is None
+         or (isinstance(v["dim"], int) and not isinstance(v["dim"], bool)
+             and v["dim"] > 0))
+    and all(v.get(k) is None or isinstance(v[k], bool)
+            for k in ("finite", "nonzero", "normalized"))
+    and (v.get("norm_tol") is None
+         or (isinstance(v["norm_tol"], _NUM)
+             and not isinstance(v["norm_tol"], bool) and v["norm_tol"] > 0)),
     "if": lambda v: isinstance(v, dict),
     "then": lambda v: isinstance(v, dict),
     "else": lambda v: isinstance(v, dict),
@@ -606,7 +616,7 @@ _VARIANT_UNSUPPORTED_KWS = frozenset((
     "uniqueItems", "contentEncoding", "contentMediaType",
     "x-unique", "x-ref", "x-drift", "x-dedup", "x-langid", "x-rate",
     "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
-    "x-monotonic", "x-dup-ngram"))
+    "x-monotonic", "x-dup-ngram", "x-embedding"))
 
 
 def _compile_variant_node(schema: dict, ctx: _Ctx) -> None:
@@ -1379,6 +1389,15 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
             _add(ctx, "x-rate", violated, msg,
                  actual=F.round(rate, 2).cast("string"))
 
+    if "x-embedding" in schema and ctx.col is not None:
+        if isinstance(ctx.dtype, T.ArrayType) and isinstance(
+                ctx.dtype.elementType,
+                (T.FloatType, T.DoubleType, T.DecimalType)):
+            _embedding_checks(ctx, schema["x-embedding"])
+        else:
+            # declared on a non-float-array column: config bug, surface it
+            ctx.out.unknown.append((ctx.instance_path, "x-embedding"))
+
     if "x-spark-check" in schema and ctx.col is not None:
         name = schema["x-spark-check"]
         fn = ctx.extra_checks.get(name)
@@ -1387,6 +1406,51 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
         else:
             msg = _reason(f'must pass check "{name}"', ctx, "x-spark-check")
             _add(ctx, "x-spark-check", _present(ctx) & ~fn(ctx.col), msg)
+
+
+def _embedding_checks(ctx: _Ctx, p: dict) -> None:
+    """``x-embedding``: quality invariants of an embedding column — the
+    validation surface an embeddings table needs before any ANN/near-dup
+    pass will behave (similarity.py assumes finite, consistently-sized,
+    optionally L2-normalized vectors). All pure row-level Column
+    expressions (probes inside compositions work), presence-guarded:
+
+    * ``dim``        — exact dimensionality
+    * ``finite``     — no NaN/Inf elements (default True)
+    * ``nonzero``    — not the all-zero vector
+    * ``normalized`` — |L2 norm − 1| ≤ ``norm_tol`` (default 1e-3); only
+      tested on finite vectors (NaN norms already fail ``finite``, and
+      NaN comparison semantics differ across engines)
+    """
+    c = ctx.col.cast("array<double>")
+    present = _present(ctx)
+    n_bad = F.size(F.filter(
+        c, lambda x: F.isnan(x) | (F.abs(x) == float("inf"))))
+    finite_ok = n_bad == 0
+    if "dim" in p:
+        d = int(p["dim"])
+        msg = _reason(f"must have embedding dimension {d}", ctx,
+                      "x-embedding")
+        _add(ctx, "x-embedding-dim", present & (F.size(c) != d), msg,
+             actual=F.size(c).cast("string"))
+    if p.get("finite", True):
+        msg = _reason("must contain only finite values", ctx, "x-embedding")
+        _add(ctx, "x-embedding-finite", present & ~finite_ok, msg,
+             actual=F.concat(n_bad.cast("string"), F.lit(" non-finite")))
+    norm2 = F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    if p.get("nonzero"):
+        msg = _reason("must not be the zero vector", ctx, "x-embedding")
+        _add(ctx, "x-embedding-nonzero",
+             present & finite_ok & (norm2 == 0.0), msg,
+             actual=F.lit("0.0"))
+    if p.get("normalized"):
+        tol = float(p.get("norm_tol", 1e-3))
+        msg = _reason(f"must be L2-normalized (|norm-1| <= {tol:g})", ctx,
+                      "x-embedding")
+        _add(ctx, "x-embedding-norm",
+             present & finite_ok
+             & (F.abs(F.sqrt(norm2) - 1.0) > tol), msg,
+             actual=F.round(F.sqrt(norm2), 6).cast("string"))
 
 
 def _items_check(ctx: _Ctx, items_schema: dict) -> None:

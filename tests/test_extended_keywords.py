@@ -307,3 +307,57 @@ def test_x_severity_does_not_leak_from_ref(spark):
     compiled = compile_ruleset(rs, df_schema, name="refsev")
     sev = {c.keyword: c.severity for c in compiled.checks}
     assert sev == {"minimum": "error", "maximum": "warning"}
+
+
+# ---------------------------------------------------------------------------
+# x-embedding (row-level embedding-quality invariants)
+# ---------------------------------------------------------------------------
+
+def test_x_embedding_checks(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+    rows = [
+        ("ok",    [0.6, 0.8]),
+        ("short", [1.0]),
+        ("nan",   [float("nan"), 1.0]),
+        ("zero",  [0.0, 0.0]),
+        ("unnorm", [3.0, 4.0]),
+        ("absent", None),
+    ]
+    df = spark.createDataFrame(rows, "id string, v array<double>")
+    rs = {"properties": {"v": {"x-embedding": {
+        "dim": 2, "finite": True, "nonzero": True, "normalized": True}}}}
+    compiled = compile_ruleset(rs, df.schema, name="emb")
+    got = {}
+    for r in validate(df, compiled, row_id="id").violations.collect():
+        got.setdefault(r.row_id, []).append((r.keyword, r.actual))
+    assert "ok" not in got and "absent" not in got
+    # [1.0] is the wrong dimension but has norm exactly 1 — only dim fires
+    assert got["short"] == [("x-embedding-dim", "1")]
+    assert got["nan"] == [("x-embedding-finite", "1 non-finite")]
+    assert sorted(got["zero"]) == [("x-embedding-nonzero", "0.0"),
+                                   ("x-embedding-norm", "0.0")]
+    assert got["unnorm"] == [("x-embedding-norm", "5.0")]
+
+
+def test_x_embedding_composition_and_guards(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+    from remark_lint_frontmatter_schema_spark.plans.compiler import (
+        RulesetCompileError)
+    df = spark.createDataFrame(
+        [("a", [0.6, 0.8], "s")], "id string, v array<double>, s string")
+    # inside anyOf: probes as a row expression (unlike table checks)
+    rs = {"properties": {"v": {"anyOf": [
+        {"x-embedding": {"dim": 2}}, {"x-embedding": {"dim": 3}}]}}}
+    compiled = compile_ruleset(rs, df.schema, name="emb2")
+    assert not compiled.unknown
+    assert validate(df, compiled, row_id="id").violations.count() == 0
+    # declared on a non-float-array column: surfaced as unknown
+    c2 = compile_ruleset({"properties": {"s": {"x-embedding": {"dim": 2}}}},
+                         df.schema, name="emb3")
+    assert ("/s", "x-embedding") in c2.unknown
+    # malformed params refuse at compile time
+    for bad in ({"dim": 0}, {"dim": True}, {"norm_tol": -1},
+                {"normalized": "yes"}):
+        with pytest.raises(RulesetCompileError):
+            compile_ruleset({"properties": {"v": {"x-embedding": bad}}},
+                            df.schema, name="emb4")
