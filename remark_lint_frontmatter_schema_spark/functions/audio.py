@@ -379,7 +379,8 @@ def decode_stats_map_in_pandas(iterator):
 
 def audio_features_schema(passthrough_ddl: str = "",
                           with_fingerprint: bool = False,
-                          with_spectral: bool = False) -> str:
+                          with_spectral: bool = False,
+                          with_mfcc: bool = False) -> str:
     base = ("clip_id string, decode_ok boolean, dur_ms_payload int, "
             "rms double, peak double, silence_ratio double, "
             "dominant_hz double, clipping_ratio double")
@@ -388,6 +389,8 @@ def audio_features_schema(passthrough_ddl: str = "",
     if with_spectral:
         base += (", centroid_hz double, bandwidth_hz double, "
                  "rolloff95_hz double, flatness double")
+    if with_mfcc:
+        base += ", mfcc array<double>"
     return f"{base}, {passthrough_ddl}" if passthrough_ddl else base
 
 
@@ -427,13 +430,60 @@ def spectral_shape(x: np.ndarray, sr: int, *, frame_ms: int = 32
     return centroid, bandwidth, rolloff, flatness
 
 
+def mel_mfcc(x: np.ndarray, sr: int, *, n_mels: int = 26,
+             n_mfcc: int = 13, frame_ms: int = 32) -> list | None:
+    """Clip-level MFCC summary: Welch-style mean power spectrum (same
+    framing as :func:`spectral_shape`) -> triangular mel filterbank
+    (HTK mel scale, 2595*log10(1+f/700)) -> log energies -> orthonormal
+    DCT-II, first ``n_mfcc`` coefficients. Pure numpy (no scipy in the
+    sandbox); deterministic for a given payload.
+
+    This is the CLIP-level acoustic summary vector — a compact timbre
+    embedding suitable for the engine's vector stack (x-embedding checks,
+    cosine/IVF/PQ similarity over an ``array<double>`` column); per-frame
+    MFCC matrices for ASR feature extraction stay with the caller's own
+    ``mapInPandas`` stage. Returns None for empty/all-silent input.
+    """
+    if not len(x):
+        return None
+    flen = min(len(x), max(32, int(sr * frame_ms / 1000)))
+    hop = max(1, flen // 2)
+    p = _framed_power_spectrum(x, flen, hop, np.hanning(flen)).mean(axis=0)
+    p[0] = 0.0
+    if float(p.sum()) <= 0.0:
+        return None
+    freqs = np.fft.rfftfreq(flen, 1.0 / sr)
+
+    def to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+    def from_mel(m):
+        return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+    pts = from_mel(np.linspace(0.0, float(to_mel(sr / 2.0)), n_mels + 2))
+    # triangular filters over the rfft bins
+    w = np.zeros((n_mels, len(freqs)))
+    for i in range(n_mels):
+        lo, mid, hi = pts[i], pts[i + 1], pts[i + 2]
+        up = (freqs - lo) / max(mid - lo, 1e-12)
+        down = (hi - freqs) / max(hi - mid, 1e-12)
+        w[i] = np.clip(np.minimum(up, down), 0.0, None)
+    e = np.log(w @ p + 1e-20)
+    n = np.arange(n_mels)
+    k = np.arange(n_mfcc)[:, None]
+    dct = np.cos(np.pi * k * (n + 0.5) / n_mels) * np.sqrt(2.0 / n_mels)
+    dct[0] *= np.sqrt(0.5)  # orthonormal DCT-II scaling
+    return [float(v) for v in dct @ e]
+
+
 def audio_features_map_in_pandas(frame_ms: int = 20,
                                  silence_db: float = -40.0,
                                  passthrough: tuple = (),
                                  with_fingerprint: bool = False,
                                  fp_frame_ms: int = 64,
                                  fp_hop_ms: int = 32,
-                                 with_spectral: bool = False):
+                                 with_spectral: bool = False,
+                                 with_mfcc: bool = False):
     """mapInPandas feature extractor over WAV payloads: duration, RMS,
     peak, frame-level silence ratio, dominant frequency (rfft argmax),
     and clipping ratio (fraction of samples at >= 99.9% full scale — the
@@ -455,7 +505,8 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
     :func:`spectral_shape` descriptors from the same decode.
     """
     silence_amp = 10 ** (silence_db / 20)
-    n_fail = 6 + (1 if with_fingerprint else 0) + (4 if with_spectral else 0)
+    n_fail = (6 + (1 if with_fingerprint else 0)
+              + (4 if with_spectral else 0) + (1 if with_mfcc else 0))
 
     def fn(iterator):
         for pdf in iterator:
@@ -495,14 +546,19 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
                 sp_cols = ()
                 if with_spectral:
                     sp_cols = spectral_shape(x, sr) or (None,) * 4
+                mf_cols = ()
+                if with_mfcc:
+                    mf_cols = (mel_mfcc(x, sr),)
                 rows.append((cid, True, dur_ms, rms, peak, silence, dom,
-                             clip_frac, *fp_cols, *sp_cols, *extras))
+                             clip_frac, *fp_cols, *sp_cols, *mf_cols,
+                             *extras))
             yield pd.DataFrame(rows, columns=[
                 "clip_id", "decode_ok", "dur_ms_payload", "rms", "peak",
                 "silence_ratio", "dominant_hz", "clipping_ratio",
                 *(("fp",) if with_fingerprint else ()),
                 *(("centroid_hz", "bandwidth_hz", "rolloff95_hz",
-                   "flatness") if with_spectral else ()), *passthrough])
+                   "flatness") if with_spectral else ()),
+                *(("mfcc",) if with_mfcc else ()), *passthrough])
 
     return fn
 
@@ -511,15 +567,18 @@ def audio_features(clips, *, frame_ms: int = 20,
                    silence_db: float = -40.0, passthrough: tuple = (),
                    with_fingerprint: bool = False,
                    fp_frame_ms: int = 64, fp_hop_ms: int = 32,
-                   with_spectral: bool = False):
+                   with_spectral: bool = False,
+                   with_mfcc: bool = False):
     """clips(clip_id, bytes) -> feature DataFrame (map-only stage).
 
     ``passthrough`` names extra clips columns carried into the output
     unchanged (their types copied from the input schema) — lets callers
     run cross-field payload checks without a join back to the table.
-    ``with_fingerprint`` adds the acoustic dedup signature and
-    ``with_spectral`` the four spectral-shape descriptors, both from the
-    same decode (see :func:`audio_features_map_in_pandas`)."""
+    ``with_fingerprint`` adds the acoustic dedup signature,
+    ``with_spectral`` the four spectral-shape descriptors, and
+    ``with_mfcc`` the clip-level MFCC vector (array<double> — feeds the
+    x-embedding checks and the cosine/IVF/PQ similarity stack directly),
+    all from the same decode (see :func:`audio_features_map_in_pandas`)."""
     pt_ddl = ", ".join(
         f"{c} {clips.schema[c].dataType.simpleString()}" for c in passthrough)
     return clips.select("clip_id", "bytes", *passthrough).mapInPandas(
@@ -528,9 +587,11 @@ def audio_features(clips, *, frame_ms: int = 20,
                                      with_fingerprint=with_fingerprint,
                                      fp_frame_ms=fp_frame_ms,
                                      fp_hop_ms=fp_hop_ms,
-                                     with_spectral=with_spectral),
+                                     with_spectral=with_spectral,
+                                     with_mfcc=with_mfcc),
         schema=audio_features_schema(pt_ddl, with_fingerprint,
-                                     with_spectral=with_spectral))
+                                     with_spectral=with_spectral,
+                                     with_mfcc=with_mfcc))
 
 
 # ---------------------------------------------------------------------------

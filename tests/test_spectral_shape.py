@@ -82,3 +82,62 @@ def test_tonal_content_named_check(spark):
     res = validate(clips, compiled, row_id="clip_id")
     assert ({r.row_id for r in res.violations.collect()}
             == {"noise", "silent", "corrupt"})
+
+
+# ---------------------------------------------------------------------------
+# clip-level MFCC (mel filterbank + orthonormal DCT-II, numpy-only)
+# ---------------------------------------------------------------------------
+
+def test_mfcc_gain_moves_only_c0_on_broadband(spark):
+    """log-mel linearity: scaling a broadband signal by g adds log(g^2) to
+    every mel energy, which the orthonormal DCT routes entirely into c0 —
+    higher coefficients are gain-invariant (the classic MFCC property)."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(0.0, 0.1, 16000)
+    a = audio.mel_mfcc(x, 16000)
+    b = audio.mel_mfcc(4.0 * x, 16000)
+    assert len(a) == 13 and all(np.isfinite(a))
+    assert b[0] > a[0] + 1.0
+    assert np.allclose(a[1:], b[1:], atol=1e-6)
+
+
+def test_mfcc_separates_timbres_and_is_deterministic(spark):
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    bright = 0.5 * np.sin(2 * np.pi * 3500 * t)
+    noise = np.random.default_rng(3).normal(0.0, 0.2, sr)
+    m_tone = np.array(audio.mel_mfcc(tone, sr))
+    m_bright = np.array(audio.mel_mfcc(bright, sr))
+    m_noise = np.array(audio.mel_mfcc(noise, sr))
+    assert np.array_equal(m_tone, np.array(audio.mel_mfcc(tone, sr)))
+    # distinct timbres land far apart; a repeated render lands exactly
+    assert np.linalg.norm(m_tone - m_bright) > 1.0
+    assert np.linalg.norm(m_tone - m_noise) > 1.0
+    # silence / empty: nothing to summarize
+    assert audio.mel_mfcc(np.zeros(1000), sr) is None
+    assert audio.mel_mfcc(np.array([]), sr) is None
+
+
+def test_mfcc_rides_audio_features_and_feeds_x_embedding(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+    rows = [("c0", audio.synth_wav(0, 16000, 200)),
+            ("c1", audio.synth_wav(1, 16000, 200)),
+            ("bad", b"\x00\x01nota wav")]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    feats = audio.audio_features(df, with_mfcc=True).collect()
+    by_id = {r.clip_id: r for r in feats}
+    assert len(by_id["c0"].mfcc) == 13
+    assert all(np.isfinite(v) for v in by_id["c0"].mfcc)
+    assert by_id["c0"].mfcc != by_id["c1"].mfcc
+    assert by_id["bad"].mfcc is None and not by_id["bad"].decode_ok
+    # legacy columns unchanged by the ride-along
+    assert by_id["c0"].dur_ms_payload == 200
+    # the MFCC column is a first-class vector for the embedding checks
+    fdf = audio.audio_features(df, with_mfcc=True)
+    compiled = compile_ruleset(
+        {"properties": {"mfcc": {"x-embedding": {"dim": 13,
+                                                 "finite": True}}}},
+        fdf.schema, name="mfq")
+    assert validate(fdf, compiled, row_id="clip_id") \
+        .violations.count() == 0
