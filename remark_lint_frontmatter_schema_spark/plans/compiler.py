@@ -55,7 +55,7 @@ _STATIC_TYPE_OK = {
 
 _KNOWN_KEYWORDS = {
     "type", "enum", "const", "required", "maxLength", "minLength", "pattern",
-    "contentEncoding", "contentMediaType",
+    "contentEncoding", "contentMediaType", "contentSchema",
     "format", "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
     "multipleOf", "properties", "patternProperties", "items",
     "additionalItems", "prefixItems", "additionalProperties", "allOf",
@@ -391,6 +391,7 @@ _KEYWORD_SHAPE = {
     "pattern": _regex_ok,
     "contentEncoding": lambda v: isinstance(v, str),
     "contentMediaType": lambda v: isinstance(v, str),
+    "contentSchema": lambda v: isinstance(v, dict),
     "format": lambda v: isinstance(v, str),
     "minimum": lambda v: isinstance(v, _NUM) and not isinstance(v, bool),
     "maximum": lambda v: isinstance(v, _NUM) and not isinstance(v, bool),
@@ -577,7 +578,8 @@ def _shape_walk(schema: dict, path: str = "#") -> None:
     if isinstance(schema.get("additionalProperties"), dict):
         _shape_walk(schema["additionalProperties"],
                     f"{path}/additionalProperties")
-    for key in ("contains", "if", "then", "else", "propertyNames"):
+    for key in ("contains", "if", "then", "else", "propertyNames",
+                "contentSchema"):
         if isinstance(schema.get(key), dict):
             _shape_walk(schema[key], f"{path}/{key}")
     for dep_kw in ("dependencies", "dependentSchemas"):
@@ -613,7 +615,7 @@ _VARIANT_PASSTHROUGH_KWS = frozenset((
 # equality and Catalyst defines no ordering on VARIANT; content keywords
 # and the relational x- declarations are typed-column operators.
 _VARIANT_UNSUPPORTED_KWS = frozenset((
-    "uniqueItems", "contentEncoding", "contentMediaType",
+    "uniqueItems", "contentEncoding", "contentMediaType", "contentSchema",
     "x-unique", "x-ref", "x-drift", "x-dedup", "x-langid", "x-rate",
     "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
     "x-monotonic", "x-dup-ngram", "x-embedding"))
@@ -928,6 +930,29 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
         else:
             ctx.out.unknown.append(
                 (ctx.instance_path, f"contentMediaType:{mt}"))
+
+    if "contentSchema" in schema and ctx.col is not None:
+        # 2019-09 contentSchema: validate the EMBEDDED document against a
+        # schema. Spark-4 composition: try_parse_json -> VariantType ->
+        # the whole variant keyword machinery (exact JSON types, staged
+        # views) applies to the parsed content. Unparsable content stays
+        # vacuous here — contentMediaType is the wellformedness check, so
+        # the two keywords layer exactly like Ajv's annotations would.
+        sub = schema["contentSchema"]
+        mt = schema.get("contentMediaType")
+        enc = schema.get("contentEncoding")
+        if (isinstance(sub, dict) and mt == "application/json"
+                and isinstance(ctx.dtype, T.StringType)
+                and _vr.HAVE_VARIANT):
+            raw = (F.unbase64(ctx.col).cast("string") if enc == "base64"
+                   else ctx.col)
+            sub_ctx = _dc_replace(
+                ctx, col=F.try_parse_json(raw), dtype=_vr.VariantType(),
+                schema_path=f"{ctx.schema_path}/contentSchema",
+                vstage=None)
+            _compile_keywords(sub, sub_ctx)
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "contentSchema"))
 
     for kw, op, txt in (
         ("minimum", lambda c, n: c < n, "must be >= {}"),

@@ -119,3 +119,61 @@ def test_trailing_newline_is_not_valid_base64(spark):
         {"properties": {"payload": {"contentEncoding": "base64"}}},
         "contentEncoding")
     assert bad == {"nl"}
+
+
+# ---------------------------------------------------------------------------
+# 2019-09 contentSchema: embedded-JSON validation through the variant path
+# ---------------------------------------------------------------------------
+
+def test_content_schema_validates_embedded_json(spark):
+    rows = [
+        ("ok", '{"k": 5, "name": "ab"}'),
+        ("k_string", '{"k": "5", "name": "ab"}'),   # exact JSON typing
+        ("k_missing", '{"name": "ab"}'),
+        ("name_long", '{"k": 5, "name": "toolonggg"}'),
+        ("not_json", "][nope"),                      # mediaType's job
+        ("nullv", None),
+    ]
+    rs = {"properties": {"payload": {
+        "contentMediaType": "application/json",
+        "contentSchema": {
+            "type": "object",
+            "required": ["k", "name"],
+            "properties": {"k": {"type": "integer", "minimum": 0},
+                           "name": {"type": "string", "maxLength": 8}},
+        },
+    }}}
+    df = spark.createDataFrame(rows, "id string, payload string")
+    compiled = compile_ruleset(rs, df.schema)
+    assert not compiled.unknown
+    got = {}
+    for r in validate(df, compiled, row_id="id").violations.collect():
+        got.setdefault(r.row_id, set()).add(r.keyword)
+    assert "ok" not in got and "nullv" not in got
+    assert got["k_string"] == {"type"}
+    assert got["k_missing"] == {"required"}
+    assert got["name_long"] == {"maxLength"}
+    # unparsable content: contentMediaType flags wellformedness; the
+    # contentSchema checks stay vacuous (layered like Ajv annotations)
+    assert got["not_json"] == {"contentMediaType"}
+
+
+def test_content_schema_base64_and_unknown_fallthrough(spark):
+    import base64 as b64
+    rows = [("ok", b64.b64encode(b'{"k": 1}').decode()),
+            ("bad", b64.b64encode(b'{"k": -1}').decode())]
+    rs = {"properties": {"payload": {
+        "contentEncoding": "base64",
+        "contentMediaType": "application/json",
+        "contentSchema": {"properties": {"k": {"minimum": 0}}},
+    }}}
+    df = spark.createDataFrame(rows, "id string, payload string")
+    got = {r.row_id for r in
+           validate(df, compile_ruleset(rs, df.schema), row_id="id")
+           .violations.collect()}
+    assert got == {"bad"}
+    # no (or non-JSON) media type: honest unknown, never vacuous-pass
+    c = compile_ruleset(
+        {"properties": {"payload": {"contentSchema": {"type": "object"}}}},
+        df.schema)
+    assert ("/payload", "contentSchema") in c.unknown
