@@ -428,6 +428,31 @@ def q_dedup_lines_documents(spark, sf):
                              min_count=2, min_line_chars=12)
 
 
+def q_validate_events_content_schema(spark, sf):
+    """2019-09 contentSchema: embedded JSON validated through the variant
+    path with exact JSON typing ('"70"' is not an integer), layered under
+    contentMediaType (unparsable payloads flag wellformedness only). The
+    per-residue payloads are closed-form in event_id, so the oracle
+    enumerates the expected violations arithmetically."""
+    ev = _load(spark, sf, "events")
+    m3 = F.pmod("event_id", F.lit(3))
+    k = F.pmod("event_id", F.lit(100))
+    p = (F.when(m3 == 0, F.format_string('{"k": %d}', k))
+          .when(m3 == 1, F.format_string('{"k": "%d"}', k))
+          .otherwise(F.lit("not json")))
+    doc = ev.select("event_id", p.alias("props"))
+    rs = {"properties": {"props": {
+        "contentMediaType": "application/json",
+        "contentSchema": {"required": ["k"],
+                          "properties": {"k": {"type": "integer",
+                                               "maximum": 60}}}}}}
+    compiled = compile_ruleset(rs, doc.schema,
+                               name="events_content_schema")
+    return validate(doc, compiled, row_id="event_id").violations.select(
+        "row_id", "constraint_id", "keyword", "instance_path", "message",
+        "actual")
+
+
 def q_validate_embeddings_quality(spark, sf):
     """x-embedding quality invariants (dim / finite / nonzero /
     normalized) over a deterministically-corrupted view of the embeddings
@@ -1092,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_documents": q_dedup_lines_documents,
         "validate_events_unevaluated": q_validate_events_unevaluated,
         "validate_embeddings_quality": q_validate_embeddings_quality,
+        "validate_events_content_schema": q_validate_events_content_schema,
         "dedup_clusters_documents": q_dedup_clusters_documents,
         "cluster_dedup_documents": q_cluster_dedup_documents,
         "validate_documents_content": q_validate_documents_content,
@@ -1415,6 +1441,34 @@ SELECT c.doc_id, b.doc_id AS bench_id,
        CAST(len(list_intersect(c.s, b.s)) AS BIGINT) AS n_shared
 FROM sh c JOIN sh b ON b.doc_id % 29 = 0 AND c.doc_id % 29 <> 0
 WHERE len(list_intersect(c.s, b.s)) >= 1
+"""
+
+_CONTENT_SCHEMA_SQL = r"""
+WITH ids AS (SELECT event_id, event_id % 3 AS r, event_id % 100 AS k
+             FROM events), b AS (SELECT chr(8226) AS dot)
+SELECT CAST(event_id AS VARCHAR) AS row_id,
+       'events_content_schema:/props/k:type' AS constraint_id,
+       'type' AS keyword, '/props/k' AS instance_path,
+       'Must be integer ' || dot
+         || ' #/properties/props/contentSchema/properties/k/type'
+         AS message,
+       CAST(k AS VARCHAR) AS actual
+FROM ids, b WHERE r = 1
+UNION ALL
+SELECT CAST(event_id AS VARCHAR),
+       'events_content_schema:/props/k:maximum', 'maximum', '/props/k',
+       'Must be <= 60 ' || dot
+         || ' #/properties/props/contentSchema/properties/k/maximum',
+       CAST(k AS VARCHAR)
+FROM ids, b WHERE r = 0 AND k > 60
+UNION ALL
+SELECT CAST(event_id AS VARCHAR),
+       'events_content_schema:/props:contentMediaType',
+       'contentMediaType', '/props',
+       'Must be media type "application/json" ' || dot
+         || ' #/properties/props/contentMediaType',
+       'not json'
+FROM ids, b WHERE r = 2
 """
 
 _EMB_QUALITY_SQL = r"""
@@ -1941,6 +1995,7 @@ FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
         "dup_ngram_documents": _DUP_NGRAM_SQL,
         "validate_events_unevaluated": _UNEVAL_SQL,
         "validate_embeddings_quality": _EMB_QUALITY_SQL,
+        "validate_events_content_schema": _CONTENT_SCHEMA_SQL,
         "dedup_lines_documents": _DEDUP_LINES_SQL,
         "edit_sim_documents": """
 WITH sh AS (

@@ -48,6 +48,7 @@ HEADLINE = [
     "hist_events",
     "outliers_events",
     "content_json_events",
+    "validate_events_content_schema",
     "outliers_events_by_type",
     "monotonic_events_by_user",
     "monotonic_events_global",
