@@ -124,12 +124,112 @@ def build_parser() -> argparse.ArgumentParser:
                          "(operators/stats_prune.py); identical "
                          "violations, fewer bytes read. No effect unless "
                          "the whole ruleset is footer-decidable.")
+    ap.add_argument("--workspace", action="store_true",
+                    help="treat INPUT as a workspace ROOT of parquet "
+                         "tables (the reference's `remark .` over a "
+                         "directory): each table routes through the "
+                         "config's `tables:` glob map (ruleset name -> "
+                         "table-path globs, the Settings.schemas analog), "
+                         "unmatched tables are skipped with no messages, "
+                         "and one combined JSON summary / report covers "
+                         "the whole workspace")
     ap.add_argument("--target-sr", type=int, default=16000)
     ap.add_argument("--fail-severities", default="error",
                     help="comma list; severities that quarantine a row")
     ap.add_argument("--passthrough", default="transcript",
                     help="comma list of label columns carried into corpus")
     return ap
+
+
+def discover_tables(root: str) -> list[str]:
+    """Immediate subdirectories of ``root`` that contain parquet data
+    (recursively — partitioned tables nest part dirs). The workspace
+    analog of the reference's markdown-file walk."""
+    out = []
+    for name in sorted(os.listdir(root)):
+        d = os.path.join(root, name)
+        if not os.path.isdir(d):
+            continue
+        for _dir, _sub, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                out.append(name)
+                break
+    return out
+
+
+def _run_workspace(spark, args) -> int:
+    """`remark .` over a directory of tables: route each table through the
+    config's ``tables:`` glob map, validate under its own schema, emit one
+    combined summary. Tables no glob matches are skipped silently (the
+    reference's no-association -> no-messages rule, index.ts:308)."""
+    import fnmatch
+
+    from pyspark.sql import functions as F
+
+    from .plans.bundler import RulesetCompileError, RulesetLoadError, bundle
+    from .plans.compiler import compile_ruleset
+    from .operators.validate import validate as _validate
+    from . import sinks
+
+    cfg_path = args.config or find_config(args.input)
+    if not cfg_path:
+        print(f"--workspace requires a {CONFIG_BASENAME} (tables: map)",
+              file=sys.stderr)
+        return 2
+    cfg = load_config(cfg_path)
+    registry = cfg.get("registry", {})
+    tables_map = cfg.get("tables") or {}
+    if not tables_map:
+        print("--workspace: config has no `tables:` section",
+              file=sys.stderr)
+        return 2
+
+    summary, errors = {}, []
+    all_violations = None
+    for tname in discover_tables(args.input):
+        route = next((rs for rs, spec in tables_map.items()
+                      if any(fnmatch.fnmatch(tname, g)
+                             for g in (spec.get("globs", [])
+                                       if isinstance(spec, dict) else spec))),
+                     None)
+        if route is None:
+            summary[tname] = {"ruleset": None, "skipped": True}
+            continue
+        spec = tables_map[route]
+        row_id = (spec.get("row_id", args.row_id)
+                  if isinstance(spec, dict) else args.row_id)
+        tdf = spark.read.parquet(os.path.join(args.input, tname))
+        try:
+            doc = bundle(registry[route])
+            compiled = compile_ruleset(doc, tdf.schema, name=route)
+        except (KeyError, RulesetCompileError, RulesetLoadError) as exc:
+            # G2: config defects become artifacts, never crashes
+            errors.append((tname, route, str(exc)))
+            summary[tname] = {"ruleset": route, "error": str(exc)}
+            continue
+        res = _validate(tdf, compiled, row_id=row_id,
+                        partition_col=args.partition_col
+                        if args.partition_col in tdf.columns else None)
+        verd = res.verdicts.collect()
+        n_v = sum(r.n_violations for r in verd)
+        summary[tname] = {
+            "ruleset": route,
+            "n_rows": sum(r.n_rows for r in verd),
+            "n_violations": n_v,
+            "n_failed_rows": sum(r.n_failed_rows for r in verd),
+            "passed": all(r.passed for r in verd),
+        }
+        tv = res.violations.withColumn("table", F.lit(tname))
+        all_violations = (tv if all_violations is None
+                          else all_violations.unionByName(tv))
+    if args.violations_out and all_violations is not None:
+        all_violations.write.mode("append").parquet(args.violations_out)
+    print(json.dumps({"tables": summary, "errors": errors}))
+    if args.report == "text" and all_violations is not None:
+        print(sinks.render_report(all_violations))
+    failed = errors or any(
+        not t.get("passed", True) for t in summary.values())
+    return 1 if (args.frail and failed) else 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -142,6 +242,8 @@ def main(argv: list[str] | None = None) -> int:
     from . import sinks
 
     spark = get_spark(**({"master": args.master} if args.master else {}))
+    if args.workspace:
+        return _run_workspace(spark, args)
     df = spark.read.parquet(args.input)
 
     embed = bundle(args.embed) if args.embed else None

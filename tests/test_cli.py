@@ -328,3 +328,54 @@ def test_cli_resume_manifest_reports_run_over_run_regressions(
                      "pass_regression"}
     assert all(r["partition_id"] == "b" for r in out2["regressions"])
     assert "manifest regression [row_count_drop]" in err.err
+
+
+def test_cli_workspace_mode(spark, tmp_path, capsys):
+    """`remark .` over a directory of tables: per-table routing via the
+    config's tables: glob map, unmatched tables skipped, one combined
+    summary, config defects become artifacts (G2), --frail exit code."""
+    root = tmp_path / "ws"
+    root.mkdir()
+    spark.createDataFrame([(1, "O"), (2, "X")], "id long, status string") \
+        .write.parquet(str(root / "orders_2024"))
+    spark.createDataFrame([(1, 5.0), (2, -3.0)], "id long, v double") \
+        .write.parquet(str(root / "metrics"))
+    spark.createDataFrame([(9,)], "id long") \
+        .write.parquet(str(root / "scratch"))          # no glob matches
+    spark.createDataFrame([(1,)], "id long") \
+        .write.parquet(str(root / "orders_bad"))       # ruleset missing
+    (root / "orders.schema.yaml").write_text(
+        "properties:\n  status:\n    enum: [O, F]\n")
+    (root / "metrics.schema.yaml").write_text(
+        "properties:\n  v:\n    minimum: 0\n")
+    (root / cli.CONFIG_BASENAME).write_text(
+        "registry:\n"
+        "  orders: orders.schema.yaml\n"
+        "  metrics: metrics.schema.yaml\n"
+        "tables:\n"
+        "  orders: ['orders_2024']\n"
+        "  metrics: ['metr*']\n"
+        "  ghost: ['orders_bad']\n")
+    vout = str(tmp_path / "viol")
+    rc = cli.main([str(root), "--row-id", "id", "--workspace",
+                   "--violations-out", vout])
+    # first stdout line is the JSON summary; the text report follows
+    out = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert rc == 0
+    t = out["tables"]
+    assert t["orders_2024"] == {"ruleset": "orders", "n_rows": 2,
+                                "n_violations": 1, "n_failed_rows": 1,
+                                "passed": False}
+    assert t["metrics"]["ruleset"] == "metrics"
+    assert t["metrics"]["n_violations"] == 1
+    assert t["scratch"] == {"ruleset": None, "skipped": True}
+    assert t["orders_bad"]["ruleset"] == "ghost" and "error" in t["orders_bad"]
+    assert out["errors"] and out["errors"][0][0] == "orders_bad"
+    # combined sink carries the table column
+    v = spark.read.parquet(vout)
+    assert {r.table for r in v.select("table").collect()} == \
+        {"orders_2024", "metrics"}
+    # frail: config error + failing tables -> exit 1
+    assert cli.main([str(root), "--row-id", "id", "--workspace",
+                     "--frail"]) == 1
+    capsys.readouterr()
