@@ -1061,10 +1061,18 @@ def q_ann_pq_topk(spark, sf):
     # rank == cosine rank (the operator contract: callers own
     # normalization)
     v = F.col("embedding").cast("array<double>")
-    n = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
-                           F.lit(0.0), lambda a, x: a + x))
-    emb = emb.select("vec_id",
-                     F.transform(v, lambda x: x / n).alias("embedding"))
+    staged = emb.select(
+        "vec_id", v.alias("_v"),
+        F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                           F.lit(0.0), lambda a, x: a + x)).alias("_n"))
+    # _n referenced twice (guard + divisor) so CollapseProject keeps the
+    # staged projection — otherwise the norm aggregate is inlined INTO the
+    # transform lambda and recomputed per element (64x per row)
+    emb = staged.select(
+        "vec_id",
+        F.when(F.col("_n") > 0,
+               F.transform("_v", lambda x: x / F.col("_n")))
+         .alias("embedding"))
     q0 = [float(x) for x in
           emb.where("vec_id = 0").select("embedding").first().embedding]
     # m=16 x 64 codes: 16 B/vector, and ADC top-10 recovered 10/10 of
