@@ -32,9 +32,12 @@ _KEYWORDS = ["type", "enum", "const", "required", "maxLength", "minLength",
              "dependencies", "if", "then", "else", "propertyNames",
              "patternProperties", "additionalItems", "prefixItems",
              "$comment", "readOnly", "contentEncoding",
-             "contentMediaType", "default",
+             "contentMediaType", "contentSchema", "default",
+             "unevaluatedProperties", "unevaluatedItems",
+             "dependentSchemas",
              "x-unique", "x-ref", "x-drift", "x-spark-check",
-             "x-outlier", "x-repair", "x-severity"]
+             "x-outlier", "x-repair", "x-severity",
+             "x-dup-ngram", "x-embedding", "x-monotonic"]
 
 _scalars = st.one_of(
     st.none(), st.booleans(), st.integers(-5, 100),
