@@ -428,6 +428,18 @@ def q_dedup_lines_documents(spark, sf):
                              min_count=2, min_line_chars=12)
 
 
+def q_dup_spans_documents(spark, sf):
+    """Exact-substring span dedup (Lee et al. 2022 ExactSubstr via a
+    positional n-gram cover): every corpus-duplicated 8-token span is
+    removed from all but its globally-first occurrence and the documents
+    rebuilt. The oracle re-derives marked positions / merged islands /
+    rebuilt text over the raw grams with window functions (hash-invariant
+    absent collisions); text_clean is compared byte-exact."""
+    docs = _load(spark, sf, "documents")
+    return dedup.remove_dup_spans(docs, "text", "doc_id",
+                                  n=8, min_count=2, keep_first=True)
+
+
 def q_validate_events_content_schema(spark, sf):
     """2019-09 contentSchema: embedded JSON validated through the variant
     path with exact JSON typing ('"70"' is not an integer), layered under
@@ -975,6 +987,28 @@ def q_pii_scan_documents(spark, sf):
     return text.pii_scan(docs, "text", "doc_id")
 
 
+def q_mojibake_documents(spark, sf):
+    """Encoding-damage scan (replacement char / C1 controls / UTF-8-as-
+    latin-1 double-encoding digraphs) over a deterministically corrupted
+    view of the corpus — the synthetic docs are clean, so mojibake
+    suffixes are injected by doc_id residue in BOTH engines and the
+    per-pattern counts compared exactly."""
+    docs = _load(spark, sf, "documents")
+    corrupted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" cafÃ© menu")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit(" donâ€™t stop")).otherwise(
+                       F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.lit(" bad�byte" + chr(0x85))).otherwise(
+                       F.lit(""))))
+    return text.encoding_scan(corrupted, "text", "doc_id")
+
+
 def q_repetition_documents(spark, sf):
     """Gopher-style repetition filters (dup-line/dup-word/top-word
     fractions) — staged single-tokenization projection."""
@@ -1123,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_sim_documents": q_edit_sim_documents,
         "dup_ngram_documents": q_dup_ngram_documents,
         "dedup_lines_documents": q_dedup_lines_documents,
+        "dup_spans_documents": q_dup_spans_documents,
         "validate_events_unevaluated": q_validate_events_unevaluated,
         "validate_embeddings_quality": q_validate_embeddings_quality,
         "validate_events_content_schema": q_validate_events_content_schema,
@@ -1144,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_documents": q_curate_documents,
         "pii_scan_documents": q_pii_scan_documents,
         "repetition_documents": q_repetition_documents,
+        "mojibake_documents": q_mojibake_documents,
         "sample_documents": q_sample_documents,
         "stratified_documents": q_stratified_documents,
         "budget_documents": q_budget_documents,
@@ -1618,6 +1654,65 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN reb r USING (doc_id)
 """
 
+# ExactSubstr span dedup re-derived from first principles: positional
+# 8-grams over the raw strings, survivor = row_number()==1 in (doc_id, p)
+# order per gram, covered positions unioned, islands via the classic
+# pos - row_number() grouping, text rebuilt by skipping covered positions
+_DUP_SPANS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+occ AS (
+  SELECT doc_id, i - 1 AS p, array_to_string(t[i:i+7], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) u
+  WHERE len(t) >= 8
+),
+mk AS (
+  SELECT doc_id, p,
+         count(*) OVER (PARTITION BY g) AS n_occ,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+  FROM occ
+),
+cov AS (
+  SELECT DISTINCT doc_id, p + o AS pos
+  FROM (SELECT doc_id, p FROM mk WHERE n_occ >= 2 AND rn > 1) m,
+       LATERAL (SELECT unnest(range(0, 8)) AS o) v
+),
+isl AS (
+  SELECT doc_id, count(*) AS n_dup_tokens,
+         count(DISTINCT pos - rn2) AS n_spans
+  FROM (SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn2
+        FROM cov) w
+  GROUP BY doc_id
+),
+tokpos AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) w
+),
+reb AS (
+  SELECT tp.doc_id,
+         string_agg(CASE WHEN c.pos IS NULL THEN tp.tok END, ' '
+                    ORDER BY tp.pos) AS joined
+  FROM tokpos tp LEFT JOIN cov c
+    ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+  GROUP BY tp.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE coalesce(r.joined, '') END AS text_clean,
+       CASE WHEN d.text IS NULL THEN 0
+            ELSE coalesce(len(tk.t), 0) END AS n_tokens,
+       coalesce(i.n_dup_tokens, 0) AS n_dup_tokens,
+       coalesce(i.n_spans, 0) AS n_spans
+FROM documents d
+LEFT JOIN toks tk USING (doc_id)
+LEFT JOIN isl i USING (doc_id)
+LEFT JOIN reb r USING (doc_id)
+"""
+
 _NGRAM_JACCARD_SQL = """
 WITH sh AS (
   SELECT doc_id, lang,
@@ -1833,6 +1928,28 @@ SELECT constraint_id, row_id, rn FROM s WHERE rn <= 3
 """
 
 
+def _mojibake_oracle_sql() -> str:
+    """Encoding-damage oracle: the same doc_id-residue corruption suffixes
+    and the same literal-enumerated patterns (text.MOJIBAKE_PATTERNS) on
+    DuckDB's RE2 — built by concatenation because the patterns carry
+    literal unicode classes and a {2} quantifier."""
+    pats = text.MOJIBAKE_PATTERNS
+    src = ("WITH src AS (SELECT doc_id, text"
+           " || CASE WHEN doc_id % 7 = 0 THEN ' cafÃ© menu' ELSE '' END"
+           " || CASE WHEN doc_id % 11 = 0 THEN ' donâ€™t stop'"
+           " ELSE '' END"
+           " || CASE WHEN doc_id % 13 = 0 THEN ' bad' || chr(65533)"
+           " || 'byte' || chr(133) ELSE '' END AS t2 FROM documents)")
+    cnt = {name: ("len(regexp_extract_all(coalesce(t2, ''), '"
+                  + rx + "'))")
+           for name, rx in pats.items()}
+    cols = ",\n       ".join(f"{c} AS n_{name}"
+                             for name, c in cnt.items())
+    flag = " OR ".join(f"{c} > 0" for c in cnt.values())
+    return (src + "\nSELECT doc_id,\n       " + cols
+            + ",\n       (" + flag + ") AS has_mojibake\nFROM src")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "validate_orders": _ORDERS_VIOL_SQL,
@@ -2005,6 +2122,7 @@ FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
         "validate_embeddings_quality": _EMB_QUALITY_SQL,
         "validate_events_content_schema": _CONTENT_SCHEMA_SQL,
         "dedup_lines_documents": _DEDUP_LINES_SQL,
+        "dup_spans_documents": _DUP_SPANS_SQL,
         "edit_sim_documents": """
 WITH sh AS (
   SELECT doc_id,
@@ -2142,6 +2260,7 @@ SELECT CAST(o_orderkey AS VARCHAR),
 FROM orders WHERE o_orderkey IS NOT NULL AND o_custkey IS NULL
 """,
         "curate_documents": _curate_oracle_sql(),
+        "mojibake_documents": _mojibake_oracle_sql(),
         "pii_scan_documents": """
 SELECT doc_id,
        len(regexp_extract_all(coalesce(text, ''),

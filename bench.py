@@ -62,6 +62,8 @@ HEADLINE = [
     "dedup_exact_documents",
     "dup_ngram_documents",
     "dedup_lines_documents",
+    "dup_spans_documents",
+    "mojibake_documents",
     "decontaminate_documents",
     "validate_documents_content",
     "edit_sim_documents",

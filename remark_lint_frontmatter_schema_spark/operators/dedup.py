@@ -676,3 +676,121 @@ def dedup_lines(df: DataFrame, text_col: str, id_col: str, *,
                        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
                        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped")))
     return _track(out, lines)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span dedup (Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better", the ExactSubstr variant: any token span
+# appearing >= min_count times in the corpus is removed from all but one
+# occurrence). The paper builds a corpus-wide suffix array — inherently
+# sequential; the distributed-friendly equivalent used here is a
+# positional n-gram cover: a maximal duplicated substring of L >= n tokens
+# contributes exactly its L-n+1 fixed-n windows, whose covered-position
+# union is exactly its L tokens, so every duplicated span of length >= n
+# is removed precisely (no over-extension: windows straddling the span
+# boundary carry unique context and never reach min_count). Spans shorter
+# than n are below the detection floor by design — the same "minimum match
+# length" knob as the paper's 50-token threshold.
+# ---------------------------------------------------------------------------
+
+def remove_dup_spans(df: DataFrame, text_col: str, id_col: str, *,
+                     n: int = 8, min_count: int = 2,
+                     keep_first: bool = True, broadcast_hot: bool = True,
+                     reuse: bool = True) -> DataFrame:
+    """Remove every corpus-duplicated token span of >= ``n`` tokens:
+    (id, text_clean, n_tokens, n_dup_tokens, n_spans).
+
+    An OCCURRENCE is a (document, start-position) of a word n-gram; unlike
+    :func:`cross_doc_dup_fraction` occurrences are positional and NOT
+    collapsed per document, so within-document repeats count toward
+    ``min_count`` (ExactSubstr semantics: the corpus contains the span
+    twice, wherever the copies live). With ``keep_first`` the globally
+    first occurrence of each duplicated n-gram — smallest (id, position),
+    deterministic, id order is the tiebreak — survives, so one copy of
+    every duplicated span remains in the corpus (the paper's
+    all-but-one); ``keep_first=False`` drops every occurrence
+    (boilerplate-style, like :func:`dedup_lines`).
+
+    ``text_clean`` is rebuilt from the kept tokens joined with single
+    spaces — whitespace-canonical output for EVERY document (the
+    :mod:`..chunking` precedent), including untouched ones. NULL text
+    passes through with NULL ``text_clean`` and zero counts; documents
+    with fewer than ``n`` tokens are untouched (nothing detectable).
+
+    Scale shape: the exploded relation carries (id, pos, xxhash64) —
+    ~20 bytes per token position, never the grams, never the text. One
+    shuffle on the hash for the global occurrence count, a join-back of
+    the duplicated-hash relation (filtered to n_occ >= min_count FIRST, so
+    it is commonly small and ``broadcast_hot`` broadcast-joins it; set
+    False for pathologically duplicated corpora), one int-only shuffle on
+    the id for the covered-position fold, and the inherent rebuild join
+    that moves each document's token array once. ``reuse`` persists the
+    exploded relation so the corpus tokenizes once for count + join-back
+    (the :func:`lsh_candidates` self-reuse trap); free with
+    :func:`release`/:func:`release_all`.
+    """
+    if n < 2:
+        raise ValueError("remove_dup_spans requires n >= 2")
+    staged = df.select(F.col(id_col).alias("id"),
+                       tokens(text_col).alias("_t"))
+    occ = (staged.where(F.size("_t") >= n)
+           .select("id", F.posexplode(F.transform(
+               F.sequence(F.lit(1), F.size("_t") - n + 1),
+               lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("_t"),
+                                                             i, n)))))
+               .alias("p", "h")))
+    if reuse:
+        occ = _persist(occ)
+    dup = (occ.groupBy("h")
+              .agg(F.count(F.lit(1)).alias("n_occ"),
+                   F.min(F.struct("id", "p")).alias("first_occ"))
+              .where(F.col("n_occ") >= min_count))
+    if broadcast_hot:
+        dup = F.broadcast(dup)
+    marked = occ.join(dup, "h")
+    if keep_first:
+        marked = marked.where(F.struct("id", "p") != F.col("first_occ"))
+    cov = (marked.select(
+               "id",
+               F.explode(F.sequence(F.col("p"),
+                                    F.col("p") + n - 1)).alias("pos"))
+           .groupBy("id")
+           .agg(F.array_sort(F.collect_set("pos")).alias("_cov")))
+    # merged maximal runs from the sorted covered set: starts = elements
+    # with no predecessor, ends = elements with no successor (linear, no
+    # membership scans). _cov is an aggregate output attribute, not an
+    # inlined alias, so the HOFs below iterate a materialized array.
+    arr = F.col("_cov")
+    starts = F.filter(arr, lambda v, i: (i == 0)
+                      | (v - F.element_at(arr, i) > 1))
+    ends = F.filter(arr, lambda v, i: (i == F.size(arr) - 1)
+                    | (F.element_at(arr, i + 2) - v > 1))
+    spans = cov.select(
+        "id",
+        F.size(arr).alias("n_dup_tokens"),
+        F.size(starts).alias("n_spans"),
+        F.zip_with(starts, ends,
+                   lambda s, e: F.struct(s.alias("s"), e.alias("e")))
+         .alias("_spans"))
+    # rebuild: each kept token is checked against the doc's few merged
+    # spans (O(n_tokens x n_spans)), never against the raw covered set
+    rejoined = staged.join(spans, "id", "left")
+    kept = F.filter(
+        F.transform(F.col("_t"),
+                    lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(F.col("_spans"),
+                            lambda sp: (s["i"] >= sp["s"])
+                            & (s["i"] <= sp["e"])))
+    text_clean = F.when(
+        F.col("_t").isNotNull(),
+        F.when(F.col("_spans").isNull(), F.concat_ws(" ", F.col("_t")))
+         .otherwise(F.concat_ws(
+             " ", F.transform(kept, lambda s: s["t"]))))
+    out = rejoined.select(
+        F.col("id").alias(id_col),
+        text_clean.alias("text_clean"),
+        F.when(F.col("_t").isNull(), F.lit(0))
+         .otherwise(F.size("_t")).alias("n_tokens"),
+        F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"))
+    return _track(out, occ)

@@ -159,6 +159,50 @@ def balanced_or(cols: list) -> Column:
     return balanced_reduce(lambda a, b: a | b, cols)
 
 
+# Encoding-damage (mojibake) indicators for web-corpus curation. The three
+# signatures of a broken decode pipeline: the replacement character (a
+# decoder already gave up), bare C1 controls (cp1252 bytes decoded as
+# latin-1), and UTF-8 byte sequences decoded as latin-1/cp1252 — a 2-byte
+# UTF-8 char surfaces as a lead in U+00C2-U+00DF followed by one trail
+# char, a 3-byte char as a lead in U+00E0-U+00EF followed by two ("café"
+# -> "cafÃ©", "'" -> "â€™"). Trail = U+0080-U+00BF (latin-1 decode) plus
+# the cp1252 remap of the 0x80-0x9F bytes (curly quotes, euro, dashes).
+# All classes are enumerated literal characters — no escapes, no
+# metacharacters — so Java rlike and DuckDB RE2 count identical
+# occurrences (the PII_PATTERNS rationale). Counts are per-pattern
+# independent; a C1 control inside a double-encoded sequence counts in
+# both columns by design.
+_MOJIBAKE_TRAIL = ("".join(chr(c) for c in range(0x80, 0xC0))
+                   + "€‚ƒ„…†‡ˆ"
+                   + "‰Š‹ŒŽ‘’“"
+                   + "”•–—˜™š›"
+                   + "œžŸ")
+MOJIBAKE_PATTERNS = {
+    "replacement": "�",
+    "c1_control": "[" + "".join(chr(c) for c in range(0x80, 0xA0)) + "]",
+    "double_2byte": "[" + "".join(chr(c) for c in range(0xC2, 0xE0)) + "]"
+                    + f"[{_MOJIBAKE_TRAIL}]",
+    "double_3byte": "[" + "".join(chr(c) for c in range(0xE0, 0xF0)) + "]"
+                    + f"[{_MOJIBAKE_TRAIL}]{{2}}",
+}
+
+
+def encoding_scan(df: DataFrame, text_col: str, id_col: str,
+                  patterns: dict[str, str] | None = None) -> DataFrame:
+    """Per-document encoding-damage counts (one column per
+    MOJIBAKE_PATTERNS entry) plus a ``has_mojibake`` flag — pure JVM
+    ``regexp_count`` projections over one scan, the :func:`pii_scan`
+    shape. NULL text yields zero counts and a false flag."""
+    patterns = patterns or MOJIBAKE_PATTERNS
+    c = F.col(text_col)
+    counts = [F.coalesce(F.regexp_count(c, F.lit(rx)), F.lit(0))
+              .alias(f"n_{name}")
+              for name, rx in patterns.items()]
+    out = df.select(F.col(id_col), *counts)
+    flag = balanced_or([F.col(f"n_{name}") > 0 for name in patterns])
+    return out.withColumn("has_mojibake", flag)
+
+
 def rolling_hash(col, *, window: int = 8, mod: int = (1 << 31) - 1) -> Column:
     """Content-defined rolling fingerprint set: polynomial hash of each
     ``window``-gram, keep the minimum (a 1-element winnowing sketch) —
