@@ -19,8 +19,8 @@ from pyspark.sql import functions as F
 
 from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
 from remark_lint_frontmatter_schema_spark.operators import (
-    clusters, curate, decontaminate, dedup, drift, referential, sampling,
-    similarity, stats, text, uniqueness)
+    clusters, curate, decontaminate, dedup, drift, packing, referential,
+    sampling, similarity, stats, text, uniqueness)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -414,6 +414,26 @@ def q_dup_ngram_documents(spark, sf):
     is hash-invariant absent collisions)."""
     docs = _load(spark, sf, "documents")
     return dedup.cross_doc_dup_fraction(docs, "text", "doc_id", n=5)
+
+
+def q_gopher_documents(spark, sf):
+    """Gopher-rule quality gates (Rae et al. 2021 §A.1.1) per document:
+    measured values + per-rule booleans + overall pass, as one staged
+    map-only projection (operators/text.py:gopher_gates). The oracle
+    recomputes every rule with DuckDB list/lambda functions."""
+    docs = _load(spark, sf, "documents")
+    return text.gopher_gates(docs, "text", "doc_id")
+
+
+def q_pack_documents(spark, sf):
+    """Training-sequence packing (operators/packing.py): distributed
+    exclusive prefix sum of whitespace token counts in doc_id order ->
+    capacity-1024 bin assignment per document. The oracle is the
+    single-window form DuckDB can afford at sf scale; the Spark plan is
+    the bucketed two-phase prefix sum that survives 10^12 rows."""
+    docs = _load(spark, sf, "documents")
+    return packing.pack_documents(docs, "doc_id", capacity=1024,
+                                  text_col="text", n_buckets=16)
 
 
 def q_dedup_lines_documents(spark, sf):
@@ -1157,6 +1177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_sim_documents": q_edit_sim_documents,
         "dup_ngram_documents": q_dup_ngram_documents,
         "dedup_lines_documents": q_dedup_lines_documents,
+        "gopher_documents": q_gopher_documents,
+        "pack_documents": q_pack_documents,
         "dup_spans_documents": q_dup_spans_documents,
         "validate_events_unevaluated": q_validate_events_unevaluated,
         "validate_embeddings_quality": q_validate_embeddings_quality,
@@ -1615,6 +1637,86 @@ SELECT d.doc_id,
             THEN round(p.n_dup_shingles * 1.0 / p.n_shingles, 6) END
          AS dup_frac
 FROM documents d LEFT JOIN p USING (doc_id)
+"""
+
+_GOPHER_SQL = r"""
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS txt FROM documents
+), s AS (
+  SELECT doc_id, txt,
+         list_filter(string_split_regex(txt, '\s+'), x -> x <> '') AS toks,
+         list_filter(list_transform(string_split(txt, chr(10)),
+                                    l -> trim(l)), l -> l <> '') AS lines
+  FROM t
+), m AS (
+  SELECT doc_id, txt, toks, lines,
+         list_transform(toks, x -> lower(x)) AS toksl,
+         len(toks) AS ntok, len(lines) AS nline
+  FROM s
+), r AS (
+  SELECT doc_id, ntok AS word_count,
+    CASE WHEN ntok > 0
+         THEN list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+              * 1.0 / ntok
+         ELSE 0.0 END AS mwl,
+    CASE WHEN ntok > 0
+         THEN ((length(txt) - length(replace(txt, '#', '')))
+               + len(regexp_extract_all(txt, '\.\.\.|…'))) * 1.0 / ntok
+         ELSE 0.0 END AS sym,
+    CASE WHEN nline > 0
+         THEN len(list_filter(lines,
+                  l -> substr(l,1,1) IN ('•','‣','▪','-','*'))) * 1.0 / nline
+         ELSE 0.0 END AS bul,
+    CASE WHEN nline > 0
+         THEN len(list_filter(lines,
+                  l -> ends_with(l,'...') OR ends_with(l,'…'))) * 1.0 / nline
+         ELSE 0.0 END AS ell,
+    CASE WHEN ntok > 0
+         THEN len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+              * 1.0 / ntok
+         ELSE 0.0 END AS alpha,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+                    w -> list_contains(toksl, w))) AS stop_hits,
+    ntok, nline
+  FROM m
+)
+SELECT doc_id, word_count,
+       round(mwl, 6) AS mean_word_len,
+       round(sym, 6) AS symbol_ratio,
+       round(bul, 6) AS bullet_line_frac,
+       round(ell, 6) AS ellipsis_line_frac,
+       round(alpha, 6) AS alpha_word_frac,
+       stop_hits AS stopword_hits,
+       (ntok BETWEEN 50 AND 100000) AS g_word_count,
+       (mwl >= 3.0 AND mwl <= 10.0) AS g_mean_word_len,
+       (ntok > 0 AND sym <= 0.1) AS g_symbol_ratio,
+       (bul <= 0.9) AS g_bullet_lines,
+       (ell <= 0.3) AS g_ellipsis_lines,
+       (ntok > 0 AND alpha >= 0.8) AS g_alpha_words,
+       (stop_hits >= 2) AS g_stopwords,
+       ((ntok BETWEEN 50 AND 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+        AND (ntok > 0 AND sym <= 0.1) AND (bul <= 0.9) AND (ell <= 0.3)
+        AND (ntok > 0 AND alpha >= 0.8) AND (stop_hits >= 2)) AS gopher_pass
+FROM r
+"""
+
+_PACK_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n
+  FROM documents WHERE text IS NOT NULL
+), p AS (
+  SELECT doc_id, n,
+         CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS pre
+  FROM t WHERE n > 0
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, pre AS pre_sum,
+       CAST(floor(pre / 1024.0) AS BIGINT) AS bin_id,
+       CAST(pre % 1024 AS BIGINT) AS offset_in_bin,
+       ((pre % 1024) + n > 1024) AS straddles
+FROM p
 """
 
 _DEDUP_LINES_SQL = r"""
@@ -2123,6 +2225,8 @@ FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
         "validate_events_content_schema": _CONTENT_SCHEMA_SQL,
         "dedup_lines_documents": _DEDUP_LINES_SQL,
         "dup_spans_documents": _DUP_SPANS_SQL,
+        "gopher_documents": _GOPHER_SQL,
+        "pack_documents": _PACK_SQL,
         "edit_sim_documents": """
 WITH sh AS (
   SELECT doc_id,

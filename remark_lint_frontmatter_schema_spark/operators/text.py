@@ -359,3 +359,102 @@ def profile_columns(df: DataFrame, text_col: str, id_col: str,
 def profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One-pass text profile per document (all metrics)."""
     return profile_columns(df, text_col, id_col)
+
+
+# The eight "required word" stopwords of the Gopher quality filter
+# (Rae et al. 2021, "Scaling Language Models: ... Gopher", table A1).
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have",
+                         "with")
+_GOPHER_BULLETS = ("•", "‣", "▪", "-", "*")
+_ELLIPSIS_REGEX = r"\.\.\.|…"
+
+
+def gopher_gates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-rule quality gates (Rae et al. 2021 §A.1.1) — one row per
+    document with each rule's measured value, its boolean gate, and the
+    overall ``gopher_pass``:
+
+    1. 50 <= word count <= 100,000
+    2. 3 <= mean word length <= 10
+    3. symbol-to-word ratio <= 0.1 (symbols: ``#`` and ellipsis)
+    4. <= 90% of lines start with a bullet
+    5. <= 30% of lines end with an ellipsis
+    6. >= 80% of words contain at least one alphabetic character
+    7. contains >= 2 of the eight required English words
+
+    Pure JVM Column expressions, one scan, map-only (zero shuffles). The
+    token and non-empty-line arrays are staged ONCE in a lower projection
+    (the :func:`profile_columns` HOF-CSE discipline — higher-order array
+    functions never common-subexpression-eliminate, so the naive form
+    would re-split every document per rule). Line gates are vacuously
+    true for documents with no non-empty lines; token-ratio gates fail
+    for zero-token documents (so ``gopher_pass`` fails, matching rule 1).
+    NULL text is treated as empty (the row is kept, every token gate
+    fails) so the gate relation stays total over the corpus.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.select(
+        F.col(id_col), c.alias("_text"),
+        tokens(c).alias("_toks"),
+        F.filter(F.transform(F.split(c, r"\n"), lambda l: F.trim(l)),
+                 lambda l: l != "").alias("_lines"),
+    ).select(
+        F.col(id_col), F.col("_text"), F.col("_toks"), F.col("_lines"),
+        F.transform(F.col("_toks"), lambda t: F.lower(t)).alias("_toksl"),
+        F.size(F.col("_toks")).alias("_ntok"),
+        F.size(F.col("_lines")).alias("_nline"),
+    )
+    t, toks, lines = F.col("_text"), F.col("_toks"), F.col("_lines")
+    toksl, ntok, nline = F.col("_toksl"), F.col("_ntok"), F.col("_nline")
+
+    sum_tok_len = F.aggregate(toks, F.lit(0).cast("long"),
+                              lambda a, x: a + F.length(x))
+    mean_word_len = F.when(ntok > 0, sum_tok_len / ntok).otherwise(F.lit(0.0))
+    n_symbols = (F.length(t) - F.length(F.replace(t, F.lit("#")))
+                 + F.size(F.regexp_extract_all(t, F.lit(_ELLIPSIS_REGEX),
+                                               F.lit(0))))
+    symbol_ratio = F.when(ntok > 0, n_symbols / ntok).otherwise(F.lit(0.0))
+    bullet_frac = F.when(
+        nline > 0,
+        F.size(F.filter(lines, lambda l:
+                        F.substring(l, 1, 1).isin(*_GOPHER_BULLETS))) / nline
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        nline > 0,
+        F.size(F.filter(lines, lambda l:
+                        l.endswith("...") | l.endswith("…"))) / nline
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        ntok > 0,
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / ntok
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+        lambda w: F.array_contains(toksl, w)))
+
+    g_wc = (ntok >= 50) & (ntok <= 100000)
+    g_mwl = (mean_word_len >= 3.0) & (mean_word_len <= 10.0)
+    g_sym = (ntok > 0) & (symbol_ratio <= 0.1)
+    g_bul = bullet_frac <= 0.9
+    g_ell = ellipsis_frac <= 0.3
+    g_alpha = (ntok > 0) & (alpha_frac >= 0.8)
+    g_stop = stop_hits >= 2
+    return staged.select(
+        F.col(id_col),
+        ntok.alias("word_count"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        g_wc.alias("g_word_count"),
+        g_mwl.alias("g_mean_word_len"),
+        g_sym.alias("g_symbol_ratio"),
+        g_bul.alias("g_bullet_lines"),
+        g_ell.alias("g_ellipsis_lines"),
+        g_alpha.alias("g_alpha_words"),
+        g_stop.alias("g_stopwords"),
+        (g_wc & g_mwl & g_sym & g_bul & g_ell & g_alpha & g_stop)
+        .alias("gopher_pass"),
+    )

@@ -1,0 +1,89 @@
+"""Gopher quality gates (operators/text.py:gopher_gates): each rule
+triggered in isolation on crafted documents, NULL totality, and the
+staged-plan discipline (one tokenization per document)."""
+
+from pyspark.sql import functions as F
+
+from remark_lint_frontmatter_schema_spark.operators.text import gopher_gates
+
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then decides "
+        "that it would be wise to have another run with friends today "
+        "because exercise is good for every animal that wants to stay "
+        "healthy and strong through all of the seasons of the year here") \
+        * 1  # 48 words *... ensure >=50 below
+
+
+def _gates(spark, text):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    return gopher_gates(df, "text", "doc_id").first()
+
+
+def test_good_document_passes(spark):
+    text = GOOD + " indeed truly also now"
+    r = _gates(spark, text)
+    assert r.word_count >= 50
+    assert r.gopher_pass, r
+
+
+def test_word_count_gate(spark):
+    r = _gates(spark, "too short to pass the word count gate")
+    assert not r.g_word_count and not r.gopher_pass
+
+
+def test_mean_word_length_gate(spark):
+    r = _gates(spark, " ".join(["a"] * 60))  # mwl = 1 < 3
+    assert not r.g_mean_word_len
+
+
+def test_symbol_ratio_gate(spark):
+    base = GOOD + " indeed truly"
+    r = _gates(spark, base + " " + "#" * 0 + "# # # # # # # # # # # # #")
+    assert r.symbol_ratio > 0.1 and not r.g_symbol_ratio
+    # ellipsis variants both count as symbols
+    r2 = _gates(spark, "a ... b … c")
+    assert r2.symbol_ratio == round(2 / 5, 6)
+
+
+def test_bullet_and_ellipsis_line_gates(spark):
+    lines = ["- bullet item number %d" % i for i in range(10)]
+    r = _gates(spark, "\n".join(lines))
+    assert r.bullet_line_frac == 1.0 and not r.g_bullet_lines
+    lines = ["line %d goes on..." % i for i in range(10)]
+    r2 = _gates(spark, "\n".join(lines))
+    assert r2.ellipsis_line_frac == 1.0 and not r2.g_ellipsis_lines
+
+
+def test_alpha_word_gate(spark):
+    words = ["word%d" % i for i in range(10)] + ["123"] * 40
+    r = _gates(spark, " ".join(words))
+    assert r.alpha_word_frac == round(10 / 50, 6)
+    assert not r.g_alpha_words
+
+
+def test_stopword_gate(spark):
+    r = _gates(spark, " ".join(["sphinx quartz vow"] * 20))
+    assert r.stopword_hits == 0 and not r.g_stopwords
+    r2 = _gates(spark, "the cat sat with a hat")
+    assert r2.stopword_hits == 2 and r2.g_stopwords
+
+
+def test_null_and_empty_total(spark):
+    df = spark.createDataFrame([(0, None), (1, "")],
+                               "doc_id long, text string")
+    rows = gopher_gates(df, "text", "doc_id").orderBy("doc_id").collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.word_count == 0 and not r.gopher_pass
+        # line gates vacuously true on empty docs
+        assert r.g_bullet_lines and r.g_ellipsis_lines
+
+
+def test_single_tokenization_in_plan(spark):
+    """The split over \\s+ must appear exactly once (staged projection) —
+    the HOF-CSE trap would multiply it per rule otherwise."""
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    plan = gopher_gates(df, "text", "doc_id") \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count(r"\s+") == 1, plan      # token split staged once
+    assert plan.count(r"\n") == 1, plan       # line split staged once
