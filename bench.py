@@ -60,6 +60,8 @@ HEADLINE = [
     "langid_documents",
     "fingerprint_documents",
     "dedup_exact_documents",
+    "gopher_documents",
+    "pack_documents",
     "dup_ngram_documents",
     "dedup_lines_documents",
     "dup_spans_documents",
