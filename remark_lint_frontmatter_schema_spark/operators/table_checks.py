@@ -109,6 +109,12 @@ def table_check_violations(
                 max_frac=params["max_frac"],
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
+        elif kind == "gopher":
+            from .text import gopher_violations
+            extras.append(gopher_violations(
+                df, column, params["id"], rules=params.get("rules"),
+                ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "label_conflict":
             from ..functions.audio import transcript_conflict_violations
             extras.append(transcript_conflict_violations(

@@ -458,3 +458,76 @@ def gopher_gates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         (g_wc & g_mwl & g_sym & g_bul & g_ell & g_alpha & g_stop)
         .alias("gopher_pass"),
     )
+
+
+# rule name -> (gate column, measured column, message template, expected)
+GOPHER_RULE_SPECS = {
+    "word_count": ("g_word_count", "word_count",
+                   "Must have 50 <= word count <= 100000",
+                   (">= 50", "<= 100000")),
+    "mean_word_len": ("g_mean_word_len", "mean_word_len",
+                      "Must have 3 <= mean word length <= 10",
+                      (">= 3", "<= 10")),
+    "symbol_ratio": ("g_symbol_ratio", "symbol_ratio",
+                     "Must have symbol-to-word ratio <= 0.1",
+                     ("<= 0.1",)),
+    "bullet_lines": ("g_bullet_lines", "bullet_line_frac",
+                     "Must have <= 90% of lines starting with a bullet",
+                     ("<= 0.9",)),
+    "ellipsis_lines": ("g_ellipsis_lines", "ellipsis_line_frac",
+                       "Must have <= 30% of lines ending with an ellipsis",
+                       ("<= 0.3",)),
+    "alpha_words": ("g_alpha_words", "alpha_word_frac",
+                    "Must have >= 80% of words with an alphabetic character",
+                    (">= 0.8",)),
+    "stopwords": ("g_stopwords", "stopword_hits",
+                  "Must contain >= 2 of the required English words",
+                  (">= 2",)),
+}
+
+
+def gopher_violations(df: DataFrame, text_col: str, id_col: str, *,
+                      rules: list[str] | None = None,
+                      ruleset_name: str = "engine",
+                      severity: str = "warning") -> DataFrame:
+    """Violation rows for the ``x-gopher`` table check: one row per
+    document per failing enabled Gopher rule (shape mirrors
+    VIOLATION_FIELDS, like the other table checks). ``rules`` selects a
+    subset of :data:`GOPHER_RULE_SPECS` names (default: all seven).
+
+    Same plan as :func:`gopher_gates` plus one Generate: the per-rule
+    structs are built in the gates projection and exploded — still
+    map-only, zero shuffles, text never leaves the scan stage.
+    """
+    rules = list(GOPHER_RULE_SPECS) if rules is None else list(rules)
+    bad = set(rules) - set(GOPHER_RULE_SPECS)
+    if bad:
+        raise ValueError(f"unknown gopher rules: {sorted(bad)}")
+    gates = gopher_gates(df, text_col, id_col)
+    structs = []
+    for name in rules:
+        gate_col, val_col, msg, expected = GOPHER_RULE_SPECS[name]
+        structs.append(F.when(~F.col(gate_col), F.struct(
+            F.lit(name).alias("rule"),
+            F.concat(F.lit(msg + ": got "), F.col(val_col).cast("string"))
+            .alias("message"),
+            F.col(val_col).cast("string").alias("actual"),
+            F.array(*[F.lit(e) for e in expected]).alias("expected"),
+        )))
+    v = F.explode(F.filter(F.array(*structs), lambda s: s.isNotNull()))
+    return (gates.select(F.col(id_col), v.alias("_v"))
+            .select(
+                F.col(id_col).cast("string").alias("row_id"),
+                F.lit("all").alias("partition_id"),
+                F.lit(ruleset_name).alias("ruleset_id"),
+                F.concat(F.lit(f"gopher:{text_col}:"),
+                         F.col("_v.rule")).alias("constraint_id"),
+                F.lit("gopher").alias("keyword"),
+                F.lit(f"/{text_col}").alias("instance_path"),
+                F.concat(F.lit(f"#/x-gopher/{text_col}/"),
+                         F.col("_v.rule")).alias("schema_path"),
+                F.col("_v.message").alias("message"),
+                F.col("_v.actual").alias("actual"),
+                F.col("_v.expected").alias("expected"),
+                F.lit(severity).alias("severity"),
+            ))

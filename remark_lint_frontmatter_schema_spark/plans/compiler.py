@@ -81,6 +81,7 @@ _KNOWN_KEYWORDS = {
     "x-outlier",
     "x-monotonic",
     "x-dup-ngram",
+    "x-gopher",
     "x-embedding",
 }
 
@@ -478,6 +479,15 @@ _KEYWORD_SHAPE = {
          or (isinstance(v["max_frac"], _NUM)
              and not isinstance(v["max_frac"], bool)
              and 0 <= v["max_frac"] < 1)),
+    "x-gopher": lambda v: isinstance(v, dict)
+    and isinstance(v.get("id"), str)
+    and (v.get("rules") is None
+         or (isinstance(v["rules"], list) and len(v["rules"]) > 0
+             and all(isinstance(r, str) for r in v["rules"])
+             and set(v["rules"]) <= {
+                 "word_count", "mean_word_len", "symbol_ratio",
+                 "bullet_lines", "ellipsis_lines", "alpha_words",
+                 "stopwords"})),
     "x-dedup": lambda v: isinstance(v, dict)
     and isinstance(v.get("id"), str)
     and v.get("method", "exact") in ("exact", "jaccard", "acoustic")
@@ -618,7 +628,7 @@ _VARIANT_UNSUPPORTED_KWS = frozenset((
     "uniqueItems", "contentEncoding", "contentMediaType", "contentSchema",
     "x-unique", "x-ref", "x-drift", "x-dedup", "x-langid", "x-rate",
     "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
-    "x-monotonic", "x-dup-ngram", "x-embedding"))
+    "x-monotonic", "x-dup-ngram", "x-gopher", "x-embedding"))
 
 
 def _compile_variant_node(schema: dict, ctx: _Ctx) -> None:
@@ -1317,6 +1327,22 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 }))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-dup-ngram"))
+
+    if "x-gopher" in schema and not ctx.silent:
+        # Gopher quality-rule declaration (operators/text.gopher_violations):
+        # flags documents failing the enabled Rae et al. 2021 rules — a
+        # map-only per-row pass, but routed as a table check because the
+        # rules read a whole text column, not the validated node's value
+        if is_top:
+            p = schema["x-gopher"]
+            ctx.out.table_checks.append(
+                ("gopher", ctx.instance_path[1:], {
+                    "id": p["id"],
+                    "rules": list(p["rules"]) if p.get("rules") else None,
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-gopher"))
 
     if "x-decontaminate" in schema and not ctx.silent:
         # benchmark-overlap declaration: like x-ref, names a dim (the

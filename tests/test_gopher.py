@@ -87,3 +87,74 @@ def test_single_tokenization_in_plan(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count(r"\s+") == 1, plan      # token split staged once
     assert plan.count(r"\n") == 1, plan       # line split staged once
+
+
+# ---------------------------------------------------------------------------
+# x-gopher DSL
+# ---------------------------------------------------------------------------
+
+def test_x_gopher_end_to_end(spark):
+    import pytest
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    good = GOOD + " indeed truly also now"
+    df = spark.createDataFrame(
+        [(0, good), (1, " ".join(["a"] * 60))], "doc_id long, text string")
+    compiled = compile_ruleset(
+        {"type": "object", "properties": {"text": {
+            "type": "string", "x-gopher": {"id": "doc_id"}}}},
+        df.schema, name="docs")
+    assert compiled.table_checks == [
+        ("gopher", "text", {"id": "doc_id", "rules": None,
+                            "severity": "warning"})]
+    res = validate_with_table_checks(df, compiled, row_id="doc_id")
+    rows = res.violations.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.row_id, []).append(r)
+    assert "0" not in by_doc                       # good doc clean
+    bad = {r.constraint_id for r in by_doc["1"]}
+    # 60 'a' tokens: mwl=1 fails, alpha passes, stopwords fail
+    assert "gopher:text:mean_word_len" in bad
+    assert "gopher:text:stopwords" in bad
+    assert "gopher:text:word_count" not in bad     # 60 in [50, 100k]
+    r = by_doc["1"][0]
+    assert r.keyword == "gopher" and r.ruleset_id == "docs"
+    assert r.instance_path == "/text"
+
+
+def test_x_gopher_rules_subset(spark):
+    from remark_lint_frontmatter_schema_spark.operators.text import (
+        gopher_violations)
+    df = spark.createDataFrame(
+        [(1, " ".join(["a"] * 60))], "doc_id long, text string")
+    rows = gopher_violations(df, "text", "doc_id",
+                             rules=["word_count"]).collect()
+    assert rows == []          # only the passing rule enabled
+    rows = gopher_violations(df, "text", "doc_id",
+                             rules=["mean_word_len"]).collect()
+    assert len(rows) == 1 and rows[0].actual == "1.0"
+
+
+def test_x_gopher_nested_unknown_and_malformed(spark):
+    import pytest
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.plans.compiler import (
+        RulesetCompileError)
+    from remark_lint_frontmatter_schema_spark.operators.text import (
+        gopher_violations)
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    nested = {"type": "object", "properties": {"text": {
+        "anyOf": [{"x-gopher": {"id": "doc_id"}}, {"minLength": 1}]}}}
+    compiled = compile_ruleset(nested, df.schema, name="docs")
+    assert any(kw.startswith("x-gopher") for _p, kw in compiled.unknown)
+    for bad in ({"x-gopher": {}},                          # id missing
+                {"x-gopher": {"id": "doc_id", "rules": []}},
+                {"x-gopher": {"id": "doc_id", "rules": ["nope"]}}):
+        with pytest.raises(RulesetCompileError):
+            compile_ruleset(
+                {"type": "object", "properties": {"text": bad}},
+                df.schema, name="docs")
+    with pytest.raises(ValueError):
+        gopher_violations(df, "text", "doc_id", rules=["nope"])
