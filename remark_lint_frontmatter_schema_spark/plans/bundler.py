@@ -141,7 +141,7 @@ def _inline_refs(node, base, depth: int, fetch=None):
                              fetch=fetch)
                 provenance = posixpath.normpath(ref_path)
             if frag:
-                sub = _resolve_pointer(sub, frag)
+                sub = _resolve_fragment(sub, frag)
             # record where this subtree came from so schema_path provenance
             # can keep the two-part form (file + pointer), as the reference's
             # bundled refs do (demo/pipeline.ts:74-79)
@@ -169,8 +169,44 @@ def _resolve_pointer(doc: dict, pointer: str):
     return cur
 
 
+def _resolve_anchor(doc: dict, name: str):
+    """Plain-name fragment resolution: the subtree carrying ``$anchor:
+    name`` (2019-09) or the draft-07 location-independent form ``$id:
+    "#name"``. Anchors must be unique within a schema resource (the spec's
+    rule); duplicates are a compile error, not a silent first-wins."""
+    hits: list = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            if node.get("$anchor") == name or node.get("$id") == f"#{name}":
+                hits.append(node)
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    walk(doc)
+    if not hits:
+        raise RulesetCompileError(f"unresolved $ref anchor #{name}")
+    if len(hits) > 1:
+        raise RulesetCompileError(
+            f"duplicate $anchor {name!r}: anchors must be unique within a "
+            "schema resource")
+    return hits[0]
+
+
+def _resolve_fragment(doc: dict, frag: str):
+    """A ``#``-fragment is a JSON pointer when it starts with ``/``, else a
+    plain-name anchor (RFC 3986 fragment + JSON Schema anchor rules)."""
+    if not frag or frag.startswith("/"):
+        return _resolve_pointer(doc, frag)
+    return _resolve_anchor(doc, frag)
+
+
 def resolve_internal_ref(root: dict, ref: str) -> dict:
-    """Resolve an internal ``#/definitions/...`` pointer against the root."""
+    """Resolve an internal ``#/definitions/...`` pointer or ``#anchor``
+    plain-name fragment against the root."""
     if not ref.startswith("#"):
         raise RulesetCompileError(f"external ref {ref!r} must be bundled first")
-    return _resolve_pointer(root, ref[1:])
+    return _resolve_fragment(root, ref[1:])

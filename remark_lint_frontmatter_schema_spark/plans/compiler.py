@@ -59,7 +59,8 @@ _KNOWN_KEYWORDS = {
     "format", "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
     "multipleOf", "properties", "patternProperties", "items",
     "additionalItems", "prefixItems", "additionalProperties", "allOf",
-    "anyOf", "oneOf", "not", "$ref", "$schema", "$id", "$bundled_from",
+    "anyOf", "oneOf", "not", "$ref", "$schema", "$id", "$anchor",
+    "$bundled_from",
     "title", "description", "definitions", "$defs", "default", "examples",
     # annotation-only keywords (Ajv collects, never validates): known so
     # strict mode doesn't false-flag documented schemas

@@ -575,3 +575,64 @@ def test_resume_with_footer_proofs_skips_clean_partitions(spark, tmp_path):
         run_with_resume(spark, table, **{
             **kw, "manifest_path": str(tmp_path / "other.json"),
             "ruleset_doc": {"properties": {"v": {"minimum": 0}}}})
+
+
+def test_anchor_refs_resolve(spark):
+    """Plain-name $ref fragments: 2019-09 `$anchor` and the draft-07
+    location-independent `$id: "#name"` form both resolve at compile time
+    (Ajv2019/Ajv support both; pointer form unchanged)."""
+    from remark_lint_frontmatter_schema_spark.plans.bundler import (
+        resolve_internal_ref)
+    df = spark.createDataFrame([(1, 5), (2, 500)], "id long, v long")
+    rs = {
+        "type": "object",
+        "properties": {"v": {"$ref": "#smallNum"}},
+        "$defs": {
+            "n": {"$anchor": "smallNum", "type": "number", "maximum": 100},
+            "legacy": {"$id": "#legacyNode", "minimum": 3},
+        },
+    }
+    compiled = compile_ruleset(rs, df.schema, name="anchored")
+    from remark_lint_frontmatter_schema_spark import validate
+    res = validate(df, compiled, row_id="id")
+    rows = res.violations.collect()
+    assert [r.row_id for r in rows] == ["2"]
+    assert rows[0].keyword == "maximum"
+    # draft-07 $id anchor form
+    assert resolve_internal_ref(rs, "#legacyNode")["minimum"] == 3
+
+
+def test_anchor_missing_and_duplicate_fail_compile(spark):
+    from remark_lint_frontmatter_schema_spark.plans.compiler import (
+        RulesetCompileError)
+    df = spark.createDataFrame([(1, 5)], "id long, v long")
+    with pytest.raises(RulesetCompileError, match="unresolved"):
+        compile_ruleset(
+            {"type": "object", "properties": {"v": {"$ref": "#ghost"}}},
+            df.schema, name="x")
+    dup = {
+        "type": "object",
+        "properties": {"v": {"$ref": "#twice"}},
+        "$defs": {"a": {"$anchor": "twice", "type": "number"},
+                  "b": {"$anchor": "twice", "type": "string"}},
+    }
+    with pytest.raises(RulesetCompileError, match="unique"):
+        compile_ruleset(dup, df.schema, name="x")
+
+
+def test_anchor_fragment_in_external_ref(tmp_path):
+    """file.yaml#anchorName picks the anchored subtree of the external
+    file (pointer fragments keep working)."""
+    from remark_lint_frontmatter_schema_spark.plans.bundler import bundle
+    (tmp_path / "shared.yaml").write_text(
+        "$defs:\n"
+        "  codec:\n"
+        "    $anchor: codecEnum\n"
+        "    enum: [pcm16, opus]\n")
+    root = tmp_path / "root.yaml"
+    root.write_text("properties:\n  codec:\n"
+                    "    $ref: 'shared.yaml#codecEnum'\n")
+    doc = bundle(root)
+    node = doc["properties"]["codec"]
+    assert node["enum"] == ["pcm16", "opus"]
+    assert node["$bundled_from"] == "shared.yaml"
