@@ -436,6 +436,23 @@ def q_pack_documents(spark, sf):
                                   text_col="text", n_buckets=16)
 
 
+def q_redact_documents(spark, sf):
+    """PII redaction (operators/text.redact_pii): counts on the original
+    text, sequential regexp_replace to [EMAIL]/[IPV4]/[PHONE]. The
+    synthetic corpus carries no PII, so the query injects deterministic
+    contact strings into a doc_id-keyed subset first — the oracle applies
+    the identical injection, making the redaction itself (not just the
+    zero path) value-checked."""
+    docs = _load(spark, sf, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com or 555-123-4567 via 10.0.0.1")))
+         .otherwise(F.col("text")))
+    return text.redact_pii(docs, "text", "doc_id")
+
+
 def q_dedup_lines_documents(spark, sf):
     """Corpus-level line dedup (C4/RefinedWeb boilerplate removal) over a
     deterministic multi-line view of the corpus (newline inserted after
@@ -1179,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_documents": q_dedup_lines_documents,
         "gopher_documents": q_gopher_documents,
         "pack_documents": q_pack_documents,
+        "redact_documents": q_redact_documents,
         "dup_spans_documents": q_dup_spans_documents,
         "validate_events_unevaluated": q_validate_events_unevaluated,
         "validate_embeddings_quality": q_validate_embeddings_quality,
@@ -1719,6 +1737,34 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, pre AS pre_sum,
 FROM p
 """
 
+_REDACT_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-123-4567 via 10.0.0.1'
+              ELSE text END AS text
+  FROM documents
+), c AS (
+  SELECT doc_id, text,
+    coalesce(len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')), 0) AS n_email,
+    coalesce(len(regexp_extract_all(text,
+        '\b(?:\d{1,3}\.){3}\d{1,3}\b')), 0) AS n_ipv4,
+    coalesce(len(regexp_extract_all(text,
+        '\+?\d[\d\- ]{7,14}\d')), 0) AS n_phone
+  FROM t
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IPV4]', 'g'),
+           '\+?\d[\d\- ]{7,14}\d', '[PHONE]', 'g') AS text_redacted,
+       n_email, n_ipv4, n_phone,
+       n_email + n_ipv4 + n_phone AS n_redactions
+FROM c
+"""
+
 _DEDUP_LINES_SQL = r"""
 WITH src AS (
   SELECT doc_id,
@@ -2227,6 +2273,7 @@ FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
         "dup_spans_documents": _DUP_SPANS_SQL,
         "gopher_documents": _GOPHER_SQL,
         "pack_documents": _PACK_SQL,
+        "redact_documents": _REDACT_SQL,
         "edit_sim_documents": """
 WITH sh AS (
   SELECT doc_id,

@@ -62,6 +62,7 @@ HEADLINE = [
     "dedup_exact_documents",
     "gopher_documents",
     "pack_documents",
+    "redact_documents",
     "dup_ngram_documents",
     "dedup_lines_documents",
     "dup_spans_documents",

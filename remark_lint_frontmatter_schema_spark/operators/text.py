@@ -531,3 +531,32 @@ def gopher_violations(df: DataFrame, text_col: str, id_col: str, *,
                 F.col("_v.expected").alias("expected"),
                 F.lit(severity).alias("severity"),
             ))
+
+
+def redact_pii(df: DataFrame, text_col: str, id_col: str,
+               patterns: dict[str, str] | None = None) -> DataFrame:
+    """Anonymization pass: every PII-candidate match replaced with a
+    ``[NAME]`` placeholder — the repair-side companion of
+    :func:`pii_scan` (scan counts, redact rewrites).
+
+    Returns ``(id, text_redacted, n_<name> per pattern, n_redactions)``.
+    Counts are measured on the ORIGINAL text (same numbers as
+    ``pii_scan``); replacements apply sequentially in ``patterns`` order,
+    so an earlier placeholder is never re-matched by a later pattern.
+    Pure JVM ``regexp_count``/``regexp_replace`` over one scan, map-only —
+    at corpus scale this is a rewrite job, so the output is meant to flow
+    straight to a sink, not to join back. NULL text passes through NULL
+    with zero counts (totality, like the other text operators).
+    """
+    patterns = patterns or PII_PATTERNS
+    c = F.col(text_col)
+    counts = [F.coalesce(F.regexp_count(c, F.lit(rx)), F.lit(0))
+              .alias(f"n_{name}")
+              for name, rx in patterns.items()]
+    redacted = c
+    for name, rx in patterns.items():
+        redacted = F.regexp_replace(redacted, F.lit(rx),
+                                    F.lit(f"[{name.upper()}]"))
+    out = df.select(F.col(id_col), redacted.alias("text_redacted"), *counts)
+    total = sum((F.col(f"n_{name}") for name in patterns), F.lit(0))
+    return out.withColumn("n_redactions", total)

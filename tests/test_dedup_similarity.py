@@ -393,6 +393,29 @@ def test_pii_scan_detects_and_counts(spark):
     assert got[5] == (0, 0, 0, False)
 
 
+def test_redact_pii_rewrites_and_counts(spark):
+    from remark_lint_frontmatter_schema_spark.operators import text
+    df = spark.createDataFrame([
+        (1, "contact jane.doe+x@example.org or call 555-123-4567"),
+        (2, "server at 10.0.0.1 rules"),
+        (3, "clean text with no identifiers"),
+        (4, None),
+    ], "doc_id int, text string")
+    got = {r.doc_id: r for r in
+           text.redact_pii(df, "text", "doc_id").collect()}
+    assert got[1].text_redacted == "contact [EMAIL] or call [PHONE]"
+    assert (got[1].n_email, got[1].n_phone, got[1].n_redactions) == (1, 1, 2)
+    assert got[2].text_redacted == "server at [IPV4] rules"
+    assert got[3].text_redacted == got[3].text_redacted == \
+        "clean text with no identifiers" and got[3].n_redactions == 0
+    assert got[4].text_redacted is None and got[4].n_redactions == 0
+    # counts agree with pii_scan on the same input (scan/redact contract)
+    scan = {r.doc_id: (r.n_email, r.n_ipv4, r.n_phone)
+            for r in text.pii_scan(df, "text", "doc_id").collect()}
+    for i, r in got.items():
+        assert scan[i] == (r.n_email, r.n_ipv4, r.n_phone)
+
+
 def test_staged_signature_matches_explode_signature(spark):
     """minhash_signature_staged (pure-map, streaming path) must produce
     byte-identical signatures to minhash_signatures_df (explode +
