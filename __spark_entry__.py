@@ -453,6 +453,29 @@ def q_redact_documents(spark, sf):
     return text.redact_pii(docs, "text", "doc_id")
 
 
+def q_group_split_documents(spark, sf):
+    """Group-exclusive train/val/test split (operators/sampling.
+    group_split): assignment is a pure function of sha256 of the GROUP
+    key (source), so no group can leak across splits. The oracle
+    re-derives the hash-prefix boundary comparisons verbatim."""
+    docs = _load(spark, sf, "documents")
+    return sampling.group_split(docs, "source").select(
+        "doc_id", "source", "split")
+
+
+def q_split_leakage_documents(spark, sf):
+    """Leakage audit (operators/sampling.split_leakage) over a
+    DELIBERATELY leaky assignment — rows split by doc_id hash, audited by
+    source — so the detector's positive path is value-checked (a
+    group_split assignment audits clean by construction)."""
+    docs = _load(spark, sf, "documents")
+    leaky = sampling.group_split(docs, "doc_id", salt="row")
+    leak = sampling.split_leakage(leaky, "source", "split")
+    return leak.select(
+        "source", "n_splits", "n_rows",
+        F.array_join("splits", ",").alias("splits_csv"))
+
+
 def q_dedup_lines_documents(spark, sf):
     """Corpus-level line dedup (C4/RefinedWeb boilerplate removal) over a
     deterministic multi-line view of the corpus (newline inserted after
@@ -1197,6 +1220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_documents": q_gopher_documents,
         "pack_documents": q_pack_documents,
         "redact_documents": q_redact_documents,
+        "group_split_documents": q_group_split_documents,
+        "split_leakage_documents": q_split_leakage_documents,
         "dup_spans_documents": q_dup_spans_documents,
         "validate_events_unevaluated": q_validate_events_unevaluated,
         "validate_embeddings_quality": q_validate_embeddings_quality,
@@ -1765,6 +1790,39 @@ SELECT doc_id,
 FROM c
 """
 
+_GROUP_SPLIT_SQL = r"""
+SELECT doc_id, source,
+       CASE WHEN source IS NULL THEN NULL
+            WHEN substr(sha256('split:' || source), 1, 8) < 'cccccccc'
+                 THEN 'train'
+            WHEN substr(sha256('split:' || source), 1, 8) < 'e6666666'
+                 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+_SPLIT_LEAKAGE_SQL = r"""
+WITH a AS (
+  SELECT source,
+         CASE WHEN doc_id IS NULL THEN NULL
+              WHEN substr(sha256('row:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   < 'cccccccc' THEN 'train'
+              WHEN substr(sha256('row:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   < 'e6666666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source,
+       count(DISTINCT split) AS n_splits,
+       count(*) AS n_rows,
+       array_to_string(list_sort(list_distinct(list(split))), ',')
+         AS splits_csv
+FROM a
+WHERE source IS NOT NULL AND split IS NOT NULL
+GROUP BY source
+HAVING count(DISTINCT split) > 1
+"""
+
 _DEDUP_LINES_SQL = r"""
 WITH src AS (
   SELECT doc_id,
@@ -2274,6 +2332,8 @@ FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
         "gopher_documents": _GOPHER_SQL,
         "pack_documents": _PACK_SQL,
         "redact_documents": _REDACT_SQL,
+        "group_split_documents": _GROUP_SPLIT_SQL,
+        "split_leakage_documents": _SPLIT_LEAKAGE_SQL,
         "edit_sim_documents": """
 WITH sh AS (
   SELECT doc_id,

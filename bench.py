@@ -63,6 +63,8 @@ HEADLINE = [
     "gopher_documents",
     "pack_documents",
     "redact_documents",
+    "group_split_documents",
+    "split_leakage_documents",
     "dup_ngram_documents",
     "dedup_lines_documents",
     "dup_spans_documents",

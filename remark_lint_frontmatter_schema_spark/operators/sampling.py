@@ -172,3 +172,60 @@ def take_until_budget(df: DataFrame, weight_col: str, id_col: str,
     except Exception:
         keyed.unpersist()
         raise
+
+
+def group_split(df: DataFrame, group_col: str, *,
+                splits: dict[str, float] | None = None,
+                salt: str = "split") -> DataFrame:
+    """Group-exclusive train/val/test assignment: the split is a function
+    of the GROUP key's hash (sha256 of ``salt:group``), so every row of a
+    group (speaker, source site, document family) lands in the same split
+    — cross-split leakage is impossible by construction, the failure mode
+    row-level splitting invites. Deterministic like everything here:
+    reruns and late-arriving rows of a known group assign identically.
+
+    ``splits`` maps name -> weight (must sum to 1); boundaries are
+    cumulative hash-prefix thresholds, so each GROUP lands in a split
+    with probability ~= its weight (the row-count split tracks the group
+    weight only as far as group sizes are even — that is inherent to
+    leakage-free splitting). NULL group keys get a NULL split (the caller
+    decides their fate). Pure map, zero shuffles.
+    """
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not splits or any(w < 0 for w in splits.values()) \
+            or abs(sum(splits.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must be >= 0 and sum to 1: {splits}")
+    key = F.substring(
+        F.sha2(F.concat(F.lit(salt + ":"),
+                        F.col(group_col).cast("string")), 256),
+        1, _HEX_DIGITS)
+    names = list(splits)
+    chain, cum = None, 0.0
+    for name in names[:-1]:
+        cum += splits[name]
+        b = format(int(cum * _HEX_SPACE), f"0{_HEX_DIGITS}x")
+        cond = key < b
+        chain = F.when(cond, F.lit(name)) if chain is None \
+            else chain.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    assigned = last if chain is None else chain.otherwise(last)
+    return df.withColumn(
+        "split",
+        F.when(F.col(group_col).isNull(),
+               F.lit(None).cast("string")).otherwise(assigned))
+
+
+def split_leakage(df: DataFrame, group_col: str, split_col: str) -> DataFrame:
+    """Leakage audit for an EXISTING split assignment: groups whose rows
+    span more than one split — ``(group, n_splits, n_rows, splits)``.
+    One shuffle of ``(group, split)`` pairs; the per-group split set is
+    bounded by the number of splits, so partial aggregation absorbs even
+    pathological group sizes. :func:`group_split` output audits clean by
+    construction; this is for splits assigned elsewhere."""
+    g, s = F.col(group_col), F.col(split_col)
+    return (df.where(g.isNotNull() & s.isNotNull())
+              .groupBy(group_col)
+              .agg(F.countDistinct(split_col).alias("n_splits"),
+                   F.count(F.lit(1)).alias("n_rows"),
+                   F.sort_array(F.collect_set(split_col)).alias("splits"))
+              .where(F.col("n_splits") > 1))

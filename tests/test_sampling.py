@@ -129,3 +129,63 @@ def test_mix_to_weights_bad_args(docs):
     for bad in ({}, {"lang0": -1}, {"lang0": 0}, {"lang0": True}):
         with pytest.raises(ValueError):
             sampling.mix_to_weights(docs, "lang", "id", bad)
+
+
+# ---------------------------------------------------------------------------
+# group-exclusive splits + leakage audit
+# ---------------------------------------------------------------------------
+
+def test_group_split_is_group_exclusive_and_weighted(spark):
+    from remark_lint_frontmatter_schema_spark.operators.sampling import (
+        group_split)
+    rows = [(i, f"g{i % 200}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = group_split(df, "grp").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.grp, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_group.values())   # no leakage
+    from collections import Counter
+    c = Counter(next(iter(s)) for s in by_group.values())
+    assert 200 * 0.65 < c["train"] < 200 * 0.95           # ~0.8 of groups
+    assert c["train"] + c["val"] + c["test"] == 200
+    # determinism + salt sensitivity
+    again = {r.id: r.split for r in group_split(df, "grp").collect()}
+    assert all(again[r.id] == r.split for r in out)
+    other = {r.id: r.split
+             for r in group_split(df, "grp", salt="v2").collect()}
+    assert any(other[r.id] != r.split for r in out)
+
+
+def test_group_split_null_and_guards(spark):
+    import pytest
+    from remark_lint_frontmatter_schema_spark.operators.sampling import (
+        group_split)
+    df = spark.createDataFrame([(1, None), (2, "g")], "id long, grp string")
+    rows = {r.id: r.split for r in group_split(df, "grp").collect()}
+    assert rows[1] is None and rows[2] in ("train", "val", "test")
+    # NB {} falls back to the default weights (falsy), so it is not a
+    # guard case
+    for bad in ({"a": 0.5}, {"a": -0.1, "b": 1.1},
+                {"a": 0.5, "b": 0.6}):
+        with pytest.raises(ValueError):
+            group_split(df, "grp", splits=bad)
+    # single-split degenerate form: everything lands there
+    one = group_split(df, "grp", splits={"all": 1.0}).collect()
+    assert {r.split for r in one if r.grp is not None} == {"all"}
+
+
+def test_split_leakage_detects_and_clears(spark):
+    from remark_lint_frontmatter_schema_spark.operators.sampling import (
+        group_split, split_leakage)
+    rows = [(i, f"g{i % 50}") for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    clean = group_split(df, "grp")
+    assert split_leakage(clean, "grp", "split").count() == 0
+    leaky = group_split(df, "id", salt="row") \
+        .withColumnRenamed("split", "split")
+    leaks = split_leakage(leaky, "grp", "split").collect()
+    assert len(leaks) > 0
+    for r in leaks:
+        assert r.n_splits > 1 and r.n_splits == len(r.splits)
+        assert r.splits == sorted(r.splits)
