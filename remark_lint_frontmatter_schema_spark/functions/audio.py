@@ -346,6 +346,7 @@ def register_audio_checks() -> dict:
         "codec_header_jvm": lambda col: codec_header_ok_expr(col, "codec", "sr_hz"),
         "voiced_content": lambda col: has_voiced_content(col),
         "tonal_content": lambda col: has_tonal_content(col),
+        "not_clipped": lambda col: is_not_clipped(col),
         "canonical_wav": lambda col: canonical_wav_expr(col),
     }
 
@@ -693,6 +694,29 @@ def has_voiced_content(b: pd.Series) -> pd.Series:
         frame_rms = np.sqrt(np.mean(
             x[: n_frames * flen].reshape(n_frames, flen) ** 2, axis=1))
         out.append(bool(detect_voiced_runs(frame_rms, silence_amp, 3, 2)))
+    return pd.Series(out, index=b.index)
+
+
+@pandas_udf(BooleanType())
+def is_not_clipped(b: pd.Series) -> pd.Series:
+    """Vectorized check: payload decodes AND has < 1% of samples at
+    >= 99.9% full scale — the ``not_clipped`` entry of
+    :func:`register_audio_checks` (the hot-recording / truncated-gain
+    defect `audio_features` measures as ``clipping_ratio``, as a
+    ruleset-referenceable gate; same 99.9%-of-full-scale definition, so
+    the feature and the check can never disagree). Undecodable payloads
+    fail (codec_header owns the wellformedness message; a gate that
+    passed garbage would be a silent hole). Arrow-batched."""
+    out = []
+    for v in b:
+        try:
+            sr, x = decode_wav_pcm16(bytes(v) if v is not None else b"")
+            if sr <= 0 or not len(x):
+                raise ValueError("bad payload")
+        except ValueError:
+            out.append(False)
+            continue
+        out.append(bool(np.mean(np.abs(x) >= 0.999) < 0.01))
     return pd.Series(out, index=b.index)
 
 

@@ -84,6 +84,26 @@ def test_tonal_content_named_check(spark):
             == {"noise", "silent", "corrupt"})
 
 
+def test_not_clipped_named_check(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+    clean = _tone(800) * 0.5
+    hot = np.clip(_tone(800) * 3.0, -1.0, 1.0)     # ~60% of samples saturate
+    rows = [("clean", audio.wav_bytes(audio._to_pcm16(clean), 16000)),
+            ("hot", audio.wav_bytes(audio._to_pcm16(hot), 16000)),
+            ("corrupt", b"RIFFxxxx")]
+    clips = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    compiled = compile_ruleset(
+        {"properties": {"bytes": {"x-spark-check": "not_clipped"}}},
+        clips.schema, extra_checks=audio.register_audio_checks())
+    res = validate(clips, compiled, row_id="clip_id")
+    assert ({r.row_id for r in res.violations.collect()}
+            == {"hot", "corrupt"})
+    # the gate agrees with audio_features' clipping_ratio definition
+    feats = {r.clip_id: r.clipping_ratio
+             for r in audio.audio_features(clips).collect()}
+    assert feats["clean"] < 0.01 < feats["hot"]
+
+
 # ---------------------------------------------------------------------------
 # clip-level MFCC (mel filterbank + orthonormal DCT-II, numpy-only)
 # ---------------------------------------------------------------------------
