@@ -453,6 +453,22 @@ def q_redact_documents(spark, sf):
     return text.redact_pii(docs, "text", "doc_id")
 
 
+def q_c4_clean_documents(spark, sf):
+    """C4 cleaning recipe (operators/text.c4_clean) over a deterministic
+    sentence-structured view of the flat synthetic corpus (period +
+    newline after every 5th word; doc_id % 5 == 0 docs get a code brace
+    appended to trip the page gate). The oracle re-derives line rules and
+    page gates with DuckDB list lambdas on the identical view."""
+    docs = _load(spark, sf, "documents").withColumn(
+        "text", F.regexp_replace("text", r"((?:\S+ ){4}\S+) ", "$1.\n"))
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" { var x = 1; }")))
+         .otherwise(F.col("text")))
+    return text.c4_clean(docs, "text", "doc_id")
+
+
 def q_group_split_documents(spark, sf):
     """Group-exclusive train/val/test split (operators/sampling.
     group_split): assignment is a pure function of sha256 of the GROUP
@@ -1222,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_documents": q_redact_documents,
         "group_split_documents": q_group_split_documents,
         "split_leakage_documents": q_split_leakage_documents,
+        "c4_clean_documents": q_c4_clean_documents,
         "dup_spans_documents": q_dup_spans_documents,
         "validate_events_unevaluated": q_validate_events_unevaluated,
         "validate_embeddings_quality": q_validate_embeddings_quality,
@@ -1790,6 +1807,43 @@ SELECT doc_id,
 FROM c
 """
 
+_C4_CLEAN_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN regexp_replace(text, '((?:\S+ ){4}\S+) ',
+                                  '\1.' || chr(10), 'g')
+                   || ' { var x = 1; }'
+              ELSE regexp_replace(text, '((?:\S+ ){4}\S+) ',
+                                  '\1.' || chr(10), 'g') END AS text
+  FROM documents
+), s AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(coalesce(text, ''),
+                                                 chr(10)), l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM t
+), k AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines,
+             l -> substr(l, -1, 1) IN ('.', '!', '?', '"')
+                  AND len(string_split_regex(l, '\s+')) >= 5
+                  AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM s
+)
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE array_to_string(kept, chr(10)) END AS text_clean,
+       len(kept) AS n_lines_kept,
+       len(lines) - len(kept) AS n_lines_dropped,
+       coalesce(len(regexp_extract_all(array_to_string(kept, chr(10)),
+                                       '[.!?]')) >= 3
+                AND NOT contains(text, '{')
+                AND NOT contains(lower(text), 'lorem ipsum'),
+                false) AS page_keep
+FROM k
+"""
+
 _GROUP_SPLIT_SQL = r"""
 SELECT doc_id, source,
        CASE WHEN source IS NULL THEN NULL
@@ -2334,6 +2388,7 @@ FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
         "redact_documents": _REDACT_SQL,
         "group_split_documents": _GROUP_SPLIT_SQL,
         "split_leakage_documents": _SPLIT_LEAKAGE_SQL,
+        "c4_clean_documents": _C4_CLEAN_SQL,
         "edit_sim_documents": """
 WITH sh AS (
   SELECT doc_id,

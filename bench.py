@@ -65,6 +65,7 @@ HEADLINE = [
     "redact_documents",
     "group_split_documents",
     "split_leakage_documents",
+    "c4_clean_documents",
     "dup_ngram_documents",
     "dedup_lines_documents",
     "dup_spans_documents",

@@ -560,3 +560,64 @@ def redact_pii(df: DataFrame, text_col: str, id_col: str,
     out = df.select(F.col(id_col), redacted.alias("text_redacted"), *counts)
     total = sum((F.col(f"n_{name}") for name in patterns), F.lit(0))
     return out.withColumn("n_redactions", total)
+
+
+_C4_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_clean(df: DataFrame, text_col: str, id_col: str, *,
+             min_words_per_line: int = 5,
+             min_sentences: int = 3) -> DataFrame:
+    """The C4 cleaning recipe (Raffel et al. 2020 §2.2) — line filter +
+    page gates, as one map-only projection:
+
+    * keep only lines that end in a terminal punctuation mark
+      (``. ! ? "``), have >= ``min_words_per_line`` words, and do not
+      contain the word "javascript" (case-insensitive);
+    * page gates on the result: >= ``min_sentences`` sentences in the
+      cleaned text (terminal-punctuation count as the sentence proxy —
+      documented approximation of C4's splitter), no ``{`` in the
+      original (code page), no "lorem ipsum" (placeholder page).
+
+    Returns ``(id, text_clean, n_lines_kept, n_lines_dropped,
+    page_keep)``; ``text_clean`` is the kept lines joined with newlines
+    (empty string when nothing survives). NULL text passes through NULL
+    with zero counts and ``page_keep = false``. The 3-sentence-span dedup
+    of C4 §2.2 is :func:`dedup.remove_dup_spans`' job (corpus-level, not
+    per-page). Lines are staged once below the rules (HOF-CSE
+    discipline); zero shuffles.
+    """
+    if min_words_per_line <= 0 or min_sentences <= 0:
+        raise ValueError("min_words_per_line and min_sentences must be > 0")
+    c = F.col(text_col)
+    # lines from the NULL-coalesced text (empty array) so the count and
+    # gate columns stay total; text_clean still surfaces NULL for NULL
+    staged = df.select(
+        F.col(id_col), c.alias("_text"),
+        F.filter(F.transform(F.split(F.coalesce(c, F.lit("")), r"\n"),
+                             lambda l: F.trim(l)),
+                 lambda l: l != "").alias("_lines"),
+    ).select(
+        F.col(id_col), F.col("_text"), F.col("_lines"),
+        F.filter(
+            F.col("_lines"),
+            lambda l: (F.substring(l, -1, 1).isin(*_C4_TERMINAL)
+                       & (F.size(F.split(l, r"\s+")) >= min_words_per_line)
+                       & ~F.lower(l).contains("javascript")),
+        ).alias("_kept"),
+    )
+    t, lines, kept = F.col("_text"), F.col("_lines"), F.col("_kept")
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"),
+                                              F.lit(0)))
+    page_keep = ((n_sentences >= min_sentences)
+                 & ~t.contains("{")
+                 & ~F.lower(t).contains("lorem ipsum"))
+    return staged.select(
+        F.col(id_col),
+        F.when(t.isNull(), F.lit(None).cast("string"))
+         .otherwise(clean).alias("text_clean"),
+        F.size(kept).alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).alias("n_lines_dropped"),
+        F.coalesce(page_keep, F.lit(False)).alias("page_keep"),
+    )
