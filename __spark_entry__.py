@@ -1836,11 +1836,15 @@ SELECT doc_id,
             ELSE array_to_string(kept, chr(10)) END AS text_clean,
        len(kept) AS n_lines_kept,
        len(lines) - len(kept) AS n_lines_dropped,
-       coalesce(len(regexp_extract_all(array_to_string(kept, chr(10)),
-                                       '[.!?]')) >= 3
-                AND NOT contains(text, '{')
-                AND NOT contains(lower(text), 'lorem ipsum'),
-                false) AS page_keep
+       (len(regexp_extract_all(array_to_string(kept, chr(10)),
+                               '[.!?]')) >= 3) AS g_sentences,
+       coalesce(NOT contains(text, '{'), true) AS g_brace,
+       coalesce(NOT contains(lower(text), 'lorem ipsum'), true) AS g_lorem,
+       ((len(regexp_extract_all(array_to_string(kept, chr(10)),
+                                '[.!?]')) >= 3)
+        AND coalesce(NOT contains(text, '{'), true)
+        AND coalesce(NOT contains(lower(text), 'lorem ipsum'), true))
+         AS page_keep
 FROM k
 """
 

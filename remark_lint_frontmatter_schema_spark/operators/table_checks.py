@@ -115,6 +115,14 @@ def table_check_violations(
                 df, column, params["id"], rules=params.get("rules"),
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
+        elif kind == "c4":
+            from .text import c4_violations
+            extras.append(c4_violations(
+                df, column, params["id"],
+                min_words_per_line=params["min_words_per_line"],
+                min_sentences=params["min_sentences"],
+                ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "label_conflict":
             from ..functions.audio import transcript_conflict_violations
             extras.append(transcript_conflict_violations(

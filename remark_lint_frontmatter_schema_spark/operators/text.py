@@ -580,9 +580,12 @@ def c4_clean(df: DataFrame, text_col: str, id_col: str, *,
       original (code page), no "lorem ipsum" (placeholder page).
 
     Returns ``(id, text_clean, n_lines_kept, n_lines_dropped,
-    page_keep)``; ``text_clean`` is the kept lines joined with newlines
-    (empty string when nothing survives). NULL text passes through NULL
-    with zero counts and ``page_keep = false``. The 3-sentence-span dedup
+    g_sentences, g_brace, g_lorem, page_keep)``; ``text_clean`` is the
+    kept lines joined with newlines (empty string when nothing
+    survives), the ``g_*`` booleans are the individual page gates
+    (feeding :func:`c4_violations`). NULL text passes through NULL with
+    zero counts, vacuously-true content gates, and ``page_keep = false``
+    (the sentence gate fails). The 3-sentence-span dedup
     of C4 §2.2 is :func:`dedup.remove_dup_spans`' job (corpus-level, not
     per-page). Lines are staged once below the rules (HOF-CSE
     discipline); zero shuffles.
@@ -610,14 +613,70 @@ def c4_clean(df: DataFrame, text_col: str, id_col: str, *,
     clean = F.array_join(kept, "\n")
     n_sentences = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"),
                                               F.lit(0)))
-    page_keep = ((n_sentences >= min_sentences)
-                 & ~t.contains("{")
-                 & ~F.lower(t).contains("lorem ipsum"))
+    g_sentences = n_sentences >= min_sentences
+    # NULL text: content gates vacuously true (nothing to contain); the
+    # sentence gate fails (empty clean text), so page_keep stays false
+    g_brace = F.coalesce(~t.contains("{"), F.lit(True))
+    g_lorem = F.coalesce(~F.lower(t).contains("lorem ipsum"), F.lit(True))
     return staged.select(
         F.col(id_col),
         F.when(t.isNull(), F.lit(None).cast("string"))
          .otherwise(clean).alias("text_clean"),
         F.size(kept).alias("n_lines_kept"),
         (F.size(lines) - F.size(kept)).alias("n_lines_dropped"),
-        F.coalesce(page_keep, F.lit(False)).alias("page_keep"),
+        g_sentences.alias("g_sentences"),
+        g_brace.alias("g_brace"),
+        g_lorem.alias("g_lorem"),
+        (g_sentences & g_brace & g_lorem).alias("page_keep"),
     )
+
+
+# page-gate name -> (gate column, message, expected) for x-c4 violations
+C4_GATE_SPECS = {
+    "sentences": ("g_sentences",
+                  "Must have >= {n} sentences after C4 line cleaning",
+                  (">= {n} sentences",)),
+    "brace": ("g_brace", "Must not contain a code brace", ("no '{{'",)),
+    "lorem": ("g_lorem", "Must not contain placeholder text",
+              ("no lorem ipsum",)),
+}
+
+
+def c4_violations(df: DataFrame, text_col: str, id_col: str, *,
+                  min_words_per_line: int = 5, min_sentences: int = 3,
+                  ruleset_name: str = "engine",
+                  severity: str = "warning") -> DataFrame:
+    """Violation rows for the ``x-c4`` table check: one row per document
+    per failing C4 page gate (shape mirrors VIOLATION_FIELDS; the
+    :func:`gopher_violations` pattern). Line-level drops are a rewrite
+    concern (:func:`c4_clean`), not violations — the page gates are what
+    a lint pass should surface."""
+    gates = c4_clean(df, text_col, id_col,
+                     min_words_per_line=min_words_per_line,
+                     min_sentences=min_sentences)
+    structs = []
+    for name, (gate_col, msg, expected) in C4_GATE_SPECS.items():
+        m = msg.format(n=min_sentences)
+        structs.append(F.when(~F.col(gate_col), F.struct(
+            F.lit(name).alias("rule"),
+            F.lit(m).alias("message"),
+            F.array(*[F.lit(e.format(n=min_sentences))
+                      for e in expected]).alias("expected"),
+        )))
+    v = F.explode(F.filter(F.array(*structs), lambda s: s.isNotNull()))
+    return (gates.select(F.col(id_col), v.alias("_v"))
+            .select(
+                F.col(id_col).cast("string").alias("row_id"),
+                F.lit("all").alias("partition_id"),
+                F.lit(ruleset_name).alias("ruleset_id"),
+                F.concat(F.lit(f"c4:{text_col}:"),
+                         F.col("_v.rule")).alias("constraint_id"),
+                F.lit("c4").alias("keyword"),
+                F.lit(f"/{text_col}").alias("instance_path"),
+                F.concat(F.lit(f"#/x-c4/{text_col}/"),
+                         F.col("_v.rule")).alias("schema_path"),
+                F.col("_v.message").alias("message"),
+                F.lit(None).cast("string").alias("actual"),
+                F.col("_v.expected").alias("expected"),
+                F.lit(severity).alias("severity"),
+            ))

@@ -83,6 +83,7 @@ _KNOWN_KEYWORDS = {
     "x-monotonic",
     "x-dup-ngram",
     "x-gopher",
+    "x-c4",
     "x-embedding",
 }
 
@@ -480,6 +481,12 @@ _KEYWORD_SHAPE = {
          or (isinstance(v["max_frac"], _NUM)
              and not isinstance(v["max_frac"], bool)
              and 0 <= v["max_frac"] < 1)),
+    "x-c4": lambda v: isinstance(v, dict)
+    and isinstance(v.get("id"), str)
+    and all(v.get(k) is None
+            or (isinstance(v[k], int) and not isinstance(v[k], bool)
+                and v[k] > 0)
+            for k in ("min_words_per_line", "min_sentences")),
     "x-gopher": lambda v: isinstance(v, dict)
     and isinstance(v.get("id"), str)
     and (v.get("rules") is None
@@ -629,7 +636,7 @@ _VARIANT_UNSUPPORTED_KWS = frozenset((
     "uniqueItems", "contentEncoding", "contentMediaType", "contentSchema",
     "x-unique", "x-ref", "x-drift", "x-dedup", "x-langid", "x-rate",
     "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
-    "x-monotonic", "x-dup-ngram", "x-gopher", "x-embedding"))
+    "x-monotonic", "x-dup-ngram", "x-gopher", "x-c4", "x-embedding"))
 
 
 def _compile_variant_node(schema: dict, ctx: _Ctx) -> None:
@@ -1344,6 +1351,22 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 }))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-gopher"))
+
+    if "x-c4" in schema and not ctx.silent:
+        # C4 page-gate declaration (operators/text.c4_violations) — same
+        # routing rationale as x-gopher
+        if is_top:
+            p = schema["x-c4"]
+            ctx.out.table_checks.append(
+                ("c4", ctx.instance_path[1:], {
+                    "id": p["id"],
+                    "min_words_per_line": int(p.get("min_words_per_line")
+                                              or 5),
+                    "min_sentences": int(p.get("min_sentences") or 3),
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-c4"))
 
     if "x-decontaminate" in schema and not ctx.silent:
         # benchmark-overlap declaration: like x-ref, names a dim (the

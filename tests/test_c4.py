@@ -82,3 +82,41 @@ def test_guards(spark):
         c4_clean(df, "text", "doc_id", min_words_per_line=0)
     with pytest.raises(ValueError):
         c4_clean(df, "text", "doc_id", min_sentences=0)
+
+
+def test_x_c4_dsl_end_to_end(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    from remark_lint_frontmatter_schema_spark.plans.compiler import (
+        RulesetCompileError)
+    ok = ("One good sentence here today. Another one follows now. "
+          "And a third closes it.")
+    df = spark.createDataFrame(
+        [(0, ok), (1, ok + "\n{ code }"), (2, "Too short."), (3, None)],
+        "doc_id long, text string")
+    compiled = compile_ruleset(
+        {"type": "object", "properties": {"text": {
+            "type": "string", "x-c4": {"id": "doc_id"}}}},
+        df.schema, name="docs")
+    assert compiled.table_checks == [
+        ("c4", "text", {"id": "doc_id", "min_words_per_line": 5,
+                        "min_sentences": 3, "severity": "warning"})]
+    res = validate_with_table_checks(df, compiled, row_id="doc_id")
+    got = {}
+    for r in res.violations.collect():
+        got.setdefault(r.row_id, set()).add(r.constraint_id)
+    assert "0" not in got
+    assert got["1"] == {"c4:text:brace"}
+    assert got["2"] == {"c4:text:sentences"}
+    assert got["3"] == {"c4:text:sentences"}    # NULL: content gates vacuous
+    # nested -> unknown; malformed -> compile error
+    nested = {"type": "object", "properties": {"text": {
+        "anyOf": [{"x-c4": {"id": "doc_id"}}, {"minLength": 1}]}}}
+    assert any(kw.startswith("x-c4")
+               for _p, kw in compile_ruleset(nested, df.schema).unknown)
+    for bad in ({"x-c4": {}}, {"x-c4": {"id": "doc_id", "min_sentences": 0}}):
+        with pytest.raises(RulesetCompileError):
+            compile_ruleset(
+                {"type": "object", "properties": {"text": bad}},
+                df.schema, name="docs")
