@@ -958,6 +958,58 @@ def augment_speed(clips, *, factors=(0.9, 1.1), taps: int = 32):
     return clips.select("clip_id", "bytes").mapInPandas(fn, schema=schema)
 
 
+def augment_noise(clips, *, snr_db: float = 20.0, seed: int = 42):
+    """Additive-noise augmentation at a target SNR: per clip, Gaussian
+    noise scaled so 20*log10(rms(signal)/rms(noise)) == ``snr_db`` is
+    mixed in and the result re-encoded as canonical WAV. DETERMINISTIC —
+    the noise stream is seeded by xxhash-style mixing of (seed, clip_id),
+    so retries and audits reproduce byte-identical payloads (the
+    :mod:`operators.sampling` reproducibility contract, applied to
+    audio).
+
+    Emits one row per clip with ``snr_db`` carried; silent clips
+    (zero RMS — no signal to scale against) and undecodable payloads
+    emit zero rows, like :func:`augment_speed`. Map-only writer stage:
+    the payload never shuffles, output bytes ~ input bytes.
+    """
+    if not np.isfinite(snr_db):
+        raise ValueError("snr_db must be finite")
+    schema = ("clip_id string, snr_db double, sr_hz int, n_samples long, "
+              "bytes binary")
+    gain = 10.0 ** (-snr_db / 20.0)
+
+    def fn(iterator):
+        for pdf in iterator:
+            rows = []
+            for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    sr, x = decode_wav_pcm16(bytes(b) if b is not None else b"")
+                    if sr <= 0:
+                        raise ValueError("bad sr")
+                except ValueError:
+                    continue
+                rms = float(np.sqrt(np.mean(x ** 2))) if len(x) else 0.0
+                if rms <= 0.0:
+                    continue
+                # process-independent seed (python hash() is salted per
+                # interpreter; sha256 reproduces across executors/reruns)
+                import hashlib
+                digest = hashlib.sha256(
+                    f"{int(seed)}:{cid}".encode()).digest()
+                rng = np.random.default_rng(
+                    int.from_bytes(digest[:8], "little"))
+                noise = rng.standard_normal(len(x))
+                noise *= (rms * gain) / max(
+                    float(np.sqrt(np.mean(noise ** 2))), 1e-12)
+                pcm = _to_pcm16(x + noise)
+                rows.append((cid, float(snr_db), sr, len(pcm),
+                             wav_bytes(pcm, sr)))
+            yield pd.DataFrame(rows, columns=[
+                "clip_id", "snr_db", "sr_hz", "n_samples", "bytes"])
+
+    return clips.select("clip_id", "bytes").mapInPandas(fn, schema=schema)
+
+
 def _le_u16_expr(b, off0: int):
     """Little-endian u16 at 0-based offset, pure JVM (the 2-byte sibling
     of :func:`_le_u32_expr`)."""

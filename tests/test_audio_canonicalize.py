@@ -183,6 +183,33 @@ def test_augment_speed_shifts_pitch_and_duration(spark):
         audio.augment_speed(clips, factors=(0.0,))
 
 
+def test_augment_noise_hits_target_snr_and_is_deterministic(spark):
+    x = _tone(440, 16000, 400) * 0.5
+    clips = spark.createDataFrame(
+        [("a", audio.wav_bytes(_pcm(x), 16000)),
+         ("silent", audio.wav_bytes(np.zeros(800, dtype="<i2"), 16000)),
+         ("bad", audio.flac_stub_bytes(2))],
+        "clip_id string, bytes binary")
+    rows = audio.augment_noise(clips, snr_db=20.0).collect()
+    # silent and undecodable emit nothing
+    assert [r.clip_id for r in rows] == ["a"]
+    r = rows[0]
+    assert r.snr_db == 20.0 and r.sr_hz == 16000
+    _, y = audio.decode_wav_pcm16(bytes(r.bytes))
+    n = min(len(x), len(y))
+    noise = y[:n] - x[:n]
+    measured = 20 * np.log10(np.sqrt(np.mean(x[:n] ** 2))
+                             / np.sqrt(np.mean(noise ** 2)))
+    assert abs(measured - 20.0) < 1.0, measured   # PCM16 quantization slack
+    # deterministic: identical bytes on rerun; different under a new seed
+    again = audio.augment_noise(clips, snr_db=20.0).collect()[0]
+    assert bytes(again.bytes) == bytes(r.bytes)
+    other = audio.augment_noise(clips, snr_db=20.0, seed=7).collect()[0]
+    assert bytes(other.bytes) != bytes(r.bytes)
+    with pytest.raises(ValueError):
+        audio.augment_noise(clips, snr_db=float("inf"))
+
+
 def test_canonical_wav_expr_jvm_check(spark):
     from pyspark.sql import functions as F
     good = audio.wav_bytes(_pcm(_tone(440, 16000, 100)), 16000)
