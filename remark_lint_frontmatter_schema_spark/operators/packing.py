@@ -111,10 +111,15 @@ def pack_documents(
     for b in range(n_buckets):
         offsets[b] = acc
         acc += totals.get(b, 0)
-    off_expr = F.element_at(
-        F.create_map(*[x for b in range(n_buckets)
-                       for x in (F.lit(b), F.lit(offsets[b]))]),
-        F.col("_bucket").cast("int"))
+    # broadcast-join the n_buckets-row offsets relation instead of a
+    # literal-map lookup: CreateMap is rebuilt per ROW (no constant
+    # folding for map literals), a real cost at 10^12 rows; the hash
+    # join probe against a broadcast table is not
+    offsets_df = F.broadcast(df.sparkSession.createDataFrame(
+        [(b, offsets[b]) for b in range(n_buckets)],
+        "_bucket long, _offset long"))
+    bucketed = bucketed.join(offsets_df, "_bucket")
+    off_expr = F.col("_offset")
 
     # 3. one shuffle: hash by bucket, sort within, local exclusive cumsum
     w = (Window.partitionBy("_bucket").orderBy("_key", "doc_id")
