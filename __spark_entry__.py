@@ -1773,7 +1773,7 @@ WITH t AS (
   FROM t WHERE n > 0
 )
 SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, pre AS pre_sum,
-       CAST(floor(pre / 1024.0) AS BIGINT) AS bin_id,
+       CAST(pre // 1024 AS BIGINT) AS bin_id,
        CAST(pre % 1024 AS BIGINT) AS offset_in_bin,
        ((pre % 1024) + n > 1024) AS straddles
 FROM p

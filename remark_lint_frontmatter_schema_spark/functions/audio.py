@@ -15,6 +15,7 @@ which is also what keeps the decode deterministic for the SNR oracle.
 
 from __future__ import annotations
 
+import hashlib
 import math
 import struct
 from functools import lru_cache
@@ -969,7 +970,10 @@ def augment_noise(clips, *, snr_db: float = 20.0, seed: int = 42):
 
     Emits one row per clip with ``snr_db`` carried; silent clips
     (zero RMS — no signal to scale against) and undecodable payloads
-    emit zero rows, like :func:`augment_speed`. Map-only writer stage:
+    emit zero rows, like :func:`augment_speed`. A mix that would exceed
+    full scale is normalized to peak 1.0 before encoding — scaling
+    signal and noise together preserves the exact target SNR where
+    clipping would bias it (low-SNR targets on hot clips). Map-only writer stage:
     the payload never shuffles, output bytes ~ input bytes.
     """
     if not np.isfinite(snr_db):
@@ -993,7 +997,6 @@ def augment_noise(clips, *, snr_db: float = 20.0, seed: int = 42):
                     continue
                 # process-independent seed (python hash() is salted per
                 # interpreter; sha256 reproduces across executors/reruns)
-                import hashlib
                 digest = hashlib.sha256(
                     f"{int(seed)}:{cid}".encode()).digest()
                 rng = np.random.default_rng(
@@ -1001,7 +1004,15 @@ def augment_noise(clips, *, snr_db: float = 20.0, seed: int = 42):
                 noise = rng.standard_normal(len(x))
                 noise *= (rms * gain) / max(
                     float(np.sqrt(np.mean(noise ** 2))), 1e-12)
-                pcm = _to_pcm16(x + noise)
+                mix = x + noise
+                # a hot mix would be CLIPPED by _to_pcm16, silently
+                # biasing the achieved SNR several dB at low targets;
+                # scaling the whole mix preserves the exact ratio (both
+                # components scale together) at a small loudness cost
+                peak = float(np.max(np.abs(mix), initial=0.0))
+                if peak > 1.0:
+                    mix /= peak
+                pcm = _to_pcm16(mix)
                 rows.append((cid, float(snr_db), sr, len(pcm),
                              wav_bytes(pcm, sr)))
             yield pd.DataFrame(rows, columns=[

@@ -74,6 +74,8 @@ def pack_documents(
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     if (n_col is None) == (text_col is None):
         raise ValueError("pass exactly one of n_col / text_col")
     key = order_col or id_col
@@ -125,26 +127,45 @@ def pack_documents(
     w = (Window.partitionBy("_bucket").orderBy("_key", "doc_id")
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     pre = (off_expr + F.sum("n_tokens").over(w) - F.col("n_tokens"))
-    out = bucketed.select(
-        "doc_id", "n_tokens",
-        pre.alias("pre_sum"),
-        F.floor(pre / capacity).cast("long").alias("bin_id"),
-        (pre % capacity).alias("offset_in_bin"),
-        ((pre % capacity) + F.col("n_tokens") > capacity).alias("straddles"),
+    # bin assignment in exact LONG arithmetic: floor(pre / capacity) would
+    # route the prefix sum through a double, which loses integer exactness
+    # past 2^53 total tokens — precisely the 10^12-row regime this plan
+    # exists for (and it could disagree with the exactly-computed modulo
+    # at bin boundaries). (pre - pre % capacity) stays a capacity-multiple
+    # long, so the one division below is exact at any scale.
+    staged_pre = bucketed.select(
+        "doc_id", "n_tokens", pre.alias("pre_sum"),
+        (pre % capacity).alias("offset_in_bin"))
+    return staged_pre.select(
+        "doc_id", "n_tokens", "pre_sum",
+        F.expr(f"pre_sum div {int(capacity)}").alias("bin_id"),
+        "offset_in_bin",
+        (F.col("offset_in_bin") + F.col("n_tokens") > capacity)
+        .alias("straddles"),
     )
-    return out
 
 
 def pack_stats(packed: DataFrame, *, capacity: int) -> DataFrame:
     """One-row packing summary: bins used, docs packed, token total,
     straddle fraction, and mean docs per bin. Pure aggregate over the
-    packing relation (no extra scan of the corpus)."""
+    packing relation (no extra scan of the corpus).
+
+    ``n_bins`` counts bins the token stream FILLS — ``ceil(total /
+    capacity)`` — not merely bins some document starts in: a final
+    document straddling several boundaries occupies bins beyond its own
+    ``bin_id`` (max(bin_id)+1 would undercount exactly those)."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    total = F.sum("n_tokens")
+    n_bins = F.expr(f"ceil_bins div {int(capacity)}")
     return packed.agg(
-        (F.max("bin_id") + 1).alias("n_bins"),
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens_total"),
+        total.alias("n_tokens_total"),
+        F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg(F.col("straddles").cast("double")), 6)
         .alias("straddle_fraction"),
-        F.round(F.count("*") / (F.max("bin_id") + 1), 6)
-        .alias("docs_per_bin"),
+        (total + capacity - 1).alias("ceil_bins"),
+    ).select(
+        n_bins.alias("n_bins"),
+        "n_docs", "n_tokens_total", "straddle_fraction",
+        F.round(F.col("n_docs") / n_bins, 6).alias("docs_per_bin"),
     )

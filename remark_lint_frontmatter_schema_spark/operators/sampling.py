@@ -203,8 +203,13 @@ def group_split(df: DataFrame, group_col: str, *,
     chain, cum = None, 0.0
     for name in names[:-1]:
         cum += splits[name]
-        b = format(int(cum * _HEX_SPACE), f"0{_HEX_DIGITS}x")
-        cond = key < b
+        t = int(cum * _HEX_SPACE)
+        # cum can hit 1.0 before the last name (zero-weight trailing
+        # splits): format(16^8) would be 9 hex chars and break the
+        # fixed-width lexicographic comparison (the hash_sample guard),
+        # silently misrouting ~20% of groups — saturate to always-true
+        cond = F.lit(True) if t >= _HEX_SPACE else \
+            key < format(t, f"0{_HEX_DIGITS}x")
         chain = F.when(cond, F.lit(name)) if chain is None \
             else chain.when(cond, F.lit(name))
     last = F.lit(names[-1])

@@ -172,12 +172,18 @@ def _resolve_pointer(doc: dict, pointer: str):
 def _resolve_anchor(doc: dict, name: str):
     """Plain-name fragment resolution: the subtree carrying ``$anchor:
     name`` (2019-09) or the draft-07 location-independent form ``$id:
-    "#name"``. Anchors must be unique within a schema resource (the spec's
-    rule); duplicates are a compile error, not a silent first-wins."""
+    "#name"``. Anchors are scoped to one SCHEMA RESOURCE: bundled-in
+    subtrees (marked ``$bundled_from``) are foreign resources, so the
+    walk does not descend into them — a root anchor never collides with
+    (or silently resolves to) one defined inside a bundled file. Within
+    the resource, duplicates are a compile error (the spec's uniqueness
+    rule), not a silent first-wins."""
     hits: list = []
 
-    def walk(node):
+    def walk(node, is_root=False):
         if isinstance(node, dict):
+            if not is_root and "$bundled_from" in node:
+                return  # foreign resource boundary
             if node.get("$anchor") == name or node.get("$id") == f"#{name}":
                 hits.append(node)
             for v in node.values():
@@ -186,7 +192,7 @@ def _resolve_anchor(doc: dict, name: str):
             for v in node:
                 walk(v)
 
-    walk(doc)
+    walk(doc, is_root=True)
     if not hits:
         raise RulesetCompileError(f"unresolved $ref anchor #{name}")
     if len(hits) > 1:
@@ -197,9 +203,12 @@ def _resolve_anchor(doc: dict, name: str):
 
 
 def _resolve_fragment(doc: dict, frag: str):
-    """A ``#``-fragment is a JSON pointer when it starts with ``/``, else a
-    plain-name anchor (RFC 3986 fragment + JSON Schema anchor rules)."""
-    if not frag or frag.startswith("/"):
+    """A ``#``-fragment is a plain-name anchor only when it LOOKS like
+    one (no ``/`` — anchor names are ``[A-Za-z][A-Za-z0-9.:_-]*``, which
+    cannot contain a slash); everything else goes to the pointer path,
+    including the spec-sloppy-but-previously-working
+    ``#definitions/foo`` form that ``_resolve_pointer`` tolerates."""
+    if not frag or "/" in frag:
         return _resolve_pointer(doc, frag)
     return _resolve_anchor(doc, frag)
 

@@ -208,6 +208,21 @@ def test_augment_noise_hits_target_snr_and_is_deterministic(spark):
     assert bytes(other.bytes) != bytes(r.bytes)
     with pytest.raises(ValueError):
         audio.augment_noise(clips, snr_db=float("inf"))
+    # low SNR on a hot clip: the mix is peak-normalized, never clipped,
+    # so the achieved SNR still lands on target
+    hot = spark.createDataFrame(
+        [("h", audio.wav_bytes(_pcm(_tone(440, 16000, 400) * 0.9), 16000))],
+        "clip_id string, bytes binary")
+    r0 = audio.augment_noise(hot, snr_db=0.0).collect()[0]
+    _, y0 = audio.decode_wav_pcm16(bytes(r0.bytes))
+    x0 = _tone(440, 16000, 400) * 0.9
+    n = min(len(x0), len(y0))
+    # recover the common scale factor: project mix onto the signal
+    g = float(np.dot(y0[:n], x0[:n]) / np.dot(x0[:n], x0[:n]))
+    noise0 = y0[:n] - g * x0[:n]
+    snr0 = 20 * np.log10(np.sqrt(np.mean((g * x0[:n]) ** 2))
+                         / np.sqrt(np.mean(noise0 ** 2)))
+    assert abs(snr0 - 0.0) < 1.0, snr0
 
 
 def test_canonical_wav_expr_jvm_check(spark):

@@ -86,8 +86,16 @@ def test_stats_and_guards(spark):
     s = pack_stats(packed, capacity=10).first()
     assert (s.n_bins, s.n_docs, s.n_tokens_total) == (3, 5, 23)
     assert s.straddle_fraction == 0.4
+    # a final doc straddling SEVERAL boundaries still counts filled bins:
+    # one 25-token doc fills ceil(25/10) = 3 bins though its bin_id is 0
+    one = pack_documents(_df(spark, [25]), "doc_id", capacity=10, n_col="n")
+    assert pack_stats(one, capacity=10).first().n_bins == 3
     with pytest.raises(ValueError):
         pack_documents(df, "doc_id", capacity=0, n_col="n")
+    with pytest.raises(ValueError):
+        pack_documents(df, "doc_id", capacity=10, n_col="n", n_buckets=0)
+    with pytest.raises(ValueError):
+        pack_stats(packed, capacity=0)
     with pytest.raises(ValueError):
         pack_documents(df, "doc_id", capacity=10)
     with pytest.raises(ValueError):

@@ -620,6 +620,31 @@ def test_anchor_missing_and_duplicate_fail_compile(spark):
         compile_ruleset(dup, df.schema, name="x")
 
 
+def test_anchor_resource_scoping_and_slashed_fragments(spark, tmp_path):
+    """Anchors are per schema resource: a bundled subtree's $anchor never
+    collides with the root's; slash-bearing fragments keep the lenient
+    pointer behavior."""
+    from remark_lint_frontmatter_schema_spark.plans.bundler import (
+        bundle, resolve_internal_ref)
+    (tmp_path / "ext.yaml").write_text(
+        "$defs:\n  n:\n    $anchor: item\n    maximum: 5\n")
+    root = tmp_path / "root.yaml"
+    root.write_text(
+        "properties:\n"
+        "  a:\n    $ref: 'ext.yaml'\n"      # bundles a foreign 'item'
+        "  v:\n    $ref: '#item'\n"
+        "$defs:\n  mine:\n    $anchor: item\n    minimum: 7\n")
+    doc = bundle(root)
+    # root '#item' resolves to the ROOT resource's anchor, not the
+    # bundled file's (which would be a duplicate error / wrong subtree)
+    node = resolve_internal_ref(doc, "#item")
+    assert node.get("minimum") == 7
+    # slash-bearing fragment stays a pointer (lenient no-leading-slash)
+    assert resolve_internal_ref(
+        {"definitions": {"foo": {"type": "string"}}},
+        "#definitions/foo") == {"type": "string"}
+
+
 def test_anchor_fragment_in_external_ref(tmp_path):
     """file.yaml#anchorName picks the anchored subtree of the external
     file (pointer fragments keep working)."""

@@ -173,6 +173,18 @@ def test_group_split_null_and_guards(spark):
     # single-split degenerate form: everything lands there
     one = group_split(df, "grp", splits={"all": 1.0}).collect()
     assert {r.split for r in one if r.grp is not None} == {"all"}
+    # zero-weight trailing split: cumulative weight hits 1.0 mid-chain —
+    # the boundary must saturate, never widen to 9 hex chars (which
+    # would lexicographically misroute high-hash groups into the
+    # zero-weight split)
+    many = spark.createDataFrame([(i, f"g{i}") for i in range(300)],
+                                 "id long, grp string")
+    z = group_split(many, "grp",
+                    splits={"train": 0.8, "val": 0.2, "test": 0.0}).collect()
+    from collections import Counter
+    c = Counter(r.split for r in z)
+    assert c["test"] == 0
+    assert 300 * 0.6 < c["train"] < 300 * 0.95 and c["val"] > 0
 
 
 def test_split_leakage_detects_and_clears(spark):
