@@ -328,3 +328,87 @@ def snapshot_id_for(table_path: str) -> str:
 
 
 _ = DataFrame
+
+
+def _flat_fields(schema, prefix: str = "") -> dict:
+    """Flatten a StructType to {dotted.path: (simpleTypeString, nullable)}
+    — nested structs walk down, arrays/maps compare as whole types."""
+    from pyspark.sql import types as T
+    out: dict = {}
+    for f in schema.fields:
+        path = f"{prefix}{f.name}"
+        if isinstance(f.dataType, T.StructType):
+            out[path] = ("struct", f.nullable)
+            out.update(_flat_fields(f.dataType, prefix=path + "."))
+        else:
+            out[path] = (f.dataType.simpleString(), f.nullable)
+    return out
+
+
+def schema_drift(prev, cur) -> list[dict]:
+    """Schema-evolution drift between two table versions (the lakehouse
+    failure mode the run manifest can't see: a partition revalidates
+    clean while an upstream writer silently retyped or dropped a column).
+    ``prev``/``cur`` are StructTypes or ``schema.json()`` strings (store
+    ``df.schema.json()`` in the run manifest and compare on the next
+    run — the JSON round-trip is pure python, no Spark session needed).
+
+    Kinds: ``column_added`` (informational — new data, old rulesets
+    simply don't cover it), ``column_removed`` (a ruleset naming it now
+    static-fails), ``type_changed`` (try_cast semantics silently shift),
+    ``nullability_loosened`` (required -> nullable: rows that previously
+    could not be NULL now can). Driver-side pure python; no Spark job.
+    """
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    def to_schema(s):
+        return T.StructType.fromJson(_json.loads(s)) \
+            if isinstance(s, str) else s
+
+    p, c = _flat_fields(to_schema(prev)), _flat_fields(to_schema(cur))
+    out: list[dict] = []
+    for path in sorted(set(p) | set(c)):
+        if path not in c:
+            out.append({"kind": "column_removed", "column": path,
+                        "previous": p[path][0], "current": None,
+                        "message": f"Column `{path}` ({p[path][0]}) was "
+                                   "removed from the table schema"})
+        elif path not in p:
+            out.append({"kind": "column_added", "column": path,
+                        "previous": None, "current": c[path][0],
+                        "message": f"Column `{path}` ({c[path][0]}) was "
+                                   "added to the table schema"})
+        else:
+            (pt, pn), (ct, cn) = p[path], c[path]
+            if pt != ct:
+                out.append({"kind": "type_changed", "column": path,
+                            "previous": pt, "current": ct,
+                            "message": f"Column `{path}` changed type "
+                                       f"{pt} -> {ct}"})
+            if not pn and cn:
+                out.append({"kind": "nullability_loosened", "column": path,
+                            "previous": "required", "current": "nullable",
+                            "message": f"Column `{path}` was required and "
+                                       "is now nullable"})
+    return out
+
+
+def schema_drift_violations(spark, diffs: list[dict], ruleset_id: str):
+    """Schema-drift dicts -> the engine's standard violations schema
+    (row_id NULL, partition_id 'all' — table-level findings), same
+    contract as :func:`regressions_to_violations`. ``column_added`` is
+    emitted at ``info`` severity (not a defect), the rest ``warning``."""
+    rows = [
+        (None, "all", ruleset_id,
+         f"{ruleset_id}:schema:{d['kind']}",
+         "x-schema", f"/{d['column']}",
+         f"#/x-schema/{d['kind']}",
+         d["message"],
+         str(d["current"]),
+         [str(d["previous"])],
+         "info" if d["kind"] == "column_added" else "warning")
+        for d in diffs
+    ]
+    return spark.createDataFrame(rows, _VIOLATIONS_DDL)

@@ -117,3 +117,46 @@ def test_regressions_union_with_row_level_violations(spark):
         "orders:manifest:pass_regression"}
     assert all(r.row_id is None and r.severity == "warning"
                for r in manifest_rows)
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution drift
+# ---------------------------------------------------------------------------
+
+def test_schema_drift_kinds(spark):
+    from pyspark.sql import types as T
+    from remark_lint_frontmatter_schema_spark.manifest import (
+        schema_drift, schema_drift_violations)
+    prev = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("price", T.DoubleType(), True),
+        T.StructField("gone", T.StringType(), True),
+        T.StructField("meta", T.StructType([
+            T.StructField("inner", T.IntegerType(), True)]), True),
+    ])
+    cur = T.StructType([
+        T.StructField("id", T.LongType(), True),          # loosened
+        T.StructField("price", T.StringType(), True),     # retyped
+        T.StructField("fresh", T.BooleanType(), True),    # added
+        T.StructField("meta", T.StructType([
+            T.StructField("inner", T.LongType(), True)]), True),  # nested
+    ])
+    diffs = schema_drift(prev, cur)
+    kinds = {(d["kind"], d["column"]) for d in diffs}
+    assert kinds == {
+        ("nullability_loosened", "id"),
+        ("type_changed", "price"),
+        ("column_removed", "gone"),
+        ("column_added", "fresh"),
+        ("type_changed", "meta.inner"),
+    }
+    # json round-trip form (what the manifest stores) gives the same diff
+    assert schema_drift(prev.json(), cur.json()) == diffs
+    # identical schemas -> clean
+    assert schema_drift(cur, cur) == []
+    v = {r.constraint_id: r for r in
+         schema_drift_violations(spark, diffs, "orders").collect()}
+    assert v["orders:schema:column_added"].severity == "info"
+    assert v["orders:schema:type_changed"].severity == "warning"
+    assert v["orders:schema:type_changed"].keyword == "x-schema"
+    assert v["orders:schema:column_removed"].row_id is None
