@@ -351,10 +351,14 @@ def main(argv: list[str] | None = None) -> int:
             "proven_by_footer_stats": out.get("proven", []),
             "verdicts": [r.asDict() for r in verdict_rows],
             "regressions": regressions,
+            "schema_drift": out.get("schema_drift", []),
         }
         print(json.dumps(summary, default=str))
         for r in regressions:
             print(f"manifest regression [{r['kind']}] {r['message']}",
+                  file=sys.stderr)
+        for d in out.get("schema_drift", []):
+            print(f"schema drift [{d['kind']}] {d['message']}",
                   file=sys.stderr)
         failed = any(not r.passed for r in verdict_rows)
         return 1 if (args.frail and failed) else 0

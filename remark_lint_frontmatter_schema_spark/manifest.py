@@ -154,6 +154,22 @@ def run_with_resume(
     from .operators.validate import validate as _validate
 
     manifest = Manifest.load(manifest_path)
+    # schema lineage: record this run's table schema and diff it against
+    # the previously recorded one — partitions can revalidate clean while
+    # an upstream writer retyped/dropped a column (drift is returned
+    # under "schema_drift"; the reserved key never collides with the
+    # snapshot|partition|hash triples)
+    cur_schema = spark.read.parquet(table_path).schema
+    schema_key = "__schema__"
+    prev_entry = manifest.entries.get(schema_key)
+    drift = schema_drift(prev_entry["schema_json"], cur_schema)         if prev_entry else []
+    manifest.entries[schema_key] = {
+        "status": "schema", "schema_json": cur_schema.json(),
+        # empty metrics keeps the entry shape-uniform for consumers that
+        # walk entries.values() (regression scans, test assertions)
+        "metrics": {},
+        "completed_at": time.time(),
+    }
     all_parts = list_partitions(table_path, partition_col)
     if per_partition_snapshots:
         snap_of = {p: partition_fingerprint(table_path, partition_col, p)
@@ -201,8 +217,10 @@ def run_with_resume(
     if not todo:
         if proven:
             manifest.save()
+        else:
+            manifest.save()  # schema lineage is recorded even on no-ops
         return {"validated": proven, "skipped": skipped, "verdicts": None,
-                "proven": proven}
+                "proven": proven, "schema_drift": drift}
 
     df = spark.read.parquet(table_path).where(
         F.col(partition_col).cast("string").isin(todo))
@@ -225,7 +243,7 @@ def run_with_resume(
     manifest.save()
     return {"validated": proven + todo, "skipped": skipped,
             "verdicts": res.verdicts, "verdict_rows": verdict_rows,
-            "proven": proven}
+            "proven": proven, "schema_drift": drift}
 
 
 def metric_regressions(manifest: Manifest, *, ruleset_hash: str | None = None,
@@ -252,7 +270,7 @@ def metric_regressions(manifest: Manifest, *, ruleset_hash: str | None = None,
     """
     hist: dict = {}
     for e in manifest.entries.values():
-        if e["status"] not in _DONE_STATUSES:
+        if e.get("status") not in _DONE_STATUSES:
             continue
         if ruleset_hash is not None and e["ruleset_hash"] != ruleset_hash:
             continue

@@ -160,3 +160,36 @@ def test_schema_drift_kinds(spark):
     assert v["orders:schema:type_changed"].severity == "warning"
     assert v["orders:schema:type_changed"].keyword == "x-schema"
     assert v["orders:schema:column_removed"].row_id is None
+
+
+def test_run_with_resume_records_schema_lineage(spark, tmp_path):
+    """run_with_resume stores the table schema in the manifest and
+    reports drift against the previous run's recording."""
+    from pyspark.sql import functions as F
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.manifest import (
+        Manifest, metric_regressions, run_with_resume)
+    table = str(tmp_path / "t")
+    mf = str(tmp_path / "m.json")
+    df = spark.createDataFrame([(1, "a", 5), (2, "b", 6)],
+                               "id long, part string, v long")
+    df.write.partitionBy("part").parquet(table)
+    rs = {"type": "object", "properties": {"v": {"minimum": 0}}}
+    compiled = compile_ruleset(rs, spark.read.parquet(table).schema)
+    out1 = run_with_resume(spark, table, partition_col="part",
+                           compiled=compiled, row_id="id",
+                           manifest_path=mf, per_partition_snapshots=True)
+    assert out1["schema_drift"] == []          # first run: nothing prior
+    m = Manifest.load(mf)
+    assert "__schema__" in m.entries
+    # rewrite the table with a retyped column + per-partition layout
+    df2 = df.withColumn("v", F.col("v").cast("string"))
+    df2.write.mode("overwrite").partitionBy("part").parquet(table)
+    compiled2 = compile_ruleset(rs, spark.read.parquet(table).schema)
+    out2 = run_with_resume(spark, table, partition_col="part",
+                           compiled=compiled2, row_id="id",
+                           manifest_path=mf, per_partition_snapshots=True)
+    kinds = {(d["kind"], d["column"]) for d in out2["schema_drift"]}
+    assert ("type_changed", "v") in kinds
+    # the reserved schema entry never breaks the metric-regression walk
+    assert isinstance(metric_regressions(Manifest.load(mf)), list)
