@@ -370,3 +370,41 @@ def test_pq_adc_scan_is_pure_jvm(spark):
                               "vec_id int, embedding array<float>"),
         "embedding", "vec_id", books))
     assert "ArrowEvalPython" in enc_plan, enc_plan
+
+
+def test_new_text_operators_prune_to_id_and_text(spark, tmp_path):
+    """gopher_gates / c4_clean / redact_pii / pack_documents read only
+    (doc_id, text) from a wide documents table — the scan must prune the
+    unused columns (at 10^12 rows the pruned columns are the savings)."""
+    from remark_lint_frontmatter_schema_spark.operators import packing, text
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"some text {i} here", "en", "web", 12, "extra" * 10)
+         for i in range(50)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, payload string").write.parquet(p)
+    docs = spark.read.parquet(p)
+    for df in (text.gopher_gates(docs, "text", "doc_id"),
+               text.c4_clean(docs, "text", "doc_id"),
+               text.redact_pii(docs, "text", "doc_id"),
+               packing.pack_documents(docs, "doc_id", capacity=64,
+                                      text_col="text")):
+        plan = _plan(df)
+        reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert reads, plan
+        for ln in reads:
+            assert "payload" not in ln and "lang" not in ln, ln
+            assert "text" in ln, ln
+
+
+def test_group_split_is_pure_map(spark, tmp_path):
+    """group_split adds the split column with ZERO shuffles — leakage-free
+    assignment must not cost a repartition."""
+    from remark_lint_frontmatter_schema_spark.operators.sampling import (
+        group_split)
+    p = str(tmp_path / "docs2")
+    spark.createDataFrame([(i, f"g{i%5}") for i in range(50)],
+                          "id long, grp string").write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = _plan(group_split(df, "grp"))
+    assert "Exchange" not in plan, plan
