@@ -79,6 +79,16 @@ def pack_documents(
     if (n_col is None) == (text_col is None):
         raise ValueError("pass exactly one of n_col / text_col")
     key = order_col or id_col
+    # the order key must be numeric: cast("double") on a string column
+    # yields NULLs and the NULL-key filter would silently drop every row
+    from pyspark.sql import types as T
+    key_field = ({f.name: f for f in df.schema.fields}).get(key)
+    if key_field is not None and not isinstance(
+            key_field.dataType, T.NumericType):
+        raise ValueError(
+            f"order key {key!r} must be numeric, got "
+            f"{key_field.dataType.simpleString()}; pass a numeric "
+            "order_col (e.g. a hash column) for string ids")
 
     n_expr = F.col(n_col) if n_col else token_count(text_col)
     staged = (df.select(F.col(id_col).alias("doc_id"),

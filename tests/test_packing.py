@@ -96,6 +96,10 @@ def test_stats_and_guards(spark):
         pack_documents(df, "doc_id", capacity=10, n_col="n", n_buckets=0)
     with pytest.raises(ValueError):
         pack_stats(packed, capacity=0)
+    # string order key would cast to NULL and silently drop every row
+    sdf = spark.createDataFrame([("a", 3)], "doc_id string, n long")
+    with pytest.raises(ValueError, match="numeric"):
+        pack_documents(sdf, "doc_id", capacity=10, n_col="n")
     with pytest.raises(ValueError):
         pack_documents(df, "doc_id", capacity=10)
     with pytest.raises(ValueError):
