@@ -234,3 +234,31 @@ def split_leakage(df: DataFrame, group_col: str, split_col: str) -> DataFrame:
                    F.count(F.lit(1)).alias("n_rows"),
                    F.sort_array(F.collect_set(split_col)).alias("splits"))
               .where(F.col("n_splits") > 1))
+
+
+def leakage_violations(df: DataFrame, split_col: str, group_col: str, *,
+                       ruleset_name: str = "engine",
+                       severity: str = "warning") -> DataFrame:
+    """Violation rows for the ``x-leakage`` table check: one row per
+    group whose members span more than one split (shape mirrors
+    VIOLATION_FIELDS, like the other table checks; ``row_id`` carries
+    the GROUP value — these are group-level findings)."""
+    leaks = split_leakage(df, group_col, split_col)
+    return leaks.select(
+        F.col(group_col).cast("string").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"leakage:{split_col}:{group_col}").alias("constraint_id"),
+        F.lit("leakage").alias("keyword"),
+        F.lit(f"/{split_col}").alias("instance_path"),
+        F.lit(f"#/x-leakage/{split_col}").alias("schema_path"),
+        F.concat(
+            F.lit(f"Must keep every `{group_col}` group in one split: "
+                  "found in "),
+            F.array_join("splits", ", "),
+            F.lit(" across "), F.col("n_rows").cast("string"),
+            F.lit(" rows")).alias("message"),
+        F.col("n_splits").cast("string").alias("actual"),
+        F.array(F.lit("1 split per group")).alias("expected"),
+        F.lit(severity).alias("severity"),
+    )

@@ -115,6 +115,12 @@ def table_check_violations(
                 df, column, params["id"], rules=params.get("rules"),
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
+        elif kind == "leakage":
+            from .sampling import leakage_violations
+            extras.append(leakage_violations(
+                df, column, params["group"],
+                ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "c4":
             from .text import c4_violations
             extras.append(c4_violations(

@@ -84,6 +84,7 @@ _KNOWN_KEYWORDS = {
     "x-dup-ngram",
     "x-gopher",
     "x-c4",
+    "x-leakage",
     "x-embedding",
 }
 
@@ -481,6 +482,8 @@ _KEYWORD_SHAPE = {
          or (isinstance(v["max_frac"], _NUM)
              and not isinstance(v["max_frac"], bool)
              and 0 <= v["max_frac"] < 1)),
+    "x-leakage": lambda v: isinstance(v, dict)
+    and isinstance(v.get("group"), str),
     "x-c4": lambda v: isinstance(v, dict)
     and isinstance(v.get("id"), str)
     and all(v.get(k) is None
@@ -636,7 +639,7 @@ _VARIANT_UNSUPPORTED_KWS = frozenset((
     "uniqueItems", "contentEncoding", "contentMediaType", "contentSchema",
     "x-unique", "x-ref", "x-drift", "x-dedup", "x-langid", "x-rate",
     "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
-    "x-monotonic", "x-dup-ngram", "x-gopher", "x-c4", "x-embedding"))
+    "x-monotonic", "x-dup-ngram", "x-gopher", "x-c4", "x-leakage", "x-embedding"))
 
 
 def _compile_variant_node(schema: dict, ctx: _Ctx) -> None:
@@ -1351,6 +1354,19 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 }))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-gopher"))
+
+    if "x-leakage" in schema and not ctx.silent:
+        # split-leakage declaration on the SPLIT column (operators/
+        # sampling.leakage_violations): groups spanning >1 split
+        if is_top:
+            p = schema["x-leakage"]
+            ctx.out.table_checks.append(
+                ("leakage", ctx.instance_path[1:], {
+                    "group": p["group"],
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-leakage"))
 
     if "x-c4" in schema and not ctx.silent:
         # C4 page-gate declaration (operators/text.c4_violations) — same

@@ -201,3 +201,39 @@ def test_split_leakage_detects_and_clears(spark):
     for r in leaks:
         assert r.n_splits > 1 and r.n_splits == len(r.splits)
         assert r.splits == sorted(r.splits)
+
+
+def test_x_leakage_dsl_end_to_end(spark):
+    import pytest
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators.sampling import (
+        group_split)
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    from remark_lint_frontmatter_schema_spark.plans.compiler import (
+        RulesetCompileError)
+    rows = [(i, f"g{i % 20}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    leaky = group_split(df, "id", salt="row")        # row-level: leaks
+    rs = {"type": "object", "properties": {
+        "split": {"x-leakage": {"group": "grp"}}}}
+    compiled = compile_ruleset(rs, leaky.schema, name="docs")
+    assert compiled.table_checks == [
+        ("leakage", "split", {"group": "grp", "severity": "warning"})]
+    res = validate_with_table_checks(leaky, compiled, row_id="id")
+    got = res.violations.collect()
+    assert got and all(r.keyword == "leakage" for r in got)
+    assert all(r.constraint_id == "leakage:split:grp" for r in got)
+    assert any("found in" in r.message for r in got)
+    # clean assignment -> zero violations
+    clean = group_split(df, "grp")
+    res2 = validate_with_table_checks(clean, compiled, row_id="id")
+    assert res2.violations.where("keyword = 'leakage'").count() == 0
+    # nested -> unknown; malformed -> compile error
+    nested = {"type": "object", "properties": {"split": {
+        "anyOf": [{"x-leakage": {"group": "grp"}}, {"minLength": 1}]}}}
+    assert any(kw.startswith("x-leakage")
+               for _p, kw in compile_ruleset(nested, leaky.schema).unknown)
+    with pytest.raises(RulesetCompileError):
+        compile_ruleset({"type": "object", "properties": {
+            "split": {"x-leakage": {}}}}, leaky.schema)
