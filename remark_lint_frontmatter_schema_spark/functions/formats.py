@@ -49,6 +49,11 @@ FORMAT_REGEX = {
         r"^P(?!$)(\d+W|(\d+Y)?(\d+M)?(\d+D)?"
         r"(T(?=\d)(\d+H)?(\d+M)?(\d+S)?)?)$"
     ),
+    # `url` is registered (deprecated) by ajv-formats; its WHATWG-ish
+    # regex is re-derived here as the pragmatic anchored form — scheme +
+    # non-empty authority + no whitespace (documented simplification,
+    # same acceptance on the fixture corpus)
+    "url": r"^(?:https?|ftp)://[^\s/?#]+[^\s]*$",
     "json-pointer": r"^(/([^/~]|~[01])*)*$",
     "relative-json-pointer": r"^(0|[1-9]\d*)(#|(/([^/~]|~[01])*)*)$",
     # uri-reference: any uri or relative reference without spaces/fragments

@@ -68,6 +68,10 @@ CASES_R2 = {
                      ["{unclosed", "bad {id*2}", "{}"]),
     "byte": (["TWFu", "TWE=", "TQ==", ""],
              ["TWFu=", "T!Fu", "=TWFu"]),
+    "url": (["http://example.com", "https://a.b/c?d=1#f",
+             "ftp://host/file.txt"],
+            ["example.com", "http://", "http:// space.com",
+             "mailto:x@y.z"]),
 }
 
 
