@@ -50,10 +50,13 @@ FORMAT_REGEX = {
         r"(T(?=\d)(\d+H)?(\d+M)?(\d+S)?)?)$"
     ),
     # `url` is registered (deprecated) by ajv-formats; its WHATWG-ish
-    # regex is re-derived here as the pragmatic anchored form — scheme +
-    # non-empty authority + no whitespace (documented simplification,
-    # same acceptance on the fixture corpus)
-    "url": r"^(?:https?|ftp)://[^\s/?#]+[^\s]*$",
+    # regex is re-derived here as the pragmatic anchored form — scheme
+    # (case-insensitive, as ajv's /i) + non-empty authority + no
+    # whitespace. Documented deviations: localhost/private-IP hosts and
+    # TLD-less names are ACCEPTED here (ajv rejects them) — at curation
+    # scale internal URLs are data, not defects; tighten per-ruleset
+    # with `pattern` if the ajv behavior is wanted
+    "url": r"^(?i:https?|ftp)://[^\s/?#]+[^\s]*$",
     "json-pointer": r"^(/([^/~]|~[01])*)*$",
     "relative-json-pointer": r"^(0|[1-9]\d*)(#|(/([^/~]|~[01])*)*)$",
     # uri-reference: any uri or relative reference without spaces/fragments

@@ -159,7 +159,8 @@ def run_with_resume(
     # an upstream writer retyped/dropped a column (drift is returned
     # under "schema_drift"; the reserved key never collides with the
     # snapshot|partition|hash triples)
-    cur_schema = spark.read.parquet(table_path).schema
+    table_df = spark.read.parquet(table_path)
+    cur_schema = table_df.schema
     schema_key = "__schema__"
     prev_entry = manifest.entries.get(schema_key)
     drift = schema_drift(prev_entry["schema_json"], cur_schema)         if prev_entry else []
@@ -215,14 +216,11 @@ def run_with_resume(
         todo = still
 
     if not todo:
-        if proven:
-            manifest.save()
-        else:
-            manifest.save()  # schema lineage is recorded even on no-ops
+        manifest.save()  # schema lineage is recorded even on no-ops
         return {"validated": proven, "skipped": skipped, "verdicts": None,
                 "proven": proven, "schema_drift": drift}
 
-    df = spark.read.parquet(table_path).where(
+    df = table_df.where(
         F.col(partition_col).cast("string").isin(todo))
     res = (validate_fn or (lambda d: _validate(
         d, compiled, row_id=row_id, partition_col=partition_col,
@@ -424,8 +422,8 @@ def schema_drift_violations(spark, diffs: list[dict], ruleset_id: str):
          "x-schema", f"/{d['column']}",
          f"#/x-schema/{d['kind']}",
          d["message"],
-         str(d["current"]),
-         [str(d["previous"])],
+         None if d["current"] is None else str(d["current"]),
+         [] if d["previous"] is None else [str(d["previous"])],
          "info" if d["kind"] == "column_added" else "warning")
         for d in diffs
     ]

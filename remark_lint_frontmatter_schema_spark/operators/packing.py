@@ -79,14 +79,17 @@ def pack_documents(
     if (n_col is None) == (text_col is None):
         raise ValueError("pass exactly one of n_col / text_col")
     key = order_col or id_col
-    # the order key must be numeric: cast("double") on a string column
-    # yields NULLs and the NULL-key filter would silently drop every row
+    # the order key must cast to double without NULLing out (a string
+    # key would silently drop every row at the NULL-key filter); numeric,
+    # timestamp/date (epoch), and boolean keys all cast cleanly
     from pyspark.sql import types as T
+    _castable = (T.NumericType, T.TimestampType, T.TimestampNTZType,
+                 T.DateType, T.BooleanType)
     key_field = ({f.name: f for f in df.schema.fields}).get(key)
-    if key_field is not None and not isinstance(
-            key_field.dataType, T.NumericType):
+    if key_field is not None and not isinstance(key_field.dataType,
+                                                _castable):
         raise ValueError(
-            f"order key {key!r} must be numeric, got "
+            f"order key {key!r} must be numeric/timestamp/date, got "
             f"{key_field.dataType.simpleString()}; pass a numeric "
             "order_col (e.g. a hash column) for string ids")
 

@@ -140,6 +140,13 @@ def _inline_refs(node, base, depth: int, fetch=None):
                 sub = bundle(_join_ref(base, ref_path), depth + 1,
                              fetch=fetch)
                 provenance = posixpath.normpath(ref_path)
+            # inline the resource's OWN plain-name anchor refs before any
+            # fragment selection: once this subtree is merged into the
+            # caller's document, compile-time `#name` resolution scopes
+            # to the CALLER's resource (anchors are per-resource), so a
+            # self-reference like `$ref: '#item'` inside this file must
+            # be resolved here, against this file, or it dangles
+            sub = _inline_local_anchors(sub, depth + 1)
             if frag:
                 sub = _resolve_fragment(sub, frag)
             # record where this subtree came from so schema_path provenance
@@ -153,6 +160,34 @@ def _inline_refs(node, base, depth: int, fetch=None):
         return {k: _inline_refs(v, base, depth, fetch) for k, v in node.items()}
     if isinstance(node, list):
         return [_inline_refs(v, base, depth, fetch) for v in node]
+    return node
+
+
+def _inline_local_anchors(resource: dict, depth: int, _node=None):
+    """Resolve every ``$ref: '#name'`` plain-name anchor ref WITHIN one
+    schema resource by inlining the anchored subtree (the bundling move,
+    applied to anchors). Pointer-form ``#/...`` refs are left alone;
+    nested ``$bundled_from`` subtrees are their own resources and were
+    processed when they were bundled. Cyclic anchors hit the shared
+    nesting limit."""
+    if depth > 16:
+        raise RulesetCompileError("$ref nesting too deep (anchor cycle?)")
+    node = resource if _node is None else _node
+    if isinstance(node, dict):
+        ref = node.get("$ref")
+        if (isinstance(ref, str) and ref.startswith("#")
+                and "/" not in ref and len(ref) > 1):
+            target = _resolve_anchor(resource, ref[1:])
+            out = dict(_inline_local_anchors(resource, depth + 1, target))
+            extra = {k: v for k, v in node.items() if k != "$ref"}
+            out.update(_inline_local_anchors(resource, depth, extra))
+            return out
+        if _node is not None and "$bundled_from" in node:
+            return node  # foreign resource, already processed
+        return {k: _inline_local_anchors(resource, depth, v)
+                for k, v in node.items()}
+    if isinstance(node, list):
+        return [_inline_local_anchors(resource, depth, v) for v in node]
     return node
 
 

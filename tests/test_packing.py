@@ -100,6 +100,12 @@ def test_stats_and_guards(spark):
     sdf = spark.createDataFrame([("a", 3)], "doc_id string, n long")
     with pytest.raises(ValueError, match="numeric"):
         pack_documents(sdf, "doc_id", capacity=10, n_col="n")
+    # timestamp order keys cast to epoch cleanly and stay allowed
+    tdf = spark.createDataFrame(
+        [(1, 4), (2, 5)], "doc_id long, n long")         .withColumn("ts", F.timestamp_seconds(F.col("doc_id") * 100))
+    rows = pack_documents(tdf, "doc_id", capacity=10, n_col="n",
+                          order_col="ts").orderBy("doc_id").collect()
+    assert [(r.doc_id, r.pre_sum) for r in rows] == [(1, 0), (2, 4)]
     with pytest.raises(ValueError):
         pack_documents(df, "doc_id", capacity=10)
     with pytest.raises(ValueError):

@@ -645,6 +645,37 @@ def test_anchor_resource_scoping_and_slashed_fragments(spark, tmp_path):
         "#definitions/foo") == {"type": "string"}
 
 
+def test_bundled_resource_self_anchor_ref(spark, tmp_path):
+    """An external file that references its OWN $anchor keeps working
+    after bundling (inlined within its resource), and never captures a
+    same-named anchor in the root."""
+    from remark_lint_frontmatter_schema_spark.plans.bundler import (
+        bundle, resolve_internal_ref)
+    (tmp_path / "ext.yaml").write_text(
+        "$defs:\n  n:\n    $anchor: item\n    maximum: 5\n"
+        "properties:\n  v:\n    $ref: '#item'\n")
+    root = tmp_path / "root.yaml"
+    root.write_text(
+        "properties:\n  a:\n    $ref: 'ext.yaml'\n"
+        "$defs:\n  mine:\n    $anchor: item\n    minimum: 7\n")
+    doc = bundle(root)
+    # the bundled subtree's self-reference resolved within ITS resource
+    inner = doc["properties"]["a"]["properties"]["v"]
+    assert inner["maximum"] == 5 and "minimum" not in inner
+    # the root's own anchor is still the root resolution
+    assert resolve_internal_ref(doc, "#item")["minimum"] == 7
+    # anchor cycle -> bounded compile error, not a hang
+    (tmp_path / "cyc.yaml").write_text(
+        "$anchor: a\n$ref: '#a'\n")
+    r2 = tmp_path / "root2.yaml"
+    r2.write_text("properties:\n  x:\n    $ref: 'cyc.yaml'\n")
+    import pytest as _pytest
+    from remark_lint_frontmatter_schema_spark.plans.compiler import (
+        RulesetCompileError)
+    with _pytest.raises(RulesetCompileError, match="too deep"):
+        bundle(r2)
+
+
 def test_anchor_fragment_in_external_ref(tmp_path):
     """file.yaml#anchorName picks the anchored subtree of the external
     file (pointer fragments keep working)."""
