@@ -28,8 +28,11 @@ of the LLM-training-data operator family layered on the engine.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
 
 from .text import tokens
 
@@ -50,13 +53,26 @@ def word_shingle_hashes(col, n: int = 8) -> Column:
 def contamination_pairs(df: DataFrame, bench: DataFrame, text_col: str,
                         id_col: str, *, bench_text_col: str | None = None,
                         bench_id_col: str | None = None, n: int = 8,
-                        min_shared: int = 1) -> DataFrame:
+                        min_shared: int = 1,
+                        use_bloom: bool = False,
+                        n_items_hint: int | None = None) -> DataFrame:
     """(id, bench_id, n_shared) for every (document, benchmark-doc) pair
     sharing at least ``min_shared`` distinct word n-grams.
 
-    The benchmark's exploded (hash, bench_id) relation is broadcast; the
-    corpus side is one scan -> explode -> broadcast-hash-join ->
-    partial-count aggregate.
+    Default strategy: the benchmark's exploded (hash, bench_id) relation
+    is broadcast; the corpus side is one scan -> explode ->
+    broadcast-hash-join -> partial-count aggregate.
+
+    ``use_bloom`` — the scale path for benchmark SUITES too big to
+    broadcast (hundreds of eval sets x ~10^6 shingles each): a Bloom
+    filter over the bench shingle hashes (built with the referential
+    check's partial-merge builder) prefilters the exploded corpus
+    map-side, so the exact attribution join shuffles only the
+    Bloom-positive shingles — typically a vanishing fraction of a clean
+    corpus — instead of every shingle of every document. False positives
+    are removed by that exact join; results are identical to the
+    broadcast path. ``n_items_hint`` sizes the Bloom (distinct bench
+    shingle count) without an extra scan.
     """
     bench_text_col = bench_text_col or text_col
     bench_id_col = bench_id_col or id_col
@@ -67,7 +83,27 @@ def contamination_pairs(df: DataFrame, bench: DataFrame, text_col: str,
     d = df.select(F.col(id_col).alias("id"),
                   F.explode(word_shingle_hashes(F.col(text_col), n))
                    .alias("h"))
-    return (d.join(F.broadcast(b), "h")
+    if use_bloom:
+        from .referential import BloomFilter, build_bloom
+
+        bf = build_bloom(b, "h", n_items_hint=n_items_hint)
+        bc = df.sparkSession.sparkContext.broadcast(
+            (bf.n_bits, bf.n_hashes, bf.bits.tobytes()))
+
+        @F.pandas_udf(BooleanType())
+        def maybe_in_bench(keys: pd.Series) -> pd.Series:
+            n_bits, n_hashes, raw = bc.value
+            local = BloomFilter(n_bits, n_hashes,
+                                np.frombuffer(raw, dtype=np.uint64))
+            return pd.Series(local.might_contain(keys), index=keys.index)
+
+        # Bloom-positive shingles only reach the exact join (NOT
+        # broadcast — this path exists because the bench side is large)
+        d = d.where(maybe_in_bench(F.col("h")))
+        joined = d.join(b, "h")
+    else:
+        joined = d.join(F.broadcast(b), "h")
+    return (joined
              .groupBy("id", "bench_id")
              .agg(F.count(F.lit(1)).alias("n_shared"))
              .where(F.col("n_shared") >= min_shared)
@@ -79,6 +115,8 @@ def contamination_violations(df: DataFrame, bench: DataFrame,
                              bench_text_col: str | None = None,
                              bench_id_col: str | None = None,
                              n: int = 8, min_shared: int = 1,
+                             use_bloom: bool = False,
+                             n_items_hint: int | None = None,
                              ruleset_name: str = "engine",
                              severity: str = "warning") -> DataFrame:
     """Violation rows for the ``x-decontaminate`` table check — one per
@@ -87,7 +125,8 @@ def contamination_violations(df: DataFrame, bench: DataFrame,
     matched benchmark id; the shared-shingle count is in the message)."""
     pairs = contamination_pairs(
         df, bench, text_col, id_col, bench_text_col=bench_text_col,
-        bench_id_col=bench_id_col, n=n, min_shared=min_shared)
+        bench_id_col=bench_id_col, n=n, min_shared=min_shared,
+        use_bloom=use_bloom, n_items_hint=n_items_hint)
     return pairs.select(
         F.col(id_col).cast("string").alias("row_id"),
         F.lit("all").alias("partition_id"),

@@ -151,6 +151,8 @@ def table_check_violations(
                 bench_text_col=params.get("bench_text_col"),
                 bench_id_col=params.get("bench_id_col"),
                 n=params["n"], min_shared=params["min_shared"],
+                use_bloom=params.get("bloom", False),
+                n_items_hint=params.get("n_items"),
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
     if not extras:

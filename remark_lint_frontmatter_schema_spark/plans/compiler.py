@@ -529,10 +529,11 @@ _KEYWORD_SHAPE = {
     "x-decontaminate": lambda v: isinstance(v, dict)
     and isinstance(v.get("id"), str)
     and isinstance(v.get("bench"), str)
+    and (v.get("bloom") is None or isinstance(v["bloom"], bool))
     and all(v.get(k) is None
             or (isinstance(v[k], int) and not isinstance(v[k], bool)
                 and v[k] > 0)
-            for k in ("n", "min_shared")),
+            for k in ("n", "min_shared", "n_items")),
     "x-label-conflict": lambda v: isinstance(v, dict)
     and isinstance(v.get("id"), str)
     and isinstance(v.get("transcript"), str)
@@ -1397,6 +1398,8 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                     "bench_id_col": p.get("bench_id_col"),
                     "n": int(p.get("n", 8)),
                     "min_shared": int(p.get("min_shared", 1)),
+                    "bloom": bool(p.get("bloom", False)),
+                    "n_items": p.get("n_items"),
                     "severity": ctx.severity,
                 }))
         else:

@@ -137,3 +137,38 @@ def test_x_decontaminate_malformed_rejected(spark):
             compile_ruleset({"type": "object", "properties": {
                 "text": {"type": "string", **bad}}},
                 docs.schema, name="docs")
+
+
+def test_bloom_path_matches_broadcast_path(spark):
+    """use_bloom=True must return EXACTLY the broadcast path's pairs
+    (Bloom false positives die at the exact join), with the bench side
+    joined un-broadcast and the corpus prefiltered map-side."""
+    docs, bench = _dfs(spark)
+    kw = dict(bench_id_col="bench_id", n=5)
+    a = sorted(map(tuple, decontaminate.contamination_pairs(
+        docs, bench, "text", "doc_id", **kw).collect()))
+    b = sorted(map(tuple, decontaminate.contamination_pairs(
+        docs, bench, "text", "doc_id", use_bloom=True, n_items_hint=64,
+        **kw).collect()))
+    assert a == b and a
+    plan = decontaminate.contamination_pairs(
+        docs, bench, "text", "doc_id", use_bloom=True, n_items_hint=64,
+        **kw)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan          # the Bloom prefilter stage
+
+
+def test_x_decontaminate_bloom_param(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    docs, bench = _dfs(spark)
+    rs = {"type": "object", "properties": {"text": {
+        "x-decontaminate": {"id": "doc_id", "bench": "eval",
+                            "bench_id_col": "bench_id", "n": 5,
+                            "bloom": True, "n_items": 64}}}}
+    compiled = compile_ruleset(rs, docs.schema, name="docs")
+    (_k, _c, params), = compiled.table_checks
+    assert params["bloom"] is True and params["n_items"] == 64
+    res = validate_with_table_checks(docs, compiled, row_id="doc_id",
+                                     dims={"eval": bench})
+    assert {r.row_id for r in res.violations.collect()} == {"d1", "d3"}
