@@ -703,6 +703,19 @@ def q_decontaminate_documents(spark, sf):
         corpus, bench, "text", "doc_id", bench_id_col="doc_id", n=5)
 
 
+def q_decontaminate_bloom_documents(spark, sf):
+    """Bloom scale-path twin of ``decontaminate_documents`` (use_bloom:
+    bench shingles -> partial-merge Bloom -> map-side prefilter -> exact
+    un-broadcast join). Same result contract, same oracle — the driver
+    value-checks that the scale path is byte-identical to broadcast."""
+    docs = _load(spark, sf, "documents")
+    bench = docs.where("doc_id % 29 = 0")
+    corpus = docs.where("doc_id % 29 != 0")
+    return decontaminate.contamination_pairs(
+        corpus, bench, "text", "doc_id", bench_id_col="doc_id", n=5,
+        use_bloom=True, n_items_hint=200_000)
+
+
 def q_embed_cluster_dedup(spark, sf):
     """Embedding-space cluster dedup: the oracle-verified blocked cosine
     pairs closed into components, one survivor per cluster — semantic
@@ -1248,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_documents_content": q_validate_documents_content,
         "embed_cluster_dedup": q_embed_cluster_dedup,
         "decontaminate_documents": q_decontaminate_documents,
+        "decontaminate_bloom_documents": q_decontaminate_bloom_documents,
         "validate_events_props": q_validate_events_props,
         "validate_events_variant": q_validate_events_variant,
         "validate_part_composition": q_validate_part_composition,
@@ -2425,6 +2439,7 @@ JOIN t b ON b.doc_id = pr.id_b
         "validate_documents_content": _content_viol_sql(),
         "embed_cluster_dedup": _EMBED_CLUSTER_DEDUP_SQL,
         "decontaminate_documents": _DECONTAMINATE_SQL,
+        "decontaminate_bloom_documents": _DECONTAMINATE_SQL,
         "validate_events_props": _PROPS_VIOL_SQL,
         "validate_events_variant": _VARIANT_VIOL_SQL,
         "validate_part_composition": _PART_COMP_SQL,

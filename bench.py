@@ -71,6 +71,7 @@ HEADLINE = [
     "dup_spans_documents",
     "mojibake_documents",
     "decontaminate_documents",
+    "decontaminate_bloom_documents",
     "validate_documents_content",
     "edit_sim_documents",
     "minhash_dedup_documents",
