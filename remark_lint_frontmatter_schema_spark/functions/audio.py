@@ -382,7 +382,8 @@ def decode_stats_map_in_pandas(iterator):
 def audio_features_schema(passthrough_ddl: str = "",
                           with_fingerprint: bool = False,
                           with_spectral: bool = False,
-                          with_mfcc: bool = False) -> str:
+                          with_mfcc: bool = False,
+                          with_integrity: bool = False) -> str:
     base = ("clip_id string, decode_ok boolean, dur_ms_payload int, "
             "rms double, peak double, silence_ratio double, "
             "dominant_hz double, clipping_ratio double")
@@ -393,7 +394,25 @@ def audio_features_schema(passthrough_ddl: str = "",
                  "rolloff95_hz double, flatness double")
     if with_mfcc:
         base += ", mfcc array<double>"
+    if with_integrity:
+        base += ", dropout_ratio double, dc_offset double"
     return f"{base}, {passthrough_ddl}" if passthrough_ddl else base
+
+
+def _dropout_ratio(x: np.ndarray, min_run: int) -> float:
+    """Fraction of samples inside runs of >= ``min_run`` IDENTICAL
+    consecutive samples — the digital-dropout / stuck-converter signal
+    (distinct from silence: a dropout holds ANY value, and brief true
+    silence between words is shorter than ``min_run`` at speech rates).
+    Pure numpy run-length encoding, no Python loop over samples."""
+    n = len(x)
+    if n == 0:
+        return 0.0
+    idx = np.flatnonzero(np.diff(x) != 0)
+    starts = np.concatenate(([0], idx + 1))
+    ends = np.concatenate((idx + 1, [n]))
+    lens = ends - starts
+    return float(lens[lens >= min_run].sum() / n)
 
 
 def spectral_shape(x: np.ndarray, sr: int, *, frame_ms: int = 32
@@ -485,7 +504,9 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
                                  fp_frame_ms: int = 64,
                                  fp_hop_ms: int = 32,
                                  with_spectral: bool = False,
-                                 with_mfcc: bool = False):
+                                 with_mfcc: bool = False,
+                                 with_integrity: bool = False,
+                                 dropout_run: int = 32):
     """mapInPandas feature extractor over WAV payloads: duration, RMS,
     peak, frame-level silence ratio, dominant frequency (rfft argmax),
     and clipping ratio (fraction of samples at >= 99.9% full scale — the
@@ -508,7 +529,8 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
     """
     silence_amp = 10 ** (silence_db / 20)
     n_fail = (6 + (1 if with_fingerprint else 0)
-              + (4 if with_spectral else 0) + (1 if with_mfcc else 0))
+              + (4 if with_spectral else 0) + (1 if with_mfcc else 0)
+              + (2 if with_integrity else 0))
 
     def fn(iterator):
         for pdf in iterator:
@@ -551,16 +573,22 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
                 mf_cols = ()
                 if with_mfcc:
                     mf_cols = (mel_mfcc(x, sr),)
+                in_cols = ()
+                if with_integrity:
+                    in_cols = (_dropout_ratio(x, dropout_run),
+                               float(np.mean(x)))
                 rows.append((cid, True, dur_ms, rms, peak, silence, dom,
                              clip_frac, *fp_cols, *sp_cols, *mf_cols,
-                             *extras))
+                             *in_cols, *extras))
             yield pd.DataFrame(rows, columns=[
                 "clip_id", "decode_ok", "dur_ms_payload", "rms", "peak",
                 "silence_ratio", "dominant_hz", "clipping_ratio",
                 *(("fp",) if with_fingerprint else ()),
                 *(("centroid_hz", "bandwidth_hz", "rolloff95_hz",
                    "flatness") if with_spectral else ()),
-                *(("mfcc",) if with_mfcc else ()), *passthrough])
+                *(("mfcc",) if with_mfcc else ()),
+                *(("dropout_ratio", "dc_offset") if with_integrity
+                  else ()), *passthrough])
 
     return fn
 
@@ -570,7 +598,9 @@ def audio_features(clips, *, frame_ms: int = 20,
                    with_fingerprint: bool = False,
                    fp_frame_ms: int = 64, fp_hop_ms: int = 32,
                    with_spectral: bool = False,
-                   with_mfcc: bool = False):
+                   with_mfcc: bool = False,
+                   with_integrity: bool = False,
+                   dropout_run: int = 32):
     """clips(clip_id, bytes) -> feature DataFrame (map-only stage).
 
     ``passthrough`` names extra clips columns carried into the output
@@ -590,10 +620,13 @@ def audio_features(clips, *, frame_ms: int = 20,
                                      fp_frame_ms=fp_frame_ms,
                                      fp_hop_ms=fp_hop_ms,
                                      with_spectral=with_spectral,
-                                     with_mfcc=with_mfcc),
+                                     with_mfcc=with_mfcc,
+                                     with_integrity=with_integrity,
+                                     dropout_run=dropout_run),
         schema=audio_features_schema(pt_ddl, with_fingerprint,
                                      with_spectral=with_spectral,
-                                     with_mfcc=with_mfcc))
+                                     with_mfcc=with_mfcc,
+                                     with_integrity=with_integrity))
 
 
 # ---------------------------------------------------------------------------

@@ -84,6 +84,33 @@ def test_tonal_content_named_check(spark):
             == {"noise", "silent", "corrupt"})
 
 
+def test_integrity_ride_along_dropout_and_dc(spark):
+    """with_integrity adds dropout_ratio (stuck-sample runs) + dc_offset
+    from the SAME decode; the default schema stays unchanged."""
+    x = _tone(440, 16000, 1000) * 0.5
+    damaged = x.copy()
+    damaged[4000:6000] = damaged[4000]          # 2000-sample dropout
+    offset = np.clip(x + 0.11, -1.0, 1.0)       # DC-shifted clip
+    rows = {r.clip_id: r for r in audio.audio_features(
+        spark.createDataFrame(
+            [("clean", audio.wav_bytes(audio._to_pcm16(x), 16000)),
+             ("drop", audio.wav_bytes(audio._to_pcm16(damaged), 16000)),
+             ("dc", audio.wav_bytes(audio._to_pcm16(offset), 16000)),
+             ("bad", b"RIFFxxxx")],
+            "clip_id string, bytes binary"),
+        with_integrity=True).collect()}
+    n = len(x)
+    assert abs(rows["drop"].dropout_ratio - 2000 / n) < 0.01
+    assert rows["clean"].dropout_ratio < 0.005
+    assert abs(rows["dc"].dc_offset - 0.11) < 0.01
+    assert abs(rows["clean"].dc_offset) < 0.005
+    assert rows["bad"].dropout_ratio is None and rows["bad"].dc_offset is None
+    assert "dropout_ratio" not in audio.audio_features(
+        spark.createDataFrame(
+            [("c", audio.wav_bytes(audio._to_pcm16(x), 16000))],
+            "clip_id string, bytes binary")).columns
+
+
 def test_not_clipped_named_check(spark):
     from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
     clean = _tone(800) * 0.5
