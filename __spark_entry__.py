@@ -1174,6 +1174,22 @@ def q_ann_ivf_topk(spark, sf):
                                       n_cells=8, n_probe=4)
 
 
+def q_semdedup_embeddings(spark, sf):
+    """SemDeDup (operators/similarity.semdedup): k-means cells block the
+    cosine pair search; each near-dup component keeps its most-atypical
+    member (lowest cosine to the cell centroid — Abbas et al. 2023).
+    Centroid training is deterministic but iterative (farthest-point +
+    Lloyd), so no faithful SQL twin exists; rows-only check, with the
+    survivor rule pinned quantitatively in tests/test_semdedup.py."""
+    emb = _load(spark, sf, "embeddings")
+    out = similarity.semdedup(emb, "embedding", "vec_id", dim=64,
+                              n_cells=8, threshold=0.98)
+    kept = out.where("kept").select("vec_id", "cell", "centroid_sim")
+    kept = kept.orderBy("vec_id").limit(200)
+    dedup.release_all()
+    return kept
+
+
 def q_ann_pq_topk(spark, sf):
     """Product-quantization ADC top-k (operators/similarity.py): codes
     are m bytes/vector vs 256 B of float32 — the memory-bound ANN scale
@@ -1287,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_cluster_documents": q_minhash_cluster_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "semdedup_embeddings": q_semdedup_embeddings,
         "ann_pq_topk": q_ann_pq_topk,
         "embed_lsh_pairs": q_embed_lsh_pairs,
         "approx_stats_lineitem": q_approx_stats_lineitem,

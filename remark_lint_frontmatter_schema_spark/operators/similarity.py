@@ -427,3 +427,85 @@ def pq_topk_ivf(enc_df: DataFrame, codebooks: list[list[list[float]]],
     return pq_topk(enc_df.where(F.col("_cell").isin(probe)),
                    codebooks, query, k, id_col=id_col,
                    exclude_id=exclude_id)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication over the embedding space
+# ---------------------------------------------------------------------------
+
+def semdedup(df: DataFrame, vec_col: str, id_col: str, *, dim: int,
+             n_cells: int = 16, threshold: float = 0.95, n_iter: int = 2,
+             centroids: list[list[float]] | None = None,
+             max_iter: int = 25) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    k-means cells block the pair search, cosine pairs above ``threshold``
+    within a cell close into connected components, and the survivor of
+    each component is the member with the LOWEST cosine to its cell
+    centroid (the paper's "keep the most atypical example" rule — typical
+    members are the redundant ones), ties to the smallest id.
+
+    Returns one row per input row: ``(id_col, cell, centroid_sim, kept,
+    dup_of)`` — ``kept=false`` rows name their surviving twin in
+    ``dup_of``, so ``where(kept)`` IS the deduplicated corpus and the
+    false rows are audit output.
+
+    Scale: the only quadratic work is the within-cell exact verify — cell
+    population is bounded by ``n_cells`` (at the 10^12 design point
+    ``cell`` is a persisted partition column, the pair search runs
+    per-partition with no shuffle, and ``n_cells`` is sized so a cell fits
+    an executor). Everything else shuffles ids + one double per row, never
+    vectors: component closure is the large/small-star iteration
+    (``operators/clusters.py``) and survivor election is one groupBy-min.
+    Centroid training (``kmeans_centroids``) is deterministic — no RNG —
+    so reruns reproduce byte-identical verdicts. Reference parity: the
+    reference has no embedding stage (``/root/reference/index.ts``); this
+    is part of the training-data operator family the north-star adds.
+    """
+    from .clusters import connected_components
+    from .dedup import _persist, _track
+
+    if centroids is None:
+        centroids = kmeans_centroids(df, vec_col, id_col, n_cells,
+                                     dim=dim, n_iter=n_iter)
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(ci, [float(x) for x in c]) for ci, c in enumerate(centroids)],
+        "cell int, _cvec array<double>")
+    assigned = (assign_cells(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).cast("array<double>").alias("v")),
+        "v", centroids)
+        .withColumnRenamed("_cell", "cell"))
+    # broadcast-join the tiny centroid relation (never a per-row CreateMap
+    # literal) to score each member against its own centroid
+    scored = _persist(
+        assigned.join(F.broadcast(cent_df), "cell")
+                .select("id", "cell", "v",
+                        F.round(cosine(F.col("v"), F.col("_cvec")), 5)
+                         .alias("centroid_sim")))
+    a = scored.select("cell", F.col("id").alias("id_a"),
+                      F.col("v").alias("v_a"))
+    b = scored.select("cell", F.col("id").alias("id_b"),
+                      F.col("v").alias("v_b"))
+    pairs = (a.join(b, "cell")
+              .where(F.col("id_a") < F.col("id_b"))
+              .where(F.round(cosine(F.col("v_a"), F.col("v_b")), 5)
+                     >= threshold)
+              .select("id_a", "id_b"))
+    comp = connected_components(pairs, max_iter=max_iter)
+    member = comp.join(
+        scored.select(F.col("id").alias("node"), "centroid_sim"), "node")
+    # min over (centroid_sim, node) structs: lowest similarity wins, then
+    # smallest id — one partial-aggregated groupBy, no window
+    surv = (member.groupBy("component")
+                  .agg(F.min(F.struct("centroid_sim", "node")).alias("_s"))
+                  .select("component", F.col("_s.node").alias("_keep")))
+    labeled = (scored.select("id", "cell", "centroid_sim")
+               .join(comp.withColumnRenamed("node", "id"), "id", "left")
+               .join(surv, "component", "left")
+               .select(F.col("id").alias(id_col), "cell", "centroid_sim",
+                       (F.col("_keep").isNull()
+                        | (F.col("_keep") == F.col("id"))).alias("kept"),
+                       F.when(F.col("_keep") != F.col("id"), F.col("_keep"))
+                        .alias("dup_of")))
+    return _track(labeled, scored)
