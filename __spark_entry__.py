@@ -309,6 +309,20 @@ def q_unique_lineitem_orderkey(spark, sf):
     return uniqueness.duplicate_keys(li, "l_orderkey")
 
 
+def q_fd_lineitem(spark, sf):
+    """Functional-dependency check (operators/fd.py, DSL x-fd): rows whose
+    l_linestatus deviates from the majority value of their l_returnflag
+    group. One keys-only groupBy + a broadcastable conflicted-group join
+    back to the pruned fact — no fact-vs-fact shuffle."""
+    from remark_lint_frontmatter_schema_spark.operators.fd import fd_violations
+    li = _load(spark, sf, "lineitem").withColumn(
+        "_rid", F.concat_ws("-", F.col("l_orderkey").cast("string"),
+                            F.col("l_linenumber").cast("string")))
+    return fd_violations(li, "l_linestatus", ["l_returnflag"],
+                         row_id="_rid").select(
+        "row_id", "constraint_id", "keyword", "message", "actual")
+
+
 def q_ref_orders_customer(spark, sf):
     orders = _load(spark, sf, "orders")
     dim = _load(spark, sf, "customer").where("c_acctbal >= 0")
@@ -1244,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdict_orders": q_verdict_orders,
         "stats_lineitem": q_stats_lineitem,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
+        "fd_lineitem": q_fd_lineitem,
         "ref_orders_customer": q_ref_orders_customer,
         "ref_orders_customer_bloom": q_ref_orders_customer_bloom,
         "hist_events": q_hist_events,
@@ -2316,6 +2331,30 @@ SELECT l_returnflag,
        count(DISTINCT l_partkey) AS n_distinct_part,
        round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem GROUP BY l_returnflag
+""",
+        "fd_lineitem": """
+WITH scoped AS (
+  SELECT l_returnflag AS det, l_linestatus AS dep,
+         concat(CAST(l_orderkey AS VARCHAR), '-',
+                CAST(l_linenumber AS VARCHAR)) AS rid
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+), counts AS (
+  SELECT det, dep, count(*) AS cnt FROM scoped GROUP BY det, dep
+), maj AS (
+  SELECT det, (array_agg(dep ORDER BY cnt DESC, dep ASC))[1] AS majority,
+         count(*) AS n_variants
+  FROM counts GROUP BY det
+)
+SELECT s.rid AS row_id,
+       'fd:l_returnflag->l_linestatus' AS constraint_id,
+       'fd' AS keyword,
+       'Must be functionally determined by `l_returnflag`: expected `'
+         || m.majority || '` for (' || s.det || '), got `' || s.dep
+         || '`' AS message,
+       s.dep AS actual
+FROM scoped s JOIN maj m ON s.det = m.det
+WHERE m.n_variants > 1 AND s.dep <> m.majority
 """,
         "unique_lineitem_orderkey": """
 SELECT l_orderkey, count(*) AS n_occurrences

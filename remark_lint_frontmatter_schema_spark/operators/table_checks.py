@@ -83,6 +83,13 @@ def table_check_violations(
                 group_col=params.get("by"), approx=params["approx"],
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
+        elif kind == "fd":
+            from .fd import fd_violations
+            extras.append(fd_violations(
+                df, column, params["determined_by"],
+                row_id=params.get("id") or row_id,
+                ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "monotonic":
             from .sequence import monotonic_violations
             extras.append(monotonic_violations(

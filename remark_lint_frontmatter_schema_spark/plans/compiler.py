@@ -86,6 +86,7 @@ _KNOWN_KEYWORDS = {
     "x-c4",
     "x-leakage",
     "x-embedding",
+    "x-fd",
 }
 
 
@@ -468,6 +469,11 @@ _KEYWORD_SHAPE = {
          or (isinstance(v["n_buckets"], int)
              and not isinstance(v["n_buckets"], bool)
              and v["n_buckets"] > 0)),
+    "x-fd": lambda v: isinstance(v, dict)
+    and isinstance(v.get("determined_by"), list)
+    and len(v["determined_by"]) > 0
+    and all(isinstance(c, str) for c in v["determined_by"])
+    and (v.get("id") is None or isinstance(v["id"], str)),
     "x-ref": lambda v: isinstance(v, dict) and isinstance(v.get("dim"), str)
     and isinstance(v.get("key"), str)
     and (v.get("n_items") is None
@@ -640,7 +646,8 @@ _VARIANT_UNSUPPORTED_KWS = frozenset((
     "uniqueItems", "contentEncoding", "contentMediaType", "contentSchema",
     "x-unique", "x-ref", "x-drift", "x-dedup", "x-langid", "x-rate",
     "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
-    "x-monotonic", "x-dup-ngram", "x-gopher", "x-c4", "x-leakage", "x-embedding"))
+    "x-monotonic", "x-dup-ngram", "x-gopher", "x-c4", "x-leakage", "x-embedding",
+    "x-fd"))
 
 
 def _compile_variant_node(schema: dict, ctx: _Ctx) -> None:
@@ -1286,6 +1293,21 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 }))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-monotonic"))
+
+    if "x-fd" in schema and not ctx.silent:
+        # functional dependency (operators/fd.py): the column must take a
+        # single value per determinant group — a relational (two-scan
+        # groupBy+join) pass like x-unique, so top-level columns only
+        if is_top:
+            p = schema["x-fd"]
+            ctx.out.table_checks.append(
+                ("fd", ctx.instance_path[1:], {
+                    "determined_by": list(p["determined_by"]),
+                    "id": p.get("id"),
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-fd"))
 
     if "x-drift" in schema and not ctx.silent:
         if is_top:

@@ -37,7 +37,8 @@ _KEYWORDS = ["type", "enum", "const", "required", "maxLength", "minLength",
              "dependentSchemas",
              "x-unique", "x-ref", "x-drift", "x-spark-check",
              "x-outlier", "x-repair", "x-severity",
-             "x-dup-ngram", "x-embedding", "x-monotonic", "x-gopher", "x-c4", "x-leakage"]
+             "x-dup-ngram", "x-embedding", "x-monotonic", "x-gopher", "x-c4",
+             "x-leakage", "x-fd"]
 
 _scalars = st.one_of(
     st.none(), st.booleans(), st.integers(-5, 100),
