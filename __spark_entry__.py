@@ -309,6 +309,27 @@ def q_unique_lineitem_orderkey(spark, sf):
     return uniqueness.duplicate_keys(li, "l_orderkey")
 
 
+def q_diff_orders(spark, sf):
+    """Snapshot diff (operators/diff.py): two deterministic derivations
+    of orders play old/new snapshot — keys %97==0 are absent from old
+    (-> added), %89==0 absent from new (-> removed), %83==0 get a
+    price bump in new (-> changed, changed_cols names the column)."""
+    from remark_lint_frontmatter_schema_spark.operators.diff import (
+        snapshot_diff)
+    orders = _load(spark, sf, "orders")
+    old = orders.where(F.col("o_orderkey") % 97 != 0)
+    new = orders.where(F.col("o_orderkey") % 89 != 0).withColumn(
+        "o_totalprice",
+        F.when((F.col("o_orderkey") % 83 == 0)
+               & F.col("o_totalprice").isNotNull(),
+               F.col("o_totalprice") + 1.0)
+         .otherwise(F.col("o_totalprice")))
+    d = snapshot_diff(old, new, ["o_orderkey"])
+    return d.select(
+        "o_orderkey", "change",
+        F.array_join("changed_columns", ",").alias("changed_cols"))
+
+
 def q_fd_lineitem(spark, sf):
     """Functional-dependency check (operators/fd.py, DSL x-fd): rows whose
     l_linestatus deviates from the majority value of their l_returnflag
@@ -1259,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_lineitem": q_stats_lineitem,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
         "fd_lineitem": q_fd_lineitem,
+        "diff_orders": q_diff_orders,
         "ref_orders_customer": q_ref_orders_customer,
         "ref_orders_customer_bloom": q_ref_orders_customer_bloom,
         "hist_events": q_hist_events,
@@ -2331,6 +2353,21 @@ SELECT l_returnflag,
        count(DISTINCT l_partkey) AS n_distinct_part,
        round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem GROUP BY l_returnflag
+""",
+        "diff_orders": """
+WITH o AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0),
+     n AS (SELECT o_orderkey,
+                  (o_orderkey % 83 = 0 AND o_totalprice IS NOT NULL)
+                    AS price_changed
+           FROM orders WHERE o_orderkey % 89 <> 0)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+            THEN 'o_totalprice' ELSE '' END AS changed_cols
+FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR n.price_changed
 """,
         "fd_lineitem": """
 WITH scoped AS (
