@@ -309,6 +309,21 @@ def q_unique_lineitem_orderkey(spark, sf):
     return uniqueness.duplicate_keys(li, "l_orderkey")
 
 
+def q_induce_orders(spark, sf):
+    """Schema induction (operators/induce.py): the facts a ruleset draft
+    is built from — observed null-rates as required, numeric extremes as
+    bounds, confirmed low-cardinality sets as enums. Two scans total
+    (one profile aggregate + one enum-set collect); the round-trip
+    (induce -> compile -> validate == clean) is pinned in
+    tests/test_induce.py."""
+    from remark_lint_frontmatter_schema_spark.operators.induce import (
+        induced_facts_df)
+    orders = _load(spark, sf, "orders")
+    return induced_facts_df(
+        orders, ["o_orderstatus", "o_orderpriority", "o_totalprice",
+                 "o_custkey"])
+
+
 def q_diff_orders(spark, sf):
     """Snapshot diff (operators/diff.py): two deterministic derivations
     of orders play old/new snapshot — keys %97==0 are absent from old
@@ -1281,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
         "fd_lineitem": q_fd_lineitem,
         "diff_orders": q_diff_orders,
+        "induce_orders": q_induce_orders,
         "ref_orders_customer": q_ref_orders_customer,
         "ref_orders_customer_bloom": q_ref_orders_customer_bloom,
         "hist_events": q_hist_events,
@@ -2353,6 +2369,46 @@ SELECT l_returnflag,
        count(DISTINCT l_partkey) AS n_distinct_part,
        round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem GROUP BY l_returnflag
+""",
+        "induce_orders": """
+SELECT 'o_orderstatus' AS col_name, 'required' AS keyword,
+       CAST(NULL AS DOUBLE) AS num_value,
+       (SELECT CASE WHEN count(*) = count(o_orderstatus) AND count(*) > 0
+               THEN 'true' ELSE 'false' END FROM orders) AS str_value
+UNION ALL
+SELECT 'o_orderstatus', 'enum', NULL,
+       (SELECT string_agg(v, ',' ORDER BY v)
+        FROM (SELECT DISTINCT o_orderstatus AS v FROM orders
+              WHERE o_orderstatus IS NOT NULL) t)
+UNION ALL
+SELECT 'o_orderpriority', 'required', NULL,
+       (SELECT CASE WHEN count(*) = count(o_orderpriority) AND count(*) > 0
+               THEN 'true' ELSE 'false' END FROM orders)
+UNION ALL
+SELECT 'o_orderpriority', 'enum', NULL,
+       (SELECT string_agg(v, ',' ORDER BY v)
+        FROM (SELECT DISTINCT o_orderpriority AS v FROM orders
+              WHERE o_orderpriority IS NOT NULL) t)
+UNION ALL
+SELECT 'o_totalprice', 'required', NULL,
+       (SELECT CASE WHEN count(*) = count(o_totalprice) AND count(*) > 0
+               THEN 'true' ELSE 'false' END FROM orders)
+UNION ALL
+SELECT 'o_totalprice', 'minimum',
+       (SELECT min(o_totalprice) FROM orders), NULL
+UNION ALL
+SELECT 'o_totalprice', 'maximum',
+       (SELECT max(o_totalprice) FROM orders), NULL
+UNION ALL
+SELECT 'o_custkey', 'required', NULL,
+       (SELECT CASE WHEN count(*) = count(o_custkey) AND count(*) > 0
+               THEN 'true' ELSE 'false' END FROM orders)
+UNION ALL
+SELECT 'o_custkey', 'minimum',
+       (SELECT CAST(min(o_custkey) AS DOUBLE) FROM orders), NULL
+UNION ALL
+SELECT 'o_custkey', 'maximum',
+       (SELECT CAST(max(o_custkey) AS DOUBLE) FROM orders), NULL
 """,
         "diff_orders": """
 WITH o AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0),
