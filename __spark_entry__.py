@@ -309,6 +309,31 @@ def q_unique_lineitem_orderkey(spark, sf):
     return uniqueness.duplicate_keys(li, "l_orderkey")
 
 
+def q_url_dedup_documents(spark, sf):
+    """Canonical-URL dedup (operators/urls.py): deterministic messy-URL
+    injection (case/port/fragment/tracking-param/trailing-slash variants
+    keyed on doc_id) canonicalized down to duplicate groups. The oracle
+    re-implements the full RFC-3986-subset canonicalization independently
+    in DuckDB SQL — two implementations must agree rule for rule."""
+    from remark_lint_frontmatter_schema_spark.operators.urls import (
+        url_groups)
+    docs = _load(spark, sf, "documents")
+    k = (F.col("doc_id") % 50).cast("string")
+    variant = F.col("doc_id") % 4
+    url = (F.when(variant == 0,
+                  F.concat(F.lit("https://example.com/p"), k))
+            .when(variant == 1,
+                  F.concat(F.lit("HTTPS://EXAMPLE.com:443/p"), k,
+                           F.lit("#frag")))
+            .when(variant == 2,
+                  F.concat(F.lit("https://example.com/p"), k,
+                           F.lit("?utm_source=feed&b=2&a=1")))
+            .otherwise(F.concat(F.lit("https://example.com/p"), k,
+                                F.lit("/"))))
+    return url_groups(docs.select("doc_id", url.alias("url")),
+                      "url", "doc_id")
+
+
 def q_induce_orders(spark, sf):
     """Schema induction (operators/induce.py): the facts a ruleset draft
     is built from — observed null-rates as required, numeric extremes as
@@ -1297,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_lineitem": q_fd_lineitem,
         "diff_orders": q_diff_orders,
         "induce_orders": q_induce_orders,
+        "url_dedup_documents": q_url_dedup_documents,
         "ref_orders_customer": q_ref_orders_customer,
         "ref_orders_customer_bloom": q_ref_orders_customer_bloom,
         "hist_events": q_hist_events,
@@ -2369,6 +2395,51 @@ SELECT l_returnflag,
        count(DISTINCT l_partkey) AS n_distinct_part,
        round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem GROUP BY l_returnflag
+""",
+        "url_dedup_documents": """
+WITH synth AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INTEGER)
+      WHEN 0 THEN 'https://example.com/p' || CAST(doc_id % 50 AS VARCHAR)
+      WHEN 1 THEN 'HTTPS://EXAMPLE.com:443/p' || CAST(doc_id % 50 AS VARCHAR)
+                  || '#frag'
+      WHEN 2 THEN 'https://example.com/p' || CAST(doc_id % 50 AS VARCHAR)
+                  || '?utm_source=feed&b=2&a=1'
+      ELSE 'https://example.com/p' || CAST(doc_id % 50 AS VARCHAR) || '/'
+    END AS url
+  FROM documents
+), nofrag AS (
+  SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u2 FROM synth
+), parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(u2, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(u2, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM nofrag
+), hp AS (
+  SELECT doc_id, scheme,
+    lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+    substr(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1) AS pathq
+  FROM parts
+), comps AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+         ELSE hostport END AS host,
+    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path,
+    regexp_extract(pathq, '\\?(.*)$', 1) AS query
+  FROM hp
+), canon AS (
+  SELECT doc_id, scheme || '://' || host || path ||
+    CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canon_url
+  FROM (SELECT *, array_to_string(list_sort(list_filter(
+            str_split(query, '&'),
+            p -> p <> '' AND NOT regexp_matches(p,
+              '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|ref_src)(=.*)?$'))),
+          '&') AS cq
+        FROM comps) t
+)
+SELECT canon_url, count(*) AS n_urls, min(doc_id) AS keep_id
+FROM canon GROUP BY canon_url HAVING count(*) > 1
 """,
         "induce_orders": """
 SELECT 'o_orderstatus' AS col_name, 'required' AS keyword,
