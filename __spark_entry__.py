@@ -1258,7 +1258,7 @@ def q_semdedup_embeddings(spark, sf):
     survivor rule pinned quantitatively in tests/test_semdedup.py."""
     emb = _load(spark, sf, "embeddings")
     out = similarity.semdedup(emb, "embedding", "vec_id", dim=64,
-                              n_cells=8, threshold=0.98)
+                              n_cells=64, threshold=0.98)
     kept = out.where("kept").select("vec_id", "cell", "centroid_sim")
     kept = kept.orderBy("vec_id").limit(200)
     dedup.release_all()

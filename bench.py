@@ -80,6 +80,11 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_pq_topk",
     "approx_stats_lineitem",
+    "fd_lineitem",
+    "diff_orders",
+    "induce_orders",
+    "url_dedup_documents",
+    "semdedup_embeddings",
 ]
 
 

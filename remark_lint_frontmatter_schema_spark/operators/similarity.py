@@ -71,6 +71,56 @@ def assign_cells(df: DataFrame, vec_col: str, centroids: list[list[float]]):
     return df.withColumn("_cell", best)
 
 
+def assign_cells_np(df: DataFrame, vec_col: str,
+                    centroids: list[list[float]], *,
+                    with_sim: bool = False) -> DataFrame:
+    """Arrow-batched numpy cell assignment — the LARGE-n_cells path.
+
+    The unrolled JVM expression in :func:`assign_cells` grows linearly in
+    plan size with the centroid count and falls off the codegen cliff
+    past ~16 cells (measured: planning hangs at 32×64-dim); a numpy
+    ``(batch, cells)`` distance matrix costs the same one map stage at
+    any cell count (the :func:`pq_encode` trade, same reasoning). Adds
+    ``_cell`` (and ``_csim`` — cosine to the assigned centroid, rounded
+    to 5 — when ``with_sim``); NULL vectors get NULL in both."""
+    C = np.asarray(centroids, dtype="float64")          # (c, d)
+    c_n2 = (C ** 2).sum(axis=1)
+    c_norm = np.sqrt(c_n2)
+
+    @F.pandas_udf("struct<cell:int, sim:double>")
+    def _assign(vs: pd.Series) -> pd.DataFrame:
+        n = len(vs)
+        cell = pd.Series([None] * n, dtype="object", index=vs.index)
+        sim = pd.Series([None] * n, dtype="object", index=vs.index)
+        mask = vs.notna()
+        if mask.any():
+            X = np.stack(vs[mask].to_numpy())           # (n, d)
+            dots = X @ C.T                              # (n, c)
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin drops ||x||^2
+            idx = (c_n2 - 2.0 * dots).argmin(axis=1)
+            cell[mask] = pd.Series(idx, dtype="object",
+                                   index=vs.index[mask])
+            if with_sim:
+                xn = np.sqrt((X ** 2).sum(axis=1))
+                s = np.round(dots[np.arange(len(idx)), idx]
+                             / (xn * c_norm[idx]), 5)
+                sim[mask] = pd.Series(s, dtype="object",
+                                      index=vs.index[mask])
+        return pd.DataFrame({"cell": cell, "sim": sim})
+
+    out = df.withColumn(
+        "_a", _assign(F.col(vec_col).cast("array<double>")))
+    cols = [F.col("_a.cell").alias("_cell")]
+    if with_sim:
+        cols.append(F.col("_a.sim").alias("_csim"))
+    return out.select("*", *cols).drop("_a")
+
+
+# cell counts above this use the numpy assignment path (JVM expression
+# plan size is linear in cells; see assign_cells_np)
+_MAX_UNROLLED_CELLS = 16
+
+
 def sample_centroids(df: DataFrame, vec_col: str, id_col: str,
                      n_cells: int) -> list[list[float]]:
     """Deterministic centroid seed: the n_cells vectors with the smallest
@@ -124,7 +174,9 @@ def kmeans_centroids(df: DataFrame, vec_col: str, id_col: str,
     cents = farthest_point_centroids(df, vec_col, id_col, n_cells)
     v = F.col(vec_col).cast("array<double>")
     for _ in range(n_iter):
-        assigned = assign_cells(df, vec_col, cents)
+        assigned = (assign_cells_np(df, vec_col, cents)
+                    if len(cents) > _MAX_UNROLLED_CELLS
+                    else assign_cells(df, vec_col, cents))
         rows = (assigned
                 .groupBy("_cell")
                 .agg(*[F.avg(F.element_at(v, i + 1)).alias(f"c{i}")
@@ -467,22 +519,28 @@ def semdedup(df: DataFrame, vec_col: str, id_col: str, *, dim: int,
     if centroids is None:
         centroids = kmeans_centroids(df, vec_col, id_col, n_cells,
                                      dim=dim, n_iter=n_iter)
-    spark = df.sparkSession
-    cent_df = spark.createDataFrame(
-        [(ci, [float(x) for x in c]) for ci, c in enumerate(centroids)],
-        "cell int, _cvec array<double>")
-    assigned = (assign_cells(
-        df.select(F.col(id_col).alias("id"),
-                  F.col(vec_col).cast("array<double>").alias("v")),
-        "v", centroids)
-        .withColumnRenamed("_cell", "cell"))
-    # broadcast-join the tiny centroid relation (never a per-row CreateMap
-    # literal) to score each member against its own centroid
-    scored = _persist(
-        assigned.join(F.broadcast(cent_df), "cell")
-                .select("id", "cell", "v",
-                        F.round(cosine(F.col("v"), F.col("_cvec")), 5)
-                         .alias("centroid_sim")))
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    if len(centroids) > _MAX_UNROLLED_CELLS:
+        # large cell counts: one Arrow stage yields cell AND centroid
+        # cosine together (see assign_cells_np)
+        scored = (assign_cells_np(base, "v", centroids, with_sim=True)
+                  .select("id", F.col("_cell").alias("cell"), "v",
+                          F.col("_csim").alias("centroid_sim")))
+    else:
+        spark = df.sparkSession
+        cent_df = spark.createDataFrame(
+            [(ci, [float(x) for x in c]) for ci, c in enumerate(centroids)],
+            "cell int, _cvec array<double>")
+        assigned = assign_cells(base, "v", centroids) \
+            .withColumnRenamed("_cell", "cell")
+        # broadcast-join the tiny centroid relation (never a per-row
+        # CreateMap literal) to score each member against its own centroid
+        scored = (assigned.join(F.broadcast(cent_df), "cell")
+                  .select("id", "cell", "v",
+                          F.round(cosine(F.col("v"), F.col("_cvec")), 5)
+                           .alias("centroid_sim")))
+    scored = _persist(scored)
     a = scored.select("cell", F.col("id").alias("id_a"),
                       F.col("v").alias("v_a"))
     b = scored.select("cell", F.col("id").alias("id_b"),

@@ -66,6 +66,55 @@ def test_where_kept_is_the_dedup(result):
     assert kept == {4, 10, 20}
 
 
+def test_numpy_assignment_matches_jvm(spark):
+    """assign_cells_np (the large-n_cells Arrow path) must agree with the
+    unrolled JVM expression on cells AND centroid cosine."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(ROWS, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 0.0]]
+    base = df.select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("v"))
+    jvm = {r.vec_id: r._cell for r in
+           similarity.assign_cells(base, "v", cents).collect()}
+    np_rows = {r.vec_id: r for r in
+               similarity.assign_cells_np(base, "v", cents,
+                                          with_sim=True).collect()}
+    assert {k: v._cell for k, v in np_rows.items()} == jvm
+    # cosine to own centroid, rounded to 5 — spot-check a known value
+    assert abs(np_rows[4]._csim - 1.0 / (1.01 ** 0.5)) < 1e-4
+
+
+def test_numpy_assignment_null_vector(spark):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, None)],
+                               "vec_id long, v array<double>")
+    rows = {r.vec_id: r for r in
+            similarity.assign_cells_np(df, "v", [[1.0, 0.0], [0.0, 1.0]],
+                                       with_sim=True).collect()}
+    assert rows[1]._cell == 0 and rows[2]._cell is None
+    assert rows[2]._csim is None
+
+
+def test_semdedup_numpy_path_matches_jvm_path(spark):
+    """Force both paths over the same data + centroids: identical verdicts
+    (the 3 given centroids run JVM; duplicating them past the unroll cap
+    runs numpy — extra duplicate centroids never win an argmin tie, so
+    assignments are unchanged)."""
+    df = spark.createDataFrame(ROWS, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 0.0]]
+    a = similarity.semdedup(df, "embedding", "vec_id", dim=4,
+                            threshold=0.99, centroids=cents)
+    kept_a = {r.vec_id for r in a.collect() if r.kept}
+    big = cents + [[9.0, 9.0, 9.0, 9.0]] * 15   # 18 cells -> numpy path
+    b = similarity.semdedup(df, "embedding", "vec_id", dim=4,
+                            threshold=0.99, centroids=big)
+    kept_b = {r.vec_id for r in b.collect() if r.kept}
+    dedup.release_all()
+    assert kept_a == kept_b == {4, 10, 20}
+
+
 def test_explicit_centroids_skip_training(spark):
     df = spark.createDataFrame(ROWS, "vec_id long, embedding array<float>")
     cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
