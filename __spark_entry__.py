@@ -349,6 +349,19 @@ def q_induce_orders(spark, sf):
                  "o_custkey"])
 
 
+def q_gap_events_by_user(spark, sf):
+    """Continuity check (operators/sequence.py gap_violations, DSL x-gap):
+    per-user event streams may not go silent for more than 4 h —
+    violations attribute to the row after the gap with the gap size as
+    `actual`. One slim (id, ts, user) shuffle + per-group window."""
+    from remark_lint_frontmatter_schema_spark.operators.sequence import (
+        gap_violations)
+    ev = _load(spark, sf, "events")
+    return gap_violations(ev, "ts", row_id="event_id", by="user_id",
+                          max_seconds=14400).select(
+        "row_id", "constraint_id", "keyword", "message", "actual")
+
+
 def q_diff_orders(spark, sf):
     """Snapshot diff (operators/diff.py): two deterministic derivations
     of orders play old/new snapshot — keys %97==0 are absent from old
@@ -414,6 +427,15 @@ def q_drift_events_ks(spark, sf):
     h = _events_hist(spark, sf)
     return drift.ks_statistic(h, "error", "purchase") \
         .select(F.round("ks_stat", 6).alias("ks_stat"))
+
+
+def q_drift_events_emd(spark, sf):
+    """1-D Wasserstein drift (operators/drift.py emd): |CDF diff| summed
+    over a dense bucket spine x bucket width (20 value units here) — the
+    magnitude-aware complement to KS on the same histogram relation."""
+    h = _events_hist(spark, sf)
+    return drift.emd(h, "error", "purchase", bucket_width=20.0) \
+        .select(F.round("emd", 6).alias("emd"))
 
 
 def q_drift_events_psi(spark, sf):
@@ -1322,12 +1344,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_lineitem": q_fd_lineitem,
         "diff_orders": q_diff_orders,
         "induce_orders": q_induce_orders,
+        "gap_events_by_user": q_gap_events_by_user,
         "url_dedup_documents": q_url_dedup_documents,
         "ref_orders_customer": q_ref_orders_customer,
         "ref_orders_customer_bloom": q_ref_orders_customer_bloom,
         "hist_events": q_hist_events,
         "drift_events_ks": q_drift_events_ks,
         "drift_events_psi": q_drift_events_psi,
+        "drift_events_emd": q_drift_events_emd,
         "drift_events_chi2": q_drift_events_chi2,
         "drift_events_windowed_psi": q_drift_events_windowed_psi,
         "topn_flag_violation_rate": q_topn_flag_violation_rate,
@@ -1596,6 +1620,22 @@ cdf AS (SELECT side, bucket,
           / sum(n) OVER (PARTITION BY side) AS cdf
         FROM filled)
 SELECT round(max(abs(a.cdf - b.cdf)), 6) AS ks_stat
+FROM cdf a JOIN cdf b USING (bucket)
+WHERE a.side = 'error' AND b.side = 'purchase'
+"""
+
+_EMD_SQL = f"""
+WITH h AS ({_HIST_EVENTS_CTE}),
+spine AS (SELECT s.side, b.bucket
+          FROM (SELECT DISTINCT side FROM h) s
+          CROSS JOIN (SELECT unnest(range(0, 27)) AS bucket) b),
+filled AS (SELECT sp.side, sp.bucket, coalesce(h.n, 0) AS n
+           FROM spine sp LEFT JOIN h ON h.side = sp.side AND h.bucket = sp.bucket),
+cdf AS (SELECT side, bucket,
+        sum(n) OVER (PARTITION BY side ORDER BY bucket) * 1.0
+          / sum(n) OVER (PARTITION BY side) AS cdf
+        FROM filled)
+SELECT round(sum(abs(a.cdf - b.cdf)) * 20.0, 6) AS emd
 FROM cdf a JOIN cdf b USING (bucket)
 WHERE a.side = 'error' AND b.side = 'purchase'
 """
@@ -2396,6 +2436,20 @@ SELECT l_returnflag,
        round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem GROUP BY l_returnflag
 """,
+        "gap_events_by_user": """
+WITH s AS (
+  SELECT event_id, user_id,
+         epoch(ts) - lag(epoch(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts) AS g
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT CAST(event_id AS VARCHAR) AS row_id,
+       'gap:ts' AS constraint_id,
+       'x-gap' AS keyword,
+       'Must not gap more than 14400 s within ''user_id''' AS message,
+       CAST(round(g, 3) AS VARCHAR) AS actual
+FROM s WHERE g > 14400
+""",
         "url_dedup_documents": """
 WITH synth AS (
   SELECT doc_id,
@@ -2542,6 +2596,7 @@ WHERE o.o_custkey IS NOT NULL
         "hist_events": f"SELECT side, bucket, n FROM ({_HIST_EVENTS_CTE}) h",
         "drift_events_ks": _KS_SQL,
         "drift_events_psi": _PSI_SQL,
+        "drift_events_emd": _EMD_SQL,
         "drift_events_chi2": f"""
 WITH h AS ({_HIST_EVENTS_CTE}),
 grid AS (

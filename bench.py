@@ -85,6 +85,8 @@ HEADLINE = [
     "induce_orders",
     "url_dedup_documents",
     "semdedup_embeddings",
+    "gap_events_by_user",
+    "drift_events_emd",
 ]
 
 

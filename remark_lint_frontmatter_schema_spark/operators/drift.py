@@ -29,12 +29,9 @@ def histogram(df: DataFrame, value_col: str, side_col, *,
               .agg(F.count(F.lit(1)).alias("n")))
 
 
-def ks_statistic(hist: DataFrame, side_a: str, side_b: str) -> DataFrame:
-    """Two-sample KS from a histogram relation: max |CDF_a - CDF_b|.
-
-    Exact up to bucket resolution (both samples discretized to the same
-    buckets — the standard scalable approximation).
-    """
+def _filled_cdfs(hist: DataFrame, side_a: str, side_b: str) -> DataFrame:
+    """Per-bucket (cdf_a, cdf_b) with empty buckets forward-filled — the
+    shared front half of every CDF-based statistic (KS, EMD)."""
     w = Window.partitionBy("side").orderBy("bucket") \
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tot = Window.partitionBy("side")
@@ -46,10 +43,19 @@ def ks_statistic(hist: DataFrame, side_a: str, side_b: str) -> DataFrame:
     joined = a.join(b, "bucket", "full_outer")
     wf = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
                                               Window.currentRow)
-    filled = (joined
-              .withColumn("cdf_a", F.last("cdf_a", ignorenulls=True).over(wf))
-              .withColumn("cdf_b", F.last("cdf_b", ignorenulls=True).over(wf))
-              .fillna({"cdf_a": 0.0, "cdf_b": 0.0}))
+    return (joined
+            .withColumn("cdf_a", F.last("cdf_a", ignorenulls=True).over(wf))
+            .withColumn("cdf_b", F.last("cdf_b", ignorenulls=True).over(wf))
+            .fillna({"cdf_a": 0.0, "cdf_b": 0.0}))
+
+
+def ks_statistic(hist: DataFrame, side_a: str, side_b: str) -> DataFrame:
+    """Two-sample KS from a histogram relation: max |CDF_a - CDF_b|.
+
+    Exact up to bucket resolution (both samples discretized to the same
+    buckets — the standard scalable approximation).
+    """
+    filled = _filled_cdfs(hist, side_a, side_b)
     # fail EXPLICIT on a missing/typo'd side: a present side's CDF reaches
     # 1.0, an absent side stays all-zero — without the guard a misspelled
     # side label returns a confident ks=1.0 instead of signalling the
@@ -60,6 +66,45 @@ def ks_statistic(hist: DataFrame, side_a: str, side_b: str) -> DataFrame:
     return agg.select(
         F.when((F.col("_ma") > 0) & (F.col("_mb") > 0), F.col("_ks"))
          .alias("ks_stat"))
+
+
+def emd(hist: DataFrame, side_a: str, side_b: str, *,
+        bucket_width: float = 1.0) -> DataFrame:
+    """1-D earth-mover (Wasserstein-1) distance over the shared histogram:
+    ``sum_buckets |CDF_a - CDF_b| * bucket_width`` — the closed 1-D form.
+
+    Complements KS (which saturates at the single worst bucket) with a
+    magnitude-aware statistic: a small mass moved far scores higher than
+    KS shows. Pass ``bucket_width = (hi - lo) / n_buckets`` to get the
+    distance in the value's own units; the default 1.0 reports it in
+    bucket units. Exact up to bucket resolution; the under/overflow
+    buckets (width_bucket's 0 and n+1) are counted with the same width —
+    the same discretization contract the other statistics carry. Runs
+    entirely on the tiny histogram relation; the missing-side guard
+    returns NULL rather than a confident figure (see ks_statistic)."""
+    filled = _filled_cdfs(hist, side_a, side_b)
+    # densify: the histogram relation only carries OCCUPIED buckets, but a
+    # CDF plateau across empty buckets still moves mass — every bucket in
+    # [min, max] must contribute its |diff| (KS is sparse-safe, a sum is
+    # not). Buckets outside the occupied range have diff 0.
+    spine = (filled.agg(F.min("bucket").alias("_l"),
+                        F.max("bucket").alias("_h"))
+                   .select(F.explode(F.sequence("_l", "_h"))
+                            .alias("bucket")))
+    wf = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
+                                              Window.currentRow)
+    dense = (spine.join(filled, "bucket", "left")
+                  .withColumn("cdf_a",
+                              F.last("cdf_a", ignorenulls=True).over(wf))
+                  .withColumn("cdf_b",
+                              F.last("cdf_b", ignorenulls=True).over(wf))
+                  .fillna({"cdf_a": 0.0, "cdf_b": 0.0}))
+    agg = dense.agg(
+        F.sum(F.abs(F.col("cdf_a") - F.col("cdf_b"))).alias("_s"),
+        F.max("cdf_a").alias("_ma"), F.max("cdf_b").alias("_mb"))
+    return agg.select(
+        F.when((F.col("_ma") > 0) & (F.col("_mb") > 0),
+               F.col("_s") * float(bucket_width)).alias("emd"))
 
 
 def psi(hist: DataFrame, side_a: str, side_b: str,

@@ -58,7 +58,10 @@ _OK = {
 def _pairs_grouped(df: DataFrame, column: str, order_by: str, by: str,
                    row_id: str) -> DataFrame:
     w = Window.partitionBy(by).orderBy(order_by)
-    return (df.select(row_id, column, order_by, by)
+    # dict.fromkeys: column may BE order_by (gap_violations orders a
+    # column by itself) — a duplicate name in the projection would make
+    # every later F.col(column) ambiguous
+    return (df.select(*dict.fromkeys([row_id, column, order_by, by]))
               .where(F.col(column).isNotNull()
                      & F.col(order_by).isNotNull())
               .select(row_id, column,
@@ -67,7 +70,7 @@ def _pairs_grouped(df: DataFrame, column: str, order_by: str, by: str,
 
 def _pairs_global(df: DataFrame, column: str, order_by: str, row_id: str,
                   n_buckets: int) -> DataFrame:
-    slim = (df.select(row_id, column, order_by)
+    slim = (df.select(*dict.fromkeys([row_id, column, order_by]))
               .where(F.col(column).isNotNull()
                      & F.col(order_by).isNotNull())
               .repartitionByRange(n_buckets, F.col(order_by))
@@ -89,6 +92,65 @@ def _pairs_global(df: DataFrame, column: str, order_by: str, row_id: str,
         F.col("_first_val").alias(column),
         F.lag("_last_val").over(bw).alias("_prev"))
     return within.unionByName(boundary)
+
+
+def gap_violations(
+    df: DataFrame,
+    column: str,
+    *,
+    row_id: str,
+    max_seconds: float,
+    by: str | None = None,
+    n_buckets: int = 64,
+    ruleset_name: str = "engine",
+    severity: str = "warning",
+) -> DataFrame:
+    """Continuity check (``x-gap``): consecutive values of a timestamp /
+    numeric column (ordered by ITSELF, per ``by`` group when given) may
+    not be more than ``max_seconds`` apart — the heartbeat/session-gap
+    constraint ("no sensor silent for an hour", "clip sequence has no
+    recording hole"). The violation attributes to the row AFTER the gap,
+    ``actual`` carrying the gap size in seconds.
+
+    Same plan shapes as :func:`monotonic_violations` (one slim grouped
+    window, or range-bucketed windows + an n_buckets boundary pass —
+    never a single-task global window). Timestamps compare as epoch
+    seconds (``cast double``); NULLs are absent from the sequence."""
+    if not max_seconds > 0:
+        raise ValueError(f"max_seconds must be > 0, got {max_seconds!r}")
+    if by is not None:
+        pairs = _pairs_grouped(df, column, column, by, row_id)
+    else:
+        pairs = _pairs_global(df, column, column, row_id, n_buckets)
+
+    from pyspark.sql import types as T
+    dt = df.schema[column].dataType
+
+    def _secs(c):
+        # TIMESTAMP_NTZ refuses a direct double cast (Spark 4 ANSI); the
+        # session is pinned to UTC (session.py) so the timestamp cast is
+        # value-preserving and unix_micros keeps sub-second precision
+        if isinstance(dt, T.TimestampNTZType):
+            return F.unix_micros(c.cast("timestamp")) / F.lit(1e6)
+        return c.cast("double")
+
+    gap = _secs(F.col(column)) - _secs(F.col("_prev"))
+    bad = pairs.where(F.col("_prev").isNotNull() & (gap > max_seconds))
+    scope = f" within '{by}'" if by else ""
+    return bad.select(
+        F.col(row_id).cast("string").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"gap:{column}").alias("constraint_id"),
+        F.lit("x-gap").alias("keyword"),
+        F.lit(f"/{column}").alias("instance_path"),
+        F.lit(f"#/x-gap/{column}").alias("schema_path"),
+        F.lit(f"Must not gap more than {max_seconds:g} s{scope}")
+         .alias("message"),
+        F.round(gap, 3).cast("string").alias("actual"),
+        F.array(F.lit(f"<= {max_seconds:g}")).alias("expected"),
+        F.lit(severity).alias("severity"),
+    )
 
 
 def monotonic_violations(

@@ -90,6 +90,14 @@ def table_check_violations(
                 row_id=params.get("id") or row_id,
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
+        elif kind == "gap":
+            from .sequence import gap_violations
+            extras.append(gap_violations(
+                df, column, row_id=params.get("id") or row_id,
+                max_seconds=params["max_seconds"], by=params.get("by"),
+                n_buckets=params["n_buckets"],
+                ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "monotonic":
             from .sequence import monotonic_violations
             extras.append(monotonic_violations(

@@ -87,6 +87,7 @@ _KNOWN_KEYWORDS = {
     "x-leakage",
     "x-embedding",
     "x-fd",
+    "x-gap",
 }
 
 
@@ -469,6 +470,15 @@ _KEYWORD_SHAPE = {
          or (isinstance(v["n_buckets"], int)
              and not isinstance(v["n_buckets"], bool)
              and v["n_buckets"] > 0)),
+    "x-gap": lambda v: isinstance(v, dict)
+    and isinstance(v.get("max_seconds"), _NUM)
+    and not isinstance(v["max_seconds"], bool) and v["max_seconds"] > 0
+    and (v.get("by") is None or isinstance(v["by"], str))
+    and (v.get("id") is None or isinstance(v["id"], str))
+    and (v.get("n_buckets") is None
+         or (isinstance(v["n_buckets"], int)
+             and not isinstance(v["n_buckets"], bool)
+             and v["n_buckets"] > 0)),
     "x-fd": lambda v: isinstance(v, dict)
     and isinstance(v.get("determined_by"), list)
     and len(v["determined_by"]) > 0
@@ -647,7 +657,7 @@ _VARIANT_UNSUPPORTED_KWS = frozenset((
     "x-unique", "x-ref", "x-drift", "x-dedup", "x-langid", "x-rate",
     "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
     "x-monotonic", "x-dup-ngram", "x-gopher", "x-c4", "x-leakage", "x-embedding",
-    "x-fd"))
+    "x-fd", "x-gap"))
 
 
 def _compile_variant_node(schema: dict, ctx: _Ctx) -> None:
@@ -1293,6 +1303,23 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 }))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-monotonic"))
+
+    if "x-gap" in schema and not ctx.silent:
+        # continuity check (operators/sequence.py gap_violations): the
+        # monotonic machinery ordered by the column itself — relational
+        # window pass, top-level columns only
+        if is_top:
+            p = schema["x-gap"]
+            ctx.out.table_checks.append(
+                ("gap", ctx.instance_path[1:], {
+                    "max_seconds": float(p["max_seconds"]),
+                    "by": p.get("by"),
+                    "n_buckets": int(p.get("n_buckets") or 64),
+                    "id": p.get("id"),
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-gap"))
 
     if "x-fd" in schema and not ctx.silent:
         # functional dependency (operators/fd.py): the column must take a

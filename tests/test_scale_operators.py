@@ -369,3 +369,38 @@ def test_x_severity_reaches_table_checks(spark):
     (r,) = validate_with_table_checks(df, compiled, row_id="rid") \
         .violations.collect()
     assert r.keyword == "unique" and r.severity == "error"
+
+
+def test_emd_matches_manual_and_guards(spark):
+    """1-D Wasserstein over the shared histogram (drift.emd): equals the
+    hand-computed |CDF diff| sum x bucket width on a known shift; the
+    identical distribution scores 0; a missing side returns NULL."""
+    from remark_lint_frontmatter_schema_spark.operators import drift
+    # side a: uniform on buckets 1..10; side b: the same shifted +2 buckets
+    rows = ([("a", float(v)) for v in range(10) for _ in range(5)]
+            + [("b", float(v) + 2.0) for v in range(10) for _ in range(5)])
+    df = spark.createDataFrame(rows, "side string, v double")
+    h = drift.histogram(df, "v", "side", lo=0.0, hi=12.0, n_buckets=12)
+    # exact shift of a discrete uniform: EMD = shift = 2 buckets
+    got = drift.emd(h, "a", "b").first().emd
+    assert abs(got - 2.0) < 1e-9
+    # in value units: bucket width 1.0 here, so identical
+    assert abs(drift.emd(h, "a", "b", bucket_width=1.0).first().emd
+               - got) < 1e-12
+    assert drift.emd(h, "a", "a").first().emd == 0.0
+    assert drift.emd(h, "a", "TYPO").first().emd is None
+    # magnitude-awareness vs KS: the same 10%-mass outlier moved farther
+    # raises EMD but leaves KS unchanged
+    near = ([("a", 1.0)] * 9 + [("a", 3.0)]
+            + [("b", 1.0)] * 9 + [("b", 5.0)])
+    far = ([("a", 1.0)] * 9 + [("a", 3.0)]
+           + [("b", 1.0)] * 9 + [("b", 11.0)])
+    hn = drift.histogram(spark.createDataFrame(near, "side string, v double"),
+                         "v", "side", lo=0.0, hi=12.0, n_buckets=12)
+    hf = drift.histogram(spark.createDataFrame(far, "side string, v double"),
+                         "v", "side", lo=0.0, hi=12.0, n_buckets=12)
+    ks_n = drift.ks_statistic(hn, "a", "b").first().ks_stat
+    ks_f = drift.ks_statistic(hf, "a", "b").first().ks_stat
+    assert abs(ks_n - ks_f) < 1e-9
+    assert drift.emd(hf, "a", "b").first().emd \
+        > drift.emd(hn, "a", "b").first().emd

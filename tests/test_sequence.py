@@ -142,3 +142,103 @@ def test_malformed_x_monotonic_fails_compile(spark):
         with pytest.raises(RulesetCompileError):
             compile_ruleset({"properties": {"x": {"x-monotonic": bad}}},
                             df.schema)
+
+
+# ---------------------------------------------------------------------------
+# x-gap continuity (gap_violations)
+# ---------------------------------------------------------------------------
+
+def _gap_oracle(rows, max_s):
+    """rows = [(id, ts_epoch, grp)]; later-row ids of pairs gapping
+    > max_s within each group (grp=None -> one global sequence)."""
+    out = set()
+    groups = {}
+    for r in rows:
+        if r[1] is None:
+            continue
+        groups.setdefault(r[2], []).append(r)
+    for g in groups.values():
+        g.sort(key=lambda r: r[1])
+        out |= {cur[0] for prev, cur in zip(g, g[1:])
+                if cur[1] - prev[1] > max_s}
+    return out
+
+
+def test_gap_grouped(spark):
+    from remark_lint_frontmatter_schema_spark.operators.sequence import (
+        gap_violations)
+    rows = [("a1", 0.0, "A"), ("a2", 10.0, "A"), ("a3", 4000.0, "A"),
+            ("b1", 0.0, "B"), ("b2", 3599.0, "B"), ("b3", 7200.0, "B"),
+            ("n1", None, "A")]
+    df = spark.createDataFrame(rows, "id string, ts double, grp string")
+    got = {r.row_id for r in gap_violations(
+        df, "ts", row_id="id", by="grp", max_seconds=3600).collect()}
+    assert got == _gap_oracle(rows, 3600) == {"a3", "b3"}
+
+
+@pytest.mark.parametrize("n_buckets", [1, 3, 8])
+def test_gap_global_bucketed_matches_oracle(spark, n_buckets):
+    from remark_lint_frontmatter_schema_spark.operators.sequence import (
+        gap_violations)
+    rnd = random.Random(7)
+    ts, rows = 0.0, []
+    for i in range(200):
+        ts += rnd.choice([1, 5, 30, 120])
+        rows.append((f"r{i:03d}", ts, None))
+    df = spark.createDataFrame([(i, t) for i, t, _ in rows],
+                               "id string, ts double").repartition(5)
+    got = {r.row_id for r in gap_violations(
+        df, "ts", row_id="id", max_seconds=60,
+        n_buckets=n_buckets).collect()}
+    assert got == _gap_oracle(rows, 60)
+    assert got  # the 120 s steps must actually fire
+
+
+def test_gap_timestamps_and_message(spark):
+    from remark_lint_frontmatter_schema_spark.operators.sequence import (
+        gap_violations)
+    df = spark.createDataFrame(
+        [("e1", "2026-01-01 00:00:00"), ("e2", "2026-01-01 00:30:00"),
+         ("e3", "2026-01-01 02:00:00")],
+        "id string, ts string").selectExpr("id", "cast(ts as timestamp) ts")
+    v = gap_violations(df, "ts", row_id="id", max_seconds=3600).collect()
+    assert [r.row_id for r in v] == ["e3"]
+    assert v[0].actual == "5400.0" and v[0].expected == ["<= 3600"]
+    assert v[0].message == "Must not gap more than 3600 s"
+
+
+def test_gap_rejects_nonpositive(spark):
+    from remark_lint_frontmatter_schema_spark.operators.sequence import (
+        gap_violations)
+    df = spark.createDataFrame([("a", 1.0)], "id string, ts double")
+    with pytest.raises(ValueError):
+        gap_violations(df, "ts", row_id="id", max_seconds=0)
+
+
+def test_x_gap_dsl_end_to_end(spark):
+    rows = [("a1", 0.0, "A"), ("a2", 4000.0, "A"), ("b1", 0.0, "B")]
+    df = spark.createDataFrame(rows, "id string, ts double, grp string")
+    rs = {"type": "object", "properties": {
+        "ts": {"x-gap": {"max_seconds": 3600, "by": "grp", "id": "id"}}}}
+    compiled = compile_ruleset(rs, df.schema, name="beats")
+    res = validate_with_table_checks(df, compiled, row_id="id")
+    v = res.violations.collect()
+    assert [r.row_id for r in v] == ["a2"]
+    assert v[0].keyword == "x-gap" and v[0].ruleset_id == "beats"
+    assert "within 'grp'" in v[0].message
+
+
+def test_x_gap_nested_unknown_and_malformed(spark):
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("m", T.MapType(T.StringType(), T.StringType()))])
+    rs = {"properties": {"m": {"properties": {
+        "k": {"x-gap": {"max_seconds": 10}}}}}}
+    compiled = compile_ruleset(rs, schema, name="nested")
+    assert ("/m/k", "x-gap") in compiled.unknown and not compiled.table_checks
+    for bad in ({}, {"max_seconds": 0}, {"max_seconds": True},
+                {"max_seconds": "x"}):
+        with pytest.raises(RulesetCompileError):
+            compile_ruleset({"type": "object", "properties": {
+                "id": {"x-gap": bad}}}, schema, name="bad")
