@@ -362,6 +362,42 @@ def q_gap_events_by_user(spark, sf):
         "row_id", "constraint_id", "keyword", "message", "actual")
 
 
+def q_sessionize_events(spark, sf):
+    """Sessionization (operators/sequence.py sessionize): per-user event
+    timelines split at >30 min gaps — the constructive twin of x-gap.
+    One group-key shuffle + per-group window."""
+    from remark_lint_frontmatter_schema_spark.operators.sequence import (
+        sessionize)
+    ev = _load(spark, sf, "events")
+    return sessionize(ev, "ts", by="user_id", gap_seconds=1800).select(
+        "event_id", "user_id", "session_index", "session_id")
+
+
+def q_profile_diff_orders(spark, sf):
+    """Induced-profile drift (operators/induce.py profile_diff): which
+    constraint facts moved between two table versions — here a
+    deterministic price-bumped twin of orders shifts the o_totalprice
+    bounds while every other induced fact (enums, null-rates, key
+    ranges) stays put. The oracle derives the genuinely-moved facts from
+    first principles; any spurious engine row fails the count match."""
+    from remark_lint_frontmatter_schema_spark.operators.induce import (
+        profile_diff)
+    orders = _load(spark, sf, "orders")
+    bumped = orders.withColumn(
+        "o_totalprice",
+        F.when((F.col("o_orderkey") % 83 == 0)
+               & F.col("o_totalprice").isNotNull(),
+               F.col("o_totalprice") + 100000.0)
+         .otherwise(F.col("o_totalprice"))).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+         .otherwise(F.col("o_orderstatus")))
+    d = profile_diff(orders, bumped,
+                     ["o_orderstatus", "o_totalprice", "o_custkey"])
+    return d.select("col_name", "keyword", "change",
+                    F.array_join("changed_columns", ",").alias("changed_cols"))
+
+
 def q_diff_orders(spark, sf):
     """Snapshot diff (operators/diff.py): two deterministic derivations
     of orders play old/new snapshot — keys %97==0 are absent from old
@@ -1345,6 +1381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_orders": q_diff_orders,
         "induce_orders": q_induce_orders,
         "gap_events_by_user": q_gap_events_by_user,
+        "sessionize_events": q_sessionize_events,
+        "profile_diff_orders": q_profile_diff_orders,
         "url_dedup_documents": q_url_dedup_documents,
         "ref_orders_customer": q_ref_orders_customer,
         "ref_orders_customer_bloom": q_ref_orders_customer_bloom,
@@ -2435,6 +2473,55 @@ SELECT l_returnflag,
        count(DISTINCT l_partkey) AS n_distinct_part,
        round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem GROUP BY l_returnflag
+""",
+        "sessionize_events": """
+WITH s AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+), x AS (
+  SELECT event_id, user_id,
+         CAST(sum(CASE WHEN prev IS NULL
+                       OR epoch(ts) - epoch(prev) > 1800
+                  THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_index
+  FROM s)
+SELECT event_id, user_id, session_index,
+       CAST(user_id AS VARCHAR) || '-'
+         || CAST(session_index AS VARCHAR) AS session_id
+FROM x
+""",
+        "profile_diff_orders": """
+WITH n AS (
+  SELECT CASE WHEN o_orderkey % 83 = 0 AND o_totalprice IS NOT NULL
+           THEN o_totalprice + 100000.0 ELSE o_totalprice END AS p,
+         CASE WHEN o_orderkey % 97 = 0 THEN NULL
+           ELSE o_orderstatus END AS s
+  FROM orders),
+feats AS (SELECT
+  (SELECT max(o_totalprice) FROM orders) AS omx,
+  (SELECT max(p) FROM n) AS nmx,
+  (SELECT min(o_totalprice) FROM orders) AS omn,
+  (SELECT min(p) FROM n) AS nmn,
+  (SELECT count(*) = count(o_orderstatus) AND count(*) > 0
+   FROM orders) AS oreq,
+  (SELECT count(*) = count(s) AND count(*) > 0 FROM n) AS nreq,
+  (SELECT string_agg(v, ',' ORDER BY v) FROM
+   (SELECT DISTINCT o_orderstatus v FROM orders
+    WHERE o_orderstatus IS NOT NULL) t) AS oenum,
+  (SELECT string_agg(v, ',' ORDER BY v) FROM
+   (SELECT DISTINCT s v FROM n WHERE s IS NOT NULL) t) AS nenum)
+SELECT 'o_totalprice' AS col_name, 'maximum' AS keyword,
+       'changed' AS change, 'num_value' AS changed_cols
+FROM feats WHERE omx <> nmx
+UNION ALL SELECT 'o_totalprice', 'minimum', 'changed', 'num_value'
+FROM feats WHERE omn <> nmn
+UNION ALL SELECT 'o_orderstatus', 'required', 'changed', 'str_value'
+FROM feats WHERE oreq <> nreq
+UNION ALL SELECT 'o_orderstatus', 'enum', 'changed', 'str_value'
+FROM feats WHERE oenum IS DISTINCT FROM nenum
 """,
         "gap_events_by_user": """
 WITH s AS (

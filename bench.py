@@ -87,6 +87,8 @@ HEADLINE = [
     "semdedup_embeddings",
     "gap_events_by_user",
     "drift_events_emd",
+    "sessionize_events",
+    "profile_diff_orders",
 ]
 
 

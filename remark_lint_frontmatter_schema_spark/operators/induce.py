@@ -146,6 +146,26 @@ def induce_ruleset(df: DataFrame, columns: list[str] | None = None, *,
     return rs
 
 
+def profile_diff(old: DataFrame, new: DataFrame, columns: list[str], *,
+                 enum_max: int = 8) -> DataFrame:
+    """Induced-PROFILE drift between two table versions: which constraint
+    facts (bounds, null-rates, enum sets, length limits) moved — the
+    schema-level companion to row-level ``snapshot_diff`` and the
+    check-free complement to ``x-drift`` (no thresholds, no histogram —
+    just "the evidence a ruleset rests on changed").
+
+    Implemented as :func:`operators.diff.snapshot_diff` over the two
+    facts relations keyed on ``(col_name, keyword)``: ``changed`` rows
+    carry which value slot moved, ``added``/``removed`` appear when a
+    column gains/loses enum candidacy (its fact keywords differ). Costs
+    the two profile scans; the diff itself runs on fact-sized data."""
+    from .diff import snapshot_diff
+    return snapshot_diff(
+        induced_facts_df(old, columns, enum_max=enum_max),
+        induced_facts_df(new, columns, enum_max=enum_max),
+        ["col_name", "keyword"])
+
+
 def induced_facts_df(df: DataFrame, columns: list[str], *,
                      enum_max: int = 8) -> DataFrame:
     """The induced facts as rows ``(col_name, keyword, num_value,

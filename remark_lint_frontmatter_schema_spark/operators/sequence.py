@@ -153,6 +153,61 @@ def gap_violations(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    by: str,
+    gap_seconds: float,
+    session_col: str = "session_id",
+    index_col: str = "session_index",
+) -> DataFrame:
+    """The constructive twin of :func:`gap_violations`: split each
+    ``by``-group's timeline into sessions at every gap larger than
+    ``gap_seconds``. Adds ``index_col`` (1-based session ordinal within
+    the group) and ``session_col`` (``"<group>-<ordinal>"`` — globally
+    unique, stable across reruns) to every row; rows with NULL ``ts_col``
+    or NULL group get NULL in both (absent from any session).
+
+    Plan: ONE shuffle on the group key, then a per-group window computing
+    the gap flag and its running sum — the shuffle carries the input
+    row (sessionization annotates, so the full row rides; project first
+    if only keys are needed downstream). Sessionization is inherently
+    per-entity — there is deliberately no global form (a global timeline
+    session is `gap_violations(by=None)`'s domain as a CHECK; as an
+    assignment it would force a total order)."""
+    if not gap_seconds > 0:
+        raise ValueError(f"gap_seconds must be > 0, got {gap_seconds!r}")
+
+    from pyspark.sql import types as T
+    dt = df.schema[ts_col].dataType
+
+    def _secs(c):
+        if isinstance(dt, T.TimestampNTZType):
+            return F.unix_micros(c.cast("timestamp")) / F.lit(1e6)
+        return c.cast("double")
+
+    # NULL timestamps sort FIRST (pinned — engines differ on the default)
+    # and contribute 0 to the running flag sum, so they can never shift a
+    # real session's ordinal; the first valid row still flags 1 because
+    # its lag (a NULL-ts predecessor or nothing) is NULL either way
+    w = Window.partitionBy(by).orderBy(F.asc_nulls_first(ts_col))
+    in_scope = F.col(ts_col).isNotNull() & F.col(by).isNotNull()
+    prev = F.lag(ts_col).over(w)
+    new_sess = F.when(
+        F.col(ts_col).isNotNull()
+        & (prev.isNull()
+           | (_secs(F.col(ts_col)) - _secs(prev) > gap_seconds)),
+        F.lit(1)).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    idx = F.sum(new_sess).over(run)
+    return df.withColumn(
+        index_col, F.when(in_scope, idx)).withColumn(
+        session_col,
+        F.when(in_scope, F.concat(F.col(by).cast("string"), F.lit("-"),
+                                  F.col(index_col).cast("string"))))
+
+
 def monotonic_violations(
     df: DataFrame,
     column: str,

@@ -92,3 +92,22 @@ def test_facts_df_shape(df):
     # x,y,z each appear once: no repetition evidence, so length bounds
     assert ("maybe", "enum") not in rows
     assert rows[("maybe", "minLength")].num_value == 1.0
+
+
+def test_profile_diff(spark):
+    from remark_lint_frontmatter_schema_spark.operators.induce import (
+        profile_diff)
+    old = spark.createDataFrame(ROWS, SCHEMA)
+    # new: score max moves, maybe-null filled (null-rate fact changes)
+    new = spark.createDataFrame(
+        [(1, "alpha", 10.5, "A", "w"),
+         (2, "bravo", -3.25, "B", "x"),
+         (3, "charlie7", 500.0, "A", "y"),
+         (4, "dl", 0.0, "C", "z")], SCHEMA)
+    d = {(r.col_name, r.keyword): r for r in
+         profile_diff(old, new, ["score", "grade", "maybe"]).collect()}
+    assert d[("score", "maximum")].change == "changed"
+    assert d[("score", "maximum")].changed_columns == ["num_value"]
+    assert d[("maybe", "required")].change == "changed"   # false -> true
+    assert ("grade", "enum") not in d                     # unchanged
+    assert ("score", "minimum") not in d

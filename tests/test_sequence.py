@@ -242,3 +242,54 @@ def test_x_gap_nested_unknown_and_malformed(spark):
         with pytest.raises(RulesetCompileError):
             compile_ruleset({"type": "object", "properties": {
                 "id": {"x-gap": bad}}}, schema, name="bad")
+
+
+# ---------------------------------------------------------------------------
+# sessionize (the constructive twin of x-gap)
+# ---------------------------------------------------------------------------
+
+def test_sessionize_splits_on_gap(spark):
+    from remark_lint_frontmatter_schema_spark.operators.sequence import (
+        sessionize)
+    rows = [("a1", 0.0, "A"), ("a2", 100.0, "A"), ("a3", 4000.0, "A"),
+            ("a4", 4100.0, "A"), ("b1", 0.0, "B")]
+    df = spark.createDataFrame(rows, "id string, ts double, grp string")
+    got = {r.id: (r.session_index, r.session_id) for r in
+           sessionize(df, "ts", by="grp", gap_seconds=3600).collect()}
+    assert got["a1"] == (1, "A-1") and got["a2"] == (1, "A-1")
+    assert got["a3"] == (2, "A-2") and got["a4"] == (2, "A-2")
+    assert got["b1"] == (1, "B-1")
+
+
+def test_sessionize_null_ts_and_group(spark):
+    from remark_lint_frontmatter_schema_spark.operators.sequence import (
+        sessionize)
+    rows = [("x1", None, "A"), ("x2", 10.0, "A"), ("x3", 20.0, "A"),
+            ("x4", 10.0, None)]
+    df = spark.createDataFrame(rows, "id string, ts double, grp string")
+    got = {r.id: (r.session_index, r.session_id) for r in
+           sessionize(df, "ts", by="grp", gap_seconds=60).collect()}
+    # NULL ts / NULL group rows get NULL and never shift real ordinals
+    assert got["x1"] == (None, None) and got["x4"] == (None, None)
+    assert got["x2"] == (1, "A-1") and got["x3"] == (1, "A-1")
+
+
+def test_sessionize_boundary_is_strict_gt(spark):
+    from remark_lint_frontmatter_schema_spark.operators.sequence import (
+        sessionize)
+    df = spark.createDataFrame(
+        [("a", 0.0, "g"), ("b", 60.0, "g"), ("c", 120.5, "g")],
+        "id string, ts double, grp string")
+    got = {r.id: r.session_index for r in
+           sessionize(df, "ts", by="grp", gap_seconds=60).collect()}
+    # gap == 60 stays in-session; 60.5 splits
+    assert got == {"a": 1, "b": 1, "c": 2}
+
+
+def test_sessionize_rejects_nonpositive(spark):
+    from remark_lint_frontmatter_schema_spark.operators.sequence import (
+        sessionize)
+    df = spark.createDataFrame([("a", 1.0, "g")],
+                               "id string, ts double, grp string")
+    with pytest.raises(ValueError):
+        sessionize(df, "ts", by="grp", gap_seconds=0)
