@@ -34,7 +34,14 @@ _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
+# formats probed during induction, most-specific first — the first whose
+# regex matches EVERY non-null value wins ("uri" is broadest, so last)
+_INFER_FORMATS = ("uuid", "email", "ipv4", "date-time", "date", "time",
+                  "url", "uri")
+
+
 def _profile_row(df: DataFrame, columns: list[str]):
+    from ..functions.formats import FORMAT_REGEX
     aggs = [F.count(F.lit(1)).alias("_total")]
     for c in columns:
         dt = df.schema[c].dataType
@@ -46,6 +53,10 @@ def _profile_row(df: DataFrame, columns: list[str]):
         elif isinstance(dt, T.StringType):
             aggs.append(F.min(F.length(F.col(c))).alias(f"mn__{c}"))
             aggs.append(F.max(F.length(F.col(c))).alias(f"mx__{c}"))
+            for fmt in _INFER_FORMATS:
+                aggs.append(
+                    F.sum(F.col(c).rlike(FORMAT_REGEX[fmt]).cast("long"))
+                     .alias(f"fm__{c}__{fmt}"))
     return df.agg(*aggs).collect()[0]
 
 
@@ -99,6 +110,14 @@ def induce(df: DataFrame, columns: list[str] | None = None, *,
             f["min"], f["max"] = prof[f"mn__{c}"], prof[f"mx__{c}"]
         if c in enums:
             f["enum"] = enums[c]
+        elif isinstance(df.schema[c].dataType, T.StringType) \
+                and prof[f"nn__{c}"] > 0:
+            # format inference: EVERY non-null value matches (an enum
+            # column is already pinned tighter than any format)
+            for fmt in _INFER_FORMATS:
+                if prof[f"fm__{c}__{fmt}"] == prof[f"nn__{c}"]:
+                    f["format"] = fmt
+                    break
         facts[c] = f
     return facts
 
@@ -135,6 +154,8 @@ def induce_ruleset(df: DataFrame, columns: list[str] | None = None, *,
         elif isinstance(dt, T.StringType) and fx.get("min") is not None:
             node["minLength"] = int(fx["min"])
             node["maxLength"] = int(fx["max"])
+            if "format" in fx:
+                node["format"] = fx["format"]
         if fx["required"]:
             required.append(c)
         props[c] = node
@@ -187,6 +208,8 @@ def induced_facts_df(df: DataFrame, columns: list[str], *,
         elif isinstance(dt, T.StringType) and fx.get("min") is not None:
             rows.append((c, "minLength", float(fx["min"]), None))
             rows.append((c, "maxLength", float(fx["max"]), None))
+            if "format" in fx:
+                rows.append((c, "format", None, fx["format"]))
     return df.sparkSession.createDataFrame(
         rows, "col_name string, keyword string, num_value double, "
               "str_value string")

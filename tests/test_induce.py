@@ -111,3 +111,38 @@ def test_profile_diff(spark):
     assert d[("maybe", "required")].change == "changed"   # false -> true
     assert ("grade", "enum") not in d                     # unchanged
     assert ("score", "minimum") not in d
+
+
+def test_format_inference(spark):
+    rows = [
+        (1, "4c0e3cea-1b00-4a1e-9e1f-09d4b52a1a10", "a@example.com",
+         "2024-01-02", "mixed"),
+        (2, "deadbeef-dead-beef-dead-beefdeadbeef", "b@example.org",
+         "2024-12-31", "b@example.org"),
+        (3, None, "c@x.io", "2023-06-15", "plain"),
+    ]
+    d = spark.createDataFrame(
+        rows, "id long, u string, e string, dt string, noisy string")
+    fx = induce(d, ["u", "e", "dt", "noisy"])
+    assert fx["u"]["format"] == "uuid"       # nulls don't block inference
+    assert fx["e"]["format"] == "email"
+    assert fx["dt"]["format"] == "date"
+    assert "format" not in fx["noisy"]       # one non-match disqualifies
+    rs = induce_ruleset(d, ["u", "e", "noisy"])
+    assert rs["properties"]["u"]["format"] == "uuid"
+    assert "format" not in rs["properties"]["noisy"]
+    # round-trip: induced format compiles and the inducing data is clean
+    compiled = compile_ruleset(rs, d.schema, name="fmt")
+    assert not compiled.unknown
+    assert validate(d, compiled, row_id="id").violations.count() == 0
+    # and a mutated row violates the induced format
+    bad = spark.createDataFrame(
+        [(9, "not-a-uuid-atallxx-xxxx-xxxxxxxxxxxx", "a@example.com",
+          "x", "y")], "id long, u string, e string, dt string, noisy string")
+    kws = {r.keyword for r in
+           validate(bad, compiled, row_id="id").violations.collect()}
+    assert "format" in kws
+    facts = {(r.col_name, r.keyword): r for r in
+             induced_facts_df(d, ["u", "noisy"]).collect()}
+    assert facts[("u", "format")].str_value == "uuid"
+    assert ("noisy", "format") not in facts
