@@ -398,6 +398,27 @@ def q_profile_diff_orders(spark, sf):
                     F.array_join("changed_columns", ",").alias("changed_cols"))
 
 
+def q_fd_discover_lineitem(spark, sf):
+    """FD discovery (operators/fd.py fd_discover): score candidate
+    dependencies — returnflag->linestatus and orderkey->returnflag (both
+    weak), plus the composite line key -> quantity (the synthetic table
+    deliberately duplicates line keys, so its violation count measures
+    exactly that duplication mass). Each candidate is two keys-only
+    aggregates; results are driver-scale scalars."""
+    from remark_lint_frontmatter_schema_spark.operators.fd import fd_discover
+    li = _load(spark, sf, "lineitem")
+    res = fd_discover(li, [
+        (["l_returnflag"], "l_linestatus"),
+        (["l_orderkey"], "l_returnflag"),
+        (["l_orderkey", "l_linenumber"], "l_quantity"),
+    ])
+    return spark.createDataFrame(
+        [(",".join(r["determined_by"]), r["dependent"], r["n_rows"],
+          r["n_violations"]) for r in res],
+        "determinant string, dependent string, n_rows long, "
+        "n_violations long")
+
+
 def q_diff_orders(spark, sf):
     """Snapshot diff (operators/diff.py): two deterministic derivations
     of orders play old/new snapshot — keys %97==0 are absent from old
@@ -1378,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_lineitem": q_stats_lineitem,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
         "fd_lineitem": q_fd_lineitem,
+        "fd_discover_lineitem": q_fd_discover_lineitem,
         "diff_orders": q_diff_orders,
         "induce_orders": q_induce_orders,
         "gap_events_by_user": q_gap_events_by_user,
@@ -2621,6 +2643,35 @@ SELECT 'o_custkey', 'minimum',
 UNION ALL
 SELECT 'o_custkey', 'maximum',
        (SELECT CAST(max(o_custkey) AS DOUBLE) FROM orders), NULL
+""",
+        "fd_discover_lineitem": """
+WITH c1 AS (SELECT l_returnflag d, l_linestatus v, count(*) cnt
+            FROM lineitem
+            WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+            GROUP BY 1, 2),
+g1 AS (SELECT d, sum(cnt) n, max(cnt) m FROM c1 GROUP BY d),
+c2 AS (SELECT l_orderkey d, l_returnflag v, count(*) cnt
+       FROM lineitem
+       WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
+       GROUP BY 1, 2),
+g2 AS (SELECT d, sum(cnt) n, max(cnt) m FROM c2 GROUP BY d),
+c3 AS (SELECT l_orderkey d1, l_linenumber d2, l_quantity v, count(*) cnt
+       FROM lineitem
+       WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+         AND l_quantity IS NOT NULL
+       GROUP BY 1, 2, 3),
+g3 AS (SELECT d1, d2, sum(cnt) n, max(cnt) m FROM c3 GROUP BY d1, d2)
+SELECT 'l_returnflag' AS determinant, 'l_linestatus' AS dependent,
+       CAST((SELECT sum(n) FROM g1) AS BIGINT) AS n_rows,
+       CAST((SELECT sum(n - m) FROM g1) AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'l_orderkey', 'l_returnflag',
+       CAST((SELECT sum(n) FROM g2) AS BIGINT),
+       CAST((SELECT sum(n - m) FROM g2) AS BIGINT)
+UNION ALL
+SELECT 'l_orderkey,l_linenumber', 'l_quantity',
+       CAST((SELECT sum(n) FROM g3) AS BIGINT),
+       CAST((SELECT sum(n - m) FROM g3) AS BIGINT)
 """,
         "diff_orders": """
 WITH o AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0),

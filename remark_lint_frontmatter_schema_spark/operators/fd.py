@@ -49,6 +49,47 @@ def fd_conflicts(df: DataFrame, dependent: str,
                           (-F.col("_m._neg")).alias("n_majority")))
 
 
+def fd_strength(df: DataFrame, dependent: str,
+                determined_by: list[str]) -> dict:
+    """How well the FD holds: ``{n_rows, n_violations, violation_rate,
+    holds}`` over the non-null scope — ``n_violations`` is the minimum
+    number of rows to drop (or repair to the group majority) to make the
+    dependency exact. Two aggregates, shuffles keys only."""
+    dets = list(determined_by)
+    scoped = df.select(*dets, dependent).na.drop(subset=[*dets, dependent])
+    n_rows = scoped.count()
+    row = (fd_conflicts(df, dependent, dets)
+           .agg(F.sum(F.col("n_rows") - F.col("n_majority")).alias("v"))
+           .collect()[0])
+    n_viol = int(row["v"] or 0)
+    return {"n_rows": n_rows, "n_violations": n_viol,
+            "violation_rate": (n_viol / n_rows) if n_rows else 0.0,
+            "holds": n_viol == 0}
+
+
+def fd_discover(df: DataFrame, candidates: list[tuple], *,
+                max_violation_rate: float = 0.0) -> list[dict]:
+    """Score candidate dependencies and suggest the ones that (almost)
+    hold — the induction-side companion to ``x-fd`` (``induce_ruleset``
+    drafts per-column constraints; this drafts the cross-column ones).
+
+    ``candidates`` is a list of ``(determined_by, dependent)`` pairs
+    (``determined_by`` a list of column names). Each candidate costs two
+    keys-only aggregates — candidate sets are meant to be hand-picked
+    (an exhaustive column-pair mine is O(c²) scans; pass the pairs a
+    human would actually declare). Returns one dict per candidate with
+    the :func:`fd_strength` fields plus ``suggested`` (violation_rate <=
+    ``max_violation_rate``) — feed suggested pairs straight into
+    ``{"x-fd": {"determined_by": [...]}}`` on the dependent's node."""
+    out = []
+    for determined_by, dependent in candidates:
+        s = fd_strength(df, dependent, list(determined_by))
+        out.append({"determined_by": list(determined_by),
+                    "dependent": dependent, **s,
+                    "suggested": s["violation_rate"] <= max_violation_rate})
+    return out
+
+
 def fd_violations(df: DataFrame, dependent: str, determined_by: list[str],
                   *, row_id: str, ruleset_name: str = "engine",
                   severity: str = "warning") -> DataFrame:

@@ -99,3 +99,20 @@ def test_clean_fd_no_violations(df):
     clean = df.where(F.col("device") == "d1")
     assert fd_violations(clean, "sr_hz", ["device"],
                          row_id="clip_id").count() == 0
+
+
+def test_fd_strength_and_discover(df):
+    from remark_lint_frontmatter_schema_spark.operators.fd import (
+        fd_discover, fd_strength)
+    s = fd_strength(df, "sr_hz", ["device"])
+    # scope = 8 non-null pairs; minority rows: 22050 (d2), 44100 (d3)
+    assert s == {"n_rows": 8, "n_violations": 2,
+                 "violation_rate": 0.25, "holds": False}
+    res = fd_discover(df, [(["device"], "sr_hz"),
+                           (["sr_hz"], "sr_hz")])
+    by_dep = {tuple(r["determined_by"]): r for r in res}
+    assert not by_dep[("device",)]["suggested"]
+    assert by_dep[("sr_hz",)]["holds"] and by_dep[("sr_hz",)]["suggested"]
+    # tolerance: 25% violations pass a 0.3 bar
+    res2 = fd_discover(df, [(["device"], "sr_hz")], max_violation_rate=0.3)
+    assert res2[0]["suggested"] and not res2[0]["holds"]
