@@ -408,3 +408,76 @@ def test_group_split_is_pure_map(spark, tmp_path):
     df = spark.read.parquet(p)
     plan = _plan(group_split(df, "grp"))
     assert "Exchange" not in plan, plan
+
+
+def test_fd_violations_prune_and_no_cartesian(spark, tmp_path):
+    """x-fd: both fact scans prune to (row_id, determinant, dependent);
+    the conflicted-group join is a key equi-join, never a cartesian."""
+    from remark_lint_frontmatter_schema_spark.operators.fd import fd_violations
+    p = str(tmp_path / "fdtab")
+    spark.createDataFrame(
+        [(i, f"d{i % 3}", 16000 if i % 7 else 22050, "x" * 50, i * 1.0)
+         for i in range(200)],
+        "rid long, device string, sr int, payload string, other double") \
+        .write.parquet(p)
+    df = spark.read.parquet(p)
+    v = fd_violations(df, "sr", ["device"], row_id="rid")
+    plan = _plan(v)
+    reads = " ".join(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "payload" not in reads and "other" not in reads, reads
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_url_groups_single_shuffle_no_python(spark, tmp_path):
+    """Canonical-URL dedup: pure JVM expressions (no Arrow/Python eval
+    stage) and exactly the one groupBy Exchange; scan pruned to url+id."""
+    from remark_lint_frontmatter_schema_spark.operators.urls import url_groups
+    p = str(tmp_path / "urltab")
+    spark.createDataFrame(
+        [(i, f"https://Example.com/p{i % 9}?utm_source=x", "pad" * 40)
+         for i in range(100)], "doc_id long, url string, pad string") \
+        .write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = _plan(url_groups(df, "url", "doc_id"))
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    reads = " ".join(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "pad" not in reads, reads
+    assert plan.count("Exchange") <= 2, plan  # partial+final agg exchange
+
+
+def test_gap_and_sessionize_prune_and_stay_jvm(spark, tmp_path):
+    """x-gap grouped: slim (id, ts, group) projection reaches the scan,
+    no Python stage; sessionize likewise adds no Python stage."""
+    from remark_lint_frontmatter_schema_spark.operators.sequence import (
+        gap_violations, sessionize)
+    p = str(tmp_path / "gaptab")
+    spark.createDataFrame(
+        [(i, float(i * 30), f"u{i % 5}", "blob" * 64) for i in range(200)],
+        "eid long, ts double, user string, payload string") \
+        .write.parquet(p)
+    df = spark.read.parquet(p)
+    gplan = _plan(gap_violations(df, "ts", row_id="eid", by="user",
+                                 max_seconds=60))
+    reads = " ".join(ln for ln in gplan.splitlines() if "ReadSchema" in ln)
+    assert "payload" not in reads, reads
+    assert "EvalPython" not in gplan and "ArrowEval" not in gplan
+    splan = _plan(sessionize(df, "ts", by="user", gap_seconds=60))
+    assert "EvalPython" not in splan and "ArrowEval" not in splan
+
+
+def test_snapshot_diff_prunes_to_keys_and_compared(spark, tmp_path):
+    """Keyed diff: comparing a SUBSET of columns must prune the rest from
+    both scans (the 100 TB case: diff two snapshots on 2 columns without
+    reading the payload)."""
+    from remark_lint_frontmatter_schema_spark.operators.diff import (
+        snapshot_diff)
+    p1, p2 = str(tmp_path / "old"), str(tmp_path / "new")
+    rows = [(i, i * 1.0, "p" * 80) for i in range(100)]
+    schema = "k long, v double, payload string"
+    spark.createDataFrame(rows, schema).write.parquet(p1)
+    spark.createDataFrame(rows, schema).write.parquet(p2)
+    d = snapshot_diff(spark.read.parquet(p1), spark.read.parquet(p2),
+                      ["k"], compare=["v"])
+    reads = " ".join(ln for ln in _plan(d).splitlines()
+                     if "ReadSchema" in ln)
+    assert "payload" not in reads, reads
