@@ -495,6 +495,19 @@ def q_drift_events_emd(spark, sf):
         .select(F.round("emd", 6).alias("emd"))
 
 
+def q_drift_events_type_psi(spark, sf):
+    """Categorical drift (operators/drift.py categorical_hist + psi):
+    event-TYPE frequency shift between the first and second half of the
+    window — the bucket is the category value, so psi/chi2 run unchanged
+    over the tiny (side, category, n) relation."""
+    ev = _load(spark, sf, "events")
+    side = F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp_ntz"),
+                  F.lit("early")).otherwise(F.lit("late"))
+    h = drift.categorical_hist(ev, "event_type", side)
+    return drift.psi(h, "early", "late").select(
+        F.round("psi", 6).alias("psi"))
+
+
 def q_drift_events_psi(spark, sf):
     h = _events_hist(spark, sf)
     return drift.psi(h, "error", "purchase") \
@@ -1412,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events_ks": q_drift_events_ks,
         "drift_events_psi": q_drift_events_psi,
         "drift_events_emd": q_drift_events_emd,
+        "drift_events_type_psi": q_drift_events_type_psi,
         "drift_events_chi2": q_drift_events_chi2,
         "drift_events_windowed_psi": q_drift_events_windowed_psi,
         "topn_flag_violation_rate": q_topn_flag_violation_rate,
@@ -2735,6 +2749,23 @@ WHERE o.o_custkey IS NOT NULL
         "drift_events_ks": _KS_SQL,
         "drift_events_psi": _PSI_SQL,
         "drift_events_emd": _EMD_SQL,
+        "drift_events_type_psi": """
+WITH h AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'early'
+         ELSE 'late' END AS side,
+         event_type AS bucket, count(*) AS n
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+), p AS (
+  SELECT side, bucket, n * 1.0 / sum(n) OVER (PARTITION BY side) AS p
+  FROM h
+), j AS (
+  SELECT greatest(coalesce(a.p, 0.0), 1e-6) AS pa,
+         greatest(coalesce(b.p, 0.0), 1e-6) AS pb
+  FROM (SELECT * FROM p WHERE side = 'early') a
+  FULL OUTER JOIN (SELECT * FROM p WHERE side = 'late') b
+  USING (bucket))
+SELECT round(sum((pa - pb) * ln(pa / pb)), 6) AS psi FROM j
+""",
         "drift_events_chi2": f"""
 WITH h AS ({_HIST_EVENTS_CTE}),
 grid AS (

@@ -87,6 +87,7 @@ HEADLINE = [
     "semdedup_embeddings",
     "gap_events_by_user",
     "drift_events_emd",
+    "drift_events_type_psi",
     "sessionize_events",
     "profile_diff_orders",
 ]

@@ -29,6 +29,20 @@ def histogram(df: DataFrame, value_col: str, side_col, *,
               .agg(F.count(F.lit(1)).alias("n")))
 
 
+def categorical_hist(df: DataFrame, value_col: str, side_col) -> DataFrame:
+    """Category-frequency histogram per side — the categorical analog of
+    :func:`histogram` (``bucket`` holds the category VALUE, so the
+    bucket-keyed statistics that don't assume ordered numeric buckets —
+    :func:`psi`, :func:`chi_square` — work unchanged; KS/EMD are
+    order-dependent and have no meaning over unordered categories).
+    NULL categories are out of scope (``required`` owns presence)."""
+    side = F.col(side_col) if isinstance(side_col, str) else side_col
+    return (df.where(F.col(value_col).isNotNull())
+              .groupBy(side.cast("string").alias("side"),
+                       F.col(value_col).cast("string").alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n")))
+
+
 def _filled_cdfs(hist: DataFrame, side_a: str, side_b: str) -> DataFrame:
     """Per-bucket (cdf_a, cdf_b) with empty buckets forward-filled — the
     shared front half of every CDF-based statistic (KS, EMD)."""
@@ -233,6 +247,7 @@ def drift_violations(df: DataFrame, value_col: str, *, partition_col: str,
                      side_a: str, side_b: str, lo: float, hi: float,
                      n_buckets: int = 25, ks_threshold: float = 0.1,
                      psi_threshold: float = 0.2,
+                     emd_threshold: float | None = None,
                      ruleset_name: str = "engine",
                      severity: str = "warning") -> DataFrame:
     """Lazy violation-row form of :func:`drift_check` for the ``x-drift``
@@ -251,12 +266,23 @@ def drift_violations(df: DataFrame, value_col: str, *, partition_col: str,
     p = psi(hist, str(side_a), str(side_b))
     j = ks.crossJoin(p).select(F.round("ks_stat", 6).alias("ks_stat"),
                                F.round("psi", 6).alias("psi"))
+    emd_fired = F.lit(False)
+    emd_tail = F.lit("")
+    if emd_threshold is not None:
+        # third statistic, value-unit Wasserstein on the same histogram
+        width = (float(hi) - float(lo)) / n_buckets
+        e = emd(hist, str(side_a), str(side_b), bucket_width=width) \
+            .select(F.round("emd", 6).alias("emd"))
+        j = j.crossJoin(e)
+        emd_fired = F.col("emd") > emd_threshold
+        emd_tail = F.concat(F.lit(" emd="), F.col("emd").cast("string"))
     # NULL stats mean a declared side is absent from the data (typo'd
     # label, empty split) — that is a CONFIG defect, surfaced as its own
     # violation row rather than silently passing (fail-closed)
     missing = F.col("ks_stat").isNull() | F.col("psi").isNull()
     drifted = j.where((F.col("ks_stat") > ks_threshold)
-                      | (F.col("psi") > psi_threshold) | missing)
+                      | (F.col("psi") > psi_threshold)
+                      | F.coalesce(emd_fired, F.lit(False)) | missing)
     return drifted.select(
         F.lit(f"{side_a}~{side_b}").alias("row_id"),
         F.lit("all").alias("partition_id"),
@@ -269,12 +295,16 @@ def drift_violations(df: DataFrame, value_col: str, *, partition_col: str,
         F.when(missing,
                F.lit(f"Drift sides '{side_a}'/'{side_b}' not both present "
                      f"in '{partition_col}'"))
-         .otherwise(F.lit(f"Distribution drift on '{value_col}' "
-                          f"({side_a} vs {side_b}): ks>{ks_threshold} "
-                          f"or psi>{psi_threshold}")).alias("message"),
+         .otherwise(F.lit(
+             f"Distribution drift on '{value_col}' "
+             f"({side_a} vs {side_b}): ks>{ks_threshold} "
+             f"or psi>{psi_threshold}"
+             + (f" or emd>{emd_threshold:g}"
+                if emd_threshold is not None else ""))).alias("message"),
         F.when(missing, F.lit("sides missing"))
          .otherwise(F.concat(F.lit("ks="), F.col("ks_stat").cast("string"),
-                             F.lit(" psi="), F.col("psi").cast("string")))
+                             F.lit(" psi="), F.col("psi").cast("string"),
+                             emd_tail))
          .alias("actual"),
         F.lit(None).cast("array<string>").alias("expected"),
         F.lit(severity).alias("severity"),

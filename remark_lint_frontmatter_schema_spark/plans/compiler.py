@@ -571,7 +571,8 @@ _KEYWORD_SHAPE = {
     # (G2 artifact), not raise a raw ValueError mid-routing
     and all(v.get(k) is None
             or (isinstance(v[k], _NUM) and not isinstance(v[k], bool))
-            for k in ("n_buckets", "ks_threshold", "psi_threshold")),
+            for k in ("n_buckets", "ks_threshold", "psi_threshold",
+                      "emd_threshold")),
 }
 
 
@@ -1347,6 +1348,11 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                     "n_buckets": int(p.get("n_buckets", 25)),
                     "ks_threshold": float(p.get("ks_threshold", 0.1)),
                     "psi_threshold": float(p.get("psi_threshold", 0.2)),
+                    # optional third statistic: 1-D Wasserstein in the
+                    # value's units (magnitude-aware; None = not checked)
+                    "emd_threshold": (
+                        float(p["emd_threshold"])
+                        if p.get("emd_threshold") is not None else None),
                     "severity": ctx.severity,
                 }))
         else:

@@ -249,6 +249,7 @@ def test_x_drift_declarative(spark):
         "partition_col": "side", "side_a": "a", "side_b": "b",
         "lo": 0.0, "hi": 100.0, "n_buckets": 20,
         "ks_threshold": 0.1, "psi_threshold": 0.2,
+        "emd_threshold": None,
         "severity": "warning"})]
     got = validate_with_table_checks(df, compiled, row_id="rid") \
         .violations.collect()
@@ -404,3 +405,42 @@ def test_emd_matches_manual_and_guards(spark):
     assert abs(ks_n - ks_f) < 1e-9
     assert drift.emd(hf, "a", "b").first().emd \
         > drift.emd(hn, "a", "b").first().emd
+
+
+def test_categorical_drift_and_emd_threshold_dsl(spark):
+    """categorical_hist feeds psi/chi_square unchanged (bucket = the
+    category value); x-drift's optional emd_threshold fires the violation
+    when KS/PSI would not."""
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators import drift
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    rows = ([("a", "click")] * 40 + [("a", "view")] * 60
+            + [("b", "click")] * 70 + [("b", "view")] * 30)
+    df = spark.createDataFrame(rows, "side string, ev string")
+    h = drift.categorical_hist(df, "ev", "side")
+    assert drift.psi(h, "a", "b").first().psi > 0.3
+    assert drift.chi_square(h, "a", "b").first().chi2 > 10
+    assert drift.psi(h, "a", "TYPO").first().psi is None
+    # emd_threshold in the DSL: tiny uniform shift — below the default
+    # ks/psi bars but past a tight value-unit EMD bar
+    import pyspark.sql.types as T
+    vals = ([("a", float(v)) for v in range(10) for _ in range(10)]
+            + [("b", float(v) + 0.5) for v in range(10) for _ in range(10)])
+    vdf = spark.createDataFrame(vals, "grp string, v double") \
+        .withColumn("rid", F.monotonically_increasing_id())
+    base = {"partition_col": "grp", "side_a": "a", "side_b": "b",
+            "lo": 0, "hi": 12, "n_buckets": 24,
+            "ks_threshold": 0.9, "psi_threshold": 99}
+    quiet = compile_ruleset(
+        {"properties": {"v": {"x-drift": dict(base)}}}, vdf.schema,
+        name="quiet")
+    assert validate_with_table_checks(vdf, quiet, row_id="rid") \
+        .violations.count() == 0
+    armed = compile_ruleset(
+        {"properties": {"v": {"x-drift": {**base, "emd_threshold": 0.2}}}},
+        vdf.schema, name="armed")
+    got = validate_with_table_checks(vdf, armed, row_id="rid") \
+        .violations.collect()
+    assert len(got) == 1 and "emd=" in got[0].actual, got
+    assert "emd>0.2" in got[0].message
