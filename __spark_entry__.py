@@ -419,6 +419,21 @@ def q_fd_discover_lineitem(spark, sf):
         "n_violations long")
 
 
+def q_gibberish_documents(spark, sf):
+    """Character-bigram gibberish scoring (operators/text.py
+    gibberish_scores): per-doc avg log-probability under the corpus's own
+    bigram distribution — the model-file-free perplexity proxy. One
+    persisted (id, gram) explode feeds both the 27^2-row broadcast model
+    and the per-doc score."""
+    from remark_lint_frontmatter_schema_spark.operators.text import (
+        gibberish_scores)
+    docs = _load(spark, sf, "documents")
+    out = gibberish_scores(docs, "text", "doc_id")
+    out = out.select("doc_id", "n_bigrams", "avg_logp")
+    dedup.release_all()
+    return out
+
+
 def q_diff_orders(spark, sf):
     """Snapshot diff (operators/diff.py): two deterministic derivations
     of orders play old/new snapshot — keys %97==0 are absent from old
@@ -1419,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "profile_diff_orders": q_profile_diff_orders,
         "url_dedup_documents": q_url_dedup_documents,
+        "gibberish_documents": q_gibberish_documents,
         "ref_orders_customer": q_ref_orders_customer,
         "ref_orders_customer_bloom": q_ref_orders_customer_bloom,
         "hist_events": q_hist_events,
@@ -2572,6 +2588,25 @@ SELECT CAST(event_id AS VARCHAR) AS row_id,
        'Must not gap more than 14400 s within ''user_id''' AS message,
        CAST(round(g, 3) AS VARCHAR) AS actual
 FROM s WHERE g > 14400
+""",
+        "gibberish_documents": """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS t
+  FROM documents
+), big AS (
+  SELECT doc_id, substring(t, CAST(i AS INTEGER), 2) AS bg
+  FROM norm, unnest(generate_series(1, length(t) - 1)) AS u(i)
+  WHERE length(t) >= 2
+), counts AS (
+  SELECT bg, count(*) AS n FROM big GROUP BY bg
+), model AS (
+  SELECT bg, ln(n * 1.0 / (SELECT sum(n) FROM counts)) AS logp FROM counts
+), scored AS (
+  SELECT doc_id, count(*) AS nb, round(avg(logp), 6) AS al
+  FROM big JOIN model USING (bg) GROUP BY doc_id
+)
+SELECT d.doc_id, s.nb AS n_bigrams, s.al AS avg_logp
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """,
         "url_dedup_documents": """
 WITH synth AS (

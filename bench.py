@@ -70,6 +70,7 @@ HEADLINE = [
     "dedup_lines_documents",
     "dup_spans_documents",
     "mojibake_documents",
+    "gibberish_documents",
     "decontaminate_documents",
     "decontaminate_bloom_documents",
     "validate_documents_content",

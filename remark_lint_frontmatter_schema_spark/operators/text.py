@@ -680,3 +680,59 @@ def c4_violations(df: DataFrame, text_col: str, id_col: str, *,
                 F.col("_v.expected").alias("expected"),
                 F.lit(severity).alias("severity"),
             ))
+
+
+# ---------------------------------------------------------------------------
+# character-bigram gibberish scoring (perplexity proxy without a model file)
+# ---------------------------------------------------------------------------
+
+def _char_bigrams(col) -> Column:
+    """Array of overlapping 2-char grams over the letters+space
+    normalization of ``col`` (lowercase, non-letters collapsed to single
+    spaces) — empty array for texts shorter than 2 normalized chars.
+    NOTE: ``sequence(1, 0)`` in Spark COUNTS DOWN, so the length guard is
+    load-bearing, not defensive."""
+    t = F.trim(F.regexp_replace(F.lower(col), "[^a-z]+", " "))
+    return F.when(
+        F.length(t) >= 2,
+        F.transform(F.sequence(F.lit(1), F.length(t) - 1),
+                    lambda i: F.substring(t, i, 2))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def gibberish_scores(df: DataFrame, text_col: str, id_col: str,
+                     *, reuse: bool = True) -> DataFrame:
+    """Per-document ``(id, n_bigrams, avg_logp)`` under the corpus's OWN
+    character-bigram distribution — a perplexity proxy needing no model
+    file: real language reuses a small set of frequent transitions, so
+    keyboard mash / mojibake / wrong-alphabet content scores far below
+    the corpus mass (avg log-probability per bigram, natural log,
+    rounded to 6). Documents with <2 normalized chars score NULL.
+
+    Plan: ONE explode of (id, 2-char gram) — persisted (``reuse``) so
+    model building and scoring read it once; the model is the
+    driver-scale (≤ 27² rows) bigram-frequency relation, broadcast onto
+    the exploded grams; scoring is one partial-aggregated groupBy(id).
+    Nothing heavier than an 8-byte id + 2 chars ever shuffles. Self-
+    scoring means every observed gram is in the model (no smoothing
+    term); to score against an EXTERNAL reference corpus, build the
+    model relation there and join it here instead — the plan is
+    identical."""
+    from .dedup import _persist, _track
+    grams = df.select(F.col(id_col).alias("id"),
+                      F.explode(_char_bigrams(F.col(text_col)))
+                       .alias("bg"))
+    if reuse:
+        grams = _persist(grams)
+    counts = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("_n"))
+    total = counts.agg(F.sum("_n").alias("_t"))
+    model = counts.crossJoin(F.broadcast(total)).select(
+        "bg", F.log(F.col("_n") / F.col("_t")).alias("_logp"))
+    scored = (grams.join(F.broadcast(model), "bg")
+                   .groupBy("id")
+                   .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                        F.round(F.avg("_logp"), 6).alias("avg_logp")))
+    out = (df.select(F.col(id_col).alias("id"))
+             .join(scored, "id", "left")
+             .select(F.col("id").alias(id_col), "n_bigrams", "avg_logp"))
+    return _track(out, grams)

@@ -59,3 +59,66 @@ def test_double_encoded_forms_are_flagged(spark):
     assert rows[1]["has_mojibake"] and rows[2]["has_mojibake"]
     assert rows[1]["n_double_3byte"] >= 2  # the em-dash and curly quotes
     assert rows[2]["n_double_2byte"] >= 2  # é and è leads
+
+
+# ---------------------------------------------------------------------------
+# gibberish scoring (character-bigram perplexity proxy)
+# ---------------------------------------------------------------------------
+
+def test_gibberish_scores_separate_mash_from_language(spark):
+    from remark_lint_frontmatter_schema_spark.operators import dedup
+    from remark_lint_frontmatter_schema_spark.operators.text import (
+        gibberish_scores)
+    english = [
+        "the band plays a slow waltz under the amber lights tonight",
+        "she walks along the river while the evening settles in",
+        "a reader turns the pages and the story carries on",
+        "the morning train arrives and the platform fills with people",
+        "he pours the coffee and watches the street below",
+        "the garden grows quiet as the summer light fades",
+    ]
+    rows = [(i, t) for i, t in enumerate(english)]
+    rows.append((90, "xq zjvkwq pzt qxkvj wzqx jkqv"))  # keyboard mash
+    rows.append((91, "a"))                               # too short -> NULL
+    rows.append((92, None))                              # NULL -> NULL
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           gibberish_scores(df, "text", "doc_id").collect()}
+    dedup.release_all()
+    assert got[91].avg_logp is None and got[92].avg_logp is None
+    assert got[91].n_bigrams is None
+    mash = got[90].avg_logp
+    english_scores = [got[i].avg_logp for i in range(len(english))]
+    # every real sentence scores strictly above the mash doc
+    assert all(s > mash for s in english_scores), (mash, english_scores)
+    # and the gap is a usable threshold margin, not noise
+    assert min(english_scores) - mash > 0.5
+
+
+def test_gibberish_python_twin(spark):
+    """Exact parity with a pure-python reimplementation (normalization,
+    self-model, natural-log average)."""
+    import math
+    import re
+    from remark_lint_frontmatter_schema_spark.operators import dedup
+    from remark_lint_frontmatter_schema_spark.operators.text import (
+        gibberish_scores)
+    docs = {1: "Hello, WORLD!!", 2: "aa bb aa", 3: "zz", 4: ""}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           gibberish_scores(df, "text", "doc_id").collect()}
+    dedup.release_all()
+
+    def norm(t):
+        return re.sub("[^a-z]+", " ", t.lower()).strip()
+
+    grams = {i: [norm(t)[j:j + 2] for j in range(len(norm(t)) - 1)]
+             for i, t in docs.items() if len(norm(t)) >= 2}
+    from collections import Counter
+    model = Counter(g for gs in grams.values() for g in gs)
+    total = sum(model.values())
+    for i, gs in grams.items():
+        want = round(sum(math.log(model[g] / total) for g in gs) / len(gs), 6)
+        assert got[i].n_bigrams == len(gs)
+        assert abs(got[i].avg_logp - want) < 1e-6, (i, got[i], want)
+    assert got[4].avg_logp is None
