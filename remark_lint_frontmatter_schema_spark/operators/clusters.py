@@ -188,6 +188,9 @@ def dedup_violations(df: DataFrame, text_col: str, id_col: str, *,
     fingerprints within Hamming ``max_distance`` (functions/audio.py),
     closed into components the same way; undecodable payloads never
     violate (their fingerprints are NULL).
+    ``method="url"``: ``text_col`` is a URL column — exact groups over
+    its RFC-3986-subset canonicalization (operators/urls.py), the cheap
+    pre-content dedup pass for crawl corpora.
     """
     from . import dedup as _dedup
 
@@ -212,6 +215,18 @@ def dedup_violations(df: DataFrame, text_col: str, id_col: str, *,
                    .select(F.col("node").alias(id_col),
                            F.col("component").alias("_keep")))
         detail = f"{n}-gram Jaccard >= {threshold}"
+    elif method == "url":
+        from .urls import canonical_url
+        keyed = (df.where(F.col(text_col).isNotNull())
+                   .select(canonical_url(text_col).alias("_canon"),
+                           F.col(id_col)))
+        groups = (keyed.groupBy("_canon")
+                       .agg(F.count(F.lit(1)).alias("_n"),
+                            F.min(id_col).alias("_keep"))
+                       .where(F.col("_n") > 1))
+        dup = (keyed.join(groups, "_canon")
+                    .where(F.col(id_col) != F.col("_keep")))
+        detail = "canonical URL match"
     elif method == "acoustic":
         from ..functions.audio import audio_neardup_pairs
         pairs = audio_neardup_pairs(

@@ -90,6 +90,12 @@ def table_check_violations(
                 row_id=params.get("id") or row_id,
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
+        elif kind == "gibberish":
+            from .text import gibberish_violations
+            extras.append(gibberish_violations(
+                df, column, params["id"], min_logp=params["min_logp"],
+                ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "gap":
             from .sequence import gap_violations
             extras.append(gap_violations(

@@ -736,3 +736,29 @@ def gibberish_scores(df: DataFrame, text_col: str, id_col: str,
              .join(scored, "id", "left")
              .select(F.col("id").alias(id_col), "n_bigrams", "avg_logp"))
     return _track(out, grams)
+
+
+def gibberish_violations(df: DataFrame, text_col: str, id_col: str, *,
+                         min_logp: float, ruleset_name: str = "engine",
+                         severity: str = "warning") -> DataFrame:
+    """Violation rows (operators/validate.py VIOLATION_FIELDS shape) for
+    documents scoring below ``min_logp`` under :func:`gibberish_scores`
+    — the ``x-gibberish`` declarative gate. Unscorable documents (<2
+    normalized chars or NULL) never violate here: emptiness/shortness is
+    minLength's finding, not a language-model one."""
+    scored = gibberish_scores(df, text_col, id_col)
+    bad = scored.where(F.col("avg_logp") < min_logp)
+    return bad.select(
+        F.col(id_col).cast("string").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"gibberish:{text_col}").alias("constraint_id"),
+        F.lit("gibberish").alias("keyword"),
+        F.lit(f"/{text_col}").alias("instance_path"),
+        F.lit(f"#/x-gibberish/{text_col}").alias("schema_path"),
+        F.lit(f"Must read as language: avg bigram logp >= {min_logp:g}")
+         .alias("message"),
+        F.col("avg_logp").cast("string").alias("actual"),
+        F.array(F.lit(f">= {min_logp:g}")).alias("expected"),
+        F.lit(severity).alias("severity"),
+    )

@@ -88,6 +88,7 @@ _KNOWN_KEYWORDS = {
     "x-embedding",
     "x-fd",
     "x-gap",
+    "x-gibberish",
 }
 
 
@@ -470,6 +471,10 @@ _KEYWORD_SHAPE = {
          or (isinstance(v["n_buckets"], int)
              and not isinstance(v["n_buckets"], bool)
              and v["n_buckets"] > 0)),
+    "x-gibberish": lambda v: isinstance(v, dict)
+    and isinstance(v.get("id"), str)
+    and isinstance(v.get("min_logp"), _NUM)
+    and not isinstance(v["min_logp"], bool),
     "x-gap": lambda v: isinstance(v, dict)
     and isinstance(v.get("max_seconds"), _NUM)
     and not isinstance(v["max_seconds"], bool) and v["max_seconds"] > 0
@@ -517,7 +522,7 @@ _KEYWORD_SHAPE = {
                  "stopwords"})),
     "x-dedup": lambda v: isinstance(v, dict)
     and isinstance(v.get("id"), str)
-    and v.get("method", "exact") in ("exact", "jaccard", "acoustic")
+    and v.get("method", "exact") in ("exact", "jaccard", "acoustic", "url")
     and (v.get("block") is None or isinstance(v["block"], str))
     and (v.get("threshold") is None
          or (isinstance(v["threshold"], _NUM)
@@ -658,7 +663,7 @@ _VARIANT_UNSUPPORTED_KWS = frozenset((
     "x-unique", "x-ref", "x-drift", "x-dedup", "x-langid", "x-rate",
     "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
     "x-monotonic", "x-dup-ngram", "x-gopher", "x-c4", "x-leakage", "x-embedding",
-    "x-fd", "x-gap"))
+    "x-fd", "x-gap", "x-gibberish"))
 
 
 def _compile_variant_node(schema: dict, ctx: _Ctx) -> None:
@@ -1305,6 +1310,21 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-monotonic"))
 
+    if "x-gibberish" in schema and not ctx.silent:
+        # corpus-relative language-plausibility gate (operators/text.py
+        # gibberish_violations) — needs the whole corpus's bigram
+        # distribution, so a relational pass; top-level only
+        if is_top:
+            p = schema["x-gibberish"]
+            ctx.out.table_checks.append(
+                ("gibberish", ctx.instance_path[1:], {
+                    "id": p["id"],
+                    "min_logp": float(p["min_logp"]),
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-gibberish"))
+
     if "x-gap" in schema and not ctx.silent:
         # continuity check (operators/sequence.py gap_violations): the
         # monotonic machinery ordered by the column itself — relational
@@ -1360,9 +1380,10 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
 
     if "x-dedup" in schema and not ctx.silent:
         # duplicate-content declaration: exact sha256 groups, n-gram
-        # Jaccard near-dup clusters, or acoustic-fingerprint clusters over
-        # a binary audio column (operators/clusters.dedup_violations);
-        # a separate relational pass like x-unique, so top-level only
+        # Jaccard near-dup clusters, acoustic-fingerprint clusters over a
+        # binary audio column, or canonical-URL groups (operators/
+        # clusters.dedup_violations); a relational pass like x-unique,
+        # so top-level only
         if is_top:
             p = schema["x-dedup"]
             ctx.out.table_checks.append(

@@ -38,7 +38,7 @@ _KEYWORDS = ["type", "enum", "const", "required", "maxLength", "minLength",
              "x-unique", "x-ref", "x-drift", "x-spark-check",
              "x-outlier", "x-repair", "x-severity",
              "x-dup-ngram", "x-embedding", "x-monotonic", "x-gopher", "x-c4",
-             "x-leakage", "x-fd", "x-gap"]
+             "x-leakage", "x-fd", "x-gap", "x-gibberish"]
 
 _scalars = st.one_of(
     st.none(), st.booleans(), st.integers(-5, 100),

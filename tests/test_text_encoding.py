@@ -122,3 +122,61 @@ def test_gibberish_python_twin(spark):
         assert got[i].n_bigrams == len(gs)
         assert abs(got[i].avg_logp - want) < 1e-6, (i, got[i], want)
     assert got[4].avg_logp is None
+
+
+def test_x_gibberish_and_url_dedup_dsl(spark):
+    """Both new declarative checks end-to-end: x-gibberish flags the mash
+    doc only; x-dedup method=url flags the non-canonical duplicate."""
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators import dedup
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    from pyspark.sql import functions as F
+    rows = [
+        (1, "the band plays a slow waltz under the amber lights tonight",
+         "https://example.com/a"),
+        (2, "she walks along the river while the evening settles in",
+         "HTTPS://EXAMPLE.COM:443/a#frag"),
+        (3, "a reader turns the pages and the story carries on",
+         "https://example.com/b"),
+        (4, "xq zjvkwq pzt qxkvj wzqx jkqv", "https://example.com/c"),
+        (5, None, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    rs = {"type": "object", "properties": {
+        "text": {"x-gibberish": {"id": "doc_id", "min_logp": -5.0}},
+        "url": {"x-dedup": {"id": "doc_id", "method": "url"}},
+    }}
+    compiled = compile_ruleset(rs, df.schema, name="crawl")
+    kinds = {k for k, _, _ in compiled.table_checks}
+    assert kinds == {"gibberish", "dedup"}
+    v = validate_with_table_checks(df, compiled, row_id="doc_id").violations
+    got = {(r.keyword, r.row_id): r for r in v.collect()}
+    dedup.release_all()
+    assert ("gibberish", "4") in got
+    assert got[("gibberish", "4")].actual.startswith("-")
+    assert ("dedup", "2") in got   # canonical dup of 1 (min id survives)
+    assert "canonical URL" in got[("dedup", "2")].message
+    assert got[("dedup", "2")].actual == "1"
+    # exactly those two violations — the clean rows and NULLs are silent
+    assert set(got) == {("gibberish", "4"), ("dedup", "2")}
+
+
+def test_x_gibberish_nested_and_malformed(spark):
+    import pyspark.sql.types as T
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.plans.compiler import (
+        RulesetCompileError)
+    import pytest
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("m", T.MapType(T.StringType(), T.StringType()))])
+    rs = {"properties": {"m": {"properties": {
+        "k": {"x-gibberish": {"id": "id", "min_logp": -5}}}}}}
+    compiled = compile_ruleset(rs, schema, name="nested")
+    assert ("/m/k", "x-gibberish") in compiled.unknown
+    for bad in ({}, {"id": "id"}, {"min_logp": -5},
+                {"id": "id", "min_logp": True}):
+        with pytest.raises(RulesetCompileError):
+            compile_ruleset({"type": "object", "properties": {
+                "id": {"x-gibberish": bad}}}, schema, name="bad")
