@@ -1396,3 +1396,71 @@ def transcript_conflict_violations(clips, *, max_distance: int = 2,
     # carry the persisted fingerprint relation's handle so release(df)
     # works on the violations (release_all remains the session safety net)
     return _track(out, pairs)
+
+
+def chunk_clips(clips, *, window_ms: int = 1000, hop_ms: int | None = None,
+                pad_last: bool = False, min_last_ms: int | None = None):
+    """clips(clip_id, bytes) -> fixed-length training windows:
+    (clip_id, chunk_idx, start_ms, end_ms, sr_hz, bytes) — the audio
+    analog of operators/chunking.chunk_documents (audio dataloaders want
+    fixed windows; VAD-based :func:`slice_segments` cuts at speech
+    boundaries instead).
+
+    Windows start every ``hop_ms`` (default = ``window_ms``, i.e.
+    non-overlapping); the LAST window follows chunk_documents' tail rule:
+    it lands on the final sample (start = len - window) so every sample
+    is covered with no over-budget window and no runt — unless the whole
+    clip is shorter than ``window_ms``, in which case the single short
+    window is emitted as-is (or zero-padded to exactly ``window_ms``
+    when ``pad_last``). ``min_last_ms`` instead DROPS a final
+    shorter-than-window clip below that length (padding and dropping are
+    mutually exclusive). Map-only, one decode per clip, output bytes ~=
+    input bytes x window/hop; undecodable payloads emit zero rows."""
+    if hop_ms is None:
+        hop_ms = window_ms
+    if not 0 < hop_ms <= window_ms:
+        raise ValueError(f"hop_ms must be in (0, window_ms], got {hop_ms}")
+    if pad_last and min_last_ms is not None:
+        raise ValueError("pad_last and min_last_ms are mutually exclusive")
+    schema = ("clip_id string, chunk_idx int, start_ms int, end_ms int, "
+              "sr_hz int, bytes binary")
+
+    def fn(iterator):
+        for pdf in iterator:
+            rows = []
+            for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    sr, x = decode_wav_pcm16(bytes(b) if b is not None else b"")
+                    if sr <= 0:
+                        raise ValueError("bad sr")
+                except ValueError:
+                    continue
+                win = max(1, int(sr * window_ms / 1000))
+                hop = max(1, int(sr * hop_ms / 1000))
+                n = len(x)
+                if n == 0:
+                    continue
+                if n < win:
+                    if min_last_ms is not None \
+                            and n < int(sr * min_last_ms / 1000):
+                        continue
+                    seg = x
+                    if pad_last:
+                        seg = np.concatenate(
+                            [x, np.zeros(win - n, dtype=x.dtype)])
+                    rows.append((cid, 0, 0, int(round(len(seg) / sr * 1000)),
+                                 sr, wav_bytes(_to_pcm16(seg), sr)))
+                    continue
+                starts = list(range(0, n - win + 1, hop))
+                if starts[-1] + win < n:    # tail rule: land on the end
+                    starts.append(n - win)
+                for k, s in enumerate(starts):
+                    seg = x[s: s + win]
+                    rows.append((cid, k, int(round(s / sr * 1000)),
+                                 int(round((s + win) / sr * 1000)),
+                                 sr, wav_bytes(_to_pcm16(seg), sr)))
+            yield pd.DataFrame(rows, columns=[
+                "clip_id", "chunk_idx", "start_ms", "end_ms", "sr_hz",
+                "bytes"])
+
+    return clips.select("clip_id", "bytes").mapInPandas(fn, schema=schema)
