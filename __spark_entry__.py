@@ -523,6 +523,21 @@ def q_drift_events_type_psi(spark, sf):
         F.round("psi", 6).alias("psi"))
 
 
+def q_drift_events_ks_by_type(spark, sf):
+    """Per-group drift (operators/drift.py histogram_by + ks_by): value
+    KS per event_type between the window's halves — drift localized to
+    the segment that moved, one (grp, side, bucket) keys-only aggregate
+    + group-partitioned windows over the histogram relation."""
+    ev = _load(spark, sf, "events")
+    side = F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp_ntz"),
+                  F.lit("early")).otherwise(F.lit("late"))
+    h = drift.histogram_by(ev, "value", side, "event_type",
+                           lo=0.0, hi=500.0, n_buckets=25)
+    return drift.ks_by(h, "early", "late").select(
+        F.col("grp").alias("event_type"),
+        F.round("ks_stat", 6).alias("ks_stat"))
+
+
 def q_drift_events_psi(spark, sf):
     h = _events_hist(spark, sf)
     return drift.psi(h, "error", "purchase") \
@@ -1442,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events_psi": q_drift_events_psi,
         "drift_events_emd": q_drift_events_emd,
         "drift_events_type_psi": q_drift_events_type_psi,
+        "drift_events_ks_by_type": q_drift_events_ks_by_type,
         "drift_events_chi2": q_drift_events_chi2,
         "drift_events_windowed_psi": q_drift_events_windowed_psi,
         "topn_flag_violation_rate": q_topn_flag_violation_rate,
@@ -2784,6 +2800,37 @@ WHERE o.o_custkey IS NOT NULL
         "drift_events_ks": _KS_SQL,
         "drift_events_psi": _PSI_SQL,
         "drift_events_emd": _EMD_SQL,
+        "drift_events_ks_by_type": """
+WITH h AS (
+  SELECT event_type AS grp,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'early'
+              ELSE 'late' END AS side,
+         CASE WHEN value < 0 THEN 0
+              WHEN value >= 500 THEN 26
+              ELSE CAST(floor(value / 20) + 1 AS BIGINT) END AS bucket,
+         count(*) AS n
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2, 3
+), spine AS (
+  SELECT g.grp, s.side, b.bucket
+  FROM (SELECT DISTINCT grp FROM h) g
+  CROSS JOIN (SELECT DISTINCT side FROM h) s
+  CROSS JOIN (SELECT unnest(range(0, 27)) AS bucket) b
+), filled AS (
+  SELECT sp.grp, sp.side, sp.bucket, coalesce(h.n, 0) AS n
+  FROM spine sp LEFT JOIN h
+    ON h.grp = sp.grp AND h.side = sp.side AND h.bucket = sp.bucket
+), cdf AS (
+  SELECT grp, side, bucket,
+         sum(n) OVER (PARTITION BY grp, side ORDER BY bucket) * 1.0
+           / sum(n) OVER (PARTITION BY grp, side) AS cdf
+  FROM filled
+)
+SELECT a.grp AS event_type, round(max(abs(a.cdf - b.cdf)), 6) AS ks_stat
+FROM cdf a JOIN cdf b ON a.grp = b.grp AND a.bucket = b.bucket
+WHERE a.side = 'early' AND b.side = 'late'
+GROUP BY a.grp
+""",
         "drift_events_type_psi": """
 WITH h AS (
   SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'early'

@@ -89,6 +89,7 @@ HEADLINE = [
     "gap_events_by_user",
     "drift_events_emd",
     "drift_events_type_psi",
+    "drift_events_ks_by_type",
     "sessionize_events",
     "profile_diff_orders",
 ]

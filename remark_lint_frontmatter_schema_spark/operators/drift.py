@@ -29,6 +29,54 @@ def histogram(df: DataFrame, value_col: str, side_col, *,
               .agg(F.count(F.lit(1)).alias("n")))
 
 
+def histogram_by(df: DataFrame, value_col: str, side_col, group_col: str, *,
+                 lo: float, hi: float, n_buckets: int = 50) -> DataFrame:
+    """Per-GROUP fixed-bucket histogram: (grp, side, bucket, n) — one
+    hash-aggregate whose shuffle carries (group, side, bucket) keys only,
+    feeding :func:`ks_by` for per-category drift."""
+    side = F.col(side_col) if isinstance(side_col, str) else side_col
+    bucket = F.width_bucket(F.col(value_col).cast("double"),
+                            F.lit(float(lo)), F.lit(float(hi)),
+                            F.lit(n_buckets))
+    return (df.where(F.col(value_col).isNotNull()
+                     & F.col(group_col).isNotNull())
+              .groupBy(F.col(group_col).alias("grp"),
+                       side.cast("string").alias("side"),
+                       bucket.alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n")))
+
+
+def ks_by(hist: DataFrame, side_a: str, side_b: str) -> DataFrame:
+    """Per-group two-sample KS over a :func:`histogram_by` relation:
+    one row (grp, ks_stat) per group — drift localized to the segment
+    that moved instead of diluted into a whole-table statistic. Groups
+    missing either side report NULL (the ks_statistic guard, per group).
+    Runs entirely on the histogram-sized relation; the windows partition
+    by group so no single task sees more than one group's buckets."""
+    w = Window.partitionBy("grp", "side").orderBy("bucket") \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy("grp", "side")
+    cdf = hist.withColumn("cdf", F.sum("n").over(w) / F.sum("n").over(tot))
+    a = cdf.where(F.col("side") == side_a).select(
+        "grp", "bucket", F.col("cdf").alias("cdf_a"))
+    b = cdf.where(F.col("side") == side_b).select(
+        "grp", "bucket", F.col("cdf").alias("cdf_b"))
+    joined = a.join(b, ["grp", "bucket"], "full_outer")
+    wf = Window.partitionBy("grp").orderBy("bucket") \
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled = (joined
+              .withColumn("cdf_a", F.last("cdf_a", ignorenulls=True).over(wf))
+              .withColumn("cdf_b", F.last("cdf_b", ignorenulls=True).over(wf))
+              .fillna({"cdf_a": 0.0, "cdf_b": 0.0}))
+    agg = filled.groupBy("grp").agg(
+        F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))).alias("_ks"),
+        F.max("cdf_a").alias("_ma"), F.max("cdf_b").alias("_mb"))
+    return agg.select(
+        "grp",
+        F.when((F.col("_ma") > 0) & (F.col("_mb") > 0), F.col("_ks"))
+         .alias("ks_stat"))
+
+
 def categorical_hist(df: DataFrame, value_col: str, side_col) -> DataFrame:
     """Category-frequency histogram per side — the categorical analog of
     :func:`histogram` (``bucket`` holds the category VALUE, so the

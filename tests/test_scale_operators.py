@@ -444,3 +444,20 @@ def test_categorical_drift_and_emd_threshold_dsl(spark):
         .violations.collect()
     assert len(got) == 1 and "emd=" in got[0].actual, got
     assert "emd>0.2" in got[0].message
+
+
+def test_ks_by_localizes_drift_to_the_moved_group(spark):
+    from remark_lint_frontmatter_schema_spark.operators import drift
+    rows = []
+    for g, shift in (("stable", 0.0), ("moved", 4.0)):
+        rows += [(g, "a", float(v)) for v in range(10) for _ in range(20)]
+        rows += [(g, "b", float(v) + shift) for v in range(10)
+                 for _ in range(20)]
+    rows += [("oneside", "a", 1.0)] * 5   # side b absent for this group
+    df = spark.createDataFrame(rows, "grp string, side string, v double")
+    h = drift.histogram_by(df, "v", "side", "grp", lo=0.0, hi=16.0,
+                           n_buckets=16)
+    ks = {r.grp: r.ks_stat for r in drift.ks_by(h, "a", "b").collect()}
+    assert ks["stable"] == 0.0
+    assert ks["moved"] == 0.4        # 4-bucket shift of a uniform = 4/10
+    assert ks["oneside"] is None     # per-group missing-side guard
