@@ -124,6 +124,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "(operators/stats_prune.py); identical "
                          "violations, fewer bytes read. No effect unless "
                          "the whole ruleset is footer-decidable.")
+    ap.add_argument("--induce-out",
+                    help="schema-induction mode: profile the input table, "
+                         "write the induced ruleset DRAFT (bounds/"
+                         "required/enums/formats the data already "
+                         "satisfies) to this YAML/JSON path, and exit — "
+                         "the first-draft generator for a table that has "
+                         "no hand-written ruleset yet")
+    ap.add_argument("--induce-columns", default=None,
+                    help="comma list of columns to induce (default: all)")
+    ap.add_argument("--induce-enum-max", type=int, default=8,
+                    help="max distinct values for enum candidacy")
     ap.add_argument("--workspace", action="store_true",
                     help="treat INPUT as a workspace ROOT of parquet "
                          "tables (the reference's `remark .` over a "
@@ -245,6 +256,29 @@ def main(argv: list[str] | None = None) -> int:
     if args.workspace:
         return _run_workspace(spark, args)
     df = spark.read.parquet(args.input)
+
+    if args.induce_out:
+        from .operators.induce import induce_ruleset
+        cols = ([c for c in args.induce_columns.split(",") if c]
+                if args.induce_columns else None)
+        rs = induce_ruleset(df, cols, enum_max=args.induce_enum_max,
+                            name=os.path.basename(args.input.rstrip("/")))
+        try:
+            import yaml
+            text = yaml.safe_dump(rs, sort_keys=False)
+        except ImportError:
+            text = json.dumps(rs, indent=2)
+        with open(args.induce_out, "w") as f:
+            f.write(text)
+        print(json.dumps({
+            "induced": args.induce_out,
+            "columns": len(rs["properties"]),
+            "required": len(rs.get("required", [])),
+            "enums": sum(1 for p in rs["properties"].values()
+                         if "enum" in p),
+            "formats": sum(1 for p in rs["properties"].values()
+                           if "format" in p)}))
+        return 0
 
     embed = bundle(args.embed) if args.embed else None
 

@@ -379,3 +379,35 @@ def test_cli_workspace_mode(spark, tmp_path, capsys):
     assert cli.main([str(root), "--row-id", "id", "--workspace",
                      "--frail"]) == 1
     capsys.readouterr()
+
+
+def test_cli_induce_mode_round_trips(spark, tmp_path, capsys):
+    """--induce-out: profile a table into a ruleset draft, then lint the
+    SAME table with the induced draft — zero violations, exit 0 even
+    under --frail (the induce -> compile -> validate round-trip through
+    the CLI surface)."""
+    p = str(tmp_path / "cleants")
+    spark.createDataFrame(
+        [(1, "A", 10.0, "a@x.io"), (2, "B", 20.0, "b@y.org"),
+         (3, "A", 15.0, "c@z.net"), (4, "B", 12.5, "d@w.com")],
+        "id long, grade string, score double, mail string").write.parquet(p)
+    out = str(tmp_path / "induced.yaml")
+    rc = cli.main([p, "--row-id", "id", "--induce-out", out])
+    meta = json.loads(capsys.readouterr().out)
+    assert rc == 0 and meta["columns"] == 4
+    assert meta["required"] == 4 and meta["enums"] >= 1
+    assert meta["formats"] == 1   # mail -> email
+    rc2 = cli.main([p, "--row-id", "id", "--embed", out,
+                    "--report", "json", "--frail"])
+    rep = json.loads(capsys.readouterr().out)
+    assert rc2 == 0 and rep["n_violations"] == 0
+    # a mutated table violates the induced draft
+    p2 = str(tmp_path / "dirty")
+    spark.createDataFrame(
+        [(9, "Z", 999.0, "not-an-email")],
+        "id long, grade string, score double, mail string") \
+        .write.parquet(p2)
+    rc3 = cli.main([p2, "--row-id", "id", "--embed", out,
+                    "--report", "json", "--frail"])
+    rep3 = json.loads(capsys.readouterr().out)
+    assert rc3 == 1 and rep3["n_violations"] >= 3
