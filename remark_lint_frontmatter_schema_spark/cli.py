@@ -259,7 +259,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.induce_out:
         from .operators.induce import induce_ruleset
-        cols = ([c for c in args.induce_columns.split(",") if c]
+        cols = ([c.strip() for c in args.induce_columns.split(",")
+                 if c.strip()]
                 if args.induce_columns else None)
         rs = induce_ruleset(df, cols, enum_max=args.induce_enum_max,
                             name=os.path.basename(args.input.rstrip("/")))

@@ -100,7 +100,10 @@ def fd_violations(df: DataFrame, dependent: str, determined_by: list[str],
     ``expected``) restores the dependency exactly."""
     dets = list(determined_by)
     conflicts = fd_conflicts(df, dependent, dets)
-    fact = df.select(F.col(row_id), *dets, F.col(dependent)) \
+    # dict.fromkeys: row_id may BE a determinant or the dependent — a
+    # duplicate name in the projection would make every later reference
+    # ambiguous (the sequence.py _pairs_* lesson)
+    fact = df.select(*dict.fromkeys([row_id, *dets, dependent])) \
              .na.drop(subset=[*dets, dependent])
     det_desc = ",".join(dets)
     det_vals = F.concat_ws(",", *[F.col(c).cast("string") for c in dets])

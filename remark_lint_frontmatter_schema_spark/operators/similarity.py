@@ -33,7 +33,11 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm vector must yield NULL (similar to nothing),
+    # not raise DIVIDE_BY_ZERO under ANSI mode (Spark 4 default) nor
+    # produce NaN (which Spark orders ABOVE every double, so a bare
+    # `score >= threshold` would glue a zero vector to its whole block)
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
@@ -171,6 +175,9 @@ def kmeans_centroids(df: DataFrame, vec_col: str, id_col: str,
     tighten the IVF partition pruning: fewer probes reach the same recall,
     so the scan fraction per query drops.
     """
+    # NULL vectors carry no training signal and the numpy path assigns
+    # them cell NULL (whose all-None means would crash the float() below)
+    df = df.where(F.col(vec_col).isNotNull())
     cents = farthest_point_centroids(df, vec_col, id_col, n_cells)
     v = F.col(vec_col).cast("array<double>")
     for _ in range(n_iter):
@@ -183,7 +190,7 @@ def kmeans_centroids(df: DataFrame, vec_col: str, id_col: str,
                        for i in range(dim)])
                 .collect())
         by_cell = {r._cell: [float(r[f"c{i}"]) for i in range(dim)]
-                   for r in rows}
+                   for r in rows if r._cell is not None}
         cents = [by_cell.get(ci, cents[ci]) for ci in range(len(cents))]
     return cents
 
@@ -226,7 +233,9 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str, *,
     pairs = (a.join(b, "blk")
              .where(F.col("id_a") < F.col("id_b"))
              .withColumn("score", F.round(cosine(F.col("v_a"), F.col("v_b")), 5))
-             .where(F.col("score") >= threshold)
+             # NaN (zero-norm vector) sorts ABOVE every double in Spark —
+             # without the guard a zero vector pairs with its whole block
+             .where(~F.isnan("score") & (F.col("score") >= threshold))
              .select("id_a", "id_b", "score"))
     return _track(pairs, v)
 
@@ -302,7 +311,8 @@ def embedding_lsh_pairs(df: DataFrame, vec_col: str, id_col: str, *,
               .where(F.col("id_a") < F.col("id_b"))
               .withColumn("score", F.round(cosine(F.col("v_a"),
                                                   F.col("v_b")), 5))
-              .where(F.col("score") >= threshold)
+              # NaN guard — see embedding_near_dup_pairs
+              .where(~F.isnan("score") & (F.col("score") >= threshold))
               .select("id_a", "id_b", "score"))
     return _track(pairs, sig)
 
@@ -535,20 +545,32 @@ def semdedup(df: DataFrame, vec_col: str, id_col: str, *, dim: int,
         assigned = assign_cells(base, "v", centroids) \
             .withColumnRenamed("_cell", "cell")
         # broadcast-join the tiny centroid relation (never a per-row
-        # CreateMap literal) to score each member against its own centroid
+        # CreateMap literal) to score each member against its own
+        # centroid; NULL vectors get cell NULL here too (assign_cells'
+        # when-chain would otherwise default them into cell 0 — the
+        # numpy path's contract is the one both paths keep)
         scored = (assigned.join(F.broadcast(cent_df), "cell")
-                  .select("id", "cell", "v",
-                          F.round(cosine(F.col("v"), F.col("_cvec")), 5)
+                  .select("id",
+                          F.when(F.col("v").isNotNull(), F.col("cell"))
+                           .alias("cell"),
+                          "v",
+                          F.when(F.col("v").isNotNull(),
+                                 F.round(cosine(F.col("v"),
+                                                F.col("_cvec")), 5))
                            .alias("centroid_sim")))
     scored = _persist(scored)
     a = scored.select("cell", F.col("id").alias("id_a"),
                       F.col("v").alias("v_a"))
     b = scored.select("cell", F.col("id").alias("id_b"),
                       F.col("v").alias("v_b"))
+    pair_score = F.round(cosine(F.col("v_a"), F.col("v_b")), 5)
     pairs = (a.join(b, "cell")
               .where(F.col("id_a") < F.col("id_b"))
-              .where(F.round(cosine(F.col("v_a"), F.col("v_b")), 5)
-                     >= threshold)
+              # NaN guard: a zero-norm vector's cosine is 0/0 = NaN, and
+              # Spark orders NaN ABOVE every double, so a bare
+              # `>= threshold` would glue the zero vector to its whole
+              # cell — zero vectors are provably similar to nothing
+              .where(~F.isnan(pair_score) & (pair_score >= threshold))
               .select("id_a", "id_b"))
     comp = connected_components(pairs, max_iter=max_iter)
     member = comp.join(

@@ -746,9 +746,10 @@ def gibberish_violations(df: DataFrame, text_col: str, id_col: str, *,
     — the ``x-gibberish`` declarative gate. Unscorable documents (<2
     normalized chars or NULL) never violate here: emptiness/shortness is
     minLength's finding, not a language-model one."""
+    from .dedup import _track
     scored = gibberish_scores(df, text_col, id_col)
     bad = scored.where(F.col("avg_logp") < min_logp)
-    return bad.select(
+    return _track(bad.select(
         F.col(id_col).cast("string").alias("row_id"),
         F.lit("all").alias("partition_id"),
         F.lit(ruleset_name).alias("ruleset_id"),
@@ -761,4 +762,4 @@ def gibberish_violations(df: DataFrame, text_col: str, id_col: str, *,
         F.col("avg_logp").cast("string").alias("actual"),
         F.array(F.lit(f">= {min_logp:g}")).alias("expected"),
         F.lit(severity).alias("severity"),
-    )
+    ), scored)

@@ -1,0 +1,115 @@
+"""Regression tests for degenerate-input guards in the similarity / FD
+operators: zero-norm vectors (cosine = 0/0 = NaN, which Spark orders ABOVE
+every double), NULL vectors, and duplicate column names in projections."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from remark_lint_frontmatter_schema_spark.operators import dedup
+from remark_lint_frontmatter_schema_spark.operators.fd import fd_violations
+from remark_lint_frontmatter_schema_spark.operators.similarity import (
+    embedding_lsh_pairs,
+    embedding_near_dup_pairs,
+    kmeans_centroids,
+    semdedup,
+)
+
+
+@pytest.fixture()
+def vec_df(spark):
+    # two genuine near-dups (a,b), one far point (c), one ZERO vector (z)
+    rows = [
+        ("a", [1.0, 0.0, 0.0]),
+        ("b", [0.999, 0.01, 0.0]),
+        ("c", [0.0, 1.0, 0.0]),
+        ("z", [0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "id string, v array<float>") \
+                .withColumn("blk", F.lit(1))
+
+
+def _ids_in_pairs(pairs):
+    out = set()
+    for r in pairs.collect():
+        out.add(r["id_a"])
+        out.add(r["id_b"])
+    return out
+
+
+def test_zero_vector_never_pairs_exact(vec_df):
+    pairs = embedding_near_dup_pairs(vec_df, "v", "id", block_col="blk",
+                                     threshold=0.9)
+    ids = _ids_in_pairs(pairs)
+    assert ids == {"a", "b"}  # zero vector glued to nothing
+    dedup.release_all()
+
+
+def test_zero_vector_never_pairs_lsh(vec_df):
+    pairs = embedding_lsh_pairs(vec_df, "v", "id", n_bits=4, dim=3,
+                                threshold=0.9)
+    ids = _ids_in_pairs(pairs)
+    assert "z" not in ids
+    assert {"a", "b"} <= ids | {"a", "b"}  # a,b may share a bucket or not
+    dedup.release_all()
+
+
+def test_semdedup_zero_and_null_vectors(spark):
+    rows = [
+        ("a", [1.0, 0.0]),
+        ("b", [0.999, 0.02]),
+        ("c", [0.0, 1.0]),
+        ("z", [0.0, 0.0]),   # zero-norm: similar to nothing, always kept
+        ("n", None),         # NULL: unscoreable, must not crash
+    ]
+    df = spark.createDataFrame(rows, "id string, v array<float>")
+    out = semdedup(df, "v", "id", dim=2, n_cells=2, threshold=0.95)
+    by_id = {r["id"]: r for r in out.collect()}
+    assert by_id["z"]["kept"] is True
+    assert by_id["z"]["dup_of"] is None
+    # exactly one of the (a, b) twins survives
+    assert [by_id["a"]["kept"], by_id["b"]["kept"]].count(True) == 1
+    assert by_id["c"]["kept"] is True
+    dedup.release_all()
+
+
+def test_kmeans_centroids_tolerates_null_vectors(spark):
+    rows = [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0]),
+            ("n", None), ("m", None)]
+    df = spark.createDataFrame(rows, "id string, v array<float>")
+    cents = kmeans_centroids(df, "v", "id", 2, dim=2, n_iter=2)
+    assert len(cents) == 2
+    assert all(len(c) == 2 and all(x is not None for x in c)
+               for c in cents)
+
+
+def test_fd_violations_row_id_is_a_determinant(spark):
+    # row_id doubles as the (single) determinant column: the projection
+    # must not duplicate the name and make later references ambiguous
+    rows = [("k1", "x"), ("k1", "x"), ("k1", "y"), ("k2", "x")]
+    df = spark.createDataFrame(rows, "k string, dep string")
+    out = fd_violations(df, "dep", ["k"], row_id="k")
+    got = [(r["row_id"], r["actual"]) for r in out.collect()]
+    assert got == [("k1", "y")]
+
+
+def test_fd_violations_row_id_is_the_dependent(spark):
+    rows = [("k1", "x"), ("k1", "x"), ("k1", "y")]
+    df = spark.createDataFrame(rows, "k string, dep string")
+    out = fd_violations(df, "dep", ["k"], row_id="dep")
+    assert [r["actual"] for r in out.collect()] == ["y"]
+
+
+def test_gibberish_violations_releasable(spark):
+    from remark_lint_frontmatter_schema_spark.operators.text import (
+        gibberish_violations,
+    )
+    df = spark.createDataFrame(
+        [("1", "the quick brown fox jumps over the lazy dog"),
+         ("2", "xq zv qx jq vq zx qz vx jx qj")],
+        "id string, body string")
+    before = len(dedup._PERSISTED)
+    out = gibberish_violations(df, "body", "id", min_logp=-4.0)
+    out.count()
+    assert len(dedup._PERSISTED) > before  # handle registered
+    dedup.release_all()
+    assert len(dedup._PERSISTED) == 0
