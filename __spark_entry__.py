@@ -373,6 +373,41 @@ def q_sessionize_events(spark, sf):
         "event_id", "user_id", "session_index", "session_id")
 
 
+def q_asof_events_purchase(spark, sf):
+    """As-of join (operators/asof.asof_join): every click event joined to
+    the SAME user's most recent prior-or-simultaneous purchase value —
+    union + one per-key running window, one shuffle on user_id, no range
+    join. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from remark_lint_frontmatter_schema_spark.operators.asof import asof_join
+    ev = _load(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value"))
+    out = asof_join(clicks, purchases, on="user_id", left_ts="ts",
+                    payload=["purchase_value"])
+    return out.select("event_id", "user_id",
+                      F.round("purchase_value", 5).alias("purchase_value"))
+
+
+def q_asof_bucketed_events_purchase(spark, sf):
+    """The skew-proof scale path (operators/asof.asof_join_bucketed):
+    identical semantics, but the big shuffle is on (user_id, day-bucket)
+    so one hot user never serializes into a single window task;
+    cross-bucket matches are restored by a per-key carry over buckets
+    (one row per user x day). Shares q_asof_events_purchase's oracle —
+    the driver proves both physical paths equal the same SQL."""
+    from remark_lint_frontmatter_schema_spark.operators.asof import (
+        asof_join_bucketed)
+    ev = _load(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value"))
+    out = asof_join_bucketed(clicks, purchases, on="user_id", left_ts="ts",
+                             payload=["purchase_value"], bucket=86400.0)
+    return out.select("event_id", "user_id",
+                      F.round("purchase_value", 5).alias("purchase_value"))
+
+
 def q_profile_diff_orders(spark, sf):
     """Induced-profile drift (operators/induce.py profile_diff): which
     constraint facts moved between two table versions — here a
@@ -1447,6 +1482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "induce_orders": q_induce_orders,
         "gap_events_by_user": q_gap_events_by_user,
         "sessionize_events": q_sessionize_events,
+        "asof_events_purchase": q_asof_events_purchase,
+        "asof_bucketed_events_purchase": q_asof_bucketed_events_purchase,
         "profile_diff_orders": q_profile_diff_orders,
         "url_dedup_documents": q_url_dedup_documents,
         "gibberish_documents": q_gibberish_documents,
@@ -2470,6 +2507,19 @@ def _mojibake_oracle_sql() -> str:
             + ",\n       (" + flag + ") AS has_mojibake\nFROM src")
 
 
+# shared by asof_events_purchase AND asof_bucketed_events_purchase — the
+# driver proving both Spark physical paths against the one SQL string is
+# the path-equivalence check (DuckDB ASOF LEFT JOIN: greatest r.ts <= l.ts
+# per key, inclusive — the operator's documented tie semantics)
+_ASOF_ORACLE = """
+SELECT l.event_id, l.user_id, round(r.purchase_value, 5) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts, value AS purchase_value
+                FROM events WHERE event_type = 'purchase') r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "validate_orders": _ORDERS_VIOL_SQL,
@@ -2542,6 +2592,8 @@ SELECT l_returnflag,
        round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem GROUP BY l_returnflag
 """,
+        "asof_events_purchase": _ASOF_ORACLE,
+        "asof_bucketed_events_purchase": _ASOF_ORACLE,
         "sessionize_events": """
 WITH s AS (
   SELECT event_id, user_id, ts,

@@ -91,6 +91,8 @@ HEADLINE = [
     "drift_events_type_psi",
     "drift_events_ks_by_type",
     "sessionize_events",
+    "asof_events_purchase",
+    "asof_bucketed_events_purchase",
     "profile_diff_orders",
 ]
 

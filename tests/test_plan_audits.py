@@ -481,3 +481,38 @@ def test_snapshot_diff_prunes_to_keys_and_compared(spark, tmp_path):
     reads = " ".join(ln for ln in _plan(d).splitlines()
                      if "ReadSchema" in ln)
     assert "payload" not in reads, reads
+
+
+def test_asof_join_shuffle_shape_and_pruning(spark, tmp_path):
+    """As-of join: payload columns NOT in the payload list are pruned
+    from the right scan, no Python stage, and the simple path's big
+    exchange partitions on the join key alone while the bucketed path's
+    partitions on (key, bucket) — the skew contract."""
+    from remark_lint_frontmatter_schema_spark.operators.asof import (
+        asof_join, asof_join_bucketed)
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(
+        [(i, f"k{i % 3}", float(i), "wide" * 64) for i in range(100)],
+        "lid long, k string, ts double, lpayload string").write.parquet(lp)
+    spark.createDataFrame(
+        [(f"k{i % 3}", float(i), float(i) * 2, "wide" * 64)
+         for i in range(50)],
+        "k string, ts double, v double, junk string").write.parquet(rp)
+    left = spark.read.parquet(lp)
+    right = spark.read.parquet(rp)
+
+    out = asof_join(left, right, on="k", left_ts="ts", payload=["v"])
+    plan = _plan(out)
+    reads = " ".join(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "junk" not in reads, reads          # unused right col pruned
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    exch = [ln for ln in plan.splitlines() if "Exchange hashpartitioning"
+            in ln]
+    assert exch and all("_asof_bkt" not in ln for ln in exch), plan
+
+    bout = asof_join_bucketed(left, right, on="k", left_ts="ts",
+                              payload=["v"], bucket=10.0)
+    bplan = _plan(bout)
+    assert any("_asof_bkt" in ln for ln in bplan.splitlines()
+               if "Exchange hashpartitioning" in ln), bplan
+    assert "EvalPython" not in bplan and "ArrowEval" not in bplan
