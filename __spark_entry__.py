@@ -408,6 +408,59 @@ def q_asof_bucketed_events_purchase(spark, sf):
                       F.round("purchase_value", 5).alias("purchase_value"))
 
 
+def q_purchase_session_attribution(spark, sf):
+    """Point-in-interval range join (operators/intervals.py): attribute
+    each purchase to the browse session (sessionized non-purchase events,
+    24 h gap) whose [first,last] span contains it. Buckets quantize
+    time so the range join plans as an equi-join on (user, bucket) —
+    never a nested-loop/cartesian. Oracle: session CTE + BETWEEN join."""
+    from remark_lint_frontmatter_schema_spark.operators.intervals import (
+        point_in_interval_join)
+    from remark_lint_frontmatter_schema_spark.operators.sequence import (
+        sessionize)
+    ev = _load(spark, sf, "events")
+    browse = ev.where(F.col("event_type") != "purchase")
+    iv = (sessionize(browse, "ts", by="user_id", gap_seconds=86400)
+          .groupBy("user_id", "session_id")
+          .agg(F.min("ts").alias("s"), F.max("ts").alias("e")))
+    pur = ev.where(F.col("event_type") == "purchase") \
+            .select("event_id", "user_id", "ts")
+    out = point_in_interval_join(pur, iv, on="user_id", point_ts="ts",
+                                 start_col="s", end_col="e",
+                                 bucket=86400.0, payload=["session_id"])
+    return out.select("event_id", "user_id", "session_id")
+
+
+def q_error_session_overlap(spark, sf):
+    """Interval-overlap range join (operators/intervals.py): which error
+    bursts (error events sessionized at 6 h gaps) overlap which browse
+    sessions of the same user. Each overlapping pair is emitted exactly
+    once — counted only in the first shared bucket (a predicate, not a
+    distinct). Oracle: two session CTEs + a plain SQL range join."""
+    from remark_lint_frontmatter_schema_spark.operators.intervals import (
+        interval_overlap_join)
+    from remark_lint_frontmatter_schema_spark.operators.sequence import (
+        sessionize)
+    ev = _load(spark, sf, "events")
+
+    def spans(df, gap):
+        return (sessionize(df, "ts", by="user_id", gap_seconds=gap)
+                .groupBy("user_id", "session_id")
+                .agg(F.min("ts").alias("s"), F.max("ts").alias("e")))
+
+    browse = spans(ev.where(F.col("event_type").isin("click", "view")),
+                   86400)
+    errors = spans(ev.where(F.col("event_type") == "error"), 21600)
+    out = interval_overlap_join(
+        errors, browse, on="user_id", a_start="s", a_end="e",
+        b_start="s", b_end="e", bucket=86400.0,
+        a_keep=["session_id"], b_keep=["session_id"],
+        suffix="_browse")
+    return out.select("user_id",
+                      F.col("session_id").alias("error_session_id"),
+                      F.col("session_id_browse").alias("browse_session_id"))
+
+
 def q_profile_diff_orders(spark, sf):
     """Induced-profile drift (operators/induce.py profile_diff): which
     constraint facts moved between two table versions — here a
@@ -1484,6 +1537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "asof_events_purchase": q_asof_events_purchase,
         "asof_bucketed_events_purchase": q_asof_bucketed_events_purchase,
+        "purchase_session_attribution": q_purchase_session_attribution,
+        "error_session_overlap": q_error_session_overlap,
         "profile_diff_orders": q_profile_diff_orders,
         "url_dedup_documents": q_url_dedup_documents,
         "gibberish_documents": q_gibberish_documents,
@@ -2594,6 +2649,62 @@ FROM lineitem GROUP BY l_returnflag
 """,
         "asof_events_purchase": _ASOF_ORACLE,
         "asof_bucketed_events_purchase": _ASOF_ORACLE,
+        "purchase_session_attribution": """
+WITH s AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events WHERE event_type <> 'purchase'
+), x AS (
+  SELECT user_id, ts,
+         CAST(sum(CASE WHEN prev IS NULL
+                       OR epoch(ts) - epoch(prev) > 86400
+                  THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_index
+  FROM s
+), iv AS (
+  SELECT user_id,
+         CAST(user_id AS VARCHAR) || '-'
+           || CAST(session_index AS VARCHAR) AS session_id,
+         min(ts) AS s, max(ts) AS e
+  FROM x GROUP BY user_id, session_index
+)
+SELECT p.event_id, p.user_id, iv.session_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN iv ON p.user_id = iv.user_id AND p.ts BETWEEN iv.s AND iv.e
+""",
+        "error_session_overlap": """
+WITH sess AS (
+  SELECT user_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id, event_type <> 'error'
+                       ORDER BY ts) AS prev
+  FROM events WHERE event_type IN ('click', 'view', 'error')
+), x AS (
+  SELECT user_id, ts, event_type <> 'error' AS is_browse,
+         CAST(sum(CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) >
+                            (CASE WHEN event_type <> 'error'
+                                  THEN 86400 ELSE 21600 END)
+                  THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id, event_type <> 'error'
+                    ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_index
+  FROM sess
+), iv AS (
+  SELECT user_id, is_browse,
+         CAST(user_id AS VARCHAR) || '-'
+           || CAST(session_index AS VARCHAR) AS session_id,
+         min(ts) AS s, max(ts) AS e
+  FROM x GROUP BY user_id, is_browse, session_index
+)
+SELECT er.user_id,
+       er.session_id AS error_session_id,
+       br.session_id AS browse_session_id
+FROM (SELECT * FROM iv WHERE NOT is_browse) er
+JOIN (SELECT * FROM iv WHERE is_browse) br
+  ON er.user_id = br.user_id AND er.s <= br.e AND br.s <= er.e
+""",
         "sessionize_events": """
 WITH s AS (
   SELECT event_id, user_id, ts,

@@ -93,6 +93,8 @@ HEADLINE = [
     "sessionize_events",
     "asof_events_purchase",
     "asof_bucketed_events_purchase",
+    "purchase_session_attribution",
+    "error_session_overlap",
     "profile_diff_orders",
 ]
 

@@ -516,3 +516,29 @@ def test_asof_join_shuffle_shape_and_pruning(spark, tmp_path):
     assert any("_asof_bkt" in ln for ln in bplan.splitlines()
                if "Exchange hashpartitioning" in ln), bplan
     assert "EvalPython" not in bplan and "ArrowEval" not in bplan
+
+
+def test_interval_joins_plan_as_equi_joins(spark, tmp_path):
+    """Range joins must never plan as BroadcastNestedLoopJoin or
+    CartesianProduct — the bucket column turns them into equi-joins."""
+    from remark_lint_frontmatter_schema_spark.operators.intervals import (
+        interval_overlap_join, point_in_interval_join)
+    ivp, ptp = str(tmp_path / "iv"), str(tmp_path / "pt")
+    spark.createDataFrame(
+        [(f"k{i % 5}", float(i), float(i + 3), i) for i in range(400)],
+        "k string, s double, e double, iid long").write.parquet(ivp)
+    spark.createDataFrame(
+        [(f"k{i % 5}", float(i), i) for i in range(400)],
+        "k string, ts double, pid long").write.parquet(ptp)
+    iv, pt = spark.read.parquet(ivp), spark.read.parquet(ptp)
+    p1 = _plan(point_in_interval_join(pt, iv, on="k", point_ts="ts",
+                                      start_col="s", end_col="e",
+                                      bucket=5.0, payload=["iid"]))
+    p2 = _plan(interval_overlap_join(iv, iv, on="k", a_start="s",
+                                     a_end="e", b_start="s", b_end="e",
+                                     bucket=5.0, a_keep=["iid"],
+                                     b_keep=["iid"]))
+    for p in (p1, p2):
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+        assert "EvalPython" not in p and "ArrowEval" not in p
