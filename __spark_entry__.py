@@ -408,6 +408,28 @@ def q_asof_bucketed_events_purchase(spark, sf):
                       F.round("purchase_value", 5).alias("purchase_value"))
 
 
+def q_ref_asof_purchase_signup(spark, sf):
+    """x-ref-asof end-to-end through the DSL compiler: every purchase
+    must be by a user with a signup event at-or-before it — temporal
+    referential integrity (operators/asof.asof_ref_violations), the
+    check plain x-ref cannot express (the key may exist only LATER).
+    Oracle: NOT EXISTS with the time predicate."""
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        table_check_violations)
+    ev = _load(spark, sf, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    signups = ev.where(F.col("event_type") == "signup") \
+                .select("user_id", "ts")
+    rs = {"properties": {"user_id": {"x-ref-asof": {
+        "dim": "signups", "key": "user_id", "ts": "ts",
+        "dim_ts": "ts"}}}}
+    compiled = compile_ruleset(rs, purchases.schema, name="consent")
+    v = table_check_violations(purchases, compiled, row_id="event_id",
+                               dims={"signups": signups})
+    return v.select(F.col("row_id").cast("long").alias("event_id"),
+                    "constraint_id", "keyword", "message")
+
+
 def q_purchase_session_attribution(spark, sf):
     """Point-in-interval range join (operators/intervals.py): attribute
     each purchase to the browse session (sessionized non-purchase events,
@@ -1537,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "asof_events_purchase": q_asof_events_purchase,
         "asof_bucketed_events_purchase": q_asof_bucketed_events_purchase,
+        "ref_asof_purchase_signup": q_ref_asof_purchase_signup,
         "purchase_session_attribution": q_purchase_session_attribution,
         "error_session_overlap": q_error_session_overlap,
         "profile_diff_orders": q_profile_diff_orders,
@@ -2649,6 +2672,18 @@ FROM lineitem GROUP BY l_returnflag
 """,
         "asof_events_purchase": _ASOF_ORACLE,
         "asof_bucketed_events_purchase": _ASOF_ORACLE,
+        "ref_asof_purchase_signup": """
+SELECT p.event_id,
+       'ref-asof:user_id->user_id@ts' AS constraint_id,
+       'ref-asof' AS keyword,
+       'Must reference a ''user_id'' effective at `ts`' AS message
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND p.user_id IS NOT NULL AND p.ts IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM events s
+                  WHERE s.event_type = 'signup'
+                    AND s.user_id = p.user_id AND s.ts <= p.ts)
+""",
         "purchase_session_attribution": """
 WITH s AS (
   SELECT user_id, ts,

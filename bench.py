@@ -93,6 +93,7 @@ HEADLINE = [
     "sessionize_events",
     "asof_events_purchase",
     "asof_bucketed_events_purchase",
+    "ref_asof_purchase_signup",
     "purchase_session_attribution",
     "error_session_overlap",
     "profile_diff_orders",

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["asof_join", "asof_join_bucketed"]
+__all__ = ["asof_join", "asof_join_bucketed", "asof_ref_violations"]
 
 _ORD = "_asof_ord"
 _SIDE = "_asof_side"
@@ -203,3 +203,58 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, *,
     matched = (within.join(carry, [*on, _BKT], "left")
                      .withColumn(_PAY, F.coalesce(_PAY, "_carry")))
     return _emit(matched, left.columns, payload, tolerance, ups, suffix)
+
+
+def asof_ref_violations(fact: DataFrame, fact_key: str, dim: DataFrame,
+                        dim_key: str, *, ts_col: str, dim_ts: str,
+                        row_id: str, tolerance: float | None = None,
+                        direction: str = "backward",
+                        bucket: float | None = None,
+                        ruleset_name: str = "engine",
+                        severity: str = "warning") -> DataFrame:
+    """TEMPORAL referential integrity — the ``x-ref-asof`` table check:
+    every fact row must have a ``dim`` row with the same key IN FORCE at
+    its timestamp (a dim row at-or-before ``ts_col``, within
+    ``tolerance`` seconds if given; ``direction="forward"`` flips to
+    at-or-after). The training-data canon: "every clip must have a
+    consent/config/label-schema record effective at record time" —
+    plain ``x-ref`` can't see that a key exists but only LATER.
+
+    NULL fact key or NULL fact ts never violates here (``required`` /
+    ``type`` own those findings). ``bucket`` switches to the
+    skew-proof :func:`asof_join_bucketed` plan.
+
+    Reference parity: composes the reference's Ajv-shaped violation row
+    (message/keyword/paths mirroring ``index.ts:201-320``'s VFile
+    messages) with a temporal relation the single-document reference
+    cannot express.
+    """
+    left = (fact.select(F.col(row_id), F.col(fact_key), F.col(ts_col))
+                .where(F.col(fact_key).isNotNull()
+                       & F.col(ts_col).isNotNull()))
+    right = dim.select(F.col(dim_key).alias(fact_key),
+                       F.col(dim_ts).alias("_dim_ts"),
+                       F.lit(True).alias("_matched"))
+    kw = dict(on=[fact_key], left_ts=ts_col, right_ts="_dim_ts",
+              payload=["_matched"], direction=direction,
+              tolerance=tolerance)
+    joined = (asof_join_bucketed(left, right, bucket=bucket, **kw)
+              if bucket else asof_join(left, right, **kw))
+    when = "at" if direction == "backward" else "by"
+    tol = f" within {tolerance:g}s" if tolerance is not None else ""
+    return joined.where(F.col("_matched").isNull()).select(
+        F.col(row_id).cast("string").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"ref-asof:{fact_key}->{dim_key}@{dim_ts}")
+         .alias("constraint_id"),
+        F.lit("ref-asof").alias("keyword"),
+        F.lit(f"/{fact_key}").alias("instance_path"),
+        F.lit(f"#/x-ref-asof/{fact_key}").alias("schema_path"),
+        F.lit(f"Must reference a '{dim_key}' effective {when} "
+              f"`{ts_col}`{tol}").alias("message"),
+        F.concat_ws("@", F.col(fact_key).cast("string"),
+                    F.col(ts_col).cast("string")).alias("actual"),
+        F.lit(None).cast("array<string>").alias("expected"),
+        F.lit(severity).alias("severity"),
+    )

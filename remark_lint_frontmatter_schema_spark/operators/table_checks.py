@@ -76,6 +76,19 @@ def table_check_violations(
                 use_bloom=params["bloom"],
                 n_items_hint=params.get("n_items"),
                 severity=params.get("severity", "warning")))
+        elif kind == "ref_asof":
+            from .asof import asof_ref_violations
+            if params["dim"] not in dims and on_missing_dim is not None:
+                on_missing_dim(params["dim"])
+                continue
+            extras.append(asof_ref_violations(
+                df, column, dims[params["dim"]], params["key"],
+                ts_col=params["ts"], dim_ts=params["dim_ts"],
+                row_id=row_id, tolerance=params.get("tolerance"),
+                direction=params.get("direction", "backward"),
+                bucket=params.get("bucket"),
+                ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "outlier":
             from .outliers import outlier_violations
             extras.append(outlier_violations(

@@ -76,7 +76,8 @@ _KNOWN_KEYWORDS = {
     # table-level declarations (uniqueness / referential / drift) that
     # compile into CompiledRuleset.table_checks and run as separate
     # relational passes
-    "x-spark-check", "x-unique", "x-ref", "x-drift", "x-severity",
+    "x-spark-check", "x-unique", "x-ref", "x-ref-asof", "x-drift",
+    "x-severity",
     "x-dedup", "x-langid", "x-rate", "x-decontaminate", "x-label-conflict",
     "x-repair",  # per-property opt-out consumed by operators/repair.py
     "x-outlier",
@@ -494,6 +495,17 @@ _KEYWORD_SHAPE = {
     and (v.get("n_items") is None
          or (isinstance(v["n_items"], int) and not isinstance(v["n_items"], bool)
              and v["n_items"] > 0)),
+    "x-ref-asof": lambda v: isinstance(v, dict)
+    and isinstance(v.get("dim"), str) and isinstance(v.get("key"), str)
+    and isinstance(v.get("ts"), str) and isinstance(v.get("dim_ts"), str)
+    and (v.get("tolerance") is None
+         or (isinstance(v["tolerance"], (int, float))
+             and not isinstance(v["tolerance"], bool)
+             and v["tolerance"] > 0))
+    and v.get("direction", "backward") in ("backward", "forward")
+    and (v.get("bucket") is None
+         or (isinstance(v["bucket"], (int, float))
+             and not isinstance(v["bucket"], bool) and v["bucket"] > 0)),
     "x-dup-ngram": lambda v: isinstance(v, dict)
     and isinstance(v.get("id"), str)
     and (v.get("n") is None
@@ -660,8 +672,8 @@ _VARIANT_PASSTHROUGH_KWS = frozenset((
 # and the relational x- declarations are typed-column operators.
 _VARIANT_UNSUPPORTED_KWS = frozenset((
     "uniqueItems", "contentEncoding", "contentMediaType", "contentSchema",
-    "x-unique", "x-ref", "x-drift", "x-dedup", "x-langid", "x-rate",
-    "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
+    "x-unique", "x-ref", "x-ref-asof", "x-drift", "x-dedup", "x-langid",
+    "x-rate", "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
     "x-monotonic", "x-dup-ngram", "x-gopher", "x-c4", "x-leakage", "x-embedding",
     "x-fd", "x-gap", "x-gibberish"))
 
@@ -1268,6 +1280,23 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                   "severity": ctx.severity}))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-ref"))
+
+    if "x-ref-asof" in schema and not ctx.silent:
+        # TEMPORAL referential (operators/asof.py asof_ref_violations):
+        # a dim row with this key must be IN FORCE at the fact row's
+        # timestamp — relational pass like x-ref, top-level columns only
+        if is_top:
+            p = schema["x-ref-asof"]
+            ctx.out.table_checks.append(
+                ("ref_asof", ctx.instance_path[1:], {
+                    "dim": p["dim"], "key": p["key"], "ts": p["ts"],
+                    "dim_ts": p["dim_ts"],
+                    "tolerance": p.get("tolerance"),
+                    "direction": p.get("direction", "backward"),
+                    "bucket": p.get("bucket"),
+                    "severity": ctx.severity}))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-ref-asof"))
 
     if "x-outlier" in schema and not ctx.silent:
         # robust distributional outlier (median/MAD modified z-score,
