@@ -135,6 +135,19 @@ def sample_centroids(df: DataFrame, vec_col: str, id_col: str,
     return [[float(x) for x in r.v] for r in rows]
 
 
+def _sampled_points(df: DataFrame, vec_col: str, id_col: str,
+                    sample_n: int) -> "object":
+    """Deterministic hash-ordered sample of vectors as an (n, dim) numpy
+    array — ONE bounded collect, the same rows on every rerun (xxhash64
+    order, value tiebreak)."""
+    import numpy as np
+    rows = (df.where(F.col(vec_col).isNotNull())
+              .select(F.col(vec_col).cast("array<double>").alias("v"),
+                      F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+              .orderBy("h", "v").limit(sample_n).collect())
+    return np.array([r.v for r in rows], dtype=np.float64)
+
+
 def farthest_point_centroids(df: DataFrame, vec_col: str, id_col: str,
                              n_cells: int, *,
                              sample_n: int = 4096) -> list[list[float]]:
@@ -145,10 +158,7 @@ def farthest_point_centroids(df: DataFrame, vec_col: str, id_col: str,
     small collect (<= sample_n rows); the greedy loop is driver-side
     numpy over the sample."""
     import numpy as np
-    rows = (df.select(F.col(vec_col).cast("array<double>").alias("v"),
-                      F.xxhash64(F.col(id_col).cast("string")).alias("h"))
-              .orderBy("h", "v").limit(sample_n).collect())
-    pts = np.array([r.v for r in rows], dtype=np.float64)
+    pts = _sampled_points(df, vec_col, id_col, sample_n)
     if len(pts) == 0:
         return []
     n = min(n_cells, len(pts))
@@ -162,22 +172,54 @@ def farthest_point_centroids(df: DataFrame, vec_col: str, id_col: str,
 
 
 def kmeans_centroids(df: DataFrame, vec_col: str, id_col: str,
-                     n_cells: int, *, dim: int, n_iter: int = 2) -> list[list[float]]:
-    """Lloyd-refined IVF centroids, fully distributed and deterministic.
+                     n_cells: int, *, dim: int, n_iter: int = 2,
+                     train_sample_n: int | None = 65536) -> list[list[float]]:
+    """Lloyd-refined IVF centroids, deterministic.
 
     Seeded from :func:`farthest_point_centroids` (deterministic greedy
     k-center — hash sampling alone can double-seed one cluster and miss
-    another, unrecoverable by Lloyd), then
-    ``n_iter`` rounds of assign + per-cell mean. The mean is ``dim``
-    ``avg(element_at(vec, i))`` aggregates — no explode, so each round is
-    one scan + a shuffle of ``n_cells x dim`` partial sums (map-side
-    combined). Empty cells keep their previous centroid. Refined cells
-    tighten the IVF partition pruning: fewer probes reach the same recall,
-    so the scan fraction per query drops.
+    another, unrecoverable by Lloyd), then ``n_iter`` Lloyd rounds.
+
+    Default path (``train_sample_n`` set): Lloyd runs DRIVER-SIDE numpy
+    over one bounded deterministic sample — the faiss-standard IVF
+    training regime, because at 10^12 rows the alternative is ``n_iter``
+    extra full-table scans just to move centroids the sample already
+    pins (centroid estimates converge ~1/sqrt(sample), not with table
+    size). ONE collect of ``train_sample_n`` vectors; zero extra scans.
+
+    ``train_sample_n=None`` restores the fully-distributed exact loop:
+    each round is one scan + a shuffle of ``n_cells x dim`` partial sums
+    (``avg(element_at(vec, i))`` — no explode, map-side combined) — for
+    when training must see every row. Empty cells keep their previous
+    centroid on both paths. Refined cells tighten IVF partition pruning:
+    fewer probes reach the same recall, so scan fraction per query drops.
     """
+    import numpy as np
     # NULL vectors carry no training signal and the numpy path assigns
     # them cell NULL (whose all-None means would crash the float() below)
     df = df.where(F.col(vec_col).isNotNull())
+    if train_sample_n is not None:
+        pts = _sampled_points(df, vec_col, id_col, train_sample_n)
+        if len(pts) == 0:
+            return []
+        n = min(n_cells, len(pts))
+        chosen = [0]
+        d = ((pts - pts[0]) ** 2).sum(axis=1)
+        for _ in range(n - 1):
+            i = int(np.argmax(d))
+            chosen.append(i)
+            d = np.minimum(d, ((pts - pts[i]) ** 2).sum(axis=1))
+        C = pts[chosen].copy()
+        for _ in range(n_iter):
+            # k small distance rows of len(pts) each — never the
+            # (n, k, dim) tensor
+            dists = np.stack([((pts - c) ** 2).sum(axis=1) for c in C])
+            a = dists.argmin(axis=0)
+            for ci in range(len(C)):
+                members = pts[a == ci]
+                if len(members):
+                    C[ci] = members.mean(axis=0)
+        return [[float(x) for x in row] for row in C]
     cents = farthest_point_centroids(df, vec_col, id_col, n_cells)
     v = F.col(vec_col).cast("array<double>")
     for _ in range(n_iter):

@@ -113,3 +113,21 @@ def test_gibberish_violations_releasable(spark):
     assert len(dedup._PERSISTED) > before  # handle registered
     dedup.release_all()
     assert len(dedup._PERSISTED) == 0
+
+
+def test_kmeans_sampled_matches_distributed_on_small_data(spark):
+    from remark_lint_frontmatter_schema_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+    rows = [(f"i{i}", [float(i % 7), float((i * 3) % 5)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id string, v array<float>")
+    # when the sample covers the whole table the driver-side Lloyd and
+    # the distributed Lloyd see identical points -> identical centroids
+    # (up to float-summation order)
+    a = kmeans_centroids(df, "v", "id", 4, dim=2, n_iter=3)
+    b = kmeans_centroids(df, "v", "id", 4, dim=2, n_iter=3,
+                         train_sample_n=None)
+    assert len(a) == len(b) == 4
+    for ca, cb in zip(a, b):
+        assert all(abs(x - y) < 1e-9 for x, y in zip(ca, cb))
