@@ -53,9 +53,11 @@ def _ord_expr(df: DataFrame, ts_col: str, direction: str):
     Timestamps become microseconds since epoch so bucket arithmetic and
     range frames work; ``forward`` negates so "greatest <=" uniformly
     means "nearest at-or-before in ordering space". Returns (column,
-    units_per_second) — the latter converts a seconds-valued ``bucket`` /
-    ``tolerance`` for timestamp columns (1.0 for numeric columns, whose
-    units are the caller's own).
+    units_per_second, kind) — ``ups`` converts a seconds-valued
+    ``bucket`` / ``tolerance`` for timestamp columns (1.0 for numeric
+    columns, whose units are the caller's own); ``kind`` lets callers
+    refuse to mix ordinal spaces (epoch-micros vs epoch-seconds vs raw
+    numbers) whose comparison would be silently meaningless.
     """
     dt = df.schema[ts_col].dataType
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
@@ -64,11 +66,12 @@ def _ord_expr(df: DataFrame, ts_col: str, direction: str):
         c = F.col(ts_col)
         if isinstance(dt, T.TimestampNTZType):
             c = F.to_utc_timestamp(c.cast("timestamp"), "UTC")
-        ord_c, ups = F.unix_micros(c), 1_000_000.0
+        ord_c, ups, kind = F.unix_micros(c), 1_000_000.0, "timestamp"
     elif isinstance(dt, T.DateType):
-        ord_c, ups = F.col(ts_col).cast("timestamp").cast("long"), 1.0
+        ord_c, ups, kind = (F.col(ts_col).cast("timestamp").cast("long"),
+                            1.0, "date")
     elif isinstance(dt, (T.NumericType,)):
-        ord_c, ups = F.col(ts_col).cast("double"), 1.0
+        ord_c, ups, kind = F.col(ts_col).cast("double"), 1.0, "numeric"
     else:
         raise TypeError(
             f"asof_join: unsupported timestamp column type {dt} "
@@ -77,7 +80,18 @@ def _ord_expr(df: DataFrame, ts_col: str, direction: str):
         ord_c = -ord_c
     elif direction != "backward":
         raise ValueError("direction must be 'backward' or 'forward'")
-    return ord_c, ups
+    return ord_c, ups, kind
+
+
+def _check_same_kind(*labeled_kinds):
+    """Refuse mixed ordinal spaces: (label, kind) pairs must agree."""
+    kinds = {k for _, k in labeled_kinds}
+    if len(kinds) > 1:
+        detail = ", ".join(f"{lbl}={k}" for lbl, k in labeled_kinds)
+        raise TypeError(
+            "temporal join: time columns use different units "
+            f"({detail}) — epoch-micros vs raw numbers would compare "
+            "meaninglessly; cast both sides to one type first")
 
 
 def _prepare(left: DataFrame, right: DataFrame, on: list[str],
@@ -88,8 +102,9 @@ def _prepare(left: DataFrame, right: DataFrame, on: list[str],
     for c in (_ORD, _SIDE, _PAY, _BKT):
         if c in left.columns:
             raise ValueError(f"asof_join: left side already has {c!r}")
-    lo, ups = _ord_expr(left, left_ts, direction)
-    ro, _ = _ord_expr(right, right_ts, direction)
+    lo, ups, lkind = _ord_expr(left, left_ts, direction)
+    ro, _, rkind = _ord_expr(right, right_ts, direction)
+    _check_same_kind((f"left.{left_ts}", lkind), (f"right.{right_ts}", rkind))
     r = (right.where(F.col(right_ts).isNotNull())
               .select(*on, ro.alias(_ORD), F.lit(0).alias(_SIDE),
                       F.struct(ro.alias("_rts"),
@@ -152,7 +167,8 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, *,
                        payload: list[str] | None = None,
                        direction: str = "backward",
                        tolerance: float | None = None,
-                       suffix: str = "_asof") -> DataFrame:
+                       suffix: str = "_asof",
+                       reuse: bool = True) -> DataFrame:
     """:func:`asof_join` semantics with ``(key, time-bucket)`` shuffle
     granularity — the skew-proof scale path. ``bucket`` is in seconds for
     timestamp columns, key units for numeric ones.
@@ -175,6 +191,15 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, *,
         raise ValueError("bucket must be > 0")
     l, r, ups = _prepare(left, right, on, left_ts, right_ts, payload,
                          direction)
+    # r feeds two subtrees (the union AND the bucket-finals groupBy) and
+    # Spark never dedupes aliased subtrees — persist the narrow right
+    # projection so the dim side is read once (reuse=False opts out).
+    # l is deliberately NOT persisted: its second subtree (left_bkts) is
+    # a column-pruned distinct over keys+ts — far cheaper than
+    # materializing the full left relation at the 10^12-row design point.
+    from .dedup import _persist, _track
+    if reuse:
+        r = _persist(r)
     bkt = F.floor(F.col(_ORD) / F.lit(float(bucket) * ups))
 
     u = (l.unionByName(r, allowMissingColumns=True)
@@ -202,7 +227,8 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, *,
 
     matched = (within.join(carry, [*on, _BKT], "left")
                      .withColumn(_PAY, F.coalesce(_PAY, "_carry")))
-    return _emit(matched, left.columns, payload, tolerance, ups, suffix)
+    out = _emit(matched, left.columns, payload, tolerance, ups, suffix)
+    return _track(out, r) if reuse else out
 
 
 def asof_ref_violations(fact: DataFrame, fact_key: str, dim: DataFrame,
@@ -229,7 +255,10 @@ def asof_ref_violations(fact: DataFrame, fact_key: str, dim: DataFrame,
     messages) with a temporal relation the single-document reference
     cannot express.
     """
-    left = (fact.select(F.col(row_id), F.col(fact_key), F.col(ts_col))
+    # dict.fromkeys: row_id may BE the key or ts column — a duplicate
+    # name in the projection would make every later reference ambiguous
+    # (the fd.py / sequence.py lesson)
+    left = (fact.select(*dict.fromkeys([row_id, fact_key, ts_col]))
                 .where(F.col(fact_key).isNotNull()
                        & F.col(ts_col).isNotNull()))
     right = dim.select(F.col(dim_key).alias(fact_key),

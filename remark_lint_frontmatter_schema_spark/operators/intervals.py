@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .asof import _ord_expr
+from .asof import _check_same_kind, _ord_expr
 
 __all__ = ["point_in_interval_join", "interval_overlap_join"]
 
@@ -54,8 +54,7 @@ def _guarded_buckets(s_ord, e_ord, width: float, max_span_buckets: int):
 
 
 def _ords(df: DataFrame, col: str):
-    c, ups = _ord_expr(df, col, "backward")
-    return c, ups
+    return _ord_expr(df, col, "backward")
 
 
 def point_in_interval_join(points: DataFrame, intervals: DataFrame, *,
@@ -83,9 +82,12 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame, *,
     if payload is None:
         payload = [c for c in intervals.columns
                    if c not in (*on, start_col, end_col)]
-    p_ord, ups = _ords(points, point_ts)
-    s_ord, _ = _ords(intervals, start_col)
-    e_ord, _ = _ords(intervals, end_col)
+    p_ord, ups, pk = _ords(points, point_ts)
+    s_ord, _, sk = _ords(intervals, start_col)
+    e_ord, _, ek = _ords(intervals, end_col)
+    _check_same_kind((f"points.{point_ts}", pk),
+                     (f"intervals.{start_col}", sk),
+                     (f"intervals.{end_col}", ek))
     width = float(bucket) * ups
 
     iv = (intervals
@@ -134,8 +136,10 @@ def interval_overlap_join(a: DataFrame, b: DataFrame, *,
         raise ValueError("bucket must be > 0")
 
     def _side(df, s_col, e_col, keep, tag):
-        s_ord, ups = _ords(df, s_col)
-        e_ord, _ = _ords(df, e_col)
+        s_ord, ups, sk = _ords(df, s_col)
+        e_ord, _, ek = _ords(df, e_col)
+        _check_same_kind((f"{tag}.{s_col}", sk), (f"{tag}.{e_col}", ek))
+        kind = sk
         width = float(bucket) * ups
         return (df.where(F.col(s_col).isNotNull()
                          & F.col(e_col).isNotNull())
@@ -146,10 +150,11 @@ def interval_overlap_join(a: DataFrame, b: DataFrame, *,
                            .alias(f"_{tag}_pay"))
                   .withColumn("_ov_bkt", F.explode(_guarded_buckets(
                       F.col(f"_{tag}_s"), F.col(f"_{tag}_e"), width,
-                      max_span_buckets)))), width
+                      max_span_buckets)))), width, kind
 
-    ax, width = _side(a, a_start, a_end, a_keep, "a")
-    bx, b_width = _side(b, b_start, b_end, b_keep, "b")
+    ax, width, a_kind = _side(a, a_start, a_end, a_keep, "a")
+    bx, b_width, b_kind = _side(b, b_start, b_end, b_keep, "b")
+    _check_same_kind((f"a.{a_start}", a_kind), (f"b.{b_start}", b_kind))
     if width != b_width:
         raise TypeError(
             "interval_overlap_join: sides use different time units "

@@ -148,6 +148,20 @@ def _sampled_points(df: DataFrame, vec_col: str, id_col: str,
     return np.array([r.v for r in rows], dtype=np.float64)
 
 
+def _greedy_seed(pts, n: int):
+    """Deterministic greedy k-center (farthest-point) seed indices over an
+    (n_pts, dim) array — THE shared seeding for IVF cells, sampled Lloyd,
+    and PQ subspace codebooks (k-means++-style spread without RNG)."""
+    import numpy as np
+    chosen = [0]
+    d = ((pts - pts[0]) ** 2).sum(axis=1)
+    for _ in range(min(n, len(pts)) - 1):
+        i = int(np.argmax(d))
+        chosen.append(i)
+        d = np.minimum(d, ((pts - pts[i]) ** 2).sum(axis=1))
+    return chosen
+
+
 def farthest_point_centroids(df: DataFrame, vec_col: str, id_col: str,
                              n_cells: int, *,
                              sample_n: int = 4096) -> list[list[float]]:
@@ -157,18 +171,10 @@ def farthest_point_centroids(df: DataFrame, vec_col: str, id_col: str,
     another cluster seedless, which Lloyd iterations cannot repair. One
     small collect (<= sample_n rows); the greedy loop is driver-side
     numpy over the sample."""
-    import numpy as np
     pts = _sampled_points(df, vec_col, id_col, sample_n)
     if len(pts) == 0:
         return []
-    n = min(n_cells, len(pts))
-    chosen = [0]
-    d = ((pts - pts[0]) ** 2).sum(axis=1)
-    for _ in range(n - 1):
-        i = int(np.argmax(d))
-        chosen.append(i)
-        d = np.minimum(d, ((pts - pts[i]) ** 2).sum(axis=1))
-    return [[float(x) for x in pts[i]] for i in chosen]
+    return [[float(x) for x in pts[i]] for i in _greedy_seed(pts, n_cells)]
 
 
 def kmeans_centroids(df: DataFrame, vec_col: str, id_col: str,
@@ -202,14 +208,7 @@ def kmeans_centroids(df: DataFrame, vec_col: str, id_col: str,
         pts = _sampled_points(df, vec_col, id_col, train_sample_n)
         if len(pts) == 0:
             return []
-        n = min(n_cells, len(pts))
-        chosen = [0]
-        d = ((pts - pts[0]) ** 2).sum(axis=1)
-        for _ in range(n - 1):
-            i = int(np.argmax(d))
-            chosen.append(i)
-            d = np.minimum(d, ((pts - pts[i]) ** 2).sum(axis=1))
-        C = pts[chosen].copy()
+        C = pts[_greedy_seed(pts, n_cells)].copy()
         for _ in range(n_iter):
             # k small distance rows of len(pts) each — never the
             # (n, k, dim) tensor
@@ -417,13 +416,7 @@ def pq_train(df: DataFrame, vec_col: str, id_col: str, *, dim: int,
     for start, ln in _subspaces(dim, m):
         sub = sample[:, start - 1: start - 1 + ln]
         k = min(n_codes, len(sub))
-        # farthest-point seed (deterministic greedy k-center)
-        cents = [sub[0]]
-        d2 = ((sub - cents[0]) ** 2).sum(axis=1)
-        for _ in range(k - 1):
-            cents.append(sub[int(d2.argmax())])
-            d2 = np.minimum(d2, ((sub - cents[-1]) ** 2).sum(axis=1))
-        cents = np.asarray(cents)
+        cents = sub[_greedy_seed(sub, k)].copy()
         for _ in range(n_iter):  # Lloyd
             assign = ((sub[:, None, :] - cents[None, :, :]) ** 2) \
                 .sum(axis=2).argmin(axis=1)

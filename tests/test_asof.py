@@ -134,3 +134,16 @@ def test_guards(quotes_trades):
     with pytest.raises(TypeError):
         asof_join(trades.withColumn("ts", F.col("tid")), quotes,
                   on="sym", left_ts="ts")
+
+
+def test_mixed_time_units_rejected(spark):
+    left = spark.createDataFrame([("k", "2024-01-01 00:00:00", 1)],
+                                 "k string, ts string, lid int") \
+        .selectExpr("k", "cast(ts as timestamp) ts", "lid")
+    right = spark.createDataFrame([("k", 5.0, 1.0)],
+                                  "k string, ts double, v double")
+    with pytest.raises(TypeError, match="different units"):
+        asof_join(left, right, on="k", left_ts="ts", payload=["v"])
+    with pytest.raises(TypeError, match="different units"):
+        asof_join_bucketed(left, right, on="k", left_ts="ts",
+                           payload=["v"], bucket=60.0)

@@ -138,3 +138,14 @@ def test_timestamp_columns_and_unit_mismatch(spark):
         interval_overlap_join(iv, num, on="k", a_start="s", a_end="e",
                               b_start="s", b_end="e", bucket=1.0,
                               a_keep=["sid"], b_keep=["sid"])
+
+
+def test_point_join_unit_mismatch_rejected(spark):
+    iv = spark.createDataFrame([("k", 1.0, 2.0, "A")],
+                               "k string, s double, e double, sid string")
+    pt = spark.createDataFrame([("k", "2024-01-01 00:00:00", 1)],
+                               "k string, ts string, pid int") \
+        .selectExpr("k", "cast(ts as timestamp) ts", "pid")
+    with pytest.raises(TypeError, match="different units"):
+        point_in_interval_join(pt, iv, on="k", point_ts="ts",
+                               start_col="s", end_col="e", bucket=60.0)

@@ -101,3 +101,14 @@ def test_missing_dim_guard(spark, fact, consents):
                                  on_missing_dim=missing.append)
     assert missing == ["nope"]
     assert out is None
+
+
+def test_row_id_may_be_the_key_or_ts(fact, consents):
+    # validating the key column with itself as the row id (the fd.py
+    # duplicate-projection lesson) must not raise AMBIGUOUS_REFERENCE
+    v = asof_ref_violations(fact, "uid", consents, "user",
+                            ts_col="ts", dim_ts="granted", row_id="uid")
+    assert {r["row_id"] for r in v.collect()} == {"u1", "u2"}
+    v2 = asof_ref_violations(fact, "uid", consents, "user",
+                             ts_col="ts", dim_ts="granted", row_id="ts")
+    assert {r["row_id"] for r in v2.collect()} == {"3.0", "9.0"}

@@ -48,8 +48,10 @@ def test_zero_vector_never_pairs_lsh(vec_df):
     pairs = embedding_lsh_pairs(vec_df, "v", "id", n_bits=4, dim=3,
                                 threshold=0.9)
     ids = _ids_in_pairs(pairs)
-    assert "z" not in ids
-    assert {"a", "b"} <= ids | {"a", "b"}  # a,b may share a bucket or not
+    # zero vector pairs with nothing; any pair that IS emitted can only
+    # involve the genuine near-dups (a, b share a bucket or don't —
+    # bucketing is probabilistic, but c/z must never appear)
+    assert ids <= {"a", "b"}
     dedup.release_all()
 
 
