@@ -1,0 +1,120 @@
+"""Streaming temporal enrichment: as-of join each micro-batch against a
+slowly-changing static dimension (stream-static as-of).
+
+Structured Streaming's native stream-static joins are equi-joins only —
+the as-of window ("greatest dim ts <= event ts per key") is not
+expressible in a continuous plan, so this runs the batch
+:func:`~..operators.asof.asof_join` INSIDE ``foreachBatch``: each
+micro-batch is a bounded DataFrame where the union+window plan is legal.
+The dim is re-read per batch by reference (pass a *callable* for a
+refreshing dim — e.g. a lambda re-reading an Iceberg snapshot — or a
+DataFrame for a frozen one), which is exactly the semantics of
+slowly-changing enrichment: rows in batch N see the dim as of batch N.
+
+Violations mode (``require_match=True``) emits x-ref-asof-shaped
+violation rows for events with no dim row in force instead of enriched
+rows — the streaming twin of the x-ref-asof table check, like
+streaming/drift.py is to x-drift.
+
+Reference parity: the reference is a batch linter with no temporal or
+streaming semantics (``/root/reference/index.ts``); both modes belong to
+the training-data family the north-star adds.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.asof import asof_join, asof_ref_violations
+
+DimLike = Union[DataFrame, Callable[[], DataFrame]]
+
+
+def _dim_df(dim: DimLike) -> DataFrame:
+    return dim() if callable(dim) else dim
+
+
+def enrich_stream_asof(
+    spark: SparkSession,
+    input_path: str,
+    input_schema,
+    dim: DimLike,
+    *,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str | None = None,
+    payload: list[str] | None = None,
+    tolerance: float | None = None,
+    direction: str = "backward",
+    sink: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Start (and with availableNow, drain) an enrichment stream: each
+    micro-batch as-of joined against ``dim``, appended to ``sink``.
+
+    Per batch the join is ONE shuffle on the key (micro-batches are
+    bounded, so the per-key window is small by construction — batch
+    size, not corpus size, bounds the window state)."""
+    stream = (spark.readStream.schema(input_schema)
+              .option("maxFilesPerTrigger", "16")
+              .parquet(input_path))
+
+    def process_batch(batch_df, batch_id: int):
+        out = asof_join(batch_df, _dim_df(dim), on=on, left_ts=left_ts,
+                        right_ts=right_ts, payload=payload,
+                        tolerance=tolerance, direction=direction)
+        out.write.mode("append").parquet(sink)
+
+    writer = (stream.writeStream.foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ref_asof_stream(
+    spark: SparkSession,
+    input_path: str,
+    input_schema,
+    dim: DimLike,
+    *,
+    fact_key: str,
+    dim_key: str,
+    ts_col: str,
+    dim_ts: str,
+    row_id: str,
+    tolerance: float | None = None,
+    direction: str = "backward",
+    violations_sink: str,
+    checkpoint: str,
+    ruleset_name: str = "engine",
+    severity: str = "warning",
+    trigger_available_now: bool = True,
+):
+    """Streaming x-ref-asof: per micro-batch, events with no dim row in
+    force at their timestamp become violation rows (batch id as run
+    provenance rides in ``partition_id`` = ``batch_<id>`` so late
+    batches are attributable, the validate_stream convention)."""
+    from pyspark.sql import functions as F
+
+    stream = (spark.readStream.schema(input_schema)
+              .option("maxFilesPerTrigger", "16")
+              .parquet(input_path))
+
+    def process_batch(batch_df, batch_id: int):
+        v = asof_ref_violations(
+            batch_df, fact_key, _dim_df(dim), dim_key, ts_col=ts_col,
+            dim_ts=dim_ts, row_id=row_id, tolerance=tolerance,
+            direction=direction, ruleset_name=ruleset_name,
+            severity=severity)
+        v = v.withColumn("partition_id", F.lit(f"batch_{batch_id}"))
+        v.write.mode("append").parquet(violations_sink)
+
+    writer = (stream.writeStream.foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
