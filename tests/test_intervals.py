@@ -149,3 +149,37 @@ def test_point_join_unit_mismatch_rejected(spark):
     with pytest.raises(TypeError, match="different units"):
         point_in_interval_join(pt, iv, on="k", point_ts="ts",
                                start_col="s", end_col="e", bucket=60.0)
+
+
+def test_composes_with_audio_vad_and_chunks(spark):
+    """The audio composition the range join exists for: which fixed
+    training windows (chunk_clips) contain voice (overlap a VAD
+    segment)? Both stages emit (clip_id, start_ms, end_ms) — keyed
+    overlap join, no payload bytes ever shuffle."""
+    import numpy as np
+
+    from remark_lint_frontmatter_schema_spark.functions import audio
+
+    sr = 16000
+    t = lambda ms: np.arange(int(sr * ms / 1000)) / sr
+    tone = lambda ms, f: 0.5 * np.sin(2 * np.pi * f * t(ms))
+    # 100 ms tone, 100 ms silence, 150 ms tone -> voice in [0,100)+[200,350)
+    x = np.concatenate([tone(100, 440), np.zeros(int(sr * 0.1)),
+                        tone(150, 440)])
+    clips = spark.createDataFrame(
+        [("g1", audio.wav_bytes((x * 32767).astype("<i2"), sr))],
+        "clip_id string, bytes binary")
+    segs = audio.voiced_segments(clips)
+    chunks = audio.chunk_clips(clips, window_ms=100) \
+                  .select("clip_id", "chunk_idx", "start_ms", "end_ms")
+    voiced_windows = interval_overlap_join(
+        chunks, segs.select("clip_id", "start_ms", "end_ms"),
+        on="clip_id", a_start="start_ms", a_end="end_ms",
+        b_start="start_ms", b_end="end_ms", bucket=100.0,
+        a_keep=["chunk_idx"], b_keep=[])
+    got = sorted({r["chunk_idx"] for r in voiced_windows.collect()})
+    # windows: 0=[0,100] 1=[100,200] 2=[200,300] 3=[250,350] (tail rule);
+    # window 1 touches voice only at its closed endpoints (VAD boundary
+    # tolerance) — every window overlapping voice must be found, and the
+    # all-silent middle can appear only via boundary-touch
+    assert {0, 2, 3} <= set(got)
