@@ -79,6 +79,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "per invocation, so append-mode artifacts and "
                          "counts never bleed across runs)")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--dim", action="append", default=[],
+                    metavar="NAME=PATH",
+                    help="dimension table for x-ref / x-ref-asof / "
+                         "x-decontaminate declarations: NAME as referenced "
+                         "in the ruleset, PATH a parquet table; repeatable. "
+                         "A declared dim not provided here becomes an "
+                         "error artifact (G2), never a crash.")
     ap.add_argument("--schema-dirs",
                     help="comma-separated dirs for resolving path-valued "
                          "--ruleset-col values (default: config dir, then "
@@ -241,6 +248,20 @@ def _run_workspace(spark, args) -> int:
     failed = errors or any(
         not t.get("passed", True) for t in summary.values())
     return 1 if (args.frail and failed) else 0
+
+
+def _parse_dims(args, spark) -> dict:
+    """--dim NAME=PATH flags -> {name: DataFrame}. Malformed specs are a
+    usage error (SystemExit 2, argparse convention)."""
+    dims = {}
+    for spec in args.dim:
+        name, sep, path = spec.partition("=")
+        if not sep or not name or not path:
+            print(f"error: --dim expects NAME=PATH, got {spec!r}",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        dims[name] = spark.read.parquet(path)
+    return dims
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -433,7 +454,7 @@ def main(argv: list[str] | None = None) -> int:
             df, row_id=args.row_id, registry=registry,
             ruleset_col=ruleset_col, patterns=patterns,
             partition_col=args.partition_col, run_id=val_run_id,
-            schema_dirs=schema_dirs)
+            schema_dirs=schema_dirs, dims=_parse_dims(args, spark))
         violations, verdicts = fused["violations"], fused["verdicts"]
 
         class _FusedReport:
@@ -447,7 +468,7 @@ def main(argv: list[str] | None = None) -> int:
             df, row_id=args.row_id, registry=registry, embed=embed,
             ruleset_col=ruleset_col, patterns=patterns,
             partition_col=args.partition_col, run_id=val_run_id,
-            schema_dirs=schema_dirs)
+            schema_dirs=schema_dirs, dims=_parse_dims(args, spark))
         violations, verdicts = report.violations, report.verdicts
 
     # The violations relation can be consumed up to three times (count,

@@ -411,3 +411,30 @@ def test_cli_induce_mode_round_trips(spark, tmp_path, capsys):
                     "--report", "json", "--frail"])
     rep3 = json.loads(capsys.readouterr().out)
     assert rc3 == 1 and rep3["n_violations"] >= 3
+
+
+def test_cli_dim_flag_feeds_x_ref(spark, tmp_path, capsys):
+    fact = str(tmp_path / "fact")
+    spark.createDataFrame([(1, 10), (2, 99)], ["id", "fk"]) \
+        .write.parquet(fact)
+    dimp = str(tmp_path / "dim")
+    spark.createDataFrame([(10,)], ["dk"]).write.parquet(dimp)
+    (tmp_path / "ref.schema.yaml").write_text(
+        "properties:\n  fk:\n    x-ref: {dim: d, key: dk}\n")
+    base = [fact, "--row-id", "id",
+            "--embed", str(tmp_path / "ref.schema.yaml"),
+            "--report", "json"]
+    # without --dim: error artifact, no crash, zero ref violations
+    rc = cli.main(base)
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert out["n_violations"] == 0
+    assert any("dim 'd' not provided" in e["message"]
+               for e in out["errors"])
+    # with --dim: the dangling fk=99 row violates
+    rc = cli.main(base + ["--dim", f"d={dimp}"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["n_violations"] == 1 and not out["errors"]
+    # malformed spec is a usage error
+    with pytest.raises(SystemExit):
+        cli.main(base + ["--dim", "nonsense"])
