@@ -430,6 +430,23 @@ def q_ref_asof_purchase_signup(spark, sf):
                     "constraint_id", "keyword", "message")
 
 
+def q_profile_events_nonfinite(spark, sf):
+    """Non-finite-aware profiling (operators/stats.column_stats): NaN
+    sorts above every double in Spark, so one NaN poisons max() and one
+    Inf every upper quantile — min/max describe the FINITE mass and
+    n_nonfinite counts NaN/±Inf separately. NaN/Inf injected
+    deterministically by event_id; the oracle injects identically."""
+    ev = _load(spark, sf, "events")
+    inj = ev.select(
+        F.when(F.col("event_id") % 97 == 0, F.lit(float("nan")))
+         .when(F.col("event_id") % 101 == 0, F.lit(float("inf")))
+         .otherwise(F.col("value")).alias("v"))
+    return stats.column_stats(inj, ["v"]).select(
+        "column", "n_rows", "n_nulls", "n_nonfinite",
+        F.round(F.col("min_value").cast("double"), 5).alias("min_v"),
+        F.round(F.col("max_value").cast("double"), 5).alias("max_v"))
+
+
 def q_purchase_session_attribution(spark, sf):
     """Point-in-interval range join (operators/intervals.py): attribute
     each purchase to the browse session (sessionized non-purchase events,
@@ -1560,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events_purchase": q_asof_events_purchase,
         "asof_bucketed_events_purchase": q_asof_bucketed_events_purchase,
         "ref_asof_purchase_signup": q_ref_asof_purchase_signup,
+        "profile_events_nonfinite": q_profile_events_nonfinite,
         "purchase_session_attribution": q_purchase_session_attribution,
         "error_session_overlap": q_error_session_overlap,
         "profile_diff_orders": q_profile_diff_orders,
@@ -2672,6 +2690,22 @@ FROM lineitem GROUP BY l_returnflag
 """,
         "asof_events_purchase": _ASOF_ORACLE,
         "asof_bucketed_events_purchase": _ASOF_ORACLE,
+        "profile_events_nonfinite": """
+WITH inj AS (
+  SELECT CASE WHEN event_id % 97 = 0 THEN 'NaN'::DOUBLE
+              WHEN event_id % 101 = 0 THEN 'Infinity'::DOUBLE
+              ELSE value END AS v
+  FROM events)
+SELECT 'v' AS column,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(sum(CASE WHEN v IS NOT NULL AND NOT isfinite(v)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+       round(min(CASE WHEN isfinite(v) THEN v END), 5) AS min_v,
+       round(max(CASE WHEN isfinite(v) THEN v END), 5) AS max_v
+FROM inj
+""",
         "ref_asof_purchase_signup": """
 SELECT p.event_id,
        'ref-asof:user_id->user_id@ts' AS constraint_id,

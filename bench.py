@@ -94,6 +94,7 @@ HEADLINE = [
     "asof_events_purchase",
     "asof_bucketed_events_purchase",
     "ref_asof_purchase_signup",
+    "profile_events_nonfinite",
     "purchase_session_attribution",
     "error_session_overlap",
     "profile_diff_orders",

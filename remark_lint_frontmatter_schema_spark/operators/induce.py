@@ -48,8 +48,15 @@ def _profile_row(df: DataFrame, columns: list[str]):
         aggs.append(F.count(F.col(c)).alias(f"nn__{c}"))
         aggs.append(F.approx_count_distinct(F.col(c)).alias(f"ad__{c}"))
         if isinstance(dt, _NUMERIC):
-            aggs.append(F.min(F.col(c)).alias(f"mn__{c}"))
-            aggs.append(F.max(F.col(c)).alias(f"mx__{c}"))
+            v = F.col(c)
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                # a single NaN/Inf would otherwise become the draft's
+                # minimum/maximum — induce bounds from the finite mass
+                # (the stats.column_stats rule)
+                v = F.when(~F.isnan(v) & (F.abs(v)
+                                          != F.lit(float("inf"))), v)
+            aggs.append(F.min(v).alias(f"mn__{c}"))
+            aggs.append(F.max(v).alias(f"mx__{c}"))
         elif isinstance(dt, T.StringType):
             aggs.append(F.min(F.length(F.col(c))).alias(f"mn__{c}"))
             aggs.append(F.max(F.length(F.col(c))).alias(f"mx__{c}"))

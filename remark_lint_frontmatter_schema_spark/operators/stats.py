@@ -34,9 +34,13 @@ def column_stats(
 ) -> DataFrame:
     """Long-form stats: one output row per profiled column.
 
-    Output: column, n_rows, n_nulls, null_rate, min_value/max_value (as
-    string — mixed types in one relation), approx_distinct, and q_* columns
-    for numeric inputs. ``group_by`` yields per-partition profiles.
+    Output: column, n_rows, n_nulls, n_nonfinite, null_rate,
+    min_value/max_value (as string — mixed types in one relation),
+    approx_distinct, and q_* columns for numeric inputs. ``group_by``
+    yields per-partition profiles. For float/double columns min/max and
+    quantiles describe the FINITE mass (one NaN would otherwise poison
+    max, one Inf every upper quantile) and ``n_nonfinite`` counts
+    NaN/±Inf values — 0 for types that cannot hold them.
     """
     if columns is None:
         columns = [f.name for f in df.schema.fields
@@ -54,13 +58,29 @@ def column_stats(
     # the wide agg row is then exploded into the long per-column form.
     aggs: list[Column] = [F.count(F.lit(1)).alias("_n_rows")]
     for i, c in enumerate(columns):
-        numeric = isinstance(df.schema[c].dataType, _NUMERIC)
+        dt = df.schema[c].dataType
+        numeric = isinstance(dt, _NUMERIC)
+        is_float = isinstance(dt, (T.FloatType, T.DoubleType))
+        ordered = F.col(c)
+        if is_float:
+            # NaN sorts ABOVE every double in Spark, so one NaN poisons
+            # max() (and Inf poisons every quantile above its rank):
+            # min/max/quantiles describe the FINITE mass; the non-finite
+            # count is its own statistic — a quality engine must surface
+            # "2 NaNs", not report max=NaN
+            nonfinite = F.isnan(ordered) | (F.abs(ordered)
+                                            == F.lit(float("inf")))
+            ordered = F.when(~nonfinite, ordered)
+            nf_agg = F.sum(nonfinite.cast("long"))
+        else:
+            nf_agg = F.lit(0).cast("long")
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"_{i}_nulls"),
-            F.min(c).cast("string").alias(f"_{i}_min"),
-            F.max(c).cast("string").alias(f"_{i}_max"),
-            F.approx_count_distinct(c).alias(f"_{i}_dist"),
-            (F.percentile_approx(c, list(quantiles), approx_accuracy)
+            nf_agg.alias(f"_{i}_nonfinite"),
+            F.min(ordered).cast("string").alias(f"_{i}_min"),
+            F.max(ordered).cast("string").alias(f"_{i}_max"),
+            F.approx_count_distinct(F.col(c)).alias(f"_{i}_dist"),
+            (F.percentile_approx(ordered, list(quantiles), approx_accuracy)
              .cast("array<double>") if numeric
              else F.array(*[F.lit(None).cast("double") for _ in quantiles])
              ).alias(f"_{i}_qs"),
@@ -72,6 +92,7 @@ def column_stats(
             F.lit(c).alias("column"),
             F.col("_n_rows").alias("n_rows"),
             F.col(f"_{i}_nulls").alias("n_nulls"),
+            F.col(f"_{i}_nonfinite").alias("n_nonfinite"),
             (F.col(f"_{i}_nulls") / F.col("_n_rows")).alias("null_rate"),
             F.col(f"_{i}_min").alias("min_value"),
             F.col(f"_{i}_max").alias("max_value"),

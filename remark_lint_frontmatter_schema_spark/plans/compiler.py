@@ -90,6 +90,7 @@ _KNOWN_KEYWORDS = {
     "x-fd",
     "x-gap",
     "x-gibberish",
+    "x-finite",
 }
 
 
@@ -472,6 +473,7 @@ _KEYWORD_SHAPE = {
          or (isinstance(v["n_buckets"], int)
              and not isinstance(v["n_buckets"], bool)
              and v["n_buckets"] > 0)),
+    "x-finite": lambda v: isinstance(v, bool),
     "x-gibberish": lambda v: isinstance(v, dict)
     and isinstance(v.get("id"), str)
     and isinstance(v.get("min_logp"), _NUM)
@@ -1030,6 +1032,23 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                if isinstance(ctx.dtype, T.StringType) else ctx.col)
         msg = _reason(f"must be multiple of {k}", ctx, "multipleOf")
         _add(ctx, "multipleOf", _present(ctx) & (F.pmod(num, F.lit(k)) != 0), msg)
+
+    if schema.get("x-finite") is True:
+        if ctx.col is not None and isinstance(ctx.dtype,
+                                              (T.FloatType, T.DoubleType)):
+            # NaN/±Inf slip through minimum alone (NaN sorts above every
+            # double so `>= min` holds); JSON has no non-finite numbers,
+            # so the reference's Ajv never faces them — table columns do
+            msg = _reason("must be finite", ctx, "x-finite")
+            _add(ctx, "x-finite",
+                 _present(ctx) & (F.isnan(ctx.col)
+                                  | (F.abs(ctx.col)
+                                     == F.lit(float("inf")))),
+                 msg)
+        elif not ctx.silent:
+            # non-float columns cannot hold NaN/Inf — surface the no-op
+            # declaration instead of a silent vacuous pass
+            ctx.out.unknown.append((ctx.instance_path, "x-finite"))
 
     for kw, op, txt in (
         ("maxItems", lambda c, n: F.size(c) > n, "must NOT have more than {} items"),

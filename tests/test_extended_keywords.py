@@ -361,3 +361,23 @@ def test_x_embedding_composition_and_guards(spark):
         with pytest.raises(RulesetCompileError):
             compile_ruleset({"properties": {"v": {"x-embedding": bad}}},
                             df.schema, name="emb4")
+
+
+def test_x_finite_gate(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, float("inf")), (4, None)],
+        "id long, v double")
+    c = compile_ruleset({"properties": {"v": {"x-finite": True,
+                                              "minimum": 0}}}, df.schema)
+    res = validate(df, c, row_id="id")
+    rows = {(r["row_id"], r["keyword"]) for r in res.violations.collect()}
+    # NaN/Inf violate x-finite; NaN ALSO fails maximum-style checks but
+    # passes a bare minimum (NaN sorts above every double) — the gate
+    # exists precisely for that hole. NULL never violates here.
+    assert ("2", "x-finite") in rows and ("3", "x-finite") in rows
+    assert ("4", "x-finite") not in rows
+    # declared on a non-float column -> unknown, not a silent pass
+    c2 = compile_ruleset({"properties": {"id": {"x-finite": True}}},
+                         df.schema)
+    assert ("/id", "x-finite") in c2.unknown

@@ -133,3 +133,30 @@ def test_kmeans_sampled_matches_distributed_on_small_data(spark):
     assert len(a) == len(b) == 4
     for ca, cb in zip(a, b):
         assert all(abs(x - y) < 1e-9 for x, y in zip(ca, cb))
+
+
+def test_column_stats_nonfinite_robust(spark):
+    from remark_lint_frontmatter_schema_spark.operators.stats import (
+        column_stats,
+    )
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, float("nan")), (4, float("inf")),
+         (5, float("-inf")), (6, None), (7, 3.0)],
+        "id long, v double")
+    row = {r["column"]: r for r in column_stats(df, ["v", "id"]).collect()}
+    v = row["v"]
+    # min/max/quantiles describe the finite mass; non-finites counted
+    assert v["n_nonfinite"] == 3
+    assert v["min_value"] == "1.0" and v["max_value"] == "3.0"
+    assert v["q_99"] == 3.0
+    assert v["n_nulls"] == 1
+    assert row["id"]["n_nonfinite"] == 0  # longs cannot hold NaN
+
+
+def test_induce_bounds_ignore_nonfinite(spark):
+    from remark_lint_frontmatter_schema_spark.operators.induce import induce
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, float("inf")), (4, 9.0)],
+        "id long, v double")
+    facts = induce(df, ["v"])
+    assert facts["v"]["min"] == 1.0 and facts["v"]["max"] == 9.0
