@@ -18,7 +18,14 @@ from pyspark.sql import functions as F
 def histogram(df: DataFrame, value_col: str, side_col, *,
               lo: float, hi: float, n_buckets: int = 50) -> DataFrame:
     """Fixed-bucket histogram per side. ``side_col`` may be a column name or
-    Column expression (e.g. a boolean partition split)."""
+    Column expression (e.g. a boolean partition split).
+
+    Non-finite semantics (pinned by test): ±Inf land in width_bucket's
+    underflow/overflow buckets (0 / n_buckets+1); NaN gets bucket NULL,
+    which the CDF-based statistics order BEFORE bucket 0 — NaN mass
+    counts as below-range mass, so a side acquiring NaNs moves every
+    drift statistic instead of silently vanishing. Count NaNs exactly
+    with stats.column_stats (n_nonfinite) or gate them with x-finite."""
     side = F.col(side_col) if isinstance(side_col, str) else side_col
     bucket = F.width_bucket(F.col(value_col).cast("double"),
                             F.lit(float(lo)), F.lit(float(hi)),

@@ -160,3 +160,23 @@ def test_induce_bounds_ignore_nonfinite(spark):
         "id long, v double")
     facts = induce(df, ["v"])
     assert facts["v"]["min"] == 1.0 and facts["v"]["max"] == 9.0
+
+
+def test_histogram_nonfinite_semantics(spark):
+    from remark_lint_frontmatter_schema_spark.operators.drift import (
+        histogram, ks_statistic,
+    )
+    rows = ([(float(i % 10), "a") for i in range(100)]
+            + [(float(i % 10), "b") for i in range(100)]
+            + [(float("nan"), "b")] * 100
+            + [(float("inf"), "a")] * 30
+            + [(float("-inf"), "a")] * 20)
+    df = spark.createDataFrame(rows, "v double, side string")
+    h = histogram(df, "v", "side", lo=0.0, hi=10.0, n_buckets=10)
+    by = {(r["side"], r["bucket"]): r["n"] for r in h.collect()}
+    assert by[("b", None)] == 100       # NaN -> NULL bucket
+    assert by[("a", 11)] == 30          # +Inf -> overflow bucket
+    assert by[("a", 0)] == 20           # -Inf -> underflow bucket
+    # a side acquiring NaNs MOVES the statistic (mass counts, no crash)
+    ks = ks_statistic(h, "a", "b").collect()[0]["ks_stat"]
+    assert ks is not None and ks > 0.1
