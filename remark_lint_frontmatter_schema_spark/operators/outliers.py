@@ -65,6 +65,12 @@ def robust_stats(df: DataFrame, value_col: str, *,
                 if approx else F.percentile(c, F.lit(0.5)))
 
     x = F.col(value_col).cast("double")
+    # estimate med/MAD from the FINITE mass only: one NaN ranks above
+    # everything in Spark's percentile, so a heavily-NaN column would
+    # yield med=NaN and flag EVERY row; non-finite rows still flag as
+    # outliers downstream (NaN/Inf deviations compare > k), they just
+    # cannot poison the threshold
+    x = F.when(~F.isnan(x) & (F.abs(x) != F.lit(float("inf"))), x)
     if group_col is None:
         med = df.select(x.alias("_x")).agg(_p50(F.col("_x")).alias("med"))
         dev = F.abs(F.col("_x") - F.col("med"))

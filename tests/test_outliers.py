@@ -170,3 +170,20 @@ def test_stats_plan_prunes_to_value_column(spark, tmp_path):
     plan = outliers.robust_stats(df, "x")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "big" not in plan
+
+
+def test_nan_cannot_poison_threshold(spark):
+    from remark_lint_frontmatter_schema_spark.operators.outliers import (
+        outlier_violations,
+    )
+    # majority-NaN column: med/MAD estimated from the finite mass, so
+    # the finite inliers stay quiet and NaN/Inf rows flag themselves
+    rows = ([(i, 10.0 + (i % 3)) for i in range(10)]
+            + [(100 + i, float("nan")) for i in range(12)]
+            + [(200, float("inf")), (300, 9999.0)])
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {r["row_id"] for r in
+           outlier_violations(df, "v", row_id="id", k=3.5).collect()}
+    assert "300" in got                      # the genuine outlier
+    assert {"200"} | {str(100 + i) for i in range(12)} <= got  # nonfinite
+    assert not any(r in got for r in map(str, range(10)))      # inliers
