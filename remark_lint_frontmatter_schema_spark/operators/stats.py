@@ -106,18 +106,6 @@ def column_stats(
                .select(*key, "_st.*"))
 
 
-def numeric_profile(df: DataFrame, column: str) -> Column:
-    """Single-column struct profile usable inside a wider agg."""
-    return F.struct(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col(column).isNull().cast("long")).alias("n_nulls"),
-        F.min(column).alias("min_value"),
-        F.max(column).alias("max_value"),
-        F.avg(column).alias("mean"),
-        F.stddev_samp(column).alias("stddev"),
-    )
-
-
 # ---------------------------------------------------------------------------
 # optional t-digest parity path (SURVEY.md A4): mergeable per-partition
 # digests; digests are associative so the driver merge is exact
