@@ -105,7 +105,14 @@ def _prepare(left: DataFrame, right: DataFrame, on: list[str],
     lo, ups, lkind = _ord_expr(left, left_ts, direction)
     ro, _, rkind = _ord_expr(right, right_ts, direction)
     _check_same_kind((f"left.{left_ts}", lkind), (f"right.{right_ts}", rkind))
-    r = (right.where(F.col(right_ts).isNotNull())
+    # SQL join semantics: a NULL key matches NOTHING — but a window
+    # partitionBy groups NULLs together, so NULL-key right rows must be
+    # dropped here (NULL-key left rows then sit in an empty partition
+    # and come out unmatched, exactly like DuckDB's ASOF LEFT JOIN)
+    r_keys_ok = F.lit(True)
+    for k in on:
+        r_keys_ok = r_keys_ok & F.col(k).isNotNull()
+    r = (right.where(F.col(right_ts).isNotNull() & r_keys_ok)
               .select(*on, ro.alias(_ORD), F.lit(0).alias(_SIDE),
                       F.struct(ro.alias("_rts"),
                                *[F.col(p) for p in payload]).alias(_PAY)))

@@ -147,3 +147,23 @@ def test_mixed_time_units_rejected(spark):
     with pytest.raises(TypeError, match="different units"):
         asof_join_bucketed(left, right, on="k", left_ts="ts",
                            payload=["v"], bucket=60.0)
+
+
+def test_null_keys_never_match(spark):
+    # SQL join semantics: NULL keys match nothing — a window partitionBy
+    # would otherwise glue NULL-key left rows to NULL-key right rows
+    left = spark.createDataFrame([(None, 5.0, "L1"), ("k", 5.0, "L2")],
+                                 "k string, ts double, lid string")
+    right = spark.createDataFrame([(None, 1.0, 1.0), ("k", 1.0, 2.0),
+                                   (None, 4.9, 9.0)],
+                                  "k string, ts double, v double")
+    for out in (asof_join(left, right, on="k", left_ts="ts",
+                          payload=["v"]),
+                asof_join_bucketed(left, right, on="k", left_ts="ts",
+                                   payload=["v"], bucket=2.0),
+                # same bucket as L1 — the within-bucket window must not
+                # match the NULL-key right row either
+                asof_join_bucketed(left, right, on="k", left_ts="ts",
+                                   payload=["v"], bucket=100.0)):
+        got = {r["lid"]: r["v"] for r in out.collect()}
+        assert got == {"L1": None, "L2": 2.0}
