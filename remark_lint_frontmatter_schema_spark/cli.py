@@ -230,14 +230,28 @@ def _run_workspace(spark, args) -> int:
                         if args.partition_col in tdf.columns else None)
         verd = res.verdicts.collect()
         n_v = sum(r.n_violations for r in verd)
+        tv = res.violations
+        n_table_v = 0
+        if compiled.table_checks:
+            # table-level declarations (x-unique/x-ref/x-ref-asof/...)
+            # must not silently vanish on the workspace path; dims come
+            # from --dim, a missing one is a G2 artifact
+            from .operators.table_checks import table_check_violations
+            extra = table_check_violations(
+                tdf, compiled, row_id=row_id, dims=_parse_dims(args, spark),
+                on_missing_dim=lambda d, _t=tname, _r=route: errors.append(
+                    (_t, _r, f"dim {d!r} not provided (--dim NAME=PATH)")))
+            if extra is not None:
+                n_table_v = extra.count()
+                tv = tv.unionByName(extra.select(*tv.columns))
         summary[tname] = {
             "ruleset": route,
             "n_rows": sum(r.n_rows for r in verd),
-            "n_violations": n_v,
+            "n_violations": n_v + n_table_v,
             "n_failed_rows": sum(r.n_failed_rows for r in verd),
-            "passed": all(r.passed for r in verd),
+            "passed": all(r.passed for r in verd) and n_table_v == 0,
         }
-        tv = res.violations.withColumn("table", F.lit(tname))
+        tv = tv.withColumn("table", F.lit(tname))
         all_violations = (tv if all_violations is None
                           else all_violations.unionByName(tv))
     if args.violations_out and all_violations is not None:
@@ -277,6 +291,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.workspace:
         return _run_workspace(spark, args)
     df = spark.read.parquet(args.input)
+
+    if args.dim and (args.induce_out or args.ingest_out
+                     or args.resume_manifest or args.prune_stats):
+        print("--dim is only supported on the default, --single-pass and "
+              "--workspace validation paths", file=sys.stderr)
+        return 2
 
     if args.induce_out:
         from .operators.induce import induce_ruleset

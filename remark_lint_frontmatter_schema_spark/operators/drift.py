@@ -21,15 +21,19 @@ def histogram(df: DataFrame, value_col: str, side_col, *,
     Column expression (e.g. a boolean partition split).
 
     Non-finite semantics (pinned by test): ±Inf land in width_bucket's
-    underflow/overflow buckets (0 / n_buckets+1); NaN gets bucket NULL,
-    which the CDF-based statistics order BEFORE bucket 0 — NaN mass
-    counts as below-range mass, so a side acquiring NaNs moves every
-    drift statistic instead of silently vanishing. Count NaNs exactly
-    with stats.column_stats (n_nonfinite) or gate them with x-finite."""
+    underflow/overflow buckets (0 / n_buckets+1); NaN gets bucket -1 —
+    a REAL bucket below the underflow bucket, so NaN mass counts as
+    below-range mass AND the two sides' NaN rows pair up in the
+    equi-joined statistics (width_bucket's raw NULL never joins, which
+    would report confident drift between two identical NaN-bearing
+    distributions). Count NaNs exactly with stats.column_stats
+    (n_nonfinite) or gate them with x-finite."""
     side = F.col(side_col) if isinstance(side_col, str) else side_col
-    bucket = F.width_bucket(F.col(value_col).cast("double"),
-                            F.lit(float(lo)), F.lit(float(hi)),
-                            F.lit(n_buckets))
+    bucket = F.coalesce(
+        F.width_bucket(F.col(value_col).cast("double"),
+                       F.lit(float(lo)), F.lit(float(hi)),
+                       F.lit(n_buckets)),
+        F.lit(-1))  # NaN: the only NULL source after the isNotNull filter
     return (df.where(F.col(value_col).isNotNull())
               .groupBy(side.cast("string").alias("side"),
                        bucket.alias("bucket"))
@@ -42,9 +46,11 @@ def histogram_by(df: DataFrame, value_col: str, side_col, group_col: str, *,
     hash-aggregate whose shuffle carries (group, side, bucket) keys only,
     feeding :func:`ks_by` for per-category drift."""
     side = F.col(side_col) if isinstance(side_col, str) else side_col
-    bucket = F.width_bucket(F.col(value_col).cast("double"),
-                            F.lit(float(lo)), F.lit(float(hi)),
-                            F.lit(n_buckets))
+    bucket = F.coalesce(
+        F.width_bucket(F.col(value_col).cast("double"),
+                       F.lit(float(lo)), F.lit(float(hi)),
+                       F.lit(n_buckets)),
+        F.lit(-1))  # NaN -> real below-range bucket (see histogram)
     return (df.where(F.col(value_col).isNotNull()
                      & F.col(group_col).isNotNull())
               .groupBy(F.col(group_col).alias("grp"),

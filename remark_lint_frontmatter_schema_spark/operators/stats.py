@@ -71,7 +71,11 @@ def column_stats(
             nonfinite = F.isnan(ordered) | (F.abs(ordered)
                                             == F.lit(float("inf")))
             ordered = F.when(~nonfinite, ordered)
-            nf_agg = F.sum(nonfinite.cast("long"))
+            # coalesce: NULL values make the flag NULL, and sum over
+            # all-NULLs is NULL — the contract says COUNT, so 0
+            nf_agg = F.coalesce(
+                F.sum(F.coalesce(nonfinite, F.lit(False)).cast("long")),
+                F.lit(0))
         else:
             nf_agg = F.lit(0).cast("long")
         aggs += [

@@ -11,10 +11,17 @@ refreshing dim — e.g. a lambda re-reading an Iceberg snapshot — or a
 DataFrame for a frozen one), which is exactly the semantics of
 slowly-changing enrichment: rows in batch N see the dim as of batch N.
 
-Violations mode (``require_match=True``) emits x-ref-asof-shaped
-violation rows for events with no dim row in force instead of enriched
-rows — the streaming twin of the x-ref-asof table check, like
-streaming/drift.py is to x-drift.
+Exactly-once sinks: foreachBatch is at-least-once — a batch that fails
+mid-write replays on restart — so every write here is the idempotent
+batch-replace pattern (rows stamped with the batch id, dynamic
+partition overwrite keyed on it; the ``streaming/windowed.py``
+convention): a replayed batch REPLACES its own partition instead of
+appending duplicates.
+
+Violations mode (``ref_asof_stream``) emits x-ref-asof-shaped violation
+rows for events with no dim row in force instead of enriched rows — the
+streaming twin of the x-ref-asof table check, like streaming/drift.py
+is to x-drift.
 
 Reference parity: the reference is a batch linter with no temporal or
 streaming semantics (``/root/reference/index.ts``); both modes belong to
@@ -26,6 +33,7 @@ from __future__ import annotations
 from typing import Callable, Union
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join, asof_ref_violations
 
@@ -34,6 +42,32 @@ DimLike = Union[DataFrame, Callable[[], DataFrame]]
 
 def _dim_df(dim: DimLike) -> DataFrame:
     return dim() if callable(dim) else dim
+
+
+def _run_foreach_batch(spark: SparkSession, input_path: str, input_schema,
+                       process, checkpoint: str,
+                       trigger_available_now: bool,
+                       max_files_per_trigger: int):
+    """Shared scaffold: file-source stream -> foreachBatch(process)."""
+    stream = (spark.readStream.schema(input_schema)
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(input_path))
+    writer = (stream.writeStream.foreachBatch(process)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _write_batch_idempotent(df: DataFrame, batch_id: int, sink: str,
+                            batch_col: str) -> None:
+    """Stamp rows with the batch id and dynamically overwrite that one
+    partition — a replayed batch replaces itself, never duplicates."""
+    (df.withColumn(batch_col, F.lit(int(batch_id)))
+       .write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy(batch_col)
+       .parquet(sink))
 
 
 def enrich_stream_asof(
@@ -51,28 +85,25 @@ def enrich_stream_asof(
     sink: str,
     checkpoint: str,
     trigger_available_now: bool = True,
+    max_files_per_trigger: int = 16,
 ):
     """Start (and with availableNow, drain) an enrichment stream: each
-    micro-batch as-of joined against ``dim``, appended to ``sink``.
+    micro-batch as-of joined against ``dim``, written to ``sink``
+    partitioned by ``_batch`` (idempotent replay — see module doc).
 
     Per batch the join is ONE shuffle on the key (micro-batches are
     bounded, so the per-key window is small by construction — batch
-    size, not corpus size, bounds the window state)."""
-    stream = (spark.readStream.schema(input_schema)
-              .option("maxFilesPerTrigger", "16")
-              .parquet(input_path))
+    size, not corpus size, bounds window state)."""
 
-    def process_batch(batch_df, batch_id: int):
+    def process(batch_df, batch_id: int):
         out = asof_join(batch_df, _dim_df(dim), on=on, left_ts=left_ts,
                         right_ts=right_ts, payload=payload,
                         tolerance=tolerance, direction=direction)
-        out.write.mode("append").parquet(sink)
+        _write_batch_idempotent(out, batch_id, sink, "_batch")
 
-    writer = (stream.writeStream.foreachBatch(process_batch)
-              .option("checkpointLocation", checkpoint))
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _run_foreach_batch(spark, input_path, input_schema, process,
+                              checkpoint, trigger_available_now,
+                              max_files_per_trigger)
 
 
 def ref_asof_stream(
@@ -93,28 +124,26 @@ def ref_asof_stream(
     ruleset_name: str = "engine",
     severity: str = "warning",
     trigger_available_now: bool = True,
+    max_files_per_trigger: int = 16,
 ):
     """Streaming x-ref-asof: per micro-batch, events with no dim row in
-    force at their timestamp become violation rows (batch id as run
-    provenance rides in ``partition_id`` = ``batch_<id>`` so late
-    batches are attributable, the validate_stream convention)."""
-    from pyspark.sql import functions as F
+    force at their timestamp become violation rows. Batch provenance
+    rides in ``partition_id`` = ``batch_<id>`` (the validate_stream
+    convention) AND the sink is partitioned by it with dynamic
+    overwrite, so a replayed batch replaces its own rows."""
 
-    stream = (spark.readStream.schema(input_schema)
-              .option("maxFilesPerTrigger", "16")
-              .parquet(input_path))
-
-    def process_batch(batch_df, batch_id: int):
+    def process(batch_df, batch_id: int):
         v = asof_ref_violations(
             batch_df, fact_key, _dim_df(dim), dim_key, ts_col=ts_col,
             dim_ts=dim_ts, row_id=row_id, tolerance=tolerance,
             direction=direction, ruleset_name=ruleset_name,
             severity=severity)
-        v = v.withColumn("partition_id", F.lit(f"batch_{batch_id}"))
-        v.write.mode("append").parquet(violations_sink)
+        (v.withColumn("partition_id", F.lit(f"batch_{batch_id}"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("partition_id")
+          .parquet(violations_sink))
 
-    writer = (stream.writeStream.foreachBatch(process_batch)
-              .option("checkpointLocation", checkpoint))
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _run_foreach_batch(spark, input_path, input_schema, process,
+                              checkpoint, trigger_available_now,
+                              max_files_per_trigger)

@@ -438,3 +438,43 @@ def test_cli_dim_flag_feeds_x_ref(spark, tmp_path, capsys):
     # malformed spec is a usage error
     with pytest.raises(SystemExit):
         cli.main(base + ["--dim", "nonsense"])
+
+
+def test_cli_workspace_runs_table_checks_with_dims(spark, tmp_path,
+                                                   capsys):
+    root = tmp_path / "ws2"
+    root.mkdir()
+    spark.createDataFrame([(1, 10), (2, 99), (2, 5)],
+                          "id long, fk long") \
+        .write.parquet(str(root / "facts"))
+    dimp = str(tmp_path / "dimtab")
+    spark.createDataFrame([(10,), (5,)], ["dk"]).write.parquet(dimp)
+    (root / "facts.schema.yaml").write_text(
+        "properties:\n"
+        "  id: {x-unique: true}\n"
+        "  fk: {x-ref: {dim: d, key: dk}}\n")
+    (root / cli.CONFIG_BASENAME).write_text(
+        "registry:\n  facts: facts.schema.yaml\n"
+        "tables:\n  facts: ['facts']\n")
+    base = [str(root), "--row-id", "id", "--workspace"]
+    # without --dim: x-unique still runs; the missing dim is an artifact
+    rc = cli.main(base)
+    out = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert rc == 0
+    assert out["tables"]["facts"]["n_violations"] == 1   # dup id only
+    assert any("dim 'd' not provided" in e[2] for e in out["errors"])
+    # with --dim: the dangling fk=99 row also violates
+    rc = cli.main(base + ["--dim", f"d={dimp}"])
+    out = json.loads(capsys.readouterr().out.splitlines()[0])
+    assert rc == 0 and not out["errors"]
+    assert out["tables"]["facts"]["n_violations"] == 2
+    assert out["tables"]["facts"]["passed"] is False
+
+
+def test_cli_dim_refused_on_unsupported_paths(spark, tmp_path, capsys):
+    p = str(tmp_path / "t2")
+    spark.createDataFrame([(1, 1.0)], "id long, v double").write.parquet(p)
+    rc = cli.main([p, "--row-id", "id", "--induce-out",
+                   str(tmp_path / "draft.yaml"), "--dim", "d=/nope"])
+    assert rc == 2
+    assert "--dim is only supported" in capsys.readouterr().err

@@ -174,9 +174,37 @@ def test_histogram_nonfinite_semantics(spark):
     df = spark.createDataFrame(rows, "v double, side string")
     h = histogram(df, "v", "side", lo=0.0, hi=10.0, n_buckets=10)
     by = {(r["side"], r["bucket"]): r["n"] for r in h.collect()}
-    assert by[("b", None)] == 100       # NaN -> NULL bucket
+    assert by[("b", -1)] == 100         # NaN -> real below-range bucket
     assert by[("a", 11)] == 30          # +Inf -> overflow bucket
     assert by[("a", 0)] == 20           # -Inf -> underflow bucket
     # a side acquiring NaNs MOVES the statistic (mass counts, no crash)
     ks = ks_statistic(h, "a", "b").collect()[0]["ks_stat"]
     assert ks is not None and ks > 0.1
+
+
+def test_identical_nan_bearing_sides_show_zero_drift(spark):
+    from remark_lint_frontmatter_schema_spark.operators.drift import (
+        emd, histogram, ks_statistic, psi,
+    )
+    # 30% NaN on BOTH sides, identical distributions: every statistic
+    # must read (near) zero — NaN rows must PAIR in the equi-joins, not
+    # each face a zero-filled phantom
+    rows = []
+    for side in ("a", "b"):
+        rows += [(float(i % 10), side) for i in range(70)]
+        rows += [(float("nan"), side)] * 30
+    df = spark.createDataFrame(rows, "v double, side string")
+    h = histogram(df, "v", "side", lo=0.0, hi=10.0, n_buckets=10)
+    assert ks_statistic(h, "a", "b").collect()[0]["ks_stat"] == 0.0
+    assert emd(h, "a", "b").collect()[0]["emd"] == 0.0
+    assert abs(psi(h, "a", "b").collect()[0]["psi"]) < 1e-9
+
+
+def test_column_stats_all_null_float_reports_zero_nonfinite(spark):
+    from remark_lint_frontmatter_schema_spark.operators.stats import (
+        column_stats,
+    )
+    df = spark.createDataFrame([(1, None), (2, None)],
+                               "id long, v double")
+    v = {r["column"]: r for r in column_stats(df, ["v"]).collect()}["v"]
+    assert v["n_nonfinite"] == 0 and v["n_nulls"] == 2

@@ -79,3 +79,21 @@ def test_enrich_stream_with_refreshing_dim(spark, paths, tmp_path):
     assert len(calls) >= 1  # invoked per processed batch
     got = {r["eid"]: r["val"] for r in spark.read.parquet(sink).collect()}
     assert got["e1"] == "x" and got["e4"] == "x" and got["e3"] is None
+
+
+def test_replayed_batch_does_not_duplicate(spark, paths, tmp_path):
+    # simulate a foreachBatch replay: run the batch writer twice with the
+    # same batch id — the idempotent partition overwrite must leave one
+    # copy, not two (foreachBatch is at-least-once)
+    from remark_lint_frontmatter_schema_spark.streaming.asof import (
+        _write_batch_idempotent,
+    )
+    sink = str(tmp_path / "idem")
+    df = spark.createDataFrame([("e1", 1.0), ("e2", 2.0)],
+                               "eid string, v double")
+    _write_batch_idempotent(df, 7, sink, "_batch")
+    _write_batch_idempotent(df, 7, sink, "_batch")  # replay
+    _write_batch_idempotent(df, 8, sink, "_batch")  # next batch
+    out = spark.read.parquet(sink)
+    assert out.count() == 4  # 2 rows x 2 batches, no replay duplicates
+    assert out.where("_batch = 7").count() == 2
