@@ -447,6 +447,33 @@ def q_profile_events_nonfinite(spark, sf):
         F.round(F.col("max_value").cast("double"), 5).alias("max_v"))
 
 
+def q_ref_interval_purchase_sessions(spark, sf):
+    """x-ref-interval end-to-end through the DSL: every purchase must
+    fall INSIDE a browse-session window of its user (the complement of
+    purchase_session_attribution's matches) — interval referential
+    integrity that x-ref-asof cannot express (a window that CLOSED
+    before the purchase still satisfies asof). Oracle: session CTE +
+    NOT EXISTS BETWEEN."""
+    from remark_lint_frontmatter_schema_spark.operators.sequence import (
+        sessionize)
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        table_check_violations)
+    ev = _load(spark, sf, "events")
+    windows = (sessionize(ev.where(F.col("event_type") != "purchase"),
+                          "ts", by="user_id", gap_seconds=86400)
+               .groupBy("user_id", "session_id")
+               .agg(F.min("ts").alias("s"), F.max("ts").alias("e")))
+    purchases = ev.where(F.col("event_type") == "purchase")
+    rs = {"properties": {"user_id": {"x-ref-interval": {
+        "dim": "sessions", "key": "user_id", "ts": "ts", "start": "s",
+        "end": "e", "bucket": 86400.0}}}}
+    compiled = compile_ruleset(rs, purchases.schema, name="lic")
+    v = table_check_violations(purchases, compiled, row_id="event_id",
+                               dims={"sessions": windows})
+    return v.select(F.col("row_id").cast("long").alias("event_id"),
+                    "constraint_id", "keyword", "message")
+
+
 def q_purchase_session_attribution(spark, sf):
     """Point-in-interval range join (operators/intervals.py): attribute
     each purchase to the browse session (sessionized non-purchase events,
@@ -1579,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_asof_purchase_signup": q_ref_asof_purchase_signup,
         "profile_events_nonfinite": q_profile_events_nonfinite,
         "purchase_session_attribution": q_purchase_session_attribution,
+        "ref_interval_purchase_sessions": q_ref_interval_purchase_sessions,
         "error_session_overlap": q_error_session_overlap,
         "profile_diff_orders": q_profile_diff_orders,
         "url_dedup_documents": q_url_dedup_documents,
@@ -2742,6 +2770,36 @@ WITH s AS (
 SELECT p.event_id, p.user_id, iv.session_id
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 JOIN iv ON p.user_id = iv.user_id AND p.ts BETWEEN iv.s AND iv.e
+""",
+        "ref_interval_purchase_sessions": """
+WITH s AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events WHERE event_type <> 'purchase'
+), x AS (
+  SELECT user_id, ts,
+         CAST(sum(CASE WHEN prev IS NULL
+                       OR epoch(ts) - epoch(prev) > 86400
+                  THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_index
+  FROM s
+), iv AS (
+  SELECT user_id, min(ts) AS s, max(ts) AS e
+  FROM x GROUP BY user_id, session_index
+)
+SELECT p.event_id,
+       'ref-interval:user_id->user_id[s,e]' AS constraint_id,
+       'ref-interval' AS keyword,
+       'Must fall inside a ''user_id'' interval [s, e] at `ts`'
+         AS message
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND p.user_id IS NOT NULL AND p.ts IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM iv
+                  WHERE iv.user_id = p.user_id
+                    AND p.ts BETWEEN iv.s AND iv.e)
 """,
         "error_session_overlap": """
 WITH sess AS (

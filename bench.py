@@ -96,6 +96,7 @@ HEADLINE = [
     "ref_asof_purchase_signup",
     "profile_events_nonfinite",
     "purchase_session_attribution",
+    "ref_interval_purchase_sessions",
     "error_session_overlap",
     "profile_diff_orders",
 ]

@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 
 from .asof import _check_same_kind, _ord_expr
 
-__all__ = ["point_in_interval_join", "interval_overlap_join"]
+__all__ = ["point_in_interval_join", "interval_overlap_join",
+           "interval_ref_violations"]
 
 
 def _guarded_buckets(s_ord, e_ord, width: float, max_span_buckets: int):
@@ -174,3 +175,57 @@ def interval_overlap_join(a: DataFrame, b: DataFrame, *,
         name = c + suffix if c in a_keep or c in on else c
         out.append(bx["_b_pay"][c].alias(name))
     return joined.select(*out)
+
+
+def interval_ref_violations(fact: DataFrame, fact_key: str,
+                            dim: DataFrame, dim_key: str, *, ts_col: str,
+                            start_col: str, end_col: str, bucket: float,
+                            row_id: str, ruleset_name: str = "engine",
+                            severity: str = "warning",
+                            max_span_buckets: int = 4096) -> DataFrame:
+    """INTERVAL referential integrity — the ``x-ref-interval`` table
+    check: every fact row's timestamp must fall inside at least one
+    ``dim`` interval (closed ``[start_col, end_col]``) with the same
+    key. The training-data canon: "every clip must lie inside a
+    licensed-collection / consent-validity window of its speaker" —
+    x-ref-asof sees only the most recent boundary, not windows that
+    have since CLOSED.
+
+    NULL fact key or NULL fact ts never violates here (``required`` /
+    ``type`` own those); NULL/inverted dim intervals cover nothing.
+    Runs on :func:`point_in_interval_join` (``how="left"``) so the plan
+    is the bucketed equi-join, never a cartesian; an unmatched point
+    appears exactly once.
+
+    Reference parity: composes the reference's Ajv-shaped violation row
+    (``/root/reference/index.ts:201-320`` message shape) with a range
+    relation the single-document reference cannot express.
+    """
+    # dict.fromkeys: row_id may BE the key or ts column (the fd.py /
+    # asof.py lesson)
+    pts = (fact.select(*dict.fromkeys([row_id, fact_key, ts_col]))
+               .where(F.col(fact_key).isNotNull()
+                      & F.col(ts_col).isNotNull()))
+    iv = dim.select(F.col(dim_key).alias(fact_key),
+                    F.col(start_col), F.col(end_col),
+                    F.lit(True).alias("_covered"))
+    joined = point_in_interval_join(
+        pts, iv, on=[fact_key], point_ts=ts_col, start_col=start_col,
+        end_col=end_col, bucket=bucket, payload=["_covered"], how="left",
+        max_span_buckets=max_span_buckets)
+    return joined.where(F.col("_covered").isNull()).select(
+        F.col(row_id).cast("string").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"ref-interval:{fact_key}->{dim_key}"
+              f"[{start_col},{end_col}]").alias("constraint_id"),
+        F.lit("ref-interval").alias("keyword"),
+        F.lit(f"/{fact_key}").alias("instance_path"),
+        F.lit(f"#/x-ref-interval/{fact_key}").alias("schema_path"),
+        F.lit(f"Must fall inside a '{dim_key}' interval "
+              f"[{start_col}, {end_col}] at `{ts_col}`").alias("message"),
+        F.concat_ws("@", F.col(fact_key).cast("string"),
+                    F.col(ts_col).cast("string")).alias("actual"),
+        F.lit(None).cast("array<string>").alias("expected"),
+        F.lit(severity).alias("severity"),
+    )

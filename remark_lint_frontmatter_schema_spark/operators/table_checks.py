@@ -89,6 +89,17 @@ def table_check_violations(
                 bucket=params.get("bucket"),
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
+        elif kind == "ref_interval":
+            from .intervals import interval_ref_violations
+            if params["dim"] not in dims and on_missing_dim is not None:
+                on_missing_dim(params["dim"])
+                continue
+            extras.append(interval_ref_violations(
+                df, column, dims[params["dim"]], params["key"],
+                ts_col=params["ts"], start_col=params["start"],
+                end_col=params["end"], bucket=params["bucket"],
+                row_id=row_id, ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "outlier":
             from .outliers import outlier_violations
             extras.append(outlier_violations(

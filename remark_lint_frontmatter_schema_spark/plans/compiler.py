@@ -76,8 +76,8 @@ _KNOWN_KEYWORDS = {
     # table-level declarations (uniqueness / referential / drift) that
     # compile into CompiledRuleset.table_checks and run as separate
     # relational passes
-    "x-spark-check", "x-unique", "x-ref", "x-ref-asof", "x-drift",
-    "x-severity",
+    "x-spark-check", "x-unique", "x-ref", "x-ref-asof", "x-ref-interval",
+    "x-drift", "x-severity",
     "x-dedup", "x-langid", "x-rate", "x-decontaminate", "x-label-conflict",
     "x-repair",  # per-property opt-out consumed by operators/repair.py
     "x-outlier",
@@ -497,6 +497,12 @@ _KEYWORD_SHAPE = {
     and (v.get("n_items") is None
          or (isinstance(v["n_items"], int) and not isinstance(v["n_items"], bool)
              and v["n_items"] > 0)),
+    "x-ref-interval": lambda v: isinstance(v, dict)
+    and isinstance(v.get("dim"), str) and isinstance(v.get("key"), str)
+    and isinstance(v.get("ts"), str) and isinstance(v.get("start"), str)
+    and isinstance(v.get("end"), str)
+    and isinstance(v.get("bucket"), (int, float))
+    and not isinstance(v["bucket"], bool) and v["bucket"] > 0,
     "x-ref-asof": lambda v: isinstance(v, dict)
     and isinstance(v.get("dim"), str) and isinstance(v.get("key"), str)
     and isinstance(v.get("ts"), str) and isinstance(v.get("dim_ts"), str)
@@ -674,7 +680,8 @@ _VARIANT_PASSTHROUGH_KWS = frozenset((
 # and the relational x- declarations are typed-column operators.
 _VARIANT_UNSUPPORTED_KWS = frozenset((
     "uniqueItems", "contentEncoding", "contentMediaType", "contentSchema",
-    "x-unique", "x-ref", "x-ref-asof", "x-drift", "x-dedup", "x-langid",
+    "x-unique", "x-ref", "x-ref-asof", "x-ref-interval", "x-drift",
+    "x-dedup", "x-langid",
     "x-rate", "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
     "x-monotonic", "x-dup-ngram", "x-gopher", "x-c4", "x-leakage", "x-embedding",
     "x-fd", "x-gap", "x-gibberish"))
@@ -1316,6 +1323,21 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                     "severity": ctx.severity}))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-ref-asof"))
+
+    if "x-ref-interval" in schema and not ctx.silent:
+        # INTERVAL referential (operators/intervals.py
+        # interval_ref_violations): the row's timestamp must fall inside
+        # a dim interval of its key — relational pass, top-level only
+        if is_top:
+            p = schema["x-ref-interval"]
+            ctx.out.table_checks.append(
+                ("ref_interval", ctx.instance_path[1:], {
+                    "dim": p["dim"], "key": p["key"], "ts": p["ts"],
+                    "start": p["start"], "end": p["end"],
+                    "bucket": float(p["bucket"]),
+                    "severity": ctx.severity}))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-ref-interval"))
 
     if "x-outlier" in schema and not ctx.silent:
         # robust distributional outlier (median/MAD modified z-score,

@@ -39,7 +39,7 @@ _KEYWORDS = ["type", "enum", "const", "required", "maxLength", "minLength",
              "x-outlier", "x-repair", "x-severity",
              "x-dup-ngram", "x-embedding", "x-monotonic", "x-gopher", "x-c4",
              "x-leakage", "x-fd", "x-gap", "x-gibberish", "x-ref-asof",
-             "x-finite"]
+             "x-finite", "x-ref-interval"]
 
 _scalars = st.one_of(
     st.none(), st.booleans(), st.integers(-5, 100),

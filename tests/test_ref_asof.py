@@ -112,3 +112,59 @@ def test_row_id_may_be_the_key_or_ts(fact, consents):
     v2 = asof_ref_violations(fact, "uid", consents, "user",
                              ts_col="ts", dim_ts="granted", row_id="ts")
     assert {r["row_id"] for r in v2.collect()} == {"3.0", "9.0"}
+
+
+# --------------------------------------------------------------------------
+# x-ref-interval: the interval twin — the row's ts must fall inside at
+# least one dim window of its key (asof sees only the latest boundary,
+# not windows that have since closed)
+# --------------------------------------------------------------------------
+
+@pytest.fixture()
+def windows(spark):
+    # u1 licensed [2,4] and [8,10]; u3 licensed [0,100]
+    return spark.createDataFrame(
+        [("u1", 2.0, 4.0), ("u1", 8.0, 10.0), ("u3", 0.0, 100.0),
+         ("u1", None, 5.0), ("u1", 9.0, 7.0)],   # NULL/inverted: no cover
+        "user string, s double, e double")
+
+
+def test_interval_ref_operator(fact, windows):
+    from remark_lint_frontmatter_schema_spark.operators.intervals import (
+        interval_ref_violations,
+    )
+    v = interval_ref_violations(fact, "uid", windows, "user",
+                                ts_col="ts", start_col="s", end_col="e",
+                                bucket=2.0, row_id="rid")
+    rows = {r["row_id"]: r for r in v.collect()}
+    # fact: r1@3 covered by [2,4]; r2@5 in the gap; r3@9 covered by
+    # [8,10]; r4 is u2 (no windows); r5/r6 NULL key/ts never violate
+    assert set(rows) == {"r2", "r4"}
+    assert rows["r2"]["keyword"] == "ref-interval"
+    assert rows["r2"]["actual"] == "u1@5.0"
+
+
+def test_interval_ref_dsl_e2e(spark, fact, windows):
+    rs = {"properties": {"uid": {"x-ref-interval": {
+        "dim": "lic", "key": "user", "ts": "ts", "start": "s",
+        "end": "e", "bucket": 2.0}}}}
+    compiled = compile_ruleset(rs, fact.schema, name="lic")
+    assert [k for k, _, _ in compiled.table_checks] == ["ref_interval"]
+    res = validate_with_table_checks(fact, compiled, row_id="rid",
+                                     dims={"lic": windows})
+    got = {r.row_id for r in res.table_violations.collect()}
+    assert got == {"r2", "r4"}
+    # malformed (no bucket) -> compile error; nested -> unknown
+    from remark_lint_frontmatter_schema_spark.plans.compiler import (
+        RulesetCompileError,
+    )
+    with pytest.raises(RulesetCompileError):
+        compile_ruleset({"properties": {"uid": {"x-ref-interval": {
+            "dim": "d", "key": "k", "ts": "t", "start": "s",
+            "end": "e"}}}}, fact.schema, name="bad")
+    c2 = compile_ruleset({"properties": {"uid": {"anyOf": [
+        {"x-ref-interval": {"dim": "d", "key": "k", "ts": "t",
+                            "start": "s", "end": "e",
+                            "bucket": 1.0}}]}}}, fact.schema, name="n")
+    assert not c2.table_checks
+    assert any("x-ref-interval" in str(u) for u in c2.unknown)
