@@ -978,17 +978,21 @@ def q_edit_sim_documents(spark, sf):
     (operators/dedup.edit_distance_pairs) — separates reorderings
     (Jaccard-high, edit-low) from insertions (the reverse).
 
-    Blocking is (lang, length//32): the O(block^2) verifier join must
-    never see a whole-language block (2k docs at sf0.1 = 2.1M candidate
-    comparisons; the length band cuts that ~10x). Near-dups have
-    near-equal lengths, so the band costs little recall — and at the
-    top design point candidates come from LSH buckets
-    (minhash_dedup_documents), not from any quadratic block."""
-    docs = _load(spark, sf, "documents").withColumn(
-        "_blk", F.concat_ws("|", "lang",
-                            F.floor(F.length("text") / 32).cast("string")))
-    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
-                                      block_col="_blk", n=3, threshold=0.55)
+    Candidates come from dedup.prefix_filter_jaccard_pairs — the
+    AllPairs prefix-filtering join: EXACT recall at Jaccard >= 0.55
+    with candidate groups keyed on each doc's rarest WORD 3-gram
+    shingles, so there is no quadratic block anywhere (the round-2
+    (lang, length band) char-trigram variant grew O(corpus^2) within
+    fixed block cardinality — 36.5 s in the r02 scale-stress run; this
+    plan is linear-shuffle). Word shingles are what makes the prefix
+    filter selective: the fixture corpus has only 377 distinct char
+    trigrams but 27k word trigrams (see the operator docstring). The
+    output is blocking-free, so the oracle is the plain exhaustive
+    definition: every pair with round(word-trigram jaccard, 6) >= 0.55."""
+    docs = _load(spark, sf, "documents")
+    pairs = dedup.prefix_filter_jaccard_pairs(docs, "text", "doc_id",
+                                              n=3, threshold=0.55,
+                                              shingle="word")
     return (dedup.edit_distance_pairs(pairs, docs, "text", "doc_id",
                                       prefix_len=64)
             .select("id_a", "id_b", "jaccard", "dist", "edit_sim"))
@@ -1177,6 +1181,8 @@ FORMATS_RULESET = {
     "properties": {
         "event_date": {"format": "date"},
         "event_uuid": {"format": "uuid"},
+        "event_contact": {"format": "idn-email"},
+        "event_frag": {"format": "json-pointer-uri-fragment"},
     },
 }
 
@@ -1190,7 +1196,14 @@ def _events_with_formats(spark, sf):
         F.when(F.col("event_id") % 11 == 0, F.lit("not-a-uuid"))
          .otherwise(F.format_string("%08x-0000-4000-8000-%012x",
                                     "event_id", "event_id"))
-         .alias("event_uuid"))
+         .alias("event_uuid"),
+        F.when(F.col("event_id") % 5 == 0, F.lit("bad email@x"))
+         .when(F.col("event_id") % 5 == 1, F.lit("θσερ@εχαμπλε.ψομ"))
+         .otherwise(F.format_string("u%d@ex.com", "event_id"))
+         .alias("event_contact"),
+        F.when(F.col("event_id") % 9 == 0, F.lit("#/~2"))
+         .otherwise(F.format_string("#/a/%d", "event_id"))
+         .alias("event_frag"))
 
 
 def q_validate_events_formats(spark, sf):
@@ -2568,6 +2581,11 @@ def _formats_oracle_sql() -> str:
     from remark_lint_frontmatter_schema_spark.functions.formats import FORMAT_REGEX
     date_re = FORMAT_REGEX["date"]
     uuid_re = FORMAT_REGEX["uuid"]
+    # the idn-email / json-pointer-uri-fragment patterns are lookahead-free
+    # and use only \p{L}/\p{N} classes + inline (?i) — valid in both Java
+    # regex (Spark rlike) and RE2 (DuckDB regexp_matches)
+    email_re = FORMAT_REGEX["idn-email"].replace("'", "''")
+    frag_re = FORMAT_REGEX["json-pointer-uri-fragment"].replace("'", "''")
     return f"""
 WITH e AS (
   SELECT event_id,
@@ -2575,7 +2593,12 @@ WITH e AS (
               ELSE strftime(ts, '%Y-%m-%d') END AS event_date,
          CASE WHEN event_id % 11 = 0 THEN 'not-a-uuid'
               ELSE printf('%08x-0000-4000-8000-%012x', event_id, event_id)
-              END AS event_uuid
+              END AS event_uuid,
+         CASE WHEN event_id % 5 = 0 THEN 'bad email@x'
+              WHEN event_id % 5 = 1 THEN 'θσερ@εχαμπλε.ψομ'
+              ELSE printf('u%d@ex.com', event_id) END AS event_contact,
+         CASE WHEN event_id % 9 = 0 THEN '#/~2'
+              ELSE printf('#/a/%d', event_id) END AS event_frag
   FROM events
 ), v AS (
   SELECT CAST(event_id AS VARCHAR) AS row_id,
@@ -2592,6 +2615,20 @@ WITH e AS (
          event_uuid
   FROM e WHERE event_uuid IS NOT NULL
         AND NOT regexp_matches(event_uuid, '{uuid_re}')
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR),
+         'events_fmt:/event_contact:format', 'format', '/event_contact',
+         'Must match format "idn-email" • #/properties/event_contact/format',
+         event_contact
+  FROM e WHERE event_contact IS NOT NULL
+        AND NOT regexp_matches(event_contact, '{email_re}')
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR),
+         'events_fmt:/event_frag:format', 'format', '/event_frag',
+         'Must match format "json-pointer-uri-fragment" • #/properties/event_frag/format',
+         event_frag
+  FROM e WHERE event_frag IS NOT NULL
+        AND NOT regexp_matches(event_frag, '{frag_re}')
 )
 SELECT row_id, constraint_id, keyword, instance_path, message, actual FROM v
 """
@@ -3223,22 +3260,26 @@ FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
         "group_split_documents": _GROUP_SPLIT_SQL,
         "split_leakage_documents": _SPLIT_LEAKAGE_SQL,
         "c4_clean_documents": _C4_CLEAN_SQL,
-        "edit_sim_documents": """
-WITH sh AS (
+        "edit_sim_documents": r"""
+WITH toks AS (
   SELECT doc_id,
-         lang || '|' || CAST(CAST(floor(length(text) / 32.0) AS BIGINT)
-                             AS VARCHAR) AS blk,
-         list_distinct(list_transform(range(1, length(text) - 1),
-                                      i -> text[i : i + 2])) AS s
-  FROM documents WHERE length(text) >= 3
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents WHERE text IS NOT NULL
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+                                      i -> array_to_string(t[i:i+2], ' ')))
+           AS s
+  FROM toks WHERE len(t) >= 3
 ),
 pr AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          round(len(list_intersect(a.s, b.s)) * 1.0
                / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.s, b.s)) * 1.0
-        / len(list_distinct(list_concat(a.s, b.s))) >= 0.55
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(len(list_intersect(a.s, b.s)) * 1.0
+              / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.55
 ),
 t AS (SELECT doc_id, substring(text, 1, 64) AS tt
       FROM documents WHERE text IS NOT NULL)

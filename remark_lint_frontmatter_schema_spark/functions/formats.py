@@ -80,6 +80,37 @@ FORMAT_REGEX = {
 FORMAT_REGEX["iso-time"] = FORMAT_REGEX["time"]
 FORMAT_REGEX["iso-date-time"] = FORMAT_REGEX["date-time"]
 
+# ajv-formats JSON_POINTER_URI_FRAGMENT (RFC 6901 §6, its /i inlined)
+FORMAT_REGEX["json-pointer-uri-fragment"] = (
+    r"(?i)^#(?:\/(?:[a-z0-9_\-.!$&'()*+,;:=@]|%[0-9a-f]{2}|~0|~1)*)*$"
+)
+
+# PARITY-PLUS: ajv-formats 2.1.1 (the reference's pin) deliberately does
+# NOT provide the internationalized formats — its README lists iri,
+# iri-reference, idn-email, idn-hostname as unimplemented (extra deps), so
+# with the reference a schema using them throws Ajv's unknown-format
+# strict error. Registering pragmatic anchored checks here is therefore
+# beyond-parity by design (documented deviation, like `url`):
+#  * iri / iri-reference — RFC 3987 is RFC 3986 with ucschar added to the
+#    unreserved set; the engine's uri/uri-reference regexes constrain only
+#    scheme shape and whitespace, and `[^\s]` in Java regex already admits
+#    non-ASCII, so the same structural checks are faithful for IRIs.
+#  * idn-hostname — RFC 1123 label structure (1-63 chars, no leading/
+#    trailing hyphen, dot-separated, ≤253 total) with `\p{L}\p{N}` in
+#    place of ASCII alphanumerics. Punycode validity / IDNA2008 contextual
+#    rules (e.g. bidi) are NOT checked — that needs a library, not a regex.
+#  * idn-email — RFC 6531 shape: one '@', non-empty unicode local part
+#    without spaces/angle brackets, idn-hostname domain.
+_IDN_LABEL = r"[\p{L}\p{N}](?:[\p{L}\p{N}-]{0,61}[\p{L}\p{N}])?"
+FORMAT_REGEX["iri"] = FORMAT_REGEX["uri"]
+FORMAT_REGEX["iri-reference"] = FORMAT_REGEX["uri-reference"]
+FORMAT_REGEX["idn-hostname"] = (
+    rf"^(?=.{{1,253}}\.?$)(?:{_IDN_LABEL})(?:\.(?:{_IDN_LABEL}))*\.?$"
+)
+FORMAT_REGEX["idn-email"] = (
+    rf"^[^\s@<>]+@(?:{_IDN_LABEL})(?:\.(?:{_IDN_LABEL}))*$"
+)
+
 # numeric formats (ajv-formats registers these with type: "number"): value
 # must be integral and inside the two's-complement range. Compiled as pure
 # Column range/floor expressions over numeric columns (plans/compiler.py).

@@ -162,6 +162,139 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, *,
     return _track(pairs, sh)
 
 
+def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                                *, n: int = 3, threshold: float = 0.6,
+                                shingle: str = "word",
+                                reuse: bool = True) -> DataFrame:
+    """Exact set-similarity self-join via PREFIX FILTERING (the
+    AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al.): every
+    pair with n-gram Jaccard >= ``threshold`` is returned — same output
+    contract as :func:`ngram_jaccard_pairs` with no block at all — but
+    candidates are generated by joining only each document's
+    ``|s| - floor(t*|s|) + 1`` globally-RAREST shingles, so there is no
+    quadratic block anywhere in the plan.
+
+    Why exact recall holds: if Jaccard(A,B) >= t then
+    |A∩B| >= t*|A∪B| >= ceil(t*max(|A|,|B|)), so under any global total
+    order on shingles the smallest common shingle must sit inside BOTH
+    prefixes (a suffix of length ceil(t*|A|)-1 cannot absorb all >= that
+    many shared shingles). Ordering by ascending global document
+    frequency makes those prefix shingles the rarest ones, so candidate
+    join groups are small by construction — frequent shingles (" th",
+    "ing") sort to the suffix and never enter the join. Float guards:
+    prefix length uses floor (>= the exact ceil form, never shorter) and
+    the length-ratio filter subtracts 1e-9, so rounding can only ADD
+    candidates; the exact-Jaccard verify then makes the output identical
+    to the exhaustive all-pairs result.
+
+    Scale shape at 10^12 rows: one linear (tok -> doc-frequency)
+    aggregate (map-side partial, ~vocab-sized result AQE broadcasts
+    back), one shuffle of (id, tok, freq) partitioned by id for the
+    per-doc ranking window, a candidate join keyed on rare tokens only,
+    and a verify join that ships shingle arrays solely for surviving
+    candidate pairs. Shuffle payloads are ids + shingles — never
+    document bodies.
+
+    ``shingle``: ``"word"`` (default) = space-joined word ``n``-grams,
+    ``"char"`` = character ``n``-grams. Prefix filtering is only as
+    selective as the shingle-frequency distribution: char 3-grams over
+    ordinary prose have a few hundred distinct values, so every doc's
+    "rarest" shingles are still corpus-common and the candidate join
+    degenerates toward all-pairs (measured: 314M candidate multiplicity
+    vs 12.5M all-pairs on the 5k-doc fixture corpus — WORSE than
+    exhaustive). Word n-grams have a vocabulary that grows with the
+    corpus (27k for the same fixture, max doc-frequency 25, 0.39M
+    candidates), which is why text set-similarity literature shingles
+    on words/tokens. Use ``"char"`` only for short-string domains
+    (names, URLs) where word tokens are too coarse.
+    """
+    from pyspark.sql.window import Window
+
+    narrow = df.select(F.col(id_col).alias("id"),
+                       F.col(text_col).alias("_txt"))
+    # shingling is CPU-heavy per input split; a small corpus arriving as
+    # one parquet file would otherwise run it in ONE task (measured: 7 s
+    # single-task vs sub-second parallel on the 5k-doc fixture). At real
+    # scale the input already has >= cluster parallelism and this is a
+    # no-op — never an unconditional full-text shuffle.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target, "id")
+    if shingle == "word":
+        # stage the token array in its own projection — word_shingles'
+        # HOF lambda references it per position and HOF lambdas are never
+        # CSE'd, so an inlined tokens(text) would re-split the text for
+        # every shingle
+        base = narrow.select("id", tokens(F.col("_txt")).alias("_tk"))
+        sh_expr = word_shingles(F.col("_tk"), n)
+    elif shingle == "char":
+        base = narrow.select("id", F.col("_txt").alias("_tk"))
+        sh_expr = char_shingles(F.col("_tk"), n)
+    else:
+        raise ValueError(f"shingle must be 'word' or 'char', got {shingle!r}")
+    # one flat (id, set-size, shingle) relation is the ONLY intermediate:
+    # frequency ranking, prefix selection, candidate join and the exact
+    # intersection count all read it, so shuffles never carry arrays
+    tok = (base.select("id", sh_expr.alias("_sh"))
+               .select("id", F.size("_sh").alias("sz"),
+                       F.explode("_sh").alias("tok")))
+    if reuse:
+        tok = _persist(tok)
+    freq = tok.groupBy("tok").agg(F.count("*").alias("_df"))
+    # rank each doc's shingles by (global rarity, shingle) — one shuffle
+    # by id
+    w = Window.partitionBy("id").orderBy("_df", "tok")
+    pre = (tok.join(freq, "tok")
+              .withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") <=
+                     F.col("sz") - F.floor(F.lit(threshold) * F.col("sz"))
+                     + F.lit(1))
+              .select("id", "sz", "tok", F.col("_rn").alias("pos")))
+    a = pre.select("tok", F.col("id").alias("id_a"),
+                   F.col("sz").alias("sz_a"), F.col("pos").alias("pos_a"))
+    b = pre.select("tok", F.col("id").alias("id_b"),
+                   F.col("sz").alias("sz_b"), F.col("pos").alias("pos_b"))
+    eps = 1e-9
+    # PPJoin positional filter (exact): if J(A,B) >= t the overlap is at
+    # least alpha = t/(1+t)*(|A|+|B|), and at the FIRST common token
+    # (positions p_a, p_b in the frequency-sorted order) the achievable
+    # overlap is 1 + min(|A|-p_a, |B|-p_b) — every other common token
+    # sorts after it on both sides. That first common token is inside
+    # both prefixes, so the qualifying occurrence is always seen by this
+    # join; occurrences that fail the bound are safely dropped before
+    # the distinct. Measured on the 5k-doc fixture: 257k -> 9k candidate
+    # pairs at t=0.55.
+    alpha = (F.lit(threshold / (1.0 + threshold))
+             * (F.col("sz_a") + F.col("sz_b")))
+    cand = (a.join(b, "tok")
+             .where(F.col("id_a") < F.col("id_b"))
+             .where((F.col("sz_b") >= F.lit(threshold) * F.col("sz_a") - eps)
+                    & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b") - eps))
+             .where(1 + F.least(F.col("sz_a") - F.col("pos_a"),
+                                F.col("sz_b") - F.col("pos_b"))
+                    >= alpha - eps)
+             .select("id_a", "id_b", "sz_a", "sz_b")
+             .distinct())
+    # exact verify WITHOUT shipping shingle arrays: |A ∩ B| is a join of
+    # the candidate pairs against the flat token relation on both sides
+    # + a count — fully partition-parallel (an array-based intersect here
+    # rode AQE's coalesce of the small candidate relation into ONE task)
+    ta = tok.select(F.col("id").alias("id_a"), "tok")
+    tb = tok.select(F.col("id").alias("id_b"), "tok")
+    inter = (cand.join(ta, "id_a")
+                 .join(tb, ["id_b", "tok"])
+                 .groupBy("id_a", "id_b", "sz_a", "sz_b")
+                 .agg(F.count("*").alias("_inter")))
+    pairs = (inter
+             .withColumn("jaccard",
+                         F.round(F.col("_inter") /
+                                 (F.col("sz_a") + F.col("sz_b")
+                                  - F.col("_inter")), 6))
+             .where(F.col("jaccard") >= threshold)
+             .select("id_a", "id_b", "jaccard"))
+    return _track(pairs, tok)
+
+
 def edit_similarity(a, b, *, decimals: int = 6):
     """THE engine's edit-similarity measure: 1 - levenshtein / longer
     length, rounded. One definition — :func:`edit_distance_pairs` and

@@ -550,3 +550,91 @@ def test_ivfadc_composes_cell_pruning_with_adc(spark):
         enc, books, cents, q, k=10, n_probe=1, id_col="vec_id").collect()}
     cluster = {i for i in range(200) if i % 4 == 10 % 4}
     assert one_probe <= cluster
+
+
+def test_prefix_filter_equals_exhaustive(docs):
+    """Prefix filtering (AllPairs) must return EXACTLY the exhaustive
+    all-pairs result — the exactness contract that lets the driver
+    oracle stay a plain blocked-free SQL self-join."""
+    exhaustive = {(r.id_a, r.id_b): r.jaccard for r in
+                  dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                            threshold=0.6,
+                                            allow_full_cross=True).collect()}
+    pf = {(r.id_a, r.id_b): r.jaccard for r in
+          dedup.prefix_filter_jaccard_pairs(docs, "text", "doc_id",
+                                            threshold=0.6,
+                                            shingle="char").collect()}
+    assert pf == exhaustive and len(pf) > 0
+
+
+def test_prefix_filter_boundary_threshold(spark):
+    """Boundary recall: |A|=20 shingles, B subset of A with 11 shingles,
+    jaccard exactly 11/20 = 0.55 — the float-rounding trap where
+    threshold*size computes a hair above the true product. The 1e-9
+    guard must keep the pair."""
+    # distinct characters -> each 1-gram is one shingle; use n=1 shingles
+    # via texts built so trigram sets have the exact sizes instead:
+    # simpler — run both paths at the awkward threshold and compare.
+    rows = [(i, t) for i, t in enumerate([
+        "abcdefghijklmnopqrstuv",       # base
+        "abcdefghijklm",                # prefix subset
+        "abcdefghijklmnopqrstuv",       # exact dup of 0
+        "zzzz yyyy xxxx wwww",          # unrelated
+        "abcdefghijklmnopqrstuvw",      # one char appended
+    ])]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for t in (0.55, 0.5, 0.6, 11.0 / 20.0):
+        exhaustive = {(r.id_a, r.id_b): r.jaccard for r in
+                      dedup.ngram_jaccard_pairs(
+                          df, "text", "doc_id", threshold=t,
+                          allow_full_cross=True).collect()}
+        pf = {(r.id_a, r.id_b): r.jaccard for r in
+              dedup.prefix_filter_jaccard_pairs(
+                  df, "text", "doc_id", threshold=t,
+                  shingle="char").collect()}
+        assert pf == exhaustive, f"threshold {t}: {pf} != {exhaustive}"
+
+
+def test_prefix_filter_skips_short_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, None), (3, "ab"), (4, "hello world hello"),
+         (5, "hello world hello")],
+        "doc_id int, text string")
+    pairs = {(r.id_a, r.id_b) for r in
+             dedup.prefix_filter_jaccard_pairs(
+                 df, "text", "doc_id", threshold=0.5,
+                 shingle="char").collect()}
+    assert pairs == {(4, 5)}
+
+
+def test_prefix_filter_word_mode_equals_brute_force(spark):
+    """Word-shingle mode (the corpus default) vs a brute-force word
+    trigram Jaccard computed directly — exact equality."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup of 1
+        (3, "one two three four five six seven eight nine"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 1
+        (5, "totally different words everywhere here now"),
+        (6, "one two"),                                        # < 3 tokens
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    from pyspark.sql import functions as F
+    from remark_lint_frontmatter_schema_spark.operators.text import tokens as _tok
+    sh = df.where("text is not null").select(
+        "doc_id", dedup.word_shingles(_tok(F.col("text")), 3).alias("s")
+    ).where(F.size("s") > 0)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    brute = {(r.id_a, r.id_b): r.j for r in
+             a.crossJoin(b).where("id_a < id_b")
+              .withColumn("j", F.round(dedup.jaccard(F.col("sa"),
+                                                     F.col("sb")), 6))
+              .where("j >= 0.5").collect()}
+    pf = {(r.id_a, r.id_b): r.jaccard for r in
+          dedup.prefix_filter_jaccard_pairs(
+              df, "text", "doc_id", n=3, threshold=0.5).collect()}
+    assert pf == brute
+    assert (1, 4) in pf and pf[(1, 4)] == 1.0
+    assert (1, 2) in pf

@@ -39,6 +39,20 @@ CASES = {
                               ["#", "01/foo", "-1/x", "1#/x"]),
     "uri-reference": (["/path/to?x=1", "fragment#only", "", "../rel"],
                       ["a b", "two#hash#marks", "back\\slash"]),
+    # ajv-formats JSON_POINTER_URI_FRAGMENT examples (RFC 6901 §6)
+    "json-pointer-uri-fragment": (
+        ["#", "#/foo/0", "#/a~1b", "#/c%25d", "#/m~0n"],
+        ["#foo", "/foo/bar", "#/~2", "#/a b"]),
+    # parity-plus internationalized formats (ajv-formats 2.1.1 does not
+    # implement these; documented pragmatic checks)
+    "idn-hostname": (["example.com", "bücher.de", "例え.テスト",
+                      "xn--bcher-kva.example", "localhost"],
+                     ["-bad.com", "bad-.com", "ex ample.com", "a..b"]),
+    "idn-email": (["user@example.com", "θσερ@εχαμπλε.ψομ",
+                   "用户@例え.テスト"],
+                  ["no-at-sign", "a@", "@b.co", "a b@c.de", "a@-bad.com"]),
+    "iri": (["https://en.wiktionary.org/wiki/Ῥόδος", "urn:isbn:0451450523"],
+            ["not a iri", "//missing-scheme"]),
 }
 
 
