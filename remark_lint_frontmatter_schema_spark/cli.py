@@ -204,6 +204,10 @@ def _run_workspace(spark, args) -> int:
 
     summary, errors = {}, []
     all_violations = None
+    # parse --dim tables once — inside the loop each workspace table
+    # would re-read every dim parquet
+    dims = _parse_dims(args, spark)
+    persisted_extras = []
     for tname in discover_tables(args.input):
         route = next((rs for rs, spec in tables_map.items()
                       if any(fnmatch.fnmatch(tname, g)
@@ -238,10 +242,14 @@ def _run_workspace(spark, args) -> int:
             # from --dim, a missing one is a G2 artifact
             from .operators.table_checks import table_check_violations
             extra = table_check_violations(
-                tdf, compiled, row_id=row_id, dims=_parse_dims(args, spark),
+                tdf, compiled, row_id=row_id, dims=dims,
                 on_missing_dim=lambda d, _t=tname, _r=route: errors.append(
                     (_t, _r, f"dim {d!r} not provided (--dim NAME=PATH)")))
             if extra is not None:
+                # persist: the count() here and the violations write below
+                # would otherwise each execute the full table-check plan
+                extra = extra.persist()
+                persisted_extras.append(extra)
                 n_table_v = extra.count()
                 tv = tv.unionByName(extra.select(*tv.columns))
         summary[tname] = {
@@ -259,6 +267,13 @@ def _run_workspace(spark, args) -> int:
     print(json.dumps({"tables": summary, "errors": errors}))
     if args.report == "text" and all_violations is not None:
         print(sinks.render_report(all_violations))
+    # free the per-table extras AND any intermediates bucketed/dedup
+    # checks persisted (reuse=True registry) — a long workspace run would
+    # otherwise pin cached dim projections across all tables
+    for p in persisted_extras:
+        p.unpersist()
+    from .operators.dedup import release_all
+    release_all()
     failed = errors or any(
         not t.get("passed", True) for t in summary.values())
     return 1 if (args.frail and failed) else 0

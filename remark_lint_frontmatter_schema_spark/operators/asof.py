@@ -62,11 +62,17 @@ def _ord_expr(df: DataFrame, ts_col: str, direction: str):
     dt = df.schema[ts_col].dataType
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         # NTZ: unix_micros wants an instant; the zoneless wall-clock is
-        # order-isomorphic under any fixed zone, so pin UTC
+        # order-isomorphic under any fixed zone, so pin UTC. NTZ gets its
+        # OWN kind: mixing a zoned and a zoneless column across sides
+        # would derive the NTZ ordinal via a session-timezone cast,
+        # silently shifting matches by the session's UTC offset —
+        # _check_same_kind refuses the mix instead.
         c = F.col(ts_col)
         if isinstance(dt, T.TimestampNTZType):
             c = F.to_utc_timestamp(c.cast("timestamp"), "UTC")
-        ord_c, ups, kind = F.unix_micros(c), 1_000_000.0, "timestamp"
+            ord_c, ups, kind = F.unix_micros(c), 1_000_000.0, "timestamp_ntz"
+        else:
+            ord_c, ups, kind = F.unix_micros(c), 1_000_000.0, "timestamp"
     elif isinstance(dt, T.DateType):
         ord_c, ups, kind = (F.col(ts_col).cast("timestamp").cast("long"),
                             1.0, "date")

@@ -58,6 +58,17 @@ def _ords(df: DataFrame, col: str):
     return _ord_expr(df, col, "backward")
 
 
+def _check_reserved(df: DataFrame, names: tuple, side: str) -> None:
+    """Mirror asof._prepare's guard: inputs already carrying a temp
+    column name would produce an ambiguous-column analysis error (or a
+    silently wrong join) — fail loudly instead."""
+    clash = [c for c in names if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"interval join: {side} side already has reserved column(s) "
+            f"{clash} — rename them before joining")
+
+
 def point_in_interval_join(points: DataFrame, intervals: DataFrame, *,
                            on: list[str] | str, point_ts: str,
                            start_col: str, end_col: str, bucket: float,
@@ -83,6 +94,9 @@ def point_in_interval_join(points: DataFrame, intervals: DataFrame, *,
     if payload is None:
         payload = [c for c in intervals.columns
                    if c not in (*on, start_col, end_col)]
+    _check_reserved(points, ("_pt_ord", "_iv_bkt"), "points")
+    _check_reserved(intervals, ("_iv_s", "_iv_e", "_iv_pay", "_iv_bkt"),
+                    "intervals")
     p_ord, ups, pk = _ords(points, point_ts)
     s_ord, _, sk = _ords(intervals, start_col)
     e_ord, _, ek = _ords(intervals, end_col)
@@ -135,6 +149,8 @@ def interval_overlap_join(a: DataFrame, b: DataFrame, *,
     on = [on] if isinstance(on, str) else list(on)
     if bucket <= 0:
         raise ValueError("bucket must be > 0")
+    _check_reserved(a, ("_ov_bkt", "_a_s", "_a_e", "_a_pay"), "a")
+    _check_reserved(b, ("_ov_bkt", "_b_s", "_b_e", "_b_pay"), "b")
 
     def _side(df, s_col, e_col, keep, tag):
         s_ord, ups, sk = _ords(df, s_col)

@@ -62,7 +62,22 @@ def _run_foreach_batch(spark: SparkSession, input_path: str, input_schema,
 def _write_batch_idempotent(df: DataFrame, batch_id: int, sink: str,
                             batch_col: str) -> None:
     """Stamp rows with the batch id and dynamically overwrite that one
-    partition — a replayed batch replaces itself, never duplicates."""
+    partition — a replayed batch replaces itself, never duplicates.
+
+    Empty-replay gap: dynamic overwrite only replaces partitions PRESENT
+    in the new output, so a replayed batch whose recomputed result is
+    empty (possible with a refreshing ``dim`` callable when the prior
+    attempt committed rows but the checkpoint offset did not) would leave
+    the stale partition in place — delete the batch's partition path
+    explicitly in that case."""
+    if df.isEmpty():
+        spark = df.sparkSession
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(
+            f"{sink}/{batch_col}={int(batch_id)}")
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(path, True)
+        return
     (df.withColumn(batch_col, F.lit(int(batch_id)))
        .write.mode("overwrite")
        .option("partitionOverwriteMode", "dynamic")

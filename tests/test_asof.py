@@ -167,3 +167,24 @@ def test_null_keys_never_match(spark):
                                    payload=["v"], bucket=100.0)):
         got = {r["lid"]: r["v"] for r in out.collect()}
         assert got == {"L1": None, "L2": 2.0}
+
+
+def test_tz_ntz_mix_refused(spark):
+    """A zoned left vs zoneless right would derive the NTZ ordinal via a
+    session-timezone cast — silently shifted matches. Refused instead."""
+    from remark_lint_frontmatter_schema_spark.operators.asof import asof_join
+    left = spark.createDataFrame(
+        [("a",)], "k string").selectExpr(
+        "k", "timestamp'2026-01-01 00:00:00' as ts")
+    right = spark.createDataFrame(
+        [("a",)], "k string").selectExpr(
+        "k", "cast(timestamp_ntz'2026-01-01 00:00:00' as timestamp_ntz) as ts",
+        "1.0 as v")
+    with pytest.raises(TypeError):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                  payload=["v"])
+    # NTZ on BOTH sides stays allowed
+    left_ntz = left.selectExpr("k", "cast(ts as timestamp_ntz) as ts")
+    out = asof_join(left_ntz, right, on="k", left_ts="ts", right_ts="ts",
+                    payload=["v"]).collect()
+    assert len(out) == 1 and out[0].v == 1.0

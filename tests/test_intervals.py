@@ -183,3 +183,22 @@ def test_composes_with_audio_vad_and_chunks(spark):
     # tolerance) — every window overlapping voice must be found, and the
     # all-silent middle can appear only via boundary-touch
     assert {0, 2, 3} <= set(got)
+
+
+def test_reserved_temp_columns_refused(spark, points, sessions):
+    from pyspark.sql import functions as F
+    with pytest.raises(ValueError, match="reserved"):
+        point_in_interval_join(points.withColumn("_iv_bkt", F.lit(1)),
+                               sessions, on="user", point_ts="ts",
+                               start_col="s", end_col="e", bucket=10.0)
+    with pytest.raises(ValueError, match="reserved"):
+        point_in_interval_join(points,
+                               sessions.withColumn("_iv_pay", F.lit(1)),
+                               on="user", point_ts="ts",
+                               start_col="s", end_col="e", bucket=10.0)
+    with pytest.raises(ValueError, match="reserved"):
+        interval_overlap_join(sessions.withColumn("_ov_bkt", F.lit(1)),
+                              sessions, on="user",
+                              a_start="s", a_end="e",
+                              b_start="s", b_end="e", bucket=10.0,
+                              a_keep=["sid"], b_keep=["sid"])

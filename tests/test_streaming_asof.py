@@ -97,3 +97,19 @@ def test_replayed_batch_does_not_duplicate(spark, paths, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 4  # 2 rows x 2 batches, no replay duplicates
     assert out.where("_batch = 7").count() == 2
+
+
+def test_empty_replay_clears_stale_batch_partition(spark, tmp_path):
+    """A replayed batch whose recomputed output is EMPTY must remove the
+    partition its prior attempt committed (dynamic overwrite alone only
+    replaces partitions present in the new output)."""
+    import os
+    from remark_lint_frontmatter_schema_spark.streaming.asof import (
+        _write_batch_idempotent)
+    sink = str(tmp_path / "sink")
+    full = spark.createDataFrame([("a", 1)], "k string, v int")
+    _write_batch_idempotent(full, 7, sink, "_batch")
+    assert os.path.isdir(os.path.join(sink, "_batch=7"))
+    empty = full.where("1 = 0")
+    _write_batch_idempotent(empty, 7, sink, "_batch")
+    assert not os.path.exists(os.path.join(sink, "_batch=7"))
