@@ -118,7 +118,7 @@ def partition_fingerprint(table_path: str, partition_col: str,
 
 def run_with_resume(
     spark,
-    table_path: str,
+    table_path: str | None = None,
     *,
     partition_col: str,
     compiled,
@@ -129,6 +129,7 @@ def run_with_resume(
     validate_fn=None,
     per_partition_snapshots: bool = False,
     ruleset_doc: dict | None = None,
+    source=None,
 ) -> dict:
     """Validate only partitions not yet recorded as validated.
 
@@ -150,8 +151,22 @@ def run_with_resume(
     are recorded as validated — metrics from the footers, zero data
     read — and only the residue is scanned. Returned under
     ``"proven"`` (also included in ``"validated"``).
+
+    ``source`` (sources/table.TableSource) swaps WHERE table data,
+    partition lists, fingerprints and prune statistics come from:
+    default is ``ParquetSource(table_path)`` (this function's historical
+    path behavior); pass ``IcebergSource(identifier, catalog=...)`` to
+    key resume on real snapshot ids and prune from manifest column
+    bounds instead of footer opens. ``table_path`` may be None when a
+    source is given.
     """
     from .operators.validate import validate as _validate
+    from .sources.table import ParquetSource
+
+    if source is None:
+        if table_path is None:
+            raise ValueError("run_with_resume needs table_path or source")
+        source = ParquetSource(table_path)
 
     manifest = Manifest.load(manifest_path)
     # schema lineage: record this run's table schema and diff it against
@@ -159,7 +174,7 @@ def run_with_resume(
     # an upstream writer retyped/dropped a column (drift is returned
     # under "schema_drift"; the reserved key never collides with the
     # snapshot|partition|hash triples)
-    table_df = spark.read.parquet(table_path)
+    table_df = source.read(spark)
     cur_schema = table_df.schema
     schema_key = "__schema__"
     prev_entry = manifest.entries.get(schema_key)
@@ -171,9 +186,9 @@ def run_with_resume(
         "metrics": {},
         "completed_at": time.time(),
     }
-    all_parts = list_partitions(table_path, partition_col)
+    all_parts = source.partitions(partition_col)
     if per_partition_snapshots:
-        snap_of = {p: partition_fingerprint(table_path, partition_col, p)
+        snap_of = {p: source.partition_fingerprint(partition_col, p)
                    for p in all_parts}
     else:
         snap_of = {p: snapshot_id for p in all_parts}
@@ -190,7 +205,6 @@ def run_with_resume(
     # ruleset is footer-decidable (PruneReport.skippable).
     proven: list = []
     if ruleset_doc is not None and todo:
-        from .operators.stats_prune import prune_files
         from .plans.compiler import ruleset_hash
         doc_hash = ruleset_hash(ruleset_doc)
         if doc_hash != compiled.ruleset_hash:
@@ -200,8 +214,7 @@ def run_with_resume(
                 f"({doc_hash} != {compiled.ruleset_hash})")
         still = []
         for p in todo:
-            pdir = os.path.join(table_path, f"{partition_col}={p}")
-            report = prune_files(pdir, ruleset_doc)
+            report = source.prune_report(partition_col, p, ruleset_doc)
             if (report.skippable and report.decisions
                     and all(d.clean for d in report.decisions)):
                 n = sum(d.n_rows for d in report.decisions)

@@ -297,6 +297,36 @@ def _decide_file(path: str, decidable: list,
                         clean=not unproven, unproven=unproven)
 
 
+def decide_from_stats(path: str, n_rows: int, stats: dict,
+                      decidable: list) -> FileDecision:
+    """Catalog-stats twin of :func:`_decide_file`: the SAME proof logic
+    over column statistics supplied by a table format's metadata layer
+    instead of a parquet footer open. ``stats`` maps dotted column path
+    -> {"min": v, "max": v, "null_count": n} (Iceberg manifests carry
+    these as lower_bounds / upper_bounds / null_value_counts per data
+    file). A column absent from ``stats``, or a stats dict missing the
+    field a proof needs, leaves that check unproven — never assumed
+    clean. Decisions are format-independent by construction: the
+    Iceberg source path and the parquet footer path are asserted
+    byte-identical in tests."""
+    unproven: list = []
+    for dotted, kw, param in decidable:
+        s = stats.get(dotted)
+        if s is None:
+            unproven.append((dotted, kw))
+            continue
+        if kw == "required":
+            if s.get("null_count") != 0:
+                unproven.append((dotted, kw))
+            continue
+        stat_name, proof = _BOUND_KEYWORDS[kw]
+        v = s.get(stat_name)
+        if v is None or not proof(v, param):
+            unproven.append((dotted, kw))
+    return FileDecision(path=path, n_rows=n_rows,
+                        clean=not unproven, unproven=unproven)
+
+
 def prune_files(table_path: str, schema: dict, *,
                 spark: SparkSession | None = None,
                 distribute_above: int = 64) -> PruneReport:

@@ -251,3 +251,24 @@ def test_unknown_keyword_surfaces_under_absent_column(spark):
     # the known keyword stays vacuous (absent property), recorded honestly
     assert ("/ghost", "absent-column") in compiled.static_passes
     assert validate(df, compiled, row_id="id").violations.count() == 0
+
+
+def test_dynamic_refs_surface_as_unknown(spark):
+    """2019-09/2020-12 dynamic references are not resolved (the
+    reference's default draft-07 Ajv lacks them too): they must land in
+    `unknown` with a precise path, never crash or silently validate."""
+    df = spark.createDataFrame([(1, "x")], "id int, s string")
+    rs = {"type": "object",
+          "$dynamicAnchor": "node",
+          "properties": {"s": {"$dynamicRef": "#node",
+                               "minLength": 1}}}
+    compiled = compile_ruleset(rs, df.schema, name="dyn")
+    assert ("/s", "$dynamicRef") in compiled.unknown
+    assert ("", "$dynamicAnchor") in compiled.unknown
+    # the sibling known keyword still compiles and validates
+    assert validate(df, compiled, row_id="id").violations.count() == 0
+    rs2 = {"type": "object", "$recursiveAnchor": True,
+           "properties": {"s": {"$recursiveRef": "#"}}}
+    c2 = compile_ruleset(rs2, df.schema, name="rec")
+    assert ("/s", "$recursiveRef") in c2.unknown
+    assert ("", "$recursiveAnchor") in c2.unknown

@@ -39,7 +39,12 @@ _KEYWORDS = ["type", "enum", "const", "required", "maxLength", "minLength",
              "x-outlier", "x-repair", "x-severity",
              "x-dup-ngram", "x-embedding", "x-monotonic", "x-gopher", "x-c4",
              "x-leakage", "x-fd", "x-gap", "x-gibberish", "x-ref-asof",
-             "x-finite", "x-ref-interval"]
+             "x-finite", "x-ref-interval",
+             # 2019-09/2020-12 dynamic refs: NOT resolved (the reference's
+             # default draft-07 Ajv lacks them too) — must surface in
+             # `unknown`, never crash or silently validate
+             "$dynamicRef", "$dynamicAnchor",
+             "$recursiveRef", "$recursiveAnchor"]
 
 _scalars = st.one_of(
     st.none(), st.booleans(), st.integers(-5, 100),
