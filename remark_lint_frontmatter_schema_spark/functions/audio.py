@@ -97,11 +97,209 @@ def synth_wav(i: int, sr_hz: int, audio_ms: int) -> bytes:
     return wav_bytes(synth_pcm16(i, sr_hz, n), sr_hz)
 
 
-def flac_stub_bytes(i: int) -> bytes:
-    """Deterministic fake FLAC: correct magic, opaque body (no flac encoder
-    in this sandbox — the header check only needs the magic)."""
-    rng = np.random.default_rng(1042 + i)
-    return b"fLaC" + rng.integers(0, 256, 256, dtype=np.uint8).tobytes()
+# ---------------------------------------------------------------------------
+# FLAC, verbatim-subframe subset: a real (spec-conformant) encoder and
+# decoder in pure numpy — no codec library in this sandbox. VERBATIM
+# subframes store raw big-endian PCM (no prediction), so every field in
+# the stream is byte-aligned by construction and the whole format
+# reduces to headers + CRCs: fLaC magic, one STREAMINFO metadata block
+# (RFC 9639 §8.2), fixed-blocksize frames with 16-bit-at-end blocksize
+# coding, UTF-8-coded frame numbers, CRC-8 frame headers and CRC-16
+# frame trailers, MD5 of the unencoded samples in STREAMINFO. The
+# decoder additionally accepts CONSTANT subframes and verifies sync,
+# both CRCs and the MD5; compressed predictor subframes (FIXED/LPC)
+# from external encoders raise NotImplementedError — this is a
+# lossless-container path for the engine's own corpora, not a general
+# FLAC player.
+# ---------------------------------------------------------------------------
+
+_FLAC_BLOCK = 4096
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, poly 0x07, init 0 (FLAC frame-header CRC)."""
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16, poly 0x8005, init 0 (FLAC frame CRC)."""
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+def _utf8_code(n: int) -> bytes:
+    """FLAC's UTF-8-style coding of frame/sample numbers."""
+    if n < 0x80:
+        return bytes([n])
+    if n < 0x800:
+        return bytes([0xC0 | (n >> 6), 0x80 | (n & 0x3F)])
+    if n < 0x10000:
+        return bytes([0xE0 | (n >> 12), 0x80 | ((n >> 6) & 0x3F),
+                      0x80 | (n & 0x3F)])
+    raise ValueError("frame number too large for this encoder")
+
+
+def _utf8_decode(b: bytes, pos: int) -> tuple[int, int]:
+    lead = b[pos]
+    if lead < 0x80:
+        return lead, pos + 1
+    if lead >> 5 == 0b110:
+        return ((lead & 0x1F) << 6) | (b[pos + 1] & 0x3F), pos + 2
+    if lead >> 4 == 0b1110:
+        return (((lead & 0x0F) << 12) | ((b[pos + 1] & 0x3F) << 6)
+                | (b[pos + 2] & 0x3F)), pos + 3
+    raise ValueError("bad UTF-8-coded frame number")
+
+
+def flac_encode(samples: np.ndarray, sr_hz: int) -> bytes:
+    """Encode mono int16 samples as a conformant FLAC stream of VERBATIM
+    subframes (lossless, uncompressed — container fidelity, not size)."""
+    x = np.asarray(samples, dtype="<i2")
+    if x.ndim != 1:
+        raise ValueError("flac_encode: mono 1-D int16 samples only")
+    n = len(x)
+    if n == 0:
+        raise ValueError("flac_encode: empty signal")
+    if not (1 <= sr_hz < (1 << 20)):
+        raise ValueError("flac_encode: sample rate out of range")
+    import hashlib
+    block = min(_FLAC_BLOCK, max(16, n))
+    # STREAMINFO: min/max blocksize, min/max framesize (0 = unknown),
+    # then sr(20) | channels-1(3) | bps-1(5) | total(36) packed into 64
+    # bits, then MD5 of the unencoded little-endian sample stream
+    packed = (sr_hz << 44) | (0 << 41) | (15 << 36) | n
+    streaminfo = (block.to_bytes(2, "big") + block.to_bytes(2, "big")
+                  + b"\x00\x00\x00" * 2
+                  + packed.to_bytes(8, "big")
+                  + hashlib.md5(x.tobytes()).digest())
+    out = [b"fLaC", b"\x80\x00\x00\x22", streaminfo]  # last-block | type 0
+    for fi, start in enumerate(range(0, n, block)):
+        seg = x[start:start + block]
+        bs = len(seg)
+        # sync(14)+reserved(1)+fixed-blocking(1) = FF F8; blocksize code
+        # 0b0111 (16-bit value-1 at header end) + sr code 0b0000 (from
+        # STREAMINFO) = 0x70; mono(4) + bps 16 (0b100 <<1) = 0x08
+        hdr = (b"\xff\xf8\x70\x08" + _utf8_code(fi)
+               + (bs - 1).to_bytes(2, "big"))
+        hdr += bytes([_crc8(hdr)])
+        body = b"\x02" + seg.astype(">i2").tobytes()  # verbatim subframe
+        frame = hdr + body
+        out.append(frame + _crc16(frame).to_bytes(2, "big"))
+    return b"".join(out)
+
+
+def flac_decode(b: bytes) -> tuple[int, np.ndarray]:
+    """Decode a FLAC stream of VERBATIM (or CONSTANT) mono 16-bit
+    subframes -> (sr_hz, int16 samples), verifying sync patterns, both
+    frame CRCs and the STREAMINFO MD5. Malformed containers raise
+    ValueError; conformant streams using predictor subframes / other
+    channel layouts raise NotImplementedError (engine subset)."""
+    import hashlib
+    if b[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos, sr, bps, total, md5 = 4, None, None, None, None
+    while True:
+        if pos + 4 > len(b):
+            raise ValueError("truncated metadata")
+        last, btype = b[pos] >> 7, b[pos] & 0x7F
+        blen = int.from_bytes(b[pos + 1:pos + 4], "big")
+        if btype == 0:
+            si = b[pos + 4:pos + 4 + blen]
+            if len(si) != 34:
+                raise ValueError("bad STREAMINFO length")
+            packed = int.from_bytes(si[10:18], "big")
+            sr = packed >> 44
+            ch = ((packed >> 41) & 0x7) + 1
+            bps = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            md5 = si[18:34]
+        pos += 4 + blen
+        if last:
+            break
+    if sr is None:
+        raise ValueError("missing STREAMINFO")
+    if ch != 1 or bps != 16:
+        raise NotImplementedError(
+            f"flac_decode subset is mono/16-bit (got {ch} ch, {bps} bps)")
+    chunks = []
+    while pos < len(b):
+        f0 = pos
+        if b[pos] != 0xFF or (b[pos + 1] & 0xFC) != 0xF8:
+            raise ValueError("lost frame sync")
+        bs_code, sr_code = b[pos + 2] >> 4, b[pos + 2] & 0x0F
+        ch_code, sz_code = b[pos + 3] >> 4, (b[pos + 3] >> 1) & 0x7
+        if ch_code != 0 or sz_code != 0b100:
+            raise NotImplementedError("frame outside mono/16-bit subset")
+        _, pos = _utf8_decode(b, pos + 4)
+        if bs_code == 0b0110:
+            bs = b[pos] + 1
+            pos += 1
+        elif bs_code == 0b0111:
+            bs = int.from_bytes(b[pos:pos + 2], "big") + 1
+            pos += 2
+        elif bs_code in (0b0001,):
+            bs = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            bs = 576 << (bs_code - 2)
+        elif 0b1000 <= bs_code <= 0b1111:
+            bs = 256 << (bs_code - 8)
+        else:
+            raise ValueError("reserved blocksize code")
+        if sr_code not in (0,):  # we always defer to STREAMINFO
+            if sr_code == 0b1100:
+                pos += 1
+            elif sr_code in (0b1101, 0b1110):
+                pos += 2
+        if _crc8(b[f0:pos]) != b[pos]:
+            raise ValueError("frame header CRC-8 mismatch")
+        pos += 1
+        sub = b[pos]
+        if sub & 0x80 or sub & 0x01:
+            raise NotImplementedError("wasted-bits subframes unsupported")
+        stype = (sub >> 1) & 0x3F
+        pos += 1
+        if stype == 0b000001:      # VERBATIM
+            raw = b[pos:pos + 2 * bs]
+            if len(raw) != 2 * bs:
+                raise ValueError("truncated verbatim subframe")
+            chunks.append(np.frombuffer(raw, dtype=">i2").astype("<i2"))
+            pos += 2 * bs
+        elif stype == 0b000000:    # CONSTANT
+            v = int.from_bytes(b[pos:pos + 2], "big", signed=True)
+            chunks.append(np.full(bs, v, dtype="<i2"))
+            pos += 2
+        else:
+            raise NotImplementedError(
+                "predictor (FIXED/LPC) subframes unsupported — engine "
+                "subset decodes its own verbatim streams")
+        if _crc16(b[f0:pos]) != int.from_bytes(b[pos:pos + 2], "big"):
+            raise ValueError("frame CRC-16 mismatch")
+        pos += 2
+    x = np.concatenate(chunks) if chunks else np.array([], dtype="<i2")
+    if total and len(x) != total:
+        raise ValueError(f"sample count {len(x)} != STREAMINFO {total}")
+    if md5 and md5 != bytes(16) and hashlib.md5(x.tobytes()).digest() != md5:
+        raise ValueError("decoded samples fail STREAMINFO MD5")
+    return sr, x
+
+
+def flac_stub_bytes(i: int, sr_hz: int = 16000, audio_ms: int = 8) -> bytes:
+    """Deterministic REAL FLAC payload for fixture clip ``i``: the same
+    seeded sine+noise signal the WAV rows carry, losslessly wrapped by
+    :func:`flac_encode` (historical name kept — earlier rounds emitted a
+    magic-plus-noise stub because no encoder existed)."""
+    n = max(16, int(sr_hz * audio_ms / 1000))
+    return flac_encode(synth_pcm16(i, sr_hz, n), sr_hz)
 
 
 def opus_stub_bytes(i: int) -> bytes:
@@ -905,14 +1103,20 @@ def transcode_payload(b: bytes, codec: str) -> bytes:
     """Decode a non-WAV payload and re-encode it as canonical PCM16 WAV —
     the single seam :func:`transcode_clips` routes compressed codecs
     through. WAV passes straight to the chunk-walking parser (re-encoded
-    canonical); flac/opus need a codec library (soundfile/ffmpeg), not
+    canonical); FLAC decodes via the engine's pure-numpy
+    :func:`flac_decode` (verbatim/constant subframe subset — predictor
+    subframes from external encoders raise and land in the on_error
+    policy); opus needs a real codec library (soundfile/ffmpeg), not
     present in this sandbox — STUB, same policy as
-    ``multimodal.decode_image``. Production swaps this one function;
-    the Spark plumbing around it is live and tested."""
+    ``multimodal.decode_image``. Production swaps/extends this one
+    function; the Spark plumbing around it is live and tested."""
     if codec == "pcm_s16le":
         sr, x = decode_wav_pcm16(b)
         return wav_bytes(
             _to_pcm16(x), sr)
+    if codec == "flac":
+        sr, pcm = flac_decode(b)
+        return wav_bytes(pcm, sr)
     raise NotImplementedError(
         f"transcoding codec {codec!r} requires soundfile/ffmpeg "
         "(not in sandbox); production swaps transcode_payload")

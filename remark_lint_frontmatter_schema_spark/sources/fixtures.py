@@ -131,7 +131,7 @@ def _make_row(i: int, n_rows: int, audio_ms: int, with_bytes: bool,
         elif d == "codec_header_mismatch":
             b = audio.synth_wav(i, max(sr, 8000) * 2, audio_ms)
         elif codec == "flac":
-            b = audio.flac_stub_bytes(i)
+            b = audio.flac_stub_bytes(i, max(sr, 8000), audio_ms)
         elif codec == "opus":
             b = audio.opus_stub_bytes(i)
         else:  # pcm_s16le (and the injected 'divx' rows keep a WAV payload)

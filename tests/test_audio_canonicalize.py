@@ -311,18 +311,26 @@ def test_transcode_clips_plumbing(spark):
     df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
 
     skipped = audio.transcode_clips(df, on_error="skip").collect()
-    assert [r.clip_id for r in skipped] == ["wav"]
-    # output is exactly canonical (mono, 44-byte layout) at the SOURCE rate
-    out = spark.createDataFrame(skipped)
+    assert sorted(r.clip_id for r in skipped) == ["flac", "wav"]
+    # WAV output is exactly canonical (mono, 44-byte layout) at the
+    # SOURCE rate
+    out = spark.createDataFrame([r for r in skipped if r.clip_id == "wav"])
     assert out.select(F.min(audio.canonical_wav_expr(sr=22050))).collect()[0][0]
 
     kept = {r.clip_id: r for r in
             audio.transcode_clips(df, on_error="keep").collect()}
     assert kept["wav"].transcode_ok and kept["wav"].bytes is not None
-    for cid in ("flac", "opus", "junk"):
+    # FLAC is a LIVE decode path (pure-numpy verbatim decoder): the
+    # transcoded WAV carries the exact samples the encoder wrapped
+    assert kept["flac"].transcode_ok
+    sr, x = audio.decode_wav_pcm16(bytes(kept["flac"].bytes))
+    ref_sr, ref = audio.flac_decode(audio.flac_stub_bytes(1))
+    assert sr == ref_sr and np.allclose(x * 32767, ref.astype(np.float64),
+                                        atol=1e-6)
+    for cid in ("opus", "junk"):
         assert not kept[cid].transcode_ok and kept[cid].bytes is None
 
     with pytest.raises(NotImplementedError):
-        audio.transcode_payload(audio.flac_stub_bytes(1), "flac")
+        audio.transcode_payload(audio.opus_stub_bytes(1), "opus")
     with pytest.raises(ValueError):
         audio.transcode_clips(df, on_error="explode")
