@@ -232,14 +232,22 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         sh_expr = char_shingles(F.col("_tk"), n)
     else:
         raise ValueError(f"shingle must be 'word' or 'char', got {shingle!r}")
-    # one flat (id, set-size, shingle) relation is the ONLY intermediate:
-    # frequency ranking, prefix selection, candidate join and the exact
-    # intersection count all read it, so shuffles never carry arrays
-    tok = (base.select("id", sh_expr.alias("_sh"))
-               .select("id", F.size("_sh").alias("sz"),
-                       F.explode("_sh").alias("tok")))
+    # The shingle-array relation is persisted BEFORE the explode, not
+    # after: Spark's InferFiltersFromGenerate puts a size(arr) > 0
+    # filter under the Generate, and filter pushdown substitutes
+    # projection aliases — without the cache boundary the entire
+    # tokenize+shingle chain is inlined into the pre-shuffle scan
+    # Filter and evaluated row-by-row in the (often single-task) input
+    # stage, then recomputed again for the output (measured 6-8 s ->
+    # 0.9 s on the 5k-doc fixture). The flat (id, set-size, shingle)
+    # relation derived from it is what every stage reads — frequency
+    # ranking, prefix selection, candidate join and the exact
+    # intersection count — so shuffles never carry arrays.
+    sh = base.select("id", sh_expr.alias("_sh"))
     if reuse:
-        tok = _persist(tok)
+        sh = _persist(sh)
+    tok = sh.select("id", F.size("_sh").alias("sz"),
+                    F.explode("_sh").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count("*").alias("_df"))
     # rank each doc's shingles by (global rarity, shingle) — one shuffle
     # by id
@@ -292,7 +300,7 @@ def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                                   - F.col("_inter")), 6))
              .where(F.col("jaccard") >= threshold)
              .select("id_a", "id_b", "jaccard"))
-    return _track(pairs, tok)
+    return _track(pairs, sh)
 
 
 def edit_similarity(a, b, *, decimals: int = 6):
