@@ -2,21 +2,30 @@
 
 Images/video/audio are carried as ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as Arrow-
-batched ``mapInPandas`` stages. The image/video codec libraries are NOT in
-this sandbox, so the actual pixel decoding is stubbed behind clearly-marked
-``NotImplementedError`` (or a deterministic fake for tests) — the
+batched ``mapInPandas`` stages. PNG pixel decode is REAL — a pure
+numpy+zlib codec below (all five scanline filters, chunk CRC-32 verified,
+8-bit gray/GA/RGB/RGBA), mirroring the pure-numpy FLAC codec in
+functions/audio.py. JPEG/GIF/WEBP pixel decode stays stubbed behind a
+clearly-marked ``NotImplementedError`` (DCT / LZW / VP8 entropy coders are
+codec-library territory and the libs are not in this sandbox) — the
 Spark-side plumbing (schemas, UDF signatures, batch shapes, partition
-discipline) is real and tested. Audio is the fully-real modality
-(functions/audio.py).
+discipline) is real and tested for every format. Audio is the other
+fully-real modality (functions/audio.py).
 
 Payload discipline (same as audio): binary columns are never shuffled —
 every operator here is a map-only stage emitting small typed rows; joins
 happen on the metadata outputs.
+
+Reference analog: the reference validates frontmatter it can actually
+parse (YAML -> Ajv, index.ts:210-254); the PNG path gives images the same
+"decode it, don't trust the header" standard the north_star sets for audio
+(decoded-PCM SNR), at parity: header says WxH, the decoder proves it.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -55,14 +64,299 @@ def png_dimensions(b: bytes) -> tuple[int, int] | None:
     return w, h
 
 
+# --------------------------------------------------------------------------
+# PNG codec — pure numpy + stdlib zlib. 8-bit depth, color types 0 (gray),
+# 2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace. Every chunk CRC-32 is
+# verified on decode; all five scanline filters (None/Sub/Up/Average/Paeth,
+# RFC 2083 §6) are implemented on both sides. Unsupported-but-valid PNGs
+# (16-bit, palette, Adam7) refuse with a precise ValueError — honest
+# refusal over silent garbage, same policy as the FLAC subset codec.
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_COLOR_TO_CH = {0: 1, 2: 3, 4: 2, 6: 4}
+_CH_TO_COLOR = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload)))
+
+
+def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor over int16/int32 arrays."""
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def _filter_row(ftype: int, row: np.ndarray, prev: np.ndarray,
+                bpp: int) -> np.ndarray:
+    """Apply filter ``ftype`` to one raw scanline (encode direction)."""
+    r = row.astype(np.int16)
+    left = np.zeros_like(r)
+    left[bpp:] = r[:-bpp]
+    up = prev.astype(np.int16)
+    upleft = np.zeros_like(r)
+    upleft[bpp:] = up[:-bpp]
+    if ftype == 0:
+        out = r
+    elif ftype == 1:
+        out = r - left
+    elif ftype == 2:
+        out = r - up
+    elif ftype == 3:
+        out = r - (left + up) // 2
+    elif ftype == 4:
+        out = r - _paeth_predict(left.astype(np.uint8),
+                                 prev, upleft.astype(np.uint8))
+    else:
+        raise ValueError(f"png: filter type {ftype} out of range")
+    return (out % 256).astype(np.uint8)
+
+
+def _unfilter_row(ftype: int, raw: np.ndarray, prev: np.ndarray,
+                  bpp: int) -> np.ndarray:
+    """Reconstruct one scanline (decode direction). ``prev`` is the
+    already-reconstructed prior row (zeros for the first)."""
+    n = raw.shape[0]
+    if ftype == 0:
+        return raw.copy()
+    if ftype == 2:
+        return ((raw.astype(np.int16) + prev) % 256).astype(np.uint8)
+    if ftype == 1:
+        # Sub is a per-lane running sum mod 256 — cumsum, no Python loop.
+        lanes = raw.reshape(n // bpp, bpp).astype(np.int64)
+        return (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(n)
+    out = np.zeros(n, dtype=np.uint8)
+    if ftype == 3:
+        for x in range(n):
+            left = int(out[x - bpp]) if x >= bpp else 0
+            out[x] = (int(raw[x]) + (left + int(prev[x])) // 2) % 256
+        return out
+    if ftype == 4:
+        for x in range(n):
+            a = int(out[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (int(raw[x]) + pred) % 256
+        return out
+    raise ValueError(f"png: filter type {ftype} out of range")
+
+
+def png_encode(pixels: np.ndarray, *, filters=None, level: int = 6) -> bytes:
+    """Encode a uint8 pixel array as a real, spec-conformant PNG.
+
+    ``pixels``: shape (h, w) gray, or (h, w, c) with c in {1, 2, 3, 4}
+    (gray / gray+alpha / RGB / RGBA). ``filters`` pins a per-row filter
+    type (int or sequence of h ints) — used by tests to exercise every
+    decode path; default picks per row by the minimum-sum-of-absolutes
+    heuristic the spec recommends.
+    """
+    px = np.asarray(pixels)
+    if px.dtype != np.uint8:
+        raise ValueError("png_encode: pixels must be uint8")
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in _CH_TO_COLOR:
+        raise ValueError("png_encode: shape must be (h,w) or (h,w,1|2|3|4)")
+    h, w, ch = px.shape
+    if h < 1 or w < 1:
+        raise ValueError("png_encode: empty image")
+    color = _CH_TO_COLOR[ch]
+    bpp = ch
+    flat = px.reshape(h, w * ch)
+    if filters is None:
+        want = [None] * h
+    elif isinstance(filters, int):
+        want = [filters] * h
+    else:
+        want = list(filters)
+        if len(want) != h:
+            raise ValueError("png_encode: filters must have one entry/row")
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    lines = []
+    for y in range(h):
+        row = flat[y]
+        if want[y] is None:
+            best, best_f = None, 0
+            for f in range(5):
+                cand = _filter_row(f, row, prev, bpp)
+                cost = int(np.abs(cand.astype(np.int8).astype(np.int32)).sum())
+                if best is None or cost < best:
+                    best, best_f, best_row = cost, f, cand
+            lines.append(bytes([best_f]) + best_row.tobytes())
+        else:
+            f = int(want[y])
+            lines.append(bytes([f]) + _filter_row(f, row, prev, bpp).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), level)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b""))
+
+
+def png_decode(b: bytes) -> np.ndarray:
+    """Decode a PNG to a uint8 array of shape (h, w, channels).
+
+    Verifies the signature, every chunk CRC-32, the inflated stream
+    length, and filter-type ranges; refuses (ValueError) anything outside
+    the supported subset (bit depth 8, color 0/2/4/6, no interlace, no
+    palette) rather than guessing.
+    """
+    if b[:8] != _PNG_SIG:
+        raise ValueError("png: bad signature")
+    pos, ihdr, idat, seen_end = 8, None, [], False
+    while pos < len(b):
+        if pos + 8 > len(b):
+            raise ValueError("png: truncated chunk header")
+        (length,) = struct.unpack_from(">I", b, pos)
+        tag = b[pos + 4:pos + 8]
+        end = pos + 8 + length
+        if end + 4 > len(b):
+            raise ValueError(f"png: truncated {tag!r} chunk")
+        payload = b[pos + 8:end]
+        (crc,) = struct.unpack_from(">I", b, end)
+        if zlib.crc32(tag + payload) != crc:
+            raise ValueError(f"png: CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            if ihdr is not None:
+                raise ValueError("png: duplicate IHDR")
+            ihdr = payload
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            seen_end = True
+            break
+        pos = end + 4
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("png: missing or malformed IHDR")
+    if not seen_end:
+        raise ValueError("png: missing IEND")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise ValueError(f"png: bit depth {depth} unsupported (8 only)")
+    if color not in _COLOR_TO_CH:
+        raise ValueError(f"png: color type {color} unsupported "
+                         "(gray/GA/RGB/RGBA only, no palette)")
+    if comp != 0 or filt != 0:
+        raise ValueError("png: unknown compression/filter method")
+    if interlace != 0:
+        raise ValueError("png: Adam7 interlace unsupported")
+    if w < 1 or h < 1:
+        raise ValueError("png: empty image dimensions")
+    if not idat:
+        raise ValueError("png: no IDAT data")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"png: IDAT inflate failed: {exc}") from None
+    ch = _COLOR_TO_CH[color]
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("png: decompressed size does not match dimensions")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        prev = _unfilter_row(int(arr[y, 0]), arr[y, 1:], prev, ch)
+        out[y] = prev
+    return out.reshape(h, w, ch)
+
+
+def resize_image(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Bilinear resize, pure vectorized numpy (align-corners=False / pixel-
+    center convention, the OpenCV/PIL default). uint8 in, uint8 out."""
+    img = np.asarray(px)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1, x1 = np.minimum(y0 + 1, h - 1), np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    f = img.astype(np.float64)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
 def decode_image(b: bytes) -> np.ndarray:
-    """STUB: pixel decode requires an image codec library (PIL/opencv),
-    neither available in this sandbox. Production swaps this single
-    function; everything around it (batching, schema, partitioning) is
-    live."""
+    """Pixel decode. REAL for PNG (pure numpy+zlib codec above); JPEG /
+    GIF / WEBP raise ``NotImplementedError`` — their entropy coders are
+    codec-library territory and the libs are not in this sandbox.
+    Production swaps only this dispatch; everything around it (batching,
+    schema, partitioning) is live either way."""
+    fmt = sniff_image_format(b)
+    if fmt == "png":
+        return png_decode(b)
     raise NotImplementedError(
-        "image pixel decode requires PIL/opencv (not in sandbox); "
-        "use fake_image_features for deterministic test plumbing")
+        f"image pixel decode for {fmt or 'unknown format'} requires a codec "
+        "library (PIL/opencv, not in sandbox); PNG decodes natively")
+
+
+def make_png(i: int, w: int = 12, h: int = 9, channels: int = 3) -> bytes:
+    """Deterministic REAL (decodable) PNG: seeded gradient + noise pixels
+    through :func:`png_encode`. The image twin of fixtures' synth_wav."""
+    rng = np.random.default_rng(7000 + i)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 255) // max(w - 1, 1) + (yy * 131) // max(h - 1, 1)) % 256
+    px = np.stack([(base + 37 * c) % 256 for c in range(channels)], axis=2)
+    noise = rng.integers(0, 32, px.shape)
+    return png_encode(((px + noise) % 256).astype(np.uint8))
+
+
+IMAGE_DECODE_STATS_SCHEMA = ("media_id string, ok boolean, width int, "
+                             "height int, channels int, mean_luma double, "
+                             "err string")
+
+
+def image_decode_stats_map_in_pandas(iterator):
+    """mapInPandas: binary -> REAL pixel-decode verdicts (PNG decodes
+    natively; formats needing a codec lib report ok=false with the reason
+    — the image twin of audio's decode_stats_map_in_pandas). The decoded
+    dims are proof, not header trust: a PNG whose IHDR lies about its size
+    fails the stream-length check and lands here as a violation row."""
+    for pdf in iterator:
+        rows = []
+        for mid, b in zip(pdf["media_id"], pdf["bytes"]):
+            raw = bytes(b) if b is not None else b""
+            try:
+                px = decode_image(raw)
+                rows.append((mid, True, int(px.shape[1]), int(px.shape[0]),
+                             int(px.shape[2]), float(px.mean()), None))
+            except (ValueError, NotImplementedError) as exc:
+                rows.append((mid, False, None, None, None, None,
+                             f"{type(exc).__name__}: {exc}"[:160]))
+        yield pd.DataFrame(rows, columns=["media_id", "ok", "width",
+                                          "height", "channels", "mean_luma",
+                                          "err"])
+
+
+def decoded_image_features(b: bytes, *, hist_bins: int = 8,
+                           thumb: int = 4) -> np.ndarray:
+    """Real feature vector from decoded pixels: per-channel mean/std,
+    luminance histogram, and a bilinear thumbnail — deterministic, and
+    actually a function of the image content (unlike fake_image_features,
+    which hashes bytes for plumbing tests)."""
+    px = decode_image(b).astype(np.float32)
+    ch_mean = px.mean(axis=(0, 1)) / 255.0
+    ch_std = px.std(axis=(0, 1)) / 255.0
+    luma = px.mean(axis=2)
+    hist = np.histogram(luma, bins=hist_bins, range=(0, 255))[0]
+    hist = hist / max(luma.size, 1)
+    tiny = resize_image(px.astype(np.uint8), thumb, thumb)
+    return np.concatenate([ch_mean, ch_std, hist,
+                           tiny.mean(axis=2).ravel() / 255.0]).astype(
+                               np.float32)
 
 
 def fake_image_features(b: bytes, dim: int = 16) -> np.ndarray:
@@ -122,7 +416,9 @@ def frame_sample_map_in_pandas(every_ms: int = 1000):
 
 def make_png_stub(i: int, w: int = 4, h: int = 3) -> bytes:
     """Minimal deterministic PNG header+junk (valid magic + IHDR dims) for
-    plumbing tests — not a decodable image."""
+    header-sniff plumbing tests and integrity-failure fixtures — NOT a
+    decodable image (CRC-invalid junk body; use :func:`make_png` for real
+    pixels)."""
     ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
     rng = np.random.default_rng(7000 + i)
     return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr

@@ -53,6 +53,11 @@ def test_frame_sample_schedule(media):
     assert all(r.frame_bytes_stub.startswith("STUB:") for r in rows)
 
 
-def test_pixel_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_pixel_decode_png_real_others_stubbed():
+    # PNG decodes natively (see test_png_codec.py); the header-only stub
+    # is CRC-invalid junk so it fails integrity, not NotImplementedError
+    with pytest.raises(ValueError):
         mm.decode_image(mm.make_png_stub(0))
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    assert mm.decode_image(mm.make_png(1, w=5, h=4)).shape == (4, 5, 3)

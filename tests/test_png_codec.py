@@ -1,0 +1,143 @@
+"""Pure-numpy PNG codec: lossless roundtrip across color types and all
+five scanline filters, chunk-CRC integrity, honest subset refusals, real
+bilinear resize, and the decoded-stats Spark stage over real pixels."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from remark_lint_frontmatter_schema_spark.functions import multimodal as mm
+
+
+def _rand_px(seed, h, w, ch):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    return px[:, :, 0] if ch == 0 else px
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+@pytest.mark.parametrize("h,w", [(1, 1), (3, 1), (1, 7), (9, 13), (40, 33)])
+def test_roundtrip_lossless(ch, h, w):
+    px = _rand_px(ch * 100 + h + w, h, w, ch)
+    out = mm.png_decode(mm.png_encode(px))
+    assert out.shape == (h, w, ch)
+    assert np.array_equal(out, px)
+
+
+@pytest.mark.parametrize("f", [0, 1, 2, 3, 4])
+def test_every_filter_type_roundtrips(f):
+    px = _rand_px(55 + f, 11, 17, 3)
+    b = mm.png_encode(px, filters=f)
+    # the pinned filter byte really is on every scanline
+    # layout: sig(8) IHDR(25) IDAT hdr(8) payload IDAT crc(4) IEND(12)
+    raw = zlib.decompress(b[41:len(b) - 16])
+    stride = 1 + 17 * 3
+    assert all(raw[y * stride] == f for y in range(11))
+    assert np.array_equal(mm.png_decode(b), px)
+
+
+def test_heuristic_filter_mixes_types_and_roundtrips():
+    # gradient rows compress best under Sub/Paeth, constant rows under Up —
+    # the heuristic should not collapse to a single type on this input
+    yy, xx = np.mgrid[0:24, 0:31]
+    px = ((xx * 7 + (yy // 6) * 40) % 256).astype(np.uint8)[:, :, None]
+    px = np.repeat(px, 3, axis=2)
+    b = mm.png_encode(px)
+    assert np.array_equal(mm.png_decode(b), px)
+
+
+def test_grayscale_2d_input_accepted():
+    px2d = _rand_px(9, 6, 8, 1)[:, :, 0]
+    out = mm.png_decode(mm.png_encode(px2d))
+    assert np.array_equal(out[:, :, 0], px2d)
+
+
+def test_corruption_detected():
+    b = bytearray(mm.png_encode(_rand_px(1, 8, 8, 3)))
+    with pytest.raises(ValueError, match="signature"):
+        mm.png_decode(b"JUNK" + bytes(b[4:]))
+    with pytest.raises(ValueError, match="truncated|IEND"):
+        mm.png_decode(bytes(b[:40]))
+    flipped = bytearray(b)
+    flipped[40] ^= 0x01                       # inside IDAT -> chunk CRC
+    with pytest.raises(ValueError, match="CRC"):
+        mm.png_decode(bytes(flipped))
+
+
+def test_header_lie_is_caught_by_stream_length():
+    b = bytearray(mm.png_encode(_rand_px(2, 8, 8, 3)))
+    # rewrite IHDR width 8 -> 9 and fix the chunk CRC so only the decoded
+    # stream length can expose the lie
+    struct.pack_into(">I", b, 16, 9)
+    crc = zlib.crc32(bytes(b[12:12 + 4 + 13]))
+    struct.pack_into(">I", b, 12 + 4 + 13, crc)
+    with pytest.raises(ValueError, match="size does not match"):
+        mm.png_decode(bytes(b))
+
+
+def test_subset_refusals_are_precise():
+    b = bytearray(mm.png_encode(_rand_px(3, 4, 4, 3)))
+
+    def patch_ihdr(off, val):
+        p = bytearray(b)
+        p[16 + off] = val
+        crc = zlib.crc32(bytes(p[12:12 + 4 + 13]))
+        struct.pack_into(">I", p, 12 + 4 + 13, crc)
+        return bytes(p)
+
+    with pytest.raises(ValueError, match="bit depth"):
+        mm.png_decode(patch_ihdr(8, 16))
+    with pytest.raises(ValueError, match="color type"):
+        mm.png_decode(patch_ihdr(9, 3))      # palette
+    with pytest.raises(ValueError, match="interlace"):
+        mm.png_decode(patch_ihdr(12, 1))     # Adam7
+
+
+def test_make_png_fixture_decodes_to_declared_dims():
+    b = mm.make_png(4, w=12, h=9)
+    assert mm.sniff_image_format(b) == "png"
+    assert mm.png_dimensions(b) == (12, 9)
+    assert mm.png_decode(b).shape == (9, 12, 3)
+
+
+def test_resize_constant_stays_constant():
+    px = np.full((5, 7, 3), 200, dtype=np.uint8)
+    out = mm.resize_image(px, 13, 3)
+    assert out.shape == (3, 13, 3) and np.all(out == 200)
+
+
+def test_resize_gradient_monotonic_and_bounded():
+    px = np.tile(np.arange(0, 250, 10, dtype=np.uint8)[None, :, None],
+                 (4, 1, 3))
+    up = mm.resize_image(px, 50, 4).astype(int)
+    row = up[1, :, 0]
+    assert np.all(np.diff(row) >= 0)
+    assert row.min() >= 0 and row.max() <= 240
+
+
+def test_decoded_features_see_content_not_bytes():
+    bright = mm.png_encode(np.full((6, 6, 3), 230, dtype=np.uint8))
+    dark = mm.png_encode(np.full((6, 6, 3), 20, dtype=np.uint8))
+    fb = mm.decoded_image_features(bright)
+    fd = mm.decoded_image_features(dark)
+    assert fb[0] > 0.85 and fd[0] < 0.15      # channel means
+    assert fb.shape == fd.shape
+
+
+def test_decode_stats_stage_real_pixels(spark):
+    rows = [(f"img_{i}", mm.make_png(i, w=10 + i, h=6 + i), "image", {})
+            for i in range(4)]
+    rows.append(("jpeg_0", b"\xff\xd8\xff\xe0" + b"\x00" * 32, "image", {}))
+    rows.append(("bad_0", mm.make_png_stub(0), "image", {}))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in media.select("media_id", "bytes")
+           .mapInPandas(mm.image_decode_stats_map_in_pandas,
+                        schema=mm.IMAGE_DECODE_STATS_SCHEMA).collect()}
+    assert out["img_0"].ok and (out["img_0"].width,
+                                out["img_0"].height) == (10, 6)
+    assert out["img_3"].ok and out["img_3"].channels == 3
+    assert 0.0 < out["img_1"].mean_luma < 255.0
+    assert not out["jpeg_0"].ok and "NotImplementedError" in out["jpeg_0"].err
+    assert not out["bad_0"].ok and "ValueError" in out["bad_0"].err
