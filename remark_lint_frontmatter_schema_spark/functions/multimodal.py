@@ -29,6 +29,9 @@ import zlib
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
 
 MEDIA_SCHEMA = ("media_id string, bytes binary, media_type string, "
                 "meta map<string,string>")
@@ -301,6 +304,83 @@ def decode_image(b: bytes) -> np.ndarray:
     raise NotImplementedError(
         f"image pixel decode for {fmt or 'unknown format'} requires a codec "
         "library (PIL/opencv, not in sandbox); PNG decodes natively")
+
+
+def image_magic_ok_expr(bytes_col="bytes"):
+    """Pure-JVM (whole-stage-codegen) container sniff: payload starts with
+    a known image magic (PNG/JPEG/GIF/WEBP) — the image twin of audio's
+    ``codec_header_jvm``. Zero Python in the plan; the cheap first gate a
+    ruleset runs before paying for a real decode."""
+    b = F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col
+    png = F.substring(b, 1, 8) == F.lit(_PNG_SIG)
+    jpg = F.substring(b, 1, 3) == F.lit(b"\xff\xd8\xff")
+    gif = ((F.substring(b, 1, 6) == F.lit(b"GIF87a"))
+           | (F.substring(b, 1, 6) == F.lit(b"GIF89a")))
+    webp = ((F.substring(b, 1, 4) == F.lit(b"RIFF"))
+            & (F.substring(b, 9, 4) == F.lit(b"WEBP")))
+    return b.isNotNull() & (F.length(b) >= 8) & (png | jpg | gif | webp)
+
+
+@pandas_udf(BooleanType())
+def image_decodes(b: pd.Series) -> pd.Series:
+    """Vectorized check: the payload pixel-decodes under the available
+    codecs (PNG natively; formats whose codec lib is absent fail — the
+    registry docstring says so, and production swaps ``decode_image``).
+    The ``image_decodes`` entry of :func:`register_image_checks`. Needs
+    the full payload by nature (decode PROVES content — the whole point),
+    so unlike the 64-byte header checks this Arrow stage carries the
+    bytes; gate it behind ``image_magic`` in rulesets to avoid decoding
+    obvious junk."""
+    out = []
+    for v in b:
+        try:
+            decode_image(bytes(v) if v is not None else b"")
+            out.append(True)
+        except (ValueError, NotImplementedError):
+            out.append(False)
+    return pd.Series(out, index=b.index)
+
+
+@pandas_udf(BooleanType())
+def _png_dims_match(b: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+    out = []
+    for v, dw, dh in zip(b, w, h):
+        if v is None or pd.isna(dw) or pd.isna(dh):
+            out.append(False)
+            continue
+        try:
+            px = decode_image(bytes(v))
+        except (ValueError, NotImplementedError):
+            out.append(False)
+            continue
+        out.append(px.shape[1] == int(dw) and px.shape[0] == int(dh))
+    return pd.Series(out, index=b.index)
+
+
+def png_dims_match_col(bytes_col="bytes", width_col="width",
+                       height_col="height"):
+    """Decoded dimensions equal the declared metadata columns — the image
+    analog of audio's duration-consistency check: don't trust the row's
+    width/height, prove them against the pixels. Undecodable payloads and
+    NULL metadata fail (wellformedness messages belong to image_magic /
+    image_decodes; a silent pass here would be a hole)."""
+    b = F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col
+    return _png_dims_match(b, F.col(width_col).cast("int"),
+                           F.col(height_col).cast("int"))
+
+
+def register_image_checks() -> dict:
+    """Named vectorized image checks for the DSL's ``x-spark-check``
+    extension point — same registry contract as
+    ``audio.register_audio_checks`` (the reference's custom-Ajv-keyword
+    analog, index.ts:49). ``image_magic`` is pure JVM; the decode-backed
+    entries add one ArrowEvalPython stage only when a ruleset references
+    them."""
+    return {
+        "image_magic": lambda col: image_magic_ok_expr(col),
+        "image_decodes": lambda col: image_decodes(col),
+        "png_dims_match": lambda col: png_dims_match_col(col),
+    }
 
 
 def make_png(i: int, w: int = 12, h: int = 9, channels: int = 3) -> bytes:

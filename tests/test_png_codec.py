@@ -141,3 +141,39 @@ def test_decode_stats_stage_real_pixels(spark):
     assert 0.0 < out["img_1"].mean_luma < 255.0
     assert not out["jpeg_0"].ok and "NotImplementedError" in out["jpeg_0"].err
     assert not out["bad_0"].ok and "ValueError" in out["bad_0"].err
+
+
+def test_image_checks_via_dsl(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+    rows = []
+    for i in range(6):
+        b = mm.make_png(i, w=8, h=6)
+        rows.append((f"ok_{i}", b, 8, 6))
+    rows.append(("lies_0", mm.make_png(9, w=8, h=6), 16, 12))  # dims lie
+    rows.append(("junk_0", mm.make_png_stub(1), 4, 3))         # CRC junk
+    rows.append(("nomagic_0", b"\x00" * 32, 1, 1))
+    df = spark.createDataFrame(
+        rows, "media_id string, bytes binary, width int, height int")
+    ruleset = {"properties": {"bytes": {
+        "x-spark-check": "png_dims_match"}}}
+    compiled = compile_ruleset(ruleset, df.schema, name="img",
+                               extra_checks=mm.register_image_checks())
+    res = validate(df, compiled, row_id="media_id")
+    bad = {r.row_id for r in res.violations.collect()}
+    assert bad == {"lies_0", "junk_0", "nomagic_0"}
+
+    magic = {"properties": {"bytes": {"x-spark-check": "image_magic"}}}
+    cm = compile_ruleset(magic, df.schema, name="magic",
+                         extra_checks=mm.register_image_checks())
+    res_m = validate(df, cm, row_id="media_id")
+    assert {r.row_id for r in res_m.violations.collect()} == {"nomagic_0"}
+    # image_magic is pure JVM: no Arrow stage in the plan
+    plan = res_m.violations._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+
+    dec = {"properties": {"bytes": {"x-spark-check": "image_decodes"}}}
+    cd = compile_ruleset(dec, df.schema, name="dec",
+                         extra_checks=mm.register_image_checks())
+    res_d = validate(df, cd, row_id="media_id")
+    assert {r.row_id for r in res_d.violations.collect()} == \
+        {"junk_0", "nomagic_0"}
