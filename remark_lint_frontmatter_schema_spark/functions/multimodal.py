@@ -293,17 +293,238 @@ def resize_image(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 def decode_image(b: bytes) -> np.ndarray:
-    """Pixel decode. REAL for PNG (pure numpy+zlib codec above); JPEG /
-    GIF / WEBP raise ``NotImplementedError`` — their entropy coders are
-    codec-library territory and the libs are not in this sandbox.
-    Production swaps only this dispatch; everything around it (batching,
-    schema, partitioning) is live either way."""
+    """Pixel decode. REAL for PNG and GIF (pure numpy/zlib/LZW codecs
+    above); JPEG / WEBP raise ``NotImplementedError`` — DCT and VP8
+    entropy coders are codec-library territory and the libs are not in
+    this sandbox. Production swaps only this dispatch; everything around
+    it (batching, schema, partitioning) is live either way."""
     fmt = sniff_image_format(b)
     if fmt == "png":
         return png_decode(b)
+    if fmt == "gif":
+        return gif_decode(b)
     raise NotImplementedError(
         f"image pixel decode for {fmt or 'unknown format'} requires a codec "
-        "library (PIL/opencv, not in sandbox); PNG decodes natively")
+        "library (PIL/opencv, not in sandbox); PNG and GIF decode natively")
+
+
+# --------------------------------------------------------------------------
+# GIF codec — pure Python LZW (variable-width codes, clear/EOI, 4096-entry
+# dictionary with mid-stream resets), GIF89a single frame, global color
+# table, no interlace. Same honest-refusal policy as the PNG/FLAC subsets:
+# animated/interlaced/local-palette-less inputs outside the subset raise a
+# precise ValueError instead of guessing.
+# --------------------------------------------------------------------------
+
+
+def _lzw_encode(data: bytes, min_code: int) -> bytes:
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out_bits: list[tuple[int, int]] = []           # (code, width)
+    width = min_code + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    out_bits.append((clear, width))
+    prefix = b""
+    for byte in data:
+        cand = prefix + bytes([byte])
+        if cand in table:
+            prefix = cand
+            continue
+        out_bits.append((table[prefix], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            out_bits.append((clear, width))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        prefix = bytes([byte])
+    if prefix:
+        out_bits.append((table[prefix], width))
+    out_bits.append((eoi, width))
+    buf, acc, nbits = bytearray(), 0, 0
+    for code, w in out_bits:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def _lzw_decode(data: bytes, min_code: int, expect: int) -> bytes:
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("gif: LZW stream truncated (no EOI)")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"gif: LZW code {code} out of range")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+        if len(out) > expect:
+            raise ValueError("gif: LZW output exceeds declared dimensions")
+    if len(out) != expect:
+        raise ValueError("gif: decoded pixel count does not match dimensions")
+    return bytes(out)
+
+
+def gif_encode(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode an index array + RGB palette as a real single-frame GIF89a.
+
+    ``indices``: (h, w) uint8 into ``palette`` (n, 3) uint8, n <= 256.
+    """
+    idx = np.asarray(indices)
+    pal = np.asarray(palette)
+    if idx.dtype != np.uint8 or idx.ndim != 2:
+        raise ValueError("gif_encode: indices must be (h,w) uint8")
+    if pal.dtype != np.uint8 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("gif_encode: palette must be (n,3) uint8")
+    n = pal.shape[0]
+    if not 1 <= n <= 256 or int(idx.max(initial=0)) >= n:
+        raise ValueError("gif_encode: palette size/index out of range")
+    h, w = idx.shape
+    bits = max(1, (max(n, 2) - 1).bit_length())       # GCT size exponent
+    gct = np.zeros((1 << bits, 3), dtype=np.uint8)
+    gct[:n] = pal
+    min_code = max(2, bits)
+    lzw = _lzw_encode(idx.tobytes(), min_code)
+    blocks = bytearray()
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off:off + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return (b"GIF89a"
+            + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+            + gct.tobytes()
+            + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            + bytes([min_code]) + bytes(blocks) + b"\x00"
+            + b"\x3b")
+
+
+def gif_decode(b: bytes) -> np.ndarray:
+    """Decode a single-frame GIF to uint8 RGB (h, w, 3). Verifies the LZW
+    stream against the declared dimensions; skips extension blocks;
+    refuses interlace, animation (a second image descriptor), and frames
+    without any color table."""
+    if sniff_image_format(b) != "gif":
+        raise ValueError("gif: bad signature")
+    if len(b) < 13:
+        raise ValueError("gif: truncated header")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        size = 1 << ((flags & 0x07) + 1)
+        if pos + 3 * size > len(b):
+            raise ValueError("gif: truncated global color table")
+        gct = np.frombuffer(b, dtype=np.uint8, count=3 * size,
+                            offset=pos).reshape(size, 3)
+        pos += 3 * size
+    frame = None
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:                              # trailer
+            break
+        if block == 0x21:                              # extension: skip
+            if pos >= len(b):
+                raise ValueError("gif: truncated extension")
+            pos += 1                                   # label
+            while True:
+                if pos >= len(b):
+                    raise ValueError("gif: truncated extension sub-blocks")
+                n = b[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"gif: unknown block 0x{block:02x}")
+        if frame is not None:
+            raise ValueError("gif: animated (multi-frame) unsupported")
+        if pos + 9 > len(b):
+            raise ValueError("gif: truncated image descriptor")
+        _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        if iflags & 0x40:
+            raise ValueError("gif: interlaced frames unsupported")
+        pal = gct
+        if iflags & 0x80:
+            size = 1 << ((iflags & 0x07) + 1)
+            if pos + 3 * size > len(b):
+                raise ValueError("gif: truncated local color table")
+            pal = np.frombuffer(b, dtype=np.uint8, count=3 * size,
+                                offset=pos).reshape(size, 3)
+            pos += 3 * size
+        if pal is None:
+            raise ValueError("gif: frame has no color table")
+        if w < 1 or h < 1 or w > sw or h > sh:
+            raise ValueError("gif: frame dimensions out of range")
+        if pos >= len(b):
+            raise ValueError("gif: truncated LZW header")
+        min_code = b[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"gif: LZW min code size {min_code} invalid")
+        lzw = bytearray()
+        while True:
+            if pos >= len(b):
+                raise ValueError("gif: truncated image data sub-blocks")
+            n = b[pos]
+            pos += 1
+            if n == 0:
+                break
+            lzw += b[pos:pos + n]
+            pos += n
+        idx = np.frombuffer(_lzw_decode(bytes(lzw), min_code, w * h),
+                            dtype=np.uint8)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("gif: pixel index outside color table")
+        frame = pal[idx].reshape(h, w, 3)
+    if frame is None:
+        raise ValueError("gif: no image frame")
+    return frame
+
+
+def make_gif(i: int, w: int = 11, h: int = 7, n_colors: int = 16) -> bytes:
+    """Deterministic REAL (decodable) GIF fixture: seeded palette +
+    index pattern through :func:`gif_encode`."""
+    rng = np.random.default_rng(8000 + i)
+    pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w]
+    idx = ((xx + yy * 3 + i) % n_colors).astype(np.uint8)
+    return gif_encode(idx, pal)
 
 
 def image_magic_ok_expr(bytes_col="bytes"):

@@ -177,3 +177,79 @@ def test_image_checks_via_dsl(spark):
     res_d = validate(df, cd, row_id="media_id")
     assert {r.row_id for r in res_d.violations.collect()} == \
         {"junk_0", "nomagic_0"}
+
+
+# ---------------------------------------------------------------------------
+# GIF codec
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n_colors", [2, 5, 16, 256])
+@pytest.mark.parametrize("h,w", [(1, 1), (7, 11), (31, 23)])
+def test_gif_roundtrip_lossless(n_colors, h, w):
+    rng = np.random.default_rng(n_colors * 7 + h + w)
+    pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_colors, (h, w), dtype=np.uint8)
+    b = mm.gif_encode(idx, pal)
+    assert mm.sniff_image_format(b) == "gif"
+    out = mm.gif_decode(b)
+    assert out.shape == (h, w, 3)
+    assert np.array_equal(out, pal[idx])
+
+
+def test_gif_large_image_exercises_dict_growth_and_clear():
+    # >4096 distinct LZW phrases forces width growth to 12 bits and at
+    # least one mid-stream clear/reset
+    rng = np.random.default_rng(99)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (120, 200), dtype=np.uint8)
+    out = mm.gif_decode(mm.gif_encode(idx, pal))
+    assert np.array_equal(out, pal[idx])
+
+
+def test_gif_repetitive_input_compresses_and_roundtrips():
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    idx = np.tile(np.array([0, 0, 1, 1], dtype=np.uint8), (40, 25))
+    b = mm.gif_encode(idx, pal)
+    assert len(b) < idx.size // 2          # LZW actually compresses runs
+    assert np.array_equal(mm.gif_decode(b), pal[idx])
+
+
+def test_gif_corruption_and_subset_refusals():
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (9, 9), dtype=np.uint8)
+    b = bytearray(mm.gif_encode(idx, pal))
+    with pytest.raises(ValueError, match="signature"):
+        mm.gif_decode(b"BAD" + bytes(b[3:]))
+    with pytest.raises(ValueError, match="truncated"):
+        mm.gif_decode(bytes(b[:20]))
+    # flag the frame as interlaced (image descriptor flags byte)
+    desc = bytes(b).index(b"\x2c")
+    interlaced = bytearray(b)
+    interlaced[desc + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        mm.gif_decode(bytes(interlaced))
+    # declared dims lie vs the pixel stream
+    lying = bytearray(b)
+    struct.pack_into("<H", lying, desc + 5, 8)   # w: 9 -> 8
+    with pytest.raises(ValueError, match="does not match|exceeds"):
+        mm.gif_decode(bytes(lying))
+
+
+def test_gif_extension_blocks_are_skipped():
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, (5, 6), dtype=np.uint8)
+    b = bytearray(mm.gif_encode(idx, pal))
+    desc = bytes(b).index(b"\x2c")
+    # inject a graphic-control extension before the image descriptor
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    patched = bytes(b[:desc]) + ext + bytes(b[desc:])
+    assert np.array_equal(mm.gif_decode(patched), pal[idx])
+
+
+def test_decode_image_dispatches_gif():
+    b = mm.make_gif(2, w=10, h=6, n_colors=12)
+    assert mm.decode_image(b).shape == (6, 10, 3)
+    # decode-backed stats stage sees GIF as ok now
+    assert mm.sniff_image_format(b) == "gif"
