@@ -604,6 +604,60 @@ def register_image_checks() -> dict:
     }
 
 
+def ahash64(b: bytes) -> int | None:
+    """64-bit perceptual average-hash from REAL decoded pixels: decode ->
+    grayscale -> bilinear 8x8 thumbnail -> threshold at the mean. Robust
+    to re-encoding (PNG<->GIF palette quantization), mild noise, and
+    resizing — the image twin of audio's spectral fingerprint. None for
+    undecodable payloads (NULL signature never pairs downstream)."""
+    try:
+        px = decode_image(b)
+    except (ValueError, NotImplementedError):
+        return None
+    luma = px[:, :, :3].astype(np.float32).mean(axis=2)
+    tiny = resize_image(
+        np.clip(np.rint(luma), 0, 255).astype(np.uint8), 8, 8)[:, :, 0]
+    bits = (tiny.astype(np.float64) >= tiny.mean()).ravel()
+    word = 0
+    for bit in bits:
+        word = (word << 1) | int(bit)
+    return word - (1 << 64) if word >= (1 << 63) else word  # signed long
+
+
+IMAGE_FP_SCHEMA = "media_id string, fp long"
+
+
+def image_fingerprints(media, *, bytes_col: str = "bytes",
+                       id_col: str = "media_id"):
+    """mapInPandas: payload -> 64-bit aHash rows. Map-only; the bytes
+    never shuffle — downstream blocking joins carry (id, fp) only, the
+    same payload discipline as audio_fingerprints."""
+    cols = media.select(F.col(id_col).alias("media_id"),
+                        F.col(bytes_col).alias("bytes"))
+
+    def fn(iterator):
+        for pdf in iterator:
+            rows = [(mid, ahash64(bytes(v)) if v is not None else None)
+                    for mid, v in zip(pdf["media_id"], pdf["bytes"])]
+            yield pd.DataFrame(rows, columns=["media_id", "fp"])
+
+    return cols.mapInPandas(fn, schema=IMAGE_FP_SCHEMA)
+
+
+def image_neardup_pairs(media, *, max_distance: int = 3,
+                        bytes_col: str = "bytes",
+                        id_col: str = "media_id"):
+    """Perceptual near-duplicate image pairs: aHash signatures through the
+    generic pigeonhole chunk blocking (operators/dedup.hamming_pairs —
+    the same exact-recall-in-radius machinery text SimHash and audio
+    fingerprints use; no cross join, signatures persist once)."""
+    from ..operators.dedup import hamming_pairs
+    fps = image_fingerprints(media, bytes_col=bytes_col, id_col=id_col) \
+        .where(F.col("fp").isNotNull())
+    return hamming_pairs(fps, sig_col="fp", id_col="media_id",
+                         max_distance=max_distance)
+
+
 def make_png(i: int, w: int = 12, h: int = 9, channels: int = 3) -> bytes:
     """Deterministic REAL (decodable) PNG: seeded gradient + noise pixels
     through :func:`png_encode`. The image twin of fixtures' synth_wav."""

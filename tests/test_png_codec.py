@@ -253,3 +253,58 @@ def test_decode_image_dispatches_gif():
     assert mm.decode_image(b).shape == (6, 10, 3)
     # decode-backed stats stage sees GIF as ok now
     assert mm.sniff_image_format(b) == "gif"
+
+
+# ---------------------------------------------------------------------------
+# perceptual near-dup (aHash over decoded pixels)
+# ---------------------------------------------------------------------------
+
+def _photo_px(seed, h=48, w=64):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (96 + 80 * np.sin(xx / 9.0 + seed) * np.cos(yy / 7.0)
+            + rng.normal(0, 6, (h, w)))
+    px = np.clip(base, 0, 255).astype(np.uint8)
+    return np.stack([px, px, px], axis=2)
+
+
+def test_ahash_invariant_to_reencode_and_resize():
+    px = _photo_px(1)
+    a = mm.ahash64(mm.png_encode(px))
+    # mild noise + downscale should stay within a small Hamming radius
+    noisy = np.clip(px.astype(int)
+                    + np.random.default_rng(2).integers(-8, 9, px.shape),
+                    0, 255).astype(np.uint8)
+    b = mm.ahash64(mm.png_encode(noisy))
+    small = mm.ahash64(mm.png_encode(mm.resize_image(px, 32, 24)))
+    def d(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert d(a, b) <= 3
+    assert d(a, small) <= 3
+    # a different image (same synth family) sits well outside the
+    # pairing radius — twice the d<=3 blocking radius with margin
+    other = mm.ahash64(mm.png_encode(_photo_px(77)))
+    assert d(a, other) > 6
+    assert mm.ahash64(b"\x00junk") is None
+
+
+def test_image_neardup_pairs_blocked(spark):
+    rows = []
+    for i in range(8):
+        px = _photo_px(100 + i)
+        rows.append((f"orig_{i}", mm.png_encode(px), "image", {}))
+        if i < 3:   # re-encoded twins for the first three
+            tw = mm.resize_image(px, 48, 36)
+            rows.append((f"twin_{i}", mm.png_encode(tw), "image", {}))
+    rows.append(("junk", b"\x01\x02\x03", "image", {}))
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    pairs = mm.image_neardup_pairs(media, max_distance=3)
+    got = {tuple(sorted((r.id_a, r.id_b))) for r in pairs.collect()}
+    expect = {(f"orig_{i}", f"twin_{i}") for i in range(3)}
+    assert expect <= got
+    # no pair involves junk, and no orig pairs with a different orig's twin
+    assert all("junk" not in p for p in got)
+    assert not any(a.startswith("orig") and b.startswith("orig")
+                   for a, b in got)
+    from remark_lint_frontmatter_schema_spark.operators.dedup import release_all
+    release_all()
