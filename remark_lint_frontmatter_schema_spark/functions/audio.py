@@ -98,19 +98,19 @@ def synth_wav(i: int, sr_hz: int, audio_ms: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# FLAC, verbatim-subframe subset: a real (spec-conformant) encoder and
-# decoder in pure numpy — no codec library in this sandbox. VERBATIM
-# subframes store raw big-endian PCM (no prediction), so every field in
-# the stream is byte-aligned by construction and the whole format
-# reduces to headers + CRCs: fLaC magic, one STREAMINFO metadata block
-# (RFC 9639 §8.2), fixed-blocksize frames with 16-bit-at-end blocksize
-# coding, UTF-8-coded frame numbers, CRC-8 frame headers and CRC-16
-# frame trailers, MD5 of the unencoded samples in STREAMINFO. The
-# decoder additionally accepts CONSTANT subframes and verifies sync,
-# both CRCs and the MD5; compressed predictor subframes (FIXED/LPC)
-# from external encoders raise NotImplementedError — this is a
-# lossless-container path for the engine's own corpora, not a general
-# FLAC player.
+# FLAC (mono/16-bit subset): a real (spec-conformant, RFC 9639) codec in
+# pure numpy — no codec library in this sandbox. The encoder compresses:
+# per block it builds CONSTANT, FIXED-predictor (orders 0-4), LPC
+# (Levinson-Durbin + error-feedback quantization) and VERBATIM subframes
+# and keeps the cheapest, with partitioned Rice-coded residuals
+# (4-bit-parameter method, per-partition parameter search, raw-bits
+# escape). The decoder handles all five subframe types plus wasted-bits
+# packing and both Rice methods (4- and 5-bit parameters), and verifies
+# sync, CRC-8 frame headers, CRC-16 frame trailers and the STREAMINFO
+# MD5 — so a defect anywhere in the container or the entropy-coded
+# payload surfaces as ValueError, never as silently-wrong samples.
+# Multi-channel / non-16-bit streams raise NotImplementedError (the
+# engine's audio corpora are mono PCM16; honest subset, not a player).
 # ---------------------------------------------------------------------------
 
 _FLAC_BLOCK = 4096
@@ -161,9 +161,197 @@ def _utf8_decode(b: bytes, pos: int) -> tuple[int, int]:
     raise ValueError("bad UTF-8-coded frame number")
 
 
-def flac_encode(samples: np.ndarray, sr_hz: int) -> bytes:
-    """Encode mono int16 samples as a conformant FLAC stream of VERBATIM
-    subframes (lossless, uncompressed — container fidelity, not size)."""
+# bit-level plumbing: subframes are built / parsed as uint8 0/1 arrays
+# so entropy-coded fields (Rice residuals, qlp coefficients) need no
+# byte alignment; numpy packbits/unpackbits does the (de)framing.
+
+_POW2_DESC = (np.int64(1) << np.arange(31, -1, -1)).astype(np.int64)
+
+
+def _bits_of_uint(v: int, n: int) -> np.ndarray:
+    return ((v >> np.arange(n - 1, -1, -1)) & 1).astype(np.uint8)
+
+
+def _bits_of_signed_arr(vals, n: int) -> np.ndarray:
+    """Two's-complement n-bit big-endian bits for each value, flattened."""
+    v = np.asarray(vals, np.int64) & ((1 << n) - 1)
+    if len(v) == 0:
+        return np.zeros(0, np.uint8)
+    return ((v[:, None] >> np.arange(n - 1, -1, -1)) & 1) \
+        .astype(np.uint8).ravel()
+
+
+def _zigzag(res: np.ndarray) -> np.ndarray:
+    r = res.astype(np.int64)
+    return (r << 1) ^ (r >> 63)
+
+
+def _rice_bits_arr(res: np.ndarray, k: int) -> np.ndarray:
+    """Rice-code residuals at parameter k as a bit array (vectorized:
+    unary terminator positions via cumsum, remainder bits per plane)."""
+    u = _zigzag(res)
+    q = (u >> k).astype(np.int64)
+    lens = q + 1 + k
+    starts = np.cumsum(lens) - lens
+    bits = np.zeros(int(lens.sum()), np.uint8)
+    bits[starts + q] = 1
+    if k:
+        rem = u & ((1 << k) - 1)
+        base = starts + q + 1
+        for j in range(k):
+            bits[base + j] = (rem >> (k - 1 - j)) & 1
+    return bits
+
+
+def _signed_width(res: np.ndarray) -> int:
+    """Smallest two's-complement width holding every residual (>=1)."""
+    mx, mn = int(res.max()), int(res.min())
+    w = 1
+    if mx > 0:
+        w = max(w, mx.bit_length() + 1)
+    if mn < 0:
+        w = max(w, (-mn - 1).bit_length() + 1)
+    return w
+
+
+def _encode_residual(res: np.ndarray, bs: int, order: int,
+                     partition_order: int) -> np.ndarray:
+    """Residual section bits: method 00 (4-bit Rice parameters), the
+    given partition order, per-partition best parameter in 0..14 with
+    the 0b1111 raw-bits escape when cheaper (e.g. all-zero residuals)."""
+    po = partition_order
+    if po and (bs % (1 << po) or (bs >> po) <= order):
+        po = 0
+    parts = [_bits_of_uint(0, 2), _bits_of_uint(po, 4)]
+    off = 0
+    for p in range(1 << po):
+        cnt = (bs >> po) - (order if p == 0 else 0)
+        seg = res[off:off + cnt]
+        off += cnt
+        u = _zigzag(seg)
+        best_k, best_bits = 0, None
+        for k in range(15):
+            nbits = int((u >> k).sum()) + cnt * (k + 1)
+            if best_bits is None or nbits < best_bits:
+                best_k, best_bits = k, nbits
+        if not len(seg) or not np.any(seg):
+            raw = 0  # escape, zero bits per sample
+        else:
+            raw = min(32, _signed_width(seg))
+        if 5 + cnt * raw < best_bits:
+            parts.append(_bits_of_uint(0xF, 4))
+            parts.append(_bits_of_uint(raw, 5))
+            parts.append(_bits_of_signed_arr(seg, raw) if raw
+                         else np.zeros(0, np.uint8))
+        else:
+            parts.append(_bits_of_uint(best_k, 4))
+            parts.append(_rice_bits_arr(seg, best_k))
+    return np.concatenate(parts)
+
+
+def _subframe_constant(x64: np.ndarray) -> np.ndarray:
+    return np.concatenate([_bits_of_uint(0b000000 << 1, 8),
+                           _bits_of_signed_arr(x64[:1], 16)])
+
+
+def _subframe_verbatim(x64: np.ndarray) -> np.ndarray:
+    return np.concatenate([_bits_of_uint(0b000001 << 1, 8),
+                           _bits_of_signed_arr(x64, 16)])
+
+
+def _subframe_fixed(x64: np.ndarray, order: int,
+                    partition_order: int) -> np.ndarray:
+    res = np.diff(x64, n=order) if order else x64
+    return np.concatenate([
+        _bits_of_uint((0b001000 | order) << 1, 8),
+        _bits_of_signed_arr(x64[:order], 16),
+        _encode_residual(res, len(x64), order, partition_order)])
+
+
+def _lpc_coeffs(x64: np.ndarray, order: int):
+    """Levinson-Durbin on the block autocorrelation -> float predictor
+    coefficients (pred[i] = sum coef[j] * x[i-1-j]), or None if the
+    normal equations degenerate (silence / too-short block)."""
+    w = x64.astype(np.float64)
+    n = len(w)
+    if n <= order * 2:
+        return None
+    r = np.array([np.dot(w[: n - i], w[i:]) for i in range(order + 1)])
+    if r[0] <= 0:
+        return None
+    a = np.zeros(order + 1)
+    a[0], e = 1.0, r[0]
+    for i in range(1, order + 1):
+        acc = r[i] + float(np.dot(a[1:i], r[i - 1:0:-1]))
+        if e <= 0:
+            return None
+        k = -acc / e
+        new = a.copy()
+        for j in range(1, i):
+            new[j] = a[j] + k * a[i - j]
+        new[i] = k
+        a = new
+        e *= 1.0 - k * k
+    return -a[1:]
+
+
+def _quantize_lpc(coef: np.ndarray, precision: int = 12):
+    """FLAC-style quantization: pick the shift that fits the largest
+    coefficient into precision-1 magnitude bits, round with error
+    feedback so quantization error does not accumulate down the tap
+    line. Returns (qlp int64 array, shift) or None."""
+    import math
+    cmax = float(np.abs(coef).max())
+    if not np.isfinite(cmax) or cmax <= 0:
+        return None
+    shift = precision - 1 - (math.floor(math.log2(cmax)) + 1)
+    shift = max(0, min(15, shift))
+    qmax = (1 << (precision - 1)) - 1
+    qmin = -(1 << (precision - 1))
+    err = 0.0
+    q = np.empty(len(coef), np.int64)
+    for j, c in enumerate(coef):
+        v = c * (1 << shift) + err
+        iv = int(min(qmax, max(qmin, round(v))))
+        err = v - iv
+        q[j] = iv
+    return q, shift
+
+
+def _subframe_lpc(x64: np.ndarray, order: int, partition_order: int,
+                  precision: int = 12):
+    coef = _lpc_coeffs(x64, order)
+    if coef is None:
+        return None
+    quant = _quantize_lpc(coef, precision)
+    if quant is None:
+        return None
+    qlp, shift = quant
+    sw = np.lib.stride_tricks.sliding_window_view(x64, order)[:-1]
+    pred = (sw @ qlp[::-1]) >> shift
+    res = x64[order:] - pred
+    return np.concatenate([
+        _bits_of_uint((0b100000 | (order - 1)) << 1, 8),
+        _bits_of_signed_arr(x64[:order], 16),
+        _bits_of_uint(precision - 1, 4),
+        _bits_of_uint(shift, 5),
+        _bits_of_signed_arr(qlp, precision),
+        _encode_residual(res, len(x64), order, partition_order)])
+
+
+def flac_encode(samples: np.ndarray, sr_hz: int, *, method: str = "auto",
+                partition_order: int = 0) -> bytes:
+    """Encode mono int16 samples as a conformant compressed FLAC stream.
+
+    ``method="auto"`` (default) picks, per block, the cheapest of
+    CONSTANT / FIXED orders 0-4 / LPC orders 2 and 8 / VERBATIM —
+    genuinely compressed, real-encoder-shaped output (lossless by
+    construction; every roundtrip is bit-exact and MD5-verified).
+    ``method="verbatim"`` forces uncompressed VERBATIM subframes (the
+    pre-round-3 behavior; byte-aligned container for surgical tests).
+    ``partition_order`` > 0 splits each block's residuals into 2**po
+    Rice partitions with independent parameters.
+    """
     x = np.asarray(samples, dtype="<i2")
     if x.ndim != 1:
         raise ValueError("flac_encode: mono 1-D int16 samples only")
@@ -172,6 +360,8 @@ def flac_encode(samples: np.ndarray, sr_hz: int) -> bytes:
         raise ValueError("flac_encode: empty signal")
     if not (1 <= sr_hz < (1 << 20)):
         raise ValueError("flac_encode: sample rate out of range")
+    if method not in ("auto", "verbatim"):
+        raise ValueError(f"flac_encode: unknown method {method!r}")
     import hashlib
     block = min(_FLAC_BLOCK, max(16, n))
     # STREAMINFO: min/max blocksize, min/max framesize (0 = unknown),
@@ -184,7 +374,7 @@ def flac_encode(samples: np.ndarray, sr_hz: int) -> bytes:
                   + hashlib.md5(x.tobytes()).digest())
     out = [b"fLaC", b"\x80\x00\x00\x22", streaminfo]  # last-block | type 0
     for fi, start in enumerate(range(0, n, block)):
-        seg = x[start:start + block]
+        seg = x[start:start + block].astype(np.int64)
         bs = len(seg)
         # sync(14)+reserved(1)+fixed-blocking(1) = FF F8; blocksize code
         # 0b0111 (16-bit value-1 at header end) + sr code 0b0000 (from
@@ -192,18 +382,161 @@ def flac_encode(samples: np.ndarray, sr_hz: int) -> bytes:
         hdr = (b"\xff\xf8\x70\x08" + _utf8_code(fi)
                + (bs - 1).to_bytes(2, "big"))
         hdr += bytes([_crc8(hdr)])
-        body = b"\x02" + seg.astype(">i2").tobytes()  # verbatim subframe
-        frame = hdr + body
+        sub = _subframe_verbatim(seg)
+        if method == "auto":
+            if np.all(seg == seg[0]):
+                sub = _subframe_constant(seg)
+            else:
+                for order in range(min(4, bs - 1) + 1):
+                    cand = _subframe_fixed(seg, order, partition_order)
+                    if len(cand) < len(sub):
+                        sub = cand
+                for order in (2, 8):
+                    cand = _subframe_lpc(seg, order, partition_order)
+                    if cand is not None and len(cand) < len(sub):
+                        sub = cand
+        pad = (-len(sub)) % 8
+        if pad:
+            sub = np.concatenate([sub, np.zeros(pad, np.uint8)])
+        frame = hdr + np.packbits(sub).tobytes()
         out.append(frame + _crc16(frame).to_bytes(2, "big"))
     return b"".join(out)
 
 
+class _BitReader:
+    """MSB-first bit cursor over a byte string (numpy unpackbits). Unary
+    codes resolve via a sorted one-positions index (searchsorted), so
+    Rice decoding costs O(log n) per terminator, not a linear scan."""
+
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.ones = np.flatnonzero(self.bits).astype(np.int64)
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        end = self.pos + n
+        if end > len(self.bits):
+            raise ValueError("truncated subframe data")
+        v = int(self.bits[self.pos:end] @ _POW2_DESC[32 - n:])
+        self.pos = end
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if n and v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        i = int(np.searchsorted(self.ones, self.pos))
+        if i >= len(self.ones):
+            raise ValueError("truncated unary code")
+        t = int(self.ones[i])
+        q = t - self.pos
+        self.pos = t + 1
+        return q
+
+
+def _read_residual(br: _BitReader, bs: int, order: int) -> np.ndarray:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("reserved residual coding method")
+    pbits, esc = (4, 0xF) if method == 0 else (5, 0x1F)
+    po = br.read(4)
+    if bs % (1 << po):
+        raise ValueError("invalid Rice partition order")
+    out = []
+    for p in range(1 << po):
+        cnt = (bs >> po) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("invalid Rice partition order")
+        k = br.read(pbits)
+        vals = np.empty(cnt, np.int64)
+        if k == esc:
+            raw = br.read(5)
+            for i in range(cnt):
+                vals[i] = br.read_signed(raw)
+        else:
+            for i in range(cnt):
+                q = br.read_unary()
+                u = (q << k) | br.read(k)
+                vals[i] = (u >> 1) ^ -(u & 1)
+        out.append(vals)
+    return np.concatenate(out) if out else np.empty(0, np.int64)
+
+
+def _restore_fixed(warm: np.ndarray, res: np.ndarray,
+                   order: int) -> np.ndarray:
+    """Invert the order-k difference operator: k nested cumsums, each
+    seeded with the last warmup value of the next-lower difference."""
+    if order == 0:
+        return res
+    x = res
+    for j in range(order, 0, -1):
+        seed = int(np.diff(warm, n=j - 1)[-1])
+        x = seed + np.cumsum(x)
+    return np.concatenate([warm, x])
+
+
+def _restore_lpc(warm, res, qlp, shift: int) -> np.ndarray:
+    xs = [int(v) for v in warm]
+    order = len(qlp)
+    for r in res:
+        p = 0
+        for j in range(order):
+            p += qlp[j] * xs[-1 - j]
+        xs.append(int(r) + (p >> shift))
+    return np.array(xs, np.int64)
+
+
+def _decode_subframe(br: _BitReader, bs: int, bps: int) -> np.ndarray:
+    hdr = br.read(8)
+    if hdr & 0x80:
+        raise ValueError("invalid subframe header padding bit")
+    stype = (hdr >> 1) & 0x3F
+    wasted = 0
+    if hdr & 1:
+        wasted = br.read_unary() + 1
+    ebps = bps - wasted
+    if ebps <= 0:
+        raise ValueError("wasted bits exceed sample width")
+    if stype == 0b000000:                       # CONSTANT
+        x = np.full(bs, br.read_signed(ebps), np.int64)
+    elif stype == 0b000001:                     # VERBATIM
+        x = np.fromiter((br.read_signed(ebps) for _ in range(bs)),
+                        np.int64, bs)
+    elif 0b001000 <= stype <= 0b001100:         # FIXED order 0-4
+        order = stype - 0b001000
+        if order > bs:
+            raise ValueError("predictor order exceeds blocksize")
+        warm = np.fromiter((br.read_signed(ebps) for _ in range(order)),
+                           np.int64, order)
+        x = _restore_fixed(warm, _read_residual(br, bs, order), order)
+    elif stype >= 0b100000:                     # LPC order 1-32
+        order = stype - 0b100000 + 1
+        if order > bs:
+            raise ValueError("predictor order exceeds blocksize")
+        warm = [br.read_signed(ebps) for _ in range(order)]
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid qlp precision code")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative qlp shift")
+        qlp = [br.read_signed(prec) for _ in range(order)]
+        x = _restore_lpc(warm, _read_residual(br, bs, order), qlp, shift)
+    else:
+        raise ValueError(f"reserved subframe type {stype:#08b}")
+    return x << wasted if wasted else x
+
+
 def flac_decode(b: bytes) -> tuple[int, np.ndarray]:
-    """Decode a FLAC stream of VERBATIM (or CONSTANT) mono 16-bit
-    subframes -> (sr_hz, int16 samples), verifying sync patterns, both
-    frame CRCs and the STREAMINFO MD5. Malformed containers raise
-    ValueError; conformant streams using predictor subframes / other
-    channel layouts raise NotImplementedError (engine subset)."""
+    """Decode a mono 16-bit FLAC stream -> (sr_hz, int16 samples):
+    CONSTANT / VERBATIM / FIXED / LPC subframes, partitioned Rice
+    residuals (both parameter widths + raw escape) and wasted bits,
+    verifying sync patterns, both frame CRCs and the STREAMINFO MD5.
+    Malformed containers raise ValueError; conformant multi-channel or
+    non-16-bit streams raise NotImplementedError (engine subset)."""
     import hashlib
     if b[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
@@ -232,14 +565,13 @@ def flac_decode(b: bytes) -> tuple[int, np.ndarray]:
         raise NotImplementedError(
             f"flac_decode subset is mono/16-bit (got {ch} ch, {bps} bps)")
     chunks = []
+    br = _BitReader(b)  # one unpack for the whole stream; seek per frame
     while pos < len(b):
         f0 = pos
         if b[pos] != 0xFF or (b[pos + 1] & 0xFC) != 0xF8:
             raise ValueError("lost frame sync")
         bs_code, sr_code = b[pos + 2] >> 4, b[pos + 2] & 0x0F
         ch_code, sz_code = b[pos + 3] >> 4, (b[pos + 3] >> 1) & 0x7
-        if ch_code != 0 or sz_code != 0b100:
-            raise NotImplementedError("frame outside mono/16-bit subset")
         _, pos = _utf8_decode(b, pos + 4)
         if bs_code == 0b0110:
             bs = b[pos] + 1
@@ -262,26 +594,18 @@ def flac_decode(b: bytes) -> tuple[int, np.ndarray]:
                 pos += 2
         if _crc8(b[f0:pos]) != b[pos]:
             raise ValueError("frame header CRC-8 mismatch")
+        # subset refusals only after the CRC vouches for the header —
+        # a corrupted channel/sample-size nibble is corruption, not an
+        # unsupported (but intact) stream
+        if ch_code != 0 or sz_code != 0b100:
+            raise NotImplementedError("frame outside mono/16-bit subset")
         pos += 1
-        sub = b[pos]
-        if sub & 0x80 or sub & 0x01:
-            raise NotImplementedError("wasted-bits subframes unsupported")
-        stype = (sub >> 1) & 0x3F
-        pos += 1
-        if stype == 0b000001:      # VERBATIM
-            raw = b[pos:pos + 2 * bs]
-            if len(raw) != 2 * bs:
-                raise ValueError("truncated verbatim subframe")
-            chunks.append(np.frombuffer(raw, dtype=">i2").astype("<i2"))
-            pos += 2 * bs
-        elif stype == 0b000000:    # CONSTANT
-            v = int.from_bytes(b[pos:pos + 2], "big", signed=True)
-            chunks.append(np.full(bs, v, dtype="<i2"))
-            pos += 2
-        else:
-            raise NotImplementedError(
-                "predictor (FIXED/LPC) subframes unsupported — engine "
-                "subset decodes its own verbatim streams")
+        br.pos = pos * 8
+        x = _decode_subframe(br, bs, bps)
+        if np.any(x > 32767) or np.any(x < -32768):
+            raise ValueError("decoded samples out of 16-bit range")
+        chunks.append(x.astype("<i2"))
+        pos = (br.pos + 7) // 8    # subframe padding closes the byte
         if _crc16(b[f0:pos]) != int.from_bytes(b[pos:pos + 2], "big"):
             raise ValueError("frame CRC-16 mismatch")
         pos += 2

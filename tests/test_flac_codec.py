@@ -1,7 +1,10 @@
-"""Pure-numpy FLAC codec (verbatim-subframe subset): lossless roundtrip
-across block boundaries, container integrity (sync/CRC-8/CRC-16/MD5),
-the subset's honest refusals, and the end-to-end transcode SNR pin
-against the fixture's clean reference signal."""
+"""Pure-numpy FLAC codec (mono/16-bit subset): lossless roundtrip across
+subframe types (CONSTANT / VERBATIM / FIXED / LPC) and block boundaries,
+real compression on predictable signals, partitioned-Rice + raw-escape
+residual paths, container integrity (sync/CRC-8/CRC-16/MD5) under an
+exhaustive single-byte corruption sweep, the subset's honest refusals,
+and the end-to-end transcode SNR pin against the fixture's clean
+reference signal."""
 
 import numpy as np
 import pytest
@@ -10,26 +13,83 @@ from remark_lint_frontmatter_schema_spark.functions import audio
 from remark_lint_frontmatter_schema_spark.sources import fixtures
 
 
+def _first_subframe_type(b: bytes) -> int:
+    """Subframe type code of the first frame (6 bits of the header byte
+    after magic + metadata blocks + the 8-byte frame header)."""
+    pos = 4
+    while True:
+        last, blen = b[pos] >> 7, int.from_bytes(b[pos + 1:pos + 4], "big")
+        pos += 4 + blen
+        if last:
+            break
+    return (b[pos + 4 + 1 + 2 + 1] >> 1) & 0x3F
+
+
 @pytest.mark.parametrize("n", [16, 100, 4095, 4096, 4097, 13000])
-def test_roundtrip_lossless(n):
+@pytest.mark.parametrize("method", ["auto", "verbatim"])
+def test_roundtrip_lossless(n, method):
     rng = np.random.default_rng(7 + n)
     x = rng.integers(-32768, 32768, n, dtype=np.int16)
-    b = audio.flac_encode(x, 22050)
+    b = audio.flac_encode(x, 22050, method=method)
     assert b[:4] == b"fLaC"
     sr, y = audio.flac_decode(b)
     assert sr == 22050
     assert np.array_equal(x, y)
 
 
+@pytest.mark.parametrize("po", [0, 1, 2, 3])
+def test_roundtrip_predictable_signals_all_subframe_kinds(po):
+    """Smooth signals roundtrip bit-exactly through every predictor
+    path and compress for real; the chosen subframe types are pinned so
+    the FIXED / LPC / CONSTANT decode paths are all actually exercised."""
+    sine = (10000 * np.sin(2 * np.pi * 440 * np.arange(9000) / 16000)
+            ).astype(np.int16)
+    ramp = np.arange(-2000, 2000, dtype=np.int16)   # zero order-2 residual
+    const = np.full(512, -123, dtype=np.int16)
+    for x, want in ((sine, "lpc"), (ramp, "fixed"), (const, "constant")):
+        b = audio.flac_encode(x, 16000, partition_order=po)
+        sr, y = audio.flac_decode(b)
+        assert sr == 16000 and np.array_equal(x, y)
+        v = len(audio.flac_encode(x, 16000, method="verbatim"))
+        assert len(b) < 0.5 * v, (want, len(b), v)
+        st = _first_subframe_type(b)
+        if want == "lpc":
+            assert st >= 0b100000
+        elif want == "fixed":
+            assert 0b001000 <= st <= 0b001100
+        else:
+            assert st == 0b000000
+
+
+def test_incompressible_noise_falls_back_to_verbatim():
+    rng = np.random.default_rng(3)
+    x = rng.integers(-32768, 32768, 4096, dtype=np.int16)
+    b = audio.flac_encode(x, 16000)
+    assert _first_subframe_type(b) == 0b000001
+    assert np.array_equal(audio.flac_decode(b)[1], x)
+
+
+def test_raw_escape_partition_roundtrip():
+    """A perfectly linear ramp has all-zero FIXED-order-2 residuals —
+    the Rice coder must take the 5-bit raw escape (0 bits/sample), and
+    the decoder must reinflate it; the whole frame lands under 100 B."""
+    x = np.arange(-2000, 2000, dtype=np.int16)
+    b = audio.flac_encode(x, 16000)
+    assert len(b) < 100
+    assert np.array_equal(audio.flac_decode(b)[1], x)
+
+
 def test_extremes_and_silence_roundtrip():
     x = np.array([32767, -32768, 0, -1, 1] + [0] * 20, dtype=np.int16)
-    sr, y = audio.flac_decode(audio.flac_encode(x, 8000))
-    assert sr == 8000 and np.array_equal(x, y)
+    for method in ("auto", "verbatim"):
+        sr, y = audio.flac_decode(audio.flac_encode(x, 8000, method=method))
+        assert sr == 8000 and np.array_equal(x, y)
 
 
-def test_corruption_detected():
+def test_corruption_detected_surgical():
+    """Byte-targeted flips in a VERBATIM stream (stable layout)."""
     x = np.arange(-500, 500, dtype=np.int16)
-    b = bytearray(audio.flac_encode(x, 16000))
+    b = bytearray(audio.flac_encode(x, 16000, method="verbatim"))
     with pytest.raises(ValueError):
         audio.flac_decode(bytes(b[:30]))            # truncated metadata
     with pytest.raises(ValueError):
@@ -44,16 +104,65 @@ def test_corruption_detected():
         audio.flac_decode(bytes(hdr))
 
 
-def test_predictor_subframes_refused_not_misdecoded():
+def test_corruption_sweep_compressed_stream():
+    """Exhaustive single-byte corruption of a COMPRESSED stream: every
+    flip from the first frame onward must surface as ValueError — never
+    silently-wrong samples, never a crash of a different shape. (The
+    6 min/max-framesize STREAMINFO bytes are informational and not read,
+    so the sweep starts at the frame region.)"""
+    x = (3000 * np.sin(2 * np.pi * 300 * np.arange(700) / 8000)
+         ).astype(np.int16)
+    good = audio.flac_encode(x, 8000)
+    assert np.array_equal(audio.flac_decode(good)[1], x)
+    frame0 = 4 + 4 + 34
+    for i in range(frame0, len(good)):
+        bad = bytearray(good)
+        bad[i] ^= 0x40
+        with pytest.raises(ValueError):
+            audio.flac_decode(bytes(bad))
+    # MD5 region of STREAMINFO is verified too
+    bad = bytearray(good)
+    bad[4 + 4 + 18] ^= 0x01
+    with pytest.raises(ValueError):
+        audio.flac_decode(bytes(bad))
+
+
+def test_reserved_subframe_type_refused_not_misdecoded():
     x = np.arange(100, dtype=np.int16)
-    b = bytearray(audio.flac_encode(x, 16000))
+    b = bytearray(audio.flac_encode(x, 16000, method="verbatim"))
     # subframe header sits right after magic+streaminfo+frame header
     # (4 sync/codes + 1 frame-number + 2 blocksize + 1 crc8)
     sub_at = 4 + 38 + 8
     assert b[sub_at] == 0x02                        # verbatim
-    b[sub_at] = 0x10                                # FIXED order-0
-    with pytest.raises(NotImplementedError):
+    b[sub_at] = 0x04                                # reserved type 0b000010
+    with pytest.raises(ValueError):
         audio.flac_decode(bytes(b))
+
+
+def test_wasted_bits_decode():
+    """Hand-built frame with the wasted-bits flag: a CONSTANT subframe
+    whose value is stored at 16-2 bits and shifted left 2 on decode —
+    external-encoder packing our encoder never emits but the decoder
+    must honor."""
+    val, wasted, n, sr = -0x1500 >> 2, 2, 64, 16000
+    import hashlib
+    x = np.full(n, val << wasted, dtype="<i2")
+    packed = (sr << 44) | (0 << 41) | (15 << 36) | n
+    si = (n.to_bytes(2, "big") * 2 + b"\x00\x00\x00" * 2
+          + packed.to_bytes(8, "big") + hashlib.md5(x.tobytes()).digest())
+    hdr = b"\xff\xf8\x70\x08" + b"\x00" + (n - 1).to_bytes(2, "big")
+    hdr += bytes([audio._crc8(hdr)])
+    # subframe: pad(1)=0 type(6)=000000 wasted-flag(1)=1, then unary
+    # (wasted-1) zeros + 1, then the constant at 14 bits
+    bits = [0, 0, 0, 0, 0, 0, 0, 1] + [0] * (wasted - 1) + [1]
+    bits += [(val >> (13 - i)) & 1 for i in range(14)]
+    bits += [0] * ((-len(bits)) % 8)
+    body = np.packbits(np.array(bits, np.uint8)).tobytes()
+    frame = hdr + body
+    stream = (b"fLaC" + b"\x80\x00\x00\x22" + si + frame
+              + audio._crc16(frame).to_bytes(2, "big"))
+    dsr, y = audio.flac_decode(stream)
+    assert dsr == sr and np.array_equal(y, x)
 
 
 def test_fixture_flac_is_real_and_faithful():
@@ -71,6 +180,10 @@ def test_fixture_flac_is_real_and_faithful():
         # and byte-exact vs the WAV twin of the same clip
         wsr, wx = audio.decode_wav_pcm16(audio.synth_wav(i, sr, audio_ms))
         assert wsr == sr and np.allclose(wx, got, atol=1e-6)
+        # round-3: the fixture payloads are COMPRESSED FLAC now
+        raw = len(audio.flac_encode(audio.flac_decode(b)[1], sr,
+                                    method="verbatim"))
+        assert len(b) < raw
 
 
 def test_transcode_clips_flac_snr(spark):
