@@ -764,6 +764,154 @@ def resample_sinc(x: np.ndarray, sr_in: int, sr_out: int, *,
 
 
 # ---------------------------------------------------------------------------
+# ITU-R BS.1770-4 integrated loudness (LUFS) — the broadcast/speech
+# loudness measure, re-derived from the published spec: K-weighting
+# (high-shelf + high-pass biquads, coefficients re-computed for ANY
+# sample rate via the bilinear transform; the spec's 48 kHz table is a
+# pinned test case), 400 ms blocks at 75% overlap, -70 LUFS absolute
+# gate then -10 LU relative gate. Mono (channel weight 1.0) — the
+# engine's clip tables are mono PCM16.
+# ---------------------------------------------------------------------------
+
+
+def _kweight_sections(fs: float):
+    """K-weighting filter cascade for sample rate ``fs`` -> two (b, a)
+    biquad coefficient triples (stage 1 high shelf, stage 2 high pass).
+    At fs=48000 these reproduce the BS.1770-4 published table to 1e-6
+    (pinned in tests). The analog prototype parameters (f0/G/Q) are the
+    public re-derivation of the spec's 48 kHz table."""
+    import math
+    f0, gain_db, q = 1681.974450955533, 3.999843853973347, 0.7071752369554196
+    k = math.tan(math.pi * f0 / fs)
+    vh = 10.0 ** (gain_db / 20.0)
+    vb = vh ** 0.4996667741545416
+    a0 = 1.0 + k / q + k * k
+    shelf = ((vh + vb * k / q + k * k) / a0,
+             2.0 * (k * k - vh) / a0,
+             (vh - vb * k / q + k * k) / a0), \
+            (1.0, 2.0 * (k * k - 1.0) / a0, (1.0 - k / q + k * k) / a0)
+    f0, q = 38.13547087602444, 0.5003270373238773
+    k = math.tan(math.pi * f0 / fs)
+    a0 = 1.0 + k / q + k * k
+    highpass = (1.0, -2.0, 1.0), \
+               (1.0, 2.0 * (k * k - 1.0) / a0, (1.0 - k / q + k * k) / a0)
+    return shelf, highpass
+
+
+def _iir1_chunked(x: np.ndarray, p: complex, block: int = 64) -> np.ndarray:
+    """First-order recursion y[n] = x[n] + p*y[n-1], vectorized: within
+    each block, y[j] = p^j * cumsum(x[k] * p^-k) + p^(j+1) * carry. The
+    p^-k weights grow as |p|^-block, so the block size bounds them well
+    under overflow while the final p^j rescale keeps per-sample relative
+    error at machine epsilon (error from term k enters y[j] scaled by
+    |p|^(j-k) <= 1)."""
+    n = len(x)
+    y = np.empty(n, dtype=complex)
+    if abs(p) < 1e-3:
+        # negligible feedback: one explicit convolution term suffices
+        y[:] = x
+        if n > 1:
+            y[1:] += p * x[:-1]
+        if n > 2:
+            y[2:] += (p * p) * x[:-2]
+        return y
+    carry = 0.0 + 0.0j
+    j = np.arange(block)
+    pj = p ** j
+    pinv = p ** (-j)
+    for s in range(0, n, block):
+        seg = x[s:s + block]
+        m = len(seg)
+        c = np.cumsum(seg * pinv[:m])
+        blk = pj[:m] * c + pj[:m] * p * carry
+        y[s:s + m] = blk
+        carry = blk[-1]
+    return y
+
+
+def _biquad(x: np.ndarray, b, a) -> np.ndarray:
+    """Direct-form biquad, vectorized: FIR part by shifted adds, the
+    1/A(z) feedback as a cascade of two complex first-order recursions
+    through the poles of z^2 + a1*z + a2 (conjugate cascade keeps the
+    result real to rounding). Pure numpy — no scipy in the sandbox."""
+    b0, b1, b2 = b
+    a1, a2 = a[1], a[2]
+    v = b0 * x.astype(np.float64)
+    if len(x) > 1:
+        v[1:] += b1 * x[:-1]
+    if len(x) > 2:
+        v[2:] += b2 * x[:-2]
+    disc = complex(a1 * a1 - 4.0 * a2) ** 0.5
+    p1, p2 = (-a1 + disc) / 2.0, (-a1 - disc) / 2.0
+    return _iir1_chunked(_iir1_chunked(v.astype(complex), p1), p2).real
+
+
+def k_weight(x: np.ndarray, sr: int) -> np.ndarray:
+    """Apply the BS.1770 K-weighting cascade at sample rate ``sr``."""
+    shelf, hp = _kweight_sections(float(sr))
+    return _biquad(_biquad(x, *shelf), *hp)
+
+
+def integrated_lufs(x: np.ndarray, sr: int) -> float | None:
+    """BS.1770-4 integrated loudness of mono float samples in [-1, 1).
+
+    Returns None for empty input or when every block is gated out (true
+    digital silence has no loudness). Clips shorter than one 400 ms
+    gating block are measured as a single whole-clip block — a
+    documented deviation (the spec leaves sub-block programs undefined;
+    utterance-fragment corpora need a number, not a NULL).
+    """
+    if sr <= 0 or len(x) == 0:
+        return None
+    kx = k_weight(np.asarray(x, np.float64), sr)
+    block = max(1, int(round(sr * 0.400)))
+    hop = max(1, int(round(sr * 0.100)))
+    e = np.concatenate(([0.0], np.cumsum(kx * kx)))
+    if len(kx) < block:
+        powers = np.array([e[-1] / len(kx)])
+    else:
+        starts = np.arange(0, len(kx) - block + 1, hop)
+        powers = (e[starts + block] - e[starts]) / block
+    loud = -0.691 + 10.0 * np.log10(np.maximum(powers, 1e-30))
+    kept = powers[loud > -70.0]
+    if not len(kept):
+        return None
+    rel = -0.691 + 10.0 * np.log10(kept.mean()) - 10.0
+    kept = kept[(-0.691 + 10.0 * np.log10(np.maximum(kept, 1e-30))) > rel]
+    if not len(kept):
+        return None
+    return float(-0.691 + 10.0 * np.log10(kept.mean()))
+
+
+def lufs_batch(b: pd.Series) -> pd.Series:
+    """Integrated LUFS per WAV payload (Arrow batch; malformed -> NaN)."""
+    out = []
+    for v in b:
+        try:
+            sr, x = decode_wav_pcm16(bytes(v) if v is not None else b"")
+            lufs = integrated_lufs(x, sr)
+            out.append(float("nan") if lufs is None else lufs)
+        except ValueError:
+            out.append(float("nan"))
+    return pd.Series(out, dtype="float64")
+
+
+def loudness_in_range_check(min_lufs: float = -38.0,
+                            max_lufs: float = -8.0):
+    """Factory for an ``x-spark-check`` callable: True iff the payload
+    decodes and its integrated loudness sits in [min_lufs, max_lufs]
+    (defaults bracket normally-recorded speech; studio programs target
+    around -23 to -16 LUFS). Register under any name via the
+    ``extra_checks`` dict for custom ranges."""
+    @pandas_udf(BooleanType())
+    def ok(b: pd.Series) -> pd.Series:
+        lufs = lufs_batch(b)
+        return (lufs >= min_lufs) & (lufs <= max_lufs)
+
+    return lambda col: ok(col)
+
+
+# ---------------------------------------------------------------------------
 # vectorized header checks (Arrow-batched; the U3 operator of SURVEY.md §2.8)
 # ---------------------------------------------------------------------------
 
@@ -871,6 +1019,7 @@ def register_audio_checks() -> dict:
         "tonal_content": lambda col: has_tonal_content(col),
         "not_clipped": lambda col: is_not_clipped(col),
         "canonical_wav": lambda col: canonical_wav_expr(col),
+        "speech_loudness": loudness_in_range_check(),
     }
 
 
@@ -905,7 +1054,8 @@ def audio_features_schema(passthrough_ddl: str = "",
                           with_fingerprint: bool = False,
                           with_spectral: bool = False,
                           with_mfcc: bool = False,
-                          with_integrity: bool = False) -> str:
+                          with_integrity: bool = False,
+                          with_loudness: bool = False) -> str:
     base = ("clip_id string, decode_ok boolean, dur_ms_payload int, "
             "rms double, peak double, silence_ratio double, "
             "dominant_hz double, clipping_ratio double")
@@ -918,6 +1068,8 @@ def audio_features_schema(passthrough_ddl: str = "",
         base += ", mfcc array<double>"
     if with_integrity:
         base += ", dropout_ratio double, dc_offset double"
+    if with_loudness:
+        base += ", integrated_lufs double"
     return f"{base}, {passthrough_ddl}" if passthrough_ddl else base
 
 
@@ -1028,7 +1180,8 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
                                  with_spectral: bool = False,
                                  with_mfcc: bool = False,
                                  with_integrity: bool = False,
-                                 dropout_run: int = 32):
+                                 dropout_run: int = 32,
+                                 with_loudness: bool = False):
     """mapInPandas feature extractor over WAV payloads: duration, RMS,
     peak, frame-level silence ratio, dominant frequency (rfft argmax),
     and clipping ratio (fraction of samples at >= 99.9% full scale — the
@@ -1052,7 +1205,8 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
     silence_amp = 10 ** (silence_db / 20)
     n_fail = (6 + (1 if with_fingerprint else 0)
               + (4 if with_spectral else 0) + (1 if with_mfcc else 0)
-              + (2 if with_integrity else 0))
+              + (2 if with_integrity else 0)
+              + (1 if with_loudness else 0))
 
     def fn(iterator):
         for pdf in iterator:
@@ -1099,9 +1253,12 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
                 if with_integrity:
                     in_cols = (_dropout_ratio(x, dropout_run),
                                float(np.mean(x)))
+                lu_cols = ()
+                if with_loudness:
+                    lu_cols = (integrated_lufs(x, sr),)
                 rows.append((cid, True, dur_ms, rms, peak, silence, dom,
                              clip_frac, *fp_cols, *sp_cols, *mf_cols,
-                             *in_cols, *extras))
+                             *in_cols, *lu_cols, *extras))
             yield pd.DataFrame(rows, columns=[
                 "clip_id", "decode_ok", "dur_ms_payload", "rms", "peak",
                 "silence_ratio", "dominant_hz", "clipping_ratio",
@@ -1110,7 +1267,9 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
                    "flatness") if with_spectral else ()),
                 *(("mfcc",) if with_mfcc else ()),
                 *(("dropout_ratio", "dc_offset") if with_integrity
-                  else ()), *passthrough])
+                  else ()),
+                *(("integrated_lufs",) if with_loudness else ()),
+                *passthrough])
 
     return fn
 
@@ -1122,7 +1281,8 @@ def audio_features(clips, *, frame_ms: int = 20,
                    with_spectral: bool = False,
                    with_mfcc: bool = False,
                    with_integrity: bool = False,
-                   dropout_run: int = 32):
+                   dropout_run: int = 32,
+                   with_loudness: bool = False):
     """clips(clip_id, bytes) -> feature DataFrame (map-only stage).
 
     ``passthrough`` names extra clips columns carried into the output
@@ -1132,7 +1292,8 @@ def audio_features(clips, *, frame_ms: int = 20,
     ``with_spectral`` the four spectral-shape descriptors, and
     ``with_mfcc`` the clip-level MFCC vector (array<double> — feeds the
     x-embedding checks and the cosine/IVF/PQ similarity stack directly),
-    all from the same decode (see :func:`audio_features_map_in_pandas`)."""
+    ``with_loudness`` the BS.1770 integrated LUFS — all from the same
+    decode (see :func:`audio_features_map_in_pandas`)."""
     pt_ddl = ", ".join(
         f"{c} {clips.schema[c].dataType.simpleString()}" for c in passthrough)
     return clips.select("clip_id", "bytes", *passthrough).mapInPandas(
@@ -1144,11 +1305,13 @@ def audio_features(clips, *, frame_ms: int = 20,
                                      with_spectral=with_spectral,
                                      with_mfcc=with_mfcc,
                                      with_integrity=with_integrity,
-                                     dropout_run=dropout_run),
+                                     dropout_run=dropout_run,
+                                     with_loudness=with_loudness),
         schema=audio_features_schema(pt_ddl, with_fingerprint,
                                      with_spectral=with_spectral,
                                      with_mfcc=with_mfcc,
-                                     with_integrity=with_integrity))
+                                     with_integrity=with_integrity,
+                                     with_loudness=with_loudness))
 
 
 # ---------------------------------------------------------------------------
