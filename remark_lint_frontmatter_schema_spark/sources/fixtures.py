@@ -133,7 +133,9 @@ def _make_row(i: int, n_rows: int, audio_ms: int, with_bytes: bool,
         elif codec == "flac":
             b = audio.flac_stub_bytes(i, max(sr, 8000), audio_ms)
         elif codec == "opus":
-            b = audio.opus_stub_bytes(i)
+            # conformant container whose OpusHead sr and granule duration
+            # agree with the row's declared metadata convention
+            b = audio.opus_stub_bytes(i, max(sr, 8000), audio_ms)
         else:  # pcm_s16le (and the injected 'divx' rows keep a WAV payload)
             b = audio.synth_wav(i, max(sr, 8000), audio_ms)
 
