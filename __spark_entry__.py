@@ -1511,6 +1511,21 @@ def q_minhash_dedup_documents(spark, sf):
     return dedup.minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.7)
 
 
+def q_bpe_tokens_documents(spark, sf):
+    """Distributed BPE: learn a 128-merge vocabulary from the documents
+    corpus (one (word,count) histogram shuffle + bounded driver merge
+    loop), then map-only encode and report learned-subword token counts.
+    Fully deterministic (lexicographic tie-break) but not expressible in
+    ANSI SQL (iterative merge learning) -> rows-only check; the trainer
+    is pinned against an independent naive reference in tests/test_bpe.py."""
+    from remark_lint_frontmatter_schema_spark.operators import bpe as _bpe
+    docs = _load(spark, sf, "documents")
+    model = _bpe.train_bpe(docs, "text", num_merges=128)
+    return (_bpe.bpe_token_count(docs, model, "text")
+            .select("doc_id", "n_bpe_tokens")
+            .orderBy("doc_id"))
+
+
 def q_simhash_pairs_documents(spark, sf):
     docs = _load(spark, sf, "documents")
     return dedup.simhash_pairs(docs, "text", "doc_id", max_distance=6)
@@ -1683,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_lineitem_declarative": q_validate_lineitem_declarative,
         "validate_events_drift_declarative": q_validate_events_drift_declarative,
         "minhash_dedup_documents": q_minhash_dedup_documents,
+        "bpe_tokens_documents": q_bpe_tokens_documents,
         "minhash_cluster_documents": q_minhash_cluster_documents,
         "simhash_pairs_documents": q_simhash_pairs_documents,
         "ann_ivf_topk": q_ann_ivf_topk,
