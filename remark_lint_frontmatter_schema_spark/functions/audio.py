@@ -796,6 +796,77 @@ def opus_meta(b: bytes) -> dict:
     return head
 
 
+def flac_streaminfo(b: bytes) -> dict:
+    """Parse ONLY the FLAC metadata blocks -> {sr_hz, channels, bps,
+    total_samples, md5} — no frame decode, so duration checks on FLAC
+    cost a header walk, not a full entropy decode."""
+    if b[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos, out = 4, None
+    while True:
+        if pos + 4 > len(b):
+            raise ValueError("truncated metadata")
+        last, btype = b[pos] >> 7, b[pos] & 0x7F
+        blen = int.from_bytes(b[pos + 1:pos + 4], "big")
+        if btype == 0:
+            si = b[pos + 4:pos + 4 + blen]
+            if len(si) != 34:
+                raise ValueError("bad STREAMINFO length")
+            packed = int.from_bytes(si[10:18], "big")
+            out = {"sr_hz": packed >> 44,
+                   "channels": ((packed >> 41) & 0x7) + 1,
+                   "bps": ((packed >> 36) & 0x1F) + 1,
+                   "total_samples": packed & ((1 << 36) - 1),
+                   "md5": si[18:34]}
+        pos += 4 + blen
+        if last:
+            break
+    if out is None:
+        raise ValueError("missing STREAMINFO")
+    return out
+
+
+def payload_duration_ms_batch(b: pd.Series) -> pd.Series:
+    """Container-derived duration in ms per payload, across all three
+    codecs the engine knows, each by its CHEAPEST authoritative route:
+    WAV data-chunk length / sample rate (full chunk walk), FLAC
+    STREAMINFO total_samples (header only, no frame decode), Ogg/Opus
+    final granule position at 48 kHz (CRC-verified page walk).
+    Unrecognized / malformed payloads -> NaN."""
+    out = []
+    for v in b:
+        raw = bytes(v) if v is not None else b""
+        try:
+            if raw[:4] == b"RIFF":
+                sr, x = decode_wav_pcm16(raw)
+                out.append(len(x) * 1000.0 / sr if sr else float("nan"))
+            elif raw[:4] == b"fLaC":
+                si = flac_streaminfo(raw)
+                out.append(si["total_samples"] * 1000.0 / si["sr_hz"]
+                           if si["sr_hz"] else float("nan"))
+            elif raw[:4] == b"OggS":
+                out.append(float(opus_meta(raw)["duration_ms"]))
+            else:
+                out.append(float("nan"))
+        except (ValueError, NotImplementedError, IndexError):
+            out.append(float("nan"))
+    return pd.Series(out, dtype="float64")
+
+
+def duration_consistent_check(tolerance_ms: int = 5,
+                              dur_col: str = "dur_ms"):
+    """Factory for an ``x-spark-check`` callable: True iff the payload's
+    container-derived duration matches the declared ``dur_col`` within
+    ``tolerance_ms`` — works for WAV, FLAC and Ogg/Opus payloads alike
+    (see :func:`payload_duration_ms_batch`). Undecodable payloads fail."""
+    @pandas_udf(BooleanType())
+    def ok(b: pd.Series, declared: pd.Series) -> pd.Series:
+        got = payload_duration_ms_batch(b)
+        return (got - declared.astype("float64")).abs() <= tolerance_ms
+
+    return lambda col: ok(col, F.col(dur_col))
+
+
 def opus_container_ok_batch(b: pd.Series) -> pd.Series:
     """True iff the payload is a structurally valid Ogg/Opus container
     (Arrow batch; per-value container walks, no per-row UDF dispatch)."""
@@ -1289,6 +1360,7 @@ def register_audio_checks() -> dict:
         "canonical_wav": lambda col: canonical_wav_expr(col),
         "speech_loudness": loudness_in_range_check(),
         "opus_container": lambda col: opus_container_ok(col),
+        "duration_consistent": duration_consistent_check(),
     }
 
 

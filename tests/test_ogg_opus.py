@@ -132,3 +132,34 @@ def test_fixture_opus_rows_are_conformant_and_consistent(spark):
         assert m["duration_ms"] == 10
         checked += 1
     assert checked > 0
+
+
+def test_payload_duration_cross_codec(spark):
+    """One duration extractor, three codecs, cheapest route each: WAV
+    chunk walk, FLAC STREAMINFO only, Opus granule positions."""
+    import pandas as pd
+    wav = audio.synth_wav(1, 16000, 250)
+    flac = audio.flac_stub_bytes(2, 16000, 250)
+    opus = audio.ogg_opus_bytes(3, 16000, 250)
+    got = audio.payload_duration_ms_batch(
+        pd.Series([wav, flac, opus, b"garbage", None]))
+    assert got[:3].tolist() == [250.0, 250.0, 250.0]
+    assert np.isnan(got[3]) and np.isnan(got[4])
+
+
+def test_duration_consistent_dsl_check(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+    rows = [("wav_ok", audio.synth_wav(1, 16000, 300), 300),
+            ("flac_ok", audio.flac_stub_bytes(2, 16000, 300), 300),
+            ("opus_ok", audio.ogg_opus_bytes(3, 16000, 300), 300),
+            ("wav_off", audio.synth_wav(4, 16000, 300), 410),
+            ("broken", b"\x01\x02", 300)]
+    df = spark.createDataFrame(rows,
+                               "clip_id string, bytes binary, dur_ms int")
+    rs = {"properties": {"bytes":
+                         {"x-spark-check": "duration_consistent"}}}
+    compiled = compile_ruleset(rs, df.schema,
+                               extra_checks=audio.register_audio_checks())
+    res = validate(df, compiled, row_id="clip_id")
+    assert {r.row_id for r in res.violations.collect()} == \
+        {"wav_off", "broken"}
