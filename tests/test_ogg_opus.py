@@ -163,3 +163,46 @@ def test_duration_consistent_dsl_check(spark):
     res = validate(df, compiled, row_id="clip_id")
     assert {r.row_id for r in res.violations.collect()} == \
         {"wav_off", "broken"}
+
+
+def test_streaming_binary_checks_match_batch(spark, tmp_path):
+    """The Arrow-UDF binary checks (codec_header + opus_container +
+    duration_consistent) run identically through the streaming
+    foreachBatch path — stream violation keys == batch violation keys,
+    the engine-wide stream==batch pin extended to payload checks."""
+    from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
+    from remark_lint_frontmatter_schema_spark.streaming.incremental import (
+        validate_stream)
+    good_w = audio.synth_wav(1, 16000, 120)
+    rows = [("w_ok", good_w, 16000, 120, "pcm_s16le"),
+            ("w_dur", audio.synth_wav(2, 16000, 80), 16000, 200,
+             "pcm_s16le"),
+            ("o_ok", audio.ogg_opus_bytes(3, 16000, 120), 16000, 120,
+             "opus"),
+            ("o_bad", b"OggSjunk", 16000, 120, "opus"),
+            ("f_ok", audio.flac_stub_bytes(5, 16000, 120), 16000, 120,
+             "flac")]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string")
+    inp = str(tmp_path / "in")
+    df.write.parquet(inp)
+    rs = {"properties": {"bytes": {"x-spark-check": "codec_header"}},
+          "allOf": [
+              {"properties": {"bytes":
+                              {"x-spark-check": "duration_consistent"}}}]}
+    compiled = compile_ruleset(rs, df.schema,
+                               extra_checks=audio.register_audio_checks())
+    q = validate_stream(
+        spark, inp, df.schema, compiled, row_id="clip_id",
+        partition_col=None,
+        violations_sink=str(tmp_path / "viol"),
+        verdicts_sink=str(tmp_path / "verd"),
+        checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    sv = {(r.row_id, r.keyword) for r in
+          spark.read.parquet(str(tmp_path / "viol")).collect()}
+    bv = {(r.row_id, r.keyword) for r in
+          validate(df, compiled, row_id="clip_id").violations.collect()}
+    assert sv == bv
+    assert {r[0] for r in sv} == {"w_dur", "o_bad"}
