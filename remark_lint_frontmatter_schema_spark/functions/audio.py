@@ -885,6 +885,24 @@ def opus_container_ok(b: pd.Series) -> pd.Series:
     return opus_container_ok_batch(b)
 
 
+@pandas_udf(BooleanType())
+def opus_consistent_ok(b: pd.Series, sr_hz: pd.Series) -> pd.Series:
+    """Container parses (CRC-verified) AND is mono AND its OpusHead
+    input sample rate equals the declared sr_hz column — the row-level
+    DSL form of opus_consistency_violations' non-duration invariants
+    (duration has its own cross-codec check, duration_consistent)."""
+    out = []
+    for v, sr in zip(b, sr_hz):
+        try:
+            m = opus_meta(bytes(v) if v is not None else b"")
+            out.append(m["channels"] == 1
+                       and sr is not None
+                       and m["input_sample_rate"] == int(sr))
+        except ValueError:
+            out.append(False)
+    return pd.Series(out, dtype="bool")
+
+
 def opus_meta_df(clips, *, passthrough: tuple = ()):
     """clips(clip_id, bytes) -> per-clip Ogg/Opus metadata DataFrame
     (container_ok, channels, pre_skip, input_sample_rate, duration_ms
@@ -1360,6 +1378,8 @@ def register_audio_checks() -> dict:
         "canonical_wav": lambda col: canonical_wav_expr(col),
         "speech_loudness": loudness_in_range_check(),
         "opus_container": lambda col: opus_container_ok(col),
+        "opus_consistent": lambda col: opus_consistent_ok(col,
+                                                          F.col("sr_hz")),
         "duration_consistent": duration_consistent_check(),
     }
 

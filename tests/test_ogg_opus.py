@@ -206,3 +206,17 @@ def test_streaming_binary_checks_match_batch(spark, tmp_path):
           validate(df, compiled, row_id="clip_id").violations.collect()}
     assert sv == bv
     assert {r[0] for r in sv} == {"w_dur", "o_bad"}
+
+
+def test_opus_consistent_dsl_check(spark):
+    rows = [("ok", audio.ogg_opus_bytes(1, 16000, 100), 16000),
+            ("wrong_sr", audio.ogg_opus_bytes(2, 22050, 100), 16000),
+            ("bad", b"OggSnope", 16000)]
+    df = spark.createDataFrame(rows,
+                               "clip_id string, bytes binary, sr_hz int")
+    rs = {"properties": {"bytes": {"x-spark-check": "opus_consistent"}}}
+    compiled = compile_ruleset(rs, df.schema,
+                               extra_checks=audio.register_audio_checks())
+    res = validate(df, compiled, row_id="clip_id")
+    assert {r.row_id for r in res.violations.collect()} == \
+        {"wrong_sr", "bad"}
