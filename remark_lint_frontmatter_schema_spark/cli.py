@@ -175,6 +175,17 @@ def discover_tables(root: str) -> list[str]:
     return out
 
 
+def _builtin_checks() -> dict:
+    """The engine's named ``x-spark-check`` registry (audio payload
+    checks: codec_header, duration_consistent, speech_loudness,
+    opus_container/opus_consistent, voiced/tonal/not_clipped,
+    canonical_wav) — wired into every CLI compile site so YAML rulesets
+    can reference them; library callers pass their own ``extra_checks``
+    (optionally merging this dict)."""
+    from .functions.audio import register_audio_checks
+    return register_audio_checks()
+
+
 def _run_workspace(spark, args) -> int:
     """`remark .` over a directory of tables: route each table through the
     config's ``tables:`` glob map, validate under its own schema, emit one
@@ -223,7 +234,8 @@ def _run_workspace(spark, args) -> int:
         tdf = spark.read.parquet(os.path.join(args.input, tname))
         try:
             doc = bundle(registry[route])
-            compiled = compile_ruleset(doc, tdf.schema, name=route)
+            compiled = compile_ruleset(doc, tdf.schema, name=route,
+                                       extra_checks=_builtin_checks())
         except (KeyError, RulesetCompileError, RulesetLoadError) as exc:
             # G2: config defects become artifacts, never crashes
             errors.append((tname, route, str(exc)))
@@ -349,7 +361,8 @@ def main(argv: list[str] | None = None) -> int:
         compiled = compile_ruleset(
             embed, df.schema,
             name=os.path.splitext(os.path.basename(args.embed))[0],
-            exclude_columns=(args.ruleset_col,) if args.ruleset_col else ())
+            exclude_columns=(args.ruleset_col,) if args.ruleset_col else (),
+            extra_checks=_builtin_checks())
         res = ingest_corpus(
             spark, args.input, compiled,
             partition_col=args.partition_col, row_id=args.row_id,
@@ -421,7 +434,8 @@ def main(argv: list[str] | None = None) -> int:
         resume_table = args.fix_out if args.fix_out else args.input
         compiled = _compile(
             embed, spark.read.parquet(resume_table).schema,
-            name=os.path.splitext(os.path.basename(args.embed))[0])
+            name=os.path.splitext(os.path.basename(args.embed))[0],
+            extra_checks=_builtin_checks())
         out = run_with_resume(
             spark, resume_table, partition_col=args.partition_col,
             compiled=compiled, row_id=args.row_id,
@@ -489,7 +503,8 @@ def main(argv: list[str] | None = None) -> int:
             df, row_id=args.row_id, registry=registry,
             ruleset_col=ruleset_col, patterns=patterns,
             partition_col=args.partition_col, run_id=val_run_id,
-            schema_dirs=schema_dirs, dims=_parse_dims(args, spark))
+            schema_dirs=schema_dirs, dims=_parse_dims(args, spark),
+            extra_checks=_builtin_checks())
         violations, verdicts = fused["violations"], fused["verdicts"]
 
         class _FusedReport:
@@ -503,7 +518,8 @@ def main(argv: list[str] | None = None) -> int:
             df, row_id=args.row_id, registry=registry, embed=embed,
             ruleset_col=ruleset_col, patterns=patterns,
             partition_col=args.partition_col, run_id=val_run_id,
-            schema_dirs=schema_dirs, dims=_parse_dims(args, spark))
+            schema_dirs=schema_dirs, dims=_parse_dims(args, spark),
+            extra_checks=_builtin_checks())
         violations, verdicts = report.violations, report.verdicts
 
     # The violations relation can be consumed up to three times (count,

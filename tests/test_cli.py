@@ -478,3 +478,34 @@ def test_cli_dim_refused_on_unsupported_paths(spark, tmp_path, capsys):
                    str(tmp_path / "draft.yaml"), "--dim", "d=/nope"])
     assert rc == 2
     assert "--dim is only supported" in capsys.readouterr().err
+
+
+def test_cli_builtin_audio_checks_reachable(spark, tmp_path, capsys):
+    """A YAML ruleset referencing the engine's named x-spark-check audio
+    registry works through the CLI (round 3: every CLI compile site
+    passes the built-in registry; before, these names fell to unknown)."""
+    import json as _json
+    from remark_lint_frontmatter_schema_spark.functions import audio as _a
+    rows = [("c1", _a.synth_wav(1, 16000, 120), 16000, 120, "pcm_s16le"),
+            ("c2", b"\x00garbage", 16000, 120, "pcm_s16le"),
+            ("c3", _a.ogg_opus_bytes(3, 16000, 90), 16000, 90, "opus")]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string")
+    inp = str(tmp_path / "clips")
+    df.write.parquet(inp)
+    embed = tmp_path / "audio.yaml"
+    embed.write_text(
+        "properties:\n"
+        "  bytes:\n"
+        "    x-spark-check: codec_header\n")
+    vout = str(tmp_path / "v")
+    rc = cli.main([inp, "--row-id", "clip_id", "--embed", str(embed),
+                   "--violations-out", vout, "--report", "json"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert not out["errors"]
+    written = spark.read.parquet(vout)
+    got = {r.row_id for r in written.collect()}
+    assert got == {"c2"}
+    assert {r.keyword for r in written.collect()} == {"x-spark-check"}
