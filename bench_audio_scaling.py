@@ -75,6 +75,14 @@ def run(master: str, reps: int = 4) -> dict:
                 .agg(F.count("*").alias("n_segs"),
                      F.countDistinct("clip_id").alias("n_clips")))
 
+    def lufs_agg():
+        # round 3: BS.1770 K-weighted gated loudness — two IIR cascades +
+        # block gating per clip, the heaviest pure-numpy stage per byte
+        return (audio.audio_features(clips, with_loudness=True)
+                .agg(F.count("*").alias("n"),
+                     F.count("integrated_lufs").alias("n_lufs"),
+                     F.avg("integrated_lufs").alias("mean_lufs")))
+
     def canon_agg():
         # decode -> downmix -> sinc resample to 16 kHz -> re-encode; the
         # agg reads bytes length so the encode stage is genuinely forced
@@ -98,6 +106,7 @@ def run(master: str, reps: int = 4) -> dict:
 
     fp_best, fp_times, fp_res = best_of(fp_agg, "fingerprint")
     seg_best, seg_times, seg_res = best_of(seg_agg, "segments")
+    lu_best, lu_times, lu_res = best_of(lufs_agg, "loudness")
     can_best, can_times, can_res = best_of(canon_agg, "canonicalize")
 
     out = {
@@ -112,6 +121,11 @@ def run(master: str, reps: int = 4) -> dict:
         "segments_clips_per_sec": round(n_rows / seg_best, 1),
         "segments_runs_sec": seg_times,
         "n_segments": seg_res.n_segs,
+        "loudness_sec": round(lu_best, 2),
+        "loudness_clips_per_sec": round(n_rows / lu_best, 1),
+        "loudness_runs_sec": lu_times,
+        "n_lufs_nonnull": lu_res.n_lufs,
+        "mean_lufs": round(float(lu_res.mean_lufs), 2) if lu_res.mean_lufs is not None else None,
         "canonicalize_sec": round(can_best, 2),
         "canonicalize_clips_per_sec": round(n_rows / can_best, 1),
         "canonicalize_runs_sec": can_times,

@@ -1155,16 +1155,21 @@ def _kweight_sections(fs: float):
     return shelf, highpass
 
 
-def _iir1_chunked(x: np.ndarray, p: complex, block: int = 64) -> np.ndarray:
+def _iir1_chunked(x: np.ndarray, p: complex,
+                  block: int | None = None) -> np.ndarray:
     """First-order recursion y[n] = x[n] + p*y[n-1], vectorized: within
     each block, y[j] = p^j * cumsum(x[k] * p^-k) + p^(j+1) * carry. The
-    p^-k weights grow as |p|^-block, so the block size bounds them well
-    under overflow while the final p^j rescale keeps per-sample relative
-    error at machine epsilon (error from term k enters y[j] scaled by
-    |p|^(j-k) <= 1)."""
+    p^-k weights grow as |p|^-block, so the block size is chosen to keep
+    |p|^-block under ~1e260 (overflow margin) while the final p^j
+    rescale keeps per-sample relative error at machine epsilon (error
+    from term k enters y[j] scaled by |p|^(j-k) <= 1) — poles near the
+    unit circle (the common IIR case) get blocks of thousands, so the
+    scan is a handful of cumsum calls per clip, not one per 64 samples."""
+    import math
     n = len(x)
     y = np.empty(n, dtype=complex)
-    if abs(p) < 1e-3:
+    ap = abs(p)
+    if ap < 1e-3:
         # negligible feedback: one explicit convolution term suffices
         y[:] = x
         if n > 1:
@@ -1172,10 +1177,18 @@ def _iir1_chunked(x: np.ndarray, p: complex, block: int = 64) -> np.ndarray:
         if n > 2:
             y[2:] += (p * p) * x[:-2]
         return y
+    if block is None:
+        block = max(32, min(32768, int(
+            260.0 / max(0.005, -math.log10(min(ap, 0.9999))))))
+    block = min(block, n)
     carry = 0.0 + 0.0j
-    j = np.arange(block)
-    pj = p ** j
-    pinv = p ** (-j)
+    one = np.ones(1, dtype=complex)
+    # p^j / p^-j via cumprod (vectorized multiplies; complex ** is ~20x
+    # slower per element), built once and reused across equal blocks
+    pj = np.concatenate((one, np.cumprod(np.full(block - 1, p)))) \
+        if block > 1 else one.copy()
+    pinv = np.concatenate((one, np.cumprod(np.full(block - 1, 1.0 / p)))) \
+        if block > 1 else one.copy()
     for s in range(0, n, block):
         seg = x[s:s + block]
         m = len(seg)
