@@ -409,6 +409,7 @@ class _BitReader:
     Rice decoding costs O(log n) per terminator, not a linear scan."""
 
     def __init__(self, data: bytes):
+        self.raw = data
         self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
         self.ones = np.flatnonzero(self.bits).astype(np.int64)
         self.pos = 0
@@ -503,8 +504,19 @@ def _decode_subframe(br: _BitReader, bs: int, bps: int) -> np.ndarray:
     if stype == 0b000000:                       # CONSTANT
         x = np.full(bs, br.read_signed(ebps), np.int64)
     elif stype == 0b000001:                     # VERBATIM
-        x = np.fromiter((br.read_signed(ebps) for _ in range(bs)),
-                        np.int64, bs)
+        if wasted == 0 and ebps == 16 and br.pos % 8 == 0:
+            # byte-aligned 16-bit payload (our encoder's fallback for
+            # incompressible blocks): one vectorized frombuffer, not bs
+            # bit-reader calls
+            off = br.pos // 8
+            raw = br.raw[off:off + 2 * bs]
+            if len(raw) != 2 * bs:
+                raise ValueError("truncated subframe data")
+            x = np.frombuffer(raw, dtype=">i2").astype(np.int64)
+            br.pos += 16 * bs
+        else:
+            x = np.fromiter((br.read_signed(ebps) for _ in range(bs)),
+                            np.int64, bs)
     elif 0b001000 <= stype <= 0b001100:         # FIXED order 0-4
         order = stype - 0b001000
         if order > bs:
@@ -566,6 +578,23 @@ def flac_decode(b: bytes) -> tuple[int, np.ndarray]:
             f"flac_decode subset is mono/16-bit (got {ch} ch, {bps} bps)")
     chunks = []
     br = _BitReader(b)  # one unpack for the whole stream; seek per frame
+    try:
+        frames_x = _flac_frames(b, pos, br, bps)
+    except IndexError as exc:
+        # any out-of-range byte access in the frame walk IS truncation —
+        # keep the rows-not-failures error contract (ValueError only)
+        raise ValueError("truncated FLAC stream") from exc
+    chunks.extend(frames_x)
+    x = np.concatenate(chunks) if chunks else np.array([], dtype="<i2")
+    if total and len(x) != total:
+        raise ValueError(f"sample count {len(x)} != STREAMINFO {total}")
+    if md5 and md5 != bytes(16) and hashlib.md5(x.tobytes()).digest() != md5:
+        raise ValueError("decoded samples fail STREAMINFO MD5")
+    return sr, x
+
+
+def _flac_frames(b: bytes, pos: int, br: "_BitReader", bps: int) -> list:
+    chunks = []
     while pos < len(b):
         f0 = pos
         if b[pos] != 0xFF or (b[pos + 1] & 0xFC) != 0xF8:
@@ -606,15 +635,12 @@ def flac_decode(b: bytes) -> tuple[int, np.ndarray]:
             raise ValueError("decoded samples out of 16-bit range")
         chunks.append(x.astype("<i2"))
         pos = (br.pos + 7) // 8    # subframe padding closes the byte
+        if pos + 2 > len(b):
+            raise ValueError("truncated FLAC stream")
         if _crc16(b[f0:pos]) != int.from_bytes(b[pos:pos + 2], "big"):
             raise ValueError("frame CRC-16 mismatch")
         pos += 2
-    x = np.concatenate(chunks) if chunks else np.array([], dtype="<i2")
-    if total and len(x) != total:
-        raise ValueError(f"sample count {len(x)} != STREAMINFO {total}")
-    if md5 and md5 != bytes(16) and hashlib.md5(x.tobytes()).digest() != md5:
-        raise ValueError("decoded samples fail STREAMINFO MD5")
-    return sr, x
+    return chunks
 
 
 def flac_stub_bytes(i: int, sr_hz: int = 16000, audio_ms: int = 8) -> bytes:
@@ -913,8 +939,11 @@ def opus_meta_df(clips, *, passthrough: tuple = ()):
     pt_ddl = "".join(
         f", {c} {clips.schema[c].dataType.simpleString()}"
         for c in passthrough)
+    # input_sample_rate is an UNSIGNED 32-bit OpusHead field and
+    # duration derives from a signed 64-bit granule — both need long, or
+    # Arrow silently wraps hostile-but-CRC-valid metadata into garbage
     schema = ("clip_id string, container_ok boolean, channels int, "
-              "pre_skip int, input_sample_rate int, duration_ms int, "
+              "pre_skip int, input_sample_rate long, duration_ms long, "
               "n_pages int" + pt_ddl)
 
     def fn(iterator):
@@ -950,20 +979,25 @@ def opus_consistency_violations(clips, *, tolerance_ms: int = 5,
     same violation row shape as the DSL compiler emits."""
     m = opus_meta_df(clips.where(F.col("codec") == "opus"),
                      passthrough=("sr_hz", "dur_ms"))
+    # null-safe: a NULL declared sr_hz/dur_ms is missing metadata and
+    # must FLAG, not vanish into three-valued logic (the row-level
+    # opus_consistent check fails those rows too)
+    sr_bad = ~F.col("input_sample_rate").eqNullSafe(
+        F.col("sr_hz").cast("long"))
+    dur_bad = (F.col("dur_ms").isNull()
+               | (F.abs(F.col("duration_ms") - F.col("dur_ms"))
+                  > F.lit(tolerance_ms)))
     bad = m.where((~F.col("container_ok"))
                   | (F.col("channels") != 1)
-                  | (F.col("input_sample_rate") != F.col("sr_hz"))
-                  | (F.abs(F.col("duration_ms") - F.col("dur_ms"))
-                     > F.lit(tolerance_ms)))
+                  | sr_bad | dur_bad)
     kw = (F.when(~F.col("container_ok"), F.lit("x-opus-container"))
            .when(F.col("channels") != 1, F.lit("x-opus-channels"))
-           .when(F.col("input_sample_rate") != F.col("sr_hz"),
-                 F.lit("x-opus-sr"))
+           .when(sr_bad, F.lit("x-opus-sr"))
            .otherwise(F.lit("x-opus-duration")))
     msg = (F.when(~F.col("container_ok"),
                   F.lit("Must be a valid Ogg/Opus container"))
             .when(F.col("channels") != 1, F.lit("Must be mono"))
-            .when(F.col("input_sample_rate") != F.col("sr_hz"),
+            .when(sr_bad,
                   F.lit("Must declare sr_hz as the OpusHead input "
                         "sample rate"))
             .otherwise(F.lit(
@@ -972,8 +1006,7 @@ def opus_consistency_violations(clips, *, tolerance_ms: int = 5,
     actual = (F.when(~F.col("container_ok"), F.lit(None).cast("string"))
                .when(F.col("channels") != 1,
                      F.col("channels").cast("string"))
-               .when(F.col("input_sample_rate") != F.col("sr_hz"),
-                     F.col("input_sample_rate").cast("string"))
+               .when(sr_bad, F.col("input_sample_rate").cast("string"))
                .otherwise(F.col("duration_ms").cast("string")))
     return bad.select(
         F.col("clip_id").cast("string").alias("row_id"),
@@ -1168,6 +1201,8 @@ def _iir1_chunked(x: np.ndarray, p: complex,
     import math
     n = len(x)
     y = np.empty(n, dtype=complex)
+    if n == 0:
+        return y
     ap = abs(p)
     if ap < 1e-3:
         # negligible feedback: one explicit convolution term suffices

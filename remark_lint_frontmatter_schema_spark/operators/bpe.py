@@ -213,5 +213,10 @@ def bpe_token_count(docs: DataFrame, model: BpeModel,
     """Append the learned-subword token count (the REAL budget number
     packing/chunking consumers want once a vocabulary exists)."""
     enc = bpe_encode(docs, model, text_col, "_bpe_toks")
-    return enc.withColumn(out_col, F.size(F.col("_bpe_toks"))) \
+    # size(NULL) is -1 under default (legacy) config and NULL under
+    # ANSI — pin NULL-in -> NULL-out explicitly (engine-wide NULL rule)
+    return enc.withColumn(
+        out_col,
+        F.when(F.col("_bpe_toks").isNotNull(),
+               F.size(F.col("_bpe_toks")))) \
               .drop("_bpe_toks")

@@ -125,7 +125,7 @@ def test_bpe_encode_spark_and_token_count(spark):
     cnt = {r.id: r.n_bpe_tokens
            for r in bpe.bpe_token_count(df, model).collect()}
     assert cnt["d1"] == len(local)
-    assert cnt["d3"] == -1 or cnt["d3"] is None  # size(NULL) semantics
+    assert cnt["d3"] is None   # NULL text -> NULL count, engine NULL rule
 
 
 def test_encode_plan_is_map_only(spark):

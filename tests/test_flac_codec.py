@@ -215,3 +215,21 @@ def test_fixture_rows_carry_decodable_flac(spark):
         audio.flac_decode(b)
         ok += 1
     assert ok > 0
+
+
+def test_every_prefix_truncation_raises_valueerror():
+    """Cutting a valid compressed stream at ANY byte raises ValueError
+    (never IndexError — the rows-not-failures contract), and so does a
+    valid stream with trailing garbage."""
+    x = (3000 * np.sin(2 * np.pi * 300 * np.arange(700) / 8000)
+         ).astype(np.int16)
+    good = audio.flac_encode(x, 8000)
+    for i in range(4, len(good)):
+        with pytest.raises((ValueError, NotImplementedError)):
+            audio.flac_decode(good[:i])
+    with pytest.raises(ValueError):
+        audio.flac_decode(good + b"\xff")
+
+
+def test_kweight_empty_input_returns_empty():
+    assert audio.k_weight(np.array([]), 48000).shape == (0,)

@@ -220,3 +220,38 @@ def test_opus_consistent_dsl_check(spark):
     res = validate(df, compiled, row_id="clip_id")
     assert {r.row_id for r in res.violations.collect()} == \
         {"wrong_sr", "bad"}
+
+
+def test_opus_meta_df_survives_hostile_u32_sr(spark):
+    """OpusHead input_sample_rate is unsigned 32-bit; a CRC-valid
+    container declaring 4e9 must come through the long column intact,
+    not wrap through int32 in the Arrow conversion."""
+    b = bytearray(audio.ogg_opus_bytes(1, 16000, 40))
+    # rewrite the sr field inside the OpusHead packet and re-CRC page 0
+    head_off = b.index(b"OpusHead")
+    b[head_off + 12:head_off + 16] = (4_000_000_000).to_bytes(4, "little")
+    page0_end = b.index(b"OggS", 4)
+    page = bytearray(b[:page0_end])
+    page[22:26] = b"\x00" * 4
+    crc = audio._ogg_crc(bytes(page))
+    b[22:26] = crc.to_bytes(4, "little")
+    assert audio.opus_meta(bytes(b))["input_sample_rate"] == 4_000_000_000
+    df = spark.createDataFrame([("h", bytes(b))],
+                               "clip_id string, bytes binary")
+    row = audio.opus_meta_df(df).collect()[0]
+    assert row.container_ok and row.input_sample_rate == 4_000_000_000
+
+
+def test_opus_consistency_flags_null_declared_metadata(spark):
+    """NULL declared sr_hz / dur_ms is missing metadata -> a violation,
+    not a row silently dropped by three-valued logic."""
+    ok = audio.ogg_opus_bytes(1, 16000, 500)
+    rows = [("null_sr", ok, None, 500, "opus"),
+            ("null_dur", ok, 16000, None, "opus"),
+            ("fine", ok, 16000, 500, "opus")]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+              "codec string")
+    v = {r.row_id: r.keyword
+         for r in audio.opus_consistency_violations(df).collect()}
+    assert v == {"null_sr": "x-opus-sr", "null_dur": "x-opus-duration"}
