@@ -588,6 +588,25 @@ def q_gibberish_documents(spark, sf):
     return out
 
 
+def q_lm_ppl_documents(spark, sf):
+    """CCNet-style LM-perplexity quality scoring (operators/lm.py): train
+    an add-k bigram LM over the documents corpus (one explode + one
+    groupBy; context totals derive from the bigram counts), then score
+    every document's per-token log-probability and perplexity under it.
+    Runs the SCALE path (xxhash64 join keys — 16-byte shuffle rows
+    instead of token strings); the DuckDB oracle joins on raw strings,
+    so a green hash also certifies the hashed join's collision-freedom
+    at this scale."""
+    from remark_lint_frontmatter_schema_spark.operators import lm
+    docs = _load(spark, sf, "documents")
+    out = lm.train_and_score(docs, n=2, k=0.5).select(
+        "doc_id", "n_ngrams",
+        F.round("avg_logp", 6).alias("avg_logp"),
+        F.round("ppl", 6).alias("ppl"))
+    dedup.release_all()
+    return out
+
+
 def q_diff_orders(spark, sf):
     """Snapshot diff (operators/diff.py): two deterministic derivations
     of orders play old/new snapshot — keys %97==0 are absent from old
@@ -1639,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_diff_orders": q_profile_diff_orders,
         "url_dedup_documents": q_url_dedup_documents,
         "gibberish_documents": q_gibberish_documents,
+        "lm_ppl_documents": q_lm_ppl_documents,
         "ref_orders_customer": q_ref_orders_customer,
         "ref_orders_customer_bloom": q_ref_orders_customer_bloom,
         "hist_events": q_hist_events,
@@ -2965,6 +2985,39 @@ WITH norm AS (
   FROM big JOIN model USING (bg) GROUP BY doc_id
 )
 SELECT d.doc_id, s.nb AS n_bigrams, s.al AS avg_logp
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+""",
+        "lm_ppl_documents": """
+WITH toks AS (
+  SELECT doc_id,
+         list_prepend('<s>', list_filter(
+           str_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')),
+                     ' '), x -> x <> '')) AS ts
+  FROM documents
+), pairs AS (
+  SELECT t.doc_id,
+         t.ts[CAST(u.i AS INTEGER)] AS ctx,
+         t.ts[CAST(u.i AS INTEGER) + 1] AS tok
+  FROM toks t, unnest(generate_series(1, len(t.ts) - 1)) AS u(i)
+  WHERE len(t.ts) >= 2
+), counts AS (
+  SELECT ctx, tok, count(*) AS n FROM pairs GROUP BY ctx, tok
+), ctxc AS (
+  SELECT ctx, sum(n) AS cn FROM counts GROUP BY ctx
+), vocab AS (
+  SELECT count(DISTINCT tok) + 1 AS v FROM counts
+), scored AS (
+  SELECT p.doc_id, count(*) AS n_ngrams,
+         avg(ln((coalesce(c.n, 0) + 0.5) /
+                (coalesce(x.cn, 0) + 0.5 * (SELECT v FROM vocab)))) AS al
+  FROM pairs p
+  LEFT JOIN counts c ON p.ctx = c.ctx AND p.tok = c.tok
+  LEFT JOIN ctxc x ON p.ctx = x.ctx
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id, s.n_ngrams,
+       round(s.al, 6) AS avg_logp,
+       round(exp(-s.al), 6) AS ppl
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """,
         "url_dedup_documents": """
