@@ -853,19 +853,22 @@ def flac_streaminfo(b: bytes) -> dict:
 
 
 def payload_duration_ms_batch(b: pd.Series) -> pd.Series:
-    """Container-derived duration in ms per payload, across all three
-    codecs the engine knows, each by its CHEAPEST authoritative route:
-    WAV data-chunk length / sample rate (full chunk walk), FLAC
+    """Container-derived duration in ms per payload, across every codec
+    the engine knows, each by its CHEAPEST authoritative route: WAV
+    header-only metadata walk (fact chunk / frame math — covers PCM16,
+    G.711 mu/A-law and IMA ADPCM without touching sample data), FLAC
     STREAMINFO total_samples (header only, no frame decode), Ogg/Opus
     final granule position at 48 kHz (CRC-verified page walk).
     Unrecognized / malformed payloads -> NaN."""
+    from .pcm_codecs import wav_info
     out = []
     for v in b:
         raw = bytes(v) if v is not None else b""
         try:
             if raw[:4] == b"RIFF":
-                sr, x = decode_wav_pcm16(raw)
-                out.append(len(x) * 1000.0 / sr if sr else float("nan"))
+                wi = wav_info(raw)
+                out.append(wi["n_samples"] * 1000.0 / wi["sr_hz"]
+                           if wi["sr_hz"] else float("nan"))
             elif raw[:4] == b"fLaC":
                 si = flac_streaminfo(raw)
                 out.append(si["total_samples"] * 1000.0 / si["sr_hz"]
@@ -2013,6 +2016,10 @@ def transcode_payload(b: bytes, codec: str) -> bytes:
     if codec == "flac":
         sr, pcm = flac_decode(b)
         return wav_bytes(pcm, sr)
+    if codec in ("pcm_mulaw", "pcm_alaw", "adpcm_ima_wav"):
+        from .pcm_codecs import decode_wav_extended
+        sr, x = decode_wav_extended(b)
+        return wav_bytes(_to_pcm16(x), sr)
     raise NotImplementedError(
         f"transcoding codec {codec!r} requires soundfile/ffmpeg "
         "(not in sandbox); production swaps transcode_payload")

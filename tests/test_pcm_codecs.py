@@ -1,0 +1,260 @@
+"""G.711 mu/A-law + IMA ADPCM: exhaustive audioop parity, WAV containers,
+transcode/duration integration."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from remark_lint_frontmatter_schema_spark.functions import pcm_codecs as pc
+from remark_lint_frontmatter_schema_spark.functions import audio
+
+audioop = pytest.importorskip(
+    "audioop", reason="stdlib audioop (removed in 3.13) is the "
+    "independent reference implementation")
+
+ALL_INT16 = np.arange(-32768, 32768, dtype=np.int16)
+ALL_CODES = np.arange(256, dtype=np.uint8)
+
+
+# --- exhaustive byte-exact parity with the C reference ---------------------
+
+def test_mulaw_encode_exhaustive():
+    ref = np.frombuffer(audioop.lin2ulaw(ALL_INT16.tobytes(), 2),
+                        dtype=np.uint8)
+    assert np.array_equal(pc.mulaw_encode(ALL_INT16), ref)
+
+
+def test_mulaw_decode_exhaustive():
+    ref = np.frombuffer(audioop.ulaw2lin(ALL_CODES.tobytes(), 2),
+                        dtype=np.int16)
+    assert np.array_equal(pc.mulaw_decode(ALL_CODES), ref)
+
+
+def test_alaw_encode_exhaustive():
+    ref = np.frombuffer(audioop.lin2alaw(ALL_INT16.tobytes(), 2),
+                        dtype=np.uint8)
+    assert np.array_equal(pc.alaw_encode(ALL_INT16), ref)
+
+
+def test_alaw_decode_exhaustive():
+    ref = np.frombuffer(audioop.alaw2lin(ALL_CODES.tobytes(), 2),
+                        dtype=np.int16)
+    assert np.array_equal(pc.alaw_decode(ALL_CODES), ref)
+
+
+def test_ima_encode_nibble_exact_vs_audioop():
+    """audioop packs high-nibble-first; compare code SEQUENCES from the
+    zero state across signal shapes that sweep the step table."""
+    rng = np.random.default_rng(7)
+    sigs = [
+        (np.sin(np.arange(4000) * 0.05) * 30000).astype(np.int16),
+        rng.integers(-32768, 32768, 4000).astype(np.int16),
+        np.zeros(100, dtype=np.int16),
+        np.array([32767, -32768] * 50, dtype=np.int16),
+    ]
+    for x in sigs:
+        packed, _ = audioop.lin2adpcm(x.tobytes(), 2, None)
+        pb = np.frombuffer(packed, dtype=np.uint8)
+        ref = np.empty(len(pb) * 2, dtype=np.uint8)
+        ref[0::2] = pb >> 4          # audioop: first code in HIGH nibble
+        ref[1::2] = pb & 0x0F
+        got, _, _ = pc.ima_encode_core(x, 0, 0)
+        assert np.array_equal(got, ref[: len(got)])
+
+
+def test_ima_decode_matches_audioop():
+    rng = np.random.default_rng(11)
+    x = rng.integers(-32768, 32768, 2000).astype(np.int16)
+    packed, _ = audioop.lin2adpcm(x.tobytes(), 2, None)
+    ref = np.frombuffer(audioop.adpcm2lin(packed, 2, None)[0],
+                        dtype=np.int16)
+    pb = np.frombuffer(packed, dtype=np.uint8)
+    codes = np.empty(len(pb) * 2, dtype=np.uint8)
+    codes[0::2] = pb >> 4
+    codes[1::2] = pb & 0x0F
+    got, _, _ = pc.ima_decode_core(codes, 0, 0)
+    assert np.array_equal(got, ref)
+
+
+# --- quantization quality (SNR floors for a full-scale sine) ---------------
+
+def _sine(sr=8000, ms=200, f=440.0, amp=0.8):
+    t = np.arange(int(sr * ms / 1000)) / sr
+    return (np.sin(2 * np.pi * f * t) * amp * 32767).astype(np.int16)
+
+
+def test_g711_snr():
+    x = _sine()
+    ref = x.astype(np.float64) / 32767.0
+    for enc, dec in ((pc.mulaw_encode, pc.mulaw_decode),
+                     (pc.alaw_encode, pc.alaw_decode)):
+        y = dec(enc(x)).astype(np.float64) / 32767.0
+        assert audio.snr_db(ref, y) > 30.0
+
+
+def test_ima_snr():
+    """Sample-aligned core roundtrip; skip the slew-limited attack ramp
+    (the step index climbs from 0 at ~8/sample before it can track a
+    full-scale sine — inherent IMA behavior, not an engine artifact)."""
+    x = _sine()
+    codes, _, _ = pc.ima_encode_core(x, int(x[0]), 0)
+    y, _, _ = pc.ima_decode_core(codes, int(x[0]), 0)
+    ref = x[100:].astype(np.float64) / 32767.0
+    got = y[100:].astype(np.float64) / 32767.0
+    assert audio.snr_db(ref, got) > 25.0
+
+
+# --- WAV containers ---------------------------------------------------------
+
+@pytest.mark.parametrize("law", ["mulaw", "alaw"])
+def test_g711_wav_roundtrip(law):
+    x = _sine(sr=16000)
+    b = pc.wav_bytes_g711(x, 16000, law=law)
+    sr, y = pc.decode_wav_extended(b)
+    assert sr == 16000 and len(y) == len(x)
+    assert audio.snr_db(x / 32767.0, y) > 30.0
+
+
+@pytest.mark.parametrize("n", [0, 1, 1016, 1017, 1018, 5000])
+def test_ima_wav_roundtrip_block_edges(n):
+    """1017 = samples_per_block at block_align=512; the padded tail must
+    truncate back to exactly n samples via the fact chunk."""
+    x = _sine(ms=1000)[:n]
+    b = pc.wav_bytes_ima_adpcm(x, 8000, block_align=512)
+    sr, y = pc.decode_wav_extended(b)
+    assert sr == 8000 and len(y) == n
+    if n > 10:
+        assert audio.snr_db(x / 32767.0, y) > 20.0
+
+
+def test_ima_wav_small_blocks():
+    x = _sine(ms=50)
+    b = pc.wav_bytes_ima_adpcm(x, 8000, block_align=256)
+    _, y = pc.decode_wav_extended(b)
+    assert len(y) == len(x)
+    with pytest.raises(ValueError, match="block_align"):
+        pc.wav_bytes_ima_adpcm(x, 8000, block_align=6)
+    with pytest.raises(ValueError, match="block_align"):
+        pc.wav_bytes_ima_adpcm(x, 8000, block_align=510)
+
+
+def test_decode_wav_extended_pcm16_delegates():
+    x = _sine(sr=16000)
+    b = audio.wav_bytes(x, 16000)
+    sr, y = pc.decode_wav_extended(b)
+    sr2, y2 = audio.decode_wav_pcm16(b)
+    assert sr == sr2 and np.array_equal(y, y2)
+
+
+def test_g711_wav_multichannel_downmix():
+    x = _sine(sr=8000, ms=50)
+    codes = pc.mulaw_encode(np.repeat(x, 2))   # L==R interleave
+    fmt = struct.pack("<HHIIHHH", 7, 2, 8000, 16000, 2, 8, 0)
+    b = pc._riff([(b"fmt ", fmt), (b"fact", struct.pack("<I", len(x))),
+                  (b"data", codes.tobytes())])
+    sr, y = pc.decode_wav_extended(b)
+    assert sr == 8000 and len(y) == len(x)
+    assert audio.snr_db(x / 32767.0, y) > 30.0
+
+
+def test_ima_multichannel_raises():
+    fmt = struct.pack("<HHIIHHH", 0x11, 2, 8000, 8000, 512, 4, 2) + \
+        struct.pack("<H", 1017)
+    b = pc._riff([(b"fmt ", fmt), (b"data", b"\x00" * 512)])
+    with pytest.raises(NotImplementedError, match="multi-channel"):
+        pc.decode_wav_extended(b)
+
+
+def test_malformed_containers_raise():
+    x = _sine(ms=20)
+    good = pc.wav_bytes_ima_adpcm(x, 8000)
+    with pytest.raises(ValueError):
+        pc.decode_wav_extended(b"RIFFxxxxWAVE")       # no chunks
+    with pytest.raises(ValueError):
+        pc.decode_wav_extended(good[:40])             # truncated
+    with pytest.raises(ValueError):
+        pc.wav_bytes_g711(x, 8000, law="gsm")
+    # unknown fmt tag -> NotImplementedError (policy: on_error path)
+    fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 8000, 1, 8)
+    b = pc._riff([(b"fmt ", fmt), (b"data", b"\x00" * 16)])
+    with pytest.raises(NotImplementedError, match="tag 85"):
+        pc.decode_wav_extended(b)
+
+
+# --- wav_info / duration -----------------------------------------------------
+
+def test_wav_info_all_codecs():
+    x = _sine(sr=16000, ms=125)               # 2000 samples
+    cases = [
+        (audio.wav_bytes(x, 16000), 1, 2000),
+        (pc.wav_bytes_g711(x, 16000, law="mulaw"), 7, 2000),
+        (pc.wav_bytes_g711(x, 16000, law="alaw"), 6, 2000),
+        (pc.wav_bytes_ima_adpcm(x, 16000), 0x11, 2000),
+    ]
+    for b, tag, n in cases:
+        wi = pc.wav_info(b)
+        assert (wi["fmt_tag"], wi["n_samples"], wi["sr_hz"]) == \
+            (tag, n, 16000)
+
+
+def test_wav_info_ima_without_fact_uses_block_math():
+    x = _sine(ms=200)                          # 1600 samples, 2 blocks
+    b = pc.wav_bytes_ima_adpcm(x, 8000, block_align=512)
+    # strip the fact chunk: rebuild without it
+    info = pc._walk_wav(b)
+    fmt = struct.pack("<HHIIHHH", 0x11, 1, 8000, 8000, 512, 4, 2) + \
+        struct.pack("<H", 1017)
+    b2 = pc._riff([(b"fmt ", fmt), (b"data", info["raw"])])
+    wi = pc.wav_info(b2)
+    assert wi["n_samples"] == 2 * 1017         # padded block total
+
+
+def test_payload_duration_covers_new_codecs():
+    import pandas as pd
+    x = _sine(sr=16000, ms=125)
+    s = pd.Series([pc.wav_bytes_g711(x, 16000, law="mulaw"),
+                   pc.wav_bytes_g711(x, 16000, law="alaw"),
+                   pc.wav_bytes_ima_adpcm(x, 16000),
+                   audio.wav_bytes(x, 16000),
+                   b"RIFFgarbage", None])
+    got = audio.payload_duration_ms_batch(s)
+    assert list(got[:4].round(3)) == [125.0, 125.0, 125.0, 125.0]
+    assert np.isnan(got[4]) and np.isnan(got[5])
+
+
+# --- transcode integration ---------------------------------------------------
+
+def test_transcode_payload_new_codecs():
+    x = _sine(sr=16000)
+    for b, codec in [(pc.wav_bytes_g711(x, 16000, law="mulaw"), "pcm_mulaw"),
+                     (pc.wav_bytes_g711(x, 16000, law="alaw"), "pcm_alaw"),
+                     (pc.wav_bytes_ima_adpcm(x, 16000), "adpcm_ima_wav")]:
+        out = audio.transcode_payload(b, codec)
+        sr, y = audio.decode_wav_pcm16(out)
+        assert sr == 16000 and len(y) == len(x)
+        assert audio.snr_db(x / 32767.0, y) > 20.0
+    with pytest.raises(NotImplementedError):
+        audio.transcode_payload(b"OggS", "opus")
+
+
+def test_transcode_clips_mixed_corpus():
+    from conftest import get_spark
+    spark = get_spark()
+    x = _sine(sr=16000, ms=60)
+    rows = [("a", audio.wav_bytes(x, 16000), "pcm_s16le"),
+            ("b", pc.wav_bytes_g711(x, 16000, law="mulaw"), "pcm_mulaw"),
+            ("c", pc.wav_bytes_g711(x, 16000, law="alaw"), "pcm_alaw"),
+            ("d", pc.wav_bytes_ima_adpcm(x, 16000), "adpcm_ima_wav"),
+            ("e", b"\x00bad", "pcm_mulaw"),
+            ("f", audio.wav_bytes(x, 16000), "opus")]   # wrong decl -> stub
+    clips = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string")
+    got = {r["clip_id"]: r for r in
+           audio.transcode_clips(clips, on_error="keep").collect()}
+    assert [got[k]["transcode_ok"] for k in "abcd"] == [True] * 4
+    assert got["e"]["transcode_ok"] is False
+    assert got["f"]["transcode_ok"] is False
+    for k in "abcd":
+        sr, y = audio.decode_wav_pcm16(bytes(got[k]["bytes"]))
+        assert sr == 16000 and len(y) == len(x)
