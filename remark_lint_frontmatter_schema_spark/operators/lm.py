@@ -251,6 +251,37 @@ def _score_pairs(docs: DataFrame, pairs: DataFrame, model: NgramLM, *,
         F.exp(-F.col("avg_logp")).alias("ppl"))
 
 
+def lm_ppl_violations(df: DataFrame, text_col: str, id_col: str, *,
+                      max_ppl: float, n: int = 2, k: float = 0.5,
+                      ruleset_name: str = "engine",
+                      severity: str = "warning") -> DataFrame:
+    """Violation rows (operators/validate.py VIOLATION_FIELDS shape) for
+    documents whose perplexity under the corpus's own n-gram LM exceeds
+    ``max_ppl`` — the ``x-lm-ppl`` declarative gate (the CCNet tail
+    bucket as a lint finding). Unscorable documents (no n-grams after
+    canonicalization) never violate here: emptiness/shortness is
+    minLength's finding, not a language-model one (the x-gibberish
+    policy)."""
+    scored = train_and_score(df, n=n, k=k, id_col=id_col,
+                             text_col=text_col)
+    bad = scored.where(F.col("ppl") > max_ppl)
+    out = bad.select(
+        F.col(id_col).cast("string").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"lm-ppl:{text_col}").alias("constraint_id"),
+        F.lit("lm-ppl").alias("keyword"),
+        F.lit(f"/{text_col}").alias("instance_path"),
+        F.lit(f"#/x-lm-ppl/{text_col}").alias("schema_path"),
+        F.lit(f"Must score at most {max_ppl:g} perplexity under the "
+              f"corpus {n}-gram LM").alias("message"),
+        F.col("ppl").cast("string").alias("actual"),
+        F.array(F.lit(f"<= {max_ppl:g}")).alias("expected"),
+        F.lit(severity).alias("severity"),
+    )
+    return _track(out, scored)
+
+
 def perplexity_py(texts: dict, *, n: int = 2, k: float = 0.5):
     """Pure-python twin for tests: {id: text} -> {id: (n_ngrams,
     avg_logp, ppl) | None}. Mirrors train_ngram_lm + perplexity

@@ -120,6 +120,13 @@ def table_check_violations(
                 df, column, params["id"], min_logp=params["min_logp"],
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
+        elif kind == "lm_ppl":
+            from .lm import lm_ppl_violations
+            extras.append(lm_ppl_violations(
+                df, column, params["id"], max_ppl=params["max_ppl"],
+                n=params.get("n", 2), k=params.get("k", 0.5),
+                ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "gap":
             from .sequence import gap_violations
             extras.append(gap_violations(

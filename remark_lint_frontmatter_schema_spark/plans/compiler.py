@@ -90,6 +90,7 @@ _KNOWN_KEYWORDS = {
     "x-fd",
     "x-gap",
     "x-gibberish",
+    "x-lm-ppl",
     "x-finite",
 }
 
@@ -478,6 +479,16 @@ _KEYWORD_SHAPE = {
     and isinstance(v.get("id"), str)
     and isinstance(v.get("min_logp"), _NUM)
     and not isinstance(v["min_logp"], bool),
+    "x-lm-ppl": lambda v: isinstance(v, dict)
+    and isinstance(v.get("id"), str)
+    and isinstance(v.get("max_ppl"), _NUM)
+    and not isinstance(v["max_ppl"], bool) and v["max_ppl"] > 0
+    and (v.get("n") is None
+         or (isinstance(v["n"], int) and not isinstance(v["n"], bool)
+             and v["n"] >= 2))
+    and (v.get("k") is None
+         or (isinstance(v["k"], _NUM) and not isinstance(v["k"], bool)
+             and v["k"] > 0)),
     "x-gap": lambda v: isinstance(v, dict)
     and isinstance(v.get("max_seconds"), _NUM)
     and not isinstance(v["max_seconds"], bool) and v["max_seconds"] > 0
@@ -684,7 +695,7 @@ _VARIANT_UNSUPPORTED_KWS = frozenset((
     "x-dedup", "x-langid",
     "x-rate", "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
     "x-monotonic", "x-dup-ngram", "x-gopher", "x-c4", "x-leakage", "x-embedding",
-    "x-fd", "x-gap", "x-gibberish"))
+    "x-fd", "x-gap", "x-gibberish", "x-lm-ppl"))
 
 
 def _compile_variant_node(schema: dict, ctx: _Ctx) -> None:
@@ -1394,6 +1405,23 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 }))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-gibberish"))
+
+    if "x-lm-ppl" in schema and not ctx.silent:
+        # corpus-relative n-gram LM perplexity gate (operators/lm.py
+        # lm_ppl_violations, the CCNet recipe) — trains on the whole
+        # corpus, so a relational pass; top-level only
+        if is_top:
+            p = schema["x-lm-ppl"]
+            ctx.out.table_checks.append(
+                ("lm_ppl", ctx.instance_path[1:], {
+                    "id": p["id"],
+                    "max_ppl": float(p["max_ppl"]),
+                    "n": int(p.get("n") or 2),
+                    "k": float(p.get("k") or 0.5),
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-lm-ppl"))
 
     if "x-gap" in schema and not ctx.silent:
         # continuity check (operators/sequence.py gap_violations): the

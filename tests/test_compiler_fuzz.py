@@ -38,7 +38,7 @@ _KEYWORDS = ["type", "enum", "const", "required", "maxLength", "minLength",
              "x-unique", "x-ref", "x-drift", "x-spark-check",
              "x-outlier", "x-repair", "x-severity",
              "x-dup-ngram", "x-embedding", "x-monotonic", "x-gopher", "x-c4",
-             "x-leakage", "x-fd", "x-gap", "x-gibberish", "x-ref-asof",
+             "x-leakage", "x-fd", "x-gap", "x-gibberish", "x-lm-ppl", "x-ref-asof",
              "x-finite", "x-ref-interval",
              # 2019-09/2020-12 dynamic refs: NOT resolved (the reference's
              # default draft-07 Ajv lacks them too) — must surface in

@@ -111,6 +111,56 @@ def test_invalid_params():
         lm.train_ngram_lm(docs, k=0.0)
 
 
+def test_x_lm_ppl_dsl_end_to_end():
+    """x-lm-ppl flags exactly the outlier document; NULL/empty docs
+    stay silent (shortness is minLength's finding); violation rows
+    carry the standard shape."""
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators import dedup
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    rows = [(i, "the band plays a slow waltz under the amber lights")
+            for i in range(8)]
+    rows += [(98, "zxqv wvut qpon mlkj ihgf dcba"), (99, None)]
+    df = get_spark().createDataFrame(
+        rows, "doc_id long, text string")
+    rs = {"type": "object", "properties": {
+        "text": {"x-lm-ppl": {"id": "doc_id", "max_ppl": 4.0}}}}
+    compiled = compile_ruleset(rs, df.schema, name="crawl")
+    assert [k for k, _, _ in compiled.table_checks] == ["lm_ppl"]
+    v = validate_with_table_checks(df, compiled, row_id="doc_id").violations
+    got = {r.row_id: r for r in v.collect()}
+    dedup.release_all()
+    assert set(got) == {"98"}
+    r = got["98"]
+    assert r.keyword == "lm-ppl"
+    assert r.schema_path == "#/x-lm-ppl/text"
+    assert "at most 4" in r.message
+    assert float(r.actual) > 4.0
+    assert r.expected == ["<= 4"]
+
+
+def test_x_lm_ppl_nested_and_malformed():
+    import pyspark.sql.types as T
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.plans.compiler import (
+        RulesetCompileError)
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("m", T.MapType(T.StringType(), T.StringType()))])
+    rs = {"properties": {"m": {"properties": {
+        "k": {"x-lm-ppl": {"id": "id", "max_ppl": 50}}}}}}
+    compiled = compile_ruleset(rs, schema, name="nested")
+    assert ("/m/k", "x-lm-ppl") in compiled.unknown
+    for bad in ({}, {"id": "id"}, {"max_ppl": 50}, {"id": "id", "max_ppl": 0},
+                {"id": "id", "max_ppl": True},
+                {"id": "id", "max_ppl": 50, "n": 1},
+                {"id": "id", "max_ppl": 50, "k": 0}):
+        with pytest.raises(RulesetCompileError):
+            compile_ruleset({"type": "object", "properties": {
+                "id": {"x-lm-ppl": bad}}}, schema, name="bad")
+
+
 def test_perplexity_orders_quality():
     """Within-corpus sanity: a document made of the corpus's dominant
     pattern scores lower perplexity than an outlier document."""
