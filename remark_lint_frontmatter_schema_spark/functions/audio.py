@@ -1343,21 +1343,43 @@ def _le_u32(s: pd.Series, off: int) -> pd.Series:
     return out
 
 
+def _le_u16(s: pd.Series, off: int) -> pd.Series:
+    """Vectorized little-endian u16 at byte offset ``off`` (same batch
+    shape as :func:`_le_u32`; short rows yield -1)."""
+    sl = s.str.slice(off, off + 2)
+    ok = sl.str.len() == 2
+    if not ok.any():
+        return pd.Series(-1, index=s.index)
+    joined = b"".join(sl[ok])
+    vals = np.frombuffer(joined, dtype="<u2").astype("int64")
+    out = pd.Series(-1, index=s.index, dtype="int64")
+    out[ok] = vals
+    return out
+
+
 def header_ok_batch(b: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.Series:
     """True iff the byte payload's container matches the declared codec and,
-    for WAV, the fmt-chunk sample rate equals the ``sr_hz`` column."""
+    for WAV, the fmt-chunk sample rate equals the ``sr_hz`` column.
+    Telephony codecs (pcm_mulaw/pcm_alaw/adpcm_ima_wav) additionally pin
+    the fmt tag word (canonical layout: fmt chunk at offset 12 — the
+    same layout assumption the sr-at-24 probe already makes; the full
+    chunk-walking parser is the decode stage's job)."""
     b = b.where(b.notna(), b"")
     long_enough = b.str.len() >= 4
     is_wav = long_enough & _slice_eq(b, 0, 4, b"RIFF") & _slice_eq(b, 8, 12, b"WAVE")
-    wav_sr = _le_u32(b, 24)
-    wav_ok = is_wav & (wav_sr == sr_hz.fillna(-2).astype("int64"))
+    wav_sr_ok = is_wav & (_le_u32(b, 24) == sr_hz.fillna(-2).astype("int64"))
+    fmt_tag = _le_u16(b, 20)
     flac_ok = long_enough & _slice_eq(b, 0, 4, b"fLaC")
     opus_ok = (long_enough & _slice_eq(b, 0, 4, b"OggS")
                & _slice_eq(b, 28, 36, b"OpusHead"))
     out = pd.Series(False, index=b.index)
-    out[codec == "pcm_s16le"] = wav_ok[codec == "pcm_s16le"]
+    out[codec == "pcm_s16le"] = wav_sr_ok[codec == "pcm_s16le"]
     out[codec == "flac"] = flac_ok[codec == "flac"]
     out[codec == "opus"] = opus_ok[codec == "opus"]
+    for name, tag in (("pcm_alaw", 6), ("pcm_mulaw", 7),
+                      ("adpcm_ima_wav", 0x11)):
+        m = codec == name
+        out[m] = (wav_sr_ok & (fmt_tag == tag))[m]
     return out
 
 
@@ -1405,9 +1427,15 @@ def codec_header_ok_expr(bytes_col="bytes", codec_col="codec",
     flac_ok = long_enough & (F.substring(b, 1, 4) == F.lit(b"fLaC"))
     opus_ok = (long_enough & (F.substring(b, 1, 4) == F.lit(b"OggS"))
                & (F.substring(b, 29, 8) == F.lit(b"OpusHead")))
+    fmt_tag = F.conv(F.hex(F.concat(F.substring(b, 22, 1),
+                                    F.substring(b, 21, 1))), 16, 10) \
+        .cast("long")
     return (F.when(codec == "pcm_s16le", wav_ok)
              .when(codec == "flac", flac_ok)
              .when(codec == "opus", opus_ok)
+             .when(codec == "pcm_alaw", wav_ok & (fmt_tag == 6))
+             .when(codec == "pcm_mulaw", wav_ok & (fmt_tag == 7))
+             .when(codec == "adpcm_ima_wav", wav_ok & (fmt_tag == 0x11))
              .otherwise(F.lit(False)))
 
 

@@ -223,6 +223,37 @@ def test_payload_duration_covers_new_codecs():
     assert np.isnan(got[4]) and np.isnan(got[5])
 
 
+def test_header_check_telephony_parity():
+    """header_ok_batch and the pure-JVM expr agree on the new codecs:
+    tag match, tag mismatch (declared mulaw, payload alaw), sr mismatch,
+    garbage."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from conftest import get_spark
+    x = _sine(sr=8000, ms=30)
+    rows = [
+        ("ok_mu", pc.wav_bytes_g711(x, 8000, law="mulaw"), "pcm_mulaw", 8000, True),
+        ("ok_a", pc.wav_bytes_g711(x, 8000, law="alaw"), "pcm_alaw", 8000, True),
+        ("ok_ima", pc.wav_bytes_ima_adpcm(x, 8000), "adpcm_ima_wav", 8000, True),
+        ("xtag", pc.wav_bytes_g711(x, 8000, law="alaw"), "pcm_mulaw", 8000, False),
+        ("xsr", pc.wav_bytes_g711(x, 8000, law="mulaw"), "pcm_mulaw", 16000, False),
+        ("xgarbage", b"\x00\x01", "pcm_mulaw", 8000, False),
+        ("xpcm_decl", audio.wav_bytes(x, 8000), "pcm_mulaw", 8000, False),
+    ]
+    got = audio.header_ok_batch(
+        pd.Series([r[1] for r in rows]),
+        pd.Series([r[2] for r in rows]),
+        pd.Series([r[3] for r in rows], dtype="float64"))
+    assert list(got) == [r[4] for r in rows]
+    spark = get_spark()
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3]) for r in rows],
+        "clip_id string, bytes binary, codec string, sr_hz int")
+    jvm = {r["clip_id"]: r["ok"] for r in df.select(
+        "clip_id", audio.codec_header_ok_expr().alias("ok")).collect()}
+    assert jvm == {r[0]: r[4] for r in rows}
+
+
 # --- transcode integration ---------------------------------------------------
 
 def test_transcode_payload_new_codecs():
