@@ -1324,7 +1324,10 @@ def loudness_in_range_check(min_lufs: float = -38.0,
 # ---------------------------------------------------------------------------
 
 def _slice_eq(s: pd.Series, lo: int, hi: int, magic: bytes) -> pd.Series:
-    return s.str.slice(lo, hi) == magic
+    # astype(bool): bytes-Series comparison yields OBJECT dtype, which
+    # would propagate through every `&` and make masked assignment into
+    # a bool Series upcast (pandas 2.x FutureWarning, 3.x error)
+    return (s.str.slice(lo, hi) == magic).astype(bool)
 
 
 def _le_u32(s: pd.Series, off: int) -> pd.Series:
@@ -1372,15 +1375,21 @@ def header_ok_batch(b: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.Seri
     flac_ok = long_enough & _slice_eq(b, 0, 4, b"fLaC")
     opus_ok = (long_enough & _slice_eq(b, 0, 4, b"OggS")
                & _slice_eq(b, 28, 36, b"OpusHead"))
-    out = pd.Series(False, index=b.index)
-    out[codec == "pcm_s16le"] = wav_sr_ok[codec == "pcm_s16le"]
-    out[codec == "flac"] = flac_ok[codec == "flac"]
-    out[codec == "opus"] = opus_ok[codec == "opus"]
+    # pure boolean algebra (no masked setitem — pandas 2.x upcasts a bool
+    # Series to object on mask-assignment, tripping its 3.x FutureWarning)
+    out = (codec == "pcm_s16le") & wav_sr_ok
+    out |= (codec == "flac") & flac_ok
+    out |= (codec == "opus") & opus_ok
     for name, tag in (("pcm_alaw", 6), ("pcm_mulaw", 7),
                       ("adpcm_ima_wav", 0x11)):
-        m = codec == name
-        out[m] = (wav_sr_ok & (fmt_tag == tag))[m]
-    return out
+        out |= (codec == name) & wav_sr_ok & (fmt_tag == tag)
+    # wide/float PCM may arrive bare (tag 1/3) or wrapped in
+    # WAVE_FORMAT_EXTENSIBLE (0xFFFE); both are conformant containers
+    for name, tag in (("pcm_u8", 1), ("pcm_s24le", 1), ("pcm_s32le", 1),
+                      ("pcm_f32le", 3), ("pcm_f64le", 3)):
+        out |= ((codec == name) & wav_sr_ok
+                & ((fmt_tag == tag) | (fmt_tag == 0xFFFE)))
+    return out.astype(bool)
 
 
 @pandas_udf(BooleanType())
@@ -1436,6 +1445,10 @@ def codec_header_ok_expr(bytes_col="bytes", codec_col="codec",
              .when(codec == "pcm_alaw", wav_ok & (fmt_tag == 6))
              .when(codec == "pcm_mulaw", wav_ok & (fmt_tag == 7))
              .when(codec == "adpcm_ima_wav", wav_ok & (fmt_tag == 0x11))
+             .when(codec.isin("pcm_u8", "pcm_s24le", "pcm_s32le"),
+                   wav_ok & fmt_tag.isin(1, 0xFFFE))
+             .when(codec.isin("pcm_f32le", "pcm_f64le"),
+                   wav_ok & fmt_tag.isin(3, 0xFFFE))
              .otherwise(F.lit(False)))
 
 
@@ -2044,7 +2057,8 @@ def transcode_payload(b: bytes, codec: str) -> bytes:
     if codec == "flac":
         sr, pcm = flac_decode(b)
         return wav_bytes(pcm, sr)
-    if codec in ("pcm_mulaw", "pcm_alaw", "adpcm_ima_wav"):
+    if codec in ("pcm_mulaw", "pcm_alaw", "adpcm_ima_wav", "pcm_u8",
+                 "pcm_s24le", "pcm_s32le", "pcm_f32le", "pcm_f64le"):
         from .pcm_codecs import decode_wav_extended
         sr, x = decode_wav_extended(b)
         return wav_bytes(_to_pcm16(x), sr)

@@ -21,10 +21,17 @@ cluster).
 
 Container grammar: G.711 WAVs use fmt tag 6 (A-law) / 7 (mu-law) with
 8-bit samples and a ``fact`` chunk; IMA ADPCM uses fmt tag 0x11 with
-the 4-byte-per-block header (predictor int16, step index, reserved)
-and low-nibble-first packing per the Microsoft WAVE spec — note
+a 4-byte header per channel per block (predictor int16, step index,
+reserved), channel data alternating in 4-byte nibble groups, and
+low-nibble-first packing per the Microsoft WAVE spec — note
 ``audioop`` packs high-nibble-first, so the exhaustive parity tests
 compare nibble *sequences*, not raw bytes.
+
+The module also covers the uncompressed WAV family beyond PCM16:
+integer PCM at 8 (unsigned) / 24 / 32 bits, IEEE float 32/64 (tag 3),
+and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers — the containers studio
+masters and DAW exports actually arrive in before a pipeline
+canonicalizes them to mono PCM16.
 """
 
 from __future__ import annotations
@@ -177,15 +184,24 @@ def ima_decode_core(codes: np.ndarray, pred: int = 0,
 
 
 # ---------------------------------------------------------------------------
-# WAV containers for the three codecs (mono writers; the extended parser
-# below downmixes multi-channel G.711 and refuses multi-channel IMA —
-# per-channel 4-byte interleave groups are out of the engine subset).
+# WAV containers. The extended parser below decodes every fmt tag the
+# engine supports — integer PCM at 8/16/24/32 bits, IEEE float 32/64,
+# G.711, IMA ADPCM (mono and stereo per-channel 4-byte interleave
+# groups), and WAVE_FORMAT_EXTENSIBLE wrappers around any of them —
+# downmixing multi-channel payloads to the corpus-canonical mono mean.
 # ---------------------------------------------------------------------------
 
 WAVE_FORMAT_PCM = 1
+WAVE_FORMAT_IEEE_FLOAT = 3
 WAVE_FORMAT_ALAW = 6
 WAVE_FORMAT_MULAW = 7
 WAVE_FORMAT_IMA_ADPCM = 0x11
+WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+# KSDATAFORMAT_SUBTYPE GUIDs share one tail ({…-0000-0010-8000-00aa00389b71});
+# the leading u16 of Data1 is the classic fmt tag. Parsing EXTENSIBLE thus
+# reduces to: check the tail, read the tag back out of the GUID.
+_KS_GUID_TAIL = bytes.fromhex("000000001000800000aa00389b71")
 
 
 def _riff(chunks: list) -> bytes:
@@ -214,39 +230,117 @@ def wav_bytes_g711(samples: np.ndarray, sr_hz: int, *,
 
 def wav_bytes_ima_adpcm(samples: np.ndarray, sr_hz: int, *,
                         block_align: int = 512) -> bytes:
-    """Mono int16 samples -> an IMA-ADPCM WAV (fmt tag 0x11): per-block
-    4-byte header (first sample verbatim as the predictor, step index,
-    reserved 0) + low-nibble-first codes; the final partial block is
-    zero-padded and the fact chunk's true sample count makes the
-    decoder truncate the padding."""
-    if block_align < 8 or block_align % 4:
-        raise ValueError("block_align must be a multiple of 4, >= 8")
-    spb = (block_align - 4) * 2 + 1        # samples per block
-    x = samples.astype(np.int16)
-    n = len(x)
+    """int16 samples (``(n,)`` mono or ``(n, n_ch)`` frames) -> an
+    IMA-ADPCM WAV (fmt tag 0x11): per-block 4-byte header PER CHANNEL
+    (first frame's sample verbatim as the predictor, step index,
+    reserved 0) followed by the channel data in alternating 4-byte
+    (8-nibble) groups, low nibble first, per the Microsoft WAVE spec.
+    The final partial block is zero-padded and the fact chunk's true
+    frame count makes the decoder truncate the padding."""
+    x = np.asarray(samples, dtype=np.int16)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, n_ch = x.shape
+    body_bytes = block_align - 4 * n_ch
+    if body_bytes <= 0 or body_bytes % (4 * n_ch):
+        raise ValueError(
+            "block_align minus channel headers must be a positive "
+            "multiple of 4*n_ch")
+    spb = (body_bytes // n_ch) * 2 + 1     # frames per block
     blocks = []
-    index = 0
+    index = [0] * n_ch
     for start in range(0, max(n, 1), spb):
         blk = x[start: start + spb]
         if len(blk) == 0:
             break
-        pred = int(blk[0])
-        body = blk[1:]
-        if len(body) < spb - 1:            # zero-pad the tail block
-            body = np.concatenate([
-                body, np.zeros(spb - 1 - len(body), dtype=np.int16)])
-        codes, _, end_index = ima_encode_core(body, pred, index)
-        packed = (codes[0::2] | (codes[1::2] << 4)).astype(np.uint8)
-        # header carries the STARTING index for this block's body (the
-        # decoder's initial state); the end state seeds the next block.
-        blocks.append(struct.pack("<hBB", pred, index, 0) + packed.tobytes())
-        index = end_index
-    fmt = struct.pack("<HHIIHHH", WAVE_FORMAT_IMA_ADPCM, 1, sr_hz,
+        if len(blk) < spb:                 # zero-pad the tail block
+            blk = np.concatenate([
+                blk, np.zeros((spb - len(blk), n_ch), dtype=np.int16)])
+        hdr, packed_ch = [], []
+        for c in range(n_ch):
+            pred = int(blk[0, c])
+            # header carries the STARTING index for this block's body
+            # (the decoder's initial state); the end state seeds the
+            # next block.
+            hdr.append(struct.pack("<hBB", pred, index[c], 0))
+            codes, _, end_index = ima_encode_core(blk[1:, c], pred, index[c])
+            packed_ch.append(
+                (codes[0::2] | (codes[1::2] << 4)).astype(np.uint8))
+            index[c] = end_index
+        # interleave per-channel bytes as 4-byte groups: ch0 ch1 ... chN
+        groups = np.stack([p.reshape(-1, 4) for p in packed_ch], axis=1)
+        blocks.append(b"".join(hdr) + groups.tobytes())
+    fmt = struct.pack("<HHIIHHH", WAVE_FORMAT_IMA_ADPCM, n_ch, sr_hz,
                       (sr_hz * block_align + spb - 1) // spb,
                       block_align, 4, 2) + struct.pack("<H", spb)
     fact = struct.pack("<I", n)
     return _riff([(b"fmt ", fmt), (b"fact", fact),
                   (b"data", b"".join(blocks))])
+
+
+def _guid_for_tag(tag: int) -> bytes:
+    return struct.pack("<H", tag) + _KS_GUID_TAIL
+
+
+def wav_bytes_pcm(x: np.ndarray, sr_hz: int, *, bits: int = 16,
+                  fmt: str = "int", extensible: bool = False) -> bytes:
+    """Float samples in [-1, 1] (shape ``(n,)`` mono or ``(n, n_ch)``
+    interleaved frames) -> a PCM WAV at any engine-supported width:
+    integer 8 (unsigned, per the WAVE spec) / 16 / 24 / 32 bits or IEEE
+    float 32/64 (``fmt='float'``); ``extensible=True`` wraps the same
+    payload in a WAVE_FORMAT_EXTENSIBLE fmt chunk (cbSize 22, valid
+    bits = container bits, KS subformat GUID) — the layout editors and
+    DAWs emit for >16-bit or >2-channel masters."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, n_ch = x.shape
+    flat = x.reshape(-1)
+    if fmt == "float":
+        if bits == 32:
+            data = flat.astype("<f4").tobytes()
+        elif bits == 64:
+            data = flat.astype("<f8").tobytes()
+        else:
+            raise ValueError("float WAV must be 32- or 64-bit")
+        tag = WAVE_FORMAT_IEEE_FLOAT
+    elif fmt == "int":
+        if bits == 8:
+            data = (np.round(flat * 127.0) + 128).clip(0, 255) \
+                .astype(np.uint8).tobytes()
+        elif bits == 16:
+            data = np.round(flat * 32767.0).clip(-32768, 32767) \
+                .astype("<i2").tobytes()
+        elif bits == 24:
+            v = np.round(flat * 8388607.0).clip(-8388608, 8388607) \
+                .astype(np.int32)
+            b3 = np.empty((len(v), 3), dtype=np.uint8)
+            b3[:, 0] = v & 0xFF
+            b3[:, 1] = (v >> 8) & 0xFF
+            b3[:, 2] = (v >> 16) & 0xFF
+            data = b3.tobytes()
+        elif bits == 32:
+            data = np.round(flat * 2147483647.0) \
+                .clip(-2147483648, 2147483647).astype("<i4").tobytes()
+        else:
+            raise ValueError("int PCM WAV must be 8/16/24/32-bit")
+        tag = WAVE_FORMAT_PCM
+    else:
+        raise ValueError("fmt must be 'int' or 'float'")
+    frame = (bits // 8) * n_ch
+    if extensible:
+        fmt_chunk = struct.pack(
+            "<HHIIHHHHI", WAVE_FORMAT_EXTENSIBLE, n_ch, sr_hz,
+            sr_hz * frame, frame, bits, 22, bits,
+            (1 << n_ch) - 1) + _guid_for_tag(tag)
+    else:
+        fmt_chunk = struct.pack("<HHIIHH", tag, n_ch, sr_hz,
+                                sr_hz * frame, frame, bits)
+    chunks = [(b"fmt ", fmt_chunk)]
+    if tag == WAVE_FORMAT_IEEE_FLOAT:
+        chunks.append((b"fact", struct.pack("<I", n)))
+    chunks.append((b"data", data))
+    return _riff(chunks)
 
 
 def _walk_wav(b: bytes) -> dict:
@@ -269,6 +363,23 @@ def _walk_wav(b: bytes) -> dict:
                 "<HHIIHH", b, body)
             if size >= 20:
                 info["ext"] = struct.unpack_from("<H", b, body + 18)[0]
+            if info["fmt_tag"] == WAVE_FORMAT_EXTENSIBLE:
+                # cbSize(2) validBits(2) channelMask(4) SubFormat GUID(16)
+                if size < 40 or body + 40 > end:
+                    raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt")
+                cb = struct.unpack_from("<H", b, body + 16)[0]
+                if cb < 22:
+                    raise ValueError("EXTENSIBLE cbSize must be >= 22")
+                valid_bits = struct.unpack_from("<H", b, body + 18)[0]
+                ch_mask = struct.unpack_from("<I", b, body + 20)[0]
+                guid = b[body + 24: body + 40]
+                if guid[2:] != _KS_GUID_TAIL:
+                    raise ValueError(
+                        "unknown WAVE_FORMAT_EXTENSIBLE subformat GUID")
+                info["container_tag"] = WAVE_FORMAT_EXTENSIBLE
+                info["fmt_tag"] = struct.unpack_from("<H", guid, 0)[0]
+                info["valid_bits"] = valid_bits or info["bits"]
+                info["channel_mask"] = ch_mask
         elif cid == b"fact":
             if size >= 4 and body + 4 <= end:
                 info["fact"] = struct.unpack_from("<I", b, body)[0]
@@ -285,26 +396,70 @@ def _walk_wav(b: bytes) -> dict:
     return info
 
 
-def _ima_samples_per_block(block_align: int) -> int:
-    return (block_align - 4) * 2 + 1
+def _ima_samples_per_block(block_align: int, n_ch: int = 1) -> int:
+    return ((block_align - 4 * n_ch) // n_ch) * 2 + 1
+
+
+def _decode_int_pcm(raw: bytes, bits: int, n_ch: int) -> np.ndarray:
+    """Interleaved integer-PCM frames -> mono float in [-1, 1]: signed
+    little-endian at 16/24/32 bits, unsigned at 8 (per the WAVE spec),
+    channel-mean downmix."""
+    frame = (bits // 8) * n_ch
+    raw = raw[: (len(raw) // frame) * frame]
+    if bits == 8:
+        x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128) / 127.0
+    elif bits == 16:
+        x = np.frombuffer(raw, "<i2").astype(np.float64) / 32767.0
+    elif bits == 24:
+        u = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.int64)
+        v = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)
+        x = np.where(v & 0x800000, v - (1 << 24), v) / 8388607.0
+    elif bits == 32:
+        x = np.frombuffer(raw, "<i4").astype(np.float64) / 2147483647.0
+    else:
+        raise ValueError(f"integer PCM at {bits} bits outside WAVE spec")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x
 
 
 def decode_wav_extended(b: bytes) -> tuple[int, np.ndarray]:
     """Parse a WAV of any engine-supported encoding -> (sr, mono float
-    samples in [-1,1)): integer PCM16 (tag 1), A-law (6), mu-law (7),
-    mono IMA ADPCM (0x11). Multi-channel G.711/PCM downmixes by channel
-    mean (the corpus canonical form); multi-channel IMA raises
-    NotImplementedError (per-channel nibble interleave — out of
-    subset). ValueError on malformed containers, same policy as
-    decode_wav_pcm16."""
+    samples in [-1,1)): integer PCM at 8/16/24/32 bits (tag 1), IEEE
+    float 32/64 (tag 3), A-law (6), mu-law (7), IMA ADPCM mono or
+    multi-channel (0x11), each optionally wrapped in
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE — the subformat GUID routes back to
+    the classic tag). Multi-channel payloads downmix by channel mean
+    (the corpus canonical form). ValueError on malformed containers,
+    same policy as decode_wav_pcm16."""
     info = _walk_wav(b)
     tag, raw = info["fmt_tag"], info["raw"]
     n_ch, sr = info["n_ch"], info["sr"]
     if n_ch < 1:
         raise ValueError("bad channel count")
     if tag == WAVE_FORMAT_PCM:
-        from .audio import decode_wav_pcm16
-        return decode_wav_pcm16(b)
+        if info["bits"] == 16 and "container_tag" not in info:
+            from .audio import decode_wav_pcm16
+            return decode_wav_pcm16(b)
+        x = _decode_int_pcm(raw, info["bits"], n_ch)
+        if info["fact"] is not None:
+            x = x[: info["fact"]]
+        return sr, x
+    if tag == WAVE_FORMAT_IEEE_FLOAT:
+        if info["bits"] == 32:
+            x = np.frombuffer(raw[: (len(raw) // (4 * n_ch)) * 4 * n_ch],
+                              "<f4").astype(np.float64)
+        elif info["bits"] == 64:
+            x = np.frombuffer(raw[: (len(raw) // (8 * n_ch)) * 8 * n_ch],
+                              "<f8").astype(np.float64)
+        else:
+            raise ValueError("IEEE float WAV must be 32- or 64-bit")
+        x = np.clip(x, -1.0, 1.0)
+        if n_ch > 1:
+            x = x.reshape(-1, n_ch).mean(axis=1)
+        if info["fact"] is not None:
+            x = x[: info["fact"]]
+        return sr, x
     if tag in (WAVE_FORMAT_ALAW, WAVE_FORMAT_MULAW):
         if info["bits"] != 8:
             raise ValueError("G.711 WAV must be 8-bit")
@@ -319,29 +474,36 @@ def decode_wav_extended(b: bytes) -> tuple[int, np.ndarray]:
             x = x[: info["fact"]]
         return sr, x
     if tag == WAVE_FORMAT_IMA_ADPCM:
-        if n_ch != 1:
-            raise NotImplementedError(
-                "multi-channel IMA ADPCM outside engine subset")
         ba = info["block_align"]
-        if ba < 8:
+        if ba < 8 * n_ch:                  # header + one group round
             raise ValueError("bad IMA block align")
-        spb = _ima_samples_per_block(ba)
         out = []
         for start in range(0, len(raw), ba):
             blk = raw[start: start + ba]
-            if len(blk) < 4:
+            if len(blk) < 4 * n_ch:
                 raise ValueError("truncated IMA block header")
-            pred, index, _ = struct.unpack_from("<hBB", blk, 0)
-            if index > 88:
-                raise ValueError("IMA step index out of range")
-            packed = np.frombuffer(blk[4:], dtype=np.uint8)
-            codes = np.empty(len(packed) * 2, dtype=np.uint8)
-            codes[0::2] = packed & 0x0F
-            codes[1::2] = packed >> 4
-            dec, _, _ = ima_decode_core(codes, pred, index)
-            out.append(np.concatenate([[np.int16(pred)], dec]))
-        x = (np.concatenate(out) if out
-             else np.zeros(0, dtype=np.int16)).astype(np.float64) / 32767.0
+            body = np.frombuffer(blk[4 * n_ch:], dtype=np.uint8)
+            # channel data alternates in 4-byte (8-nibble) groups;
+            # a tail block shorter than block_align must still close
+            # on a whole group round so every channel stays in step
+            if len(body) % (4 * n_ch):
+                raise ValueError("IMA block body not group-aligned")
+            groups = body.reshape(-1, n_ch, 4)
+            chans = []
+            for c in range(n_ch):
+                pred, index, _ = struct.unpack_from("<hBB", blk, 4 * c)
+                if index > 88:
+                    raise ValueError("IMA step index out of range")
+                packed = groups[:, c, :].reshape(-1)
+                codes = np.empty(len(packed) * 2, dtype=np.uint8)
+                codes[0::2] = packed & 0x0F
+                codes[1::2] = packed >> 4
+                dec, _, _ = ima_decode_core(codes, pred, index)
+                chans.append(np.concatenate([[np.int16(pred)], dec]))
+            out.append(np.stack(chans, axis=1))
+        x2 = (np.concatenate(out) if out
+              else np.zeros((0, n_ch), dtype=np.int16))
+        x = x2.astype(np.float64).mean(axis=1) / 32767.0
         if info["fact"] is not None:
             x = x[: info["fact"]]
         return sr, x
@@ -361,17 +523,21 @@ def wav_info(b: bytes) -> dict:
     n = info["fact"]
     if n is None:
         size = len(info["raw"])
-        if tag == WAVE_FORMAT_PCM:
-            n = size // (2 * n_ch)
+        if tag in (WAVE_FORMAT_PCM, WAVE_FORMAT_IEEE_FLOAT):
+            bits = info["bits"]
+            if bits % 8 or bits == 0:
+                raise ValueError("bad bits-per-sample")
+            n = size // ((bits // 8) * n_ch)
         elif tag in (WAVE_FORMAT_ALAW, WAVE_FORMAT_MULAW):
             n = size // n_ch
         elif tag == WAVE_FORMAT_IMA_ADPCM:
             ba = info["block_align"]
-            if ba < 8:
+            if ba < 8 * n_ch:
                 raise ValueError("bad IMA block align")
-            spb = _ima_samples_per_block(ba)
+            spb = _ima_samples_per_block(ba, n_ch)
             full, rem = divmod(size, ba)
-            n = full * spb + (max((rem - 4) * 2 + 1, 0) if rem else 0)
+            n = full * spb + (
+                max(((rem - 4 * n_ch) // n_ch) * 2 + 1, 0) if rem else 0)
         else:
             raise NotImplementedError(
                 f"WAV format tag {tag} outside engine subset")
