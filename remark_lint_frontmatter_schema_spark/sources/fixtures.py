@@ -30,6 +30,13 @@ CLIPS_SCHEMA = (
 
 SR_DOMAIN = [8000, 16000, 22050, 44100, 48000]
 CODECS = ["pcm_s16le", "flac", "opus"]
+# Extended tier: the full codec family the engine validates/decodes —
+# telephony G.711 + IMA ADPCM, plus the wide/float PCM containers studio
+# masters arrive in (bare or WAVE_FORMAT_EXTENSIBLE-wrapped). Kept out of
+# the base corpus so round-pinned goldens/bench numbers stay comparable.
+CODECS_EXTENDED = CODECS + [
+    "pcm_mulaw", "pcm_alaw", "adpcm_ima_wav",
+    "pcm_u8", "pcm_s24le", "pcm_s32le", "pcm_f32le", "pcm_f64le"]
 LANGS = ["en", "de", "fr"]
 _WORDS = ("the quick brown fox jumps over a lazy dog near riverbank "
           "while birds sing softly under warm summer skies").split()
@@ -79,11 +86,44 @@ def expected_signal(i: int, audio_ms: int):
     return sr, audio.sine_signal(i, sr, n)
 
 
+def payload_for(i: int, codec: str, sr_hz: int, audio_ms: int) -> bytes:
+    """Conformant payload for any engine codec, carrying clip ``i``'s
+    seeded sine+noise signal. Wide/float PCM rows alternate bare and
+    WAVE_FORMAT_EXTENSIBLE containers deterministically (``i % 2``) so
+    both layouts stay exercised. Base codecs are byte-identical to what
+    :func:`generate_clips` has always emitted."""
+    if codec == "flac":
+        return audio.flac_stub_bytes(i, sr_hz, audio_ms)
+    if codec == "opus":
+        return audio.opus_stub_bytes(i, sr_hz, audio_ms)
+    if codec in ("pcm_s16le", "divx"):  # injected enum rows keep a WAV
+        return audio.synth_wav(i, sr_hz, audio_ms)
+    from ..functions import pcm_codecs as pc
+    n = max(1, int(sr_hz * audio_ms / 1000))
+    x16 = audio.synth_pcm16(i, sr_hz, n)
+    if codec == "pcm_mulaw":
+        return pc.wav_bytes_g711(x16, sr_hz, law="mulaw")
+    if codec == "pcm_alaw":
+        return pc.wav_bytes_g711(x16, sr_hz, law="alaw")
+    if codec == "adpcm_ima_wav":
+        return pc.wav_bytes_ima_adpcm(x16, sr_hz)
+    xf = x16.astype(np.float64) / 32767.0
+    ext = bool(i % 2)
+    wide = {"pcm_u8": (8, "int"), "pcm_s24le": (24, "int"),
+            "pcm_s32le": (32, "int"), "pcm_f32le": (32, "float"),
+            "pcm_f64le": (64, "float")}
+    if codec in wide:
+        bits, fmt = wide[codec]
+        return pc.wav_bytes_pcm(xf, sr_hz, bits=bits, fmt=fmt,
+                                extensible=ext)
+    raise ValueError(f"no payload writer for codec {codec!r}")
+
+
 def _make_row(i: int, n_rows: int, audio_ms: int, with_bytes: bool,
-              n_hot: int) -> tuple:
+              n_hot: int, codecs: list = CODECS) -> tuple:
     d = defect_class(i)
     sr = SR_DOMAIN[i % len(SR_DOMAIN)]
-    codec = CODECS[i % len(CODECS)]
+    codec = codecs[i % len(codecs)]
     # dur_ms: deterministic in [200, 30000]; last partition drawn from a
     # +60%-mean shifted distribution (drift_partition class, FIXTURES.md)
     base_dur = 200 + (i * 7919) % 29800
@@ -130,14 +170,11 @@ def _make_row(i: int, n_rows: int, audio_ms: int, with_bytes: bool,
             b = b"RIFX\x00\x01garbage-not-a-wav" + bytes(8)
         elif d == "codec_header_mismatch":
             b = audio.synth_wav(i, max(sr, 8000) * 2, audio_ms)
-        elif codec == "flac":
-            b = audio.flac_stub_bytes(i, max(sr, 8000), audio_ms)
-        elif codec == "opus":
-            # conformant container whose OpusHead sr and granule duration
-            # agree with the row's declared metadata convention
-            b = audio.opus_stub_bytes(i, max(sr, 8000), audio_ms)
-        else:  # pcm_s16le (and the injected 'divx' rows keep a WAV payload)
-            b = audio.synth_wav(i, max(sr, 8000), audio_ms)
+        else:
+            # conformant container whose header metadata (fmt tag /
+            # OpusHead sr / granule duration) agrees with the row's
+            # declared codec + sr convention
+            b = payload_for(i, codec, max(sr, 8000), audio_ms)
 
     return (clip_id, b, sr, dur, codec, transcript, speaker, props,
             pdate, ruleset)
@@ -169,6 +206,37 @@ def generate_clips(
                     for i in pdf["id"]]
             out = pd.DataFrame(rows, columns=cols)
             yield out
+
+    rng = spark.range(0, n_rows, numPartitions=num_partitions)
+    return rng.mapInPandas(gen, schema=CLIPS_SCHEMA)
+
+
+def generate_clips_extended(
+    spark: SparkSession,
+    n_rows: int,
+    *,
+    audio_ms: int = 40,
+    with_bytes: bool = True,
+    n_hot: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The clips table over the FULL codec family (CODECS_EXTENDED):
+    G.711 mu/A-law, IMA ADPCM, wide/float PCM with alternating bare /
+    EXTENSIBLE containers, alongside the base pcm_s16le/flac/opus rows.
+    Same defect-injection machinery and determinism contract as
+    :func:`generate_clips`; a separate tier so the base corpus's
+    round-pinned goldens and bench numbers stay comparable."""
+    if n_hot is None:
+        n_hot = min(1000, max(0, n_rows // 200))
+    cols = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript",
+            "speaker_id", "props", "part_date", "ruleset_id"]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [_make_row(int(i), n_rows, audio_ms, with_bytes, n_hot,
+                              codecs=CODECS_EXTENDED)
+                    for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=cols)
 
     rng = spark.range(0, n_rows, numPartitions=num_partitions)
     return rng.mapInPandas(gen, schema=CLIPS_SCHEMA)
