@@ -750,10 +750,12 @@ def image_features_map_in_pandas(iterator):
 
 
 def frame_sample_map_in_pandas(every_ms: int = 1000):
-    """Video frame sampling STUB: emits the frame *schedule* (indices +
-    timestamps from declared duration metadata) with a stub payload marker;
-    a real decoder fills the frame bytes. Demonstrates the fan-out shape:
-    one input row -> many frame rows, still map-only."""
+    """Video frame-sampling SCHEDULE stub for compressed codecs: emits
+    indices + timestamps from declared duration metadata with a stub
+    payload marker. For real frame sampling with real pixel decode use
+    functions/video.py (Y4M: closed-form frame offsets, decodes ONLY the
+    sampled frames); this shape remains for codecs that need an external
+    decoder. One input row -> many frame rows, still map-only."""
 
     def fn(iterator):
         for pdf in iterator:
