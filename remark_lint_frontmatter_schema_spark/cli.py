@@ -176,14 +176,19 @@ def discover_tables(root: str) -> list[str]:
 
 
 def _builtin_checks() -> dict:
-    """The engine's named ``x-spark-check`` registry (audio payload
-    checks: codec_header, duration_consistent, speech_loudness,
+    """The engine's named ``x-spark-check`` registry — audio payload
+    checks (codec_header, duration_consistent, speech_loudness,
     opus_container/opus_consistent, voiced/tonal/not_clipped,
-    canonical_wav) — wired into every CLI compile site so YAML rulesets
-    can reference them; library callers pass their own ``extra_checks``
-    (optionally merging this dict)."""
+    canonical_wav), image checks (image_magic, image_decodes,
+    png_dims_match) and video checks (video_magic, video_decodes,
+    video_duration_consistent) — wired into every CLI compile site so
+    YAML rulesets can reference them; library callers pass their own
+    ``extra_checks`` (optionally merging this dict)."""
     from .functions.audio import register_audio_checks
-    return register_audio_checks()
+    from .functions.multimodal import register_image_checks
+    from .functions.video import register_video_checks
+    return {**register_audio_checks(), **register_image_checks(),
+            **register_video_checks()}
 
 
 def _run_workspace(spark, args) -> int:

@@ -858,7 +858,9 @@ def payload_duration_ms_batch(b: pd.Series) -> pd.Series:
     header-only metadata walk (fact chunk / frame math — covers PCM16,
     G.711 mu/A-law and IMA ADPCM without touching sample data), FLAC
     STREAMINFO total_samples (header only, no frame decode), Ogg/Opus
-    final granule position at 48 kHz (CRC-verified page walk).
+    final granule position at 48 kHz (CRC-verified page walk), MP3
+    frame-header lattice walk (4 bytes read per frame, payloads skipped
+    by length math; Xing/VBRI counts cross-checked).
     Unrecognized / malformed payloads -> NaN."""
     from .pcm_codecs import wav_info
     out = []
@@ -875,6 +877,11 @@ def payload_duration_ms_batch(b: pd.Series) -> pd.Series:
                            if si["sr_hz"] else float("nan"))
             elif raw[:4] == b"OggS":
                 out.append(float(opus_meta(raw)["duration_ms"]))
+            elif raw[:3] == b"ID3" or (
+                    len(raw) >= 2 and raw[0] == 0xFF
+                    and raw[1] & 0xE0 == 0xE0):
+                from .mp3 import mp3_info
+                out.append(float(mp3_info(raw)["duration_ms"]))
             else:
                 out.append(float("nan"))
         except (ValueError, NotImplementedError, IndexError):
@@ -1389,6 +1396,10 @@ def header_ok_batch(b: pd.Series, codec: pd.Series, sr_hz: pd.Series) -> pd.Seri
                       ("pcm_f32le", 3), ("pcm_f64le", 3)):
         out |= ((codec == name) & wav_sr_ok
                 & ((fmt_tag == tag) | (fmt_tag == 0xFFFE)))
+    is_mp3 = codec == "mp3"
+    if bool(is_mp3.any()):                 # python walk only when present
+        from .mp3 import mp3_header_ok_batch
+        out |= is_mp3 & mp3_header_ok_batch(b, sr_hz)
     return out.astype(bool)
 
 
@@ -1401,14 +1412,21 @@ HEADER_PREFIX_LEN = 64  # covers WAV 44-byte canonical header + OpusHead@28:36
 
 
 def codec_header_ok_col(bytes_col="bytes", codec_col="codec",
-                        sr_col="sr_hz"):
+                        sr_col="sr_hz", *,
+                        prefix_len: int = HEADER_PREFIX_LEN):
     """The production form of the header check: slice the first 64 bytes
     JVM-side, THEN cross to Python. The Arrow channel carries 64 B/row
     instead of the whole payload — at 8M x ~900 B rows that is a 14x cut in
     transfer volume, and the difference between a stage that anti-scales
-    (measured 15s@4 cores -> 22s@16) and one that scales."""
+    (measured 15s@4 cores -> 22s@16) and one that scales.
+
+    Caveat for ``codec='mp3'``: an ID3v2 tag longer than ``prefix_len-4``
+    pushes the first frame header past the slice and the row fails the
+    check; raise ``prefix_len`` for ID3-heavy corpora, or prefer the
+    fully-JVM :func:`codec_header_ok_expr` (the DSL default), which reads
+    dynamic offsets with no prefix at all."""
     prefix = F.substring(F.col(bytes_col) if isinstance(bytes_col, str)
-                         else bytes_col, 1, HEADER_PREFIX_LEN)
+                         else bytes_col, 1, prefix_len)
     return codec_header_ok(prefix,
                            F.col(codec_col) if isinstance(codec_col, str) else codec_col,
                            F.col(sr_col) if isinstance(sr_col, str) else sr_col)
@@ -1449,7 +1467,13 @@ def codec_header_ok_expr(bytes_col="bytes", codec_col="codec",
                    wav_ok & fmt_tag.isin(1, 0xFFFE))
              .when(codec.isin("pcm_f32le", "pcm_f64le"),
                    wav_ok & fmt_tag.isin(3, 0xFFFE))
+             .when(codec == "mp3", long_enough & _mp3_expr(b, sr))
              .otherwise(F.lit(False)))
+
+
+def _mp3_expr(b, sr):
+    from .mp3 import mp3_header_ok_expr
+    return mp3_header_ok_expr(b, sr)
 
 
 def register_audio_checks() -> dict:
@@ -2064,7 +2088,8 @@ def transcode_payload(b: bytes, codec: str) -> bytes:
         return wav_bytes(_to_pcm16(x), sr)
     raise NotImplementedError(
         f"transcoding codec {codec!r} requires soundfile/ffmpeg "
-        "(not in sandbox); production swaps transcode_payload")
+        "(not in sandbox: opus packets and mp3 need SILK/CELT or "
+        "MDCT+Huffman entropy decode); production swaps transcode_payload")
 
 
 def transcode_clips(clips, *, codec_col: str = "codec",
