@@ -1634,6 +1634,74 @@ def q_approx_stats_lineitem(spark, sf):
     return stats.column_stats(li, ["l_quantity", "l_extendedprice"])
 
 
+def q_er_pairs_part(spark, sf):
+    """Entity resolution, match stage (operators/entity.er_pairs): the
+    part catalog's distinct names blocked on their LAST TOKEN (the noun:
+    "red widget"/"blue widget" share a block), verified by Levenshtein
+    <= 4 inside blocks. Blocking is REQUIRED by contract (the refused
+    global self-join); shuffle carries (name, block_key) only. Oracle:
+    the same block+verify as a DuckDB self-join — exact, not fuzzy."""
+    from remark_lint_frontmatter_schema_spark.operators.entity import (
+        er_pairs)
+    names = _load(spark, sf, "part").select("p_name").distinct()
+    blk = F.element_at(F.split("p_name", " "), -1)
+    return er_pairs(names, text_col="p_name", id_col="p_name",
+                    block=blk, max_edit=4).select(
+        F.col("id_a").alias("name_a"), F.col("id_b").alias("name_b"),
+        "edit")
+
+
+def q_er_golden_part(spark, sf):
+    """Survivorship (operators/entity.golden_records): cluster the
+    matched names transitively (large-star/small-star components) and
+    pick one survivor per entity by descending support (row count),
+    ties to the lexicographically smallest name. Only matched names
+    enter the survivorship window; the unmatched bulk is map-only.
+    Oracle: recursive-CTE components + one window."""
+    from remark_lint_frontmatter_schema_spark.operators.entity import (
+        er_pairs, golden_records)
+    part = _load(spark, sf, "part")
+    names = (part.groupBy("p_name")
+             .agg(F.count(F.lit(1)).alias("n_rows")))
+    blk = F.element_at(F.split("p_name", " "), -1)
+    pairs = er_pairs(names, text_col="p_name", id_col="p_name",
+                     block=blk, max_edit=4)
+    return golden_records(names, pairs, id_col="p_name",
+                          prefer=["n_rows"]).select(
+        "p_name", "entity_id", "n_rows", "is_survivor")
+
+
+def q_funnel_events(spark, sf):
+    """Ordered funnel (operators/funnel.funnel_counts): of the users who
+    signed up, how many then clicked, then purchased — each step
+    strictly after the previous and within 7 days of it. ONE shuffle
+    (groupBy user over funnel-type events only) + a pure-JVM greedy fold
+    over each user's sorted event array; step counts come off a
+    <=4-row histogram. Oracle: the same greedy recurrence as nested
+    min(ts) subqueries."""
+    from remark_lint_frontmatter_schema_spark.operators.funnel import (
+        funnel_counts)
+    ev = _load(spark, sf, "events")
+    return funnel_counts(ev, ["signup", "click", "purchase"],
+                         within_ms=7 * 86400 * 1000)
+
+
+def q_resample_events(spark, sf):
+    """Per-user daily resample + forward fill (operators/sequence.
+    resample_fill): bucket events to days keeping the bucket's LAST
+    value (ties by event_id), materialize every day from the user's
+    first event to the corpus's last day, carry values forward — the
+    daily-snapshot build. Grid via per-group sequence() explode; fill
+    via a per-GROUP window (never global). Oracle: DuckDB
+    generate_series + ASOF LEFT JOIN (latest prior observation ==
+    forward fill)."""
+    from remark_lint_frontmatter_schema_spark.operators.sequence import (
+        resample_fill)
+    ev = _load(spark, sf, "events")
+    return resample_fill(ev, ts_col="ts", value_col="value",
+                         by="user_id", unit="day", tie_break="event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders": q_validate_orders,
@@ -1659,6 +1727,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_documents": q_url_dedup_documents,
         "gibberish_documents": q_gibberish_documents,
         "lm_ppl_documents": q_lm_ppl_documents,
+        "er_pairs_part": q_er_pairs_part,
+        "er_golden_part": q_er_golden_part,
+        "funnel_events": q_funnel_events,
+        "resample_events": q_resample_events,
         "ref_orders_customer": q_ref_orders_customer,
         "ref_orders_customer_bloom": q_ref_orders_customer_bloom,
         "hist_events": q_hist_events,
@@ -2986,6 +3058,87 @@ WITH norm AS (
 )
 SELECT d.doc_id, s.nb AS n_bigrams, s.al AS avg_logp
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+""",
+        "er_pairs_part": """
+WITH d AS (SELECT DISTINCT p_name FROM part),
+b AS (SELECT p_name,
+             list_extract(string_split(p_name, ' '), -1) AS blk FROM d)
+SELECT a.p_name AS name_a, c.p_name AS name_b,
+       levenshtein(a.p_name, c.p_name) AS edit
+FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+WHERE levenshtein(a.p_name, c.p_name) <= 4
+""",
+        "er_golden_part": """
+WITH RECURSIVE d AS (
+  SELECT p_name, count(*) AS n_rows FROM part GROUP BY p_name
+), b AS (
+  SELECT p_name, list_extract(string_split(p_name, ' '), -1) AS blk
+  FROM d
+), pr AS (
+  SELECT a.p_name AS id_a, c.p_name AS id_b
+  FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+  WHERE levenshtein(a.p_name, c.p_name) <= 4
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM pr
+  UNION SELECT id_b, id_a FROM pr
+), reach(node, r) AS (
+  SELECT src, src FROM e
+  UNION SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node
+), comp AS (SELECT node, min(r) AS comp_id FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.p_name, d.n_rows, coalesce(c.comp_id, d.p_name) AS entity_id
+  FROM d LEFT JOIN comp c ON d.p_name = c.node
+)
+SELECT p_name, entity_id, n_rows,
+       row_number() OVER (PARTITION BY entity_id
+                          ORDER BY n_rows DESC, p_name ASC) = 1
+         AS is_survivor
+FROM labeled
+""",
+        "funnel_events": """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t
+    AND (epoch(e.ts) - epoch(t1.t)) * 1000.0 <= 604800000
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t
+    AND (epoch(e.ts) - epoch(t2.t)) * 1000.0 <= 604800000
+  GROUP BY e.user_id
+)
+SELECT 1 AS step, 'signup' AS name,
+       (SELECT count(*) FROM t1) AS users_reached
+UNION ALL
+SELECT 2, 'click', (SELECT count(*) FROM t2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+""",
+        "resample_events": """
+WITH obs AS (
+  SELECT user_id, bucket, value FROM (
+    SELECT user_id, date_trunc('day', ts) AS bucket, value,
+           row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts IS NOT NULL) WHERE rn = 1
+), last AS (SELECT max(bucket) AS last_b FROM obs),
+span AS (SELECT user_id, min(bucket) AS first_b FROM obs GROUP BY user_id),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(first_b, (SELECT last_b FROM last),
+                                INTERVAL 1 DAY)) AS bucket
+  FROM span
+)
+SELECT g.user_id, g.bucket, f.value,
+       o.user_id IS NOT NULL AS is_observed
+FROM grid g
+LEFT JOIN obs o ON o.user_id = g.user_id AND o.bucket = g.bucket
+ASOF LEFT JOIN obs f ON f.user_id = g.user_id AND g.bucket >= f.bucket
 """,
         "lm_ppl_documents": """
 WITH toks AS (

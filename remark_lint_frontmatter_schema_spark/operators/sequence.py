@@ -247,3 +247,67 @@ def monotonic_violations(
         F.lit(None).cast("array<string>").alias("expected"),
         F.lit(severity).alias("severity"),
     )
+
+
+def resample_fill(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    value_col: str,
+    by: str,
+    unit: str = "day",
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Per-group time-grid resample with forward fill: bucket ``ts_col``
+    to a fixed ``unit`` grid, keep the LAST observed ``value_col`` of
+    each bucket, then materialize every bucket from the group's first
+    observation to the CORPUS's last bucket, carrying the most recent
+    value forward (churned groups keep reporting their last state — the
+    classic daily-snapshot build).
+
+    Output: (``by``, bucket, value, is_observed). Ties inside a bucket
+    are broken by max ``ts_col`` then max ``tie_break`` (pass the
+    table's unique id for total determinism).
+
+    Scale shape: one groupBy((by, bucket)) aggregate (map-side partial,
+    carries (key, ts, value) only), a 1-row global-max relation joined
+    by broadcast, a per-group ``sequence()`` explode to build the grid
+    (output-proportional, no driver loop), and the forward fill as a
+    window partitioned BY GROUP — never a global window. The grid
+    explode makes output size explicit: groups x buckets rows, the same
+    cardinality any snapshot table has.
+
+    SQL twin: DuckDB ``generate_series`` + ``ASOF LEFT JOIN`` (grid.ts
+    >= obs.ts picks the latest prior observation == forward fill), so
+    driver queries over this operator are fully oracle-checked."""
+    if unit not in ("day", "hour", "week", "month", "minute"):
+        raise ValueError(f"unsupported resample unit {unit!r}")
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    tb = tie_break if tie_break is not None else ts_col
+    obs = (df.where(F.col(ts_col).isNotNull())
+             .select(F.col(by).alias("grp"), bucket,
+                     F.col(ts_col).alias("_ts"),
+                     F.col(tb).alias("_tb"),
+                     F.col(value_col).alias("value"))
+             .groupBy("grp", "bucket")
+             .agg(F.max_by("value", F.struct(F.col("_ts"), F.col("_tb")))
+                  .alias("value")))
+    # corpus-wide last bucket: 1-row relation, broadcast into the grid
+    last = obs.agg(F.max("bucket").alias("_last"))
+    span = (obs.groupBy("grp").agg(F.min("bucket").alias("_first"))
+               .crossJoin(F.broadcast(last)))
+    step = {"day": "interval 1 day", "hour": "interval 1 hour",
+            "week": "interval 7 day", "month": "interval 1 month",
+            "minute": "interval 1 minute"}[unit]
+    grid = span.select(
+        "grp",
+        F.explode(F.expr(f"sequence(_first, _last, {step})"))
+         .alias("bucket"))
+    w = (Window.partitionBy("grp").orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (grid.join(obs, ["grp", "bucket"], "left")
+            .withColumn("is_observed", F.col("value").isNotNull())
+            .withColumn("value",
+                        F.last("value", ignorenulls=True).over(w))
+            .select(F.col("grp").alias(by), "bucket", "value",
+                    "is_observed"))
