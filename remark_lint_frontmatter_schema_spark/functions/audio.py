@@ -1082,11 +1082,43 @@ def _parse_wav_pcm16(b: bytes) -> tuple[int, int, np.ndarray]:
 def decode_wav_pcm16(b: bytes) -> tuple[int, np.ndarray]:
     """Parse a PCM16 WAV -> (sample_rate, mono float samples in [-1,1)).
 
-    The decode entry point every payload operator uses; see
-    :func:`_parse_wav_pcm16` for the container grammar (chunk walk,
-    multi-channel downmix) and the malformed-input policy."""
+    The canonical-container decode; see :func:`_parse_wav_pcm16` for the
+    container grammar (chunk walk, multi-channel downmix) and the
+    malformed-input policy."""
     sr, _, x = _parse_wav_pcm16(b)
     return sr, x
+
+
+def decode_payload_any(b: bytes) -> tuple[int, np.ndarray]:
+    """Decode ANY engine-decodable payload -> (sr, mono float in [-1,1)):
+    the WAV family at every supported fmt tag (PCM16 takes the fast
+    path; G.711, IMA ADPCM, wide/float PCM and EXTENSIBLE wrappers route
+    through pcm_codecs) and FLAC. This is the decode entry point every
+    payload OPERATOR uses (features, VAD, fingerprints, loudness,
+    augmentation, chunking), so a mixed-codec corpus needs no transcode
+    materialization pass before analysis — round 2 required
+    ``transcode_clips`` first; round 3 decodes in place.
+
+    Ogg/Opus and MP3 raise ValueError like any undecodable container
+    (entropy decode is the documented sandbox seam): compressed rows
+    surface as NULL/absent features in the ops' artifact rows, never as
+    task failures."""
+    if b[:4] == b"fLaC":
+        try:
+            sr, pcm = flac_decode(b)
+        except NotImplementedError as exc:   # conformant, outside subset
+            raise ValueError(str(exc)) from exc
+        return sr, pcm.astype(np.float64) / 32767.0
+    if b[:4] == b"RIFF":
+        fast = b[20:22] == b"\x01\x00" and b[34:36] == b"\x10\x00"
+        if fast and b[12:16] == b"fmt ":      # canonical PCM16 layout
+            return decode_wav_pcm16(b)
+        from .pcm_codecs import decode_wav_extended
+        try:
+            return decode_wav_extended(b)
+        except NotImplementedError as exc:
+            raise ValueError(str(exc)) from exc
+    raise ValueError("payload is not an engine-decodable container")
 
 
 def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
@@ -1303,7 +1335,7 @@ def lufs_batch(b: pd.Series) -> pd.Series:
     out = []
     for v in b:
         try:
-            sr, x = decode_wav_pcm16(bytes(v) if v is not None else b"")
+            sr, x = decode_payload_any(bytes(v) if v is not None else b"")
             lufs = integrated_lufs(x, sr)
             out.append(float("nan") if lufs is None else lufs)
         except ValueError:
@@ -1514,7 +1546,7 @@ def decode_stats_map_in_pandas(iterator):
         rows = []
         for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
             try:
-                sr, samples = decode_wav_pcm16(bytes(b) if b is not None else b"")
+                sr, samples = decode_payload_any(bytes(b) if b is not None else b"")
                 rows.append((cid, True, sr, len(samples),
                              float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0))
             except ValueError:
@@ -1693,7 +1725,7 @@ def audio_features_map_in_pandas(frame_ms: int = 20,
                                        *extras_cols):
                 fail = (cid, False, *([None] * n_fail), *extras)
                 try:
-                    sr, x = decode_wav_pcm16(bytes(b) if b is not None else b"")
+                    sr, x = decode_payload_any(bytes(b) if b is not None else b"")
                     if sr <= 0 or not len(x):
                         raise ValueError("empty")
                 except ValueError:
@@ -1842,7 +1874,7 @@ def voiced_segments(clips, *, frame_ms: int = 20, silence_db: float = -40.0,
             rows = []
             for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
                 try:
-                    sr, x = decode_wav_pcm16(bytes(b) if b is not None else b"")
+                    sr, x = decode_payload_any(bytes(b) if b is not None else b"")
                     if sr <= 0:
                         raise ValueError("bad sr")
                 except ValueError:
@@ -1876,7 +1908,7 @@ def has_voiced_content(b: pd.Series) -> pd.Series:
     out = []
     for v in b:
         try:
-            sr, x = decode_wav_pcm16(bytes(v) if v is not None else b"")
+            sr, x = decode_payload_any(bytes(v) if v is not None else b"")
             if sr <= 0:
                 raise ValueError("bad sr")
         except ValueError:
@@ -1906,7 +1938,7 @@ def is_not_clipped(b: pd.Series) -> pd.Series:
     out = []
     for v in b:
         try:
-            sr, x = decode_wav_pcm16(bytes(v) if v is not None else b"")
+            sr, x = decode_payload_any(bytes(v) if v is not None else b"")
             if sr <= 0 or not len(x):
                 raise ValueError("bad payload")
         except ValueError:
@@ -1927,7 +1959,7 @@ def has_tonal_content(b: pd.Series) -> pd.Series:
     out = []
     for v in b:
         try:
-            sr, x = decode_wav_pcm16(bytes(v) if v is not None else b"")
+            sr, x = decode_payload_any(bytes(v) if v is not None else b"")
             if sr <= 0:
                 raise ValueError("bad sr")
         except ValueError:
@@ -1967,7 +1999,7 @@ def slice_segments(clips, *, frame_ms: int = 20, silence_db: float = -40.0,
             rows = []
             for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
                 try:
-                    sr, x = decode_wav_pcm16(bytes(b) if b is not None else b"")
+                    sr, x = decode_payload_any(bytes(b) if b is not None else b"")
                     if sr <= 0:
                         raise ValueError("bad sr")
                 except ValueError:
@@ -2149,7 +2181,7 @@ def augment_speed(clips, *, factors=(0.9, 1.1), taps: int = 32):
             rows = []
             for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
                 try:
-                    sr, x = decode_wav_pcm16(bytes(b) if b is not None else b"")
+                    sr, x = decode_payload_any(bytes(b) if b is not None else b"")
                     if sr <= 0:
                         raise ValueError("bad sr")
                 except ValueError:
@@ -2194,7 +2226,7 @@ def augment_noise(clips, *, snr_db: float = 20.0, seed: int = 42):
             rows = []
             for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
                 try:
-                    sr, x = decode_wav_pcm16(bytes(b) if b is not None else b"")
+                    sr, x = decode_payload_any(bytes(b) if b is not None else b"")
                     if sr <= 0:
                         raise ValueError("bad sr")
                 except ValueError:
@@ -2368,7 +2400,7 @@ def audio_fingerprints(clips, *, frame_ms: int = 64, hop_ms: int = 32):
             rows = []
             for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
                 try:
-                    sr, x = decode_wav_pcm16(bytes(b) if b is not None else b"")
+                    sr, x = decode_payload_any(bytes(b) if b is not None else b"")
                     if sr <= 0:
                         raise ValueError("bad sr")
                 except ValueError:
@@ -2604,7 +2636,7 @@ def chunk_clips(clips, *, window_ms: int = 1000, hop_ms: int | None = None,
             rows = []
             for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
                 try:
-                    sr, x = decode_wav_pcm16(bytes(b) if b is not None else b"")
+                    sr, x = decode_payload_any(bytes(b) if b is not None else b"")
                     if sr <= 0:
                         raise ValueError("bad sr")
                 except ValueError:

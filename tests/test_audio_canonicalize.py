@@ -164,7 +164,7 @@ def test_augment_speed_shifts_pitch_and_duration(spark):
     x = _tone(440, 16000, 400)
     clips = spark.createDataFrame(
         [("a", audio.wav_bytes(_pcm(x), 16000)),
-         ("bad", audio.flac_stub_bytes(2))],
+         ("bad", b"\x00\x01 not a container")],
         "clip_id string, bytes binary")
     out = {r.factor: r for r in audio.augment_speed(
         clips, factors=(0.9, 1.0, 1.1)).collect()}
@@ -188,7 +188,7 @@ def test_augment_noise_hits_target_snr_and_is_deterministic(spark):
     clips = spark.createDataFrame(
         [("a", audio.wav_bytes(_pcm(x), 16000)),
          ("silent", audio.wav_bytes(np.zeros(800, dtype="<i2"), 16000)),
-         ("bad", audio.flac_stub_bytes(2))],
+         ("bad", b"\x00\x01 not a container")],
         "clip_id string, bytes binary")
     rows = audio.augment_noise(clips, snr_db=20.0).collect()
     # silent and undecodable emit nothing
