@@ -1702,6 +1702,23 @@ def q_resample_events(spark, sf):
                          by="user_id", unit="day", tie_break="event_id")
 
 
+def q_bm25_documents(spark, sf):
+    """BM25 top-k retrieval (operators/search.bm25_topk): three probe
+    queries scored with Robertson idf + k1/b saturation over the whole
+    corpus, each query's 15 best docs. Inverted-index shape: one
+    tokenize+explode postings pass, postings pruned to the query
+    vocabulary by broadcast BEFORE df aggregation, per-query window
+    top-k. Oracle: identical algebra in DuckDB."""
+    from remark_lint_frontmatter_schema_spark.operators.search import (
+        bm25_topk)
+    docs = _load(spark, sf, "documents")
+    qs = [("q_scan", "fast table scan"),
+          ("q_window", "window sort order"),
+          ("q_join", "hash join spark query")]
+    return bm25_topk(docs, qs, k=15)
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders": q_validate_orders,
@@ -1728,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gibberish_documents": q_gibberish_documents,
         "lm_ppl_documents": q_lm_ppl_documents,
         "er_pairs_part": q_er_pairs_part,
+        "bm25_documents": q_bm25_documents,
         "er_golden_part": q_er_golden_part,
         "funnel_events": q_funnel_events,
         "resample_events": q_resample_events,
@@ -3058,6 +3076,44 @@ WITH norm AS (
 )
 SELECT d.doc_id, s.nb AS n_bigrams, s.al AS avg_logp
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+""",
+        "bm25_documents": """
+WITH q(query_id, term) AS (
+  VALUES ('q_scan', 'fast'), ('q_scan', 'table'), ('q_scan', 'scan'),
+         ('q_window', 'window'), ('q_window', 'sort'),
+         ('q_window', 'order'),
+         ('q_join', 'hash'), ('q_join', 'join'), ('q_join', 'spark'),
+         ('q_join', 'query')
+), post AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                          x -> x <> '')) AS t(term)
+  WHERE text IS NOT NULL
+  GROUP BY doc_id, t.term
+), dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
+c AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+m AS (SELECT p.* FROM post p WHERE p.term IN (SELECT DISTINCT term FROM q)),
+dft AS (SELECT term, count(*) AS df FROM m GROUP BY term),
+s AS (
+  SELECT q.query_id, m.doc_id,
+         sum(ln(1.0 + (c.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+             * (m.tf * 2.2
+                / (m.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl))))
+           AS score
+  FROM m JOIN q ON m.term = q.term
+         JOIN dft ON m.term = dft.term
+         JOIN dl ON m.doc_id = dl.doc_id
+         CROSS JOIN c
+  GROUP BY q.query_id, m.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC)
+              AS INT) AS rank
+  FROM s)
+WHERE rank <= 15
 """,
         "er_pairs_part": """
 WITH d AS (SELECT DISTINCT p_name FROM part),
