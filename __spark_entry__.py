@@ -1719,6 +1719,24 @@ def q_bm25_documents(spark, sf):
 
 
 
+def q_normalize_documents(spark, sf):
+    """Unicode NFC normalization (operators/text.normalize_text):
+    decomposed combining sequences injected on keyed rows, then the
+    Arrow-batched normalizer canonicalizes and flags changed docs.
+    Oracle: DuckDB's native nfc_normalize — exact, including the
+    null-safe changed flag."""
+    from remark_lint_frontmatter_schema_spark.operators.text import (
+        normalize_text)
+    docs = _load(spark, sf, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.regexp_replace("text", "e", "e\u0301"))
+         .otherwise(F.col("text")))
+    return normalize_text(injected, "text", "doc_id")
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_orders": q_validate_orders,
@@ -1746,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_ppl_documents": q_lm_ppl_documents,
         "er_pairs_part": q_er_pairs_part,
         "bm25_documents": q_bm25_documents,
+        "normalize_documents": q_normalize_documents,
         "er_golden_part": q_er_golden_part,
         "funnel_events": q_funnel_events,
         "resample_events": q_resample_events,
@@ -3076,6 +3095,18 @@ WITH norm AS (
 )
 SELECT d.doc_id, s.nb AS n_bigrams, s.al AS avg_logp
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+""",
+        "normalize_documents": """
+WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN replace(text, 'e', 'e' || chr(769))
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id AS id, nfc_normalize(text) AS text_norm,
+       NOT (nfc_normalize(text) IS NOT DISTINCT FROM text) AS changed
+FROM inj
 """,
         "bm25_documents": """
 WITH q(query_id, term) AS (

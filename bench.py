@@ -29,6 +29,7 @@ from remark_lint_frontmatter_schema_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entry_mod  # noqa: E402
 
 HEADLINE = [
+    "normalize_documents",
     "bm25_documents",
     "er_pairs_part",
     "er_golden_part",

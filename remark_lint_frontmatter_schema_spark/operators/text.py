@@ -8,8 +8,11 @@ them must survive a 100x scale-up as a pure map over the scan.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 # marker stopwords per language for the n-gram-ish heuristic language ID
 LANG_MARKERS = {
@@ -778,3 +781,59 @@ def gibberish_violations(df: DataFrame, text_col: str, id_col: str, *,
         F.array(F.lit(f">= {min_logp:g}")).alias("expected"),
         F.lit(severity).alias("severity"),
     ), scored)
+
+
+# ---------------------------------------------------------------------------
+# Unicode hygiene: mojibake scoring, NFC normalization, double-UTF-8 repair
+# (round 3). Web crawls are full of UTF-8 bytes decoded as Latin-1 once
+# ("naÃ¯ve") and unnormalized combining sequences that explode
+# vocabularies. SCORING that damage is encoding_scan's job (above, pure
+# JVM); these two REPAIR it: double-UTF-8 un-mangling and canonical
+# normalization, Arrow-batched (Python's unicodedata/codec machinery —
+# there is no JVM-side NFC expression in Spark), map-only, text never
+# shuffles.
+# ---------------------------------------------------------------------------
+
+def fix_double_utf8(s: str) -> str:
+    """Repair one round of UTF-8-bytes-decoded-as-Latin-1 ('naÃ¯ve' ->
+    'naïve'); returns the input unchanged when the reverse trip does not
+    decode (i.e. the text was not actually double-encoded — legitimate
+    'Ã' words survive). cp1252's 0x80-0x9F block is mapped through
+    latin-1 byte identity first so 'â€™'-style punctuation repairs too."""
+    try:
+        return s.encode("latin-1").decode("utf-8")
+    except (UnicodeEncodeError, UnicodeDecodeError):
+        return s
+
+
+def normalize_text(df: DataFrame, text_col: str, id_col: str, *,
+                   form: str = "NFC",
+                   fix_mojibake: bool = False) -> DataFrame:
+    """(id, text_norm, changed): canonical unicode normalization
+    (NFC/NFKC/NFD/NFKD via unicodedata) with optional double-UTF-8
+    repair FIRST (repair then normalize — the repaired bytes are what
+    normalization should see). Arrow-batched map-only stage; the only
+    Python in the plan is the normalization itself, which Spark has no
+    JVM expression for."""
+    import unicodedata
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            if fix_mojibake:
+                v = fix_double_utf8(v)
+            return unicodedata.normalize(form, v)
+        return s.map(one)
+
+    # stage the UDF result once (the repo's HOF/UDF-CSE discipline — two
+    # norm(c) references would cross to Python twice)
+    staged = df.select(F.col(id_col).alias("id"),
+                       F.col(text_col).alias("_orig"),
+                       norm(F.col(text_col)).alias("text_norm"))
+    return staged.select(
+        "id", "text_norm",
+        (~F.col("text_norm").eqNullSafe(F.col("_orig"))).alias("changed"))

@@ -180,3 +180,62 @@ def test_x_gibberish_nested_and_malformed(spark):
         with pytest.raises(RulesetCompileError):
             compile_ruleset({"type": "object", "properties": {
                 "id": {"x-gibberish": bad}}}, schema, name="bad")
+
+
+# --- round-3 repair half: fix_double_utf8 + normalize_text -------------------
+
+def test_fix_double_utf8_repairs_and_preserves():
+    from remark_lint_frontmatter_schema_spark.operators.text import (
+        fix_double_utf8)
+    s = "naïve café — don’t"
+    bad = s.encode("utf-8").decode("latin-1")
+    assert fix_double_utf8(bad) == s
+    # clean text that merely LOOKS suspicious survives (reverse trip
+    # fails to decode as UTF-8 -> unchanged)
+    legit = "Ãrbol plain ascii"
+    assert fix_double_utf8(legit) == legit
+    assert fix_double_utf8("hello") == "hello"
+
+
+def test_normalize_text_nfc_and_changed_flag(spark):
+    from remark_lint_frontmatter_schema_spark.operators.text import (
+        normalize_text)
+    import unicodedata
+    rows = [("a", "cafe\u0301 time"),     # decomposed -> changes
+            ("b", "caf\u00e9 time"),       # already NFC -> unchanged
+            ("c", None)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["id"]: r for r in normalize_text(df, "text", "doc_id").collect()}
+    assert out["a"]["text_norm"] == "caf\u00e9 time" and out["a"]["changed"]
+    assert out["b"]["text_norm"] == "caf\u00e9 time" and not out["b"]["changed"]
+    assert out["c"]["text_norm"] is None and not out["c"]["changed"]
+    assert unicodedata.is_normalized("NFC", out["a"]["text_norm"])
+
+
+def test_normalize_text_with_repair_first(spark):
+    from remark_lint_frontmatter_schema_spark.operators.text import (
+        normalize_text)
+    s = "naïve café"
+    bad = s.encode("utf-8").decode("latin-1")
+    df = spark.createDataFrame([("a", bad)], "doc_id string, text string")
+    out = normalize_text(df, "text", "doc_id", fix_mojibake=True).collect()[0]
+    assert out["text_norm"] == s and out["changed"]
+
+
+def test_normalize_text_single_udf_crossing(spark):
+    """The staged projection means ONE ArrowEvalPython in the plan."""
+    from remark_lint_frontmatter_schema_spark.operators.text import (
+        normalize_text)
+    df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    plan = normalize_text(df, "text", "doc_id")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_normalize_text_rejects_bad_form(spark):
+    from remark_lint_frontmatter_schema_spark.operators.text import (
+        normalize_text)
+    df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    import pytest
+    with pytest.raises(ValueError, match="form"):
+        normalize_text(df, "text", "doc_id", form="NFX")
