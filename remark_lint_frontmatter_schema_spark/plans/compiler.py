@@ -92,6 +92,7 @@ _KNOWN_KEYWORDS = {
     "x-gibberish",
     "x-lm-ppl",
     "x-finite",
+    "x-encoding",
 }
 
 
@@ -571,6 +572,14 @@ _KEYWORD_SHAPE = {
          or (isinstance(v["min_tokens"], int)
              and not isinstance(v["min_tokens"], bool)
              and v["min_tokens"] >= 0)),
+    "x-encoding": lambda v: isinstance(v, dict)
+    and (v.get("max_artifacts") is None
+         or (isinstance(v["max_artifacts"], int)
+             and not isinstance(v["max_artifacts"], bool)
+             and v["max_artifacts"] >= 0))
+    and (v.get("patterns") is None
+         or (isinstance(v["patterns"], list) and v["patterns"]
+             and all(isinstance(p, str) for p in v["patterns"]))),
     "x-rate": lambda v: isinstance(v, dict)
     and isinstance(v.get("duration"), str)
     and all(v.get(k) is None
@@ -693,7 +702,7 @@ _VARIANT_UNSUPPORTED_KWS = frozenset((
     "uniqueItems", "contentEncoding", "contentMediaType", "contentSchema",
     "x-unique", "x-ref", "x-ref-asof", "x-ref-interval", "x-drift",
     "x-dedup", "x-langid",
-    "x-rate", "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
+    "x-rate", "x-encoding", "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
     "x-monotonic", "x-dup-ngram", "x-gopher", "x-c4", "x-leakage", "x-embedding",
     "x-fd", "x-gap", "x-gibberish", "x-lm-ppl"))
 
@@ -1656,6 +1665,34 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 f'against "{dur_name}")', ctx, "x-rate")
             _add(ctx, "x-rate", violated, msg,
                  actual=F.round(rate, 2).cast("string"))
+
+    if "x-encoding" in schema and ctx.col is not None:
+        # encoding-damage gate (operators/text.MOJIBAKE_PATTERNS): total
+        # mojibake-artifact occurrences in this string column must not
+        # exceed max_artifacts. Pure-JVM regexp_count sum — rides the
+        # one-projection pass like every row check
+        from ..operators.text import MOJIBAKE_PATTERNS
+        p = schema["x-encoding"]
+        names = p.get("patterns") or list(MOJIBAKE_PATTERNS)
+        unknown_pats = [n for n in names if n not in MOJIBAKE_PATTERNS]
+        if unknown_pats:
+            ctx.out.unknown.append(
+                (ctx.instance_path,
+                 "x-encoding:" + ",".join(unknown_pats)))
+        else:
+            max_art = int(p.get("max_artifacts", 0))
+            total = balanced_reduce(
+                lambda a, b: a + b,
+                [F.coalesce(
+                    F.regexp_count(ctx.col,
+                                   F.lit(MOJIBAKE_PATTERNS[n])),
+                    F.lit(0)) for n in names])
+            violated = _present(ctx) & (total > max_art)
+            msg = _reason(
+                f"must contain at most {max_art} encoding-damage "
+                f"artifact(s) ({'/'.join(names)})", ctx, "x-encoding")
+            _add(ctx, "x-encoding", violated, msg,
+                 actual=total.cast("string"))
 
     if "x-embedding" in schema and ctx.col is not None:
         if isinstance(ctx.dtype, T.ArrayType) and isinstance(

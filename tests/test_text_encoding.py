@@ -239,3 +239,65 @@ def test_normalize_text_rejects_bad_form(spark):
     import pytest
     with pytest.raises(ValueError, match="form"):
         normalize_text(df, "text", "doc_id", form="NFX")
+
+
+# --- x-encoding: the declarative row-level gate ------------------------------
+
+def test_x_encoding_dsl_gate(spark):
+    from remark_lint_frontmatter_schema_spark import (
+        compile_ruleset, validate)
+    rows = [("a", "clean prose"),
+            ("b", "cafÃ© menu"),                 # double-2byte artifact
+            ("c", "donâ€™t"),     # 'â€™' cp1252 triple
+            ("d", "bad � byte"),            # replacement char
+            ("e", None)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    compiled = compile_ruleset(
+        {"$id": "enc", "type": "object",
+         "properties": {"text": {"x-encoding": {"max_artifacts": 0}}}},
+        df.schema)
+    res = validate(df, compiled, row_id="doc_id")
+    got = {r["row_id"]: r["actual"] for r in res.violations.collect()}
+    assert set(got) == {"b", "c", "d"}
+    assert got["d"] == "1"
+    # plan stays fully JVM
+    plan = res.violations._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_x_encoding_pattern_subset_and_threshold(spark):
+    from remark_lint_frontmatter_schema_spark import (
+        compile_ruleset, validate)
+    rows = [("a", "cafÃ© cafÃ© menu"), ("b", "bad � byte")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    compiled = compile_ruleset(
+        {"$id": "enc2", "type": "object", "properties": {"text": {
+            "x-encoding": {"max_artifacts": 1,
+                           "patterns": ["double_2byte"]}}}},
+        df.schema)
+    res = validate(df, compiled, row_id="doc_id")
+    got = {r["row_id"] for r in res.violations.collect()}
+    assert got == {"a"}  # 2 artifacts > 1; replacement char not selected
+
+
+def test_x_encoding_unknown_pattern_collected(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    compiled = compile_ruleset(
+        {"$id": "enc3", "type": "object", "properties": {"text": {
+            "x-encoding": {"patterns": ["nope"]}}}},
+        df.schema)
+    assert any("x-encoding:nope" in u[1] for u in compiled.unknown)
+
+
+def test_x_encoding_bad_shape_rejected(spark):
+    import pytest
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.plans.bundler import (
+        RulesetCompileError)
+    df = spark.createDataFrame([("a", "x")], "doc_id string, text string")
+    with pytest.raises(RulesetCompileError):
+        compile_ruleset(
+            {"$id": "enc4", "type": "object", "properties": {"text": {
+                "x-encoding": {"max_artifacts": -1}}}},
+            df.schema)
