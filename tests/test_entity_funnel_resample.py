@@ -181,3 +181,68 @@ def test_resample_plan_has_no_global_window(spark):
     import re
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert m.group(1), "unpartitioned window in resample plan"
+
+
+def test_funnel_property_matches_python_reference(spark):
+    """Hypothesis sweep: the Spark greedy fold == a direct Python greedy
+    over random event soups (orderings, duplicate timestamps, irrelevant
+    types, window bounds)."""
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    steps = ["s1", "s2", "s3"]
+    types = steps + ["noise"]
+
+    def ref_chain(events, within_ms):
+        evs = sorted(events, key=lambda e: (e[0], steps.index(e[1])
+                                            if e[1] in steps else 99))
+        chain = []
+        for ts, et in evs:
+            if et not in steps or len(chain) >= 3:
+                continue
+            if steps.index(et) != len(chain):
+                continue
+            if chain:
+                if ts <= chain[-1]:
+                    continue
+                if within_ms is not None and \
+                        (ts - chain[-1]) > within_ms / 1000.0:
+                    continue
+            chain.append(ts)
+        return chain
+
+    @settings(max_examples=12, deadline=None)
+    @given(data=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=50),
+                  st.sampled_from(types)), min_size=0, max_size=14),
+        bounded=st.booleans())
+    def prop(data, bounded):
+        within = 20_000 if bounded else None
+        events = [(float(t), et) for t, et in data]
+        rows = [("u", _ts(1) + dt.timedelta(seconds=t), et)
+                for t, et in events]
+        if not rows:
+            return
+        df = _events(spark, rows)
+        got_rows = funnel.funnel_users(df, steps, within_ms=within).collect()
+        ref = ref_chain(events, within)
+        if not got_rows:
+            # no funnel-type events at all -> no per-user row (by design)
+            assert not any(et in steps for _, et in events)
+            return
+        out = got_rows[0]
+        assert out["steps_completed"] == len(ref)
+        for i, t in enumerate(ref):
+            got = out[f"t{i + 1}"]
+            assert got == _ts(1) + dt.timedelta(seconds=t)
+
+    prop()
+
+
+def test_er_pairs_plan_no_cartesian(spark, names):
+    blk = F.element_at(F.split("name", " "), -1)
+    plan = entity.er_pairs(names, text_col="name", id_col="id",
+                           block=blk, max_edit=2)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
