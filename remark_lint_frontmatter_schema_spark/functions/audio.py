@@ -2035,11 +2035,14 @@ def canonicalize_clips(clips, *, target_sr: int = 16000,
     """clips(clip_id, bytes) -> canonical training payloads: mono PCM16 WAV
     at ``target_sr`` — (clip_id, src_sr_hz, src_channels, sr_hz, n_samples,
     bytes). The normalization stage every mixed-provenance corpus needs
-    before training: decode once (chunk-walking parser, so editor-written
-    LIST/fact chunks and stereo payloads are accepted), downmix to mono,
-    windowed-sinc resample (:func:`resample_sinc`, anti-aliased), optional
-    RMS loudness normalization to ``normalize_db`` dBFS, re-encode the
-    44-byte canonical container.
+    before training: decode once — ANY engine codec, round 3
+    (:func:`decode_payload_any`: the chunk-walking PCM16 parser keeps its
+    exact path; FLAC, G.711, ADPCM, wide/float/EXTENSIBLE WAVs decode in
+    place, so compressed/telephony corpora no longer need a
+    ``transcode_clips`` stage first) — downmix to mono, windowed-sinc
+    resample (:func:`resample_sinc`, anti-aliased), optional RMS loudness
+    normalization to ``normalize_db`` dBFS, re-encode the 44-byte
+    canonical container.
 
     Scale shape: map-only, one Arrow stage, payload never shuffles —
     same contract as :func:`slice_segments`; this is the writer-side stage
@@ -2066,13 +2069,32 @@ def canonicalize_clips(clips, *, target_sr: int = 16000,
     if pt_ddl:
         schema = f"{schema}, {pt_ddl}"
 
+    def _decode_with_channels(b: bytes):
+        """(sr, src_channels, mono float x) for any engine codec: the
+        PCM16 chunk-walker keeps its exact path; other containers route
+        through decode_payload_any with src_channels read from container
+        metadata (wav_info for the WAV family; the FLAC subset is mono)."""
+        try:
+            return _parse_wav_pcm16(b)
+        except ValueError:
+            pass
+        sr, x = decode_payload_any(b)       # ValueError propagates
+        n_ch = 1
+        if b[:4] == b"RIFF":
+            from .pcm_codecs import wav_info
+            try:
+                n_ch = int(wav_info(b)["n_ch"])
+            except (ValueError, NotImplementedError):
+                n_ch = 1
+        return sr, n_ch, x
+
     def fn(iterator):
         for pdf in iterator:
             rows = []
             for cid, b, *extra in zip(pdf["clip_id"], pdf["bytes"],
                                       *[pdf[c] for c in pt]):
                 try:
-                    sr, n_ch, x = _parse_wav_pcm16(
+                    sr, n_ch, x = _decode_with_channels(
                         bytes(b) if b is not None else b"")
                     if sr <= 0:
                         raise ValueError("bad sr")

@@ -76,10 +76,12 @@ def ingest_corpus(
     document the gate was compiled from.
 
     ``corpus`` row count <= ``accepted``: gate-accepted clips whose
-    payload is not decodable WAV (e.g. flac/opus passing a header-only
-    ruleset) emit no canonical row — route them through a transcoder
-    first, or add a decode check (``x-spark-check: voiced_content`` or
-    a duration-consistency gate) so they quarantine instead.
+    payload the engine cannot decode (opus/mp3 entropy decode — the
+    documented sandbox seam; round 3's canonicalizer handles every other
+    engine codec in place via ``decode_payload_any``) emit no canonical
+    row — route those through an external transcoder first, or add a
+    decode check (``x-spark-check: voiced_content`` or a
+    duration-consistency gate) so they quarantine instead.
     """
     import uuid
 
@@ -102,9 +104,11 @@ def ingest_corpus(
             f"ingest_corpus: column(s) {missing} not in {table_path} "
             f"(has {df.columns}); check row_id/passthrough")
 
-    # cross-run id uniqueness: a clip_id already in the corpus (ingested
-    # by ANY earlier run) must not be re-ingested — re-sent batches and
-    # upstream replays are routine at ingest scale. The anti-join reads
+    # id uniqueness under dedupe_against_corpus: (a) CROSS-RUN — a
+    # clip_id already in the corpus (ingested by ANY earlier run) must
+    # not be re-ingested; re-sent batches and upstream replays are
+    # routine at ingest scale; (b) WITHIN-BATCH — duplicated ids inside
+    # one batch keep exactly one deterministic winner (see below). The anti-join reads
     # ONE pruned column of the existing corpus; the session's runtime
     # bloom-filter join conf prefilters the big side. Duplicates are
     # recorded (an artifact + a manifest metric), never silently dropped.
@@ -122,12 +126,38 @@ def ingest_corpus(
             (dups.withColumn("run_id", F.lit(run_id))
              .write.mode("append").partitionBy("run_id")
              .parquet(f"{out_path}/dup_ids"))
-            n_dup_by_part = {r._p: r.n for r in
-                             (spark.read.parquet(f"{out_path}/dup_ids")
-                              .where(F.col("run_id") == run_id)
-                              .groupBy("_p")
-                              .agg(F.count(F.lit(1)).alias("n")).collect())}
             df = df.join(existing, row_id, "left_anti")
+
+        # WITHIN-batch id uniqueness (round 3 — previously masked: the
+        # pcm16-only canonicalizer happened to drop one copy of most
+        # fixture duplicates; the codec-transparent decoder surfaced the
+        # gap). Split pattern: a keys-only groupBy finds the (rare)
+        # duplicated ids, ONLY their rows shuffle into a deterministic
+        # keep-one window (ordered by partition then payload hash), the
+        # non-dup bulk stays map-only — payloads never shuffle for the
+        # common case. Losers are recorded in dup_ids like replays.
+        dup_ids = (df.groupBy(row_id)
+                   .agg(F.count(F.lit(1)).alias("_n"))
+                   .where(F.col("_n") > 1).select(row_id))
+        flagged = df.join(F.broadcast(dup_ids), row_id, "left_semi")
+        clean = df.join(F.broadcast(dup_ids), row_id, "left_anti")
+        from pyspark.sql import Window
+        w = Window.partitionBy(row_id).orderBy(
+            part_str.asc(), F.sha2(F.col("bytes"), 256).asc())
+        ranked = flagged.withColumn("_rn", F.row_number().over(w))
+        losers = ranked.where(F.col("_rn") > 1)
+        (losers.select(F.col(row_id), part_str.alias("_p"))
+         .withColumn("run_id", F.lit(run_id))
+         .write.mode("append").partitionBy("run_id")
+         .parquet(f"{out_path}/dup_ids"))
+        df = clean.unionByName(ranked.where(F.col("_rn") == 1)
+                               .drop("_rn"))
+
+        n_dup_by_part = {r._p: r.n for r in
+                         (spark.read.parquet(f"{out_path}/dup_ids")
+                          .where(F.col("run_id") == run_id)
+                          .groupBy("_p")
+                          .agg(F.count(F.lit(1)).alias("n")).collect())}
 
     if repair_ruleset is not None:
         from .repair import repair as _repair

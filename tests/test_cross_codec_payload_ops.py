@@ -106,3 +106,39 @@ def test_vad_checks_cover_all_codecs(spark):
         audio.has_voiced_content(F.col("bytes")).alias("voiced"),
         audio.is_not_clipped(F.col("bytes")).alias("ok")).collect()
     assert all(r["tonal"] and r["voiced"] and r["ok"] for r in out)
+
+
+def test_canonicalize_mixed_codec_corpus(spark):
+    """canonicalize_clips normalizes a mixed-codec corpus in one stage:
+    every engine container lands at mono PCM16 target_sr with the source
+    rate/channels reported from container metadata."""
+    x = _sig(sr=22050)
+    x16 = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+    xf = x16.astype(np.float64) / 32767.0
+    stereo = np.stack([xf, xf * 0.5], axis=1)
+    rows = [
+        ("wav", audio.wav_bytes(x16, 22050)),
+        ("flac", audio.flac_encode(x16, 22050)),
+        ("mulaw", pc.wav_bytes_g711(x16, 22050, law="mulaw")),
+        ("s24st", pc.wav_bytes_pcm(stereo, 22050, bits=24,
+                                   extensible=True)),
+        ("bad", b"\x00 undecodable"),
+    ]
+    clips = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    out = {r["clip_id"]: r for r in audio.canonicalize_clips(
+        clips, target_sr=16000).collect()}
+    assert set(out) == {"wav", "flac", "mulaw", "s24st"}  # bad dropped
+    for k, r in out.items():
+        assert (r["src_sr_hz"], r["sr_hz"]) == (22050, 16000)
+        sr, y = audio.decode_wav_pcm16(bytes(r["bytes"]))
+        assert sr == 16000 and len(y) == r["n_samples"]
+    assert out["s24st"]["src_channels"] == 2
+    assert out["wav"]["src_channels"] == 1
+    # content survives the codec + resample trip (trim the sinc edges)
+    ref = audio.resample_sinc(xf, 22050, 16000)
+    for k in ("wav", "flac", "s24st"):
+        _, y = audio.decode_wav_pcm16(bytes(out[k]["bytes"]))
+        exp = ref if k != "s24st" else audio.resample_sinc(
+            stereo.mean(axis=1), 22050, 16000)
+        m = min(len(y), len(exp))
+        assert audio.snr_db(exp[64:m - 64], y[64:m - 64]) > 35.0, k

@@ -213,7 +213,8 @@ def test_ingest_dedupe_against_corpus(spark, table, compiled, tmp_path):
     ingest_corpus(spark, table, compiled,
                   partition_col="part_date", row_id="clip_id",
                   out_path=out, manifest_path=man, run_id="r1",
-                  fail_severities=("error", "warning"))
+                  fail_severities=("error", "warning"),
+                  dedupe_against_corpus=True)
     corpus_ids = {r.clip_id for r in
                   spark.read.parquet(f"{out}/corpus")
                   .select("clip_id").collect()}
@@ -242,9 +243,13 @@ def test_ingest_dedupe_against_corpus(spark, table, compiled, tmp_path):
     replayed = {r.clip_id for r in
                 spark.read.parquet(t2).select("clip_id").collect()
                 if not r.clip_id.startswith("new_")}
-    # exactly the replayed ids ALREADY IN THE CORPUS are skipped —
-    # run-1-quarantined ids are not in the corpus and may retry
-    assert {r[0] for r in dup_rows} == replayed & corpus_ids
+    # every replayed id ALREADY IN THE CORPUS is skipped (run-1-
+    # quarantined ids are not in the corpus and may retry); ids recorded
+    # beyond those are within-batch duplicates among the renamed-new rows
+    # (round 3: ingest dedupes INSIDE a batch too, deterministically)
+    got = {r[0] for r in dup_rows}
+    assert replayed & corpus_ids <= got
+    assert all(e.startswith("new_") for e in got - (replayed & corpus_ids))
     # the corpus never gains a duplicate id
     c = spark.read.parquet(f"{out}/corpus")
     assert c.count() == c.select("clip_id").distinct().count()
