@@ -273,15 +273,20 @@ def test_canonicalize_clips_end_to_end(spark):
     mono_8k = audio.wav_bytes(_pcm(_tone(420, 8000, 200)), 8000)
     stereo_16k = audio.wav_bytes_multi(
         np.stack([_pcm(_tone(420, 16000, 200, amp=0.4))] * 2, axis=1), 16000)
+    # flac canonicalizes IN PLACE since round 3 (decode_payload_any);
+    # the undecodable fixture must be genuinely undecodable
+    flac_16k = audio.flac_encode(_pcm(_tone(420, 16000, 200)), 16000)
     rows = [("a", mono_22k), ("b", mono_8k), ("c", stereo_16k),
-            ("bad", audio.flac_stub_bytes(1)), ("nul", None)]
+            ("f", flac_16k),
+            ("bad", b"\x00\x01 not a container"), ("nul", None)]
     clips = spark.createDataFrame(rows, "clip_id string, bytes binary")
     out = {r.clip_id: r for r in audio.canonicalize_clips(
         clips, target_sr=16000, normalize_db=-20.0).collect()}
 
     # undecodable payloads emit zero rows (slice_segments policy)
-    assert set(out) == {"a", "b", "c"}
+    assert set(out) == {"a", "b", "c", "f"}
     assert out["a"].src_sr_hz == 22050 and out["c"].src_channels == 2
+    assert out["f"].src_channels == 1
     for r in out.values():
         assert r.sr_hz == 16000
         sr, x = audio.decode_wav_pcm16(bytes(r.bytes))
