@@ -2,15 +2,16 @@
 
 Images/video/audio are carried as ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as Arrow-
-batched ``mapInPandas`` stages. PNG pixel decode is REAL — a pure
-numpy+zlib codec below (all five scanline filters, chunk CRC-32 verified,
-8-bit gray/GA/RGB/RGBA), mirroring the pure-numpy FLAC codec in
-functions/audio.py. JPEG/GIF/WEBP pixel decode stays stubbed behind a
-clearly-marked ``NotImplementedError`` (DCT / LZW / VP8 entropy coders are
-codec-library territory and the libs are not in this sandbox) — the
-Spark-side plumbing (schemas, UDF signatures, batch shapes, partition
-discipline) is real and tested for every format. Audio is the other
-fully-real modality (functions/audio.py).
+batched ``mapInPandas`` stages. Pixel decode is REAL for PNG (pure
+numpy+zlib below: all five scanline filters, chunk CRC-32 verified,
+8-bit gray/GA/RGB/RGBA), GIF (variable-width LZW below) and baseline
+JPEG (functions/jpeg.py: Annex-K tables, Huffman + DCT, 4:4:4 subset) —
+mirroring the pure-numpy FLAC/G.711/ADPCM audio codecs and the Y4M
+video codec. Only WEBP stays behind a clearly-marked
+``NotImplementedError`` (VP8 entropy coding is codec-library territory
+and the libs are not in this sandbox) — its Spark-side plumbing
+(schemas, UDF signatures, batch shapes, partition discipline) is real
+and tested regardless.
 
 Payload discipline (same as audio): binary columns are never shuffled —
 every operator here is a map-only stage emitting small typed rows; joins
@@ -293,19 +294,25 @@ def resize_image(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 def decode_image(b: bytes) -> np.ndarray:
-    """Pixel decode. REAL for PNG and GIF (pure numpy/zlib/LZW codecs
-    above); JPEG / WEBP raise ``NotImplementedError`` — DCT and VP8
-    entropy coders are codec-library territory and the libs are not in
-    this sandbox. Production swaps only this dispatch; everything around
-    it (batching, schema, partitioning) is live either way."""
+    """Pixel decode. REAL for PNG, GIF and baseline JPEG (pure
+    numpy/zlib/LZW/DCT codecs — see functions/jpeg.py for the JPEG
+    subset: baseline sequential 4:4:4; progressive/subsampled streams
+    raise NotImplementedError). WEBP raises — VP8 entropy coding is
+    codec-library territory and the libs are not in this sandbox.
+    Production swaps only this dispatch; everything around it (batching,
+    schema, partitioning) is live either way."""
     fmt = sniff_image_format(b)
     if fmt == "png":
         return png_decode(b)
     if fmt == "gif":
         return gif_decode(b)
+    if fmt == "jpeg":
+        from .jpeg import jpeg_decode
+        return jpeg_decode(b)
     raise NotImplementedError(
         f"image pixel decode for {fmt or 'unknown format'} requires a codec "
-        "library (PIL/opencv, not in sandbox); PNG and GIF decode natively")
+        "library (PIL/opencv, not in sandbox); PNG, GIF and baseline JPEG "
+        "decode natively")
 
 
 # --------------------------------------------------------------------------

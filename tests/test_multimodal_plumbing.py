@@ -58,6 +58,12 @@ def test_pixel_decode_png_real_others_stubbed():
     # is CRC-invalid junk so it fails integrity, not NotImplementedError
     with pytest.raises(ValueError):
         mm.decode_image(mm.make_png_stub(0))
-    with pytest.raises(NotImplementedError, match="jpeg"):
+    # round 3: baseline JPEG decodes natively (functions/jpeg.py); a
+    # magic-only fake is malformed, and only WEBP remains the seam
+    with pytest.raises(ValueError):
         mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    from remark_lint_frontmatter_schema_spark.functions import jpeg
+    assert mm.decode_image(jpeg.make_jpeg(2, w=6, h=5)).shape == (5, 6, 3)
+    with pytest.raises(NotImplementedError, match="webp"):
+        mm.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     assert mm.decode_image(mm.make_png(1, w=5, h=4)).shape == (4, 5, 3)

@@ -129,7 +129,9 @@ def test_decoded_features_see_content_not_bytes():
 def test_decode_stats_stage_real_pixels(spark):
     rows = [(f"img_{i}", mm.make_png(i, w=10 + i, h=6 + i), "image", {})
             for i in range(4)]
+    from remark_lint_frontmatter_schema_spark.functions import jpeg
     rows.append(("jpeg_0", b"\xff\xd8\xff\xe0" + b"\x00" * 32, "image", {}))
+    rows.append(("jpeg_ok", jpeg.make_jpeg(5, w=10, h=6), "image", {}))
     rows.append(("bad_0", mm.make_png_stub(0), "image", {}))
     media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     out = {r.media_id: r for r in media.select("media_id", "bytes")
@@ -139,7 +141,11 @@ def test_decode_stats_stage_real_pixels(spark):
                                 out["img_0"].height) == (10, 6)
     assert out["img_3"].ok and out["img_3"].channels == 3
     assert 0.0 < out["img_1"].mean_luma < 255.0
-    assert not out["jpeg_0"].ok and "NotImplementedError" in out["jpeg_0"].err
+    # round 3: baseline JPEG decodes for real; a magic-only fake is now a
+    # malformed container, not a stub
+    assert not out["jpeg_0"].ok and "ValueError" in out["jpeg_0"].err
+    assert out["jpeg_ok"].ok and (out["jpeg_ok"].width,
+                                  out["jpeg_ok"].height) == (10, 6)
     assert not out["bad_0"].ok and "ValueError" in out["bad_0"].err
 
 
