@@ -309,6 +309,48 @@ def q_unique_lineitem_orderkey(spark, sf):
     return uniqueness.duplicate_keys(li, "l_orderkey")
 
 
+def q_skew_profile_lineitem(spark, sf):
+    """Key-skew diagnostic (operators/skew.py skew_profile): one row
+    describing how lineitem would shuffle on l_suppkey — max/top-k key
+    shares, normalized entropy, and the salt factor the engine's salted
+    paths should use. One shuffle builds the per-key counts; the top-k
+    pass is TakeOrderedAndProject (no global sort). Oracle re-derives
+    every statistic (including the H = log2(n) - sum(c*log2 c)/n entropy
+    fold) independently in DuckDB."""
+    from remark_lint_frontmatter_schema_spark.operators.skew import (
+        skew_profile)
+    li = _load(spark, sf, "lineitem")
+    return skew_profile(li, "l_suppkey", top_k=10)
+
+
+def q_heavy_hitters_lineitem(spark, sf):
+    """Mergeable Misra-Gries heavy hitters (operators/skew.py): top-20
+    l_suppkey values with [count_min, count_max] bounds. capacity=4096
+    far exceeds the supplier count at oracle scale, so the sketch never
+    prunes and both bounds equal the exact count — which is exactly what
+    the DuckDB oracle asserts (exact groupBy counts, same tiebreak)."""
+    from remark_lint_frontmatter_schema_spark.operators.skew import (
+        heavy_hitters)
+    li = _load(spark, sf, "lineitem")
+    return heavy_hitters(li, "l_suppkey", capacity=4096, top_k=20)
+
+
+def q_mmd_embeddings(spark, sf):
+    """Multivariate two-sample drift on the embeddings table
+    (operators/mmd.py): RBF-kernel MMD^2 via seeded random Fourier
+    features between the even- and odd-vec_id populations. Linear-time
+    (one mapInPandas pass emits per-batch feature-sum partials), no SQL
+    twin (needs a seeded Gaussian projection) — rows-only driver check;
+    value parity vs a pure-numpy reference is pinned in
+    tests/test_skew_mmd.py."""
+    from remark_lint_frontmatter_schema_spark.operators.mmd import (
+        mmd_drift)
+    emb = _load(spark, sf, "embeddings")
+    side = F.when(F.col("vec_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b"))
+    return mmd_drift(emb, "embedding", side, "a", "b",
+                     n_features=128, seed=42, dim=64)
+
+
 def q_url_dedup_documents(spark, sf):
     """Canonical-URL dedup (operators/urls.py): deterministic messy-URL
     injection (case/port/fragment/tracking-param/trailing-slash variants
@@ -1745,6 +1787,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdict_orders": q_verdict_orders,
         "stats_lineitem": q_stats_lineitem,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
+        "skew_profile_lineitem": q_skew_profile_lineitem,
+        "heavy_hitters_lineitem": q_heavy_hitters_lineitem,
+        "mmd_embeddings": q_mmd_embeddings,
         "fd_lineitem": q_fd_lineitem,
         "fd_discover_lineitem": q_fd_discover_lineitem,
         "diff_orders": q_diff_orders,
@@ -2887,6 +2932,40 @@ SELECT o_orderstatus AS partition_id,
            OR (o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-'))
            OR o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
 FROM orders GROUP BY o_orderstatus
+""",
+        "skew_profile_lineitem": """
+WITH c AS (
+  SELECT l_suppkey AS k, count(*) AS cnt
+  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
+m AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         count(*) AS n_keys,
+         CAST(max(cnt) AS BIGINT) AS max_count,
+         sum(cnt * log2(cnt)) AS clogc
+  FROM c),
+t AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS top_sum
+  FROM (SELECT cnt FROM c ORDER BY cnt DESC, k ASC LIMIT 10))
+SELECT 'l_suppkey' AS key_col,
+       n_rows, n_keys, max_count,
+       round(CAST(n_rows AS DOUBLE) / n_keys, 6) AS avg_count,
+       round(max_count / CAST(n_rows AS DOUBLE), 6) AS max_share,
+       round(top_sum / CAST(n_rows AS DOUBLE), 6) AS top_k_share,
+       CASE WHEN n_keys >= 2 THEN
+         round((log2(n_rows) - clogc / n_rows) / log2(n_keys), 6)
+       END AS entropy_norm,
+       round(max_count * n_keys / CAST(n_rows AS DOUBLE), 6) AS skew_ratio,
+       CAST(least(1024, greatest(1, ceil(
+         max_count * n_keys / CAST(n_rows AS DOUBLE)))) AS INT)
+         AS recommended_salts
+FROM m, t
+""",
+        "heavy_hitters_lineitem": """
+SELECT CAST(l_suppkey AS VARCHAR) AS key,
+       count(*) AS count_min,
+       count(*) AS count_max
+FROM lineitem WHERE l_suppkey IS NOT NULL
+GROUP BY 1 ORDER BY count_min DESC, key ASC LIMIT 20
 """,
         "stats_lineitem": """
 SELECT l_returnflag,

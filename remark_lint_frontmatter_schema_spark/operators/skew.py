@@ -1,0 +1,205 @@
+"""Key-distribution skew profiling + mergeable heavy-hitters sketch.
+
+north_rule mandate: "partitioning / shuffle / skew handled explicitly".
+The engine's skewed paths (salted uniqueness, bucketed as-of, AQE skew
+join) all need the user to KNOW a key is hot before they reach for them —
+``skew_profile`` is that diagnostic: one relation describing how load
+would distribute if the table were shuffled on ``key`` (max share, top-k
+share, normalized entropy, and a recommended salt factor that feeds
+straight into ``uniqueness.duplicate_keys(n_salts=...)`` /
+``asof.asof_join_bucketed``). Reference analog: the lint pass that tells
+you *which* rule to configure before you configure it — here the "rule"
+is a shuffle strategy.
+
+``heavy_hitters`` is the scale path for the same question when even the
+per-key count relation is too wide to shuffle comfortably: a mergeable
+Misra-Gries summary (Agarwal et al., "Mergeable Summaries", PODS 2012)
+built per input partition inside one ``mapInPandas`` pass, merged with a
+tiny groupBy. Shuffle width is bounded by partitions x capacity rows of
+(key, count) — independent of the number of distinct keys. Deterministic:
+any key with true frequency > n/capacity is guaranteed present, estimates
+are [count_min, count_max] with count_max - count_min == the summed
+per-partition prune error; with capacity >= per-partition distinct keys
+the sketch never prunes and both bounds equal the exact count (pinned in
+tests, and the basis of the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _persist
+
+
+def key_counts(df: DataFrame, key: str, *, n_salts: int = 32) -> DataFrame:
+    """Per-key row counts, salted two-phase (same plan as
+    uniqueness.duplicate_keys: a hot key's rows split across ``n_salts``
+    reducers in phase 1, phase 2 merges one row per (key, salt))."""
+    partial = (
+        df.select(key)
+        .where(F.col(key).isNotNull())
+        .groupBy(F.col(key),
+                 F.pmod(F.xxhash64(F.col(key), F.lit(42)),
+                        F.lit(n_salts)).alias("_salt"))
+        .agg(F.count(F.lit(1)).alias("_partial")))
+    return partial.groupBy(key).agg(F.sum("_partial").alias("cnt"))
+
+
+def skew_profile(df: DataFrame, key: str, *, top_k: int = 10,
+                 n_salts: int = 32) -> DataFrame:
+    """One-row skew report for shuffling/joining ``df`` on ``key``.
+
+    Columns: key_col, n_rows, n_keys, max_count, avg_count,
+    max_share (hottest key's fraction of all rows), top_k_share (the k
+    hottest keys' combined fraction), entropy_norm (Shannon entropy of
+    the key distribution / log2(n_keys); 1.0 = perfectly even, -> 0 =
+    one key dominates; NULL when n_keys < 2), skew_ratio
+    (max_count / avg_count; 1.0 = even) and recommended_salts
+    (ceil(skew_ratio), clamped to [1, 1024] — the salt factor that
+    splits the hottest key down to average-key load).
+
+    Plan: ONE shuffle builds the per-key count relation (persisted via
+    the dedup registry so the two tiny follow-up aggregates — the global
+    moments and the top-k sum — do not rescan the input; release with
+    ``dedup.release_all()``). The top-k pass is orderBy(...).limit(k),
+    which Spark executes as TakeOrderedAndProject (per-partition top-k,
+    driver merge) — no global sort even with a billion distinct keys.
+    Entropy uses H = log2(n) - sum(c*log2(c))/n so it folds into the
+    same single aggregate as the moments.
+    """
+    if top_k <= 0:
+        raise ValueError("top_k must be > 0")
+    counts = _persist(key_counts(df, key, n_salts=n_salts))
+    moments = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_count"),
+        F.sum(F.col("cnt").cast("double") * F.log2("cnt")).alias("_clogc"))
+    top = (counts.orderBy(F.col("cnt").desc(), F.col(key).asc())
+           .limit(top_k)
+           .agg(F.sum("cnt").alias("_top_sum")))
+    m = moments.crossJoin(F.broadcast(top))
+    n = F.col("n_rows").cast("double")
+    return m.select(
+        F.lit(key).alias("key_col"),
+        F.col("n_rows"),
+        F.col("n_keys"),
+        F.col("max_count"),
+        F.round(n / F.col("n_keys"), 6).alias("avg_count"),
+        F.round(F.col("max_count") / n, 6).alias("max_share"),
+        F.round(F.col("_top_sum") / n, 6).alias("top_k_share"),
+        F.when(F.col("n_keys") >= 2,
+               F.round((F.log2("n_rows") - F.col("_clogc") / n)
+                       / F.log2("n_keys"), 6)).alias("entropy_norm"),
+        F.round(F.col("max_count") * F.col("n_keys") / n, 6)
+         .alias("skew_ratio"),
+        F.least(F.lit(1024), F.greatest(F.lit(1), F.ceil(
+            F.col("max_count") * F.col("n_keys") / n)))
+         .cast("int").alias("recommended_salts"),
+    )
+
+
+def _mg_summary_partition(batches, capacity: int):
+    """Misra-Gries over one input partition: dict-merge each Arrow batch,
+    prune to ``capacity`` keys by subtracting the (capacity+1)-th largest
+    count from everyone (the mergeable-summaries prune), accumulate the
+    subtracted amount as the partition's error term. Emits the surviving
+    (key, cnt) rows plus ONE sentinel row (key NULL, cnt = error)."""
+    import pandas as pd
+
+    counter: dict = {}
+    err = 0
+    saw_rows = False
+    for pdf in batches:
+        vc = pdf.iloc[:, 0].value_counts()
+        if len(vc):
+            saw_rows = True
+        for k, c in vc.items():
+            counter[k] = counter.get(k, 0) + int(c)
+        if len(counter) > capacity:
+            cut = sorted(counter.values(), reverse=True)[capacity]
+            counter = {k: c - cut for k, c in counter.items() if c > cut}
+            err += cut
+    if not saw_rows:
+        return
+    keys = list(counter.keys()) + [None]
+    cnts = [counter[k] for k in counter] + [err]
+    yield pd.DataFrame({"key": pd.array(keys, dtype="string"),
+                        "cnt": pd.array(cnts, dtype="int64")})
+
+
+def heavy_hitters(df: DataFrame, key: str, *, capacity: int = 1024,
+                  top_k: int = 20) -> DataFrame:
+    """Approximate top-k keys with deterministic error bounds.
+
+    Output: key (string), count_min, count_max — ordered by
+    (count_min desc, key asc), at most ``top_k`` rows. True frequency of
+    every returned key lies in [count_min, count_max]; count_max ==
+    count_min + the summed per-partition prune error, so with
+    ``capacity`` >= the number of distinct keys any single input
+    partition sees, the error is zero and counts are EXACT (the oracle
+    mode). Any key with true frequency > n_rows/capacity is guaranteed
+    to appear in the merged summary.
+
+    Plan: one ``mapInPandas`` pass builds a <= capacity+1 row summary per
+    input partition (shuffle width: partitions x capacity, independent of
+    distinct-key count — the point of the sketch vs ``key_counts``); a
+    groupBy(key) over those summaries merges lower bounds; the scalar
+    error relation (one row) broadcasts onto the top-k. NULL input keys
+    are ignored (profile them with column_stats null_rate instead).
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    if top_k <= 0:
+        raise ValueError("top_k must be > 0")
+    src = (df.select(F.col(key).cast("string").alias("key"))
+           .where(F.col(key).isNotNull()))
+    partials = _persist(src.mapInPandas(
+        lambda it: _mg_summary_partition(it, capacity),
+        schema="key string, cnt long"))
+    merged = (partials.where(F.col("key").isNotNull())
+              .groupBy("key").agg(F.sum("cnt").alias("count_min")))
+    total_err = (partials.where(F.col("key").isNull())
+                 .agg(F.coalesce(F.sum("cnt"), F.lit(0))
+                      .alias("_total_err")))
+    return (merged
+            .crossJoin(F.broadcast(total_err))
+            .select(F.col("key"), F.col("count_min"),
+                    (F.col("count_min") + F.col("_total_err"))
+                    .alias("count_max"))
+            .orderBy(F.col("count_min").desc(), F.col("key").asc())
+            .limit(top_k))
+
+
+def skew_violations(df: DataFrame, key: str, *,
+                    max_share: float, top_k: int = 10,
+                    ruleset_name: str = "engine",
+                    severity: str = "warning") -> DataFrame:
+    """Table-level declarative form (``x-skew``): a violation row when the
+    hottest ``key`` value holds more than ``max_share`` of all rows — the
+    lint that says "shuffling on this key will strand one reducer; salt
+    it or bucket it". Violation shape mirrors
+    operators/validate.py VIOLATION_FIELDS so sinks union cleanly; the
+    row carries the measured share as ``actual`` and the hottest key's
+    recommended salt factor in the message."""
+    prof = skew_profile(df, key, top_k=top_k)
+    bad = prof.where(F.col("max_share") > F.lit(float(max_share)))
+    return bad.select(
+        F.lit("all").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"skew:{key}").alias("constraint_id"),
+        F.lit("x-skew").alias("keyword"),
+        F.lit(f"/{key}").alias("instance_path"),
+        F.lit(f"#/x-skew/{key}").alias("schema_path"),
+        F.concat(
+            F.lit(f"Key '{key}' is skewed: hottest value holds "),
+            F.col("max_share").cast("string"),
+            F.lit(f" of rows (limit {max_share}); shuffle on it with >= "),
+            F.col("recommended_salts").cast("string"),
+            F.lit(" salts")).alias("message"),
+        F.col("max_share").cast("string").alias("actual"),
+        F.lit(None).cast("array<string>").alias("expected"),
+        F.lit(severity).alias("severity"),
+    )

@@ -100,6 +100,13 @@ def table_check_violations(
                 end_col=params["end"], bucket=params["bucket"],
                 row_id=row_id, ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
+        elif kind == "skew":
+            from .skew import skew_violations
+            extras.append(skew_violations(
+                df, column, max_share=params["max_share"],
+                top_k=params.get("top_k", 10),
+                ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "outlier":
             from .outliers import outlier_violations
             extras.append(outlier_violations(

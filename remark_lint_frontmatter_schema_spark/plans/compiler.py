@@ -81,6 +81,7 @@ _KNOWN_KEYWORDS = {
     "x-dedup", "x-langid", "x-rate", "x-decontaminate", "x-label-conflict",
     "x-repair",  # per-property opt-out consumed by operators/repair.py
     "x-outlier",
+    "x-skew",
     "x-monotonic",
     "x-dup-ngram",
     "x-gopher",
@@ -463,6 +464,13 @@ _KEYWORD_SHAPE = {
              and v["k"] > 0))
     and (v.get("approx") is None or isinstance(v["approx"], bool))
     and (v.get("by") is None or isinstance(v["by"], str)),
+    "x-skew": lambda v: isinstance(v, dict)
+    and isinstance(v.get("max_share"), _NUM)
+    and not isinstance(v.get("max_share"), bool)
+    and 0 < v["max_share"] <= 1
+    and (v.get("top_k") is None
+         or (isinstance(v["top_k"], int) and not isinstance(v["top_k"], bool)
+             and v["top_k"] > 0)),
     "x-severity": lambda v: v in ("error", "warning", "info"),
     "x-monotonic": lambda v: isinstance(v, dict)
     and isinstance(v.get("order_by"), str)
@@ -703,6 +711,7 @@ _VARIANT_UNSUPPORTED_KWS = frozenset((
     "x-unique", "x-ref", "x-ref-asof", "x-ref-interval", "x-drift",
     "x-dedup", "x-langid",
     "x-rate", "x-encoding", "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
+    "x-skew",
     "x-monotonic", "x-dup-ngram", "x-gopher", "x-c4", "x-leakage", "x-embedding",
     "x-fd", "x-gap", "x-gibberish", "x-lm-ppl"))
 
@@ -1379,6 +1388,24 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 }))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-outlier"))
+
+    if "x-skew" in schema and not ctx.silent:
+        # key-distribution skew lint (operators/skew.py skew_violations):
+        # fires when the hottest value of this column holds more than
+        # max_share of all rows — the declarative "salt before you
+        # shuffle on this" warning. A relational pass over the whole
+        # column like x-unique, so top-level columns only (skew of a
+        # nested field isn't a shuffle key)
+        if is_top:
+            p = schema["x-skew"]
+            ctx.out.table_checks.append(
+                ("skew", ctx.instance_path[1:], {
+                    "max_share": float(p["max_share"]),
+                    "top_k": int(p.get("top_k", 10)),
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-skew"))
 
     if "x-monotonic" in schema and not ctx.silent:
         # adjacent-pair ordering constraint (operators/sequence.py): the
