@@ -1545,6 +1545,30 @@ def q_stratified_documents(spark, sf):
         .select("doc_id", "lang")
 
 
+def q_weighted_sample_documents(spark, sf):
+    """Length-weighted deterministic sample without replacement
+    (operators/sampling.py weighted_sample, Efraimidis-Spirakis A-ES with
+    the sha256-prefix uniform): 100 documents, inclusion probability
+    proportional to character count. Oracle reproduces the exact row set
+    (same hash, same u^(1/w) ranking, same tiebreak) in DuckDB."""
+    docs = _load(spark, sf, "documents")
+    src = docs.select("doc_id",
+                      F.length("text").cast("double").alias("w")) \
+              .where(F.col("w").isNotNull())
+    return sampling.weighted_sample(src, "doc_id", "w", 100)
+
+
+def q_zipf_documents(spark, sf):
+    """Zipf-law corpus health fit (operators/text.py zipf_fit): slope /
+    intercept / r2 of ln(count) ~ ln(rank) over the 500 most frequent
+    whitespace tokens. One explode+groupBy shuffle, TakeOrderedAndProject
+    top-k, bounded-relation rank window. Oracle re-derives the spectrum
+    and the regression (regr_slope/intercept/r2) in DuckDB."""
+    from remark_lint_frontmatter_schema_spark.operators.text import zipf_fit
+    docs = _load(spark, sf, "documents")
+    return zipf_fit(docs, "text", top_k=500)
+
+
 def q_budget_documents(spark, sf):
     """Token-budget curation: keep docs in deterministic hash order while
     cumulative length stays within budget — scalable prefix sum (range
@@ -1865,6 +1889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_documents": q_repetition_documents,
         "mojibake_documents": q_mojibake_documents,
         "sample_documents": q_sample_documents,
+        "weighted_sample_documents": q_weighted_sample_documents,
+        "zipf_documents": q_zipf_documents,
         "stratified_documents": q_stratified_documents,
         "budget_documents": q_budget_documents,
         "windowed_verdicts_events": q_windowed_verdicts_events,
@@ -3835,6 +3861,33 @@ FROM t
         "sample_documents": """
 SELECT doc_id FROM documents
 WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+""",
+        "weighted_sample_documents": """
+SELECT doc_id, w FROM (
+  SELECT doc_id, w,
+         pow(CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 13)
+                  AS BIGINT) / 4503599627370496.0,
+             1.0 / w) AS aes_key
+  FROM (SELECT doc_id, CAST(length(text) AS DOUBLE) AS w
+        FROM documents WHERE text IS NOT NULL)
+  WHERE w > 0)
+ORDER BY aes_key DESC, doc_id ASC LIMIT 100
+""",
+        "zipf_documents": """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents WHERE text IS NOT NULL),
+c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+top AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+  FROM c ORDER BY cnt DESC, tok ASC LIMIT 500)
+SELECT count(*) AS n_fit,
+       CAST(sum(cnt) AS BIGINT) AS top_mass,
+       round(regr_slope(ln(cnt), ln(rank)), 6) AS slope,
+       round(regr_intercept(ln(cnt), ln(rank)), 6) AS intercept,
+       round(regr_r2(ln(cnt), ln(rank)), 6) AS r2
+FROM top
 """,
         "stratified_documents": """
 SELECT doc_id, lang FROM (

@@ -262,3 +262,33 @@ def leakage_violations(df: DataFrame, split_col: str, group_col: str, *,
         F.array(F.lit("1 split per group")).alias("expected"),
         F.lit(severity).alias("severity"),
     )
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight_col, k: int) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement, k rows, inclusion
+    probability proportional to weight (Efraimidis & Spirakis 2006 A-ES:
+    rank by u^(1/w) with u uniform per row, take the k largest). The
+    uniform is the sha256 prefix-as-fraction — same derandomization as
+    ``hash_sample``, so reruns and the DuckDB oracle reproduce the exact
+    sample; 13 hex digits = 52 bits, exact in a double.
+
+    ``weight_col`` — column name or Column of positive weights; rows with
+    NULL or non-positive weight are excluded (they carry no mass —
+    validate weights upstream if that's a defect). Plan: pure map to
+    score, then orderBy(key desc, id asc).limit(k) =
+    TakeOrderedAndProject — per-partition top-k, driver merge of k rows
+    per partition, no global sort at any scale.
+    """
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = w.cast("double")
+    u = (F.conv(F.substring(F.sha2(F.col(id_col).cast("string"), 256),
+                            1, 13), 16, 10).cast("double")
+         / F.lit(float(16 ** 13)))
+    key = F.pow(u, F.lit(1.0) / w)
+    return (df.where(w > 0)
+            .withColumn("_aes_key", key)
+            .orderBy(F.col("_aes_key").desc(), F.col(id_col).asc())
+            .limit(k)
+            .drop("_aes_key"))

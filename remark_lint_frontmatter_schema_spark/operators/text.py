@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -837,3 +837,38 @@ def normalize_text(df: DataFrame, text_col: str, id_col: str, *,
     return staged.select(
         "id", "text_norm",
         (~F.col("text_norm").eqNullSafe(F.col("_orig"))).alias("changed"))
+
+
+def zipf_fit(df: DataFrame, text_col: str, *, top_k: int = 500) -> DataFrame:
+    """Corpus-health check: least-squares fit of the token
+    frequency-vs-rank spectrum in log-log space (Zipf's law; natural text
+    sits near slope -1 with r2 close to 1 — a boilerplate-flooded or
+    machine-generated corpus bends away from it; used as a distribution
+    sanity alongside gibberish/perplexity gates).
+
+    One explode + groupBy(token) shuffle (map-side combine) builds the
+    spectrum; the fit uses only the ``top_k`` most frequent tokens via
+    orderBy().limit() = TakeOrderedAndProject, so no global sort and the
+    rank window runs over a bounded k-row relation (the tail of the
+    spectrum is count-1 noise that swamps the regression, hence top-k by
+    construction, not as a concession). Output: one row with n_fit (<=
+    top_k), top_mass (rows covered by the fitted tokens), slope,
+    intercept, r2 of ln(count) ~ ln(rank).
+    """
+    if top_k < 2:
+        raise ValueError("top_k must be >= 2")
+    c = F.col(text_col)
+    toks = df.select(F.explode(tokens(F.lower(c))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("tok").asc()) \
+                .limit(top_k)
+    win = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    ranked = top.withColumn("rank", F.row_number().over(win))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_fit"),
+        F.sum("cnt").alias("top_mass"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"))
