@@ -309,6 +309,34 @@ def q_unique_lineitem_orderkey(spark, sf):
     return uniqueness.duplicate_keys(li, "l_orderkey")
 
 
+def q_reconcile_orders(spark, sf):
+    """Aggregate reconciliation (operators/reconcile.py): each order's
+    stored quantity total must equal sum(l_quantity) recomputed from its
+    line items. The stored side is derived deterministically (exact sum
+    + 7 injected for o_orderkey % 97 == 0; orders with no line items get
+    an unsupported stored value) so the violation set is meaningful:
+    mismatch rows for the perturbed keys, missing_fact rows for
+    lineitem-less orders. Integer-valued quantities keep every float in
+    the output exact, so the DuckDB oracle matches byte-for-byte
+    including message strings. One map-side-combined aggregate + one
+    equi-join — the 10^12-row reconciliation plan."""
+    from remark_lint_frontmatter_schema_spark.operators.reconcile import (
+        reconcile_violations)
+    li = _load(spark, sf, "lineitem")
+    orders = _load(spark, sf, "orders")
+    sums = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("double")).alias("_s"))
+    dim = (orders.join(sums, orders["o_orderkey"] == sums["l_orderkey"],
+                       "left")
+           .select(orders["o_orderkey"],
+                   (F.coalesce(F.col("_s"), F.lit(42.0))
+                    + F.when(orders["o_orderkey"] % 97 == 0, F.lit(7.0))
+                       .otherwise(F.lit(0.0))).alias("stored")))
+    return reconcile_violations(
+        li, dim, key="o_orderkey", fact_key="l_orderkey",
+        fact_value="l_quantity", dim_value="stored")
+
+
 def q_skew_profile_lineitem(spark, sf):
     """Key-skew diagnostic (operators/skew.py skew_profile): one row
     describing how lineitem would shuffle on l_suppkey — max/top-k key
@@ -1811,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdict_orders": q_verdict_orders,
         "stats_lineitem": q_stats_lineitem,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
+        "reconcile_orders": q_reconcile_orders,
         "skew_profile_lineitem": q_skew_profile_lineitem,
         "heavy_hitters_lineitem": q_heavy_hitters_lineitem,
         "mmd_embeddings": q_mmd_embeddings,
@@ -2958,6 +2987,38 @@ SELECT o_orderstatus AS partition_id,
            OR (o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-'))
            OR o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
 FROM orders GROUP BY o_orderstatus
+""",
+        "reconcile_orders": """
+WITH sums AS (
+  SELECT l_orderkey AS k, CAST(sum(l_quantity) AS DOUBLE) AS s
+  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+dim AS (
+  SELECT o_orderkey AS k,
+         coalesce(s.s, 42.0)
+           + CASE WHEN o_orderkey % 97 = 0 THEN 7.0 ELSE 0.0 END AS stored,
+         s.s AS actual
+  FROM orders o LEFT JOIN sums s ON o.o_orderkey = s.k
+  WHERE o_orderkey IS NOT NULL)
+SELECT CAST(k AS VARCHAR) AS row_id,
+       'all' AS partition_id,
+       'engine' AS ruleset_id,
+       'reconcile:stored' AS constraint_id,
+       'x-reconcile' AS keyword,
+       '/stored' AS instance_path,
+       '#/x-reconcile/stored' AS schema_path,
+       CASE WHEN actual IS NULL
+            THEN 'Must reconcile: no fact rows support stored ''stored'''
+            ELSE 'Must reconcile: sum(l_quantity) = '
+                 || CAST(round(actual, 2) AS VARCHAR) || ', stored '
+                 || CAST(round(stored, 2) AS VARCHAR) || ' (diff '
+                 || CAST(round(actual - stored, 2) AS VARCHAR)
+                 || ', tolerance 0.0)'
+       END AS message,
+       CAST(round(actual, 6) AS VARCHAR) AS actual,
+       [CAST(round(stored, 6) AS VARCHAR)] AS expected,
+       'warning' AS severity
+FROM dim
+WHERE actual IS NULL OR abs(actual - stored) > 0
 """,
         "skew_profile_lineitem": """
 WITH c AS (

@@ -106,6 +106,12 @@ HEADLINE = [
     "ref_interval_purchase_sessions",
     "error_session_overlap",
     "profile_diff_orders",
+    "reconcile_orders",
+    "skew_profile_lineitem",
+    "heavy_hitters_lineitem",
+    "mmd_embeddings",
+    "weighted_sample_documents",
+    "zipf_documents",
 ]
 
 

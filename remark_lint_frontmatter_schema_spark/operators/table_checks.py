@@ -100,6 +100,20 @@ def table_check_violations(
                 end_col=params["end"], bucket=params["bucket"],
                 row_id=row_id, ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
+        elif kind == "reconcile":
+            from .reconcile import reconcile_violations
+            if params["fact"] not in dims and on_missing_dim is not None:
+                on_missing_dim(params["fact"])
+                continue
+            extras.append(reconcile_violations(
+                dims[params["fact"]], df, key=params["key"],
+                fact_key=params.get("fact_key"),
+                fact_value=params["fact_value"], dim_value=column,
+                agg=params.get("agg", "sum"),
+                tolerance=params.get("tolerance", 0.0),
+                on_missing=params.get("on_missing", "violate"),
+                ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "skew":
             from .skew import skew_violations
             extras.append(skew_violations(

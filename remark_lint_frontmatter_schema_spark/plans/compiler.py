@@ -81,7 +81,7 @@ _KNOWN_KEYWORDS = {
     "x-dedup", "x-langid", "x-rate", "x-decontaminate", "x-label-conflict",
     "x-repair",  # per-property opt-out consumed by operators/repair.py
     "x-outlier",
-    "x-skew",
+    "x-skew", "x-reconcile",
     "x-monotonic",
     "x-dup-ngram",
     "x-gopher",
@@ -471,6 +471,17 @@ _KEYWORD_SHAPE = {
     and (v.get("top_k") is None
          or (isinstance(v["top_k"], int) and not isinstance(v["top_k"], bool)
              and v["top_k"] > 0)),
+    "x-reconcile": lambda v: isinstance(v, dict)
+    and isinstance(v.get("fact"), str)
+    and isinstance(v.get("key"), str)
+    and isinstance(v.get("fact_value"), str)
+    and (v.get("fact_key") is None or isinstance(v["fact_key"], str))
+    and v.get("agg", "sum") in ("sum", "count", "avg", "min", "max")
+    and (v.get("tolerance") is None
+         or (isinstance(v["tolerance"], _NUM)
+             and not isinstance(v["tolerance"], bool)
+             and v["tolerance"] >= 0))
+    and v.get("on_missing", "violate") in ("violate", "ignore"),
     "x-severity": lambda v: v in ("error", "warning", "info"),
     "x-monotonic": lambda v: isinstance(v, dict)
     and isinstance(v.get("order_by"), str)
@@ -711,7 +722,7 @@ _VARIANT_UNSUPPORTED_KWS = frozenset((
     "x-unique", "x-ref", "x-ref-asof", "x-ref-interval", "x-drift",
     "x-dedup", "x-langid",
     "x-rate", "x-encoding", "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
-    "x-skew",
+    "x-skew", "x-reconcile",
     "x-monotonic", "x-dup-ngram", "x-gopher", "x-c4", "x-leakage", "x-embedding",
     "x-fd", "x-gap", "x-gibberish", "x-lm-ppl"))
 
@@ -1406,6 +1417,29 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 }))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-skew"))
+
+    if "x-reconcile" in schema and not ctx.silent:
+        # aggregate reconciliation (operators/reconcile.py): this
+        # column's stored per-key value must equal the aggregate
+        # recomputed from the fact table named in `fact` (resolved from
+        # the dims mapping, x-ref's plumbing). Numeric top-level columns
+        # only — a non-numeric stored aggregate casts to all-NULL and
+        # would vacuously mismatch, so it falls to unknown instead
+        if is_top and isinstance(ctx.dtype, _NUMERIC):
+            p = schema["x-reconcile"]
+            ctx.out.table_checks.append(
+                ("reconcile", ctx.instance_path[1:], {
+                    "fact": p["fact"],
+                    "key": p["key"],
+                    "fact_key": p.get("fact_key"),
+                    "fact_value": p["fact_value"],
+                    "agg": p.get("agg", "sum"),
+                    "tolerance": float(p.get("tolerance", 0.0)),
+                    "on_missing": p.get("on_missing", "violate"),
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-reconcile"))
 
     if "x-monotonic" in schema and not ctx.silent:
         # adjacent-pair ordering constraint (operators/sequence.py): the
