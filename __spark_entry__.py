@@ -309,6 +309,18 @@ def q_unique_lineitem_orderkey(spark, sf):
     return uniqueness.duplicate_keys(li, "l_orderkey")
 
 
+def q_benford_events(spark, sf):
+    """Benford first-digit conformance (operators/drift.py benford) on
+    events.value: 9-row digit histogram from one map-side-combined
+    aggregate, expected shares + chi-square derived on the driver-scale
+    relation. Oracle re-derives digit extraction (incl. the
+    power-of-ten clamp) and the statistics in DuckDB."""
+    from remark_lint_frontmatter_schema_spark.operators.drift import (
+        benford)
+    ev = _load(spark, sf, "events")
+    return benford(ev, "value")
+
+
 def q_reconcile_orders(spark, sf):
     """Aggregate reconciliation (operators/reconcile.py): each order's
     stored quantity total must equal sum(l_quantity) recomputed from its
@@ -1839,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdict_orders": q_verdict_orders,
         "stats_lineitem": q_stats_lineitem,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
+        "benford_events": q_benford_events,
         "reconcile_orders": q_reconcile_orders,
         "skew_profile_lineitem": q_skew_profile_lineitem,
         "heavy_hitters_lineitem": q_heavy_hitters_lineitem,
@@ -2987,6 +3000,33 @@ SELECT o_orderstatus AS partition_id,
            OR (o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-'))
            OR o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
 FROM orders GROUP BY o_orderstatus
+""",
+        "benford_events": """
+WITH src AS (
+  SELECT abs(CAST(value AS DOUBLE)) AS v FROM events
+  WHERE value IS NOT NULL AND abs(value) > 0 AND isfinite(value)),
+c AS (
+  SELECT least(9, greatest(1,
+           CAST(floor(v / pow(10, floor(log10(v)))) AS INT))) AS digit,
+         count(*) AS n
+  FROM src GROUP BY 1),
+f AS (
+  SELECT CAST(d.digit AS INT) AS digit, coalesce(c.n, 0) AS n
+  FROM (SELECT unnest(range(1, 10)) AS digit) d
+  LEFT JOIN c ON d.digit = c.digit),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM f),
+scored AS (
+  SELECT digit, n,
+         round(n / CAST(total AS DOUBLE), 6) AS observed,
+         round(log10(1.0 + 1.0 / digit), 6) AS expected,
+         round(pow(n - total * log10(1.0 + 1.0 / digit), 2)
+               / (total * log10(1.0 + 1.0 / digit)), 6) AS chi2_term,
+         pow(n - total * log10(1.0 + 1.0 / digit), 2)
+           / (total * log10(1.0 + 1.0 / digit)) AS raw
+  FROM f, t)
+SELECT digit, n, observed, expected, chi2_term,
+       (SELECT round(sum(raw), 6) FROM scored) AS chi2
+FROM scored ORDER BY digit
 """,
         "reconcile_orders": """
 WITH sums AS (

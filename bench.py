@@ -106,6 +106,7 @@ HEADLINE = [
     "ref_interval_purchase_sessions",
     "error_session_overlap",
     "profile_diff_orders",
+    "benford_events",
     "reconcile_orders",
     "skew_profile_lineitem",
     "heavy_hitters_lineitem",

@@ -391,3 +391,53 @@ def drift_check(df: DataFrame, value_col: str, side_col, side_a: str,
         "ks_drifted": ks is not None and ks > ks_threshold,
         "psi_drifted": p is not None and p > psi_threshold,
     }
+
+
+def benford(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit conformance vs Benford's law — the
+    classic fabricated/synthetic-numeric-data screen (naturally-grown
+    magnitudes follow P(d) = log10(1 + 1/d); hand-entered, clipped, or
+    template-generated values do not).
+
+    One pure-JVM aggregate over the pruned single column builds the
+    9-row digit histogram (map-side combine; the shuffle is nine rows);
+    the expected shares, per-digit chi-square terms and the total are
+    derived on that driver-scale relation. Rows with NULL, zero, or
+    non-finite values are excluded (they have no first digit —
+    required/type/x-outlier own those defects). Output: digit 1..9
+    (digits never observed appear with n=0), n, observed, expected,
+    chi2_term, and the total chi2 repeated per row for single-relation
+    consumption.
+    """
+    spark = df.sparkSession
+    v = F.abs(F.col(value_col).cast("double"))
+    valid = (v.isNotNull() & (v > 0)
+             & ~F.isnan(v) & (v != float("inf")))
+    # first significant digit: v / 10^floor(log10 v) in [1, 10); the
+    # clamp absorbs the one-ulp log10 edge at exact powers of ten
+    d = F.least(F.lit(9), F.greatest(F.lit(1), F.floor(
+        v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")))
+    counts = (df.where(valid)
+              .groupBy(d.alias("digit"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    digits = spark.range(1, 10).select(F.col("id").cast("int")
+                                       .alias("digit"))
+    full = (digits.join(counts, "digit", "left")
+            .select("digit", F.coalesce(F.col("n"), F.lit(0)).alias("n")))
+    total = full.agg(F.sum("n").alias("_total"))
+    e = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    scored = (full.crossJoin(F.broadcast(total))
+              .select(
+                  "digit", "n",
+                  F.round(F.col("n") / F.col("_total"), 6)
+                   .alias("observed"),
+                  F.round(e, 6).alias("expected"),
+                  F.round(
+                      F.pow(F.col("n") - F.col("_total") * e, F.lit(2.0))
+                      / (F.col("_total") * e), 6).alias("chi2_term"),
+                  (F.pow(F.col("n") - F.col("_total") * e, F.lit(2.0))
+                   / (F.col("_total") * e)).alias("_raw")))
+    chi2 = scored.agg(F.round(F.sum("_raw"), 6).alias("chi2"))
+    return (scored.drop("_raw")
+            .crossJoin(F.broadcast(chi2))
+            .orderBy("digit"))
