@@ -309,6 +309,29 @@ def q_unique_lineitem_orderkey(spark, sf):
     return uniqueness.duplicate_keys(li, "l_orderkey")
 
 
+def q_missing_dates_events(spark, sf):
+    """Calendar completeness (operators/sequence.py missing_buckets):
+    days between the observed min and max with NO rows. Deterministic
+    hole injection (drop dayofmonth % 7 == 3) so the missing set is
+    non-empty; the oracle rebuilds the grid with generate_series."""
+    from remark_lint_frontmatter_schema_spark.operators.sequence import (
+        missing_buckets)
+    ev = _load(spark, sf, "events").where(F.dayofmonth("ts") % 7 != 3)
+    return missing_buckets(ev, "ts", unit="day")
+
+
+def q_freshness_events(spark, sf):
+    """Freshness check (operators/sequence.py freshness_violations): the
+    newest event must be younger than an hour at a pinned as_of —
+    deliberately stale here so the violation row (age string included)
+    is compared byte-exact against the oracle."""
+    from remark_lint_frontmatter_schema_spark.operators.sequence import (
+        freshness_violations)
+    ev = _load(spark, sf, "events")
+    return freshness_violations(ev, "ts", max_age_seconds=3600,
+                                as_of="2024-02-01 00:00:00")
+
+
 def q_benford_events(spark, sf):
     """Benford first-digit conformance (operators/drift.py benford) on
     events.value: 9-row digit histogram from one map-side-combined
@@ -1851,6 +1874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdict_orders": q_verdict_orders,
         "stats_lineitem": q_stats_lineitem,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
+        "missing_dates_events": q_missing_dates_events,
+        "freshness_events": q_freshness_events,
         "benford_events": q_benford_events,
         "reconcile_orders": q_reconcile_orders,
         "skew_profile_lineitem": q_skew_profile_lineitem,
@@ -3000,6 +3025,38 @@ SELECT o_orderstatus AS partition_id,
            OR (o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-'))
            OR o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
 FROM orders GROUP BY o_orderstatus
+""",
+        "missing_dates_events": """
+WITH src AS (
+  SELECT date_trunc('day', ts) AS b FROM events
+  WHERE ts IS NOT NULL AND day(ts) % 7 <> 3),
+span AS (SELECT min(b) AS f, max(b) AS l FROM src),
+grid AS (
+  SELECT unnest(generate_series(f, l, INTERVAL 1 DAY)) AS bucket
+  FROM span WHERE f IS NOT NULL)
+SELECT bucket FROM grid
+WHERE bucket NOT IN (SELECT DISTINCT b FROM src)
+ORDER BY bucket
+""",
+        "freshness_events": """
+WITH newest AS (SELECT max(ts) AS n FROM events)
+SELECT 'all' AS row_id,
+       'all' AS partition_id,
+       'engine' AS ruleset_id,
+       'freshness:ts' AS constraint_id,
+       'x-freshness' AS keyword,
+       '/ts' AS instance_path,
+       '#/x-freshness/ts' AS schema_path,
+       'Must be fresh: newest row is '
+         || CAST(round(epoch(TIMESTAMP '2024-02-01 00:00:00')
+                       - epoch(n), 1) AS VARCHAR)
+         || ' s old (limit 3600)' AS message,
+       CAST(n AS VARCHAR) AS actual,
+       CAST(NULL AS VARCHAR[]) AS expected,
+       'warning' AS severity
+FROM newest
+WHERE n IS NULL
+   OR epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(n) > 3600
 """,
         "benford_events": """
 WITH src AS (

@@ -107,6 +107,8 @@ HEADLINE = [
     "error_session_overlap",
     "profile_diff_orders",
     "benford_events",
+    "missing_dates_events",
+    "freshness_events",
     "reconcile_orders",
     "skew_profile_lineitem",
     "heavy_hitters_lineitem",

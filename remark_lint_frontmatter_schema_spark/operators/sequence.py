@@ -311,3 +311,120 @@ def resample_fill(
                         F.last("value", ignorenulls=True).over(w))
             .select(F.col("grp").alias(by), "bucket", "value",
                     "is_observed"))
+
+
+def missing_buckets(df: DataFrame, ts_col: str, *, unit: str = "day",
+                    by: str | None = None) -> DataFrame:
+    """Calendar completeness: time buckets between the observed min and
+    max that contain NO rows — the partition-level hole x-gap's row-gap
+    check reports as one big gap but operations teams want as a bucket
+    list ("which days are missing from the feed").
+
+    Global form: one aggregate collapses the table to (min, max) bucket
+    bounds, the calendar grid explodes from that single row
+    (driver-scale), and the observed bucket relation (distinct buckets —
+    a map-side-combined aggregate whose shuffle is n_buckets rows) anti
+    joins against it. ``by`` gives per-group calendars spanning each
+    group's own min..max. Output: (group?, bucket timestamp) rows,
+    one per missing bucket.
+    """
+    step = {"day": "interval 1 day", "hour": "interval 1 hour",
+            "week": "interval 7 day", "month": "interval 1 month",
+            "minute": "interval 1 minute"}.get(unit)
+    if step is None:
+        raise ValueError(f"unsupported unit {unit!r}")
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    src = df.where(F.col(ts_col).isNotNull())
+    if by is None:
+        obs = src.select(bucket.alias("bucket")).distinct()
+        span = obs.agg(F.min("bucket").alias("_first"),
+                       F.max("bucket").alias("_last"))
+        grid = span.where(F.col("_first").isNotNull()).select(
+            F.explode(F.expr(f"sequence(_first, _last, {step})"))
+             .alias("bucket"))
+        return grid.join(obs, "bucket", "left_anti").orderBy("bucket")
+    obs = src.select(F.col(by).alias("grp"), bucket.alias("bucket")) \
+             .distinct()
+    span = obs.groupBy("grp").agg(F.min("bucket").alias("_first"),
+                                  F.max("bucket").alias("_last"))
+    grid = span.select(
+        "grp", F.explode(F.expr(f"sequence(_first, _last, {step})"))
+                .alias("bucket"))
+    return (grid.join(obs, ["grp", "bucket"], "left_anti")
+            .select(F.col("grp").alias(by), "bucket")
+            .orderBy(by, "bucket"))
+
+
+def calendar_violations(df: DataFrame, ts_col: str, *,
+                        unit: str = "day", by: str | None = None,
+                        ruleset_name: str = "engine",
+                        severity: str = "warning") -> DataFrame:
+    """Violation rows (x-calendar) — one per missing calendar bucket."""
+    miss = missing_buckets(df, ts_col, unit=unit, by=by)
+    rid = (F.col(by).cast("string") if by is not None
+           else F.lit("all"))
+    return miss.select(
+        rid.alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"calendar:{ts_col}").alias("constraint_id"),
+        F.lit("x-calendar").alias("keyword"),
+        F.lit(f"/{ts_col}").alias("instance_path"),
+        F.lit(f"#/x-calendar/{ts_col}").alias("schema_path"),
+        F.concat(F.lit(f"Must cover every {unit}: no rows in "),
+                 F.col("bucket").cast("string")).alias("message"),
+        F.col("bucket").cast("string").alias("actual"),
+        F.lit(None).cast("array<string>").alias("expected"),
+        F.lit(severity).alias("severity"),
+    )
+
+
+def freshness_violations(df: DataFrame, ts_col: str, *,
+                         max_age_seconds: float, as_of=None,
+                         by: str | None = None,
+                         ruleset_name: str = "engine",
+                         severity: str = "warning") -> DataFrame:
+    """Data freshness (x-freshness): the newest row (per group with
+    ``by``) must be no older than ``max_age_seconds`` at ``as_of``
+    (a timestamp Column/literal string; defaults to current_timestamp()
+    — pass it explicitly for reproducible runs and oracles). One
+    max-aggregate — shuffle is one row per group. A group whose rows are
+    all NULL-timestamped violates with actual NULL (no evidence of
+    freshness is staleness, fail-closed)."""
+    if max_age_seconds <= 0:
+        raise ValueError("max_age_seconds must be > 0")
+    as_of_c = (F.current_timestamp() if as_of is None
+               else (F.lit(as_of).cast("timestamp")
+                     if isinstance(as_of, str) else as_of))
+    if by is None:
+        agg = df.agg(F.max(F.col(ts_col)).alias("_newest"))
+        rid = F.lit("all")
+    else:
+        agg = df.groupBy(F.col(by)).agg(
+            F.max(F.col(ts_col)).alias("_newest"))
+        rid = F.col(by).cast("string")
+    # NTZ columns cast through the UTC-pinned session timestamp so the
+    # age matches the oracle's epoch() (same policy as asof._ord_expr)
+    age = (F.unix_micros(as_of_c.cast("timestamp")) / 1e6
+           - F.unix_micros(F.col("_newest").cast("timestamp")) / 1e6)
+    stale = agg.where(F.col("_newest").isNull()
+                      | (age > F.lit(float(max_age_seconds))))
+    return stale.select(
+        rid.alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"freshness:{ts_col}").alias("constraint_id"),
+        F.lit("x-freshness").alias("keyword"),
+        F.lit(f"/{ts_col}").alias("instance_path"),
+        F.lit(f"#/x-freshness/{ts_col}").alias("schema_path"),
+        F.when(F.col("_newest").isNull(),
+               F.lit(f"Must be fresh: no non-NULL '{ts_col}' rows"))
+         .otherwise(F.concat(
+             F.lit("Must be fresh: newest row is "),
+             F.round(age, 1).cast("string"),
+             F.lit(f" s old (limit {max_age_seconds})")))
+         .alias("message"),
+        F.col("_newest").cast("string").alias("actual"),
+        F.lit(None).cast("array<string>").alias("expected"),
+        F.lit(severity).alias("severity"),
+    )

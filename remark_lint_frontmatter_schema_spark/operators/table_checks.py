@@ -100,6 +100,20 @@ def table_check_violations(
                 end_col=params["end"], bucket=params["bucket"],
                 row_id=row_id, ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
+        elif kind == "calendar":
+            from .sequence import calendar_violations
+            extras.append(calendar_violations(
+                df, column, unit=params.get("unit", "day"),
+                by=params.get("by"), ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
+        elif kind == "freshness":
+            from .sequence import freshness_violations
+            extras.append(freshness_violations(
+                df, column,
+                max_age_seconds=params["max_age_seconds"],
+                as_of=params.get("as_of"), by=params.get("by"),
+                ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "reconcile":
             from .reconcile import reconcile_violations
             if params["fact"] not in dims and on_missing_dim is not None:

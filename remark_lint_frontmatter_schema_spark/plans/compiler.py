@@ -81,7 +81,7 @@ _KNOWN_KEYWORDS = {
     "x-dedup", "x-langid", "x-rate", "x-decontaminate", "x-label-conflict",
     "x-repair",  # per-property opt-out consumed by operators/repair.py
     "x-outlier",
-    "x-skew", "x-reconcile",
+    "x-skew", "x-reconcile", "x-calendar", "x-freshness",
     "x-monotonic",
     "x-dup-ngram",
     "x-gopher",
@@ -471,6 +471,15 @@ _KEYWORD_SHAPE = {
     and (v.get("top_k") is None
          or (isinstance(v["top_k"], int) and not isinstance(v["top_k"], bool)
              and v["top_k"] > 0)),
+    "x-calendar": lambda v: isinstance(v, dict)
+    and v.get("unit", "day") in ("minute", "hour", "day", "week", "month")
+    and (v.get("by") is None or isinstance(v["by"], str)),
+    "x-freshness": lambda v: isinstance(v, dict)
+    and isinstance(v.get("max_age_seconds"), _NUM)
+    and not isinstance(v.get("max_age_seconds"), bool)
+    and v["max_age_seconds"] > 0
+    and (v.get("as_of") is None or isinstance(v["as_of"], str))
+    and (v.get("by") is None or isinstance(v["by"], str)),
     "x-reconcile": lambda v: isinstance(v, dict)
     and isinstance(v.get("fact"), str)
     and isinstance(v.get("key"), str)
@@ -722,7 +731,7 @@ _VARIANT_UNSUPPORTED_KWS = frozenset((
     "x-unique", "x-ref", "x-ref-asof", "x-ref-interval", "x-drift",
     "x-dedup", "x-langid",
     "x-rate", "x-encoding", "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
-    "x-skew", "x-reconcile",
+    "x-skew", "x-reconcile", "x-calendar", "x-freshness",
     "x-monotonic", "x-dup-ngram", "x-gopher", "x-c4", "x-leakage", "x-embedding",
     "x-fd", "x-gap", "x-gibberish", "x-lm-ppl"))
 
@@ -1492,6 +1501,37 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 }))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-lm-ppl"))
+
+    if "x-calendar" in schema and not ctx.silent:
+        # calendar completeness (operators/sequence.py
+        # calendar_violations): every time bucket between the observed
+        # min and max must contain rows — relational pass, top-level only
+        if is_top:
+            p = schema["x-calendar"]
+            ctx.out.table_checks.append(
+                ("calendar", ctx.instance_path[1:], {
+                    "unit": p.get("unit", "day"),
+                    "by": p.get("by"),
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-calendar"))
+
+    if "x-freshness" in schema and not ctx.silent:
+        # freshness (operators/sequence.py freshness_violations): the
+        # newest row (per group) must be younger than max_age_seconds at
+        # as_of (run time when omitted) — relational pass, top-level only
+        if is_top:
+            p = schema["x-freshness"]
+            ctx.out.table_checks.append(
+                ("freshness", ctx.instance_path[1:], {
+                    "max_age_seconds": float(p["max_age_seconds"]),
+                    "as_of": p.get("as_of"),
+                    "by": p.get("by"),
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-freshness"))
 
     if "x-gap" in schema and not ctx.silent:
         # continuity check (operators/sequence.py gap_violations): the
