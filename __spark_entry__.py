@@ -309,6 +309,30 @@ def q_unique_lineitem_orderkey(spark, sf):
     return uniqueness.duplicate_keys(li, "l_orderkey")
 
 
+def q_unique_multi_lineitem(spark, sf):
+    """Composite-key uniqueness (operators/uniqueness.py
+    duplicate_keys_multi): (l_orderkey, l_linenumber) is lineitem's
+    primary key, so duplicates are injected deterministically (rows with
+    l_orderkey % 101 == 0 appended twice) — the salted two-phase
+    aggregate must surface exactly those pairs with their
+    multiplicities."""
+    li = _load(spark, sf, "lineitem").select("l_orderkey", "l_linenumber")
+    dups = li.where(F.col("l_orderkey") % 101 == 0)
+    return uniqueness.duplicate_keys_multi(
+        li.unionAll(dups), ["l_orderkey", "l_linenumber"])
+
+
+def q_benford_gate_events(spark, sf):
+    """Declarative Benford MAD gate (operators/drift.py
+    benford_violations): events.value sits near Benford but beyond
+    Nigrini's close-conformity band, so a 0.005 threshold fires exactly
+    one violation whose MAD string the oracle reproduces."""
+    from remark_lint_frontmatter_schema_spark.operators.drift import (
+        benford_violations)
+    ev = _load(spark, sf, "events")
+    return benford_violations(ev, "value", max_mad=0.005)
+
+
 def q_missing_dates_events(spark, sf):
     """Calendar completeness (operators/sequence.py missing_buckets):
     days between the observed min and max with NO rows. Deterministic
@@ -1874,6 +1898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdict_orders": q_verdict_orders,
         "stats_lineitem": q_stats_lineitem,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
+        "unique_multi_lineitem": q_unique_multi_lineitem,
+        "benford_gate_events": q_benford_gate_events,
         "missing_dates_events": q_missing_dates_events,
         "freshness_events": q_freshness_events,
         "benford_events": q_benford_events,
@@ -3025,6 +3051,46 @@ SELECT o_orderstatus AS partition_id,
            OR (o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-'))
            OR o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
 FROM orders GROUP BY o_orderstatus
+""",
+        "unique_multi_lineitem": """
+WITH src AS (
+  SELECT l_orderkey, l_linenumber FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber FROM lineitem
+  WHERE l_orderkey % 101 = 0)
+SELECT l_orderkey, l_linenumber, count(*) AS n_occurrences
+FROM src
+WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+GROUP BY 1, 2 HAVING count(*) > 1
+""",
+        "benford_gate_events": """
+WITH src AS (
+  SELECT abs(CAST(value AS DOUBLE)) AS v FROM events
+  WHERE value IS NOT NULL AND abs(value) > 0 AND isfinite(value)),
+c AS (
+  SELECT least(9, greatest(1,
+           CAST(floor(v / pow(10, floor(log10(v)))) AS INT))) AS digit,
+         count(*) AS n
+  FROM src GROUP BY 1),
+f AS (
+  SELECT CAST(d.digit AS INT) AS digit, coalesce(c.n, 0) AS n
+  FROM (SELECT unnest(range(1, 10)) AS digit) d
+  LEFT JOIN c ON d.digit = c.digit),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM f),
+m AS (
+  SELECT round(avg(abs(
+           round(n / CAST(total AS DOUBLE), 6)
+           - round(log10(1.0 + 1.0 / digit), 6))), 6) AS mad
+  FROM f, t)
+SELECT 'all' AS row_id, 'all' AS partition_id, 'engine' AS ruleset_id,
+       'benford:value' AS constraint_id, 'x-benford' AS keyword,
+       '/value' AS instance_path, '#/x-benford/value' AS schema_path,
+       'Must conform to Benford''s law: first-digit MAD '
+         || CAST(mad AS VARCHAR) || ' (limit 0.005)' AS message,
+       CAST(mad AS VARCHAR) AS actual,
+       CAST(NULL AS VARCHAR[]) AS expected,
+       'warning' AS severity
+FROM m WHERE mad > 0.005
 """,
         "missing_dates_events": """
 WITH src AS (

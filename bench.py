@@ -107,6 +107,8 @@ HEADLINE = [
     "error_session_overlap",
     "profile_diff_orders",
     "benford_events",
+    "benford_gate_events",
+    "unique_multi_lineitem",
     "missing_dates_events",
     "freshness_events",
     "reconcile_orders",

@@ -441,3 +441,38 @@ def benford(df: DataFrame, value_col: str) -> DataFrame:
     return (scored.drop("_raw")
             .crossJoin(F.broadcast(chi2))
             .orderBy("digit"))
+
+
+def benford_violations(df: DataFrame, value_col: str, *,
+                       max_mad: float = 0.015,
+                       ruleset_name: str = "engine",
+                       severity: str = "warning") -> DataFrame:
+    """Declarative Benford gate (``x-benford``): one violation row when
+    the mean absolute deviation between observed and expected first-digit
+    shares exceeds ``max_mad``. MAD, not chi-square, because MAD is
+    sample-size-invariant (Nigrini's conformity bands: <= 0.006 close,
+    <= 0.012 acceptable, <= 0.015 marginal — the default rejects beyond
+    marginal); chi-square grows with n for ANY imperfect fit and would
+    page on every large table. Rides the :func:`benford` relation
+    (driver-scale), so the whole check is still one table aggregate."""
+    if max_mad <= 0:
+        raise ValueError("max_mad must be > 0")
+    b = benford(df, value_col)
+    mad = b.agg(F.round(F.avg(F.abs(F.col("observed") - F.col("expected"))),
+                        6).alias("_mad"))
+    bad = mad.where(F.col("_mad") > F.lit(float(max_mad)))
+    return bad.select(
+        F.lit("all").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"benford:{value_col}").alias("constraint_id"),
+        F.lit("x-benford").alias("keyword"),
+        F.lit(f"/{value_col}").alias("instance_path"),
+        F.lit(f"#/x-benford/{value_col}").alias("schema_path"),
+        F.concat(F.lit("Must conform to Benford's law: first-digit MAD "),
+                 F.col("_mad").cast("string"),
+                 F.lit(f" (limit {max_mad})")).alias("message"),
+        F.col("_mad").cast("string").alias("actual"),
+        F.lit(None).cast("array<string>").alias("expected"),
+        F.lit(severity).alias("severity"),
+    )

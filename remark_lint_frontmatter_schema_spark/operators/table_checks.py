@@ -100,6 +100,17 @@ def table_check_violations(
                 end_col=params["end"], bucket=params["bucket"],
                 row_id=row_id, ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
+        elif kind == "unique_multi":
+            from .uniqueness import uniqueness_violations_multi
+            extras.append(uniqueness_violations_multi(
+                df, params["keys"], ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
+        elif kind == "benford":
+            from .drift import benford_violations
+            extras.append(benford_violations(
+                df, column, max_mad=params["max_mad"],
+                ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "calendar":
             from .sequence import calendar_violations
             extras.append(calendar_violations(

@@ -62,3 +62,59 @@ def uniqueness_violations(df: DataFrame, key: str, *,
         F.lit(None).cast("array<string>").alias("expected"),
         F.lit(severity).alias("severity"),
     )
+
+
+def duplicate_keys_multi(df: DataFrame, keys: list[str], *,
+                         n_salts: int = 32) -> DataFrame:
+    """Composite-key duplicates: (key tuple, n_occurrences) for every
+    combination appearing more than once — the multi-column form of
+    :func:`duplicate_keys`, same salted two-phase plan (xxhash64 over
+    all components drives the salt, so a hot composite value still
+    splits across reducers). Rows with a NULL in ANY component are
+    excluded, mirroring SQL UNIQUE semantics (NULLs compare unequal;
+    required/type own missingness)."""
+    if not keys or len(keys) < 2:
+        raise ValueError("duplicate_keys_multi needs >= 2 key columns "
+                         "(use duplicate_keys for one)")
+    cols = [F.col(k) for k in keys]
+    nn = cols[0].isNotNull()
+    for c in cols[1:]:
+        nn = nn & c.isNotNull()
+    partial = (
+        df.select(*keys)
+        .where(nn)
+        .groupBy(*cols,
+                 F.pmod(F.xxhash64(*cols, F.lit(42)),
+                        F.lit(n_salts)).alias("_salt"))
+        .agg(F.count(F.lit(1)).alias("_partial")))
+    counts = partial.groupBy(*keys).agg(
+        F.sum("_partial").alias("n_occurrences"))
+    return counts.where(F.col("n_occurrences") > 1)
+
+
+def uniqueness_violations_multi(df: DataFrame, keys: list[str], *,
+                                ruleset_name: str = "engine",
+                                n_salts: int = 32,
+                                severity: str = "warning") -> DataFrame:
+    """Violation rows for duplicated composite keys (root-level
+    ``x-unique: [col, ...]``); row_id is the '|'-joined component
+    values."""
+    dups = duplicate_keys_multi(df, keys, n_salts=n_salts)
+    key_list = ", ".join(keys)
+    return dups.select(
+        F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+         .alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"unique:({key_list})").alias("constraint_id"),
+        F.lit("unique").alias("keyword"),
+        F.lit("/" + "/".join(keys)).alias("instance_path"),
+        F.lit(f"#/x-unique/({key_list})").alias("schema_path"),
+        F.concat(F.lit(f"Must be unique: ({key_list}) occurs "),
+                 F.col("n_occurrences").cast("string"),
+                 F.lit(" times")).alias("message"),
+        F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+         .alias("actual"),
+        F.lit(None).cast("array<string>").alias("expected"),
+        F.lit(severity).alias("severity"),
+    )

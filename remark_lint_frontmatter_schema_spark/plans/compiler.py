@@ -81,7 +81,7 @@ _KNOWN_KEYWORDS = {
     "x-dedup", "x-langid", "x-rate", "x-decontaminate", "x-label-conflict",
     "x-repair",  # per-property opt-out consumed by operators/repair.py
     "x-outlier",
-    "x-skew", "x-reconcile", "x-calendar", "x-freshness",
+    "x-skew", "x-reconcile", "x-calendar", "x-freshness", "x-benford",
     "x-monotonic",
     "x-dup-ngram",
     "x-gopher",
@@ -456,7 +456,10 @@ _KEYWORD_SHAPE = {
     "then": lambda v: isinstance(v, dict),
     "else": lambda v: isinstance(v, dict),
     "propertyNames": lambda v: isinstance(v, dict),
-    "x-unique": lambda v: isinstance(v, bool),
+    "x-unique": lambda v: isinstance(v, bool) or (
+        isinstance(v, list) and len(v) >= 2
+        and all(isinstance(k, str) for k in v)
+        and len(set(v)) == len(v)),
     "x-outlier": lambda v: isinstance(v, dict)
     and (v.get("id") is None or isinstance(v["id"], str))
     and (v.get("k") is None
@@ -471,6 +474,10 @@ _KEYWORD_SHAPE = {
     and (v.get("top_k") is None
          or (isinstance(v["top_k"], int) and not isinstance(v["top_k"], bool)
              and v["top_k"] > 0)),
+    "x-benford": lambda v: isinstance(v, dict)
+    and (v.get("max_mad") is None
+         or (isinstance(v["max_mad"], _NUM)
+             and not isinstance(v["max_mad"], bool) and v["max_mad"] > 0)),
     "x-calendar": lambda v: isinstance(v, dict)
     and v.get("unit", "day") in ("minute", "hour", "day", "week", "month")
     and (v.get("by") is None or isinstance(v["by"], str)),
@@ -731,7 +738,7 @@ _VARIANT_UNSUPPORTED_KWS = frozenset((
     "x-unique", "x-ref", "x-ref-asof", "x-ref-interval", "x-drift",
     "x-dedup", "x-langid",
     "x-rate", "x-encoding", "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
-    "x-skew", "x-reconcile", "x-calendar", "x-freshness",
+    "x-skew", "x-reconcile", "x-calendar", "x-freshness", "x-benford",
     "x-monotonic", "x-dup-ngram", "x-gopher", "x-c4", "x-leakage", "x-embedding",
     "x-fd", "x-gap", "x-gibberish", "x-lm-ppl"))
 
@@ -1342,6 +1349,20 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-unique"))
 
+    if isinstance(schema.get("x-unique"), list) and not ctx.silent:
+        # composite-key form: only meaningful at the ROOT (the key is a
+        # tuple of top-level columns, it belongs to no single property);
+        # columns missing from the bound schema fall to unknown so a
+        # typo'd key never silently passes
+        cols = schema["x-unique"]
+        if ctx.instance_path == "" and all(
+                c in ctx.df_schema.fieldNames() for c in cols):
+            ctx.out.table_checks.append(
+                ("unique_multi", "", {"keys": list(cols),
+                                      "severity": ctx.severity}))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-unique"))
+
     if "x-ref" in schema and not ctx.silent:
         if is_top:
             p = schema["x-ref"]
@@ -1501,6 +1522,20 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 }))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-lm-ppl"))
+
+    if "x-benford" in schema and not ctx.silent:
+        # Benford first-digit conformance gate (operators/drift.py
+        # benford_violations, MAD-thresholded) — a relational pass like
+        # x-outlier, numeric top-level columns only
+        if is_top and isinstance(ctx.dtype, _NUMERIC):
+            p = schema["x-benford"]
+            ctx.out.table_checks.append(
+                ("benford", ctx.instance_path[1:], {
+                    "max_mad": float(p.get("max_mad", 0.015)),
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-benford"))
 
     if "x-calendar" in schema and not ctx.silent:
         # calendar completeness (operators/sequence.py
