@@ -309,6 +309,23 @@ def q_unique_lineitem_orderkey(spark, sf):
     return uniqueness.duplicate_keys(li, "l_orderkey")
 
 
+def q_decontaminate_semantic_embeddings(spark, sf):
+    """Semantic decontamination (operators/decontaminate.py
+    semantic_overlap): corpus embeddings near-identical to a benchmark
+    embedding. The benchmark is every vec_id % 10 == 0 vector verbatim,
+    so those corpus rows self-match at cosine exactly 1.0 — the oracle
+    (DuckDB list_cosine_similarity over the same cross join) must
+    reproduce the hit set, attribution, and similarity."""
+    from remark_lint_frontmatter_schema_spark.operators.decontaminate import (
+        semantic_overlap)
+    emb = _load(spark, sf, "embeddings")
+    bench = emb.where(F.col("vec_id") % 10 == 0) \
+               .select(F.col("vec_id").alias("bid"), "embedding")
+    return semantic_overlap(emb, bench, vec_col="embedding",
+                            id_col="vec_id", bench_id_col="bid",
+                            bench_vec_col="embedding", threshold=0.99)
+
+
 def q_unique_multi_lineitem(spark, sf):
     """Composite-key uniqueness (operators/uniqueness.py
     duplicate_keys_multi): (l_orderkey, l_linenumber) is lineitem's
@@ -330,7 +347,7 @@ def q_benford_gate_events(spark, sf):
     from remark_lint_frontmatter_schema_spark.operators.drift import (
         benford_violations)
     ev = _load(spark, sf, "events")
-    return benford_violations(ev, "value", max_mad=0.005)
+    return benford_violations(ev, "value", max_mad=0.005).drop("expected")
 
 
 def q_missing_dates_events(spark, sf):
@@ -352,8 +369,12 @@ def q_freshness_events(spark, sf):
     from remark_lint_frontmatter_schema_spark.operators.sequence import (
         freshness_violations)
     ev = _load(spark, sf, "events")
+    # `expected` dropped: it is NULL here and a DuckDB NULL VARCHAR[]
+    # round-trips through pandas as NaN, not None — the ref_asof oracle
+    # convention
     return freshness_violations(ev, "ts", max_age_seconds=3600,
-                                as_of="2024-02-01 00:00:00")
+                                as_of="2024-02-01 00:00:00") \
+        .drop("expected")
 
 
 def q_benford_events(spark, sf):
@@ -1898,6 +1919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdict_orders": q_verdict_orders,
         "stats_lineitem": q_stats_lineitem,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
+        "decontaminate_semantic_embeddings":
+            q_decontaminate_semantic_embeddings,
         "unique_multi_lineitem": q_unique_multi_lineitem,
         "benford_gate_events": q_benford_gate_events,
         "missing_dates_events": q_missing_dates_events,
@@ -3052,6 +3075,23 @@ SELECT o_orderstatus AS partition_id,
            OR o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
 FROM orders GROUP BY o_orderstatus
 """,
+        "decontaminate_semantic_embeddings": """
+WITH bench AS (
+  SELECT vec_id AS bid, embedding AS bvec FROM embeddings
+  WHERE vec_id % 10 = 0),
+hits AS (
+  SELECT e.vec_id, b.bid,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(b.bvec AS DOUBLE[])) AS sim
+  FROM embeddings e CROSS JOIN bench b),
+ranked AS (
+  SELECT vec_id, bid, sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, bid ASC) AS rn
+  FROM hits WHERE sim >= 0.99)
+SELECT vec_id, bid AS nearest_bench, round(sim, 6) AS max_sim
+FROM ranked WHERE rn = 1
+""",
         "unique_multi_lineitem": """
 WITH src AS (
   SELECT l_orderkey, l_linenumber FROM lineitem
@@ -3088,7 +3128,6 @@ SELECT 'all' AS row_id, 'all' AS partition_id, 'engine' AS ruleset_id,
        'Must conform to Benford''s law: first-digit MAD '
          || CAST(mad AS VARCHAR) || ' (limit 0.005)' AS message,
        CAST(mad AS VARCHAR) AS actual,
-       CAST(NULL AS VARCHAR[]) AS expected,
        'warning' AS severity
 FROM m WHERE mad > 0.005
 """,
@@ -3118,7 +3157,6 @@ SELECT 'all' AS row_id,
                        - epoch(n), 1) AS VARCHAR)
          || ' s old (limit 3600)' AS message,
        CAST(n AS VARCHAR) AS actual,
-       CAST(NULL AS VARCHAR[]) AS expected,
        'warning' AS severity
 FROM newest
 WHERE n IS NULL

@@ -108,6 +108,7 @@ HEADLINE = [
     "profile_diff_orders",
     "benford_events",
     "benford_gate_events",
+    "decontaminate_semantic_embeddings",
     "unique_multi_lineitem",
     "missing_dates_events",
     "freshness_events",

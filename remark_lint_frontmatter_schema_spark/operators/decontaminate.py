@@ -158,3 +158,47 @@ def decontaminate(df: DataFrame, bench: DataFrame, text_col: str,
         bench_id_col=bench_id_col, n=n, min_shared=min_shared
     ).select(id_col).distinct()
     return df.join(bad, id_col, "left_anti")
+
+
+def semantic_overlap(corpus: DataFrame, bench: DataFrame, *,
+                     vec_col: str, id_col: str,
+                     bench_id_col: str, bench_vec_col: str | None = None,
+                     threshold: float = 0.95) -> DataFrame:
+    """SEMANTIC decontamination: corpus rows whose embedding is
+    near-identical (cosine >= ``threshold``) to ANY benchmark embedding —
+    catches paraphrased/reformatted eval contamination the n-gram rule
+    misses (the n-gram rule stays the first line; this is the second).
+
+    Scale shape mirrors the n-gram path: the benchmark side is small by
+    nature, so it BROADCASTS and the corpus makes one pass — a broadcast
+    nested-loop scoring pass with the pure-JVM zip_with/aggregate cosine
+    (similarity.cosine), linear in corpus size with an n_bench-wide inner
+    loop (the brute baseline; route corpus through
+    similarity.embedding_lsh_pairs buckets first when n_bench outgrows a
+    broadcast). Output: one row per contaminated corpus id —
+    (id, nearest_bench id, max_sim) with the deterministic
+    (sim desc, bench id asc) tiebreak via a per-id window (partitioned,
+    never global).
+    """
+    from pyspark.sql import Window
+    from .similarity import cosine
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    bv = bench_vec_col or vec_col
+    b = bench.select(
+        F.col(bench_id_col).alias("_bid"),
+        F.col(bv).cast("array<double>").alias("_bvec"))
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_cvec"))
+    sim = cosine(F.col("_cvec"), F.col("_bvec"))
+    hits = (c.crossJoin(F.broadcast(b))
+            .select(F.col(id_col), F.col("_bid"), sim.alias("_sim"))
+            .where(F.col("_sim") >= F.lit(float(threshold))))
+    w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(),
+                                           F.col("_bid").asc())
+    return (hits.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col(id_col),
+                    F.col("_bid").alias("nearest_bench"),
+                    F.round(F.col("_sim"), 6).alias("max_sim")))

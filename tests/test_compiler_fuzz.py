@@ -40,6 +40,8 @@ _KEYWORDS = ["type", "enum", "const", "required", "maxLength", "minLength",
              "x-dup-ngram", "x-embedding", "x-monotonic", "x-gopher", "x-c4",
              "x-leakage", "x-fd", "x-gap", "x-gibberish", "x-lm-ppl", "x-ref-asof",
              "x-finite", "x-ref-interval",
+             "x-skew", "x-reconcile", "x-calendar", "x-freshness",
+             "x-benford",
              # 2019-09/2020-12 dynamic refs: NOT resolved (the reference's
              # default draft-07 Ajv lacks them too) — must surface in
              # `unknown`, never crash or silently validate
