@@ -309,6 +309,29 @@ def q_unique_lineitem_orderkey(spark, sf):
     return uniqueness.duplicate_keys(li, "l_orderkey")
 
 
+def q_mask_profile_customer(spark, sf):
+    """Value-pattern profiling (operators/stats.py mask_profile): top
+    shape masks (digit runs -> 9, letter runs -> A) for customer name
+    and segment in one scan; the oracle re-derives mask, counts, shares
+    and the per-column top-k in DuckDB."""
+    from remark_lint_frontmatter_schema_spark.operators.stats import (
+        mask_profile)
+    cust = _load(spark, sf, "customer")
+    return mask_profile(cust, ["c_name", "c_mktsegment"], top_k=5)
+
+
+def q_corr_profile_lineitem(spark, sf):
+    """Pairwise Pearson correlations (operators/stats.py
+    correlation_profile) over four lineitem numerics in ONE aggregate —
+    pairwise-complete co-moment formulation (ANSI-safe, constant ->
+    NULL); oracle uses DuckDB's corr, which shares the semantics."""
+    from remark_lint_frontmatter_schema_spark.operators.stats import (
+        correlation_profile)
+    li = _load(spark, sf, "lineitem")
+    return correlation_profile(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
 def q_decontaminate_semantic_embeddings(spark, sf):
     """Semantic decontamination (operators/decontaminate.py
     semantic_overlap): corpus embeddings near-identical to a benchmark
@@ -1919,6 +1942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdict_orders": q_verdict_orders,
         "stats_lineitem": q_stats_lineitem,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
+        "mask_profile_customer": q_mask_profile_customer,
+        "corr_profile_lineitem": q_corr_profile_lineitem,
         "decontaminate_semantic_embeddings":
             q_decontaminate_semantic_embeddings,
         "unique_multi_lineitem": q_unique_multi_lineitem,
@@ -3074,6 +3099,53 @@ SELECT o_orderstatus AS partition_id,
            OR (o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-'))
            OR o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
 FROM orders GROUP BY o_orderstatus
+""",
+        "mask_profile_customer": """
+WITH pairs AS (
+  SELECT 'c_name' AS "column",
+         regexp_replace(regexp_replace(CAST(c_name AS VARCHAR),
+           '[0-9]+', '9', 'g'), '[A-Za-z]+', 'A', 'g') AS mask
+  FROM customer
+  UNION ALL
+  SELECT 'c_mktsegment',
+         regexp_replace(regexp_replace(CAST(c_mktsegment AS VARCHAR),
+           '[0-9]+', '9', 'g'), '[A-Za-z]+', 'A', 'g')
+  FROM customer),
+counts AS (
+  SELECT "column", mask, count(*) AS n
+  FROM pairs GROUP BY 1, 2),
+ranked AS (
+  SELECT "column", mask, n,
+         round(n / CAST(sum(n) OVER (PARTITION BY "column") AS DOUBLE), 6)
+           AS share,
+         row_number() OVER (PARTITION BY "column"
+                            ORDER BY n DESC, mask ASC NULLS LAST) AS rk
+  FROM counts)
+SELECT "column", mask, n, share FROM ranked WHERE rk <= 5
+""",
+        "corr_profile_lineitem": """
+WITH pairs(col_a, col_b) AS (VALUES
+  ('l_quantity', 'l_extendedprice'), ('l_quantity', 'l_discount'),
+  ('l_quantity', 'l_tax'), ('l_extendedprice', 'l_discount'),
+  ('l_extendedprice', 'l_tax'), ('l_discount', 'l_tax')),
+c AS (
+  SELECT round(corr(l_quantity, l_extendedprice), 6) AS qe,
+         round(corr(l_quantity, l_discount), 6) AS qd,
+         round(corr(l_quantity, l_tax), 6) AS qt,
+         round(corr(l_extendedprice, l_discount), 6) AS ed,
+         round(corr(l_extendedprice, l_tax), 6) AS et,
+         round(corr(l_discount, l_tax), 6) AS dt
+  FROM lineitem)
+SELECT p.col_a, p.col_b,
+       CASE p.col_a || '|' || p.col_b
+         WHEN 'l_quantity|l_extendedprice' THEN qe
+         WHEN 'l_quantity|l_discount' THEN qd
+         WHEN 'l_quantity|l_tax' THEN qt
+         WHEN 'l_extendedprice|l_discount' THEN ed
+         WHEN 'l_extendedprice|l_tax' THEN et
+         WHEN 'l_discount|l_tax' THEN dt
+       END AS corr
+FROM pairs p, c
 """,
         "decontaminate_semantic_embeddings": """
 WITH bench AS (

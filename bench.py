@@ -109,6 +109,8 @@ HEADLINE = [
     "benford_events",
     "benford_gate_events",
     "decontaminate_semantic_embeddings",
+    "mask_profile_customer",
+    "corr_profile_lineitem",
     "unique_multi_lineitem",
     "missing_dates_events",
     "freshness_events",

@@ -426,17 +426,20 @@ def benford(df: DataFrame, value_col: str) -> DataFrame:
             .select("digit", F.coalesce(F.col("n"), F.lit(0)).alias("n")))
     total = full.agg(F.sum("n").alias("_total"))
     e = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    # try_divide: an empty/all-invalid input has _total == 0, which
+    # under ANSI would otherwise throw — the profile degrades to NULL
+    # shares instead
+    chi_raw = F.try_divide(
+        F.pow(F.col("n") - F.col("_total") * e, F.lit(2.0)),
+        F.col("_total") * e)
     scored = (full.crossJoin(F.broadcast(total))
               .select(
                   "digit", "n",
-                  F.round(F.col("n") / F.col("_total"), 6)
+                  F.round(F.try_divide(F.col("n"), F.col("_total")), 6)
                    .alias("observed"),
                   F.round(e, 6).alias("expected"),
-                  F.round(
-                      F.pow(F.col("n") - F.col("_total") * e, F.lit(2.0))
-                      / (F.col("_total") * e), 6).alias("chi2_term"),
-                  (F.pow(F.col("n") - F.col("_total") * e, F.lit(2.0))
-                   / (F.col("_total") * e)).alias("_raw")))
+                  F.round(chi_raw, 6).alias("chi2_term"),
+                  chi_raw.alias("_raw")))
     chi2 = scored.agg(F.round(F.sum("_raw"), 6).alias("chi2"))
     return (scored.drop("_raw")
             .crossJoin(F.broadcast(chi2))

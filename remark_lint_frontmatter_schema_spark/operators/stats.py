@@ -153,3 +153,92 @@ def tdigest_quantiles(df: DataFrame, column: str,
         idx = int((cum >= target).idxmax())
         out[q] = float(d.loc[idx, "mean"])
     return out
+
+
+def mask_profile(df: DataFrame, columns: list[str], *,
+                 top_k: int = 10) -> DataFrame:
+    """Value-pattern profiling: collapse each string value to its shape
+    mask (digit runs -> ``9``, letter runs -> ``A``, everything else
+    kept verbatim) and report each column's ``top_k`` masks with counts
+    and shares — the profiler view that shows 'Customer#000000000' is
+    really ``A#9`` and surfaces the 0.1% of rows shaped differently
+    (the draft `pattern` constraint falls straight out of the dominant
+    mask).
+
+    ONE scan: per-row (column, mask) pairs explode from a single
+    projection, a map-side-combined groupBy builds the (column, mask)
+    counts, and the per-column top-k/share run as PARTITIONED windows
+    over that small relation. NULLs profile as the mask NULL (their rate
+    is a finding, not an exclusion — column_stats owns the number, this
+    keeps the two consistent).
+    """
+    if not columns:
+        raise ValueError("mask_profile needs at least one column")
+    if top_k <= 0:
+        raise ValueError("top_k must be > 0")
+
+    def mask(c):
+        return F.regexp_replace(
+            F.regexp_replace(F.col(c).cast("string"), "[0-9]+", "9"),
+            "[A-Za-z]+", "A")
+
+    pairs = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"), mask(c).alias("mask"))
+        for c in columns])).alias("p")).select("p.column", "p.mask")
+    counts = pairs.groupBy("column", "mask").agg(
+        F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+    by_col = Window.partitionBy("column")
+    ranked = (counts
+              .withColumn("share", F.round(
+                  F.col("n") / F.sum("n").over(by_col), 6))
+              .withColumn("_rk", F.row_number().over(
+                  by_col.orderBy(F.col("n").desc(),
+                                 F.col("mask").asc_nulls_last()))))
+    return (ranked.where(F.col("_rk") <= top_k)
+            .select("column", "mask", "n", "share")
+            .orderBy("column", F.col("n").desc(),
+                     F.col("mask").asc_nulls_last()))
+
+
+def correlation_profile(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation over numeric columns, long form
+    (col_a, col_b, corr) for every unordered pair — the cross-column
+    companion to column_stats (a surprise |corr| ~ 1 means a derived
+    column worth an x-fd or x-reconcile; a broken one that used to be
+    high is drift). ONE aggregate over one scan computes all C(n,2)
+    pairs (three co-moment accumulators per pair — map-side combined);
+    rows with a NULL on either side of a pair are skipped
+    (pairwise-complete), and a constant column yields NULL corr
+    (undefined variance), kept so the finding is visible."""
+    if len(columns) < 2:
+        raise ValueError("correlation_profile needs >= 2 columns")
+    # NOT F.corr: under ANSI (the engine default) Corr THROWS
+    # DIVIDE_BY_ZERO on a constant column. Build pairwise-complete
+    # Pearson from covar_samp co-moments instead (Welford-stable,
+    # returns 0.0 for constants / NULL for n<2) and try_divide the
+    # normalization: a constant column yields NULL corr, never an error.
+    # Masking each side on the OTHER side's non-NULLness makes every
+    # accumulator pairwise-complete, matching textbook corr semantics.
+    aggs = []
+    pairs = []
+    for i, a in enumerate(columns):
+        for b in columns[i + 1:]:
+            ac, bc = F.col(a).cast("double"), F.col(b).cast("double")
+            am = F.when(bc.isNotNull(), ac)
+            bm = F.when(ac.isNotNull(), bc)
+            k = len(pairs)
+            pairs.append((a, b))
+            aggs += [F.covar_samp(am, bm).alias(f"_cov{k}"),
+                     F.covar_samp(am, am).alias(f"_va{k}"),
+                     F.covar_samp(bm, bm).alias(f"_vb{k}")]
+    wide = df.agg(*aggs)
+    structs = [F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                        F.round(F.try_divide(
+                            F.col(f"_cov{i}"),
+                            F.sqrt(F.col(f"_va{i}") * F.col(f"_vb{i}"))),
+                            6).alias("corr"))
+               for i, (a, b) in enumerate(pairs)]
+    return (wide.select(F.explode(F.array(*structs)).alias("p"))
+            .select("p.col_a", "p.col_b", "p.corr")
+            .orderBy("col_a", "col_b"))

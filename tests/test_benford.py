@@ -47,3 +47,11 @@ def test_benford_power_of_ten_clamp(spark):
         "v double")
     got = {r.digit: r.n for r in benford(df, "v").collect()}
     assert got[1] == 6  # every power of ten has first digit 1
+
+
+def test_benford_empty_input_degrades_to_null(spark):
+    df = spark.createDataFrame([(0.0,), (None,)], "v double")
+    got = benford(df, "v").collect()
+    assert len(got) == 9
+    assert all(r.n == 0 and r.observed is None and r.chi2 is None
+               for r in got)

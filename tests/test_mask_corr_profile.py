@@ -1,0 +1,54 @@
+"""mask_profile and correlation_profile."""
+
+import numpy as np
+import pytest
+
+from remark_lint_frontmatter_schema_spark.operators.stats import (
+    correlation_profile, mask_profile)
+
+
+def test_mask_profile_shapes(spark):
+    rows = [("Customer#000000001", "1-URGENT"),
+            ("Customer#000000002", "5-LOW"),
+            ("weird", "1-URGENT"),
+            (None, "2-HIGH")]
+    df = spark.createDataFrame(rows, "name string, prio string")
+    got = [(r.column, r.mask, r.n, r.share)
+           for r in mask_profile(df, ["name", "prio"]).collect()]
+    assert got == [
+        ("name", "A#9", 2, 0.5),
+        ("name", "A", 1, 0.25),
+        ("name", None, 1, 0.25),  # NULL profiles as a mask, sorted last
+        ("prio", "9-A", 4, 1.0),
+    ]
+
+
+def test_mask_profile_top_k_and_guards(spark):
+    rows = [(f"v{i}x" * (i % 3 + 1),) for i in range(30)]
+    df = spark.createDataFrame(rows, "s string")
+    assert mask_profile(df, ["s"], top_k=1).count() == 1
+    with pytest.raises(ValueError):
+        mask_profile(df, [])
+    with pytest.raises(ValueError):
+        mask_profile(df, ["s"], top_k=0)
+
+
+def test_correlation_profile_values(spark):
+    rng = np.random.default_rng(4)
+    x = rng.normal(0, 1, 500)
+    noise = rng.normal(0, 0.1, 500)
+    rows = [(float(a), float(2 * a + n), float(c), 7.0)
+            for a, n, c in zip(x, noise, rng.normal(0, 1, 500))]
+    df = spark.createDataFrame(rows, "a double, b double, c double, k double")
+    got = {(r.col_a, r.col_b): r.corr
+           for r in correlation_profile(df, ["a", "b", "c", "k"]).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("a", "k"),
+                        ("b", "c"), ("b", "k"), ("c", "k")}
+    assert got[("a", "b")] > 0.99
+    assert abs(got[("a", "c")]) < 0.2
+    assert got[("a", "k")] is None  # constant column: undefined, visible
+    # numpy parity on the strong pair
+    want = float(np.corrcoef(x, 2 * x + noise)[0, 1])
+    assert got[("a", "b")] == pytest.approx(want, abs=1e-5)
+    with pytest.raises(ValueError):
+        correlation_profile(df, ["a"])
