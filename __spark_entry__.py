@@ -332,6 +332,20 @@ def q_corr_profile_lineitem(spark, sf):
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
 
+def q_corr_gate_lineitem(spark, sf):
+    """Derived-column expectation gate (operators/stats.py
+    correlation_violations, x-corr): the synthetic lineitem prices are
+    independent of quantity, so declaring |corr| >= 0.3 fires exactly
+    one violation whose correlation string the oracle reproduces.
+    (`expected` dropped — all-NULL arrays don't round-trip DuckDB ->
+    pandas.)"""
+    from remark_lint_frontmatter_schema_spark.operators.stats import (
+        correlation_violations)
+    li = _load(spark, sf, "lineitem")
+    return correlation_violations(li, "l_extendedprice", "l_quantity",
+                                  min_abs=0.3).drop("expected")
+
+
 def q_decontaminate_semantic_embeddings(spark, sf):
     """Semantic decontamination (operators/decontaminate.py
     semantic_overlap): corpus embeddings near-identical to a benchmark
@@ -1942,6 +1956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdict_orders": q_verdict_orders,
         "stats_lineitem": q_stats_lineitem,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
+        "corr_gate_lineitem": q_corr_gate_lineitem,
         "mask_profile_customer": q_mask_profile_customer,
         "corr_profile_lineitem": q_corr_profile_lineitem,
         "decontaminate_semantic_embeddings":
@@ -3099,6 +3114,25 @@ SELECT o_orderstatus AS partition_id,
            OR (o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-'))
            OR o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
 FROM orders GROUP BY o_orderstatus
+""",
+        "corr_gate_lineitem": """
+WITH c AS (
+  SELECT round(corr(l_extendedprice, l_quantity), 6) AS r FROM lineitem)
+SELECT 'all' AS row_id, 'all' AS partition_id, 'engine' AS ruleset_id,
+       'corr:l_extendedprice~l_quantity' AS constraint_id,
+       'x-corr' AS keyword,
+       '/l_extendedprice' AS instance_path,
+       '#/x-corr/l_extendedprice' AS schema_path,
+       CASE WHEN r IS NULL THEN
+         'Must correlate with ''l_quantity'': correlation undefined '
+         || '(constant column or < 2 pairs)'
+       ELSE
+         'Must correlate with ''l_quantity'': |corr| = '
+         || CAST(abs(r) AS VARCHAR) || ' below 0.3'
+       END AS message,
+       CAST(r AS VARCHAR) AS actual,
+       'warning' AS severity
+FROM c WHERE r IS NULL OR abs(r) < 0.3
 """,
         "mask_profile_customer": """
 WITH pairs AS (

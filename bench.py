@@ -111,6 +111,7 @@ HEADLINE = [
     "decontaminate_semantic_embeddings",
     "mask_profile_customer",
     "corr_profile_lineitem",
+    "corr_gate_lineitem",
     "unique_multi_lineitem",
     "missing_dates_events",
     "freshness_events",

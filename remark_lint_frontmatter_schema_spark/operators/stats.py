@@ -242,3 +242,41 @@ def correlation_profile(df: DataFrame, columns: list[str]) -> DataFrame:
     return (wide.select(F.explode(F.array(*structs)).alias("p"))
             .select("p.col_a", "p.col_b", "p.corr")
             .orderBy("col_a", "col_b"))
+
+
+def correlation_violations(df: DataFrame, col_a: str, col_b: str, *,
+                           min_abs: float,
+                           ruleset_name: str = "engine",
+                           severity: str = "warning") -> DataFrame:
+    """Declarative derived-column expectation (``x-corr``): |Pearson
+    corr(col_a, col_b)| must be at least ``min_abs`` — the check form of
+    :func:`correlation_profile` for a column DOCUMENTED as derived from
+    another (a broken ETL step shows up as the correlation collapsing).
+    An undefined correlation (constant column, < 2 complete pairs)
+    violates with actual NULL — no evidence of the relationship is a
+    failure, not a pass (the x-freshness fail-closed policy)."""
+    if not 0 < min_abs <= 1:
+        raise ValueError("min_abs must be in (0, 1]")
+    rep = correlation_profile(df, [col_a, col_b])
+    bad = rep.where(F.col("corr").isNull()
+                    | (F.abs(F.col("corr")) < F.lit(float(min_abs))))
+    return bad.select(
+        F.lit("all").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"corr:{col_a}~{col_b}").alias("constraint_id"),
+        F.lit("x-corr").alias("keyword"),
+        F.lit(f"/{col_a}").alias("instance_path"),
+        F.lit(f"#/x-corr/{col_a}").alias("schema_path"),
+        F.when(F.col("corr").isNull(),
+               F.lit(f"Must correlate with '{col_b}': correlation "
+                     "undefined (constant column or < 2 pairs)"))
+         .otherwise(F.concat(
+             F.lit(f"Must correlate with '{col_b}': |corr| = "),
+             F.abs(F.col("corr")).cast("string"),
+             F.lit(f" below {min_abs}")))
+         .alias("message"),
+        F.col("corr").cast("string").alias("actual"),
+        F.lit(None).cast("array<string>").alias("expected"),
+        F.lit(severity).alias("severity"),
+    )

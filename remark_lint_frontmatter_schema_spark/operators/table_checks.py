@@ -105,6 +105,12 @@ def table_check_violations(
             extras.append(uniqueness_violations_multi(
                 df, params["keys"], ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
+        elif kind == "corr":
+            from .stats import correlation_violations
+            extras.append(correlation_violations(
+                df, column, params["with"], min_abs=params["min_abs"],
+                ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "benford":
             from .drift import benford_violations
             extras.append(benford_violations(

@@ -82,6 +82,7 @@ _KNOWN_KEYWORDS = {
     "x-repair",  # per-property opt-out consumed by operators/repair.py
     "x-outlier",
     "x-skew", "x-reconcile", "x-calendar", "x-freshness", "x-benford",
+    "x-corr",
     "x-monotonic",
     "x-dup-ngram",
     "x-gopher",
@@ -474,6 +475,11 @@ _KEYWORD_SHAPE = {
     and (v.get("top_k") is None
          or (isinstance(v["top_k"], int) and not isinstance(v["top_k"], bool)
              and v["top_k"] > 0)),
+    "x-corr": lambda v: isinstance(v, dict)
+    and isinstance(v.get("with"), str)
+    and isinstance(v.get("min_abs"), _NUM)
+    and not isinstance(v.get("min_abs"), bool)
+    and 0 < v["min_abs"] <= 1,
     "x-benford": lambda v: isinstance(v, dict)
     and (v.get("max_mad") is None
          or (isinstance(v["max_mad"], _NUM)
@@ -739,6 +745,7 @@ _VARIANT_UNSUPPORTED_KWS = frozenset((
     "x-dedup", "x-langid",
     "x-rate", "x-encoding", "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
     "x-skew", "x-reconcile", "x-calendar", "x-freshness", "x-benford",
+    "x-corr",
     "x-monotonic", "x-dup-ngram", "x-gopher", "x-c4", "x-leakage", "x-embedding",
     "x-fd", "x-gap", "x-gibberish", "x-lm-ppl"))
 
@@ -1522,6 +1529,23 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 }))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-lm-ppl"))
+
+    if "x-corr" in schema and not ctx.silent:
+        # derived-column expectation (operators/stats.py
+        # correlation_violations): |corr(this, with)| >= min_abs —
+        # relational aggregate pass, numeric top-level columns only;
+        # the partner column must exist in the bound schema
+        p = schema["x-corr"]
+        if (is_top and isinstance(ctx.dtype, _NUMERIC)
+                and p["with"] in ctx.df_schema.fieldNames()):
+            ctx.out.table_checks.append(
+                ("corr", ctx.instance_path[1:], {
+                    "with": p["with"],
+                    "min_abs": float(p["min_abs"]),
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-corr"))
 
     if "x-benford" in schema and not ctx.silent:
         # Benford first-digit conformance gate (operators/drift.py

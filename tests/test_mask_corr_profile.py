@@ -52,3 +52,47 @@ def test_correlation_profile_values(spark):
     assert got[("a", "b")] == pytest.approx(want, abs=1e-5)
     with pytest.raises(ValueError):
         correlation_profile(df, ["a"])
+
+
+def test_correlation_violations_and_dsl(spark):
+    import numpy as np
+    from remark_lint_frontmatter_schema_spark.operators.stats import (
+        correlation_violations)
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        table_check_violations)
+    from remark_lint_frontmatter_schema_spark.plans.compiler import (
+        RulesetCompileError, compile_ruleset)
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(0, 1, 300)
+    rows = [(float(a), float(2 * a + n), float(u), 5.0)
+            for a, n, u in zip(x, rng.normal(0, 0.1, 300),
+                               rng.normal(0, 1, 300))]
+    df = spark.createDataFrame(rows, "a double, b double, u double, k double")
+    # strong pair passes, independent pair violates with the value,
+    # constant pair violates with NULL actual (fail-closed)
+    assert correlation_violations(df, "a", "b", min_abs=0.9).collect() == []
+    v = correlation_violations(df, "a", "u", min_abs=0.5).collect()
+    assert len(v) == 1 and "below 0.5" in v[0].message
+    vc = correlation_violations(df, "a", "k", min_abs=0.5).collect()
+    assert len(vc) == 1 and vc[0].actual is None
+    assert "undefined" in vc[0].message
+    with pytest.raises(ValueError):
+        correlation_violations(df, "a", "b", min_abs=0)
+
+    rid = df.withColumn("rid", F.monotonically_increasing_id())
+    doc = {"type": "object", "properties": {"a": {
+        "type": "number", "x-corr": {"with": "u", "min_abs": 0.5}}}}
+    compiled = compile_ruleset(doc, rid.schema, name="xc")
+    out = table_check_violations(rid, compiled, row_id="rid").collect()
+    assert len(out) == 1 and out[0].keyword == "x-corr"
+    # unknown partner column -> unknown, not a silent pass
+    c2 = compile_ruleset({"properties": {"a": {
+        "x-corr": {"with": "nope", "min_abs": 0.5}}}}, rid.schema,
+        name="xc2")
+    assert ("/a", "x-corr") in c2.unknown and not c2.table_checks
+    with pytest.raises(RulesetCompileError):
+        compile_ruleset({"properties": {"a": {
+            "x-corr": {"with": "u", "min_abs": 2}}}}, rid.schema,
+            name="bad")
