@@ -349,14 +349,17 @@ def q_corr_gate_lineitem(spark, sf):
 def q_decontaminate_semantic_embeddings(spark, sf):
     """Semantic decontamination (operators/decontaminate.py
     semantic_overlap): corpus embeddings near-identical to a benchmark
-    embedding. The benchmark is every vec_id % 10 == 0 vector verbatim,
-    so those corpus rows self-match at cosine exactly 1.0 — the oracle
-    (DuckDB list_cosine_similarity over the same cross join) must
-    reproduce the hit set, attribution, and similarity."""
+    embedding. The benchmark is every vec_id % 10 == 0 vector below
+    5000 verbatim (FIXED-size bench at any corpus scale — a benchmark
+    suite does not grow with the training set, and neither may the
+    broadcast side), so those corpus rows self-match at cosine exactly
+    1.0 — the oracle (DuckDB list_cosine_similarity over the same cross
+    join) must reproduce the hit set, attribution, and similarity."""
     from remark_lint_frontmatter_schema_spark.operators.decontaminate import (
         semantic_overlap)
     emb = _load(spark, sf, "embeddings")
-    bench = emb.where(F.col("vec_id") % 10 == 0) \
+    bench = emb.where((F.col("vec_id") % 10 == 0)
+                      & (F.col("vec_id") < 5000)) \
                .select(F.col("vec_id").alias("bid"), "embedding")
     return semantic_overlap(emb, bench, vec_col="embedding",
                             id_col="vec_id", bench_id_col="bid",
@@ -3184,7 +3187,7 @@ FROM pairs p, c
         "decontaminate_semantic_embeddings": """
 WITH bench AS (
   SELECT vec_id AS bid, embedding AS bvec FROM embeddings
-  WHERE vec_id % 10 = 0),
+  WHERE vec_id % 10 = 0 AND vec_id < 5000),
 hits AS (
   SELECT e.vec_id, b.bid,
          list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
