@@ -332,6 +332,24 @@ def q_corr_profile_lineitem(spark, sf):
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
 
+def q_mask_gate_customer(spark, sf):
+    """Shape-conformance gate (operators/stats.py mask_violations,
+    x-mask): c_name must collapse to 'A#9' for >= 99% of rows.
+    Deterministic nonconformity injection (custkey % 50 == 0 gets a
+    '-x1' suffix -> 2% off-shape) so the gate fires with a share and
+    top-offender string the oracle reproduces byte-exact."""
+    from remark_lint_frontmatter_schema_spark.operators.stats import (
+        mask_violations)
+    cust = _load(spark, sf, "customer")
+    mangled = cust.withColumn(
+        "c_name",
+        F.when(F.col("c_custkey") % 50 == 0,
+               F.concat(F.col("c_name"), F.lit("-x1")))
+         .otherwise(F.col("c_name")))
+    return mask_violations(mangled, "c_name", expect="A#9",
+                           min_share=0.99)
+
+
 def q_corr_gate_lineitem(spark, sf):
     """Derived-column expectation gate (operators/stats.py
     correlation_violations, x-corr): the synthetic lineitem prices are
@@ -1959,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdict_orders": q_verdict_orders,
         "stats_lineitem": q_stats_lineitem,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
+        "mask_gate_customer": q_mask_gate_customer,
         "corr_gate_lineitem": q_corr_gate_lineitem,
         "mask_profile_customer": q_mask_profile_customer,
         "corr_profile_lineitem": q_corr_profile_lineitem,
@@ -3117,6 +3136,34 @@ SELECT o_orderstatus AS partition_id,
            OR (o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-3]-'))
            OR o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
 FROM orders GROUP BY o_orderstatus
+""",
+        "mask_gate_customer": """
+WITH src AS (
+  SELECT regexp_replace(regexp_replace(
+           CASE WHEN c_custkey % 50 = 0 THEN c_name || '-x1'
+                ELSE c_name END,
+           '[0-9]+', '9', 'g'), '[A-Za-z]+', 'A', 'g') AS mask
+  FROM customer WHERE c_name IS NOT NULL),
+counts AS (SELECT mask, count(*) AS n FROM src GROUP BY 1),
+stats AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total,
+         CAST(coalesce(sum(n) FILTER (mask = 'A#9'), 0) AS BIGINT) AS ok
+  FROM counts),
+top_bad AS (
+  SELECT mask AS tb FROM counts WHERE mask <> 'A#9'
+  ORDER BY n DESC, mask ASC LIMIT 1)
+SELECT 'all' AS row_id, 'all' AS partition_id, 'engine' AS ruleset_id,
+       'mask:c_name' AS constraint_id, 'x-mask' AS keyword,
+       '/c_name' AS instance_path, '#/x-mask/c_name' AS schema_path,
+       'Must match shape ''A#9'': only '
+         || CAST(round(ok / CAST(total AS DOUBLE), 6) AS VARCHAR)
+         || ' of values conform (limit 0.99); top offender '
+         || coalesce(tb, '<none>') AS message,
+       CAST(round(ok / CAST(total AS DOUBLE), 6) AS VARCHAR) AS actual,
+       ['A#9'] AS expected,
+       'warning' AS severity
+FROM stats, top_bad
+WHERE round(ok / CAST(total AS DOUBLE), 6) < 0.99
 """,
         "corr_gate_lineitem": """
 WITH c AS (

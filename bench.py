@@ -112,6 +112,7 @@ HEADLINE = [
     "mask_profile_customer",
     "corr_profile_lineitem",
     "corr_gate_lineitem",
+    "mask_gate_customer",
     "unique_multi_lineitem",
     "missing_dates_events",
     "freshness_events",

@@ -280,3 +280,54 @@ def correlation_violations(df: DataFrame, col_a: str, col_b: str, *,
         F.lit(None).cast("array<string>").alias("expected"),
         F.lit(severity).alias("severity"),
     )
+
+
+def mask_violations(df: DataFrame, column: str, *, expect: str,
+                    min_share: float = 0.99,
+                    ruleset_name: str = "engine",
+                    severity: str = "warning") -> DataFrame:
+    """Declarative shape-conformance gate (``x-mask``): at least
+    ``min_share`` of the column's non-NULL values must collapse to the
+    ``expect`` mask (digit runs -> 9, letter runs -> A — the
+    :func:`mask_profile` alphabet). One violation row when conformance
+    falls short, carrying the measured share and the top offending mask
+    so the fix is obvious. One map-side-combined aggregate; NULLs are
+    excluded here (required/type own missingness — unlike the profile,
+    a gate must not double-report)."""
+    if not 0 < min_share <= 1:
+        raise ValueError("min_share must be in (0, 1]")
+    m = F.regexp_replace(
+        F.regexp_replace(F.col(column).cast("string"), "[0-9]+", "9"),
+        "[A-Za-z]+", "A")
+    src = df.where(F.col(column).isNotNull()).select(m.alias("mask"))
+    counts = src.groupBy("mask").agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(
+        F.sum("n").alias("_total"),
+        F.coalesce(F.sum(F.when(F.col("mask") == expect, F.col("n"))),
+                   F.lit(0)).alias("_ok"))
+    top_bad = (counts.where(F.col("mask") != expect)
+               .orderBy(F.col("n").desc(), F.col("mask").asc())
+               .limit(1)
+               .select(F.col("mask").alias("_top_bad")))
+    share = F.round(F.try_divide(F.col("_ok"), F.col("_total")), 6)
+    joined = stats.crossJoin(F.broadcast(top_bad))
+    bad = joined.where(F.col("_total").isNotNull()
+                       & (share < F.lit(float(min_share))))
+    return bad.select(
+        F.lit("all").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"mask:{column}").alias("constraint_id"),
+        F.lit("x-mask").alias("keyword"),
+        F.lit(f"/{column}").alias("instance_path"),
+        F.lit(f"#/x-mask/{column}").alias("schema_path"),
+        F.concat(F.lit(f"Must match shape '{expect}': only "),
+                 share.cast("string"),
+                 F.lit(f" of values conform (limit {min_share}); "
+                       "top offender "),
+                 F.coalesce(F.col("_top_bad"), F.lit("<none>")))
+         .alias("message"),
+        share.cast("string").alias("actual"),
+        F.array(F.lit(expect)).alias("expected"),
+        F.lit(severity).alias("severity"),
+    )

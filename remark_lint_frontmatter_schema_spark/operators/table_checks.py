@@ -105,6 +105,13 @@ def table_check_violations(
             extras.append(uniqueness_violations_multi(
                 df, params["keys"], ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
+        elif kind == "mask":
+            from .stats import mask_violations
+            extras.append(mask_violations(
+                df, column, expect=params["expect"],
+                min_share=params["min_share"],
+                ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "corr":
             from .stats import correlation_violations
             extras.append(correlation_violations(

@@ -82,7 +82,7 @@ _KNOWN_KEYWORDS = {
     "x-repair",  # per-property opt-out consumed by operators/repair.py
     "x-outlier",
     "x-skew", "x-reconcile", "x-calendar", "x-freshness", "x-benford",
-    "x-corr",
+    "x-corr", "x-mask",
     "x-monotonic",
     "x-dup-ngram",
     "x-gopher",
@@ -475,6 +475,12 @@ _KEYWORD_SHAPE = {
     and (v.get("top_k") is None
          or (isinstance(v["top_k"], int) and not isinstance(v["top_k"], bool)
              and v["top_k"] > 0)),
+    "x-mask": lambda v: isinstance(v, dict)
+    and isinstance(v.get("expect"), str) and v["expect"] != ""
+    and (v.get("min_share") is None
+         or (isinstance(v["min_share"], _NUM)
+             and not isinstance(v["min_share"], bool)
+             and 0 < v["min_share"] <= 1)),
     "x-corr": lambda v: isinstance(v, dict)
     and isinstance(v.get("with"), str)
     and isinstance(v.get("min_abs"), _NUM)
@@ -745,7 +751,7 @@ _VARIANT_UNSUPPORTED_KWS = frozenset((
     "x-dedup", "x-langid",
     "x-rate", "x-encoding", "x-decontaminate", "x-label-conflict", "x-repair", "x-outlier",
     "x-skew", "x-reconcile", "x-calendar", "x-freshness", "x-benford",
-    "x-corr",
+    "x-corr", "x-mask",
     "x-monotonic", "x-dup-ngram", "x-gopher", "x-c4", "x-leakage", "x-embedding",
     "x-fd", "x-gap", "x-gibberish", "x-lm-ppl"))
 
@@ -1529,6 +1535,21 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 }))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-lm-ppl"))
+
+    if "x-mask" in schema and not ctx.silent:
+        # shape-conformance gate (operators/stats.py mask_violations):
+        # the column's dominant value mask must cover min_share of rows
+        # — relational aggregate pass, top-level columns only
+        if is_top:
+            p = schema["x-mask"]
+            ctx.out.table_checks.append(
+                ("mask", ctx.instance_path[1:], {
+                    "expect": p["expect"],
+                    "min_share": float(p.get("min_share", 0.99)),
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-mask"))
 
     if "x-corr" in schema and not ctx.silent:
         # derived-column expectation (operators/stats.py

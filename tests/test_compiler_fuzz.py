@@ -41,7 +41,7 @@ _KEYWORDS = ["type", "enum", "const", "required", "maxLength", "minLength",
              "x-leakage", "x-fd", "x-gap", "x-gibberish", "x-lm-ppl", "x-ref-asof",
              "x-finite", "x-ref-interval",
              "x-skew", "x-reconcile", "x-calendar", "x-freshness",
-             "x-benford",
+             "x-benford", "x-corr", "x-mask",
              # 2019-09/2020-12 dynamic refs: NOT resolved (the reference's
              # default draft-07 Ajv lacks them too) — must surface in
              # `unknown`, never crash or silently validate

@@ -96,3 +96,45 @@ def test_correlation_violations_and_dsl(spark):
         compile_ruleset({"properties": {"a": {
             "x-corr": {"with": "u", "min_abs": 2}}}}, rid.schema,
             name="bad")
+
+
+def test_mask_violations_and_dsl(spark):
+    from remark_lint_frontmatter_schema_spark.operators.stats import (
+        mask_violations)
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        table_check_violations)
+    from remark_lint_frontmatter_schema_spark.plans.compiler import (
+        RulesetCompileError, compile_ruleset)
+    from pyspark.sql import functions as F
+
+    rows = [("Cust#001",)] * 97 + [("bogus",)] * 2 + [(None,)]
+    df = spark.createDataFrame(rows, "name string")
+    # 97/99 non-NULL conform (0.979798)
+    ok = mask_violations(df, "name", expect="A#9", min_share=0.97)
+    assert ok.collect() == []
+    v = mask_violations(df, "name", expect="A#9", min_share=0.99).collect()
+    assert len(v) == 1
+    assert v[0].actual == "0.979798"
+    assert "top offender A" in v[0].message
+    assert v[0].expected == ["A#9"]
+    # wrong expected mask entirely: share 0, offender is the dominant one
+    v2 = mask_violations(df, "name", expect="9!",
+                         min_share=0.5).collect()
+    assert v2[0].actual == "0.0" and "top offender A#9" in v2[0].message
+    # empty / all-NULL input: no conformance evidence but also no rows —
+    # stays quiet (required owns missingness)
+    empty = spark.createDataFrame([(None,)], "name string")
+    assert mask_violations(empty, "name", expect="A").collect() == []
+    with pytest.raises(ValueError):
+        mask_violations(df, "name", expect="A", min_share=0)
+
+    rid = df.withColumn("rid", F.monotonically_increasing_id())
+    doc = {"type": "object", "properties": {"name": {
+        "type": "string", "x-mask": {"expect": "A#9",
+                                     "min_share": 0.99}}}}
+    compiled = compile_ruleset(doc, rid.schema, name="xm")
+    out = table_check_violations(rid, compiled, row_id="rid").collect()
+    assert len(out) == 1 and out[0].keyword == "x-mask"
+    with pytest.raises(RulesetCompileError):
+        compile_ruleset({"properties": {"name": {
+            "x-mask": {"expect": ""}}}}, rid.schema, name="bad")
