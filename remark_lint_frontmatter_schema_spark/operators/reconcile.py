@@ -50,8 +50,6 @@ def reconcile(fact: DataFrame, dim: DataFrame, *, key: str,
     """
     if agg not in _AGGS:
         raise ValueError(f"agg must be one of {sorted(_AGGS)}, got {agg!r}")
-    if tolerance < 0:
-        raise ValueError("tolerance must be >= 0")
     fk = fact_key or key
     agged = (fact
              .select(F.col(fk).alias("_rk"),
@@ -59,6 +57,20 @@ def reconcile(fact: DataFrame, dim: DataFrame, *, key: str,
              .where(F.col("_rk").isNotNull())
              .groupBy("_rk")
              .agg(_AGGS[agg]("_v").cast("double").alias("actual")))
+    return report_from_aggregate(agged, dim, key=key,
+                                 dim_value=dim_value,
+                                 tolerance=tolerance)
+
+
+def report_from_aggregate(agged: DataFrame, dim: DataFrame, *, key: str,
+                          dim_value: str,
+                          tolerance: float = 0.0) -> DataFrame:
+    """:func:`reconcile`'s second half, for callers that already hold the
+    fact-side aggregate as (_rk, actual) — the streaming twin's running
+    state is exactly that relation, so batch and stream share this code
+    path (stream == batch parity by construction)."""
+    if tolerance < 0:
+        raise ValueError("tolerance must be >= 0")
     d = dim.select(F.col(key),
                    F.col(dim_value).cast("double").alias("expected")) \
            .where(F.col(key).isNotNull())
