@@ -179,3 +179,31 @@ def test_mmd_empty_raises(spark):
     df = spark.createDataFrame([], "side string, emb array<float>")
     with pytest.raises(ValueError):
         mmd_drift(df, "emb", "side", "a", "b")
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(data=st.lists(st.integers(0, 30), min_size=1, max_size=400),
+       capacity=st.integers(1, 40),
+       parts=st.integers(1, 6))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_heavy_hitters_mg_guarantees(spark, data, capacity, parts):
+    """Mergeable-summaries invariants on random streams: every returned
+    interval contains the true count, and every key with frequency
+    > n/capacity is present in the merged summary."""
+    from collections import Counter
+    df = spark.createDataFrame([(str(k),) for k in data], "k string") \
+        .repartition(parts)
+    got = {r.key: (r.count_min, r.count_max)
+           for r in heavy_hitters(df, "k", capacity=capacity,
+                                  top_k=10_000).collect()}
+    true = Counter(str(k) for k in data)
+    n = len(data)
+    for k, (lo, hi) in got.items():
+        assert lo <= true[k] <= hi, (k, lo, true[k], hi)
+    for k, c in true.items():
+        if c > n / capacity:
+            assert k in got, (k, c, n, capacity)
