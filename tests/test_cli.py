@@ -509,3 +509,22 @@ def test_cli_builtin_audio_checks_reachable(spark, tmp_path, capsys):
     got = {r.row_id for r in written.collect()}
     assert got == {"c2"}
     assert {r.keyword for r in written.collect()} == {"x-spark-check"}
+
+
+def test_cli_ops_ruleset_table_checks(spark, capsys):
+    """The shipped operational ruleset (x-skew/x-calendar/x-freshness/
+    x-benford/x-corr/composite x-unique) runs through the outermost CLI
+    surface via --embed; the JSON report counts its table-check
+    violations."""
+    import json as _json
+    rc = cli.main(["/root/testdata/sf0.001/events.parquet",
+                   "--row-id", "event_id",
+                   "--embed", "rulesets/ops.schema.yaml",
+                   "--report", "json"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    payload = _json.loads(out.strip().splitlines()[-1])
+    # table-level findings are deterministic on the fixed testdata
+    # (see tests/test_ops_ruleset.py): stale freshness, hot-user skew,
+    # value~user_id independence, outliers
+    assert payload["n_violations"] > 0
