@@ -1724,6 +1724,18 @@ def q_weighted_sample_documents(spark, sf):
     return sampling.weighted_sample(src, "doc_id", "w", 100)
 
 
+def q_temperature_sample_documents(spark, sf):
+    """Temperature-based language rebalancing (operators/sampling.py
+    temperature_sample, the mT5/XLM-R alpha-smoothing recipe at
+    alpha=0.3): low-resource languages keep ~all rows, dominant ones
+    thin toward p^alpha shares — per-group deterministic sha256
+    thresholding, so the oracle reproduces the EXACT kept row set."""
+    docs = _load(spark, sf, "documents")
+    return sampling.temperature_sample(docs, "lang", "doc_id",
+                                       alpha=0.3) \
+        .select("doc_id", "lang")
+
+
 def q_zipf_documents(spark, sf):
     """Zipf-law corpus health fit (operators/text.py zipf_fit): slope /
     intercept / r2 of ln(count) ~ ln(rank) over the 500 most frequent
@@ -2068,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_documents": q_mojibake_documents,
         "sample_documents": q_sample_documents,
         "weighted_sample_documents": q_weighted_sample_documents,
+        "temperature_sample_documents": q_temperature_sample_documents,
         "zipf_documents": q_zipf_documents,
         "stratified_documents": q_stratified_documents,
         "budget_documents": q_budget_documents,
@@ -4290,6 +4303,24 @@ SELECT doc_id, w FROM (
         FROM documents WHERE text IS NOT NULL)
   WHERE w > 0)
 ORDER BY aes_key DESC, doc_id ASC LIMIT 100
+""",
+        "temperature_sample_documents": """
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+s AS (
+  SELECT lang, n / CAST(total AS DOUBLE) AS share,
+         pow(n / CAST(total AS DOUBLE), 0.3) AS w
+  FROM c, t),
+ws AS (SELECT sum(w) AS wsum FROM s),
+q AS (SELECT lang, (w / wsum) / share AS ratio FROM s, ws),
+rmax AS (SELECT max(ratio) AS rmx FROM q),
+rates AS (SELECT lang, ratio / rmx AS rate FROM q, rmax)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE CAST('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 13)
+           AS BIGINT) / 4503599627370496.0 < r.rate
 """,
         "zipf_documents": """
 WITH toks AS (

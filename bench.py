@@ -121,6 +121,7 @@ HEADLINE = [
     "heavy_hitters_lineitem",
     "mmd_embeddings",
     "weighted_sample_documents",
+    "temperature_sample_documents",
     "zipf_documents",
 ]
 

@@ -292,3 +292,56 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col, k: int) -> DataFrame
             .orderBy(F.col("_aes_key").desc(), F.col(id_col).asc())
             .limit(k)
             .drop("_aes_key"))
+
+
+def temperature_rates(df: DataFrame, group_col: str) -> "DataFrame":
+    """Internal helper exposed for audit: per-group row counts and
+    shares, the inputs :func:`temperature_sample` turns into rates."""
+    counts = (df.where(F.col(group_col).isNotNull())
+              .groupBy(group_col).agg(F.count(F.lit(1)).alias("n")))
+    total = counts.agg(F.sum("n").alias("_total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select(group_col, "n",
+                    (F.col("n") / F.col("_total")).alias("share")))
+
+
+def temperature_sample(df: DataFrame, group_col: str, id_col: str, *,
+                       alpha: float = 0.3) -> DataFrame:
+    """Temperature-based group rebalancing (the mT5 / XLM-R recipe,
+    Xue et al. 2021 §3.1, Conneau et al. 2020 §3): sample group g with
+    probability proportional to p_g^alpha, where p_g is its share of
+    rows — alpha < 1 upweights low-resource groups (languages) relative
+    to their natural frequency, alpha = 1 is a no-op, alpha -> 0
+    approaches uniform-over-groups.
+
+    Realized as per-group DETERMINISTIC hash-thresholding: target share
+    q_g = p_g^alpha / sum(p^alpha); per-group keep-rate r_g =
+    (q_g / p_g) normalized so the largest rate is 1.0 (never upsample —
+    this operator thins, duplication is ``mix``'s job); a row survives
+    iff its sha256-prefix uniform (the ``hash_sample`` derandomization)
+    falls below r_g. Plan: one tiny groupBy builds the rate relation
+    (broadcast back), the pass itself is a pure map filter — same rows
+    kept on every run, every engine. NULL groups are dropped.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    rates_src = temperature_rates(df, group_col)
+    smoothed = rates_src.select(
+        group_col, "share",
+        F.pow(F.col("share"), F.lit(float(alpha))).alias("_w"))
+    wsum = smoothed.agg(F.sum("_w").alias("_wsum"))
+    q = (smoothed.crossJoin(F.broadcast(wsum))
+         .select(group_col,
+                 ((F.col("_w") / F.col("_wsum")) / F.col("share"))
+                 .alias("_ratio")))
+    rmax = q.agg(F.max("_ratio").alias("_rmax"))
+    rates = (q.crossJoin(F.broadcast(rmax))
+             .select(group_col,
+                     (F.col("_ratio") / F.col("_rmax")).alias("_rate")))
+    u = (F.conv(F.substring(F.sha2(F.col(id_col).cast("string"), 256),
+                            1, 13), 16, 10).cast("double")
+         / F.lit(float(16 ** 13)))
+    return (df.where(F.col(group_col).isNotNull())
+            .join(F.broadcast(rates), group_col)
+            .where(u < F.col("_rate"))
+            .drop("_rate"))

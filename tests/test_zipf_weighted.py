@@ -81,3 +81,64 @@ def test_zipf_fit_edges(spark):
     assert row.n_fit == 2 and row.top_mass == 3
     with pytest.raises(ValueError):
         zipf_fit(df, "text", top_k=1)
+
+
+def test_temperature_sample_rebalances(spark):
+    from remark_lint_frontmatter_schema_spark.operators.sampling import (
+        temperature_sample)
+    # 9000 'en' + 900 'de' + 100 'sw' (+NULL dropped)
+    rows = ([(i, "en") for i in range(9000)]
+            + [(i + 10_000, "de") for i in range(900)]
+            + [(i + 20_000, "sw") for i in range(100)]
+            + [(30_000, None)])
+    df = spark.createDataFrame(rows, "id long, lang string")
+    kept = temperature_sample(df, "lang", "id", alpha=0.3)
+    counts = {r.lang: r.n for r in
+              kept.groupBy("lang").agg(__import__(
+                  "pyspark.sql.functions", fromlist=["F"]
+              ).count("*").alias("n")).collect()}
+    # expected rates: q_g ~ p^0.3; r_g = (q/p)/max -> sw keeps ~all,
+    # en is thinned hardest; realized counts = binomial-free hash
+    # membership, so just pin the ORDERING and rough magnitudes
+    assert None not in counts
+    assert counts["sw"] >= 95            # near rate 1.0
+    assert counts["de"] < 900 and counts["de"] > 200
+    assert counts["en"] < 0.25 * 9000    # heavily thinned
+    # deterministic: second run keeps the identical rows
+    ids1 = sorted(r.id for r in kept.collect())
+    ids2 = sorted(r.id for r in temperature_sample(
+        df, "lang", "id", alpha=0.3).collect())
+    assert ids1 == ids2
+    # alpha=1 keeps everything (rates all 1.0)
+    assert temperature_sample(df, "lang", "id", alpha=1.0).count() == 10000
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        temperature_sample(df, "lang", "id", alpha=0)
+
+
+def test_temperature_python_twin_exact(spark):
+    """Exact membership parity with a from-scratch python recompute."""
+    import hashlib
+    from remark_lint_frontmatter_schema_spark.operators.sampling import (
+        temperature_sample)
+    rows = [(i, ["a", "b", "c"][i % 3 if i < 60 else 0]) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    alpha = 0.5
+    from collections import Counter
+    cnt = Counter(g for _, g in rows)
+    total = sum(cnt.values())
+    p = {g: n / total for g, n in cnt.items()}
+    w = {g: p[g] ** alpha for g in p}
+    ws = sum(w.values())
+    ratio = {g: (w[g] / ws) / p[g] for g in p}
+    rmax = max(ratio.values())
+    rate = {g: ratio[g] / rmax for g in p}
+
+    def u(i):
+        return int(hashlib.sha256(str(i).encode()).hexdigest()[:13], 16) \
+            / float(16 ** 13)
+
+    want = sorted(i for i, g in rows if u(i) < rate[g])
+    got = sorted(r.id for r in temperature_sample(
+        df, "g", "id", alpha=alpha).collect())
+    assert got == want
