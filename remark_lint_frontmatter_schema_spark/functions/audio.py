@@ -2692,3 +2692,84 @@ def chunk_clips(clips, *, window_ms: int = 1000, hop_ms: int | None = None,
                 "bytes"])
 
     return clips.select("clip_id", "bytes").mapInPandas(fn, schema=schema)
+
+
+def normalize_loudness_clips(clips, *, target_lufs: float = -23.0,
+                             peak_dbfs: float = -1.0,
+                             passthrough: tuple = (),
+                             id_col: str = "clip_id"):
+    """Loudness normalization to a target integrated LUFS (the EBU R128 /
+    speech-corpus convention; BS.1770-4 measurement via
+    :func:`integrated_lufs`) with a sample-peak ceiling — the refined
+    companion to :func:`canonicalize_clips`'s RMS ``normalize_db`` stage:
+    LUFS weights what the EAR hears (K-weighting + gating), so quiet-room
+    speech and denser audio land at comparable perceived levels, which is
+    what a training mix wants equalized.
+
+    Per clip: decode once (any engine codec via
+    :func:`decode_payload_any`), measure, apply gain
+    10^((target - measured)/20) CAPPED so the sample peak never exceeds
+    ``peak_dbfs`` (a quiet clip with one transient must not clip — the
+    cap is reported as ``limited`` true with the applied gain), re-encode
+    the canonical mono PCM16 WAV. Gated-silent clips (measured None) pass
+    through at unit gain with ``measured_lufs`` NULL — silence has no
+    loudness to normalize and nulling it out is the validation pass's
+    call, not this stage's. Undecodable payloads emit zero rows (the
+    canonicalize/slice policy). Map-only, one Arrow stage, payload never
+    shuffles.
+
+    Output: clip_id, sr_hz, measured_lufs, gain_db, limited, bytes
+    (+ ``passthrough`` columns carried verbatim).
+    """
+    pt = tuple(passthrough)
+    missing = [c for c in (id_col, *pt) if c not in clips.columns]
+    if missing:
+        raise ValueError(
+            f"normalize_loudness_clips: column(s) {missing} not in input "
+            f"(has {clips.columns}); check id_col/passthrough")
+    pt_ddl = ", ".join(
+        f"{c} {clips.schema[c].dataType.simpleString()}" for c in pt)
+    schema = ("clip_id string, sr_hz int, measured_lufs double, "
+              "gain_db double, limited boolean, bytes binary")
+    if pt_ddl:
+        schema = f"{schema}, {pt_ddl}"
+    peak_lin = 10.0 ** (float(peak_dbfs) / 20.0)
+
+    def fn(iterator):
+        for pdf in iterator:
+            rows = []
+            for _, r in pdf.iterrows():
+                b = r["bytes"]
+                if b is None:
+                    continue
+                try:
+                    sr, x = decode_payload_any(bytes(b))
+                except Exception:
+                    continue
+                lufs = integrated_lufs(x, sr)
+                if lufs is None:
+                    gain, limited, out = 1.0, False, x
+                else:
+                    gain = 10.0 ** ((float(target_lufs) - lufs) / 20.0)
+                    peak = float(np.max(np.abs(x))) if len(x) else 0.0
+                    limited = peak * gain > peak_lin
+                    if limited and peak > 0:
+                        gain = peak_lin / peak
+                    out = x * gain
+                row = {
+                    "clip_id": str(r[id_col]),
+                    "sr_hz": int(sr),
+                    "measured_lufs": (float(lufs) if lufs is not None
+                                      else None),
+                    "gain_db": float(20.0 * np.log10(max(gain, 1e-12))),
+                    "limited": bool(limited),
+                    "bytes": wav_bytes(_to_pcm16(out), sr),
+                }
+                for c in pt:
+                    row[c] = r[c]
+                rows.append(row)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    cols = [id_col, "bytes", *pt]
+    return clips.select(*cols).mapInPandas(fn, schema=schema)
