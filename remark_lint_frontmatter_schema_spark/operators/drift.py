@@ -463,7 +463,11 @@ def benford_violations(df: DataFrame, value_col: str, *,
     b = benford(df, value_col)
     mad = b.agg(F.round(F.avg(F.abs(F.col("observed") - F.col("expected"))),
                         6).alias("_mad"))
-    bad = mad.where(F.col("_mad") > F.lit(float(max_mad)))
+    # fail closed: an empty/all-invalid column has NULL shares and a NULL
+    # MAD — no evidence of conformance is a finding, not a pass (the
+    # x-freshness policy)
+    bad = mad.where(F.col("_mad").isNull()
+                    | (F.col("_mad") > F.lit(float(max_mad))))
     return bad.select(
         F.lit("all").alias("row_id"),
         F.lit("all").alias("partition_id"),
@@ -472,9 +476,13 @@ def benford_violations(df: DataFrame, value_col: str, *,
         F.lit("x-benford").alias("keyword"),
         F.lit(f"/{value_col}").alias("instance_path"),
         F.lit(f"#/x-benford/{value_col}").alias("schema_path"),
-        F.concat(F.lit("Must conform to Benford's law: first-digit MAD "),
-                 F.col("_mad").cast("string"),
-                 F.lit(f" (limit {max_mad})")).alias("message"),
+        F.when(F.col("_mad").isNull(),
+               F.lit("Must conform to Benford's law: no measurable "
+                     "first digits (empty or all zero/NULL/non-finite)"))
+         .otherwise(F.concat(
+             F.lit("Must conform to Benford's law: first-digit MAD "),
+             F.col("_mad").cast("string"),
+             F.lit(f" (limit {max_mad})"))).alias("message"),
         F.col("_mad").cast("string").alias("actual"),
         F.lit(None).cast("array<string>").alias("expected"),
         F.lit(severity).alias("severity"),

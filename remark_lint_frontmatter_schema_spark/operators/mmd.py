@@ -77,7 +77,11 @@ def mmd_drift(df: DataFrame, vec_col: str, side_col, side_a: str,
     probed from the first non-null vector when not given (one tiny job —
     pass it explicitly in pipelines).
 
-    Output columns: n_a, n_b, n_features, gamma, mmd2, mmd.
+    Output columns: n_a, n_b, n_features, gamma, mmd2, mmd — the
+    statistics are NULL when either side ends up with zero valid rows
+    (an empty population is an error to surface, not zero drift, and
+    definitely not the phantom ||mean_other||^2 a zero-filled mean
+    would produce).
     """
     side = F.col(side_col) if isinstance(side_col, str) else side_col
     src = (df.select(side.cast("string").alias("_side"),
@@ -117,12 +121,19 @@ def mmd_drift(df: DataFrame, vec_col: str, side_col, side_a: str,
     n_b = F.coalesce(F.sum(F.when(F.col("side") == side_b, F.col("n"))),
                      F.lit(0)).alias("n_b")
     counts = ns.agg(n_a, n_b)
+    # one side empty (bad label, all-wrong-length vectors): its "mean"
+    # would coalesce to the zero vector and mmd2 would report
+    # ||mean_other||^2 — a large, meaningless statistic. NULL the result
+    # instead so an alerting gate surfaces the empty population, not
+    # phantom drift.
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     return (counts.crossJoin(F.broadcast(mmd2)).select(
         "n_a", "n_b",
         F.lit(n_features).alias("n_features"),
         F.round(F.lit(float(gamma)), 9).alias("gamma"),
-        F.round(F.col("mmd2"), 9).alias("mmd2"),
-        F.round(F.sqrt(F.greatest(F.col("mmd2"), F.lit(0.0))), 9)
+        F.when(both, F.round(F.col("mmd2"), 9)).alias("mmd2"),
+        F.when(both,
+               F.round(F.sqrt(F.greatest(F.col("mmd2"), F.lit(0.0))), 9))
          .alias("mmd")))
 
 

@@ -76,7 +76,13 @@ def report_from_aggregate(agged: DataFrame, dim: DataFrame, *, key: str,
            .where(F.col(key).isNotNull())
     j = d.join(agged, d[key] == agged["_rk"], "left")
     diff = F.col("actual") - F.col("expected")
-    status = (F.when(F.col("actual").isNull(), F.lit("missing_fact"))
+    # fail-closed ordering: a NULL/NaN stored value can never reconcile
+    # (diff is NULL, so the mismatch predicate would silently fall
+    # through to 'ok' — the classic NULL-comparison fail-open)
+    status = (F.when(F.col("expected").isNull()
+                     | F.isnan(F.col("expected")),
+                     F.lit("null_stored"))
+              .when(F.col("actual").isNull(), F.lit("missing_fact"))
               .when(F.abs(diff) > F.lit(float(tolerance)),
                     F.lit("mismatch"))
               .otherwise(F.lit("ok")))
@@ -101,7 +107,8 @@ def reconcile_violations(fact: DataFrame, dim: DataFrame, *, key: str,
     rep = reconcile(fact, dim, key=key, fact_key=fact_key,
                     fact_value=fact_value, dim_value=dim_value,
                     agg=agg, tolerance=tolerance)
-    bad = ["mismatch"] + (["missing_fact"] if on_missing == "violate" else [])
+    bad = ["mismatch", "null_stored"] \
+        + (["missing_fact"] if on_missing == "violate" else [])
     rep = rep.where(F.col("status").isin(bad))
     mismatch_msg = F.concat(
         F.lit(f"Must reconcile: {agg}({fact_value}) = "),
@@ -111,6 +118,9 @@ def reconcile_violations(fact: DataFrame, dim: DataFrame, *, key: str,
         F.lit(f", tolerance {tolerance})"))
     missing_msg = F.lit(
         f"Must reconcile: no fact rows support stored '{dim_value}'")
+    null_msg = F.lit(
+        f"Must reconcile: stored '{dim_value}' is NULL/NaN "
+        "(nothing to reconcile against)")
     return rep.select(
         F.col(key).cast("string").alias("row_id"),
         F.lit("all").alias("partition_id"),
@@ -120,6 +130,7 @@ def reconcile_violations(fact: DataFrame, dim: DataFrame, *, key: str,
         F.lit(f"/{dim_value}").alias("instance_path"),
         F.lit(f"#/x-reconcile/{dim_value}").alias("schema_path"),
         F.when(F.col("status") == "mismatch", mismatch_msg)
+         .when(F.col("status") == "null_stored", null_msg)
          .otherwise(missing_msg).alias("message"),
         F.round(F.col("actual"), 6).cast("string").alias("actual"),
         F.array(F.round(F.col("expected"), 6).cast("string"))

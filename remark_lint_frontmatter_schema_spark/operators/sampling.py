@@ -273,8 +273,11 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col, k: int) -> DataFrame
     sample; 13 hex digits = 52 bits, exact in a double.
 
     ``weight_col`` — column name or Column of positive weights; rows with
-    NULL or non-positive weight are excluded (they carry no mass —
-    validate weights upstream if that's a defect). Plan: pure map to
+    NULL, NaN or non-positive weight are excluded (they carry no mass —
+    validate weights upstream if that's a defect; NaN needs its own
+    probe because Spark orders NaN ABOVE every number, so ``w > 0``
+    alone would keep NaN rows and their NaN sort keys would then
+    monopolize the descending top-k). Plan: pure map to
     score, then orderBy(key desc, id asc).limit(k) =
     TakeOrderedAndProject — per-partition top-k, driver merge of k rows
     per partition, no global sort at any scale.
@@ -287,7 +290,7 @@ def weighted_sample(df: DataFrame, id_col: str, weight_col, k: int) -> DataFrame
                             1, 13), 16, 10).cast("double")
          / F.lit(float(16 ** 13)))
     key = F.pow(u, F.lit(1.0) / w)
-    return (df.where(w > 0)
+    return (df.where((w > 0) & ~F.isnan(w))
             .withColumn("_aes_key", key)
             .orderBy(F.col("_aes_key").desc(), F.col(id_col).asc())
             .limit(k)

@@ -313,8 +313,21 @@ def resample_fill(
                     "is_observed"))
 
 
+def _bucket_span_expr(first_col: str, last_col: str, unit: str):
+    """Approximate bucket count of [first, last] WITHOUT materializing
+    the sequence array — the span guard's arithmetic."""
+    micros = {"minute": 60e6, "hour": 3.6e9, "day": 86.4e9,
+              "week": 604.8e9}.get(unit)
+    if micros is not None:
+        return ((F.unix_micros(F.col(last_col).cast("timestamp"))
+                 - F.unix_micros(F.col(first_col).cast("timestamp")))
+                / F.lit(micros))
+    return F.months_between(F.col(last_col), F.col(first_col))
+
+
 def missing_buckets(df: DataFrame, ts_col: str, *, unit: str = "day",
-                    by: str | None = None) -> DataFrame:
+                    by: str | None = None,
+                    max_buckets: int = 100_000) -> DataFrame:
     """Calendar completeness: time buckets between the observed min and
     max that contain NO rows — the partition-level hole x-gap's row-gap
     check reports as one big gap but operations teams want as a bucket
@@ -327,18 +340,38 @@ def missing_buckets(df: DataFrame, ts_col: str, *, unit: str = "day",
     joins against it. ``by`` gives per-group calendars spanning each
     group's own min..max. Output: (group?, bucket timestamp) rows,
     one per missing bucket.
+
+    Span guard (``max_buckets``, eagerly checked with one driver-scale
+    job): ONE corrupt outlier timestamp (an epoch-zero sentinel, a year
+    9999) would otherwise inflate the sequence() array to millions of
+    elements inside a single row — the defect to report is the sentinel
+    row, not an OOM, so an over-long span fails loudly and names the
+    observed bounds.
     """
     step = {"day": "interval 1 day", "hour": "interval 1 hour",
             "week": "interval 7 day", "month": "interval 1 month",
             "minute": "interval 1 minute"}.get(unit)
     if step is None:
         raise ValueError(f"unsupported unit {unit!r}")
+    if max_buckets <= 0:
+        raise ValueError("max_buckets must be > 0")
     bucket = F.date_trunc(unit, F.col(ts_col))
     src = df.where(F.col(ts_col).isNotNull())
+    n_span = _bucket_span_expr("_first", "_last", unit)
     if by is None:
         obs = src.select(bucket.alias("bucket")).distinct()
         span = obs.agg(F.min("bucket").alias("_first"),
                        F.max("bucket").alias("_last"))
+        probe = span.select("_first", "_last",
+                            n_span.alias("_n")).first()
+        if probe is not None and probe["_n"] is not None \
+                and probe["_n"] > max_buckets:
+            raise ValueError(
+                f"missing_buckets: span {probe['_first']} .. "
+                f"{probe['_last']} is ~{int(probe['_n'])} {unit} buckets "
+                f"(> max_buckets={max_buckets}) — almost certainly an "
+                "outlier timestamp; find it with x-outlier/column_stats "
+                "and filter, or raise max_buckets deliberately")
         grid = span.where(F.col("_first").isNotNull()).select(
             F.explode(F.expr(f"sequence(_first, _last, {step})"))
              .alias("bucket"))
@@ -347,6 +380,16 @@ def missing_buckets(df: DataFrame, ts_col: str, *, unit: str = "day",
              .distinct()
     span = obs.groupBy("grp").agg(F.min("bucket").alias("_first"),
                                   F.max("bucket").alias("_last"))
+    worst = span.select(F.col("grp"), n_span.alias("_n")) \
+                .orderBy(F.col("_n").desc()).first()
+    if worst is not None and worst["_n"] is not None \
+            and worst["_n"] > max_buckets:
+        raise ValueError(
+            f"missing_buckets: group {worst['grp']!r} spans "
+            f"~{int(worst['_n'])} {unit} buckets "
+            f"(> max_buckets={max_buckets}) — almost certainly an "
+            "outlier timestamp; find it with x-outlier/column_stats "
+            "and filter, or raise max_buckets deliberately")
     grid = span.select(
         "grp", F.explode(F.expr(f"sequence(_first, _last, {step})"))
                 .alias("bucket"))
@@ -357,10 +400,12 @@ def missing_buckets(df: DataFrame, ts_col: str, *, unit: str = "day",
 
 def calendar_violations(df: DataFrame, ts_col: str, *,
                         unit: str = "day", by: str | None = None,
+                        max_buckets: int = 100_000,
                         ruleset_name: str = "engine",
                         severity: str = "warning") -> DataFrame:
     """Violation rows (x-calendar) — one per missing calendar bucket."""
-    miss = missing_buckets(df, ts_col, unit=unit, by=by)
+    miss = missing_buckets(df, ts_col, unit=unit, by=by,
+                           max_buckets=max_buckets)
     rid = (F.col(by).cast("string") if by is not None
            else F.lit("all"))
     return miss.select(

@@ -34,13 +34,16 @@ from .dedup import _persist
 
 def key_counts(df: DataFrame, key: str, *, n_salts: int = 32) -> DataFrame:
     """Per-key row counts, salted two-phase (same plan as
-    uniqueness.duplicate_keys: a hot key's rows split across ``n_salts``
-    reducers in phase 1, phase 2 merges one row per (key, salt))."""
+    uniqueness.duplicate_keys: the salt is the row's input partition id
+    modulo ``n_salts`` — it varies WITHIN a key, so a hot key's rows
+    split across up to n_salts phase-1 reducers; phase 2 merges at most
+    one row per (key, salt). A key-derived salt would be constant per
+    key and split nothing.)"""
     partial = (
         df.select(key)
         .where(F.col(key).isNotNull())
         .groupBy(F.col(key),
-                 F.pmod(F.xxhash64(F.col(key), F.lit(42)),
+                 F.pmod(F.spark_partition_id(),
                         F.lit(n_salts)).alias("_salt"))
         .agg(F.count(F.lit(1)).alias("_partial")))
     return partial.groupBy(key).agg(F.sum("_partial").alias("cnt"))

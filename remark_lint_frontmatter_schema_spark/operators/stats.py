@@ -310,9 +310,12 @@ def mask_violations(df: DataFrame, column: str, *, expect: str,
                .limit(1)
                .select(F.col("mask").alias("_top_bad")))
     share = F.round(F.try_divide(F.col("_ok"), F.col("_total")), 6)
-    joined = stats.crossJoin(F.broadcast(top_bad))
-    bad = joined.where(F.col("_total").isNotNull()
-                       & (share < F.lit(float(min_share))))
+    joined = stats.join(F.broadcast(top_bad), F.lit(True), "left")
+    # fail closed: a column with NO non-NULL values has NULL _total and
+    # no conformance evidence — that is a finding (the x-freshness
+    # policy), not a silent pass
+    bad = joined.where(F.col("_total").isNull()
+                       | (share < F.lit(float(min_share))))
     return bad.select(
         F.lit("all").alias("row_id"),
         F.lit("all").alias("partition_id"),
@@ -321,11 +324,15 @@ def mask_violations(df: DataFrame, column: str, *, expect: str,
         F.lit("x-mask").alias("keyword"),
         F.lit(f"/{column}").alias("instance_path"),
         F.lit(f"#/x-mask/{column}").alias("schema_path"),
-        F.concat(F.lit(f"Must match shape '{expect}': only "),
-                 share.cast("string"),
-                 F.lit(f" of values conform (limit {min_share}); "
-                       "top offender "),
-                 F.coalesce(F.col("_top_bad"), F.lit("<none>")))
+        F.when(F.col("_total").isNull(),
+               F.lit(f"Must match shape '{expect}': no non-NULL values "
+                     "to check"))
+         .otherwise(F.concat(
+             F.lit(f"Must match shape '{expect}': only "),
+             share.cast("string"),
+             F.lit(f" of values conform (limit {min_share}); "
+                   "top offender "),
+             F.coalesce(F.col("_top_bad"), F.lit("<none>"))))
          .alias("message"),
         share.cast("string").alias("actual"),
         F.array(F.lit(expect)).alias("expected"),

@@ -128,7 +128,9 @@ def table_check_violations(
             from .sequence import calendar_violations
             extras.append(calendar_violations(
                 df, column, unit=params.get("unit", "day"),
-                by=params.get("by"), ruleset_name=compiled.name,
+                by=params.get("by"),
+                max_buckets=params.get("max_buckets", 100_000),
+                ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
         elif kind == "freshness":
             from .sequence import freshness_violations

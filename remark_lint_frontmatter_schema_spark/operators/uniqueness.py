@@ -3,16 +3,21 @@
 north_rule mandate: "clip_id uniqueness via salted hash-partitioned
 aggregation with explicit skew handling". The two-phase plan:
 
-  phase 1: groupBy(key, salt = pmod(xxhash64(key, seed), n_salts)).count()
-           — a hot key's rows split across n_salts reducers
-  phase 2: groupBy(key).sum(partial_count) — tiny relation (one row per
-           distinct (key, salt)), then filter cnt > 1
+  phase 1: groupBy(key, salt = pmod(spark_partition_id(), n_salts))
+           .count() — a hot key's rows split across up to n_salts
+           reducers because the salt varies WITHIN a key (it derives
+           from the row's input partition, never from the key itself —
+           a key-derived salt like hash(key) % n would be constant per
+           key and split nothing)
+  phase 2: groupBy(key).sum(partial_count) — tiny relation (at most one
+           row per (key, salt)), then filter cnt > 1
 
 Spark's hash aggregate already does map-side partial counts, which handles
-*moderate* skew; the explicit salt protects the pathological case where one
-key dominates entire partitions post-shuffle (the fixture's 1000x hot id).
-Duplicate keys become violation rows (``constraint_id='unique:<key>'``)
-shaped exactly like the DSL checks so sinks union cleanly.
+*moderate* skew; the explicit salt makes the protection visible,
+bounded (n_salts) and portable to aggregates without partial-agg
+support. Duplicate keys become violation rows
+(``constraint_id='unique:<key>'``) shaped exactly like the DSL checks so
+sinks union cleanly.
 """
 
 from __future__ import annotations
@@ -29,7 +34,7 @@ def duplicate_keys(df: DataFrame, key: str, *, n_salts: int = 32,
             df.select(key)
             .where(F.col(key).isNotNull())
             .groupBy(F.col(key),
-                     F.pmod(F.xxhash64(F.col(key), F.lit(42)),
+                     F.pmod(F.spark_partition_id(),
                             F.lit(n_salts)).alias("_salt"))
             .agg(F.count(F.lit(1)).alias("_partial"))
         )
@@ -68,11 +73,12 @@ def duplicate_keys_multi(df: DataFrame, keys: list[str], *,
                          n_salts: int = 32) -> DataFrame:
     """Composite-key duplicates: (key tuple, n_occurrences) for every
     combination appearing more than once — the multi-column form of
-    :func:`duplicate_keys`, same salted two-phase plan (xxhash64 over
-    all components drives the salt, so a hot composite value still
-    splits across reducers). Rows with a NULL in ANY component are
-    excluded, mirroring SQL UNIQUE semantics (NULLs compare unequal;
-    required/type own missingness)."""
+    :func:`duplicate_keys`, same salted two-phase plan (the salt is the
+    input partition id, so a hot composite value still splits across
+    reducers — a key-derived salt would be constant per tuple and split
+    nothing). Rows with a NULL in ANY component are excluded, mirroring
+    SQL UNIQUE semantics (NULLs compare unequal; required/type own
+    missingness)."""
     if not keys or len(keys) < 2:
         raise ValueError("duplicate_keys_multi needs >= 2 key columns "
                          "(use duplicate_keys for one)")
@@ -84,7 +90,7 @@ def duplicate_keys_multi(df: DataFrame, keys: list[str], *,
         df.select(*keys)
         .where(nn)
         .groupBy(*cols,
-                 F.pmod(F.xxhash64(*cols, F.lit(42)),
+                 F.pmod(F.spark_partition_id(),
                         F.lit(n_salts)).alias("_salt"))
         .agg(F.count(F.lit(1)).alias("_partial")))
     counts = partial.groupBy(*keys).agg(

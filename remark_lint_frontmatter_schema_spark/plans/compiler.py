@@ -492,7 +492,11 @@ _KEYWORD_SHAPE = {
              and not isinstance(v["max_mad"], bool) and v["max_mad"] > 0)),
     "x-calendar": lambda v: isinstance(v, dict)
     and v.get("unit", "day") in ("minute", "hour", "day", "week", "month")
-    and (v.get("by") is None or isinstance(v["by"], str)),
+    and (v.get("by") is None or isinstance(v["by"], str))
+    and (v.get("max_buckets") is None
+         or (isinstance(v["max_buckets"], int)
+             and not isinstance(v["max_buckets"], bool)
+             and v["max_buckets"] > 0)),
     "x-freshness": lambda v: isinstance(v, dict)
     and isinstance(v.get("max_age_seconds"), _NUM)
     and not isinstance(v.get("max_age_seconds"), bool)
@@ -1592,6 +1596,7 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 ("calendar", ctx.instance_path[1:], {
                     "unit": p.get("unit", "day"),
                     "by": p.get("by"),
+                    "max_buckets": int(p.get("max_buckets") or 100_000),
                     "severity": ctx.severity,
                 }))
         else:

@@ -98,3 +98,19 @@ def test_dsl_calendar_freshness(spark, days):
     with pytest.raises(RulesetCompileError):
         compile_ruleset({"properties": {"ts": {
             "x-calendar": {"unit": "fortnight"}}}}, df.schema, name="b")
+
+
+def test_missing_buckets_span_guard(spark):
+    rows = [(_ts("1970-01-01 00:00:00"),), (_ts("2026-01-01 00:00:00"),)]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    with pytest.raises(ValueError, match="outlier timestamp"):
+        missing_buckets(df, "ts", unit="minute")
+    # deliberate raise works
+    assert missing_buckets(df, "ts", unit="day",
+                           max_buckets=30_000).count() > 20_000
+    # grouped guard fires on the worst group
+    g = spark.createDataFrame(
+        [("a", _ts("1970-01-01 00:00:00")), ("a", _ts("2026-01-01 00:00:00")),
+         ("b", _ts("2026-01-01 00:00:00"))], "g string, ts timestamp")
+    with pytest.raises(ValueError, match="group 'a'"):
+        missing_buckets(g, "ts", by="g", unit="hour", max_buckets=1000)

@@ -121,10 +121,13 @@ def test_mask_violations_and_dsl(spark):
     v2 = mask_violations(df, "name", expect="9!",
                          min_share=0.5).collect()
     assert v2[0].actual == "0.0" and "top offender A#9" in v2[0].message
-    # empty / all-NULL input: no conformance evidence but also no rows —
-    # stays quiet (required owns missingness)
+    # all-NULL input: no conformance evidence -> fail closed with
+    # actual NULL (the x-freshness policy; code-review finding)
     empty = spark.createDataFrame([(None,)], "name string")
-    assert mask_violations(empty, "name", expect="A").collect() == []
+    ve = mask_violations(empty, "name", expect="A").collect()
+    assert len(ve) == 1 and ve[0].actual is None
+    assert ve[0].message == "Must match shape 'A': no non-NULL values " \
+        "to check"
     with pytest.raises(ValueError):
         mask_violations(df, "name", expect="A", min_share=0)
 

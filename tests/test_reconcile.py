@@ -111,3 +111,17 @@ def test_x_reconcile_guards(spark, tables):
         dim2.schema, name="t")
     assert ("/total_s", "x-reconcile") in c.unknown
     assert not c.table_checks
+
+
+def test_null_stored_fails_closed(spark):
+    fact = spark.createDataFrame([(1, 10.0), (2, 5.0)], "k long, v double")
+    dim = spark.createDataFrame([(1, None), (2, 5.0)],
+                                "k long, total double")
+    rep = {r.k: r.status for r in reconcile(
+        fact, dim, key="k", fact_value="v", dim_value="total").collect()}
+    assert rep == {1: "null_stored", 2: "ok"}
+    v = reconcile_violations(fact, dim, key="k", fact_value="v",
+                             dim_value="total").collect()
+    assert len(v) == 1 and v[0].row_id == "1"
+    assert v[0].message == ("Must reconcile: stored 'total' is NULL/NaN "
+                            "(nothing to reconcile against)")

@@ -207,3 +207,12 @@ def test_heavy_hitters_mg_guarantees(spark, data, capacity, parts):
     for k, c in true.items():
         if c > n / capacity:
             assert k in got, (k, c, n, capacity)
+
+
+def test_mmd_empty_side_yields_null_stats(spark):
+    rows = [("a", [1.0, 0.0]), ("a", [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "side string, emb array<float>")
+    r = mmd_drift(df, "emb", "side", "a", "b", dim=2,
+                  n_features=8).collect()[0]
+    assert r.n_a == 2 and r.n_b == 0
+    assert r.mmd2 is None and r.mmd is None

@@ -97,3 +97,10 @@ def test_x_benford_dsl(spark):
     with pytest.raises(RulesetCompileError):
         compile_ruleset({"properties": {"v": {
             "x-benford": {"max_mad": -1}}}}, df.schema, name="bad")
+
+
+def test_benford_gate_fails_closed_on_empty(spark):
+    df = spark.createDataFrame([(0.0,), (None,)], "v double")
+    v = benford_violations(df, "v", max_mad=0.015).collect()
+    assert len(v) == 1 and v[0].actual is None
+    assert "no measurable first digits" in v[0].message

@@ -142,3 +142,10 @@ def test_temperature_python_twin_exact(spark):
     got = sorted(r.id for r in temperature_sample(
         df, "g", "id", alpha=alpha).collect())
     assert got == want
+
+
+def test_weighted_sample_excludes_nan(spark):
+    rows = [(1, float("nan")), (2, float("nan")), (3, 1.0), (4, 2.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = sorted(r.id for r in weighted_sample(df, "id", "w", 2).collect())
+    assert got == [3, 4]  # NaN weights carry no mass
