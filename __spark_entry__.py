@@ -891,6 +891,25 @@ def q_drift_events_emd(spark, sf):
         .select(F.round("emd", 6).alias("emd"))
 
 
+def q_drift_events_jsd(spark, sf):
+    """Jensen-Shannon drift (operators/drift.py jensen_shannon): the
+    mixture-reference divergence over the same (side, bucket, n)
+    histogram — finite under disjoint supports where PSI's epsilon floor
+    explodes. Runs on the tiny histogram relation only."""
+    h = _events_hist(spark, sf)
+    return drift.jensen_shannon(h, "error", "purchase") \
+        .select(F.round("jsd", 6).alias("jsd"))
+
+
+def q_drift_events_cvm(spark, sf):
+    """Cramér–von Mises drift (operators/drift.py cramer_von_mises):
+    pooled-mass-weighted L2 of the CDF gap — the quadratic complement to
+    KS (max gap) and EMD (L1) on the same histogram relation."""
+    h = _events_hist(spark, sf)
+    return drift.cramer_von_mises(h, "error", "purchase") \
+        .select(F.round("cvm", 6).alias("cvm"))
+
+
 def q_drift_events_type_psi(spark, sf):
     """Categorical drift (operators/drift.py categorical_hist + psi):
     event-TYPE frequency shift between the first and second half of the
@@ -2033,6 +2052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events_ks": q_drift_events_ks,
         "drift_events_psi": q_drift_events_psi,
         "drift_events_emd": q_drift_events_emd,
+        "drift_events_jsd": q_drift_events_jsd,
+        "drift_events_cvm": q_drift_events_cvm,
         "drift_events_type_psi": q_drift_events_type_psi,
         "drift_events_ks_by_type": q_drift_events_ks_by_type,
         "drift_events_chi2": q_drift_events_chi2,
@@ -2338,6 +2359,39 @@ j AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
       FULL OUTER JOIN (SELECT * FROM p WHERE side = 'purchase') b
       USING (bucket))
 SELECT round(sum((p_a - p_b) * ln(p_a / p_b)), 6) AS psi FROM j
+"""
+
+_JSD_SQL = f"""
+WITH h AS ({_HIST_EVENTS_CTE}),
+p AS (SELECT side, bucket, n * 1.0 / sum(n) OVER (PARTITION BY side) AS p
+      FROM h),
+j AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+             coalesce(a.p, 0.0) AS p_a, coalesce(b.p, 0.0) AS p_b
+      FROM (SELECT * FROM p WHERE side = 'error') a
+      FULL OUTER JOIN (SELECT * FROM p WHERE side = 'purchase') b
+      USING (bucket))
+SELECT round(greatest(sum(
+         0.5 * (CASE WHEN p_a > 0 THEN p_a * ln(p_a / ((p_a + p_b) / 2)) ELSE 0 END
+                + CASE WHEN p_b > 0 THEN p_b * ln(p_b / ((p_a + p_b) / 2)) ELSE 0 END)
+       ), 0.0), 6) AS jsd
+FROM j
+"""
+
+_CVM_SQL = f"""
+WITH h AS ({_HIST_EVENTS_CTE}),
+spine AS (SELECT s.side, b.bucket
+          FROM (SELECT DISTINCT side FROM h) s
+          CROSS JOIN (SELECT unnest(range(0, 27)) AS bucket) b),
+filled AS (SELECT sp.side, sp.bucket, coalesce(h.n, 0) AS n
+           FROM spine sp LEFT JOIN h ON h.side = sp.side AND h.bucket = sp.bucket),
+cdf AS (SELECT side, bucket, n,
+        sum(n) OVER (PARTITION BY side ORDER BY bucket) * 1.0
+          / sum(n) OVER (PARTITION BY side) AS cdf
+        FROM filled)
+SELECT round(sum((a.n + b.n) * (a.cdf - b.cdf) ^ 2)
+             / (sum(a.n) + sum(b.n)), 6) AS cvm
+FROM cdf a JOIN cdf b USING (bucket)
+WHERE a.side = 'error' AND b.side = 'purchase'
 """
 
 _COSINE_TOPK_SQL = """
@@ -3972,6 +4026,8 @@ WHERE o.o_custkey IS NOT NULL
         "drift_events_ks": _KS_SQL,
         "drift_events_psi": _PSI_SQL,
         "drift_events_emd": _EMD_SQL,
+        "drift_events_jsd": _JSD_SQL,
+        "drift_events_cvm": _CVM_SQL,
         "drift_events_ks_by_type": """
 WITH h AS (
   SELECT event_type AS grp,

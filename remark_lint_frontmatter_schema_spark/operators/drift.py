@@ -236,6 +236,79 @@ def chi_square(hist: DataFrame, side_a: str, side_b: str) -> DataFrame:
                       .alias("chi2"))
 
 
+def jensen_shannon(hist: DataFrame, side_a: str, side_b: str) -> DataFrame:
+    """Jensen-Shannon divergence over the shared histogram relation:
+    ``0.5*KL(p_a || m) + 0.5*KL(p_b || m)`` with ``m = (p_a+p_b)/2``,
+    in nats (bounded [0, ln 2]).
+
+    Complements PSI with a statistic that is finite under disjoint
+    supports: PSI's epsilon floor turns a bucket present on one side only
+    into an arbitrarily-large ratio term, while JSD's mixture reference
+    keeps every term finite with NO epsilon (0*ln(0/m) contributes 0 by
+    the KL convention, handled explicitly). Symmetric, so side order
+    doesn't matter. Runs entirely on the tiny histogram relation; the
+    missing-side guard returns NULL rather than a confident figure (see
+    ks_statistic)."""
+    tot = Window.partitionBy("side")
+    p = hist.withColumn("p", F.col("n") / F.sum("n").over(tot))
+    a = p.where(F.col("side") == side_a).select(
+        "bucket", F.col("p").alias("p_a"))
+    b = p.where(F.col("side") == side_b).select(
+        "bucket", F.col("p").alias("p_b"))
+    joined = (a.join(b, "bucket", "full_outer")
+               .fillna({"p_a": 0.0, "p_b": 0.0}))
+    m = (F.col("p_a") + F.col("p_b")) / 2
+    kl_a = F.when(F.col("p_a") > 0,
+                  F.col("p_a") * F.log(F.col("p_a") / m)).otherwise(F.lit(0.0))
+    kl_b = F.when(F.col("p_b") > 0,
+                  F.col("p_b") * F.log(F.col("p_b") / m)).otherwise(F.lit(0.0))
+    agg = joined.agg(
+        F.sum(0.5 * (kl_a + kl_b)).alias("_jsd"),
+        F.max("p_a").alias("_ma"), F.max("p_b").alias("_mb"))
+    return agg.select(
+        F.when((F.col("_ma") > 0) & (F.col("_mb") > 0),
+               F.greatest(F.col("_jsd"), F.lit(0.0))).alias("jsd"))
+
+
+def cramer_von_mises(hist: DataFrame, side_a: str, side_b: str) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic over the shared histogram:
+    ``sum_buckets w_b * (CDF_a - CDF_b)^2`` with ``w_b`` the POOLED
+    probability mass of the bucket (``(n_a+n_b)/(N_a+N_b)``) — the
+    histogram discretization of the integral of the squared CDF gap
+    against the pooled empirical distribution.
+
+    Complements KS (max gap — one worst bucket) and EMD (L1 of the gap —
+    linear in displacement) with the L2 view: broad moderate shifts that
+    KS underweights accumulate quadratically here. Pooled-mass weighting
+    means empty buckets contribute 0, so no dense spine is needed (unlike
+    EMD); CDFs are still forward-filled across buckets one side skips.
+    Runs entirely on the tiny histogram relation; missing-side guard as
+    in ks_statistic."""
+    w = Window.partitionBy("side").orderBy("bucket") \
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy("side")
+    cdf = hist.withColumn("cdf", F.sum("n").over(w) / F.sum("n").over(tot))
+    a = cdf.where(F.col("side") == side_a).select(
+        "bucket", F.col("n").alias("n_a"), F.col("cdf").alias("cdf_a"))
+    b = cdf.where(F.col("side") == side_b).select(
+        "bucket", F.col("n").alias("n_b"), F.col("cdf").alias("cdf_b"))
+    joined = a.join(b, "bucket", "full_outer")
+    wf = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
+                                              Window.currentRow)
+    filled = (joined
+              .withColumn("cdf_a", F.last("cdf_a", ignorenulls=True).over(wf))
+              .withColumn("cdf_b", F.last("cdf_b", ignorenulls=True).over(wf))
+              .fillna({"cdf_a": 0.0, "cdf_b": 0.0, "n_a": 0, "n_b": 0}))
+    gap2 = (F.col("cdf_a") - F.col("cdf_b")) ** 2
+    agg = filled.agg(
+        F.sum((F.col("n_a") + F.col("n_b")) * gap2).alias("_t"),
+        F.sum("n_a").alias("_na"), F.sum("n_b").alias("_nb"),
+        F.max("cdf_a").alias("_ma"), F.max("cdf_b").alias("_mb"))
+    return agg.select(
+        F.when((F.col("_ma") > 0) & (F.col("_mb") > 0),
+               F.col("_t") / (F.col("_na") + F.col("_nb"))).alias("cvm"))
+
+
 def windowed_psi(df: DataFrame, value_col: str, time_col: str, *,
                  lo: float, hi: float, n_buckets: int = 25,
                  window_duration: str = "1 day",

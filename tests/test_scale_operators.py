@@ -407,6 +407,57 @@ def test_emd_matches_manual_and_guards(spark):
         > drift.emd(hn, "a", "b").first().emd
 
 
+def test_jsd_bounds_symmetry_and_guards(spark):
+    """Jensen-Shannon over the shared histogram (drift.jensen_shannon):
+    0 on identical sides, exactly ln 2 on disjoint supports (finite where
+    PSI's epsilon floor produces an arbitrary magnitude), symmetric in
+    side order, NULL on a missing side."""
+    import math
+    from remark_lint_frontmatter_schema_spark.operators import drift
+    rows = ([("a", float(v)) for v in range(5) for _ in range(4)]
+            + [("b", float(v) + 6.0) for v in range(5) for _ in range(4)])
+    df = spark.createDataFrame(rows, "side string, v double")
+    h = drift.histogram(df, "v", "side", lo=0.0, hi=12.0, n_buckets=12)
+    assert drift.jensen_shannon(h, "a", "a").first().jsd == 0.0
+    got = drift.jensen_shannon(h, "a", "b").first().jsd
+    assert abs(got - math.log(2.0)) < 1e-9  # disjoint supports
+    assert abs(drift.jensen_shannon(h, "b", "a").first().jsd - got) < 1e-12
+    assert drift.jensen_shannon(h, "a", "TYPO").first().jsd is None
+    # partial overlap sits strictly inside (0, ln 2)
+    mid = ([("a", float(v)) for v in range(6) for _ in range(4)]
+           + [("b", float(v) + 3.0) for v in range(6) for _ in range(4)])
+    hm = drift.histogram(spark.createDataFrame(mid, "side string, v double"),
+                         "v", "side", lo=0.0, hi=12.0, n_buckets=12)
+    j = drift.jensen_shannon(hm, "a", "b").first().jsd
+    assert 0.0 < j < math.log(2.0)
+
+
+def test_cvm_hand_value_and_guards(spark):
+    """Cramér–von Mises over the shared histogram (drift.cramer_von_mises):
+    equals the hand-computed pooled-mass-weighted squared CDF gap; 0 on
+    identical sides; NULL on a missing side; accumulates a broad moderate
+    shift that KS (max of the gap) saturates on."""
+    from remark_lint_frontmatter_schema_spark.operators import drift
+    # a: all mass at bucket 1; b: all mass at bucket 3.
+    # CDF gap is 1 on bucket 1 (pooled mass 1/2) and 0 on bucket 3 after
+    # forward-fill, so cvm = 0.5 exactly.
+    rows = [("a", 0.5)] * 5 + [("b", 2.5)] * 5
+    df = spark.createDataFrame(rows, "side string, v double")
+    h = drift.histogram(df, "v", "side", lo=0.0, hi=12.0, n_buckets=12)
+    assert abs(drift.cramer_von_mises(h, "a", "b").first().cvm - 0.5) < 1e-9
+    assert drift.cramer_von_mises(h, "a", "a").first().cvm == 0.0
+    assert drift.cramer_von_mises(h, "a", "TYPO").first().cvm is None
+    # quadratic accumulation: two half-gap buckets score half of one
+    # full-gap bucket under L2 (0.5^2 * 2 vs 1^2), while the L1 view (EMD)
+    # scores them equal — pin the contrast that motivates the statistic
+    half = [("a", 0.5)] * 4 + [("a", 4.5)] * 4 \
+        + [("b", 2.5)] * 4 + [("b", 6.5)] * 4
+    hh = drift.histogram(spark.createDataFrame(half, "side string, v double"),
+                         "v", "side", lo=0.0, hi=12.0, n_buckets=12)
+    full = drift.cramer_von_mises(h, "a", "b").first().cvm
+    assert drift.cramer_von_mises(hh, "a", "b").first().cvm < full
+
+
 def test_categorical_drift_and_emd_threshold_dsl(spark):
     """categorical_hist feeds psi/chi_square unchanged (bucket = the
     category value); x-drift's optional emd_threshold fires the violation
