@@ -973,6 +973,22 @@ def q_topn_flag_violation_rate(spark, sf):
         "rnk", F.dense_rank().over(Window.orderBy(F.desc("rate"))))
 
 
+def q_rate_ci_orders(spark, sf):
+    """Per-group failure rate with a Wilson 95% interval
+    (operators/stats.py failure_rate_ci): one keys-only aggregate then
+    closed-form arithmetic on the group-sized relation — the uncertainty
+    statement that lets verdict policies treat small partitions honestly
+    (0/3 clean is not 0/3M clean). Oracle re-derives the Wilson bounds
+    in DuckDB from the same counts."""
+    orders = _load(spark, sf, "orders")
+    return stats.failure_rate_ci(
+        orders, F.col("o_totalprice") > 300000.0, "o_orderpriority",
+    ).select("grp", "n", "k",
+             F.round("rate", 6).alias("rate"),
+             F.round("ci_lo", 6).alias("ci_lo"),
+             F.round("ci_hi", 6).alias("ci_hi"))
+
+
 def q_text_stats_documents(spark, sf):
     docs = _load(spark, sf, "documents")
     return text.profile_columns(docs, "text", "doc_id", fields={
@@ -2059,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events_chi2": q_drift_events_chi2,
         "drift_events_windowed_psi": q_drift_events_windowed_psi,
         "topn_flag_violation_rate": q_topn_flag_violation_rate,
+        "rate_ci_orders": q_rate_ci_orders,
         "text_stats_documents": q_text_stats_documents,
         "langid_documents": q_langid_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -4133,6 +4150,30 @@ WITH r AS (
 SELECT l_returnflag, rate,
        CAST(dense_rank() OVER (ORDER BY rate DESC) AS INT) AS rnk
 FROM r
+""",
+        "rate_ci_orders": """
+WITH a AS (
+  SELECT o_orderpriority AS grp, count(*) AS n,
+         CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM orders GROUP BY 1
+), w AS (
+  SELECT grp, n, k,
+         k * 1.0 / n AS p,
+         1.959963984540054 AS z,
+         1.959963984540054 * 1.959963984540054 AS z2
+  FROM a
+)
+SELECT grp, n, k, round(p, 6) AS rate,
+       round(least(greatest((p + z2 / (2 * n)
+                             - z * sqrt(p * (1 - p) / n
+                                        + z2 / (4.0 * n * n)))
+                            / (1 + z2 / n), 0.0), p), 6) AS ci_lo,
+       round(greatest(least((p + z2 / (2 * n)
+                             + z * sqrt(p * (1 - p) / n
+                                        + z2 / (4.0 * n * n)))
+                            / (1 + z2 / n), 1.0), p), 6) AS ci_hi
+FROM w
 """,
         "text_stats_documents": _TEXT_STATS_SQL,
         "langid_documents": _langid_oracle_sql(),

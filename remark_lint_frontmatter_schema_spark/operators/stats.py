@@ -115,6 +115,63 @@ def column_stats(
 # digests; digests are associative so the driver merge is exact
 # ---------------------------------------------------------------------------
 
+# z for the default two-sided 95% interval (Phi^-1(0.975)); a constant,
+# not computed, so Spark and any SQL twin agree to the last bit
+Z_95 = 1.959963984540054
+
+
+def rate_ci(df: DataFrame, k_col: str, n_col: str, *,
+            z: float = Z_95) -> DataFrame:
+    """Attach a Wilson score interval (rate, ci_lo, ci_hi) to an already
+    aggregated (k successes, n trials) relation.
+
+    The Wilson interval is the right uncertainty statement for per-group
+    violation RATES: the naive Wald interval collapses to width 0 at
+    k=0 or k=n (exactly the common cases — a clean partition or a fully
+    broken one) and goes negative at small n, while Wilson stays inside
+    [0,1] and honestly widens for small groups. That is what lets a
+    verdict policy distinguish "0 violations out of 3 rows" (ci_hi ~ 0.56)
+    from "0 out of 3M" (ci_hi ~ 0) without a special case. n=0 yields
+    NULL rate and bounds (no evidence, not certainty).
+
+    Pure arithmetic over the aggregate relation — adds no shuffle to
+    whatever produced (k, n)."""
+    k = F.col(k_col).cast("double")
+    n = F.col(n_col).cast("double")
+    p = k / n
+    z2 = float(z) * float(z)
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = F.lit(float(z)) * F.sqrt(p * (1.0 - p) / n
+                                    + z2 / (4.0 * n * n)) / denom
+    guard = F.col(n_col) > 0
+    # clamp to [0,1] AND to contain the point estimate: analytically the
+    # Wilson interval always contains p, but at k=0 / k=n the center-half
+    # difference is an exact-zero computed as a ~1e-16 residue — without
+    # the outer clamp ci_lo would sit a hair above rate
+    lo = F.least(F.greatest(center - half, F.lit(0.0)), p)
+    hi = F.greatest(F.least(center + half, F.lit(1.0)), p)
+    return (df.withColumn("rate", F.when(guard, p))
+              .withColumn("ci_lo", F.when(guard, lo))
+              .withColumn("ci_hi", F.when(guard, hi)))
+
+
+def failure_rate_ci(df: DataFrame, failed_col, group_col: str, *,
+                    z: float = Z_95) -> DataFrame:
+    """Per-group failure rate with a Wilson interval, from a row-level
+    boolean indicator: one keys-only hash aggregate (map-side combined)
+    then :func:`rate_ci` arithmetic on the group-sized relation. NULL
+    indicators count as trials that did not fail (the indicator should
+    already encode its own NULL policy).
+
+    ``failed_col`` may be a column name or boolean Column expression."""
+    failed = F.col(failed_col) if isinstance(failed_col, str) else failed_col
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(failed, 1).otherwise(0)).alias("k"))
+    return rate_ci(agg, "k", "n", z=z)
+
+
 def tdigest_quantiles(df: DataFrame, column: str,
                       quantiles: tuple = DEFAULT_QUANTILES,
                       delta: int = 200) -> dict:

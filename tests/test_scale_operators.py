@@ -360,6 +360,39 @@ def test_drift_stats_null_on_missing_side(spark):
     assert len(got) == 1 and got[0].keyword == "drift-config"
 
 
+def test_wilson_ci_honest_at_small_n(spark):
+    """Wilson interval (stats.rate_ci / failure_rate_ci): 0 failures out
+    of 3 rows is NOT certainty (ci_hi far from 0) while 0 out of 10k is
+    near-certainty; bounds stay inside [0,1] at the k=0 and k=n edges
+    where the Wald interval collapses to width 0; n=0 reports NULL."""
+    from remark_lint_frontmatter_schema_spark.operators import stats
+    agg = spark.createDataFrame(
+        [("tiny_clean", 0, 3), ("big_clean", 0, 10000),
+         ("all_bad", 5, 5), ("empty", 0, 0)],
+        "grp string, k int, n int")
+    rows = {r.grp: r for r in stats.rate_ci(agg, "k", "n").collect()}
+    assert rows["tiny_clean"].rate == 0.0
+    assert rows["tiny_clean"].ci_hi > 0.4          # honest uncertainty
+    assert rows["big_clean"].ci_hi < 0.001         # near-certainty
+    assert rows["all_bad"].rate == 1.0
+    assert 0.0 < rows["all_bad"].ci_lo < 1.0       # not collapsed
+    assert rows["all_bad"].ci_hi == 1.0
+    assert rows["empty"].rate is None
+    assert rows["empty"].ci_lo is None and rows["empty"].ci_hi is None
+    for r in rows.values():
+        if r.rate is not None:
+            assert 0.0 <= r.ci_lo <= r.rate <= r.ci_hi <= 1.0
+    # row-level convenience: one keys-only aggregate, same arithmetic
+    df = spark.createDataFrame(
+        [("a", True)] * 2 + [("a", False)] * 8 + [("b", False)] * 3,
+        "grp string, bad boolean")
+    got = {r.grp: r for r in
+           stats.failure_rate_ci(df, "bad", "grp").collect()}
+    assert got["a"].n == 10 and got["a"].k == 2
+    assert abs(got["a"].rate - 0.2) < 1e-12
+    assert got["b"].k == 0 and got["b"].ci_hi > 0.4
+
+
 def test_x_severity_reaches_table_checks(spark):
     from remark_lint_frontmatter_schema_spark import compile_ruleset
     from remark_lint_frontmatter_schema_spark.operators.table_checks import (
