@@ -1782,6 +1782,34 @@ def q_zipf_documents(spark, sf):
     return zipf_fit(docs, "text", top_k=500)
 
 
+def q_readability_documents(spark, sf):
+    """Per-doc Flesch reading ease (operators/text.py readability):
+    three regexp counts + closed-form arithmetic, map-only pure-JVM —
+    the sentence-structure quality signal alongside the stopword/punct
+    gates. Oracle recomputes the same counts in DuckDB."""
+    docs = _load(spark, sf, "documents")
+    return text.readability(docs, "text", "doc_id").select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        F.round("flesch", 6).alias("flesch"))
+
+
+def q_lexdiv_documents(spark, sf):
+    """Per-doc type-token ratio + hapax fraction (operators/text.py
+    lexical_diversity): one explode + (id, token) aggregate; low TTR =
+    templated text, high hapax = gibberish."""
+    docs = _load(spark, sf, "documents")
+    return text.lexical_diversity(docs, "text", "doc_id")
+
+
+def q_heaps_documents(spark, sf):
+    """Heaps'-law vocabulary-growth fit (operators/text.py heaps_fit):
+    V(N) ~ K*N^beta over 100 id-range sample points — the corpus-level
+    companion to zipf_documents, with the cumulative window bounded to
+    the sample-point relation instead of a global document window."""
+    docs = _load(spark, sf, "documents")
+    return text.heaps_fit(docs, "text", "doc_id", n_points=100)
+
+
 def q_budget_documents(spark, sf):
     """Token-budget curation: keep docs in deterministic hash order while
     cumulative length stays within budget — scalable prefix sum (range
@@ -2120,6 +2148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_documents": q_weighted_sample_documents,
         "temperature_sample_documents": q_temperature_sample_documents,
         "zipf_documents": q_zipf_documents,
+        "readability_documents": q_readability_documents,
+        "lexdiv_documents": q_lexdiv_documents,
+        "heaps_documents": q_heaps_documents,
         "stratified_documents": q_stratified_documents,
         "budget_documents": q_budget_documents,
         "windowed_verdicts_events": q_windowed_verdicts_events,
@@ -4434,6 +4465,67 @@ SELECT count(*) AS n_fit,
        round(regr_intercept(ln(cnt), ln(rank)), 6) AS intercept,
        round(regr_r2(ln(cnt), ln(rank)), 6) AS r2
 FROM top
+""",
+        "readability_documents": """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '')) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+           AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CASE WHEN n_words > 0
+            THEN round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                       - 84.6 * (n_syllables * 1.0 / n_words), 6)
+       END AS flesch
+FROM t
+""",
+        "lexdiv_documents": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+c AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(count(*) * 1.0 / sum(cnt), 6) AS ttr,
+       round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS hapax_ratio
+FROM c GROUP BY doc_id
+""",
+        "heaps_documents": """
+WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+nt AS (SELECT least(CAST(floor(doc_id * 100 / m) AS BIGINT), 99) AS bucket,
+              count(*) AS n_toks
+       FROM toks, mx GROUP BY 1),
+fo AS (SELECT tok, min(doc_id) AS doc_id FROM toks GROUP BY 1),
+nn AS (SELECT least(CAST(floor(doc_id * 100 / m) AS BIGINT), 99) AS bucket,
+              count(*) AS n_new
+       FROM fo, mx GROUP BY 1),
+cum AS (SELECT coalesce(nt.bucket, nn.bucket) AS bucket,
+               sum(coalesce(n_toks, 0))
+                 OVER (ORDER BY coalesce(nt.bucket, nn.bucket)) AS n_cum,
+               sum(coalesce(n_new, 0))
+                 OVER (ORDER BY coalesce(nt.bucket, nn.bucket)) AS v_cum
+        FROM nt FULL OUTER JOIN nn ON nt.bucket = nn.bucket)
+SELECT count(*) AS n_points_fit,
+       round(regr_slope(ln(v_cum), ln(n_cum)), 6) AS beta,
+       round(exp(regr_intercept(ln(v_cum), ln(n_cum))), 6) AS k,
+       round(regr_r2(ln(v_cum), ln(n_cum)), 6) AS r2
+FROM cum WHERE n_cum > 0 AND v_cum > 0
 """,
         "stratified_documents": """
 SELECT doc_id, lang FROM (

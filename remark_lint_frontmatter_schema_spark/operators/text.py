@@ -872,3 +872,121 @@ def zipf_fit(df: DataFrame, text_col: str, *, top_k: int = 500) -> DataFrame:
         F.round(F.regr_slope(y, x), 6).alias("slope"),
         F.round(F.regr_intercept(y, x), 6).alias("intercept"),
         F.round(F.regr_r2(y, x), 6).alias("r2"))
+
+
+# deterministic syllable heuristic: a syllable is a maximal vowel-group
+# run ([aeiouy]+) — the classic Flesch approximation that needs no
+# dictionary, is regex-expressible in both Spark and any SQL oracle, and
+# is applied to the WHOLE lowercased text at once (tokens are separated
+# by non-vowel whitespace, so the per-word sum equals the global count)
+_SYLLABLE_REGEX = r"[aeiouy]+"
+_SENTENCE_REGEX = r"[.!?]+"
+
+
+def readability(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document Flesch reading ease from three regex counts:
+    ``206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)``.
+
+    Quality gate for training corpora: machine-generated or boilerplate
+    text drifts to the extremes (telegraphic fragments score > 100,
+    run-on legalese goes negative), so the score complements the
+    stopword/punctuation gates with a sentence-structure signal. Natural
+    prose sits roughly in [30, 90].
+
+    Map-only, pure-JVM (three regexp counts per row, no UDF, no
+    shuffle). Sentence count is clamped to >= 1 (a fragment with no
+    terminal punctuation is one sentence, not a division by zero);
+    documents with zero words report NULL score rather than a made-up
+    figure."""
+    c = F.col(text_col)
+    n_words = token_count(c).cast("double")
+    n_sents = F.greatest(
+        F.regexp_count(c, F.lit(_SENTENCE_REGEX)), F.lit(1)) \
+        .cast("double")
+    n_syll = F.size(F.regexp_extract_all(F.lower(c), F.lit(_SYLLABLE_REGEX),
+                                         F.lit(0))).cast("double")
+    score = (F.lit(206.835) - F.lit(1.015) * (n_words / n_sents)
+             - F.lit(84.6) * (n_syll / n_words))
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.when(n_words > 0, score).alias("flesch"))
+
+
+def lexical_diversity(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document type-token ratio + hapax fraction over lowercased
+    whitespace tokens: (id, n_tokens, n_types, n_hapax, ttr,
+    hapax_ratio).
+
+    Low TTR flags templated/repetitive documents the repetition gates
+    may miss (distinct lines but a tiny vocabulary); an unusually HIGH
+    hapax fraction flags gibberish (every token unique). One explode +
+    (id, token) hash aggregate — the shuffle carries token-count keys,
+    never text — then a per-id rollup. Documents with no tokens produce
+    no row (nothing to measure; pair with a required/minLength check for
+    presence policing)."""
+    c = F.col(text_col)
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.lower(c))).alias("tok"))
+    per_tok = toks.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    return per_tok.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.round(F.count(F.lit(1)) / F.sum("cnt"), 6).alias("ttr"),
+        F.round(F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)), 6).alias("hapax_ratio"))
+
+
+def heaps_fit(df: DataFrame, text_col: str, id_col: str, *,
+              n_points: int = 100) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: ``V(N) ~ K * N^beta`` — the
+    corpus-level companion to :func:`zipf_fit` (natural text sits near
+    beta in [0.4, 0.6]; a boilerplate-flooded corpus saturates early
+    (beta -> 0), machine-generated noise grows linearly (beta -> 1)).
+
+    Scale shape: vocabulary growth needs a cumulative count of first
+    token occurrences in document order — naively a global window over
+    all documents. Instead the id axis is quantized into ``n_points``
+    range buckets (via one broadcast max-id scalar): per-bucket token
+    totals and first-occurrence counts come from two hash aggregates
+    whose shuffles carry (bucket)/(token) keys only, and the cumulative
+    window then runs over an <= n_points-row relation — the same
+    bounded-boundary-relation pattern as the bucketed global window in
+    operators/sequence.py. The fit regresses ln V on ln N over the
+    sample points; output one row (n_points_fit, beta, k, r2)."""
+    if n_points < 2:
+        raise ValueError("n_points must be >= 2")
+    c = F.col(text_col)
+    mx = df.agg((F.max(F.col(id_col).cast("long")) + 1).alias("_mx"))
+    toks = df.select(F.col(id_col).cast("long").alias("_id"),
+                     F.explode(tokens(F.lower(c))).alias("tok"))
+    bucket = F.least(F.floor(F.col("_id") * n_points / F.col("_mx")),
+                     F.lit(n_points - 1)).cast("long").alias("bucket")
+    # per-bucket token totals
+    n_tok = (toks.crossJoin(F.broadcast(mx))
+                 .groupBy(bucket)
+                 .agg(F.count(F.lit(1)).alias("n_toks")))
+    # per-bucket NEW-vocabulary counts: a token is new in the bucket of
+    # its first occurrence (min id over the token's postings)
+    first = toks.groupBy("tok").agg(F.min("_id").alias("_id"))
+    n_new = (first.crossJoin(F.broadcast(mx))
+                  .groupBy(bucket)
+                  .agg(F.count(F.lit(1)).alias("n_new")))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    cum = (n_tok.join(n_new, "bucket", "full_outer")
+                .fillna({"n_toks": 0, "n_new": 0})
+                .withColumn("n_cum", F.sum("n_toks").over(w))
+                .withColumn("v_cum", F.sum("n_new").over(w))
+                .where((F.col("n_cum") > 0) & (F.col("v_cum") > 0)))
+    x = F.log(F.col("n_cum").cast("double"))
+    y = F.log(F.col("v_cum").cast("double"))
+    return cum.agg(
+        F.count(F.lit(1)).alias("n_points_fit"),
+        F.round(F.regr_slope(y, x), 6).alias("beta"),
+        F.round(F.exp(F.regr_intercept(y, x)), 6).alias("k"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"))

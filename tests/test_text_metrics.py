@@ -1,0 +1,95 @@
+"""Per-document readability / lexical diversity and corpus Heaps'-law
+fit (operators/text.py readability, lexical_diversity, heaps_fit).
+
+Hand-computed values on tiny fixtures plus the semantic contrasts each
+metric exists for (templated vs gibberish, saturating vs growing
+vocabulary)."""
+
+import math
+
+import pytest
+
+from remark_lint_frontmatter_schema_spark.operators import text
+
+
+def test_readability_hand_value(spark):
+    # "the cat sat. it sat!" -> words 6? no: tokens = the,cat,sat.,it,sat!
+    # = 5; sentences = 2 ([.] and [!]); syllables: e,a,a,i,a = 5 groups
+    df = spark.createDataFrame([(1, "the cat sat. it sat!")],
+                               ["doc_id", "t"])
+    r = text.readability(df, "t", "doc_id").first()
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (5, 2, 5)
+    want = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+    assert abs(r.flesch - want) < 1e-9
+
+
+def test_readability_guards(spark):
+    df = spark.createDataFrame(
+        [(1, "no terminal punctuation here"),   # clamp sentences to 1
+         (2, ""),                                # zero words -> NULL score
+         (3, None)],                             # NULL text -> NULL score
+        "doc_id int, t string")
+    rows = {r.doc_id: r for r in
+            text.readability(df, "t", "doc_id").collect()}
+    assert rows[1].n_sentences == 1 and rows[1].flesch is not None
+    assert rows[2].n_words == 0 and rows[2].flesch is None
+    assert rows[3].flesch is None
+    # telegraphic fragments score far above run-on prose
+    frag = spark.createDataFrame([(1, "go. go. go. go.")], ["doc_id", "t"])
+    runon = spark.createDataFrame(
+        [(1, "notwithstanding extraordinary considerations regarding "
+             "institutional responsibilities and obligations")],
+        ["doc_id", "t"])
+    assert (text.readability(frag, "t", "doc_id").first().flesch
+            > text.readability(runon, "t", "doc_id").first().flesch + 50)
+
+
+def test_lexical_diversity_contrast(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam eggs"),        # templated: tiny TTR
+         (2, "qzx wvu plk mno abc"),             # gibberish: all hapax
+         (3, "The the THE only")],               # case-folded types
+        ["doc_id", "t"])
+    rows = {r.doc_id: r for r in
+            text.lexical_diversity(df, "t", "doc_id").collect()}
+    assert rows[1].n_tokens == 5 and rows[1].n_types == 2
+    assert rows[1].n_hapax == 1 and abs(rows[1].ttr - 0.4) < 1e-9
+    assert rows[2].ttr == 1.0 and rows[2].hapax_ratio == 1.0
+    assert rows[3].n_types == 2 and rows[3].n_hapax == 1
+    # no-token documents produce no row
+    empty = spark.createDataFrame([(9, "   ")], ["doc_id", "t"])
+    assert text.lexical_diversity(empty, "t", "doc_id").count() == 0
+
+
+def test_heaps_fit_beta_extremes(spark):
+    # every token globally unique -> V(N) = N -> beta ~ 1, K ~ 1
+    uniq = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(20)))
+         for i in range(40)], ["doc_id", "t"])
+    r = text.heaps_fit(uniq, "t", "doc_id", n_points=10).first()
+    assert abs(r.beta - 1.0) < 1e-6 and abs(r.k - 1.0) < 1e-6
+    assert r.r2 > 0.999999
+    # constant tiny vocabulary -> growth saturates -> beta near 0
+    flat = spark.createDataFrame(
+        [(i, "alpha beta gamma " * 5) for i in range(40)],
+        ["doc_id", "t"])
+    r2 = text.heaps_fit(flat, "t", "doc_id", n_points=10).first()
+    assert r2.beta < 0.05
+    # natural-ish mixture sits strictly between
+    mix = spark.createDataFrame(
+        [(i, "the a of and " + " ".join(f"w{i}_{j}" for j in range(4)))
+         for i in range(40)], ["doc_id", "t"])
+    rm = text.heaps_fit(mix, "t", "doc_id", n_points=10).first()
+    assert 0.05 < rm.beta < 1.0
+    with pytest.raises(ValueError, match="n_points"):
+        text.heaps_fit(uniq, "t", "doc_id", n_points=1)
+
+
+def test_heaps_fit_bucket_window_is_bounded(spark):
+    """The cumulative window must run over the <= n_points bucket
+    relation, never a per-document global window: n_points_fit caps at
+    n_points no matter how many documents exist."""
+    df = spark.createDataFrame(
+        [(i, f"w{i} common") for i in range(200)], ["doc_id", "t"])
+    r = text.heaps_fit(df, "t", "doc_id", n_points=7).first()
+    assert r.n_points_fit <= 7
