@@ -19,8 +19,8 @@ from pyspark.sql import functions as F
 
 from remark_lint_frontmatter_schema_spark import compile_ruleset, validate
 from remark_lint_frontmatter_schema_spark.operators import (
-    clusters, curate, decontaminate, dedup, drift, packing, referential,
-    sampling, similarity, stats, text, uniqueness)
+    clusters, cohort, curate, decontaminate, dedup, drift, packing,
+    referential, sampling, similarity, stats, text, uniqueness)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -971,6 +971,26 @@ def q_topn_flag_violation_rate(spark, sf):
         .alias("rate"))
     return rates.withColumn(
         "rnk", F.dense_rank().over(Window.orderBy(F.desc("rate"))))
+
+
+def q_cohort_retention_events(spark, sf):
+    """Weekly cohort retention triangle (operators/cohort.py
+    cohort_retention): users keyed to their first-event week, one
+    (cohort, offset) cell per observed activity week. Shuffles carry
+    (user, period) keys only; the triangle itself is cohorts x offsets
+    — driver-scale."""
+    ev = _load(spark, sf, "events")
+    return cohort.cohort_retention(ev, "user_id", "ts", unit="week")
+
+
+def q_markov_events(spark, sf):
+    """Empirical event-type transition matrix (operators/cohort.py
+    transition_matrix): per-user sequences ordered by (ts, event_id),
+    row-normalized per source state — the "what follows what" profile
+    whose two-snapshot diff feeds categorical drift directly."""
+    ev = _load(spark, sf, "events")
+    return cohort.transition_matrix(ev, "user_id", "event_type", "ts",
+                                    tiebreak="event_id")
 
 
 def q_rate_ci_orders(spark, sf):
@@ -2104,6 +2124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events_windowed_psi": q_drift_events_windowed_psi,
         "topn_flag_violation_rate": q_topn_flag_violation_rate,
         "rate_ci_orders": q_rate_ci_orders,
+        "cohort_retention_events": q_cohort_retention_events,
+        "markov_events": q_markov_events,
         "text_stats_documents": q_text_stats_documents,
         "langid_documents": q_langid_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -4181,6 +4203,40 @@ WITH r AS (
 SELECT l_returnflag, rate,
        CAST(dense_rank() OVER (ORDER BY rate DESC) AS INT) AS rnk
 FROM r
+""",
+        "cohort_retention_events": """
+WITH base AS (
+  SELECT user_id, ts FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+fe AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+       FROM base GROUP BY 1),
+act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS period
+        FROM base),
+cs AS (SELECT cohort, count(*) AS cohort_size FROM fe GROUP BY 1),
+cells AS (
+  SELECT f.cohort,
+         CAST(date_diff('day', CAST(f.cohort AS DATE),
+                        CAST(a.period AS DATE)) / 7 AS INT)
+           AS period_offset,
+         count(*) AS n_active
+  FROM act a JOIN fe f USING (user_id)
+  GROUP BY 1, 2)
+SELECT c.cohort, c.period_offset, c.n_active, cs.cohort_size,
+       round(c.n_active * 1.0 / cs.cohort_size, 6) AS retention
+FROM cells c JOIN cs USING (cohort)
+""",
+        "markov_events": """
+WITH s AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND ts IS NOT NULL)
+SELECT src, dst, count(*) AS n,
+       round(count(*) * 1.0
+             / sum(count(*)) OVER (PARTITION BY src), 6) AS p
+FROM s WHERE dst IS NOT NULL GROUP BY 1, 2
 """,
         "rate_ci_orders": """
 WITH a AS (
