@@ -1242,6 +1242,18 @@ def q_ann_cosine_topk(spark, sf):
                                   exclude_id=0)
 
 
+def q_hubness_embeddings(spark, sf):
+    """k-occurrence hubness histogram (operators/similarity.py
+    k_occurrence): every 4th vector as a broadcast query panel, exact
+    cosine top-10 per query, then the N_k histogram with an explicit
+    antihub (n_k=0) row — the embedding-space health check that predicts
+    whether kNN-based dedup/retrieval will be hub-dominated."""
+    emb = _load(spark, sf, "embeddings")
+    return similarity.k_occurrence(
+        emb, "embedding", "vec_id", k=10,
+        query_filter=F.pmod(F.col("vec_id"), F.lit(4)) == 0)
+
+
 def q_embed_sim_pairs(spark, sf):
     emb = _load(spark, sf, "embeddings")
     return similarity.embedding_near_dup_pairs(
@@ -2132,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embed_sim_pairs": q_embed_sim_pairs,
+        "hubness_embeddings": q_hubness_embeddings,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "edit_sim_documents": q_edit_sim_documents,
         "dup_ngram_documents": q_dup_ngram_documents,
@@ -4276,6 +4289,24 @@ FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
 """,
         "ann_cosine_topk": _COSINE_TOPK_SQL,
         "embed_sim_pairs": _EMBED_PAIRS_SQL,
+        "hubness_embeddings": """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 4 = 0),
+sc AS (
+  SELECT q.qid, v.vec_id,
+         round(list_dot_product(v.e, q.qe)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 5) AS score
+  FROM v, q WHERE v.vec_id <> q.qid),
+tk AS (SELECT qid, vec_id FROM (
+         SELECT qid, vec_id,
+                row_number() OVER (
+                  PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
+         FROM sc) WHERE rk <= 10),
+occ AS (SELECT v.vec_id, count(tk.qid) AS n_k
+        FROM v LEFT JOIN tk ON tk.vec_id = v.vec_id GROUP BY 1)
+SELECT n_k, count(*) AS n_vecs FROM occ GROUP BY 1
+""",
         "ngram_jaccard_documents": _NGRAM_JACCARD_SQL,
         "dup_ngram_documents": _DUP_NGRAM_SQL,
         "validate_events_unevaluated": _UNEVAL_SQL,

@@ -18,7 +18,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -53,6 +53,55 @@ def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
     if exclude_id is not None:
         scored = scored.where(F.col(id_col) != exclude_id)
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def k_occurrence(df: DataFrame, vec_col: str, id_col: str, *,
+                 k: int = 10, query_filter=None) -> DataFrame:
+    """Hubness diagnostic: the k-occurrence histogram ``N_k`` — for each
+    vector, in how many other points' cosine top-k does it appear —
+    aggregated to (n_k, n_vecs) rows.
+
+    High-dimensional embedding spaces concentrate: a few "hub" vectors
+    show up in everyone's neighbor lists (huge ``n_k``) while many
+    "antihubs" appear in none (``n_k = 0``) — a skewed histogram is the
+    standard warning (Radovanović et al., JMLR 2010) that cosine-kNN
+    retrieval quality and kNN-graph dedup (SemDeDup cells, near-dup
+    pairs) will be dominated by hubs on this embedding model. The n_k=0
+    row is emitted explicitly (antihub count), via a left join of the
+    corpus against the occurrence counts — never silently dropped.
+
+    Dataflow: the (optionally ``query_filter``-sampled) query side is
+    BROADCAST against the corpus — m*n scores evaluated map-side with no
+    pre-join shuffle — then one window per query id takes top-k and one
+    hash aggregate counts occurrences. Exact over the sampled queries (a
+    deterministic ``pmod(id, s) = 0`` filter gives an unbiased estimator
+    any SQL oracle reproduces row-exactly). At 10^12-corpus scale the
+    all-pairs form is off the table regardless of sampling — feed the
+    same occurrence aggregation from :func:`pq_topk_ivf` neighbor lists
+    instead; this operator is the exact small-scale / validation form.
+    Scores are rounded to 5 before ranking (id tiebreak) so ranks are
+    reproducible across engines."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    corpus = df.select(F.col(id_col).alias("_id"),
+                       F.col(vec_col).cast("array<double>").alias("_v"))
+    qsrc = df if query_filter is None else df.where(query_filter)
+    q = qsrc.select(F.col(id_col).alias("_qid"),
+                    F.col(vec_col).cast("array<double>").alias("_qv"))
+    scored = (corpus.join(F.broadcast(q), F.col("_id") != F.col("_qid"))
+                    .select("_qid", "_id",
+                            F.round(cosine(F.col("_v"), F.col("_qv")), 5)
+                             .alias("_score")))
+    w = Window.partitionBy("_qid").orderBy(F.desc("_score"),
+                                           F.col("_id").asc())
+    topk = scored.withColumn("_rk", F.row_number().over(w)) \
+                 .where(F.col("_rk") <= k)
+    occ = topk.groupBy("_id").agg(F.count(F.lit(1)).alias("_occ"))
+    per_vec = (corpus.select("_id")
+                     .join(occ, "_id", "left")
+                     .select(F.coalesce(F.col("_occ"), F.lit(0))
+                              .alias("n_k")))
+    return per_vec.groupBy("n_k").agg(F.count(F.lit(1)).alias("n_vecs"))
 
 
 def assign_cells(df: DataFrame, vec_col: str, centroids: list[list[float]]):

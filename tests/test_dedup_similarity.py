@@ -638,3 +638,41 @@ def test_prefix_filter_word_mode_equals_brute_force(spark):
     assert pf == brute
     assert (1, 4) in pf and pf[(1, 4)] == 1.0
     assert (1, 2) in pf
+
+
+def test_k_occurrence_hub_and_antihub(spark):
+    """k_occurrence: the central vector appears in every other point's
+    top-1 (hub), the peripheral one in none (antihub, explicit n_k=0
+    row); ties broken by id; query_filter restricts the query panel but
+    never the corpus."""
+    rows = [(0, [1.0, 1.0]),   # hub: nearest of both axis vectors
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    got = {r.n_k: r.n_vecs for r in
+           similarity.k_occurrence(df, "v", "vec_id", k=1).collect()}
+    # occ: hub=2 (both axis queries pick it), id1=1 (hub's top-1 by id
+    # tiebreak between the two 0.70711 scores), id2=0 (antihub)
+    assert got == {0: 1, 1: 1, 2: 1}
+    # sampled query panel: only vec_id=0 queries; its top-1 is id1
+    got_s = {r.n_k: r.n_vecs for r in similarity.k_occurrence(
+        df, "v", "vec_id", k=1,
+        query_filter=F.col("vec_id") == 0).collect()}
+    assert got_s == {0: 2, 1: 1}
+    with pytest.raises(ValueError, match="k must be"):
+        similarity.k_occurrence(df, "v", "vec_id", k=0)
+
+
+def test_k_occurrence_broadcasts_query_panel(spark):
+    """The query side must be broadcast (map-side m*n scoring, no
+    pre-join shuffle): the plan carries a broadcast nested-loop join on
+    the id-inequality condition and no CartesianProduct."""
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id int, v array<double>")
+    plan = similarity.k_occurrence(
+        df, "v", "vec_id", k=2,
+        query_filter=F.col("vec_id") % 5 == 0)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
