@@ -1242,6 +1242,18 @@ def q_ann_cosine_topk(spark, sf):
                                   exclude_id=0)
 
 
+def q_winnow_pairs_documents(spark, sf):
+    """MOSS winnowing overlap candidates (operators/dedup.py
+    winnow_dup_pairs): per-doc windowed-min md5 k-gram fingerprints
+    (~2/(w+1) density, any shared >= w+k-1-char run guaranteed to
+    surface), df-capped self-join on the sparse fingerprint relation.
+    md5 selection order is engine-independent, so the DuckDB oracle
+    re-derives the identical fingerprint set."""
+    docs = _load(spark, sf, "documents")
+    return dedup.winnow_dup_pairs(docs, "text", "doc_id",
+                                  k=12, w=16, min_shared=3, max_df=20)
+
+
 def q_hubness_embeddings(spark, sf):
     """k-occurrence hubness histogram (operators/similarity.py
     k_occurrence): every 4th vector as a broadcast query panel, exact
@@ -2145,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embed_sim_pairs": q_embed_sim_pairs,
         "hubness_embeddings": q_hubness_embeddings,
+        "winnow_pairs_documents": q_winnow_pairs_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "edit_sim_documents": q_edit_sim_documents,
         "dup_ngram_documents": q_dup_ngram_documents,
@@ -4289,6 +4302,33 @@ FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
 """,
         "ann_cosine_topk": _COSINE_TOPK_SQL,
         "embed_sim_pairs": _EMBED_PAIRS_SQL,
+        "winnow_pairs_documents": r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents WHERE text IS NOT NULL),
+occ AS (
+  SELECT doc_id, i AS pos, substr(md5(substr(t, i, 12)), 1, 16) AS fp
+  FROM norm, LATERAL (SELECT unnest(range(1, length(t) - 10)) AS i) u
+  WHERE length(t) >= 12),
+keyed AS (
+  SELECT doc_id, pos,
+         fp || '|' || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0')
+           AS key
+  FROM occ),
+sel AS (
+  SELECT DISTINCT k1.doc_id, min(k2.key) AS key
+  FROM keyed k1 JOIN keyed k2
+    ON k1.doc_id = k2.doc_id AND k2.pos BETWEEN k1.pos AND k1.pos + 15
+  GROUP BY k1.doc_id, k1.pos
+  HAVING count(*) = 16),
+fps AS (SELECT DISTINCT doc_id, substr(key, 1, 16) AS fp FROM sel),
+elig AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM fps a JOIN fps b USING (fp) JOIN elig USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+""",
         "hubness_embeddings": """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 4 = 0),

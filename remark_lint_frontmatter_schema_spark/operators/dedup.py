@@ -935,3 +935,94 @@ def remove_dup_spans(df: DataFrame, text_col: str, id_col: str, *,
         F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
         F.coalesce("n_spans", F.lit(0)).alias("n_spans"))
     return _track(out, occ)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS
+# algorithm): select the minimum k-gram hash in every window of w
+# consecutive positions. Guarantees: any shared substring of length
+# >= w + k - 1 yields at least one SHARED selected fingerprint, while only
+# ~2/(w+1) of positions are kept — a sparse, overlap-complete sketch that
+# sits between full positional spans (remove_dup_spans: exact but dense)
+# and MinHash (sparse but set-level, no positions).
+# ---------------------------------------------------------------------------
+
+def _winnow_norm(col):
+    """Lowercased, whitespace-collapsed text — winnowing's canonical form
+    (case/format noise must not perturb gram hashes)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str, *,
+                        k: int = 8, w: int = 8) -> DataFrame:
+    """Selected (id, pos, fp) winnowing fingerprints over character
+    k-grams of the normalized text; ``pos`` is the 1-based gram start,
+    ``fp`` the first 16 hex chars of the gram's md5.
+
+    md5 (not xxhash64) because the SELECTION depends on hash ORDER, not
+    just equality — md5's byte order is engine-independent, so any SQL
+    twin selects byte-identical fingerprints (xxhash64 exists only
+    Spark-side). Ties inside a window go to the RIGHTMOST minimal hash
+    (the paper's rule), encoded by taking the string-min of
+    ``fp || '|' || lpad(10^9 - pos)`` so one ``min`` resolves both keys.
+
+    Scale shape: one shuffle on the id, then a per-document ordered
+    window (docs bound their own sort, as in sessionize); the selected
+    set is ~2/(w+1) of positions. Documents shorter than w + k - 1
+    normalized chars produce no fingerprints (no full window exists)."""
+    if k < 2 or w < 2:
+        raise ValueError("winnow_fingerprints requires k >= 2 and w >= 2")
+    from pyspark.sql.window import Window
+    staged = df.select(F.col(id_col).alias("id"),
+                       _winnow_norm(F.col(text_col)).alias("_t"))
+    grams = (staged.where(F.length("_t") >= k)
+             .select("id", F.posexplode(F.transform(
+                 F.sequence(F.lit(1), F.length("_t") - k + 1),
+                 lambda i: F.substring(F.md5(F.col("_t").substr(
+                     i, F.lit(k))), 1, 16)))
+                 .alias("_p0", "fp"))
+             .select("id", (F.col("_p0") + 1).alias("pos"), "fp"))
+    key = F.concat(F.col("fp"), F.lit("|"),
+                   F.lpad((F.lit(1000000000) - F.col("pos"))
+                          .cast("string"), 10, "0"))
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = (grams.select("id", key.alias("_key"),
+                        F.min(key).over(win).alias("_mk"),
+                        F.count(F.lit(1)).over(win).alias("_n"))
+                .where(F.col("_n") == w)
+                .select("id", F.col("_mk").alias("_key")).distinct())
+    return sel.select(
+        F.col("id"),
+        (F.lit(1000000000)
+         - F.substring("_key", 18, 10).cast("int")).alias("pos"),
+        F.substring("_key", 1, 16).alias("fp"))
+
+
+def winnow_dup_pairs(df: DataFrame, text_col: str, id_col: str, *,
+                     k: int = 8, w: int = 8, min_shared: int = 2,
+                     max_df: int | None = None) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints:
+    (id_a, id_b, n_shared) with id_a < id_b — the MOSS-style overlap
+    candidate generator (every shared run of >= w + k - 1 chars is
+    guaranteed to contribute).
+
+    Scale shape: the self-join runs on the SELECTED fingerprint relation
+    (~2/(w+1) density) and shuffles (fp, id) pairs only. A fingerprint
+    occurring in many documents makes that hash's bucket quadratic —
+    boilerplate grams are exactly such hubs — so ``max_df`` drops
+    fingerprints present in more than that many documents before the
+    join (the standard df-cap; NULL keeps all, small corpora only)."""
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w) \
+        .select("id", "fp").distinct()
+    if max_df is not None:
+        eligible = (fps.groupBy("fp")
+                       .agg(F.count(F.lit(1)).alias("_df"))
+                       .where(F.col("_df") <= max_df))
+        fps = fps.join(F.broadcast(eligible.select("fp")), "fp")
+    a = fps.select(F.col("fp"), F.col("id").alias("id_a"))
+    b = fps.select(F.col("fp"), F.col("id").alias("id_b"))
+    return (a.join(b, "fp")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .where(F.col("n_shared") >= min_shared))
