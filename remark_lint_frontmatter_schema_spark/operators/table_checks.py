@@ -175,6 +175,12 @@ def table_check_violations(
                 row_id=params.get("id") or row_id,
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
+        elif kind == "readability":
+            from .text import readability_violations
+            extras.append(readability_violations(
+                df, column, params["id"], lo=params["lo"],
+                hi=params["hi"], ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "gibberish":
             from .text import gibberish_violations
             extras.append(gibberish_violations(

@@ -990,3 +990,39 @@ def heaps_fit(df: DataFrame, text_col: str, id_col: str, *,
         F.round(F.regr_slope(y, x), 6).alias("beta"),
         F.round(F.exp(F.regr_intercept(y, x)), 6).alias("k"),
         F.round(F.regr_r2(y, x), 6).alias("r2"))
+
+
+def readability_violations(df: DataFrame, text_col: str, id_col: str, *,
+                           lo: float = 0.0, hi: float = 121.0,
+                           ruleset_name: str = "engine",
+                           severity: str = "warning") -> DataFrame:
+    """Violation rows for the ``x-readability`` table check: documents
+    whose Flesch reading ease (:func:`readability`) falls outside
+    ``[lo, hi]`` (shape mirrors VIOLATION_FIELDS like the other table
+    checks). Both extremes are quality signals: telegraphic fragments
+    score far above 100, run-on machine legalese goes negative.
+
+    Documents with a NULL score (no words / NULL text) do NOT violate —
+    presence is ``required``/``minLength``'s job. Map-only, zero
+    shuffles, same plan as :func:`readability` plus the filter."""
+    scored = readability(df, text_col, id_col)
+    out_of_range = (F.col("flesch") < float(lo)) \
+        | (F.col("flesch") > float(hi))
+    return (scored.where(F.col("flesch").isNotNull() & out_of_range)
+            .select(
+                F.col(id_col).cast("string").alias("row_id"),
+                F.lit("all").alias("partition_id"),
+                F.lit(ruleset_name).alias("ruleset_id"),
+                F.lit(f"readability:{text_col}").alias("constraint_id"),
+                F.lit("readability").alias("keyword"),
+                F.lit(f"/{text_col}").alias("instance_path"),
+                F.lit(f"#/x-readability/{text_col}").alias("schema_path"),
+                F.concat(
+                    F.lit(f"Must have Flesch reading ease in [{lo:g}, "
+                          f"{hi:g}]: got "),
+                    F.round("flesch", 2).cast("string")).alias("message"),
+                F.round("flesch", 6).cast("string").alias("actual"),
+                F.array(F.lit(f">= {lo:g}"), F.lit(f"<= {hi:g}"))
+                 .alias("expected"),
+                F.lit(severity).alias("severity"),
+            ))

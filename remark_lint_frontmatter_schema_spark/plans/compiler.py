@@ -95,6 +95,7 @@ _KNOWN_KEYWORDS = {
     "x-lm-ppl",
     "x-finite",
     "x-encoding",
+    "x-readability",
 }
 
 
@@ -531,6 +532,12 @@ _KEYWORD_SHAPE = {
     and isinstance(v.get("id"), str)
     and isinstance(v.get("min_logp"), _NUM)
     and not isinstance(v["min_logp"], bool),
+    "x-readability": lambda v: isinstance(v, dict)
+    and isinstance(v.get("id"), str)
+    and ("lo" in v or "hi" in v)
+    and all(isinstance(v[b], _NUM) and not isinstance(v[b], bool)
+            for b in ("lo", "hi") if b in v)
+    and (("lo" not in v or "hi" not in v) or v["lo"] <= v["hi"]),
     "x-lm-ppl": lambda v: isinstance(v, dict)
     and isinstance(v.get("id"), str)
     and isinstance(v.get("max_ppl"), _NUM)
@@ -757,7 +764,7 @@ _VARIANT_UNSUPPORTED_KWS = frozenset((
     "x-skew", "x-reconcile", "x-calendar", "x-freshness", "x-benford",
     "x-corr", "x-mask",
     "x-monotonic", "x-dup-ngram", "x-gopher", "x-c4", "x-leakage", "x-embedding",
-    "x-fd", "x-gap", "x-gibberish", "x-lm-ppl"))
+    "x-fd", "x-gap", "x-gibberish", "x-lm-ppl", "x-readability"))
 
 
 def _compile_variant_node(schema: dict, ctx: _Ctx) -> None:
@@ -1507,6 +1514,22 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 }))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-monotonic"))
+
+    if "x-readability" in schema and not ctx.silent:
+        # Flesch reading-ease band gate (operators/text.py
+        # readability_violations) — map-only per-row pass like x-gopher;
+        # string top-level columns only
+        if is_top and isinstance(ctx.dtype, T.StringType):
+            p = schema["x-readability"]
+            ctx.out.table_checks.append(
+                ("readability", ctx.instance_path[1:], {
+                    "id": p["id"],
+                    "lo": float(p.get("lo", 0.0)),
+                    "hi": float(p.get("hi", 121.0)),
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-readability"))
 
     if "x-gibberish" in schema and not ctx.silent:
         # corpus-relative language-plausibility gate (operators/text.py

@@ -93,3 +93,37 @@ def test_heaps_fit_bucket_window_is_bounded(spark):
         [(i, f"w{i} common") for i in range(200)], ["doc_id", "t"])
     r = text.heaps_fit(df, "t", "doc_id", n_points=7).first()
     assert r.n_points_fit <= 7
+
+
+def test_x_readability_declarative(spark):
+    """x-readability compiles to a table check and flags out-of-band
+    docs; on a non-string column it lands in `unknown`, never a silent
+    vacuous pass; a bad knob fails compile validation."""
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    df = spark.createDataFrame(
+        [(1, "go. go. go. go. go. go."),       # fragments: flesch > 100
+         (2, "the cat sat on the mat. it was a nice day for the cat.")],
+        ["rid", "t"])
+    rs = {"properties": {"t": {
+        "x-readability": {"id": "rid", "lo": 10, "hi": 120}}}}
+    compiled = compile_ruleset(rs, df.schema, name="read")
+    got = validate_with_table_checks(df, compiled, row_id="rid") \
+        .violations.collect()
+    assert len(got) == 1 and got[0].row_id == "1"
+    assert got[0].keyword == "readability"
+    assert "Flesch reading ease in [10, 120]" in got[0].message
+    # non-string column -> unknown, not a check
+    rs_bad = {"properties": {"rid": {
+        "x-readability": {"id": "rid", "lo": 0}}}}
+    c2 = compile_ruleset(rs_bad, df.schema, name="read2")
+    assert ("/rid", "x-readability") in c2.unknown
+    assert not c2.table_checks
+    # lo > hi is rejected at compile time
+    from remark_lint_frontmatter_schema_spark.plans.compiler import (
+        RulesetCompileError)
+    with pytest.raises(RulesetCompileError):
+        compile_ruleset({"properties": {"t": {
+            "x-readability": {"id": "rid", "lo": 90, "hi": 10}}}},
+            df.schema, name="read3")
