@@ -123,6 +123,16 @@ HEADLINE = [
     "weighted_sample_documents",
     "temperature_sample_documents",
     "zipf_documents",
+    "drift_events_jsd",
+    "drift_events_cvm",
+    "rate_ci_orders",
+    "readability_documents",
+    "lexdiv_documents",
+    "heaps_documents",
+    "cohort_retention_events",
+    "markov_events",
+    "hubness_embeddings",
+    "winnow_pairs_documents",
 ]
 
 

@@ -2773,3 +2773,127 @@ def normalize_loudness_clips(clips, *, target_lufs: float = -23.0,
 
     cols = [id_col, "bytes", *pt]
     return clips.select(*cols).mapInPandas(fn, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# speech-vs-noise SNR estimation (the standard speech-corpus curation
+# metric: how far does the speech energy sit above the recording's noise
+# floor; low-SNR clips train poorly and transcribe worse)
+# ---------------------------------------------------------------------------
+
+# clamp for the noise floor: one PCM16 LSB of amplitude. A digitally
+# silent floor (exact zeros) would make the ratio infinite; physically the
+# recording chain cannot resolve below 1 LSB, so SNR saturates around
+# 10*log10(1 / (1/32768)^2) ~ 90 dB instead of overflowing.
+_PCM16_LSB_POWER = (1.0 / 32768.0) ** 2
+
+
+def snr_estimate(clips, *, frame_ms: int = 20, silence_db: float = -40.0,
+                 min_gap_ms: int = 60, min_seg_ms: int = 40,
+                 floor_pct: float = 10.0):
+    """clips(clip_id, bytes) -> per-clip SNR estimates:
+    (clip_id, decode_ok, n_frames, voiced_ms, snr_vad_db, snr_floor_db).
+
+    Two estimators from ONE decode + framing pass (the
+    :func:`voiced_segments` energy framing):
+
+    * ``snr_vad_db`` — 10*log10(P_speech / P_noise) with P_speech the
+      mean frame power inside :func:`detect_voiced_runs` segments and
+      P_noise the mean power OUTSIDE them. NULL when the clip has no
+      voiced run or no unvoiced frame (nothing to compare) — a gate on
+      this column therefore never fires on all-speech or all-silence
+      clips, which are `voiced_content`'s business.
+    * ``snr_floor_db`` — 10*log10(P_mean / P_floor) with P_floor the
+      ``floor_pct``-th percentile of frame power: defined for EVERY
+      decodable clip with >= 10 frames (fully-voiced clips included),
+      the percentile-floor estimator used when VAD sides are degenerate.
+
+    Both clamp the denominator at one PCM16 LSB of power (digital
+    silence saturates ~90 dB rather than overflowing). Map-only
+    ``mapInPandas``; payload bytes never leave the stage. Undecodable
+    clips emit (decode_ok=false, NULL metrics) — the decode guard's
+    violation, this operator's honest row."""
+    silence_amp = 10 ** (silence_db / 20)
+    gap_f = max(1, min_gap_ms // frame_ms)
+    seg_f = max(1, min_seg_ms // frame_ms)
+    schema = ("clip_id string, decode_ok boolean, n_frames int, "
+              "voiced_ms int, snr_vad_db double, snr_floor_db double")
+
+    def fn(iterator):
+        for pdf in iterator:
+            rows = []
+            for cid, b in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    sr, x = decode_payload_any(
+                        bytes(b) if b is not None else b"")
+                    if sr <= 0:
+                        raise ValueError("bad sr")
+                except ValueError:
+                    rows.append((cid, False, 0, 0, None, None))
+                    continue
+                flen = max(1, int(sr * frame_ms / 1000))
+                n_frames = len(x) // flen
+                if not n_frames:
+                    rows.append((cid, True, 0, 0, None, None))
+                    continue
+                frames = x[: n_frames * flen].reshape(n_frames, flen)
+                power = np.mean(frames ** 2, axis=1)
+                frame_rms = np.sqrt(power)
+                runs = detect_voiced_runs(frame_rms, silence_amp,
+                                          gap_f, seg_f)
+                voiced = np.zeros(n_frames, dtype=bool)
+                for s, e in runs:
+                    voiced[s:e] = True
+                n_voiced = int(voiced.sum())
+                snr_vad = None
+                if 0 < n_voiced < n_frames:
+                    p_s = float(power[voiced].mean())
+                    p_n = max(float(power[~voiced].mean()),
+                              _PCM16_LSB_POWER)
+                    snr_vad = 10.0 * np.log10(max(p_s, _PCM16_LSB_POWER)
+                                              / p_n)
+                snr_floor = None
+                if n_frames >= 10:
+                    p_f = max(float(np.percentile(power, floor_pct)),
+                              _PCM16_LSB_POWER)
+                    snr_floor = 10.0 * np.log10(
+                        max(float(power.mean()), _PCM16_LSB_POWER) / p_f)
+                rows.append((cid, True, n_frames,
+                             n_voiced * frame_ms, snr_vad, snr_floor))
+            yield pd.DataFrame(rows, columns=[
+                "clip_id", "decode_ok", "n_frames", "voiced_ms",
+                "snr_vad_db", "snr_floor_db"])
+
+    return clips.select("clip_id", "bytes").mapInPandas(fn, schema=schema)
+
+
+def snr_violations(clips, *, min_snr_db: float = 15.0,
+                   frame_ms: int = 20, silence_db: float = -40.0,
+                   ruleset_name: str = "engine",
+                   severity: str = "warning"):
+    """Violation rows for low speech-to-noise clips: decodable clips
+    whose ``snr_vad_db`` falls below ``min_snr_db`` (shape shared with
+    the row validator, like speaking_rate_violations). Clips with a NULL
+    estimate never violate — all-silent clips are ``voiced_content``'s
+    business, undecodable ones the decode guard's."""
+    est = snr_estimate(clips, frame_ms=frame_ms, silence_db=silence_db)
+    bad = est.where(F.col("decode_ok")
+                    & F.col("snr_vad_db").isNotNull()
+                    & (F.col("snr_vad_db") < float(min_snr_db)))
+    return bad.select(
+        F.col("clip_id").cast("string").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit("snr:bytes").alias("constraint_id"),
+        F.lit("x-snr").alias("keyword"),
+        F.lit("/bytes").alias("instance_path"),
+        F.lit("#/x-snr").alias("schema_path"),
+        F.concat(
+            F.lit(f"Must have speech SNR >= {min_snr_db:g} dB above the "
+                  "noise floor: got "),
+            F.round("snr_vad_db", 1).cast("string"),
+            F.lit(" dB")).alias("message"),
+        F.round("snr_vad_db", 4).cast("string").alias("actual"),
+        F.array(F.lit(f">= {min_snr_db:g}")).alias("expected"),
+        F.lit(severity).alias("severity"),
+    )
