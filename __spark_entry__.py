@@ -973,6 +973,16 @@ def q_topn_flag_violation_rate(spark, sf):
         "rnk", F.dense_rank().over(Window.orderBy(F.desc("rate"))))
 
 
+def q_quantile_gate_lineitem(spark, sf):
+    """Order-statistics band gate (operators/stats.py
+    quantile_violations, the x-quantile check): exact p99 of l_quantity
+    against a <= 45 cap — fails (one fail-closed violation row) because
+    the p99 of the 1..50-uniform quantities sits near 50. One aggregate;
+    at 10^12 the approx=True sketch path replaces the exact buffer."""
+    li = _load(spark, sf, "lineitem")
+    return stats.quantile_violations(li, "l_quantity", q=0.99, hi=45.0)
+
+
 def q_cohort_retention_events(spark, sf):
     """Weekly cohort retention triangle (operators/cohort.py
     cohort_retention): users keyed to their first-event week, one
@@ -2148,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events_windowed_psi": q_drift_events_windowed_psi,
         "topn_flag_violation_rate": q_topn_flag_violation_rate,
         "rate_ci_orders": q_rate_ci_orders,
+        "quantile_gate_lineitem": q_quantile_gate_lineitem,
         "cohort_retention_events": q_cohort_retention_events,
         "markov_events": q_markov_events,
         "text_stats_documents": q_text_stats_documents,
@@ -4229,6 +4240,24 @@ WITH r AS (
 SELECT l_returnflag, rate,
        CAST(dense_rank() OVER (ORDER BY rate DESC) AS INT) AS rnk
 FROM r
+""",
+        "quantile_gate_lineitem": """
+WITH a AS (
+  SELECT round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.99), 6) AS qv
+  FROM lineitem)
+SELECT 'all' AS row_id, 'all' AS partition_id, 'engine' AS ruleset_id,
+       'quantile:l_quantity:0.99' AS constraint_id,
+       'x-quantile' AS keyword,
+       '/l_quantity' AS instance_path,
+       '#/x-quantile/l_quantity' AS schema_path,
+       CASE WHEN qv IS NULL
+            THEN 'Must have p99 <= 45: no non-NULL values to measure'
+            ELSE 'Must have p99 <= 45: got ' || CAST(qv AS VARCHAR)
+       END AS message,
+       CAST(qv AS VARCHAR) AS actual,
+       ['<= 45'] AS expected,
+       'warning' AS severity
+FROM a WHERE qv IS NULL OR qv > 45
 """,
         "cohort_retention_events": """
 WITH base AS (

@@ -954,7 +954,8 @@ def _winnow_norm(col):
 
 
 def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str, *,
-                        k: int = 8, w: int = 8) -> DataFrame:
+                        k: int = 8, w: int = 8,
+                        hash: str = "md5") -> DataFrame:
     """Selected (id, pos, fp) winnowing fingerprints over character
     k-grams of the normalized text; ``pos`` is the 1-based gram start,
     ``fp`` the first 16 hex chars of the gram's md5.
@@ -972,14 +973,26 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str, *,
     normalized chars produce no fingerprints (no full window exists)."""
     if k < 2 or w < 2:
         raise ValueError("winnow_fingerprints requires k >= 2 and w >= 2")
+    if hash not in ("md5", "xxhash64"):
+        raise ValueError("hash must be 'md5' or 'xxhash64'")
     from pyspark.sql.window import Window
+    # any FIXED total order over gram hashes yields a valid winnowing
+    # scheme (the guarantee only needs per-window argmin consistency):
+    # md5-prefix order is engine-portable (the oracle mode); xxhash64
+    # rendered as zero-padded two's-complement hex is the fast
+    # production mode (~2.5x cheaper per position, Spark-only order)
+    if hash == "md5":
+        def _h(g):
+            return F.substring(F.md5(g), 1, 16)
+    else:
+        def _h(g):
+            return F.lower(F.lpad(F.hex(F.xxhash64(g)), 16, "0"))
     staged = df.select(F.col(id_col).alias("id"),
                        _winnow_norm(F.col(text_col)).alias("_t"))
     grams = (staged.where(F.length("_t") >= k)
              .select("id", F.posexplode(F.transform(
                  F.sequence(F.lit(1), F.length("_t") - k + 1),
-                 lambda i: F.substring(F.md5(F.col("_t").substr(
-                     i, F.lit(k))), 1, 16)))
+                 lambda i: _h(F.col("_t").substr(i, F.lit(k)))))
                  .alias("_p0", "fp"))
              .select("id", (F.col("_p0") + 1).alias("pos"), "fp"))
     key = F.concat(F.col("fp"), F.lit("|"),
@@ -1000,7 +1013,8 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str, *,
 
 def winnow_dup_pairs(df: DataFrame, text_col: str, id_col: str, *,
                      k: int = 8, w: int = 8, min_shared: int = 2,
-                     max_df: int | None = None) -> DataFrame:
+                     max_df: int | None = None,
+                     hash: str = "md5") -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints:
     (id_a, id_b, n_shared) with id_a < id_b — the MOSS-style overlap
     candidate generator (every shared run of >= w + k - 1 chars is
@@ -1012,7 +1026,8 @@ def winnow_dup_pairs(df: DataFrame, text_col: str, id_col: str, *,
     boilerplate grams are exactly such hubs — so ``max_df`` drops
     fingerprints present in more than that many documents before the
     join (the standard df-cap; NULL keeps all, small corpora only)."""
-    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w) \
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w,
+                              hash=hash) \
         .select("id", "fp").distinct()
     if max_df is not None:
         eligible = (fps.groupBy("fp")

@@ -395,3 +395,62 @@ def mask_violations(df: DataFrame, column: str, *, expect: str,
         F.array(F.lit(expect)).alias("expected"),
         F.lit(severity).alias("severity"),
     )
+
+
+def quantile_violations(df: DataFrame, column: str, *,
+                        q: float, lo: float | None = None,
+                        hi: float | None = None,
+                        approx: bool = False, accuracy: int = 10000,
+                        ruleset_name: str = "engine",
+                        severity: str = "warning") -> DataFrame:
+    """Declarative quantile-bound gate (``x-quantile``): one violation
+    row when the column's ``q``-quantile falls outside ``[lo, hi]`` —
+    the order-statistics constraint the min/max keywords cannot express
+    ("p99 latency stays under the SLO", "median price stays in band":
+    a handful of outliers move max, not p99).
+
+    Exact mode (default) uses Spark's exact ``percentile`` (linear
+    interpolation, the quantile_cont convention any SQL oracle shares).
+    The exact aggregate buffers the column per partition — fine to a few
+    1e8 rows per executor; at the 10^12 design point pass
+    ``approx=True`` for the KLL-style ``percentile_approx`` sketch
+    (``accuracy`` trades memory for error; the oracle then certifies the
+    exact twin instead). Fails CLOSED on an empty/all-NULL column: a
+    NULL quantile is a finding (the x-benford/x-freshness policy), not
+    a pass."""
+    if not (0.0 <= q <= 1.0):
+        raise ValueError("q must be in [0, 1]")
+    if lo is None and hi is None:
+        raise ValueError("at least one of lo/hi is required")
+    c = F.col(column).cast("double")
+    qexpr = (F.percentile_approx(c, F.lit(float(q)), F.lit(int(accuracy)))
+             if approx else F.percentile(c, F.lit(float(q))))
+    agg = df.agg(F.round(qexpr, 6).alias("_q"))
+    out_of_band = F.lit(False)
+    if lo is not None:
+        out_of_band = out_of_band | (F.col("_q") < float(lo))
+    if hi is not None:
+        out_of_band = out_of_band | (F.col("_q") > float(hi))
+    bad = agg.where(F.col("_q").isNull() | out_of_band)
+    band = (f"[{lo:g}, {hi:g}]" if lo is not None and hi is not None
+            else (f">= {lo:g}" if lo is not None else f"<= {hi:g}"))
+    band_text = (f"in {band}" if lo is not None and hi is not None
+                 else band)
+    return bad.select(
+        F.lit("all").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"quantile:{column}:{q:g}").alias("constraint_id"),
+        F.lit("x-quantile").alias("keyword"),
+        F.lit(f"/{column}").alias("instance_path"),
+        F.lit(f"#/x-quantile/{column}").alias("schema_path"),
+        F.when(F.col("_q").isNull(),
+               F.lit(f"Must have p{q * 100:g} {band_text}: no non-NULL "
+                     "values to measure"))
+         .otherwise(F.concat(
+             F.lit(f"Must have p{q * 100:g} {band_text}: got "),
+             F.col("_q").cast("string"))).alias("message"),
+        F.col("_q").cast("string").alias("actual"),
+        F.array(F.lit(band)).alias("expected"),
+        F.lit(severity).alias("severity"),
+    )

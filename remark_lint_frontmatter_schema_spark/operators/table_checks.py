@@ -175,6 +175,13 @@ def table_check_violations(
                 row_id=params.get("id") or row_id,
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
+        elif kind == "quantile":
+            from .stats import quantile_violations
+            extras.append(quantile_violations(
+                df, column, q=params["q"], lo=params["lo"],
+                hi=params["hi"], approx=params.get("approx", False),
+                ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "readability":
             from .text import readability_violations
             extras.append(readability_violations(

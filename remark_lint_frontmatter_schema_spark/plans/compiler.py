@@ -96,6 +96,7 @@ _KNOWN_KEYWORDS = {
     "x-finite",
     "x-encoding",
     "x-readability",
+    "x-quantile",
 }
 
 
@@ -538,6 +539,14 @@ _KEYWORD_SHAPE = {
     and all(isinstance(v[b], _NUM) and not isinstance(v[b], bool)
             for b in ("lo", "hi") if b in v)
     and (("lo" not in v or "hi" not in v) or v["lo"] <= v["hi"]),
+    "x-quantile": lambda v: isinstance(v, dict)
+    and isinstance(v.get("q"), _NUM) and not isinstance(v["q"], bool)
+    and 0 <= v["q"] <= 1
+    and ("lo" in v or "hi" in v)
+    and all(isinstance(v[b], _NUM) and not isinstance(v[b], bool)
+            for b in ("lo", "hi") if b in v)
+    and (("lo" not in v or "hi" not in v) or v["lo"] <= v["hi"])
+    and isinstance(v.get("approx", False), bool),
     "x-lm-ppl": lambda v: isinstance(v, dict)
     and isinstance(v.get("id"), str)
     and isinstance(v.get("max_ppl"), _NUM)
@@ -764,7 +773,8 @@ _VARIANT_UNSUPPORTED_KWS = frozenset((
     "x-skew", "x-reconcile", "x-calendar", "x-freshness", "x-benford",
     "x-corr", "x-mask",
     "x-monotonic", "x-dup-ngram", "x-gopher", "x-c4", "x-leakage", "x-embedding",
-    "x-fd", "x-gap", "x-gibberish", "x-lm-ppl", "x-readability"))
+    "x-fd", "x-gap", "x-gibberish", "x-lm-ppl", "x-readability",
+    "x-quantile"))
 
 
 def _compile_variant_node(schema: dict, ctx: _Ctx) -> None:
@@ -1514,6 +1524,25 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 }))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-monotonic"))
+
+    if "x-quantile" in schema and not ctx.silent:
+        # order-statistics band gate (operators/stats.py
+        # quantile_violations) — one-aggregate relational pass like
+        # x-benford; numeric top-level columns only
+        if is_top and isinstance(ctx.dtype, _NUMERIC):
+            p = schema["x-quantile"]
+            ctx.out.table_checks.append(
+                ("quantile", ctx.instance_path[1:], {
+                    "q": float(p["q"]),
+                    "lo": (None if p.get("lo") is None
+                           else float(p["lo"])),
+                    "hi": (None if p.get("hi") is None
+                           else float(p["hi"])),
+                    "approx": bool(p.get("approx", False)),
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-quantile"))
 
     if "x-readability" in schema and not ctx.silent:
         # Flesch reading-ease band gate (operators/text.py

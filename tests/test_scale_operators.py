@@ -545,3 +545,51 @@ def test_ks_by_localizes_drift_to_the_moved_group(spark):
     assert ks["stable"] == 0.0
     assert ks["moved"] == 0.4        # 4-bucket shift of a uniform = 4/10
     assert ks["oneside"] is None     # per-group missing-side guard
+
+
+def test_x_quantile_gate(spark):
+    """x-quantile order-statistics band: in-band passes silently,
+    out-of-band emits one fail-closed-shaped row, empty input FAILS
+    closed, approx mode agrees at this scale, DSL wiring + refusals."""
+    import pytest as _p
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators import stats
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    from remark_lint_frontmatter_schema_spark.plans.compiler import (
+        RulesetCompileError)
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 101)],
+                               "rid int, v double")
+    # p99 of 1..100 = 99.01 (linear interpolation)
+    assert stats.quantile_violations(df, "v", q=0.99, hi=99.5).count() == 0
+    (row,) = stats.quantile_violations(df, "v", q=0.99, hi=90).collect()
+    assert row.keyword == "x-quantile" and "p99 <= 90: got" in row.message
+    assert abs(float(row.actual) - 99.01) < 1e-6
+    # empty/all-NULL fails closed with actual NULL
+    empty = spark.createDataFrame([], "rid int, v double")
+    (r0,) = stats.quantile_violations(empty, "v", q=0.5, lo=1).collect()
+    assert r0.actual is None and "no non-NULL values" in r0.message
+    # approx path agrees here (tiny data, max accuracy)
+    (ra,) = stats.quantile_violations(df, "v", q=0.99, hi=90,
+                                      approx=True).collect()
+    assert abs(float(ra.actual) - 99.0) <= 1.0
+    # DSL: compiles on numeric, violates; unknown on string; bad knobs
+    rs = {"properties": {"v": {"x-quantile": {"q": 0.99, "hi": 90}}}}
+    compiled = compile_ruleset(rs, df.schema, name="q")
+    got = validate_with_table_checks(df, compiled, row_id="rid") \
+        .violations.collect()
+    assert len(got) == 1 and got[0].keyword == "x-quantile"
+    with _p.raises(RulesetCompileError):
+        compile_ruleset({"properties": {"v": {
+            "x-quantile": {"q": 2, "hi": 1}}}}, df.schema, name="qbad")
+    with _p.raises(RulesetCompileError):
+        compile_ruleset({"properties": {"v": {
+            "x-quantile": {"q": 0.5}}}}, df.schema, name="qbad2")
+    s = spark.createDataFrame([(1, "x")], "rid int, t string")
+    c3 = compile_ruleset({"properties": {"t": {
+        "x-quantile": {"q": 0.5, "hi": 1}}}}, s.schema, name="qstr")
+    assert ("/t", "x-quantile") in c3.unknown and not c3.table_checks
+    with _p.raises(ValueError, match="q must be"):
+        stats.quantile_violations(df, "v", q=1.5, hi=1)
+    with _p.raises(ValueError, match="lo/hi"):
+        stats.quantile_violations(df, "v", q=0.5)

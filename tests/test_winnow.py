@@ -125,3 +125,26 @@ def test_winnow_dup_pairs_df_cap_and_threshold(spark):
     assert boiler(capped) < 45 / 2
     # shared counts only ever shrink under the cap
     assert all(capped[p] <= uncapped[p] for p in capped)
+
+
+def test_winnow_xxhash_fast_mode_keeps_guarantee(spark):
+    """The xxhash64 production mode selects a DIFFERENT (but equally
+    valid) fingerprint set — the coverage guarantee and density hold
+    under any fixed hash order."""
+    k, w = 8, 8
+    shared = "zxqvjwkpbd mfglt hcrns"        # >= w+k-1 chars
+    df = spark.createDataFrame(
+        [(1, "left filler text " + shared + " more filler here"),
+         (2, "other document body " + shared + " trailing words")],
+        "doc_id int, text string")
+    fps = {}
+    for r in dedup.winnow_fingerprints(df, "text", "doc_id", k=k, w=w,
+                                       hash="xxhash64").collect():
+        fps.setdefault(r.id, set()).add(r.fp)
+        assert len(r.fp) == 16                       # padded hex
+    assert fps[1] & fps[2]
+    pairs = dedup.winnow_dup_pairs(df, "text", "doc_id", k=k, w=w,
+                                   min_shared=1, hash="xxhash64").collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    with pytest.raises(ValueError, match="hash"):
+        dedup.winnow_fingerprints(df, "text", "doc_id", hash="crc32")
