@@ -1252,6 +1252,17 @@ def q_ann_cosine_topk(spark, sf):
                                   exclude_id=0)
 
 
+def q_containment_documents(spark, sf):
+    """Directed containment pairs (operators/dedup.py containment_pairs):
+    |A∩B|/|A| word-5-gram containment of the smaller shingle set in the
+    larger, lang-blocked — catches the quoted-wholesale/stitched subset
+    relations Jaccard dilutes away; jaccard rides along to separate true
+    near-dups from subsets."""
+    docs = _load(spark, sf, "documents")
+    return dedup.containment_pairs(docs, "text", "doc_id",
+                                   block_col="lang", n=5, threshold=0.4)
+
+
 def q_winnow_pairs_documents(spark, sf):
     """MOSS winnowing overlap candidates (operators/dedup.py
     winnow_dup_pairs): per-doc windowed-min md5 k-gram fingerprints
@@ -2169,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_sim_pairs": q_embed_sim_pairs,
         "hubness_embeddings": q_hubness_embeddings,
         "winnow_pairs_documents": q_winnow_pairs_documents,
+        "containment_documents": q_containment_documents,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "edit_sim_documents": q_edit_sim_documents,
         "dup_ngram_documents": q_dup_ngram_documents,
@@ -4331,6 +4343,28 @@ FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
 """,
         "ann_cosine_topk": _COSINE_TOPK_SQL,
         "embed_sim_pairs": _EMBED_PAIRS_SQL,
+        "containment_documents": r"""
+WITH sh AS (
+  SELECT doc_id, lang, list_distinct(list_transform(
+           range(1, greatest(len(t) - 4, 0) + 1),
+           i -> array_to_string(t[i:i+4], ' '))) AS s
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> '') AS t
+        FROM documents)
+  WHERE len(t) >= 5)
+SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+       round(len(list_intersect(a.s, b.s)) * 1.0
+             / least(len(a.s), len(b.s)), 6) AS containment,
+       round(len(list_intersect(a.s, b.s)) * 1.0
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+         AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+WHERE (len(a.s) < len(b.s)
+       OR (len(a.s) = len(b.s) AND a.doc_id < b.doc_id))
+  AND len(list_intersect(a.s, b.s)) * 1.0
+      / least(len(a.s), len(b.s)) >= 0.4
+""",
         "winnow_pairs_documents": r"""
 WITH norm AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t

@@ -162,6 +162,65 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, *,
     return _track(pairs, sh)
 
 
+def containment_pairs(df: DataFrame, text_col: str, id_col: str, *,
+                      block_col: str | None = None, n: int = 5,
+                      threshold: float = 0.8, reuse: bool = True,
+                      allow_full_cross: bool = False) -> DataFrame:
+    """DIRECTED near-dup detection: word-``n``-gram containment
+    ``|A ∩ B| / |A|`` per ordered pair — the asymmetric statistic
+    Jaccard misses. A short document quoted wholesale inside a long one
+    (stitched pages, syndicated articles with added boilerplate, quoted
+    posts) has containment ~1 in one direction while Jaccard, diluted by
+    the long side's extra shingles, stays far below any dedup threshold.
+
+    Output: (id_small, id_big, containment, jaccard) for pairs where the
+    SMALLER shingle set's containment in the larger reaches
+    ``threshold`` (ties by id); ``jaccard`` rides along so callers can
+    separate true near-dups (both high) from subset relations (high
+    containment, low Jaccard).
+
+    Same scale contract as :func:`ngram_jaccard_pairs`: the self-join is
+    O(block²) and ``block_col`` is REQUIRED (LSH buckets, lang+length
+    bands) unless ``allow_full_cross=True`` states the input is small.
+    Note containment candidates should block on features of the SMALL
+    side (a contained doc shares all its shingles, so any of its LSH
+    bands collides with the container's) — MinHash-band buckets work
+    unchanged."""
+    if block_col is None and not allow_full_cross:
+        raise ValueError(
+            "containment_pairs without block_col is a full O(n^2) "
+            "cross-join of the whole table; pass block_col or "
+            "allow_full_cross=True for small inputs")
+    staged = df.select(F.col(id_col).alias("id"),
+                       *([F.col(block_col).alias("blk")] if block_col else
+                         [F.lit(1).alias("blk")]),
+                       tokens(text_col).alias("_t"))
+    sh = staged.select("id", "blk", word_shingles("_t", n).alias("sh")) \
+               .where(F.size("sh") > 0)
+    if reuse:
+        sh = _persist(sh)
+    a = sh.select("blk", F.col("id").alias("id_a"),
+                  F.col("sh").alias("sh_a"))
+    b = sh.select("blk", F.col("id").alias("id_b"),
+                  F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    sz_a, sz_b = F.size("sh_a"), F.size("sh_b")
+    small_first = (sz_a < sz_b) | ((sz_a == sz_b)
+                                   & (F.col("id_a") < F.col("id_b")))
+    pairs = (a.join(b, "blk")
+              .where(F.col("id_a") != F.col("id_b"))
+              .where(small_first)      # one row per unordered pair
+              .withColumn("containment",
+                          F.round(inter / F.least(sz_a, sz_b), 6))
+              .where(F.col("containment") >= threshold)
+              .select(F.col("id_a").alias("id_small"),
+                      F.col("id_b").alias("id_big"),
+                      "containment",
+                      F.round(inter / (sz_a + sz_b - inter), 6)
+                       .alias("jaccard")))
+    return _track(pairs, sh)
+
+
 def prefix_filter_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                                 *, n: int = 3, threshold: float = 0.6,
                                 shingle: str = "word",

@@ -676,3 +676,34 @@ def test_k_occurrence_broadcasts_query_panel(spark):
         .queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_containment_pairs_directed_subset(spark):
+    """A short doc quoted wholesale inside a long one: containment 1.0
+    while Jaccard stays low (the asymmetric case Jaccard dilutes away);
+    smaller side always reported first; block_col required."""
+    quote = "the quick brown fox jumps over the lazy dog near the river"
+    filler = " ".join(f"boiler{i} pad{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote, "en"),
+         (2, filler + " " + quote + " " + filler, "en"),
+         (3, "totally unrelated content about query planning here", "en"),
+         (4, "tiny", "en")],                     # < n tokens: no shingles
+        "doc_id int, text string, lang string")
+    got = {(r.id_small, r.id_big): r for r in dedup.containment_pairs(
+        df, "text", "doc_id", block_col="lang",
+        n=5, threshold=0.9).collect()}
+    assert list(got) == [(1, 2)]
+    r = got[(1, 2)]
+    assert r.containment == 1.0 and r.jaccard < 0.1
+    with pytest.raises(ValueError, match="block_col"):
+        dedup.containment_pairs(df, "text", "doc_id")
+    # symmetric near-identical pair: equal sizes tie-break by id and
+    # jaccard rides high
+    sym = spark.createDataFrame(
+        [(10, quote + " extra tail", "en"), (11, quote + " extra tip", "en")],
+        "doc_id int, text string, lang string")
+    (p,) = dedup.containment_pairs(sym, "text", "doc_id",
+                                   block_col="lang", n=3,
+                                   threshold=0.5).collect()
+    assert (p.id_small, p.id_big) == (10, 11) and p.jaccard > 0.5
