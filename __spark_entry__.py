@@ -195,6 +195,19 @@ def q_footer_profile_lineitem(spark, sf):
         columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"])
 
 
+def q_volume_anomaly_events(spark, sf):
+    """Ingest-volume anomaly detection (operators/outliers.py
+    volume_anomalies): hourly event counts whose modified z-score
+    crosses 3.5 — thin/flooded hours x-calendar (empty buckets only)
+    cannot see. One keys-only aggregate to the bucket relation; the
+    median/MAD passes run on the driver-scale counts."""
+    from remark_lint_frontmatter_schema_spark.operators.outliers import (
+        volume_anomalies)
+    ev = _load(spark, sf, "events")
+    return volume_anomalies(ev, "ts", unit="hour", k=3.5) \
+        .select("bucket", "value", F.round("z", 6).alias("z"))
+
+
 def q_outliers_events(spark, sf):
     """Robust modified-z outliers on events.value (operators/outliers.py):
     median/MAD from two single-column aggregates broadcast back onto a
@@ -2239,6 +2252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_stats_lineitem": q_approx_stats_lineitem,
         "repair_orders": q_repair_orders,
         "outliers_events": q_outliers_events,
+        "volume_anomaly_events": q_volume_anomaly_events,
         "monotonic_events_by_user": q_monotonic_events_by_user,
         "chunk_documents": q_chunk_documents,
         "mix_documents": q_mix_documents,
@@ -4957,6 +4971,21 @@ SELECT CAST(event_id AS VARCHAR) AS row_id,
        'Must be non-decreasing over ''event_id''' AS message,
        'warning' AS severity
 FROM seq WHERE prev IS NOT NULL AND NOT (value >= prev)
+""",
+        "volume_anomaly_events": """
+WITH b AS (
+  SELECT date_trunc('hour', ts) AS bucket, CAST(count(*) AS DOUBLE) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+s AS (SELECT quantile_cont(n, 0.5) AS med FROM b),
+m AS (SELECT quantile_cont(abs(n - s.med), 0.5) AS mad,
+             any_value(s.med) AS med
+      FROM b, s)
+SELECT CAST(b.bucket AS VARCHAR) AS bucket, b.n AS value,
+       ROUND(CASE WHEN m.mad > 0
+                  THEN 0.6745 * abs(b.n - m.med) / m.mad END, 6) AS z
+FROM b, m
+WHERE CASE WHEN m.mad > 0 THEN 0.6745 * abs(b.n - m.med) / m.mad > 3.5
+           ELSE b.n != m.med END
 """,
         "outliers_events": """
 WITH s AS (SELECT median(value) AS med FROM events),

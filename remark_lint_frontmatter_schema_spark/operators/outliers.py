@@ -148,3 +148,33 @@ def outlier_violations(df: DataFrame, value_col: str, *, row_id: str,
         F.lit(None).cast("array<string>").alias("expected"),
         F.lit(severity).alias("severity"),
     )
+
+
+def volume_anomalies(df: DataFrame, ts_col: str, *, unit: str = "day",
+                     k: float = 3.5, approx: bool = False) -> DataFrame:
+    """Ingest-volume anomaly detection: time buckets whose ROW COUNT is a
+    median/MAD outlier against the other buckets —
+    ``(bucket, value, z)`` rows for |modified z| > ``k``.
+
+    The monitoring question behind it: "did some hour silently ingest
+    half (or five times) the usual volume?" — a pipeline-health signal
+    no per-row keyword can express, complementing x-calendar (which
+    catches EMPTY buckets but not thin or flooded ones) and the
+    manifest's run-over-run volume regression (which compares runs, not
+    intra-run buckets).
+
+    One keys-only hash aggregate reduces the table to the n_buckets
+    count relation; the median/MAD passes then run on that driver-scale
+    relation, so ``approx`` exists only for interface symmetry. NULL
+    timestamps are absent (never a bucket). MAD == 0 (majority of
+    buckets identical) falls back to flagging any bucket differing from
+    the median — the robust_stats fail-closed rule."""
+    if unit not in ("minute", "hour", "day", "week", "month"):
+        raise ValueError(f"unsupported unit {unit!r}")
+    t = F.col(ts_col)
+    buckets = (df.where(t.isNotNull())
+                 .groupBy(F.date_trunc(unit, t).alias("bucket"))
+                 .agg(F.count(F.lit(1)).alias("n_rows")))
+    return (outlier_scores(buckets, "n_rows", row_id="bucket", k=k,
+                           approx=approx)
+            .select(F.col("row_id").alias("bucket"), "value", "z"))

@@ -187,3 +187,37 @@ def test_nan_cannot_poison_threshold(spark):
     assert "300" in got                      # the genuine outlier
     assert {"200"} | {str(100 + i) for i in range(12)} <= got  # nonfinite
     assert not any(r in got for r in map(str, range(10)))      # inliers
+
+
+def test_volume_anomalies_spike_and_flood(spark):
+    """volume_anomalies: a flooded hour and a thin hour both flag; steady
+    hours don't; MAD==0 falls back to any-differs; NULL ts absent."""
+    from datetime import datetime
+    from remark_lint_frontmatter_schema_spark.operators.outliers import (
+        volume_anomalies)
+    import pytest as _p
+    rows = []
+    for h in range(12):
+        n = 100
+        if h == 4:
+            n = 500                            # flood
+        elif h == 9:
+            n = 5                              # thin
+        elif h % 2:
+            n = 102                            # mild jitter
+        rows += [(datetime(2024, 3, 1, h), )] * n
+    rows.append((None,))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = {r.bucket: r for r in
+           volume_anomalies(df, "ts", unit="hour", k=3.5).collect()}
+    assert {b[11:13] for b in got} == {"04", "09"}
+    assert got["2024-03-01 04:00:00"].value == 500.0
+    assert got["2024-03-01 04:00:00"].z > 3.5
+    # MAD == 0: all-identical buckets flag only the differing one
+    flat = [(datetime(2024, 3, 2, h),) for h in range(6) for _ in range(10)]
+    flat += [(datetime(2024, 3, 2, 6),)] * 11
+    df2 = spark.createDataFrame(flat, "ts timestamp")
+    got2 = volume_anomalies(df2, "ts", unit="hour").collect()
+    assert [r.bucket[11:13] for r in got2] == ["06"]
+    with _p.raises(ValueError, match="unit"):
+        volume_anomalies(df, "ts", unit="fortnight")
