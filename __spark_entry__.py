@@ -986,6 +986,31 @@ def q_topn_flag_violation_rate(spark, sf):
         "rnk", F.dense_rank().over(Window.orderBy(F.desc("rate"))))
 
 
+def q_funnel_ci_events(spark, sf):
+    """Per-step funnel conversion with Wilson intervals — the
+    composition the two operators exist for: funnel_counts reduces the
+    corpus to a <= n_steps-row relation (one groupBy(user) shuffle),
+    lag() over that bounded relation pairs each step with its
+    predecessor, and stats.rate_ci attaches the uncertainty a 'step 3
+    converted 62%' headline needs before anyone acts on it."""
+    from pyspark.sql import Window
+    from remark_lint_frontmatter_schema_spark.operators.funnel import (
+        funnel_counts)
+    ev = _load(spark, sf, "events")
+    fc = funnel_counts(ev, ["signup", "click", "purchase"],
+                       within_ms=7 * 86400 * 1000)
+    # lag over the <= 3-row funnel relation (bounded by construction)
+    w = Window.orderBy("step")
+    base = (fc.withColumn("n", F.lag("users_reached").over(w))
+              .where(F.col("n").isNotNull())
+              .withColumnRenamed("users_reached", "k"))
+    return stats.rate_ci(base, "k", "n").select(
+        "step", "name", "n", "k",
+        F.round("rate", 6).alias("rate"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"))
+
+
 def q_quantile_gate_lineitem(spark, sf):
     """Order-statistics band gate (operators/stats.py
     quantile_violations, the x-quantile check): exact p99 of l_quantity
@@ -2183,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_flag_violation_rate": q_topn_flag_violation_rate,
         "rate_ci_orders": q_rate_ci_orders,
         "quantile_gate_lineitem": q_quantile_gate_lineitem,
+        "funnel_ci_events": q_funnel_ci_events,
         "cohort_retention_events": q_cohort_retention_events,
         "markov_events": q_markov_events,
         "text_stats_documents": q_text_stats_documents,
@@ -4266,6 +4292,52 @@ WITH r AS (
 SELECT l_returnflag, rate,
        CAST(dense_rank() OVER (ORDER BY rate DESC) AS INT) AS rnk
 FROM r
+""",
+        "funnel_ci_events": """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t
+    AND (epoch(e.ts) - epoch(t1.t)) * 1000.0 <= 604800000
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t
+    AND (epoch(e.ts) - epoch(t2.t)) * 1000.0 <= 604800000
+  GROUP BY e.user_id
+), f AS (
+  SELECT 1 AS step, 'signup' AS name,
+         (SELECT count(*) FROM t1) AS users_reached
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+), lagd AS (
+  SELECT step, name,
+         lag(users_reached) OVER (ORDER BY step) AS n,
+         users_reached AS k
+  FROM f
+), w AS (
+  SELECT step, name, n, k, k * 1.0 / n AS p,
+         1.959963984540054 AS z,
+         1.959963984540054 * 1.959963984540054 AS z2
+  FROM lagd WHERE n IS NOT NULL
+)
+SELECT step, name, n, k,
+       round(CASE WHEN n > 0 THEN p END, 6) AS rate,
+       round(CASE WHEN n > 0 THEN
+         least(greatest((p + z2 / (2 * n)
+                         - z * sqrt(p * (1 - p) / n
+                                    + z2 / (4.0 * n * n)))
+                        / (1 + z2 / n), 0.0), p) END, 6) AS ci_lo,
+       round(CASE WHEN n > 0 THEN
+         greatest(least((p + z2 / (2 * n)
+                         + z * sqrt(p * (1 - p) / n
+                                    + z2 / (4.0 * n * n)))
+                        / (1 + z2 / n), 1.0), p) END, 6) AS ci_hi
+FROM w
 """,
         "quantile_gate_lineitem": """
 WITH a AS (
