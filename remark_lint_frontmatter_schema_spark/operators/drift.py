@@ -382,6 +382,8 @@ def drift_violations(df: DataFrame, value_col: str, *, partition_col: str,
                      n_buckets: int = 25, ks_threshold: float = 0.1,
                      psi_threshold: float = 0.2,
                      emd_threshold: float | None = None,
+                     jsd_threshold: float | None = None,
+                     cvm_threshold: float | None = None,
                      ruleset_name: str = "engine",
                      severity: str = "warning") -> DataFrame:
     """Lazy violation-row form of :func:`drift_check` for the ``x-drift``
@@ -410,13 +412,35 @@ def drift_violations(df: DataFrame, value_col: str, *, partition_col: str,
         j = j.crossJoin(e)
         emd_fired = F.col("emd") > emd_threshold
         emd_tail = F.concat(F.lit(" emd="), F.col("emd").cast("string"))
+    jsd_fired = F.lit(False)
+    jsd_tail = F.lit("")
+    if jsd_threshold is not None:
+        # mixture-reference divergence: finite under disjoint supports
+        # where PSI's epsilon floor explodes (same histogram relation)
+        jd = jensen_shannon(hist, str(side_a), str(side_b)) \
+            .select(F.round("jsd", 6).alias("jsd"))
+        j = j.crossJoin(jd)
+        jsd_fired = F.col("jsd") > jsd_threshold
+        jsd_tail = F.concat(F.lit(" jsd="), F.col("jsd").cast("string"))
+    cvm_fired = F.lit(False)
+    cvm_tail = F.lit("")
+    if cvm_threshold is not None:
+        # pooled-mass L2 of the CDF gap: accumulates broad moderate
+        # shifts KS (the max) saturates on (same histogram relation)
+        cv = cramer_von_mises(hist, str(side_a), str(side_b)) \
+            .select(F.round("cvm", 6).alias("cvm"))
+        j = j.crossJoin(cv)
+        cvm_fired = F.col("cvm") > cvm_threshold
+        cvm_tail = F.concat(F.lit(" cvm="), F.col("cvm").cast("string"))
     # NULL stats mean a declared side is absent from the data (typo'd
     # label, empty split) — that is a CONFIG defect, surfaced as its own
     # violation row rather than silently passing (fail-closed)
     missing = F.col("ks_stat").isNull() | F.col("psi").isNull()
     drifted = j.where((F.col("ks_stat") > ks_threshold)
                       | (F.col("psi") > psi_threshold)
-                      | F.coalesce(emd_fired, F.lit(False)) | missing)
+                      | F.coalesce(emd_fired, F.lit(False))
+                      | F.coalesce(jsd_fired, F.lit(False))
+                      | F.coalesce(cvm_fired, F.lit(False)) | missing)
     return drifted.select(
         F.lit(f"{side_a}~{side_b}").alias("row_id"),
         F.lit("all").alias("partition_id"),
@@ -434,11 +458,15 @@ def drift_violations(df: DataFrame, value_col: str, *, partition_col: str,
              f"({side_a} vs {side_b}): ks>{ks_threshold} "
              f"or psi>{psi_threshold}"
              + (f" or emd>{emd_threshold:g}"
-                if emd_threshold is not None else ""))).alias("message"),
+                if emd_threshold is not None else "")
+             + (f" or jsd>{jsd_threshold:g}"
+                if jsd_threshold is not None else "")
+             + (f" or cvm>{cvm_threshold:g}"
+                if cvm_threshold is not None else ""))).alias("message"),
         F.when(missing, F.lit("sides missing"))
          .otherwise(F.concat(F.lit("ks="), F.col("ks_stat").cast("string"),
                              F.lit(" psi="), F.col("psi").cast("string"),
-                             emd_tail))
+                             emd_tail, jsd_tail, cvm_tail))
          .alias("actual"),
         F.lit(None).cast("array<string>").alias("expected"),
         F.lit(severity).alias("severity"),

@@ -684,7 +684,7 @@ _KEYWORD_SHAPE = {
     and all(v.get(k) is None
             or (isinstance(v[k], _NUM) and not isinstance(v[k], bool))
             for k in ("n_buckets", "ks_threshold", "psi_threshold",
-                      "emd_threshold")),
+                      "emd_threshold", "jsd_threshold", "cvm_threshold")),
 }
 
 
@@ -1718,6 +1718,15 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                     "emd_threshold": (
                         float(p["emd_threshold"])
                         if p.get("emd_threshold") is not None else None),
+                    # optional 4th/5th statistics on the same histogram:
+                    # JSD (finite under disjoint supports) and CvM
+                    # (L2 of the CDF gap); None = not checked
+                    "jsd_threshold": (
+                        float(p["jsd_threshold"])
+                        if p.get("jsd_threshold") is not None else None),
+                    "cvm_threshold": (
+                        float(p["cvm_threshold"])
+                        if p.get("cvm_threshold") is not None else None),
                     "severity": ctx.severity,
                 }))
         else:

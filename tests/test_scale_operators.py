@@ -249,7 +249,8 @@ def test_x_drift_declarative(spark):
         "partition_col": "side", "side_a": "a", "side_b": "b",
         "lo": 0.0, "hi": 100.0, "n_buckets": 20,
         "ks_threshold": 0.1, "psi_threshold": 0.2,
-        "emd_threshold": None,
+        "emd_threshold": None, "jsd_threshold": None,
+        "cvm_threshold": None,
         "severity": "warning"})]
     got = validate_with_table_checks(df, compiled, row_id="rid") \
         .violations.collect()
@@ -593,3 +594,37 @@ def test_x_quantile_gate(spark):
         stats.quantile_violations(df, "v", q=1.5, hi=1)
     with _p.raises(ValueError, match="lo/hi"):
         stats.quantile_violations(df, "v", q=0.5)
+
+
+def test_x_drift_jsd_cvm_thresholds(spark):
+    """x-drift's optional jsd/cvm statistics: a disjoint-support shift
+    fires jsd (exactly ln 2) even with ks/psi thresholds set above their
+    values; actual string carries all requested statistics; thresholds
+    not requested are absent from the message."""
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    df = spark.createDataFrame(
+        [("a", float(v % 5)) for v in range(40)]
+        + [("b", float(v % 5) + 7.0) for v in range(40)],
+        "side string, v double") \
+        .withColumn("rid", F.monotonically_increasing_id())
+    rs = {"properties": {"v": {"x-drift": {
+        "partition_col": "side", "side_a": "a", "side_b": "b",
+        "lo": 0, "hi": 12, "n_buckets": 12,
+        "ks_threshold": 99, "psi_threshold": 99,
+        "jsd_threshold": 0.5, "cvm_threshold": 99}}}}
+    compiled = compile_ruleset(rs, df.schema, name="j")
+    (r,) = validate_with_table_checks(df, compiled, row_id="rid") \
+        .violations.collect()
+    assert "jsd=0.693147" in r.actual and "cvm=" in r.actual
+    assert "jsd>0.5" in r.message and "emd" not in r.message
+    # below-threshold: same data, jsd bar above ln 2 -> no violation
+    rs2 = {"properties": {"v": {"x-drift": {
+        "partition_col": "side", "side_a": "a", "side_b": "b",
+        "lo": 0, "hi": 12, "n_buckets": 12,
+        "ks_threshold": 99, "psi_threshold": 99,
+        "jsd_threshold": 0.7}}}}
+    c2 = compile_ruleset(rs2, df.schema, name="j2")
+    assert validate_with_table_checks(df, c2, row_id="rid") \
+        .violations.count() == 0
