@@ -1021,6 +1021,16 @@ def q_quantile_gate_lineitem(spark, sf):
     return stats.quantile_violations(li, "l_quantity", q=0.99, hi=45.0)
 
 
+def q_mean_shift_events(spark, sf):
+    """CUSUM changepoint scan (operators/drift.py mean_shift_scan):
+    where did the daily mean of events.value shift? One keys-only
+    aggregate to the bucket relation, cumulative window on that
+    driver-scale relation; the argmax bucket is the estimated change
+    location the two-sided drift statistics then confirm."""
+    ev = _load(spark, sf, "events")
+    return drift.mean_shift_scan(ev, "ts", "value", unit="day")
+
+
 def q_cohort_retention_events(spark, sf):
     """Weekly cohort retention triangle (operators/cohort.py
     cohort_retention): users keyed to their first-event week, one
@@ -2209,6 +2219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_ci_orders": q_rate_ci_orders,
         "quantile_gate_lineitem": q_quantile_gate_lineitem,
         "funnel_ci_events": q_funnel_ci_events,
+        "mean_shift_events": q_mean_shift_events,
         "cohort_retention_events": q_cohort_retention_events,
         "markov_events": q_markov_events,
         "text_stats_documents": q_text_stats_documents,
@@ -4356,6 +4367,22 @@ SELECT 'all' AS row_id, 'all' AS partition_id, 'engine' AS ruleset_id,
        ['<= 45'] AS expected,
        'warning' AS severity
 FROM a WHERE qv IS NULL OR qv > 45
+""",
+        "mean_shift_events": """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS bucket, count(*) AS n_rows,
+         avg(value) AS mv
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1),
+s AS (SELECT avg(mv) AS gm, stddev_samp(mv) AS sd,
+             count(*) AS nb FROM b),
+c AS (SELECT b.bucket, b.n_rows, b.mv, s.gm, s.sd, s.nb,
+             sum(b.mv - s.gm) OVER (ORDER BY b.bucket) AS cusum
+      FROM b, s)
+SELECT bucket, n_rows, round(mv, 6) AS mean_value,
+       round(cusum, 6) + 0.0 AS cusum,
+       round(CASE WHEN nb >= 2 AND sd > 0
+                  THEN abs(cusum) / (sd * sqrt(nb)) END, 6) AS norm_cusum
+FROM c
 """,
         "cohort_retention_events": """
 WITH base AS (

@@ -588,3 +588,50 @@ def benford_violations(df: DataFrame, value_col: str, *,
         F.lit(None).cast("array<string>").alias("expected"),
         F.lit(severity).alias("severity"),
     )
+
+
+def mean_shift_scan(df: DataFrame, ts_col: str, value_col: str, *,
+                    unit: str = "day") -> DataFrame:
+    """CUSUM changepoint scan over per-bucket means: WHERE did the level
+    of ``value_col`` shift?
+
+    The two-sided drift statistics (ks/psi/jsd/cvm) need the caller to
+    DECLARE the split; this scan finds it. For bucket means x_1..x_B the
+    cumulative sum ``C_t = sum_{i<=t}(x_i - mean(x))`` peaks at the
+    changepoint under a level shift (the classic CUSUM statistic);
+    ``norm_cusum = |C_t| / (s * sqrt(B))`` standardizes against the
+    bucket-mean spread so values around >~1.3 indicate a real shift
+    (the 95% Kolmogorov bound for a Brownian bridge — the statistic's
+    null limit) and the argmax bucket is the estimated change location.
+
+    Output: (bucket, n_rows, mean_value, cusum, norm_cusum) ordered by
+    bucket — feed the argmax to a two-sided statistic for confirmation.
+    One keys-only aggregate reduces the table to the bucket relation;
+    the cumulative window and the spread run on that driver-scale
+    relation (same shape as volume_anomalies). Fewer than 2 buckets or
+    zero spread yield NULL norm_cusum (nothing measurable). NULL
+    ts/value rows are absent."""
+    if unit not in ("minute", "hour", "day", "week", "month"):
+        raise ValueError(f"unsupported unit {unit!r}")
+    t, v = F.col(ts_col), F.col(value_col).cast("double")
+    b = (df.where(t.isNotNull() & v.isNotNull())
+           .groupBy(F.date_trunc(unit, t).alias("bucket"))
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.avg(v).alias("mean_value")))
+    tot = Window.partitionBy()
+    run = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding,
+                                               Window.currentRow)
+    scan = (b.withColumn("_gm", F.avg("mean_value").over(tot))
+             .withColumn("_sd", F.stddev_samp("mean_value").over(tot))
+             .withColumn("_nb", F.count(F.lit(1)).over(tot))
+             .withColumn("cusum",
+                         F.sum(F.col("mean_value") - F.col("_gm")).over(run)))
+    norm = F.when((F.col("_nb") >= 2) & (F.col("_sd") > 0),
+                  F.abs(F.col("cusum"))
+                  / (F.col("_sd") * F.sqrt(F.col("_nb"))))
+    # + 0.0 canonicalizes IEEE -0.0 (the final bucket's cusum is an
+    # analytic zero computed as a ±1e-16 residue) so engines agree
+    return scan.select("bucket", "n_rows",
+                       F.round("mean_value", 6).alias("mean_value"),
+                       (F.round("cusum", 6) + 0.0).alias("cusum"),
+                       F.round(norm, 6).alias("norm_cusum"))

@@ -628,3 +628,34 @@ def test_x_drift_jsd_cvm_thresholds(spark):
     c2 = compile_ruleset(rs2, df.schema, name="j2")
     assert validate_with_table_checks(df, c2, row_id="rid") \
         .violations.count() == 0
+
+
+def test_mean_shift_scan_localizes_changepoint(spark):
+    """CUSUM scan (drift.mean_shift_scan): a planted level shift puts
+    the norm_cusum argmax at the shift boundary with a large value; a
+    stationary series stays below the Brownian-bridge bar; <2 buckets
+    or zero spread yield NULL."""
+    from datetime import datetime
+    rows = []
+    for d in range(1, 21):
+        level = 10.0 if d <= 12 else 30.0          # shift after day 12
+        jitter = (d * 7 % 5) * 0.1
+        rows += [(datetime(2024, 5, d), level + jitter)] * 20
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    scan = drift.mean_shift_scan(df, "ts", "value").collect()
+    peak = max(scan, key=lambda r: r.norm_cusum)
+    assert peak.bucket.day == 12 and peak.norm_cusum > 1.3
+    # stationary: same jitter, no level change
+    flat = [(datetime(2024, 5, d), 10.0 + (d * 7 % 5) * 0.1)
+            for d in range(1, 21) for _ in range(20)]
+    fscan = drift.mean_shift_scan(
+        spark.createDataFrame(flat, "ts timestamp, value double"),
+        "ts", "value").collect()
+    assert max(r.norm_cusum for r in fscan) < 1.3
+    one = spark.createDataFrame([(datetime(2024, 5, 1), 1.0)],
+                                "ts timestamp, value double")
+    assert drift.mean_shift_scan(one, "ts", "value") \
+        .first().norm_cusum is None
+    import pytest as _p
+    with _p.raises(ValueError, match="unit"):
+        drift.mean_shift_scan(df, "ts", "value", unit="era")
