@@ -936,6 +936,21 @@ def q_drift_events_type_psi(spark, sf):
         F.round("psi", 6).alias("psi"))
 
 
+def q_drift_type_psi_by_dow(spark, sf):
+    """Per-segment categorical drift (operators/drift.py
+    categorical_hist_by + psi_by): event-TYPE mix shift between the
+    window's halves, localized per day-of-week — a weekday whose mix
+    moved stands out instead of diluting into the whole-table PSI. One
+    (dow, side, category) keys-only aggregate."""
+    ev = _load(spark, sf, "events")
+    side = F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp_ntz"),
+                  F.lit("early")).otherwise(F.lit("late"))
+    h = drift.categorical_hist_by(ev.withColumn("dow", F.dayofweek("ts")),
+                                  "event_type", side, "dow")
+    return drift.psi_by(h, "early", "late").select(
+        F.col("grp").alias("dow"), F.round("psi", 6).alias("psi"))
+
+
 def q_drift_events_ks_by_type(spark, sf):
     """Per-group drift (operators/drift.py histogram_by + ks_by): value
     KS per event_type between the window's halves — drift localized to
@@ -2213,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_events_cvm": q_drift_events_cvm,
         "drift_events_type_psi": q_drift_events_type_psi,
         "drift_events_ks_by_type": q_drift_events_ks_by_type,
+        "drift_type_psi_by_dow": q_drift_type_psi_by_dow,
         "drift_events_chi2": q_drift_events_chi2,
         "drift_events_windowed_psi": q_drift_events_windowed_psi,
         "topn_flag_violation_rate": q_topn_flag_violation_rate,
@@ -4196,6 +4212,26 @@ WHERE o.o_custkey IS NOT NULL
         "drift_events_ks": _KS_SQL,
         "drift_events_psi": _PSI_SQL,
         "drift_events_emd": _EMD_SQL,
+        "drift_type_psi_by_dow": """
+WITH h AS (
+  SELECT CAST(dayofweek(ts) + 1 AS INT) AS grp,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'early'
+              ELSE 'late' END AS side,
+         event_type AS bucket, count(*) AS n
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2, 3),
+p AS (SELECT grp, side, bucket,
+             n * 1.0 / sum(n) OVER (PARTITION BY grp, side) AS p
+      FROM h),
+j AS (SELECT coalesce(a.grp, b.grp) AS grp,
+             greatest(coalesce(a.p, 0.0), 1e-6) AS p_a,
+             greatest(coalesce(b.p, 0.0), 1e-6) AS p_b
+      FROM (SELECT * FROM p WHERE side = 'early') a
+      FULL OUTER JOIN (SELECT * FROM p WHERE side = 'late') b
+      USING (grp, bucket))
+SELECT grp AS dow, round(sum((p_a - p_b) * ln(p_a / p_b)), 6) AS psi
+FROM j GROUP BY grp
+""",
         "drift_events_jsd": _JSD_SQL,
         "drift_events_cvm": _CVM_SQL,
         "drift_events_ks_by_type": """

@@ -104,6 +104,50 @@ def categorical_hist(df: DataFrame, value_col: str, side_col) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n")))
 
 
+def categorical_hist_by(df: DataFrame, value_col: str, side_col,
+                        group_col: str) -> DataFrame:
+    """Per-GROUP category-frequency histogram: (grp, side, bucket, n)
+    with ``bucket`` holding the category value — the categorical analog
+    of :func:`histogram_by`, feeding :func:`psi_by` for per-segment
+    category-mix drift. One hash-aggregate; the shuffle carries
+    (group, side, category) keys only."""
+    side = F.col(side_col) if isinstance(side_col, str) else side_col
+    return (df.where(F.col(value_col).isNotNull()
+                     & F.col(group_col).isNotNull())
+              .groupBy(F.col(group_col).alias("grp"),
+                       side.cast("string").alias("side"),
+                       F.col(value_col).cast("string").alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n")))
+
+
+def psi_by(hist: DataFrame, side_a: str, side_b: str,
+           *, epsilon: float = 1e-6) -> DataFrame:
+    """Per-group PSI over a (grp, side, bucket, n) relation — one row
+    (grp, psi) per group, localizing probability-ratio drift to the
+    segment that moved (the categorical companion of :func:`ks_by`;
+    works identically over :func:`histogram_by` numeric buckets).
+    Groups missing either side report NULL (the missing-side guard, per
+    group). Runs entirely on the histogram-sized relation."""
+    tot = Window.partitionBy("grp", "side")
+    p = hist.withColumn("p", F.col("n") / F.sum("n").over(tot))
+    a = p.where(F.col("side") == side_a).select(
+        "grp", "bucket", F.col("p").alias("p_a"))
+    b = p.where(F.col("side") == side_b).select(
+        "grp", "bucket", F.col("p").alias("p_b"))
+    joined = (a.join(b, ["grp", "bucket"], "full_outer")
+               .fillna({"p_a": 0.0, "p_b": 0.0})
+               .withColumn("p_a", F.greatest("p_a", F.lit(epsilon)))
+               .withColumn("p_b", F.greatest("p_b", F.lit(epsilon))))
+    agg = joined.groupBy("grp").agg(
+        F.sum((F.col("p_a") - F.col("p_b"))
+              * F.log(F.col("p_a") / F.col("p_b"))).alias("_psi"),
+        F.max("p_a").alias("_ma"), F.max("p_b").alias("_mb"))
+    return agg.select(
+        "grp",
+        F.when((F.col("_ma") > epsilon) & (F.col("_mb") > epsilon),
+               F.col("_psi")).alias("psi"))
+
+
 def _filled_cdfs(hist: DataFrame, side_a: str, side_b: str) -> DataFrame:
     """Per-bucket (cdf_a, cdf_b) with empty buckets forward-filled — the
     shared front half of every CDF-based statistic (KS, EMD)."""

@@ -178,3 +178,35 @@ def volume_anomalies(df: DataFrame, ts_col: str, *, unit: str = "day",
     return (outlier_scores(buckets, "n_rows", row_id="bucket", k=k,
                            approx=approx)
             .select(F.col("row_id").alias("bucket"), "value", "z"))
+
+
+def volume_violations(df: DataFrame, ts_col: str, *, unit: str = "day",
+                      k: float = 3.5, ruleset_name: str = "engine",
+                      severity: str = "warning") -> DataFrame:
+    """Violation rows for the ``x-volume`` table check: one row per
+    anomalous time bucket from :func:`volume_anomalies` (shape mirrors
+    VIOLATION_FIELDS like the other table checks — x-calendar's
+    thin/flooded-bucket companion)."""
+    bad = volume_anomalies(df, ts_col, unit=unit, k=k)
+    return bad.select(
+        F.col("bucket").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"volume:{ts_col}").alias("constraint_id"),
+        F.lit("x-volume").alias("keyword"),
+        F.lit(f"/{ts_col}").alias("instance_path"),
+        F.lit(f"#/x-volume/{ts_col}").alias("schema_path"),
+        F.concat(
+            F.lit(f"Must have typical {unit} row volume "
+                  f"(median/MAD |z| <= {k:g}): bucket has "),
+            F.col("value").cast("long").cast("string"),
+            F.lit(" rows"),
+            F.when(F.col("z").isNotNull(),
+                   F.concat(F.lit(" (z="),
+                            F.round("z", 2).cast("string"),
+                            F.lit(")"))).otherwise(F.lit(""))
+        ).alias("message"),
+        F.col("value").cast("long").cast("string").alias("actual"),
+        F.lit(None).cast("array<string>").alias("expected"),
+        F.lit(severity).alias("severity"),
+    )

@@ -175,6 +175,12 @@ def table_check_violations(
                 row_id=params.get("id") or row_id,
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
+        elif kind == "volume":
+            from .outliers import volume_violations
+            extras.append(volume_violations(
+                df, column, unit=params.get("unit", "day"),
+                k=params.get("k", 3.5), ruleset_name=compiled.name,
+                severity=params.get("severity", "warning")))
         elif kind == "quantile":
             from .stats import quantile_violations
             extras.append(quantile_violations(

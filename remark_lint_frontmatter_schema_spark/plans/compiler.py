@@ -97,6 +97,7 @@ _KNOWN_KEYWORDS = {
     "x-encoding",
     "x-readability",
     "x-quantile",
+    "x-volume",
 }
 
 
@@ -539,6 +540,11 @@ _KEYWORD_SHAPE = {
     and all(isinstance(v[b], _NUM) and not isinstance(v[b], bool)
             for b in ("lo", "hi") if b in v)
     and (("lo" not in v or "hi" not in v) or v["lo"] <= v["hi"]),
+    "x-volume": lambda v: isinstance(v, dict)
+    and v.get("unit", "day") in ("minute", "hour", "day", "week", "month")
+    and (v.get("k") is None
+         or (isinstance(v["k"], _NUM) and not isinstance(v["k"], bool)
+             and v["k"] > 0)),
     "x-quantile": lambda v: isinstance(v, dict)
     and isinstance(v.get("q"), _NUM) and not isinstance(v["q"], bool)
     and 0 <= v["q"] <= 1
@@ -774,7 +780,7 @@ _VARIANT_UNSUPPORTED_KWS = frozenset((
     "x-corr", "x-mask",
     "x-monotonic", "x-dup-ngram", "x-gopher", "x-c4", "x-leakage", "x-embedding",
     "x-fd", "x-gap", "x-gibberish", "x-lm-ppl", "x-readability",
-    "x-quantile"))
+    "x-quantile", "x-volume"))
 
 
 def _compile_variant_node(schema: dict, ctx: _Ctx) -> None:
@@ -1524,6 +1530,21 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 }))
         else:
             ctx.out.unknown.append((ctx.instance_path, "x-monotonic"))
+
+    if "x-volume" in schema and not ctx.silent:
+        # ingest-volume anomaly gate (operators/outliers.py
+        # volume_violations): time buckets with outlier row counts —
+        # x-calendar's thin/flooded companion; top-level only
+        if is_top:
+            p = schema["x-volume"]
+            ctx.out.table_checks.append(
+                ("volume", ctx.instance_path[1:], {
+                    "unit": p.get("unit", "day"),
+                    "k": float(p.get("k", 3.5)),
+                    "severity": ctx.severity,
+                }))
+        else:
+            ctx.out.unknown.append((ctx.instance_path, "x-volume"))
 
     if "x-quantile" in schema and not ctx.silent:
         # order-statistics band gate (operators/stats.py

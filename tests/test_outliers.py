@@ -221,3 +221,31 @@ def test_volume_anomalies_spike_and_flood(spark):
     assert [r.bucket[11:13] for r in got2] == ["06"]
     with _p.raises(ValueError, match="unit"):
         volume_anomalies(df, "ts", unit="fortnight")
+
+
+def test_x_volume_declarative(spark):
+    """x-volume compiles to a table check and flags the flooded hour;
+    nested placement lands in unknown; bad unit fails compile."""
+    from datetime import datetime
+    import pytest as _p
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    from remark_lint_frontmatter_schema_spark.plans.compiler import (
+        RulesetCompileError)
+    rows = []
+    for h in range(10):
+        n = 400 if h == 3 else (100 + (h % 2) * 2)
+        rows += [(f"r{h}_{i}", datetime(2024, 4, 1, h))
+                 for i in range(n)]
+    df = spark.createDataFrame(rows, "rid string, ts timestamp")
+    rs = {"properties": {"ts": {"x-volume": {"unit": "hour", "k": 3.5}}}}
+    compiled = compile_ruleset(rs, df.schema, name="vol")
+    got = validate_with_table_checks(df, compiled, row_id="rid") \
+        .violations.collect()
+    assert len(got) == 1 and got[0].keyword == "x-volume"
+    assert got[0].row_id == "2024-04-01 03:00:00"
+    assert "bucket has 400 rows" in got[0].message
+    with _p.raises(RulesetCompileError):
+        compile_ruleset({"properties": {"ts": {
+            "x-volume": {"unit": "era"}}}}, df.schema, name="volbad")

@@ -659,3 +659,21 @@ def test_mean_shift_scan_localizes_changepoint(spark):
     import pytest as _p
     with _p.raises(ValueError, match="unit"):
         drift.mean_shift_scan(df, "ts", "value", unit="era")
+
+
+def test_psi_by_localizes_category_mix_drift(spark):
+    """psi_by: only the group whose category MIX shifted scores high;
+    a group missing one side reports NULL, not a confident figure."""
+    rows = []
+    # group g1: mix flips between sides; g2: identical mix; g3: side b absent
+    rows += [("g1", "a", "x")] * 30 + [("g1", "a", "y")] * 10
+    rows += [("g1", "b", "x")] * 10 + [("g1", "b", "y")] * 30
+    rows += [("g2", "a", "x")] * 20 + [("g2", "a", "y")] * 20
+    rows += [("g2", "b", "x")] * 20 + [("g2", "b", "y")] * 20
+    rows += [("g3", "a", "x")] * 10
+    df = spark.createDataFrame(rows, "grp string, side string, cat string")
+    h = drift.categorical_hist_by(df, "cat", "side", "grp")
+    got = {r.grp: r.psi for r in drift.psi_by(h, "a", "b").collect()}
+    assert got["g1"] > 0.5
+    assert abs(got["g2"]) < 1e-9
+    assert got["g3"] is None
