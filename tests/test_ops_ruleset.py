@@ -12,8 +12,8 @@ def test_ops_ruleset_end_to_end(spark):
                                ev.schema, name="ops")
     kinds = sorted(k for k, _, _ in compiled.table_checks)
     assert kinds == ["benford", "calendar", "corr", "freshness",
-                     "monotonic", "outlier", "skew", "unique",
-                     "unique_multi"]
+                     "monotonic", "outlier", "quantile", "skew",
+                     "unique", "unique_multi", "volume"]
     assert compiled.unknown == []
     res = validate_with_table_checks(ev, compiled, row_id="event_id")
     got = {r.keyword for r in res.violations.select("keyword")
