@@ -1036,6 +1036,27 @@ def q_quantile_gate_lineitem(spark, sf):
     return stats.quantile_violations(li, "l_quantity", q=0.99, hi=45.0)
 
 
+def q_cm_counts_lineitem(spark, sf):
+    """Count-Min sketch round trip (operators/skew.py count_min_sketch +
+    cm_estimate): build the depth*width additive sketch over l_suppkey,
+    point-query every distinct key, and report est vs exact — the
+    one-sided overestimate invariant (est >= exact, overcount >= 0) is
+    part of the result relation. Portable md5 bucketing means the DuckDB
+    oracle re-derives the IDENTICAL cells, not just similar estimates."""
+    from remark_lint_frontmatter_schema_spark.operators import skew
+    li = _load(spark, sf, "lineitem")
+    sketch = skew.count_min_sketch(li, "l_suppkey", width=256, depth=4)
+    keys = li.select("l_suppkey").distinct()
+    est = skew.cm_estimate(sketch, keys, "l_suppkey",
+                           width=256, depth=4)
+    exact = li.where(F.col("l_suppkey").isNotNull()) \
+              .groupBy(F.col("l_suppkey").alias("key")) \
+              .agg(F.count(F.lit(1)).alias("exact"))
+    return (est.join(exact, "key")
+               .select("key", "est", "exact",
+                       (F.col("est") - F.col("exact")).alias("overcount")))
+
+
 def q_mean_shift_events(spark, sf):
     """CUSUM changepoint scan (operators/drift.py mean_shift_scan):
     where did the daily mean of events.value shift? One keys-only
@@ -2235,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_ci_orders": q_rate_ci_orders,
         "quantile_gate_lineitem": q_quantile_gate_lineitem,
         "funnel_ci_events": q_funnel_ci_events,
+        "cm_counts_lineitem": q_cm_counts_lineitem,
         "mean_shift_events": q_mean_shift_events,
         "cohort_retention_events": q_cohort_retention_events,
         "markov_events": q_markov_events,
@@ -4403,6 +4425,33 @@ SELECT 'all' AS row_id, 'all' AS partition_id, 'engine' AS ruleset_id,
        ['<= 45'] AS expected,
        'warning' AS severity
 FROM a WHERE qv IS NULL OR qv > 45
+""",
+        "cm_counts_lineitem": """
+WITH base AS (
+  SELECT l_suppkey AS k FROM lineitem WHERE l_suppkey IS NOT NULL),
+seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+cells AS (
+  SELECT seed,
+         CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':'
+                                  || CAST(k AS VARCHAR)), 1, 8))
+              AS BIGINT) % 256 AS bucket,
+         count(*) AS n
+  FROM base, seeds GROUP BY 1, 2),
+keys AS (SELECT DISTINCT k FROM base),
+probe AS (
+  SELECT k, seed,
+         CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':'
+                                  || CAST(k AS VARCHAR)), 1, 8))
+              AS BIGINT) % 256 AS bucket
+  FROM keys, seeds),
+est AS (
+  SELECT p.k, min(coalesce(c.n, 0)) AS est
+  FROM probe p LEFT JOIN cells c USING (seed, bucket) GROUP BY 1),
+exact AS (SELECT k, count(*) AS exact FROM base GROUP BY 1)
+SELECT est.k AS key, CAST(est.est AS BIGINT) AS est,
+       CAST(exact.exact AS BIGINT) AS exact,
+       CAST(est.est - exact.exact AS BIGINT) AS overcount
+FROM est JOIN exact USING (k)
 """,
         "mean_shift_events": """
 WITH b AS (

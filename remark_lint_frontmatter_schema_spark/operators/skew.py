@@ -206,3 +206,68 @@ def skew_violations(df: DataFrame, key: str, *,
         F.lit(None).cast("array<string>").alias("expected"),
         F.lit(severity).alias("severity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): the additive-mergeable
+# frequency sketch — the companion to the Misra-Gries summary above (MG
+# returns the heavy keys; CM answers point queries for ANY key with a
+# one-sided overestimate bound n*e/width at confidence 1-(1/e)^depth)
+# ---------------------------------------------------------------------------
+
+def _cm_bucket(key, seed: int, width: int):
+    """Portable bucket hash: the first 8 md5 hex chars of ``seed:key``
+    as an integer, mod width. md5 (not xxhash64) for the winnowing
+    reason: any SQL engine reproduces the EXACT same cells, so a sketch
+    built here can be verified — or merged — outside Spark."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
+
+
+def count_min_sketch(df: DataFrame, key_col: str, *, width: int = 256,
+                     depth: int = 4) -> DataFrame:
+    """Build a Count-Min sketch over ``key_col``: (seed, bucket, n) with
+    exactly ``depth`` seed rows per input row.
+
+    ONE explode(depth) + hash-aggregate whose shuffle carries
+    (seed, bucket) int pairs only — depth*width cells total, additive
+    under union (merge two sketches by summing matching cells), so
+    per-partition / per-day partials combine with a plain groupBy sum —
+    the same mergeability contract as the Misra-Gries summary and the
+    t-digest. NULL keys are absent (count them with column_stats)."""
+    if width < 2 or depth < 1:
+        raise ValueError("count_min_sketch requires width >= 2, depth >= 1")
+    key = F.col(key_col)
+    cells = F.array(*[
+        F.struct(F.lit(d).alias("seed"),
+                 _cm_bucket(key, d, width).alias("bucket"))
+        for d in range(depth)])
+    return (df.where(key.isNotNull())
+              .select(F.explode(cells).alias("_c"))
+              .groupBy(F.col("_c.seed").alias("seed"),
+                       F.col("_c.bucket").alias("bucket"))
+              .agg(F.count(F.lit(1)).alias("n")))
+
+
+def cm_estimate(sketch: DataFrame, keys: DataFrame, key_col: str, *,
+                width: int = 256, depth: int = 4) -> DataFrame:
+    """Point-query a Count-Min sketch for every row of ``keys``:
+    (key, est) with ``est = min over seeds of the key's cell`` — the CM
+    estimator, NEVER an undercount (est >= true count; pinned by test).
+
+    The probe relation re-derives each key's depth cells (same portable
+    hash) and left-joins the sketch — the sketch is depth*width rows, so
+    Catalyst broadcasts it and the probe is map-side. A cell no key ever
+    hashed to is absent from the sketch relation and reads as 0."""
+    key = F.col(key_col)
+    probes = keys.select(
+        key.alias("key"),
+        F.explode(F.array(*[
+            F.struct(F.lit(d).alias("seed"),
+                     _cm_bucket(key, d, width).alias("bucket"))
+            for d in range(depth)])).alias("_c"))
+    j = (probes.select("key", F.col("_c.seed").alias("seed"),
+                       F.col("_c.bucket").alias("bucket"))
+         .join(F.broadcast(sketch), ["seed", "bucket"], "left")
+         .fillna({"n": 0}))
+    return j.groupBy("key").agg(F.min("n").alias("est"))

@@ -216,3 +216,43 @@ def test_mmd_empty_side_yields_null_stats(spark):
                   n_features=8).collect()[0]
     assert r.n_a == 2 and r.n_b == 0
     assert r.mmd2 is None and r.mmd is None
+
+
+def test_count_min_never_undercounts_and_merges(spark):
+    """CM sketch: est >= exact for every key (one-sided by
+    construction); sketches are additive — cells of sketch(A) summed
+    with sketch(B) equal the cells of sketch(A union B); an unseen key's
+    estimate is bounded by collision mass, never negative."""
+    from pyspark.sql import functions as F
+    from remark_lint_frontmatter_schema_spark.operators.skew import (
+        cm_estimate, count_min_sketch)
+    import pytest as _p
+    a = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(70)] + [("hot",)] * 50, ["key"])
+    b = spark.createDataFrame([(f"k{i % 3}",) for i in range(30)], ["key"])
+    width, depth = 64, 4
+    sk_a = count_min_sketch(a, "key", width=width, depth=depth)
+    sk_b = count_min_sketch(b, "key", width=width, depth=depth)
+    union = count_min_sketch(a.unionAll(b), "key",
+                             width=width, depth=depth)
+    merged = (sk_a.unionByName(sk_b).groupBy("seed", "bucket")
+              .agg(F.sum("n").alias("n")))
+    assert sorted(map(tuple, merged.collect())) \
+        == sorted(map(tuple, union.collect()))
+    # never undercount vs exact
+    exact = {r.key: r.cnt for r in
+             a.unionAll(b).groupBy("key")
+              .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    keys = a.unionAll(b).select("key").distinct()
+    est = {r.key: r.est for r in cm_estimate(
+        union, keys, "key", width=width, depth=depth).collect()}
+    assert est.keys() == exact.keys()
+    assert all(est[k] >= exact[k] for k in exact)
+    assert est["hot"] >= 50
+    # unseen key: estimate is collision mass only (>= 0, << total)
+    ghost = spark.createDataFrame([("never-seen",)], ["key"])
+    (g,) = cm_estimate(union, ghost, "key",
+                       width=width, depth=depth).collect()
+    assert 0 <= g.est <= 30
+    with _p.raises(ValueError, match="width"):
+        count_min_sketch(a, "key", width=1)
