@@ -1122,6 +1122,19 @@ def q_langid_documents(spark, sf):
         (text.lang_guess(F.col("text")) == F.col("lang")).alias("matches_label"))
 
 
+def q_lang_confusion_documents(spark, sf):
+    """Language confusion matrix: declared label x heuristic guess with
+    counts — the aggregate that tells you WHICH labels the lang-ID
+    heuristic disagrees with (a systematic de<->nl style confusion looks
+    very different from uniform noise). One keys-only aggregate over the
+    langid projection."""
+    docs = _load(spark, sf, "documents")
+    return (docs.select(F.col("lang").alias("declared"),
+                        text.lang_guess(F.col("text")).alias("guessed"))
+            .groupBy("declared", "guessed")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 def q_fingerprint_documents(spark, sf):
     docs = _load(spark, sf, "documents")
     return docs.select("doc_id",
@@ -2262,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_events": q_markov_events,
         "text_stats_documents": q_text_stats_documents,
         "langid_documents": q_langid_documents,
+        "lang_confusion_documents": q_lang_confusion_documents,
         "fingerprint_documents": q_fingerprint_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -4529,6 +4543,12 @@ FROM w
 """,
         "text_stats_documents": _TEXT_STATS_SQL,
         "langid_documents": _langid_oracle_sql(),
+        "lang_confusion_documents": f"""
+WITH g AS ({_langid_oracle_sql()})
+SELECT d.lang AS declared, g.lang_guess AS guessed, count(*) AS n
+FROM documents d JOIN g USING (doc_id)
+GROUP BY 1, 2
+""",
         "fingerprint_documents": """
 SELECT doc_id,
        sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
