@@ -133,6 +133,14 @@ HEADLINE = [
     "markov_events",
     "hubness_embeddings",
     "winnow_pairs_documents",
+    "quantile_gate_lineitem",
+    "volume_anomaly_events",
+    "mean_shift_events",
+    "containment_documents",
+    "funnel_ci_events",
+    "drift_type_psi_by_dow",
+    "cm_counts_lineitem",
+    "lang_confusion_documents",
 ]
 
 
