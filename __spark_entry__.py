@@ -1372,6 +1372,21 @@ def q_winnow_pairs_documents(spark, sf):
                                   k=12, w=16, min_shared=3, max_df=20)
 
 
+def q_dim_profile_embeddings(spark, sf):
+    """Per-dimension embedding statistics (operators/similarity.py
+    dimension_profile): the collapse diagnostic — dead dimensions and
+    variance concentration the row-level x-embedding checks can't see.
+    One posexplode + dim-keyed aggregate (64 groups, map-side
+    combined)."""
+    emb = _load(spark, sf, "embeddings")
+    return similarity.dimension_profile(emb, "embedding", dim=64).select(
+        "dim", "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("variance", 6).alias("variance"),
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"))
+
+
 def q_hubness_embeddings(spark, sf):
     """k-occurrence hubness histogram (operators/similarity.py
     k_occurrence): every 4th vector as a broadcast query panel, exact
@@ -2280,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embed_sim_pairs": q_embed_sim_pairs,
+        "dim_profile_embeddings": q_dim_profile_embeddings,
         "hubness_embeddings": q_hubness_embeddings,
         "winnow_pairs_documents": q_winnow_pairs_documents,
         "containment_documents": q_containment_documents,
@@ -4609,6 +4625,19 @@ FROM fps a JOIN fps b USING (fp) JOIN elig USING (fp)
 WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= 3
+""",
+        "dim_profile_embeddings": """
+WITH x AS (
+  SELECT unnest(list_transform(embedding::DOUBLE[],
+                               (v, i) -> {'d': i - 1, 'v': v})) AS s
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64)
+SELECT CAST(s.d AS INT) AS dim, count(*) AS n,
+       round(avg(s.v), 6) AS mean,
+       round(var_samp(s.v), 6) AS variance,
+       round(min(s.v), 6) AS min,
+       round(max(s.v), 6) AS max
+FROM x GROUP BY 1
 """,
         "hubness_embeddings": """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

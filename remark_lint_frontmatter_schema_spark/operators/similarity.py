@@ -104,6 +104,36 @@ def k_occurrence(df: DataFrame, vec_col: str, id_col: str, *,
     return per_vec.groupBy("n_k").agg(F.count(F.lit(1)).alias("n_vecs"))
 
 
+def dimension_profile(df: DataFrame, vec_col: str, *, dim: int) -> DataFrame:
+    """Per-dimension statistics of an embedding column: (dim, n, mean,
+    variance, min, max) — the embedding-collapse diagnostic.
+
+    A healthy encoder spreads information across dimensions; training
+    collapse or a truncation bug shows up as DEAD dimensions (variance
+    ~0) or one dimension carrying almost all the variance — both
+    invisible to the row-level x-embedding checks (norm, NaN, length)
+    and cheap to watch here. The participation ratio
+    ``(sum var)^2 / sum var^2`` derives directly from this relation
+    (n_dims means isotropic, ~1 means collapsed).
+
+    One posexplode + hash aggregate whose shuffle carries (dim) keys —
+    dim groups total, map-side combined. Vectors that are NULL or not
+    exactly ``dim`` long are absent (shape policing is
+    validate_embeddings_array's job, and mixing lengths would silently
+    misalign dimensions)."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    v = F.col(vec_col).cast("array<double>")
+    base = df.where(v.isNotNull() & (F.size(v) == dim)) \
+             .select(F.posexplode(v).alias("dim", "x"))
+    return base.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mean"),
+        F.var_samp("x").alias("variance"),
+        F.min("x").alias("min"),
+        F.max("x").alias("max"))
+
+
 def assign_cells(df: DataFrame, vec_col: str, centroids: list[list[float]]):
     """IVF cell assignment: argmin squared distance to each centroid — an
     unrolled JVM expression per centroid (centroid count is small)."""

@@ -400,6 +400,7 @@ def mask_violations(df: DataFrame, column: str, *, expect: str,
 def quantile_violations(df: DataFrame, column: str, *,
                         q: float, lo: float | None = None,
                         hi: float | None = None,
+                        by: str | None = None,
                         approx: bool = False, accuracy: int = 10000,
                         ruleset_name: str = "engine",
                         severity: str = "warning") -> DataFrame:
@@ -417,7 +418,14 @@ def quantile_violations(df: DataFrame, column: str, *,
     (``accuracy`` trades memory for error; the oracle then certifies the
     exact twin instead). Fails CLOSED on an empty/all-NULL column: a
     NULL quantile is a finding (the x-benford/x-freshness policy), not
-    a pass."""
+    a pass.
+
+    ``by`` checks the band PER GROUP ("p99 latency per codec") — one
+    grouped aggregate, a violation row per out-of-band group with the
+    group value as ``row_id``. A group whose values are all NULL fails
+    closed like the global form; an entirely empty table yields no
+    groups and therefore no rows — table emptiness is
+    x-calendar/x-freshness's finding, not a quantile's."""
     if not (0.0 <= q <= 1.0):
         raise ValueError("q must be in [0, 1]")
     if lo is None and hi is None:
@@ -425,7 +433,12 @@ def quantile_violations(df: DataFrame, column: str, *,
     c = F.col(column).cast("double")
     qexpr = (F.percentile_approx(c, F.lit(float(q)), F.lit(int(accuracy)))
              if approx else F.percentile(c, F.lit(float(q))))
-    agg = df.agg(F.round(qexpr, 6).alias("_q"))
+    if by is None:
+        agg = df.agg(F.round(qexpr, 6).alias("_q"))
+        rid = F.lit("all")
+    else:
+        agg = df.groupBy(F.col(by).cast("string").alias("_grp"))                 .agg(F.round(qexpr, 6).alias("_q"))
+        rid = F.coalesce(F.col("_grp"), F.lit("<null>"))
     out_of_band = F.lit(False)
     if lo is not None:
         out_of_band = out_of_band | (F.col("_q") < float(lo))
@@ -437,10 +450,11 @@ def quantile_violations(df: DataFrame, column: str, *,
     band_text = (f"in {band}" if lo is not None and hi is not None
                  else band)
     return bad.select(
-        F.lit("all").alias("row_id"),
+        rid.alias("row_id"),
         F.lit("all").alias("partition_id"),
         F.lit(ruleset_name).alias("ruleset_id"),
-        F.lit(f"quantile:{column}:{q:g}").alias("constraint_id"),
+        F.lit(f"quantile:{column}:{q:g}"
+              + (f":by={by}" if by else "")).alias("constraint_id"),
         F.lit("x-quantile").alias("keyword"),
         F.lit(f"/{column}").alias("instance_path"),
         F.lit(f"#/x-quantile/{column}").alias("schema_path"),

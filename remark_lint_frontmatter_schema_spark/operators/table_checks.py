@@ -185,7 +185,8 @@ def table_check_violations(
             from .stats import quantile_violations
             extras.append(quantile_violations(
                 df, column, q=params["q"], lo=params["lo"],
-                hi=params["hi"], approx=params.get("approx", False),
+                hi=params["hi"], by=params.get("by"),
+                approx=params.get("approx", False),
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
         elif kind == "readability":

@@ -552,6 +552,7 @@ _KEYWORD_SHAPE = {
     and all(isinstance(v[b], _NUM) and not isinstance(v[b], bool)
             for b in ("lo", "hi") if b in v)
     and (("lo" not in v or "hi" not in v) or v["lo"] <= v["hi"])
+    and (v.get("by") is None or isinstance(v["by"], str))
     and isinstance(v.get("approx", False), bool),
     "x-lm-ppl": lambda v: isinstance(v, dict)
     and isinstance(v.get("id"), str)
@@ -1550,8 +1551,10 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
         # order-statistics band gate (operators/stats.py
         # quantile_violations) — one-aggregate relational pass like
         # x-benford; numeric top-level columns only
-        if is_top and isinstance(ctx.dtype, _NUMERIC):
-            p = schema["x-quantile"]
+        p = schema["x-quantile"]
+        if (is_top and isinstance(ctx.dtype, _NUMERIC)
+                and (p.get("by") is None
+                     or p["by"] in ctx.df_schema.fieldNames())):
             ctx.out.table_checks.append(
                 ("quantile", ctx.instance_path[1:], {
                     "q": float(p["q"]),
@@ -1559,6 +1562,7 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                            else float(p["lo"])),
                     "hi": (None if p.get("hi") is None
                            else float(p["hi"])),
+                    "by": p.get("by"),
                     "approx": bool(p.get("approx", False)),
                     "severity": ctx.severity,
                 }))

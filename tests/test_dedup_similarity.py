@@ -707,3 +707,29 @@ def test_containment_pairs_directed_subset(spark):
                                    block_col="lang", n=3,
                                    threshold=0.5).collect()
     assert (p.id_small, p.id_big) == (10, 11) and p.jaccard > 0.5
+
+
+def test_dimension_profile_detects_collapse(spark):
+    """dimension_profile: a dead dimension reports ~0 variance, ragged
+    and NULL vectors are excluded (misaligned dims would corrupt every
+    statistic), participation ratio derives from the relation."""
+    import random
+    rng = random.Random(3)
+    rows = []
+    for i in range(50):
+        v = [rng.gauss(0, 1.0), 0.5, rng.gauss(0, 0.1)]  # dim1 dead
+        rows.append((i, v))
+    rows.append((97, None))
+    rows.append((98, [1.0, 2.0]))                         # ragged: excluded
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    got = {r.dim: r for r in similarity.dimension_profile(
+        df, "v", dim=3).collect()}
+    assert set(got) == {0, 1, 2} and all(r.n == 50 for r in got.values())
+    assert got[1].variance == 0.0 and got[1].mean == 0.5
+    assert got[0].variance > got[2].variance > 0
+    # participation ratio: (sum v)^2 / sum v^2 — collapsed << n_dims
+    tot = sum(r.variance for r in got.values())
+    pr = tot * tot / sum(r.variance ** 2 for r in got.values())
+    assert 1.0 <= pr < 1.5                               # dim0 dominates
+    with pytest.raises(ValueError, match="dim"):
+        similarity.dimension_profile(df, "v", dim=0)

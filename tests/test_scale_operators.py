@@ -677,3 +677,29 @@ def test_psi_by_localizes_category_mix_drift(spark):
     assert got["g1"] > 0.5
     assert abs(got["g2"]) < 1e-9
     assert got["g3"] is None
+
+
+def test_x_quantile_grouped(spark):
+    """x-quantile with `by`: the band is checked per group, out-of-band
+    groups become violation rows keyed by the group value; an unknown
+    `by` column lands in unknown."""
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators import stats
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    rows = [("slow", i, float(i * 10)) for i in range(1, 11)]   # p99 ~ 99
+    rows += [("fast", 100 + i, float(i)) for i in range(1, 11)]  # p99 ~ 9.9
+    df = spark.createDataFrame(rows, "codec string, rid int, v double")
+    got = stats.quantile_violations(df, "v", q=0.99, hi=50,
+                                    by="codec").collect()
+    assert [r.row_id for r in got] == ["slow"]
+    assert "by=codec" in got[0].constraint_id
+    rs = {"properties": {"v": {"x-quantile":
+                               {"q": 0.99, "hi": 50, "by": "codec"}}}}
+    compiled = compile_ruleset(rs, df.schema, name="qg")
+    vio = validate_with_table_checks(df, compiled, row_id="rid") \
+        .violations.collect()
+    assert [r.row_id for r in vio] == ["slow"]
+    c2 = compile_ruleset({"properties": {"v": {"x-quantile":
+        {"q": 0.99, "hi": 50, "by": "nope"}}}}, df.schema, name="qg2")
+    assert ("/v", "x-quantile") in c2.unknown and not c2.table_checks
