@@ -1067,6 +1067,34 @@ def q_mean_shift_events(spark, sf):
     return drift.mean_shift_scan(ev, "ts", "value", unit="day")
 
 
+def q_stickiness_events(spark, sf):
+    """DAU/WAU stickiness (operators/cohort.py stickiness): one distinct
+    (day, user) reduction, then a broadcast day-grid range join and a
+    per-window distinct count — silent-churn monitoring with shuffles
+    carrying (day, user) pairs only."""
+    ev = _load(spark, sf, "events")
+    return cohort.stickiness(ev, "user_id", "ts", window_days=7)
+
+
+def q_top_paths_events(spark, sf):
+    """Top session paths: sessionize (operators/sequence.py) splits each
+    user's timeline at 30-min gaps, each session folds to its ordered
+    event-type path, the path histogram's top 20 comes off a
+    TakeOrderedAndProject (deterministic path tiebreak). The oracle
+    recomputes sessionization + ordered string_agg in DuckDB."""
+    from remark_lint_frontmatter_schema_spark.operators import sequence
+    ev = _load(spark, sf, "events")
+    s = sequence.sessionize(ev, "ts", by="user_id", gap_seconds=1800)
+    paths = (s.where(F.col("session_id").isNotNull())
+              .groupBy("session_id")
+              .agg(F.concat_ws(">", F.transform(
+                  F.array_sort(F.collect_list(
+                      F.struct("ts", "event_id", "event_type"))),
+                  lambda r: r["event_type"])).alias("path")))
+    return (paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+                 .orderBy(F.desc("n"), F.asc("path")).limit(20))
+
+
 def q_cohort_retention_events(spark, sf):
     """Weekly cohort retention triangle (operators/cohort.py
     cohort_retention): users keyed to their first-event week, one
@@ -2286,6 +2314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_ci_events": q_funnel_ci_events,
         "cm_counts_lineitem": q_cm_counts_lineitem,
         "mean_shift_events": q_mean_shift_events,
+        "stickiness_events": q_stickiness_events,
+        "top_paths_events": q_top_paths_events,
         "cohort_retention_events": q_cohort_retention_events,
         "markov_events": q_markov_events,
         "text_stats_documents": q_text_stats_documents,
@@ -4498,6 +4528,43 @@ SELECT bucket, n_rows, round(mv, 6) AS mean_value,
        round(CASE WHEN nb >= 2 AND sd > 0
                   THEN abs(cusum) / (sd * sqrt(nb)) END, 6) AS norm_cusum
 FROM c
+""",
+        "stickiness_events": """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id AS u
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+days AS (SELECT DISTINCT day AS d FROM du)
+SELECT d AS day,
+       count(DISTINCT CASE WHEN du.day = d THEN du.u END) AS dau,
+       count(DISTINCT du.u) AS wau,
+       round(count(DISTINCT CASE WHEN du.day = d THEN du.u END) * 1.0
+             / count(DISTINCT du.u), 6) AS stickiness
+FROM days JOIN du
+  ON du.day BETWEEN d - INTERVAL 6 DAY AND d
+GROUP BY d
+""",
+        "top_paths_events": """
+WITH s AS (
+  SELECT event_id, user_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+), x AS (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(sum(CASE WHEN prev IS NULL
+                       OR epoch(ts) - epoch(prev) > 1800
+                  THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_index
+  FROM s
+), p AS (
+  SELECT CAST(user_id AS VARCHAR) || '-'
+           || CAST(session_index AS VARCHAR) AS session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM x GROUP BY 1
+)
+SELECT path, count(*) AS n FROM p
+GROUP BY path ORDER BY n DESC, path LIMIT 20
 """,
         "cohort_retention_events": """
 WITH base AS (

@@ -97,3 +97,40 @@ def transition_matrix(df: DataFrame, key_col: str, state_col: str,
     return counts.select(
         "src", "dst", "n",
         F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"))
+
+
+def stickiness(df: DataFrame, user_col: str, ts_col: str, *,
+               window_days: int = 7) -> DataFrame:
+    """Daily active / rolling-window active ratio (the DAU/WAU
+    "stickiness" metric): one row per observed day with
+    (day, dau, wau, stickiness = dau/wau) — how much of the
+    ``window_days``-day population shows up on a given day; a falling
+    ratio with flat WAU is the classic silent-churn signature.
+
+    Dataflow: the table reduces to the distinct (day, user) relation
+    (one keys-only aggregate — the only row-scale shuffle), then a
+    broadcast day-grid range join re-buckets each (day, user) row into
+    the <= window_days windows it belongs to and one aggregate counts
+    distinct users per window. Shuffled payloads are (day, user) pairs;
+    the day grid is driver-scale. Days early in the observed range have
+    truncated windows (defined, and honest — the first days genuinely
+    saw fewer than window_days days)."""
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    u, t = F.col(user_col), F.col(ts_col)
+    du = (df.where(u.isNotNull() & t.isNotNull())
+            .select(F.date_trunc("day", t).alias("day"),
+                    u.alias("_u")).distinct())
+    days = du.select(F.col("day").alias("_d")).distinct()
+    span = F.col("day").between(
+        F.col("_d") - F.expr(f"INTERVAL {int(window_days) - 1} DAYS"),
+        F.col("_d"))
+    j = du.join(F.broadcast(days), span)
+    return (j.groupBy(F.col("_d").alias("day"))
+             .agg(F.countDistinct(
+                      F.when(F.col("day") == F.col("_d"), F.col("_u")))
+                  .alias("dau"),
+                  F.countDistinct("_u").alias("wau"))
+             .select("day", "dau", "wau",
+                     F.round(F.col("dau") / F.col("wau"), 6)
+                      .alias("stickiness")))

@@ -64,3 +64,26 @@ def test_transition_matrix_tiebreak_determinism(spark):
     got = {(r.src, r.dst) for r in cohort.transition_matrix(
         df, "user_id", "state", "t", tiebreak="eid").collect()}
     assert got == {("x", "y"), ("y", "z")}
+
+
+def test_stickiness_dau_wau(spark):
+    """stickiness: a daily user keeps ratio at dau/wau with correct
+    rolling distinct counts; truncated early windows are honest; NULL
+    rows absent; guard."""
+    rows = []
+    # u1 active every day 1..8; u2 only day 3; u3 only day 8
+    for d in range(1, 9):
+        rows.append(("u1", _ts(d)))
+    rows += [("u2", _ts(3)), ("u3", _ts(8)), (None, _ts(1)), ("u4", None)]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {r.day.day: r for r in
+           cohort.stickiness(df, "user_id", "ts", window_days=7).collect()}
+    assert got[1].dau == 1 and got[1].wau == 1 and got[1].stickiness == 1.0
+    assert got[3].dau == 2 and got[3].wau == 2          # u1 + u2
+    assert got[4].dau == 1 and got[4].wau == 2          # u2 still in window
+    # day 8: u2's day-3 activity has aged out of [2..8]; u3 joins
+    assert got[8].dau == 2 and got[8].wau == 3
+    assert abs(got[8].stickiness - 2 / 3) < 1e-5   # rounded to 6
+    assert len(got) == 8
+    with pytest.raises(ValueError, match="window_days"):
+        cohort.stickiness(df, "user_id", "ts", window_days=0)
