@@ -141,6 +141,9 @@ HEADLINE = [
     "drift_type_psi_by_dow",
     "cm_counts_lineitem",
     "lang_confusion_documents",
+    "dim_profile_embeddings",
+    "stickiness_events",
+    "top_paths_events",
 ]
 
 
