@@ -111,3 +111,62 @@ def test_mmd_partials_before_exchange(spark):
     # nothing between the feature-sum stage and its scan: per-batch
     # partials shuffle, never per-row features
     assert "Exchange" not in below[:below.index("Scan")], plan
+
+
+def test_winnow_normalized_text_staged_once_below_generate(spark):
+    """winnow_fingerprints: the normalized text must be a materialized
+    projection attribute below the Generate — re-inlining the
+    regexp_replace into the per-gram lambda would be O(len^2) per doc.
+    One occurrence is the projection; the second is the pushed-down
+    length filter (per-row, acceptable); never a third inside the
+    HOF."""
+    df = spark.createDataFrame([(1, "The quick  Brown fox")],
+                               "doc_id int, text string")
+    plan = dedup.winnow_fingerprints(df, "text", "doc_id") \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_replace") <= 2, plan
+
+
+def test_containment_pairs_no_cartesian(spark):
+    """containment_pairs joins on the block key — never a cartesian or
+    nested-loop product of the corpus with itself."""
+    df = spark.createDataFrame(
+        [(i, f"some words here number {i} extended with more tokens "
+             f"to clear the shingle floor", "en") for i in range(20)],
+        "doc_id int, text string, lang string")
+    plan = _plan(dedup.containment_pairs(df, "text", "doc_id",
+                                         block_col="lang", n=3,
+                                         threshold=0.1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cm_sketch_is_pure_jvm_and_estimate_broadcasts(spark):
+    """count_min_sketch: one explode + hash aggregate, pure JVM;
+    cm_estimate joins the depth*width sketch by broadcast (map-side
+    probe, no shuffle of the probe side on (seed, bucket))."""
+    from remark_lint_frontmatter_schema_spark.operators.skew import (
+        cm_estimate, count_min_sketch)
+    df = spark.createDataFrame([(f"k{i % 5}",) for i in range(100)],
+                               ["key"]).repartition(4)
+    sk = count_min_sketch(df, "key", width=32, depth=3)
+    assert "EvalPython" not in _plan(sk)
+    est = cm_estimate(sk, df.select("key").distinct(), "key",
+                      width=32, depth=3)
+    plan = _plan(est)
+    assert "BroadcastExchange" in plan and "EvalPython" not in plan
+
+
+def test_stickiness_day_grid_broadcasts(spark):
+    """stickiness: the day-grid range join must broadcast the tiny grid
+    side — a sort-merge range join of (day,user) against days would
+    shuffle the full distinct relation per window."""
+    from datetime import datetime
+    from remark_lint_frontmatter_schema_spark.operators.cohort import (
+        stickiness)
+    df = spark.createDataFrame(
+        [(f"u{i % 7}", datetime(2024, 1, 1 + i % 9)) for i in range(100)],
+        "user_id string, ts timestamp")
+    plan = _plan(stickiness(df, "user_id", "ts"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
