@@ -1378,14 +1378,17 @@ def q_ann_cosine_topk(spark, sf):
 
 
 def q_containment_documents(spark, sf):
-    """Directed containment pairs (operators/dedup.py containment_pairs):
-    |A∩B|/|A| word-5-gram containment of the smaller shingle set in the
-    larger, lang-blocked — catches the quoted-wholesale/stitched subset
-    relations Jaccard dilutes away; jaccard rides along to separate true
-    near-dups from subsets."""
+    """Directed containment pairs (operators/dedup.py
+    containment_pairs_rare): candidates from RARE word-5-gram postings
+    (df <= 20 — linear in the corpus for a fixed cap, the
+    dup_ngram/decontaminate pattern; Jaccard-LSH misses containment by
+    construction and fixed-cardinality blocks go quadratic), verified
+    exactly — |A∩B|/|A| of the smaller shingle set, jaccard riding
+    along to separate true near-dups from subset relations."""
     docs = _load(spark, sf, "documents")
-    return dedup.containment_pairs(docs, "text", "doc_id",
-                                   block_col="lang", n=5, threshold=0.4)
+    return dedup.containment_pairs_rare(docs, "text", "doc_id", n=5,
+                                        threshold=0.4, max_df=20,
+                                        min_shared=2)
 
 
 def q_winnow_pairs_documents(spark, sf):
@@ -4646,25 +4649,37 @@ FROM documents WHERE text IS NOT NULL GROUP BY sha256(text)
         "embed_sim_pairs": _EMBED_PAIRS_SQL,
         "containment_documents": r"""
 WITH sh AS (
-  SELECT doc_id, lang, list_distinct(list_transform(
+  SELECT doc_id, list_distinct(list_transform(
            range(1, greatest(len(t) - 4, 0) + 1),
            i -> array_to_string(t[i:i+4], ' '))) AS s
-  FROM (SELECT doc_id, lang,
+  FROM (SELECT doc_id,
                list_filter(string_split_regex(text, '\s+'),
                            x -> x <> '') AS t
         FROM documents)
-  WHERE len(t) >= 5)
-SELECT a.doc_id AS id_small, b.doc_id AS id_big,
-       round(len(list_intersect(a.s, b.s)) * 1.0
-             / least(len(a.s), len(b.s)), 6) AS containment,
-       round(len(list_intersect(a.s, b.s)) * 1.0
-             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
-         AS jaccard
-FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id
-WHERE (len(a.s) < len(b.s)
-       OR (len(a.s) = len(b.s) AND a.doc_id < b.doc_id))
-  AND len(list_intersect(a.s, b.s)) * 1.0
-      / least(len(a.s), len(b.s)) >= 0.4
+  WHERE len(t) >= 5),
+post AS (SELECT doc_id, unnest(s) AS g FROM sh),
+rare AS (SELECT g FROM post GROUP BY g HAVING count(*) <= 20),
+rp AS (SELECT p.doc_id, p.g FROM post p JOIN rare USING (g)),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rp a JOIN rp b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+v AS (
+  SELECT c.id_a, c.id_b, sa.s AS s_a, sb.s AS s_b,
+         len(list_intersect(sa.s, sb.s)) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b)
+SELECT CASE WHEN len(s_a) < len(s_b)
+                 OR (len(s_a) = len(s_b) AND id_a < id_b)
+            THEN id_a ELSE id_b END AS id_small,
+       CASE WHEN len(s_a) < len(s_b)
+                 OR (len(s_a) = len(s_b) AND id_a < id_b)
+            THEN id_b ELSE id_a END AS id_big,
+       round(inter * 1.0 / least(len(s_a), len(s_b)), 6) AS containment,
+       round(inter * 1.0 / (len(s_a) + len(s_b) - inter), 6) AS jaccard
+FROM v
+WHERE inter * 1.0 / least(len(s_a), len(s_b)) >= 0.4
 """,
         "winnow_pairs_documents": r"""
 WITH norm AS (

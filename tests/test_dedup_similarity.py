@@ -733,3 +733,31 @@ def test_dimension_profile_detects_collapse(spark):
     assert 1.0 <= pr < 1.5                               # dim0 dominates
     with pytest.raises(ValueError, match="dim"):
         similarity.dimension_profile(df, "v", dim=0)
+
+
+def test_containment_pairs_rare_matches_blocked_verifier(spark):
+    """containment_pairs_rare finds the planted subset pair without any
+    block (candidates from rare shingles), with the same statistic as
+    the blocked verifier; pure-boilerplate misses are the documented
+    miss-mode; guards hold."""
+    quote = "the zebra quickly vaulted over seven mossy granite boulders"
+    filler = " ".join(f"pad{i} word{i}" for i in range(40))
+    rows = [(1, quote, "en"),
+            (2, filler + " " + quote + " tail words here", "en"),
+            (3, "entirely different text about planning", "en")]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    got = {(r.id_small, r.id_big): r for r in
+           dedup.containment_pairs_rare(df, "text", "doc_id",
+                                        n=5, threshold=0.9,
+                                        max_df=10, min_shared=2).collect()}
+    assert list(got) == [(1, 2)] and got[(1, 2)].containment == 1.0
+    blocked = {(r.id_small, r.id_big): r for r in
+               dedup.containment_pairs(df, "text", "doc_id",
+                                       block_col="lang", n=5,
+                                       threshold=0.9).collect()}
+    assert got[(1, 2)].containment == blocked[(1, 2)].containment
+    assert got[(1, 2)].jaccard == blocked[(1, 2)].jaccard
+    with pytest.raises(ValueError, match="max_df"):
+        dedup.containment_pairs_rare(df, "text", "doc_id", max_df=1)
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.containment_pairs_rare(df, "text", "doc_id", threshold=0)
