@@ -1150,6 +1150,16 @@ def q_langid_documents(spark, sf):
         (text.lang_guess(F.col("text")) == F.col("lang")).alias("matches_label"))
 
 
+def q_keywords_documents(spark, sf):
+    """Per-doc top-3 TF-IDF keywords (operators/text.py tfidf_keywords):
+    tf from one (id, term) aggregate, df joined back, per-doc window
+    top-k with term tiebreak — the cheap document tagger; df band drops
+    ids (rare) and stopwords (common) without a list."""
+    docs = _load(spark, sf, "documents")
+    return text.tfidf_keywords(docs, "text", "doc_id", top_k=3) \
+        .withColumnRenamed("id", "doc_id")
+
+
 def q_lang_confusion_documents(spark, sf):
     """Language confusion matrix: declared label x heuristic guess with
     counts — the aggregate that tells you WHICH labels the lang-ID
@@ -2328,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_documents": q_text_stats_documents,
         "langid_documents": q_langid_documents,
         "lang_confusion_documents": q_lang_confusion_documents,
+        "keywords_documents": q_keywords_documents,
         "fingerprint_documents": q_fingerprint_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -4633,6 +4644,29 @@ FROM w
 """,
         "text_stats_documents": _TEXT_STATS_SQL,
         "langid_documents": _langid_oracle_sql(),
+        "keywords_documents": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS nd FROM documents WHERE text IS NOT NULL),
+sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         round(tf.tf * ln(n.nd * 1.0 / dfq.df), 6) AS score
+  FROM tf JOIN dfq USING (term), n
+  WHERE dfq.df >= 2 AND dfq.df <= n.nd * 0.5),
+rk AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM sc)
+SELECT doc_id, CAST(rank AS INT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM rk WHERE rank <= 3
+""",
         "lang_confusion_documents": f"""
 WITH g AS ({_langid_oracle_sql()})
 SELECT d.lang AS declared, g.lang_guess AS guessed, count(*) AS n

@@ -1026,3 +1026,44 @@ def readability_violations(df: DataFrame, text_col: str, id_col: str, *,
                  .alias("expected"),
                 F.lit(severity).alias("severity"),
             ))
+
+
+def tfidf_keywords(df: DataFrame, text_col: str, id_col: str, *,
+                   top_k: int = 5, min_df: int = 2,
+                   max_df_frac: float = 0.5) -> DataFrame:
+    """Per-document top-``top_k`` TF-IDF keywords:
+    (id, rank, term, tf, df, score) — the cheap document tagger used for
+    corpus browsing, topic-drift eyeballing, and weak labels.
+
+    score = tf * ln(N / df) over lowercased whitespace tokens, with the
+    standard df band: terms in fewer than ``min_df`` docs are too rare
+    to be a tag (typos, ids), terms in more than ``max_df_frac`` of docs
+    carry no information (stopwords fall out here without a list). Ties
+    break by term asc so ranks are engine-stable.
+
+    Dataflow: one explode + (id, term) aggregate for tf (map-side
+    combined), a (term) aggregate for df joined back (AQE broadcasts the
+    vocab-sized relation for ordinary corpora), then a per-doc window
+    top-k — partitioned by id, so no global sort. Shuffles carry
+    (id, term) pairs; N comes from one broadcast scalar."""
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    c = F.col(text_col)
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens(F.lower(c))).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.where(c.isNotNull()).agg(
+        F.count(F.lit(1)).alias("_n"))
+    scored = (tf.join(dfreq, "term")
+                .crossJoin(F.broadcast(n_docs))
+                .where((F.col("df") >= int(min_df))
+                       & (F.col("df") <= F.col("_n") * float(max_df_frac)))
+                .withColumn("score",
+                            F.round(F.col("tf")
+                                    * F.log(F.col("_n") / F.col("df")), 6)))
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= top_k)
+                  .select(F.col("id"), "rank", "term", "tf", "df",
+                          "score"))

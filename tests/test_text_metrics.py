@@ -127,3 +127,33 @@ def test_x_readability_declarative(spark):
         compile_ruleset({"properties": {"t": {
             "x-readability": {"id": "rid", "lo": 90, "hi": 10}}}},
             df.schema, name="read3")
+
+
+def test_tfidf_keywords_band_and_ranks(spark):
+    """tfidf_keywords: the distinctive mid-frequency term wins; df-1
+    terms (typos/ids) and ubiquitous terms fall outside the band; ranks
+    tie-break by term; guard."""
+    docs = [
+        (1, "common shared alpha topic topic topic"),
+        (2, "common shared alpha other"),
+        (3, "common shared topic unique1"),
+        (4, "common shared beta beta unique2"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, t string")
+    got = {}
+    for r in text.tfidf_keywords(df, "t", "doc_id", top_k=2,
+                                 min_df=2, max_df_frac=0.6).collect():
+        got.setdefault(r.id, []).append((r.rank, r.term))
+    # 'common'/'shared' appear in 4/4 docs (> 0.6 band) -> never keywords;
+    # 'unique1'/'unique2' have df 1 -> never keywords
+    all_terms = {t for v in got.values() for _, t in v}
+    assert "common" not in all_terms and "shared" not in all_terms
+    assert "unique1" not in all_terms and "unique2" not in all_terms
+    # doc1: 'topic' (tf 3, df 2) dominates 'alpha' (tf 1, df 2)
+    assert got[1][0] == (1, "topic") and got[1][1] == (2, "alpha")
+    # doc4's only distinctive term 'beta' has df 1 -> excluded, so doc4
+    # has no eligible terms and produces no rows at all
+    assert 4 not in got
+    import pytest as _p
+    with _p.raises(ValueError, match="top_k"):
+        text.tfidf_keywords(df, "t", "doc_id", top_k=0)
