@@ -144,6 +144,7 @@ HEADLINE = [
     "dim_profile_embeddings",
     "stickiness_events",
     "top_paths_events",
+    "keywords_documents",
 ]
 
 
