@@ -897,14 +897,17 @@ def readability(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     shuffle). Sentence count is clamped to >= 1 (a fragment with no
     terminal punctuation is one sentence, not a division by zero);
     documents with zero words report NULL score rather than a made-up
-    figure."""
+    figure, and NULL text reports NULL counts throughout (F.size would
+    otherwise surface its legacy -1 sentinel as a word count)."""
     c = F.col(text_col)
-    n_words = token_count(c).cast("double")
-    n_sents = F.greatest(
-        F.regexp_count(c, F.lit(_SENTENCE_REGEX)), F.lit(1)) \
-        .cast("double")
-    n_syll = F.size(F.regexp_extract_all(F.lower(c), F.lit(_SYLLABLE_REGEX),
-                                         F.lit(0))).cast("double")
+    n_words = F.when(c.isNotNull(),
+                     token_count(c).cast("double"))
+    n_sents = F.when(c.isNotNull(), F.greatest(
+        F.regexp_count(c, F.lit(_SENTENCE_REGEX)), F.lit(1))
+        .cast("double"))
+    n_syll = F.when(c.isNotNull(), F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(_SYLLABLE_REGEX),
+                             F.lit(0))).cast("double"))
     score = (F.lit(206.835) - F.lit(1.015) * (n_words / n_sents)
              - F.lit(84.6) * (n_syll / n_words))
     return df.select(
@@ -961,9 +964,15 @@ def heaps_fit(df: DataFrame, text_col: str, id_col: str, *,
     if n_points < 2:
         raise ValueError("n_points must be >= 2")
     c = F.col(text_col)
-    mx = df.agg((F.max(F.col(id_col).cast("long")) + 1).alias("_mx"))
-    toks = df.select(F.col(id_col).cast("long").alias("_id"),
-                     F.explode(tokens(F.lower(c))).alias("tok"))
+    mx = df.agg((F.max(F.col(id_col).try_cast("long")) + 1).alias("_mx"))
+    # NULL/uncastable ids are ABSENT (the engine's NULL rule; try_cast,
+    # not cast — ANSI mode would otherwise throw on a malformed id) —
+    # without the filter their NULL bucket expression would fall to
+    # F.least's null-skipping arm and silently pile every such doc into
+    # the LAST bucket, corrupting the fit
+    toks = (df.select(F.col(id_col).try_cast("long").alias("_id"),
+                      F.explode(tokens(F.lower(c))).alias("tok"))
+              .where(F.col("_id").isNotNull()))
     bucket = F.least(F.floor(F.col("_id") * n_points / F.col("_mx")),
                      F.lit(n_points - 1)).cast("long").alias("bucket")
     # per-bucket token totals

@@ -1541,7 +1541,10 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
             ctx.out.table_checks.append(
                 ("volume", ctx.instance_path[1:], {
                     "unit": p.get("unit", "day"),
-                    "k": float(p.get("k", 3.5)),
+                    # `or`, not a default-arg get: an explicit `k: null`
+                    # passes the shape validator and must fall back, not
+                    # crash float(None) (k=0 is rejected at validation)
+                    "k": float(p.get("k") or 3.5),
                     "severity": ctx.severity,
                 }))
         else:

@@ -77,7 +77,11 @@ def transition_pairs(stream_df: DataFrame, key_col: str, state_col: str,
         })
         return iter([out])
 
-    return (stream_df.groupBy(key_col)
+    # NULL keys are absent (the batch operator's contract) — without the
+    # filter groupBy forms a NULL-key group and fn would emit transitions
+    # the batch twin never produces
+    return (stream_df.where(F.col(key_col).isNotNull())
+            .groupBy(key_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))
 
@@ -112,8 +116,13 @@ def run_transition_stream(spark, input_path: str, input_schema,
 def matrix_from_sink(spark, out_path: str) -> DataFrame:
     """Running transition matrix over the accumulated partials —
     identical shape and normalization to the batch
-    ``cohort.transition_matrix`` on the same rows (pinned by test)."""
-    counts = (spark.read.parquet(out_path)
+    ``cohort.transition_matrix`` on the same rows (pinned by test).
+    The explicit schema makes an all-empty sink (a stream that never
+    observed a transition) read as an empty matrix instead of failing
+    parquet schema inference."""
+    counts = (spark.read
+              .schema("src string, dst string, n long, _batch long")
+              .parquet(out_path)
               .groupBy("src", "dst").agg(F.sum("n").alias("n")))
     tot = Window.partitionBy("src")
     return counts.select(

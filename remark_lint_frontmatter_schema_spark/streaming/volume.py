@@ -53,7 +53,11 @@ def volume_anomalies_from_sink(spark, out_path: str, *,
     identical numerics to the batch ``volume_anomalies`` on the same
     rows (partials sum to exactly the batch bucket counts)."""
     from ..operators.outliers import outlier_scores
-    buckets = (spark.read.parquet(out_path)
+    # explicit schema: an all-empty sink (every observed batch had only
+    # NULL timestamps) reads as zero buckets, not a schema-infer failure
+    buckets = (spark.read
+               .schema("bucket timestamp, n long, _batch long")
+               .parquet(out_path)
                .groupBy("bucket").agg(F.sum("n").alias("n_rows")))
     return (outlier_scores(buckets, "n_rows", row_id="bucket", k=k)
             .select(F.col("row_id").alias("bucket"), "value", "z"))

@@ -81,7 +81,8 @@ def test_stickiness_dau_wau(spark):
     assert got[1].dau == 1 and got[1].wau == 1 and got[1].stickiness == 1.0
     assert got[3].dau == 2 and got[3].wau == 2          # u1 + u2
     assert got[4].dau == 1 and got[4].wau == 2          # u2 still in window
-    # day 8: u2's day-3 activity has aged out of [2..8]; u3 joins
+    # day 8: window [2..8] still contains u2's day-3 activity; u3 joins
+    # on day 8 itself -> wau counts u1, u2, u3
     assert got[8].dau == 2 and got[8].wau == 3
     assert abs(got[8].stickiness - 2 / 3) < 1e-5   # rounded to 6
     assert len(got) == 8

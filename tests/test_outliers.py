@@ -249,3 +249,17 @@ def test_x_volume_declarative(spark):
     with _p.raises(RulesetCompileError):
         compile_ruleset({"properties": {"ts": {
             "x-volume": {"unit": "era"}}}}, df.schema, name="volbad")
+
+
+def test_x_volume_null_k_falls_back(spark):
+    """Explicit `k: null` passes shape validation and must fall back to
+    the default, not crash float(None) at compile."""
+    from datetime import datetime
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    df = spark.createDataFrame([("r", datetime(2024, 1, 1))],
+                               "rid string, ts timestamp")
+    compiled = compile_ruleset(
+        {"properties": {"ts": {"x-volume": {"unit": "hour", "k": None}}}},
+        df.schema, name="volnull")
+    ((kind, col, params),) = compiled.table_checks
+    assert kind == "volume" and params["k"] == 3.5

@@ -76,3 +76,21 @@ def test_stream_replay_is_idempotent(spark, tmp_path):
     after = sorted(
         (r.src, r.dst, r.n) for r in matrix_from_sink(spark, out).collect())
     assert before == after
+
+
+def test_stream_null_keys_absent_and_empty_sink_reads(spark, tmp_path):
+    """NULL-key rows are absent (the batch contract — no NULL-key group
+    may fabricate transitions), and a sink to which no batch ever wrote
+    a transition reads as an empty matrix, not a schema-infer failure."""
+    from remark_lint_frontmatter_schema_spark.streaming.markov import (
+        matrix_from_sink, run_transition_stream)
+    p = str(tmp_path / "nk_in")
+    # only NULL-key rows + one single-event key: zero transitions total
+    rows = [(None, "a", 1.0), (None, "b", 2.0), ("u9", "z", 1.0)]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(p)
+    out = str(tmp_path / "nk_out")
+    q = run_transition_stream(spark, p, SCHEMA, "u", "s", "o",
+                              out_path=out,
+                              checkpoint=str(tmp_path / "nk_ckpt"))
+    q.awaitTermination(180)
+    assert matrix_from_sink(spark, out).count() == 0

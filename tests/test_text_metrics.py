@@ -33,7 +33,9 @@ def test_readability_guards(spark):
             text.readability(df, "t", "doc_id").collect()}
     assert rows[1].n_sentences == 1 and rows[1].flesch is not None
     assert rows[2].n_words == 0 and rows[2].flesch is None
-    assert rows[3].flesch is None
+    # NULL text: NULL counts throughout — never F.size's legacy -1
+    assert rows[3].flesch is None and rows[3].n_words is None
+    assert rows[3].n_sentences is None and rows[3].n_syllables is None
     # telegraphic fragments score far above run-on prose
     frag = spark.createDataFrame([(1, "go. go. go. go.")], ["doc_id", "t"])
     runon = spark.createDataFrame(
@@ -157,3 +159,15 @@ def test_tfidf_keywords_band_and_ranks(spark):
     import pytest as _p
     with _p.raises(ValueError, match="top_k"):
         text.tfidf_keywords(df, "t", "doc_id", top_k=0)
+
+
+def test_heaps_fit_ignores_null_and_uncastable_ids(spark):
+    """NULL / uncastable ids are absent — they must not pile into the
+    last bucket (F.least's null-skipping arm) and corrupt the fit."""
+    rows = [(str(i), " ".join(f"tok{i}_{j}" for j in range(10)))
+            for i in range(20)]
+    rows += [(None, "null id tokens here"), ("docX", "uncastable id")]
+    df = spark.createDataFrame(rows, "doc_id string, t string")
+    r = text.heaps_fit(df, "t", "doc_id", n_points=5).first()
+    # numeric-string ids cast fine; the two bad rows are simply absent
+    assert r.n_points_fit >= 2 and abs(r.beta - 1.0) < 1e-6
