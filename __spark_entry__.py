@@ -350,7 +350,9 @@ def q_mask_gate_customer(spark, sf):
     x-mask): c_name must collapse to 'A#9' for >= 99% of rows.
     Deterministic nonconformity injection (custkey % 50 == 0 gets a
     '-x1' suffix -> 2% off-shape) so the gate fires with a share and
-    top-offender string the oracle reproduces byte-exact."""
+    top-offender string the oracle reproduces byte-exact. `expected` is
+    flattened to its single element: the driver's canonicalizer cannot
+    sort array-typed cells (the q_corr_gate_lineitem lesson)."""
     from remark_lint_frontmatter_schema_spark.operators.stats import (
         mask_violations)
     cust = _load(spark, sf, "customer")
@@ -360,7 +362,8 @@ def q_mask_gate_customer(spark, sf):
                F.concat(F.col("c_name"), F.lit("-x1")))
          .otherwise(F.col("c_name")))
     return mask_violations(mangled, "c_name", expect="A#9",
-                           min_share=0.99)
+                           min_share=0.99) \
+        .withColumn("expected", F.element_at("expected", 1))
 
 
 def q_corr_gate_lineitem(spark, sf):
@@ -470,7 +473,9 @@ def q_reconcile_orders(spark, sf):
     lineitem-less orders. Integer-valued quantities keep every float in
     the output exact, so the DuckDB oracle matches byte-for-byte
     including message strings. One map-side-combined aggregate + one
-    equi-join — the 10^12-row reconciliation plan."""
+    equi-join — the 10^12-row reconciliation plan. `expected` is
+    flattened to its single element: the driver's canonicalizer cannot
+    sort array-typed cells (the q_corr_gate_lineitem lesson)."""
     from remark_lint_frontmatter_schema_spark.operators.reconcile import (
         reconcile_violations)
     li = _load(spark, sf, "lineitem")
@@ -485,7 +490,8 @@ def q_reconcile_orders(spark, sf):
                        .otherwise(F.lit(0.0))).alias("stored")))
     return reconcile_violations(
         li, dim, key="o_orderkey", fact_key="l_orderkey",
-        fact_value="l_quantity", dim_value="stored")
+        fact_value="l_quantity", dim_value="stored") \
+        .withColumn("expected", F.element_at("expected", 1))
 
 
 def q_skew_profile_lineitem(spark, sf):
@@ -3513,7 +3519,7 @@ SELECT 'all' AS row_id, 'all' AS partition_id, 'engine' AS ruleset_id,
          || ' of values conform (limit 0.99); top offender '
          || coalesce(tb, '<none>') AS message,
        CAST(round(ok / CAST(total AS DOUBLE), 6) AS VARCHAR) AS actual,
-       ['A#9'] AS expected,
+       'A#9' AS expected,
        'warning' AS severity
 FROM stats, top_bad
 WHERE round(ok / CAST(total AS DOUBLE), 6) < 0.99
@@ -3725,7 +3731,7 @@ SELECT CAST(k AS VARCHAR) AS row_id,
                  || ', tolerance 0.0)'
        END AS message,
        CAST(round(actual, 6) AS VARCHAR) AS actual,
-       [CAST(round(stored, 6) AS VARCHAR)] AS expected,
+       CAST(round(stored, 6) AS VARCHAR) AS expected,
        'warning' AS severity
 FROM dim
 WHERE actual IS NULL OR abs(actual - stored) > 0

@@ -72,7 +72,21 @@ def main() -> int:
         rec = {"rows_match": None, "schema_match": None, "hash_match": None,
                "spark_rows": None, "oracle_rows": None, "err": None}
         try:
-            got = qmap[name](spark, SF).toPandas()
+            df = qmap[name](spark, SF)
+            if name in oracles:
+                # The driver's canonicalizer sort_values()-es raw cells:
+                # a top-level array/map column raises `unhashable type:
+                # 'list'` there even when values match (the
+                # mask_gate_customer/reconcile_orders r3 lesson). Fail
+                # fast here so builder-green always implies driver-green.
+                bad_cols = [f.name for f in df.schema.fields
+                            if f.dataType.typeName() in ("array", "map")]
+                if bad_cols:
+                    raise TypeError(
+                        f"oracle-backed query emits array/map column(s) "
+                        f"{bad_cols} — the driver canonicalizer cannot "
+                        f"sort them; stringify or drop")
+            got = df.toPandas()
             rec["spark_rows"] = int(len(got))
             if name in oracles:
                 want = duck.execute(oracles[name]).fetchdf()

@@ -53,7 +53,17 @@ ORACLES = entry_mod.oracle_sql()
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     q = entry_mod.queries()[name]
-    got = q(spark, SF).toPandas()
+    df = q(spark, SF)
+    # Driver-canonicalizer guard: the driver sort_values()-es raw cells,
+    # so a top-level array/map column raises `unhashable type: 'list'`
+    # there even when values match (mask_gate_customer/reconcile_orders,
+    # round 3). Oracle-backed queries must emit scalar columns only.
+    bad = [f.name for f in df.schema.fields
+           if f.dataType.typeName() in ("array", "map")]
+    assert not bad, (
+        f"{name}: oracle-backed query emits array/map column(s) {bad}; "
+        "stringify or drop them (driver canonicalizer cannot sort lists)")
+    got = df.toPandas()
     want = duck.execute(ORACLES[name]).fetchdf()
     assert sorted(got.columns) == sorted(want.columns), \
         f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}"
@@ -74,3 +84,13 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert "constraint_id" in df.columns
+
+
+@pytest.mark.parametrize("name", ["mask_gate_customer", "reconcile_orders"])
+def test_driver_canonicalizer_can_sort(spark, name):
+    """Emulate the driver's _canon: pandas sort_values over every raw
+    column. Round 3 this raised `unhashable type: 'list'` for these two
+    queries (non-NULL ARRAY<STRING> `expected`); the fix flattens the
+    array to its single element."""
+    pdf = entry_mod.queries()[name](spark, SF).toPandas()
+    pdf.sort_values(by=sorted(pdf.columns))  # must not raise
