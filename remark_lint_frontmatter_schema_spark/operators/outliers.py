@@ -180,14 +180,17 @@ def volume_anomalies(df: DataFrame, ts_col: str, *, unit: str = "day",
             .select(F.col("row_id").alias("bucket"), "value", "z"))
 
 
-def volume_violations(df: DataFrame, ts_col: str, *, unit: str = "day",
-                      k: float = 3.5, ruleset_name: str = "engine",
-                      severity: str = "warning") -> DataFrame:
-    """Violation rows for the ``x-volume`` table check: one row per
-    anomalous time bucket from :func:`volume_anomalies` (shape mirrors
-    VIOLATION_FIELDS like the other table checks — x-calendar's
-    thin/flooded-bucket companion)."""
-    bad = volume_anomalies(df, ts_col, unit=unit, k=k)
+def volume_violations_from_buckets(buckets: DataFrame, ts_col: str, *,
+                                   unit: str = "day", k: float = 3.5,
+                                   ruleset_name: str = "engine",
+                                   severity: str = "warning") -> DataFrame:
+    """Violation rows from a precomputed per-bucket count relation with
+    columns ``(bucket TIMESTAMP, n_rows)`` — the shared tail behind
+    :func:`volume_violations` and the fused single-scan table-check pass
+    (operators/table_checks.py); the median/MAD outlier passes run on the
+    driver-scale bucket relation either way, so rows are byte-identical."""
+    bad = (outlier_scores(buckets, "n_rows", row_id="bucket", k=k)
+           .select(F.col("row_id").alias("bucket"), "value", "z"))
     return bad.select(
         F.col("bucket").alias("row_id"),
         F.lit("all").alias("partition_id"),
@@ -210,3 +213,18 @@ def volume_violations(df: DataFrame, ts_col: str, *, unit: str = "day",
         F.lit(None).cast("array<string>").alias("expected"),
         F.lit(severity).alias("severity"),
     )
+
+
+def volume_violations(df: DataFrame, ts_col: str, *, unit: str = "day",
+                      k: float = 3.5, ruleset_name: str = "engine",
+                      severity: str = "warning") -> DataFrame:
+    """Violation rows for the ``x-volume`` table check: one row per
+    anomalous time bucket (shape mirrors VIOLATION_FIELDS like the other
+    table checks — x-calendar's thin/flooded-bucket companion)."""
+    t = F.col(ts_col)
+    buckets = (df.where(t.isNotNull())
+                 .groupBy(F.date_trunc(unit, t).alias("bucket"))
+                 .agg(F.count(F.lit(1)).alias("n_rows")))
+    return volume_violations_from_buckets(
+        buckets, ts_col, unit=unit, k=k, ruleset_name=ruleset_name,
+        severity=severity)

@@ -435,10 +435,26 @@ def quantile_violations(df: DataFrame, column: str, *,
              if approx else F.percentile(c, F.lit(float(q))))
     if by is None:
         agg = df.agg(F.round(qexpr, 6).alias("_q"))
-        rid = F.lit("all")
     else:
         agg = df.groupBy(F.col(by).cast("string").alias("_grp"))                 .agg(F.round(qexpr, 6).alias("_q"))
-        rid = F.coalesce(F.col("_grp"), F.lit("<null>"))
+    return quantile_violations_from_agg(
+        agg, column, q=q, lo=lo, hi=hi, by=by,
+        ruleset_name=ruleset_name, severity=severity)
+
+
+def quantile_violations_from_agg(agg: DataFrame, column: str, *,
+                                 q: float, lo: float | None = None,
+                                 hi: float | None = None,
+                                 by: str | None = None,
+                                 ruleset_name: str = "engine",
+                                 severity: str = "warning") -> DataFrame:
+    """Band check over a precomputed quantile relation with column
+    ``_q`` (already rounded to 6; plus ``_grp`` for the grouped form) —
+    the shared tail behind :func:`quantile_violations` and the fused
+    single-scan table-check pass (operators/table_checks.py), so both
+    emit byte-identical rows."""
+    rid = (F.lit("all") if by is None
+           else F.coalesce(F.col("_grp"), F.lit("<null>")))
     out_of_band = F.lit(False)
     if lo is not None:
         out_of_band = out_of_band | (F.col("_q") < float(lo))

@@ -8,14 +8,25 @@ each table check is its own relational pass (salted aggregate / broadcast
 anti-join) whose violation rows share the exact row-relation shape, so the
 union is a plain ``unionByName``.
 
-Scan accounting at the 100 TB design point: row-validate + each x-unique +
-each x-ref re-reads the fact — but every extra pass is column-pruned to a
-single key column (verified in tests/test_plan_audits.py), so the extra
-cost is one column's bytes per declared table check, not the table. If
-even that matters, persist/checkpoint the pruned key projection once and
-feed it to both passes; fusing them into the row scan is deliberately NOT
-done — a groupBy/join fused into the validation projection would force the
-whole row payload through the shuffle.
+Scan accounting at the 100 TB design point: row-validate + each
+join-shaped check (x-ref / x-reconcile / x-dedup) re-reads the fact —
+but every extra pass is column-pruned to a single key column (verified
+in tests/test_plan_audits.py), so the extra cost is one column's bytes
+per declared table check, not the table. Fusing those into the row scan
+is deliberately NOT done — a groupBy/join fused into the validation
+projection would force the whole row payload through the shuffle.
+
+The AGGREGATION-shaped checks (x-unique, x-volume, global x-quantile)
+are different: each reduces the fact to a tiny keyed-count/quantile
+relation, so when a ruleset declares two or more of them they share ONE
+scan + ONE shuffle (:func:`_fused_agg_violations`): every row explodes
+into one (tag, group_key, value) struct per declared check; a single
+groupBy(tag, group_key) computes all the counts and quantiles at once
+(Spark's partial hash aggregate splits hot keys across input partitions
+pre-shuffle — the same protection the standalone salted path makes
+explicit); the driver-scale result is persisted and each check's
+violation rows project from it through the SAME emitters the standalone
+operators use, so the rows are byte-identical either way.
 """
 
 from __future__ import annotations
@@ -30,7 +41,8 @@ from .clusters import dedup_violations
 from .decontaminate import contamination_violations
 from .drift import drift_violations
 from .referential import referential_violations
-from .uniqueness import uniqueness_violations
+from .uniqueness import (uniqueness_violations,
+                         uniqueness_violations_from_counts)
 from .validate import ValidationResult, validate
 
 
@@ -39,6 +51,89 @@ class TableValidationResult:
     row: ValidationResult
     table_violations: DataFrame | None   # union of x-unique / x-ref passes
     violations: DataFrame                # row ∪ table
+
+
+def _is_fusable(kind: str, params: dict) -> bool:
+    """Aggregation-shaped checks that reduce to one groupBy(tag, key)
+    pass. Grouped x-quantile (``by:``) keeps its own pass: its NULL
+    group must survive as a real group, which the shared string-typed
+    key cannot represent without a sentinel collision."""
+    if kind in ("unique", "volume"):
+        return True
+    return kind == "quantile" and not params.get("by")
+
+
+def _fused_agg_violations(df: DataFrame, specs: list, *,
+                          ruleset_name: str) -> list[DataFrame]:
+    """One scan + one shuffle for every aggregation-shaped table check.
+
+    Each row explodes into one small ``(tag, gkey, val)`` struct per
+    check (strings/doubles only — the row payload never enters the
+    shuffle), a single groupBy(tag, gkey) computes per-key counts plus
+    every declared quantile, and the resulting driver-scale relation is
+    persisted so the per-check violation projections read it instead of
+    re-scanning the fact. Quantile tags get one seeded all-NULL row so
+    an empty table still fails closed (the standalone ``df.agg`` row).
+    """
+    from .dedup import _persist
+    entries, aggs = [], [F.count(F.lit(1)).alias("_n")]
+    seeds = []
+    for i, (kind, column, params) in enumerate(specs):
+        tag = str(i)
+        if kind == "unique":
+            gkey = F.col(column).cast("string")
+            val = F.lit(None).cast("double")
+        elif kind == "volume":
+            gkey = F.date_trunc(params.get("unit", "day"),
+                                F.col(column)).cast("string")
+            val = F.lit(None).cast("double")
+        else:  # quantile (global)
+            gkey = F.lit("all")
+            val = F.col(column).cast("double")
+            q = float(params["q"])
+            acc = int(params.get("accuracy", 10000))
+            qexpr = (F.percentile_approx(F.col("val"), F.lit(q),
+                                         F.lit(acc))
+                     if params.get("approx", False)
+                     else F.percentile(F.col("val"), F.lit(q)))
+            aggs.append(F.round(qexpr, 6).alias(f"_q{i}"))
+            seeds.append((tag, "all", None))
+        entries.append(F.struct(F.lit(tag).alias("tag"),
+                                gkey.alias("gkey"), val.alias("val")))
+    exploded = (df.select(F.explode(F.array(*entries)).alias("_e"))
+                  .select("_e.*")
+                  .where(F.col("gkey").isNotNull()))
+    if seeds:
+        seed_df = df.sparkSession.createDataFrame(
+            seeds, schema="tag string, gkey string, val double")
+        exploded = exploded.unionByName(seed_df)
+    counts = _persist(exploded.groupBy("tag", "gkey").agg(*aggs))
+    out: list[DataFrame] = []
+    for i, (kind, column, params) in enumerate(specs):
+        sub = counts.where(F.col("tag") == str(i))
+        if kind == "unique":
+            out.append(uniqueness_violations_from_counts(
+                sub.select(F.col("gkey").alias("_k"),
+                           F.col("_n").alias("n_occurrences")),
+                column, ruleset_name=ruleset_name,
+                severity=params.get("severity", "warning")))
+        elif kind == "volume":
+            from .outliers import volume_violations_from_buckets
+            buckets = sub.select(
+                F.col("gkey").cast("timestamp").alias("bucket"),
+                F.col("_n").alias("n_rows"))
+            out.append(volume_violations_from_buckets(
+                buckets, column, unit=params.get("unit", "day"),
+                k=params.get("k", 3.5), ruleset_name=ruleset_name,
+                severity=params.get("severity", "warning")))
+        else:  # quantile (global)
+            from .stats import quantile_violations_from_agg
+            out.append(quantile_violations_from_agg(
+                sub.select(F.col(f"_q{i}").alias("_q")), column,
+                q=float(params["q"]), lo=params["lo"], hi=params["hi"],
+                ruleset_name=ruleset_name,
+                severity=params.get("severity", "warning")))
+    return out
 
 
 def table_check_violations(
@@ -61,7 +156,15 @@ def table_check_violations(
     """
     dims = dims or {}
     extras: list[DataFrame] = []
+    fusable = [tc for tc in compiled.table_checks
+               if _is_fusable(tc[0], tc[2])]
+    fused = len(fusable) >= 2
+    if fused:
+        extras.extend(_fused_agg_violations(
+            df, fusable, ruleset_name=compiled.name))
     for kind, column, params in compiled.table_checks:
+        if fused and _is_fusable(kind, params):
+            continue
         if kind == "unique":
             extras.append(uniqueness_violations(
                 df, column, ruleset_name=compiled.name,
