@@ -163,27 +163,46 @@ def decontaminate(df: DataFrame, bench: DataFrame, text_col: str,
 def semantic_overlap(corpus: DataFrame, bench: DataFrame, *,
                      vec_col: str, id_col: str,
                      bench_id_col: str, bench_vec_col: str | None = None,
-                     threshold: float = 0.95) -> DataFrame:
+                     threshold: float = 0.95, method: str = "broadcast",
+                     n_bits: int = 12, n_tables: int = 4,
+                     dim: int | None = None, seed: int = 42) -> DataFrame:
     """SEMANTIC decontamination: corpus rows whose embedding is
     near-identical (cosine >= ``threshold``) to ANY benchmark embedding —
     catches paraphrased/reformatted eval contamination the n-gram rule
     misses (the n-gram rule stays the first line; this is the second).
 
-    Scale shape mirrors the n-gram path: the benchmark side is small by
-    nature, so it BROADCASTS and the corpus makes one pass — a broadcast
-    nested-loop scoring pass with the pure-JVM zip_with/aggregate cosine
-    (similarity.cosine), linear in corpus size with an n_bench-wide inner
-    loop (the brute baseline; route corpus through
-    similarity.embedding_lsh_pairs buckets first when n_bench outgrows a
-    broadcast). Output: one row per contaminated corpus id —
+    Two physical routes, same output shape:
+
+    - ``method="broadcast"`` (default): the benchmark side is small by
+      nature, so it BROADCASTS and the corpus makes one pass — a
+      broadcast nested-loop scoring pass with the pure-JVM
+      zip_with/aggregate cosine (similarity.cosine), linear in corpus
+      size with an n_bench-wide inner loop. Exact.
+    - ``method="lsh"``: for a benchmark suite that outgrows a broadcast.
+      Both sides hash to random-hyperplane sign buckets
+      (similarity.hyperplane_signature — pure JVM); the exact cosine
+      runs only inside colliding buckets of an equi-join that shuffles
+      on the bucket key, never all-pairs. ``n_tables`` independent
+      hash tables (seeds ``seed..seed+n_tables-1``) are unioned for
+      recall: a pair at angle theta collides in one table with
+      p = (1 - theta/pi)^n_bits, so the miss rate is (1-p)^n_tables —
+      at threshold 0.99, n_bits=12, n_tables=4 that is ~5e-3, and
+      IDENTICAL vectors (theta=0) always collide, so exact-duplicate
+      contamination has recall 1.0 by construction. Raise n_bits (finer
+      buckets => smaller join fan-out) and n_tables together at larger
+      scale.
+
+    Output: one row per contaminated corpus id —
     (id, nearest_bench id, max_sim) with the deterministic
     (sim desc, bench id asc) tiebreak via a per-id window (partitioned,
     never global).
     """
     from pyspark.sql import Window
-    from .similarity import cosine
+    from .similarity import _hyperplanes, cosine, hyperplane_signature
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
+    if method not in ("broadcast", "lsh"):
+        raise ValueError(f"unknown method {method!r}")
     bv = bench_vec_col or vec_col
     b = bench.select(
         F.col(bench_id_col).alias("_bid"),
@@ -192,9 +211,40 @@ def semantic_overlap(corpus: DataFrame, bench: DataFrame, *,
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_cvec"))
     sim = cosine(F.col("_cvec"), F.col("_bvec"))
-    hits = (c.crossJoin(F.broadcast(b))
-            .select(F.col(id_col), F.col("_bid"), sim.alias("_sim"))
-            .where(F.col("_sim") >= F.lit(float(threshold))))
+    if method == "broadcast":
+        hits = (c.crossJoin(F.broadcast(b))
+                .select(F.col(id_col), F.col("_bid"), sim.alias("_sim"))
+                .where(F.col("_sim") >= F.lit(float(threshold))))
+    else:
+        if dim is None:
+            row = b.where(F.col("_bvec").isNotNull()) \
+                   .select("_bvec").first()
+            if row is None:  # empty benchmark: nothing can be contaminated
+                return (c.select(
+                    F.col(id_col),
+                    F.lit(None).cast(b.schema["_bid"].dataType)
+                     .alias("nearest_bench"),
+                    F.lit(0.0).alias("max_sim")).where(F.lit(False)))
+            dim = len(row[0])
+        # all n_tables signatures in ONE pass per side (an explode of
+        # (table, bucket) structs), so the corpus is scanned once and the
+        # candidate join shuffles once on (table, bucket) — never
+        # n_tables scans
+        all_planes = [_hyperplanes(dim, n_bits, seed + t)
+                      for t in range(int(n_tables))]
+        def _sigs(frame, vec):
+            ent = [F.struct(
+                       F.lit(t).alias("_t"),
+                       hyperplane_signature(F.col(vec), p).alias("_bkt"))
+                   for t, p in enumerate(all_planes)]
+            return (frame.select("*", F.explode(F.array(*ent)).alias("_e"))
+                         .select(*frame.columns, "_e._t", "_e._bkt"))
+        cand = (_sigs(c, "_cvec").join(_sigs(b, "_bvec"), ["_t", "_bkt"])
+                .select(F.col(id_col), F.col("_bid"), sim.alias("_sim"))
+                .where(F.col("_sim") >= F.lit(float(threshold))))
+        # a pair colliding in several tables scores identically each
+        # time — distinct collapses the duplicates before the window
+        hits = cand.distinct()
     w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(),
                                            F.col("_bid").asc())
     return (hits.withColumn("_rn", F.row_number().over(w))
