@@ -2869,14 +2869,21 @@ def snr_estimate(clips, *, frame_ms: int = 20, silence_db: float = -40.0,
 
 def snr_violations(clips, *, min_snr_db: float = 15.0,
                    frame_ms: int = 20, silence_db: float = -40.0,
+                   min_gap_ms: int = 60, min_seg_ms: int = 40,
+                   floor_pct: float = 10.0,
                    ruleset_name: str = "engine",
                    severity: str = "warning"):
     """Violation rows for low speech-to-noise clips: decodable clips
     whose ``snr_vad_db`` falls below ``min_snr_db`` (shape shared with
     the row validator, like speaking_rate_violations). Clips with a NULL
     estimate never violate — all-silent clips are ``voiced_content``'s
-    business, undecodable ones the decode guard's."""
-    est = snr_estimate(clips, frame_ms=frame_ms, silence_db=silence_db)
+    business, undecodable ones the decode guard's. The VAD segmentation
+    knobs (``min_gap_ms``/``min_seg_ms``/``floor_pct``) forward to
+    :func:`snr_estimate` so a caller tuning the estimate gets the SAME
+    segmentation in the gate."""
+    est = snr_estimate(clips, frame_ms=frame_ms, silence_db=silence_db,
+                       min_gap_ms=min_gap_ms, min_seg_ms=min_seg_ms,
+                       floor_pct=floor_pct)
     bad = est.where(F.col("decode_ok")
                     & F.col("snr_vad_db").isNotNull()
                     & (F.col("snr_vad_db") < float(min_snr_db)))

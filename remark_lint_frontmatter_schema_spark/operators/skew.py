@@ -246,7 +246,14 @@ def count_min_sketch(df: DataFrame, key_col: str, *, width: int = 256,
               .select(F.explode(cells).alias("_c"))
               .groupBy(F.col("_c.seed").alias("seed"),
                        F.col("_c.bucket").alias("bucket"))
-              .agg(F.count(F.lit(1)).alias("n")))
+              .agg(F.count(F.lit(1)).alias("n"))
+              # build parameters ride along as constant columns so
+              # cm_estimate can refuse a width/depth-mismatched probe
+              # (mismatched cells silently UNDERcount otherwise); merges
+              # groupBy(seed, bucket, width, depth) and stay additive
+              .select("seed", "bucket", "n",
+                      F.lit(int(width)).alias("width"),
+                      F.lit(int(depth)).alias("depth")))
 
 
 def cm_estimate(sketch: DataFrame, keys: DataFrame, key_col: str, *,
@@ -258,7 +265,16 @@ def cm_estimate(sketch: DataFrame, keys: DataFrame, key_col: str, *,
     The probe relation re-derives each key's depth cells (same portable
     hash) and left-joins the sketch — the sketch is depth*width rows, so
     Catalyst broadcasts it and the probe is map-side. A cell no key ever
-    hashed to is absent from the sketch relation and reads as 0."""
+    hashed to is absent from the sketch relation and reads as 0.
+
+    The probe's ``width``/``depth`` MUST match the build's: mismatched
+    parameters derive different cells and the estimate can silently fall
+    BELOW the true count, violating the one-sided invariant. Sketches
+    built by :func:`count_min_sketch` carry their build parameters as
+    constant columns; the plan embeds an ``assert_true`` over them so a
+    mismatched probe raises at execution instead of undercounting
+    (lazy — no extra job; a parameterless legacy sketch skips the
+    guard)."""
     key = F.col(key_col)
     probes = keys.select(
         key.alias("key"),
@@ -266,8 +282,28 @@ def cm_estimate(sketch: DataFrame, keys: DataFrame, key_col: str, *,
             F.struct(F.lit(d).alias("seed"),
                      _cm_bucket(key, d, width).alias("bucket"))
             for d in range(depth)])).alias("_c"))
+    has_meta = "width" in sketch.columns and "depth" in sketch.columns
+    core = sketch.drop("width", "depth") if has_meta else sketch
     j = (probes.select("key", F.col("_c.seed").alias("seed"),
                        F.col("_c.bucket").alias("bucket"))
-         .join(F.broadcast(sketch), ["seed", "bucket"], "left")
+         .join(F.broadcast(core), ["seed", "bucket"], "left")
          .fillna({"n": 0}))
-    return j.groupBy("key").agg(F.min("n").alias("est"))
+    if not has_meta:
+        return j.groupBy("key").agg(F.min("n").alias("est"))
+    # 1-row aggregate (non-NULL even on an empty sketch) flagging any
+    # cell whose recorded parameters differ from the probe's
+    bad = sketch.groupBy().agg(F.max(
+        F.when((F.col("width") != int(width))
+               | (F.col("depth") != int(depth)), 1)
+         .otherwise(0)).alias("_cm_bad"))
+    guard = F.assert_true(
+        F.coalesce(F.col("_cm_bad"), F.lit(0)) == 0,
+        F.lit(f"cm_estimate(width={width}, depth={depth}) probed a "
+              "sketch built with different parameters — estimates "
+              "would undercount"))
+    # assert_true yields NULL on success, so the when() passes n through
+    # and the guard cannot be pruned out of the plan
+    return (j.crossJoin(F.broadcast(bad))
+             .groupBy("key")
+             .agg(F.min(F.when(guard.isNull(), F.col("n")))
+                   .alias("est")))

@@ -973,8 +973,13 @@ def heaps_fit(df: DataFrame, text_col: str, id_col: str, *,
     toks = (df.select(F.col(id_col).try_cast("long").alias("_id"),
                       F.explode(tokens(F.lower(c))).alias("tok"))
               .where(F.col("_id").isNotNull()))
-    bucket = F.least(F.floor(F.col("_id") * n_points / F.col("_mx")),
-                     F.lit(n_points - 1)).cast("long").alias("bucket")
+    # clamp BOTH ends: a negative castable id would otherwise yield a
+    # negative bucket that prepends a spurious point to the cumulative
+    # window and skews the fit
+    bucket = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.floor(F.col("_id") * n_points / F.col("_mx")),
+                F.lit(n_points - 1))).cast("long").alias("bucket")
     # per-bucket token totals
     n_tok = (toks.crossJoin(F.broadcast(mx))
                  .groupBy(bucket)

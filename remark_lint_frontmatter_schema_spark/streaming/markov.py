@@ -54,8 +54,13 @@ def transition_pairs(stream_df: DataFrame, key_col: str, state_col: str,
         if not len(pdf):
             return iter(())
         pdf = pdf.sort_values(order_col, kind="mergesort")
-        ords = (pdf[order_col].astype("int64").to_numpy() / 1e9 if is_ts
-                else pdf[order_col].to_numpy(dtype="float64"))
+        # timestamps compare in exact integer MICROseconds (int64 ns //
+        # 1000 stays below 2^53, so the float64 state value is exact);
+        # dividing to float seconds loses ~0.4 us of ulp at epoch scale
+        # and can collapse two sub-us-apart events, letting a late row
+        # pass the `ords >= mark` keep test
+        ords = (pdf[order_col].astype("int64").to_numpy() // 1000
+                if is_ts else pdf[order_col].to_numpy(dtype="float64"))
         states = pdf[state_col].astype(str).tolist()
         prev_state = None
         mark = None

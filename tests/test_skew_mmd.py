@@ -235,8 +235,10 @@ def test_count_min_never_undercounts_and_merges(spark):
     sk_b = count_min_sketch(b, "key", width=width, depth=depth)
     union = count_min_sketch(a.unionAll(b), "key",
                              width=width, depth=depth)
-    merged = (sk_a.unionByName(sk_b).groupBy("seed", "bucket")
-              .agg(F.sum("n").alias("n")))
+    merged = (sk_a.unionByName(sk_b)
+              .groupBy("seed", "bucket", "width", "depth")
+              .agg(F.sum("n").alias("n"))
+              .select("seed", "bucket", "n", "width", "depth"))
     assert sorted(map(tuple, merged.collect())) \
         == sorted(map(tuple, union.collect()))
     # never undercount vs exact
@@ -256,3 +258,13 @@ def test_count_min_never_undercounts_and_merges(spark):
     assert 0 <= g.est <= 30
     with _p.raises(ValueError, match="width"):
         count_min_sketch(a, "key", width=1)
+    # probing with mismatched parameters must RAISE, not undercount:
+    # a width-upsized probe derives cells the sketch never filled and
+    # min() would read 0 for real keys
+    from pyspark.errors import SparkRuntimeException
+    with _p.raises(SparkRuntimeException, match="different parameters"):
+        cm_estimate(union, keys, "key", width=width * 2,
+                    depth=depth).collect()
+    with _p.raises(SparkRuntimeException, match="different parameters"):
+        cm_estimate(union, keys, "key", width=width,
+                    depth=depth + 1).collect()

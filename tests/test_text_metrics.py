@@ -87,6 +87,25 @@ def test_heaps_fit_beta_extremes(spark):
         text.heaps_fit(uniq, "t", "doc_id", n_points=1)
 
 
+def test_heaps_fit_negative_ids_clamped(spark):
+    """A negative castable id must clamp into bucket 0, not mint a
+    negative bucket that prepends a spurious sample point and skews the
+    cumulative fit."""
+    base = [(i, " ".join(f"tok{i}_{j}" for j in range(20)))
+            for i in range(40)]
+    r_pos = text.heaps_fit(
+        spark.createDataFrame(base, ["doc_id", "t"]),
+        "t", "doc_id", n_points=10).first()
+    r_neg = text.heaps_fit(
+        spark.createDataFrame(base + [(-5, "tokneg_a tokneg_b")],
+                              ["doc_id", "t"]),
+        "t", "doc_id", n_points=10).first()
+    assert r_neg.n_points_fit <= 10
+    # all-unique fixture: beta stays ~1 with the stray doc pooled into
+    # bucket 0 instead of a phantom leading point
+    assert abs(r_neg.beta - 1.0) < 0.02 and abs(r_pos.beta - 1.0) < 1e-6
+
+
 def test_heaps_fit_bucket_window_is_bounded(spark):
     """The cumulative window must run over the <= n_points bucket
     relation, never a per-document global window: n_points_fit caps at
