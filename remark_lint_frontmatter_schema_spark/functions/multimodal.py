@@ -681,12 +681,36 @@ IMAGE_DECODE_STATS_SCHEMA = ("media_id string, ok boolean, width int, "
                              "err string")
 
 
+def _header_dims(raw: bytes) -> tuple[int | None, int | None]:
+    """Best-effort (width, height) from the container header alone — no
+    pixel decode. Covers PNG IHDR and every JPEG SOFn (including the
+    progressive SOF2 frames the pixel decoder refuses), so a
+    subset-refused stream still reports its dimensions instead of
+    erroring the whole row. Returns (None, None) when the header is
+    unreadable too."""
+    try:
+        fmt = sniff_image_format(raw)
+        if fmt == "png":
+            d = png_dimensions(raw)
+            if d:
+                return d
+        elif fmt == "jpeg":
+            from .jpeg import jpeg_dimensions
+            return jpeg_dimensions(raw)
+    except (ValueError, NotImplementedError, IndexError):
+        pass
+    return None, None
+
+
 def image_decode_stats_map_in_pandas(iterator):
     """mapInPandas: binary -> REAL pixel-decode verdicts (PNG decodes
     natively; formats needing a codec lib report ok=false with the reason
     — the image twin of audio's decode_stats_map_in_pandas). The decoded
     dims are proof, not header trust: a PNG whose IHDR lies about its size
-    fails the stream-length check and lands here as a violation row."""
+    fails the stream-length check and lands here as a violation row.
+    Subset-refused streams (e.g. progressive SOF2 JPEG) report
+    ok=false WITH their header dimensions populated — the refusal is
+    about pixels, not metadata."""
     for pdf in iterator:
         rows = []
         for mid, b in zip(pdf["media_id"], pdf["bytes"]):
@@ -696,7 +720,8 @@ def image_decode_stats_map_in_pandas(iterator):
                 rows.append((mid, True, int(px.shape[1]), int(px.shape[0]),
                              int(px.shape[2]), float(px.mean()), None))
             except (ValueError, NotImplementedError) as exc:
-                rows.append((mid, False, None, None, None, None,
+                hw, hh = _header_dims(raw)
+                rows.append((mid, False, hw, hh, None, None,
                              f"{type(exc).__name__}: {exc}"[:160]))
         yield pd.DataFrame(rows, columns=["media_id", "ok", "width",
                                           "height", "channels", "mean_luma",
@@ -731,15 +756,15 @@ def fake_image_features(b: bytes, dim: int = 16) -> np.ndarray:
 
 def image_meta_map_in_pandas(iterator):
     """mapInPandas: binary -> typed metadata rows (header-level decode is
-    real; dimension extraction works for PNG, other formats yield nulls)."""
+    real; dimension extraction works for PNG and any JPEG SOFn — incl.
+    progressive — via :func:`_header_dims`; other formats yield nulls)."""
     for pdf in iterator:
         rows = []
         for mid, b in zip(pdf["media_id"], pdf["bytes"]):
             raw = bytes(b) if b is not None else b""
             fmt = sniff_image_format(raw)
-            dims = png_dimensions(raw) if fmt == "png" else None
-            rows.append((mid, fmt, dims[0] if dims else None,
-                         dims[1] if dims else None, len(raw), fmt is not None))
+            w, h = _header_dims(raw)
+            rows.append((mid, fmt, w, h, len(raw), fmt is not None))
         yield pd.DataFrame(rows, columns=["media_id", "format", "width",
                                           "height", "n_bytes", "decode_ok"])
 

@@ -314,3 +314,25 @@ def test_image_neardup_pairs_blocked(spark):
                    for a, b in got)
     from remark_lint_frontmatter_schema_spark.operators.dedup import release_all
     release_all()
+
+
+def test_sof2_progressive_reports_header_dims(spark):
+    """VERDICT r3 #5: pixel decode stays refused for progressive SOF2,
+    but decode-stats and meta must still extract the frame dimensions
+    from the header instead of erroring the row blank."""
+    from remark_lint_frontmatter_schema_spark.functions import jpeg
+    b = bytearray(jpeg.make_jpeg(9, w=18, h=12, gray=True))
+    b[bytes(b).index(b"\xff\xc0") + 1] = 0xC2
+    media = spark.createDataFrame(
+        [("sof2", bytes(b), "image", {})], mm.MEDIA_SCHEMA)
+    (st,) = media.select("media_id", "bytes") \
+        .mapInPandas(mm.image_decode_stats_map_in_pandas,
+                     schema=mm.IMAGE_DECODE_STATS_SCHEMA).collect()
+    assert st.ok is False and "SOF2" in st.err
+    assert (st.width, st.height) == (18, 12)
+    assert st.channels is None and st.mean_luma is None
+    (meta,) = media.select("media_id", "bytes") \
+        .mapInPandas(mm.image_meta_map_in_pandas,
+                     schema=mm.IMAGE_META_SCHEMA).collect()
+    assert meta.format == "jpeg"
+    assert (meta.width, meta.height) == (18, 12)
