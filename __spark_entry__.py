@@ -366,6 +366,42 @@ def q_mask_gate_customer(spark, sf):
         .withColumn("expected", F.element_at("expected", 1))
 
 
+def q_mask_gate_by_customer(spark, sf):
+    """GROUPED shape-conformance gate (operators/stats.py
+    mask_violations, x-mask `by:`): c_name must collapse to 'A#9' per
+    market segment. custkey % 25 == 0 rows get a '-x1' suffix (~4%
+    off-shape in every segment) so each segment fires with its own
+    share and per-group top offender (window, partitioned by group).
+    `expected` flattened to its scalar (driver canonicalizer rule)."""
+    from remark_lint_frontmatter_schema_spark.operators.stats import (
+        mask_violations)
+    cust = _load(spark, sf, "customer")
+    mangled = cust.withColumn(
+        "c_name",
+        F.when(F.col("c_custkey") % 25 == 0,
+               F.concat(F.col("c_name"), F.lit("-x1")))
+         .otherwise(F.col("c_name")))
+    return mask_violations(mangled, "c_name", expect="A#9",
+                           min_share=0.99, by="c_mktsegment") \
+        .withColumn("expected", F.element_at("expected", 1))
+
+
+def q_corr_gate_by_lineitem(spark, sf):
+    """GROUPED derived-column gate (operators/stats.py
+    correlation_violations, x-corr `by:`): |corr(l_extendedprice,
+    l_quantity)| >= 0.3 PER return flag — the synthetic prices are
+    independent of quantity in every group, so one violation per flag
+    with the group-level correlation string the oracle reproduces.
+    (`expected` dropped — all-NULL arrays don't round-trip DuckDB ->
+    pandas.)"""
+    from remark_lint_frontmatter_schema_spark.operators.stats import (
+        correlation_violations)
+    li = _load(spark, sf, "lineitem")
+    return correlation_violations(li, "l_extendedprice", "l_quantity",
+                                  min_abs=0.3, by="l_returnflag") \
+        .drop("expected")
+
+
 def q_corr_gate_lineitem(spark, sf):
     """Derived-column expectation gate (operators/stats.py
     correlation_violations, x-corr): the synthetic lineitem prices are
@@ -2281,6 +2317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_lineitem": q_stats_lineitem,
         "unique_lineitem_orderkey": q_unique_lineitem_orderkey,
         "mask_gate_customer": q_mask_gate_customer,
+        "mask_gate_by_customer": q_mask_gate_by_customer,
+        "corr_gate_by_lineitem": q_corr_gate_by_lineitem,
         "corr_gate_lineitem": q_corr_gate_lineitem,
         "mask_profile_customer": q_mask_profile_customer,
         "corr_profile_lineitem": q_corr_profile_lineitem,
@@ -3524,6 +3562,63 @@ SELECT 'all' AS row_id, 'all' AS partition_id, 'engine' AS ruleset_id,
 FROM stats, top_bad
 WHERE round(ok / CAST(total AS DOUBLE), 6) < 0.99
 """,
+        "mask_gate_by_customer": """
+WITH src AS (
+  SELECT c_mktsegment AS grp,
+         regexp_replace(regexp_replace(
+           CASE WHEN c_custkey % 25 = 0 THEN c_name || '-x1'
+                ELSE c_name END,
+           '[0-9]+', '9', 'g'), '[A-Za-z]+', 'A', 'g') AS mask
+  FROM customer WHERE c_name IS NOT NULL),
+counts AS (SELECT grp, mask, count(*) AS n FROM src GROUP BY 1, 2),
+stats AS (
+  SELECT grp, CAST(sum(n) AS BIGINT) AS total,
+         CAST(coalesce(sum(n) FILTER (mask = 'A#9'), 0) AS BIGINT) AS ok
+  FROM counts GROUP BY 1),
+top_bad AS (
+  SELECT grp, mask AS tb FROM (
+    SELECT grp, mask,
+           row_number() OVER (PARTITION BY grp
+                              ORDER BY n DESC, mask ASC) AS rn
+    FROM counts WHERE mask <> 'A#9') WHERE rn = 1)
+SELECT coalesce(s.grp, '<null>') AS row_id,
+       'all' AS partition_id, 'engine' AS ruleset_id,
+       'mask:c_name:by=c_mktsegment' AS constraint_id,
+       'x-mask' AS keyword,
+       '/c_name' AS instance_path, '#/x-mask/c_name' AS schema_path,
+       'Must match shape ''A#9'': only '
+         || CAST(round(ok / CAST(total AS DOUBLE), 6) AS VARCHAR)
+         || ' of values conform (limit 0.99); top offender '
+         || coalesce(tb, '<none>') AS message,
+       CAST(round(ok / CAST(total AS DOUBLE), 6) AS VARCHAR) AS actual,
+       'A#9' AS expected,
+       'warning' AS severity
+FROM stats s LEFT JOIN top_bad t ON s.grp = t.grp
+WHERE round(ok / CAST(total AS DOUBLE), 6) < 0.99
+""",
+        "corr_gate_by_lineitem": """
+WITH c AS (
+  SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+         round(corr(l_extendedprice, l_quantity), 6) AS r
+  FROM lineitem GROUP BY 1)
+SELECT coalesce(grp, '<null>') AS row_id,
+       'all' AS partition_id, 'engine' AS ruleset_id,
+       'corr:l_extendedprice~l_quantity:by=l_returnflag' AS constraint_id,
+       'x-corr' AS keyword,
+       '/l_extendedprice' AS instance_path,
+       '#/x-corr/l_extendedprice' AS schema_path,
+       CASE WHEN r IS NULL THEN
+         'Must correlate with ''l_quantity'': correlation undefined '
+         || '(constant column or < 2 pairs)'
+       ELSE
+         'Must correlate with ''l_quantity'': |corr| = '
+         || CAST(CAST(abs(r) AS DECIMAL(12,6)) AS VARCHAR)
+         || ' below 0.3'
+       END AS message,
+       CAST(CAST(r AS DECIMAL(12,6)) AS VARCHAR) AS actual,
+       'warning' AS severity
+FROM c WHERE r IS NULL OR abs(r) < 0.3
+""",
         "corr_gate_lineitem": """
 WITH c AS (
   SELECT round(corr(l_extendedprice, l_quantity), 6) AS r FROM lineitem)
@@ -3537,9 +3632,10 @@ SELECT 'all' AS row_id, 'all' AS partition_id, 'engine' AS ruleset_id,
          || '(constant column or < 2 pairs)'
        ELSE
          'Must correlate with ''l_quantity'': |corr| = '
-         || CAST(abs(r) AS VARCHAR) || ' below 0.3'
+         || CAST(CAST(abs(r) AS DECIMAL(12,6)) AS VARCHAR)
+         || ' below 0.3'
        END AS message,
-       CAST(r AS VARCHAR) AS actual,
+       CAST(CAST(r AS DECIMAL(12,6)) AS VARCHAR) AS actual,
        'warning' AS severity
 FROM c WHERE r IS NULL OR abs(r) < 0.3
 """,

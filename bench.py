@@ -113,6 +113,8 @@ HEADLINE = [
     "corr_profile_lineitem",
     "corr_gate_lineitem",
     "mask_gate_customer",
+    "mask_gate_by_customer",
+    "corr_gate_by_lineitem",
     "unique_multi_lineitem",
     "missing_dates_events",
     "freshness_events",

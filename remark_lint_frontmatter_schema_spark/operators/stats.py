@@ -302,7 +302,7 @@ def correlation_profile(df: DataFrame, columns: list[str]) -> DataFrame:
 
 
 def correlation_violations(df: DataFrame, col_a: str, col_b: str, *,
-                           min_abs: float,
+                           min_abs: float, by: str | None = None,
                            ruleset_name: str = "engine",
                            severity: str = "warning") -> DataFrame:
     """Declarative derived-column expectation (``x-corr``): |Pearson
@@ -311,17 +311,40 @@ def correlation_violations(df: DataFrame, col_a: str, col_b: str, *,
     another (a broken ETL step shows up as the correlation collapsing).
     An undefined correlation (constant column, < 2 complete pairs)
     violates with actual NULL — no evidence of the relationship is a
-    failure, not a pass (the x-freshness fail-closed policy)."""
+    failure, not a pass (the x-freshness fail-closed policy).
+
+    ``by`` checks the bound PER GROUP ("price must track quantity per
+    codec") — one grouped aggregate with the same covar_samp-based
+    pairwise-complete Pearson (never F.corr: ANSI throws on constant
+    columns), a violation row per failing group with the group value as
+    ``row_id`` (the x-quantile grouped convention)."""
     if not 0 < min_abs <= 1:
         raise ValueError("min_abs must be in (0, 1]")
-    rep = correlation_profile(df, [col_a, col_b])
+    if by is None:
+        rep = correlation_profile(df, [col_a, col_b])
+        rid = F.lit("all")
+    else:
+        ac, bc = F.col(col_a).cast("double"), F.col(col_b).cast("double")
+        am = F.when(bc.isNotNull(), ac)
+        bm = F.when(ac.isNotNull(), bc)
+        rep = (df.groupBy(F.col(by).cast("string").alias("_grp"))
+                 .agg(F.covar_samp(am, bm).alias("_cov"),
+                      F.covar_samp(am, am).alias("_va"),
+                      F.covar_samp(bm, bm).alias("_vb"))
+                 .select("_grp",
+                         F.round(F.try_divide(
+                             F.col("_cov"),
+                             F.sqrt(F.col("_va") * F.col("_vb"))),
+                             6).alias("corr")))
+        rid = F.coalesce(F.col("_grp"), F.lit("<null>"))
     bad = rep.where(F.col("corr").isNull()
                     | (F.abs(F.col("corr")) < F.lit(float(min_abs))))
     return bad.select(
-        F.lit("all").alias("row_id"),
+        rid.alias("row_id"),
         F.lit("all").alias("partition_id"),
         F.lit(ruleset_name).alias("ruleset_id"),
-        F.lit(f"corr:{col_a}~{col_b}").alias("constraint_id"),
+        F.lit(f"corr:{col_a}~{col_b}"
+              + (f":by={by}" if by else "")).alias("constraint_id"),
         F.lit("x-corr").alias("keyword"),
         F.lit(f"/{col_a}").alias("instance_path"),
         F.lit(f"#/x-corr/{col_a}").alias("schema_path"),
@@ -330,17 +353,20 @@ def correlation_violations(df: DataFrame, col_a: str, col_b: str, *,
                      "undefined (constant column or < 2 pairs)"))
          .otherwise(F.concat(
              F.lit(f"Must correlate with '{col_b}': |corr| = "),
-             F.abs(F.col("corr")).cast("string"),
+             # decimal(12,6), not double->string: tiny correlations
+             # would render in E-notation, which SQL oracles don't emit
+             F.abs(F.col("corr")).cast("decimal(12,6)").cast("string"),
              F.lit(f" below {min_abs}")))
          .alias("message"),
-        F.col("corr").cast("string").alias("actual"),
+        F.col("corr").cast("decimal(12,6)").cast("string")
+         .alias("actual"),
         F.lit(None).cast("array<string>").alias("expected"),
         F.lit(severity).alias("severity"),
     )
 
 
 def mask_violations(df: DataFrame, column: str, *, expect: str,
-                    min_share: float = 0.99,
+                    min_share: float = 0.99, by: str | None = None,
                     ruleset_name: str = "engine",
                     severity: str = "warning") -> DataFrame:
     """Declarative shape-conformance gate (``x-mask``): at least
@@ -350,34 +376,73 @@ def mask_violations(df: DataFrame, column: str, *, expect: str,
     falls short, carrying the measured share and the top offending mask
     so the fix is obvious. One map-side-combined aggregate; NULLs are
     excluded here (required/type own missingness — unlike the profile,
-    a gate must not double-report)."""
+    a gate must not double-report).
+
+    ``by`` checks conformance PER GROUP ("names match 'A#9' per
+    country") — per-(group, mask) counts, a per-group window for the
+    top offender (partitioned, never global), and a violation row per
+    failing group with the group value as ``row_id``. A group whose
+    values are all NULL fails closed like the global form."""
     if not 0 < min_share <= 1:
         raise ValueError("min_share must be in (0, 1]")
     m = F.regexp_replace(
         F.regexp_replace(F.col(column).cast("string"), "[0-9]+", "9"),
         "[A-Za-z]+", "A")
-    src = df.where(F.col(column).isNotNull()).select(m.alias("mask"))
-    counts = src.groupBy("mask").agg(F.count(F.lit(1)).alias("n"))
-    stats = counts.agg(
-        F.sum("n").alias("_total"),
-        F.coalesce(F.sum(F.when(F.col("mask") == expect, F.col("n"))),
-                   F.lit(0)).alias("_ok"))
-    top_bad = (counts.where(F.col("mask") != expect)
-               .orderBy(F.col("n").desc(), F.col("mask").asc())
-               .limit(1)
-               .select(F.col("mask").alias("_top_bad")))
+    if by is None:
+        src = df.where(F.col(column).isNotNull()).select(m.alias("mask"))
+        counts = src.groupBy("mask").agg(F.count(F.lit(1)).alias("n"))
+        stats = counts.agg(
+            F.sum("n").alias("_total"),
+            F.coalesce(F.sum(F.when(F.col("mask") == expect,
+                                    F.col("n"))),
+                       F.lit(0)).alias("_ok"))
+        top_bad = (counts.where(F.col("mask") != expect)
+                   .orderBy(F.col("n").desc(), F.col("mask").asc())
+                   .limit(1)
+                   .select(F.col("mask").alias("_top_bad")))
+        joined = stats.join(F.broadcast(top_bad), F.lit(True), "left")
+        rid = F.lit("all")
+    else:
+        from pyspark.sql import Window
+        grp = F.col(by).cast("string").alias("_grp")
+        # groups come from ALL rows (an all-NULL group must exist to
+        # fail closed); the mask is NULL for NULL values so they drop
+        # out of every count
+        base = df.select(grp, F.when(F.col(column).isNotNull(), m)
+                              .alias("mask"))
+        counts = (base.where(F.col("mask").isNotNull())
+                      .groupBy("_grp", "mask")
+                      .agg(F.count(F.lit(1)).alias("n")))
+        stats = base.groupBy("_grp").agg(
+            F.sum(F.when(F.col("mask").isNotNull(), 1)).alias("_total"),
+            F.coalesce(F.sum(F.when(F.col("mask") == expect, 1)),
+                       F.lit(0)).alias("_ok"))
+        w = Window.partitionBy("_grp").orderBy(F.col("n").desc(),
+                                               F.col("mask").asc())
+        top_bad = (counts.where(F.col("mask") != expect)
+                   .withColumn("_rn", F.row_number().over(w))
+                   .where(F.col("_rn") == 1)
+                   .select(F.col("_grp").alias("_tgrp"),
+                           F.col("mask").alias("_top_bad")))
+        # eqNullSafe: the NULL group is a real group and must keep its
+        # top offender (a plain equi-join would drop it to '<none>')
+        joined = (stats.join(top_bad,
+                             F.col("_grp").eqNullSafe(F.col("_tgrp")),
+                             "left")
+                       .drop("_tgrp"))
+        rid = F.coalesce(F.col("_grp"), F.lit("<null>"))
     share = F.round(F.try_divide(F.col("_ok"), F.col("_total")), 6)
-    joined = stats.join(F.broadcast(top_bad), F.lit(True), "left")
     # fail closed: a column with NO non-NULL values has NULL _total and
     # no conformance evidence — that is a finding (the x-freshness
     # policy), not a silent pass
     bad = joined.where(F.col("_total").isNull()
                        | (share < F.lit(float(min_share))))
     return bad.select(
-        F.lit("all").alias("row_id"),
+        rid.alias("row_id"),
         F.lit("all").alias("partition_id"),
         F.lit(ruleset_name).alias("ruleset_id"),
-        F.lit(f"mask:{column}").alias("constraint_id"),
+        F.lit(f"mask:{column}"
+              + (f":by={by}" if by else "")).alias("constraint_id"),
         F.lit("x-mask").alias("keyword"),
         F.lit(f"/{column}").alias("instance_path"),
         F.lit(f"#/x-mask/{column}").alias("schema_path"),

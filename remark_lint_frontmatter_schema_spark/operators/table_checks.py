@@ -212,14 +212,14 @@ def table_check_violations(
             from .stats import mask_violations
             extras.append(mask_violations(
                 df, column, expect=params["expect"],
-                min_share=params["min_share"],
+                min_share=params["min_share"], by=params.get("by"),
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
         elif kind == "corr":
             from .stats import correlation_violations
             extras.append(correlation_violations(
                 df, column, params["with"], min_abs=params["min_abs"],
-                ruleset_name=compiled.name,
+                by=params.get("by"), ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
         elif kind == "benford":
             from .drift import benford_violations

@@ -483,12 +483,14 @@ _KEYWORD_SHAPE = {
     and (v.get("min_share") is None
          or (isinstance(v["min_share"], _NUM)
              and not isinstance(v["min_share"], bool)
-             and 0 < v["min_share"] <= 1)),
+             and 0 < v["min_share"] <= 1))
+    and (v.get("by") is None or isinstance(v["by"], str)),
     "x-corr": lambda v: isinstance(v, dict)
     and isinstance(v.get("with"), str)
     and isinstance(v.get("min_abs"), _NUM)
     and not isinstance(v.get("min_abs"), bool)
-    and 0 < v["min_abs"] <= 1,
+    and 0 < v["min_abs"] <= 1
+    and (v.get("by") is None or isinstance(v["by"], str)),
     "x-benford": lambda v: isinstance(v, dict)
     and (v.get("max_mad") is None
          or (isinstance(v["max_mad"], _NUM)
@@ -1630,6 +1632,7 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 ("mask", ctx.instance_path[1:], {
                     "expect": p["expect"],
                     "min_share": float(p.get("min_share", 0.99)),
+                    "by": p.get("by"),
                     "severity": ctx.severity,
                 }))
         else:
@@ -1647,6 +1650,7 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 ("corr", ctx.instance_path[1:], {
                     "with": p["with"],
                     "min_abs": float(p["min_abs"]),
+                    "by": p.get("by"),
                     "severity": ctx.severity,
                 }))
         else:

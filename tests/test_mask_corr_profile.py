@@ -141,3 +141,69 @@ def test_mask_violations_and_dsl(spark):
     with pytest.raises(RulesetCompileError):
         compile_ruleset({"properties": {"name": {
             "x-mask": {"expect": ""}}}}, rid.schema, name="bad")
+
+
+def test_mask_violations_grouped(spark):
+    """`by:` form — one violation row per failing group, group value as
+    row_id, per-group top offender; NULL group is real and keeps its
+    offender (eqNullSafe join); all-NULL group fails closed."""
+    from remark_lint_frontmatter_schema_spark.operators.stats import (
+        mask_violations)
+    rows = (
+        [("us", "Bob#1")] * 97 + [("us", "##bad")] * 3        # 0.97 < 0.99
+        + [("de", "Ann#2")] * 100                             # conforms
+        + [(None, "Eva#3")] * 9 + [(None, "!!x")]             # NULL grp 0.9
+        + [("xx", None)] * 4                                  # all-NULL grp
+    )
+    df = spark.createDataFrame(rows, "country string, name string")
+    got = {r.row_id: r for r in mask_violations(
+        df, "name", expect="A#9", min_share=0.99,
+        by="country").collect()}
+    assert set(got) == {"us", "<null>", "xx"}
+    assert got["us"].actual == "0.97" and "top offender ##A" in got["us"].message
+    assert got["<null>"].actual == "0.9"
+    assert "top offender !!A" in got["<null>"].message
+    assert got["xx"].actual is None
+    assert "no non-NULL values" in got["xx"].message
+    assert got["us"].constraint_id == "mask:name:by=country"
+
+
+def test_correlation_violations_grouped(spark):
+    """`by:` form — perfectly-correlated group passes, anti-correlated
+    |corr|=1 passes, a noise group fails, a constant group fails with
+    actual NULL (undefined)."""
+    from remark_lint_frontmatter_schema_spark.operators.stats import (
+        correlation_violations)
+    import random
+    rnd = random.Random(7)
+    rows = ([("lin", float(i), 2.0 * i + 1) for i in range(50)]
+            + [("noise", float(rnd.random()), rnd.random())
+               for _ in range(50)]
+            + [("const", 5.0, float(i)) for i in range(50)])
+    df = spark.createDataFrame(rows, "grp string, a double, b double")
+    got = {r.row_id: r for r in correlation_violations(
+        df, "a", "b", min_abs=0.9, by="grp").collect()}
+    assert set(got) == {"noise", "const"}
+    assert got["const"].actual is None
+    assert "undefined" in got["const"].message
+    assert float(got["noise"].actual) < 0.9
+    assert got["noise"].constraint_id == "corr:a~b:by=grp"
+
+
+def test_grouped_mask_corr_dsl(spark):
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        table_check_violations)
+    df = spark.createDataFrame(
+        [("r1", "g1", "AB-1", 1.0, 2.0), ("r2", "g1", "??", 2.0, 1.0),
+         ("r3", "g2", "CD-2", 3.0, 6.0)],
+        "rid string, g string, name string, a double, b double")
+    doc = {"properties": {
+        "name": {"x-mask": {"expect": "A#9", "min_share": 0.99,
+                            "by": "g"}},
+        "a": {"x-corr": {"with": "b", "min_abs": 0.9, "by": "g"}}}}
+    compiled = compile_ruleset(doc, df.schema, name="grp")
+    kinds = {(k, p.get("by")) for k, _, p in compiled.table_checks}
+    assert kinds == {("mask", "g"), ("corr", "g")}
+    out = table_check_violations(df, compiled, row_id="rid").collect()
+    assert {(r.keyword, r.row_id) for r in out} >= {("x-mask", "g1")}
