@@ -65,3 +65,57 @@ def test_volume_stream_unit_guard(spark, tmp_path):
         run_volume_stream(spark, str(tmp_path), SCHEMA, "ts", unit="era",
                           out_path=str(tmp_path / "o"),
                           checkpoint=str(tmp_path / "c"))
+
+
+def test_compaction_preserves_numerics_and_replay(spark, tmp_path):
+    """compact_volume_sink folds committed partials into _batch=-1:
+    read numerics unchanged, partition count drops to keep_last + 1,
+    re-compaction is a no-op, and a stream continuation (including the
+    replayable tail) still matches the batch twin."""
+    from remark_lint_frontmatter_schema_spark.operators.outliers import (
+        volume_anomalies)
+    from remark_lint_frontmatter_schema_spark.streaming.volume import (
+        compact_volume_sink, run_volume_stream, volume_anomalies_from_sink)
+    import pytest
+    p = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # 5 micro-batches (maxFilesPerTrigger=1): steady hours, one flood
+    parts = [_rows(1, {0: 100, 1: 102, 2: 100}),
+             _rows(1, {3: 200, 4: 102}),
+             _rows(1, {3: 200, 5: 100}),          # flood completes late
+             _rows(1, {6: 102, 7: 100}),
+             _rows(1, {8: 5})]
+    mode = "overwrite"
+    for rows in parts:
+        spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+            .write.mode(mode).parquet(p)
+        mode = "append"
+        time.sleep(1.1)
+    run_volume_stream(spark, p, SCHEMA, "ts", unit="hour",
+                      out_path=out, checkpoint=ckpt).awaitTermination(180)
+    before = sorted((r.bucket, r.value, r.z) for r in
+                    volume_anomalies_from_sink(spark, out).collect())
+    n_folded = compact_volume_sink(spark, out, keep_last=2)
+    assert n_folded >= 2
+    import os
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("_batch="))
+    assert "_batch=-1" in dirs and len(dirs) == 3   # -1 + keep_last
+    after = sorted((r.bucket, r.value, r.z) for r in
+                   volume_anomalies_from_sink(spark, out).collect())
+    assert after == before
+    # idempotent: nothing left below the cutoff
+    assert compact_volume_sink(spark, out, keep_last=2) == 0
+    # stream continuation over the compacted sink still == batch twin
+    late = _rows(1, {8: 6})
+    spark.createDataFrame(late, SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(p)
+    run_volume_stream(spark, p, SCHEMA, "ts", unit="hour",
+                      out_path=out, checkpoint=ckpt).awaitTermination(180)
+    got = sorted((r.bucket, r.value, r.z) for r in
+                 volume_anomalies_from_sink(spark, out).collect())
+    want = sorted((r.bucket, r.value, r.z) for r in volume_anomalies(
+        spark.read.parquet(p), "ts", unit="hour").collect())
+    assert got == want
+    with pytest.raises(ValueError, match="keep_last"):
+        compact_volume_sink(spark, out, keep_last=0)
