@@ -822,6 +822,198 @@ def opus_meta(b: bytes) -> dict:
     return head
 
 
+# Opus packet layer (RFC 6716 §3): TOC parse + frame unpacking for all
+# four codes, CBR/VBR, padding. This layer is REAL and spec-complete;
+# what stays refused is the SILK/CELT ENTROPY decode inside non-empty
+# frames (range decoder + the RFC 6716 appendix codebook corpus — see
+# the spike record in SURVEY.md §7). Zero-length frames are DTX and
+# decode to silence per §4.1, so DTX-only streams decode end-to-end.
+
+_OPUS_FRAME_MS = {}
+for _cfg in range(32):
+    if _cfg < 12:                      # SILK-only NB/MB/WB
+        _OPUS_FRAME_MS[_cfg] = (10.0, 20.0, 40.0, 60.0)[_cfg % 4]
+    elif _cfg < 16:                    # Hybrid SWB/FB
+        _OPUS_FRAME_MS[_cfg] = (10.0, 20.0)[_cfg % 2]
+    else:                              # CELT-only NB/WB/SWB/FB
+        _OPUS_FRAME_MS[_cfg] = (2.5, 5.0, 10.0, 20.0)[(_cfg - 16) % 4]
+
+_OPUS_MODE = (["SILK"] * 12) + (["Hybrid"] * 4) + (["CELT"] * 16)
+
+
+def _opus_frame_len(b: bytes, pos: int):
+    """RFC 6716 §3.2.1 frame-length coding: returns (length, new_pos)."""
+    if pos >= len(b):
+        raise ValueError("truncated Opus frame length")
+    v = b[pos]
+    if v < 252:
+        return v, pos + 1
+    if pos + 1 >= len(b):
+        raise ValueError("truncated Opus frame length (2-byte form)")
+    return b[pos + 1] * 4 + v, pos + 2
+
+
+def opus_packet_frames(pkt: bytes) -> dict:
+    """Parse one Opus packet -> {config, mode, stereo, frame_ms,
+    frames: [bytes, ...]} per RFC 6716 §3.1-3.2 (all four codes, CBR and
+    VBR, padding). Raises ValueError on every malformed packing the RFC
+    rejects (R1-R7): empty packet, odd code-1 length, VBR lengths
+    overrunning the payload, >120 ms of audio, zero frame count."""
+    if not pkt:
+        raise ValueError("empty Opus packet")
+    toc = pkt[0]
+    config, stereo, code = toc >> 3, bool(toc & 0x4), toc & 0x3
+    frame_ms = _OPUS_FRAME_MS[config]
+    body = pkt[1:]
+    frames: list[bytes] = []
+    if code == 0:
+        frames = [body]
+    elif code == 1:
+        if len(body) % 2:
+            raise ValueError("code-1 packet with odd payload length")
+        h = len(body) // 2
+        frames = [body[:h], body[h:]]
+    elif code == 2:
+        n1, pos = _opus_frame_len(body, 0)
+        if pos + n1 > len(body):
+            raise ValueError("code-2 first frame overruns packet")
+        frames = [body[pos:pos + n1], body[pos + n1:]]
+    else:
+        if not body:
+            raise ValueError("code-3 packet without frame-count byte")
+        vbr, padded, m = bool(body[0] & 0x80), bool(body[0] & 0x40), \
+            body[0] & 0x3F
+        if m == 0:
+            raise ValueError("code-3 packet with zero frames")
+        pos = 1
+        pad = 0
+        if padded:
+            while True:
+                if pos >= len(body):
+                    raise ValueError("truncated Opus padding count")
+                v = body[pos]
+                pos += 1
+                pad += 254 if v == 255 else v
+                if v != 255:
+                    break
+        payload_end = len(body) - pad
+        if payload_end < pos:
+            raise ValueError("Opus padding overruns packet")
+        if vbr:
+            lens = []
+            for _ in range(m - 1):
+                ln, pos = _opus_frame_len(body, pos)
+                lens.append(ln)
+            rest = payload_end - pos - sum(lens)
+            if rest < 0:
+                raise ValueError("VBR frame lengths overrun packet")
+            lens.append(rest)
+            for ln in lens:
+                frames.append(body[pos:pos + ln])
+                pos += ln
+        else:
+            total = payload_end - pos
+            if total % m:
+                raise ValueError("CBR payload not divisible by count")
+            ln = total // m
+            for _ in range(m):
+                frames.append(body[pos:pos + ln])
+                pos += ln
+    if len(frames) * frame_ms > 120.0:
+        raise ValueError("Opus packet exceeds 120 ms")
+    return {"config": config, "mode": _OPUS_MODE[config],
+            "stereo": stereo, "frame_ms": frame_ms, "frames": frames}
+
+
+def opus_decode(b: bytes) -> tuple[int, np.ndarray]:
+    """Ogg/Opus container -> (48000, int16 mono PCM) for the decodable
+    subset: every frame must be zero-length DTX (silence per RFC 6716
+    §4.1 — the conformant PLC output). The container walk (CRC, page
+    sequence, OpusHead) and the packet-layer frame unpacking are full
+    RFC 3533/7845/6716-§3 implementations; a non-empty SILK/CELT frame
+    raises NotImplementedError (entropy decode — SURVEY.md §7 spike).
+    Output honors pre-skip and the final granule position exactly as a
+    real decoder would (trim, then clamp)."""
+    meta = opus_meta(b)       # full structural validation first
+    if meta["channels"] != 1:
+        raise NotImplementedError("opus_decode: mono subset only")
+    total = 0
+    for seq, pkts in _ogg_pages_packets(b):
+        for pkt in pkts:
+            if pkt[:8] in (b"OpusHead", b"OpusTags"):
+                continue
+            info = opus_packet_frames(pkt)
+            for fr in info["frames"]:
+                if len(fr):
+                    raise NotImplementedError(
+                        "opus_decode: non-DTX frame needs SILK/CELT "
+                        "entropy decode (see SURVEY.md §7 spike)")
+                total += int(round(info["frame_ms"] * 48))
+    n_out = max(0, min(total - meta["pre_skip"],
+                       int(round(meta["duration_ms"] * 48.0))))
+    return 48000, np.zeros(n_out, dtype=np.int16)
+
+
+def _ogg_pages_packets(b: bytes):
+    """One pass over the stream yielding (page_seq, [packets]) with
+    packets split per the segment lacing table (RFC 3533 §6) — the
+    packet-level sibling of :func:`ogg_pages` (which joins a page's
+    payload). A packet continued across pages (lacing table ending at
+    255) raises — absent from the fixture subset."""
+    pos, n = 0, len(b)
+    while pos < n:
+        nseg = b[pos + 26]
+        segs = b[pos + 27:pos + 27 + nseg]
+        body = pos + 27 + nseg
+        seq = int.from_bytes(b[pos + 18:pos + 22], "little")
+        pkts, cur = [], bytearray()
+        off = body
+        for s in segs:
+            cur += b[off:off + s]
+            off += s
+            if s < 255:
+                pkts.append(bytes(cur))
+                cur = bytearray()
+        if cur:
+            raise ValueError("packet continued across pages "
+                             "(unsupported in the fixture subset)")
+        yield seq, pkts
+        pos = off
+
+
+def ogg_opus_silence_bytes(i: int, sr_hz: int = 16000,
+                           audio_ms: int = 8, *,
+                           pre_skip: int = 0) -> bytes:
+    """Deterministic CONFORMANT Ogg/Opus container whose audio packets
+    are 1-byte DTX packets (TOC config 9 = SILK WB 20 ms, code 0,
+    zero-length frame): fully DECODABLE by :func:`opus_decode` — the
+    stream a real encoder emits for sustained silence with DTX on."""
+    rng = np.random.default_rng(2042 + i)
+    serial = int(rng.integers(0, 2 ** 32))
+    head = (b"OpusHead" + bytes([1, 1]) + pre_skip.to_bytes(2, "little")
+            + int(sr_hz).to_bytes(4, "little") + b"\x00\x00" + b"\x00")
+    vendor = b"rlfs-spark-fixture"
+    tags = (b"OpusTags" + len(vendor).to_bytes(4, "little") + vendor
+            + (0).to_bytes(4, "little"))
+    total_48k = int(audio_ms) * 48
+    # packets must cover the priming samples too: a real encoder emits
+    # pre_skip extra samples ahead of the audio (RFC 7845 §4.2)
+    n_pkts = max(1, -(-(total_48k + pre_skip) // 960))   # 20 ms packets
+    pages = [_ogg_page(0x02, 0, serial, 0, [head]),
+             _ogg_page(0x00, 0, serial, 1, [tags])]
+    seq = 2
+    end_granule = pre_skip + total_48k
+    for p0 in range(0, n_pkts, 40):
+        pkts = [bytes([0x48]) for _ in range(min(40, n_pkts - p0))]
+        is_last = p0 + 40 >= n_pkts
+        granule = (end_granule if is_last
+                   else min((p0 + 40) * 960, end_granule))
+        pages.append(_ogg_page(0x04 if is_last else 0x00, granule,
+                               serial, seq, pkts))
+        seq += 1
+    return b"".join(pages)
+
+
 def flac_streaminfo(b: bytes) -> dict:
     """Parse ONLY the FLAC metadata blocks -> {sr_hz, channels, bps,
     total_samples, md5} — no frame decode, so duration checks on FLAC
@@ -2140,10 +2332,16 @@ def transcode_payload(b: bytes, codec: str) -> bytes:
         from .pcm_codecs import decode_wav_extended
         sr, x = decode_wav_extended(b)
         return wav_bytes(_to_pcm16(x), sr)
+    if codec == "opus":
+        # container + RFC 6716 §3 packet layer are fully decoded;
+        # DTX-only streams (sustained silence) transcode end-to-end,
+        # SILK/CELT entropy payloads raise (SURVEY.md §7 spike)
+        sr, pcm = opus_decode(b)
+        return wav_bytes(pcm, sr)
     raise NotImplementedError(
         f"transcoding codec {codec!r} requires soundfile/ffmpeg "
-        "(not in sandbox: opus packets and mp3 need SILK/CELT or "
-        "MDCT+Huffman entropy decode); production swaps transcode_payload")
+        "(not in sandbox: opus SILK/CELT packets and mp3 need entropy "
+        "decode); production swaps transcode_payload")
 
 
 def transcode_clips(clips, *, codec_col: str = "codec",
