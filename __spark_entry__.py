@@ -208,6 +208,25 @@ def q_volume_anomaly_events(spark, sf):
         .select("bucket", "value", F.round("z", 6).alias("z"))
 
 
+def q_volume_by_events(spark, sf):
+    """GROUPED ingest-volume gate (operators/outliers.py
+    volume_violations, x-volume `by:`): daily bucket counts scored
+    against THEIR EVENT TYPE's median/MAD — a type that floods while
+    another thins is invisible to the global form, which sees the sum.
+    Deterministic burst injection ('click' rows on day 5 re-appended
+    3x -> that (type, day) bucket runs 4x volume) so exactly the
+    planted bucket fires, message string included. `expected` dropped
+    (NULL array; driver canonicalizer rule)."""
+    from remark_lint_frontmatter_schema_spark.operators.outliers import (
+        volume_violations)
+    ev = _load(spark, sf, "events")
+    burst = ev.where((F.col("event_type") == "click")
+                     & (F.dayofmonth("ts") == 5))
+    src = ev.unionAll(burst).unionAll(burst).unionAll(burst)
+    return volume_violations(src, "ts", unit="day", k=3.5,
+                             by="event_type").drop("expected")
+
+
 def q_outliers_events(spark, sf):
     """Robust modified-z outliers on events.value (operators/outliers.py):
     median/MAD from two single-column aggregates broadcast back onto a
@@ -2450,6 +2469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_orders": q_repair_orders,
         "outliers_events": q_outliers_events,
         "volume_anomaly_events": q_volume_anomaly_events,
+        "volume_by_events": q_volume_by_events,
         "monotonic_events_by_user": q_monotonic_events_by_user,
         "chunk_documents": q_chunk_documents,
         "mix_documents": q_mix_documents,
@@ -5442,6 +5462,46 @@ SELECT CAST(b.bucket AS VARCHAR) AS bucket, b.n AS value,
 FROM b, m
 WHERE CASE WHEN m.mad > 0 THEN 0.6745 * abs(b.n - m.med) / m.mad > 3.5
            ELSE b.n != m.med END
+""",
+        "volume_by_events": """
+WITH src AS (
+  SELECT ts, event_type FROM events WHERE ts IS NOT NULL
+  UNION ALL
+  SELECT ts, event_type FROM events, (SELECT 1 UNION ALL SELECT 2
+                                      UNION ALL SELECT 3)
+  WHERE ts IS NOT NULL AND event_type = 'click'
+    AND date_part('day', ts) = 5),
+b AS (
+  SELECT event_type AS grp, date_trunc('day', ts) AS bucket,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM src GROUP BY 1, 2),
+s AS (SELECT grp, quantile_cont(n, 0.5) AS med FROM b GROUP BY 1),
+m AS (SELECT b.grp, quantile_cont(abs(b.n - s.med), 0.5) AS mad,
+             any_value(s.med) AS med
+      FROM b JOIN s ON b.grp = s.grp GROUP BY 1),
+bad AS (
+  SELECT b.grp, b.bucket, b.n,
+         ROUND(CASE WHEN m.mad > 0
+                    THEN 0.6745 * abs(b.n - m.med) / m.mad END, 6) AS z
+  FROM b JOIN m ON b.grp = m.grp
+  WHERE CASE WHEN m.mad > 0 THEN 0.6745 * abs(b.n - m.med) / m.mad > 3.5
+             ELSE b.n != m.med END)
+SELECT CAST(CAST(bucket AS TIMESTAMP) AS VARCHAR) AS row_id,
+       grp AS partition_id,
+       'engine' AS ruleset_id,
+       'volume:ts:by=event_type' AS constraint_id,
+       'x-volume' AS keyword,
+       '/ts' AS instance_path,
+       '#/x-volume/ts' AS schema_path,
+       'Must have typical day row volume (median/MAD |z| <= 3.5): '
+         || 'bucket has ' || CAST(CAST(n AS BIGINT) AS VARCHAR)
+         || ' rows'
+         || CASE WHEN z IS NOT NULL
+                 THEN ' (z=' || CAST(round(z, 2) AS VARCHAR) || ')'
+                 ELSE '' END AS message,
+       CAST(CAST(n AS BIGINT) AS VARCHAR) AS actual,
+       'warning' AS severity
+FROM bad
 """,
         "outliers_events": """
 WITH s AS (SELECT median(value) AS med FROM events),

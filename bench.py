@@ -137,6 +137,7 @@ HEADLINE = [
     "winnow_pairs_documents",
     "quantile_gate_lineitem",
     "volume_anomaly_events",
+    "volume_by_events",
     "mean_shift_events",
     "containment_documents",
     "funnel_ci_events",

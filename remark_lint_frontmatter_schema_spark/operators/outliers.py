@@ -216,15 +216,56 @@ def volume_violations_from_buckets(buckets: DataFrame, ts_col: str, *,
 
 
 def volume_violations(df: DataFrame, ts_col: str, *, unit: str = "day",
-                      k: float = 3.5, ruleset_name: str = "engine",
+                      k: float = 3.5, by: str | None = None,
+                      ruleset_name: str = "engine",
                       severity: str = "warning") -> DataFrame:
     """Violation rows for the ``x-volume`` table check: one row per
     anomalous time bucket (shape mirrors VIOLATION_FIELDS like the other
-    table checks — x-calendar's thin/flooded-bucket companion)."""
+    table checks — x-calendar's thin/flooded-bucket companion).
+
+    ``by`` scores each bucket against ITS GROUP's median/MAD ("typical
+    hourly volume per event type" — a type that floods while another
+    thins is invisible to the global form, which sees the sum). One
+    (group, bucket) keys-only aggregate; the group value rides as
+    ``partition_id`` (the x-outlier grouped convention) and NULL
+    by-values are skipped (no stats to compare against)."""
+    if by is None:
+        t = F.col(ts_col)
+        buckets = (df.where(t.isNotNull())
+                     .groupBy(F.date_trunc(unit, t).alias("bucket"))
+                     .agg(F.count(F.lit(1)).alias("n_rows")))
+        return volume_violations_from_buckets(
+            buckets, ts_col, unit=unit, k=k, ruleset_name=ruleset_name,
+            severity=severity)
+    if unit not in ("minute", "hour", "day", "week", "month"):
+        raise ValueError(f"unsupported unit {unit!r}")
     t = F.col(ts_col)
     buckets = (df.where(t.isNotNull())
-                 .groupBy(F.date_trunc(unit, t).alias("bucket"))
+                 .groupBy(F.col(by).cast("string").alias("_grp"),
+                          F.date_trunc(unit, t).alias("bucket"))
                  .agg(F.count(F.lit(1)).alias("n_rows")))
-    return volume_violations_from_buckets(
-        buckets, ts_col, unit=unit, k=k, ruleset_name=ruleset_name,
-        severity=severity)
+    bad = (outlier_scores(buckets, "n_rows", row_id="bucket", k=k,
+                          group_col="_grp")
+           .select(F.col("row_id").alias("bucket"), "_grp", "value", "z"))
+    return bad.select(
+        F.col("bucket").cast("string").alias("row_id"),
+        F.col("_grp").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"volume:{ts_col}:by={by}").alias("constraint_id"),
+        F.lit("x-volume").alias("keyword"),
+        F.lit(f"/{ts_col}").alias("instance_path"),
+        F.lit(f"#/x-volume/{ts_col}").alias("schema_path"),
+        F.concat(
+            F.lit(f"Must have typical {unit} row volume "
+                  f"(median/MAD |z| <= {k:g}): bucket has "),
+            F.col("value").cast("long").cast("string"),
+            F.lit(" rows"),
+            F.when(F.col("z").isNotNull(),
+                   F.concat(F.lit(" (z="),
+                            F.round("z", 2).cast("string"),
+                            F.lit(")"))).otherwise(F.lit(""))
+        ).alias("message"),
+        F.col("value").cast("long").cast("string").alias("actual"),
+        F.lit(None).cast("array<string>").alias("expected"),
+        F.lit(severity).alias("severity"),
+    )

@@ -55,12 +55,13 @@ class TableValidationResult:
 
 def _is_fusable(kind: str, params: dict) -> bool:
     """Aggregation-shaped checks that reduce to one groupBy(tag, key)
-    pass. Grouped x-quantile (``by:``) keeps its own pass: its NULL
-    group must survive as a real group, which the shared string-typed
-    key cannot represent without a sentinel collision."""
-    if kind in ("unique", "volume"):
+    pass. Grouped forms (``by:``) keep their own pass: quantile's NULL
+    group must survive as a real group (the shared string-typed key
+    cannot represent it without a sentinel collision), and grouped
+    volume scores buckets against per-group stats."""
+    if kind == "unique":
         return True
-    return kind == "quantile" and not params.get("by")
+    return kind in ("volume", "quantile") and not params.get("by")
 
 
 def _fused_agg_violations(df: DataFrame, specs: list, *,
@@ -282,7 +283,8 @@ def table_check_violations(
             from .outliers import volume_violations
             extras.append(volume_violations(
                 df, column, unit=params.get("unit", "day"),
-                k=params.get("k", 3.5), ruleset_name=compiled.name,
+                k=params.get("k", 3.5), by=params.get("by"),
+                ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
         elif kind == "quantile":
             from .stats import quantile_violations

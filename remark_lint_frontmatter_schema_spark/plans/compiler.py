@@ -546,7 +546,8 @@ _KEYWORD_SHAPE = {
     and v.get("unit", "day") in ("minute", "hour", "day", "week", "month")
     and (v.get("k") is None
          or (isinstance(v["k"], _NUM) and not isinstance(v["k"], bool)
-             and v["k"] > 0)),
+             and v["k"] > 0))
+    and (v.get("by") is None or isinstance(v["by"], str)),
     "x-quantile": lambda v: isinstance(v, dict)
     and isinstance(v.get("q"), _NUM) and not isinstance(v["q"], bool)
     and 0 <= v["q"] <= 1
@@ -1547,6 +1548,7 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                     # passes the shape validator and must fall back, not
                     # crash float(None) (k=0 is rejected at validation)
                     "k": float(p.get("k") or 3.5),
+                    "by": p.get("by"),
                     "severity": ctx.severity,
                 }))
         else:

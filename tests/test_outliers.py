@@ -263,3 +263,42 @@ def test_x_volume_null_k_falls_back(spark):
         df.schema, name="volnull")
     ((kind, col, params),) = compiled.table_checks
     assert kind == "volume" and params["k"] == 3.5
+
+
+def test_x_volume_grouped(spark):
+    """`by:` form — a type that floods while the rest stay steady fires
+    against ITS OWN median/MAD; the global form over the same rows sees
+    the sum and can miss it. Group value rides as partition_id."""
+    from datetime import datetime
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators.outliers import (
+        volume_violations)
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+    rows = []
+    for d in range(1, 15):
+        for t, n in (("a", 50), ("b", 50)):
+            # day 7: type a floods to 150 while type b thins to 10 —
+            # the SUM stays 160 vs the usual 100 (mild), but per group
+            # both are gross outliers
+            if d == 7:
+                n = 150 if t == "a" else 10
+            rows += [(f"{t}{d}_{i}", t, datetime(2024, 5, d))
+                     for i in range(n)]
+    df = spark.createDataFrame(rows, "rid string, typ string, ts timestamp")
+    got = volume_violations(df, "ts", unit="day", k=3.5,
+                            by="typ").collect()
+    assert {(r.partition_id, r.actual) for r in got} \
+        == {("a", "150"), ("b", "10")}
+    assert all(r.row_id == "2024-05-07 00:00:00" for r in got)
+    assert all(r.constraint_id == "volume:ts:by=typ" for r in got)
+    # DSL wiring
+    compiled = compile_ruleset(
+        {"properties": {"ts": {"x-volume": {"unit": "day", "by": "typ"}}}},
+        df.schema, name="volby")
+    ((kind, col, params),) = compiled.table_checks
+    assert kind == "volume" and params["by"] == "typ"
+    out = validate_with_table_checks(df, compiled, row_id="rid") \
+        .violations.collect()
+    assert {(r.partition_id, r.actual) for r in out} \
+        == {("a", "150"), ("b", "10")}
