@@ -981,6 +981,114 @@ def _ogg_pages_packets(b: bytes):
         pos = off
 
 
+OPUS_PACKET_STATS_SCHEMA = (
+    "clip_id string, container_ok boolean, n_packets long, n_frames long, "
+    "dtx_frames long, dtx_fraction double, audio_ms double, mode string, "
+    "stereo_any boolean, mean_packet_bytes double, est_bitrate_bps double, "
+    "err string")
+
+
+def opus_packet_stats(clips, *, id_col: str = "clip_id",
+                      bytes_col: str = "bytes"):
+    """Per-clip Opus PACKET-layer statistics — dead-air and bitrate
+    triage WITHOUT entropy decode: (n_packets, n_frames, dtx_frames,
+    dtx_fraction, audio_ms, dominant mode, stereo_any,
+    mean_packet_bytes, est_bitrate_bps).
+
+    The scale rationale: a 10^12-clip ASR corpus cannot afford a full
+    decode to find effectively-silent clips, but DTX fraction is
+    visible in the TOC/frame lengths alone (RFC 6716 §3 — the layer
+    :func:`opus_packet_frames` implements in full), so this is a
+    header-walk-priced scan over the payload column. Malformed
+    containers/packets land as container_ok=false rows with the reason
+    (the decode_stats convention), never an erroring task. Map-only
+    Arrow stage; payloads never shuffle."""
+
+    def fn(iterator):
+        for pdf in iterator:
+            rows = []
+            for cid, b in zip(pdf[id_col], pdf[bytes_col]):
+                raw = bytes(b) if b is not None else b""
+                try:
+                    opus_meta(raw)   # CRC + structure first
+                    n_pkts = n_frames = dtx = 0
+                    total_ms = 0.0
+                    payload_bytes = 0
+                    modes: dict = {}
+                    stereo_any = False
+                    for _seq, pkts in _ogg_pages_packets(raw):
+                        for pkt in pkts:
+                            if pkt[:8] in (b"OpusHead", b"OpusTags"):
+                                continue
+                            info = opus_packet_frames(pkt)
+                            n_pkts += 1
+                            payload_bytes += len(pkt)
+                            stereo_any |= info["stereo"]
+                            m = info["mode"]
+                            for fr in info["frames"]:
+                                n_frames += 1
+                                dtx += not len(fr)
+                                total_ms += info["frame_ms"]
+                                modes[m] = modes.get(m, 0) + 1
+                    mode = (max(sorted(modes), key=modes.get)
+                            if modes else None)
+                    rows.append((
+                        cid, True, n_pkts, n_frames, dtx,
+                        (dtx / n_frames) if n_frames else None,
+                        total_ms, mode, stereo_any,
+                        (payload_bytes / n_pkts) if n_pkts else None,
+                        (payload_bytes * 8000.0 / total_ms)
+                        if total_ms else None, None))
+                except (ValueError, NotImplementedError) as exc:
+                    rows.append((cid, False, None, None, None, None,
+                                 None, None, None, None, None,
+                                 f"{type(exc).__name__}: {exc}"[:160]))
+            yield pd.DataFrame(rows, columns=[
+                "clip_id", "container_ok", "n_packets", "n_frames",
+                "dtx_frames", "dtx_fraction", "audio_ms", "mode",
+                "stereo_any", "mean_packet_bytes", "est_bitrate_bps",
+                "err"])
+
+    return clips.select(F.col(id_col).alias(id_col),
+                        F.col(bytes_col).alias(bytes_col)) \
+        .mapInPandas(fn, schema=OPUS_PACKET_STATS_SCHEMA)
+
+
+def dtx_violations(clips, *, max_dtx_fraction: float = 0.5,
+                   ruleset_name: str = "engine",
+                   severity: str = "warning"):
+    """Dead-air gate over the packet layer: opus clips whose DTX frame
+    fraction exceeds ``max_dtx_fraction`` are effectively silence —
+    flagged without decoding a single sample (the voiced_content
+    check's packet-layer sibling for compressed payloads). Clips with
+    no frames or a broken container never violate here (the decode
+    guard's business)."""
+    if not 0 <= max_dtx_fraction < 1:
+        raise ValueError("max_dtx_fraction must be in [0, 1)")
+    est = opus_packet_stats(clips)
+    bad = est.where(F.col("container_ok")
+                    & F.col("dtx_fraction").isNotNull()
+                    & (F.col("dtx_fraction")
+                       > F.lit(float(max_dtx_fraction))))
+    return bad.select(
+        F.col("clip_id").cast("string").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit("dtx:bytes").alias("constraint_id"),
+        F.lit("x-dtx").alias("keyword"),
+        F.lit("/bytes").alias("instance_path"),
+        F.lit("#/x-dtx").alias("schema_path"),
+        F.concat(
+            F.lit(f"Must carry speech, not dead air: "),
+            F.round(F.col("dtx_fraction") * 100, 1).cast("string"),
+            F.lit(f"% of frames are DTX silence (limit "
+                  f"{max_dtx_fraction * 100:g}%)")).alias("message"),
+        F.round("dtx_fraction", 4).cast("string").alias("actual"),
+        F.array(F.lit(f"<= {max_dtx_fraction:g}")).alias("expected"),
+        F.lit(severity).alias("severity"),
+    )
+
+
 def ogg_opus_silence_bytes(i: int, sr_hz: int = 16000,
                            audio_ms: int = 8, *,
                            pre_skip: int = 0) -> bytes:

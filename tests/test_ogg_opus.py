@@ -338,3 +338,45 @@ def test_transcode_opus_dtx_roundtrip(spark):
         df, on_error="keep").collect()}
     assert got["dtx"].transcode_ok and got["dtx"].bytes is not None
     assert not got["entropy"].transcode_ok and got["entropy"].bytes is None
+
+
+def test_opus_packet_stats_and_dtx_gate(spark):
+    """Packet-layer stats without entropy decode: DTX fraction, frame
+    accounting, bitrate; the dead-air gate fires on DTX-heavy clips."""
+    from remark_lint_frontmatter_schema_spark.functions.audio import (
+        _ogg_page, dtx_violations, opus_packet_stats)
+    # hand-built mixed stream: 2 DTX + 2 entropy 20 ms packets
+    head = (b"OpusHead" + bytes([1, 1]) + (0).to_bytes(2, "little")
+            + (16000).to_bytes(4, "little") + b"\x00\x00" + b"\x00")
+    vendor = b"v"
+    tags = (b"OpusTags" + len(vendor).to_bytes(4, "little") + vendor
+            + (0).to_bytes(4, "little"))
+    pkts = [bytes([0x48]), bytes([0x48]) + b"\x11" * 39,
+            bytes([0x48]), bytes([0x48]) + b"\x22" * 39]
+    mixed = b"".join([
+        _ogg_page(0x02, 0, 7, 0, [head]),
+        _ogg_page(0x00, 0, 7, 1, [tags]),
+        _ogg_page(0x04, 4 * 960, 7, 2, pkts)])
+    rows = [
+        ("silent", audio.ogg_opus_silence_bytes(1, audio_ms=100)),
+        ("speech", audio.ogg_opus_bytes(2, audio_ms=100)),
+        ("mixed", mixed),
+        ("broken", b"OggS\x00garbage"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    st = {r.clip_id: r for r in opus_packet_stats(df).collect()}
+    assert st["silent"].dtx_fraction == 1.0
+    assert st["silent"].n_frames == st["silent"].dtx_frames == 5
+    assert st["silent"].audio_ms == 100.0 and st["silent"].mode == "SILK"
+    assert st["speech"].dtx_fraction == 0.0
+    assert st["speech"].est_bitrate_bps == pytest.approx(16000, rel=0.01)
+    assert st["mixed"].dtx_fraction == 0.5
+    assert st["mixed"].n_packets == 4 and not st["mixed"].stereo_any
+    assert st["broken"].container_ok is False and st["broken"].err
+    v = {r.row_id: r for r in dtx_violations(
+        df, max_dtx_fraction=0.4).collect()}
+    assert set(v) == {"silent", "mixed"}
+    assert "100.0% of frames are DTX" in v["silent"].message
+    assert v["mixed"].actual == "0.5"
+    with pytest.raises(ValueError, match="max_dtx_fraction"):
+        dtx_violations(df, max_dtx_fraction=1.0)
