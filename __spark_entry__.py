@@ -208,6 +208,29 @@ def q_volume_anomaly_events(spark, sf):
         .select("bucket", "value", F.round("z", 6).alias("z"))
 
 
+def q_validate_lineitem_fused(spark, sf):
+    """FUSED aggregation table checks through the declarative path
+    (operators/table_checks.py _fused_agg_violations, VERDICT r3 #2):
+    one ruleset declares x-unique(l_partkey) + x-quantile(l_quantity
+    p99<=45) + x-volume(l_shipdate monthly, k=2) and all three ride ONE
+    scan + ONE shuffle (plan-pinned in tests/test_fused_table_checks).
+    The oracle re-derives each check independently and unions them —
+    proving the fused rows are byte-identical to three standalone
+    passes. `expected` dropped (mixed NULL/non-NULL arrays; driver
+    canonicalizer rule)."""
+    from remark_lint_frontmatter_schema_spark import compile_ruleset
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        table_check_violations)
+    li = _load(spark, sf, "lineitem")
+    rs = {"properties": {
+        "l_partkey": {"x-unique": True},
+        "l_quantity": {"x-quantile": {"q": 0.99, "hi": 45.0}},
+        "l_shipdate": {"x-volume": {"unit": "month", "k": 2.0}}}}
+    compiled = compile_ruleset(rs, li.schema, name="fused")
+    return table_check_violations(li, compiled, row_id="l_orderkey") \
+        .drop("expected")
+
+
 def q_volume_by_events(spark, sf):
     """GROUPED ingest-volume gate (operators/outliers.py
     volume_violations, x-volume `by:`): daily bucket counts scored
@@ -2470,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_events": q_outliers_events,
         "volume_anomaly_events": q_volume_anomaly_events,
         "volume_by_events": q_volume_by_events,
+        "validate_lineitem_fused": q_validate_lineitem_fused,
         "monotonic_events_by_user": q_monotonic_events_by_user,
         "chunk_documents": q_chunk_documents,
         "mix_documents": q_mix_documents,
@@ -5462,6 +5486,55 @@ SELECT CAST(b.bucket AS VARCHAR) AS bucket, b.n AS value,
 FROM b, m
 WHERE CASE WHEN m.mad > 0 THEN 0.6745 * abs(b.n - m.med) / m.mad > 3.5
            ELSE b.n != m.med END
+""",
+        "validate_lineitem_fused": """
+WITH uq AS (
+  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+qn AS (
+  SELECT round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.99), 6) AS q
+  FROM lineitem),
+vb AS (
+  SELECT date_trunc('month', l_shipdate) AS bucket,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1),
+vs AS (SELECT quantile_cont(n, 0.5) AS med FROM vb),
+vm AS (SELECT quantile_cont(abs(n - vs.med), 0.5) AS mad,
+              any_value(vs.med) AS med
+       FROM vb, vs)
+SELECT CAST(k AS VARCHAR) AS row_id, 'all' AS partition_id,
+       'fused' AS ruleset_id, 'unique:l_partkey' AS constraint_id,
+       'unique' AS keyword, '/l_partkey' AS instance_path,
+       '#/x-unique/l_partkey' AS schema_path,
+       'Must be unique: ''l_partkey'' occurs ' || CAST(n AS VARCHAR)
+         || ' times' AS message,
+       CAST(k AS VARCHAR) AS actual, 'warning' AS severity
+FROM uq WHERE n > 1
+UNION ALL
+SELECT 'all', 'all', 'fused', 'quantile:l_quantity:0.99',
+       'x-quantile', '/l_quantity', '#/x-quantile/l_quantity',
+       CASE WHEN q IS NULL
+            THEN 'Must have p99 <= 45: no non-NULL values to measure'
+            ELSE 'Must have p99 <= 45: got ' || CAST(q AS VARCHAR) END,
+       CAST(q AS VARCHAR), 'warning'
+FROM qn WHERE q IS NULL OR q > 45.0
+UNION ALL
+SELECT CAST(CAST(vb.bucket AS TIMESTAMP) AS VARCHAR), 'all', 'fused',
+       'volume:l_shipdate', 'x-volume', '/l_shipdate',
+       '#/x-volume/l_shipdate',
+       'Must have typical month row volume (median/MAD |z| <= 2): '
+         || 'bucket has ' || CAST(CAST(vb.n AS BIGINT) AS VARCHAR)
+         || ' rows'
+         || CASE WHEN vm.mad > 0
+                 THEN ' (z=' || CAST(round(round(
+                        0.6745 * abs(vb.n - vm.med) / vm.mad, 6), 2)
+                        AS VARCHAR) || ')'
+                 ELSE '' END,
+       CAST(CAST(vb.n AS BIGINT) AS VARCHAR), 'warning'
+FROM vb, vm
+WHERE CASE WHEN vm.mad > 0
+           THEN 0.6745 * abs(vb.n - vm.med) / vm.mad > 2.0
+           ELSE vb.n != vm.med END
 """,
         "volume_by_events": """
 WITH src AS (
