@@ -39,6 +39,7 @@ HEADLINE = [
     "validate_orders",
     "verdict_orders",
     "validate_lineitem_pruned",
+    "validate_lineitem_fused",
     "footer_profile_lineitem",
     "repair_orders",
     "repair_log_orders",
