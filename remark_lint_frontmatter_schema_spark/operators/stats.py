@@ -365,6 +365,15 @@ def correlation_violations(df: DataFrame, col_a: str, col_b: str, *,
     )
 
 
+def mask_expr(column: str):
+    """The mask-profile projection: digit runs -> 9, letter runs -> A
+    (shared by mask_profile, mask_violations and the fused table-check
+    pass)."""
+    return F.regexp_replace(
+        F.regexp_replace(F.col(column).cast("string"), "[0-9]+", "9"),
+        "[A-Za-z]+", "A")
+
+
 def mask_violations(df: DataFrame, column: str, *, expect: str,
                     min_share: float = 0.99, by: str | None = None,
                     ruleset_name: str = "engine",
@@ -378,6 +387,10 @@ def mask_violations(df: DataFrame, column: str, *, expect: str,
     excluded here (required/type own missingness — unlike the profile,
     a gate must not double-report).
 
+    The mask projection lives in :func:`mask_expr` and the global tail
+    in :func:`mask_violations_from_counts`, shared with the fused
+    single-scan table-check pass.
+
     ``by`` checks conformance PER GROUP ("names match 'A#9' per
     country") — per-(group, mask) counts, a per-group window for the
     top offender (partitioned, never global), and a violation row per
@@ -385,23 +398,13 @@ def mask_violations(df: DataFrame, column: str, *, expect: str,
     values are all NULL fails closed like the global form."""
     if not 0 < min_share <= 1:
         raise ValueError("min_share must be in (0, 1]")
-    m = F.regexp_replace(
-        F.regexp_replace(F.col(column).cast("string"), "[0-9]+", "9"),
-        "[A-Za-z]+", "A")
+    m = mask_expr(column)
     if by is None:
         src = df.where(F.col(column).isNotNull()).select(m.alias("mask"))
         counts = src.groupBy("mask").agg(F.count(F.lit(1)).alias("n"))
-        stats = counts.agg(
-            F.sum("n").alias("_total"),
-            F.coalesce(F.sum(F.when(F.col("mask") == expect,
-                                    F.col("n"))),
-                       F.lit(0)).alias("_ok"))
-        top_bad = (counts.where(F.col("mask") != expect)
-                   .orderBy(F.col("n").desc(), F.col("mask").asc())
-                   .limit(1)
-                   .select(F.col("mask").alias("_top_bad")))
-        joined = stats.join(F.broadcast(top_bad), F.lit(True), "left")
-        rid = F.lit("all")
+        return mask_violations_from_counts(
+            counts, column, expect=expect, min_share=min_share,
+            ruleset_name=ruleset_name, severity=severity)
     else:
         from pyspark.sql import Window
         grp = F.col(by).cast("string").alias("_grp")
@@ -431,6 +434,38 @@ def mask_violations(df: DataFrame, column: str, *, expect: str,
                              "left")
                        .drop("_tgrp"))
         rid = F.coalesce(F.col("_grp"), F.lit("<null>"))
+    return _mask_rows(joined, rid, column, by=by, expect=expect,
+                      min_share=min_share, ruleset_name=ruleset_name,
+                      severity=severity)
+
+
+def mask_violations_from_counts(counts: DataFrame, column: str, *,
+                                expect: str, min_share: float = 0.99,
+                                ruleset_name: str = "engine",
+                                severity: str = "warning") -> DataFrame:
+    """Global-form gate over a precomputed per-mask count relation
+    ``(mask STRING, n)`` — the shared tail behind the global
+    :func:`mask_violations` and the fused single-scan table-check pass
+    (operators/table_checks.py), so both emit byte-identical rows. An
+    EMPTY counts relation (all-NULL column) fails closed via the NULL
+    aggregate sums, like the direct path."""
+    stats = counts.agg(
+        F.sum("n").alias("_total"),
+        F.coalesce(F.sum(F.when(F.col("mask") == expect, F.col("n"))),
+                   F.lit(0)).alias("_ok"))
+    top_bad = (counts.where(F.col("mask") != expect)
+               .orderBy(F.col("n").desc(), F.col("mask").asc())
+               .limit(1)
+               .select(F.col("mask").alias("_top_bad")))
+    joined = stats.join(F.broadcast(top_bad), F.lit(True), "left")
+    return _mask_rows(joined, F.lit("all"), column, by=None,
+                      expect=expect, min_share=min_share,
+                      ruleset_name=ruleset_name, severity=severity)
+
+
+def _mask_rows(joined: DataFrame, rid, column: str, *, by,
+               expect: str, min_share: float, ruleset_name: str,
+               severity: str) -> DataFrame:
     share = F.round(F.try_divide(F.col("_ok"), F.col("_total")), 6)
     # fail closed: a column with NO non-NULL values has NULL _total and
     # no conformance evidence — that is a finding (the x-freshness

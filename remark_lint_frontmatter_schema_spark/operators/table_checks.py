@@ -16,9 +16,10 @@ per declared table check, not the table. Fusing those into the row scan
 is deliberately NOT done — a groupBy/join fused into the validation
 projection would force the whole row payload through the shuffle.
 
-The AGGREGATION-shaped checks (x-unique, x-volume, global x-quantile)
-are different: each reduces the fact to a tiny keyed-count/quantile
-relation, so when a ruleset declares two or more of them they share ONE
+The AGGREGATION-shaped checks (x-unique, global x-volume / x-quantile /
+x-mask) are different: each reduces the fact to a tiny
+keyed-count/quantile relation, so when a ruleset declares two or more
+of them they share ONE
 scan + ONE shuffle (:func:`_fused_agg_violations`): every row explodes
 into one (tag, group_key, value) struct per declared check; a single
 groupBy(tag, group_key) computes all the counts and quantiles at once
@@ -61,7 +62,8 @@ def _is_fusable(kind: str, params: dict) -> bool:
     volume scores buckets against per-group stats."""
     if kind == "unique":
         return True
-    return kind in ("volume", "quantile") and not params.get("by")
+    return (kind in ("volume", "quantile", "mask")
+            and not params.get("by"))
 
 
 def _fused_agg_violations(df: DataFrame, specs: list, *,
@@ -87,6 +89,10 @@ def _fused_agg_violations(df: DataFrame, specs: list, *,
         elif kind == "volume":
             gkey = F.date_trunc(params.get("unit", "day"),
                                 F.col(column)).cast("string")
+            val = F.lit(None).cast("double")
+        elif kind == "mask":
+            from .stats import mask_expr
+            gkey = F.when(F.col(column).isNotNull(), mask_expr(column))
             val = F.lit(None).cast("double")
         else:  # quantile (global)
             gkey = F.lit("all")
@@ -126,6 +132,15 @@ def _fused_agg_violations(df: DataFrame, specs: list, *,
             out.append(volume_violations_from_buckets(
                 buckets, column, unit=params.get("unit", "day"),
                 k=params.get("k", 3.5), ruleset_name=ruleset_name,
+                severity=params.get("severity", "warning")))
+        elif kind == "mask":
+            from .stats import mask_violations_from_counts
+            out.append(mask_violations_from_counts(
+                sub.select(F.col("gkey").alias("mask"),
+                           F.col("_n").alias("n")),
+                column, expect=params["expect"],
+                min_share=params["min_share"],
+                ruleset_name=ruleset_name,
                 severity=params.get("severity", "warning")))
         else:  # quantile (global)
             from .stats import quantile_violations_from_agg
