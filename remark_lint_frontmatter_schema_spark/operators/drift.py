@@ -555,16 +555,30 @@ def benford(df: DataFrame, value_col: str) -> DataFrame:
     consumption.
     """
     spark = df.sparkSession
+    d = benford_digit_expr(value_col)
+    counts = (df.where(d.isNotNull())
+              .groupBy(d.alias("digit"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    return benford_from_counts(spark, counts)
+
+
+def benford_digit_expr(value_col: str):
+    """First-significant-digit expression: NULL for rows without one
+    (NULL/zero/non-finite values), else 1..9 — shared by
+    :func:`benford` and the fused table-check pass. The clamp absorbs
+    the one-ulp log10 edge at exact powers of ten."""
     v = F.abs(F.col(value_col).cast("double"))
     valid = (v.isNotNull() & (v > 0)
              & ~F.isnan(v) & (v != float("inf")))
-    # first significant digit: v / 10^floor(log10 v) in [1, 10); the
-    # clamp absorbs the one-ulp log10 edge at exact powers of ten
     d = F.least(F.lit(9), F.greatest(F.lit(1), F.floor(
         v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")))
-    counts = (df.where(valid)
-              .groupBy(d.alias("digit"))
-              .agg(F.count(F.lit(1)).alias("n")))
+    return F.when(valid, d)
+
+
+def benford_from_counts(spark, counts: DataFrame) -> DataFrame:
+    """The :func:`benford` relation from a precomputed per-digit count
+    relation ``(digit INT, n)`` — shared with the fused single-scan
+    table-check pass so both derive byte-identical statistics."""
     digits = spark.range(1, 10).select(F.col("id").cast("int")
                                        .alias("digit"))
     full = (digits.join(counts, "digit", "left")
@@ -605,7 +619,17 @@ def benford_violations(df: DataFrame, value_col: str, *,
     (driver-scale), so the whole check is still one table aggregate."""
     if max_mad <= 0:
         raise ValueError("max_mad must be > 0")
-    b = benford(df, value_col)
+    return benford_gate_from_relation(
+        benford(df, value_col), value_col, max_mad=max_mad,
+        ruleset_name=ruleset_name, severity=severity)
+
+
+def benford_gate_from_relation(b: DataFrame, value_col: str, *,
+                               max_mad: float = 0.015,
+                               ruleset_name: str = "engine",
+                               severity: str = "warning") -> DataFrame:
+    """The x-benford gate over a precomputed :func:`benford` relation —
+    shared with the fused table-check pass."""
     mad = b.agg(F.round(F.avg(F.abs(F.col("observed") - F.col("expected"))),
                         6).alias("_mad"))
     # fail closed: an empty/all-invalid column has NULL shares and a NULL

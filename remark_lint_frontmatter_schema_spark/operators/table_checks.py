@@ -60,7 +60,7 @@ def _is_fusable(kind: str, params: dict) -> bool:
     group must survive as a real group (the shared string-typed key
     cannot represent it without a sentinel collision), and grouped
     volume scores buckets against per-group stats."""
-    if kind == "unique":
+    if kind in ("unique", "benford"):
         return True
     return (kind in ("volume", "quantile", "mask")
             and not params.get("by"))
@@ -93,6 +93,10 @@ def _fused_agg_violations(df: DataFrame, specs: list, *,
         elif kind == "mask":
             from .stats import mask_expr
             gkey = F.when(F.col(column).isNotNull(), mask_expr(column))
+            val = F.lit(None).cast("double")
+        elif kind == "benford":
+            from .drift import benford_digit_expr
+            gkey = benford_digit_expr(column).cast("string")
             val = F.lit(None).cast("double")
         else:  # quantile (global)
             gkey = F.lit("all")
@@ -140,6 +144,17 @@ def _fused_agg_violations(df: DataFrame, specs: list, *,
                            F.col("_n").alias("n")),
                 column, expect=params["expect"],
                 min_share=params["min_share"],
+                ruleset_name=ruleset_name,
+                severity=params.get("severity", "warning")))
+        elif kind == "benford":
+            from .drift import (benford_from_counts,
+                                benford_gate_from_relation)
+            rel = benford_from_counts(
+                df.sparkSession,
+                sub.select(F.col("gkey").cast("int").alias("digit"),
+                           F.col("_n").alias("n")))
+            out.append(benford_gate_from_relation(
+                rel, column, max_mad=params["max_mad"],
                 ruleset_name=ruleset_name,
                 severity=params.get("severity", "warning")))
         else:  # quantile (global)
