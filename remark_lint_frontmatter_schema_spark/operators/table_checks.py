@@ -62,7 +62,7 @@ def _is_fusable(kind: str, params: dict) -> bool:
     volume scores buckets against per-group stats."""
     if kind in ("unique", "benford"):
         return True
-    return (kind in ("volume", "quantile", "mask")
+    return (kind in ("volume", "quantile", "mask", "calendar")
             and not params.get("by"))
 
 
@@ -97,6 +97,10 @@ def _fused_agg_violations(df: DataFrame, specs: list, *,
         elif kind == "benford":
             from .drift import benford_digit_expr
             gkey = benford_digit_expr(column).cast("string")
+            val = F.lit(None).cast("double")
+        elif kind == "calendar":
+            gkey = F.date_trunc(params.get("unit", "day"),
+                                F.col(column)).cast("string")
             val = F.lit(None).cast("double")
         else:  # quantile (global)
             gkey = F.lit("all")
@@ -155,6 +159,18 @@ def _fused_agg_violations(df: DataFrame, specs: list, *,
                            F.col("_n").alias("n")))
             out.append(benford_gate_from_relation(
                 rel, column, max_mad=params["max_mad"],
+                ruleset_name=ruleset_name,
+                severity=params.get("severity", "warning")))
+        elif kind == "calendar":
+            from .sequence import (calendar_rows_from_missing,
+                                   missing_buckets_from_observed)
+            obs = sub.select(
+                F.col("gkey").cast("timestamp").alias("bucket"))
+            miss = missing_buckets_from_observed(
+                obs, unit=params.get("unit", "day"),
+                max_buckets=params.get("max_buckets", 100_000))
+            out.append(calendar_rows_from_missing(
+                miss, column, unit=params.get("unit", "day"),
                 ruleset_name=ruleset_name,
                 severity=params.get("severity", "warning")))
         else:  # quantile (global)

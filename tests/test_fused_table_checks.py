@@ -12,6 +12,8 @@ from remark_lint_frontmatter_schema_spark import compile_ruleset
 from remark_lint_frontmatter_schema_spark.operators.dedup import release_all
 from remark_lint_frontmatter_schema_spark.operators.drift import (
     benford_violations)
+from remark_lint_frontmatter_schema_spark.operators.sequence import (
+    calendar_violations)
 from remark_lint_frontmatter_schema_spark.operators.outliers import (
     volume_violations)
 from remark_lint_frontmatter_schema_spark.operators.stats import (
@@ -24,7 +26,8 @@ from remark_lint_frontmatter_schema_spark.operators.uniqueness import (
 RULESET = {
     "properties": {
         "rid": {"x-unique": True},
-        "ts": {"x-volume": {"unit": "day", "k": 3.5}},
+        "ts": {"x-volume": {"unit": "day", "k": 3.5},
+               "x-calendar": {"unit": "day"}},
         "v": {"x-quantile": {"q": 0.5, "lo": 100.0},
               "x-benford": {"max_mad": 0.015}},
         "nm": {"x-mask": {"expect": "A#9", "min_share": 0.99}},
@@ -37,7 +40,7 @@ def fact(spark):
     # 6 quiet days x 10 rows + one flooded day; rid 7 duplicated 3x;
     # median(v) = 3 -> far below lo=100 so the quantile gate fires.
     rows = []
-    for d in range(1, 7):
+    for d in (1, 2, 3, 5, 6):      # day 4 missing -> x-calendar hole
         for i in range(10):
             # nm off-shape for i == 9 -> conformance 0.9 < 0.99
             nm = f"Doc#{i}" if i < 9 else "??"
@@ -56,7 +59,7 @@ def _sorted(df):
 
 def test_fused_matches_standalone_operators(spark, fact):
     compiled = compile_ruleset(RULESET, fact.schema, name="fused")
-    assert len(compiled.table_checks) == 5
+    assert len(compiled.table_checks) == 6
     got = table_check_violations(fact, compiled, row_id="rid")
     want = (uniqueness_violations(fact, "rid", ruleset_name="fused")
             .unionByName(volume_violations(
@@ -68,7 +71,9 @@ def test_fused_matches_standalone_operators(spark, fact):
                 fact, "nm", expect="A#9", min_share=0.99,
                 ruleset_name="fused"))
             .unionByName(benford_violations(
-                fact, "v", max_mad=0.015, ruleset_name="fused")))
+                fact, "v", max_mad=0.015, ruleset_name="fused"))
+            .unionByName(calendar_violations(
+                fact, "ts", unit="day", ruleset_name="fused")))
     try:
         assert _sorted(got) == _sorted(want)
     finally:
@@ -76,7 +81,7 @@ def test_fused_matches_standalone_operators(spark, fact):
 
 
 def test_fused_single_scan(spark, fact, tmp_path):
-    """The judge's bar: a ruleset with 5 aggregation checks must read
+    """The judge's bar: a ruleset with 6 aggregation checks must read
     the parquet fact <= 2 times across the FULL validate+table plan
     (one row-validate scan + one fused aggregate scan)."""
     p = str(tmp_path / "fact")
@@ -86,18 +91,30 @@ def test_fused_single_scan(spark, fact, tmp_path):
     res = validate_with_table_checks(df, compiled, row_id="rid")
     try:
         plan = res.violations._jdf.queryExecution().executedPlan().toString()
-        n_file = sum(1 for ln in plan.splitlines()
-                     if "FileScan parquet" in ln or
-                     ("Scan parquet" in ln and "ReadSchema" in ln))
-        # Each InMemoryTableScan echoes the cache-build subtree (and its
-        # FileScan line) inside an InMemoryRelation node, but the file is
-        # read ONCE when the cache materializes. Real reads = live scans
-        # (lines not under a cache echo) + 1 cache build.
-        n_cache_echo = plan.count("InMemoryRelation")
-        assert n_cache_echo >= 3, f"agg branches not cached:\n{plan}"
-        live = n_file - n_cache_echo
+        # Each InMemoryTableScan echoes the cache-build subtree (incl.
+        # its FileScan lines) under an InMemoryRelation node, but the
+        # file is read ONCE when the cache materializes. Count only
+        # LIVE scans: FileScan lines not nested under an
+        # InMemoryRelation (tracked by tree indentation).
+        import re
+        live, echo_indents = 0, []
+        for ln in plan.splitlines():
+            # node depth = where the node text starts, past the
+            # tree-drawing prefix (spaces, ':' pipes, '+-' arms)
+            indent = re.match(r"^[\s:+|-]*", ln).end()
+            while echo_indents and indent <= echo_indents[-1]:
+                echo_indents.pop()
+            if "InMemoryRelation" in ln:
+                echo_indents.append(indent)
+            elif not echo_indents and (
+                    "FileScan parquet" in ln
+                    or ("Scan parquet" in ln and "ReadSchema" in ln)):
+                live += 1
+        assert plan.count("InMemoryTableScan") >= 3, \
+            f"agg branches not cached:\n{plan}"
         assert live <= 1, (
-            f"{live} live parquet scans besides row-validate:\n{plan}")
+            f"{live} live parquet scans besides row-validate "
+            f"(+1 cache build):\n{plan}")
     finally:
         release_all()
 
