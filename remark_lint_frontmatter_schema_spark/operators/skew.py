@@ -74,12 +74,25 @@ def skew_profile(df: DataFrame, key: str, *, top_k: int = 10,
     if top_k <= 0:
         raise ValueError("top_k must be > 0")
     counts = _persist(key_counts(df, key, n_salts=n_salts))
+    return skew_profile_from_counts(
+        counts.select(F.col(key).alias("_k"), "cnt"), key, top_k=top_k)
+
+
+def skew_profile_from_counts(counts: DataFrame, key: str, *,
+                             top_k: int = 10) -> DataFrame:
+    """The :func:`skew_profile` report from a precomputed per-key count
+    relation ``(_k, cnt)`` — shared with the fused single-scan
+    table-check pass. Tie-breaks at the top-k boundary order by ``_k``;
+    tied counts contribute identical sums either way, so the statistics
+    are representation-independent."""
+    if top_k <= 0:
+        raise ValueError("top_k must be > 0")
     moments = counts.agg(
         F.sum("cnt").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
         F.max("cnt").alias("max_count"),
         F.sum(F.col("cnt").cast("double") * F.log2("cnt")).alias("_clogc"))
-    top = (counts.orderBy(F.col("cnt").desc(), F.col(key).asc())
+    top = (counts.orderBy(F.col("cnt").desc(), F.col("_k").asc())
            .limit(top_k)
            .agg(F.sum("cnt").alias("_top_sum")))
     m = moments.crossJoin(F.broadcast(top))
@@ -186,7 +199,17 @@ def skew_violations(df: DataFrame, key: str, *,
     operators/validate.py VIOLATION_FIELDS so sinks union cleanly; the
     row carries the measured share as ``actual`` and the hottest key's
     recommended salt factor in the message."""
-    prof = skew_profile(df, key, top_k=top_k)
+    return skew_gate_from_profile(
+        skew_profile(df, key, top_k=top_k), key, max_share=max_share,
+        ruleset_name=ruleset_name, severity=severity)
+
+
+def skew_gate_from_profile(prof: DataFrame, key: str, *,
+                           max_share: float,
+                           ruleset_name: str = "engine",
+                           severity: str = "warning") -> DataFrame:
+    """The x-skew gate over a precomputed :func:`skew_profile` relation
+    — shared with the fused table-check pass."""
     bad = prof.where(F.col("max_share") > F.lit(float(max_share)))
     return bad.select(
         F.lit("all").alias("row_id"),

@@ -60,7 +60,7 @@ def _is_fusable(kind: str, params: dict) -> bool:
     group must survive as a real group (the shared string-typed key
     cannot represent it without a sentinel collision), and grouped
     volume scores buckets against per-group stats."""
-    if kind in ("unique", "benford"):
+    if kind in ("unique", "benford", "skew"):
         return True
     return (kind in ("volume", "quantile", "mask", "calendar")
             and not params.get("by"))
@@ -83,7 +83,7 @@ def _fused_agg_violations(df: DataFrame, specs: list, *,
     seeds = []
     for i, (kind, column, params) in enumerate(specs):
         tag = str(i)
-        if kind == "unique":
+        if kind in ("unique", "skew"):
             gkey = F.col(column).cast("string")
             val = F.lit(None).cast("double")
         elif kind == "volume":
@@ -159,6 +159,17 @@ def _fused_agg_violations(df: DataFrame, specs: list, *,
                            F.col("_n").alias("n")))
             out.append(benford_gate_from_relation(
                 rel, column, max_mad=params["max_mad"],
+                ruleset_name=ruleset_name,
+                severity=params.get("severity", "warning")))
+        elif kind == "skew":
+            from .skew import (skew_gate_from_profile,
+                               skew_profile_from_counts)
+            prof = skew_profile_from_counts(
+                sub.select(F.col("gkey").alias("_k"),
+                           F.col("_n").alias("cnt")),
+                column, top_k=params.get("top_k", 10))
+            out.append(skew_gate_from_profile(
+                prof, column, max_share=params["max_share"],
                 ruleset_name=ruleset_name,
                 severity=params.get("severity", "warning")))
         elif kind == "calendar":

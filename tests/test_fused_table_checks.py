@@ -14,6 +14,8 @@ from remark_lint_frontmatter_schema_spark.operators.drift import (
     benford_violations)
 from remark_lint_frontmatter_schema_spark.operators.sequence import (
     calendar_violations)
+from remark_lint_frontmatter_schema_spark.operators.skew import (
+    skew_violations)
 from remark_lint_frontmatter_schema_spark.operators.outliers import (
     volume_violations)
 from remark_lint_frontmatter_schema_spark.operators.stats import (
@@ -25,7 +27,7 @@ from remark_lint_frontmatter_schema_spark.operators.uniqueness import (
 
 RULESET = {
     "properties": {
-        "rid": {"x-unique": True},
+        "rid": {"x-unique": True, "x-skew": {"max_share": 0.2}},
         "ts": {"x-volume": {"unit": "day", "k": 3.5},
                "x-calendar": {"unit": "day"}},
         "v": {"x-quantile": {"q": 0.5, "lo": 100.0},
@@ -59,7 +61,7 @@ def _sorted(df):
 
 def test_fused_matches_standalone_operators(spark, fact):
     compiled = compile_ruleset(RULESET, fact.schema, name="fused")
-    assert len(compiled.table_checks) == 6
+    assert len(compiled.table_checks) == 7
     got = table_check_violations(fact, compiled, row_id="rid")
     want = (uniqueness_violations(fact, "rid", ruleset_name="fused")
             .unionByName(volume_violations(
@@ -73,7 +75,9 @@ def test_fused_matches_standalone_operators(spark, fact):
             .unionByName(benford_violations(
                 fact, "v", max_mad=0.015, ruleset_name="fused"))
             .unionByName(calendar_violations(
-                fact, "ts", unit="day", ruleset_name="fused")))
+                fact, "ts", unit="day", ruleset_name="fused"))
+            .unionByName(skew_violations(
+                fact, "rid", max_share=0.2, ruleset_name="fused")))
     try:
         assert _sorted(got) == _sorted(want)
     finally:
@@ -81,7 +85,7 @@ def test_fused_matches_standalone_operators(spark, fact):
 
 
 def test_fused_single_scan(spark, fact, tmp_path):
-    """The judge's bar: a ruleset with 6 aggregation checks must read
+    """The judge's bar: a ruleset with 7 aggregation checks must read
     the parquet fact <= 2 times across the FULL validate+table plan
     (one row-validate scan + one fused aggregate scan)."""
     p = str(tmp_path / "fact")
