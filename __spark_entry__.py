@@ -1117,7 +1117,9 @@ def q_quantile_gate_lineitem(spark, sf):
     the p99 of the 1..50-uniform quantities sits near 50. One aggregate;
     at 10^12 the approx=True sketch path replaces the exact buffer."""
     li = _load(spark, sf, "lineitem")
-    return stats.quantile_violations(li, "l_quantity", q=0.99, hi=45.0)
+    return stats.quantile_violations(li, "l_quantity", q=0.99,
+                                     hi=45.0) \
+        .withColumn("expected", F.element_at("expected", 1))
 
 
 def q_cm_counts_lineitem(spark, sf):
@@ -4646,7 +4648,7 @@ SELECT 'all' AS row_id, 'all' AS partition_id, 'engine' AS ruleset_id,
             ELSE 'Must have p99 <= 45: got ' || CAST(qv AS VARCHAR)
        END AS message,
        CAST(qv AS VARCHAR) AS actual,
-       ['<= 45'] AS expected,
+       '<= 45' AS expected,
        'warning' AS severity
 FROM a WHERE qv IS NULL OR qv > 45
 """,

@@ -469,9 +469,6 @@ def freshness_violations(df: DataFrame, ts_col: str, *,
     freshness is staleness, fail-closed)."""
     if max_age_seconds <= 0:
         raise ValueError("max_age_seconds must be > 0")
-    as_of_c = (F.current_timestamp() if as_of is None
-               else (F.lit(as_of).cast("timestamp")
-                     if isinstance(as_of, str) else as_of))
     if by is None:
         agg = df.agg(F.max(F.col(ts_col)).alias("_newest"))
         rid = F.lit("all")
@@ -479,6 +476,21 @@ def freshness_violations(df: DataFrame, ts_col: str, *,
         agg = df.groupBy(F.col(by)).agg(
             F.max(F.col(ts_col)).alias("_newest"))
         rid = F.col(by).cast("string")
+    return freshness_rows_from_agg(
+        agg, rid, ts_col, max_age_seconds=max_age_seconds, as_of=as_of,
+        ruleset_name=ruleset_name, severity=severity)
+
+
+def freshness_rows_from_agg(agg: DataFrame, rid, ts_col: str, *,
+                            max_age_seconds: float, as_of=None,
+                            ruleset_name: str = "engine",
+                            severity: str = "warning") -> DataFrame:
+    """The x-freshness gate over a precomputed newest-row relation with
+    column ``_newest TIMESTAMP`` — shared by :func:`freshness_violations`
+    and the fused single-scan table-check pass."""
+    as_of_c = (F.current_timestamp() if as_of is None
+               else (F.lit(as_of).cast("timestamp")
+                     if isinstance(as_of, str) else as_of))
     # NTZ columns cast through the UTC-pinned session timestamp so the
     # age matches the oracle's epoch() (same policy as asof._ord_expr)
     age = (F.unix_micros(as_of_c.cast("timestamp")) / 1e6

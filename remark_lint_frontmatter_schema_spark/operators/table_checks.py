@@ -62,7 +62,8 @@ def _is_fusable(kind: str, params: dict) -> bool:
     volume scores buckets against per-group stats."""
     if kind in ("unique", "benford", "skew"):
         return True
-    return (kind in ("volume", "quantile", "mask", "calendar")
+    return (kind in ("volume", "quantile", "mask", "calendar",
+                     "freshness")
             and not params.get("by"))
 
 
@@ -102,6 +103,16 @@ def _fused_agg_violations(df: DataFrame, specs: list, *,
             gkey = F.date_trunc(params.get("unit", "day"),
                                 F.col(column)).cast("string")
             val = F.lit(None).cast("double")
+        elif kind == "freshness":
+            # exact integer MICROseconds ride the double val slot
+            # (epoch-seconds doubles round at ~0.4 us; micros stay
+            # below 2^53 and reconstruct the timestamp exactly)
+            gkey = F.lit("all")
+            val = F.unix_micros(F.col(column).cast("timestamp")) \
+                   .cast("double")
+            aggs.append(F.max(F.when(F.col("tag") == tag,
+                                     F.col("val"))).alias(f"_f{i}"))
+            seeds.append((tag, "all", None))
         else:  # quantile (global)
             gkey = F.lit("all")
             val = F.col(column).cast("double")
@@ -170,6 +181,17 @@ def _fused_agg_violations(df: DataFrame, specs: list, *,
                 column, top_k=params.get("top_k", 10))
             out.append(skew_gate_from_profile(
                 prof, column, max_share=params["max_share"],
+                ruleset_name=ruleset_name,
+                severity=params.get("severity", "warning")))
+        elif kind == "freshness":
+            from .sequence import freshness_rows_from_agg
+            agg = sub.select(
+                F.timestamp_micros(F.col(f"_f{i}").cast("long"))
+                 .alias("_newest"))
+            out.append(freshness_rows_from_agg(
+                agg, F.lit("all"), column,
+                max_age_seconds=params["max_age_seconds"],
+                as_of=params.get("as_of"),
                 ruleset_name=ruleset_name,
                 severity=params.get("severity", "warning")))
         elif kind == "calendar":

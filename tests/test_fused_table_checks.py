@@ -13,7 +13,7 @@ from remark_lint_frontmatter_schema_spark.operators.dedup import release_all
 from remark_lint_frontmatter_schema_spark.operators.drift import (
     benford_violations)
 from remark_lint_frontmatter_schema_spark.operators.sequence import (
-    calendar_violations)
+    calendar_violations, freshness_violations)
 from remark_lint_frontmatter_schema_spark.operators.skew import (
     skew_violations)
 from remark_lint_frontmatter_schema_spark.operators.outliers import (
@@ -29,7 +29,9 @@ RULESET = {
     "properties": {
         "rid": {"x-unique": True, "x-skew": {"max_share": 0.2}},
         "ts": {"x-volume": {"unit": "day", "k": 3.5},
-               "x-calendar": {"unit": "day"}},
+               "x-calendar": {"unit": "day"},
+               "x-freshness": {"max_age_seconds": 3600,
+                               "as_of": "2024-04-01 00:00:00"}},
         "v": {"x-quantile": {"q": 0.5, "lo": 100.0},
               "x-benford": {"max_mad": 0.015}},
         "nm": {"x-mask": {"expect": "A#9", "min_share": 0.99}},
@@ -61,7 +63,7 @@ def _sorted(df):
 
 def test_fused_matches_standalone_operators(spark, fact):
     compiled = compile_ruleset(RULESET, fact.schema, name="fused")
-    assert len(compiled.table_checks) == 7
+    assert len(compiled.table_checks) == 8
     got = table_check_violations(fact, compiled, row_id="rid")
     want = (uniqueness_violations(fact, "rid", ruleset_name="fused")
             .unionByName(volume_violations(
@@ -77,7 +79,10 @@ def test_fused_matches_standalone_operators(spark, fact):
             .unionByName(calendar_violations(
                 fact, "ts", unit="day", ruleset_name="fused"))
             .unionByName(skew_violations(
-                fact, "rid", max_share=0.2, ruleset_name="fused")))
+                fact, "rid", max_share=0.2, ruleset_name="fused"))
+            .unionByName(freshness_violations(
+                fact, "ts", max_age_seconds=3600.0,
+                as_of="2024-04-01 00:00:00", ruleset_name="fused")))
     try:
         assert _sorted(got) == _sorted(want)
     finally:
@@ -85,7 +90,7 @@ def test_fused_matches_standalone_operators(spark, fact):
 
 
 def test_fused_single_scan(spark, fact, tmp_path):
-    """The judge's bar: a ruleset with 7 aggregation checks must read
+    """The judge's bar: a ruleset with 8 aggregation checks must read
     the parquet fact <= 2 times across the FULL validate+table plan
     (one row-validate scan + one fused aggregate scan)."""
     p = str(tmp_path / "fact")
@@ -135,8 +140,9 @@ def test_empty_table_quantile_still_fails_closed(spark):
     finally:
         release_all()
     kw = sorted(r.keyword for r in rows)
-    assert kw == ["x-benford", "x-mask", "x-quantile"]
+    assert kw == ["x-benford", "x-freshness", "x-mask", "x-quantile"]
     assert sum("no non-NULL values" in r.message for r in rows) == 2
+    assert sum("no non-NULL 'ts' rows" in r.message for r in rows) == 1
     assert sum("no measurable first digits" in r.message
                for r in rows) == 1
 

@@ -294,8 +294,14 @@ def test_transcode_payload_new_codecs():
         sr, y = audio.decode_wav_pcm16(out)
         assert sr == 16000 and len(y) == len(x)
         assert audio.snr_db(x / 32767.0, y) > 20.0
-    with pytest.raises(NotImplementedError):
+    # round 4: opus routes through opus_decode — a truncated container
+    # is CORRUPTION (ValueError), while intact SILK/CELT entropy frames
+    # keep the NotImplementedError refusal (test_ogg_opus pins both)
+    with pytest.raises(ValueError):
         audio.transcode_payload(b"OggS", "opus")
+    with pytest.raises(NotImplementedError):
+        audio.transcode_payload(
+            audio.ogg_opus_bytes(11, audio_ms=20), "opus")
 
 
 def test_transcode_clips_mixed_corpus():
