@@ -225,7 +225,12 @@ def q_validate_lineitem_fused(spark, sf):
     rs = {"properties": {
         "l_partkey": {"x-unique": True},
         "l_quantity": {"x-quantile": {"q": 0.99, "hi": 45.0}},
-        "l_shipdate": {"x-volume": {"unit": "month", "k": 2.0}}}}
+        "l_returnflag": {"x-mask": {"expect": "9", "min_share": 0.99},
+                         "x-skew": {"max_share": 0.2}},
+        "l_shipdate": {"x-volume": {"unit": "month", "k": 2.0},
+                       "x-freshness": {
+                           "max_age_seconds": 3600,
+                           "as_of": "2001-12-01 00:00:00"}}}}
     compiled = compile_ruleset(rs, li.schema, name="fused")
     return table_check_violations(li, compiled, row_id="l_orderkey") \
         .drop("expected")
@@ -5537,6 +5542,58 @@ FROM vb, vm
 WHERE CASE WHEN vm.mad > 0
            THEN 0.6745 * abs(vb.n - vm.med) / vm.mad > 2.0
            ELSE vb.n != vm.med END
+UNION ALL
+SELECT 'all', 'all', 'fused', 'mask:l_returnflag', 'x-mask',
+       '/l_returnflag', '#/x-mask/l_returnflag',
+       'Must match shape ''9'': only '
+         || CAST(round(ok / CAST(total AS DOUBLE), 6) AS VARCHAR)
+         || ' of values conform (limit 0.99); top offender '
+         || coalesce(tb, '<none>'),
+       CAST(round(ok / CAST(total AS DOUBLE), 6) AS VARCHAR), 'warning'
+FROM (
+  SELECT CAST(sum(n) AS BIGINT) AS total,
+         CAST(coalesce(sum(n) FILTER (mask = '9'), 0) AS BIGINT) AS ok
+  FROM (SELECT regexp_replace(regexp_replace(l_returnflag,
+               '[0-9]+', '9', 'g'), '[A-Za-z]+', 'A', 'g') AS mask,
+               count(*) AS n
+        FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1)) s
+LEFT JOIN (
+  SELECT mask AS tb FROM
+    (SELECT regexp_replace(regexp_replace(l_returnflag,
+            '[0-9]+', '9', 'g'), '[A-Za-z]+', 'A', 'g') AS mask,
+            count(*) AS n
+     FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1)
+  WHERE mask <> '9' ORDER BY n DESC, mask ASC LIMIT 1) t ON TRUE
+WHERE total IS NULL OR round(ok / CAST(total AS DOUBLE), 6) < 0.99
+UNION ALL
+SELECT 'all', 'all', 'fused', 'skew:l_returnflag', 'x-skew',
+       '/l_returnflag', '#/x-skew/l_returnflag',
+       'Key ''l_returnflag'' is skewed: hottest value holds '
+         || CAST(round(max_count / CAST(n_rows AS DOUBLE), 6) AS VARCHAR)
+         || ' of rows (limit 0.2); shuffle on it with >= '
+         || CAST(CAST(least(1024, greatest(1, ceil(
+              max_count * n_keys / CAST(n_rows AS DOUBLE)))) AS INT)
+              AS VARCHAR)
+         || ' salts',
+       CAST(round(max_count / CAST(n_rows AS DOUBLE), 6) AS VARCHAR),
+       'warning'
+FROM (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+         CAST(max(cnt) AS BIGINT) AS max_count
+  FROM (SELECT l_returnflag AS k, count(*) AS cnt FROM lineitem
+        WHERE l_returnflag IS NOT NULL GROUP BY 1))
+WHERE round(max_count / CAST(n_rows AS DOUBLE), 6) > 0.2
+UNION ALL
+SELECT 'all', 'all', 'fused', 'freshness:l_shipdate', 'x-freshness',
+       '/l_shipdate', '#/x-freshness/l_shipdate',
+       'Must be fresh: newest row is '
+         || CAST(round(epoch(TIMESTAMP '2001-12-01 00:00:00')
+                       - epoch(newest), 1) AS VARCHAR)
+         || ' s old (limit 3600.0)',
+       CAST(newest AS VARCHAR), 'warning'
+FROM (SELECT max(l_shipdate) AS newest FROM lineitem)
+WHERE newest IS NULL
+   OR epoch(TIMESTAMP '2001-12-01 00:00:00') - epoch(newest) > 3600.0
 """,
         "volume_by_events": """
 WITH src AS (

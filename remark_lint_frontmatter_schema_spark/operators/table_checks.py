@@ -185,8 +185,12 @@ def _fused_agg_violations(df: DataFrame, specs: list, *,
                 severity=params.get("severity", "warning")))
         elif kind == "freshness":
             from .sequence import freshness_rows_from_agg
+            # cast back to the SOURCE column type: a DATE column's
+            # newest value must render as a date in `actual`, exactly
+            # as the direct max(col) aggregate would
             agg = sub.select(
                 F.timestamp_micros(F.col(f"_f{i}").cast("long"))
+                 .cast(df.schema[column].dataType)
                  .alias("_newest"))
             out.append(freshness_rows_from_agg(
                 agg, F.lit("all"), column,

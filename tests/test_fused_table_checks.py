@@ -158,3 +158,30 @@ def test_single_fusable_check_stays_standalone(spark, fact):
     assert "Generate explode" not in plan
     assert _sorted(got) == _sorted(
         uniqueness_violations(fact, "rid", ruleset_name="solo"))
+
+
+def test_fused_freshness_date_column_matches_direct(spark):
+    """A DATE column's newest value must render as a date in `actual`
+    through the fused path, exactly as the direct max(col) aggregate —
+    the micros round-trip casts back to the source type."""
+    from datetime import date
+    df = spark.createDataFrame(
+        [(str(i), date(2024, 1, 1 + i % 5), str(i)) for i in range(20)]
+        + [("dup", date(2024, 1, 2), "dup")] * 2,
+        "rid string, d date, k string")
+    rs = {"properties": {
+        "k": {"x-unique": True},
+        "d": {"x-freshness": {"max_age_seconds": 3600,
+                              "as_of": "2024-06-01 00:00:00"}}}}
+    compiled = compile_ruleset(rs, df.schema, name="fr")
+    got = table_check_violations(df, compiled, row_id="rid")
+    want = (uniqueness_violations(df, "k", ruleset_name="fr")
+            .unionByName(freshness_violations(
+                df, "d", max_age_seconds=3600.0,
+                as_of="2024-06-01 00:00:00", ruleset_name="fr")))
+    try:
+        assert _sorted(got) == _sorted(want)
+        fresh = [r for r in got.collect() if r.keyword == "x-freshness"]
+        assert fresh[0].actual == "2024-01-05"
+    finally:
+        release_all()
