@@ -68,6 +68,40 @@ def png_dimensions(b: bytes) -> tuple[int, int] | None:
     return w, h
 
 
+def webp_dimensions(b: bytes) -> tuple[int, int] | None:
+    """WEBP canvas width/height from the container header alone — all
+    three layouts (RIFF spec + VP8/VP8L bitstream headers; pixel decode
+    stays refused, VP8 entropy coding needs a codec lib):
+
+    * ``VP8 `` lossy: keyframe start code then 14-bit w/h at a fixed
+      offset (3-byte frame tag + 3-byte start code 9D 01 2A).
+    * ``VP8L`` lossless: signature byte 0x2F then 14-bit w-1 / h-1
+      little-endian bit-packed.
+    * ``VP8X`` extended: 24-bit canvas w-1 / h-1 little-endian.
+
+    Returns None when the chunk layout is unrecognized/truncated."""
+    if sniff_image_format(b) != "webp" or len(b) < 20:
+        return None
+    fourcc = b[12:16]
+    if fourcc == b"VP8X" and len(b) >= 30:
+        w = int.from_bytes(b[24:27], "little") + 1
+        h = int.from_bytes(b[27:30], "little") + 1
+        return w, h
+    if fourcc == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+        bits = int.from_bytes(b[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return w, h
+    if fourcc == b"VP8 " and len(b) >= 30:
+        # keyframe: frame tag (3) + start code 9D 01 2A + 16-bit w/h
+        # (14 data bits each)
+        if b[23:26] == b"\x9d\x01\x2a":
+            w = int.from_bytes(b[26:28], "little") & 0x3FFF
+            h = int.from_bytes(b[28:30], "little") & 0x3FFF
+            return w, h
+    return None
+
+
 # --------------------------------------------------------------------------
 # PNG codec — pure numpy + stdlib zlib. 8-bit depth, color types 0 (gray),
 # 2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace. Every chunk CRC-32 is
@@ -697,6 +731,10 @@ def _header_dims(raw: bytes) -> tuple[int | None, int | None]:
         elif fmt == "jpeg":
             from .jpeg import jpeg_dimensions
             return jpeg_dimensions(raw)
+        elif fmt == "webp":
+            d = webp_dimensions(raw)
+            if d:
+                return d
     except (ValueError, NotImplementedError, IndexError):
         pass
     return None, None

@@ -336,3 +336,37 @@ def test_sof2_progressive_reports_header_dims(spark):
                      schema=mm.IMAGE_META_SCHEMA).collect()
     assert meta.format == "jpeg"
     assert (meta.width, meta.height) == (18, 12)
+
+
+def test_webp_header_dimensions_all_layouts(spark):
+    """WEBP dims from the container header alone (pixel decode stays
+    refused): VP8 lossy keyframe, VP8L lossless, VP8X extended."""
+    def riff(fourcc, payload):
+        chunk = fourcc + len(payload).to_bytes(4, "little") + payload
+        body = b"WEBP" + chunk
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+    # VP8 lossy: 3-byte frame tag + start code + 14-bit dims
+    vp8 = riff(b"VP8 ", b"\x00\x00\x00" + b"\x9d\x01\x2a"
+               + (320).to_bytes(2, "little") + (240).to_bytes(2, "little")
+               + b"\x00" * 8)
+    # VP8L: sig 0x2F + packed (w-1, h-1) 14 bits each
+    bits = (111) | ((63) << 14)
+    vp8l = riff(b"VP8L", b"\x2f" + bits.to_bytes(4, "little") + b"\x00" * 4)
+    # VP8X: 24-bit canvas w-1 / h-1 after 4 flag/reserved bytes
+    vp8x = riff(b"VP8X", b"\x00\x00\x00\x00"
+                + (799).to_bytes(3, "little") + (599).to_bytes(3, "little"))
+    assert mm.webp_dimensions(vp8) == (320, 240)
+    assert mm.webp_dimensions(vp8l) == (112, 64)
+    assert mm.webp_dimensions(vp8x) == (800, 600)
+    assert mm.webp_dimensions(b"RIFF\x00\x00\x00\x00WEBPJUNK") is None
+    # rides the shared meta path: decode stays refused, dims populate
+    media = spark.createDataFrame(
+        [("w0", vp8, "image", {})], mm.MEDIA_SCHEMA)
+    (st,) = media.select("media_id", "bytes") \
+        .mapInPandas(mm.image_decode_stats_map_in_pandas,
+                     schema=mm.IMAGE_DECODE_STATS_SCHEMA).collect()
+    assert st.ok is False and (st.width, st.height) == (320, 240)
+    (meta,) = media.select("media_id", "bytes") \
+        .mapInPandas(mm.image_meta_map_in_pandas,
+                     schema=mm.IMAGE_META_SCHEMA).collect()
+    assert meta.format == "webp" and (meta.width, meta.height) == (320, 240)
