@@ -254,3 +254,80 @@ def resolve_internal_ref(root: dict, ref: str) -> dict:
     if not ref.startswith("#"):
         raise RulesetCompileError(f"external ref {ref!r} must be bundled first")
     return _resolve_fragment(root, ref[1:])
+
+
+# ---------------------------------------------------------------------------
+# draft 2019-09 / 2020-12 dynamic references — static unrolling
+# ---------------------------------------------------------------------------
+
+def _collect_dynamic_anchors(node, out, root, is_root=True):
+    """Preorder walk: first occurrence of a $dynamicAnchor name wins —
+    in a single bundled resource the preorder-first node IS the
+    outermost dynamic scope, which is what $dynamicRef resolves to."""
+    if isinstance(node, dict):
+        a = node.get("$dynamicAnchor")
+        if isinstance(a, str) and a not in out:
+            out[a] = node
+        if is_root and node.get("$recursiveAnchor") is True:
+            out["\x00recursive"] = node
+        for v in node.values():
+            _collect_dynamic_anchors(v, out, root, is_root=False)
+    elif isinstance(node, list):
+        for v in node:
+            _collect_dynamic_anchors(v, out, root, is_root=False)
+
+
+def unroll_dynamic_refs(schema: dict, max_depth: int) -> dict:
+    """Resolve ``$dynamicRef``/``$recursiveRef`` by STATIC UNROLLING to
+    ``max_depth`` expansions — the Spark-first take on dynamic scope:
+    the compiler binds schema nodes to column TYPES, and a Spark struct
+    type has finite nesting, so a recursive schema only ever meets
+    ``max_depth`` levels of real data. Beyond that the expansion
+    becomes ``{}`` (vacuously true — there is no deeper column to
+    check), which is exactly what a run-time dynamic resolver would
+    conclude on data of that shape.
+
+    Resolution model (documented approximation, single bundled
+    resource): ``$dynamicRef: "#name"`` binds to the preorder-first
+    (outermost) ``$dynamicAnchor: name``; ``$recursiveRef: "#"`` binds
+    to the root when it carries ``$recursiveAnchor: true``. Sibling
+    keywords merge over the expansion (the bundler's $ref-with-siblings
+    rule). Unresolvable names are left in place, so they surface in
+    ``unknown`` exactly as before. The anchor declarations themselves
+    are dropped from the output (resolution metadata, not checks)."""
+    anchors: dict = {}
+    _collect_dynamic_anchors(schema, anchors, schema)
+
+    def expand(node, depth):
+        if isinstance(node, list):
+            return [expand(v, depth) for v in node]
+        if not isinstance(node, dict):
+            return node
+        target = None
+        ref = node.get("$dynamicRef")
+        if isinstance(ref, str) and ref.startswith("#") \
+                and ref[1:] in anchors:
+            target = anchors[ref[1:]]
+            ref_key = "$dynamicRef"
+        elif node.get("$recursiveRef") == "#" \
+                and "\x00recursive" in anchors:
+            target = anchors["\x00recursive"]
+            ref_key = "$recursiveRef"
+        if target is not None:
+            siblings = {k: v for k, v in node.items() if k != ref_key}
+            if depth <= 0:
+                out = {}
+            else:
+                out = dict(expand(target, depth - 1))
+            out.update(expand(siblings, depth))
+            out.pop("$dynamicAnchor", None)
+            out.pop("$recursiveAnchor", None)
+            return out
+        out = {k: expand(v, depth)
+               for k, v in node.items()
+               if k not in ("$dynamicAnchor", "$recursiveAnchor")}
+        return out
+
+    if not anchors:
+        return schema
+    return expand(schema, int(max_depth))

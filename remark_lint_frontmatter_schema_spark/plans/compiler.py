@@ -2739,6 +2739,19 @@ def ruleset_hash(schema: dict) -> str:
     ).hexdigest()[:16]
 
 
+def _schema_depth(dtype) -> int:
+    """Max nesting depth of a Spark type (struct/array/map levels) —
+    the unroll bound for dynamic references."""
+    if isinstance(dtype, T.StructType):
+        return 1 + max((_schema_depth(f.dataType) for f in dtype.fields),
+                       default=0)
+    if isinstance(dtype, T.ArrayType):
+        return 1 + _schema_depth(dtype.elementType)
+    if isinstance(dtype, T.MapType):
+        return 1 + _schema_depth(dtype.valueType)
+    return 0
+
+
 def compile_ruleset(
     schema: dict,
     df_schema: T.StructType,
@@ -2779,6 +2792,14 @@ def compile_ruleset(
             [f for f in df_schema.fields if f.name not in exclude_columns])
     out = CompiledRuleset(name=name)
     out.ruleset_hash = ruleset_hash(schema)
+    # draft 2019-09/2020-12 dynamic references: statically unroll to the
+    # bound table schema's nesting depth + 1 — Spark struct types are
+    # finitely nested, so a recursive schema meets at most that much
+    # real data and the residual expansion is vacuous (bundler docstring
+    # records the single-resource resolution model). Unresolvable names
+    # stay in place and surface in `unknown` as before.
+    from .bundler import unroll_dynamic_refs
+    schema = unroll_dynamic_refs(schema, _schema_depth(df_schema) + 1)
     stage = None
     if options.get("stage_variant", True):
         # short name-hash suffix: sanitized/truncated names of two routed

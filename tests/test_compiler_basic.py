@@ -253,22 +253,53 @@ def test_unknown_keyword_surfaces_under_absent_column(spark):
     assert validate(df, compiled, row_id="id").violations.count() == 0
 
 
-def test_dynamic_refs_surface_as_unknown(spark):
-    """2019-09/2020-12 dynamic references are not resolved (the
-    reference's default draft-07 Ajv lacks them too): they must land in
-    `unknown` with a precise path, never crash or silently validate."""
+def test_dynamic_refs_resolve_by_static_unrolling(spark):
+    """Round 4: $dynamicRef/$recursiveRef resolve by unrolling to the
+    bound type's nesting depth (a Spark struct is finitely nested, so
+    the residual expansion is vacuous) — a recursive tree schema
+    validates every materialized level."""
+    df = spark.createDataFrame(
+        [(1, ("ok", ("deep", ("x", None)))),
+         (2, ("fine", None))],
+        "id int, tree struct<label:string, child:struct<"
+        "label:string, child:struct<label:string, child:string>>>")
+    rs = {"type": "object",
+          "properties": {"tree": {
+              "$dynamicAnchor": "node",
+              "type": "object",
+              "properties": {
+                  "label": {"type": "string", "minLength": 2},
+                  "child": {"$dynamicRef": "#node"}}}}}
+    compiled = compile_ruleset(rs, df.schema, name="dyn")
+    assert not [u for u in compiled.unknown if "$dynamic" in u[1]]
+    v = validate(df, compiled, row_id="id").violations.collect()
+    # row 1's depth-3 label "x" violates minLength at the unrolled path
+    assert [(r.row_id, r.instance_path) for r in v] \
+        == [("1", "/tree/child/child/label")]
+
+
+def test_recursive_ref_resolves_to_root(spark):
+    df = spark.createDataFrame(
+        [("root-label", ("y", None)), ("ok", ("also ok", None))],
+        "label string, child struct<label:string, child:string>")
+    rs = {"type": "object", "$recursiveAnchor": True,
+          "properties": {"label": {"minLength": 2},
+                         "child": {"$recursiveRef": "#"}}}
+    compiled = compile_ruleset(rs, df.schema, name="rec")
+    assert not [u for u in compiled.unknown if "$recursive" in u[1]]
+    v = validate(df, compiled,
+                 row_id="label").violations.collect()
+    assert [(r.row_id, r.instance_path) for r in v] \
+        == [("root-label", "/child/label")]
+
+
+def test_unresolvable_dynamic_ref_stays_unknown(spark):
+    """A $dynamicRef naming no anchor keeps the round-3 behavior:
+    collected into `unknown`, sibling keywords still validate."""
     df = spark.createDataFrame([(1, "x")], "id int, s string")
     rs = {"type": "object",
-          "$dynamicAnchor": "node",
-          "properties": {"s": {"$dynamicRef": "#node",
+          "properties": {"s": {"$dynamicRef": "#missing",
                                "minLength": 1}}}
     compiled = compile_ruleset(rs, df.schema, name="dyn")
     assert ("/s", "$dynamicRef") in compiled.unknown
-    assert ("", "$dynamicAnchor") in compiled.unknown
-    # the sibling known keyword still compiles and validates
     assert validate(df, compiled, row_id="id").violations.count() == 0
-    rs2 = {"type": "object", "$recursiveAnchor": True,
-           "properties": {"s": {"$recursiveRef": "#"}}}
-    c2 = compile_ruleset(rs2, df.schema, name="rec")
-    assert ("/s", "$recursiveRef") in c2.unknown
-    assert ("", "$recursiveAnchor") in c2.unknown
