@@ -109,12 +109,30 @@ def main() -> int:
         print(("OK  " if ok else "FAIL") + f" {name} "
               f"spark={rec['spark_rows']} oracle={rec['oracle_rows']}",
               flush=True)
+    # VERDICT r3 #6: record which queries have NEVER appeared in any
+    # driver CORRECTNESS round (they are green here but the judge should
+    # know the driver's sample never exercised them). "_meta" sorts
+    # first and per-query readers skip non-dict-shaped keys by name.
+    sampled: set = set()
+    import glob
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json")):
+        try:
+            sampled |= set(json.load(open(f)))
+        except Exception:
+            pass
+    out["_meta"] = {
+        "round": tag,
+        "n_queries": len(qmap),
+        "n_oracle_backed": sum(1 for n in qmap if n in oracles),
+        "never_driver_sampled": sorted(set(qmap) - sampled),
+    }
     path = os.path.join(REPO, f"CORRECTNESS_full_{tag}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
-    bad = [n for n, r in out.items()
-           if r["err"] or r["rows_match"] is False
-           or r["schema_match"] is False or r["hash_match"] is False]
+    bad = [n for n, r in out.items() if not n.startswith("_")
+           and (r["err"] or r["rows_match"] is False
+                or r["schema_match"] is False
+                or r["hash_match"] is False)]
     n_oracle = sum(1 for n in out if n in oracles)
     print(f"\n{len(out)} queries ({n_oracle} oracle-backed) -> {path}; "
           f"problems: {bad or 'none'}")
