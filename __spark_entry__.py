@@ -518,6 +518,37 @@ def q_missing_dates_events(spark, sf):
     return missing_buckets(ev, "ts", unit="day")
 
 
+def q_missing_dates_by_events(spark, sf):
+    """GROUPED calendar completeness (operators/sequence.py
+    missing_buckets `by:`): per-type day grids spanning each type's own
+    min..max. Holes injected for ONE type only (drop 'click' rows on
+    dayofmonth % 7 == 3) so the missing set is group-keyed and the
+    other types stay complete — the per-group span is the point."""
+    from remark_lint_frontmatter_schema_spark.operators.sequence import (
+        missing_buckets)
+    ev = _load(spark, sf, "events").where(
+        ~((F.col("event_type") == "click")
+          & (F.dayofmonth("ts") % 7 == 3)))
+    return missing_buckets(ev, "ts", unit="day", by="event_type")
+
+
+def q_freshness_by_events(spark, sf):
+    """GROUPED freshness gate (operators/sequence.py
+    freshness_violations `by:`): each type's newest event against a
+    pinned as_of. 'click' rows after Jan 15 are filtered out so exactly
+    that type violates at a 3600 s limit dated Jan 16 — group value as
+    row_id, per-group age string byte-exact. (`expected` dropped —
+    NULL-array canonicalizer rule.)"""
+    from remark_lint_frontmatter_schema_spark.operators.sequence import (
+        freshness_violations)
+    ev = _load(spark, sf, "events").where(
+        ~((F.col("event_type") == "click")
+          & (F.col("ts") >= F.lit("2024-01-15 00:00:00"))))
+    return freshness_violations(
+        ev, "ts", max_age_seconds=3600.0,
+        as_of="2024-01-16 00:00:00", by="event_type").drop("expected")
+
+
 def q_freshness_events(spark, sf):
     """Freshness check (operators/sequence.py freshness_violations): the
     newest event must be younger than an hour at a pinned as_of —
@@ -2376,6 +2407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_multi_lineitem": q_unique_multi_lineitem,
         "benford_gate_events": q_benford_gate_events,
         "missing_dates_events": q_missing_dates_events,
+        "missing_dates_by_events": q_missing_dates_by_events,
+        "freshness_by_events": q_freshness_by_events,
         "freshness_events": q_freshness_events,
         "benford_events": q_benford_events,
         "reconcile_orders": q_reconcile_orders,
@@ -3804,6 +3837,43 @@ grid AS (
 SELECT bucket FROM grid
 WHERE bucket NOT IN (SELECT DISTINCT b FROM src)
 ORDER BY bucket
+""",
+        "missing_dates_by_events": """
+WITH src AS (
+  SELECT event_type AS grp, date_trunc('day', ts) AS b FROM events
+  WHERE ts IS NOT NULL
+    AND NOT (event_type = 'click' AND day(ts) % 7 = 3)),
+span AS (SELECT grp, min(b) AS f, max(b) AS l FROM src GROUP BY 1),
+grid AS (
+  SELECT grp, unnest(generate_series(f, l, INTERVAL 1 DAY)) AS bucket
+  FROM span WHERE f IS NOT NULL)
+SELECT g.grp AS event_type, CAST(g.bucket AS TIMESTAMP) AS bucket
+FROM grid g LEFT JOIN (SELECT DISTINCT grp, b FROM src) o
+  ON g.grp = o.grp AND g.bucket = o.b
+WHERE o.b IS NULL
+ORDER BY event_type, bucket
+""",
+        "freshness_by_events": """
+WITH newest AS (
+  SELECT event_type AS grp, max(ts) AS n FROM events
+  WHERE NOT (event_type = 'click' AND ts >= TIMESTAMP '2024-01-15 00:00:00')
+  GROUP BY 1)
+SELECT CAST(grp AS VARCHAR) AS row_id,
+       'all' AS partition_id,
+       'engine' AS ruleset_id,
+       'freshness:ts' AS constraint_id,
+       'x-freshness' AS keyword,
+       '/ts' AS instance_path,
+       '#/x-freshness/ts' AS schema_path,
+       'Must be fresh: newest row is '
+         || CAST(round(epoch(TIMESTAMP '2024-01-16 00:00:00')
+                       - epoch(n), 1) AS VARCHAR)
+         || ' s old (limit 3600.0)' AS message,
+       CAST(n AS VARCHAR) AS actual,
+       'warning' AS severity
+FROM newest
+WHERE n IS NULL
+   OR epoch(TIMESTAMP '2024-01-16 00:00:00') - epoch(n) > 3600.0
 """,
         "freshness_events": """
 WITH newest AS (SELECT max(ts) AS n FROM events)

@@ -139,6 +139,8 @@ HEADLINE = [
     "quantile_gate_lineitem",
     "volume_anomaly_events",
     "volume_by_events",
+    "missing_dates_by_events",
+    "freshness_by_events",
     "mean_shift_events",
     "containment_documents",
     "funnel_ci_events",
