@@ -84,8 +84,19 @@ def _fused_agg_violations(df: DataFrame, specs: list, *,
     seeds = []
     for i, (kind, column, params) in enumerate(specs):
         tag = str(i)
+        lval = F.lit(None).cast("long")
         if kind in ("unique", "skew"):
-            gkey = F.col(column).cast("string")
+            # Spark normalizes -0.0 to 0.0 (and groups NaNs) in native
+            # groupBy keys; the shared string key must match, so
+            # floating key columns add a typed +0.0 before the cast
+            # (-0.0 + 0.0 == 0.0; every other value, incl. NaN, is
+            # unchanged and the column's own type is preserved so the
+            # string rendering equals the standalone path's).
+            src = F.col(column)
+            dt = df.schema[column].dataType.simpleString()
+            if dt in ("float", "double"):
+                src = src + F.lit(0.0).cast(dt)
+            gkey = src.cast("string")
             val = F.lit(None).cast("double")
         elif kind == "volume":
             gkey = F.date_trunc(params.get("unit", "day"),
@@ -104,15 +115,18 @@ def _fused_agg_violations(df: DataFrame, specs: list, *,
                                 F.col(column)).cast("string")
             val = F.lit(None).cast("double")
         elif kind == "freshness":
-            # exact integer MICROseconds ride the double val slot
-            # (epoch-seconds doubles round at ~0.4 us; micros stay
-            # below 2^53 and reconstruct the timestamp exactly)
+            # exact integer MICROseconds ride a dedicated LONG slot —
+            # a double slot loses integer exactness past 2^53 (~year
+            # 2255), so far-future sentinel timestamps (9999-12-31 ~
+            # 2.5e17 us) would reconstruct up to ~32 us off the
+            # standalone max(col); the long slot is exact for the full
+            # timestamp range.
             gkey = F.lit("all")
-            val = F.unix_micros(F.col(column).cast("timestamp")) \
-                   .cast("double")
+            val = F.lit(None).cast("double")
+            lval = F.unix_micros(F.col(column).cast("timestamp"))
             aggs.append(F.max(F.when(F.col("tag") == tag,
-                                     F.col("val"))).alias(f"_f{i}"))
-            seeds.append((tag, "all", None))
+                                     F.col("lval"))).alias(f"_f{i}"))
+            seeds.append((tag, "all", None, None))
         else:  # quantile (global)
             gkey = F.lit("all")
             val = F.col(column).cast("double")
@@ -123,15 +137,17 @@ def _fused_agg_violations(df: DataFrame, specs: list, *,
                      if params.get("approx", False)
                      else F.percentile(F.col("val"), F.lit(q)))
             aggs.append(F.round(qexpr, 6).alias(f"_q{i}"))
-            seeds.append((tag, "all", None))
+            seeds.append((tag, "all", None, None))
         entries.append(F.struct(F.lit(tag).alias("tag"),
-                                gkey.alias("gkey"), val.alias("val")))
+                                gkey.alias("gkey"), val.alias("val"),
+                                lval.alias("lval")))
     exploded = (df.select(F.explode(F.array(*entries)).alias("_e"))
                   .select("_e.*")
                   .where(F.col("gkey").isNotNull()))
     if seeds:
         seed_df = df.sparkSession.createDataFrame(
-            seeds, schema="tag string, gkey string, val double")
+            seeds, schema="tag string, gkey string, val double, "
+                          "lval long")
         exploded = exploded.unionByName(seed_df)
     counts = _persist(exploded.groupBy("tag", "gkey").agg(*aggs))
     out: list[DataFrame] = []
@@ -189,7 +205,7 @@ def _fused_agg_violations(df: DataFrame, specs: list, *,
             # newest value must render as a date in `actual`, exactly
             # as the direct max(col) aggregate would
             agg = sub.select(
-                F.timestamp_micros(F.col(f"_f{i}").cast("long"))
+                F.timestamp_micros(F.col(f"_f{i}"))
                  .cast(df.schema[column].dataType)
                  .alias("_newest"))
             out.append(freshness_rows_from_agg(
