@@ -442,6 +442,31 @@ def drift_violations(df: DataFrame, value_col: str, *, partition_col: str,
     """
     hist = histogram(df, value_col, partition_col, lo=lo, hi=hi,
                      n_buckets=n_buckets)
+    return drift_violations_from_hist(
+        hist, value_col, partition_col=partition_col, side_a=side_a,
+        side_b=side_b, lo=lo, hi=hi, n_buckets=n_buckets,
+        ks_threshold=ks_threshold, psi_threshold=psi_threshold,
+        emd_threshold=emd_threshold, jsd_threshold=jsd_threshold,
+        cvm_threshold=cvm_threshold, ruleset_name=ruleset_name,
+        severity=severity)
+
+
+def drift_violations_from_hist(hist: DataFrame, value_col: str, *,
+                               partition_col: str, side_a: str,
+                               side_b: str, lo: float, hi: float,
+                               n_buckets: int = 25,
+                               ks_threshold: float = 0.1,
+                               psi_threshold: float = 0.2,
+                               emd_threshold: float | None = None,
+                               jsd_threshold: float | None = None,
+                               cvm_threshold: float | None = None,
+                               ruleset_name: str = "engine",
+                               severity: str = "warning") -> DataFrame:
+    """:func:`drift_violations` from a precomputed ``(side, bucket, n)``
+    histogram relation — the shared tail behind the standalone operator
+    and the fused single-scan table-check pass (the x-drift histogram is
+    a groupBy count, so it rides operators/table_checks.py's tagged
+    explode: same statistics, byte-identical rows either way)."""
     ks = ks_statistic(hist, str(side_a), str(side_b))
     p = psi(hist, str(side_a), str(side_b))
     j = ks.crossJoin(p).select(F.round("ks_stat", 6).alias("ks_stat"),

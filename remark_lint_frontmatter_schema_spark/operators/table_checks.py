@@ -9,25 +9,36 @@ anti-join) whose violation rows share the exact row-relation shape, so the
 union is a plain ``unionByName``.
 
 Scan accounting at the 100 TB design point: row-validate + each
-join-shaped check (x-ref / x-reconcile / x-dedup) re-reads the fact —
-but every extra pass is column-pruned to a single key column (verified
-in tests/test_plan_audits.py), so the extra cost is one column's bytes
-per declared table check, not the table. Fusing those into the row scan
-is deliberately NOT done — a groupBy/join fused into the validation
+join-shaped check (x-reconcile / x-dedup) re-reads the fact — but every
+extra pass is column-pruned to a single key column (verified in
+tests/test_plan_audits.py), so the extra cost is one column's bytes per
+declared table check, not the table. Fusing those into the row scan is
+deliberately NOT done — a groupBy/join fused into the validation
 projection would force the whole row payload through the shuffle.
 
-The AGGREGATION-shaped checks (x-unique, global x-volume / x-quantile /
-x-mask) are different: each reduces the fact to a tiny
-keyed-count/quantile relation, so when a ruleset declares two or more
-of them they share ONE
+The AGGREGATION-shaped checks (x-unique, x-drift, global x-volume /
+x-quantile / x-mask, …) are different: each reduces the fact to a tiny
+keyed-count/quantile/histogram relation, so when a ruleset declares two
+or more of them they share ONE
 scan + ONE shuffle (:func:`_fused_agg_violations`): every row explodes
-into one (tag, group_key, value) struct per declared check; a single
-groupBy(tag, group_key) computes all the counts and quantiles at once
-(Spark's partial hash aggregate splits hot keys across input partitions
-pre-shuffle — the same protection the standalone salted path makes
-explicit); the driver-scale result is persisted and each check's
-violation rows project from it through the SAME emitters the standalone
-operators use, so the rows are byte-identical either way.
+into one (tag, group_key, group_key2, value) struct per declared check
+(the second key slot carries x-drift's histogram bucket and is constant
+for every other kind); a single groupBy(tag, gkey, gkey2) computes all
+the counts, quantiles, and histograms at once (Spark's partial hash
+aggregate splits hot keys across input partitions pre-shuffle — the
+same protection the standalone salted path makes explicit); the
+driver-scale result is persisted and each check's violation rows
+project from it through the SAME emitters the standalone operators use,
+so the rows are byte-identical either way.
+
+The x-ref family (x-ref / x-ref-asof / x-ref-interval) can't ride the
+groupBy — it emits one violation per dangling ROW — but its fact side
+is a keys-only projection (row_id, key[, ts]). When the aggregation
+pass and one or more ref checks coexist, ONE persisted narrow
+projection of the union of their columns feeds them all
+(:func:`table_check_violations`): a single live fact read serves every
+aggregation-shaped check AND every ref join; the cache holds ids, keys
+and timestamps only, never the row payload.
 """
 
 from __future__ import annotations
@@ -56,15 +67,36 @@ class TableValidationResult:
 
 def _is_fusable(kind: str, params: dict) -> bool:
     """Aggregation-shaped checks that reduce to one groupBy(tag, key)
-    pass. Grouped forms (``by:``) keep their own pass: quantile's NULL
-    group must survive as a real group (the shared string-typed key
-    cannot represent it without a sentinel collision), and grouped
-    volume scores buckets against per-group stats."""
-    if kind in ("unique", "benford", "skew"):
+    pass. x-drift qualifies too: its histogram is a (side, bucket)
+    count, riding the explode through the second key slot. Grouped
+    forms (``by:``) keep their own pass: quantile's NULL group must
+    survive as a real group (the shared string-typed key cannot
+    represent it without a sentinel collision), and grouped volume
+    scores buckets against per-group stats."""
+    if kind in ("unique", "benford", "skew", "drift"):
         return True
     return (kind in ("volume", "quantile", "mask", "calendar",
                      "freshness")
             and not params.get("by"))
+
+
+_REF_KINDS = ("ref", "ref_asof", "ref_interval")
+
+
+def _shared_columns(fusable: list, refs: list, row_id: str) -> list[str]:
+    """Union of the columns the fused aggregate pass and the ref-family
+    joins project from the fact — the schema of the shared narrow
+    cache."""
+    cols: set[str] = set()
+    for kind, column, params in fusable:
+        cols.add(column)
+        if kind == "drift":
+            cols.add(params["partition_col"])
+    for kind, column, params in refs:
+        cols.update((column, row_id))
+        if kind in ("ref_asof", "ref_interval"):
+            cols.add(params["ts"])
+    return sorted(cols)
 
 
 def _fused_agg_violations(df: DataFrame, specs: list, *,
@@ -85,7 +117,26 @@ def _fused_agg_violations(df: DataFrame, specs: list, *,
     for i, (kind, column, params) in enumerate(specs):
         tag = str(i)
         lval = F.lit(None).cast("long")
-        if kind in ("unique", "skew"):
+        gkey2 = F.lit("")
+        if kind == "drift":
+            # the x-drift histogram is a (side, bucket) count — side
+            # rides gkey, the width_bucket index rides the second key
+            # slot (constant "" for every other kind, so their group
+            # cardinality is unchanged). NULL values and NULL sides
+            # collapse gkey to NULL and drop pre-shuffle, exactly the
+            # standalone histogram's filter + ignored-NULL-side rows
+            # (twin: drift.histogram — keep the bucket expr in sync).
+            bucket = F.coalesce(
+                F.width_bucket(F.col(column).cast("double"),
+                               F.lit(float(params["lo"])),
+                               F.lit(float(params["hi"])),
+                               F.lit(params.get("n_buckets", 25))),
+                F.lit(-1))  # NaN -> real below-range bucket
+            gkey = F.when(F.col(column).isNotNull(),
+                          F.col(params["partition_col"]).cast("string"))
+            gkey2 = bucket.cast("string")
+            val = F.lit(None).cast("double")
+        elif kind in ("unique", "skew"):
             # Spark normalizes -0.0 to 0.0 (and groups NaNs) in native
             # groupBy keys; the shared string key must match, so
             # floating key columns add a typed +0.0 before the cast
@@ -126,7 +177,7 @@ def _fused_agg_violations(df: DataFrame, specs: list, *,
             lval = F.unix_micros(F.col(column).cast("timestamp"))
             aggs.append(F.max(F.when(F.col("tag") == tag,
                                      F.col("lval"))).alias(f"_f{i}"))
-            seeds.append((tag, "all", None, None))
+            seeds.append((tag, "all", "", None, None))
         else:  # quantile (global)
             gkey = F.lit("all")
             val = F.col(column).cast("double")
@@ -137,19 +188,21 @@ def _fused_agg_violations(df: DataFrame, specs: list, *,
                      if params.get("approx", False)
                      else F.percentile(F.col("val"), F.lit(q)))
             aggs.append(F.round(qexpr, 6).alias(f"_q{i}"))
-            seeds.append((tag, "all", None, None))
+            seeds.append((tag, "all", "", None, None))
         entries.append(F.struct(F.lit(tag).alias("tag"),
-                                gkey.alias("gkey"), val.alias("val"),
+                                gkey.alias("gkey"),
+                                gkey2.alias("gkey2"), val.alias("val"),
                                 lval.alias("lval")))
     exploded = (df.select(F.explode(F.array(*entries)).alias("_e"))
                   .select("_e.*")
                   .where(F.col("gkey").isNotNull()))
     if seeds:
         seed_df = df.sparkSession.createDataFrame(
-            seeds, schema="tag string, gkey string, val double, "
-                          "lval long")
+            seeds, schema="tag string, gkey string, gkey2 string, "
+                          "val double, lval long")
         exploded = exploded.unionByName(seed_df)
-    counts = _persist(exploded.groupBy("tag", "gkey").agg(*aggs))
+    counts = _persist(exploded.groupBy("tag", "gkey", "gkey2")
+                      .agg(*aggs))
     out: list[DataFrame] = []
     for i, (kind, column, params) in enumerate(specs):
         sub = counts.where(F.col("tag") == str(i))
@@ -199,6 +252,14 @@ def _fused_agg_violations(df: DataFrame, specs: list, *,
                 prof, column, max_share=params["max_share"],
                 ruleset_name=ruleset_name,
                 severity=params.get("severity", "warning")))
+        elif kind == "drift":
+            from .drift import drift_violations_from_hist
+            hist = sub.select(
+                F.col("gkey").alias("side"),
+                F.col("gkey2").cast("long").alias("bucket"),
+                F.col("_n").alias("n"))
+            out.append(drift_violations_from_hist(
+                hist, column, ruleset_name=ruleset_name, **params))
         elif kind == "freshness":
             from .sequence import freshness_rows_from_agg
             # cast back to the SOURCE column type: a DATE column's
@@ -258,23 +319,46 @@ def table_check_violations(
     extras: list[DataFrame] = []
     fusable = [tc for tc in compiled.table_checks
                if _is_fusable(tc[0], tc[2])]
+    # Scan sharing: the aggregation pass (fused or a lone fusable
+    # check) and each ref-family join re-read the fact for a narrow
+    # column projection. With >= 2 such consumers, ONE persisted
+    # projection of the union of their columns feeds them all — one
+    # live fact read instead of one per pass; at the 100 TB design
+    # point each avoided pass is a full re-read of its key columns.
+    # The cache holds only those columns (ids, keys, timestamps), never
+    # the row payload. Checks whose dim is missing are skipped by the
+    # G2 guard and don't count as consumers.
+    runnable_refs = [
+        tc for tc in compiled.table_checks
+        if tc[0] in _REF_KINDS
+        and (tc[2]["dim"] in dims or on_missing_dim is None)]
+    base = df
+    if (1 if fusable else 0) + len(runnable_refs) >= 2:
+        from .dedup import _persist
+        base = _persist(df.select(
+            *_shared_columns(fusable, runnable_refs, row_id)))
     fused = len(fusable) >= 2
     if fused:
         extras.extend(_fused_agg_violations(
-            df, fusable, ruleset_name=compiled.name))
+            base, fusable, ruleset_name=compiled.name))
     for kind, column, params in compiled.table_checks:
         if fused and _is_fusable(kind, params):
             continue
+        # standalone fusable checks and ref-family joins read the
+        # shared narrow cache when one was built (base is df otherwise);
+        # every other kind needs columns outside it
+        src = (base if _is_fusable(kind, params) or kind in _REF_KINDS
+               else df)
         if kind == "unique":
             extras.append(uniqueness_violations(
-                df, column, ruleset_name=compiled.name,
+                src, column, ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
         elif kind == "ref":
             if params["dim"] not in dims and on_missing_dim is not None:
                 on_missing_dim(params["dim"])
                 continue
             extras.append(referential_violations(
-                df, column, dims[params["dim"]], params["key"],
+                src, column, dims[params["dim"]], params["key"],
                 row_id=row_id, ruleset_name=compiled.name,
                 use_bloom=params["bloom"],
                 n_items_hint=params.get("n_items"),
@@ -285,7 +369,7 @@ def table_check_violations(
                 on_missing_dim(params["dim"])
                 continue
             extras.append(asof_ref_violations(
-                df, column, dims[params["dim"]], params["key"],
+                src, column, dims[params["dim"]], params["key"],
                 ts_col=params["ts"], dim_ts=params["dim_ts"],
                 row_id=row_id, tolerance=params.get("tolerance"),
                 direction=params.get("direction", "backward"),
@@ -298,7 +382,7 @@ def table_check_violations(
                 on_missing_dim(params["dim"])
                 continue
             extras.append(interval_ref_violations(
-                df, column, dims[params["dim"]], params["key"],
+                src, column, dims[params["dim"]], params["key"],
                 ts_col=params["ts"], start_col=params["start"],
                 end_col=params["end"], bucket=params["bucket"],
                 row_id=row_id, ruleset_name=compiled.name,
@@ -311,7 +395,7 @@ def table_check_violations(
         elif kind == "mask":
             from .stats import mask_violations
             extras.append(mask_violations(
-                df, column, expect=params["expect"],
+                src, column, expect=params["expect"],
                 min_share=params["min_share"], by=params.get("by"),
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
@@ -324,13 +408,13 @@ def table_check_violations(
         elif kind == "benford":
             from .drift import benford_violations
             extras.append(benford_violations(
-                df, column, max_mad=params["max_mad"],
+                src, column, max_mad=params["max_mad"],
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
         elif kind == "calendar":
             from .sequence import calendar_violations
             extras.append(calendar_violations(
-                df, column, unit=params.get("unit", "day"),
+                src, column, unit=params.get("unit", "day"),
                 by=params.get("by"),
                 max_buckets=params.get("max_buckets", 100_000),
                 ruleset_name=compiled.name,
@@ -338,7 +422,7 @@ def table_check_violations(
         elif kind == "freshness":
             from .sequence import freshness_violations
             extras.append(freshness_violations(
-                df, column,
+                src, column,
                 max_age_seconds=params["max_age_seconds"],
                 as_of=params.get("as_of"), by=params.get("by"),
                 ruleset_name=compiled.name,
@@ -360,7 +444,7 @@ def table_check_violations(
         elif kind == "skew":
             from .skew import skew_violations
             extras.append(skew_violations(
-                df, column, max_share=params["max_share"],
+                src, column, max_share=params["max_share"],
                 top_k=params.get("top_k", 10),
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
@@ -381,14 +465,14 @@ def table_check_violations(
         elif kind == "volume":
             from .outliers import volume_violations
             extras.append(volume_violations(
-                df, column, unit=params.get("unit", "day"),
+                src, column, unit=params.get("unit", "day"),
                 k=params.get("k", 3.5), by=params.get("by"),
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
         elif kind == "quantile":
             from .stats import quantile_violations
             extras.append(quantile_violations(
-                df, column, q=params["q"], lo=params["lo"],
+                src, column, q=params["q"], lo=params["lo"],
                 hi=params["hi"], by=params.get("by"),
                 approx=params.get("approx", False),
                 ruleset_name=compiled.name,
@@ -431,7 +515,7 @@ def table_check_violations(
                 severity=params.get("severity", "warning")))
         elif kind == "drift":
             extras.append(drift_violations(
-                df, column, ruleset_name=compiled.name, **params))
+                src, column, ruleset_name=compiled.name, **params))
         elif kind == "dedup":
             extras.append(dedup_violations(
                 df, column, params["id"], method=params["method"],

@@ -160,6 +160,121 @@ def test_single_fusable_check_stays_standalone(spark, fact):
         uniqueness_violations(fact, "rid", ruleset_name="solo"))
 
 
+def test_fused_drift_matches_standalone(spark):
+    """x-drift rides the tagged explode (second key slot carries the
+    histogram bucket): rows must be byte-identical to the standalone
+    operator, including NaN's below-range bucket and dropped NULL-side
+    rows."""
+    from remark_lint_frontmatter_schema_spark.operators.drift import (
+        drift_violations)
+    rows = ([("a%d" % i, "ref", float(i % 10), "k%d" % i)
+             for i in range(200)]
+            + [("b%d" % i, "cur", float(i % 10) + 4.0, "k%d" % (500 + i))
+               for i in range(200)]
+            + [("n1", "ref", float("nan"), "x"),
+               ("n2", "cur", float("nan"), "x"),
+               ("s0", None, 3.0, "y"),        # NULL side -> ignored
+               ("v0", "ref", None, "z")])     # NULL value -> filtered
+    df = spark.createDataFrame(
+        rows, "rid string, side string, v double, k string")
+    rs = {"properties": {
+        "k": {"x-unique": True},
+        "v": {"x-drift": {"partition_col": "side", "side_a": "ref",
+                          "side_b": "cur", "lo": 0.0, "hi": 10.0,
+                          "n_buckets": 10, "ks_threshold": 0.05,
+                          "psi_threshold": 0.1,
+                          "emd_threshold": 0.5}}}}
+    compiled = compile_ruleset(rs, df.schema, name="dr")
+    assert len(compiled.table_checks) == 2
+    got = table_check_violations(df, compiled, row_id="rid")
+    want = (uniqueness_violations(df, "k", ruleset_name="dr")
+            .unionByName(drift_violations(
+                df, "v", partition_col="side", side_a="ref",
+                side_b="cur", lo=0.0, hi=10.0, n_buckets=10,
+                ks_threshold=0.05, psi_threshold=0.1,
+                emd_threshold=0.5, ruleset_name="dr")))
+    try:
+        got_rows = _sorted(got)
+        assert got_rows == _sorted(want)
+        assert any(r[4] == "drift" for r in got_rows)  # gate fired
+    finally:
+        release_all()
+
+
+def test_fused_drift_missing_side_config_row(spark):
+    """A typo'd side label must still surface the fail-closed
+    drift-config row through the fused path."""
+    from remark_lint_frontmatter_schema_spark.operators.drift import (
+        drift_violations)
+    df = spark.createDataFrame(
+        [("a", "ref", 1.0, "k1"), ("b", "ref", 2.0, "k1")],
+        "rid string, side string, v double, k string")
+    rs = {"properties": {
+        "k": {"x-unique": True},
+        "v": {"x-drift": {"partition_col": "side", "side_a": "ref",
+                          "side_b": "nope", "lo": 0.0, "hi": 10.0}}}}
+    compiled = compile_ruleset(rs, df.schema, name="cfg")
+    got = table_check_violations(df, compiled, row_id="rid")
+    want = (uniqueness_violations(df, "k", ruleset_name="cfg")
+            .unionByName(drift_violations(
+                df, "v", partition_col="side", side_a="ref",
+                side_b="nope", lo=0.0, hi=10.0, ruleset_name="cfg")))
+    try:
+        got_rows = _sorted(got)
+        assert got_rows == _sorted(want)
+        assert any(r[4] == "drift-config" for r in got_rows)
+    finally:
+        release_all()
+
+
+def test_drift_ref_and_fused_share_one_live_scan(spark, tmp_path):
+    """Round-5 bar: a ruleset declaring x-drift + x-ref + two fused
+    kinds must plan <= 2 live fact reads across the FULL
+    validate+table plan — one row-validate scan plus ONE shared narrow
+    cache build feeding the fused aggregate pass AND the ref join."""
+    rows = [(f"r{i}", f"c{i % 7}", "ref" if i % 2 else "cur",
+             float(i % 10), f"k{i % 40}") for i in range(200)]
+    fact = spark.createDataFrame(
+        rows, "rid string, cust string, side string, v double, k string")
+    p = str(tmp_path / "fact")
+    fact.write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    dim = spark.createDataFrame([(f"c{i}",) for i in range(5)],
+                                "cust_id string")
+    rs = {"properties": {
+        "k": {"x-unique": True},
+        "v": {"x-quantile": {"q": 0.5, "lo": 100.0},
+              "x-drift": {"partition_col": "side", "side_a": "ref",
+                          "side_b": "cur", "lo": 0.0, "hi": 10.0}},
+        "cust": {"x-ref": {"dim": "customers", "key": "cust_id"}}}}
+    compiled = compile_ruleset(rs, df.schema, name="share")
+    res = validate_with_table_checks(df, compiled, row_id="rid",
+                                     dims={"customers": dim})
+    try:
+        assert res.violations.count() > 0  # ref + quantile fire
+        plan = res.violations._jdf.queryExecution().executedPlan() \
+                  .toString()
+        import re
+        live, echo_indents = 0, []
+        for ln in plan.splitlines():
+            indent = re.match(r"^[\s:+|-]*", ln).end()
+            while echo_indents and indent <= echo_indents[-1]:
+                echo_indents.pop()
+            if "InMemoryRelation" in ln:
+                echo_indents.append(indent)
+            elif not echo_indents and (
+                    "FileScan parquet" in ln
+                    or ("Scan parquet" in ln and "ReadSchema" in ln)):
+                live += 1
+        assert live <= 1, (
+            f"{live} live parquet scans besides the shared cache "
+            f"build:\n{plan}")
+        # the shared narrow cache is consumed by >= 2 branches
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        release_all()
+
+
 def test_fused_freshness_far_future_exact(spark):
     """Sentinel timestamps past 2^53 us (~year 2255, e.g. 9999-12-31)
     must reconstruct byte-exactly — micros ride a LONG slot, not the
