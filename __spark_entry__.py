@@ -507,6 +507,46 @@ def q_benford_gate_events(spark, sf):
     return benford_violations(ev, "value", max_mad=0.005).drop("expected")
 
 
+def q_benford_gate_by_events(spark, sf):
+    """GROUPED Benford gate (operators/drift.py benford_violations,
+    x-benford `by:`, round 5): first-digit MAD PER event_type — the
+    "Benford per region" ops ask. One per-(group, digit) aggregate
+    (shuffle carries (group, digit) keys only) + the 9-digit lattice
+    per group; a near-zero threshold makes every segment fire with its
+    own MAD string the oracle reproduces."""
+    from remark_lint_frontmatter_schema_spark.operators.drift import (
+        benford_violations)
+    ev = _load(spark, sf, "events")
+    return benford_violations(ev, "value", max_mad=0.0001,
+                              by="event_type").drop("expected")
+
+
+def q_skew_gate_by_lineitem(spark, sf):
+    """GROUPED skew gate (operators/skew.py skew_violations, x-skew
+    `by:`, round 5): hottest l_suppkey share PER return flag. The
+    per-group profile is one salted (group, key) aggregate + a
+    group-partitioned rank window (never a global sort); a near-zero
+    threshold fires every flag with its group share and recommended
+    salt factor in the message."""
+    from remark_lint_frontmatter_schema_spark.operators.skew import (
+        skew_violations)
+    li = _load(spark, sf, "lineitem")
+    return skew_violations(li, "l_suppkey", max_share=0.0001,
+                           by="l_returnflag").drop("expected")
+
+
+def q_skew_profile_by_lineitem(spark, sf):
+    """Per-group skew diagnostic (operators/skew.py skew_profile_by,
+    round 5): the full skew_profile statistics computed PER return
+    flag — max/top-k shares, normalized entropy, salt factor. Oracle
+    re-derives every per-group statistic in DuckDB with a partitioned
+    rank window."""
+    from remark_lint_frontmatter_schema_spark.operators.skew import (
+        skew_profile_by)
+    li = _load(spark, sf, "lineitem")
+    return skew_profile_by(li, "l_suppkey", "l_returnflag", top_k=10)
+
+
 def q_missing_dates_events(spark, sf):
     """Calendar completeness (operators/sequence.py missing_buckets):
     days between the observed min and max with NO rows. Deterministic
@@ -2406,6 +2446,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q_decontaminate_semantic_embeddings,
         "unique_multi_lineitem": q_unique_multi_lineitem,
         "benford_gate_events": q_benford_gate_events,
+        "benford_gate_by_events": q_benford_gate_by_events,
+        "skew_gate_by_lineitem": q_skew_gate_by_lineitem,
+        "skew_profile_by_lineitem": q_skew_profile_by_lineitem,
         "missing_dates_events": q_missing_dates_events,
         "missing_dates_by_events": q_missing_dates_by_events,
         "freshness_by_events": q_freshness_by_events,
@@ -3825,6 +3868,113 @@ SELECT 'all' AS row_id, 'all' AS partition_id, 'engine' AS ruleset_id,
        CAST(mad AS VARCHAR) AS actual,
        'warning' AS severity
 FROM m WHERE mad > 0.005
+""",
+        "benford_gate_by_events": """
+WITH base AS (
+  SELECT CAST(event_type AS VARCHAR) AS grp,
+         CASE WHEN value IS NOT NULL AND abs(value) > 0
+                   AND isfinite(value)
+              THEN least(9, greatest(1, CAST(floor(
+                     abs(CAST(value AS DOUBLE))
+                     / pow(10, floor(log10(abs(CAST(value AS DOUBLE))))))
+                   AS INT)))
+         END AS digit
+  FROM events),
+c AS (SELECT grp, digit, count(*) AS n FROM base
+      WHERE digit IS NOT NULL GROUP BY 1, 2),
+g AS (SELECT DISTINCT grp FROM base),
+f AS (
+  SELECT l.grp, CAST(l.digit AS INT) AS digit, coalesce(c.n, 0) AS n
+  FROM (SELECT g.grp, d.digit
+        FROM g, (SELECT unnest(range(1, 10)) AS digit) d) l
+  LEFT JOIN c ON l.grp IS NOT DISTINCT FROM c.grp
+             AND l.digit = c.digit),
+t AS (SELECT grp, CAST(sum(n) AS BIGINT) AS total FROM f GROUP BY 1),
+m AS (
+  SELECT f.grp, round(avg(abs(
+           round(n / CAST(total AS DOUBLE), 6)
+           - round(log10(1.0 + 1.0 / digit), 6))), 6) AS mad
+  FROM f JOIN t ON f.grp IS NOT DISTINCT FROM t.grp GROUP BY 1)
+SELECT coalesce(grp, '<null>') AS row_id, 'all' AS partition_id,
+       'engine' AS ruleset_id,
+       'benford:value:by=event_type' AS constraint_id,
+       'x-benford' AS keyword,
+       '/value' AS instance_path, '#/x-benford/value' AS schema_path,
+       CASE WHEN mad IS NULL THEN
+         'Must conform to Benford''s law: no measurable first digits '
+         || '(empty or all zero/NULL/non-finite)'
+       ELSE
+         'Must conform to Benford''s law: first-digit MAD '
+         || CAST(mad AS VARCHAR) || ' (limit 0.0001)'
+       END AS message,
+       CAST(mad AS VARCHAR) AS actual,
+       'warning' AS severity
+FROM m WHERE mad IS NULL OR mad > 0.0001
+""",
+        "skew_gate_by_lineitem": """
+WITH c AS (
+  SELECT CAST(l_returnflag AS VARCHAR) AS grp, l_suppkey AS k,
+         count(*) AS cnt
+  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1, 2),
+m AS (
+  SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         count(*) AS n_keys, CAST(max(cnt) AS BIGINT) AS max_count
+  FROM c GROUP BY 1),
+s AS (
+  SELECT grp,
+         round(max_count / CAST(n_rows AS DOUBLE), 6) AS max_share,
+         CAST(least(1024, greatest(1, ceil(
+           max_count * n_keys / CAST(n_rows AS DOUBLE)))) AS INT)
+           AS salts
+  FROM m)
+SELECT coalesce(grp, '<null>') AS row_id, 'all' AS partition_id,
+       'engine' AS ruleset_id,
+       'skew:l_suppkey:by=l_returnflag' AS constraint_id,
+       'x-skew' AS keyword,
+       '/l_suppkey' AS instance_path,
+       '#/x-skew/l_suppkey' AS schema_path,
+       'Key ''l_suppkey'' is skewed: hottest value holds '
+         || CAST(max_share AS VARCHAR)
+         || ' of rows (limit 0.0001); shuffle on it with >= '
+         || CAST(salts AS VARCHAR) || ' salts' AS message,
+       CAST(max_share AS VARCHAR) AS actual,
+       'warning' AS severity
+FROM s WHERE max_share > 0.0001
+""",
+        "skew_profile_by_lineitem": """
+WITH c AS (
+  SELECT CAST(l_returnflag AS VARCHAR) AS grp, l_suppkey AS k,
+         count(*) AS cnt
+  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1, 2),
+m AS (
+  SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         count(*) AS n_keys,
+         CAST(max(cnt) AS BIGINT) AS max_count,
+         sum(cnt * log2(cnt)) AS clogc
+  FROM c GROUP BY 1),
+r AS (
+  SELECT grp, cnt,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY cnt DESC, k ASC) AS rn
+  FROM c),
+t AS (
+  SELECT grp, CAST(sum(cnt) AS BIGINT) AS top_sum
+  FROM r WHERE rn <= 10 GROUP BY 1)
+SELECT m.grp,
+       'l_suppkey' AS key_col,
+       n_rows, n_keys, max_count,
+       round(CAST(n_rows AS DOUBLE) / n_keys, 6) AS avg_count,
+       round(max_count / CAST(n_rows AS DOUBLE), 6) AS max_share,
+       round(top_sum / CAST(n_rows AS DOUBLE), 6) AS top_k_share,
+       CASE WHEN n_keys >= 2 THEN
+         round((log2(n_rows) - clogc / n_rows) / log2(n_keys), 6)
+       END AS entropy_norm,
+       round(max_count * n_keys / CAST(n_rows AS DOUBLE), 6)
+         AS skew_ratio,
+       CAST(least(1024, greatest(1, ceil(
+         max_count * n_keys / CAST(n_rows AS DOUBLE)))) AS INT)
+         AS recommended_salts
+FROM m JOIN t ON m.grp IS NOT DISTINCT FROM t.grp
 """,
         "missing_dates_events": """
 WITH src AS (

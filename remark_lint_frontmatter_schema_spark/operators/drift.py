@@ -631,7 +631,7 @@ def benford_from_counts(spark, counts: DataFrame) -> DataFrame:
 
 
 def benford_violations(df: DataFrame, value_col: str, *,
-                       max_mad: float = 0.015,
+                       max_mad: float = 0.015, by: str | None = None,
                        ruleset_name: str = "engine",
                        severity: str = "warning") -> DataFrame:
     """Declarative Benford gate (``x-benford``): one violation row when
@@ -641,12 +641,50 @@ def benford_violations(df: DataFrame, value_col: str, *,
     <= 0.012 acceptable, <= 0.015 marginal — the default rejects beyond
     marginal); chi-square grows with n for ANY imperfect fit and would
     page on every large table. Rides the :func:`benford` relation
-    (driver-scale), so the whole check is still one table aggregate."""
+    (driver-scale), so the whole check is still one table aggregate.
+
+    ``by`` checks conformance PER GROUP ("Benford per region") — one
+    per-(group, digit) aggregate whose shuffle carries (group, digit)
+    keys only, the 9-digit lattice joined per group so absent digits
+    contribute their full expected share, and a violation row per
+    non-conforming group with the group value as ``row_id``. A group
+    with no measurable first digits fails closed like the global form
+    (NULL MAD is a finding). Groups come from ALL rows, so an all-NULL
+    group exists and fails closed; a NULL group value renders as
+    ``<null>``."""
     if max_mad <= 0:
         raise ValueError("max_mad must be > 0")
-    return benford_gate_from_relation(
-        benford(df, value_col), value_col, max_mad=max_mad,
-        ruleset_name=ruleset_name, severity=severity)
+    if by is None:
+        return benford_gate_from_relation(
+            benford(df, value_col), value_col, max_mad=max_mad,
+            ruleset_name=ruleset_name, severity=severity)
+    spark = df.sparkSession
+    grp = F.col(by).cast("string").alias("_grp")
+    d = benford_digit_expr(value_col)
+    base = df.select(grp, d.alias("digit"))
+    counts = (base.where(F.col("digit").isNotNull())
+              .groupBy("_grp", "digit")
+              .agg(F.count(F.lit(1)).alias("n")))
+    digits = spark.range(1, 10).select(F.col("id").cast("int")
+                                       .alias("digit"))
+    # groups × 9 digits — a keyed relation (never collected), so group
+    # cardinality is unbounded; eqNullSafe keeps the NULL group real
+    lattice = base.select("_grp").distinct().crossJoin(F.broadcast(digits))
+    full = (lattice.join(
+        counts,
+        on=lattice["_grp"].eqNullSafe(counts["_grp"])
+        & (lattice["digit"] == counts["digit"]), how="left")
+        .select(lattice["_grp"], lattice["digit"],
+                F.coalesce(counts["n"], F.lit(0)).alias("n")))
+    w = Window.partitionBy("_grp")
+    e = F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6)
+    obs = F.round(F.try_divide(F.col("n"), F.sum("n").over(w)), 6)
+    mad = (full.withColumn("_dev", F.abs(obs - e))
+           .groupBy("_grp")
+           .agg(F.round(F.avg("_dev"), 6).alias("_mad")))
+    return _benford_rows(mad, F.coalesce(F.col("_grp"), F.lit("<null>")),
+                         value_col, by=by, max_mad=max_mad,
+                         ruleset_name=ruleset_name, severity=severity)
 
 
 def benford_gate_from_relation(b: DataFrame, value_col: str, *,
@@ -657,16 +695,29 @@ def benford_gate_from_relation(b: DataFrame, value_col: str, *,
     shared with the fused table-check pass."""
     mad = b.agg(F.round(F.avg(F.abs(F.col("observed") - F.col("expected"))),
                         6).alias("_mad"))
-    # fail closed: an empty/all-invalid column has NULL shares and a NULL
-    # MAD — no evidence of conformance is a finding, not a pass (the
-    # x-freshness policy)
+    return _benford_rows(mad, F.lit("all"), value_col, by=None,
+                         max_mad=max_mad, ruleset_name=ruleset_name,
+                         severity=severity)
+
+
+def _benford_rows(mad: DataFrame, rid, value_col: str, *, by,
+                  max_mad: float, ruleset_name: str,
+                  severity: str) -> DataFrame:
+    """Violation rows from a MAD relation (``_mad`` double, plus the
+    group column behind ``rid`` for the grouped form) — the shared tail
+    behind the global gate, the grouped gate, and the fused table-check
+    pass, so all emit byte-identical rows."""
+    # fail closed: an empty/all-invalid column (or group) has NULL
+    # shares and a NULL MAD — no evidence of conformance is a finding,
+    # not a pass (the x-freshness policy)
     bad = mad.where(F.col("_mad").isNull()
                     | (F.col("_mad") > F.lit(float(max_mad))))
     return bad.select(
-        F.lit("all").alias("row_id"),
+        rid.alias("row_id"),
         F.lit("all").alias("partition_id"),
         F.lit(ruleset_name).alias("ruleset_id"),
-        F.lit(f"benford:{value_col}").alias("constraint_id"),
+        F.lit(f"benford:{value_col}"
+              + (f":by={by}" if by else "")).alias("constraint_id"),
         F.lit("x-benford").alias("keyword"),
         F.lit(f"/{value_col}").alias("instance_path"),
         F.lit(f"#/x-benford/{value_col}").alias("schema_path"),

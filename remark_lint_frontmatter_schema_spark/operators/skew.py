@@ -26,7 +26,7 @@ tests, and the basis of the DuckDB oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import _persist
@@ -188,8 +188,70 @@ def heavy_hitters(df: DataFrame, key: str, *, capacity: int = 1024,
             .limit(top_k))
 
 
+def skew_profile_by(df: DataFrame, key: str, group_col: str, *,
+                    top_k: int = 10, n_salts: int = 32) -> DataFrame:
+    """Per-GROUP :func:`skew_profile`: one report row per group
+    ("skew per tenant"), same columns plus leading ``grp`` (the group
+    value cast to string; NULL group values form a real group).
+
+    One salted two-phase aggregate builds per-(group, key) counts — the
+    shuffle carries (group, key) pairs only; the per-group moments and
+    the top-k boundary (a rank window PARTITIONED by group, never
+    global) run on that keyed count relation, so group cardinality is
+    unbounded. Formulas and rounding are shared with
+    :func:`skew_profile_from_counts` so per-group numbers equal what
+    the global profile reports on that group's slice."""
+    if top_k <= 0:
+        raise ValueError("top_k must be > 0")
+    grp = F.col(group_col).cast("string").alias("_grp")
+    partial = (
+        df.select(grp, F.col(key).alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .groupBy("_grp", "_k",
+                 F.pmod(F.spark_partition_id(),
+                        F.lit(n_salts)).alias("_salt"))
+        .agg(F.count(F.lit(1)).alias("_partial")))
+    counts = (partial.groupBy("_grp", "_k")
+              .agg(F.sum("_partial").alias("cnt")))
+    moments = counts.groupBy("_grp").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_count"),
+        F.sum(F.col("cnt").cast("double") * F.log2("cnt")).alias("_clogc"))
+    w = Window.partitionBy("_grp").orderBy(F.col("cnt").desc(),
+                                           F.col("_k").asc())
+    top = (counts.withColumn("_rn", F.row_number().over(w))
+           .where(F.col("_rn") <= top_k)
+           .groupBy(F.col("_grp").alias("_tgrp"))
+           .agg(F.sum("cnt").alias("_top_sum")))
+    # eqNullSafe: the NULL group is a real group and must keep its top-k
+    m = (moments.join(top, F.col("_grp").eqNullSafe(F.col("_tgrp")),
+                      "left")
+         .drop("_tgrp"))
+    n = F.col("n_rows").cast("double")
+    return m.select(
+        F.col("_grp").alias("grp"),
+        F.lit(key).alias("key_col"),
+        F.col("n_rows"),
+        F.col("n_keys"),
+        F.col("max_count"),
+        F.round(n / F.col("n_keys"), 6).alias("avg_count"),
+        F.round(F.col("max_count") / n, 6).alias("max_share"),
+        F.round(F.col("_top_sum") / n, 6).alias("top_k_share"),
+        F.when(F.col("n_keys") >= 2,
+               F.round((F.log2("n_rows") - F.col("_clogc") / n)
+                       / F.log2("n_keys"), 6)).alias("entropy_norm"),
+        F.round(F.col("max_count") * F.col("n_keys") / n, 6)
+         .alias("skew_ratio"),
+        F.least(F.lit(1024), F.greatest(F.lit(1), F.ceil(
+            F.col("max_count") * F.col("n_keys") / n)))
+         .cast("int").alias("recommended_salts"),
+    )
+
+
 def skew_violations(df: DataFrame, key: str, *,
                     max_share: float, top_k: int = 10,
+                    by: str | None = None,
                     ruleset_name: str = "engine",
                     severity: str = "warning") -> DataFrame:
     """Table-level declarative form (``x-skew``): a violation row when the
@@ -198,24 +260,42 @@ def skew_violations(df: DataFrame, key: str, *,
     it or bucket it". Violation shape mirrors
     operators/validate.py VIOLATION_FIELDS so sinks union cleanly; the
     row carries the measured share as ``actual`` and the hottest key's
-    recommended salt factor in the message."""
+    recommended salt factor in the message.
+
+    ``by`` gates PER GROUP over :func:`skew_profile_by` ("skew per
+    tenant"): one violation row per group whose hottest key crosses
+    ``max_share``, the group value as ``row_id`` (NULL renders as
+    ``<null>``). A group with no non-NULL keys has no distribution to
+    lint and emits nothing, like the global form on an all-NULL
+    column."""
+    if by is None:
+        return skew_gate_from_profile(
+            skew_profile(df, key, top_k=top_k), key, max_share=max_share,
+            ruleset_name=ruleset_name, severity=severity)
+    prof = skew_profile_by(df, key, by, top_k=top_k)
     return skew_gate_from_profile(
-        skew_profile(df, key, top_k=top_k), key, max_share=max_share,
+        prof, key, max_share=max_share, by=by,
+        rid=F.coalesce(F.col("grp"), F.lit("<null>")),
         ruleset_name=ruleset_name, severity=severity)
 
 
 def skew_gate_from_profile(prof: DataFrame, key: str, *,
-                           max_share: float,
+                           max_share: float, by: str | None = None,
+                           rid=None,
                            ruleset_name: str = "engine",
                            severity: str = "warning") -> DataFrame:
-    """The x-skew gate over a precomputed :func:`skew_profile` relation
-    — shared with the fused table-check pass."""
+    """The x-skew gate over a precomputed :func:`skew_profile` (or
+    :func:`skew_profile_by`, with ``rid``/``by``) relation — shared
+    with the fused table-check pass."""
+    if rid is None:
+        rid = F.lit("all")
     bad = prof.where(F.col("max_share") > F.lit(float(max_share)))
     return bad.select(
-        F.lit("all").alias("row_id"),
+        rid.alias("row_id"),
         F.lit("all").alias("partition_id"),
         F.lit(ruleset_name).alias("ruleset_id"),
-        F.lit(f"skew:{key}").alias("constraint_id"),
+        F.lit(f"skew:{key}"
+              + (f":by={by}" if by else "")).alias("constraint_id"),
         F.lit("x-skew").alias("keyword"),
         F.lit(f"/{key}").alias("instance_path"),
         F.lit(f"#/x-skew/{key}").alias("schema_path"),

@@ -73,10 +73,10 @@ def _is_fusable(kind: str, params: dict) -> bool:
     survive as a real group (the shared string-typed key cannot
     represent it without a sentinel collision), and grouped volume
     scores buckets against per-group stats."""
-    if kind in ("unique", "benford", "skew", "drift"):
+    if kind in ("unique", "drift"):
         return True
     return (kind in ("volume", "quantile", "mask", "calendar",
-                     "freshness")
+                     "freshness", "benford", "skew")
             and not params.get("by"))
 
 
@@ -409,7 +409,7 @@ def table_check_violations(
             from .drift import benford_violations
             extras.append(benford_violations(
                 src, column, max_mad=params["max_mad"],
-                ruleset_name=compiled.name,
+                by=params.get("by"), ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
         elif kind == "calendar":
             from .sequence import calendar_violations
@@ -445,7 +445,7 @@ def table_check_violations(
             from .skew import skew_violations
             extras.append(skew_violations(
                 src, column, max_share=params["max_share"],
-                top_k=params.get("top_k", 10),
+                top_k=params.get("top_k", 10), by=params.get("by"),
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
         elif kind == "outlier":

@@ -477,7 +477,8 @@ _KEYWORD_SHAPE = {
     and 0 < v["max_share"] <= 1
     and (v.get("top_k") is None
          or (isinstance(v["top_k"], int) and not isinstance(v["top_k"], bool)
-             and v["top_k"] > 0)),
+             and v["top_k"] > 0))
+    and (v.get("by") is None or isinstance(v["by"], str)),
     "x-mask": lambda v: isinstance(v, dict)
     and isinstance(v.get("expect"), str) and v["expect"] != ""
     and (v.get("min_share") is None
@@ -494,7 +495,8 @@ _KEYWORD_SHAPE = {
     "x-benford": lambda v: isinstance(v, dict)
     and (v.get("max_mad") is None
          or (isinstance(v["max_mad"], _NUM)
-             and not isinstance(v["max_mad"], bool) and v["max_mad"] > 0)),
+             and not isinstance(v["max_mad"], bool) and v["max_mad"] > 0))
+    and (v.get("by") is None or isinstance(v["by"], str)),
     "x-calendar": lambda v: isinstance(v, dict)
     and v.get("unit", "day") in ("minute", "hour", "day", "week", "month")
     and (v.get("by") is None or isinstance(v["by"], str))
@@ -1487,6 +1489,9 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                 ("skew", ctx.instance_path[1:], {
                     "max_share": float(p["max_share"]),
                     "top_k": int(p.get("top_k", 10)),
+                    # per-segment form ("skew per tenant"): a violation
+                    # row per group whose hottest key crosses max_share
+                    "by": p.get("by"),
                     "severity": ctx.severity,
                 }))
         else:
@@ -1667,6 +1672,9 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
             ctx.out.table_checks.append(
                 ("benford", ctx.instance_path[1:], {
                     "max_mad": float(p.get("max_mad", 0.015)),
+                    # per-segment form ("Benford per region"): one
+                    # violation row per non-conforming group
+                    "by": p.get("by"),
                     "severity": ctx.severity,
                 }))
         else:

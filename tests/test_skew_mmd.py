@@ -114,7 +114,7 @@ def test_x_skew_declarative(spark):
            "properties": {"k": {"type": "string",
                                 "x-skew": {"max_share": 0.5}}}}
     compiled = compile_ruleset(doc, df.schema, name="t")
-    assert ("skew", "k", {"max_share": 0.5, "top_k": 10,
+    assert ("skew", "k", {"max_share": 0.5, "top_k": 10, "by": None,
                           "severity": "warning"}) in [
         (k, c, p) for k, c, p in compiled.table_checks]
     out = table_check_violations(df, compiled, row_id="row")
