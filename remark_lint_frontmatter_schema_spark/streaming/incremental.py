@@ -28,6 +28,8 @@ def validate_stream(
     violations_sink: str,
     verdicts_sink: str,
     checkpoint: str,
+    dims: dict | None = None,
+    table_checks: bool = True,
     trigger_available_now: bool = True,
 ):
     """Start (and with availableNow, drain) a validation stream.
@@ -36,17 +38,45 @@ def validate_stream(
     verdicts are appended with the batch id as run_id so late batches are
     attributable — corrupt rows become violation rows, never stream
     failures (the reference's parse-failure guard, index.ts:240-245).
+
+    ``table_checks``: a ruleset declaring table-level checks runs the
+    SAME engine per micro-batch — including the fused single-scan
+    aggregation pass and the shared narrow ref cache
+    (operators/table_checks.py), so a 3-kind fused ruleset costs one
+    batch-local scan + shuffle, not one pass per check. Scope is the
+    micro-batch (uniqueness/quantile/drift within the arriving slice —
+    the streaming reading of the reference's per-file lint scope);
+    cross-batch state belongs to the dedicated stateful modules
+    (streaming/neardup, drift, volume, …). ``dims`` supplies the static
+    dim tables x-ref declarations join against; a declared-but-missing
+    dim skips its check per batch (the routing layer's G2 policy).
+    The fused pass persists its batch-local counts; they are freed
+    after the batch's writes so a long-lived stream never accumulates
+    cache blocks.
     """
     stream = (spark.readStream.schema(input_schema)
               .option("maxFilesPerTrigger", "16")
               .parquet(input_path))
 
     def process_batch(batch_df, batch_id: int):
+        from ..operators.dedup import _PERSISTED
+        mark = len(_PERSISTED)
         res = validate(batch_df, compiled, row_id=row_id,
                        partition_col=partition_col,
                        run_id=f"batch_{batch_id}")
-        res.violations.write.mode("append").parquet(violations_sink)
+        v = res.violations
+        if table_checks and compiled.table_checks:
+            from ..operators.table_checks import table_check_violations
+            tv = table_check_violations(
+                batch_df, compiled, row_id=row_id, dims=dims,
+                on_missing_dim=lambda name: None)
+            if tv is not None:
+                v = v.unionByName(tv.select(*res.violations.columns))
+        v.write.mode("append").parquet(violations_sink)
         res.verdicts.write.mode("append").parquet(verdicts_sink)
+        for d in _PERSISTED[mark:]:
+            d.unpersist()
+        del _PERSISTED[mark:]
 
     writer = (stream.writeStream.foreachBatch(process_batch)
               .option("checkpointLocation", checkpoint))

@@ -193,6 +193,64 @@ def test_streaming_incremental(spark, clips, tmp_path):
     assert batch_keys == expect
 
 
+def test_streaming_fused_table_checks_match_batch(spark, tmp_path):
+    """Round 5 (VERDICT #6): a ruleset declaring 3 fused aggregation
+    kinds (x-unique + global x-quantile + x-drift) must run the SAME
+    fused single-scan pass inside foreachBatch and emit violations
+    byte-identical to the batch engine on the same slice — and free its
+    per-batch cache blocks afterwards."""
+    from datetime import datetime
+
+    from remark_lint_frontmatter_schema_spark.operators.dedup import (
+        _PERSISTED)
+    from remark_lint_frontmatter_schema_spark.operators.table_checks import (
+        validate_with_table_checks)
+
+    rows = ([(f"r{i}", "ref", float(i % 10), f"k{i}",
+              datetime(2024, 3, 1 + i % 5)) for i in range(150)]
+            + [(f"s{i}", "cur", float(i % 10) + 4.0, f"k{500 + i}",
+                datetime(2024, 3, 1 + i % 5)) for i in range(150)]
+            + [("dupA", "ref", 3.0, "k7", datetime(2024, 3, 2))] * 2)
+    df = spark.createDataFrame(
+        rows, "rid string, side string, v double, k string, ts timestamp")
+    inp = str(tmp_path / "in")
+    # <= 16 files -> one micro-batch, so batch-scope table checks see
+    # exactly the same slice as the batch engine
+    df.repartition(4).write.parquet(inp)
+    src = spark.read.parquet(inp)
+    rs = {"properties": {
+        "k": {"x-unique": True},
+        "v": {"x-quantile": {"q": 0.5, "lo": 100.0},
+              "x-drift": {"partition_col": "side", "side_a": "ref",
+                          "side_b": "cur", "lo": 0.0, "hi": 10.0,
+                          "ks_threshold": 0.05}}}}
+    compiled = compile_ruleset(rs, src.schema, name="fusedstream")
+    assert len(compiled.table_checks) == 3
+    n_cached_before = len(_PERSISTED)
+    q = validate_stream(
+        spark, inp, src.schema, compiled, row_id="rid",
+        partition_col=None,
+        violations_sink=str(tmp_path / "viol"),
+        verdicts_sink=str(tmp_path / "verd"),
+        checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert len(_PERSISTED) == n_cached_before  # per-batch caches freed
+    viol = spark.read.parquet(str(tmp_path / "viol"))
+    got = sorted((r.row_id, r.constraint_id, r.keyword, r.message,
+                  r.actual) for r in viol.collect())
+    bres = validate_with_table_checks(src, compiled, row_id="rid")
+    try:
+        want = sorted((r.row_id, r.constraint_id, r.keyword, r.message,
+                       r.actual) for r in bres.violations.collect())
+    finally:
+        from remark_lint_frontmatter_schema_spark.operators.dedup import (
+            release_all)
+        release_all()
+    assert got == want
+    kinds = {k for _, _, k, _, _ in got}
+    assert {"unique", "x-quantile", "drift"} <= kinds
+
+
 # ---------------------------------------------------------------------------
 # round 2: remote $ref fetcher + path-valued $schema routing
 # ---------------------------------------------------------------------------
