@@ -260,21 +260,29 @@ def resolve_internal_ref(root: dict, ref: str) -> dict:
 # draft 2019-09 / 2020-12 dynamic references — static unrolling
 # ---------------------------------------------------------------------------
 
-def _collect_dynamic_anchors(node, out, root, is_root=True):
+def _collect_dynamic_anchors(node, out, root, is_root=True,
+                             res="root"):
     """Preorder walk: first occurrence of a $dynamicAnchor name wins —
     in a single bundled resource the preorder-first node IS the
-    outermost dynamic scope, which is what $dynamicRef resolves to."""
+    outermost dynamic scope, which is what $dynamicRef resolves to.
+    Each anchor is recorded with its RESOURCE (the nearest enclosing
+    non-root ``$id`` subtree, or ``"root"``) so resolution can refuse
+    to cross resource boundaries."""
     if isinstance(node, dict):
+        if not is_root and isinstance(node.get("$id"), str):
+            res = id(node)
         a = node.get("$dynamicAnchor")
         if isinstance(a, str) and a not in out:
-            out[a] = node
+            out[a] = (node, res)
         if is_root and node.get("$recursiveAnchor") is True:
-            out["\x00recursive"] = node
+            out["\x00recursive"] = (node, res)
         for v in node.values():
-            _collect_dynamic_anchors(v, out, root, is_root=False)
+            _collect_dynamic_anchors(v, out, root, is_root=False,
+                                     res=res)
     elif isinstance(node, list):
         for v in node:
-            _collect_dynamic_anchors(v, out, root, is_root=False)
+            _collect_dynamic_anchors(v, out, root, is_root=False,
+                                     res=res)
 
 
 def unroll_dynamic_refs(schema: dict, max_depth: int) -> dict:
@@ -294,40 +302,56 @@ def unroll_dynamic_refs(schema: dict, max_depth: int) -> dict:
     keywords merge over the expansion (the bundler's $ref-with-siblings
     rule). Unresolvable names are left in place, so they surface in
     ``unknown`` exactly as before. The anchor declarations themselves
-    are dropped from the output (resolution metadata, not checks)."""
+    are dropped from the output (resolution metadata, not checks).
+
+    Multi-resource guard: the lexical preorder-first rule is only
+    equivalent to 2020-12 dynamic-scope resolution WITHIN one schema
+    resource. When the bundle embeds nested resources (non-root
+    ``$id``), a dynamic ref whose preorder-first anchor lives in a
+    DIFFERENT resource than the ref site is deliberately NOT resolved
+    — it stays in place and surfaces as ``unknown``, the honest
+    artifact — because the spec resolver could legitimately pick a
+    different anchor there. Same-resource refs still unroll."""
     anchors: dict = {}
     _collect_dynamic_anchors(schema, anchors, schema)
 
-    def expand(node, depth):
+    def expand(node, depth, res):
         if isinstance(node, list):
-            return [expand(v, depth) for v in node]
+            return [expand(v, depth, res) for v in node]
         if not isinstance(node, dict):
             return node
-        target = None
+        if node is not schema and isinstance(node.get("$id"), str):
+            res = id(node)
+        target = ares = None
         ref = node.get("$dynamicRef")
         if isinstance(ref, str) and ref.startswith("#") \
                 and ref[1:] in anchors:
-            target = anchors[ref[1:]]
+            target, ares = anchors[ref[1:]]
             ref_key = "$dynamicRef"
         elif node.get("$recursiveRef") == "#" \
                 and "\x00recursive" in anchors:
-            target = anchors["\x00recursive"]
+            target, ares = anchors["\x00recursive"]
             ref_key = "$recursiveRef"
+        if target is not None and ares != res:
+            # cross-resource dynamic ref: refuse the approximation,
+            # keep the ref keyword so the compiler collects it into
+            # ``unknown`` (fail-loud, never a silently-different check)
+            target = None
         if target is not None:
             siblings = {k: v for k, v in node.items() if k != ref_key}
             if depth <= 0:
                 out = {}
             else:
-                out = dict(expand(target, depth - 1))
-            out.update(expand(siblings, depth))
+                out = dict(expand(target, depth - 1, ares))
+            out.update(expand(siblings, depth, res))
             out.pop("$dynamicAnchor", None)
             out.pop("$recursiveAnchor", None)
             return out
-        out = {k: expand(v, depth)
+        out = {k: expand(v, depth, res)
                for k, v in node.items()
                if k not in ("$dynamicAnchor", "$recursiveAnchor")}
         return out
 
     if not anchors:
         return schema
-    return expand(schema, int(max_depth))
+    return expand(schema, int(max_depth), "root")

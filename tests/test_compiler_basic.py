@@ -293,6 +293,60 @@ def test_recursive_ref_resolves_to_root(spark):
         == [("root-label", "/child/label")]
 
 
+def test_cross_resource_dynamic_ref_stays_unknown(spark):
+    """Round 5 (advisor): in a bundle embedding a nested resource
+    (non-root $id), a $dynamicRef whose preorder-first anchor lives in
+    a DIFFERENT resource is NOT resolved by the single-resource
+    approximation — it surfaces as unknown instead of silently binding
+    to a possibly-wrong anchor. Same-resource refs still unroll."""
+    df = spark.createDataFrame(
+        [(1, ("o", ("x", None)), "a")],
+        "id int, tree struct<label:string, child:struct<"
+        "label:string, child:string>>, s string")
+    rs = {"type": "object",
+          # root-resource anchor named 'node'
+          "$dynamicAnchor": "node",
+          "properties": {
+              # nested RESOURCE: its $dynamicRef '#node' must NOT bind
+              # to the root's preorder-first anchor across the boundary
+              "tree": {"$id": "https://example.org/embedded",
+                       "type": "object",
+                       "properties": {
+                           "label": {"minLength": 2},
+                           "child": {"$dynamicRef": "#node"}}},
+              "s": {"minLength": 2}}}
+    compiled = compile_ruleset(rs, df.schema, name="xres")
+    assert any(kw == "$dynamicRef" for _, kw in compiled.unknown)
+    # the unresolved child subtree gets NO checks (depth-1 label "x"
+    # is unchecked — the honest refusal), while sibling checks in both
+    # resources still validate
+    v = validate(df, compiled, row_id="id").violations.collect()
+    assert sorted((r.row_id, r.instance_path) for r in v) \
+        == [("1", "/s"), ("1", "/tree/label")]
+
+
+def test_same_resource_dynamic_ref_inside_nested_id_unrolls(spark):
+    """A nested resource whose $dynamicRef targets an anchor in the
+    SAME resource keeps the full unrolling behavior."""
+    df = spark.createDataFrame(
+        [(1, ("ok", ("x", None)))],
+        "id int, tree struct<label:string, child:struct<"
+        "label:string, child:string>>")
+    rs = {"type": "object",
+          "properties": {"tree": {
+              "$id": "https://example.org/embedded",
+              "$dynamicAnchor": "node",
+              "type": "object",
+              "properties": {
+                  "label": {"minLength": 2},
+                  "child": {"$dynamicRef": "#node"}}}}}
+    compiled = compile_ruleset(rs, df.schema, name="sameres")
+    assert not [u for u in compiled.unknown if "$dynamic" in u[1]]
+    v = validate(df, compiled, row_id="id").violations.collect()
+    assert [(r.row_id, r.instance_path) for r in v] \
+        == [("1", "/tree/child/label")]
+
+
 def test_unresolvable_dynamic_ref_stays_unknown(spark):
     """A $dynamicRef naming no anchor keeps the round-3 behavior:
     collected into `unknown`, sibling keywords still validate."""
