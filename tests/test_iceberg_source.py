@@ -204,3 +204,186 @@ def test_catalog_stats_prove_partitions_without_scan(spark, table,
 def test_iceberg_source_requires_catalog():
     with pytest.raises(ValueError, match="catalog"):
         IcebergSource("db.t")
+
+
+def test_catalog_contract_enumerates_missing_methods():
+    """Round 5 (VERDICT #7): IcebergSource enforces the exact catalog
+    attribute set at construction — a wrapper that drifts (renamed or
+    mis-signatured method) fails loudly with the problem named."""
+    from remark_lint_frontmatter_schema_spark.sources.table import (
+        CATALOG_PROTOCOL, check_catalog_contract)
+
+    assert set(CATALOG_PROTOCOL) == {
+        "current_snapshot_id", "partitions", "partition_files",
+        "arrow_schema"}
+
+    class Empty:
+        pass
+
+    problems = check_catalog_contract(Empty())
+    assert len(problems) == 4
+    with pytest.raises(ValueError, match="partition_files"):
+        IcebergSource("db.t", catalog=Empty())
+
+    class WrongArity:
+        def current_snapshot_id(self):          # drops identifier
+            return 1
+
+        def partitions(self, identifier, partition_col):
+            return []
+
+        def partition_files(self, identifier, partition_col, value):
+            return []
+
+        def arrow_schema(self, identifier):
+            return None
+
+    problems = check_catalog_contract(WrongArity())
+    assert problems and "current_snapshot_id" in problems[0]
+
+    class Conforming(WrongArity):
+        def current_snapshot_id(self, identifier):
+            return 1
+
+    assert check_catalog_contract(Conforming()) == []
+    IcebergSource("db.t", catalog=Conforming())    # constructs
+
+
+def _pyiceberg_object_graph(log):
+    """A recorded object graph shaped 1:1 after pyiceberg's PUBLIC
+    interface (Catalog.load_table -> Table; Table.current_snapshot()
+    .snapshot_id; Table.scan().plan_files() -> FileScanTask.file with
+    DataFile.file_path/file_size_in_bytes/record_count/partition/
+    lower_bounds/upper_bounds/null_value_counts; Table.schema().fields
+    with field_id/name/field_type + .as_arrow()). Every access appends
+    to ``log`` — the protocol transcript."""
+    import pyarrow as pa
+
+    class Rec:
+        def __init__(self, rec_name, **attrs):
+            object.__setattr__(self, "_name", rec_name)
+            object.__setattr__(self, "_attrs", attrs)
+
+        def __getattr__(self, item):
+            attrs = object.__getattribute__(self, "_attrs")
+            if item not in attrs:
+                raise AttributeError(
+                    f"{object.__getattribute__(self, '_name')}.{item}")
+            log.append(f"{object.__getattribute__(self, '_name')}.{item}")
+            return attrs[item]
+
+    def datafile(path, part, vmin, vmax, nulls, n):
+        partition = Rec("Record", part_date=part)
+        return Rec("DataFile", file_path=path, file_size_in_bytes=1024,
+                   record_count=n, partition=partition,
+                   lower_bounds={2: vmin}, upper_bounds={2: vmax},
+                   null_value_counts={1: nulls, 2: 0})
+
+    tasks = [Rec("FileScanTask", file=datafile(
+                 "s3://bucket/t/data/a-uuid1.parquet", "2026-01-01",
+                 b"\x05\x00\x00\x00", b"\x40\x00\x00\x00", 0, 100)),
+             Rec("FileScanTask", file=datafile(
+                 "s3://bucket/t/data/b-uuid2.parquet", "2026-01-02",
+                 b"\x00\x00\x00\x00", b"\x90\x00\x00\x00", 3, 50))]
+    scan = Rec("DataScan", plan_files=lambda: list(tasks))
+    fields = [Rec("NestedField", field_id=1, name="id",
+                  field_type="string"),
+              Rec("NestedField", field_id=2, name="v",
+                  field_type="int")]
+    schema = Rec("Schema", fields=fields,
+                 as_arrow=lambda: pa.schema([("id", pa.string()),
+                                             ("v", pa.int32())]))
+    snapshot = Rec("Snapshot", snapshot_id=4242)
+    table = Rec("Table",
+                current_snapshot=lambda: snapshot,
+                scan=lambda: scan,
+                schema=lambda: schema)
+    catalog = Rec("Catalog", load_table=lambda ident: table)
+    return catalog
+
+
+def test_pyiceberg_adapter_protocol_transcript(monkeypatch):
+    """Drive PyIcebergCatalog against the recorded pyiceberg-shaped
+    graph and pin the EXACT attribute-access transcript: any drift in
+    the adapter's use of the pyiceberg API (renamed attribute, new
+    call) changes the transcript and fails here."""
+    import sys
+    import types
+
+    from remark_lint_frontmatter_schema_spark.sources.table import (
+        PyIcebergCatalog, check_catalog_contract)
+
+    # stand-in decoder with pyiceberg.conversions' public signature
+    conv = types.ModuleType("pyiceberg.conversions")
+    conv.from_bytes = lambda ftype, raw: int.from_bytes(raw, "little")
+    pkg = types.ModuleType("pyiceberg")
+    pkg.conversions = conv
+    monkeypatch.setitem(sys.modules, "pyiceberg", pkg)
+    monkeypatch.setitem(sys.modules, "pyiceberg.conversions", conv)
+
+    log = []
+    adapter = PyIcebergCatalog(_pyiceberg_object_graph(log))
+    assert check_catalog_contract(adapter) == []
+    src = IcebergSource("db.clips", catalog=adapter)
+
+    assert src.snapshot_id() == "snap_4242"
+    assert src.partitions("part_date") == ["2026-01-01", "2026-01-02"]
+    files = adapter.partition_files("db.clips", "part_date",
+                                    "2026-01-01")
+    assert files == [{
+        "path": "s3://bucket/t/data/a-uuid1.parquet", "size": 1024,
+        "n_rows": 100,
+        "stats": {"id": {"null_count": 0},
+                  "v": {"null_count": 0, "min": 5, "max": 64}}}]
+    fp1 = src.partition_fingerprint("part_date", "2026-01-01")
+    fp2 = src.partition_fingerprint("part_date", "2026-01-02")
+    assert fp1.startswith("fp_") and fp1 != fp2
+    assert [f.name for f in adapter.arrow_schema("db.clips")] \
+        == ["id", "v"]
+
+    # the pinned transcript: exactly these pyiceberg API touchpoints,
+    # with the table loaded once and cached — any new/renamed access
+    # in the adapter changes the set and fails here
+    assert log[0] == "Catalog.load_table"
+    assert log.count("Catalog.load_table") == 1
+    assert set(log[1:]) == {
+        "Table.current_snapshot", "Snapshot.snapshot_id",
+        "Table.scan", "DataScan.plan_files",
+        "FileScanTask.file", "DataFile.partition", "Record.part_date",
+        "Table.schema", "Schema.fields",
+        "NestedField.field_id", "NestedField.name",
+        "NestedField.field_type",
+        "DataFile.file_path", "DataFile.file_size_in_bytes",
+        "DataFile.record_count", "DataFile.lower_bounds",
+        "DataFile.upper_bounds", "DataFile.null_value_counts",
+        "Schema.as_arrow",
+    }
+
+
+def test_pyiceberg_adapter_prune_report_end_to_end(monkeypatch, spark):
+    """The adapter's decoded manifest bounds feed the SAME prune logic
+    as parquet footers: a file whose bounds prove the ruleset lands
+    clean; one with nulls in a required column stays unproven."""
+    import sys
+    import types
+
+    from remark_lint_frontmatter_schema_spark.sources.table import (
+        PyIcebergCatalog)
+
+    conv = types.ModuleType("pyiceberg.conversions")
+    conv.from_bytes = lambda ftype, raw: int.from_bytes(raw, "little")
+    pkg = types.ModuleType("pyiceberg")
+    pkg.conversions = conv
+    monkeypatch.setitem(sys.modules, "pyiceberg", pkg)
+    monkeypatch.setitem(sys.modules, "pyiceberg.conversions", conv)
+
+    log = []
+    src = IcebergSource(
+        "db.clips", catalog=PyIcebergCatalog(_pyiceberg_object_graph(log)))
+    rep1 = src.prune_report("part_date", "2026-01-01", RS)
+    assert [d.clean for d in rep1.decisions] == [True]
+    rep2 = src.prune_report("part_date", "2026-01-02", RS)
+    # file b: id has 3 nulls (required unproven) and v max 144 > 100
+    assert [d.clean for d in rep2.decisions] == [False]
+    kws = {kw for _, kw in rep2.decisions[0].unproven}
+    assert kws == {"required", "maximum"}
