@@ -5,13 +5,15 @@ struct; decode / feature-extract / resize / frame-sample run as Arrow-
 batched ``mapInPandas`` stages. Pixel decode is REAL for PNG (pure
 numpy+zlib below: all five scanline filters, chunk CRC-32 verified,
 8-bit gray/GA/RGB/RGBA), GIF (variable-width LZW below) and baseline
-JPEG (functions/jpeg.py: Annex-K tables, Huffman + DCT, 4:4:4 subset) —
+JPEG (functions/jpeg.py: Annex-K tables, Huffman + DCT, 4:4:4 subset)
+and lossless WEBP (functions/webp.py: full VP8L — LZ77 + canonical
+Huffman, color cache, meta-Huffman, all four inverse transforms) —
 mirroring the pure-numpy FLAC/G.711/ADPCM audio codecs and the Y4M
-video codec. Only WEBP stays behind a clearly-marked
-``NotImplementedError`` (VP8 entropy coding is codec-library territory
-and the libs are not in this sandbox) — its Spark-side plumbing
-(schemas, UDF signatures, batch shapes, partition discipline) is real
-and tested regardless.
+video codec. Only LOSSY WEBP (VP8 boolean-arithmetic DCT) and
+VP8X-extended containers stay behind a clearly-marked
+``NotImplementedError`` (codec-library territory, libs not in this
+sandbox) — their Spark-side plumbing (schemas, UDF signatures, batch
+shapes, partition discipline) is real and tested regardless.
 
 Payload discipline (same as audio): binary columns are never shuffled —
 every operator here is a map-only stage emitting small typed rows; joins
@@ -328,13 +330,14 @@ def resize_image(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 def decode_image(b: bytes) -> np.ndarray:
-    """Pixel decode. REAL for PNG, GIF and baseline JPEG (pure
-    numpy/zlib/LZW/DCT codecs — see functions/jpeg.py for the JPEG
-    subset: baseline sequential 4:4:4; progressive/subsampled streams
-    raise NotImplementedError). WEBP raises — VP8 entropy coding is
-    codec-library territory and the libs are not in this sandbox.
-    Production swaps only this dispatch; everything around it (batching,
-    schema, partitioning) is live either way."""
+    """Pixel decode. REAL for PNG, GIF, baseline JPEG and lossless
+    WEBP (pure numpy/zlib/LZW/DCT/VP8L codecs — see functions/jpeg.py
+    and functions/webp.py for the subsets: baseline sequential 4:4:4
+    JPEG; full-feature VP8L). The remaining refusal is narrow (round
+    5): lossy VP8 (boolean-arithmetic DCT) and VP8X-extended
+    containers raise — codec-library territory, libs not in this
+    sandbox. Production swaps only this dispatch; everything around it
+    (batching, schema, partitioning) is live either way."""
     fmt = sniff_image_format(b)
     if fmt == "png":
         return png_decode(b)
@@ -343,10 +346,13 @@ def decode_image(b: bytes) -> np.ndarray:
     if fmt == "jpeg":
         from .jpeg import jpeg_decode
         return jpeg_decode(b)
+    if fmt == "webp":
+        from .webp import webp_decode
+        return webp_decode(b)
     raise NotImplementedError(
         f"image pixel decode for {fmt or 'unknown format'} requires a codec "
-        "library (PIL/opencv, not in sandbox); PNG, GIF and baseline JPEG "
-        "decode natively")
+        "library (PIL/opencv, not in sandbox); PNG, GIF, baseline JPEG and "
+        "lossless WEBP decode natively")
 
 
 # --------------------------------------------------------------------------
@@ -708,6 +714,20 @@ def make_png(i: int, w: int = 12, h: int = 9, channels: int = 3) -> bytes:
     px = np.stack([(base + 37 * c) % 256 for c in range(channels)], axis=2)
     noise = rng.integers(0, 32, px.shape)
     return png_encode(((px + noise) % 256).astype(np.uint8))
+
+
+def make_webp(i: int, w: int = 12, h: int = 9, channels: int = 3) -> bytes:
+    """Deterministic REAL (decodable) lossless WEBP: the SAME seeded
+    pixels as :func:`make_png` through the VP8L encoder — so the two
+    containers hold identical images and cross-container perceptual
+    dedup (aHash) pairs them exactly (round 5)."""
+    from .webp import webp_encode_lossless
+    rng = np.random.default_rng(7000 + i)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 255) // max(w - 1, 1) + (yy * 131) // max(h - 1, 1)) % 256
+    px = np.stack([(base + 37 * c) % 256 for c in range(channels)], axis=2)
+    noise = rng.integers(0, 32, px.shape)
+    return webp_encode_lossless(((px + noise) % 256).astype(np.uint8))
 
 
 IMAGE_DECODE_STATS_SCHEMA = ("media_id string, ok boolean, width int, "

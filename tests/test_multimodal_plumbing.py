@@ -64,6 +64,8 @@ def test_pixel_decode_png_real_others_stubbed():
         mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
     from remark_lint_frontmatter_schema_spark.functions import jpeg
     assert mm.decode_image(jpeg.make_jpeg(2, w=6, h=5)).shape == (5, 6, 3)
-    with pytest.raises(NotImplementedError, match="webp"):
-        mm.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # round 5: VP8L decodes natively; the remaining refusal is LOSSY VP8
+    assert mm.decode_image(mm.make_webp(1, w=5, h=4)).shape == (4, 5, 3)
+    with pytest.raises(NotImplementedError, match="lossy VP8"):
+        mm.decode_image(b"RIFF\x28\x00\x00\x00WEBPVP8 " + b"\x00" * 24)
     assert mm.decode_image(mm.make_png(1, w=5, h=4)).shape == (4, 5, 3)

@@ -1,0 +1,451 @@
+"""VP8L (lossless WEBP) codec — round 5, VERDICT #2.
+
+Roundtrips validate encoder+decoder byte-exactly; the decoder's
+advanced paths (LZ77 incl. the 2D distance map, color cache,
+meta-Huffman, all four inverse transforms) are exercised by
+hand-built spec-shaped streams whose expected pixels are computed
+by hand in the test, not by the codec."""
+
+import numpy as np
+import pytest
+
+import remark_lint_frontmatter_schema_spark.functions.multimodal as mm
+from remark_lint_frontmatter_schema_spark.functions.webp import (
+    _BitWriter, _Huffman, _write_huffman, webp_decode,
+    webp_encode_lossless)
+
+
+# ---------------------------------------------------------------------------
+# roundtrips (encoder subset -> full decoder)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("h,w", [(1, 1), (3, 5), (9, 7), (16, 16),
+                                 (33, 17), (48, 64), (1, 40), (40, 1)])
+def test_roundtrip_rgb(h, w):
+    rng = np.random.default_rng(h * 100 + w)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    b = webp_encode_lossless(px)
+    assert mm.sniff_image_format(b) == "webp"
+    assert mm.webp_dimensions(b) == (w, h)
+    assert (webp_decode(b) == px).all()
+
+
+def test_roundtrip_rgba_and_alpha_collapse():
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (7, 9, 4), dtype=np.uint8)
+    px[0, 0, 3] = 17                        # real alpha -> 4 channels
+    out = webp_decode(webp_encode_lossless(px))
+    assert out.shape == (7, 9, 4) and (out == px).all()
+    px[:, :, 3] = 255                       # opaque -> 3 channels
+    out = webp_decode(webp_encode_lossless(px))
+    assert out.shape == (7, 9, 3) and (out == px[:, :, :3]).all()
+
+
+def test_roundtrip_low_entropy_hits_simple_codes():
+    px = np.zeros((5, 4, 3), dtype=np.uint8)
+    px[:, :, 0] = 200                       # single-symbol channels
+    px[2, 2, 1] = 3                         # two-symbol green
+    out = webp_decode(webp_encode_lossless(px))
+    assert (out == px).all()
+
+
+# ---------------------------------------------------------------------------
+# hand-built streams: the decoder-only paths
+# ---------------------------------------------------------------------------
+
+def _wrap(payload_bits: _BitWriter) -> bytes:
+    import struct
+    payload = b"\x2f" + payload_bits.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _header(bw, w, h, alpha=0):
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(alpha, 1)
+    bw.write(0, 3)
+
+
+def _codes(bw, greens, reds, blues, alphas, dists=(0,),
+           green_alphabet=280):
+    """Write the five prefix codes covering exactly the given symbol
+    sets and return their _Huffman writers."""
+    def hm(symbols, alphabet):
+        return _write_huffman(
+            bw, {s: 1 for s in symbols} if len(symbols) == 1
+            else {s: max(1, (len(symbols) - 1).bit_length())
+                  for s in symbols}, alphabet)
+    return (hm(sorted(set(greens)), green_alphabet),
+            hm(sorted(set(reds)), 256),
+            hm(sorted(set(blues)), 256),
+            hm(sorted(set(alphas)), 256),
+            hm(sorted(set(dists)), 40))
+
+
+def test_lz77_linear_and_2d_distances():
+    """4x2 image: two literals, then a length-2 copy at linear distance
+    2 (dist code 122), then a length-4 copy of the whole row above via
+    the 2D map (dist code 1 = (0,1) => distance = width)."""
+    # dist prefix codes: linear distance 2 needs dist VALUE 122
+    # (dist = value - 120): prefix 13 -> offset (2+1)<<5 = 96, value =
+    # 96 + extra + 1, extra = 25. The 2D code 1 is prefix value 1 ->
+    # prefix code 0. So the dist alphabet uses prefixes {0, 13}.
+    bw2 = _BitWriter()
+    _header(bw2, 4, 2)
+    bw2.write(0, 1)
+    bw2.write(0, 1)
+    bw2.write(0, 1)
+    g, r, b, a, d = _codes(bw2, [10, 20, 257, 259], [1, 2], [3, 4],
+                           [255], dists=[0, 13])
+    # px0 = (r=1,g=10,b=3,a=255); px1 = (2,20,4,255)
+    g.write(bw2, 10)
+    r.write(bw2, 1)
+    b.write(bw2, 3)
+    a.write(bw2, 255)
+    g.write(bw2, 20)
+    r.write(bw2, 2)
+    b.write(bw2, 4)
+    a.write(bw2, 255)
+    # copy len 2, linear distance 2 (code 122 = prefix 13 + extra 25)
+    g.write(bw2, 257)                       # length prefix 1 -> 2
+    d.write(bw2, 13)
+    bw2.write(25, 5)
+    # row 1: copy len 4 dist code 1 -> (0,1) -> distance = 4
+    g.write(bw2, 259)                       # length prefix 3 -> 4
+    d.write(bw2, 0)
+    out = webp_decode(_wrap(bw2))
+    row = [[1, 10, 3], [2, 20, 4], [1, 10, 3], [2, 20, 4]]
+    assert out.tolist() == [row, row]
+
+
+def test_color_cache_symbols():
+    """2x1: literal, then a cache hit for the identical pixel. Cache
+    index = (0x1e35a7bd * ARGB) >> (32 - bits)."""
+    argb = (255 << 24) | (9 << 16) | (7 << 8) | 5
+    bits = 4
+    idx = ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - bits)
+    bw = _BitWriter()
+    _header(bw, 2, 1)
+    bw.write(0, 1)                          # no transforms
+    bw.write(1, 1)                          # cache present
+    bw.write(bits, 4)
+    bw.write(0, 1)                          # no meta
+    g, r, b, a, d = _codes(bw, [7, 280 + idx], [9], [5], [255],
+                           green_alphabet=280 + (1 << bits))
+    g.write(bw, 7)
+    r.write(bw, 9)
+    b.write(bw, 5)
+    a.write(bw, 255)
+    g.write(bw, 280 + idx)                  # cache hit
+    out = webp_decode(_wrap(bw))
+    assert out.tolist() == [[[9, 7, 5], [9, 7, 5]]]
+
+
+def test_subtract_green_inverse():
+    """1x1 with subtract-green: stored (r=250, g=10, b=4) decodes to
+    r=(250+10)%256=4, b=(4+10)%256=14."""
+    bw = _BitWriter()
+    _header(bw, 1, 1)
+    bw.write(1, 1)                          # transform present
+    bw.write(2, 2)                          # subtract green
+    bw.write(0, 1)                          # no more transforms
+    bw.write(0, 1)                          # no cache
+    bw.write(0, 1)                          # no meta
+    g, r, b, a, d = _codes(bw, [10], [250], [4], [255])
+    g.write(bw, 10)
+    r.write(bw, 250)
+    b.write(bw, 4)
+    a.write(bw, 255)
+    out = webp_decode(_wrap(bw))
+    assert out.tolist() == [[[4, 10, 14]]]
+
+
+def _sub_stream(bw, pixels, *, cache_bit=True):
+    """Write an embedded (level>0-shaped) stream: cache bit + codes +
+    literals; ``pixels`` are (a, r, g, b) tuples."""
+    if cache_bit:
+        bw.write(0, 1)
+    g, r, b, a, d = _codes(bw, [p[2] for p in pixels],
+                           [p[1] for p in pixels],
+                           [p[3] for p in pixels],
+                           [p[0] for p in pixels])
+    for pa, pr, pg, pb in pixels:
+        g.write(bw, pg)
+        r.write(bw, pr)
+        b.write(bw, pb)
+        a.write(bw, pa)
+
+
+def test_color_indexing_packed_indices():
+    """4-color palette (width_bits=2 -> 4 indices per green byte,
+    2 bits each, LSB-first). Palette is DELTA-coded: entries are
+    component-wise sums of all deltas so far. 4x1 image packs into one
+    coded pixel whose green = 0b11100100 = indices 0,1,2,3."""
+    bw = _BitWriter()
+    _header(bw, 4, 1)
+    bw.write(1, 1)                          # transform present
+    bw.write(3, 2)                          # color indexing
+    bw.write(3, 8)                          # 4 colors - 1
+    # palette deltas: (a,r,g,b): first absolute, then +deltas
+    _sub_stream(bw, [(255, 10, 20, 30), (0, 5, 5, 5), (0, 5, 5, 5),
+                     (0, 5, 5, 5)])
+    bw.write(0, 1)                          # no more transforms
+    bw.write(0, 1)                          # no cache (main)
+    bw.write(0, 1)                          # no meta
+    # main image: reduced width ceil(4/4)=1; one pixel, green=0xE4
+    g, r, b, a, d = _codes(bw, [0xE4], [0], [0], [0])
+    g.write(bw, 0xE4)
+    r.write(bw, 0)
+    b.write(bw, 0)
+    a.write(bw, 0)
+    out = webp_decode(_wrap(bw))
+    assert out.tolist() == [[[10, 20, 30], [15, 25, 35],
+                             [20, 30, 40], [25, 35, 45]]]
+
+
+def test_color_indexing_out_of_range_index_is_zero():
+    """A 20-color palette (no packing); index 25 >= palette size must
+    decode to 0x00000000 per spec — surfaced as transparent black."""
+    bw = _BitWriter()
+    _header(bw, 2, 1)
+    bw.write(1, 1)
+    bw.write(3, 2)
+    bw.write(19, 8)                         # 20 colors
+    _sub_stream(bw, [(255, 1, 1, 1)] + [(0, 1, 1, 1)] * 19)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    g, r, b, a, d = _codes(bw, [2, 25], [0], [0], [0])
+    for green in (2, 25):
+        g.write(bw, green)
+        r.write(bw, 0)
+        b.write(bw, 0)
+        a.write(bw, 0)
+    out = webp_decode(_wrap(bw))
+    assert out.shape == (1, 2, 4)           # alpha 0 present
+    assert out[0, 0].tolist() == [3, 3, 3, 255]
+    assert out[0, 1].tolist() == [0, 0, 0, 0]
+
+
+def test_predictor_transform_modes():
+    """2x2, one tile, mode 12 (ClampAddSubtractFull). Reconstruction
+    by hand: P(0,0)=black+res; P(1,0)=left; P(0,1)=top; P(1,1)=
+    clamp(L+T-TL) per channel."""
+    bw = _BitWriter()
+    _header(bw, 2, 2)
+    bw.write(1, 1)                          # transform
+    bw.write(0, 2)                          # predictor
+    bw.write(2, 3)                          # size_bits = 2+2=4 -> 1 tile
+    _sub_stream(bw, [(0, 0, 12, 0)])        # mode 12 in green
+    bw.write(0, 1)                          # no more transforms
+    bw.write(0, 1)
+    bw.write(0, 1)
+    # residuals: (a,r,g,b) added mod 256 to prediction
+    # target: p00=(10,20,30) opaque; p10=(30,60,90); p01=(50,25,12);
+    # p11 = clamp(L+T-TL) + res, L=(50,25,12),T=(30,60,90),TL=(10,20,30)
+    #     pred = (70,65,72); choose res (5,5,5) -> (75,70,77)
+    res = [
+        (0, 10, 20, 30),                    # +ff000000 -> a=255
+        (0, 20, 40, 60),                    # left=(10,20,30)
+        (0, (50 - 10) % 256, (25 - 20) % 256, (12 - 30) % 256),
+        (0, 5, 5, 5),
+    ]
+    g, r, b, a, d = _codes(bw, [p[2] for p in res],
+                           [p[1] for p in res],
+                           [p[3] for p in res], [p[0] for p in res])
+    for pa, pr, pg, pb in res:
+        g.write(bw, pg)
+        r.write(bw, pr)
+        b.write(bw, pb)
+        a.write(bw, pa)
+    out = webp_decode(_wrap(bw))
+    assert out.tolist() == [[[10, 20, 30], [30, 60, 90]],
+                            [[50, 25, 12], [75, 70, 77]]]
+
+
+def test_color_transform_inverse():
+    """1 tile, green_to_red=32 (=1.0 in 3.5 fixed): stored red gains
+    (32*g)>>5 = g; green_to_blue=0, red_to_blue=32: blue gains the
+    TRANSFORMED red."""
+    bw = _BitWriter()
+    _header(bw, 1, 1)
+    bw.write(1, 1)
+    bw.write(1, 2)                          # color transform
+    bw.write(2, 3)                          # size_bits 4
+    # cte pixel: b=g2r=32, g=g2b=0, r=r2b=32
+    _sub_stream(bw, [(0, 32, 0, 32)])
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    # stored pixel: g=10, r=5, b=1 -> red = 5 + ((32*10)>>5) = 15;
+    # blue = 1 + 0 + ((32*15)>>5) = 16
+    g, r, b, a, d = _codes(bw, [10], [5], [1], [255])
+    g.write(bw, 10)
+    r.write(bw, 5)
+    b.write(bw, 1)
+    a.write(bw, 255)
+    out = webp_decode(_wrap(bw))
+    assert out.tolist() == [[[15, 10, 16]]]
+
+
+def test_meta_huffman_two_groups():
+    """2x1 with a meta-Huffman image assigning tile x=0 -> group 0 and
+    x=1 -> group 1 (tile size 1 via size_bits=2... use size_bits=2 ->
+    1<<2=4 pixels per tile; need per-pixel groups, so size_bits must
+    give 2 tiles for w=2: pick size_bits read value 0 -> 2 -> tile 4?
+    No: size_bits = ReadBits(3)+2, minimum 2 (tile 4). For w=2 both
+    pixels share a tile, so use a 8x1 image: tiles of 4 pixels ->
+    2 tiles."""
+    bw = _BitWriter()
+    _header(bw, 8, 1)
+    bw.write(0, 1)                          # no transforms
+    bw.write(0, 1)                          # no cache
+    bw.write(1, 1)                          # meta present
+    bw.write(0, 3)                          # size_bits = 2 (tile 4)
+    # entropy image 2x1: meta codes (r<<8)|g -> 0 and 1
+    _sub_stream(bw, [(0, 0, 0, 0), (0, 0, 1, 0)])
+    # group 0: only green literal 100 (r=1,b=2,a=255)
+    g0, r0, b0, a0, d0 = _codes(bw, [100], [1], [2], [255])
+    # group 1: only green literal 200 (r=3,b=4,a=255)
+    g1, r1, b1, a1, d1 = _codes(bw, [200], [3], [4], [255])
+    for _ in range(4):                      # first tile: group 0
+        g0.write(bw, 100)
+        r0.write(bw, 1)
+        b0.write(bw, 2)
+        a0.write(bw, 255)
+    for _ in range(4):                      # second tile: group 1
+        g1.write(bw, 200)
+        r1.write(bw, 3)
+        b1.write(bw, 4)
+        a1.write(bw, 255)
+    out = webp_decode(_wrap(bw))
+    assert out[0, :4].tolist() == [[1, 100, 2]] * 4
+    assert out[0, 4:].tolist() == [[3, 200, 4]] * 4
+
+
+def test_code_length_repeats_and_max_symbol():
+    """A normal code whose lengths arrive via opcodes 16/17/18 — the
+    DEFLATE-ish repeat machinery — decodes correctly: 256 literals all
+    length 8 written as one 8 + repeated 16s."""
+    bw = _BitWriter()
+    _header(bw, 1, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    # green: normal code, all 256 literals length 8 (24 length codes 0)
+    bw.write(0, 1)                          # not simple
+    # cl code: symbols used: 8, 16, 17; flat lengths 2,2,1 (complete)
+    cl = {17: 1, 8: 2, 16: 2}
+    cl_full = [0] * 19
+    for s, ln in cl.items():
+        cl_full[s] = ln
+    from remark_lint_frontmatter_schema_spark.functions.webp import (
+        _CL_ORDER)
+    bw.write(15, 4)                         # 19 slots
+    for i in range(19):
+        bw.write(cl_full[_CL_ORDER[i]], 3)
+    bw.write(0, 1)                          # no max_symbol bound
+    clh = _Huffman(cl_full)
+    clh.write(bw, 8)                        # one explicit 8
+    for _ in range(63):                     # 63 x (repeat prev 3+1=4)
+        clh.write(bw, 16)
+        bw.write(1, 2)                      # 3 + 1 = 4 repeats
+    # 1 + 63*4 = 253 symbols so far; three more eights
+    for _ in range(3):
+        clh.write(bw, 8)
+    clh.write(bw, 17)                       # 3+0 zeros
+    bw.write(0, 3)
+    clh.write(bw, 17)                       # 3+2... finish the 24 with
+    bw.write(2, 3)                          # 5 zeros... 8 so far
+    clh.write(bw, 17)                       # remaining 16 zeros: 3+5=8
+    bw.write(5, 3)
+    clh.write(bw, 17)
+    bw.write(5, 3)
+    g = _Huffman([8] * 256 + [0] * 24)
+    r, b, a, d = (_write_huffman(bw, {5: 1}, 256),
+                  _write_huffman(bw, {6: 1}, 256),
+                  _write_huffman(bw, {255: 1}, 256),
+                  _write_huffman(bw, {0: 1}, 40))
+    del r, b, a, d
+    g.write(bw, 77)
+    out = webp_decode(_wrap(bw))
+    assert out.tolist() == [[[5, 77, 6]]]
+
+
+# ---------------------------------------------------------------------------
+# integration: dispatch, DSL, cross-container perceptual parity
+# ---------------------------------------------------------------------------
+
+def test_decode_image_dispatch_and_narrowed_refusal():
+    px = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    assert (mm.decode_image(webp_encode_lossless(px)) == px).all()
+    # lossy VP8: precise refusal, header dims still real
+    lossy = (b"RIFF" + b"\x2c\x00\x00\x00" + b"WEBP" + b"VP8 "
+             + b"\x20\x00\x00\x00" + b"\x00" * 3 + b"\x9d\x01\x2a"
+             + b"\x08\x00\x06\x00" + b"\x00" * 22)
+    with pytest.raises(NotImplementedError, match="lossy VP8"):
+        mm.decode_image(lossy)
+    assert mm.webp_dimensions(lossy) == (8, 6)
+
+
+def test_ahash_cross_container_parity_png_webp(spark):
+    """The SAME pixels through PNG and VP8L hash identically, so
+    perceptual dedup pairs the two containers at distance 0."""
+    rows = []
+    for i in range(3):
+        rows.append((f"png_{i}", mm.make_png(i, w=16, h=12)))
+        rows.append((f"webp_{i}", mm.make_webp(i, w=16, h=12)))
+    for i in range(3):
+        assert mm.ahash64(rows[2 * i][1]) == mm.ahash64(rows[2 * i + 1][1])
+    df = spark.createDataFrame(rows, "media_id string, bytes binary")
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in mm.image_neardup_pairs(
+                 df, max_distance=0).collect()}
+    for i in range(3):
+        key = tuple(sorted((f"png_{i}", f"webp_{i}")))
+        assert pairs.get(key) == 0, pairs
+
+
+def test_image_decodes_dsl_covers_webp(spark):
+    from remark_lint_frontmatter_schema_spark import (compile_ruleset,
+                                                      validate)
+    lossy = (b"RIFF" + b"\x2c\x00\x00\x00" + b"WEBP" + b"VP8 "
+             + b"\x20\x00\x00\x00" + b"\x00" * 3 + b"\x9d\x01\x2a"
+             + b"\x08\x00\x06\x00" + b"\x00" * 22)
+    rows = [("webp_ok", mm.make_webp(1)),
+            ("webp_lossy", lossy),
+            ("png_ok", mm.make_png(1)),
+            ("truncated", mm.make_webp(2)[:24])]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary")
+    dec = {"properties": {"bytes": {"x-spark-check": "image_decodes"}}}
+    cd = compile_ruleset(dec, df.schema, name="dec",
+                         extra_checks=mm.register_image_checks())
+    res = validate(df, cd, row_id="media_id")
+    assert {r.row_id for r in res.violations.collect()} == \
+        {"webp_lossy", "truncated"}
+
+
+def test_corruption_fuzz_exception_envelope():
+    """Bit-flipped / truncated VP8L streams must fail inside the
+    (ValueError, NotImplementedError) envelope image_decodes catches —
+    never KeyError/IndexError/struct.error — or decode to SOME pixel
+    array (a flip can land in pixel data and stay valid)."""
+    rng = np.random.default_rng(99)
+    base = webp_encode_lossless(
+        rng.integers(0, 256, (9, 11, 3), dtype=np.uint8))
+    for trial in range(300):
+        raw = bytearray(base)
+        if trial % 3 == 0:
+            raw = raw[:rng.integers(1, len(raw))]
+        else:
+            for _ in range(rng.integers(1, 4)):
+                raw[rng.integers(0, len(raw))] ^= 1 << rng.integers(0, 8)
+        try:
+            out = webp_decode(bytes(raw))
+            assert isinstance(out, np.ndarray)
+        except (ValueError, NotImplementedError):
+            pass
