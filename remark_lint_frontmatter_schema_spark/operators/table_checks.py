@@ -16,29 +16,32 @@ declared table check, not the table. Fusing those into the row scan is
 deliberately NOT done — a groupBy/join fused into the validation
 projection would force the whole row payload through the shuffle.
 
-The AGGREGATION-shaped checks (x-unique, x-drift, global x-volume /
-x-quantile / x-mask, …) are different: each reduces the fact to a tiny
-keyed-count/quantile/histogram relation, so when a ruleset declares two
-or more of them they share ONE
-scan + ONE shuffle (:func:`_fused_agg_violations`): every row explodes
-into one (tag, group_key, group_key2, value) struct per declared check
-(the second key slot carries x-drift's histogram bucket and is constant
-for every other kind); a single groupBy(tag, gkey, gkey2) computes all
-the counts, quantiles, and histograms at once (Spark's partial hash
-aggregate splits hot keys across input partitions pre-shuffle — the
-same protection the standalone salted path makes explicit); the
-driver-scale result is persisted and each check's violation rows
-project from it through the SAME emitters the standalone operators use,
-so the rows are byte-identical either way.
+The NARROW-footprint checks — the aggregation gates (x-unique /
+x-volume / x-quantile / x-mask / x-calendar / x-freshness / x-benford /
+x-skew, global and grouped), x-drift, x-corr, composite-key uniqueness,
+and the x-ref family's keys-only fact side — are different: each needs
+only a few key/timestamp columns. When a ruleset declares two or more,
+they SHARE ONE live fact read (:func:`table_check_violations`,
+``fused=True``): a persisted narrow projection of the union of their
+columns feeds every pass, and each check keeps its own standalone
+map-side-combined aggregation off the columnar cache. At the 100 TB
+design point every avoided pass is a remote re-read of its key
+columns; the cache holds ids, keys and timestamps only, never the row
+payload.
 
-The x-ref family (x-ref / x-ref-asof / x-ref-interval) can't ride the
-groupBy — it emits one violation per dangling ROW — but its fact side
-is a keys-only projection (row_id, key[, ts]). When the aggregation
-pass and one or more ref checks coexist, ONE persisted narrow
-projection of the union of their columns feeds them all
-(:func:`table_check_violations`): a single live fact read serves every
-aggregation-shaped check AND every ref join; the cache holds ids, keys
-and timestamps only, never the row payload.
+Round-5 correction, measured not guessed (bench_fused_ab.py, x40
+stress input, 8-check ruleset): the round-4 tagged-EXPLODE fusion —
+one (tag, key, key2, value) struct per check per row through a single
+groupBy — additionally merged the checks' shuffles, but those shuffles
+were already tiny after map-side combine, while the explode multiplies
+rows by the check count BEFORE the partial aggregate. A/B/C: explode
+33.1 s, scan-shared cache 14.0 s, independent pruned re-scans 8.9 s on
+page-cached local IO (where re-scans are nearly free; at 100 TB the
+re-scans are the expensive leg, which is what the cache removes). The
+explode path stays available as ``fused="explode"``
+(:func:`_fused_agg_violations`) with byte-identical rows — every
+strategy projects violations through the SAME emitters the standalone
+operators use.
 """
 
 from __future__ import annotations
@@ -66,13 +69,15 @@ class TableValidationResult:
 
 
 def _is_fusable(kind: str, params: dict) -> bool:
-    """Aggregation-shaped checks that reduce to one groupBy(tag, key)
-    pass. x-drift qualifies too: its histogram is a (side, bucket)
-    count, riding the explode through the second key slot. Grouped
-    forms (``by:``) keep their own pass: quantile's NULL group must
-    survive as a real group (the shared string-typed key cannot
-    represent it without a sentinel collision), and grouped volume
-    scores buckets against per-group stats."""
+    """EXPLODE-path membership (``fused="explode"`` only): the
+    aggregation-shaped checks that can reduce to one groupBy(tag, key,
+    key2) pass. x-drift qualifies: its histogram is a (side, bucket)
+    count riding the second key slot. Grouped forms (``by:``) cannot:
+    quantile's NULL group must survive as a real group (the shared
+    string-typed key cannot represent it without a sentinel collision),
+    and grouped volume scores buckets against per-group stats. The
+    DEFAULT strategy (scan sharing) has no such restriction — see
+    :func:`_scan_share_cols`."""
     if kind in ("unique", "drift"):
         return True
     return (kind in ("volume", "quantile", "mask", "calendar",
@@ -297,6 +302,30 @@ def _fused_agg_violations(df: DataFrame, specs: list, *,
     return out
 
 
+def _scan_share_cols(kind: str, column, params: dict,
+                     row_id: str) -> set[str] | None:
+    """The fact columns this check can run from when a shared narrow
+    cache exists — or None for kinds that keep their own pass (per-row
+    output over wide projections, joins against other facts, text/codec
+    gates over payload columns)."""
+    by = {params["by"]} if params.get("by") else set()
+    if kind in ("unique", "volume", "quantile", "mask", "calendar",
+                "freshness", "benford", "skew"):
+        return {column} | by
+    if kind == "corr":
+        return {column, params["with"]} | by
+    if kind == "drift":
+        return {column, params["partition_col"]}
+    if kind == "unique_multi":
+        return set(params["keys"])
+    if kind in _REF_KINDS:
+        cols = {column, row_id}
+        if kind in ("ref_asof", "ref_interval"):
+            cols.add(params["ts"])
+        return cols
+    return None
+
+
 def table_check_violations(
     df: DataFrame,
     compiled: CompiledRuleset,
@@ -304,10 +333,39 @@ def table_check_violations(
     row_id: str,
     dims: dict[str, DataFrame] | None = None,
     on_missing_dim=None,
+    fused: bool | str = True,
 ) -> DataFrame | None:
     """Union of every declared table check's violation rows (None if the
     ruleset declares none). The shared engine behind
     :func:`validate_with_table_checks` and the routing layer.
+
+    ``fused`` selects the scan strategy — rows are byte-identical under
+    all three (pinned by test); BASELINE.md carries the measured A/B/C
+    so the choice is a number, not a claim:
+
+    * ``True`` (default) — SCAN SHARING: when two or more checks can
+      run from a narrow column projection (the aggregation-shaped
+      gates incl. their grouped forms, x-drift, x-corr,
+      composite-key uniqueness, and the x-ref family's keys-only
+      side), ONE persisted projection of the union of their columns
+      feeds them all. One live fact read replaces one pruned re-scan
+      per check — at the 100 TB design point every avoided pass is a
+      remote re-read of its key columns, while each check keeps its
+      own standalone (map-side-combined) aggregation CPU profile off
+      the in-memory/local-disk columnar cache. The cache holds ids,
+      keys and timestamps only, never the row payload.
+    * ``"explode"`` — the round-4 tagged-explode fusion: the
+      aggregation-shaped kinds additionally share ONE shuffle via a
+      per-row (tag, key, key2, value) explode. Kept as a measured
+      alternative: the explode multiplies rows by the check count
+      before the partial aggregate, and the round-5 A/B on the x40
+      stress input showed that CPU cost dominating the shuffle-sharing
+      win beyond a couple of checks (33.1 s vs 14.0 s cache-shared vs
+      8.9 s standalone on page-cached local IO; bench_fused_ab.py) —
+      the shuffles it merges were already tiny after map-side combine.
+    * ``False`` — fully independent per-check passes (one pruned scan
+      each, no cache): the measurement baseline, and the fastest plan
+      when the fact re-scans are free (hot page cache, tiny inputs).
 
     ``on_missing_dim`` — called with the dim name when an ``x-ref`` or
     ``x-decontaminate`` declaration references a dim/benchmark not
@@ -317,38 +375,39 @@ def table_check_violations(
     """
     dims = dims or {}
     extras: list[DataFrame] = []
+    explode_mode = fused == "explode"
     fusable = [tc for tc in compiled.table_checks
-               if _is_fusable(tc[0], tc[2])]
-    # Scan sharing: the aggregation pass (fused or a lone fusable
-    # check) and each ref-family join re-read the fact for a narrow
-    # column projection. With >= 2 such consumers, ONE persisted
-    # projection of the union of their columns feeds them all — one
-    # live fact read instead of one per pass; at the 100 TB design
-    # point each avoided pass is a full re-read of its key columns.
-    # The cache holds only those columns (ids, keys, timestamps), never
-    # the row payload. Checks whose dim is missing are skipped by the
-    # G2 guard and don't count as consumers.
-    runnable_refs = [
-        tc for tc in compiled.table_checks
-        if tc[0] in _REF_KINDS
-        and (tc[2]["dim"] in dims or on_missing_dim is None)]
+               if _is_fusable(tc[0], tc[2])] if explode_mode else []
+
+    def runnable(kind, params):
+        return (kind not in _REF_KINDS
+                or params["dim"] in dims or on_missing_dim is None)
+
+    share_cols: dict[int, set[str]] = {}
+    if fused:
+        for idx, (kind, column, params) in enumerate(
+                compiled.table_checks):
+            cols = _scan_share_cols(kind, column, params, row_id)
+            if cols is not None and runnable(kind, params):
+                share_cols[idx] = cols
     base = df
-    if (1 if fusable else 0) + len(runnable_refs) >= 2:
+    cache_built = False
+    if fused and len(share_cols) >= 2:
         from .dedup import _persist
         base = _persist(df.select(
-            *_shared_columns(fusable, runnable_refs, row_id)))
-    fused = len(fusable) >= 2
-    if fused:
+            *sorted(set().union(*share_cols.values()))))
+        cache_built = True
+    do_explode = explode_mode and len(fusable) >= 2
+    if do_explode:
         extras.extend(_fused_agg_violations(
             base, fusable, ruleset_name=compiled.name))
-    for kind, column, params in compiled.table_checks:
-        if fused and _is_fusable(kind, params):
+    for idx, (kind, column, params) in enumerate(compiled.table_checks):
+        if do_explode and _is_fusable(kind, params):
             continue
-        # standalone fusable checks and ref-family joins read the
-        # shared narrow cache when one was built (base is df otherwise);
-        # every other kind needs columns outside it
-        src = (base if _is_fusable(kind, params) or kind in _REF_KINDS
-               else df)
+        # checks with a narrow column footprint read the shared cache
+        # when one was built (base is df otherwise); every other kind
+        # needs columns outside it
+        src = base if cache_built and idx in share_cols else df
         if kind == "unique":
             extras.append(uniqueness_violations(
                 src, column, ruleset_name=compiled.name,
@@ -390,7 +449,7 @@ def table_check_violations(
         elif kind == "unique_multi":
             from .uniqueness import uniqueness_violations_multi
             extras.append(uniqueness_violations_multi(
-                df, params["keys"], ruleset_name=compiled.name,
+                src, params["keys"], ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
         elif kind == "mask":
             from .stats import mask_violations
@@ -402,7 +461,7 @@ def table_check_violations(
         elif kind == "corr":
             from .stats import correlation_violations
             extras.append(correlation_violations(
-                df, column, params["with"], min_abs=params["min_abs"],
+                src, column, params["with"], min_abs=params["min_abs"],
                 by=params.get("by"), ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
         elif kind == "benford":
@@ -592,8 +651,12 @@ def validate_with_table_checks(
     dims: dict[str, DataFrame] | None = None,
     partition_col: str | None = None,
     run_id: str = "run_0",
+    fused: bool | str = True,
 ) -> TableValidationResult:
-    """validate() plus every declared table check.
+    """validate() plus every declared table check. ``fused`` selects
+    the table-check scan strategy (True = shared narrow cache,
+    "explode" = round-4 tagged explode, False = independent passes —
+    see :func:`table_check_violations`; rows byte-identical under all).
 
     ``dims`` maps the dim names referenced by ``x-ref`` declarations to
     DataFrames. A declaration naming a missing dim raises KeyError at plan
@@ -602,7 +665,8 @@ def validate_with_table_checks(
     """
     row_res = validate(df, compiled, row_id=row_id,
                        partition_col=partition_col, run_id=run_id)
-    table_v = table_check_violations(df, compiled, row_id=row_id, dims=dims)
+    table_v = table_check_violations(df, compiled, row_id=row_id,
+                                     dims=dims, fused=fused)
     all_v = row_res.violations
     if table_v is not None:
         all_v = all_v.unionByName(

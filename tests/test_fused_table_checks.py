@@ -1,7 +1,9 @@
-"""Fused aggregation-shaped table checks (operators/table_checks.py
-_fused_agg_violations): when a ruleset declares >= 2 of x-unique /
-x-volume / global x-quantile, they must share ONE scan + ONE shuffle and
-still emit rows byte-identical to the standalone per-check operators."""
+"""Shared-scan table checks (operators/table_checks.py): when a ruleset
+declares >= 2 narrow-footprint checks they must share ONE live fact
+read (the default scan-shared cache), and rows must be byte-identical
+to the standalone per-check operators under ALL THREE strategies —
+fused=True (cache), fused="explode" (the round-4 tagged explode, kept
+as a measured alternative), fused=False (independent passes)."""
 
 from datetime import datetime
 
@@ -24,6 +26,8 @@ from remark_lint_frontmatter_schema_spark.operators.table_checks import (
     table_check_violations, validate_with_table_checks)
 from remark_lint_frontmatter_schema_spark.operators.uniqueness import (
     uniqueness_violations)
+
+MODES = [True, "explode", False]
 
 RULESET = {
     "properties": {
@@ -61,10 +65,12 @@ def _sorted(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-def test_fused_matches_standalone_operators(spark, fact):
+@pytest.mark.parametrize("mode", MODES)
+def test_fused_matches_standalone_operators(spark, fact, mode):
     compiled = compile_ruleset(RULESET, fact.schema, name="fused")
     assert len(compiled.table_checks) == 8
-    got = table_check_violations(fact, compiled, row_id="rid")
+    got = table_check_violations(fact, compiled, row_id="rid",
+                                 fused=mode)
     want = (uniqueness_violations(fact, "rid", ruleset_name="fused")
             .unionByName(volume_violations(
                 fact, "ts", unit="day", k=3.5, ruleset_name="fused")
@@ -128,13 +134,28 @@ def test_fused_single_scan(spark, fact, tmp_path):
         release_all()
 
 
-def test_empty_table_quantile_still_fails_closed(spark):
+def test_fused_false_escape_hatch_byte_identical(spark, fact):
+    """The A/B measurement knob: fused=False forces standalone passes;
+    rows must be byte-identical to the fused plan."""
+    compiled = compile_ruleset(RULESET, fact.schema, name="fused")
+    try:
+        got_fused = _sorted(table_check_violations(
+            fact, compiled, row_id="rid"))
+        got_solo = _sorted(table_check_violations(
+            fact, compiled, row_id="rid", fused=False))
+        assert got_fused == got_solo
+    finally:
+        release_all()
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_empty_table_quantile_still_fails_closed(spark, mode):
     """The standalone global x-quantile fires on an empty table (NULL
     quantile == finding); the fused path's seed row must preserve it."""
     df = spark.createDataFrame(
         [], "rid string, ts timestamp, v double, nm string")
     compiled = compile_ruleset(RULESET, df.schema, name="fused")
-    got = table_check_violations(df, compiled, row_id="rid")
+    got = table_check_violations(df, compiled, row_id="rid", fused=mode)
     try:
         rows = got.collect()
     finally:
@@ -160,7 +181,8 @@ def test_single_fusable_check_stays_standalone(spark, fact):
         uniqueness_violations(fact, "rid", ruleset_name="solo"))
 
 
-def test_fused_drift_matches_standalone(spark):
+@pytest.mark.parametrize("mode", MODES)
+def test_fused_drift_matches_standalone(spark, mode):
     """x-drift rides the tagged explode (second key slot carries the
     histogram bucket): rows must be byte-identical to the standalone
     operator, including NaN's below-range bucket and dropped NULL-side
@@ -186,7 +208,7 @@ def test_fused_drift_matches_standalone(spark):
                           "emd_threshold": 0.5}}}}
     compiled = compile_ruleset(rs, df.schema, name="dr")
     assert len(compiled.table_checks) == 2
-    got = table_check_violations(df, compiled, row_id="rid")
+    got = table_check_violations(df, compiled, row_id="rid", fused=mode)
     want = (uniqueness_violations(df, "k", ruleset_name="dr")
             .unionByName(drift_violations(
                 df, "v", partition_col="side", side_a="ref",
@@ -201,7 +223,8 @@ def test_fused_drift_matches_standalone(spark):
         release_all()
 
 
-def test_fused_drift_missing_side_config_row(spark):
+@pytest.mark.parametrize("mode", MODES)
+def test_fused_drift_missing_side_config_row(spark, mode):
     """A typo'd side label must still surface the fail-closed
     drift-config row through the fused path."""
     from remark_lint_frontmatter_schema_spark.operators.drift import (
@@ -214,7 +237,7 @@ def test_fused_drift_missing_side_config_row(spark):
         "v": {"x-drift": {"partition_col": "side", "side_a": "ref",
                           "side_b": "nope", "lo": 0.0, "hi": 10.0}}}}
     compiled = compile_ruleset(rs, df.schema, name="cfg")
-    got = table_check_violations(df, compiled, row_id="rid")
+    got = table_check_violations(df, compiled, row_id="rid", fused=mode)
     want = (uniqueness_violations(df, "k", ruleset_name="cfg")
             .unionByName(drift_violations(
                 df, "v", partition_col="side", side_a="ref",
@@ -275,7 +298,8 @@ def test_drift_ref_and_fused_share_one_live_scan(spark, tmp_path):
         release_all()
 
 
-def test_fused_freshness_far_future_exact(spark):
+@pytest.mark.parametrize("mode", MODES)
+def test_fused_freshness_far_future_exact(spark, mode):
     """Sentinel timestamps past 2^53 us (~year 2255, e.g. 9999-12-31)
     must reconstruct byte-exactly — micros ride a LONG slot, not the
     shared double (which rounds at ~32 us out there)."""
@@ -289,7 +313,7 @@ def test_fused_freshness_far_future_exact(spark):
         "ts": {"x-freshness": {"max_age_seconds": 3600,
                                "as_of": "2024-06-01 00:00:00"}}}}
     compiled = compile_ruleset(rs, df.schema, name="ff")
-    got = table_check_violations(df, compiled, row_id="rid")
+    got = table_check_violations(df, compiled, row_id="rid", fused=mode)
     want = (uniqueness_violations(df, "k", ruleset_name="ff")
             .unionByName(freshness_violations(
                 df, "ts", max_age_seconds=3600.0,
@@ -307,7 +331,8 @@ def test_fused_freshness_far_future_exact(spark):
         release_all()
 
 
-def test_fused_float_key_negative_zero_matches_standalone(spark):
+@pytest.mark.parametrize("mode", MODES)
+def test_fused_float_key_negative_zero_matches_standalone(spark, mode):
     """A double key column holding -0.0 and 0.0: native groupBy
     normalizes them into ONE key (so standalone x-unique reports the
     duplicate); the fused string key must too."""
@@ -323,7 +348,7 @@ def test_fused_float_key_negative_zero_matches_standalone(spark):
         "ts": {"x-freshness": {"max_age_seconds": 3600,
                                "as_of": "2024-06-01 00:00:00"}}}}
     compiled = compile_ruleset(rs, df.schema, name="nz")
-    got = table_check_violations(df, compiled, row_id="rid")
+    got = table_check_violations(df, compiled, row_id="rid", fused=mode)
     want = (uniqueness_violations(df, "price", ruleset_name="nz")
             .unionByName(skew_violations(
                 df, "price", max_share=0.3, ruleset_name="nz"))
@@ -340,7 +365,8 @@ def test_fused_float_key_negative_zero_matches_standalone(spark):
         release_all()
 
 
-def test_fused_freshness_date_column_matches_direct(spark):
+@pytest.mark.parametrize("mode", MODES)
+def test_fused_freshness_date_column_matches_direct(spark, mode):
     """A DATE column's newest value must render as a date in `actual`
     through the fused path, exactly as the direct max(col) aggregate —
     the micros round-trip casts back to the source type."""
@@ -354,7 +380,7 @@ def test_fused_freshness_date_column_matches_direct(spark):
         "d": {"x-freshness": {"max_age_seconds": 3600,
                               "as_of": "2024-06-01 00:00:00"}}}}
     compiled = compile_ruleset(rs, df.schema, name="fr")
-    got = table_check_violations(df, compiled, row_id="rid")
+    got = table_check_violations(df, compiled, row_id="rid", fused=mode)
     want = (uniqueness_violations(df, "k", ruleset_name="fr")
             .unionByName(freshness_violations(
                 df, "d", max_age_seconds=3600.0,
