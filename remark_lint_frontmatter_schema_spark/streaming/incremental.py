@@ -40,19 +40,18 @@ def validate_stream(
     failures (the reference's parse-failure guard, index.ts:240-245).
 
     ``table_checks``: a ruleset declaring table-level checks runs the
-    SAME engine per micro-batch — including the fused single-scan
-    aggregation pass and the shared narrow ref cache
-    (operators/table_checks.py), so a 3-kind fused ruleset costs one
-    batch-local scan + shuffle, not one pass per check. Scope is the
-    micro-batch (uniqueness/quantile/drift within the arriving slice —
-    the streaming reading of the reference's per-file lint scope);
-    cross-batch state belongs to the dedicated stateful modules
-    (streaming/neardup, drift, volume, …). ``dims`` supplies the static
-    dim tables x-ref declarations join against; a declared-but-missing
-    dim skips its check per batch (the routing layer's G2 policy).
-    The fused pass persists its batch-local counts; they are freed
+    SAME engine per micro-batch — including the scan-shared narrow
+    cache (operators/table_checks.py): the batch's narrow-footprint
+    checks all read one batch-local projection instead of one pass
+    per check. Scope is the micro-batch (uniqueness/quantile/drift
+    within the arriving slice — the streaming reading of the
+    reference's per-file lint scope); cross-batch state belongs to the
+    dedicated stateful modules (streaming/neardup, drift, volume, …).
+    ``dims`` supplies the static dim tables x-ref declarations join
+    against; a declared-but-missing dim skips its check per batch (the
+    routing layer's G2 policy). Batch-local cache blocks are freed
     after the batch's writes so a long-lived stream never accumulates
-    cache blocks.
+    storage.
     """
     stream = (spark.readStream.schema(input_schema)
               .option("maxFilesPerTrigger", "16")
