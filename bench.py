@@ -29,6 +29,9 @@ from remark_lint_frontmatter_schema_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entry_mod  # noqa: E402
 
 HEADLINE = [
+    "benford_gate_by_events",
+    "skew_gate_by_lineitem",
+    "skew_profile_by_lineitem",
     "normalize_documents",
     "bm25_documents",
     "er_pairs_part",
