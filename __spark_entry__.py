@@ -507,6 +507,35 @@ def q_benford_gate_events(spark, sf):
     return benford_violations(ev, "value", max_mad=0.005).drop("expected")
 
 
+def q_drift_gate_by_events(spark, sf):
+    """GROUPED drift gate (operators/drift.py drift_violations, x-drift
+    `by:`, round 5): per-event-type two-sample KS/PSI between the
+    user-parity halves, with a deterministic 3x value inflation
+    injected into one half of ONE type ('error') — only that segment
+    fires, the drift localized to the group that moved instead of
+    diluted into the whole-table statistic. One (group, side, bucket)
+    keys-only aggregate + group-partitioned windows; the oracle
+    re-derives the dense-spine CDFs, the epsilon-floored PSI and the
+    violation rendering per group in DuckDB. `expected` dropped (NULL
+    array; driver canonicalizer rule)."""
+    from remark_lint_frontmatter_schema_spark.operators.drift import (
+        drift_violations)
+    ev = _load(spark, sf, "events")
+    staged = (ev.where(F.col("value").isNotNull()
+                       & F.col("event_type").isNotNull())
+              .withColumn("side", F.when(F.col("user_id") % 2 == 0,
+                                         F.lit("a")).otherwise(F.lit("b")))
+              .withColumn("value",
+                          F.when((F.col("event_type") == "error")
+                                 & (F.col("user_id") % 2 == 1),
+                                 F.col("value") * 3)
+                          .otherwise(F.col("value"))))
+    return drift_violations(
+        staged, "value", partition_col="side", side_a="a", side_b="b",
+        lo=0.0, hi=500.0, n_buckets=25, ks_threshold=0.1,
+        psi_threshold=0.2, by="event_type").drop("expected")
+
+
 def q_benford_gate_by_events(spark, sf):
     """GROUPED Benford gate (operators/drift.py benford_violations,
     x-benford `by:`, round 5): first-digit MAD PER event_type — the
@@ -2447,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_multi_lineitem": q_unique_multi_lineitem,
         "benford_gate_events": q_benford_gate_events,
         "benford_gate_by_events": q_benford_gate_by_events,
+        "drift_gate_by_events": q_drift_gate_by_events,
         "skew_gate_by_lineitem": q_skew_gate_by_lineitem,
         "skew_profile_by_lineitem": q_skew_profile_by_lineitem,
         "missing_dates_events": q_missing_dates_events,
@@ -3868,6 +3898,57 @@ SELECT 'all' AS row_id, 'all' AS partition_id, 'engine' AS ruleset_id,
        CAST(mad AS VARCHAR) AS actual,
        'warning' AS severity
 FROM m WHERE mad > 0.005
+""",
+        "drift_gate_by_events": """
+WITH src AS (
+  SELECT event_type AS grp,
+         CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+         CASE WHEN event_type = 'error' AND user_id % 2 = 1
+              THEN value * 3 ELSE value END AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+h AS (
+  SELECT grp, side,
+         CASE WHEN v < 0 THEN 0
+              WHEN v >= 500 THEN 26
+              ELSE CAST(floor(v / 20) + 1 AS BIGINT) END AS bucket,
+         count(*) AS n
+  FROM src GROUP BY 1, 2, 3),
+spine AS (
+  SELECT g.grp, s.side, b.bucket
+  FROM (SELECT DISTINCT grp FROM h) g
+  CROSS JOIN (SELECT unnest(['a', 'b']) AS side) s
+  CROSS JOIN (SELECT unnest(range(0, 27)) AS bucket) b),
+filled AS (
+  SELECT sp.grp, sp.side, sp.bucket, coalesce(h.n, 0) AS n
+  FROM spine sp LEFT JOIN h
+    ON h.grp = sp.grp AND h.side = sp.side AND h.bucket = sp.bucket),
+cdf AS (
+  SELECT grp, side, bucket,
+         sum(n) OVER (PARTITION BY grp, side ORDER BY bucket) * 1.0
+           / sum(n) OVER (PARTITION BY grp, side) AS cdf,
+         n * 1.0 / sum(n) OVER (PARTITION BY grp, side) AS p
+  FROM filled),
+ks AS (
+  SELECT a.grp, round(max(abs(a.cdf - b.cdf)), 6) AS ks_stat
+  FROM cdf a JOIN cdf b ON a.grp = b.grp AND a.bucket = b.bucket
+  WHERE a.side = 'a' AND b.side = 'b' GROUP BY a.grp),
+psi AS (
+  SELECT a.grp, round(sum(
+           (greatest(a.p, 1e-6) - greatest(b.p, 1e-6))
+           * ln(greatest(a.p, 1e-6) / greatest(b.p, 1e-6))), 6) AS psi
+  FROM cdf a JOIN cdf b ON a.grp = b.grp AND a.bucket = b.bucket
+  WHERE a.side = 'a' AND b.side = 'b' GROUP BY a.grp)
+SELECT ks.grp AS row_id, 'all' AS partition_id, 'engine' AS ruleset_id,
+       'drift:value:by=event_type' AS constraint_id,
+       'drift' AS keyword,
+       '/value' AS instance_path, '#/x-drift/value' AS schema_path,
+       'Distribution drift on ''value'' (a vs b): ks>0.1 or psi>0.2'
+         AS message,
+       'ks=' || CAST(ks_stat AS VARCHAR) || ' psi='
+         || CAST(psi.psi AS VARCHAR) AS actual,
+       'warning' AS severity
+FROM ks JOIN psi ON ks.grp = psi.grp
+WHERE ks_stat > 0.1 OR psi.psi > 0.2
 """,
         "benford_gate_by_events": """
 WITH base AS (

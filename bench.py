@@ -30,6 +30,7 @@ import __spark_entry__ as entry_mod  # noqa: E402
 
 HEADLINE = [
     "benford_gate_by_events",
+    "drift_gate_by_events",
     "skew_gate_by_lineitem",
     "skew_profile_by_lineitem",
     "normalize_documents",

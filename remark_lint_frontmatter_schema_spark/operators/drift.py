@@ -428,6 +428,7 @@ def drift_violations(df: DataFrame, value_col: str, *, partition_col: str,
                      emd_threshold: float | None = None,
                      jsd_threshold: float | None = None,
                      cvm_threshold: float | None = None,
+                     by: str | None = None,
                      ruleset_name: str = "engine",
                      severity: str = "warning") -> DataFrame:
     """Lazy violation-row form of :func:`drift_check` for the ``x-drift``
@@ -439,16 +440,72 @@ def drift_violations(df: DataFrame, value_col: str, *, partition_col: str,
     persist/collect) so the declarative plan composes — two passes over a
     single-column histogram-sized relation, the base scan still reads only
     ``(value_col, partition_col)``.
-    """
-    hist = histogram(df, value_col, partition_col, lo=lo, hi=hi,
-                     n_buckets=n_buckets)
-    return drift_violations_from_hist(
-        hist, value_col, partition_col=partition_col, side_a=side_a,
-        side_b=side_b, lo=lo, hi=hi, n_buckets=n_buckets,
-        ks_threshold=ks_threshold, psi_threshold=psi_threshold,
-        emd_threshold=emd_threshold, jsd_threshold=jsd_threshold,
-        cvm_threshold=cvm_threshold, ruleset_name=ruleset_name,
-        severity=severity)
+
+    ``by`` gates PER GROUP ("drift per event type", round 5): the
+    :func:`histogram_by` relation carries (group, side, bucket) keys
+    only, :func:`ks_by`/:func:`psi_by` localize the statistics with
+    group-partitioned windows, and one violation row is emitted per
+    drifted group with the group value as ``row_id``. A group missing
+    either declared side fails closed with its own drift-config row
+    (the global form's missing-side policy, per group). NULL group
+    values are out of scope (histogram_by's contract — declare
+    ``required`` on the by column to gate presence). The grouped form
+    carries ks + psi; emd/jsd/cvm stay global-only (their bucket-width
+    and pooled-mass semantics are tuned per declaration, not per
+    segment)."""
+    if by is None:
+        hist = histogram(df, value_col, partition_col, lo=lo, hi=hi,
+                         n_buckets=n_buckets)
+        return drift_violations_from_hist(
+            hist, value_col, partition_col=partition_col, side_a=side_a,
+            side_b=side_b, lo=lo, hi=hi, n_buckets=n_buckets,
+            ks_threshold=ks_threshold, psi_threshold=psi_threshold,
+            emd_threshold=emd_threshold, jsd_threshold=jsd_threshold,
+            cvm_threshold=cvm_threshold, ruleset_name=ruleset_name,
+            severity=severity)
+    if any(t is not None for t in (emd_threshold, jsd_threshold,
+                                   cvm_threshold)):
+        raise ValueError(
+            "x-drift `by:` supports ks/psi only; emd/jsd/cvm are "
+            "global-form statistics")
+    hist = histogram_by(df, value_col, partition_col, by, lo=lo, hi=hi,
+                        n_buckets=n_buckets)
+    ks = ks_by(hist, str(side_a), str(side_b))
+    p = psi_by(hist, str(side_a), str(side_b)) \
+        .select(F.col("grp").alias("_pgrp"), "psi")
+    # both relations enumerate exactly hist's group set -> equi-join
+    j = (ks.join(p, F.col("grp") == F.col("_pgrp"))
+         .select(F.col("grp"),
+                 F.round("ks_stat", 6).alias("ks_stat"),
+                 F.round("psi", 6).alias("psi")))
+    missing = F.col("ks_stat").isNull() | F.col("psi").isNull()
+    drifted = j.where((F.col("ks_stat") > ks_threshold)
+                      | (F.col("psi") > psi_threshold) | missing)
+    return drifted.select(
+        F.col("grp").cast("string").alias("row_id"),
+        F.lit("all").alias("partition_id"),
+        F.lit(ruleset_name).alias("ruleset_id"),
+        F.lit(f"drift:{value_col}:by={by}").alias("constraint_id"),
+        F.when(missing, F.lit("drift-config")).otherwise(F.lit("drift"))
+         .alias("keyword"),
+        F.lit(f"/{value_col}").alias("instance_path"),
+        F.lit(f"#/x-drift/{value_col}").alias("schema_path"),
+        F.when(missing,
+               F.lit(f"Drift sides '{side_a}'/'{side_b}' not both "
+                     f"present in '{partition_col}'"))
+         .otherwise(F.lit(
+             f"Distribution drift on '{value_col}' "
+             f"({side_a} vs {side_b}): ks>{ks_threshold} "
+             f"or psi>{psi_threshold}")).alias("message"),
+        F.when(missing, F.lit("sides missing"))
+         .otherwise(F.concat(F.lit("ks="),
+                             F.col("ks_stat").cast("string"),
+                             F.lit(" psi="),
+                             F.col("psi").cast("string")))
+         .alias("actual"),
+        F.lit(None).cast("array<string>").alias("expected"),
+        F.lit(severity).alias("severity"),
+    )
 
 
 def drift_violations_from_hist(hist: DataFrame, value_col: str, *,

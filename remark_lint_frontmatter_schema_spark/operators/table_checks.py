@@ -78,10 +78,10 @@ def _is_fusable(kind: str, params: dict) -> bool:
     and grouped volume scores buckets against per-group stats. The
     DEFAULT strategy (scan sharing) has no such restriction — see
     :func:`_scan_share_cols`."""
-    if kind in ("unique", "drift"):
+    if kind == "unique":
         return True
     return (kind in ("volume", "quantile", "mask", "calendar",
-                     "freshness", "benford", "skew")
+                     "freshness", "benford", "skew", "drift")
             and not params.get("by"))
 
 
@@ -264,7 +264,8 @@ def _fused_agg_violations(df: DataFrame, specs: list, *,
                 F.col("gkey2").cast("long").alias("bucket"),
                 F.col("_n").alias("n"))
             out.append(drift_violations_from_hist(
-                hist, column, ruleset_name=ruleset_name, **params))
+                hist, column, ruleset_name=ruleset_name,
+                **{k: v for k, v in params.items() if k != "by"}))
         elif kind == "freshness":
             from .sequence import freshness_rows_from_agg
             # cast back to the SOURCE column type: a DATE column's
@@ -315,7 +316,7 @@ def _scan_share_cols(kind: str, column, params: dict,
     if kind == "corr":
         return {column, params["with"]} | by
     if kind == "drift":
-        return {column, params["partition_col"]}
+        return {column, params["partition_col"]} | by
     if kind == "unique_multi":
         return set(params["keys"])
     if kind in _REF_KINDS:

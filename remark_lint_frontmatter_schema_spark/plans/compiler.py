@@ -696,7 +696,13 @@ _KEYWORD_SHAPE = {
     and all(v.get(k) is None
             or (isinstance(v[k], _NUM) and not isinstance(v[k], bool))
             for k in ("n_buckets", "ks_threshold", "psi_threshold",
-                      "emd_threshold", "jsd_threshold", "cvm_threshold")),
+                      "emd_threshold", "jsd_threshold", "cvm_threshold"))
+    # per-segment form carries ks/psi only (emd/jsd/cvm are global)
+    and (v.get("by") is None
+         or (isinstance(v["by"], str)
+             and all(v.get(k) is None for k in
+                     ("emd_threshold", "jsd_threshold",
+                      "cvm_threshold")))),
 }
 
 
@@ -1769,6 +1775,9 @@ def _compile_keywords(schema: dict, ctx: _Ctx, *,
                     "cvm_threshold": (
                         float(p["cvm_threshold"])
                         if p.get("cvm_threshold") is not None else None),
+                    # per-segment form ("drift per event type"): one
+                    # violation row per drifted group (ks/psi only)
+                    "by": p.get("by"),
                     "severity": ctx.severity,
                 }))
         else:

@@ -127,3 +127,86 @@ def test_dsl_rejects_bad_by(spark, seg):
                     "k": {"x-skew": {"max_share": 0.5, "by": []}}}}):
         with pytest.raises(RulesetCompileError):
             compile_ruleset(rs, seg.schema, name="bad")
+
+
+def test_grouped_drift_localizes_to_moved_segment(spark):
+    """x-drift `by:`: only the segment whose distribution moved fires;
+    a group missing a declared side fails closed with its own
+    drift-config row; per-group ks/psi equal the global operator run
+    on that group's slice."""
+    from remark_lint_frontmatter_schema_spark.operators.drift import (
+        drift_violations)
+    rows = []
+    for g, shift in (("stable", 0.0), ("moved", 4.0)):
+        for i in range(300):
+            rows.append((f"{g}{i}", g, "ref", float(i % 10)))
+            rows.append((f"{g}x{i}", g, "cur", float(i % 10) + shift))
+    rows += [(f"one{i}", "oneside", "ref", float(i % 10))
+             for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "rid string, seg string, side string, v double")
+    kw = dict(partition_col="side", side_a="ref", side_b="cur",
+              lo=0.0, hi=14.0, n_buckets=14, ks_threshold=0.1,
+              psi_threshold=0.2)
+    got = {r.row_id: r for r in drift_violations(
+        df, "v", by="seg", ruleset_name="g", **kw).collect()}
+    assert set(got) == {"moved", "oneside"}
+    assert got["moved"].keyword == "drift"
+    assert got["oneside"].keyword == "drift-config"
+    assert got["moved"].constraint_id == "drift:v:by=seg"
+    # per-slice parity: the group's ks/psi string equals the global
+    # operator on that group's slice
+    sl = drift_violations(df.where(F.col("seg") == "moved"), "v",
+                          ruleset_name="g", **kw).collect()
+    assert got["moved"].actual == sl[0].actual
+
+
+def test_grouped_drift_rejects_global_only_stats(spark):
+    from remark_lint_frontmatter_schema_spark.operators.drift import (
+        drift_violations)
+    df = spark.createDataFrame([("a", "g", "ref", 1.0)],
+                               "rid string, seg string, side string, "
+                               "v double")
+    with pytest.raises(ValueError, match="ks/psi only"):
+        drift_violations(df, "v", partition_col="side", side_a="ref",
+                         side_b="cur", lo=0.0, hi=10.0, by="seg",
+                         emd_threshold=0.5)
+    from remark_lint_frontmatter_schema_spark.plans.compiler import (
+        RulesetCompileError)
+    with pytest.raises(RulesetCompileError):
+        compile_ruleset({"properties": {"v": {"x-drift": {
+            "partition_col": "side", "side_a": "ref", "side_b": "cur",
+            "lo": 0.0, "hi": 10.0, "by": "seg",
+            "jsd_threshold": 0.1}}}}, df.schema, name="bad")
+
+
+def test_grouped_drift_via_dsl_shares_scan(spark):
+    """A grouped x-drift declaration routes through the DSL and reads
+    the shared narrow cache alongside another gate."""
+    from remark_lint_frontmatter_schema_spark.operators.drift import (
+        drift_violations)
+    rows = [(f"r{i}", "s%d" % (i % 2), "ref" if i % 2 else "cur",
+             float(i % 10), f"k{i % 20}") for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "rid string, seg string, side string, v double, k string")
+    rs = {"properties": {
+        "k": {"x-unique": True},
+        "v": {"x-drift": {"partition_col": "side", "side_a": "ref",
+                          "side_b": "cur", "lo": 0.0, "hi": 10.0,
+                          "by": "seg"}}}}
+    compiled = compile_ruleset(rs, df.schema, name="gd")
+    kinds = {(k, p.get("by")) for k, _, p in compiled.table_checks}
+    assert ("drift", "seg") in kinds
+    got = table_check_violations(df, compiled, row_id="rid")
+    try:
+        want = drift_violations(
+            df, "v", partition_col="side", side_a="ref", side_b="cur",
+            lo=0.0, hi=10.0, by="seg", ruleset_name="gd")
+        got_d = sorted(tuple(r) for r in got.collect()
+                       if r.keyword.startswith("drift"))
+        want_d = sorted(tuple(r) for r in want.collect())
+        assert got_d == want_d
+        # each seg holds ONLY ref or ONLY cur -> both fail closed
+        assert {r[0] for r in got_d} == {"s0", "s1"}
+    finally:
+        release_all()
