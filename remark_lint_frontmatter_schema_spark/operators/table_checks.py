@@ -19,7 +19,9 @@ projection would force the whole row payload through the shuffle.
 The NARROW-footprint checks — the aggregation gates (x-unique /
 x-volume / x-quantile / x-mask / x-calendar / x-freshness / x-benford /
 x-skew, global and grouped), x-drift, x-corr, composite-key uniqueness,
-and the x-ref family's keys-only fact side — are different: each needs
+the window-shaped per-row checks (x-outlier / x-fd / x-gap /
+x-monotonic — their fact side is just (id, value[, by/order])), and
+the x-ref family's keys-only fact side — are different: each needs
 only a few key/timestamp columns. When a ruleset declares two or more,
 they SHARE ONE live fact read (:func:`table_check_violations`,
 ``fused=True``): a persisted narrow projection of the union of their
@@ -319,6 +321,18 @@ def _scan_share_cols(kind: str, column, params: dict,
         return {column, params["partition_col"]} | by
     if kind == "unique_multi":
         return set(params["keys"])
+    # window-shaped narrow checks (round-5 continuation): per-row
+    # output, but the fact side is still just (id, value[, by/order])
+    if kind == "outlier":
+        return {column, params.get("id") or row_id} | by
+    if kind == "fd":
+        return ({column, params.get("id") or row_id}
+                | set(params["determined_by"]))
+    if kind == "gap":
+        return {column, params.get("id") or row_id} | by
+    if kind == "monotonic":
+        return ({column, params.get("id") or row_id,
+                 params["order_by"]} | by)
     if kind in _REF_KINDS:
         cols = {column, row_id}
         if kind in ("ref_asof", "ref_interval"):
@@ -511,14 +525,14 @@ def table_check_violations(
         elif kind == "outlier":
             from .outliers import outlier_violations
             extras.append(outlier_violations(
-                df, column, row_id=params["id"] or row_id, k=params["k"],
+                src, column, row_id=params["id"] or row_id, k=params["k"],
                 group_col=params.get("by"), approx=params["approx"],
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
         elif kind == "fd":
             from .fd import fd_violations
             extras.append(fd_violations(
-                df, column, params["determined_by"],
+                src, column, params["determined_by"],
                 row_id=params.get("id") or row_id,
                 ruleset_name=compiled.name,
                 severity=params.get("severity", "warning")))
@@ -559,7 +573,7 @@ def table_check_violations(
         elif kind == "gap":
             from .sequence import gap_violations
             extras.append(gap_violations(
-                df, column, row_id=params.get("id") or row_id,
+                src, column, row_id=params.get("id") or row_id,
                 max_seconds=params["max_seconds"], by=params.get("by"),
                 n_buckets=params["n_buckets"],
                 ruleset_name=compiled.name,
@@ -567,7 +581,7 @@ def table_check_violations(
         elif kind == "monotonic":
             from .sequence import monotonic_violations
             extras.append(monotonic_violations(
-                df, column, order_by=params["order_by"],
+                src, column, order_by=params["order_by"],
                 row_id=params.get("id") or row_id,
                 by=params.get("by"), direction=params["direction"],
                 n_buckets=params["n_buckets"],

@@ -391,3 +391,50 @@ def test_fused_freshness_date_column_matches_direct(spark, mode):
         assert fresh[0].actual == "2024-01-05"
     finally:
         release_all()
+
+
+def test_window_checks_share_the_narrow_scan(spark, tmp_path):
+    """Round-5 continuation: the window-shaped narrow checks
+    (x-outlier / x-fd / x-gap / x-monotonic) read the shared cache too
+    — a ruleset mixing them with aggregation gates plans <= 2 live
+    fact reads, rows byte-identical to fused=False."""
+    from datetime import datetime
+    rows = [(f"r{i}", float(i % 50) + (500.0 if i == 7 else 0.0),
+             f"g{i % 3}", datetime(2024, 3, 1 + i % 9, i % 24),
+             i, f"k{i % 40}") for i in range(200)]
+    fact = spark.createDataFrame(
+        rows, "rid string, v double, seg string, ts timestamp, "
+              "seq long, k string")
+    p = str(tmp_path / "factw")
+    fact.write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    rs = {"properties": {
+        "k": {"x-unique": True},
+        "v": {"x-outlier": {"k": 3.5},
+              "x-fd": {"determined_by": ["seg"]}},
+        "ts": {"x-gap": {"max_seconds": 86400, "by": "seg"},
+               "x-monotonic": {"order_by": "seq"}}}}
+    compiled = compile_ruleset(rs, df.schema, name="win")
+    assert len(compiled.table_checks) == 5
+    got = table_check_violations(df, compiled, row_id="rid")
+    try:
+        want = table_check_violations(df, compiled, row_id="rid",
+                                      fused=False)
+        assert _sorted(got) == _sorted(want)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        import re
+        live, echo_indents = 0, []
+        for ln in plan.splitlines():
+            indent = re.match(r"^[\s:+|-]*", ln).end()
+            while echo_indents and indent <= echo_indents[-1]:
+                echo_indents.pop()
+            if "InMemoryRelation" in ln:
+                echo_indents.append(indent)
+            elif not echo_indents and (
+                    "FileScan parquet" in ln
+                    or ("Scan parquet" in ln and "ReadSchema" in ln)):
+                live += 1
+        assert live == 0, (
+            f"{live} live scans besides the shared cache build:\n{plan}")
+    finally:
+        release_all()
