@@ -10,10 +10,11 @@ and lossless WEBP (functions/webp.py: full VP8L — LZ77 + canonical
 Huffman, color cache, meta-Huffman, all four inverse transforms) —
 mirroring the pure-numpy FLAC/G.711/ADPCM audio codecs and the Y4M
 video codec. Only LOSSY WEBP (VP8 boolean-arithmetic DCT) and
-VP8X-extended containers stay behind a clearly-marked
-``NotImplementedError`` (codec-library territory, libs not in this
-sandbox) — their Spark-side plumbing (schemas, UDF signatures, batch
-shapes, partition discipline) is real and tested regardless.
+animated WEBP stay behind a clearly-marked ``NotImplementedError``
+(codec-library territory, libs not in this sandbox; VP8X extended
+containers wrapping a lossless still are unwrapped and decode) —
+their Spark-side plumbing (schemas, UDF signatures, batch shapes,
+partition discipline) is real and tested regardless.
 
 Payload discipline (same as audio): binary columns are never shuffled —
 every operator here is a map-only stage emitting small typed rows; joins

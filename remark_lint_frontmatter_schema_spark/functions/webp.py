@@ -502,26 +502,58 @@ def _predict(mode, left, top, tl, tr):
 # container + public API
 # ---------------------------------------------------------------------------
 
+def _riff_chunks(b: bytes):
+    """(fourcc, payload) pairs of a RIFF/WEBP body, honoring the
+    odd-size pad byte (RIFF spec)."""
+    pos = 12
+    while pos + 8 <= len(b):
+        fourcc = b[pos:pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4:pos + 8])
+        payload = b[pos + 8:pos + 8 + size]
+        if len(payload) < size:
+            raise ValueError(f"truncated WEBP chunk {fourcc!r}")
+        yield fourcc, payload
+        pos += 8 + size + (size & 1)
+
+
 def webp_decode(b: bytes) -> np.ndarray:
     """Decode a lossless (VP8L) WEBP to (h, w, 3|4) uint8 — 4 channels
-    when any pixel carries alpha != 255. Lossy VP8 (and VP8X-extended
-    containers) keep an honest refusal: boolean-arithmetic DCT
-    decoding is codec-library territory."""
+    when any pixel carries alpha != 255. VP8X extended containers are
+    UNWRAPPED (round-5 continuation): the chunk walk finds the still
+    image's ``VP8L`` chunk behind ICCP/EXIF/XMP metadata; animated
+    (ANIM) files and lossy stills keep an honest refusal —
+    boolean-arithmetic DCT decoding is codec-library territory."""
     if len(b) < 21 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
         raise ValueError("not a WEBP container")
     fourcc = b[12:16]
+    payload = None
     if fourcc == b"VP8 ":
         raise NotImplementedError(
             "lossy VP8 pixel decode requires a codec library (boolean "
             "arithmetic coder + DCT); VP8L lossless decodes natively")
     if fourcc == b"VP8X":
-        raise NotImplementedError(
-            "VP8X extended WEBP containers are not unwrapped; plain "
-            "VP8L lossless decodes natively")
-    if fourcc != b"VP8L":
+        seen = []
+        for cc, body in _riff_chunks(b):
+            seen.append(cc)
+            if cc == b"ANMF" or cc == b"ANIM":
+                raise NotImplementedError(
+                    "animated WEBP (VP8X/ANIM) is not decoded; still "
+                    "VP8L (plain or VP8X-wrapped) decodes natively")
+            if cc == b"VP8 ":
+                raise NotImplementedError(
+                    "VP8X-wrapped lossy VP8 pixel decode requires a "
+                    "codec library; VP8L lossless decodes natively")
+            if cc == b"VP8L":
+                payload = body
+                break
+        if payload is None:
+            raise ValueError(
+                f"VP8X container holds no image chunk (saw {seen!r})")
+    elif fourcc == b"VP8L":
+        (size,) = struct.unpack("<I", b[16:20])
+        payload = b[20:20 + size]
+    else:
         raise ValueError(f"unknown WEBP chunk {fourcc!r}")
-    (size,) = struct.unpack("<I", b[16:20])
-    payload = b[20:20 + size]
     if len(payload) < 5 or payload[0] != 0x2F:
         raise ValueError("bad VP8L signature")
     br = _BitReader(payload[1:])

@@ -449,3 +449,44 @@ def test_corruption_fuzz_exception_envelope():
             assert isinstance(out, np.ndarray)
         except (ValueError, NotImplementedError):
             pass
+
+
+def _vp8x_wrap(inner_chunks: list[tuple[bytes, bytes]],
+               w: int, h: int) -> bytes:
+    """Build a VP8X extended container around the given chunks."""
+    import struct
+    body = b"VP8X" + struct.pack("<I", 10) \
+        + b"\x00\x00\x00\x00" \
+        + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    for cc, payload in inner_chunks:
+        body += cc + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+    riff = b"WEBP" + body
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def test_vp8x_wrapped_lossless_decodes():
+    """Round-5 continuation: a VP8X container wrapping a VP8L still
+    (with metadata chunks in front) decodes; animated and
+    VP8X-wrapped-lossy keep precise refusals."""
+    px = np.arange(90, dtype=np.uint8).reshape(5, 6, 3)
+    plain = webp_encode_lossless(px)
+    vp8l_payload = plain[20:20 + int.from_bytes(plain[16:20], "little")]
+    wrapped = _vp8x_wrap([(b"ICCP", b"\x00" * 7),      # odd -> padded
+                          (b"XMP ", b"<x/>"),
+                          (b"VP8L", vp8l_payload)], 6, 5)
+    assert mm.sniff_image_format(wrapped) == "webp"
+    assert mm.webp_dimensions(wrapped) == (6, 5)
+    assert (webp_decode(wrapped) == px).all()
+    assert (mm.decode_image(wrapped) == px).all()
+
+    anim = _vp8x_wrap([(b"ANIM", b"\x00" * 6)], 6, 5)
+    with pytest.raises(NotImplementedError, match="animated"):
+        webp_decode(anim)
+    lossy = _vp8x_wrap([(b"VP8 ", b"\x00" * 12)], 6, 5)
+    with pytest.raises(NotImplementedError, match="lossy"):
+        webp_decode(lossy)
+    empty = _vp8x_wrap([(b"EXIF", b"ab")], 6, 5)
+    with pytest.raises(ValueError, match="no image chunk"):
+        webp_decode(empty)
