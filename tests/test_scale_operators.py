@@ -250,7 +250,7 @@ def test_x_drift_declarative(spark):
         "lo": 0.0, "hi": 100.0, "n_buckets": 20,
         "ks_threshold": 0.1, "psi_threshold": 0.2,
         "emd_threshold": None, "jsd_threshold": None,
-        "cvm_threshold": None,
+        "cvm_threshold": None, "by": None,
         "severity": "warning"})]
     got = validate_with_table_checks(df, compiled, row_id="rid") \
         .violations.collect()
